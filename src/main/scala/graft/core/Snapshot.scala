@@ -1,0 +1,295 @@
+package graft.core
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import java.nio.file.{Files, Paths, Path}
+import scala.jdk.CollectionConverters._
+
+/** Column-level metadata recorded per snapshot.
+  *
+  * Mirrors the reference's `DatasetColumn` (accelerator/dataset.py:116-117):
+  * type tag, nullability, and per-dataset min/max zone maps (dataset.py:875-897)
+  * used for chain-level dataset skipping on range iteration (dataset.py:609-614).
+  * `refType` keeps the reference's logical type name (e.g. "time" stored as
+  * LongType micros-since-midnight) so display/export can round-trip.
+  */
+case class ColumnMeta(
+    name: String,
+    sparkType: String,
+    refType: String,
+    nullable: Boolean,
+    min: Option[String],
+    max: Option[String])
+
+/** Snapshot metadata — the Spark-native equivalent of the reference's pickled
+  * dataset dict (accelerator/dataset.py:55-88): immutable Parquet dir +
+  * sidecar. `previous` forms the append-only chain (dataset.py:428-441);
+  * `hashlabel` records the column whose hash placed rows into partitions
+  * (dataset.py:58); `lines` is the total row count.
+  */
+case class SnapshotMeta(
+    name: String,
+    columns: Seq[ColumnMeta],
+    lines: Long,
+    slices: Int,
+    hashlabel: Option[String],
+    previous: Option[String],
+    caption: String = "",
+    version: Int = 1)
+
+final case class Snapshot(meta: SnapshotMeta, dir: String) {
+  def read(spark: SparkSession): DataFrame = spark.read.parquet(s"$dir/data")
+  def columnNames: Seq[String] = meta.columns.map(_.name)
+  def minOf(col: String): Option[String] =
+    meta.columns.find(_.name == col).flatMap(_.min)
+  def maxOf(col: String): Option[String] =
+    meta.columns.find(_.name == col).flatMap(_.max)
+}
+
+/** Content store for snapshots: one directory per snapshot containing
+  * `data/` (Parquet) and `meta.json`. Replaces the reference's per-(column,
+  * slice) gzip files (dataset.py:963-994) with Parquet — columnar, compressed,
+  * row-group stats — and its pickled metadata with JSON.
+  *
+  * Scale note: the sidecar holds only O(columns) metadata; data goes through
+  * `DataFrameWriter.parquet`, so a snapshot written from a 1000-executor
+  * cluster is just a normal distributed Parquet write. Zone-map min/max are
+  * computed in the same Spark job (one extra agg pass) and enable driver-side
+  * chain pruning before any scan is planned.
+  */
+final class SnapshotStore(val spark: SparkSession, val root: String) {
+  Files.createDirectories(Paths.get(root))
+
+  private def dirOf(name: String): String = s"$root/$name"
+
+  /** Write `df` as snapshot `name`.
+    *
+    * @param hashlabel   if set, rows are hash-partitioned on this column
+    *                    (reference: SipHash mod slices, dsutilmodule.c:273-281;
+    *                    ours: Spark Murmur3 via `repartition` — bit-layout
+    *                    compat is a non-goal, co-partitioning is the point).
+    * @param zoneMaps    compute per-column min/max for chain skipping.
+    */
+  def write(
+      df: DataFrame,
+      name: String,
+      hashlabel: Option[String] = None,
+      previous: Option[String] = None,
+      slices: Int = 0,
+      refTypes: Map[String, String] = Map.empty,
+      zoneMaps: Boolean = true,
+      caption: String = ""): Snapshot = {
+    val n = if (slices > 0) slices else spark.sparkContext.defaultParallelism
+    val routed = hashlabel match {
+      case Some(h) => df.repartition(n, col(h))
+      case None    => df
+    }
+    val dir = dirOf(name)
+    routed.write.mode("overwrite").parquet(s"$dir/data")
+    // One agg pass for lines + zone maps (comparable, non-complex types only).
+    val comparable = df.schema.fields.filter { f =>
+      f.dataType.typeName match {
+        case "binary" | "array" | "map" | "struct" => false
+        case _                                     => true
+      }
+    }
+    val aggs = count(lit(1)).as("__lines") +: comparable.flatMap { f =>
+      if (zoneMaps)
+        Seq(min(col(f.name)).cast("string").as(s"__min_${f.name}"),
+            max(col(f.name)).cast("string").as(s"__max_${f.name}"))
+      else Nil
+    }.toSeq
+    val row = df.agg(aggs.head, aggs.tail: _*).collect()(0)
+    val lines = row.getLong(0)
+    val mm: Map[String, (Option[String], Option[String])] =
+      if (zoneMaps)
+        comparable.zipWithIndex.map { case (f, i) =>
+          f.name -> (Option(row.getString(1 + 2 * i)),
+                     Option(row.getString(2 + 2 * i)))
+        }.toMap
+      else Map.empty
+    val cols = df.schema.fields.map { f =>
+      val (mn, mx) = mm.getOrElse(f.name, (None, None))
+      ColumnMeta(f.name, f.dataType.simpleString,
+        refTypes.getOrElse(f.name, f.dataType.simpleString), f.nullable, mn, mx)
+    }.toSeq
+    val meta = SnapshotMeta(name, cols, lines, n, hashlabel, previous, caption)
+    Files.writeString(Paths.get(dir, "meta.json"), MetaJson.render(meta))
+    Snapshot(meta, dir)
+  }
+
+  def get(name: String): Snapshot = {
+    val dir = dirOf(name)
+    Snapshot(MetaJson.parse(Files.readString(Paths.get(dir, "meta.json"))), dir)
+  }
+
+  def exists(name: String): Boolean =
+    Files.exists(Paths.get(dirOf(name), "meta.json"))
+
+  /** Walk the `previous` chain, newest first (reference Dataset.chain,
+    * dataset.py:428-441). `length < 0` = whole chain.
+    */
+  def chain(name: String, length: Int = -1, stopAt: Option[String] = None): Seq[Snapshot] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[Snapshot]
+    var cur: Option[String] = Some(name)
+    while (cur.isDefined && (length < 0 || out.size < length) &&
+           !stopAt.contains(cur.get)) {
+      val s = get(cur.get)
+      out += s
+      cur = s.meta.previous
+    }
+    out.toSeq
+  }
+
+  /** Union a chain in chain order (oldest→newest), with optional projection
+    * and a `range` filter `lo <= col < hi` that *skips whole snapshots* via
+    * zone maps before any scan is planned (reference dataset.py:609-614).
+    * `sloppyRange` skips the per-row post-filter and may return a superset
+    * (reference dataset.py:642-643).
+    */
+  def iterateChain(
+      name: String,
+      columns: Seq[String] = Nil,
+      length: Int = -1,
+      range: Option[(String, String, String)] = None,
+      sloppyRange: Boolean = false): DataFrame = {
+    val snaps0 = chain(name, length).reverse // oldest first
+    val snaps = range match {
+      case Some((c, lo, hi)) =>
+        snaps0.filter { s =>
+          // keep snapshot unless zone map proves it's disjoint from [lo, hi)
+          val keep = (s.minOf(c), s.maxOf(c)) match {
+            case (Some(mn), Some(mx)) => !(mx < lo || mn >= hi)
+            case _                    => true
+          }
+          keep || s.meta.lines == 0
+        }
+      case None => snaps0.filter(_.meta.lines > 0)
+    }
+    require(snaps.nonEmpty || snaps0.nonEmpty, s"empty chain for $name")
+    val dfs = (if (snaps.isEmpty) snaps0.take(1) else snaps).map { s =>
+      val df = s.read(spark)
+      if (columns.nonEmpty) df.select(columns.map(col): _*) else df
+    }
+    val unioned = dfs.reduce(_.unionByName(_))
+    range match {
+      case Some((c, lo, hi)) if !sloppyRange =>
+        unioned.filter(col(c) >= lit(lo).cast(unioned.schema(c).dataType) &&
+                       col(c) < lit(hi).cast(unioned.schema(c).dataType))
+      case _ => unioned
+    }
+  }
+
+  def list(): Seq[String] =
+    if (!Files.exists(Paths.get(root))) Nil
+    else Files.list(Paths.get(root)).iterator().asScala
+      .filter(p => Files.exists(p.resolve("meta.json")))
+      .map(_.getFileName.toString).toSeq.sorted
+}
+
+/** Hand-rolled JSON for SnapshotMeta — keeps us dependency-free (only Spark
+  * jars on the classpath) and the format trivially stable.
+  */
+object MetaJson {
+  private def q(s: String): String = "\"" + s.flatMap {
+    case '"'  => "\\\""
+    case '\\' => "\\\\"
+    case '\n' => "\\n"
+    case '\r' => "\\r"
+    case '\t' => "\\t"
+    case c if c < ' ' => f"\\u${c.toInt}%04x"
+    case c => c.toString
+  } + "\""
+  private def opt(o: Option[String]): String = o.map(q).getOrElse("null")
+
+  def render(m: SnapshotMeta): String = {
+    val cols = m.columns.map { c =>
+      s"""{"name":${q(c.name)},"sparkType":${q(c.sparkType)},"refType":${q(c.refType)},""" +
+      s""""nullable":${c.nullable},"min":${opt(c.min)},"max":${opt(c.max)}}"""
+    }.mkString("[", ",", "]")
+    s"""{"name":${q(m.name)},"lines":${m.lines},"slices":${m.slices},""" +
+    s""""hashlabel":${opt(m.hashlabel)},"previous":${opt(m.previous)},""" +
+    s""""caption":${q(m.caption)},"version":${m.version},"columns":$cols}"""
+  }
+
+  // Minimal recursive-descent JSON parser (objects/arrays/strings/numbers/
+  // bool/null) — enough for our own sidecars.
+  def parse(s: String): SnapshotMeta = {
+    val v = JsonLite.parse(s).asInstanceOf[Map[String, Any]]
+    def ostr(x: Any): Option[String] = Option(x).map(_.toString)
+    val cols = v("columns").asInstanceOf[Seq[Any]].map { c0 =>
+      val c = c0.asInstanceOf[Map[String, Any]]
+      ColumnMeta(c("name").toString, c("sparkType").toString,
+        c("refType").toString, c("nullable").asInstanceOf[Boolean],
+        ostr(c.getOrElse("min", null)), ostr(c.getOrElse("max", null)))
+    }
+    SnapshotMeta(v("name").toString, cols,
+      v("lines").asInstanceOf[Double].toLong,
+      v("slices").asInstanceOf[Double].toInt,
+      ostr(v.getOrElse("hashlabel", null)), ostr(v.getOrElse("previous", null)),
+      v.getOrElse("caption", "").toString,
+      v.getOrElse("version", 1.0).asInstanceOf[Double].toInt)
+  }
+}
+
+/** Tiny JSON parser; values: Map[String,Any] | Seq[Any] | String | Double |
+  * Boolean | null.
+  */
+object JsonLite {
+  def parse(s: String): Any = new P(s).value()
+  private final class P(s: String) {
+    private var i = 0
+    private def ws(): Unit = while (i < s.length && s.charAt(i).isWhitespace) i += 1
+    def value(): Any = { ws(); s.charAt(i) match {
+      case '{' => obj()
+      case '[' => arr()
+      case '"' => str()
+      case 't' => i += 4; true
+      case 'f' => i += 5; false
+      case 'n' => i += 4; null
+      case _   => num()
+    }}
+    private def obj(): Map[String, Any] = {
+      i += 1; ws()
+      val m = scala.collection.mutable.LinkedHashMap.empty[String, Any]
+      if (s.charAt(i) == '}') { i += 1; return m.toMap }
+      while (true) {
+        ws(); val k = str(); ws(); require(s.charAt(i) == ':'); i += 1
+        m(k) = value(); ws()
+        if (s.charAt(i) == ',') i += 1 else { require(s.charAt(i) == '}'); i += 1; return m.toMap }
+      }
+      m.toMap
+    }
+    private def arr(): Seq[Any] = {
+      i += 1; ws()
+      val b = scala.collection.mutable.ArrayBuffer.empty[Any]
+      if (s.charAt(i) == ']') { i += 1; return b.toSeq }
+      while (true) {
+        b += value(); ws()
+        if (s.charAt(i) == ',') i += 1 else { require(s.charAt(i) == ']'); i += 1; return b.toSeq }
+      }
+      b.toSeq
+    }
+    private def str(): String = {
+      require(s.charAt(i) == '"'); i += 1
+      val b = new StringBuilder
+      while (s.charAt(i) != '"') {
+        if (s.charAt(i) == '\\') {
+          i += 1
+          s.charAt(i) match {
+            case 'n' => b += '\n'; case 't' => b += '\t'; case 'r' => b += '\r'
+            case 'u' => b += Integer.parseInt(s.substring(i + 1, i + 5), 16).toChar; i += 4
+            case c   => b += c
+          }
+        } else b += s.charAt(i)
+        i += 1
+      }
+      i += 1; b.toString
+    }
+    private def num(): Double = {
+      val start = i
+      while (i < s.length && "+-0123456789.eE".indexOf(s.charAt(i)) >= 0) i += 1
+      s.substring(start, i).toDouble
+    }
+  }
+}

@@ -1,0 +1,235 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.core.Tables
+
+/** First-class relational operators over the snapshot/test tables.
+  *
+  * The reference has NO built-in join/agg/window (SURVEY §2.5) — users write
+  * them in Python inside methods (reference
+  * examples/a_dsexample_aggandmergedata.py). Here they are surfaced as
+  * Spark-native declarative plans so Catalyst handles pushdown, join
+  * strategy, and whole-stage codegen.
+  *
+  * Float determinism: money-like columns are 2-decimal doubles; every
+  * aggregate casts to DECIMAL(18,2) *before* summing so arithmetic is exact
+  * and independent of partition/merge order (a double sum's value would
+  * depend on reduction order and could not hash-match a DuckDB oracle).
+  * Final results cast back to DOUBLE: identical decimal → identical IEEE754.
+  *
+  * Scale notes (100 TB target):
+  *  - dimension tables (region/nation/customer/supplier/part at typical
+  *    star-schema ratios) are broadcast — no shuffle of the fact table for
+  *    those joins; only fact-fact joins (lineitem⋈orders) shuffle, on their
+  *    join key, once.
+  *  - aggregations are partial (map-side combine) by construction: groupBy
+  *    over codegen'd exact decimal sums.
+  *  - filters are pushed to the Parquet scan (verified via explain in
+  *    RelationalSpec).
+  */
+object Relational {
+  private val D = "decimal(18,2)"
+  private def dec(c: org.apache.spark.sql.Column) = c.cast(D)
+
+  def pricingSummary(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+    li.filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(dec(col("l_quantity"))).cast("double").as("sum_qty"),
+        sum(dec(col("l_extendedprice"))).cast("double").as("sum_base_price"),
+        sum(dec(col("l_extendedprice")) * (lit(1).cast(D) - dec(col("l_discount"))))
+          .cast("double").as("sum_disc_price"),
+        sum(dec(col("l_extendedprice")) * (lit(1).cast(D) - dec(col("l_discount")))
+          * (lit(1).cast(D) + dec(col("l_tax")))).cast("double").as("sum_charge"),
+        count(lit(1)).as("count_order"))
+  }
+
+  def shippingPriority(s: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.customer(s, dir).filter(col("c_mktsegment") === "BUILDING")
+    val ord = Tables.orders(s, dir)
+      .filter(col("o_orderdate") < lit("1995-03-15").cast("timestamp"))
+    val li = Tables.lineitem(s, dir)
+      .filter(col("l_shipdate") > lit("1995-03-15").cast("timestamp"))
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"))
+      .agg(sum(dec(col("l_extendedprice")) * (lit(1).cast(D) - dec(col("l_discount"))))
+        .cast("double").as("revenue"))
+      .orderBy(col("revenue").desc, col("l_orderkey").asc)
+      .limit(10)
+  }
+
+  def localSupplierVolume(s: SparkSession, dir: String): DataFrame = {
+    // region ⋈ nation ⋈ supplier are tiny → broadcast; customer too at test
+    // SF (at 100 TB customer would be shuffle-joined on custkey — Catalyst/
+    // AQE flips strategy by size automatically since we don't force it).
+    val li = Tables.lineitem(s, dir)
+    val ord = Tables.orders(s, dir)
+      .filter(col("o_orderdate") >= lit("1994-01-01").cast("timestamp") &&
+              col("o_orderdate") < lit("1996-01-01").cast("timestamp"))
+    val cust = Tables.customer(s, dir)
+    val supp = Tables.supplier(s, dir)
+    val nat = Tables.nation(s, dir)
+    val reg = Tables.region(s, dir)
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(supp, col("l_suppkey") === col("s_suppkey"))
+      .join(cust, col("o_custkey") === col("c_custkey") &&
+                  col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(reg), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("n_name"))
+      .agg(sum(dec(col("l_extendedprice")) * (lit(1).cast(D) - dec(col("l_discount"))))
+        .cast("double").as("revenue"))
+  }
+
+  def forecastRevenue(s: SparkSession, dir: String): DataFrame = {
+    Tables.lineitem(s, dir)
+      .filter(col("l_shipdate") >= lit("1994-01-01").cast("timestamp") &&
+              col("l_shipdate") < lit("1995-01-01").cast("timestamp") &&
+              col("l_discount") >= 0.05 && col("l_discount") <= 0.07 &&
+              col("l_quantity") < 24)
+      .agg(sum(dec(col("l_extendedprice")) * dec(col("l_discount")))
+        .cast("double").as("revenue"),
+        count(lit(1)).as("n"))
+  }
+
+  def windowTopOrders(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    val wsum = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.orders(s, dir)
+      .withColumn("rk", row_number().over(w))
+      .withColumn("running_spend",
+        sum(dec(col("o_totalprice"))).over(wsum).cast("double"))
+      .filter(col("rk") <= 3)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+              col("rk"), col("running_spend"))
+  }
+
+  def semiAntiJoin(s: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.customer(s, dir)
+    val ord = Tables.orders(s, dir)
+    val withOrders = cust.join(ord, cust("c_custkey") === ord("o_custkey"), "left_semi")
+    val withoutOrders = cust.join(ord, cust("c_custkey") === ord("o_custkey"), "left_anti")
+    withOrders.agg(count(lit(1)).as("n"), lit("with_orders").as("kind"))
+      .unionByName(withoutOrders.agg(count(lit(1)).as("n"), lit("without_orders").as("kind")))
+  }
+
+  def setOps(s: SparkSession, dir: String): DataFrame = {
+    val buyers = Tables.orders(s, dir).select(col("o_custkey").as("k")).distinct()
+    val rich = Tables.customer(s, dir).filter(col("c_acctbal") > 5000)
+      .select(col("c_custkey").as("k")).distinct()
+    val inter = buyers.intersect(rich)
+    val exc = rich.except(buyers)
+    val uni = buyers.union(rich).distinct()
+    inter.agg(count(lit(1)).as("n"), lit("intersect").as("op"))
+      .unionByName(exc.agg(count(lit(1)).as("n"), lit("except").as("op")))
+      .unionByName(uni.agg(count(lit(1)).as("n"), lit("union").as("op")))
+  }
+
+  def rollupVolume(s: SparkSession, dir: String): DataFrame = {
+    Tables.orders(s, dir)
+      .rollup(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(sum(dec(col("o_totalprice"))).cast("double").as("volume"),
+           count(lit(1)).as("n"))
+  }
+
+  def aggDistinct(s: SparkSession, dir: String): DataFrame = {
+    Tables.lineitem(s, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(countDistinct(col("l_orderkey")).as("n_orders"),
+           countDistinct(col("l_partkey")).as("n_parts"),
+           max(dec(col("l_extendedprice"))).cast("double").as("max_price"),
+           min(dec(col("l_extendedprice"))).cast("double").as("min_price"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q1_pricing_summary" -> pricingSummary _,
+    "q3_shipping_priority" -> shippingPriority _,
+    "q5_local_supplier" -> localSupplierVolume _,
+    "q6_forecast_revenue" -> forecastRevenue _,
+    "q_window_top_orders" -> windowTopOrders _,
+    "q_semi_anti_join" -> semiAntiJoin _,
+    "q_set_ops" -> setOps _,
+    "q_rollup_volume" -> rollupVolume _,
+    "q_agg_distinct" -> aggDistinct _,
+  )
+
+  private val DISC = "(1.00::DECIMAL(18,2) - l_discount::DECIMAL(18,2))"
+
+  val oracle: Map[String, String] = Map(
+    "q1_pricing_summary" ->
+      s"""SELECT l_returnflag, l_linestatus,
+         CAST(sum(l_quantity::DECIMAL(18,2)) AS DOUBLE) AS sum_qty,
+         CAST(sum(l_extendedprice::DECIMAL(18,2)) AS DOUBLE) AS sum_base_price,
+         CAST(sum(l_extendedprice::DECIMAL(18,2) * $DISC) AS DOUBLE) AS sum_disc_price,
+         CAST(sum(l_extendedprice::DECIMAL(18,2) * $DISC * (1.00::DECIMAL(18,2) + l_tax::DECIMAL(18,2))) AS DOUBLE) AS sum_charge,
+         count(*) AS count_order
+         FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+         GROUP BY l_returnflag, l_linestatus""",
+    "q3_shipping_priority" ->
+      s"""SELECT l_orderkey, o_orderdate,
+         CAST(sum(l_extendedprice::DECIMAL(18,2) * $DISC) AS DOUBLE) AS revenue
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         WHERE c_mktsegment = 'BUILDING'
+           AND o_orderdate < TIMESTAMP '1995-03-15'
+           AND l_shipdate > TIMESTAMP '1995-03-15'
+         GROUP BY l_orderkey, o_orderdate
+         ORDER BY revenue DESC, l_orderkey ASC LIMIT 10""",
+    "q5_local_supplier" ->
+      s"""SELECT n_name,
+         CAST(sum(l_extendedprice::DECIMAL(18,2) * $DISC) AS DOUBLE) AS revenue
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         JOIN supplier ON l_suppkey = s_suppkey
+         JOIN customer ON o_custkey = c_custkey AND c_nationkey = s_nationkey
+         JOIN nation ON s_nationkey = n_nationkey
+         JOIN region ON n_regionkey = r_regionkey
+         WHERE o_orderdate >= TIMESTAMP '1994-01-01'
+           AND o_orderdate < TIMESTAMP '1996-01-01'
+         GROUP BY n_name""",
+    "q6_forecast_revenue" ->
+      """SELECT CAST(sum(l_extendedprice::DECIMAL(18,2) * l_discount::DECIMAL(18,2)) AS DOUBLE) AS revenue,
+         count(*) AS n
+         FROM lineitem
+         WHERE l_shipdate >= TIMESTAMP '1994-01-01'
+           AND l_shipdate < TIMESTAMP '1995-01-01'
+           AND l_discount >= 0.05 AND l_discount <= 0.07 AND l_quantity < 24""",
+    "q_window_top_orders" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice, rk, running_spend FROM (
+         SELECT o_custkey, o_orderkey, o_totalprice,
+           row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC) AS rk,
+           CAST(sum(o_totalprice::DECIMAL(18,2)) OVER (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_spend
+         FROM orders) t WHERE rk <= 3""",
+    "q_semi_anti_join" ->
+      """SELECT count(*) AS n, 'with_orders' AS kind FROM customer
+         WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+         UNION ALL
+         SELECT count(*) AS n, 'without_orders' AS kind FROM customer
+         WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""",
+    "q_set_ops" ->
+      """WITH buyers AS (SELECT DISTINCT o_custkey AS k FROM orders),
+         rich AS (SELECT DISTINCT c_custkey AS k FROM customer WHERE c_acctbal > 5000)
+         SELECT count(*) AS n, 'intersect' AS op FROM (SELECT k FROM buyers INTERSECT SELECT k FROM rich) t
+         UNION ALL
+         SELECT count(*) AS n, 'except' AS op FROM (SELECT k FROM rich EXCEPT SELECT k FROM buyers) t
+         UNION ALL
+         SELECT count(*) AS n, 'union' AS op FROM (SELECT k FROM buyers UNION SELECT k FROM rich) t""",
+    "q_rollup_volume" ->
+      """SELECT o_orderstatus, o_orderpriority,
+         CAST(sum(o_totalprice::DECIMAL(18,2)) AS DOUBLE) AS volume, count(*) AS n
+         FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)""",
+    "q_agg_distinct" ->
+      """SELECT l_returnflag,
+         count(DISTINCT l_orderkey) AS n_orders,
+         count(DISTINCT l_partkey) AS n_parts,
+         CAST(max(l_extendedprice::DECIMAL(18,2)) AS DOUBLE) AS max_price,
+         CAST(min(l_extendedprice::DECIMAL(18,2)) AS DOUBLE) AS min_price
+         FROM lineitem GROUP BY l_returnflag""",
+  )
+}
