@@ -1,0 +1,170 @@
+package graft.expr
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Column-level parse/convert functions implementing the reference's
+  * `dataset_type` conversion semantics (reference
+  * standard_methods/dataset_type.py:730-810) as codegen-friendly
+  * compositions of Spark built-ins. Each returns NULL on unparseable input
+  * (the caller layers defaults / filter_bad on top).
+  *
+  * Kept as `Column` combinators (not UDFs) so every conversion stays inside
+  * whole-stage codegen — at 100 TB the typing pass is a single codegen'd
+  * projection over the scan, no JVM⇄closure boundary per value.
+  */
+object ParseFunctions {
+
+  /** strbool (dataset_type.py:772-775): false/0/no/off/nil/null/'' → false,
+    * anything else (non-null) → true.
+    */
+  def strBool(c: Column): Column =
+    when(c.isNull, lit(null).cast("boolean"))
+      .otherwise(!lower(trim(c)).isin("false", "0", "no", "off", "nil", "null", ""))
+
+  /** floatbool (dataset_type.py:776-779): parse as float, nonzero → true. */
+  def floatBool(c: Column): Column =
+    when(c.isNull, lit(null).cast("boolean"))
+      .otherwise(c.try_cast("double") =!= 0.0)
+
+  /** number (dataset_type.py:804-805): int-preferring numeric. Our mapping is
+    * DoubleType (SURVEY §1.2 pragmatic choice); integral magnitudes beyond
+    * 2^53 lose precision — documented deviation from the reference's bigint.
+    */
+  def number(c: Column): Column = c.try_cast("double")
+
+  /** int64/int32 with base (dataset_type.py:746-765). Base 10 uses try_cast;
+    * base 16/8 go through conv() after strict validation; base 0 auto-detects
+    * a 0x/0o prefix like Python int(s, 0).
+    */
+  def intBase(c: Column, bits: Int, base: Int): Column = {
+    val target = if (bits == 64) "long" else "int"
+    def viaConv(src: Column, b: Int): Column = {
+      val valid = if (b == 16) "^[-+]?[0-9a-fA-F]+$" else "^[-+]?[0-7]+$"
+      when(trim(src).rlike(valid),
+        when(trim(src).startsWith("-"),
+          -conv(regexp_replace(trim(src), "^[-+]", ""), b, 10).try_cast("long"))
+        .otherwise(conv(regexp_replace(trim(src), "^[+]", ""), b, 10).try_cast("long"))
+      ).cast(target)
+    }
+    base match {
+      case 10 => trim(c).try_cast("long").cast(target)
+      case 16 => viaConv(regexp_replace(trim(c), "(?i)^([-+]?)0x", "$1"), 16)
+      case 8  => viaConv(regexp_replace(trim(c), "(?i)^([-+]?)0o", "$1"), 8)
+      case 0 =>
+        when(trim(c).rlike("(?i)^[-+]?0x"),
+             viaConv(regexp_replace(trim(c), "(?i)^([-+]?)0x", "$1"), 16))
+          .when(trim(c).rlike("(?i)^[-+]?0o"),
+             viaConv(regexp_replace(trim(c), "(?i)^([-+]?)0o", "$1"), 8))
+          .otherwise(trim(c).try_cast("long").cast(target))
+      case b => throw new IllegalArgumentException(s"unsupported int base $b")
+    }
+  }
+
+  /** floatint{e,s} (dataset_type.py:752-763): parse float then to int;
+    * `exact` nulls out non-integral values, `saturate` clamps to range.
+    */
+  def floatInt(c: Column, bits: Int, exact: Boolean, saturate: Boolean): Column = {
+    val d = c.try_cast("double")
+    val (lo, hi) =
+      if (bits == 64) (Long.MinValue.toDouble, Long.MaxValue.toDouble)
+      else (Int.MinValue.toDouble, Int.MaxValue.toDouble)
+    val target = if (bits == 64) "long" else "int"
+    val base =
+      if (exact) when(d === floor(d), d)
+      else d
+    val ranged =
+      if (saturate) least(greatest(base, lit(lo)), lit(hi))
+      else when(base >= lo && base <= hi, base)
+    ranged.cast(target)
+  }
+
+  /** The `i`-suffixed garbage-tolerant variants (dataset_type.py:812-828):
+    * take the first numeric substring, ignore surrounding garbage.
+    */
+  def numberI(c: Column): Column = {
+    val m = regexp_extract(c, "[-+]?(\\d+\\.?\\d*|\\.\\d+)([eE][-+]?\\d+)?", 0)
+    when(m === "", lit(null).cast("double")).otherwise(m.try_cast("double"))
+  }
+
+  def intI(c: Column, bits: Int): Column = {
+    val target = if (bits == 64) "long" else "int"
+    val m = regexp_extract(c, "[-+]?\\d+", 0)
+    when(m === "", lit(null).cast(target)).otherwise(m.try_cast("long").cast(target))
+  }
+
+  /** strftime-style format → Spark DateTimeFormatter pattern (the subset the
+    * reference tests use; dataset_type.py:766-771 `%`-codes).
+    */
+  def strftimeToSpark(fmt: String): String = {
+    val sb = new StringBuilder
+    var i = 0
+    while (i < fmt.length) {
+      val ch = fmt.charAt(i)
+      if (ch == '%' && i + 1 < fmt.length) {
+        fmt.charAt(i + 1) match {
+          case 'Y' => sb ++= "yyyy"
+          case 'y' => sb ++= "yy"
+          case 'm' => sb ++= "MM"
+          case 'd' => sb ++= "dd"
+          case 'H' => sb ++= "HH"
+          case 'M' => sb ++= "mm"
+          case 'S' => sb ++= "ss"
+          case 'f' => sb ++= "SSSSSS"
+          case 'j' => sb ++= "DDD"
+          case 'b' => sb ++= "MMM"
+          case 'B' => sb ++= "MMMM"
+          case 'a' => sb ++= "EEE"
+          case 'A' => sb ++= "EEEE"
+          case 'p' => sb ++= "a"
+          case '%' => sb += '%'
+          case o   => sb += o
+        }
+        i += 2
+      } else {
+        // escape pattern letters that would otherwise be interpreted
+        if (ch.isLetter) { sb += '\''; sb += ch; sb += '\'' } else sb += ch
+        i += 1
+      }
+    }
+    sb.toString
+  }
+
+  /** date:%fmt — with `%s` = unix epoch seconds (dataset_type.py:787-803). */
+  def parseDate(c: Column, fmt: String): Column = fmt match {
+    case "%s" => to_date(timestamp_seconds(c.try_cast("long")))
+    case f    => try_to_timestamp(c, lit(strftimeToSpark(f))).cast("date")
+  }
+
+  /** datetime:%fmt; `%s` epoch seconds; `java` = epoch millis. */
+  def parseDatetime(c: Column, fmt: String): Column = fmt match {
+    case "%s"   => timestamp_seconds(c.try_cast("long"))
+    case "java" => timestamp_millis(c.try_cast("long"))
+    case f      => try_to_timestamp(c, lit(strftimeToSpark(f)))
+  }
+
+  /** time:%fmt → LongType micros-since-midnight (no Spark time type,
+    * SURVEY §1.2). Default format HH:MM:SS[.ffffff].
+    */
+  def parseTimeMicros(c: Column): Column = {
+    val p = "^(\\d{1,2}):(\\d{2}):(\\d{2})(?:\\.(\\d{1,6}))?$"
+    val h = regexp_extract(c, p, 1).try_cast("long")
+    val m = regexp_extract(c, p, 2).try_cast("long")
+    val s = regexp_extract(c, p, 3).try_cast("long")
+    val f = rpad(coalesce(regexp_extract(c, p, 4), lit("0")), 6, "0").try_cast("long")
+    when(c.rlike(p) && h < 24 && m < 60 && s < 60,
+      ((h * 3600 + m * 60 + s) * 1000000L) + f)
+  }
+
+  /** micros-since-midnight → display string (export round-trip helper). */
+  def formatTimeMicros(c: Column): Column = {
+    val secs = (c / 1000000L).cast("long")
+    val frac = (c % 1000000L).cast("long")
+    concat(
+      lpad((secs / 3600).cast("string"), 2, "0"), lit(":"),
+      lpad(((secs % 3600) / 60).cast("string"), 2, "0"), lit(":"),
+      lpad((secs % 60).cast("string"), 2, "0"),
+      when(frac > 0, concat(lit("."), rpad(lpad(frac.cast("string"), 6, "0"), 6, "0")))
+        .otherwise(lit("")))
+  }
+}

@@ -1,0 +1,94 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import java.nio.file.{Files, Paths, StandardOpenOption}
+import scala.jdk.CollectionConverters._
+
+/** csvexport (reference standard_methods/a_csvexport.py:38-229): dataset →
+  * CSV with custom separator, quote modes (always/lazy/off), `none_as`
+  * replacement (global or per-column), label subset+ordering, and either
+  * sliced output (file per partition — the scalable path) or a single
+  * assembled file (driver-side concat of part files — same as the
+  * reference's single-file mode which also funnels through one writer).
+  */
+final case class CsvExportConfig(
+    separator: String = ",",
+    lineSeparator: String = "\n",
+    quoteMode: String = "lazy",          // always | lazy | off
+    noneAs: Map[String, String] = Map.empty, // "*" = all columns
+    labels: Seq[String] = Nil,           // empty = all, in schema order
+    header: Boolean = true,
+    sliced: Boolean = false,
+    compression: String = "none")         // none | gzip
+
+object CsvExport {
+
+  /** Render one column to its CSV cell string (quote-mode aware). */
+  private def cell(df: DataFrame, name: String, cfg: CsvExportConfig): Column = {
+    val noneAs = cfg.noneAs.getOrElse(name, cfg.noneAs.getOrElse("*", ""))
+    val sep = cfg.separator
+    val q = "\""
+    val base0 = df.schema(name).dataType.typeName match {
+      case "binary" => col(name).cast("string")
+      case _        => col(name).cast("string")
+    }
+    val base = coalesce(base0, lit(noneAs))
+    cfg.quoteMode match {
+      case "off" => base
+      case "always" =>
+        concat(lit(q), regexp_replace(base, q, q + q), lit(q))
+      case "lazy" =>
+        val needs = base.contains(sep) || base.contains(q) ||
+          base.contains("\n") || base.contains("\r")
+        when(needs, concat(lit(q), regexp_replace(base, q, q + q), lit(q)))
+          .otherwise(base)
+      case m => throw new IllegalArgumentException(s"quoteMode $m")
+    }
+  }
+
+  /** Build the line-per-row DataFrame (single `line` string column). */
+  def render(df: DataFrame, cfg: CsvExportConfig = CsvExportConfig()): DataFrame = {
+    val labels = if (cfg.labels.nonEmpty) cfg.labels else df.columns.toSeq
+    df.select(concat_ws(cfg.separator, labels.map(cell(df, _, cfg)): _*).as("line"))
+  }
+
+  /** Write to `path` (a directory of part files when sliced, else a single
+    * assembled `path` file).
+    */
+  def apply(df: DataFrame, path: String, cfg: CsvExportConfig = CsvExportConfig()): Unit = {
+    val labels = if (cfg.labels.nonEmpty) cfg.labels else df.columns.toSeq
+    val header = labels.map { l =>
+      cfg.quoteMode match {
+        case "always" => "\"" + l.replace("\"", "\"\"") + "\""
+        case _        => l
+      }
+    }.mkString(cfg.separator)
+    val lines = render(df, cfg)
+    if (cfg.sliced) {
+      val w = lines.write.mode("overwrite").option("compression", cfg.compression)
+      w.text(path)
+      if (cfg.header) {
+        // header goes into a 00-sorting sidecar, as the reference writes the
+        // header once per file; part files sort after it
+        Files.writeString(Paths.get(path, "_0_header.csv"), header + cfg.lineSeparator)
+      }
+    } else {
+      val tmp = path + ".parts"
+      lines.write.mode("overwrite").text(tmp)
+      val parts = Files.list(Paths.get(tmp)).iterator().asScala
+        .filter(_.getFileName.toString.startsWith("part-")).toSeq.sortBy(_.toString)
+      val out = Paths.get(path)
+      Files.deleteIfExists(out)
+      if (cfg.header)
+        Files.writeString(out, header + cfg.lineSeparator, StandardOpenOption.CREATE)
+      parts.foreach { p =>
+        Files.write(out, Files.readAllBytes(p),
+          StandardOpenOption.CREATE, StandardOpenOption.APPEND)
+      }
+      // best-effort cleanup of the staging dir
+      Files.walk(Paths.get(tmp)).iterator().asScala.toSeq.reverse
+        .foreach(Files.deleteIfExists(_))
+    }
+  }
+}

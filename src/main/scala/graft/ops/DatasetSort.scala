@@ -1,0 +1,57 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{TimestampType, TimestampNTZType, DateType}
+
+/** dataset_sort (reference standard_methods/a_dataset_sort.py:50-222).
+  *
+  * Semantics carried over:
+  *  - stable sort by 1+ columns asc/desc; stability is achieved by a
+  *    trailing tiebreak on a row-identity column when provided (the
+  *    reference sorts a row-index array; Spark's sort is not stable, so the
+  *    explicit tiebreak makes determinism a *property of the plan*)
+  *  - None sorts smallest, except datetime-family where None sorts largest
+  *    (a_dataset_sort.py:60-80); NaN sorts largest (Spark native: NaN >
+  *    +Inf, same as the reference's filter_unsortable placement)
+  *  - default sorts **within slices** → `sortWithinPartitions` (no shuffle,
+  *    exactly the reference's per-slice sort)
+  *  - `sort_across_slices` → global `orderBy` (Spark range-partitions via
+  *    sampling — the distributed equivalent of the reference's single-node
+  *    merge, and unlike the reference it spills instead of OOMing)
+  *  - `trigger_column` (keep equal values in one slice) →
+  *    `repartitionByRange` on the trigger column before the sort.
+  */
+object DatasetSort {
+  final case class SortCol(name: String, asc: Boolean = true)
+
+  private def orderExpr(df: DataFrame, sc: SortCol): Column = {
+    val dt = df.schema(sc.name).dataType
+    val nullsLargest = dt match {
+      case TimestampType | TimestampNTZType | DateType => true
+      case _ => false
+    }
+    (sc.asc, nullsLargest) match {
+      case (true, false)  => col(sc.name).asc_nulls_first
+      case (true, true)   => col(sc.name).asc_nulls_last
+      case (false, false) => col(sc.name).desc_nulls_last
+      case (false, true)  => col(sc.name).desc_nulls_first
+    }
+  }
+
+  def apply(
+      df: DataFrame,
+      by: Seq[SortCol],
+      acrossSlices: Boolean = false,
+      stableTiebreak: Option[String] = None,
+      triggerColumn: Option[String] = None): DataFrame = {
+    val order = by.map(orderExpr(df, _)) ++
+      stableTiebreak.map(c => col(c).asc).toSeq
+    val pre = triggerColumn match {
+      case Some(t) => df.repartitionByRange(col(t))
+      case None    => df
+    }
+    if (acrossSlices || triggerColumn.isDefined) pre.orderBy(order: _*)
+    else pre.sortWithinPartitions(order: _*)
+  }
+}

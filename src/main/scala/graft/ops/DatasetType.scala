@@ -1,0 +1,128 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.expr.ParseFunctions._
+
+/** THE typing operator — converts string columns to typed columns with the
+  * reference's conversion-spec vocabulary (standard_methods/a_dataset_type.py
+  * + dataset_type.py:730-828): per-column specs like `number`, `int64_16`,
+  * `float64`, `strbool`, `date:%Y-%m-%d`, `datetime:%s`, garbage-tolerant
+  * `i`-suffixed variants, per-column `defaults` on parse failure, and
+  * `filter_bad` which drops a whole row if any column is unparseable
+  * (emitting those rows as a `bad` DataFrame).
+  *
+  * The reference implements filter_bad as a two-pass with a shared mmap
+  * bitmap (a_dataset_type.py:287-304); here it is a single-pass row-validity
+  * predicate — same observable behavior (good rows + bad rows + counts), one
+  * scan, fully codegen'd. At 100 TB this is one projection over the scan
+  * with no extra materialization.
+  */
+final case class TypedResult(good: DataFrame, bad: DataFrame) {
+  /** Per-column unparseable counts over the bad rows (reference records
+    * per-column bad counts in its result).
+    */
+  def badCounts(types: Map[String, String]): Map[String, Long] = {
+    if (bad.isEmpty) types.keys.map(_ -> 0L).toMap
+    else {
+      val aggs = types.keys.toSeq.map { c =>
+        sum(when(DatasetType.parse(col(c), types(c)).isNull && col(c).isNotNull, 1L)
+          .otherwise(0L)).as(c)
+      }
+      val row = bad.agg(aggs.head, aggs.tail: _*).collect()(0)
+      types.keys.toSeq.zipWithIndex.map { case (c, i) =>
+        c -> (if (row.isNullAt(i)) 0L else row.getLong(i))
+      }.toMap
+    }
+  }
+}
+
+object DatasetType {
+
+  /** Compile one conversion spec to a Column expression producing NULL on
+    * parse failure.
+    */
+  def parse(c: Column, spec: String): Column = {
+    val (base, fmt) = spec.indexOf(':') match {
+      case -1 => (spec, "")
+      case i  => (spec.substring(0, i), spec.substring(i + 1))
+    }
+    base match {
+      case "number"    => number(c)
+      case "numberi"   => numberI(c)
+      case "float64"   => c.try_cast("double")
+      case "float32"   => c.try_cast("float")
+      case "float64i"  => numberI(c)
+      case "float32i"  => numberI(c).cast("float")
+      case "int64" | "int64_10" => intBase(c, 64, 10)
+      case "int32" | "int32_10" => intBase(c, 32, 10)
+      case "int64_16"  => intBase(c, 64, 16)
+      case "int32_16"  => intBase(c, 32, 16)
+      case "int64_8"   => intBase(c, 64, 8)
+      case "int32_8"   => intBase(c, 32, 8)
+      case "int64_0"   => intBase(c, 64, 0)
+      case "int32_0"   => intBase(c, 32, 0)
+      case "int64i" | "int64_10i" => intI(c, 64)
+      case "int32i" | "int32_10i" => intI(c, 32)
+      case "floatint64e" => floatInt(c, 64, exact = true, saturate = false)
+      case "floatint32e" => floatInt(c, 32, exact = true, saturate = false)
+      case "floatint64s" => floatInt(c, 64, exact = false, saturate = true)
+      case "floatint32s" => floatInt(c, 32, exact = false, saturate = true)
+      case "strbool"   => strBool(c)
+      case "floatbool" => floatBool(c)
+      case "date"      => parseDate(c, if (fmt.isEmpty) "%Y-%m-%d" else fmt)
+      case "datetime"  => parseDatetime(c, if (fmt.isEmpty) "%Y-%m-%d %H:%M:%S" else fmt)
+      case "time"      => parseTimeMicros(c)
+      case "bytes"     => c.cast("binary")
+      case "ascii" | "unicode" => c.cast("string")
+      case "json"      => c // stored as string; validation is reader-side
+      case other => throw new IllegalArgumentException(s"unknown type spec '$other'")
+    }
+  }
+
+  /** Type `df`'s columns per `types`; untyped columns pass through.
+    *
+    * @param defaults  per-column replacement when parse fails but input is
+    *                  non-null (reference `defaults` option)
+    * @param filterBad drop rows where any typed column fails to parse (and
+    *                  no default exists); failed rows → `bad` output
+    */
+  def apply(
+      df: DataFrame,
+      types: Map[String, String],
+      defaults: Map[String, String] = Map.empty,
+      filterBad: Boolean = false,
+      discardUntyped: Boolean = false): TypedResult = {
+    types.keys.foreach { c =>
+      require(df.columns.contains(c), s"dataset_type: no column '$c' in input")
+    }
+
+    def typedCol(name: String): Column = {
+      val parsed = parse(col(name), types(name))
+      defaults.get(name) match {
+        case Some(d) =>
+          // input null → null; parse failure on non-null input → default
+          val dv = parse(lit(d), types(name))
+          coalesce(parsed, when(col(name).isNotNull, dv)).as(name)
+        case None => parsed.as(name)
+      }
+    }
+
+    val outCols: Seq[Column] = df.columns.toSeq.flatMap { name =>
+      if (types.contains(name)) Some(typedCol(name))
+      else if (discardUntyped) None
+      else Some(col(name))
+    }
+
+    if (!filterBad) TypedResult(df.select(outCols: _*), df.limit(0))
+    else {
+      // row is bad iff some typed col: input non-null, parse null, no default
+      val colBad = types.keys.toSeq.map { name =>
+        if (defaults.contains(name)) lit(false)
+        else col(name).isNotNull && parse(col(name), types(name)).isNull
+      }
+      val rowBad = colBad.reduce(_ || _)
+      TypedResult(df.filter(!rowBad).select(outCols: _*), df.filter(rowBad))
+    }
+  }
+}

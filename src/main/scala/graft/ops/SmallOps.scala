@@ -1,0 +1,80 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+/** dataset_hashpart (reference standard_methods/a_dataset_hashpart.py:32-135):
+  * rewrite a dataset partitioned by a new hashlabel. In Spark this is a
+  * single hash-shuffle; co-partitioned consumers (joins/aggs on the
+  * hashlabel) then run shuffle-free. Murmur3 replaces the reference's
+  * SipHash-2-4 (bit compat is a non-goal, SURVEY §1.3).
+  */
+object DatasetHashpart {
+  def apply(df: DataFrame, hashlabel: String, slices: Int): DataFrame =
+    df.repartition(slices, col(hashlabel))
+}
+
+/** dataset_filter_columns (reference a_dataset_filter_columns.py:27-44):
+  * keep/discard columns. Metadata-only in the reference; in Spark a `select`
+  * — Catalyst column pruning makes it zero-cost (the scan never reads the
+  * dropped columns).
+  */
+object FilterColumns {
+  def keep(df: DataFrame, cols: Seq[String]): DataFrame =
+    df.select(cols.map(col): _*)
+  def discard(df: DataFrame, cols: Set[String]): DataFrame =
+    df.select(df.columns.filterNot(cols.contains).map(col).toSeq: _*)
+}
+
+/** dataset_merge (reference a_dataset_merge.py:19-39 → dataset.py:329-377):
+  * column-wise merge of line-aligned datasets, later datasets' columns win.
+  *
+  * Two strategies:
+  *  - `byKey`: both sides carry a row-identity column (lineno or any unique
+  *    key) → plain join; at scale this is a shuffle-join on the key unless
+  *    both sides are already co-partitioned on it.
+  *  - `zip`: RDD zip for same-partitioning same-count inputs (the
+  *    reference's actual precondition — "related, line-count-aligned");
+  *    no shuffle at all.
+  */
+object DatasetMerge {
+  def byKey(a: DataFrame, b: DataFrame, key: String): DataFrame = {
+    val overlap = a.columns.toSet.intersect(b.columns.toSet) - key
+    // later dataset wins on column conflicts (dataset.py:361-366)
+    val aKept = a.select((a.columns.filterNot(overlap.contains)).map(col).toSeq: _*)
+    aKept.join(b, Seq(key))
+  }
+
+  def zip(a: DataFrame, b: DataFrame): DataFrame = {
+    val overlap = a.columns.toSet.intersect(b.columns.toSet)
+    val aKept = a.select(a.columns.filterNot(overlap.contains).map(col).toSeq: _*)
+    val schema = StructType(aKept.schema.fields ++ b.schema.fields)
+    val rdd = aKept.rdd.zip(b.rdd).map { case (x, y) => Row.merge(x, y) }
+    a.sparkSession.createDataFrame(rdd, schema)
+  }
+}
+
+/** dataset_unroundrobin (reference a_dataset_unroundrobin.py:38-100):
+  * restore original (file) order. Our snapshots carry an explicit lineno
+  * column (SURVEY §7.4: Spark has no stable slice identity, so order is a
+  * *column*, deterministic and shuffle-definable), so unroundrobin is an
+  * orderBy — or, to keep it partitioned, repartitionByRange on lineno which
+  * restores global order across partitions.
+  */
+object Unroundrobin {
+  def apply(df: DataFrame, lineno: String, slices: Int = 0): DataFrame = {
+    val ranged =
+      if (slices > 0) df.repartitionByRange(slices, col(lineno))
+      else df
+    ranged.sortWithinPartitions(col(lineno))
+  }
+}
+
+/** Round-robin redistribution (the writer-side counterpart the reference
+  * uses when no hashlabel is set, dataset.py:1321-1386): Spark's
+  * `repartition(n)` without columns IS round-robin.
+  */
+object Roundrobin {
+  def apply(df: DataFrame, slices: Int): DataFrame = df.repartition(slices)
+}

@@ -1,0 +1,176 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{StructField, StructType, LongType}
+import graft.core.{SnapshotStore, Tables}
+import graft.ops._
+
+/** Oracle-checked queries exercising the reference's standard-method
+  * operator set (SURVEY §2.1) end-to-end: csvexport→csvimport→dataset_type
+  * round-trips, sort order capture, hashpart integrity, merge, unroundrobin,
+  * checksum invariance, and chain iteration with zone-map skipping.
+  */
+object Operators {
+
+  private def tmpDir(sub: String): String = {
+    val d = s"${sys.props("user.dir")}/target/qtmp/$sub"
+    new java.io.File(d).mkdirs()
+    d
+  }
+
+  /** Attach the physical row position after a sort — captures the *actual*
+    * produced order (not a window re-derivation), so order bugs can't hide.
+    */
+  private def withPosition(df: DataFrame, posCol: String): DataFrame = {
+    val schema = StructType(df.schema.fields :+ StructField(posCol, LongType, false))
+    val rdd = df.rdd.zipWithIndex().map { case (r, i) => Row.fromSeq(r.toSeq :+ i) }
+    df.sparkSession.createDataFrame(rdd, schema)
+  }
+
+  /** csvexport(nation) → csvimport → dataset_type == nation. */
+  def csvRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val path = tmpDir("csv_rt") + "/nation.csv"
+    CsvExport(Tables.nation(s, dir), path,
+      CsvExportConfig(quoteMode = "lazy", header = true))
+    val imported = CsvImport(s, path).data
+    DatasetType(imported, Map(
+      "n_nationkey" -> "int32", "n_name" -> "unicode", "n_regionkey" -> "int32"
+    )).good
+  }
+
+  /** Stringify lineitem columns in-flight, then dataset_type them back —
+    * covers number, datetime:%fmt, garbage-tolerant int64i, strbool.
+    */
+  def datasetType(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir).select(
+      col("l_orderkey"), col("l_linenumber"),
+      col("l_quantity").cast("string").as("qty"),
+      date_format(col("l_shipdate"), "yyyy-MM-dd HH:mm:ss").as("ship"),
+      concat(lit("id="), col("l_orderkey"), lit(";end")).as("messy_id"),
+      when(col("l_returnflag") === "R", "yes").otherwise("off").as("flag"))
+    DatasetType(li, Map(
+      "qty" -> "number",
+      "ship" -> "datetime:%Y-%m-%d %H:%M:%S",
+      "messy_id" -> "int64i",
+      "flag" -> "strbool")).good
+  }
+
+  /** Global sort; returns the first 100 rows with their physical position. */
+  def sortOrder(s: SparkSession, dir: String): DataFrame = {
+    val sorted = DatasetSort(
+      Tables.lineitem(s, dir)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_shipdate")),
+      Seq(DatasetSort.SortCol("l_shipdate", asc = false),
+          DatasetSort.SortCol("l_orderkey"), DatasetSort.SortCol("l_linenumber")),
+      acrossSlices = true)
+    withPosition(sorted, "pos").filter(col("pos") < 100)
+  }
+
+  /** After hashpart, every key lives in exactly one partition. */
+  def hashpartIntegrity(s: SparkSession, dir: String): DataFrame = {
+    DatasetHashpart(Tables.lineitem(s, dir), "l_suppkey", 32)
+      .withColumn("pid", spark_partition_id())
+      .groupBy(col("l_suppkey"))
+      .agg(count(lit(1)).as("n"),
+           countDistinct(col("pid")).cast("long").as("nparts"))
+  }
+
+  /** Split customer column-wise, merge back by key == original. */
+  def mergeRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.customer(s, dir)
+    val left = cust.select("c_custkey", "c_name", "c_nationkey")
+    val right = cust.select("c_custkey", "c_acctbal", "c_mktsegment")
+    DatasetMerge.byKey(left, right, "c_custkey")
+      .select("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
+  }
+
+  /** Round-robin scatter then unroundrobin restore; verify physical order. */
+  def unroundrobin(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir).select(col("event_id"), col("event_type"))
+    val scattered = Roundrobin(ev, 32)
+    val restored = Unroundrobin(scattered, "event_id", slices = 8)
+    withPosition(restored, "pos").filter(col("pos") < 200)
+  }
+
+  /** Checksum is identical across different partitionings/orders of the
+    * same data, and changes when a row changes.
+    */
+  def checksumInvariant(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+    val a = DatasetChecksum.value(li.repartition(7))
+    val b = DatasetChecksum.value(
+      li.orderBy(col("l_extendedprice").desc).repartition(3))
+    val mutated = li.withColumn("l_quantity",
+      when(col("l_orderkey") === li.agg(min("l_orderkey")).collect()(0).getLong(0),
+           col("l_quantity") + 1).otherwise(col("l_quantity")))
+    val c = DatasetChecksum.value(mutated)
+    import s.implicits._
+    Seq((a == b, a == c, a._3)).toDF("layouts_equal", "mutation_equal", "lines")
+  }
+
+  /** 3-snapshot chain of orders by year; range-iterate skips snapshots via
+    * zone maps, result must equal a plain SQL range filter.
+    */
+  def chainRange(s: SparkSession, dir: String): DataFrame = {
+    val store = new SnapshotStore(s, tmpDir("store"))
+    val ord = Tables.orders(s, dir)
+    def yr(a: String, b: String) =
+      ord.filter(col("o_orderdate") >= lit(a).cast("timestamp") &&
+                 col("o_orderdate") < lit(b).cast("timestamp"))
+    store.write(yr("1990-01-01", "1994-01-01"), "orders_a", slices = 4)
+    store.write(yr("1994-01-01", "1996-01-01"), "orders_b",
+      previous = Some("orders_a"), slices = 4)
+    store.write(yr("1996-01-01", "2000-01-01"), "orders_c",
+      previous = Some("orders_b"), slices = 4)
+    val it = store.iterateChain("orders_c",
+      columns = Seq("o_orderkey", "o_orderdate", "o_totalprice", "o_orderstatus"),
+      range = Some(("o_orderdate", "1994-06-01", "1995-06-01")))
+    it.groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"),
+           sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("volume"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "op_csv_roundtrip" -> csvRoundtrip _,
+    "op_dataset_type" -> datasetType _,
+    "op_sort_order" -> sortOrder _,
+    "op_hashpart_integrity" -> hashpartIntegrity _,
+    "op_merge_roundtrip" -> mergeRoundtrip _,
+    "op_unroundrobin" -> unroundrobin _,
+    "op_checksum_invariant" -> checksumInvariant _,
+    "op_chain_range" -> chainRange _,
+  )
+
+  val oracle: Map[String, String] = Map(
+    "op_csv_roundtrip" ->
+      "SELECT n_nationkey, n_name, n_regionkey FROM nation",
+    "op_dataset_type" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity AS qty, l_shipdate AS ship,
+         l_orderkey AS messy_id, (l_returnflag = 'R') AS flag FROM lineitem""",
+    "op_sort_order" ->
+      """SELECT l_orderkey, l_linenumber, l_shipdate, pos FROM (
+           SELECT l_orderkey, l_linenumber, l_shipdate,
+             row_number() OVER (ORDER BY l_shipdate DESC, l_orderkey ASC, l_linenumber ASC) - 1 AS pos
+           FROM lineitem) t WHERE pos < 100""",
+    "op_hashpart_integrity" ->
+      "SELECT l_suppkey, count(*) AS n, CAST(1 AS BIGINT) AS nparts FROM lineitem GROUP BY l_suppkey",
+    "op_merge_roundtrip" ->
+      "SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment FROM customer",
+    "op_unroundrobin" ->
+      """SELECT event_id, event_type, pos FROM (
+           SELECT event_id, event_type,
+             row_number() OVER (ORDER BY event_id ASC) - 1 AS pos
+           FROM events) t WHERE pos < 200""",
+    "op_checksum_invariant" ->
+      """SELECT true AS layouts_equal, false AS mutation_equal,
+         (SELECT count(*) FROM lineitem) AS lines""",
+    "op_chain_range" ->
+      """SELECT o_orderstatus, count(*) AS n,
+         CAST(sum(o_totalprice::DECIMAL(18,2)) AS DOUBLE) AS volume
+         FROM orders
+         WHERE o_orderdate >= TIMESTAMP '1994-06-01'
+           AND o_orderdate < TIMESTAMP '1995-06-01'
+         GROUP BY o_orderstatus""",
+  )
+}
