@@ -15,6 +15,7 @@ object SparkEntry {
     Seq(
       (Relational.queries, Relational.oracle),
       (Operators.queries, Operators.oracle),
+      (TextPack.queries, TextPack.oracle),
     )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -1,0 +1,122 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis functions for training-data pipelines: tokenization,
+  * quality scoring, language ID, fingerprinting. All pure Column
+  * combinators over Spark built-ins — fully codegen'd, no UDFs, so a 100 TB
+  * text-cleaning pass stays inside whole-stage codegen over the scan.
+  *
+  * Every formula is arithmetic-replicable in ANSI SQL (same operation
+  * order), which is how the DuckDB oracle verifies them.
+  */
+object TextFunctions {
+
+  /** Whitespace tokens (empty input → empty array, not [""]). */
+  def tokens(text: Column): Column =
+    when(trim(text) === "", array().cast("array<string>"))
+      .otherwise(split(trim(text), "\\s+"))
+
+  def tokenCount(text: Column): Column = size(tokens(text)).cast("long")
+
+  def charCount(text: Column): Column = length(text).cast("long")
+
+  /** distinct tokens / tokens — crude vocabulary-diversity signal. */
+  def distinctRatio(text: Column): Column =
+    size(array_distinct(tokens(text))).cast("double") /
+      greatest(size(tokens(text)), lit(1)).cast("double")
+
+  /** Fraction of characters matching `clazz` (a regex char class). */
+  def charClassRatio(text: Column, clazz: String): Column =
+    (length(text) - length(regexp_replace(text, clazz, ""))).cast("double") /
+      greatest(length(text), lit(1)).cast("double")
+
+  def punctRatio(text: Column): Column = charClassRatio(text, "[.,;:!?]")
+  def digitRatio(text: Column): Column = charClassRatio(text, "[0-9]")
+  def upperRatio(text: Column): Column = charClassRatio(text, "[A-Z]")
+
+  val EnStopwords: Seq[String] = Seq(
+    "the", "a", "an", "and", "or", "of", "to", "in", "is", "it",
+    "that", "for", "on", "with", "as", "at", "by", "be", "this")
+
+  /** Fraction of tokens that are (lowercased) English stopwords. */
+  def stopwordRatio(text: Column, stopwords: Seq[String] = EnStopwords): Column = {
+    val toks = tokens(lower(text))
+    size(filter(toks, t => t.isin(stopwords: _*))).cast("double") /
+      greatest(size(toks), lit(1)).cast("double")
+  }
+
+  /** Composite quality score in [0,1]:
+    * 0.4·min(1, chars/400) + 0.4·distinct_ratio + 0.2·stopword presence
+    * band (ratio in [0.05, 0.6] is "natural text").
+    * A C4/Gopher-style heuristic family, exact-replicable in SQL.
+    */
+  def qualityScore(text: Column): Column = {
+    val lenScore = least(lit(1.0), charCount(text).cast("double") / 400.0)
+    val stop = stopwordRatio(text)
+    val stopBand = when(stop >= 0.05 && stop <= 0.6, 1.0).otherwise(0.0)
+    lenScore * 0.4 + distinctRatio(text) * 0.4 + stopBand * 0.2
+  }
+
+  /** Language marker words (high-frequency function words per language). */
+  val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "to", "is"),
+    "de" -> Seq("der", "die", "und", "das", "ist"),
+    "fr" -> Seq("le", "la", "les", "et", "est"),
+    "es" -> Seq("el", "los", "las", "y", "es"),
+    "zh" -> Seq("的", "是", "在", "了", "和"))
+
+  /** Count occurrences of marker tokens for one language. */
+  def langScore(text: Column, markers: Seq[String]): Column = {
+    val toks = tokens(lower(text))
+    size(filter(toks, t => t.isin(markers: _*))).cast("long")
+  }
+
+  /** n-gram-heuristic language ID: argmax of marker-token counts; ties and
+    * all-zero → "und" (undetermined). Deterministic: first language in
+    * `LangMarkers` order wins ties.
+    */
+  def langId(text: Column): Column = {
+    val scores = LangMarkers.map { case (lang, ms) => (lang, langScore(text, ms)) }
+    val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
+    scores.foldRight(lit("und"): Column) { case ((lang, sc), acc) =>
+      when(sc === best && best > 0, lit(lang)).otherwise(acc)
+    }
+  }
+
+  /** Whitespace-normalized lowercase form used by fingerprints. */
+  def normalized(text: Column): Column =
+    lower(trim(regexp_replace(text, "\\s+", " ")))
+
+  /** 60-bit content fingerprint: md5 of the normalized text (oracle:
+    * ('0x'||substr(md5(norm),1,15))::BIGINT ).
+    */
+  def fingerprint(text: Column): Column =
+    conv(substring(md5(normalized(text)), 1, 15), 16, 10).cast("long")
+
+  /** 60-bit per-token hash used by the rolling hash / minhash family. */
+  def tokenHash(t: Column): Column =
+    conv(substring(md5(t), 1, 15), 16, 10).cast("long")
+
+  /** Order-sensitive rolling hash over the token stream:
+    * acc' = (acc·31 + h(token)) mod 2^40. Stays within int64 (31·2^40 +
+    * 2^60 < 2^63) so both engines wrap identically — a streaming document
+    * fingerprint that, unlike md5-of-text, is incrementally computable.
+    */
+  def rollingHash(text: Column): Column = {
+    val hs = transform(tokens(normalized(text)), t => tokenHash(t))
+    aggregate(hs, lit(0L), (acc, h) => (acc * 31L + h) % 1099511627776L)
+  }
+
+  /** BPE-ish subword count: each normalized token contributes ⌈len/6⌉
+    * pieces — a cheap deterministic proxy for tokenizer cost (real BPE
+    * needs a vocab file; the *count* contract is what pipelines budget
+    * with). Pure integer arithmetic, bit-replicable in any SQL engine.
+    */
+  def subwordCount(text: Column): Column =
+    coalesce(
+      aggregate(tokens(normalized(text)), lit(0L),
+        (acc, t) => acc + floor((length(t) + 5) / lit(6)).cast("long")),
+      lit(0L))
+}

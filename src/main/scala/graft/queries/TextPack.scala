@@ -1,0 +1,163 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+import graft.functions.{TextFunctions => T, SimilarityFunctions => S}
+import graft.ops.{Dedup, SimilaritySearch}
+
+/** Training-data pipeline queries over `documents` / `embeddings`:
+  * text analysis, dedup families, similarity search — each oracle-checked
+  * where the math is SQL-replicable (DuckDB list/lambda functions), else
+  * covered by ScalaTest invariants + rows-only driver check.
+  */
+object TextPack {
+
+  def textStats(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+    d.select(col("doc_id"),
+      T.tokenCount(col("text")).as("n_tokens"),
+      T.charCount(col("text")).as("n_chars_computed"),
+      col("n_chars").as("n_chars_stored"),
+      T.distinctRatio(col("text")).as("distinct_ratio"),
+      T.stopwordRatio(col("text")).as("stopword_ratio"),
+      T.subwordCount(col("text")).as("n_subwords"))
+  }
+
+  def quality(s: SparkSession, dir: String): DataFrame = {
+    Tables.documents(s, dir).select(col("doc_id"),
+      T.qualityScore(col("text")).as("quality"))
+  }
+
+  def langid(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+    d.select(col("doc_id"), col("lang").as("labeled_lang"),
+      T.langId(col("text")).as("detected_lang"),
+      T.langScore(col("text"), T.LangMarkers.head._2).as("en_score"))
+  }
+
+  def fingerprintQ(s: SparkSession, dir: String): DataFrame = {
+    Tables.documents(s, dir).select(col("doc_id"),
+      T.fingerprint(col("text")).as("fp"),
+      T.rollingHash(col("text")).as("rolling_fp"))
+  }
+
+  def dedupExact(s: SparkSession, dir: String): DataFrame =
+    Dedup.exact(Tables.documents(s, dir), "doc_id", "text")
+      .select(col("doc_id"), col("dup_count"))
+
+  def dedupNgram(s: SparkSession, dir: String): DataFrame =
+    Dedup.ngramJaccard(Tables.documents(s, dir), "doc_id", "text",
+      n = 3, threshold = 0.3)
+
+  def dedupMinhash(s: SparkSession, dir: String): DataFrame =
+    Dedup.minhashLsh(Tables.documents(s, dir), "doc_id", "text",
+      n = 3, k = 128, bands = 64, threshold = 0.3)
+      .select(col("id_a"), col("id_b"))
+
+  def dedupSimhash(s: SparkSession, dir: String): DataFrame =
+    Dedup.simhash(Tables.documents(s, dir), "doc_id", "text", maxHamming = 3)
+
+  def annBrute(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val queries = emb.filter(col("vec_id") < 5)
+    SimilaritySearch.bruteForce(emb, queries, "vec_id", "embedding", k = 10)
+      .select(col("qid"), col("rank"), col("nid"))
+  }
+
+  def annLsh(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val queries = emb.filter(col("vec_id") < 5)
+    SimilaritySearch.lshTopK(emb, queries, "vec_id", "embedding",
+      k = 10, dim = 64, tables = 8, planes = 10)
+      .select(col("qid"), col("rank"), col("nid"), col("cosine"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "tx_stats" -> textStats _,
+    "tx_quality" -> quality _,
+    "tx_langid" -> langid _,
+    "tx_fingerprint" -> fingerprintQ _,
+    "dd_exact" -> dedupExact _,
+    "dd_ngram_jaccard" -> dedupNgram _,
+    "dd_minhash_lsh" -> dedupMinhash _,
+    "dd_simhash" -> dedupSimhash _,
+    "ann_brute_topk" -> annBrute _,
+    "ann_lsh_topk" -> annLsh _,
+  )
+
+  // DuckDB-side common table prefixes
+  private val TOKS =
+    """d AS (SELECT doc_id, lang, text, regexp_split_to_array(trim(text), '\s+') toks,
+       regexp_split_to_array(lower(trim(regexp_replace(text,'\s+',' '))), ' ') ntoks
+       FROM documents)"""
+  private val STOP = "['the','a','an','and','or','of','to','in','is','it','that','for','on','with','as','at','by','be','this']"
+
+  val oracle: Map[String, String] = Map(
+    "tx_stats" ->
+      s"""WITH $TOKS
+         SELECT doc_id,
+           len(toks)::BIGINT AS n_tokens,
+           length(text)::BIGINT AS n_chars_computed,
+           n_chars AS n_chars_stored,
+           len(list_distinct(toks))::DOUBLE / greatest(len(toks),1) AS distinct_ratio,
+           len([t for t in regexp_split_to_array(lower(trim(text)),'\\s+') if list_contains($STOP, t)])::DOUBLE / greatest(len(toks),1) AS stopword_ratio,
+           coalesce(list_sum(list_transform(ntoks, t -> (length(t)+5)//6)), 0)::BIGINT AS n_subwords
+         FROM d JOIN documents USING (doc_id)""".stripMargin,
+    "tx_quality" ->
+      s"""WITH $TOKS
+         SELECT doc_id,
+           least(1.0, length(text)::DOUBLE / 400.0) * 0.4
+           + (len(list_distinct(toks))::DOUBLE / greatest(len(toks),1)) * 0.4
+           + (CASE WHEN sw >= 0.05 AND sw <= 0.6 THEN 1.0 ELSE 0.0 END) * 0.2 AS quality
+         FROM (SELECT doc_id, text, toks,
+             len([t for t in ntoks if list_contains($STOP, t)])::DOUBLE / greatest(len(toks),1) sw
+           FROM d) t""",
+    "tx_langid" ->
+      s"""WITH $TOKS,
+         sc AS (SELECT doc_id, lang,
+           len([t for t in ntoks if list_contains(['the','and','of','to','is'], t)])::BIGINT s_en,
+           len([t for t in ntoks if list_contains(['der','die','und','das','ist'], t)])::BIGINT s_de,
+           len([t for t in ntoks if list_contains(['le','la','les','et','est'], t)])::BIGINT s_fr,
+           len([t for t in ntoks if list_contains(['el','los','las','y','es'], t)])::BIGINT s_es,
+           len([t for t in ntoks if list_contains(['的','是','在','了','和'], t)])::BIGINT s_zh
+           FROM d)
+         SELECT doc_id, lang AS labeled_lang,
+           CASE WHEN greatest(s_en,s_de,s_fr,s_es,s_zh) = 0 THEN 'und'
+                WHEN s_en = greatest(s_en,s_de,s_fr,s_es,s_zh) THEN 'en'
+                WHEN s_de = greatest(s_en,s_de,s_fr,s_es,s_zh) THEN 'de'
+                WHEN s_fr = greatest(s_en,s_de,s_fr,s_es,s_zh) THEN 'fr'
+                WHEN s_es = greatest(s_en,s_de,s_fr,s_es,s_zh) THEN 'es'
+                ELSE 'zh' END AS detected_lang,
+           s_en AS en_score
+         FROM sc""",
+    "tx_fingerprint" ->
+      """WITH n AS (SELECT doc_id, lower(trim(regexp_replace(text,'\s+',' '))) norm FROM documents)
+         SELECT doc_id,
+           ('0x' || substr(md5(norm),1,15))::BIGINT AS fp,
+           list_reduce([0]::BIGINT[] || [('0x' || substr(md5(t),1,15))::BIGINT for t in string_split(norm,' ')],
+             (acc, h) -> (acc * 31 + h) % 1099511627776) AS rolling_fp
+         FROM n""",
+    "dd_exact" ->
+      """SELECT min(doc_id) AS doc_id, count(*) AS dup_count
+         FROM documents GROUP BY lower(trim(regexp_replace(text,'\s+',' ')))""",
+    "dd_ngram_jaccard" ->
+      """WITH sh AS (SELECT doc_id,
+           list_distinct(CASE WHEN len(t) < 3 THEN [list_aggregate(t, 'string_agg', '')]
+             ELSE [t[i]||t[i+1]||t[i+2] for i in range(1, len(t)-1)] END) s
+         FROM (SELECT doc_id, string_split(lower(trim(regexp_replace(text,'\s+',' '))),' ') t FROM documents) x)
+         SELECT x.doc_id AS id_a, y.doc_id AS id_b,
+           len(list_intersect(x.s,y.s))::DOUBLE / len(list_distinct(x.s||y.s)) AS jaccard
+         FROM sh x JOIN sh y ON x.doc_id < y.doc_id
+         WHERE len(list_intersect(x.s,y.s))::DOUBLE / len(list_distinct(x.s||y.s)) >= 0.3""",
+    "ann_brute_topk" ->
+      """WITH v AS (SELECT vec_id, embedding::DOUBLE[] e FROM embeddings),
+         q AS (SELECT * FROM v WHERE vec_id < 5),
+         scored AS (SELECT q.vec_id qid, v.vec_id nid,
+             list_dot_product(v.e, q.e) / (sqrt(list_dot_product(v.e,v.e)) * sqrt(list_dot_product(q.e,q.e))) c
+           FROM v CROSS JOIN q WHERE v.vec_id != q.vec_id)
+         SELECT qid, rank, nid FROM (
+           SELECT qid, nid, row_number() OVER (PARTITION BY qid ORDER BY c DESC, nid DESC) rank
+           FROM scored) t WHERE rank <= 10""",
+  )
+}
