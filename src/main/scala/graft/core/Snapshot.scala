@@ -157,10 +157,19 @@ final class SnapshotStore(val spark: SparkSession, val root: String) {
     val snaps = range match {
       case Some((c, lo, hi)) =>
         snaps0.filter { s =>
-          // keep snapshot unless zone map proves it's disjoint from [lo, hi)
+          // keep snapshot unless zone map proves it's disjoint from [lo, hi);
+          // comparison is TYPED (numeric zone maps must not compare as
+          // strings: "150" < "20" lexicographically) — unknown orderings
+          // conservatively keep (reference compares typed values,
+          // dataset.py:609-614).
+          val st = s.meta.columns.find(_.name == c).map(_.sparkType).getOrElse("")
           val keep = (s.minOf(c), s.maxOf(c)) match {
-            case (Some(mn), Some(mx)) => !(mx < lo || mn >= hi)
-            case _                    => true
+            case (Some(mn), Some(mx)) =>
+              (ZoneMapOrder.compare(st, mx, lo), ZoneMapOrder.compare(st, mn, hi)) match {
+                case (Some(cmpMxLo), Some(cmpMnHi)) => !(cmpMxLo < 0 || cmpMnHi >= 0)
+                case _                              => true
+              }
+            case _ => true
           }
           keep || s.meta.lines == 0
         }
@@ -185,6 +194,26 @@ final class SnapshotStore(val spark: SparkSession, val root: String) {
     else Files.list(Paths.get(root)).iterator().asScala
       .filter(p => Files.exists(p.resolve("meta.json")))
       .map(_.getFileName.toString).toSeq.sorted
+}
+
+/** Typed ordering for stringified zone-map values. Numeric Spark types
+  * compare as numbers (BigDecimal — exact for any width); string, date and
+  * timestamp compare lexicographically (ISO-stringified date/time order ==
+  * lexicographic order); anything else has no defined ordering → None, and
+  * the chain iterator keeps the snapshot (correctness over pruning).
+  */
+object ZoneMapOrder {
+  private val numeric =
+    Set("tinyint", "smallint", "int", "bigint", "float", "double")
+
+  def compare(sparkType: String, a: String, b: String): Option[Int] =
+    if (numeric.contains(sparkType) || sparkType.startsWith("decimal"))
+      try Some(BigDecimal(a).compare(BigDecimal(b)))
+      catch { case _: NumberFormatException => None }
+    else if (sparkType == "string" || sparkType == "date" ||
+             sparkType.startsWith("timestamp"))
+      Some(a.compareTo(b))
+    else None
 }
 
 /** Hand-rolled JSON for SnapshotMeta — keeps us dependency-free (only Spark
@@ -223,17 +252,23 @@ object MetaJson {
         c("refType").toString, c("nullable").asInstanceOf[Boolean],
         ostr(c.getOrElse("min", null)), ostr(c.getOrElse("max", null)))
     }
+    def asLong(x: Any): Long = x match {
+      case l: Long => l
+      case d: Double => d.toLong
+      case o => o.toString.toLong
+    }
     SnapshotMeta(v("name").toString, cols,
-      v("lines").asInstanceOf[Double].toLong,
-      v("slices").asInstanceOf[Double].toInt,
+      asLong(v("lines")),
+      asLong(v("slices")).toInt,
       ostr(v.getOrElse("hashlabel", null)), ostr(v.getOrElse("previous", null)),
       v.getOrElse("caption", "").toString,
-      v.getOrElse("version", 1.0).asInstanceOf[Double].toInt)
+      asLong(v.getOrElse("version", 1L)).toInt)
   }
 }
 
-/** Tiny JSON parser; values: Map[String,Any] | Seq[Any] | String | Double |
-  * Boolean | null.
+/** Tiny JSON parser; values: Map[String,Any] | Seq[Any] | String | Long
+  * (integral tokens — exact up to 2^63, so row counts never round through
+  * Double) | Double | Boolean | null.
   */
 object JsonLite {
   def parse(s: String): Any = new P(s).value()
@@ -286,10 +321,11 @@ object JsonLite {
       }
       i += 1; b.toString
     }
-    private def num(): Double = {
+    private def num(): Any = {
       val start = i
       while (i < s.length && "+-0123456789.eE".indexOf(s.charAt(i)) >= 0) i += 1
-      s.substring(start, i).toDouble
+      val t = s.substring(start, i)
+      if (t.exists(c => c == '.' || c == 'e' || c == 'E')) t.toDouble else t.toLong
     }
   }
 }

@@ -15,12 +15,14 @@ import org.apache.spark.sql.functions._
   */
 object ParseFunctions {
 
-  /** strbool (dataset_type.py:772-775): false/0/no/off/nil/null/'' → false,
-    * anything else (non-null) → true.
+  /** strbool (dataset_type.py:772-775): false/0/f/no/off/nil/null/'' →
+    * false, anything else (non-null) → true. Case-insensitive, NO trimming —
+    * whitespace-only input is true in the reference
+    * (a_test_dataset_type_corner_cases.py:149).
     */
   def strBool(c: Column): Column =
     when(c.isNull, lit(null).cast("boolean"))
-      .otherwise(!lower(trim(c)).isin("false", "0", "no", "off", "nil", "null", ""))
+      .otherwise(!lower(c).isin("false", "0", "f", "no", "off", "nil", "null", ""))
 
   /** floatbool (dataset_type.py:776-779): parse as float, nonzero → true. */
   def floatBool(c: Column): Column =

@@ -65,9 +65,13 @@ object CsvExport {
       }
     }.mkString(cfg.separator)
     val lines = render(df, cfg)
+    // lineSep reaches DATA rows too (the text writer's record separator),
+    // not just the header line.
     if (cfg.sliced) {
-      val w = lines.write.mode("overwrite").option("compression", cfg.compression)
-      w.text(path)
+      lines.write.mode("overwrite")
+        .option("compression", cfg.compression)
+        .option("lineSep", cfg.lineSeparator)
+        .text(path)
       if (cfg.header) {
         // header goes into a 00-sorting sidecar, as the reference writes the
         // header once per file; part files sort after it
@@ -75,17 +79,28 @@ object CsvExport {
       }
     } else {
       val tmp = path + ".parts"
-      lines.write.mode("overwrite").text(tmp)
+      lines.write.mode("overwrite").option("lineSep", cfg.lineSeparator).text(tmp)
       val parts = Files.list(Paths.get(tmp)).iterator().asScala
         .filter(_.getFileName.toString.startsWith("part-")).toSeq.sortBy(_.toString)
       val out = Paths.get(path)
       Files.deleteIfExists(out)
-      if (cfg.header)
-        Files.writeString(out, header + cfg.lineSeparator, StandardOpenOption.CREATE)
-      parts.foreach { p =>
-        Files.write(out, Files.readAllBytes(p),
-          StandardOpenOption.CREATE, StandardOpenOption.APPEND)
-      }
+      // stream-copy each part (constant driver memory — single-file export
+      // of a big dataset must not buffer whole parts on the driver heap)
+      val outCh = java.nio.channels.FileChannel.open(out,
+        StandardOpenOption.CREATE, StandardOpenOption.APPEND)
+      try {
+        if (cfg.header)
+          outCh.write(java.nio.ByteBuffer.wrap(
+            (header + cfg.lineSeparator).getBytes("UTF-8")))
+        parts.foreach { p =>
+          val in = java.nio.channels.FileChannel.open(p, StandardOpenOption.READ)
+          try {
+            var pos = 0L
+            val size = in.size()
+            while (pos < size) pos += in.transferTo(pos, size - pos, outCh)
+          } finally in.close()
+        }
+      } finally outCh.close()
       // best-effort cleanup of the staging dir
       Files.walk(Paths.get(tmp)).iterator().asScala.toSeq.reverse
         .foreach(Files.deleteIfExists(_))

@@ -103,12 +103,26 @@ object CsvImport {
     val skipEmpty = cfg.skipEmptyLines
 
     // Label resolution: either supplied, or the first non-skipped line.
+    // zipWithIndex assigns indices consecutively in partition order, so the
+    // earliest non-empty partition (post-skip) holds the minimum index —
+    // probe partitions in order and stop at the first hit. Reads ONE
+    // partition in the common case instead of range-partitioning the whole
+    // file to fetch one line (a full extra 100 TB scan).
     val (labels0, headerLineno): (Seq[String], Long) =
       if (cfg.labels.nonEmpty) (cfg.labels, -1L)
       else {
-        val hdr = raw.filter(_._1 >= skipN).sortByKey().take(1)
+        val cand = raw.filter(_._1 >= skipN)
+        var hdr: Option[(Long, String)] = None
+        var p = 0
+        val nParts = cand.getNumPartitions
+        while (hdr.isEmpty && p < nParts) {
+          val res = sc.runJob(cand,
+            (it: Iterator[(Long, String)]) => it.take(1).toArray, Seq(p))
+          hdr = res.flatten.headOption
+          p += 1
+        }
         require(hdr.nonEmpty, s"csvimport: no header line in $path")
-        val (ln, line) = hdr(0)
+        val (ln, line) = hdr.get
         val fields =
           if (sep0.isEmpty) Array(line)
           else splitLine(line, sep0.charAt(0), quoteChars)

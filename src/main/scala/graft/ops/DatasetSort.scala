@@ -47,11 +47,22 @@ object DatasetSort {
       triggerColumn: Option[String] = None): DataFrame = {
     val order = by.map(orderExpr(df, _)) ++
       stableTiebreak.map(c => col(c).asc).toSeq
-    val pre = triggerColumn match {
-      case Some(t) => df.repartitionByRange(col(t))
-      case None    => df
+    triggerColumn match {
+      case Some(t) =>
+        // trigger semantics (a_dataset_sort.py:132-184): globally sorted,
+        // but rows with EQUAL trigger values never straddle a slice
+        // boundary. repartitionByRange puts each trigger value in exactly
+        // one partition (range partitioner boundaries are between distinct
+        // values); the within-partition sort then orders rows without
+        // re-shuffling — a global orderBy here would range-partition by the
+        // sort columns and throw the trigger partitioning away.
+        require(by.nonEmpty && by.head.name == t,
+          s"trigger_column '$t' must be the leading sort column")
+        df.repartitionByRange(orderExpr(df, by.head))
+          .sortWithinPartitions(order: _*)
+      case None =>
+        if (acrossSlices) df.orderBy(order: _*)
+        else df.sortWithinPartitions(order: _*)
     }
-    if (acrossSlices || triggerColumn.isDefined) pre.orderBy(order: _*)
-    else pre.sortWithinPartitions(order: _*)
   }
 }

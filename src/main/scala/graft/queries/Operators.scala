@@ -94,19 +94,29 @@ object Operators {
   }
 
   /** Checksum is identical across different partitionings/orders of the
-    * same data, and changes when a row changes.
+    * same data, and changes when a row changes. Fully lazy: the three
+    * checksums and the min-key lookup are all part of ONE declarative plan
+    * (min goes through a broadcast scalar join, not a driver collect).
     */
   def checksumInvariant(s: SparkSession, dir: String): DataFrame = {
     val li = Tables.lineitem(s, dir)
-    val a = DatasetChecksum.value(li.repartition(7))
-    val b = DatasetChecksum.value(
-      li.orderBy(col("l_extendedprice").desc).repartition(3))
-    val mutated = li.withColumn("l_quantity",
-      when(col("l_orderkey") === li.agg(min("l_orderkey")).collect()(0).getLong(0),
-           col("l_quantity") + 1).otherwise(col("l_quantity")))
-    val c = DatasetChecksum.value(mutated)
-    import s.implicits._
-    Seq((a == b, a == c, a._3)).toDF("layouts_equal", "mutation_equal", "lines")
+    def cs(df: DataFrame, p: String): DataFrame =
+      DatasetChecksum(df).select(col("sum_hi").as(s"${p}_hi"),
+        col("sum_lo").as(s"${p}_lo"), col("lines").as(s"${p}_lines"))
+    val a = cs(li.repartition(7), "a")
+    val b = cs(li.orderBy(col("l_extendedprice").desc).repartition(3), "b")
+    val minKey = li.agg(min("l_orderkey").as("__mink"))
+    val mutated = li.crossJoin(broadcast(minKey))
+      .withColumn("l_quantity",
+        when(col("l_orderkey") === col("__mink"), col("l_quantity") + 1)
+          .otherwise(col("l_quantity")))
+      .drop("__mink")
+    val c = cs(mutated, "c")
+    a.crossJoin(b).crossJoin(c).select(
+      (col("a_hi") === col("b_hi") && col("a_lo") === col("b_lo") &&
+       col("a_lines") === col("b_lines")).as("layouts_equal"),
+      (col("a_hi") === col("c_hi") && col("a_lo") === col("c_lo")).as("mutation_equal"),
+      col("a_lines").as("lines"))
   }
 
   /** 3-snapshot chain of orders by year; range-iterate skips snapshots via

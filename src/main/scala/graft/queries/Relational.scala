@@ -26,8 +26,8 @@ import graft.core.Tables
   *    join key, once.
   *  - aggregations are partial (map-side combine) by construction: groupBy
   *    over codegen'd exact decimal sums.
-  *  - filters are pushed to the Parquet scan (verified via explain in
-  *    RelationalSpec).
+  *  - filters are pushed to the Parquet scan (PushedFilters in the
+  *    formatted explain).
   */
 object Relational {
   private val D = "decimal(18,2)"

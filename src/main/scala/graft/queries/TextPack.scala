@@ -86,9 +86,10 @@ object TextPack {
     "ann_lsh_topk" -> annLsh _,
   )
 
-  // DuckDB-side common table prefixes
+  // DuckDB-side common table prefixes (carries n_chars through so consumers
+  // never need to re-join documents — a self-join made `text` ambiguous)
   private val TOKS =
-    """d AS (SELECT doc_id, lang, text, regexp_split_to_array(trim(text), '\s+') toks,
+    """d AS (SELECT doc_id, lang, text, n_chars, regexp_split_to_array(trim(text), '\s+') toks,
        regexp_split_to_array(lower(trim(regexp_replace(text,'\s+',' '))), ' ') ntoks
        FROM documents)"""
   private val STOP = "['the','a','an','and','or','of','to','in','is','it','that','for','on','with','as','at','by','be','this']"
@@ -103,7 +104,7 @@ object TextPack {
            len(list_distinct(toks))::DOUBLE / greatest(len(toks),1) AS distinct_ratio,
            len([t for t in regexp_split_to_array(lower(trim(text)),'\\s+') if list_contains($STOP, t)])::DOUBLE / greatest(len(toks),1) AS stopword_ratio,
            coalesce(list_sum(list_transform(ntoks, t -> (length(t)+5)//6)), 0)::BIGINT AS n_subwords
-         FROM d JOIN documents USING (doc_id)""".stripMargin,
+         FROM d""".stripMargin,
     "tx_quality" ->
       s"""WITH $TOKS
          SELECT doc_id,
