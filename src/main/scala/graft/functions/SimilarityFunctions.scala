@@ -31,44 +31,36 @@ object SimilarityFunctions {
     size(array_intersect(a, b)).cast("double") /
       size(array_union(a, b)).cast("double")
 
-  /** MinHash signature: K permutations approximated by seeded xxhash64.
-    * sig[i] = min over shingles of xxhash64(shingle, i). Pr[sig_a[i] ==
-    * sig_b[i]] = J(a,b) — the standard estimator (Broder '97).
+  /** MinHash signature over string shingles: sig[i] = min over shingles of
+    * (a_i·h40(s) + b_i) mod 2^40 — the standard estimator (Broder '97),
+    * Pr[sig_a[i] == sig_b[i]] = J(a,b). Single-pass custom Catalyst
+    * expression (graft.expr.MinHashSig) with codegen; hashing is
+    * md5-derived so the DuckDB oracle replicates it exactly.
     */
-  def minhashSignature(shingles: Column, k: Int): Column =
-    transform(sequence(lit(0), lit(k - 1)),
-      i => array_min(transform(shingles, s => xxhash64(s, i))))
-
-  /** Banded LSH keys from a minhash signature: one 64-bit key per band of
-    * `rowsPerBand` signature values (band index folded into the key).
-    * Docs sharing ≥1 band key become dedup candidates.
-    */
-  def lshBandKeys(sig: Column, bands: Int, rowsPerBand: Int): Column =
-    transform(sequence(lit(0), lit(bands - 1)),
-      b => xxhash64(concat_ws(",",
-        slice(sig, b * rowsPerBand + 1, lit(rowsPerBand))), b))
+  def minhashSignature(shingles: Column, k: Int): Column = {
+    import org.apache.spark.sql.GraftBridge
+    val hashes = transform(shingles, s => TextFunctions.tokenHash40(s))
+    GraftBridge.column(graft.expr.MinHashSig(GraftBridge.expression(hashes), k))
+  }
 
   /** Estimated Jaccard from two signatures: fraction of agreeing slots. */
   def minhashEstimate(sigA: Column, sigB: Column): Column =
     size(filter(zip_with(sigA, sigB, (x, y) => x === y), b => b))
       .cast("double") / size(sigA).cast("double")
 
-  /** SimHash-64 over token arrays: per-token 64-bit hash, bitwise majority
-    * vote. Near-duplicate docs differ in few bits (Charikar '02 /
-    * Manku et al. '07). Built from higher-order functions: for each bit,
-    * count tokens with that bit set vs total.
+  /** SimHash-40 over token arrays: per-token 40-bit md5-derived hash,
+    * bitwise majority vote (Charikar '02 / Manku et al. '07). Near-dup
+    * docs differ in few bits. Single-pass custom expression
+    * (graft.expr.SimHash); 40 bits so the oracle's int64 arithmetic
+    * replicates bit-for-bit.
     */
-  def simhash64(toks: Column): Column = {
-    val hs = transform(toks, t => xxhash64(t))
-    val n = size(hs)
-    // bit i of result = 1 iff #tokens with bit i set > n/2
-    (0 until 64).map { i =>
-      val ones = size(filter(hs, h => shiftright(h, i).bitwiseAND(1L) === 1L))
-      when(ones * 2 > n, shiftleft(lit(1L), i)).otherwise(lit(0L))
-    }.reduce((a, b) => a.bitwiseOR(b))
+  def simhash40(toks: Column): Column = {
+    import org.apache.spark.sql.GraftBridge
+    val hashes = transform(toks, t => TextFunctions.tokenHash40(t))
+    GraftBridge.column(graft.expr.SimHash(GraftBridge.expression(hashes), 40))
   }
 
-  /** Hamming distance between two 64-bit hashes. */
+  /** Hamming distance between two 64-bit-or-narrower hashes. */
   def hamming64(a: Column, b: Column): Column =
     bit_count(a.bitwiseXOR(b)).cast("int")
 

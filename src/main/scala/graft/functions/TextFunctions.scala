@@ -95,9 +95,16 @@ object TextFunctions {
   def fingerprint(text: Column): Column =
     conv(substring(md5(normalized(text)), 1, 15), 16, 10).cast("long")
 
-  /** 60-bit per-token hash used by the rolling hash / minhash family. */
+  /** 60-bit per-token hash used by the rolling hash family. */
   def tokenHash(t: Column): Column =
     conv(substring(md5(t), 1, 15), 16, 10).cast("long")
+
+  /** 40-bit per-token hash for the minhash/simhash sketches: small enough
+    * that per-slot mixing `(a·h+b) mod 2^40` stays inside int64 on both
+    * Spark and the DuckDB oracle (`('0x'||substr(md5(t),1,10))::BIGINT`).
+    */
+  def tokenHash40(t: Column): Column =
+    conv(substring(md5(t), 1, 10), 16, 10).cast("long")
 
   /** Order-sensitive rolling hash over the token stream:
     * acc' = (acc·31 + h(token)) mod 2^40. Stays within int64 (31·2^40 +

@@ -69,42 +69,58 @@ object Dedup {
 
   /** MinHash + banded-LSH near-dup pairs — the constant-memory at-scale
     * variant: signatures are k longs per doc regardless of doc length;
-    * the only shuffle is on band keys. Verification re-checks true Jaccard
-    * on the candidates (so precision is exact; recall is the standard
-    * 1-(1-t^r)^b curve).
+    * the band shuffle carries ONLY (id, band index, signature slice) —
+    * never the shingle sets (round 1 shipped 64 copies of every doc's
+    * shingles through this shuffle). Verification joins the distinct
+    * candidate id pairs back to the shingle table and re-checks true
+    * Jaccard, so precision is exact; recall is the standard 1-(1-t^r)^b
+    * curve.
+    *
+    * Candidates are pairs agreeing on ≥1 band's raw signature slice
+    * (array-equality join key — no hash-collision caveat in the oracle
+    * comparison).
     */
   def minhashLsh(df: DataFrame, idCol: String, textCol: String,
-                 n: Int = 3, k: Int = 128, bands: Int = 32,
+                 n: Int = 3, k: Int = 16, bands: Int = 8,
                  threshold: Double = 0.8): DataFrame = {
+    require(k % bands == 0, s"k=$k must be a multiple of bands=$bands")
     val rows = k / bands
     val withSh = df.select(col(idCol).as("id"),
       S.wordShingles(col(textCol), n).as("sh"))
-      .withColumn("sig", S.minhashSignature(col("sh"), k))
-    val bandRows = withSh.select(col("id"), col("sh"),
-      explode(S.lshBandKeys(col("sig"), bands, rows)).as("band"))
-    val cands = bandRows.as("x").join(bandRows.as("y"), Seq("band"))
-      .filter(col("x.id") < col("y.id"))
-      .select(col("x.id").as("id_a"), col("x.sh").as("sh_a"),
-              col("y.id").as("id_b"), col("y.sh").as("sh_b"))
-      .dropDuplicates("id_a", "id_b")
-    cands.select(col("id_a"), col("id_b"),
+    val withSig = withSh.select(col("id"),
+      S.minhashSignature(col("sh"), k).as("sig"))
+    val bandRows = withSig.select(col("id"), posexplode(
+        array((0 until bands).map(b =>
+          slice(col("sig"), b * rows + 1, rows)): _*)))
+      .toDF("id", "band", "bslice")
+    val cands = bandRows.as("x").join(bandRows.as("y"),
+        col("x.band") === col("y.band") && col("x.bslice") === col("y.bslice") &&
+        col("x.id") < col("y.id"))
+      .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
+      .distinct()
+    val a = withSh.select(col("id").as("id_a"), col("sh").as("sh_a"))
+    val b = withSh.select(col("id").as("id_b"), col("sh").as("sh_b"))
+    cands.join(a, "id_a").join(b, "id_b")
+      .select(col("id_a"), col("id_b"),
         S.jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }
 
-  /** SimHash near-dup pairs with Hamming distance ≤ maxHamming.
+  /** SimHash near-dup pairs with Hamming distance ≤ maxHamming over the
+    * 40-bit sketch.
     *
-    * Candidate generation uses the Manku block trick: split the 64-bit
-    * hash into (maxHamming+1) blocks — any pair within the distance agrees
-    * on ≥1 whole block (pigeonhole), so joining per-block is complete
-    * w.r.t. the sketch.
+    * Candidate generation uses the Manku block trick: split the hash into
+    * (maxHamming+1) blocks — any pair within the distance agrees on ≥1
+    * whole block (pigeonhole), so joining per-block is complete w.r.t. the
+    * sketch.
     */
   def simhash(df: DataFrame, idCol: String, textCol: String,
               maxHamming: Int = 3): DataFrame = {
+    val bits = 40
     val blocks = maxHamming + 1
-    val width = 64 / blocks
+    val width = bits / blocks
     val withH = df.select(col(idCol).as("id"),
-      S.simhash64(T.tokens(T.normalized(col(textCol)))).as("h"))
+      S.simhash40(T.tokens(T.normalized(col(textCol)))).as("h"))
     val keyed = withH.select(col("id"), col("h"),
       explode(array((0 until blocks).map { b =>
         struct(lit(b).as("blk"),

@@ -44,20 +44,28 @@ object TopKPerGroup {
 object SimilaritySearch {
 
   /** Deterministic pseudo-random hyperplanes: component j of plane p in
-    * table t = a hash-derived value in [-1,1). No RNG state, reproducible
-    * across runs/cluster sizes (content-addressed, like everything else).
+    * table t = md5("t,p,j")-derived value in [-1,1). No RNG state,
+    * reproducible across runs/cluster sizes, and — because md5 + the same
+    * integer arithmetic exist in DuckDB — replicable by the oracle.
+    * Precomputed driver-side: the per-row work is a plain codegen'd
+    * dot product against a literal array, no hashing in the hot path.
     */
-  private def planeComponent(t: Int, p: Int, j: Column): Column =
-    (pmod(xxhash64(lit(t), lit(p), j), lit(2000001L)).cast("double") / 1000000.0) - 1.0
+  def planeWeight(t: Int, p: Int, j: Int): Double = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(s"$t,$p,$j".getBytes("UTF-8"))
+      .take(5).map("%02x".format(_)).mkString
+    (java.lang.Long.parseLong(hex, 16) % 2000001L).toDouble / 1000000.0 - 1.0
+  }
 
   private def signBits(v: Column, table: Int, planes: Int, dim: Int): Column = {
-    // bit p = sign of dot(v, plane_p)
+    // bit p = sign of dot(v, plane_p); sequential fold matches the oracle's
+    // list_dot_product exactly (same op order ⇒ same IEEE754 result ⇒ same
+    // sign, always)
     (0 until planes).map { p =>
-      val d = aggregate(
-        zip_with(v, sequence(lit(0), lit(dim - 1)),
-          (x, j) => x * planeComponent(table, p, j)),
+      val w = typedLit((0 until dim).map(j => planeWeight(table, p, j)))
+      val d = aggregate(zip_with(v, w, (x, y) => x * y),
         lit(0.0), (acc, x) => acc + x)
-      when(d >= 0, 1L << p).otherwise(0L)
+      when(d >= 0, lit(1L << p)).otherwise(lit(0L))
     }.reduce((a: Column, b: Column) => a.bitwiseOR(b))
   }
 
@@ -77,28 +85,34 @@ object SimilaritySearch {
   }
 
   /** Sign-LSH bucketed ANN: corpus hashed once per table; each query only
-    * scans matching buckets. Returns top-k per query among candidates.
+    * scans matching buckets. The bucket join carries ONLY ids — vectors are
+    * joined back for the distinct candidate pairs (the corpus vector is not
+    * replicated ×tables through the shuffle). Returns top-k per query among
+    * candidates.
     */
   def lshTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
               vecCol: String, k: Int, dim: Int,
               tables: Int = 8, planes: Int = 12): DataFrame = {
-    def bucketed(df: DataFrame, id: String, vec: String) = {
-      val v = df.select(col(id), col(vec).cast("array<double>").as("v"))
+    def buckets(df: DataFrame, id: String, outId: String) = {
+      val v = df.select(col(id).as(outId),
+        col(vecCol).cast("array<double>").as("v"))
       (0 until tables).map { t =>
-        v.select(col(id), col("v"), lit(t).as("tbl"),
+        v.select(col(outId), lit(t).as("tbl"),
           signBits(col("v"), t, planes, dim).as("bucket"))
       }.reduce(_ unionByName _)
     }
-    val c = bucketed(corpus, idCol, vecCol)
-      .select(col(idCol).as("nid"), col("v").as("cv"), col("tbl"), col("bucket"))
-    val q = bucketed(queries, idCol, vecCol)
-      .select(col(idCol).as("qid"), col("v").as("qv"), col("tbl"), col("bucket"))
-    val cands = c.join(broadcast(q), Seq("tbl", "bucket"))
+    val cvecs = corpus.select(col(idCol).as("nid"),
+      col(vecCol).cast("array<double>").as("cv"))
+    val qvecs = queries.select(col(idCol).as("qid"),
+      col(vecCol).cast("array<double>").as("qv"))
+    val cands = buckets(corpus, idCol, "nid")
+      .join(broadcast(buckets(queries, idCol, "qid")), Seq("tbl", "bucket"))
       .filter(col("nid") =!= col("qid"))
-      .dropDuplicates("qid", "nid")
-    val scored = cands.select(col("qid"), col("nid"),
-      (S.dot(col("cv"), col("qv")) / (S.l2Norm(col("cv")) * S.l2Norm(col("qv"))))
-        .as("cosine"))
+      .select("qid", "nid").distinct()
+    val scored = cands.join(cvecs, "nid").join(broadcast(qvecs), "qid")
+      .select(col("qid"), col("nid"),
+        (S.dot(col("cv"), col("qv")) / (S.l2Norm(col("cv")) * S.l2Norm(col("qv"))))
+          .as("cosine"))
     TopKPerGroup(scored, Seq("qid"), "cosine", k, Seq("nid"))
   }
 }

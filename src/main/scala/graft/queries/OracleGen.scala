@@ -1,0 +1,110 @@
+package graft.queries
+
+import graft.expr.MinHashConsts
+
+/** Generated DuckDB oracle SQL for the sketch-based dedup/ANN queries.
+  *
+  * The sketches were deliberately built from md5 + int64 arithmetic (see
+  * graft.expr.Sketches, SimilaritySearch.planeWeight) precisely so these
+  * oracles can replicate them value-for-value: the per-slot minhash
+  * constants, the simhash bit votes, and the LSH plane weights are the
+  * same numbers on both engines, so the driver's hash compare is exact —
+  * not a rows-only smoke check.
+  */
+object OracleGen {
+
+  /** Word-trigram shingle CTEs shared by the ngram/minhash oracles —
+    * mirrors SimilarityFunctions.wordShingles (distinct, ''-joined,
+    * whole-text fallback when fewer than n tokens).
+    */
+  private val Shingles =
+    raw"""t AS (SELECT doc_id, string_split(lower(trim(regexp_replace(text,'\s+',' '))),' ') t FROM documents),
+         sh AS (SELECT doc_id, list_distinct(CASE WHEN len(t) < 3 THEN [list_aggregate(t, 'string_agg', '')]
+           ELSE [t[i]||t[i+1]||t[i+2] for i in range(1, len(t)-1)] END) s FROM t)"""
+
+  private def jac(a: String, b: String) =
+    s"len(list_intersect($a,$b))::DOUBLE / len(list_distinct($a||$b))"
+
+  /** Complete-pairs ngram Jaccard with the df cap: candidates share ≥1
+    * shingle occurring in ≤ maxDf docs; Jaccard is verified on the FULL
+    * shingle sets (the cap gates candidate generation only — identical to
+    * Dedup.ngramJaccard).
+    */
+  def ngramJaccard(maxDf: Int, threshold: Double): String =
+    raw"""WITH $Shingles,
+         ex AS (SELECT doc_id, unnest(s) shingle FROM sh),
+         hot AS (SELECT shingle FROM ex GROUP BY shingle HAVING count(*) > $maxDf),
+         cold AS (SELECT doc_id, shingle FROM ex WHERE shingle NOT IN (SELECT shingle FROM hot)),
+         cand AS (SELECT DISTINCT x.doc_id id_a, y.doc_id id_b
+           FROM cold x JOIN cold y ON x.shingle = y.shingle AND x.doc_id < y.doc_id)
+         SELECT id_a, id_b, ${jac("a.s", "b.s")} AS jaccard
+         FROM cand JOIN sh a ON id_a = a.doc_id JOIN sh b ON id_b = b.doc_id
+         WHERE ${jac("a.s", "b.s")} >= $threshold"""
+
+  /** Banded minhash-LSH: per-slot mins with the exact MinHashConsts
+    * constants; candidates agree on ≥1 band (raw slice equality, same as
+    * the Spark array-equality band join); verified on true Jaccard.
+    */
+  def minhashLsh(k: Int, bands: Int, threshold: Double): String = {
+    val r = k / bands
+    val sigExprs = (0 until k).map { i =>
+      s"list_min(list_transform(h, v -> (${MinHashConsts.a(i)}*v + ${MinHashConsts.b(i)}) % ${MinHashConsts.M}))"
+    }.mkString("[", ", ", "]")
+    val bandCond = (0 until bands).map { b =>
+      (0 until r).map(j => s"x.sig[${b * r + j + 1}] = y.sig[${b * r + j + 1}]")
+        .mkString("(", " AND ", ")")
+    }.mkString(" OR ")
+    raw"""WITH $Shingles,
+         hs AS (SELECT doc_id, s, list_transform(s, x -> ('0x'||substr(md5(x),1,10))::BIGINT) h FROM sh),
+         sig AS (SELECT doc_id, s, $sigExprs sig FROM hs),
+         cand AS (SELECT x.doc_id id_a, y.doc_id id_b, x.s sa, y.s sb
+           FROM sig x JOIN sig y ON x.doc_id < y.doc_id AND ($bandCond))
+         SELECT id_a, id_b, ${jac("sa", "sb")} AS jaccard
+         FROM cand WHERE ${jac("sa", "sb")} >= $threshold"""
+  }
+
+  /** SimHash-40 with Manku block candidates and Hamming verification. */
+  def simhash(maxHamming: Int): String = {
+    val bits = 40
+    val blocks = maxHamming + 1
+    val width = bits / blocks
+    val mask = (1L << width) - 1
+    val shExpr = (0 until bits).map { i =>
+      s"(CASE WHEN 2*list_sum(list_transform(h, v -> (v >> $i) & 1)) > len(h) THEN (1::BIGINT << $i) ELSE 0 END)"
+    }.mkString(" + ")
+    val blockCond = (0 until blocks).map { j =>
+      s"((x.sh >> ${j * width}) & $mask) = ((y.sh >> ${j * width}) & $mask)"
+    }.mkString(" OR ")
+    raw"""WITH t AS (SELECT doc_id, string_split(lower(trim(regexp_replace(text,'\s+',' '))),' ') toks FROM documents),
+         hs AS (SELECT doc_id, list_transform(toks, x -> ('0x'||substr(md5(x),1,10))::BIGINT) h FROM t),
+         simh AS (SELECT doc_id, ($shExpr)::BIGINT sh FROM hs)
+         SELECT x.doc_id id_a, y.doc_id id_b, bit_count(xor(x.sh, y.sh))::INT AS hamming
+         FROM simh x JOIN simh y ON x.doc_id < y.doc_id AND ($blockCond)
+         WHERE bit_count(xor(x.sh, y.sh)) <= $maxHamming"""
+  }
+
+  /** Sign-LSH ANN: plane weights from md5("t,p,j") — identical to
+    * SimilaritySearch.planeWeight; bucket = sign bits of sequential
+    * dot products (list_dot_product == Spark's ordered fold, so the
+    * signs agree exactly); top-k by cosine among bucket-sharing
+    * candidates.
+    */
+  def annLsh(tables: Int, planes: Int, dim: Int, k: Int): String =
+    raw"""WITH planes AS (
+           SELECT t.range t, p.range p,
+             list(((('0x'||substr(md5(t.range||','||p.range||','||j.range),1,10))::BIGINT % 2000001)/1000000.0 - 1.0) ORDER BY j.range) pv
+           FROM range($tables) t, range($planes) p, range($dim) j GROUP BY 1, 2),
+         v AS (SELECT vec_id, embedding::DOUBLE[] e FROM embeddings),
+         bk AS (SELECT vec_id, t, sum(CASE WHEN list_dot_product(e, pv) >= 0 THEN (1::BIGINT << p) ELSE 0 END)::BIGINT bucket
+           FROM v CROSS JOIN planes GROUP BY 1, 2),
+         cand AS (SELECT DISTINCT qb.vec_id qid, cb.vec_id nid
+           FROM bk cb JOIN bk qb ON cb.t = qb.t AND cb.bucket = qb.bucket
+           WHERE qb.vec_id < 5 AND cb.vec_id != qb.vec_id),
+         scored AS (SELECT qid, nid,
+             list_dot_product(cv.e, qv.e) / (sqrt(list_dot_product(cv.e, cv.e)) * sqrt(list_dot_product(qv.e, qv.e))) c
+           FROM cand JOIN v cv ON nid = cv.vec_id JOIN v qv ON qid = qv.vec_id)
+         SELECT qid, rank, nid, cosine FROM (
+           SELECT qid, nid, c cosine,
+             row_number() OVER (PARTITION BY qid ORDER BY c DESC, nid DESC) rank
+           FROM scored) t WHERE rank <= $k"""
+}

