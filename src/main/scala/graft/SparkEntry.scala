@@ -16,6 +16,7 @@ object SparkEntry {
       (Relational.queries, Relational.oracle),
       (Operators.queries, Operators.oracle),
       (TextPack.queries, TextPack.oracle),
+      (JobsPack.queries, JobsPack.oracle),
     )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
