@@ -24,22 +24,41 @@ object ParseFunctions {
     when(c.isNull, lit(null).cast("boolean"))
       .otherwise(!lower(c).isin("false", "0", "f", "no", "off", "nil", "null", ""))
 
-  /** floatbool (dataset_type.py:776-779): parse as float, nonzero → true. */
+  /** Float parse with the reference's C-strtod spellings: inf/infinity/nan
+    * in any case with optional sign (dataset_type.py float conversions use
+    * strtod; Spark's cast only accepts "Infinity"/"NaN").
+    */
+  def floatParse(c: Column): Column = {
+    val t = lower(trim(c))
+    when(t.isin("inf", "+inf", "infinity", "+infinity"), lit(Double.PositiveInfinity))
+      .when(t.isin("-inf", "-infinity"), lit(Double.NegativeInfinity))
+      .when(t.isin("nan", "+nan", "-nan"), lit(Double.NaN))
+      .otherwise(c.try_cast("double"))
+  }
+
+  /** floatbool (dataset_type.py:521-535): strtod then truthiness; empty or
+    * whitespace-only input parses as 0.0 → false (strtod's no-conversion
+    * case leaves endptr at a NUL byte, which the reference accepts).
+    */
   def floatBool(c: Column): Column =
     when(c.isNull, lit(null).cast("boolean"))
-      .otherwise(c.try_cast("double") =!= 0.0)
+      .when(trim(c) === "", lit(false))
+      .otherwise(floatParse(c) =!= 0.0)
 
   /** number (dataset_type.py:804-805): int-preferring numeric. Our mapping is
     * DoubleType (SURVEY §1.2 pragmatic choice); integral magnitudes beyond
     * 2^53 lose precision — documented deviation from the reference's bigint.
     */
-  def number(c: Column): Column = c.try_cast("double")
+  def number(c: Column): Column = floatParse(c)
 
   /** int64/int32 with base (dataset_type.py:746-765). Base 10 uses try_cast;
     * base 16/8 go through conv() after strict validation; base 0 auto-detects
     * a 0x/0o prefix like Python int(s, 0).
     */
   def intBase(c: Column, bits: Int, base: Int): Column = {
+    // try_cast for the narrowing too: out-of-range → NULL (bad value), not
+    // an ANSI overflow error (reference rejects out-of-range the same way,
+    // a_test_dataset_type_corner_cases.py "nearly good numbers")
     val target = if (bits == 64) "long" else "int"
     def viaConv(src: Column, b: Int): Column = {
       val valid = if (b == 16) "^[-+]?[0-9a-fA-F]+$" else "^[-+]?[0-7]+$"
@@ -47,10 +66,10 @@ object ParseFunctions {
         when(trim(src).startsWith("-"),
           -conv(regexp_replace(trim(src), "^[-+]", ""), b, 10).try_cast("long"))
         .otherwise(conv(regexp_replace(trim(src), "^[+]", ""), b, 10).try_cast("long"))
-      ).cast(target)
+      ).try_cast(target)
     }
     base match {
-      case 10 => trim(c).try_cast("long").cast(target)
+      case 10 => trim(c).try_cast("long").try_cast(target)
       case 16 => viaConv(regexp_replace(trim(c), "(?i)^([-+]?)0x", "$1"), 16)
       case 8  => viaConv(regexp_replace(trim(c), "(?i)^([-+]?)0o", "$1"), 8)
       case 0 =>
@@ -58,7 +77,7 @@ object ParseFunctions {
              viaConv(regexp_replace(trim(c), "(?i)^([-+]?)0x", "$1"), 16))
           .when(trim(c).rlike("(?i)^[-+]?0o"),
              viaConv(regexp_replace(trim(c), "(?i)^([-+]?)0o", "$1"), 8))
-          .otherwise(trim(c).try_cast("long").cast(target))
+          .otherwise(trim(c).try_cast("long").try_cast(target))
       case b => throw new IllegalArgumentException(s"unsupported int base $b")
     }
   }
@@ -92,7 +111,8 @@ object ParseFunctions {
   def intI(c: Column, bits: Int): Column = {
     val target = if (bits == 64) "long" else "int"
     val m = regexp_extract(c, "[-+]?\\d+", 0)
-    when(m === "", lit(null).cast(target)).otherwise(m.try_cast("long").cast(target))
+    when(m === "", lit(null).cast(target))
+      .otherwise(m.try_cast("long").try_cast(target))
   }
 
   /** strftime-style format → Spark DateTimeFormatter pattern (the subset the

@@ -50,8 +50,8 @@ object DatasetType {
     base match {
       case "number"    => number(c)
       case "numberi"   => numberI(c)
-      case "float64"   => c.try_cast("double")
-      case "float32"   => c.try_cast("float")
+      case "float64"   => floatParse(c)
+      case "float32"   => floatParse(c).cast("float")
       case "float64i"  => numberI(c)
       case "float32i"  => numberI(c).cast("float")
       case "int64" | "int64_10" => intBase(c, 64, 10)

@@ -1,0 +1,115 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.ops.{CsvImport, CsvImportConfig, CsvExport, CsvExportConfig}
+import java.nio.file.{Files, Paths}
+import TestSpark.{spark, tmpDir}
+
+/** csvimport corner cases — semantics from the reference's
+  * a_test_csvimport_corner_cases.py (quote modes, separators, bad lines,
+  * comments, skip_lines, lineno) exercised against our line-parallel
+  * implementation.
+  */
+class CsvImportSpec extends AnyFunSuite {
+
+  private def write(name: String, content: String): String = {
+    val p = Paths.get(tmpDir(s"csv_$name"), name + ".csv")
+    Files.writeString(p, content)
+    p.toString
+  }
+
+  private def rows(path: String, cfg: CsvImportConfig): Seq[Seq[String]] = {
+    val res = CsvImport(spark, path, cfg)
+    res.data.collect().map(_.toSeq.map(v => Option(v).map(_.toString).orNull)).toSeq
+  }
+
+  test("basic header + fields") {
+    val p = write("basic", "a,b,c\n1,2,3\n4,5,6\n")
+    val got = rows(p, CsvImportConfig()).sortBy(_.head)
+    assert(got == Seq(Seq("1", "2", "3"), Seq("4", "5", "6")))
+  }
+
+  test("custom separator and no-separator mode") {
+    val p = write("sep", "a;b\n1;2\n")
+    assert(rows(p, CsvImportConfig(separator = ";")).head == Seq("1", "2"))
+    val p2 = write("nosep", "line\nwhole line, commas and all\n")
+    assert(rows(p2, CsvImportConfig(separator = "")).head ==
+      Seq("whole line, commas and all"))
+  }
+
+  test("quote modes: doubled-quote escape, both-quotes, off") {
+    val p = write("quotes", "a,b\n\"x,y\",\"he said \"\"hi\"\"\"\n")
+    assert(rows(p, CsvImportConfig()).head == Seq("x,y", "he said \"hi\""))
+    // quotes="both": single OR double quotes open a field
+    val p2 = write("both", "a,b\n'x,y',\"z\"\n")
+    assert(rows(p2, CsvImportConfig(quotes = "both")).head == Seq("x,y", "z"))
+    // quotes off: quote chars are plain data
+    val p3 = write("qoff", "a,b\n\"x\",y\n")
+    assert(rows(p3, CsvImportConfig(quotes = "")).head == Seq("\"x\"", "y"))
+  }
+
+  test("unquoted quote chars inside fields are data") {
+    val p = write("mid", "a,b\nx\"y,z\n")
+    assert(rows(p, CsvImportConfig()).head == Seq("x\"y", "z"))
+  }
+
+  test("bad lines go to the bad dataset with their lineno") {
+    val p = write("bad", "a,b\n1,2\nonly-one-field\n3,4,5\n6,7\n")
+    val res = CsvImport(spark, p, CsvImportConfig(allowBad = true))
+    assert(res.data.count() == 2)
+    val bad = res.bad.collect().map(r => (r.getLong(0), r.getString(1))).toSeq.sorted
+    assert(bad == Seq((2L, "only-one-field"), (3L, "3,4,5")))
+  }
+
+  test("bad lines throw when allowBad=false") {
+    val p = write("badthrow", "a,b\n1\n")
+    intercept[IllegalArgumentException] {
+      CsvImport(spark, p, CsvImportConfig())
+    }
+  }
+
+  test("comment, skip_lines and skipped dataset") {
+    val p = write("skip", "garbage line\na,b\n#note\n1,2\n")
+    val res = CsvImport(spark, p,
+      CsvImportConfig(skipLines = 1, comment = "#"))
+    assert(res.data.collect().map(_.toSeq).toSeq == Seq(Seq("1", "2")))
+    val skipped = res.skipped.collect().map(r => (r.getLong(0), r.getString(1))).toSeq.sorted
+    assert(skipped == Seq((0L, "garbage line"), (2L, "#note")))
+  }
+
+  test("rename, discard and lineno label") {
+    val p = write("ren", "a,b,c\n1,2,3\n")
+    val res = CsvImport(spark, p, CsvImportConfig(
+      rename = Map("a" -> "x"), discard = Set("b"),
+      linenoLabel = Some("lineno")))
+    assert(res.data.columns.toSeq == Seq("lineno", "x", "c"))
+    assert(res.data.collect().head.toSeq == Seq(1L, "1", "3"))
+  }
+
+  test("allow_extra_empty tolerates trailing empty fields") {
+    val p = write("extra", "a,b\n1,2,,\n")
+    val res = CsvImport(spark, p, CsvImportConfig(allowExtraEmpty = true))
+    assert(res.data.collect().head.toSeq == Seq("1", "2"))
+  }
+
+  test("export/import round-trip preserves values needing quotes") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(("a,b", "line\"quote", "plain"), ("", "x", "y"))
+      .toDF("c1", "c2", "c3")
+    val out = tmpDir("csv_rt") + "/rt.csv"
+    CsvExport(df, out, CsvExportConfig(quoteMode = "lazy"))
+    val back = rows(out, CsvImportConfig())
+    assert(back.toSet == Set(Seq("a,b", "line\"quote", "plain"), Seq("", "x", "y")))
+  }
+
+  test("lineSeparator reaches data rows") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(("1", "2")).toDF("a", "b")
+    val out = tmpDir("csv_sep") + "/sep.csv"
+    CsvExport(df, out, CsvExportConfig(lineSeparator = "\r\n"))
+    val content = Files.readString(Paths.get(out))
+    assert(content == "a,b\r\n1,2\r\n")
+  }
+}

@@ -1,0 +1,122 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.ops.DatasetType
+import TestSpark.{spark, strings1}
+
+/** dataset_type conversion corner cases, ported from the reference's
+  * a_test_dataset_type_corner_cases.py (the semantics, not the code).
+  */
+class DatasetTypeSpec extends AnyFunSuite {
+
+  private def conv(spec: String, vals: Seq[String]): Seq[Any] = {
+    val df = strings1(vals)
+    DatasetType(df, Map("v" -> spec)).good.collect().map { r =>
+      if (r.isNullAt(0)) null else r.get(0)
+    }.toSeq
+  }
+
+  test("strbool corner cases (a_test_dataset_type_corner_cases.py:149)") {
+    val vals = Seq("", "0", "FALSE", "f", "FaLSe", "no", "off", "NIL", "NULL",
+      "y", "jao", "well, sure", " ", "true")
+    val want = Seq.fill(9)(false) ++ Seq.fill(5)(true)
+    assert(conv("strbool", vals) == want)
+  }
+
+  test("floatbool: empty and whitespace-only are false, inf is true") {
+    val vals = Seq("0", "-0", "1", "1004", "0.00001", "inf", "-1", "", "0.00")
+    val want = Seq(false, false, true, true, true, true, true, false, false)
+    assert(conv("floatbool", vals) == want)
+  }
+
+  test("int bases 16, 8 and auto-detect 0") {
+    assert(conv("int64_16", Seq("ff", "-ff", "0x10", "g")) ==
+      Seq(255L, -255L, 16L, null))
+    assert(conv("int64_8", Seq("17", "-17", "0o20", "9")) ==
+      Seq(15L, -15L, 16L, null))
+    assert(conv("int64_0", Seq("0x10", "0o20", "42", "-0x10")) ==
+      Seq(16L, 16L, 42L, -16L))
+  }
+
+  test("int32 range rejection and defaults (reference 'nearly good numbers')") {
+    assert(conv("int32", Seq("2147483648", "-2147483648", "1O")) ==
+      Seq(null, -2147483648, null))
+    val df = strings1(Seq("2147483648", "-2147483648", "1O"))
+    val withDefault = DatasetType(df, Map("v" -> "int32"),
+      defaults = Map("v" -> "123")).good.collect().map(_.get(0)).toSeq
+    assert(withDefault == Seq(123, -2147483648, 123))
+  }
+
+  test("floatint exact vs saturate (reference floatint32e/s table)") {
+    val vals = Seq("1.99", "-3000", "1e10", "-2147483648", "1e100", "-7.89")
+    assert(conv("floatint32e", vals) ==
+      Seq(null, -3000, null, -2147483648, null, null))
+    assert(conv("floatint32s", vals) ==
+      Seq(1, -3000, 2147483647, -2147483648, 2147483647, -7))
+    assert(conv("floatint64s", Seq("1e10", "-2.2e9", "1e100")) ==
+      Seq(10000000000L, -2200000000L, 9223372036854775807L))
+  }
+
+  test("special floats: inf/nan spellings (strtod semantics)") {
+    val got = conv("float64", Seq("+Inf", "-inF", "nan", "NaN", "INF"))
+    assert(got(0) == Double.PositiveInfinity)
+    assert(got(1) == Double.NegativeInfinity)
+    assert(got(2).asInstanceOf[Double].isNaN && got(3).asInstanceOf[Double].isNaN)
+    assert(got(4) == Double.PositiveInfinity)
+  }
+
+  test("number prefers exact ints within double range") {
+    assert(conv("number", Seq("42", "42.0", "43.", "forty two")) ==
+      Seq(42.0, 42.0, 43.0, null))
+  }
+
+  test("i-variants extract the value, ignore garbage") {
+    assert(conv("int64i", Seq("id=123;end", "99 bottles", "no digits")) ==
+      Seq(123L, 99L, null))
+    assert(conv("numberi", Seq("x=3.14!", "1e3x")) == Seq(3.14, 1000.0))
+  }
+
+  test("datetime %s and java epoch formats") {
+    val e = conv("datetime:%s", Seq("0", "86400"))
+    assert(e(0).toString == "1970-01-01 00:00:00.0")
+    assert(e(1).toString == "1970-01-02 00:00:00.0")
+    val j = conv("datetime:java", Seq("86400000"))
+    assert(j(0).toString == "1970-01-02 00:00:00.0")
+  }
+
+  test("date with custom format") {
+    assert(conv("date:%d/%m/%Y", Seq("31/12/1999", "xx")).map(Option(_).map(_.toString).orNull) ==
+      Seq("1999-12-31", null))
+  }
+
+  test("time as micros-since-midnight") {
+    assert(conv("time", Seq("00:00:00", "12:34:56.5", "23:59:59.999999", "25:00:00")) ==
+      Seq(0L, (12L*3600+34*60+56)*1000000L + 500000L,
+          (23L*3600+59*60+59)*1000000L + 999999L, null))
+  }
+
+  test("filter_bad drops rows with any unparseable column, keeps counts") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(("1", "x"), ("2", "2.5"), ("bad", "3.5"), ("4", "also bad"))
+      .toDF("a", "b")
+    val res = DatasetType(df, Map("a" -> "int64", "b" -> "float64"),
+      filterBad = true)
+    assert(res.good.count() == 1)
+    assert(res.bad.count() == 3)
+    val counts = res.badCounts(Map("a" -> "int64", "b" -> "float64"))
+    assert(counts("a") == 1 && counts("b") == 2)
+  }
+
+  test("defaults only apply to parse failures, nulls pass through") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(Some("nope"), None, Some("7")).toDF("v")
+    val got = DatasetType(df, Map("v" -> "int64"),
+      defaults = Map("v" -> "0")).good.collect().map { r =>
+      if (r.isNullAt(0)) null else r.get(0)
+    }.toSeq
+    assert(got == Seq(0L, null, 7L))
+  }
+}

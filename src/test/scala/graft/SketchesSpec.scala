@@ -1,0 +1,97 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.expr.MinHashConsts
+import graft.functions.{SimilarityFunctions => S, TextFunctions => T}
+import graft.ops.SimilaritySearch
+import TestSpark.spark
+
+/** Sketch expressions: the Spark-side values must equal an independent
+  * Scala model of the same math (the DuckDB oracle replicates it a third
+  * way in the correctness gate).
+  */
+class SketchesSpec extends AnyFunSuite {
+
+  private def md5hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  private def h40(s: String): Long =
+    java.lang.Long.parseLong(md5hex(s).substring(0, 10), 16)
+
+  test("tokenHash40 equals the md5-prefix model") {
+    val s = spark
+    import s.implicits._
+    val toks = Seq("hello", "world", "", "ümlaut")
+    val got = toks.toDF("t").select(T.tokenHash40(col("t"))).collect()
+      .map(_.getLong(0)).toSeq
+    assert(got == toks.map(h40))
+  }
+
+  test("minhash signature equals the per-slot model") {
+    val s = spark
+    import s.implicits._
+    val shingles = Seq("the quick", "quick brown", "brown fox")
+    val k = 16
+    val got = Seq(shingles).toDF("sh")
+      .select(S.minhashSignature(col("sh"), k)).collect()
+      .head.getSeq[Long](0)
+    val want = (0 until k).map { i =>
+      shingles.map(sh => (MinHashConsts.a(i) * h40(sh) + MinHashConsts.b(i)) % MinHashConsts.M).min
+    }
+    assert(got == want)
+  }
+
+  test("minhash estimate approximates jaccard") {
+    val s = spark
+    import s.implicits._
+    val a = (1 to 40).map(i => s"sh$i")
+    val b = (21 to 60).map(i => s"sh$i") // true J = 20/60 = 1/3
+    val est = Seq((a, b)).toDF("a", "b")
+      .select(S.minhashEstimate(
+        S.minhashSignature(col("a"), 128), S.minhashSignature(col("b"), 128)))
+      .collect().head.getDouble(0)
+    assert(math.abs(est - 1.0 / 3) < 0.15, s"estimate $est too far from 1/3")
+  }
+
+  test("simhash40: identical inputs agree, near inputs are near") {
+    val s = spark
+    import s.implicits._
+    val base = (1 to 50).map(i => s"tok$i")
+    val near = base.updated(0, "DIFFERENT")
+    val far = (100 to 150).map(i => s"tok$i")
+    val df = Seq((base, near, far)).toDF("a", "b", "c")
+    val r = df.select(
+      S.simhash40(col("a")).as("ha"), S.simhash40(col("b")).as("hb"),
+      S.simhash40(col("c")).as("hc")).collect().head
+    val (ha, hb, hc) = (r.getLong(0), r.getLong(1), r.getLong(2))
+    assert(ha >> 40 == 0L, "only 40 bits used")
+    def ham(x: Long, y: Long) = java.lang.Long.bitCount(x ^ y)
+    assert(ham(ha, hb) <= 8, s"near docs differ in few bits: ${ham(ha, hb)}")
+    assert(ham(ha, hc) > ham(ha, hb), "far docs differ in more bits")
+  }
+
+  test("simhash40 equals the majority-vote model") {
+    val s = spark
+    import s.implicits._
+    val toks = Seq("a", "b", "c", "a", "b", "a")
+    val got = Seq(toks).toDF("t").select(S.simhash40(col("t")))
+      .collect().head.getLong(0)
+    val hs = toks.map(h40)
+    val want = (0 until 40).map { i =>
+      if (2 * hs.count(h => ((h >> i) & 1L) == 1L) > hs.size) 1L << i else 0L
+    }.reduce(_ | _)
+    assert(got == want)
+  }
+
+  test("LSH plane weights are deterministic and in [-1, 1)") {
+    val w1 = SimilaritySearch.planeWeight(0, 0, 0)
+    val w2 = SimilaritySearch.planeWeight(0, 0, 0)
+    assert(w1 == w2)
+    val all = for (t <- 0 until 3; p <- 0 until 4; j <- 0 until 8)
+      yield SimilaritySearch.planeWeight(t, p, j)
+    assert(all.forall(w => w >= -1.0 && w < 1.0))
+    assert(all.distinct.size > all.size / 2, "weights vary with (t,p,j)")
+  }
+}

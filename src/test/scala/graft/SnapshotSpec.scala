@@ -1,0 +1,77 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.core.{SnapshotStore, ZoneMapOrder}
+import TestSpark.{spark, tmpDir}
+
+/** Snapshot store: metadata round-trip, chain walk, and the zone-map
+  * pruning regression from round 1 (numeric min/max compared as strings
+  * silently dropped matching snapshots: "150" < "20" lexicographically).
+  */
+class SnapshotSpec extends AnyFunSuite {
+
+  test("zone-map compare is typed") {
+    assert(ZoneMapOrder.compare("bigint", "150", "20").contains(1),
+      "numeric compare must not be lexicographic")
+    assert(ZoneMapOrder.compare("double", "-5.5", "2").exists(_ < 0))
+    assert(ZoneMapOrder.compare("string", "150", "20").exists(_ < 0),
+      "strings stay lexicographic")
+    assert(ZoneMapOrder.compare("timestamp", "1994-06-01 00:00:00", "1995-01-01").exists(_ < 0))
+    assert(ZoneMapOrder.compare("binary", "a", "b").isEmpty,
+      "unknown orderings must keep the snapshot")
+  }
+
+  test("numeric range iteration returns rows a lexicographic prune would drop") {
+    val s = spark
+    import s.implicits._
+    val store = new SnapshotStore(s, tmpDir("snap_zone"))
+    // snapshot with min=2, max=150: "150" < "20" lexicographically, so the
+    // round-1 bug pruned it for range [20, 500) and lost rows 20..150
+    store.write(Seq(2L, 50L, 150L).toDF("k"), "zs_a", slices = 1)
+    store.write(Seq(500L, 900L).toDF("k"), "zs_b",
+      previous = Some("zs_a"), slices = 1)
+    val got = store.iterateChain("zs_b", range = Some(("k", "20", "500")))
+      .collect().map(_.getLong(0)).toSeq.sorted
+    assert(got == Seq(50L, 150L))
+  }
+
+  test("zone maps still prune disjoint snapshots") {
+    val s = spark
+    import s.implicits._
+    val store = new SnapshotStore(s, tmpDir("snap_prune"))
+    store.write(Seq(1L, 9L).toDF("k"), "p_a", slices = 1)
+    store.write(Seq(100L, 900L).toDF("k"), "p_b", previous = Some("p_a"), slices = 1)
+    // sloppyRange skips the row filter: if pruning works, only p_b's rows appear
+    val got = store.iterateChain("p_b", range = Some(("k", "50", "1000")),
+      sloppyRange = true).collect().map(_.getLong(0)).toSeq.sorted
+    assert(got == Seq(100L, 900L), "disjoint snapshot p_a must be pruned")
+  }
+
+  test("meta round-trip: lines, hashlabel, previous, zone maps") {
+    val s = spark
+    import s.implicits._
+    val store = new SnapshotStore(s, tmpDir("snap_meta"))
+    val df = (1 to 100).map(i => (i.toLong, s"v$i")).toDF("k", "v")
+    store.write(df, "m_a", hashlabel = Some("k"), slices = 4)
+    val snap = store.get("m_a")
+    assert(snap.meta.lines == 100)
+    assert(snap.meta.hashlabel.contains("k"))
+    assert(snap.meta.slices == 4)
+    assert(snap.minOf("k").contains("1") && snap.maxOf("k").contains("100"))
+    assert(snap.read(s).count() == 100)
+  }
+
+  test("chain walk respects length and order") {
+    val s = spark
+    import s.implicits._
+    val store = new SnapshotStore(s, tmpDir("snap_chain"))
+    store.write(Seq(1).toDF("k"), "c_1", slices = 1)
+    store.write(Seq(2).toDF("k"), "c_2", previous = Some("c_1"), slices = 1)
+    store.write(Seq(3).toDF("k"), "c_3", previous = Some("c_2"), slices = 1)
+    assert(store.chain("c_3").map(_.meta.name) == Seq("c_3", "c_2", "c_1"))
+    assert(store.chain("c_3", length = 2).map(_.meta.name) == Seq("c_3", "c_2"))
+    assert(store.iterateChain("c_3").collect().map(_.getInt(0)).sorted.toSeq ==
+      Seq(1, 2, 3))
+  }
+}
