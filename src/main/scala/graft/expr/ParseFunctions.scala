@@ -115,6 +115,83 @@ object ParseFunctions {
       .otherwise(m.try_cast("long").try_cast(target))
   }
 
+  /** numeric_comma (a_dataset_type.py:74, locale-based strtod): ',' is THE
+    * decimal separator — a '.' anywhere makes the value bad (the C locale
+    * parse stops at '.' leaving trailing garbage), exactly mirroring how
+    * '3.14' fails under a comma locale.
+    */
+  def floatParseComma(c: Column): Column =
+    when(c.contains("."), lit(null).cast("double"))
+      .otherwise(floatParse(translate(c, ",", ".")))
+
+  /** bits32 (dataset_type.py: unsigned 32-bit): reject negatives and
+    * values ≥ 2^32; stored as LongType (uint32 always fits).
+    */
+  def bits(c: Column, bits: Int, base: Int): Column =
+    if (bits == 32) {
+      val v = intBase(c, 64, base)
+      when(v >= 0L && v < (1L << 32), v)
+    } else {
+      // bits64: full uint64 range needs DECIMAL(20,0)
+      val dec = "decimal(20,0)"
+      val lim = BigDecimal("18446744073709551616")
+      base match {
+        case 10 =>
+          val v = trim(c).try_cast(dec)
+          when(v >= 0 && v < lit(lim).cast(dec), v)
+        case 16 | 8 =>
+          // conv() is unsigned-64 exact for in-range values
+          val valid = if (base == 16) "^[0-9a-fA-F]+$" else "^[0-7]+$"
+          val src = regexp_replace(trim(c), if (base == 16) "(?i)^0x" else "(?i)^0o", "")
+          when(src.rlike(valid), conv(src, base, 10).try_cast(dec))
+        case b => throw new IllegalArgumentException(s"unsupported bits base $b")
+      }
+    }
+
+  /** Strip variants (bytesstrip/asciistrip/unicodestrip): ASCII whitespace
+    * removed from both ends (dataset_type.py strip templates).
+    */
+  def stripWs(c: Column): Column =
+    regexp_replace(c, "^\\s+|\\s+$", "")
+
+  /** ascii strict: non-ASCII input is a bad value (reference
+    * 'ascii'/'ascii:strict').
+    */
+  def asciiStrict(c: Column): Column =
+    when(c.rlike("^[\\x00-\\x7F]*$"), c)
+
+  /** ascii replace: non-ASCII characters replaced with '?' (deviation: the
+    * reference emits octal escapes, dataset_type.py _c_conv_ascii_template;
+    * the *filtering* contract — output is pure ASCII, row is never bad —
+    * is preserved).
+    */
+  def asciiReplace(c: Column): Column =
+    regexp_replace(c, "[^\\x00-\\x7F]", "?")
+
+  /** complex64/32 (dataset_type.py:734-737, Python complex() grammar):
+    * '(1+2j)', '1+2j', '-3j', '42' → struct(re, im); unparseable → null.
+    */
+  def parseComplex(c: Column, bits: Int): Column = {
+    val dt = if (bits == 64) "double" else "float"
+    val t = regexp_replace(trim(c), "^\\((.*)\\)$", "$1")
+    val numU = "(?:\\d+\\.?\\d*|\\.\\d+)(?:[eE][-+]?\\d+)?"
+    val re = s"[-+]?$numU"
+    val im = s"[-+]$numU"
+    val full = s"^($re)($im)[jJ]$$"
+    val imOnly = s"^($re)[jJ]$$"
+    val reOnly = s"^($re)$$"
+    when(t.rlike(full),
+        struct(regexp_extract(t, full, 1).try_cast(dt).as("re"),
+               regexp_extract(t, full, 2).try_cast(dt).as("im")))
+      .when(t.rlike(imOnly),
+        struct(lit(0).cast(dt).as("re"),
+               regexp_extract(t, imOnly, 1).try_cast(dt).as("im")))
+      .when(t.rlike(reOnly),
+        struct(regexp_extract(t, reOnly, 1).try_cast(dt).as("re"),
+               lit(0).cast(dt).as("im")))
+      .otherwise(lit(null).cast(s"struct<re:$dt,im:$dt>"))
+  }
+
   /** strftime-style format → Spark DateTimeFormatter pattern (the subset the
     * reference tests use; dataset_type.py:766-771 `%`-codes).
     */

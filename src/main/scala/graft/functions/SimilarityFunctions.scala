@@ -37,9 +37,13 @@ object SimilarityFunctions {
     * expression (graft.expr.MinHashSig) with codegen; hashing is
     * md5-derived so the DuckDB oracle replicates it exactly.
     */
-  def minhashSignature(shingles: Column, k: Int): Column = {
+  def minhashSignature(shingles: Column, k: Int): Column =
+    minhashSignatureHashed(
+      transform(shingles, s => TextFunctions.tokenHash40(s)), k)
+
+  /** Same, over pre-hashed (long) shingles. */
+  def minhashSignatureHashed(hashes: Column, k: Int): Column = {
     import org.apache.spark.sql.GraftBridge
-    val hashes = transform(shingles, s => TextFunctions.tokenHash40(s))
     GraftBridge.column(graft.expr.MinHashSig(GraftBridge.expression(hashes), k))
   }
 

@@ -37,21 +37,36 @@ final case class TypedResult(good: DataFrame, bad: DataFrame) {
   }
 }
 
+/** Global conversion options (reference a_dataset_type.py options):
+  * `numericComma` — ',' is the decimal separator for float family specs
+  * (a_dataset_type.py:74); `timezone` — datetimes are local times in this
+  * zone, stored UTC (a_dataset_type.py:61-67).
+  */
+final case class TypeOptions(
+    numericComma: Boolean = false,
+    timezone: Option[String] = None)
+
 object DatasetType {
 
   /** Compile one conversion spec to a Column expression producing NULL on
     * parse failure.
     */
-  def parse(c: Column, spec: String): Column = {
+  def parse(c: Column, spec: String, opts: TypeOptions = TypeOptions()): Column = {
     val (base, fmt) = spec.indexOf(':') match {
       case -1 => (spec, "")
       case i  => (spec.substring(0, i), spec.substring(i + 1))
     }
+    def fl(x: Column): Column =
+      if (opts.numericComma) floatParseComma(x) else floatParse(x)
+    def tz(ts: Column): Column = opts.timezone match {
+      case Some(z) => to_utc_timestamp(ts, z)
+      case None    => ts
+    }
     base match {
-      case "number"    => number(c)
+      case "number"    => fl(c)
       case "numberi"   => numberI(c)
-      case "float64"   => floatParse(c)
-      case "float32"   => floatParse(c).cast("float")
+      case "float64"   => fl(c)
+      case "float32"   => fl(c).cast("float")
       case "float64i"  => numberI(c)
       case "float32i"  => numberI(c).cast("float")
       case "int64" | "int64_10" => intBase(c, 64, 10)
@@ -68,13 +83,32 @@ object DatasetType {
       case "floatint32e" => floatInt(c, 32, exact = true, saturate = false)
       case "floatint64s" => floatInt(c, 64, exact = false, saturate = true)
       case "floatint32s" => floatInt(c, 32, exact = false, saturate = true)
+      case "bits64" | "bits64_10" => bits(c, 64, 10)
+      case "bits32" | "bits32_10" => bits(c, 32, 10)
+      case "bits64_16" => bits(c, 64, 16)
+      case "bits32_16" => bits(c, 32, 16)
+      case "bits64_8"  => bits(c, 64, 8)
+      case "bits32_8"  => bits(c, 32, 8)
       case "strbool"   => strBool(c)
       case "floatbool" => floatBool(c)
+      case "complex64" => parseComplex(c, 64)
+      case "complex32" => parseComplex(c, 32)
       case "date"      => parseDate(c, if (fmt.isEmpty) "%Y-%m-%d" else fmt)
-      case "datetime"  => parseDatetime(c, if (fmt.isEmpty) "%Y-%m-%d %H:%M:%S" else fmt)
+      case "datetime"  =>
+        // timezone applies to wall-clock formats only: epoch inputs are
+        // already absolute instants
+        val f = if (fmt.isEmpty) "%Y-%m-%d %H:%M:%S" else fmt
+        if (f == "%s" || f == "java") parseDatetime(c, f)
+        else tz(parseDatetime(c, f))
+      case "javadatetime" => parseDatetime(c, "java")
       case "time"      => parseTimeMicros(c)
       case "bytes"     => c.cast("binary")
-      case "ascii" | "unicode" => c.cast("string")
+      case "bytesstrip" => stripWs(c).cast("binary")
+      case "ascii" => if (fmt == "replace") asciiReplace(c) else asciiStrict(c)
+      case "asciistrip" =>
+        if (fmt == "replace") asciiReplace(stripWs(c)) else asciiStrict(stripWs(c))
+      case "unicode"   => c.cast("string")
+      case "unicodestrip" => stripWs(c)
       case "json"      => c // stored as string; validation is reader-side
       case other => throw new IllegalArgumentException(s"unknown type spec '$other'")
     }
@@ -86,23 +120,31 @@ object DatasetType {
     *                  non-null (reference `defaults` option)
     * @param filterBad drop rows where any typed column fails to parse (and
     *                  no default exists); failed rows → `bad` output
+    * @param hashlabel when set and typed, the output is re-partitioned on
+    *                  the typed column (the reference rehashes because the
+    *                  typed value hashes differently than its bytes —
+    *                  a_dataset_type.py rehashing/slicemap; ours is one
+    *                  hash shuffle)
     */
   def apply(
       df: DataFrame,
       types: Map[String, String],
       defaults: Map[String, String] = Map.empty,
       filterBad: Boolean = false,
-      discardUntyped: Boolean = false): TypedResult = {
+      discardUntyped: Boolean = false,
+      opts: TypeOptions = TypeOptions(),
+      hashlabel: Option[String] = None,
+      slices: Int = 0): TypedResult = {
     types.keys.foreach { c =>
       require(df.columns.contains(c), s"dataset_type: no column '$c' in input")
     }
 
     def typedCol(name: String): Column = {
-      val parsed = parse(col(name), types(name))
+      val parsed = parse(col(name), types(name), opts)
       defaults.get(name) match {
         case Some(d) =>
           // input null → null; parse failure on non-null input → default
-          val dv = parse(lit(d), types(name))
+          val dv = parse(lit(d), types(name), opts)
           coalesce(parsed, when(col(name).isNotNull, dv)).as(name)
         case None => parsed.as(name)
       }
@@ -114,15 +156,23 @@ object DatasetType {
       else Some(col(name))
     }
 
-    if (!filterBad) TypedResult(df.select(outCols: _*), df.limit(0))
+    def rehash(out: DataFrame): DataFrame = hashlabel match {
+      case Some(h) =>
+        val n = if (slices > 0) slices
+                else out.sparkSession.sparkContext.defaultParallelism
+        out.repartition(n, col(h))
+      case None => out
+    }
+
+    if (!filterBad) TypedResult(rehash(df.select(outCols: _*)), df.limit(0))
     else {
       // row is bad iff some typed col: input non-null, parse null, no default
       val colBad = types.keys.toSeq.map { name =>
         if (defaults.contains(name)) lit(false)
-        else col(name).isNotNull && parse(col(name), types(name)).isNull
+        else col(name).isNotNull && parse(col(name), types(name), opts).isNull
       }
       val rowBad = colBad.reduce(_ || _)
-      TypedResult(df.filter(!rowBad).select(outCols: _*), df.filter(rowBad))
+      TypedResult(rehash(df.filter(!rowBad).select(outCols: _*)), df.filter(rowBad))
     }
   }
 }

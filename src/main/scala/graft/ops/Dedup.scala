@@ -29,41 +29,74 @@ object Dedup {
       .agg(min(col(idCol)).as(idCol), count(lit(1)).as("dup_count"))
       .select(col(idCol), col("fp"), col("dup_count"))
 
-  /** Complete word-n-gram Jaccard pairs with similarity ≥ threshold.
+  /** Word-n-gram Jaccard pairs with similarity ≥ threshold, computed
+    * entirely from COUNTS — no shingle array ever crosses a shuffle.
     *
-    * Candidate generation: explode distinct shingles → self-join the
-    * inverted index → distinct candidate pairs → verify Jaccard on the
-    * full shingle sets. Any pair with J ≥ t > 0 shares ≥ 1 shingle, so no
-    * pair is missed. At 100 TB the explode is the dominant shuffle; hot
-    * shingles (stopword n-grams) should be frequency-capped — the `maxDf`
-    * parameter drops shingles occurring in more than that many docs
-    * (a shingle shared by >maxDf docs generates O(maxDf²) candidates while
-    * rarely being the *only* witness for a true near-dup pair — for exact
-    * completeness keep it at Int.MaxValue, the default).
+    * Shingles are 40-bit hashed (set semantics survive hashing; the oracle
+    * hashes identically). Candidates are pairs sharing ≥1 "cold" shingle
+    * (document frequency ≤ maxDf — a hotter shingle generates O(df²)
+    * candidate pairs while almost never being the only witness of a true
+    * near-dup). The Jaccard is EXACT for every candidate:
+    *
+    *   |A∩B| = (shared cold shingles, counted by the inverted-index
+    *            self-join itself) + (shared hot shingles, counted by a
+    *            second join run only for pairs whose upper-bound score
+    *            could reach the threshold)
+    *   J     = |A∩B| / (|A| + |B| − |A∩B|)
+    *
+    * The upper-bound prune (c_hot ≤ min(hot_a, hot_b), J monotone in
+    * c_hot) eliminates almost all pairs before the hot-correction join, so
+    * the expensive path runs on survivors only. Every shuffle carries only
+    * ids and longs.
     */
   def ngramJaccard(df: DataFrame, idCol: String, textCol: String,
                    n: Int = 3, threshold: Double = 0.8,
                    maxDf: Int = Int.MaxValue): DataFrame = {
-    val withShingles = df.select(col(idCol).as("id"),
-      S.wordShingles(col(textCol), n).as("sh"))
-    val posting = withShingles
-      .select(col("id"), explode(col("sh")).as("shingle"))
-    val capped =
-      if (maxDf == Int.MaxValue) posting
-      else {
-        val hot = posting.groupBy("shingle").count()
-          .filter(col("count") > maxDf).select("shingle")
-        posting.join(hot, Seq("shingle"), "left_anti")
-      }
-    val cands = capped.as("x").join(capped.as("y"), Seq("shingle"))
+    val withHs = df.select(col(idCol).as("id"),
+      array_distinct(transform(S.wordShingles(col(textCol), n),
+        s => T.tokenHash40(s))).as("hs"))
+    val posting = withHs.select(col("id"), explode(col("hs")).as("h"))
+    val hot = posting.groupBy("h").count()
+      .filter(col("count") > maxDf).select("h")
+    val cold = posting.join(hot, Seq("h"), "left_anti")
+    val hotPost = posting.join(hot, Seq("h"), "left_semi")
+
+    // per-doc set sizes and per-doc hot-shingle counts
+    val szs = posting.groupBy("id").agg(count(lit(1)).as("sz"))
+    val hots = hotPost.groupBy("id").agg(count(lit(1)).as("nhot"))
+    val docStats = szs.join(hots, Seq("id"), "left")
+      .select(col("id"), col("sz"), coalesce(col("nhot"), lit(0L)).as("nhot"))
+
+    // |A∩B| over cold shingles — the self-join IS the counter
+    val pairCold = cold.as("x").join(cold.as("y"), Seq("h"))
       .filter(col("x.id") < col("y.id"))
-      .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
-      .distinct()
-    val a = withShingles.select(col("id").as("id_a"), col("sh").as("sh_a"))
-    val b = withShingles.select(col("id").as("id_b"), col("sh").as("sh_b"))
-    cands.join(a, "id_a").join(b, "id_b")
+      .groupBy(col("x.id").as("id_a"), col("y.id").as("id_b"))
+      .agg(count(lit(1)).as("c_cold"))
+
+    val withStats = pairCold
+      .join(docStats.select(col("id").as("id_a"), col("sz").as("sz_a"),
+        col("nhot").as("nhot_a")), "id_a")
+      .join(docStats.select(col("id").as("id_b"), col("sz").as("sz_b"),
+        col("nhot").as("nhot_b")), "id_b")
+    // upper bound on J if every hot shingle were shared
+    val chMax = least(col("nhot_a"), col("nhot_b"))
+    val jMax = (col("c_cold") + chMax).cast("double") /
+      (col("sz_a") + col("sz_b") - col("c_cold") - chMax).cast("double")
+    val survivors = withStats.filter(jMax >= threshold)
+
+    // exact hot correction for survivors only
+    val hx = hotPost.select(col("id").as("id_a"), col("h"))
+    val hy = hotPost.select(col("id").as("id_b"), col("h"))
+    val cHot = survivors.select(col("id_a"), col("id_b"))
+      .join(hx, Seq("id_a"))
+      .join(hy, Seq("id_b", "h"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("c_hot"))
+
+    survivors.join(cHot, Seq("id_a", "id_b"), "left")
+      .withColumn("c", col("c_cold") + coalesce(col("c_hot"), lit(0L)))
       .select(col("id_a"), col("id_b"),
-        S.jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
+        (col("c").cast("double") /
+         (col("sz_a") + col("sz_b") - col("c")).cast("double")).as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }
 
@@ -85,10 +118,11 @@ object Dedup {
                  threshold: Double = 0.8): DataFrame = {
     require(k % bands == 0, s"k=$k must be a multiple of bands=$bands")
     val rows = k / bands
-    val withSh = df.select(col(idCol).as("id"),
-      S.wordShingles(col(textCol), n).as("sh"))
-    val withSig = withSh.select(col("id"),
-      S.minhashSignature(col("sh"), k).as("sig"))
+    val withHs = df.select(col(idCol).as("id"),
+      array_distinct(transform(S.wordShingles(col(textCol), n),
+        s => T.tokenHash40(s))).as("hs"))
+    val withSig = withHs.select(col("id"),
+      S.minhashSignatureHashed(col("hs"), k).as("sig"))
     val bandRows = withSig.select(col("id"), posexplode(
         array((0 until bands).map(b =>
           slice(col("sig"), b * rows + 1, rows)): _*)))
@@ -98,11 +132,11 @@ object Dedup {
         col("x.id") < col("y.id"))
       .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
       .distinct()
-    val a = withSh.select(col("id").as("id_a"), col("sh").as("sh_a"))
-    val b = withSh.select(col("id").as("id_b"), col("sh").as("sh_b"))
+    val a = withHs.select(col("id").as("id_a"), col("hs").as("hs_a"))
+    val b = withHs.select(col("id").as("id_b"), col("hs").as("hs_b"))
     cands.join(a, "id_a").join(b, "id_b")
       .select(col("id_a"), col("id_b"),
-        S.jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
+        S.jaccard(col("hs_a"), col("hs_b")).as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }
 

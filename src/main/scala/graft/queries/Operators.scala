@@ -56,6 +56,38 @@ object Operators {
       "flag" -> "strbool")).good
   }
 
+  /** Round-2 spec families: numeric_comma floats, complex64, strip
+    * variants, bits32/bits64 (unsigned), timezone-aware datetime, java
+    * epoch millis — each value derived from a lineitem column and parsed
+    * back, so the oracle is plain arithmetic on the original columns.
+    */
+  def datasetType2(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir).select(
+      col("l_orderkey"), col("l_linenumber"),
+      translate(col("l_quantity").cast("string"), ".", ",").as("qty_comma"),
+      concat(col("l_orderkey"), lit("+"), col("l_linenumber"), lit("j")).as("cplx"),
+      concat(lit("  "), col("l_returnflag"), lit(" \t")).as("flag_pad"),
+      col("l_orderkey").cast("string").as("bkey"),
+      col("l_linenumber").cast("string").as("bnum"),
+      date_format(col("l_shipdate"), "yyyy-MM-dd HH:mm:ss").as("ship_local"),
+      // l_shipdate is TIMESTAMP_NTZ; session TZ is UTC so the cast is the
+      // identity instant
+      unix_millis(col("l_shipdate").cast("timestamp")).cast("string").as("ship_java"))
+    val typed = DatasetType(li, Map(
+      "qty_comma" -> "float64",
+      "cplx" -> "complex64",
+      "flag_pad" -> "unicodestrip",
+      "bkey" -> "bits64",
+      "bnum" -> "bits32",
+      "ship_local" -> "datetime",
+      "ship_java" -> "javadatetime"),
+      opts = TypeOptions(numericComma = true, timezone = Some("Asia/Kolkata"))).good
+    typed.select(col("l_orderkey"), col("l_linenumber"), col("qty_comma"),
+      col("cplx.re").as("cplx_re"), col("cplx.im").as("cplx_im"),
+      col("flag_pad").as("flag"), col("bkey").cast("double").as("bkey"),
+      col("bnum"), col("ship_local"), col("ship_java"))
+  }
+
   /** Global sort; returns the first 100 rows with their physical position. */
   def sortOrder(s: SparkSession, dir: String): DataFrame = {
     val sorted = DatasetSort(
@@ -144,6 +176,7 @@ object Operators {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "op_csv_roundtrip" -> csvRoundtrip _,
     "op_dataset_type" -> datasetType _,
+    "op_dataset_type2" -> datasetType2 _,
     "op_sort_order" -> sortOrder _,
     "op_hashpart_integrity" -> hashpartIntegrity _,
     "op_merge_roundtrip" -> mergeRoundtrip _,
@@ -158,6 +191,16 @@ object Operators {
     "op_dataset_type" ->
       """SELECT l_orderkey, l_linenumber, l_quantity AS qty, l_shipdate AS ship,
          l_orderkey AS messy_id, (l_returnflag = 'R') AS flag FROM lineitem""",
+    "op_dataset_type2" ->
+      """SELECT l_orderkey, l_linenumber,
+         l_quantity AS qty_comma,
+         l_orderkey::DOUBLE AS cplx_re, l_linenumber::DOUBLE AS cplx_im,
+         l_returnflag AS flag,
+         l_orderkey::DOUBLE AS bkey,
+         l_linenumber::BIGINT AS bnum,
+         l_shipdate - INTERVAL '5 hours 30 minutes' AS ship_local,
+         l_shipdate AS ship_java
+         FROM lineitem""",
     "op_sort_order" ->
       """SELECT l_orderkey, l_linenumber, l_shipdate, pos FROM (
            SELECT l_orderkey, l_linenumber, l_shipdate,

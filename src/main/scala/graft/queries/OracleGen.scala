@@ -15,31 +15,34 @@ object OracleGen {
 
   /** Word-trigram shingle CTEs shared by the ngram/minhash oracles —
     * mirrors SimilarityFunctions.wordShingles (distinct, ''-joined,
-    * whole-text fallback when fewer than n tokens).
+    * whole-text fallback when fewer than n tokens) followed by the 40-bit
+    * md5 shingle hashing (set semantics survive hashing; both engines
+    * apply the identical hash, so even collisions replicate).
     */
   private val Shingles =
     raw"""t AS (SELECT doc_id, string_split(lower(trim(regexp_replace(text,'\s+',' '))),' ') t FROM documents),
          sh AS (SELECT doc_id, list_distinct(CASE WHEN len(t) < 3 THEN [list_aggregate(t, 'string_agg', '')]
-           ELSE [t[i]||t[i+1]||t[i+2] for i in range(1, len(t)-1)] END) s FROM t)"""
+           ELSE [t[i]||t[i+1]||t[i+2] for i in range(1, len(t)-1)] END) s FROM t),
+         hsh AS (SELECT doc_id, list_distinct(list_transform(s, x -> ('0x'||substr(md5(x),1,10))::BIGINT)) hs FROM sh)"""
 
   private def jac(a: String, b: String) =
     s"len(list_intersect($a,$b))::DOUBLE / len(list_distinct($a||$b))"
 
   /** Complete-pairs ngram Jaccard with the df cap: candidates share ≥1
-    * shingle occurring in ≤ maxDf docs; Jaccard is verified on the FULL
-    * shingle sets (the cap gates candidate generation only — identical to
-    * Dedup.ngramJaccard).
+    * hashed shingle occurring in ≤ maxDf docs; Jaccard is the exact
+    * hashed-set Jaccard (identical to Dedup.ngramJaccard's count-based
+    * computation).
     */
   def ngramJaccard(maxDf: Int, threshold: Double): String =
     raw"""WITH $Shingles,
-         ex AS (SELECT doc_id, unnest(s) shingle FROM sh),
-         hot AS (SELECT shingle FROM ex GROUP BY shingle HAVING count(*) > $maxDf),
-         cold AS (SELECT doc_id, shingle FROM ex WHERE shingle NOT IN (SELECT shingle FROM hot)),
+         ex AS (SELECT doc_id, unnest(hs) h FROM hsh),
+         hot AS (SELECT h FROM ex GROUP BY h HAVING count(*) > $maxDf),
+         cold AS (SELECT doc_id, h FROM ex WHERE h NOT IN (SELECT h FROM hot)),
          cand AS (SELECT DISTINCT x.doc_id id_a, y.doc_id id_b
-           FROM cold x JOIN cold y ON x.shingle = y.shingle AND x.doc_id < y.doc_id)
-         SELECT id_a, id_b, ${jac("a.s", "b.s")} AS jaccard
-         FROM cand JOIN sh a ON id_a = a.doc_id JOIN sh b ON id_b = b.doc_id
-         WHERE ${jac("a.s", "b.s")} >= $threshold"""
+           FROM cold x JOIN cold y ON x.h = y.h AND x.doc_id < y.doc_id)
+         SELECT id_a, id_b, ${jac("a.hs", "b.hs")} AS jaccard
+         FROM cand JOIN hsh a ON id_a = a.doc_id JOIN hsh b ON id_b = b.doc_id
+         WHERE ${jac("a.hs", "b.hs")} >= $threshold"""
 
   /** Banded minhash-LSH: per-slot mins with the exact MinHashConsts
     * constants; candidates agree on ≥1 band (raw slice equality, same as
@@ -55,9 +58,8 @@ object OracleGen {
         .mkString("(", " AND ", ")")
     }.mkString(" OR ")
     raw"""WITH $Shingles,
-         hs AS (SELECT doc_id, s, list_transform(s, x -> ('0x'||substr(md5(x),1,10))::BIGINT) h FROM sh),
-         sig AS (SELECT doc_id, s, $sigExprs sig FROM hs),
-         cand AS (SELECT x.doc_id id_a, y.doc_id id_b, x.s sa, y.s sb
+         sig AS (SELECT doc_id, hs, $sigExprs sig FROM (SELECT doc_id, hs, hs h FROM hsh) z),
+         cand AS (SELECT x.doc_id id_a, y.doc_id id_b, x.hs sa, y.hs sb
            FROM sig x JOIN sig y ON x.doc_id < y.doc_id AND ($bandCond))
          SELECT id_a, id_b, ${jac("sa", "sb")} AS jaccard
          FROM cand WHERE ${jac("sa", "sb")} >= $threshold"""

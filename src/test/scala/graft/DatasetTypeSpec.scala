@@ -96,6 +96,60 @@ class DatasetTypeSpec extends AnyFunSuite {
           (23L*3600+59*60+59)*1000000L + 999999L, null))
   }
 
+  test("numeric_comma: ',' is the decimal separator, '.' is a bad value") {
+    val df = strings1(Seq("3,14", "42", "3.14", "1e3"))
+    val got = graft.ops.DatasetType(df, Map("v" -> "float64"),
+      opts = graft.ops.TypeOptions(numericComma = true)).good
+      .collect().map(r => if (r.isNullAt(0)) null else r.get(0)).toSeq
+    assert(got == Seq(3.14, 42.0, null, 1000.0))
+  }
+
+  test("complex64: python complex grammar to struct(re, im)") {
+    val df = strings1(Seq("1+2j", "(3-4j)", "5j", "-7", "2+j_bad"))
+    val got = graft.ops.DatasetType(df, Map("v" -> "complex64")).good
+      .collect().map { r =>
+        if (r.isNullAt(0)) null
+        else { val s = r.getStruct(0); (s.getDouble(0), s.getDouble(1)) }
+      }.toSeq
+    assert(got == Seq((1.0, 2.0), (3.0, -4.0), (0.0, 5.0), (-7.0, 0.0), null))
+  }
+
+  test("bits: unsigned ranges (reference bits32/bits64 rejection table)") {
+    assert(conv("bits32", Seq("4294967295", "4294967296", "-1", "1O")) ==
+      Seq(4294967295L, null, null, null))
+    val b64 = conv("bits64", Seq("18446744073709551615", "18446744073709551616", "-1"))
+    assert(b64(0).toString == "18446744073709551615" && b64(1) == null && b64(2) == null)
+    assert(conv("bits32_16", Seq("ff", "-ff")) == Seq(255L, null))
+  }
+
+  test("strip and ascii variants") {
+    assert(conv("unicodestrip", Seq("  x \t", "y")) == Seq("x", "y"))
+    assert(conv("ascii", Seq("plain", "ümlaut")) == Seq("plain", null))
+    assert(conv("ascii:replace", Seq("ümlaut")) == Seq("?mlaut"))
+  }
+
+  test("timezone: wall-clock datetimes convert to UTC, epochs don't") {
+    val opts = graft.ops.TypeOptions(timezone = Some("Asia/Kolkata"))
+    val df = strings1(Seq("2020-01-01 05:30:00"))
+    val got = graft.ops.DatasetType(df, Map("v" -> "datetime"), opts = opts)
+      .good.collect().head.get(0).toString
+    assert(got == "2020-01-01 00:00:00.0")
+    val epoch = graft.ops.DatasetType(strings1(Seq("0")),
+      Map("v" -> "datetime:%s"), opts = opts).good.collect().head.get(0).toString
+    assert(epoch == "1970-01-01 00:00:00.0")
+  }
+
+  test("rehash on typed hashlabel: one partition per key") {
+    val s = spark
+    import s.implicits._
+    val df = (0 until 200).map(i => ((i % 13).toString, i)).toDF("k", "v")
+    val typed = graft.ops.DatasetType(df, Map("k" -> "int32"),
+      hashlabel = Some("k"), slices = 8).good
+    val placement = typed.select(col("k"), spark_partition_id().as("pid"))
+      .distinct().groupBy("k").count().collect().map(_.getLong(1))
+    assert(placement.forall(_ == 1L))
+  }
+
   test("filter_bad drops rows with any unparseable column, keeps counts") {
     val s = spark
     import s.implicits._
