@@ -17,6 +17,7 @@ object SparkEntry {
       (Operators.queries, Operators.oracle),
       (TextPack.queries, TextPack.oracle),
       (JobsPack.queries, JobsPack.oracle),
+      (MediaPack.queries, MediaPack.oracle),
     )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

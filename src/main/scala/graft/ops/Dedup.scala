@@ -55,9 +55,14 @@ object Dedup {
     val withHs = df.select(col(idCol).as("id"),
       array_distinct(transform(S.wordShingles(col(textCol), n),
         s => T.tokenHash40(s))).as("hs"))
+    // the posting list feeds FIVE branches (hot, cold, hotPost, sizes, hot
+    // counts) — persist it so the shingle+md5 computation runs once, not
+    // per branch (MEMORY_AND_DISK: spills instead of recomputing at scale)
     val posting = withHs.select(col("id"), explode(col("hs")).as("h"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val hot = posting.groupBy("h").count()
       .filter(col("count") > maxDf).select("h")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cold = posting.join(hot, Seq("h"), "left_anti")
     val hotPost = posting.join(hot, Seq("h"), "left_semi")
 
@@ -121,6 +126,8 @@ object Dedup {
     val withHs = df.select(col(idCol).as("id"),
       array_distinct(transform(S.wordShingles(col(textCol), n),
         s => T.tokenHash40(s))).as("hs"))
+      // reused by the signature path and both verify joins
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val withSig = withHs.select(col("id"),
       S.minhashSignatureHashed(col("hs"), k).as("sig"))
     val bandRows = withSig.select(col("id"), posexplode(

@@ -1,0 +1,137 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Multimodal columns: images/audio as opaque `binary` columns with typed
+  * metadata extracted by header parsing.
+  *
+  * Design for 100 TB: media bytes travel as ordinary Parquet binary
+  * columns (Parquet stores them page-compressed; projection pruning means
+  * a metadata-only query never reads the blobs once metadata is
+  * materialized to its own columns). Header parsing is pure Column
+  * arithmetic over `substring`/`hex`/`conv` — codegen'd, no UDF in the
+  * extract path. Real pixel/sample DECODING is out of scope in this
+  * container (no image/audio libs): `decodeImageStub` marks the seam where
+  * a decode UDF (or mapInPandas in pyspark pipelines) would plug in; the
+  * schema, batching and partitioning around it are real and tested.
+  *
+  * Fixture generators (valid minimal PNG / WAV bytes, CRCs and all) are
+  * Scala UDFs — they exist to create test data, not to process it.
+  */
+object Multimodal {
+
+  // ---- fixture generation (driver/UDF side) ----
+
+  /** Minimal valid grayscale PNG (signature, IHDR, IDAT with a real
+    * deflate stream and CRCs, IEND). Deterministic bytes for a given
+    * (width, height): pixel (x,y) = (x*31 + y*17) & 0xFF.
+    */
+  def pngBytes(width: Int, height: Int): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    def be(i: Int): Array[Byte] =
+      Array(((i >> 24) & 0xff).toByte, ((i >> 16) & 0xff).toByte,
+            ((i >> 8) & 0xff).toByte, (i & 0xff).toByte)
+    def chunk(tag: String, data: Array[Byte]): Unit = {
+      out.write(be(data.length))
+      val tagged = tag.getBytes("US-ASCII") ++ data
+      out.write(tagged)
+      val crc = new java.util.zip.CRC32()
+      crc.update(tagged)
+      out.write(be(crc.getValue.toInt))
+    }
+    out.write(Array(0x89, 'P', 'N', 'G', '\r', '\n', 0x1a, '\n').map(_.toByte))
+    // IHDR: w, h, bit depth 8, color type 0 (gray), compression/filter/interlace 0
+    chunk("IHDR", be(width) ++ be(height) ++ Array[Byte](8, 0, 0, 0, 0))
+    val raw = new Array[Byte](height * (width + 1)) // filter byte 0 per row
+    for (y <- 0 until height; x <- 0 until width)
+      raw(y * (width + 1) + 1 + x) = ((x * 31 + y * 17) & 0xff).toByte
+    val deflater = new java.util.zip.Deflater()
+    deflater.setInput(raw); deflater.finish()
+    val buf = new Array[Byte](raw.length + 64)
+    val n = deflater.deflate(buf)
+    deflater.end()
+    chunk("IDAT", buf.take(n))
+    chunk("IEND", Array.empty)
+    out.toByteArray
+  }
+
+  /** Minimal valid PCM WAV (RIFF/fmt/data), 16-bit mono: deterministic
+    * triangle-ish samples.
+    */
+  def wavBytes(sampleRate: Int, nSamples: Int): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    def le(i: Int, n: Int): Array[Byte] =
+      (0 until n).map(b => ((i >> (8 * b)) & 0xff).toByte).toArray
+    val dataLen = nSamples * 2
+    out.write("RIFF".getBytes("US-ASCII")); out.write(le(36 + dataLen, 4))
+    out.write("WAVE".getBytes("US-ASCII"))
+    out.write("fmt ".getBytes("US-ASCII")); out.write(le(16, 4))
+    out.write(le(1, 2)); out.write(le(1, 2))            // PCM, mono
+    out.write(le(sampleRate, 4)); out.write(le(sampleRate * 2, 4))
+    out.write(le(2, 2)); out.write(le(16, 2))           // block align, bits
+    out.write("data".getBytes("US-ASCII")); out.write(le(dataLen, 4))
+    for (i <- 0 until nSamples) out.write(le((i % 256) * 128 - 16384, 2))
+    out.toByteArray
+  }
+
+  val makePng = udf((w: Int, h: Int) => pngBytes(w, h))
+  val makeWav = udf((rate: Int, n: Int) => wavBytes(rate, n))
+
+  // ---- metadata extraction (codegen'd Column arithmetic, no UDFs) ----
+
+  private def beInt(bin: Column, pos: Int): Column =
+    conv(hex(substring(bin, pos, 4)), 16, 10).cast("long")
+  private def leInt(bin: Column, pos: Int, len: Int): Column =
+    (0 until len).map { i =>
+      conv(hex(substring(bin, pos + i, 1)), 16, 10).cast("long") * (1L << (8 * i))
+    }.reduce(_ + _)
+
+  private val PngSig = "89504E470D0A1A0A"
+
+  def isPng(bin: Column): Column = hex(substring(bin, 1, 8)) === PngSig
+  /** IHDR is always the first chunk: width at offset 17, height at 21. */
+  def pngWidth(bin: Column): Column = when(isPng(bin), beInt(bin, 17))
+  def pngHeight(bin: Column): Column = when(isPng(bin), beInt(bin, 21))
+
+  def isWav(bin: Column): Column =
+    hex(substring(bin, 1, 4)) === "52494646" &&   // RIFF
+    hex(substring(bin, 9, 4)) === "57415645"      // WAVE
+  /** Standard-layout WAV (fmt chunk first at offset 13). */
+  def wavChannels(bin: Column): Column = when(isWav(bin), leInt(bin, 23, 2))
+  def wavSampleRate(bin: Column): Column = when(isWav(bin), leInt(bin, 25, 4))
+  def wavBitsPerSample(bin: Column): Column = when(isWav(bin), leInt(bin, 35, 2))
+  def wavDataBytes(bin: Column): Column = when(isWav(bin), leInt(bin, 41, 4))
+  /** Duration in ms (integer division — `/` on Columns is double division,
+    * so floor back to long; replicable as `//` in the oracle).
+    */
+  def wavDurationMs(bin: Column): Column = {
+    val bytesPerSec = wavSampleRate(bin) * wavChannels(bin) *
+      floor(wavBitsPerSample(bin) / 8).cast("long")
+    floor((wavDataBytes(bin) * 1000L) / bytesPerSec).cast("long")
+  }
+
+  def mediaType(bin: Column): Column =
+    when(isPng(bin), "image/png").when(isWav(bin), "audio/wav").otherwise("unknown")
+
+  /** 60-bit content fingerprint of the raw bytes — the binary-column exact
+    * dedup key (md5 over bytes; oracle: md5 over the same bytes).
+    */
+  def contentFingerprint(bin: Column): Column =
+    conv(substring(md5(bin), 1, 15), 16, 10).cast("long")
+
+  /** Exact dedup over a binary column: group by content hash. */
+  def dedupByContent(df: DataFrame, idCol: String, binCol: String): DataFrame =
+    df.groupBy(contentFingerprint(col(binCol)).as("content_fp"))
+      .agg(min(col(idCol)).as(idCol), count(lit(1)).as("dup_count"))
+
+  /** STUB — the decode seam. Real pixel decoding needs an imaging library
+    * that is not in this container; pipelines plug a decode UDF (JVM) or
+    * `mapInPandas` (Python) in here. The stub returns the deterministic
+    * fake "pixel summary" (width, height, mean of the generator formula)
+    * so downstream schema/partitioning is exercised end-to-end.
+    */
+  def decodeImageStub(bin: Column): Column =
+    struct(pngWidth(bin).as("width"), pngHeight(bin).as("height"),
+      lit(null).cast("double").as("mean_intensity")) // real decode: not available here
+}

@@ -88,6 +88,30 @@ object Operators {
       col("bnum"), col("ship_local"), col("ship_java"))
   }
 
+  /** Zip of two CSV halves of nation → csvimport_zip → chained union must
+    * reproduce the table, with member provenance.
+    */
+  def csvimportZip(s: SparkSession, dir: String): DataFrame = {
+    val tmp = tmpDir("csv_zip")
+    val nation = Tables.nation(s, dir).select("n_nationkey", "n_name", "n_regionkey")
+    CsvExport(nation.filter(col("n_nationkey") < 13), s"$tmp/part1.csv",
+      CsvExportConfig())
+    CsvExport(nation.filter(col("n_nationkey") >= 13), s"$tmp/part2.csv",
+      CsvExportConfig())
+    val zipPath = s"$tmp/nation.zip"
+    val zos = new java.util.zip.ZipOutputStream(
+      java.nio.file.Files.newOutputStream(java.nio.file.Paths.get(zipPath)))
+    try Seq("part1.csv", "part2.csv").foreach { n =>
+      zos.putNextEntry(new java.util.zip.ZipEntry(n))
+      zos.write(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(s"$tmp/$n")))
+      zos.closeEntry()
+    } finally zos.close()
+    val results = CsvImportZip(s, zipPath)
+    val u = CsvImportZip.unioned(results)
+    DatasetType(u, Map("n_nationkey" -> "int32", "n_regionkey" -> "int32")).good
+      .select(col("n_nationkey"), col("n_name"), col("n_regionkey"), col("member"))
+  }
+
   /** Global sort; returns the first 100 rows with their physical position. */
   def sortOrder(s: SparkSession, dir: String): DataFrame = {
     val sorted = DatasetSort(
@@ -177,6 +201,7 @@ object Operators {
     "op_csv_roundtrip" -> csvRoundtrip _,
     "op_dataset_type" -> datasetType _,
     "op_dataset_type2" -> datasetType2 _,
+    "op_csvimport_zip" -> csvimportZip _,
     "op_sort_order" -> sortOrder _,
     "op_hashpart_integrity" -> hashpartIntegrity _,
     "op_merge_roundtrip" -> mergeRoundtrip _,
@@ -201,6 +226,10 @@ object Operators {
          l_shipdate - INTERVAL '5 hours 30 minutes' AS ship_local,
          l_shipdate AS ship_java
          FROM lineitem""",
+    "op_csvimport_zip" ->
+      """SELECT n_nationkey, n_name, n_regionkey,
+         CASE WHEN n_nationkey < 13 THEN 'part1.csv' ELSE 'part2.csv' END AS member
+         FROM nation""",
     "op_sort_order" ->
       """SELECT l_orderkey, l_linenumber, l_shipdate, pos FROM (
            SELECT l_orderkey, l_linenumber, l_shipdate,
