@@ -1,0 +1,113 @@
+package graft.cli
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.SnapshotStore
+import graft.ops.{CsvExport, CsvExportConfig}
+
+/** Shell-style introspection over a snapshot store — the reference's daily
+  * drivers `ax ds` / `ax cat` / `ax grep` (shell/ds.py:54-160,
+  * shell/grep.py:40-300), reshaped for the snapshot model:
+  *
+  *   graft.cli.Shell ds   <storeRoot> <name>            — schema/lines/minmax
+  *   graft.cli.Shell cat  <storeRoot> <name> [col ...]  — rows as CSV
+  *   graft.cli.Shell grep <storeRoot> <regex> <name> [col ...]
+  *
+  * `cat`/`grep` accept `-c N` (chain length, like the reference's ~N
+  * chain-walk refs) and `-n N` (row limit). grep matches the regex against
+  * every selected column (reference default) via a codegen'd rlike filter
+  * — at scale this is a full distributed scan+filter, not a driver loop.
+  */
+object Shell {
+
+  final case class Args(
+      store: String, name: String, columns: Seq[String],
+      pattern: String = "", limit: Int = -1, chain: Int = 1)
+
+  private def parse(rest: List[String], withPattern: Boolean): Args = {
+    var limit = -1
+    var chain = 1
+    var pos = List.empty[String]
+    var xs = rest
+    while (xs.nonEmpty) xs match {
+      case "-n" :: v :: t => limit = v.toInt; xs = t
+      case "-c" :: v :: t => chain = v.toInt; xs = t
+      case v :: t         => pos = pos :+ v; xs = t
+      case Nil            =>
+    }
+    if (withPattern) {
+      require(pos.size >= 2, "usage: grep <storeRoot> <regex> <name> [col ...]")
+      Args(pos(0), pos(2), pos.drop(3), pattern = pos(1), limit = limit, chain = chain)
+    } else {
+      require(pos.size >= 2, "usage: <storeRoot> <name> [col ...]")
+      Args(pos(0), pos(1), pos.drop(2), limit = limit, chain = chain)
+    }
+  }
+
+  def dsInfo(store: SnapshotStore, name: String): String = {
+    val s = store.get(name)
+    val b = new StringBuilder
+    b ++= s"${s.meta.name}\n"
+    val chain = store.chain(name)
+    b ++= f"    lines     ${s.meta.lines}%,d (chain: ${chain.map(_.meta.lines).sum}%,d in ${chain.size} datasets)\n"
+    b ++= s"    slices    ${s.meta.slices}\n"
+    s.meta.hashlabel.foreach(h => b ++= s"    hashlabel $h\n")
+    s.meta.previous.foreach(p => b ++= s"    previous  $p\n")
+    s.meta.parent.foreach(p => b ++= s"    parent    $p\n")
+    b ++= s"    columns (${s.meta.columns.size}):\n"
+    s.meta.columns.foreach { c =>
+      val mm = (c.min, c.max) match {
+        case (Some(mn), Some(mx)) => s"  [$mn .. $mx]"
+        case _ => ""
+      }
+      b ++= f"        ${c.name}%-24s ${c.refType}%-12s$mm\n"
+    }
+    b.toString
+  }
+
+  /** Rows of (a chain of) a snapshot, optionally projected/limited. */
+  def catDf(store: SnapshotStore, a: Args): DataFrame = {
+    val df0 = if (a.chain == 1) store.readResolved(a.name)
+              else store.iterateChain(a.name, length = a.chain)
+    val df1 = if (a.columns.nonEmpty) df0.select(a.columns.map(col): _*) else df0
+    if (a.limit >= 0) df1.limit(a.limit) else df1
+  }
+
+  /** grep: keep rows where ANY selected column matches the regex. */
+  def grepDf(store: SnapshotStore, a: Args): DataFrame = {
+    val df = catDf(store, a.copy(limit = -1))
+    val cols = if (a.columns.nonEmpty) a.columns else df.columns.toSeq
+    val hit = cols.map(c => coalesce(col(c).cast("string"), lit("")).rlike(a.pattern))
+      .reduce(_ || _)
+    val out = df.filter(hit)
+    if (a.limit >= 0) out.limit(a.limit) else out
+  }
+
+  private def printCsv(df: DataFrame): Unit = {
+    println(df.columns.mkString(","))
+    CsvExport.render(df, CsvExportConfig(quoteMode = "lazy"))
+      .collect().foreach(r => println(r.getString(0)))
+  }
+
+  def main(argv: Array[String]): Unit = {
+    require(argv.nonEmpty, "usage: Shell ds|cat|grep ...")
+    val spark = SparkSession.builder()
+      .master(sys.env.getOrElse("SPARK_MASTER", "local[4]"))
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    try argv(0) match {
+      case "ds" =>
+        val a = parse(argv.toList.tail, withPattern = false)
+        print(dsInfo(new SnapshotStore(spark, a.store), a.name))
+      case "cat" =>
+        val a = parse(argv.toList.tail, withPattern = false)
+        printCsv(catDf(new SnapshotStore(spark, a.store), a))
+      case "grep" =>
+        val a = parse(argv.toList.tail, withPattern = true)
+        printCsv(grepDf(new SnapshotStore(spark, a.store), a))
+      case other => sys.error(s"unknown subcommand $other (ds|cat|grep)")
+    } finally spark.stop()
+  }
+}

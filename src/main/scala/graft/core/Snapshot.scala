@@ -35,10 +35,17 @@ case class SnapshotMeta(
     hashlabel: Option[String],
     previous: Option[String],
     caption: String = "",
-    version: Int = 1)
+    version: Int = 1,
+    parent: Option[String] = None,
+    dataDir: Option[String] = None)
 
 final case class Snapshot(meta: SnapshotMeta, dir: String) {
-  def read(spark: SparkSession): DataFrame = spark.read.parquet(s"$dir/data")
+  /** Raw read of THIS snapshot's stored columns (for parented snapshots
+    * that's only the appended columns + rowid — use
+    * SnapshotStore.readResolved for the full logical dataset).
+    */
+  def read(spark: SparkSession): DataFrame =
+    spark.read.parquet(meta.dataDir.getOrElse(s"$dir/data"))
   def columnNames: Seq[String] = meta.columns.map(_.name)
   def minOf(col: String): Option[String] =
     meta.columns.find(_.name == col).flatMap(_.min)
@@ -126,6 +133,83 @@ final class SnapshotStore(val spark: SparkSession, val root: String) {
   def exists(name: String): Boolean =
     Files.exists(Paths.get(dirOf(name), "meta.json"))
 
+  /** Stable per-row identity column for parent column-append alignment.
+    * The reference aligns parent/child by (slice, position)
+    * (dataset.py:864-941); Spark has no stable row position across reads,
+    * so alignment is an explicit stored column.
+    */
+  val RowId = SnapshotStore.RowIdName
+
+  /** Attach a stable rowid (one extra pass; indices are
+    * partition-monotone so the ordering is the write ordering).
+    */
+  def withRowId(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    val schema = StructType(df.schema.fields :+ StructField(RowId, LongType, false))
+    val rdd = df.rdd.zipWithIndex().map { case (r, i) => Row.fromSeq(r.toSeq :+ i) }
+    spark.createDataFrame(rdd, schema)
+  }
+
+  /** Parent column-append (reference dataset.py:864-941 /
+    * DatasetWriter(parent=...)): store ONLY the new columns (+rowid);
+    * the parent's data is never copied. `fn` receives the parent rows
+    * (including rowid) and must return rowid + the new columns.
+    *
+    * Read-side cost: readResolved joins child to parent on the rowid —
+    * zero-copy storage like the reference, but one co-partitioned join at
+    * read where the reference has per-slice positional zip (Spark has no
+    * stable slice identity to zip on; the join is the honest equivalent).
+    * The parent must have been written from a `withRowId` frame.
+    */
+  def appendColumns(parentName: String, name: String)
+                   (fn: DataFrame => DataFrame): Snapshot = {
+    val parent = get(parentName)
+    require(parent.columnNames.contains(RowId),
+      s"appendColumns: parent $parentName has no $RowId column (write it from withRowId(df))")
+    val newCols = fn(readResolved(parentName))
+    require(newCols.columns.contains(RowId),
+      s"appendColumns: fn must keep the $RowId column")
+    val overlap = newCols.columns.toSet.intersect(parent.columnNames.toSet) - RowId
+    require(overlap.isEmpty, s"appendColumns: columns $overlap already exist in parent")
+    val snap = write(newCols, name, slices = parent.meta.slices)
+    val merged = snap.meta.copy(
+      parent = Some(parentName),
+      lines = parent.meta.lines,
+      hashlabel = parent.meta.hashlabel,
+      columns = parent.meta.columns ++ snap.meta.columns.filterNot(_.name == RowId))
+    Files.writeString(Paths.get(dirOf(name), "meta.json"), MetaJson.render(merged))
+    Snapshot(merged, dirOf(name))
+  }
+
+  /** link_to_here (reference dataset.py:292-327): expose an existing
+    * snapshot under a new name — pure metadata, the data directory is
+    * shared.
+    */
+  def linkToHere(target: String, name: String,
+                 previous: Option[String] = None): Snapshot = {
+    val t = get(target)
+    val dir = dirOf(name)
+    Files.createDirectories(Paths.get(dir))
+    val meta = t.meta.copy(name = name,
+      previous = previous.orElse(t.meta.previous),
+      parent = t.meta.parent,
+      dataDir = Some(t.meta.dataDir.getOrElse(s"${t.dir}/data")))
+    Files.writeString(Paths.get(dir, "meta.json"), MetaJson.render(meta))
+    Snapshot(meta, dir)
+  }
+
+  /** Full logical dataset: resolves the parent chain (column-append) by
+    * joining on the rowid.
+    */
+  def readResolved(name: String): DataFrame = {
+    val snap = get(name)
+    snap.meta.parent match {
+      case None => snap.read(spark)
+      case Some(p) => readResolved(p).join(snap.read(spark), RowId)
+    }
+  }
+
   /** Walk the `previous` chain, newest first (reference Dataset.chain,
     * dataset.py:428-441). `length < 0` = whole chain.
     */
@@ -177,7 +261,7 @@ final class SnapshotStore(val spark: SparkSession, val root: String) {
     }
     require(snaps.nonEmpty || snaps0.nonEmpty, s"empty chain for $name")
     val dfs = (if (snaps.isEmpty) snaps0.take(1) else snaps).map { s =>
-      val df = s.read(spark)
+      val df = readResolved(s.meta.name) // resolves parent column-appends
       if (columns.nonEmpty) df.select(columns.map(col): _*) else df
     }
     val unioned = dfs.reduce(_.unionByName(_))
@@ -194,6 +278,10 @@ final class SnapshotStore(val spark: SparkSession, val root: String) {
     else Files.list(Paths.get(root)).iterator().asScala
       .filter(p => Files.exists(p.resolve("meta.json")))
       .map(_.getFileName.toString).toSeq.sorted
+}
+
+object SnapshotStore {
+  val RowIdName = "__rowid"
 }
 
 /** Typed ordering for stringified zone-map values. Numeric Spark types
@@ -238,7 +326,8 @@ object MetaJson {
     }.mkString("[", ",", "]")
     s"""{"name":${q(m.name)},"lines":${m.lines},"slices":${m.slices},""" +
     s""""hashlabel":${opt(m.hashlabel)},"previous":${opt(m.previous)},""" +
-    s""""caption":${q(m.caption)},"version":${m.version},"columns":$cols}"""
+    s""""caption":${q(m.caption)},"version":${m.version},""" +
+    s""""parent":${opt(m.parent)},"dataDir":${opt(m.dataDir)},"columns":$cols}"""
   }
 
   // Minimal recursive-descent JSON parser (objects/arrays/strings/numbers/
@@ -262,7 +351,8 @@ object MetaJson {
       asLong(v("slices")).toInt,
       ostr(v.getOrElse("hashlabel", null)), ostr(v.getOrElse("previous", null)),
       v.getOrElse("caption", "").toString,
-      asLong(v.getOrElse("version", 1L)).toInt)
+      asLong(v.getOrElse("version", 1L)).toInt,
+      ostr(v.getOrElse("parent", null)), ostr(v.getOrElse("dataDir", null)))
   }
 }
 

@@ -1,0 +1,51 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.cli.Shell
+import graft.core.SnapshotStore
+import TestSpark.{spark, tmpDir}
+
+/** Shell CLI building blocks (ds/cat/grep over the snapshot store). */
+class ShellSpec extends AnyFunSuite {
+
+  private def store(): SnapshotStore = {
+    val s = spark
+    import s.implicits._
+    val st = new SnapshotStore(s, tmpDir("shell"))
+    st.write(Seq((1L, "alpha", 10.0), (2L, "beta", 20.0), (3L, "gamma", 30.0))
+      .toDF("id", "name", "score"), "sh_a", hashlabel = Some("id"), slices = 2)
+    st.write(Seq((4L, "delta", 40.0)).toDF("id", "name", "score"), "sh_b",
+      previous = Some("sh_a"), slices = 2)
+    st
+  }
+
+  test("ds prints schema, lines, chain, hashlabel and minmax") {
+    val info = Shell.dsInfo(store(), "sh_b")
+    assert(info.contains("sh_b"))
+    assert(info.contains("previous  sh_a"))
+    assert(info.contains("chain: 4"))
+    assert(info.contains("id") && info.contains("[4 .. 4]"))
+  }
+
+  test("cat projects, limits and walks chains") {
+    val st = store()
+    val rows = Shell.catDf(st,
+      Shell.Args(st.root, "sh_b", Seq("id", "name"), chain = -1))
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(rows == Seq(1L, 2L, 3L, 4L))
+    val limited = Shell.catDf(st,
+      Shell.Args(st.root, "sh_b", Seq("id"), limit = 1))
+    assert(limited.count() == 1)
+  }
+
+  test("grep filters rows by regex across selected columns") {
+    val st = store()
+    val hits = Shell.grepDf(st,
+      Shell.Args(st.root, "sh_b", Nil, pattern = "a$", chain = -1))
+      .collect().map(_.getString(1)).sorted.toSeq
+    assert(hits == Seq("alpha", "beta", "delta", "gamma").filter(_.endsWith("a")))
+    val byCol = Shell.grepDf(st,
+      Shell.Args(st.root, "sh_b", Seq("id"), pattern = "^2$", chain = -1))
+    assert(byCol.count() == 1)
+  }
+}

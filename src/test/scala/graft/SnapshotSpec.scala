@@ -62,6 +62,35 @@ class SnapshotSpec extends AnyFunSuite {
     assert(snap.read(s).count() == 100)
   }
 
+  test("parent column-append: zero-copy storage, resolved read") {
+    val s = spark
+    import s.implicits._
+    val store = new SnapshotStore(s, tmpDir("snap_parent"))
+    val base = (1 to 50).map(i => (i.toLong, s"name$i")).toDF("k", "v")
+    store.write(store.withRowId(base), "par_base", slices = 2)
+    store.appendColumns("par_base", "par_child") { parent =>
+      parent.select(col(SnapshotStore.RowIdName), (col("k") * 2).as("k2"))
+    }
+    val resolved = store.readResolved("par_child")
+    assert(resolved.count() == 50)
+    assert(resolved.filter(col("k2") =!= col("k") * 2).count() == 0)
+    // zero-copy: the child dir stores only rowid + k2
+    val childRaw = store.get("par_child").read(s)
+    assert(childRaw.columns.sorted.toSeq == Seq(SnapshotStore.RowIdName, "k2"))
+    // merged metadata exposes all logical columns
+    assert(store.get("par_child").columnNames.toSet.contains("v"))
+  }
+
+  test("linkToHere: metadata alias sharing the data directory") {
+    val s = spark
+    import s.implicits._
+    val store = new SnapshotStore(s, tmpDir("snap_link"))
+    store.write(Seq((1, "a"), (2, "b")).toDF("k", "v"), "ln_orig", slices = 1)
+    store.linkToHere("ln_orig", "ln_alias")
+    assert(store.get("ln_alias").read(s).collect().map(_.getInt(0)).sorted.toSeq == Seq(1, 2))
+    assert(store.get("ln_alias").meta.dataDir.exists(_.contains("ln_orig")))
+  }
+
   test("chain walk respects length and order") {
     val s = spark
     import s.implicits._
