@@ -200,12 +200,20 @@ final class SnapshotStore(val spark: SparkSession, val root: String) {
   }
 
   /** Full logical dataset: resolves the parent chain (column-append) by
-    * joining on the rowid.
+    * joining on the rowid, and applies metadata-level column filters
+    * (filterColumns snapshots expose fewer columns than their shared
+    * data directory stores).
     */
   def readResolved(name: String): DataFrame = {
     val snap = get(name)
     snap.meta.parent match {
-      case None => snap.read(spark)
+      case None =>
+        val df = snap.read(spark)
+        val want = snap.columnNames
+        if (want.nonEmpty && want.toSet != df.columns.toSet &&
+            want.forall(df.columns.contains))
+          df.select(want.map(col): _*)
+        else df
       case Some(p) => readResolved(p).join(snap.read(spark), RowId)
     }
   }
@@ -230,14 +238,50 @@ final class SnapshotStore(val spark: SparkSession, val root: String) {
     * zone maps before any scan is planned (reference dataset.py:609-614).
     * `sloppyRange` skips the per-row post-filter and may return a superset
     * (reference dataset.py:642-643).
+    *
+    * @param hashlabel   require every chained snapshot to be hashed on
+    *                    this column (reference dataset.py:615-622 errors
+    *                    unless hashed); with `rehash` the output is
+    *                    re-partitioned on it instead of erroring
+    * @param preCallback invoked per snapshot before inclusion (reference
+    *                    pre_callback, dataset.py:752-837); throw
+    *                    `SkipDataset` to drop the snapshot,
+    *                    `StopIteration` to cut the chain there
     */
   def iterateChain(
       name: String,
       columns: Seq[String] = Nil,
       length: Int = -1,
       range: Option[(String, String, String)] = None,
-      sloppyRange: Boolean = false): DataFrame = {
-    val snaps0 = chain(name, length).reverse // oldest first
+      sloppyRange: Boolean = false,
+      hashlabel: Option[String] = None,
+      rehash: Boolean = false,
+      preCallback: Option[Snapshot => Unit] = None): DataFrame = {
+    val walked = chain(name, length).reverse // oldest first
+    val snapsCb = preCallback match {
+      case None => walked
+      case Some(cb) =>
+        val out = scala.collection.mutable.ArrayBuffer.empty[Snapshot]
+        var stop = false
+        walked.foreach { s =>
+          if (!stop) {
+            try { cb(s); out += s }
+            catch {
+              case IterateControl.SkipDataset   => // dropped
+              case IterateControl.StopIteration => stop = true
+            }
+          }
+        }
+        out.toSeq
+    }
+    hashlabel.foreach { h =>
+      if (!rehash) snapsCb.foreach { s =>
+        require(s.meta.hashlabel.contains(h),
+          s"iterate: snapshot ${s.meta.name} is not hashed on $h " +
+          s"(has ${s.meta.hashlabel.getOrElse("none")}); pass rehash=true to repartition")
+      }
+    }
+    val snaps0 = snapsCb
     val snaps = range match {
       case Some((c, lo, hi)) =>
         snaps0.filter { s =>
@@ -265,12 +309,36 @@ final class SnapshotStore(val spark: SparkSession, val root: String) {
       if (columns.nonEmpty) df.select(columns.map(col): _*) else df
     }
     val unioned = dfs.reduce(_.unionByName(_))
-    range match {
+    val filtered = range match {
       case Some((c, lo, hi)) if !sloppyRange =>
         unioned.filter(col(c) >= lit(lo).cast(unioned.schema(c).dataType) &&
                        col(c) < lit(hi).cast(unioned.schema(c).dataType))
       case _ => unioned
     }
+    hashlabel match {
+      case Some(h) if rehash =>
+        filtered.repartition(spark.sparkContext.defaultParallelism, col(h))
+      case _ => filtered
+    }
+  }
+
+  /** Metadata-only column filter (reference a_dataset_filter_columns.py —
+    * "no data copy"): a new snapshot sharing the data directory, exposing
+    * only the kept columns; the Parquet reader never materializes the
+    * dropped ones (column pruning).
+    */
+  def filterColumns(target: String, name: String, keep: Seq[String]): Snapshot = {
+    val t = get(target)
+    val missing = keep.filterNot(t.columnNames.contains)
+    require(missing.isEmpty, s"filterColumns: no such columns $missing")
+    val dir = dirOf(name)
+    Files.createDirectories(Paths.get(dir))
+    val meta = t.meta.copy(name = name,
+      columns = t.meta.columns.filter(c => keep.contains(c.name)),
+      hashlabel = t.meta.hashlabel.filter(keep.contains),
+      dataDir = Some(t.meta.dataDir.getOrElse(s"${t.dir}/data")))
+    Files.writeString(Paths.get(dir, "meta.json"), MetaJson.render(meta))
+    Snapshot(meta, dir)
   }
 
   def list(): Seq[String] =
@@ -282,6 +350,14 @@ final class SnapshotStore(val spark: SparkSession, val root: String) {
 
 object SnapshotStore {
   val RowIdName = "__rowid"
+}
+
+/** Chain-iteration flow control thrown from preCallback (reference
+  * SkipDataset / StopIteration, dataset.py:1554-1560).
+  */
+object IterateControl {
+  case object SkipDataset extends scala.util.control.ControlThrowable
+  case object StopIteration extends scala.util.control.ControlThrowable
 }
 
 /** Typed ordering for stringified zone-map values. Numeric Spark types

@@ -13,6 +13,25 @@ import org.apache.spark.sql.types.StructType
 object DatasetHashpart {
   def apply(df: DataFrame, hashlabel: String, slices: Int): DataFrame =
     df.repartition(slices, col(hashlabel))
+
+  /** `as_chain` (a_dataset_hashpart.py as_chain=True): instead of merging
+    * the whole source chain into one dataset, hashpart each chained
+    * snapshot separately and emit a parallel chain — incremental consumers
+    * keep their per-snapshot boundaries.
+    */
+  def asChain(store: graft.core.SnapshotStore, sourceName: String,
+              hashlabel: String, slices: Int, outPrefix: String): Seq[graft.core.Snapshot] = {
+    val sources = store.chain(sourceName).reverse // oldest first
+    var prev: Option[String] = None
+    sources.map { src =>
+      val outName = s"$outPrefix.${src.meta.name}"
+      val snap = store.write(
+        apply(store.readResolved(src.meta.name), hashlabel, slices),
+        outName, hashlabel = Some(hashlabel), previous = prev, slices = slices)
+      prev = Some(outName)
+      snap
+    }
+  }
 }
 
 /** dataset_filter_columns (reference a_dataset_filter_columns.py:27-44):
@@ -39,6 +58,24 @@ object FilterColumns {
   *    no shuffle at all.
   */
 object DatasetMerge {
+  /** Merge two SNAPSHOTS with the reference's hashlabel-conflict guard
+    * (dataset.py:341-350): merging datasets hashed on different columns
+    * silently breaks co-partitioning assumptions — error unless
+    * `allowUnrelated`.
+    */
+  def snapshots(store: graft.core.SnapshotStore, a: String, b: String,
+                key: String, allowUnrelated: Boolean = false): DataFrame = {
+    val (ma, mb) = (store.get(a).meta, store.get(b).meta)
+    if (!allowUnrelated)
+      (ma.hashlabel, mb.hashlabel) match {
+        case (Some(ha), Some(hb)) if ha != hb =>
+          throw new IllegalArgumentException(
+            s"dataset_merge: conflicting hashlabels $ha vs $hb (allowUnrelated to override)")
+        case _ =>
+      }
+    byKey(store.readResolved(a), store.readResolved(b), key)
+  }
+
   def byKey(a: DataFrame, b: DataFrame, key: String): DataFrame = {
     val overlap = a.columns.toSet.intersect(b.columns.toSet) - key
     // later dataset wins on column conflicts (dataset.py:361-366)
@@ -63,10 +100,18 @@ object DatasetMerge {
   * restores global order across partitions.
   */
 object Unroundrobin {
-  def apply(df: DataFrame, lineno: String, slices: Int = 0): DataFrame = {
-    val ranged =
-      if (slices > 0) df.repartitionByRange(slices, col(lineno))
-      else df
+  /** @param triggerColumn keep runs of equal trigger values inside one
+    *   slice while restoring file order (a_dataset_unroundrobin.py
+    *   trigger_column) — range-partition on the trigger instead of the
+    *   lineno, then order by lineno within each slice.
+    */
+  def apply(df: DataFrame, lineno: String, slices: Int = 0,
+            triggerColumn: Option[String] = None): DataFrame = {
+    val ranged = (slices, triggerColumn) match {
+      case (n, Some(t)) if n > 0 => df.repartitionByRange(n, col(t))
+      case (n, None) if n > 0    => df.repartitionByRange(n, col(lineno))
+      case _                     => df
+    }
     ranged.sortWithinPartitions(col(lineno))
   }
 }

@@ -91,6 +91,47 @@ class SnapshotSpec extends AnyFunSuite {
     assert(store.get("ln_alias").meta.dataDir.exists(_.contains("ln_orig")))
   }
 
+  test("pre-callback Skip/Stop controls and hashlabel enforcement") {
+    val s = spark
+    import s.implicits._
+    val store = new SnapshotStore(s, tmpDir("snap_cb"))
+    store.write(Seq(1).toDF("k"), "cb_1", slices = 1)
+    store.write(Seq(2).toDF("k"), "cb_2", previous = Some("cb_1"), slices = 1)
+    store.write(Seq(3).toDF("k"), "cb_3", previous = Some("cb_2"), slices = 1)
+    import graft.core.IterateControl._
+    val skipped = store.iterateChain("cb_3", preCallback = Some { snap =>
+      if (snap.meta.name == "cb_2") throw SkipDataset
+    }).collect().map(_.getInt(0)).sorted.toSeq
+    assert(skipped == Seq(1, 3))
+    val stopped = store.iterateChain("cb_3", preCallback = Some { snap =>
+      if (snap.meta.name == "cb_2") throw StopIteration
+    }).collect().map(_.getInt(0)).sorted.toSeq
+    assert(stopped == Seq(1), "StopIteration cuts the rest of the chain")
+    // hashlabel check: cb_* are unhashed
+    intercept[IllegalArgumentException] {
+      store.iterateChain("cb_3", hashlabel = Some("k"))
+    }
+    // rehash instead of erroring
+    assert(store.iterateChain("cb_3", hashlabel = Some("k"), rehash = true)
+      .count() == 3)
+  }
+
+  test("filterColumns: metadata-only, shares the data directory") {
+    val s = spark
+    import s.implicits._
+    val store = new SnapshotStore(s, tmpDir("snap_fc"))
+    store.write((1 to 10).map(i => (i, s"v$i", i * 1.0)).toDF("a", "b", "c"),
+      "fc_full", slices = 1)
+    store.filterColumns("fc_full", "fc_ab", Seq("a", "b"))
+    val got = store.readResolved("fc_ab")
+    assert(got.columns.toSeq == Seq("a", "b"))
+    assert(got.count() == 10)
+    assert(store.get("fc_ab").meta.dataDir.exists(_.contains("fc_full")))
+    intercept[IllegalArgumentException] {
+      store.filterColumns("fc_full", "fc_bad", Seq("nope"))
+    }
+  }
+
   test("chain walk respects length and order") {
     val s = spark
     import s.implicits._

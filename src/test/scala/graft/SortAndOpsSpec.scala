@@ -96,6 +96,44 @@ class SortAndOpsSpec extends AnyFunSuite {
     assert(parts.forall(_ == 1L))
   }
 
+  test("merge snapshots: hashlabel conflict guard") {
+    val s = spark
+    import s.implicits._
+    val store = new graft.core.SnapshotStore(s, TestSpark.tmpDir("merge_guard"))
+    store.write(Seq((1, "x")).toDF("k", "v"), "mg_a",
+      hashlabel = Some("k"), slices = 2)
+    store.write(Seq((1, 9.0)).toDF("k", "w"), "mg_b",
+      hashlabel = Some("w"), slices = 2)
+    intercept[IllegalArgumentException] {
+      DatasetMerge.snapshots(store, "mg_a", "mg_b", "k")
+    }
+    assert(DatasetMerge.snapshots(store, "mg_a", "mg_b", "k",
+      allowUnrelated = true).count() == 1)
+  }
+
+  test("hashpart asChain: chain in, parallel hashed chain out") {
+    val s = spark
+    import s.implicits._
+    val store = new graft.core.SnapshotStore(s, TestSpark.tmpDir("hp_chain"))
+    store.write((1 to 10).map(i => (i % 3, i)).toDF("k", "v"), "hp_1", slices = 2)
+    store.write((11 to 20).map(i => (i % 3, i)).toDF("k", "v"), "hp_2",
+      previous = Some("hp_1"), slices = 2)
+    val out = DatasetHashpart.asChain(store, "hp_2", "k", 4, "hp_out")
+    assert(out.map(_.meta.name) == Seq("hp_out.hp_1", "hp_out.hp_2"))
+    assert(out.last.meta.previous.contains("hp_out.hp_1"))
+    assert(out.forall(_.meta.hashlabel.contains("k")))
+    assert(store.iterateChain("hp_out.hp_2").count() == 20)
+  }
+
+  test("csvimport custom newline separator") {
+    val p = java.nio.file.Paths.get(TestSpark.tmpDir("csv_nl"), "nl.csv")
+    java.nio.file.Files.writeString(p, "a,b|1,2|3,4|")
+    val res = graft.ops.CsvImport(spark, p.toString,
+      graft.ops.CsvImportConfig(newline = "|"))
+    val rows = res.data.collect().map(_.toSeq).toSet
+    assert(rows == Set(Seq("1", "2"), Seq("3", "4")))
+  }
+
   test("merge byKey: later dataset wins on column conflicts") {
     val s = spark
     import s.implicits._
