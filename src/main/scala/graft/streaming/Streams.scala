@@ -1,0 +1,143 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
+import graft.core.SnapshotStore
+import graft.jobs.Urd
+
+/** Structured Streaming surface.
+  *
+  * The reference has no streaming engine — its incremental idiom is the
+  * dataset chain driven by urd (SURVEY §2.5: "chain+previous+urd-timeline
+  * is its batch-incremental substitute"). Here both directions of that
+  * equivalence are implemented:
+  *
+  *  - classic streaming: `readStream` file source → watermarked windowed
+  *    aggregation / custom session state → any sink;
+  *  - `chainSink`: every micro-batch lands as a SNAPSHOT chained to the
+  *    previous one and recorded on the urd timeline — a streaming query
+  *    whose output is, at rest, exactly the reference's daily-append
+  *    chain, so every batch operator (iterateChain, range skip, checksum,
+  *    dedup…) works on the stream's history.
+  *
+  * Scale notes: file-source streaming tracks seen files in the checkpoint
+  * (maxFilesPerTrigger bounds batch size); watermarks bound state; the
+  * session state store is per-key (user) and times out — all standard
+  * Spark mechanics that survive a 1000-executor deployment unchanged.
+  */
+object Streams {
+
+  /** File-source stream over an events directory (schema taken from the
+    * existing files — the streaming reader needs it declared).
+    */
+  def eventStream(spark: SparkSession, dir: String,
+                  maxFilesPerTrigger: Int = 1): DataFrame = {
+    val schema = spark.read.parquet(dir).schema
+    spark.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .parquet(dir)
+  }
+
+  /** Watermarked sliding-window counts per event type: the canonical
+    * "stream aggregation with bounded state" shape. Late events beyond
+    * the watermark are dropped; closed windows are emitted once
+    * (append mode) or updated continuously (update mode).
+    */
+  def windowedCounts(events: DataFrame,
+                     windowLen: String = "10 minutes",
+                     slide: String = "5 minutes",
+                     watermark: String = "15 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowLen, slide), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("total_value"))
+      .select(col("window.start").as("window_start"),
+        col("window.end").as("window_end"),
+        col("event_type"), col("n"), col("total_value"))
+
+  final case class SessionEvent(user_id: Long, ts: java.sql.Timestamp, value: Double)
+  final case class SessionState(start: Long, last: Long, events: Int, total: Double)
+  final case class SessionOut(user_id: Long, session_start: java.sql.Timestamp,
+      session_end: java.sql.Timestamp, n_events: Int, total_value: Double)
+
+  /** Sessionization with custom state (flatMapGroupsWithState): events of
+    * one user belong to a session until `gapMs` of inactivity; a closed
+    * session is emitted exactly once — arbitrary per-key state with
+    * explicit lifecycle.
+    *
+    * @param idleFlush with true (production), a processing-time timeout
+    *   flushes sessions whose users went silent — at the cost of the
+    *   query triggering continuously to check timeouts. With false,
+    *   sessions only close when the user's NEXT event arrives
+    *   (deterministic; what the tests use).
+    */
+  def sessionize(events: Dataset[SessionEvent], gapMs: Long,
+                 idleFlush: Boolean = true): Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    val timeout =
+      if (idleFlush) GroupStateTimeout.ProcessingTimeTimeout()
+      else GroupStateTimeout.NoTimeout()
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, SessionOut](
+        OutputMode.Append(), timeout) {
+        case (user, it, state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator(SessionOut(user, new java.sql.Timestamp(s.start),
+              new java.sql.Timestamp(s.last), s.events, s.total))
+          } else {
+            val sorted = it.toSeq.sortBy(_.ts.getTime)
+            var closed = List.empty[SessionOut]
+            var cur = state.getOption
+            sorted.foreach { e =>
+              val t = e.ts.getTime
+              cur match {
+                case Some(s) if t - s.last <= gapMs =>
+                  cur = Some(s.copy(last = t, events = s.events + 1,
+                    total = s.total + e.value))
+                case Some(s) =>
+                  closed ::= SessionOut(user, new java.sql.Timestamp(s.start),
+                    new java.sql.Timestamp(s.last), s.events, s.total)
+                  cur = Some(SessionState(t, t, 1, e.value))
+                case None =>
+                  cur = Some(SessionState(t, t, 1, e.value))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              if (idleFlush) state.setTimeoutDuration(gapMs)
+            }
+            closed.reverseIterator
+          }
+      }
+  }
+
+  /** Stream → chain bridge: each micro-batch becomes a snapshot chained to
+    * the previous batch's snapshot and logged on the urd timeline. The
+    * stream's full history is then a first-class dataset chain.
+    */
+  def chainSink(stream: DataFrame, store: SnapshotStore, prefix: String,
+                urd: Option[(Urd, String)] = None,
+                checkpoint: String): StreamingQuery = {
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode(OutputMode.Append())
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          val name = s"$prefix.$batchId"
+          val prev = (batchId - 1 to 0L by -1)
+            .map(i => s"$prefix.$i").find(store.exists)
+          store.write(batch, name, previous = prev)
+          urd.foreach { case (u, key) =>
+            u.add(key, f"$batchId%010d", Seq(prefix -> name))
+          }
+        }
+        ()
+      }
+      .start()
+  }
+}

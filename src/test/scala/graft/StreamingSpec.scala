@@ -1,0 +1,82 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+import graft.core.SnapshotStore
+import graft.streaming.Streams
+import graft.streaming.Streams.{SessionEvent, SessionOut}
+import TestSpark.{spark, tmpDir}
+
+/** Structured Streaming: watermarked windows, custom session state, and
+  * the stream→chain bridge (micro-batches landing as chained snapshots).
+  */
+class StreamingSpec extends AnyFunSuite {
+
+  private def ts(minute: Int): java.sql.Timestamp =
+    java.sql.Timestamp.valueOf(f"2024-01-01 10:$minute%02d:00")
+
+  test("windowed counts with watermark close windows exactly once") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val in = MemoryStream[(java.sql.Timestamp, String, Double)]
+    val events = in.toDF.toDF("ts", "event_type", "value")
+    val out = Streams.windowedCounts(events,
+      windowLen = "10 minutes", slide = "10 minutes", watermark = "5 minutes")
+    val q = out.writeStream.format("memory").queryName("wc")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      in.addData((ts(1), "click", 1.0), (ts(2), "click", 2.0), (ts(11), "view", 5.0))
+      q.processAllAvailable()
+      // advance watermark far enough to close the 10:00 and 10:10 windows
+      in.addData((ts(40), "late", 0.0))
+      q.processAllAvailable()
+      val rows = s.sql("SELECT event_type, n, total_value FROM wc ORDER BY event_type")
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq
+      assert(rows == Seq(("click", 2L, 3.0), ("view", 1L, 5.0)))
+    } finally q.stop()
+  }
+
+  test("sessionization: gap closes a session, state carries across batches") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val in = MemoryStream[SessionEvent]
+    val q = Streams.sessionize(in.toDS(), gapMs = 5 * 60 * 1000, idleFlush = false)
+      .writeStream.format("memory").queryName("sess")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      in.addData(SessionEvent(1L, ts(0), 1.0), SessionEvent(1L, ts(2), 2.0))
+      q.processAllAvailable()
+      // a gap > 5 min closes the first session when the next event arrives
+      in.addData(SessionEvent(1L, ts(20), 7.0))
+      q.processAllAvailable()
+      val rows = s.sql("SELECT user_id, n_events, total_value FROM sess")
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2))).toSeq
+      assert(rows == Seq((1L, 2, 3.0)), s"first session closed once: $rows")
+    } finally q.stop()
+  }
+
+  test("chainSink: micro-batches land as a chained, iterable snapshot history") {
+    val s = spark
+    import s.implicits._
+    val dir = tmpDir("stream_src")
+    val store = new SnapshotStore(s, tmpDir("stream_store"))
+    // two source files → with maxFilesPerTrigger=1, two micro-batches
+    Seq((1L, "a"), (2L, "b")).toDF("id", "v").coalesce(1)
+      .write.mode("append").parquet(dir)
+    Seq((3L, "c")).toDF("id", "v").coalesce(1)
+      .write.mode("append").parquet(dir)
+    val stream = Streams.eventStream(s, dir, maxFilesPerTrigger = 1)
+    val q = Streams.chainSink(stream, store, "ev",
+      checkpoint = tmpDir("stream_ckpt"))
+    q.awaitTermination(60000)
+    val names = store.list().filter(_.startsWith("ev."))
+    assert(names.size == 2, s"expected 2 chained snapshots, got $names")
+    val tip = names.sorted.last
+    assert(store.get(tip).meta.previous.contains(names.sorted.head))
+    assert(store.iterateChain(tip).count() == 3)
+  }
+}
