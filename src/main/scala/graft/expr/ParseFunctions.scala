@@ -229,6 +229,55 @@ object ParseFunctions {
     sb.toString
   }
 
+  /** floatbooli (dataset_type.py whole=0): strtod the PREFIX, truthiness of
+    * whatever parsed; no conversion at all still yields 0.0 → false —
+    * floatbooli never produces a bad value on non-null input.
+    */
+  def floatBoolI(c: Column): Column = {
+    val lead = regexp_extract(c,
+      "^\\s*([-+]?(\\d+\\.?\\d*|\\.\\d+)([eE][-+]?\\d+)?|[-+]?(?i)(inf(inity)?|nan))", 1)
+    when(c.isNull, lit(null).cast("boolean"))
+      .otherwise(coalesce(floatParse(lead) =!= 0.0, lit(false)))
+  }
+
+  /** strftime format → matching regex, for the `i`-suffixed date/time
+    * variants (dataset_type.py:812-828 whole=0: parse the leading value,
+    * ignore trailing garbage).
+    */
+  def strftimeToRegex(fmt: String): String = {
+    val sb = new StringBuilder("^\\s*(")
+    var i = 0
+    while (i < fmt.length) {
+      val ch = fmt.charAt(i)
+      if (ch == '%' && i + 1 < fmt.length) {
+        fmt.charAt(i + 1) match {
+          case 'Y' => sb ++= "\\d{4}"
+          case 'y' => sb ++= "\\d{2}"
+          case 'm' | 'd' | 'H' | 'M' | 'S' => sb ++= "\\d{1,2}"
+          case 'f' => sb ++= "\\d{1,6}"
+          case 'j' => sb ++= "\\d{1,3}"
+          case 'b' | 'a' => sb ++= "[A-Za-z]{3}"
+          case 'B' | 'A' => sb ++= "[A-Za-z]+"
+          case 'p' => sb ++= "[APap][Mm]"
+          case '%' => sb ++= "%"
+          case o   => sb += o
+        }
+        i += 2
+      } else {
+        sb ++= java.util.regex.Pattern.quote(ch.toString)
+        i += 1
+      }
+    }
+    sb ++= ")"
+    sb.toString
+  }
+
+  /** Leading-match extraction for the i date/time variants. */
+  def extractLeading(c: Column, fmt: String): Column = {
+    val m = regexp_extract(c, strftimeToRegex(fmt), 1)
+    when(m === "", lit(null).cast("string")).otherwise(m)
+  }
+
   /** date:%fmt — with `%s` = unix epoch seconds (dataset_type.py:787-803). */
   def parseDate(c: Column, fmt: String): Column = fmt match {
     case "%s" => to_date(timestamp_seconds(c.try_cast("long")))

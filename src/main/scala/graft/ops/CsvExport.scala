@@ -24,6 +24,14 @@ final case class CsvExportConfig(
 
 object CsvExport {
 
+  /** chain_source export (reference a_csvexport.py:52,191-197: several
+    * line-aligned source datasets / a chain concatenated per column into
+    * ONE file): export a snapshot chain as a single CSV.
+    */
+  def chain(store: graft.core.SnapshotStore, name: String, path: String,
+            cfg: CsvExportConfig = CsvExportConfig(), length: Int = -1): Unit =
+    apply(store.iterateChain(name, length = length), path, cfg)
+
   /** Render one column to its CSV cell string (quote-mode aware). */
   private def cell(df: DataFrame, name: String, cfg: CsvExportConfig): Column = {
     val noneAs = cfg.noneAs.getOrElse(name, cfg.noneAs.getOrElse("*", ""))

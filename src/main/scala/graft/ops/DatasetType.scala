@@ -63,6 +63,9 @@ object DatasetType {
       case None    => ts
     }
     base match {
+      case "number" if fmt == "int" =>
+        // number:int — integral values only (non-integral input is bad)
+        floatInt(c, 64, exact = true, saturate = false)
       case "number"    => fl(c)
       case "numberi"   => numberI(c)
       case "float64"   => fl(c)
@@ -91,6 +94,7 @@ object DatasetType {
       case "bits32_8"  => bits(c, 32, 8)
       case "strbool"   => strBool(c)
       case "floatbool" => floatBool(c)
+      case "floatbooli" => floatBoolI(c)
       case "complex64" => parseComplex(c, 64)
       case "complex32" => parseComplex(c, 32)
       case "date"      => parseDate(c, if (fmt.isEmpty) "%Y-%m-%d" else fmt)
@@ -101,7 +105,18 @@ object DatasetType {
         if (f == "%s" || f == "java") parseDatetime(c, f)
         else tz(parseDatetime(c, f))
       case "javadatetime" => parseDatetime(c, "java")
+      case "datei" =>
+        val f = if (fmt.isEmpty) "%Y-%m-%d" else fmt
+        if (f == "%s") parseDate(intI(c, 64).cast("string"), "%s")
+        else parseDate(extractLeading(c, f), f)
+      case "datetimei" =>
+        val f = if (fmt.isEmpty) "%Y-%m-%d %H:%M:%S" else fmt
+        if (f == "%s" || f == "java") parseDatetime(intI(c, 64).cast("string"), f)
+        else tz(parseDatetime(extractLeading(c, f), f))
+      case "javadatetimei" => parseDatetime(intI(c, 64).cast("string"), "java")
       case "time"      => parseTimeMicros(c)
+      case "timei"     => parseTimeMicros(
+        regexp_extract(c, "^\\s*(\\d{1,2}:\\d{2}:\\d{2}(\\.\\d{1,6})?)", 1))
       case "bytes"     => c.cast("binary")
       case "bytesstrip" => stripWs(c).cast("binary")
       case "ascii" => if (fmt == "replace") asciiReplace(c) else asciiStrict(c)

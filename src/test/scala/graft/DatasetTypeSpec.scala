@@ -96,6 +96,28 @@ class DatasetTypeSpec extends AnyFunSuite {
           (23L*3600+59*60+59)*1000000L + 999999L, null))
   }
 
+  test("floatbooli: prefix parse, garbage-only is false (reference table)") {
+    val vals = Seq("1 yes", "0 no", "0.00 also no", "inf yes", " 0.01y", "junk")
+    assert(conv("floatbooli", vals) ==
+      Seq(true, false, false, true, true, false))
+  }
+
+  test("i-variants of date/time/datetime tolerate trailing garbage") {
+    assert(conv("datei", Seq("1999-12-31 trailing", "bad")).map(Option(_).map(_.toString).orNull) ==
+      Seq("1999-12-31", null))
+    assert(conv("datetimei", Seq("2020-01-02 03:04:05 extra")).map(_.toString) ==
+      Seq("2020-01-02 03:04:05.0"))
+    assert(conv("timei", Seq("12:34:56.5 tail", "nope")) ==
+      Seq((12L * 3600 + 34 * 60 + 56) * 1000000L + 500000L, null))
+    assert(conv("javadatetimei", Seq("86400000 ms since epoch")).map(_.toString) ==
+      Seq("1970-01-02 00:00:00.0"))
+  }
+
+  test("number:int accepts integral floats, rejects fractional") {
+    assert(conv("number:int", Seq("42", "42.0", "43.", "1.5")) ==
+      Seq(42L, 42L, 43L, null))
+  }
+
   test("numeric_comma: ',' is the decimal separator, '.' is a bad value") {
     val df = strings1(Seq("3,14", "42", "3.14", "1e3"))
     val got = graft.ops.DatasetType(df, Map("v" -> "float64"),

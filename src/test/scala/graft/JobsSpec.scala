@@ -60,6 +60,24 @@ class JobsSpec extends AnyFunSuite {
     assert(why(a.jobid) == Map("y" -> (Some("2"), Some("3"))))
   }
 
+  test("subjobs: builds nested inside a job body memoize independently") {
+    val r = newRunner("jobs_sub")
+    var subRuns = 0
+    def outer(opt: String) = r.build(JobRequest("outer", "1", Map("o" -> opt))) { _ =>
+      // reference subjobs.build (subjobs.py:33-65): a job builds child
+      // jobs; the children hit the same content-addressed cache
+      val child = r.build(JobRequest("child", "1", Map("c" -> "fixed"))) { _ =>
+        subRuns += 1; Map("out" -> "sub")
+      }
+      Map("childJob" -> child.jobid)
+    }
+    val a = outer("1")
+    val b = outer("2")
+    assert(!a.cached && !b.cached, "outer jobs differ in options")
+    assert(subRuns == 1, "the shared child job must build once")
+    assert(a.output("childJob") == b.output("childJob"))
+  }
+
   test("urd: add/get/latest/first/since/truncate and disk replay") {
     val root = tmpDir("urd_unit")
     val u = new Urd(s"$root/urd.log")
