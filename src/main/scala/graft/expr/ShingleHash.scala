@@ -1,0 +1,106 @@
+package graft.expr
+
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Single-pass token/shingle hashing.
+  *
+  * The HOF formulation (`transform(tokens, t => conv(substring(md5(t)...)`
+  * is evaluated interpreted per element (higher-order functions are
+  * CodegenFallback) — profiling showed it dominating the dedup pack
+  * (~57µs/shingle). These expressions do one pass in plain JVM code:
+  * build the shingle bytes, md5, take the first 5 bytes as the 40-bit
+  * hash. Value-identical to the oracle's
+  * `('0x'||substr(md5(x),1,10))::BIGINT`.
+  */
+object Md5Hash40 {
+  def of(bytes: Array[Byte]): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5").digest(bytes)
+    ((d(0) & 0xffL) << 32) | ((d(1) & 0xffL) << 24) |
+    ((d(2) & 0xffL) << 16) | ((d(3) & 0xffL) << 8) | (d(4) & 0xffL)
+  }
+}
+
+/** Distinct word-n-gram shingle hashes from a token array — the fused
+  * equivalent of `array_distinct(transform(wordShingles(toks, n),
+  * tokenHash40))`: shingles are the ''-joined n-grams, with the whole
+  * text as a single shingle when there are fewer than n tokens
+  * (SimilarityFunctions.wordShingles semantics).
+  */
+case class ShingleHash40(child: Expression, n: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_shingle_hash40"
+
+  def compute(arr: ArrayData): ArrayData = {
+    val m = arr.numElements()
+    val seen = new java.util.LinkedHashSet[java.lang.Long]()
+    if (m < n) {
+      val sb = new java.lang.StringBuilder
+      var i = 0
+      while (i < m) { if (!arr.isNullAt(i)) sb.append(arr.getUTF8String(i)); i += 1 }
+      seen.add(Md5Hash40.of(sb.toString.getBytes("UTF-8")))
+    } else {
+      var i = 0
+      while (i + n <= m) {
+        val sb = new java.lang.StringBuilder
+        var j = 0
+        while (j < n) {
+          if (!arr.isNullAt(i + j)) sb.append(arr.getUTF8String(i + j))
+          j += 1
+        }
+        seen.add(Md5Hash40.of(sb.toString.getBytes("UTF-8")))
+        i += 1
+      }
+    }
+    val out = new Array[Long](seen.size)
+    val it = seen.iterator()
+    var k = 0
+    while (it.hasNext) { out(k) = it.next(); k += 1 }
+    new GenericArrayData(out)
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("shingler", this, classOf[ShingleHash40].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $self.compute($c);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): ShingleHash40 =
+    copy(child = newChild)
+}
+
+/** Per-token 40-bit hashes (non-distinct) — the fused equivalent of
+  * `transform(toks, tokenHash40)`, feeding SimHash.
+  */
+case class TokenHash40Array(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_token_hash40"
+
+  def compute(arr: ArrayData): ArrayData = {
+    val m = arr.numElements()
+    val out = new Array[Long](m)
+    var i = 0
+    while (i < m) {
+      val s = if (arr.isNullAt(i)) UTF8String.EMPTY_UTF8 else arr.getUTF8String(i)
+      out(i) = Md5Hash40.of(s.getBytes)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("hasher", this, classOf[TokenHash40Array].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $self.compute($c);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): TokenHash40Array =
+    copy(child = newChild)
+}

@@ -31,6 +31,23 @@ object SimilarityFunctions {
     size(array_intersect(a, b)).cast("double") /
       size(array_union(a, b)).cast("double")
 
+  /** Distinct 40-bit shingle hashes straight from the text — fused
+    * single-pass expression (graft.expr.ShingleHash40); value-identical
+    * to array_distinct(transform(wordShingles(text, n), tokenHash40))
+    * but ~50× cheaper (the HOF chain evaluates interpreted per element).
+    */
+  def shingleHashes(text: Column, n: Int): Column = {
+    import org.apache.spark.sql.GraftBridge
+    val toks = TextFunctions.tokens(TextFunctions.normalized(text))
+    GraftBridge.column(graft.expr.ShingleHash40(GraftBridge.expression(toks), n))
+  }
+
+  /** Per-token 40-bit hashes, fused (graft.expr.TokenHash40Array). */
+  def tokenHashes40(toks: Column): Column = {
+    import org.apache.spark.sql.GraftBridge
+    GraftBridge.column(graft.expr.TokenHash40Array(GraftBridge.expression(toks)))
+  }
+
   /** MinHash signature over string shingles: sig[i] = min over shingles of
     * (a_i·h40(s) + b_i) mod 2^40 — the standard estimator (Broder '97),
     * Pr[sig_a[i] == sig_b[i]] = J(a,b). Single-pass custom Catalyst
@@ -60,8 +77,8 @@ object SimilarityFunctions {
     */
   def simhash40(toks: Column): Column = {
     import org.apache.spark.sql.GraftBridge
-    val hashes = transform(toks, t => TextFunctions.tokenHash40(t))
-    GraftBridge.column(graft.expr.SimHash(GraftBridge.expression(hashes), 40))
+    GraftBridge.column(graft.expr.SimHash(
+      GraftBridge.expression(tokenHashes40(toks)), 40))
   }
 
   /** Hamming distance between two 64-bit-or-narrower hashes. */

@@ -53,8 +53,7 @@ object Dedup {
                    n: Int = 3, threshold: Double = 0.8,
                    maxDf: Int = Int.MaxValue): DataFrame = {
     val withHs = df.select(col(idCol).as("id"),
-      array_distinct(transform(S.wordShingles(col(textCol), n),
-        s => T.tokenHash40(s))).as("hs"))
+      S.shingleHashes(col(textCol), n).as("hs"))
     // the posting list feeds FIVE branches (hot, cold, hotPost, sizes, hot
     // counts) — persist it so the shingle+md5 computation runs once, not
     // per branch (MEMORY_AND_DISK: spills instead of recomputing at scale)
@@ -124,8 +123,7 @@ object Dedup {
     require(k % bands == 0, s"k=$k must be a multiple of bands=$bands")
     val rows = k / bands
     val withHs = df.select(col(idCol).as("id"),
-      array_distinct(transform(S.wordShingles(col(textCol), n),
-        s => T.tokenHash40(s))).as("hs"))
+      S.shingleHashes(col(textCol), n).as("hs"))
       // reused by the signature path and both verify joins
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val withSig = withHs.select(col("id"),
