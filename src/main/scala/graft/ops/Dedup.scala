@@ -175,7 +175,8 @@ object Dedup {
   }
 
   /** Embedding near-dup: pairs with cosine ≥ threshold. Brute-force
-    * O(n²/2) — correct baseline; LshAnn provides the bucketed scale path.
+    * O(n²/2) — correct baseline for small corpora; `embeddingCosineLsh`
+    * is the at-scale path.
     */
   def embeddingCosine(df: DataFrame, idCol: String, vecCol: String,
                       threshold: Double): DataFrame = {
@@ -185,6 +186,35 @@ object Dedup {
     v.as("x").join(v.as("y"), col("x.id") < col("y.id"))
       .select(col("x.id").as("id_a"), col("y.id").as("id_b"),
         (S.dot(col("x.v"), col("y.v")) / (col("x.nrm") * col("y.nrm"))).as("cosine"))
+      .filter(col("cosine") >= threshold)
+  }
+
+  /** Bucketed embedding near-dup — the 100 TB path: sign-LSH buckets
+    * (deterministic md5-derived hyperplanes, SimilaritySearch.planeWeight)
+    * restrict the pair space to bucket-sharing candidates; exact cosine
+    * verifies. Recall follows the sign-LSH curve (cos θ pairs agree on one
+    * plane with prob 1−θ/π); the candidate join shuffles only
+    * (id, table, bucket) rows — never vectors, never O(n²).
+    */
+  def embeddingCosineLsh(df: DataFrame, idCol: String, vecCol: String,
+                         threshold: Double, dim: Int,
+                         tables: Int = 8, planes: Int = 6): DataFrame = {
+    val v = df.select(col(idCol).as("id"),
+      col(vecCol).cast("array<double>").as("v"))
+    val bucketed = (0 until tables).map { t =>
+      v.select(col("id"), lit(t).as("tbl"),
+        SimilaritySearch.signBits(col("v"), t, planes, dim).as("bucket"))
+    }.reduce(_ unionByName _)
+    val cands = bucketed.as("x").join(bucketed.as("y"), Seq("tbl", "bucket"))
+      .filter(col("x.id") < col("y.id"))
+      .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
+      .distinct()
+    val a = v.select(col("id").as("id_a"), col("v").as("va"))
+    val b = v.select(col("id").as("id_b"), col("v").as("vb"))
+    cands.join(a, "id_a").join(b, "id_b")
+      .select(col("id_a"), col("id_b"),
+        (S.dot(col("va"), col("vb")) /
+         (S.l2Norm(col("va")) * S.l2Norm(col("vb")))).as("cosine"))
       .filter(col("cosine") >= threshold)
   }
 }

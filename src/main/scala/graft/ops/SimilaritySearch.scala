@@ -57,7 +57,7 @@ object SimilaritySearch {
     (java.lang.Long.parseLong(hex, 16) % 2000001L).toDouble / 1000000.0 - 1.0
   }
 
-  private def signBits(v: Column, table: Int, planes: Int, dim: Int): Column = {
+  private[ops] def signBits(v: Column, table: Int, planes: Int, dim: Int): Column = {
     // bit p = sign of dot(v, plane_p); sequential fold matches the oracle's
     // list_dot_product exactly (same op order ⇒ same IEEE754 result ⇒ same
     // sign, always)

@@ -85,6 +85,24 @@ object OracleGen {
          WHERE bit_count(xor(x.sh, y.sh)) <= $maxHamming"""
   }
 
+  /** Bucketed embedding near-dup: same deterministic sign-LSH planes as
+    * annLsh; pairs sharing ≥1 (table, bucket) verified by exact cosine.
+    */
+  def embeddingCosineLsh(threshold: Double, dim: Int, tables: Int, planes: Int): String =
+    raw"""WITH planes AS (
+           SELECT t.range t, p.range p,
+             list(((('0x'||substr(md5(t.range||','||p.range||','||j.range),1,10))::BIGINT % 2000001)/1000000.0 - 1.0) ORDER BY j.range) pv
+           FROM range($tables) t, range($planes) p, range($dim) j GROUP BY 1, 2),
+         v AS (SELECT vec_id, embedding::DOUBLE[] e FROM embeddings),
+         bk AS (SELECT vec_id, t, sum(CASE WHEN list_dot_product(e, pv) >= 0 THEN (1::BIGINT << p) ELSE 0 END)::BIGINT bucket
+           FROM v CROSS JOIN planes GROUP BY 1, 2),
+         cand AS (SELECT DISTINCT x.vec_id id_a, y.vec_id id_b
+           FROM bk x JOIN bk y ON x.t = y.t AND x.bucket = y.bucket AND x.vec_id < y.vec_id),
+         scored AS (SELECT id_a, id_b,
+             list_dot_product(a.e, b.e) / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))) cosine
+           FROM cand JOIN v a ON id_a = a.vec_id JOIN v b ON id_b = b.vec_id)
+         SELECT id_a, id_b, cosine FROM scored WHERE cosine >= $threshold"""
+
   /** Sign-LSH ANN: plane weights from md5("t,p,j") — identical to
     * SimilaritySearch.planeWeight; bucket = sign bits of sequential
     * dot products (list_dot_product == Spark's ordered fold, so the

@@ -64,6 +64,10 @@ object TextPack {
   def dedupSimhash(s: SparkSession, dir: String): DataFrame =
     Dedup.simhash(Tables.documents(s, dir), "doc_id", "text", maxHamming = 3)
 
+  def dedupEmbedding(s: SparkSession, dir: String): DataFrame =
+    Dedup.embeddingCosineLsh(Tables.embeddings(s, dir), "vec_id", "embedding",
+      threshold = 0.45, dim = 64, tables = 8, planes = 6)
+
   def annBrute(s: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(s, dir)
     val queries = emb.filter(col("vec_id") < 5)
@@ -88,6 +92,7 @@ object TextPack {
     "dd_ngram_jaccard" -> dedupNgram _,
     "dd_minhash_lsh" -> dedupMinhash _,
     "dd_simhash" -> dedupSimhash _,
+    "dd_embedding_cosine" -> dedupEmbedding _,
     "ann_brute_topk" -> annBrute _,
     "ann_lsh_topk" -> annLsh _,
   )
@@ -151,6 +156,8 @@ object TextPack {
     "dd_ngram_jaccard" -> OracleGen.ngramJaccard(NgramMaxDf, 0.3),
     "dd_minhash_lsh" -> OracleGen.minhashLsh(16, 8, 0.3),
     "dd_simhash" -> OracleGen.simhash(3),
+    "dd_embedding_cosine" ->
+      OracleGen.embeddingCosineLsh(0.45, dim = 64, tables = 8, planes = 6),
     "ann_lsh_topk" -> OracleGen.annLsh(tables = 8, planes = 10, dim = 64, k = 10),
     "ann_brute_topk" ->
       """WITH v AS (SELECT vec_id, embedding::DOUBLE[] e FROM embeddings),
