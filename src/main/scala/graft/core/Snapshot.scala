@@ -101,10 +101,16 @@ final class SnapshotStore(val spark: SparkSession, val root: String) {
       }
     }
     val aggs = count(lit(1)).as("__lines") +: comparable.flatMap { f =>
-      if (zoneMaps)
-        Seq(min(col(f.name)).cast("string").as(s"__min_${f.name}"),
-            max(col(f.name)).cast("string").as(s"__max_${f.name}"))
-      else Nil
+      if (zoneMaps) {
+        // NaN must not poison float zone maps (Spark's max sorts NaN above
+        // everything; the reference excludes NaN/None, dataset.py:875-897)
+        val c = f.dataType.typeName match {
+          case "double" | "float" => when(!isnan(col(f.name)), col(f.name))
+          case _                  => col(f.name)
+        }
+        Seq(min(c).cast("string").as(s"__min_${f.name}"),
+            max(c).cast("string").as(s"__max_${f.name}"))
+      } else Nil
     }.toSeq
     val row = df.agg(aggs.head, aggs.tail: _*).collect()(0)
     val lines = row.getLong(0)
