@@ -44,6 +44,36 @@ object Shell {
     }
   }
 
+  /** Dataset ref idioms from the reference's shell parser
+    * (shell/parser.py name2ds): `name~` / `name~N` walk N steps down the
+    * `previous` chain; `name^` goes to the parent dataset. Operators
+    * compose left-to-right: `a~2^`.
+    */
+  def resolveRef(store: SnapshotStore, ref: String): String = {
+    val m = "^([^~^]+)((?:~\\d*|\\^)*)$".r
+    ref match {
+      case m(base, ops) =>
+        var cur = base
+        val it = "~\\d*|\\^".r.findAllIn(ops)
+        it.foreach {
+          case "^" =>
+            cur = store.get(cur).meta.parent.getOrElse(
+              sys.error(s"$cur has no parent"))
+          case tilde =>
+            val n = tilde.stripPrefix("~") match {
+              case "" => 1
+              case d  => d.toInt
+            }
+            (0 until n).foreach { _ =>
+              cur = store.get(cur).meta.previous.getOrElse(
+                sys.error(s"$cur has no previous"))
+            }
+        }
+        cur
+      case _ => ref
+    }
+  }
+
   def dsInfo(store: SnapshotStore, name: String): String = {
     val s = store.get(name)
     val b = new StringBuilder
@@ -67,8 +97,9 @@ object Shell {
 
   /** Rows of (a chain of) a snapshot, optionally projected/limited. */
   def catDf(store: SnapshotStore, a: Args): DataFrame = {
-    val df0 = if (a.chain == 1) store.readResolved(a.name)
-              else store.iterateChain(a.name, length = a.chain)
+    val name = resolveRef(store, a.name)
+    val df0 = if (a.chain == 1) store.readResolved(name)
+              else store.iterateChain(name, length = a.chain)
     val df1 = if (a.columns.nonEmpty) df0.select(a.columns.map(col): _*) else df0
     if (a.limit >= 0) df1.limit(a.limit) else df1
   }
@@ -100,7 +131,8 @@ object Shell {
     try argv(0) match {
       case "ds" =>
         val a = parse(argv.toList.tail, withPattern = false)
-        print(dsInfo(new SnapshotStore(spark, a.store), a.name))
+        val st = new SnapshotStore(spark, a.store)
+        print(dsInfo(st, resolveRef(st, a.name)))
       case "cat" =>
         val a = parse(argv.toList.tail, withPattern = false)
         printCsv(catDf(new SnapshotStore(spark, a.store), a))

@@ -72,7 +72,8 @@ final case class JobResult(jobid: String, cached: Boolean, outputs: Map[String, 
 final class JobContext(
     val store: SnapshotStore,
     val jobid: String,
-    val request: JobRequest) {
+    val request: JobRequest,
+    jobDir: java.nio.file.Path) {
   def spark = store.spark
   def input(name: String): Snapshot = store.get(request.inputs(name))
   def inputOpt(name: String): Option[Snapshot] =
@@ -81,6 +82,14 @@ final class JobContext(
     * dir, `jobid/name`).
     */
   def snapshotName(local: String): String = s"$jobid.$local"
+
+  /** Non-dataset result artifact in the job dir (the reference's
+    * blob.save, extras.py:88-133; read back via JobRunner.artifact —
+    * job.load, job.py:141-148). JSON/text, not pickles: artifacts should
+    * be readable by anything.
+    */
+  def saveArtifact(name: String, content: String): Unit =
+    Files.writeString(jobDir.resolve(s"artifact_$name"), content)
 }
 
 final class JobRunner(
@@ -126,6 +135,15 @@ final class JobRunner(
   def matchJob(jobid: String): JobRecord =
     db.find(_.jobid == jobid)
       .getOrElse(sys.error(s"jobs: no such job $jobid"))
+
+  /** Read a finished job's artifact (reference job.load). */
+  def artifact(jobid: String, name: String): String =
+    Files.readString(jobDir(jobid).resolve(s"artifact_$name"))
+
+  def artifactNames(jobid: String): Seq[String] =
+    Files.list(jobDir(jobid)).iterator().asScala
+      .map(_.getFileName.toString).filter(_.startsWith("artifact_"))
+      .map(_.stripPrefix("artifact_")).toSeq.sorted
 
   /** Newest finished job whose request matches exactly (modulo equivalent
     * versions).
@@ -187,7 +205,7 @@ final class JobRunner(
     Files.writeString(dir.resolve("setup.json"),
       s"""{"method":${jstr(req.method)},"version":${jstr(req.version)},""" +
       s""""options":${jmap(req.options)},"inputs":${jmap(req.inputs)}}""")
-    val ctx = new JobContext(store, jobid, req)
+    val ctx = new JobContext(store, jobid, req, dir)
     val outputs = body(ctx)
     Files.writeString(dir.resolve("post.json"),
       s"""{"outputs":${jmap(outputs)}}""")

@@ -60,6 +60,16 @@ class JobsSpec extends AnyFunSuite {
     assert(why(a.jobid) == Map("y" -> (Some("2"), Some("3"))))
   }
 
+  test("artifacts: jobs save non-dataset results, consumers load them") {
+    val r = newRunner("jobs_art")
+    val a = r.build(JobRequest("stats", "1", Map("o" -> "x"))) { ctx =>
+      ctx.saveArtifact("summary", """{"rows": 42}""")
+      Map()
+    }
+    assert(r.artifact(a.jobid, "summary") == """{"rows": 42}""")
+    assert(r.artifactNames(a.jobid) == Seq("summary"))
+  }
+
   test("subjobs: builds nested inside a job body memoize independently") {
     val r = newRunner("jobs_sub")
     var subRuns = 0

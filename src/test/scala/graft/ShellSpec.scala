@@ -38,6 +38,23 @@ class ShellSpec extends AnyFunSuite {
     assert(limited.count() == 1)
   }
 
+  test("dataset ref idioms: ~N chain walk and ^ parent") {
+    val st = store()
+    assert(Shell.resolveRef(st, "sh_b~") == "sh_a")
+    assert(Shell.resolveRef(st, "sh_b~1") == "sh_a")
+    assert(Shell.resolveRef(st, "sh_b") == "sh_b")
+    // parent hop
+    val s = spark
+    import s.implicits._
+    st.write(st.withRowId(Seq((1L, "x")).toDF("k", "v")), "sh_par", slices = 1)
+    st.appendColumns("sh_par", "sh_kid") { p =>
+      p.select(org.apache.spark.sql.functions.col(
+        graft.core.SnapshotStore.RowIdName),
+        (org.apache.spark.sql.functions.col("k") + 1).as("k1"))
+    }
+    assert(Shell.resolveRef(st, "sh_kid^") == "sh_par")
+  }
+
   test("grep filters rows by regex across selected columns") {
     val st = store()
     val hits = Shell.grepDf(st,
