@@ -86,20 +86,32 @@ object CsvExport {
         Files.writeString(Paths.get(path, "_0_header.csv"), header + cfg.lineSeparator)
       }
     } else {
+      // single assembled file: stream-concat the part files (constant
+      // driver memory). For gzip the parts are themselves gzip streams and
+      // members concatenate into a valid multi-member gzip — so the
+      // assembled .gz never decompresses on the driver either.
+      val gzip = cfg.compression == "gzip"
       val tmp = path + ".parts"
-      lines.write.mode("overwrite").option("lineSep", cfg.lineSeparator).text(tmp)
+      val w = lines.write.mode("overwrite").option("lineSep", cfg.lineSeparator)
+      (if (gzip) w.option("compression", "gzip") else w).text(tmp)
       val parts = Files.list(Paths.get(tmp)).iterator().asScala
         .filter(_.getFileName.toString.startsWith("part-")).toSeq.sortBy(_.toString)
       val out = Paths.get(path)
       Files.deleteIfExists(out)
-      // stream-copy each part (constant driver memory — single-file export
-      // of a big dataset must not buffer whole parts on the driver heap)
       val outCh = java.nio.channels.FileChannel.open(out,
         StandardOpenOption.CREATE, StandardOpenOption.APPEND)
       try {
-        if (cfg.header)
-          outCh.write(java.nio.ByteBuffer.wrap(
-            (header + cfg.lineSeparator).getBytes("UTF-8")))
+        if (cfg.header) {
+          val hdrBytes =
+            if (gzip) {
+              val bos = new java.io.ByteArrayOutputStream()
+              val gz = new java.util.zip.GZIPOutputStream(bos)
+              gz.write((header + cfg.lineSeparator).getBytes("UTF-8"))
+              gz.close()
+              bos.toByteArray
+            } else (header + cfg.lineSeparator).getBytes("UTF-8")
+          outCh.write(java.nio.ByteBuffer.wrap(hdrBytes))
+        }
         parts.foreach { p =>
           val in = java.nio.channels.FileChannel.open(p, StandardOpenOption.READ)
           try {

@@ -103,6 +103,19 @@ class CsvImportSpec extends AnyFunSuite {
     assert(back.toSet == Set(Seq("a,b", "line\"quote", "plain"), Seq("", "x", "y")))
   }
 
+  test("gzip single-file export round-trips through import") {
+    val s = spark
+    import s.implicits._
+    val df = (1 to 100).map(i => (i.toString, s"val$i")).toDF("a", "b")
+    val out = tmpDir("csv_gz") + "/data.csv.gz"
+    CsvExport(df, out, CsvExportConfig(compression = "gzip"))
+    // multi-member gzip must decompress transparently via textFile
+    val back = CsvImport(spark, out, CsvImportConfig())
+    assert(back.data.count() == 100)
+    assert(back.data.filter(org.apache.spark.sql.functions.col("a") === "42")
+      .collect().head.getString(1) == "val42")
+  }
+
   test("lineSeparator reaches data rows") {
     val s = spark
     import s.implicits._
