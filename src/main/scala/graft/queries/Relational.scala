@@ -139,6 +139,17 @@ object Relational {
            count(lit(1)).as("n"))
   }
 
+  /** Hourly event rollup — exercises the events table's TIMESTAMP(NANOS)
+    * read path (exact integer ns→µs truncation; a double division here
+    * would drift by 1µs near rounding boundaries and break the hash).
+    */
+  def eventsHourly(s: SparkSession, dir: String): DataFrame = {
+    Tables.events(s, dir)
+      .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+           sum(dec(col("value"))).cast("double").as("total_value"))
+  }
+
   def aggDistinct(s: SparkSession, dir: String): DataFrame = {
     Tables.lineitem(s, dir)
       .groupBy(col("l_returnflag"))
@@ -158,6 +169,7 @@ object Relational {
     "q_set_ops" -> setOps _,
     "q_rollup_volume" -> rollupVolume _,
     "q_agg_distinct" -> aggDistinct _,
+    "q_events_hourly" -> eventsHourly _,
   )
 
   private val DISC = "(1.00::DECIMAL(18,2) - l_discount::DECIMAL(18,2))"
@@ -224,6 +236,11 @@ object Relational {
       """SELECT o_orderstatus, o_orderpriority,
          CAST(sum(o_totalprice::DECIMAL(18,2)) AS DOUBLE) AS volume, count(*) AS n
          FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)""",
+    "q_events_hourly" ->
+      """SELECT date_trunc('hour', ts::TIMESTAMP) AS hour, event_type,
+         count(*) AS n,
+         CAST(sum(value::DECIMAL(18,2)) AS DOUBLE) AS total_value
+         FROM events GROUP BY 1, 2""",
     "q_agg_distinct" ->
       """SELECT l_returnflag,
          count(DISTINCT l_orderkey) AS n_orders,
