@@ -84,6 +84,53 @@ object SimilaritySearch {
     TopKPerGroup(scored, Seq("qid"), "cosine", k, Seq("nid"))
   }
 
+  /** IVF(-flat) ANN: a coarse quantizer partitions the corpus into
+    * inverted lists; each query scans only its `nprobe` nearest lists.
+    *
+    * The quantizer is a deterministic SAMPLE of corpus vectors (the first
+    * `nCentroids` ids) rather than k-means iterations: iterative means
+    * are float sums whose value depends on reduction order, which would
+    * make results partitioning-dependent — sampling keeps the whole
+    * operator reproducible (and oracle-checkable) while preserving the
+    * IVF structure: assign once, probe few, scan small.
+    *
+    * Scale: assignment is one broadcast pass over the corpus (centroids
+    * are tiny); the probe join touches ~nprobe/nCentroids of the corpus
+    * per query; per-query work is a candidate scan + two-level top-k.
+    * Ties break deterministically (assignment: lowest centroid id;
+    * ranking: highest id — TopKPerGroup order).
+    */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+              vecCol: String, k: Int, nCentroids: Int = 16,
+              nprobe: Int = 4): DataFrame = {
+    val v = corpus.select(col(idCol).as("id"),
+      col(vecCol).cast("array<double>").as("v"))
+    val cents = v.filter(col("id") < nCentroids)
+      .select(col("id").as("cid"), col("v").as("cv"))
+    def cos(a: Column, b: Column): Column =
+      S.dot(a, b) / (S.l2Norm(a) * S.l2Norm(b))
+    // assignment: argmax cosine, ties -> lowest centroid id
+    val assign = v.crossJoin(broadcast(cents))
+      .select(col("id"), col("cid"), cos(col("v"), col("cv")).as("c"))
+      .groupBy("id")
+      .agg(max(struct(col("c"), (-col("cid")).as("ncid"))).as("m"))
+      .select(col("id"), (-col("m.ncid")).cast("long").as("cluster"))
+    val q = queries.select(col(idCol).as("qid"),
+      col(vecCol).cast("array<double>").as("qv"))
+    val probes = TopKPerGroup(
+      q.crossJoin(broadcast(cents))
+        .select(col("qid"), col("cid"), cos(col("qv"), col("cv")).as("c")),
+      Seq("qid"), "c", nprobe, Seq("cid"))
+      .select(col("qid"), col("cid").as("cluster"))
+    val cands = v.join(assign, "id")
+      .join(broadcast(probes), Seq("cluster"))
+      .filter(col("id") =!= col("qid"))
+    val scored = cands.join(broadcast(q), Seq("qid"))
+      .select(col("qid"), col("id").as("nid"),
+        cos(col("v"), col("qv")).as("cosine"))
+    TopKPerGroup(scored, Seq("qid"), "cosine", k, Seq("nid"))
+  }
+
   /** Sign-LSH bucketed ANN: corpus hashed once per table; each query only
     * scans matching buckets. The bucket join carries ONLY ids — vectors are
     * joined back for the distinct candidate pairs (the corpus vector is not

@@ -85,6 +85,34 @@ object OracleGen {
          WHERE bit_count(xor(x.sh, y.sh)) <= $maxHamming"""
   }
 
+  /** IVF ANN: deterministic sampled coarse quantizer (centroids = vec_id
+    * < nCentroids), cosine assignment with lowest-id tie-break, top-nprobe
+    * probing with TopKPerGroup's (score DESC, id DESC) order, exact cosine
+    * ranking among probed lists.
+    */
+  def annIvf(nCentroids: Int, nprobe: Int, k: Int): String =
+    raw"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] e FROM embeddings),
+         cent AS (SELECT vec_id cid, e ce FROM v WHERE vec_id < $nCentroids),
+         cosd AS (SELECT v.vec_id, cid,
+             list_dot_product(e, ce) / (sqrt(list_dot_product(e, e)) * sqrt(list_dot_product(ce, ce))) c
+           FROM v CROSS JOIN cent),
+         assign AS (SELECT vec_id, cid clu FROM (
+             SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY c DESC, cid ASC) rn
+             FROM cosd) z WHERE rn = 1),
+         probes AS (SELECT vec_id qid, cid clu FROM (
+             SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY c DESC, cid DESC) rn
+             FROM cosd WHERE vec_id < 5) z WHERE rn <= $nprobe),
+         cand AS (SELECT qid, a.vec_id nid FROM probes p
+           JOIN assign a ON p.clu = a.clu
+           WHERE a.vec_id != qid),
+         scored AS (SELECT qid, nid,
+             list_dot_product(nv.e, qv.e) / (sqrt(list_dot_product(nv.e, nv.e)) * sqrt(list_dot_product(qv.e, qv.e))) c
+           FROM cand JOIN v nv ON nid = nv.vec_id JOIN v qv ON qid = qv.vec_id)
+         SELECT qid, rank, nid, cosine FROM (
+           SELECT qid, nid, c cosine,
+             row_number() OVER (PARTITION BY qid ORDER BY c DESC, nid DESC) rank
+           FROM scored) t WHERE rank <= $k"""
+
   /** Bucketed embedding near-dup: same deterministic sign-LSH planes as
     * annLsh; pairs sharing ≥1 (table, bucket) verified by exact cosine.
     */

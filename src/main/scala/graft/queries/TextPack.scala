@@ -83,6 +83,14 @@ object TextPack {
       .select(col("qid"), col("rank"), col("nid"), col("cosine"))
   }
 
+  def annIvf(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val queries = emb.filter(col("vec_id") < 5)
+    SimilaritySearch.ivfTopK(emb, queries, "vec_id", "embedding",
+      k = 10, nCentroids = 16, nprobe = 4)
+      .select(col("qid"), col("rank"), col("nid"), col("cosine"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "tx_stats" -> textStats _,
     "tx_quality" -> quality _,
@@ -95,6 +103,7 @@ object TextPack {
     "dd_embedding_cosine" -> dedupEmbedding _,
     "ann_brute_topk" -> annBrute _,
     "ann_lsh_topk" -> annLsh _,
+    "ann_ivf_topk" -> annIvf _,
   )
 
   // DuckDB-side common table prefixes (carries n_chars through so consumers
@@ -159,6 +168,7 @@ object TextPack {
     "dd_embedding_cosine" ->
       OracleGen.embeddingCosineLsh(0.45, dim = 64, tables = 8, planes = 6),
     "ann_lsh_topk" -> OracleGen.annLsh(tables = 8, planes = 10, dim = 64, k = 10),
+    "ann_ivf_topk" -> OracleGen.annIvf(nCentroids = 16, nprobe = 4, k = 10),
     "ann_brute_topk" ->
       """WITH v AS (SELECT vec_id, embedding::DOUBLE[] e FROM embeddings),
          q AS (SELECT * FROM v WHERE vec_id < 5),
