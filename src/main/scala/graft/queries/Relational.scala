@@ -150,6 +150,20 @@ object Relational {
            sum(dec(col("value"))).cast("double").as("total_value"))
   }
 
+  /** The streaming pack's windowed aggregation run in BATCH mode over the
+    * same code path (Streams.windowedCounts) — sliding 10-minute windows,
+    * 5-minute slide: every event lands in exactly two windows. Verifying
+    * this against the oracle pins the window-assignment semantics the
+    * streaming queries rely on.
+    */
+  def eventsWindowed(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .withColumn("ts", col("ts").cast("timestamp"))
+    graft.streaming.Streams.windowedCounts(ev)
+      .withColumn("window_start", col("window_start").cast("timestamp_ntz"))
+      .withColumn("window_end", col("window_end").cast("timestamp_ntz"))
+  }
+
   def aggDistinct(s: SparkSession, dir: String): DataFrame = {
     Tables.lineitem(s, dir)
       .groupBy(col("l_returnflag"))
@@ -170,6 +184,7 @@ object Relational {
     "q_rollup_volume" -> rollupVolume _,
     "q_agg_distinct" -> aggDistinct _,
     "q_events_hourly" -> eventsHourly _,
+    "q_events_windowed" -> eventsWindowed _,
   )
 
   private val DISC = "(1.00::DECIMAL(18,2) - l_discount::DECIMAL(18,2))"
@@ -241,6 +256,16 @@ object Relational {
          count(*) AS n,
          CAST(sum(value::DECIMAL(18,2)) AS DOUBLE) AS total_value
          FROM events GROUP BY 1, 2""",
+    "q_events_windowed" ->
+      """WITH e AS (SELECT ts::TIMESTAMP t, event_type, value FROM events),
+         w AS (SELECT unnest([
+             make_timestamp((epoch_us(t)//300000000)*300000000),
+             make_timestamp((epoch_us(t)//300000000)*300000000 - 300000000)]) ws,
+           event_type, value FROM e)
+         SELECT ws AS window_start, ws + INTERVAL 10 MINUTE AS window_end,
+           event_type, count(*) AS n,
+           CAST(sum(value::DECIMAL(18,2)) AS DOUBLE) AS total_value
+         FROM w GROUP BY 1, 2, 3""",
     "q_agg_distinct" ->
       """SELECT l_returnflag,
          count(DISTINCT l_orderkey) AS n_orders,

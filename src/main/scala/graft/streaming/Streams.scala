@@ -50,9 +50,12 @@ object Streams {
                      slide: String = "5 minutes",
                      watermark: String = "15 minutes"): DataFrame =
     events
-      .withWatermark("ts", watermark)
+      .withWatermark("ts", watermark) // no-op when run on a batch frame
       .groupBy(window(col("ts"), windowLen, slide), col("event_type"))
-      .agg(count(lit(1)).as("n"), sum(col("value")).as("total_value"))
+      // exact decimal sum: order-independent, so the batch run of this
+      // exact plan hash-matches the DuckDB oracle (q_events_windowed)
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("total_value"))
       .select(col("window.start").as("window_start"),
         col("window.end").as("window_end"),
         col("event_type"), col("n"), col("total_value"))
