@@ -164,6 +164,28 @@ object Relational {
       .withColumn("window_end", col("window_end").cast("timestamp_ntz"))
   }
 
+  /** Batch sessionization (gaps-and-islands): a session breaks after 30
+    * minutes of inactivity — the relational expression of the streaming
+    * pack's stateful sessionize (same contract, two execution models).
+    * Deterministic: ordering ties broken by event_id; all arithmetic on
+    * integer microseconds.
+    */
+  def eventsSessions(s: SparkSession, dir: String): DataFrame = {
+    val gapUs = 30L * 60 * 1000000
+    val ev = Tables.events(s, dir)
+      .select(col("user_id"), col("event_id"),
+        unix_micros(col("ts").cast("timestamp")).as("t"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("t"), col("event_id"))
+    ev.withColumn("new_sess",
+        when(lag(col("t"), 1).over(w).isNull ||
+             col("t") - lag(col("t"), 1).over(w) > gapUs, 1L).otherwise(0L))
+      .withColumn("sess_id",
+        sum(col("new_sess")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("sess_id"))
+      .agg(count(lit(1)).as("n_events"),
+           ((max(col("t")) - min(col("t"))) / lit(1000L)).cast("long").as("duration_ms"))
+  }
+
   def aggDistinct(s: SparkSession, dir: String): DataFrame = {
     Tables.lineitem(s, dir)
       .groupBy(col("l_returnflag"))
@@ -185,6 +207,7 @@ object Relational {
     "q_agg_distinct" -> aggDistinct _,
     "q_events_hourly" -> eventsHourly _,
     "q_events_windowed" -> eventsWindowed _,
+    "q_events_sessions" -> eventsSessions _,
   )
 
   private val DISC = "(1.00::DECIMAL(18,2) - l_discount::DECIMAL(18,2))"
@@ -266,6 +289,19 @@ object Relational {
            event_type, count(*) AS n,
            CAST(sum(value::DECIMAL(18,2)) AS DOUBLE) AS total_value
          FROM w GROUP BY 1, 2, 3""",
+    "q_events_sessions" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts::TIMESTAMP) t FROM events),
+         marked AS (SELECT user_id, event_id, t,
+             CASE WHEN lag(t) OVER w IS NULL OR t - lag(t) OVER w > 1800000000
+                  THEN 1 ELSE 0 END new_sess
+           FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id)),
+         sess AS (SELECT user_id, t,
+             sum(new_sess) OVER (PARTITION BY user_id ORDER BY t, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) sess_id
+           FROM marked)
+         SELECT user_id, sess_id, count(*) AS n_events,
+           ((max(t) - min(t)) // 1000)::BIGINT AS duration_ms
+         FROM sess GROUP BY user_id, sess_id""",
     "q_agg_distinct" ->
       """SELECT l_returnflag,
          count(DISTINCT l_orderkey) AS n_orders,
