@@ -134,4 +134,29 @@ object Multimodal {
   def decodeImageStub(bin: Column): Column =
     struct(pngWidth(bin).as("width"), pngHeight(bin).as("height"),
       lit(null).cast("double").as("mean_intensity")) // real decode: not available here
+
+  /** Batched per-partition binary processing — the Scala equivalent of
+    * the `mapInPandas` shape used for decode/resize/frame-sample in
+    * Python pipelines: rows stream through in bounded batches (a codec
+    * library amortizes setup per batch, memory stays O(batchSize·blob)),
+    * partitioning is preserved, and the transform sees (id, bytes) pairs.
+    * `fn` is the pluggable codec step; tests drive it with a stub.
+    */
+  def mapBinaryBatches(df: DataFrame, idCol: String, binCol: String,
+                       batchSize: Int)
+                      (fn: Seq[(Long, Array[Byte])] => Seq[(Long, Array[Byte])]): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{BinaryType, LongType, StructField, StructType}
+    val schema = StructType(Seq(
+      StructField(idCol, LongType, nullable = false),
+      StructField(binCol, BinaryType, nullable = true)))
+    val rdd = df.select(col(idCol).cast("long"), col(binCol)).rdd
+      .mapPartitions { it =>
+        it.grouped(batchSize).flatMap { batch =>
+          fn(batch.map(r => (r.getLong(0), r.getAs[Array[Byte]](1))))
+            .map { case (id, bytes) => Row(id, bytes) }
+        }
+      }
+    df.sparkSession.createDataFrame(rdd, schema)
+  }
 }

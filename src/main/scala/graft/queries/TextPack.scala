@@ -36,6 +36,19 @@ object TextPack {
       T.langScore(col("text"), T.LangMarkers.head._2).as("en_score"))
   }
 
+  /** Repetition signal (Gopher-style): fraction of duplicate trigrams per
+    * document — high values flag boilerplate/spam for filtering.
+    */
+  def repetition(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+    val toks = T.tokens(T.normalized(col("text")))
+    val total = when(size(toks) < 3, 1L).otherwise((size(toks) - 2).cast("long"))
+    val distinct = size(S.shingleHashes(col("text"), 3)).cast("long")
+    d.select(col("doc_id"), total.as("trigram_total"),
+      distinct.as("trigram_distinct"),
+      (lit(1.0) - distinct.cast("double") / total.cast("double")).as("rep_ratio"))
+  }
+
   def fingerprintQ(s: SparkSession, dir: String): DataFrame = {
     Tables.documents(s, dir).select(col("doc_id"),
       T.fingerprint(col("text")).as("fp"),
@@ -96,6 +109,7 @@ object TextPack {
     "tx_quality" -> quality _,
     "tx_langid" -> langid _,
     "tx_fingerprint" -> fingerprintQ _,
+    "tx_repetition" -> repetition _,
     "dd_exact" -> dedupExact _,
     "dd_ngram_jaccard" -> dedupNgram _,
     "dd_minhash_lsh" -> dedupMinhash _,
@@ -162,6 +176,18 @@ object TextPack {
     "dd_exact" ->
       """SELECT min(doc_id) AS doc_id, count(*) AS dup_count
          FROM documents GROUP BY lower(trim(regexp_replace(text,'\s+',' ')))""",
+    "tx_repetition" ->
+      """WITH t AS (SELECT doc_id, string_split(lower(trim(regexp_replace(text,'\s+',' '))),' ') t FROM documents),
+         x AS (SELECT doc_id,
+             CASE WHEN len(t) < 3 THEN 1 ELSE len(t) - 2 END::BIGINT trigram_total,
+             len(list_distinct(list_transform(
+               CASE WHEN len(t) < 3 THEN [list_aggregate(t, 'string_agg', '')]
+                    ELSE [t[i]||t[i+1]||t[i+2] for i in range(1, len(t)-1)] END,
+               s -> ('0x'||substr(md5(s),1,10))::BIGINT)))::BIGINT trigram_distinct
+           FROM t)
+         SELECT doc_id, trigram_total, trigram_distinct,
+           1.0 - trigram_distinct::DOUBLE / trigram_total::DOUBLE AS rep_ratio
+         FROM x""",
     "dd_ngram_jaccard" -> OracleGen.ngramJaccard(NgramMaxDf, 0.3),
     "dd_minhash_lsh" -> OracleGen.minhashLsh(16, 8, 0.3),
     "dd_simhash" -> OracleGen.simhash(3),
