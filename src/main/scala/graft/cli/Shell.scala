@@ -6,12 +6,15 @@ import graft.core.SnapshotStore
 import graft.ops.{CsvExport, CsvExportConfig}
 
 /** Shell-style introspection over a snapshot store — the reference's daily
-  * drivers `ax ds` / `ax cat` / `ax grep` (shell/ds.py:54-160,
-  * shell/grep.py:40-300), reshaped for the snapshot model:
+  * drivers `ax ds` / `ax cat` / `ax grep` / `ax job` / `ax urd`
+  * (shell/ds.py:54-160, shell/grep.py:40-300), reshaped for the snapshot
+  * model:
   *
   *   graft.cli.Shell ds   <storeRoot> <name>            — schema/lines/minmax
   *   graft.cli.Shell cat  <storeRoot> <name> [col ...]  — rows as CSV
   *   graft.cli.Shell grep <storeRoot> <regex> <name> [col ...]
+  *   graft.cli.Shell job  <jobsRoot> <jobid>            — setup/post/artifacts
+  *   graft.cli.Shell urd  <urdLog> [key [timestamp]]    — timeline listing
   *
   * `cat`/`grep` accept `-c N` (chain length, like the reference's ~N
   * chain-walk refs) and `-n N` (row limit). grep matches the regex against
@@ -114,6 +117,48 @@ object Shell {
     if (a.limit >= 0) out.limit(a.limit) else out
   }
 
+  /** Job introspection (reference `ax job`): the request that built it,
+    * its outputs, and its artifacts.
+    */
+  def jobInfo(jobsRoot: String, jobid: String): String = {
+    import java.nio.file.{Files, Paths}
+    val dir = Paths.get(jobsRoot, jobid)
+    require(Files.exists(dir.resolve("setup.json")), s"no such job $jobid")
+    val b = new StringBuilder
+    b ++= s"$jobid\n"
+    b ++= s"    setup     ${Files.readString(dir.resolve("setup.json"))}\n"
+    if (Files.exists(dir.resolve("post.json")))
+      b ++= s"    post      ${Files.readString(dir.resolve("post.json"))}\n"
+    else b ++= "    post      (unfinished)\n"
+    import scala.jdk.CollectionConverters._
+    val arts = Files.list(dir).iterator().asScala.map(_.getFileName.toString)
+      .filter(_.startsWith("artifact_")).map(_.stripPrefix("artifact_")).toSeq.sorted
+    if (arts.nonEmpty) b ++= s"    artifacts ${arts.mkString(", ")}\n"
+    b.toString
+  }
+
+  /** Urd timeline listing (reference `ax urd`): all keys, one key's
+    * timestamps, or one entry's joblist.
+    */
+  def urdInfo(urdLog: String, key: Option[String], timestamp: Option[String]): String = {
+    val u = new graft.jobs.Urd(urdLog)
+    (key, timestamp) match {
+      case (None, _) =>
+        u.keys.map(k => s"$k  (${u.timestamps(k).size} entries)").mkString("\n") + "\n"
+      case (Some(k), None) =>
+        u.timestamps(k).map { t =>
+          val e = u.get(k, t).get
+          s"$t  ${e.joblist.map { case (n, j) => s"$n=$j" }.mkString(", ")}"
+        }.mkString("\n") + "\n"
+      case (Some(k), Some(t)) =>
+        u.get(k, t) match {
+          case Some(e) =>
+            e.joblist.map { case (n, j) => s"$n  $j" }.mkString("\n") + "\n"
+          case None => s"no entry at $t\n"
+        }
+    }
+  }
+
   private def printCsv(df: DataFrame): Unit = {
     println(df.columns.mkString(","))
     CsvExport.render(df, CsvExportConfig(quoteMode = "lazy"))
@@ -139,7 +184,11 @@ object Shell {
       case "grep" =>
         val a = parse(argv.toList.tail, withPattern = true)
         printCsv(grepDf(new SnapshotStore(spark, a.store), a))
-      case other => sys.error(s"unknown subcommand $other (ds|cat|grep)")
+      case "job" =>
+        print(jobInfo(argv(1), argv(2)))
+      case "urd" =>
+        print(urdInfo(argv(1), argv.lift(2), argv.lift(3)))
+      case other => sys.error(s"unknown subcommand $other (ds|cat|grep|job|urd)")
     } finally spark.stop()
   }
 }

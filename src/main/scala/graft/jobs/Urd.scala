@@ -97,6 +97,10 @@ final class Urd(val path: String) {
   def get(key: String, timestamp: String): Option[UrdEntry] =
     dbm.getOrElse(key, Map.empty).get(timestamp)
 
+  /** All keys with live (non-ghosted) entries. */
+  def keys: Seq[String] =
+    dbm.filter(_._2.nonEmpty).keys.toSeq.sorted
+
   def timestamps(key: String): Seq[String] =
     dbm.getOrElse(key, Map.empty).keys.toSeq.sorted
 

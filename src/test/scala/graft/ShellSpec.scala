@@ -55,6 +55,25 @@ class ShellSpec extends AnyFunSuite {
     assert(Shell.resolveRef(st, "sh_kid^") == "sh_par")
   }
 
+  test("job and urd introspection") {
+    val root = tmpDir("shell_jobs")
+    val st = new SnapshotStore(spark, s"$root/store")
+    val runner = new graft.jobs.JobRunner(st, s"$root/jobs")
+    val r = runner.build(graft.jobs.JobRequest("m", "1", Map("o" -> "x"))) { ctx =>
+      ctx.saveArtifact("notes", "hello")
+      Map("out" -> "v")
+    }
+    val info = Shell.jobInfo(s"$root/jobs", r.jobid)
+    assert(info.contains("\"method\":\"m\"") && info.contains("artifacts notes"))
+
+    val u = new graft.jobs.Urd(s"$root/urd.log")
+    u.add("u/b", "2024-01-01", Seq("imp" -> r.jobid))
+    assert(Shell.urdInfo(s"$root/urd.log", None, None).contains("u/b  (1 entries)"))
+    assert(Shell.urdInfo(s"$root/urd.log", Some("u/b"), None).contains("2024-01-01"))
+    assert(Shell.urdInfo(s"$root/urd.log", Some("u/b"), Some("2024-01-01"))
+      .contains(r.jobid))
+  }
+
   test("grep filters rows by regex across selected columns") {
     val st = store()
     val hits = Shell.grepDf(st,
