@@ -134,6 +134,25 @@ class SortAndOpsSpec extends AnyFunSuite {
     assert(rows == Set(Seq("1", "2"), Seq("3", "4")))
   }
 
+  test("hashpart spread_None: nulls spread instead of one hot partition") {
+    val s = spark
+    import s.implicits._
+    val df = (1 to 400).map(i => (if (i % 2 == 0) null else s"k${i % 5}", i))
+      .toDF("k", "v")
+    val plain = DatasetHashpart(df, "k", 8)
+      .filter(col("k").isNull).select(spark_partition_id()).distinct().count()
+    assert(plain == 1L, "without spread, all nulls hash to one partition")
+    val spread = DatasetHashpart(df, "k", 8, spreadNone = true)
+      .filter(col("k").isNull).select(spark_partition_id()).distinct().count()
+    assert(spread > 1L, s"spreadNone must fan nulls out, got $spread partitions")
+    // non-null keys still co-located
+    val keyParts = DatasetHashpart(df, "k", 8, spreadNone = true)
+      .filter(col("k").isNotNull)
+      .select(col("k"), spark_partition_id().as("pid")).distinct()
+      .groupBy("k").count().collect().map(_.getLong(1))
+    assert(keyParts.forall(_ == 1L))
+  }
+
   test("merge byKey: later dataset wins on column conflicts") {
     val s = spark
     import s.implicits._
