@@ -66,6 +66,12 @@ object DatasetType {
       case "number" if fmt == "int" =>
         // number:int — integral values only (non-integral input is bad)
         floatInt(c, 64, exact = true, saturate = false)
+      case "number" if fmt == "big" =>
+        // number:big — exact integers up to 38 digits (DECIMAL(38,0)); the
+        // closest Spark type to the reference's arbitrary-precision int
+        // (2^1007); magnitudes beyond 38 digits are bad values, not
+        // silently rounded
+        trim(c).try_cast("decimal(38,0)")
       case "number"    => fl(c)
       case "numberi"   => numberI(c)
       case "float64"   => fl(c)

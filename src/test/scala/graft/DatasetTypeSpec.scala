@@ -118,6 +118,14 @@ class DatasetTypeSpec extends AnyFunSuite {
       Seq(42L, 42L, 43L, null))
   }
 
+  test("number:big keeps 38-digit integers exact") {
+    val big = "9" * 38
+    val got = conv("number:big", Seq(big, "42", "9" * 39))
+    assert(got(0).toString == big, "38 digits exact")
+    assert(got(1).toString == "42")
+    assert(got(2) == null, "39 digits is a bad value, not a rounded one")
+  }
+
   test("numeric_comma: ',' is the decimal separator, '.' is a bad value") {
     val df = strings1(Seq("3,14", "42", "3.14", "1e3"))
     val got = graft.ops.DatasetType(df, Map("v" -> "float64"),
