@@ -174,6 +174,45 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
   }
 
+  /** Duplicate-cluster assignment: connected components over near-dup
+    * pairs, labeling every document with the MIN id of its component (the
+    * canonical representative a dedup pipeline keeps). Iterative min-label
+    * propagation — the standard distributed CC algorithm (converges in
+    * O(component diameter) rounds; dup clusters are small, so few):
+    * each round every node takes the min of its own and its neighbors'
+    * labels; a driver-side fixpoint check stops the loop. Deterministic
+    * regardless of partitioning.
+    *
+    * Returns (id, cluster) for every id appearing in a pair; singleton
+    * docs are their own cluster by definition (join back with a default).
+    */
+  def dupClusters(pairs: DataFrame, maxIter: Int = 30): DataFrame = {
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .distinct().persist(lvl)
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id")).persist(lvl)
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIter) {
+      val neighborMin = edges
+        .join(labels.select(col("id").as("dst"), col("label")), "dst")
+        .groupBy(col("src").as("id")).agg(min("label").as("nlabel"))
+      val updated = labels.join(neighborMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
+        .persist(lvl)
+      val changed = updated.as("u")
+        .join(labels.select(col("id"), col("label").as("old")), "id")
+        .filter(col("label") =!= col("old")).limit(1).count()
+      labels = updated
+      converged = changed == 0
+      i += 1
+    }
+    labels.select(col("id"), col("label").as("cluster"))
+  }
+
   /** Embedding near-dup: pairs with cosine ≥ threshold. Brute-force
     * O(n²/2) — correct baseline for small corpora; `embeddingCosineLsh`
     * is the at-scale path.

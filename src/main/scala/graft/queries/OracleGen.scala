@@ -85,6 +85,24 @@ object OracleGen {
          WHERE bit_count(xor(x.sh, y.sh)) <= $maxHamming"""
   }
 
+  /** Connected components over near-dup pairs via a recursive CTE:
+    * min reachable id == the min-label fixpoint the Spark iteration
+    * converges to.
+    */
+  def dupClusters(pairsSql: String): String =
+    raw"""WITH pairs AS ($pairsSql),
+         edges AS (SELECT id_a src, id_b dst FROM pairs
+                   UNION SELECT id_b, id_a FROM pairs),
+         nodes AS (SELECT DISTINCT src id FROM edges),
+         r AS (WITH RECURSIVE reach(id, lab) AS (
+             SELECT id, id FROM nodes
+             UNION
+             SELECT e.src, reach.lab FROM edges e JOIN reach ON e.dst = reach.id)
+           SELECT id, min(lab) clu FROM reach GROUP BY id)
+         SELECT id doc_id, clu AS "cluster",
+           count(*) OVER (PARTITION BY clu) cluster_size
+         FROM r"""
+
   /** IVF ANN: deterministic sampled coarse quantizer (centroids = vec_id
     * < nCentroids), cosine assignment with lowest-id tie-break, top-nprobe
     * probing with TopKPerGroup's (score DESC, id DESC) order, exact cosine

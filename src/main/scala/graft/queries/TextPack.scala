@@ -81,6 +81,17 @@ object TextPack {
     Dedup.embeddingCosineLsh(Tables.embeddings(s, dir), "vec_id", "embedding",
       threshold = 0.45, dim = 64, tables = 8, planes = 6)
 
+  /** Cluster the (verified) minhash near-dup pairs and report every
+    * clustered doc with its canonical representative + cluster size.
+    */
+  def dedupClusters(s: SparkSession, dir: String): DataFrame = {
+    val pairs = dedupMinhash(s, dir).select("id_a", "id_b")
+    val clusters = Dedup.dupClusters(pairs)
+    val sizes = clusters.groupBy("cluster").agg(count(lit(1)).as("cluster_size"))
+    clusters.join(sizes, "cluster")
+      .select(col("id").as("doc_id"), col("cluster"), col("cluster_size"))
+  }
+
   def annBrute(s: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(s, dir)
     val queries = emb.filter(col("vec_id") < 5)
@@ -115,6 +126,7 @@ object TextPack {
     "dd_minhash_lsh" -> dedupMinhash _,
     "dd_simhash" -> dedupSimhash _,
     "dd_embedding_cosine" -> dedupEmbedding _,
+    "dd_clusters" -> dedupClusters _,
     "ann_brute_topk" -> annBrute _,
     "ann_lsh_topk" -> annLsh _,
     "ann_ivf_topk" -> annIvf _,
@@ -193,6 +205,7 @@ object TextPack {
     "dd_simhash" -> OracleGen.simhash(3),
     "dd_embedding_cosine" ->
       OracleGen.embeddingCosineLsh(0.45, dim = 64, tables = 8, planes = 6),
+    "dd_clusters" -> OracleGen.dupClusters(OracleGen.minhashLsh(16, 8, 0.3)),
     "ann_lsh_topk" -> OracleGen.annLsh(tables = 8, planes = 10, dim = 64, k = 10),
     "ann_ivf_topk" -> OracleGen.annIvf(nCentroids = 16, nprobe = 4, k = 10),
     "ann_brute_topk" ->

@@ -85,6 +85,18 @@ class SketchesSpec extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("dupClusters: min-label propagation finds connected components") {
+    val s = spark
+    import s.implicits._
+    // a 4-node chain (needs >1 iteration) plus a separate pair
+    val pairs = Seq((2L, 1L), (2L, 3L), (3L, 4L), (10L, 11L))
+      .toDF("id_a", "id_b")
+    val got = graft.ops.Dedup.dupClusters(pairs)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L))
+  }
+
   test("LSH plane weights are deterministic and in [-1, 1)") {
     val w1 = SimilaritySearch.planeWeight(0, 0, 0)
     val w2 = SimilaritySearch.planeWeight(0, 0, 0)
