@@ -128,13 +128,24 @@ final class SnapshotStore(val spark: SparkSession, val root: String) {
     }.toSeq
     val meta = SnapshotMeta(name, cols, lines, n, hashlabel, previous, caption)
     Files.writeString(Paths.get(dir, "meta.json"), MetaJson.render(meta))
-    Snapshot(meta, dir)
+    val snap = Snapshot(meta, dir)
+    metaCache.put(name, snap)
+    snap
   }
 
-  def get(name: String): Snapshot = {
-    val dir = dirOf(name)
-    Snapshot(MetaJson.parse(Files.readString(Paths.get(dir, "meta.json"))), dir)
-  }
+  /** Metadata cache: snapshots are immutable, so metas are cached after
+    * first read (the reference caches chain metadata in the pickle every
+    * 64 links, dataset.py:943-961 — same concern: a 10k-link chain walk
+    * must not do 10k file reads per resolve). Writers refresh the entry.
+    */
+  private val metaCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Snapshot]()
+
+  def get(name: String): Snapshot =
+    metaCache.computeIfAbsent(name, { n =>
+      val dir = dirOf(n)
+      Snapshot(MetaJson.parse(Files.readString(Paths.get(dir, "meta.json"))), dir)
+    })
 
   def exists(name: String): Boolean =
     Files.exists(Paths.get(dirOf(name), "meta.json"))
@@ -185,7 +196,9 @@ final class SnapshotStore(val spark: SparkSession, val root: String) {
       hashlabel = parent.meta.hashlabel,
       columns = parent.meta.columns ++ snap.meta.columns.filterNot(_.name == RowId))
     Files.writeString(Paths.get(dirOf(name), "meta.json"), MetaJson.render(merged))
-    Snapshot(merged, dirOf(name))
+    val out = Snapshot(merged, dirOf(name))
+    metaCache.put(name, out)
+    out
   }
 
   /** link_to_here (reference dataset.py:292-327): expose an existing
@@ -202,7 +215,9 @@ final class SnapshotStore(val spark: SparkSession, val root: String) {
       parent = t.meta.parent,
       dataDir = Some(t.meta.dataDir.getOrElse(s"${t.dir}/data")))
     Files.writeString(Paths.get(dir, "meta.json"), MetaJson.render(meta))
-    Snapshot(meta, dir)
+    val out = Snapshot(meta, dir)
+    metaCache.put(name, out)
+    out
   }
 
   /** Full logical dataset: resolves the parent chain (column-append) by
@@ -344,7 +359,9 @@ final class SnapshotStore(val spark: SparkSession, val root: String) {
       hashlabel = t.meta.hashlabel.filter(keep.contains),
       dataDir = Some(t.meta.dataDir.getOrElse(s"${t.dir}/data")))
     Files.writeString(Paths.get(dir, "meta.json"), MetaJson.render(meta))
-    Snapshot(meta, dir)
+    val out = Snapshot(meta, dir)
+    metaCache.put(name, out)
+    out
   }
 
   def list(): Seq[String] =

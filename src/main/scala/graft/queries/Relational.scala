@@ -186,6 +186,40 @@ object Relational {
            ((max(col("t")) - min(col("t"))) / lit(1000L)).cast("long").as("duration_ms"))
   }
 
+  /** Pivot: sum of quantity by linestatus × returnflag (explicit pivot
+    * values — deterministic output schema).
+    */
+  def pivotReturns(s: SparkSession, dir: String): DataFrame = {
+    Tables.lineitem(s, dir)
+      .groupBy(col("l_linestatus"))
+      .pivot("l_returnflag", Seq("A", "N", "R"))
+      .agg(sum(dec(col("l_quantity"))).cast("double"))
+      .withColumnRenamed("A", "qty_a")
+      .withColumnRenamed("N", "qty_n")
+      .withColumnRenamed("R", "qty_r")
+  }
+
+  /** As-of self-join on events: each (user, ts) event paired with the
+    * user's previous event (strict — same-timestamp rows don't match) and
+    * the gap between them. The union-window as-of formulation: one
+    * shuffle, no candidate-pair explosion.
+    */
+  def asofPrevEvent(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .groupBy(col("user_id"), col("ts"))
+      .agg(max(col("event_id")).as("event_id"))
+    val right = ev.select(col("user_id"), col("ts").as("pts"),
+      col("event_id").as("pid"))
+    val joined = graft.ops.AsOfJoin(ev, right, Seq("user_id"),
+      leftTime = "ts", rightTime = "pts",
+      rightCols = Seq("pid", "pts"), strict = true)
+    joined.select(col("user_id"), col("ts"), col("event_id"),
+      col("asof_pid").as("prev_event_id"),
+      floor((unix_micros(col("ts").cast("timestamp")) -
+             unix_micros(col("asof_pts").cast("timestamp"))) / 1000)
+        .cast("long").as("gap_ms"))
+  }
+
   def aggDistinct(s: SparkSession, dir: String): DataFrame = {
     Tables.lineitem(s, dir)
       .groupBy(col("l_returnflag"))
@@ -208,6 +242,8 @@ object Relational {
     "q_events_hourly" -> eventsHourly _,
     "q_events_windowed" -> eventsWindowed _,
     "q_events_sessions" -> eventsSessions _,
+    "q_pivot_returns" -> pivotReturns _,
+    "q_asof_prev_event" -> asofPrevEvent _,
   )
 
   private val DISC = "(1.00::DECIMAL(18,2) - l_discount::DECIMAL(18,2))"
@@ -289,6 +325,21 @@ object Relational {
            event_type, count(*) AS n,
            CAST(sum(value::DECIMAL(18,2)) AS DOUBLE) AS total_value
          FROM w GROUP BY 1, 2, 3""",
+    "q_pivot_returns" ->
+      """SELECT l_linestatus,
+         CAST(sum(l_quantity::DECIMAL(18,2)) FILTER (l_returnflag = 'A') AS DOUBLE) AS qty_a,
+         CAST(sum(l_quantity::DECIMAL(18,2)) FILTER (l_returnflag = 'N') AS DOUBLE) AS qty_n,
+         CAST(sum(l_quantity::DECIMAL(18,2)) FILTER (l_returnflag = 'R') AS DOUBLE) AS qty_r
+         FROM lineitem GROUP BY l_linestatus""",
+    "q_asof_prev_event" ->
+      """WITH e AS (SELECT user_id, ts::TIMESTAMP t, max(event_id) event_id
+           FROM events GROUP BY 1, 2)
+         SELECT l.user_id, l.t AS ts, l.event_id,
+           r.event_id AS prev_event_id,
+           CASE WHEN r.t IS NULL THEN NULL
+                ELSE (epoch_us(l.t) - epoch_us(r.t)) // 1000 END AS gap_ms
+         FROM e l ASOF LEFT JOIN e r
+           ON l.user_id = r.user_id AND r.t < l.t""",
     "q_events_sessions" ->
       """WITH e AS (SELECT user_id, event_id, epoch_us(ts::TIMESTAMP) t FROM events),
          marked AS (SELECT user_id, event_id, t,
