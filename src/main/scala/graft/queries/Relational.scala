@@ -220,6 +220,20 @@ object Relational {
         .cast("long").as("gap_ms"))
   }
 
+  /** Range join via interval binning: customers whose balance falls
+    * within ±500 of each supplier's balance — a single equi-join shuffle
+    * where the naive inequality join is a nested loop.
+    */
+  def rangeJoinBalance(s: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.customer(s, dir).select(col("c_custkey"), col("c_acctbal"))
+    val supp = Tables.supplier(s, dir).select(col("s_suppkey"),
+      (col("s_acctbal") - 500).as("lo"), (col("s_acctbal") + 500).as("hi"))
+    graft.ops.RangeJoin.pointInInterval(cust, supp,
+        "c_acctbal", "lo", "hi", binWidth = 1000.0)
+      .groupBy(col("s_suppkey"))
+      .agg(count(lit(1)).as("n_customers"))
+  }
+
   def aggDistinct(s: SparkSession, dir: String): DataFrame = {
     Tables.lineitem(s, dir)
       .groupBy(col("l_returnflag"))
@@ -244,6 +258,7 @@ object Relational {
     "q_events_sessions" -> eventsSessions _,
     "q_pivot_returns" -> pivotReturns _,
     "q_asof_prev_event" -> asofPrevEvent _,
+    "q_range_join" -> rangeJoinBalance _,
   )
 
   private val DISC = "(1.00::DECIMAL(18,2) - l_discount::DECIMAL(18,2))"
@@ -325,6 +340,11 @@ object Relational {
            event_type, count(*) AS n,
            CAST(sum(value::DECIMAL(18,2)) AS DOUBLE) AS total_value
          FROM w GROUP BY 1, 2, 3""",
+    "q_range_join" ->
+      """SELECT s_suppkey, count(*) AS n_customers
+         FROM supplier JOIN customer
+           ON c_acctbal >= s_acctbal - 500 AND c_acctbal <= s_acctbal + 500
+         GROUP BY s_suppkey""",
     "q_pivot_returns" ->
       """SELECT l_linestatus,
          CAST(sum(l_quantity::DECIMAL(18,2)) FILTER (l_returnflag = 'A') AS DOUBLE) AS qty_a,
