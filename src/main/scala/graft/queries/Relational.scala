@@ -96,6 +96,27 @@ object Relational {
         count(lit(1)).as("n"))
   }
 
+  /** Returned-item reporting (TPC-H Q10 shape): top customers by revenue
+    * lost to returns in a quarter. Fact-fact join shuffles once; nation
+    * broadcasts; deterministic top-20 via (revenue, custkey) ordering.
+    */
+  def returnedItems(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir).filter(col("l_returnflag") === "R")
+    val ord = Tables.orders(s, dir)
+      .filter(col("o_orderdate") >= lit("1995-01-01").cast("timestamp") &&
+              col("o_orderdate") < lit("1995-04-01").cast("timestamp"))
+    val cust = Tables.customer(s, dir)
+    val nat = Tables.nation(s, dir)
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("c_custkey"), col("c_name"), col("n_name"))
+      .agg(sum(dec(col("l_extendedprice")) * (lit(1).cast(D) - dec(col("l_discount"))))
+        .cast("double").as("revenue"))
+      .orderBy(col("revenue").desc, col("c_custkey").asc)
+      .limit(20)
+  }
+
   def windowTopOrders(s: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy(col("o_custkey"))
       .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
@@ -248,6 +269,7 @@ object Relational {
     "q3_shipping_priority" -> shippingPriority _,
     "q5_local_supplier" -> localSupplierVolume _,
     "q6_forecast_revenue" -> forecastRevenue _,
+    "q10_returned_items" -> returnedItems _,
     "q_window_top_orders" -> windowTopOrders _,
     "q_semi_anti_join" -> semiAntiJoin _,
     "q_set_ops" -> setOps _,
@@ -301,6 +323,17 @@ object Relational {
          WHERE l_shipdate >= TIMESTAMP '1994-01-01'
            AND l_shipdate < TIMESTAMP '1995-01-01'
            AND l_discount >= 0.05 AND l_discount <= 0.07 AND l_quantity < 24""",
+    "q10_returned_items" ->
+      s"""SELECT c_custkey, c_name, n_name,
+         CAST(sum(l_extendedprice::DECIMAL(18,2) * $DISC) AS DOUBLE) AS revenue
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         JOIN nation ON c_nationkey = n_nationkey
+         WHERE l_returnflag = 'R'
+           AND o_orderdate >= TIMESTAMP '1995-01-01'
+           AND o_orderdate < TIMESTAMP '1995-04-01'
+         GROUP BY c_custkey, c_name, n_name
+         ORDER BY revenue DESC, c_custkey ASC LIMIT 20""",
     "q_window_top_orders" ->
       """SELECT o_custkey, o_orderkey, o_totalprice, rk, running_spend FROM (
          SELECT o_custkey, o_orderkey, o_totalprice,
