@@ -39,7 +39,7 @@ object Shell {
       case Nil            =>
     }
     if (withPattern) {
-      require(pos.size >= 2, "usage: grep <storeRoot> <regex> <name> [col ...]")
+      require(pos.size >= 3, "usage: grep <storeRoot> <regex> <name> [col ...]")
       Args(pos(0), pos(2), pos.drop(3), pattern = pos(1), limit = limit, chain = chain)
     } else {
       require(pos.size >= 2, "usage: <storeRoot> <name> [col ...]")
@@ -161,8 +161,11 @@ object Shell {
 
   private def printCsv(df: DataFrame): Unit = {
     println(df.columns.mkString(","))
+    // toLocalIterator streams one partition at a time to the driver — an
+    // unlimited `ax grep` over a big store never materializes every match
+    // in driver memory (the reference streams per-slice the same way).
     CsvExport.render(df, CsvExportConfig(quoteMode = "lazy"))
-      .collect().foreach(r => println(r.getString(0)))
+      .toLocalIterator().forEachRemaining(r => println(r.getString(0)))
   }
 
   def main(argv: Array[String]): Unit = {
@@ -170,6 +173,7 @@ object Shell {
     val spark = SparkSession.builder()
       .master(sys.env.getOrElse("SPARK_MASTER", "local[4]"))
       .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")

@@ -9,16 +9,23 @@ object Tables {
     spark.read.parquet(s"$dir/$name.parquet")
 
   /** events.parquet stores ts as parquet TIMESTAMP(NANOS), which Spark's
-    * reader rejects by default; read nanos as long and truncate to µs
-    * (exactly what DuckDB's ts::TIMESTAMP does).
+    * reader rejects unless `spark.sql.legacy.parquet.nanosAsLong=true` is
+    * set in the session (Verify/Bench/TestSpark/Shell builders set it —
+    * reading a table must not mutate session conf as a side effect); the
+    * ns long is truncated to µs here (exactly what DuckDB's ts::TIMESTAMP
+    * does).
     */
   def events(s: SparkSession, d: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     // integer division (`div`), NOT `/`: double division rounds nanosecond
     // longs (>2^53) before truncation — off-by-1µs vs exact ns→µs truncation
-    apply(s, d, "events")
+    eventsRaw(s, d)
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }
+
+  /** events with `ts` left as the raw TIMESTAMP(NANOS) long — for queries
+    * that pin the ns→µs truncation semantics explicitly.
+    */
+  def eventsRaw(s: SparkSession, d: String): DataFrame = apply(s, d, "events")
 
   def lineitem(s: SparkSession, d: String): DataFrame  = apply(s, d, "lineitem")
   def orders(s: SparkSession, d: String): DataFrame    = apply(s, d, "orders")

@@ -123,7 +123,9 @@ final class JobRunner(
           (smap(post("outputs")), true)
         } else (Map.empty[String, String], false)
       JobRecord(d.getFileName.toString, req, outputs, finished)
-    }.sortBy(_.jobid).reverse.toList
+      // numeric sort: lexicographic jobid order breaks past j-9999 (the
+      // %04d width overflows and j-10000 would sort before j-9999)
+    }.sortBy(_.jobid.stripPrefix("j-").toInt).reverse.toList
   }
 
   private def versionsOk(reqV: String, jobV: String): Boolean =

@@ -26,10 +26,18 @@ object AsOfJoin {
             leftTime: String, rightTime: String,
             rightCols: Seq[String], strict: Boolean = false,
             prefix: String = "asof_"): DataFrame = {
+    require(rightCols.nonEmpty, "as-of join needs at least one right column")
     val (ltag, rtag) = if (strict) (0, 1) else (1, 0)
+    // ALL right payload columns travel in ONE struct: the struct is
+    // non-null exactly for right rows (left rows get null via
+    // allowMissingColumns), so a single last(ignoreNulls) carries the whole
+    // matched row forward. Per-column last(ignoreNulls) would skip a NULL
+    // field in the matched row (taking an older row's value) and could mix
+    // values from different right rows — true as-of returns the matched
+    // row verbatim, NULLs included.
     val rPrep = right.select(
-        (keys.map(col) :+ col(rightTime).as("__t")) ++
-        rightCols.map(c => col(c).as(s"__r_$c")): _*)
+        (keys.map(col) :+ col(rightTime).as("__t")) :+
+        struct(rightCols.map(col): _*).as("__rpay"): _*)
       .withColumn("__tag", lit(rtag))
     val lPrep = left
       .withColumn("__t", col(leftTime))
@@ -38,10 +46,9 @@ object AsOfJoin {
     val w = Window.partitionBy(keys.map(col): _*)
       .orderBy(col("__t").asc, col("__tag").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val withAsof = rightCols.foldLeft(u) { (df, c) =>
-      df.withColumn(prefix + c, last(col(s"__r_$c"), ignoreNulls = true).over(w))
-    }
+    val withAsof = u.withColumn("__pay", last(col("__rpay"), ignoreNulls = true).over(w))
     withAsof.filter(col("__tag") === ltag)
-      .drop("__t" +: "__tag" +: rightCols.map(c => s"__r_$c"): _*)
+      .select(left.columns.map(col).toSeq ++
+        rightCols.map(c => col(s"__pay.$c").as(prefix + c)): _*)
   }
 }

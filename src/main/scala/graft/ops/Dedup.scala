@@ -96,12 +96,19 @@ object Dedup {
       .join(hy, Seq("id_b", "h"))
       .groupBy("id_a", "id_b").agg(count(lit(1)).as("c_hot"))
 
-    survivors.join(cHot, Seq("id_a", "id_b"), "left")
+    val result = survivors.join(cHot, Seq("id_a", "id_b"), "left")
       .withColumn("c", col("c_cold") + coalesce(col("c_hot"), lit(0L)))
       .select(col("id_a"), col("id_b"),
         (col("c").cast("double") /
          (col("sz_a") + col("sz_b") - col("c")).cast("double")).as("jaccard"))
       .filter(col("jaccard") >= threshold)
+      // materialize (pairs are tiny next to the corpus), then release the
+      // big cached intermediates — a long-lived driver calling dedup
+      // repeatedly must not accumulate executor storage
+      .localCheckpoint()
+    posting.unpersist()
+    hot.unpersist()
+    result
   }
 
   /** MinHash + banded-LSH near-dup pairs — the constant-memory at-scale
@@ -139,10 +146,13 @@ object Dedup {
       .distinct()
     val a = withHs.select(col("id").as("id_a"), col("hs").as("hs_a"))
     val b = withHs.select(col("id").as("id_b"), col("hs").as("hs_b"))
-    cands.join(a, "id_a").join(b, "id_b")
+    val result = cands.join(a, "id_a").join(b, "id_b")
       .select(col("id_a"), col("id_b"),
         S.jaccard(col("hs_a"), col("hs_b")).as("jaccard"))
       .filter(col("jaccard") >= threshold)
+      .localCheckpoint() // see ngramJaccard: release the cache below
+    withHs.unpersist()
+    result
   }
 
   /** SimHash near-dup pairs with Hamming distance ≤ maxHamming over the
@@ -199,18 +209,31 @@ object Dedup {
       val neighborMin = edges
         .join(labels.select(col("id").as("dst"), col("label")), "dst")
         .groupBy(col("src").as("id")).agg(min("label").as("nlabel"))
-      val updated = labels.join(neighborMin, Seq("id"), "left")
+      val updated0 = labels.join(neighborMin, Seq("id"), "left")
         .select(col("id"),
           least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
-        .persist(lvl)
+      // localCheckpoint every 5 rounds cuts the lineage that otherwise
+      // deepens by one join per round (quadratic planning time on deep
+      // components); plain persist is enough in between
+      val updated =
+        if ((i + 1) % 5 == 0) updated0.localCheckpoint()
+        else updated0.persist(lvl)
       val changed = updated.as("u")
         .join(labels.select(col("id"), col("label").as("old")), "id")
         .filter(col("label") =!= col("old")).limit(1).count()
+      labels.unpersist() // superseded — executor storage would leak per round
       labels = updated
       converged = changed == 0
       i += 1
     }
-    labels.select(col("id"), col("label").as("cluster"))
+    if (!converged)
+      System.err.println(s"WARN graft.ops.Dedup.dupClusters: maxIter=$maxIter " +
+        "reached without convergence — labels may be non-minimal for " +
+        "components with diameter > maxIter")
+    val out = labels.localCheckpoint()
+    labels.unpersist()
+    edges.unpersist()
+    out.select(col("id"), col("label").as("cluster"))
   }
 
   /** Embedding near-dup: pairs with cosine ≥ threshold. Brute-force
@@ -240,10 +263,11 @@ object Dedup {
                          tables: Int = 8, planes: Int = 6): DataFrame = {
     val v = df.select(col(idCol).as("id"),
       col(vecCol).cast("array<double>").as("v"))
-    val bucketed = (0 until tables).map { t =>
-      v.select(col("id"), lit(t).as("tbl"),
-        SimilaritySearch.signBits(col("v"), t, planes, dim).as("bucket"))
-    }.reduce(_ unionByName _)
+    // ONE scan emitting all (table, bucket) pairs — a per-table
+    // select+union re-reads and re-projects the corpus `tables`× at 100 TB
+    val bucketed = v.select(col("id"), posexplode(array((0 until tables).map(t =>
+        SimilaritySearch.signBits(col("v"), t, planes, dim)): _*)))
+      .toDF("id", "tbl", "bucket")
     val cands = bucketed.as("x").join(bucketed.as("y"), Seq("tbl", "bucket"))
       .filter(col("x.id") < col("y.id"))
       .select(col("x.id").as("id_a"), col("y.id").as("id_b"))

@@ -140,13 +140,14 @@ object SimilaritySearch {
   def lshTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
               vecCol: String, k: Int, dim: Int,
               tables: Int = 8, planes: Int = 12): DataFrame = {
+    // ONE scan emitting all (table, bucket) pairs via posexplode — a
+    // per-table select+union re-reads and re-projects the corpus `tables`×
     def buckets(df: DataFrame, id: String, outId: String) = {
       val v = df.select(col(id).as(outId),
         col(vecCol).cast("array<double>").as("v"))
-      (0 until tables).map { t =>
-        v.select(col(outId), lit(t).as("tbl"),
-          signBits(col("v"), t, planes, dim).as("bucket"))
-      }.reduce(_ unionByName _)
+      v.select(col(outId), posexplode(array((0 until tables).map(t =>
+          signBits(col("v"), t, planes, dim)): _*)))
+        .toDF(outId, "tbl", "bucket")
     }
     val cvecs = corpus.select(col(idCol).as("nid"),
       col(vecCol).cast("array<double>").as("cv"))

@@ -400,8 +400,8 @@ object Relational {
                   THEN 1 ELSE 0 END new_sess
            FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id)),
          sess AS (SELECT user_id, t,
-             sum(new_sess) OVER (PARTITION BY user_id ORDER BY t, event_id
-               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) sess_id
+             (sum(new_sess) OVER (PARTITION BY user_id ORDER BY t, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::BIGINT sess_id
            FROM marked)
          SELECT user_id, sess_id, count(*) AS n_events,
            ((max(t) - min(t)) // 1000)::BIGINT AS duration_ms
