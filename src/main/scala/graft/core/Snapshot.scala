@@ -268,6 +268,22 @@ final class SnapshotStore(val spark: SparkSession, val root: String) {
     *                    pre_callback, dataset.py:752-837); throw
     *                    `SkipDataset` to drop the snapshot,
     *                    `StopIteration` to cut the chain there
+    * @param postCallback invoked per snapshot after inclusion (reference
+    *                    post_callback, dataset.py:786-789,828-837 — fires
+    *                    once a dataset's rows have been consumed, and not
+    *                    for skipped datasets); throw `StopIteration` to cut
+    *                    the chain AFTER this snapshot
+    * @param sliceWindow islice-style row window over the whole chain
+    *                    (reference `slice=`, dataset.py:551-596):
+    *                    (start, stop), either side optional, negative
+    *                    values resolved against total chain lines. Whole
+    *                    snapshots outside the window are skipped from
+    *                    metadata row counts alone (never scanned); at most
+    *                    the two boundary snapshots pay an order+offset/limit.
+    * @param orderCol    defines within-snapshot row order where the window
+    *                    cuts into a snapshot (Spark has no stable positional
+    *                    identity — SURVEY §7.4: order is an explicit column,
+    *                    e.g. the import lineno)
     */
   def iterateChain(
       name: String,
@@ -277,30 +293,52 @@ final class SnapshotStore(val spark: SparkSession, val root: String) {
       sloppyRange: Boolean = false,
       hashlabel: Option[String] = None,
       rehash: Boolean = false,
-      preCallback: Option[Snapshot => Unit] = None): DataFrame = {
+      preCallback: Option[Snapshot => Unit] = None,
+      postCallback: Option[Snapshot => Unit] = None,
+      sliceWindow: Option[(Option[Long], Option[Long])] = None,
+      orderCol: Option[String] = None): DataFrame = {
     val walked = chain(name, length).reverse // oldest first
-    val snapsCb = preCallback match {
-      case None => walked
-      case Some(cb) =>
+    val snapsCb =
+      if (preCallback.isEmpty && postCallback.isEmpty) walked
+      else {
         val out = scala.collection.mutable.ArrayBuffer.empty[Snapshot]
         var stop = false
         walked.foreach { s =>
           if (!stop) {
-            try { cb(s); out += s }
-            catch {
-              case IterateControl.SkipDataset   => // dropped
-              case IterateControl.StopIteration => stop = true
+            var skipped = false
+            preCallback.foreach { cb =>
+              try cb(s)
+              catch {
+                case IterateControl.SkipDataset   => skipped = true
+                case IterateControl.StopIteration => skipped = true; stop = true
+              }
+            }
+            if (!skipped) {
+              out += s
+              postCallback.foreach { cb =>
+                try cb(s)
+                catch { case IterateControl.StopIteration => stop = true }
+              }
             }
           }
         }
         out.toSeq
-    }
+      }
     hashlabel.foreach { h =>
       if (!rehash) snapsCb.foreach { s =>
         require(s.meta.hashlabel.contains(h),
           s"iterate: snapshot ${s.meta.name} is not hashed on $h " +
           s"(has ${s.meta.hashlabel.getOrElse("none")}); pass rehash=true to repartition")
       }
+    }
+    if (sliceWindow.isDefined) {
+      // Reference forbids negative slice offsets with range/rehash/filters
+      // (dataset.py:558-562); we forbid the combination outright — a row
+      // window over a filtered stream has no metadata-computable skip.
+      require(range.isEmpty && !rehash,
+        "sliceWindow cannot be combined with range or rehash")
+      val (startOpt, stopOpt) = sliceWindow.get
+      return sliceWindowed(snapsCb, columns, startOpt, stopOpt, orderCol)
     }
     val snaps0 = snapsCb
     val snaps = range match {
@@ -341,6 +379,61 @@ final class SnapshotStore(val spark: SparkSession, val root: String) {
         filtered.repartition(spark.sparkContext.defaultParallelism, col(h))
       case _ => filtered
     }
+  }
+
+  /** `slice=` window over a chain (reference dataset.py:551-596): resolve
+    * negative offsets against total chain lines (from metadata — no scan),
+    * skip whole snapshots outside [start, stop), and cut into the ≤2
+    * boundary snapshots with orderBy(orderCol) + offset/limit. Overshoot is
+    * an error, exactly as in the reference ("Wanted to skip N lines, but
+    * only M available").
+    */
+  private def sliceWindowed(
+      snaps: Seq[Snapshot],
+      columns: Seq[String],
+      startOpt: Option[Long],
+      stopOpt: Option[Long],
+      orderCol: Option[String]): DataFrame = {
+    val total = snaps.map(_.meta.lines).sum
+    var start = startOpt.getOrElse(0L)
+    var stop = stopOpt.getOrElse(total)
+    if (start < 0) {
+      require(-start <= total, s"wanted last ${-start} lines, but only $total lines available")
+      start = total + start
+    }
+    if (stop < 0) {
+      require(-stop <= total, s"wanted to stop ${-stop} lines before end, but only $total lines available")
+      stop = total + stop
+    }
+    require(start <= total, s"wanted to skip $start lines, but only $total lines available")
+    require(stop <= total, s"wanted to stop after $stop lines, but only $total lines available")
+    require(start <= stop, s"slice start $start is bigger than stop $stop")
+    def project(df: DataFrame): DataFrame =
+      if (columns.nonEmpty) df.select(columns.map(col): _*) else df
+    var g0 = 0L
+    val frames = snaps.flatMap { s =>
+      val g1 = g0 + s.meta.lines
+      val out =
+        if (g1 <= start || g0 >= stop || s.meta.lines == 0) None // skipped from metadata alone
+        else if (start <= g0 && g1 <= stop) Some(project(readResolved(s.meta.name)))
+        else {
+          val oc = orderCol.getOrElse(sys.error(
+            s"sliceWindow cuts into snapshot ${s.meta.name}; pass orderCol " +
+            "(e.g. the import lineno) to define within-snapshot row order"))
+          val a = math.max(0L, start - g0)
+          val b = math.min(g1, stop) - g0
+          require(a <= Int.MaxValue && b <= Int.MaxValue,
+            s"sliceWindow boundary offset $a..$b exceeds Int range within one snapshot")
+          Some(project(readResolved(s.meta.name).orderBy(col(oc))
+            .offset(a.toInt).limit((b - a).toInt)))
+        }
+      g0 = g1
+      out
+    }
+    if (frames.isEmpty) {
+      require(snaps.nonEmpty, "empty chain")
+      project(readResolved(snaps.head.meta.name)).limit(0)
+    } else frames.reduce(_.unionByName(_))
   }
 
   /** Metadata-only column filter (reference a_dataset_filter_columns.py —

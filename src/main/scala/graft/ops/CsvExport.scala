@@ -32,6 +32,32 @@ object CsvExport {
             cfg: CsvExportConfig = CsvExportConfig(), length: Int = -1): Unit =
     apply(store.iterateChain(name, length = length), path, cfg)
 
+  /** Multi-dataset column-zip export (reference a_csvexport.py:52,191-197:
+    * several line-aligned source datasets concatenated COLUMN-wise into one
+    * file). The reference zips positionally; Spark has no stable positional
+    * identity, so alignment is by the shared `on` column (explicit
+    * rowid/lineno — SURVEY §7.4) and the output is ordered by it, which
+    * reproduces the positional zip exactly. On duplicate labels the later
+    * dataset wins (reference dataset-merge rule, dataset.py:329-377).
+    *
+    * Scale: one sort-merge/shuffle join per extra dataset on the alignment
+    * key + the final range-partitioned sort — all distributed; the single
+    * output file is assembled by streaming part files (same as `apply`).
+    */
+  def zipped(dfs: Seq[DataFrame], on: String, path: String,
+             cfg: CsvExportConfig = CsvExportConfig(),
+             keepOn: Boolean = false): Unit = {
+    require(dfs.size >= 2, "zipped export needs at least two datasets")
+    require(dfs.forall(_.columns.contains(on)), s"every dataset needs the alignment column $on")
+    val joined = dfs.reduce { (a, b) =>
+      val dup = b.columns.toSet.intersect(a.columns.toSet) - on
+      val aKeep = a.columns.filterNot(dup.contains)
+      a.select(aKeep.map(col): _*).join(b, on)
+    }
+    val ordered = joined.orderBy(col(on))
+    apply(if (keepOn) ordered else ordered.drop(on), path, cfg)
+  }
+
   /** Render one column to its CSV cell string (quote-mode aware). */
   private def cell(df: DataFrame, name: String, cfg: CsvExportConfig): Column = {
     val noneAs = cfg.noneAs.getOrElse(name, cfg.noneAs.getOrElse("*", ""))

@@ -1,9 +1,11 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{StructField, StructType, LongType}
-import graft.core.{SnapshotStore, Tables}
+import graft.cli.Shell
+import graft.core.{IterateControl, SnapshotStore, Tables}
 import graft.ops._
 
 /** Oracle-checked queries exercising the reference's standard-method
@@ -197,6 +199,199 @@ object Operators {
            sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("volume"))
   }
 
+  /** Build a chain of year-partitioned orders snapshots: bounds
+    * ("b0","b1","b2",…) → snapshots `<prefix>a` [b0,b1), `<prefix>b`
+    * [b1,b2), … linked by `previous`. Returns the chain tip's name.
+    */
+  private def yearChain(store: SnapshotStore, ord: DataFrame,
+                        bounds: Seq[String], prefix: String): String = {
+    var prev: Option[String] = None
+    bounds.sliding(2).zipWithIndex.foreach { case (Seq(a, b), i) =>
+      val nm = s"$prefix${('a' + i).toChar}"
+      store.write(
+        ord.filter(col("o_orderdate") >= lit(a).cast("timestamp") &&
+                   col("o_orderdate") < lit(b).cast("timestamp")),
+        nm, previous = prev, slices = 4)
+      prev = Some(nm)
+    }
+    prev.get
+  }
+
+  /** filter_columns is metadata-only (reference a_dataset_filter_columns.py
+    * — "no data copy"): asserted structurally (the slim snapshot has no
+    * data dir of its own and points at the parent's), and the resolved read
+    * exposes exactly the kept columns.
+    */
+  def filterColumnsQ(s: SparkSession, dir: String): DataFrame = {
+    val store = new SnapshotStore(s, tmpDir("store_fc"))
+    store.write(Tables.customer(s, dir), "fc_cust_full", slices = 4)
+    val snap = store.filterColumns("fc_cust_full", "fc_cust_slim",
+      Seq("c_custkey", "c_name", "c_mktsegment"))
+    val shared =
+      !java.nio.file.Files.exists(java.nio.file.Paths.get(snap.dir, "data")) &&
+      snap.meta.dataDir.contains(s"${store.get("fc_cust_full").dir}/data")
+    store.readResolved("fc_cust_slim").withColumn("data_shared", lit(shared))
+  }
+
+  /** dataset_checksum_chain (reference a_dataset_checksum_chain.py:36-51):
+    * per-snapshot checksums over a chain combine (sums add) to the checksum
+    * of the whole — verified against the checksum of the unpartitioned
+    * table. Fully lazy: all four checksums live in ONE plan via broadcast
+    * crossJoins of 1-row aggregates.
+    */
+  def checksumChain(s: SparkSession, dir: String): DataFrame = {
+    val store = new SnapshotStore(s, tmpDir("store_cc"))
+    val ord = Tables.orders(s, dir)
+    // testdata orders span 1995..2001 — bounds must cover the whole table
+    val tip = yearChain(store, ord,
+      Seq("1990-01-01", "1996-01-01", "1998-01-01", "2010-01-01"), "cc_orders_")
+    val parts = store.chain(tip).reverse.zipWithIndex.map { case (sn, i) =>
+      DatasetChecksum(store.readResolved(sn.meta.name))
+        .select(col("sum_hi").as(s"hi$i"), col("sum_lo").as(s"lo$i"),
+                col("lines").as(s"ln$i"))
+    }
+    val whole = DatasetChecksum(ord)
+      .select(col("sum_hi").as("whi"), col("sum_lo").as("wlo"), col("lines").as("wln"))
+    parts.reduce(_.crossJoin(_)).crossJoin(whole).select(
+      (col("hi0") + col("hi1") + col("hi2") === col("whi") &&
+       col("lo0") + col("lo1") + col("lo2") === col("wlo") &&
+       col("ln0") + col("ln1") + col("ln2") === col("wln")).as("chain_equals_whole"),
+      col("wln").as("lines"))
+  }
+
+  /** hashlabel enforcement + rehash on iterate (reference
+    * dataset.py:615-622): a chain whose snapshots are hashed on different
+    * columns iterates under `hashlabel=c_nationkey, rehash=true` — after
+    * the rehash repartition every key must live in exactly one partition.
+    */
+  def rehashIterate(s: SparkSession, dir: String): DataFrame = {
+    val store = new SnapshotStore(s, tmpDir("store_rh"))
+    val cust = Tables.customer(s, dir)
+    store.write(cust.filter(col("c_custkey") % 3 === 0), "rh_cust_a",
+      hashlabel = Some("c_nationkey"), slices = 8)
+    store.write(cust.filter(col("c_custkey") % 3 =!= 0), "rh_cust_b",
+      hashlabel = Some("c_custkey"), previous = Some("rh_cust_a"), slices = 8)
+    val it = store.iterateChain("rh_cust_b",
+      columns = Seq("c_custkey", "c_nationkey"),
+      hashlabel = Some("c_nationkey"), rehash = true)
+    it.withColumn("pid", spark_partition_id())
+      .groupBy(col("c_nationkey"))
+      .agg(count(lit(1)).as("n"),
+           countDistinct(col("pid")).cast("long").as("nparts"))
+  }
+
+  /** pre/post callbacks with Skip/Stop control (reference
+    * dataset.py:752-837): pre skips snapshot b, post stops the chain after
+    * snapshot c — so of a→b→c→d exactly {a, c} are iterated, and the post
+    * hook fired for exactly those, in chain order.
+    */
+  def iterateCallbacks(s: SparkSession, dir: String): DataFrame = {
+    val store = new SnapshotStore(s, tmpDir("store_cb"))
+    val ord = Tables.orders(s, dir)
+    val tip = yearChain(store, ord,
+      Seq("1990-01-01", "1996-01-01", "1997-01-01", "1998-01-01", "2010-01-01"),
+      "cb_orders_")
+    val postSeen = scala.collection.mutable.ArrayBuffer.empty[String]
+    val it = store.iterateChain(tip,
+      columns = Seq("o_orderstatus", "o_totalprice", "o_orderdate"),
+      preCallback = Some { sn =>
+        if (sn.meta.name == "cb_orders_b") throw IterateControl.SkipDataset
+      },
+      postCallback = Some { sn =>
+        postSeen += sn.meta.name
+        if (sn.meta.name == "cb_orders_c") throw IterateControl.StopIteration
+      })
+    // callbacks run driver-side during chain planning, so postSeen is final
+    val cbOk = postSeen.toSeq == Seq("cb_orders_a", "cb_orders_c")
+    it.groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"),
+           sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("volume"))
+      .withColumn("callbacks_ok", lit(cbOk))
+  }
+
+  /** slice= iteration windows (reference dataset.py:551-596): a 3-snapshot
+    * chain with an explicit lineno; the window [total/3-7, 2*total/3+11)
+    * cuts into the first and last snapshots (offset/limit on the order
+    * column) and covers the middle one fully; the stop bound is passed
+    * NEGATIVE to exercise resolution against total chain lines.
+    */
+  def sliceWindowQ(s: SparkSession, dir: String): DataFrame = {
+    val store = new SnapshotStore(s, tmpDir("store_sw"))
+    val numbered = Tables.orders(s, dir)
+      .select(col("o_orderkey"), col("o_totalprice"))
+      .withColumn("lineno",
+        row_number().over(Window.orderBy(col("o_orderkey"))).cast("long") - 1)
+    val total = numbered.count()
+    val n1 = total / 3
+    val n2 = 2 * total / 3
+    store.write(numbered.filter(col("lineno") < n1), "sw_a", slices = 4)
+    store.write(numbered.filter(col("lineno") >= n1 && col("lineno") < n2),
+      "sw_b", previous = Some("sw_a"), slices = 4)
+    store.write(numbered.filter(col("lineno") >= n2), "sw_c",
+      previous = Some("sw_b"), slices = 4)
+    store.iterateChain("sw_c",
+      columns = Seq("lineno", "o_orderkey", "o_totalprice"),
+      sliceWindow = Some((Some(n1 - 7), Some(-(total - n2 - 11)))),
+      orderCol = Some("lineno"))
+  }
+
+  /** parent column-append + link_to_here (reference dataset.py:864-941,
+    * 292-327): the child snapshot stores ONLY rowid + the appended columns
+    * (zero-copy, asserted structurally), the link stores no data at all,
+    * and the resolved read-through-the-link yields parent ++ appended.
+    */
+  def parentAppend(s: SparkSession, dir: String): DataFrame = {
+    val store = new SnapshotStore(s, tmpDir("store_pa"))
+    store.write(store.withRowId(Tables.customer(s, dir)), "pa_base", slices = 4)
+    store.appendColumns("pa_base", "pa_ext") { df =>
+      df.select(col(SnapshotStore.RowIdName),
+        (col("c_acctbal") > 0).as("positive"),
+        lower(col("c_mktsegment")).as("seg_l"))
+    }
+    val linked = store.linkToHere("pa_ext", "pa_link")
+    val childCols = store.get("pa_ext").read(s).columns.toSet
+    val zeroCopy =
+      childCols == Set(SnapshotStore.RowIdName, "positive", "seg_l") &&
+      linked.meta.dataDir.isDefined
+    store.readResolved("pa_link")
+      .select(col("c_custkey"), col("c_name"), col("positive"), col("seg_l"))
+      .withColumn("zero_copy", lit(zeroCopy))
+  }
+
+  /** shell `ax grep` over a 2-snapshot chain (reference shell/grep.py:
+    * regex matched against every selected column): the result is exactly
+    * the SQL OR-of-regexes over the union — a distributed scan+filter, not
+    * a driver loop.
+    */
+  def shellGrep(s: SparkSession, dir: String): DataFrame = {
+    val storeRoot = tmpDir("store_sh")
+    val store = new SnapshotStore(s, storeRoot)
+    val cust = Tables.customer(s, dir)
+    store.write(cust.filter(col("c_custkey") % 2 === 0), "sh_cust_a", slices = 4)
+    store.write(cust.filter(col("c_custkey") % 2 =!= 0), "sh_cust_b",
+      previous = Some("sh_cust_a"), slices = 4)
+    Shell.grepDf(store, Shell.Args(storeRoot, "sh_cust_b",
+      Seq("c_custkey", "c_name", "c_mktsegment", "c_nationkey"),
+      pattern = "BUILDING|007$", chain = 2))
+  }
+
+  /** Multi-dataset column-zip csvexport (reference a_csvexport.py:52,
+    * 191-197): two line-aligned projections of customer exported
+    * column-concatenated into ONE file, re-imported, and compared to the
+    * original (≡ a SQL join on the alignment rowid).
+    */
+  def csvexportZipQ(s: SparkSession, dir: String): DataFrame = {
+    val store = new SnapshotStore(s, tmpDir("store_cz"))
+    val base = store.withRowId(Tables.customer(s, dir))
+    val left = base.select(col(SnapshotStore.RowIdName), col("c_custkey"), col("c_name"))
+    val right = base.select(col(SnapshotStore.RowIdName), col("c_nationkey"), col("c_mktsegment"))
+    val path = tmpDir("csv_zipcols") + "/cust_zip.csv"
+    CsvExport.zipped(Seq(left, right), SnapshotStore.RowIdName, path)
+    val imported = CsvImport(s, path).data
+    DatasetType(imported, Map("c_custkey" -> "int64", "c_nationkey" -> "int64")).good
+      .select("c_custkey", "c_name", "c_nationkey", "c_mktsegment")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "op_csv_roundtrip" -> csvRoundtrip _,
     "op_dataset_type" -> datasetType _,
@@ -208,6 +403,14 @@ object Operators {
     "op_unroundrobin" -> unroundrobin _,
     "op_checksum_invariant" -> checksumInvariant _,
     "op_chain_range" -> chainRange _,
+    "op_filter_columns" -> filterColumnsQ _,
+    "op_checksum_chain" -> checksumChain _,
+    "op_rehash_iterate" -> rehashIterate _,
+    "op_iterate_callbacks" -> iterateCallbacks _,
+    "op_slice_window" -> sliceWindowQ _,
+    "op_parent_append" -> parentAppend _,
+    "op_shell_grep" -> shellGrep _,
+    "op_csvexport_zip" -> csvexportZipQ _,
   )
 
   val oracle: Map[String, String] = Map(
@@ -254,5 +457,38 @@ object Operators {
          WHERE o_orderdate >= TIMESTAMP '1994-06-01'
            AND o_orderdate < TIMESTAMP '1995-06-01'
          GROUP BY o_orderstatus""",
+    "op_filter_columns" ->
+      "SELECT c_custkey, c_name, c_mktsegment, true AS data_shared FROM customer",
+    "op_checksum_chain" ->
+      "SELECT true AS chain_equals_whole, count(*) AS lines FROM orders",
+    "op_rehash_iterate" ->
+      """SELECT c_nationkey, count(*) AS n, CAST(1 AS BIGINT) AS nparts
+         FROM customer GROUP BY c_nationkey""",
+    "op_iterate_callbacks" ->
+      """SELECT o_orderstatus, count(*) AS n,
+         CAST(sum(o_totalprice::DECIMAL(18,2)) AS DOUBLE) AS volume,
+         true AS callbacks_ok
+         FROM orders
+         WHERE o_orderdate < TIMESTAMP '1996-01-01'
+            OR (o_orderdate >= TIMESTAMP '1997-01-01'
+                AND o_orderdate < TIMESTAMP '1998-01-01')
+         GROUP BY o_orderstatus""",
+    "op_slice_window" ->
+      """SELECT lineno, o_orderkey, o_totalprice FROM (
+           SELECT row_number() OVER (ORDER BY o_orderkey) - 1 AS lineno,
+                  o_orderkey, o_totalprice FROM orders) t
+         WHERE lineno >= (SELECT count(*)//3 - 7 FROM orders)
+           AND lineno < (SELECT 2*count(*)//3 + 11 FROM orders)""",
+    "op_parent_append" ->
+      """SELECT c_custkey, c_name, (c_acctbal > 0) AS positive,
+         lower(c_mktsegment) AS seg_l, true AS zero_copy FROM customer""",
+    "op_shell_grep" ->
+      """SELECT c_custkey, c_name, c_mktsegment, c_nationkey FROM customer
+         WHERE regexp_matches(c_custkey::VARCHAR, 'BUILDING|007$')
+            OR regexp_matches(c_name, 'BUILDING|007$')
+            OR regexp_matches(c_mktsegment, 'BUILDING|007$')
+            OR regexp_matches(c_nationkey::VARCHAR, 'BUILDING|007$')""",
+    "op_csvexport_zip" ->
+      "SELECT c_custkey, c_name, c_nationkey, c_mktsegment FROM customer",
   )
 }

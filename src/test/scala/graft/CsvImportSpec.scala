@@ -103,6 +103,22 @@ class CsvImportSpec extends AnyFunSuite {
     assert(back.toSet == Set(Seq("a,b", "line\"quote", "plain"), Seq("", "x", "y")))
   }
 
+  test("zipped export column-concats aligned datasets, later wins on dups") {
+    val s = spark
+    import s.implicits._
+    val a = Seq((0L, "x0", "old0"), (1L, "x1", "old1"), (2L, "x2", "old2"))
+      .toDF("rid", "xa", "dup")
+    val b = Seq((0L, "y0", "new0"), (1L, "y1", "new1"), (2L, "y2", "new2"))
+      .toDF("rid", "yb", "dup")
+    val out = tmpDir("csv_zipped") + "/zipped.csv"
+    CsvExport.zipped(Seq(a, b), "rid", out)
+    val lines = Files.readAllLines(Paths.get(out))
+    assert(lines.get(0) == "xa,yb,dup", "alignment col dropped, later dataset wins dup")
+    assert(lines.get(1) == "x0,y0,new0" && lines.get(3) == "x2,y2,new2",
+      "rows ordered by the alignment column")
+    intercept[IllegalArgumentException] { CsvExport.zipped(Seq(a), "rid", out) }
+  }
+
   test("gzip single-file export round-trips through import") {
     val s = spark
     import s.implicits._

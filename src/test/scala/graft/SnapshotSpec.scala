@@ -132,6 +132,60 @@ class SnapshotSpec extends AnyFunSuite {
     }
   }
 
+  test("post-callback fires after inclusion, Stop cuts the chain AFTER") {
+    val s = spark
+    import s.implicits._
+    val store = new SnapshotStore(s, tmpDir("snap_post"))
+    store.write(Seq(1).toDF("k"), "pc_1", slices = 1)
+    store.write(Seq(2).toDF("k"), "pc_2", previous = Some("pc_1"), slices = 1)
+    store.write(Seq(3).toDF("k"), "pc_3", previous = Some("pc_2"), slices = 1)
+    import graft.core.IterateControl._
+    val seen = scala.collection.mutable.ArrayBuffer.empty[String]
+    val got = store.iterateChain("pc_3", postCallback = Some { snap =>
+      seen += snap.meta.name
+      if (snap.meta.name == "pc_2") throw StopIteration
+    }).collect().map(_.getInt(0)).sorted.toSeq
+    assert(got == Seq(1, 2), "StopIteration from post includes the current snapshot")
+    assert(seen.toSeq == Seq("pc_1", "pc_2"), "post fires once per included snapshot")
+    // skipped snapshots get no post callback (reference dataset.py:757-760)
+    val seen2 = scala.collection.mutable.ArrayBuffer.empty[String]
+    store.iterateChain("pc_3",
+      preCallback = Some { snap =>
+        if (snap.meta.name == "pc_2") throw SkipDataset },
+      postCallback = Some { snap => seen2 += snap.meta.name }).count()
+    assert(seen2.toSeq == Seq("pc_1", "pc_3"))
+  }
+
+  test("sliceWindow: whole-snapshot skip, boundary offset/limit, negatives") {
+    val s = spark
+    import s.implicits._
+    val store = new SnapshotStore(s, tmpDir("snap_slice"))
+    // 3 snapshots x 10 rows, lineno 0..29
+    (0 until 3).foreach { i =>
+      store.write((i * 10 until (i + 1) * 10).map(_.toLong).toDF("lineno"),
+        s"sl_$i", previous = if (i == 0) None else Some(s"sl_${i - 1}"), slices = 2)
+    }
+    def win(a: Option[Long], b: Option[Long]) =
+      store.iterateChain("sl_2", sliceWindow = Some((a, b)),
+        orderCol = Some("lineno")).collect().map(_.getLong(0)).sorted.toSeq
+    assert(win(Some(7), Some(23)) == (7L until 23L))
+    assert(win(Some(10), Some(20)) == (10L until 20L), "exact snapshot boundaries")
+    assert(win(Some(-5), None) == (25L until 30L), "negative start = last N lines")
+    assert(win(Some(3), Some(-24)) == (3L until 6L), "negative stop resolves vs total")
+    assert(win(Some(12), Some(12)).isEmpty, "start == stop is empty")
+    assert(win(Some(30), None).isEmpty, "start == total is empty")
+    intercept[IllegalArgumentException] { win(Some(31), None) }
+    intercept[IllegalArgumentException] { win(Some(-31), None) }
+    intercept[IllegalArgumentException] { win(Some(9), Some(4)) }
+    intercept[IllegalArgumentException] {
+      store.iterateChain("sl_2", sliceWindow = Some((Some(1L), Some(5L))),
+        range = Some(("lineno", "0", "99")))
+    }
+    // a window aligned to snapshot boundaries needs no orderCol
+    assert(store.iterateChain("sl_2", sliceWindow = Some((Some(10L), Some(30L))))
+      .collect().map(_.getLong(0)).sorted.toSeq == (10L until 30L))
+  }
+
   test("chain walk respects length and order") {
     val s = spark
     import s.implicits._
