@@ -1,0 +1,164 @@
+package graft.expr
+
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+
+/** Codegen'd vector primitives for the similarity/dedup family.
+  *
+  * The higher-order-function formulations (`aggregate(zip_with(...))`) are
+  * CodegenFallback — evaluated interpreted per ELEMENT, which puts ~10^3
+  * interpreted calls per row into the hottest paths (LSH bucketing computes
+  * tables×planes dot products per row, on both sides of a self-join). These
+  * expressions do the same math in one generated loop.
+  *
+  * Numeric contract: identical IEEE754 results to the HOF versions — the
+  * fold is sequential in element order (acc += v[j]*w[j], j ascending),
+  * which is also DuckDB's list_dot_product order, so the oracle comparison
+  * stays exact, not approximate.
+  */
+
+/** Sequential-fold dot product of two double arrays. Null semantics match
+  * `aggregate(zip_with(a, b, _*_), 0.0, _+_)`: unequal lengths or any null
+  * element → null (zip_with pads with null, null poisons the fold).
+  */
+case class DotProduct(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_dot"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    if (y.numElements() != n) return null
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
+      acc += x.getDouble(i) * y.getDouble(i)
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc")
+      s"""
+         |final int $n = $a.numElements();
+         |if ($b.numElements() != $n) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $acc = 0.0;
+         |  for (int $i = 0; $i < $n && !${ev.isNull}; $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) {
+         |      ${ev.isNull} = true;
+         |    } else {
+         |      $acc += $a.getDouble($i) * $b.getDouble($i);
+         |    }
+         |  }
+         |  ${ev.value} = $acc;
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): DotProduct =
+    copy(left = newLeft, right = newRight)
+}
+
+/** All sign-LSH buckets of a vector in ONE pass: out[t] = OR over planes p
+  * of (1<<p when dot(v, plane[t][p]) >= 0). `weights` is the hyperplane
+  * family flattened [t][p][j] (deterministic md5-derived — see
+  * SimilaritySearch.planeWeight — so the DuckDB oracle replicates it).
+  *
+  * Null/shape semantics match the per-plane HOF formulation
+  * (`when(dot >= 0, 1<<p).otherwise(0)`): a vector of the wrong length or
+  * containing a null element has null dots → every bucket 0.
+  */
+case class SignBuckets(child: Expression, tables: Int, planes: Int,
+                       dim: Int, weights: Array[Double])
+    extends UnaryExpression {
+  require(weights.length == tables * planes * dim,
+    s"weights must be tables*planes*dim = ${tables * planes * dim}, got ${weights.length}")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_sign_buckets"
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val out = new Array[Long](tables)
+    if (arr.numElements() == dim) {
+      val v = new Array[Double](dim)
+      var ok = true
+      var j = 0
+      while (ok && j < dim) {
+        if (arr.isNullAt(j)) ok = false else v(j) = arr.getDouble(j)
+        j += 1
+      }
+      if (ok) {
+        var t = 0
+        while (t < tables) {
+          var bkt = 0L
+          var p = 0
+          while (p < planes) {
+            var acc = 0.0
+            val base = (t * planes + p) * dim
+            var k = 0
+            while (k < dim) { acc += v(k) * weights(base + k); k += 1 }
+            if (acc >= 0) bkt |= (1L << p)
+            p += 1
+          }
+          out(t) = bkt
+          t += 1
+        }
+      }
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val wRef = ctx.addReferenceObj("signPlanes", weights, "double[]")
+    nullSafeCodeGen(ctx, ev, c => {
+      val out = ctx.freshName("out")
+      val v = ctx.freshName("v")
+      val ok = ctx.freshName("ok")
+      val t = ctx.freshName("t")
+      val p = ctx.freshName("p")
+      val j = ctx.freshName("j")
+      val acc = ctx.freshName("acc")
+      val bkt = ctx.freshName("bkt")
+      val base = ctx.freshName("base")
+      s"""
+         |final long[] $out = new long[$tables];
+         |if ($c.numElements() == $dim) {
+         |  final double[] $v = new double[$dim];
+         |  boolean $ok = true;
+         |  for (int $j = 0; $ok && $j < $dim; $j++) {
+         |    if ($c.isNullAt($j)) $ok = false; else $v[$j] = $c.getDouble($j);
+         |  }
+         |  if ($ok) {
+         |    for (int $t = 0; $t < $tables; $t++) {
+         |      long $bkt = 0L;
+         |      for (int $p = 0; $p < $planes; $p++) {
+         |        double $acc = 0.0;
+         |        final int $base = ($t * $planes + $p) * $dim;
+         |        for (int $j = 0; $j < $dim; $j++) $acc += $v[$j] * $wRef[$base + $j];
+         |        if ($acc >= 0) $bkt |= (1L << $p);
+         |      }
+         |      $out[$t] = $bkt;
+         |    }
+         |  }
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): SignBuckets =
+    copy(child = newChild)
+}

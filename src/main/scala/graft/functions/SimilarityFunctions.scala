@@ -85,11 +85,17 @@ object SimilarityFunctions {
   def hamming64(a: Column, b: Column): Column =
     bit_count(a.bitwiseXOR(b)).cast("int")
 
-  /** Dot product of two double arrays — explicit sequential fold so the
-    * DuckDB oracle (list_dot_product) and Spark agree bit-for-bit.
+  /** Dot product of two double arrays — sequential fold so the DuckDB
+    * oracle (list_dot_product) and Spark agree bit-for-bit. Codegen'd
+    * single-pass expression (graft.expr.DotProduct); the HOF formulation
+    * (aggregate∘zip_with) is CodegenFallback and costs ~2 interpreted
+    * calls per ELEMENT in the hottest join paths.
     */
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+  def dot(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.GraftBridge
+    GraftBridge.column(graft.expr.DotProduct(
+      GraftBridge.expression(a), GraftBridge.expression(b)))
+  }
 
   def l2Norm(a: Column): Column = sqrt(dot(a, a))
 

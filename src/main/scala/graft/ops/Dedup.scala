@@ -264,9 +264,10 @@ object Dedup {
     val v = df.select(col(idCol).as("id"),
       col(vecCol).cast("array<double>").as("v"))
     // ONE scan emitting all (table, bucket) pairs — a per-table
-    // select+union re-reads and re-projects the corpus `tables`× at 100 TB
-    val bucketed = v.select(col("id"), posexplode(array((0 until tables).map(t =>
-        SimilaritySearch.signBits(col("v"), t, planes, dim)): _*)))
+    // select+union re-reads and re-projects the corpus `tables`× at 100 TB;
+    // bucket math is a single codegen'd pass (SimilaritySearch.signBucketsAll)
+    val bucketed = v.select(col("id"),
+        posexplode(SimilaritySearch.signBucketsAll(col("v"), tables, planes, dim)))
       .toDF("id", "tbl", "bucket")
     val cands = bucketed.as("x").join(bucketed.as("y"), Seq("tbl", "bucket"))
       .filter(col("x.id") < col("y.id"))

@@ -57,16 +57,23 @@ object SimilaritySearch {
     (java.lang.Long.parseLong(hex, 16) % 2000001L).toDouble / 1000000.0 - 1.0
   }
 
-  private[ops] def signBits(v: Column, table: Int, planes: Int, dim: Int): Column = {
-    // bit p = sign of dot(v, plane_p); sequential fold matches the oracle's
-    // list_dot_product exactly (same op order ⇒ same IEEE754 result ⇒ same
-    // sign, always)
-    (0 until planes).map { p =>
-      val w = typedLit((0 until dim).map(j => planeWeight(table, p, j)))
-      val d = aggregate(zip_with(v, w, (x, y) => x * y),
-        lit(0.0), (acc, x) => acc + x)
-      when(d >= 0, lit(1L << p)).otherwise(lit(0L))
-    }.reduce((a: Column, b: Column) => a.bitwiseOR(b))
+  /** All `tables` bucket ids of a vector in one codegen'd pass
+    * (graft.expr.SignBuckets): bit p of bucket t = sign of
+    * dot(v, plane[t][p]). The sequential fold matches the oracle's
+    * list_dot_product exactly (same op order ⇒ same IEEE754 result ⇒ same
+    * sign, always). The HOF-per-plane formulation this replaces evaluated
+    * tables×planes×dim interpreted calls per row.
+    */
+  private[ops] def signBucketsAll(v: Column, tables: Int, planes: Int,
+                                  dim: Int): Column = {
+    import org.apache.spark.sql.GraftBridge
+    val w = Array.tabulate(tables * planes * dim) { idx =>
+      val t = idx / (planes * dim)
+      val r = idx % (planes * dim)
+      planeWeight(t, r / dim, r % dim)
+    }
+    GraftBridge.column(graft.expr.SignBuckets(
+      GraftBridge.expression(v), tables, planes, dim, w))
   }
 
   def bruteForce(corpus: DataFrame, queries: DataFrame,
@@ -145,8 +152,8 @@ object SimilaritySearch {
     def buckets(df: DataFrame, id: String, outId: String) = {
       val v = df.select(col(id).as(outId),
         col(vecCol).cast("array<double>").as("v"))
-      v.select(col(outId), posexplode(array((0 until tables).map(t =>
-          signBits(col("v"), t, planes, dim)): _*)))
+      v.select(col(outId),
+          posexplode(signBucketsAll(col("v"), tables, planes, dim)))
         .toDF(outId, "tbl", "bucket")
     }
     val cvecs = corpus.select(col(idCol).as("nid"),
