@@ -15,6 +15,8 @@ import graft.ops.{CsvExport, CsvExportConfig}
   *   graft.cli.Shell grep <storeRoot> <regex> <name> [col ...]
   *   graft.cli.Shell job  <jobsRoot> <jobid>            — setup/post/artifacts
   *   graft.cli.Shell urd  <urdLog> [key [timestamp]]    — timeline listing
+  *   graft.cli.Shell workdir <storeRoot>                — all snapshots
+  *   graft.cli.Shell method  <jobsRoot>                 — methods seen + versions
   *
   * `cat`/`grep` accept `-c N` (chain length, like the reference's ~N
   * chain-walk refs) and `-n N` (row limit). grep matches the regex against
@@ -159,6 +161,43 @@ object Shell {
     }
   }
 
+  /** Workdir listing (reference `ax workdir`, shell/workdir.py: everything
+    * a workdir contains): one line per snapshot with lines / column count /
+    * hashlabel / chain link.
+    */
+  def workdirInfo(store: SnapshotStore): String = {
+    val b = new StringBuilder
+    store.list().foreach { n =>
+      val m = store.get(n).meta
+      val hl = m.hashlabel.map(h => s" hash=$h").getOrElse("")
+      val pv = m.previous.map(p => s" previous=$p").getOrElse("")
+      b ++= f"$n%-28s ${m.lines}%10d lines  ${m.columns.size}%3d cols$hl$pv\n"
+    }
+    b.toString
+  }
+
+  /** Method listing (reference `ax method`, shell/method.py: available
+    * methods + docs): distinct methods across the jobs root with job
+    * counts and the versions seen. Ours lists what has RUN (the compiled
+    * operator set has no source dir to enumerate — documented deviation).
+    */
+  def methodInfo(jobsRoot: String): String = {
+    import java.nio.file.{Files, Paths}
+    import scala.jdk.CollectionConverters._
+    val root = Paths.get(jobsRoot)
+    require(Files.isDirectory(root), s"no such jobs root $jobsRoot")
+    val rows = Files.list(root).iterator().asScala
+      .filter(p => Files.exists(p.resolve("setup.json"))).toSeq
+      .map { p =>
+        val m = graft.core.JsonLite.parse(Files.readString(p.resolve("setup.json")))
+          .asInstanceOf[Map[String, Any]]
+        (m.getOrElse("method", "?").toString, m.getOrElse("version", "?").toString)
+      }
+    rows.groupBy(_._1).toSeq.sortBy(_._1).map { case (meth, vs) =>
+      f"$meth%-28s ${vs.size}%4d jobs  versions ${vs.map(_._2).distinct.sorted.mkString(",")}"
+    }.mkString("\n") + "\n"
+  }
+
   private def printCsv(df: DataFrame): Unit = {
     println(df.columns.mkString(","))
     // toLocalIterator streams one partition at a time to the driver — an
@@ -192,7 +231,12 @@ object Shell {
         print(jobInfo(argv(1), argv(2)))
       case "urd" =>
         print(urdInfo(argv(1), argv.lift(2), argv.lift(3)))
-      case other => sys.error(s"unknown subcommand $other (ds|cat|grep|job|urd)")
+      case "workdir" =>
+        print(workdirInfo(new SnapshotStore(spark, argv(1))))
+      case "method" =>
+        print(methodInfo(argv(1)))
+      case other =>
+        sys.error(s"unknown subcommand $other (ds|cat|grep|job|urd|workdir|method)")
     } finally spark.stop()
   }
 }

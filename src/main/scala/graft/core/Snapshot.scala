@@ -173,13 +173,20 @@ final class SnapshotStore(val spark: SparkSession, val root: String) {
     * the parent's data is never copied. `fn` receives the parent rows
     * (including rowid) and must return rowid + the new columns.
     *
+    * With `replace = true` this is the reference's copy_mode/column-reuse
+    * idiom (dataset.py:537-543, 963-994, merge "later wins"
+    * dataset.py:329-377): `fn` may return columns that already exist in
+    * the parent — the child's version wins at read, and the parent's
+    * untouched columns are STILL never rewritten. An operator that
+    * transforms 2 of 30 columns stores exactly those 2.
+    *
     * Read-side cost: readResolved joins child to parent on the rowid —
     * zero-copy storage like the reference, but one co-partitioned join at
     * read where the reference has per-slice positional zip (Spark has no
     * stable slice identity to zip on; the join is the honest equivalent).
     * The parent must have been written from a `withRowId` frame.
     */
-  def appendColumns(parentName: String, name: String)
+  def appendColumns(parentName: String, name: String, replace: Boolean = false)
                    (fn: DataFrame => DataFrame): Snapshot = {
     val parent = get(parentName)
     require(parent.columnNames.contains(RowId),
@@ -188,13 +195,15 @@ final class SnapshotStore(val spark: SparkSession, val root: String) {
     require(newCols.columns.contains(RowId),
       s"appendColumns: fn must keep the $RowId column")
     val overlap = newCols.columns.toSet.intersect(parent.columnNames.toSet) - RowId
-    require(overlap.isEmpty, s"appendColumns: columns $overlap already exist in parent")
+    require(replace || overlap.isEmpty,
+      s"appendColumns: columns $overlap already exist in parent (pass replace=true to shadow them)")
     val snap = write(newCols, name, slices = parent.meta.slices)
     val merged = snap.meta.copy(
       parent = Some(parentName),
       lines = parent.meta.lines,
       hashlabel = parent.meta.hashlabel,
-      columns = parent.meta.columns ++ snap.meta.columns.filterNot(_.name == RowId))
+      columns = parent.meta.columns.filterNot(c => overlap.contains(c.name)) ++
+        snap.meta.columns.filterNot(_.name == RowId))
     Files.writeString(Paths.get(dirOf(name), "meta.json"), MetaJson.render(merged))
     val out = Snapshot(merged, dirOf(name))
     metaCache.put(name, out)
@@ -235,7 +244,14 @@ final class SnapshotStore(val spark: SparkSession, val root: String) {
             want.forall(df.columns.contains))
           df.select(want.map(col): _*)
         else df
-      case Some(p) => readResolved(p).join(snap.read(spark), RowId)
+      case Some(p) =>
+        // child's columns shadow the parent's (copy_mode replace /
+        // merge "later wins"); untouched parent columns come straight
+        // from the parent's files
+        val child = snap.read(spark)
+        val shadowed = child.columns.toSet - RowId
+        val parentKeep = readResolved(p).columns.filterNot(shadowed.contains)
+        readResolved(p).select(parentKeep.map(col): _*).join(child, RowId)
     }
   }
 

@@ -358,6 +358,28 @@ object Operators {
       .withColumn("zero_copy", lit(zeroCopy))
   }
 
+  /** copy_mode column replacement (reference dataset.py:537-543, 963-994):
+    * an operator that transforms 2 of customer's columns stores ONLY those
+    * 2 (+rowid) — untouched columns are never rewritten (asserted
+    * structurally) and the resolved read shadows the parent's versions.
+    */
+  def copyModeQ(s: SparkSession, dir: String): DataFrame = {
+    val store = new SnapshotStore(s, tmpDir("store_cm"))
+    store.write(store.withRowId(Tables.customer(s, dir)), "cm_base", slices = 4)
+    store.appendColumns("cm_base", "cm_upd", replace = true) { df =>
+      df.select(col(SnapshotStore.RowIdName),
+        substring(col("c_mktsegment"), 1, 4).as("c_mktsegment"),
+        (col("c_acctbal") * 2).as("bal2x"))
+    }
+    val childCols = store.get("cm_upd").read(s).columns.toSet
+    val zeroCopy =
+      childCols == Set(SnapshotStore.RowIdName, "c_mktsegment", "bal2x")
+    store.readResolved("cm_upd")
+      .select(col("c_custkey"), col("c_name"), col("c_acctbal"),
+        col("c_mktsegment"), col("bal2x"))
+      .withColumn("zero_copy", lit(zeroCopy))
+  }
+
   /** shell `ax grep` over a 2-snapshot chain (reference shell/grep.py:
     * regex matched against every selected column): the result is exactly
     * the SQL OR-of-regexes over the union — a distributed scan+filter, not
@@ -409,6 +431,7 @@ object Operators {
     "op_iterate_callbacks" -> iterateCallbacks _,
     "op_slice_window" -> sliceWindowQ _,
     "op_parent_append" -> parentAppend _,
+    "op_copy_mode" -> copyModeQ _,
     "op_shell_grep" -> shellGrep _,
     "op_csvexport_zip" -> csvexportZipQ _,
   )
@@ -482,6 +505,10 @@ object Operators {
     "op_parent_append" ->
       """SELECT c_custkey, c_name, (c_acctbal > 0) AS positive,
          lower(c_mktsegment) AS seg_l, true AS zero_copy FROM customer""",
+    "op_copy_mode" ->
+      """SELECT c_custkey, c_name, c_acctbal,
+         substr(c_mktsegment, 1, 4) AS c_mktsegment,
+         c_acctbal * 2 AS bal2x, true AS zero_copy FROM customer""",
     "op_shell_grep" ->
       """SELECT c_custkey, c_name, c_mktsegment, c_nationkey FROM customer
          WHERE regexp_matches(c_custkey::VARCHAR, 'BUILDING|007$')

@@ -74,6 +74,23 @@ class ShellSpec extends AnyFunSuite {
       .contains(r.jobid))
   }
 
+  test("workdir lists snapshots; method summarizes jobs by method") {
+    val st = store()
+    val wd = Shell.workdirInfo(st)
+    assert(wd.contains("sh_a") && wd.contains("sh_b"))
+    assert(wd.contains("hash=id"), "hashlabel shown")
+    assert(wd.contains("previous=sh_a"), "chain link shown")
+    val root = tmpDir("shell_meth")
+    val jobs = new graft.jobs.JobRunner(st, s"$root/jobs")
+    jobs.build(graft.jobs.JobRequest("meth_x", "1")) { _ => Map.empty }
+    jobs.build(graft.jobs.JobRequest("meth_x", "2")) { _ => Map.empty }
+    jobs.build(graft.jobs.JobRequest("meth_y", "1")) { _ => Map.empty }
+    val mi = Shell.methodInfo(s"$root/jobs")
+    assert(mi.contains("meth_x") && mi.contains("2 jobs"))
+    assert(mi.contains("versions 1,2"))
+    assert(mi.contains("meth_y"))
+  }
+
   test("grep filters rows by regex across selected columns") {
     val st = store()
     val hits = Shell.grepDf(st,

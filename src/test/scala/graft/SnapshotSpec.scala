@@ -81,6 +81,32 @@ class SnapshotSpec extends AnyFunSuite {
     assert(store.get("par_child").columnNames.toSet.contains("v"))
   }
 
+  test("appendColumns replace: child shadows parent columns, still zero-copy") {
+    val s = spark
+    import s.implicits._
+    val store = new SnapshotStore(s, tmpDir("snap_replace"))
+    val base = (1 to 20).map(i => (i.toLong, s"v$i", i * 10)).toDF("k", "v", "w")
+    store.write(store.withRowId(base), "rep_base", slices = 2)
+    // overlap without replace=true is an error
+    intercept[IllegalArgumentException] {
+      store.appendColumns("rep_base", "rep_err") { p =>
+        p.select(col(SnapshotStore.RowIdName), lit("x").as("v"))
+      }
+    }
+    store.appendColumns("rep_base", "rep_upd", replace = true) { p =>
+      p.select(col(SnapshotStore.RowIdName),
+        concat(col("v"), lit("!")).as("v"), (col("w") + 1).as("w2"))
+    }
+    // only the changed/new columns are stored
+    assert(store.get("rep_upd").read(s).columns.sorted.toSeq ==
+      Seq(SnapshotStore.RowIdName, "v", "w2"))
+    val resolved = store.readResolved("rep_upd")
+    assert(resolved.filter(col("v") =!= concat(lit("v"), col("k"), lit("!"))).count() == 0,
+      "child version of v wins")
+    assert(resolved.filter(col("w2") =!= col("w") + 1).count() == 0,
+      "untouched parent column w still readable")
+  }
+
   test("linkToHere: metadata alias sharing the data directory") {
     val s = spark
     import s.implicits._
