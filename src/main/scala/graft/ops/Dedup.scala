@@ -180,8 +180,11 @@ object Dedup {
       .filter(col("x.id") < col("y.id"))
       .select(col("x.id").as("id_a"), col("y.id").as("id_b"),
         S.hamming64(col("x.h"), col("y.h")).as("hamming"))
-      .dropDuplicates("id_a", "id_b")
+      // hamming is a pure function of the pair, so filtering BEFORE the
+      // pair-dedup is equivalent — and shrinks the dropDuplicates shuffle
+      // from every block-sharing candidate to actual near-dups only
       .filter(col("hamming") <= maxHamming)
+      .dropDuplicates("id_a", "id_b")
   }
 
   /** Duplicate-cluster assignment: connected components over near-dup

@@ -1,0 +1,83 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.{TextFunctions => T}
+
+/** Corpus-preparation operators for training pipelines: deterministic
+  * train/val/test splitting, seeded reshuffling, and token-window chunking.
+  * All scan-side column math (zero or one shuffle) and md5-arithmetic
+  * deterministic, so results are reproducible across runs/cluster sizes and
+  * exactly replicable by the DuckDB oracle.
+  */
+object TrainingPipeline {
+
+  private val M = 1000000L
+
+  /** Per-row split bucket in [0, 1e6): md5(salt || id) as a 60-bit int mod
+    * 1e6 (oracle: ('0x'||substr(md5(salt||id),1,15))::BIGINT % 1000000).
+    */
+  private def bucketOf(idCol: Column, salt: String): Column =
+    conv(substring(md5(concat(lit(salt), idCol.cast("string"))), 1, 15), 16, 10)
+      .cast("long") % M
+
+  /** Deterministic train/val/test split: assignment depends only on
+    * (salt, id) — stable under re-runs, repartitioning, and corpus growth
+    * (a doc never migrates between splits when others are added, unlike
+    * randomSplit). `fractions` must sum to 1.
+    *
+    * Scale: pure scan-side column math — no shuffle, no sampling pass.
+    */
+  def splitByHash(df: DataFrame, idCol: String, salt: String,
+                  fractions: Seq[(String, Double)]): DataFrame = {
+    require(fractions.nonEmpty, "need at least one split")
+    require(math.abs(fractions.map(_._2).sum - 1.0) < 1e-9,
+      s"fractions must sum to 1, got ${fractions.map(_._2).sum}")
+    val bucket = bucketOf(col(idCol), salt)
+    val thresholds = fractions.map(_._2).scanLeft(0.0)(_ + _).tail
+      .map(c => math.round(c * M))
+    val pairs = fractions.map(_._1).zip(thresholds)
+    val split = pairs.init.foldRight(lit(pairs.last._1): Column) {
+      case ((nm, th), acc) => when(bucket < lit(th), lit(nm)).otherwise(acc)
+    }
+    df.withColumn("split", split)
+  }
+
+  /** Seeded deterministic reshuffle: global order by md5(seed || id)
+    * (id tiebreak — total order even under hash collisions). The standard
+    * "shuffle the corpus once per epoch" primitive, as a range-partitioned
+    * sort — ONE shuffle, the minimum any global reorder costs.
+    */
+  def shuffled(df: DataFrame, idCol: String, seed: String): DataFrame =
+    df.orderBy(md5(concat(lit(seed), col(idCol).cast("string"))), col(idCol))
+
+  /** Token-window chunking: split each document's whitespace tokens into
+    * windows of `chunkSize` tokens starting every `stride` tokens
+    * (stride < chunkSize ⇒ overlapping context windows). The last chunk may
+    * be short; documents with no tokens produce no chunks; every token is
+    * covered. Returns (id, chunk_ix, chunk_text, chunk_tokens).
+    *
+    * Scale: explode fan-out is ~tokens/stride rows per doc — linear in
+    * corpus size, no shuffle; the token array never leaves the scan stage.
+    */
+  def chunk(df: DataFrame, idCol: String, textCol: String,
+            chunkSize: Int, stride: Int): DataFrame = {
+    require(chunkSize > 0 && stride > 0 && stride <= chunkSize,
+      s"need 0 < stride <= chunkSize, got chunkSize=$chunkSize stride=$stride")
+    val nChunks =
+      (floor((greatest(col("n") - chunkSize, lit(0)) + lit(stride - 1)) /
+        lit(stride)) + 1).cast("int")
+    val start = col("chunk_ix") * stride
+    val len = least(start + chunkSize, col("n")) - start
+    df.select(col(idCol), T.tokens(col(textCol)).as("t"))
+      .withColumn("n", size(col("t")))
+      .filter(col("n") > 0)
+      .withColumn("nchunks", nChunks)
+      .select(col(idCol),
+        explode(sequence(lit(0), col("nchunks") - 1)).as("chunk_ix"),
+        col("t"), col("n"))
+      .select(col(idCol), col("chunk_ix").cast("long").as("chunk_ix"),
+        concat_ws(" ", slice(col("t"), start + 1, len)).as("chunk_text"),
+        len.cast("long").as("chunk_tokens"))
+  }
+}

@@ -24,7 +24,7 @@ object Operators {
   /** Attach the physical row position after a sort — captures the *actual*
     * produced order (not a window re-derivation), so order bugs can't hide.
     */
-  private def withPosition(df: DataFrame, posCol: String): DataFrame = {
+  private[queries] def withPosition(df: DataFrame, posCol: String): DataFrame = {
     val schema = StructType(df.schema.fields :+ StructField(posCol, LongType, false))
     val rdd = df.rdd.zipWithIndex().map { case (r, i) => Row.fromSeq(r.toSeq :+ i) }
     df.sparkSession.createDataFrame(rdd, schema)

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.core.Tables
 import graft.functions.{TextFunctions => T, SimilarityFunctions => S}
-import graft.ops.{Dedup, SimilaritySearch}
+import graft.ops.{Dedup, SimilaritySearch, TrainingPipeline}
 
 /** Training-data pipeline queries over `documents` / `embeddings`:
   * text analysis, dedup families, similarity search — each oracle-checked
@@ -115,7 +115,32 @@ object TextPack {
       .select(col("qid"), col("rank"), col("nid"), col("cosine"))
   }
 
+  /** Deterministic hash train/val/test split: per-doc assignment depends
+    * only on (salt, id) — md5-replicable in the oracle row for row.
+    */
+  def pipelineSplit(s: SparkSession, dir: String): DataFrame =
+    TrainingPipeline.splitByHash(
+      Tables.documents(s, dir).select(col("doc_id")),
+      "doc_id", "s7", Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+
+  /** Seeded corpus reshuffle; the physical row position is captured (not
+    * window-re-derived) and must equal the oracle's row_number order.
+    */
+  def pipelineShuffle(s: SparkSession, dir: String): DataFrame =
+    Operators.withPosition(
+      TrainingPipeline.shuffled(
+        Tables.documents(s, dir).select(col("doc_id")), "doc_id", "e1"),
+      "pos")
+
+  /** Token-window chunking into overlapping 64-token contexts every 48. */
+  def pipelineChunks(s: SparkSession, dir: String): DataFrame =
+    TrainingPipeline.chunk(Tables.documents(s, dir), "doc_id", "text",
+      chunkSize = 64, stride = 48)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pl_split" -> pipelineSplit _,
+    "pl_shuffle" -> pipelineShuffle _,
+    "pl_chunks" -> pipelineChunks _,
     "tx_stats" -> textStats _,
     "tx_quality" -> quality _,
     "tx_langid" -> langid _,
@@ -141,6 +166,28 @@ object TextPack {
   private val STOP = "['the','a','an','and','or','of','to','in','is','it','that','for','on','with','as','at','by','be','this']"
 
   val oracle: Map[String, String] = Map(
+    "pl_split" ->
+      """SELECT doc_id,
+         CASE WHEN ('0x'||substr(md5('s7'||doc_id::VARCHAR),1,15))::BIGINT % 1000000 < 800000 THEN 'train'
+              WHEN ('0x'||substr(md5('s7'||doc_id::VARCHAR),1,15))::BIGINT % 1000000 < 900000 THEN 'val'
+              ELSE 'test' END AS split
+         FROM documents""",
+    "pl_shuffle" ->
+      """SELECT doc_id,
+         row_number() OVER (ORDER BY md5('e1'||doc_id::VARCHAR), doc_id) - 1 AS pos
+         FROM documents""",
+    "pl_chunks" ->
+      """WITH toks AS (
+           SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t,
+                  len(regexp_split_to_array(trim(text), '\s+')) AS n
+           FROM documents WHERE trim(text) <> ''
+         ), ix AS (
+           SELECT doc_id, t, n, ((greatest(n - 64, 0) + 47) // 48) + 1 AS nchunks FROM toks
+         )
+         SELECT doc_id, i AS chunk_ix,
+           array_to_string(t[i*48+1 : least(i*48+64, n)], ' ') AS chunk_text,
+           least(i*48+64, n) - i*48 AS chunk_tokens
+         FROM ix, LATERAL unnest(range(nchunks)) AS u(i)""",
     "tx_stats" ->
       s"""WITH $TOKS
          SELECT doc_id,

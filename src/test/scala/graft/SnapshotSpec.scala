@@ -210,6 +210,12 @@ class SnapshotSpec extends AnyFunSuite {
     // a window aligned to snapshot boundaries needs no orderCol
     assert(store.iterateChain("sl_2", sliceWindow = Some((Some(10L), Some(30L))))
       .collect().map(_.getLong(0)).sorted.toSeq == (10L until 30L))
+    // snapshots outside the window are skipped from metadata alone: a
+    // window inside sl_1 plans NO scan of sl_0 or sl_2
+    val mid = store.iterateChain("sl_2", sliceWindow = Some((Some(13L), Some(17L))),
+      orderCol = Some("lineno"))
+    assert(mid.inputFiles.nonEmpty && mid.inputFiles.forall(_.contains("sl_1")),
+      "only the snapshot covering the window is scanned")
   }
 
   test("chain walk respects length and order") {

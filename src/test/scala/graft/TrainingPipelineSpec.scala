@@ -1,0 +1,62 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.ops.TrainingPipeline
+import TestSpark.spark
+
+/** Corpus-prep operators: token-window chunking coverage, hash-split
+  * determinism/proportions, seeded-shuffle permutation semantics.
+  */
+class TrainingPipelineSpec extends AnyFunSuite {
+
+  test("chunk covers every token; last chunk short; empty docs dropped") {
+    val s = spark
+    import s.implicits._
+    val doc = Seq(
+      (1L, (1 to 11).map(i => s"t$i").mkString(" ")),
+      (2L, "   "),
+      (3L, "solo")).toDF("id", "text")
+    val got = TrainingPipeline.chunk(doc, "id", "text", chunkSize = 4, stride = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+      .sortBy(x => (x._1, x._2)).toSeq
+    // 11 tokens, chunk 4 / stride 3 → starts 0,3,6,9
+    val d1 = got.filter(_._1 == 1L)
+    assert(d1.size == 4)
+    assert(d1.head._3 == "t1 t2 t3 t4")
+    assert(d1.last._3 == "t10 t11" && d1.last._4 == 2L)
+    assert(!got.exists(_._1 == 2L), "whitespace-only docs produce no chunks")
+    assert(got.filter(_._1 == 3L).map(_._3) == Seq("solo"))
+    intercept[IllegalArgumentException] {
+      TrainingPipeline.chunk(doc, "id", "text", chunkSize = 4, stride = 5)
+    }
+  }
+
+  test("splitByHash: deterministic, complete, roughly proportional") {
+    val s = spark
+    import s.implicits._
+    val ids = (1L to 2000L).toDF("id")
+    val fr = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+    val a = TrainingPipeline.splitByHash(ids, "id", "z", fr)
+    val counts = a.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts.values.sum == 2000, "every row lands in exactly one split")
+    assert(counts("train") > 1450 && counts("train") < 1750)
+    val b = TrainingPipeline.splitByHash(ids, "id", "z", fr)
+    assert(a.except(b).count() == 0 && b.except(a).count() == 0,
+      "assignment is a pure function of (salt, id)")
+    intercept[IllegalArgumentException] {
+      TrainingPipeline.splitByHash(ids, "id", "z", Seq("a" -> 0.5))
+    }
+  }
+
+  test("shuffled: seeded deterministic permutation") {
+    val s = spark
+    import s.implicits._
+    val ids = (1L to 100L).toDF("id")
+    def order(seed: String) =
+      TrainingPipeline.shuffled(ids, "id", seed).collect().map(_.getLong(0)).toSeq
+    assert(order("s") == order("s"), "same seed ⇒ same order")
+    assert(order("s") != order("t"), "different seed ⇒ different order")
+    assert(order("s").sorted == (1L to 100L), "a permutation, not a sample")
+  }
+}
