@@ -49,6 +49,18 @@ class TrainingPipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("split and chunk are scan-side: no Exchange in the plan") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq((1L, "a b c d e")).toDF("id", "text")
+    val splitPlan = TrainingPipeline.splitByHash(docs, "id", "z",
+      Seq("train" -> 0.9, "test" -> 0.1)).queryExecution.executedPlan.toString
+    assert(!splitPlan.contains("Exchange"), s"split must not shuffle:\n$splitPlan")
+    val chunkPlan = TrainingPipeline.chunk(docs, "id", "text", 4, 3)
+      .queryExecution.executedPlan.toString
+    assert(!chunkPlan.contains("Exchange"), s"chunk must not shuffle:\n$chunkPlan")
+  }
+
   test("shuffled: seeded deterministic permutation") {
     val s = spark
     import s.implicits._
