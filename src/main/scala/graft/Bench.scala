@@ -15,14 +15,18 @@ object Bench {
     // untimed warmup: JIT + codegen + first read of every parquet table, so
     // the first timed query doesn't absorb one-time costs (round-2 q10 was
     // ~6.8s of which most was warmup — masks real regressions round-over-round)
-    try {
-      Seq("lineitem", "orders", "customer", "supplier", "part", "nation",
-          "region", "events", "documents", "embeddings").foreach { t =>
-        spark.read.parquet(s"$sfDir/$t.parquet").count()
-      }
-      SparkEntry.queries.get("q10_returned_items")
-        .foreach(fn => fn(spark, sfDir).count())
-    } catch { case _: Throwable => }
+    // per-item try: one missing table must not silently abort the rest of
+    // the warmup (which would reintroduce first-query skew invisibly)
+    Seq("lineitem", "orders", "customer", "supplier", "part", "nation",
+        "region", "events", "documents", "embeddings").foreach { t =>
+      try spark.read.parquet(s"$sfDir/$t.parquet").count()
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] warmup skipped $t: ${e.getMessage}") }
+    }
+    try SparkEntry.queries.get("q10_returned_items")
+      .foreach(fn => fn(spark, sfDir).count())
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] warmup query failed: ${e.getMessage}") }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

@@ -201,7 +201,10 @@ final class SnapshotStore(val spark: SparkSession, val root: String) {
     val merged = snap.meta.copy(
       parent = Some(parentName),
       lines = parent.meta.lines,
-      hashlabel = parent.meta.hashlabel,
+      // a replaced hashlabel column no longer governs row placement — the
+      // rows still sit where the OLD values hashed them, so claiming the
+      // label would silently break the co-location invariant downstream
+      hashlabel = parent.meta.hashlabel.filterNot(overlap.contains),
       columns = parent.meta.columns.filterNot(c => overlap.contains(c.name)) ++
         snap.meta.columns.filterNot(_.name == RowId))
     Files.writeString(Paths.get(dirOf(name), "meta.json"), MetaJson.render(merged))
@@ -236,23 +239,28 @@ final class SnapshotStore(val spark: SparkSession, val root: String) {
     */
   def readResolved(name: String): DataFrame = {
     val snap = get(name)
-    snap.meta.parent match {
-      case None =>
-        val df = snap.read(spark)
-        val want = snap.columnNames
-        if (want.nonEmpty && want.toSet != df.columns.toSet &&
-            want.forall(df.columns.contains))
-          df.select(want.map(col): _*)
-        else df
+    val resolved = snap.meta.parent match {
+      case None => snap.read(spark)
       case Some(p) =>
         // child's columns shadow the parent's (copy_mode replace /
         // merge "later wins"); untouched parent columns come straight
-        // from the parent's files
+        // from the parent's files. Resolve the parent ONCE — recursing
+        // twice per level would make plan construction exponential in
+        // parent-chain depth.
         val child = snap.read(spark)
         val shadowed = child.columns.toSet - RowId
-        val parentKeep = readResolved(p).columns.filterNot(shadowed.contains)
-        readResolved(p).select(parentKeep.map(col): _*).join(child, RowId)
+        val parentDf = readResolved(p)
+        val parentKeep = parentDf.columns.filterNot(shadowed.contains)
+        parentDf.select(parentKeep.map(col): _*).join(child, RowId)
     }
+    // apply the metadata column filter (filterColumns snapshots expose
+    // fewer columns than the shared/joined data holds) — for parented
+    // snapshots too, not just plain ones
+    val want = snap.columnNames
+    if (want.nonEmpty && want.toSet != resolved.columns.toSet &&
+        want.forall(resolved.columns.contains))
+      resolved.select(want.map(col): _*)
+    else resolved
   }
 
   /** Walk the `previous` chain, newest first (reference Dataset.chain,

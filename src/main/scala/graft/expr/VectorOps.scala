@@ -77,9 +77,13 @@ case class DotProduct(left: Expression, right: Expression)
   * family flattened [t][p][j] (deterministic md5-derived — see
   * SimilaritySearch.planeWeight — so the DuckDB oracle replicates it).
   *
-  * Null/shape semantics match the per-plane HOF formulation
+  * Shape semantics match the per-plane HOF formulation
   * (`when(dot >= 0, 1<<p).otherwise(0)`): a vector of the wrong length or
-  * containing a null element has null dots → every bucket 0.
+  * containing a null element has null dots → every bucket 0. One
+  * DELIBERATE deviation: a top-level NULL vector yields NULL (UnaryExpr
+  * null propagation), so posexplode drops the row from the candidate
+  * space entirely — the HOF form bucketed NULL vectors at 0, letting
+  * rows with no vector surface as candidates with NULL cosine.
   */
 case class SignBuckets(child: Expression, tables: Int, planes: Int,
                        dim: Int, weights: Array[Double])

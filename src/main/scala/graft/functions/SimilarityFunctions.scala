@@ -93,8 +93,13 @@ object SimilarityFunctions {
     */
   def dot(a: Column, b: Column): Column = {
     import org.apache.spark.sql.GraftBridge
+    // coerce to array<double> here: the expression reads 8-byte doubles,
+    // so an array<float>/array<int> input must be cast, not reinterpreted
+    // (the HOF formulation coerced implicitly; a redundant cast is erased
+    // by Catalyst, so double inputs pay nothing)
     GraftBridge.column(graft.expr.DotProduct(
-      GraftBridge.expression(a), GraftBridge.expression(b)))
+      GraftBridge.expression(a.cast("array<double>")),
+      GraftBridge.expression(b.cast("array<double>"))))
   }
 
   def l2Norm(a: Column): Column = sqrt(dot(a, a))

@@ -124,8 +124,10 @@ final class JobRunner(
         } else (Map.empty[String, String], false)
       JobRecord(d.getFileName.toString, req, outputs, finished)
       // numeric sort: lexicographic jobid order breaks past j-9999 (the
-      // %04d width overflows and j-10000 would sort before j-9999)
-    }.sortBy(_.jobid.stripPrefix("j-").toInt).reverse.toList
+      // %04d width overflows and j-10000 would sort before j-9999); a
+      // non-canonical dir name (j-0007.bak with a setup.json) must not
+      // crash the whole jobs root — sort it oldest
+    }.sortBy(_.jobid.stripPrefix("j-").toIntOption.getOrElse(-1)).reverse.toList
   }
 
   private def versionsOk(reqV: String, jobV: String): Boolean =

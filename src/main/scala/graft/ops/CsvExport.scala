@@ -49,6 +49,29 @@ object CsvExport {
              keepOn: Boolean = false): Unit = {
     require(dfs.size >= 2, "zipped export needs at least two datasets")
     require(dfs.forall(_.columns.contains(on)), s"every dataset needs the alignment column $on")
+    // Line-alignment guard: an inner join would SILENTLY drop (missing
+    // keys) or fan out (duplicate keys) rows. One agg pass per input; for
+    // integral keys count==distinct==n, min=0, max=n-1 proves the key set
+    // is exactly {0..n-1} (the withRowId contract), making the zip exact.
+    val stats = dfs.map { d =>
+      val r = d.agg(count(lit(1)), count_distinct(col(on)),
+        min(col(on)).cast("string"), max(col(on)).cast("string")).collect()(0)
+      (r.getLong(0), r.getLong(1), r.getString(2), r.getString(3))
+    }
+    require(stats.map(_._1).distinct.size == 1,
+      s"zipped export: datasets are not line-aligned: counts=${stats.map(_._1)}")
+    stats.foreach { case (n, nd, _, _) =>
+      require(n == nd, s"zipped export: alignment column $on has duplicates ($nd distinct of $n rows)")
+    }
+    val integral = dfs.head.schema(on).dataType.typeName match {
+      case "int" | "bigint" | "long" | "integer" | "smallint" | "tinyint" => true
+      case _ => false
+    }
+    if (integral) stats.foreach { case (n, _, mn, mx) =>
+      if (n > 0)
+        require(mn.toLong == 0L && mx.toLong == n - 1,
+          s"zipped export: $on must cover 0..${n - 1} (got $mn..$mx) — write inputs from withRowId")
+    }
     val joined = dfs.reduce { (a, b) =>
       val dup = b.columns.toSet.intersect(a.columns.toSet) - on
       val aKeep = a.columns.filterNot(dup.contains)

@@ -221,9 +221,13 @@ object Dedup {
       val updated =
         if ((i + 1) % 5 == 0) updated0.localCheckpoint()
         else updated0.persist(lvl)
+      // full count, no limit(1): the fixpoint check must materialize EVERY
+      // partition of `updated` before the old labels are unpersisted —
+      // a short-circuit count can leave most of the new cache uncomputed,
+      // and the next round would then recompute through released lineage
       val changed = updated.as("u")
         .join(labels.select(col("id"), col("label").as("old")), "id")
-        .filter(col("label") =!= col("old")).limit(1).count()
+        .filter(col("label") =!= col("old")).count()
       labels.unpersist() // superseded — executor storage would leak per round
       labels = updated
       converged = changed == 0

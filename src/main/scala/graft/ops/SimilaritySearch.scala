@@ -73,7 +73,7 @@ object SimilaritySearch {
       planeWeight(t, r / dim, r % dim)
     }
     GraftBridge.column(graft.expr.SignBuckets(
-      GraftBridge.expression(v), tables, planes, dim, w))
+      GraftBridge.expression(v.cast("array<double>")), tables, planes, dim, w))
   }
 
   def bruteForce(corpus: DataFrame, queries: DataFrame,

@@ -156,6 +156,17 @@ class SnapshotSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] {
       store.filterColumns("fc_full", "fc_bad", Seq("nope"))
     }
+    // the metadata filter also applies through a parent chain: filtering a
+    // column-append snapshot must not silently re-expose dropped columns
+    store.write(store.withRowId((1 to 5).map(i => (i, s"v$i")).toDF("k", "v")),
+      "fcp_base", slices = 1)
+    store.appendColumns("fcp_base", "fcp_ext") { p =>
+      p.select(col(SnapshotStore.RowIdName), (col("k") * 2).as("k2"))
+    }
+    store.filterColumns("fcp_ext", "fcp_slim",
+      Seq(SnapshotStore.RowIdName, "k", "k2"))
+    assert(store.readResolved("fcp_slim").columns.sorted.toSeq ==
+      Seq(SnapshotStore.RowIdName, "k", "k2"), "v must stay dropped")
   }
 
   test("post-callback fires after inclusion, Stop cuts the chain AFTER") {
