@@ -118,6 +118,22 @@ object Streams {
       }
   }
 
+  /** Streaming exact dedup: drop rows whose content fingerprint was
+    * already seen within the watermark horizon
+    * (dropDuplicatesWithinWatermark — state is EVICTED as the watermark
+    * advances, unlike plain dropDuplicates whose key state grows forever;
+    * the only way a streaming dedup survives an unbounded corpus). The
+    * fingerprint is the same 60-bit md5 content hash the batch dedup
+    * family uses (TextFunctions.fingerprint), so stream and batch agree
+    * on document identity.
+    */
+  def dedupStream(docs: DataFrame, tsCol: String, textCol: String,
+                  watermark: String = "1 hour"): DataFrame =
+    docs
+      .withColumn("fp", graft.functions.TextFunctions.fingerprint(col(textCol)))
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark("fp")
+
   /** Stream → chain bridge: each micro-batch becomes a snapshot chained to
     * the previous batch's snapshot and logged on the urd timeline. The
     * stream's full history is then a first-class dataset chain.

@@ -39,6 +39,28 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("dedupStream drops repeated content within the watermark horizon") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val in = MemoryStream[(java.sql.Timestamp, Long, String)]
+    val docs = in.toDF.toDF("ts", "doc_id", "text")
+    val out = Streams.dedupStream(docs, "ts", "text", watermark = "10 minutes")
+    val q = out.writeStream.format("memory").queryName("dds")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // same normalized content twice in one batch + once in the next
+      in.addData((ts(1), 1L, "hello  world"), (ts(2), 2L, "hello world"),
+        (ts(3), 3L, "different text"))
+      q.processAllAvailable()
+      in.addData((ts(4), 4L, "HELLO WORLD"), (ts(5), 5L, "fresh content"))
+      q.processAllAvailable()
+      val ids = s.sql("SELECT doc_id FROM dds").collect().map(_.getLong(0)).sorted.toSeq
+      assert(ids == Seq(1L, 3L, 5L),
+        "whitespace/case-normalized duplicates drop across batches within the watermark")
+    } finally q.stop()
+  }
+
   test("sessionization: gap closes a session, state carries across batches") {
     val s = spark
     import s.implicits._
