@@ -171,6 +171,24 @@ object Relational {
            sum(dec(col("value"))).cast("double").as("total_value"))
   }
 
+  /** ns→µs truncation pinned through BOTH events read paths per row: the
+    * raw TIMESTAMP(NANOS) long (eventsRaw) and the truncated µs timestamp
+    * (events) must relate by exact integer division — `div`, not double
+    * `/`, which drifts 1µs near rounding boundaries (round-1 ADVICE).
+    */
+  def eventsNsPrecision(s: SparkSession, dir: String): DataFrame = {
+    val raw = Tables.eventsRaw(s, dir).select(col("event_id"), col("ts").as("ts_ns"))
+    val trunc = Tables.events(s, dir).select(col("event_id"), col("ts").as("ts_trunc"))
+    // the raw ns long is NOT emitted: DuckDB's parquet reader itself
+    // truncates TIMESTAMP(NANOS) to µs, so the oracle can never see
+    // sub-µs digits — the div-not-double invariant is checked Spark-side
+    // and exported as a boolean the oracle expects to be uniformly true
+    raw.join(trunc, "event_id")
+      .select(col("event_id"),
+        unix_micros(col("ts_trunc")).as("ts_us"), col("ts_trunc"),
+        (expr("ts_ns div 1000") === unix_micros(col("ts_trunc"))).as("trunc_exact"))
+  }
+
   /** The streaming pack's windowed aggregation run in BATCH mode over the
     * same code path (Streams.windowedCounts) — sliding 10-minute windows,
     * 5-minute slide: every event lands in exactly two windows. Verifying
@@ -276,6 +294,7 @@ object Relational {
     "q_rollup_volume" -> rollupVolume _,
     "q_agg_distinct" -> aggDistinct _,
     "q_events_hourly" -> eventsHourly _,
+    "q_events_ns" -> eventsNsPrecision _,
     "q_events_windowed" -> eventsWindowed _,
     "q_events_sessions" -> eventsSessions _,
     "q_pivot_returns" -> pivotReturns _,
@@ -363,6 +382,10 @@ object Relational {
          count(*) AS n,
          CAST(sum(value::DECIMAL(18,2)) AS DOUBLE) AS total_value
          FROM events GROUP BY 1, 2""",
+    "q_events_ns" ->
+      """SELECT event_id, epoch_us(ts::TIMESTAMP) AS ts_us,
+         ts::TIMESTAMP AS ts_trunc, true AS trunc_exact
+         FROM events""",
     "q_events_windowed" ->
       """WITH e AS (SELECT ts::TIMESTAMP t, event_type, value FROM events),
          w AS (SELECT unnest([
