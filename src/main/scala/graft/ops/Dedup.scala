@@ -208,6 +208,14 @@ object Dedup {
       .withColumn("label", col("id")).persist(lvl)
     var converged = false
     var i = 0
+    // fixpoint detection by exact label sum: min-propagation only ever
+    // DECREASES labels, so sum unchanged ⟺ no label changed. One agg over
+    // the new labels replaces a per-round join against the old ones, and
+    // the agg scans every partition — fully materializing the new cache
+    // before the superseded one is released (a short-circuit check would
+    // leave partitions to recompute through unpersisted lineage).
+    // DECIMAL(38,0) keeps the sum exact at any id magnitude/count.
+    var prevSum: java.math.BigDecimal = null
     while (!converged && i < maxIter) {
       val neighborMin = edges
         .join(labels.select(col("id").as("dst"), col("label")), "dst")
@@ -221,16 +229,13 @@ object Dedup {
       val updated =
         if ((i + 1) % 5 == 0) updated0.localCheckpoint()
         else updated0.persist(lvl)
-      // full count, no limit(1): the fixpoint check must materialize EVERY
-      // partition of `updated` before the old labels are unpersisted —
-      // a short-circuit count can leave most of the new cache uncomputed,
-      // and the next round would then recompute through released lineage
-      val changed = updated.as("u")
-        .join(labels.select(col("id"), col("label").as("old")), "id")
-        .filter(col("label") =!= col("old")).count()
+      val newSum = updated
+        .agg(sum(col("label").cast("decimal(38,0)"))).collect()(0).getDecimal(0)
       labels.unpersist() // superseded — executor storage would leak per round
       labels = updated
-      converged = changed == 0
+      converged = newSum == null || // no labels at all (empty pair set)
+        (prevSum != null && newSum.compareTo(prevSum) == 0)
+      prevSum = newSum
       i += 1
     }
     if (!converged)
