@@ -237,7 +237,11 @@ final class SnapshotStore(val spark: SparkSession, val root: String) {
     * (filterColumns snapshots expose fewer columns than their shared
     * data directory stores).
     */
-  def readResolved(name: String): DataFrame = {
+  def readResolved(name: String): DataFrame = readResolved(name, Set.empty)
+
+  private def readResolved(name: String, walking: Set[String]): DataFrame = {
+    require(!walking.contains(name),
+      s"readResolved: parent cycle at $name (via ${walking.mkString(", ")})")
     val snap = get(name)
     val resolved = snap.meta.parent match {
       case None => snap.read(spark)
@@ -249,7 +253,7 @@ final class SnapshotStore(val spark: SparkSession, val root: String) {
         // parent-chain depth.
         val child = snap.read(spark)
         val shadowed = child.columns.toSet - RowId
-        val parentDf = readResolved(p)
+        val parentDf = readResolved(p, walking + name)
         val parentKeep = parentDf.columns.filterNot(shadowed.contains)
         parentDf.select(parentKeep.map(col): _*).join(child, RowId)
     }
@@ -268,9 +272,12 @@ final class SnapshotStore(val spark: SparkSession, val root: String) {
     */
   def chain(name: String, length: Int = -1, stopAt: Option[String] = None): Seq[Snapshot] = {
     val out = scala.collection.mutable.ArrayBuffer.empty[Snapshot]
+    val seen = scala.collection.mutable.HashSet.empty[String]
     var cur: Option[String] = Some(name)
     while (cur.isDefined && (length < 0 || out.size < length) &&
            !stopAt.contains(cur.get)) {
+      require(seen.add(cur.get),
+        s"chain: cycle detected at ${cur.get} (walk: ${out.map(_.meta.name).mkString(" -> ")})")
       val s = get(cur.get)
       out += s
       cur = s.meta.previous
