@@ -97,7 +97,17 @@ object ParseFunctions {
     val ranged =
       if (saturate) least(greatest(base, lit(lo)), lit(hi))
       else when(base >= lo && base <= hi, base)
-    ranged.cast(target)
+    // Long.MaxValue.toDouble == 2^63 exactly, so a double AT the upper
+    // bound passes the range check yet overflows long — a plain cast
+    // would throw under ANSI (Spark 4 default). try_cast nulls it (it IS
+    // out of range); the saturate variant pins the edges to the true
+    // integer extremes instead (NaN sorts above everything in Spark, so
+    // NaN saturates high).
+    val casted = ranged.try_cast(target)
+    if (saturate && bits == 64)
+      coalesce(casted,
+        when(d >= lit(hi), lit(Long.MaxValue)).when(d <= lit(lo), lit(Long.MinValue)))
+    else casted
   }
 
   /** The `i`-suffixed garbage-tolerant variants (dataset_type.py:812-828):

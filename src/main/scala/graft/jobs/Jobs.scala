@@ -105,9 +105,14 @@ final class JobRunner(
     */
   private var db: List[JobRecord] = loadAll()
 
+  private def listDir[A](p: java.nio.file.Path)(f: Iterator[java.nio.file.Path] => A): A = {
+    val s = Files.list(p)
+    try f(s.iterator().asScala) finally s.close() // DirectoryStream leaks an fd until GC otherwise
+  }
+
   private def loadAll(): List[JobRecord] = {
-    val dirs = Files.list(Paths.get(root)).iterator().asScala
-      .filter(p => Files.exists(p.resolve("setup.json"))).toSeq
+    val dirs = listDir(Paths.get(root))(
+      _.filter(p => Files.exists(p.resolve("setup.json"))).toSeq)
     dirs.map { d =>
       val setup = JsonLite.parse(Files.readString(d.resolve("setup.json")))
         .asInstanceOf[Map[String, Any]]
@@ -145,9 +150,9 @@ final class JobRunner(
     Files.readString(jobDir(jobid).resolve(s"artifact_$name"))
 
   def artifactNames(jobid: String): Seq[String] =
-    Files.list(jobDir(jobid)).iterator().asScala
-      .map(_.getFileName.toString).filter(_.startsWith("artifact_"))
-      .map(_.stripPrefix("artifact_")).toSeq.sorted
+    listDir(jobDir(jobid))(
+      _.map(_.getFileName.toString).filter(_.startsWith("artifact_"))
+        .map(_.stripPrefix("artifact_")).toSeq.sorted)
 
   /** Newest finished job whose request matches exactly (modulo equivalent
     * versions).
@@ -164,20 +169,24 @@ final class JobRunner(
     */
   def whyBuild(req: JobRequest): Map[String, Map[String, (Option[String], Option[String])]] =
     db.filter(r => r.finished && r.request.method == req.method).map { r =>
-      val keys = (req.options.keySet ++ r.request.options.keySet ++
-        req.inputs.keySet ++ r.request.inputs.keySet)
-      val all = keys.toSeq.sorted.flatMap { k =>
-        val mine = req.options.get(k).orElse(req.inputs.get(k))
-        val theirs = r.request.options.get(k).orElse(r.request.inputs.get(k))
-        if (mine == theirs) None else Some(k -> (theirs, mine))
-      }.toMap
-      r.jobid -> all
+      // options and inputs are SEPARATE namespaces (matchExact compares
+      // them separately) — diff them under distinct key prefixes, or a key
+      // moved between them (or present in both) reports "no difference"
+      // while the job still rebuilds
+      def diff(prefix: String, mine: Map[String, String],
+               theirs: Map[String, String]) =
+        (mine.keySet ++ theirs.keySet).toSeq.sorted.flatMap { k =>
+          if (mine.get(k) == theirs.get(k)) None
+          else Some(s"$prefix$k" -> (theirs.get(k), mine.get(k)))
+        }
+      r.jobid -> (diff("options.", req.options, r.request.options) ++
+        diff("inputs.", req.inputs, r.request.inputs)).toMap
     }.toMap
 
   private def allocate(): String = {
-    val used = Files.list(Paths.get(root)).iterator().asScala
-      .map(_.getFileName.toString).filter(_.startsWith("j-"))
-      .flatMap(s => s.stripPrefix("j-").toIntOption).toSeq
+    val used = listDir(Paths.get(root))(
+      _.map(_.getFileName.toString).filter(_.startsWith("j-"))
+        .flatMap(s => s.stripPrefix("j-").toIntOption).toSeq)
     f"j-${(used.maxOption.getOrElse(-1) + 1)}%04d"
   }
 

@@ -80,6 +80,15 @@ final class Urd(val path: String) {
   def add(key: String, timestamp: String, joblist: Seq[(String, String)],
           caption: String = ""): UrdEntry = {
     require(key.contains("/"), s"urd key must be user/build, got $key")
+    // the whole timeline (latest/since/truncate and the monotonicity check
+    // below) orders timestamps LEXICOGRAPHICALLY — only zero-padded ISO
+    // prefixes or fixed-width digit strings sort chronologically; an
+    // unpadded "2026-9-01" would misorder silently, so reject it here
+    // (the reference normalizes to a canonical form the same way)
+    require(timestamp.matches(
+        "\\d{4}(-\\d{2}(-\\d{2})?)?([ T]\\d{2}(:\\d{2}(:\\d{2})?)?)?|\\d+"),
+      s"urd: timestamp '$timestamp' must be zero-padded ISO " +
+      "(YYYY[-MM[-DD[ HH[:MM[:SS]]]]]) or a fixed-width digit string")
     val existing = dbm.getOrElse(key, Map.empty)
     require(!existing.contains(timestamp),
       s"urd: $key already has an entry at $timestamp")

@@ -35,7 +35,10 @@ object AsOfJoin {
     // field in the matched row (taking an older row's value) and could mix
     // values from different right rows — true as-of returns the matched
     // row verbatim, NULLs included.
-    val rPrep = right.select(
+    // a NULL rightTime satisfies no inequality — drop such rows, or they
+    // sort first (asc = nulls first) and their payload would "match" every
+    // left row that precedes the first real right row
+    val rPrep = right.filter(col(rightTime).isNotNull).select(
         (keys.map(col) :+ col(rightTime).as("__t")) :+
         struct(rightCols.map(col): _*).as("__rpay"): _*)
       .withColumn("__tag", lit(rtag))

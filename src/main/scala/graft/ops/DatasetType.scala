@@ -18,15 +18,18 @@ import graft.expr.ParseFunctions._
   * scan, fully codegen'd. At 100 TB this is one projection over the scan
   * with no extra materialization.
   */
-final case class TypedResult(good: DataFrame, bad: DataFrame) {
+final case class TypedResult(good: DataFrame, bad: DataFrame,
+    opts: TypeOptions = TypeOptions()) {
   /** Per-column unparseable counts over the bad rows (reference records
-    * per-column bad counts in its result).
+    * per-column bad counts in its result). Re-parses with the SAME
+    * options the typing ran with — numericComma/timezone change what
+    * counts as unparseable.
     */
   def badCounts(types: Map[String, String]): Map[String, Long] = {
     if (bad.isEmpty) types.keys.map(_ -> 0L).toMap
     else {
       val aggs = types.keys.toSeq.map { c =>
-        sum(when(DatasetType.parse(col(c), types(c)).isNull && col(c).isNotNull, 1L)
+        sum(when(DatasetType.parse(col(c), types(c), opts).isNull && col(c).isNotNull, 1L)
           .otherwise(0L)).as(c)
       }
       val row = bad.agg(aggs.head, aggs.tail: _*).collect()(0)
@@ -70,8 +73,9 @@ object DatasetType {
         // number:big — exact integers up to 38 digits (DECIMAL(38,0)); the
         // closest Spark type to the reference's arbitrary-precision int
         // (2^1007); magnitudes beyond 38 digits are bad values, not
-        // silently rounded
-        trim(c).try_cast("decimal(38,0)")
+        // silently rounded. Integers ONLY: a bare decimal cast would
+        // HALF_UP-round "3.5" to 4 — fractional input is a bad value.
+        when(trim(c).rlike("^[-+]?[0-9]+$"), trim(c).try_cast("decimal(38,0)"))
       case "number"    => fl(c)
       case "numberi"   => numberI(c)
       case "float64"   => fl(c)
@@ -159,6 +163,18 @@ object DatasetType {
     types.keys.foreach { c =>
       require(df.columns.contains(c), s"dataset_type: no column '$c' in input")
     }
+    // fail fast on an unparseable default: it would otherwise compile to a
+    // constant NULL, silently nulling every parse failure — and with
+    // filterBad those rows are ALSO excluded from `bad` (data loss from a
+    // config typo). One driver-side 1-row evaluation per defaulted column.
+    defaults.foreach { case (name, d) =>
+      if (types.contains(name)) {
+        val ok = !df.sparkSession.range(1)
+          .select(parse(lit(d), types(name), opts).as("v")).collect()(0).isNullAt(0)
+        require(ok,
+          s"dataset_type: default '$d' for column '$name' does not parse as ${types(name)}")
+      }
+    }
 
     def typedCol(name: String): Column = {
       val parsed = parse(col(name), types(name), opts)
@@ -185,7 +201,7 @@ object DatasetType {
       case None => out
     }
 
-    if (!filterBad) TypedResult(rehash(df.select(outCols: _*)), df.limit(0))
+    if (!filterBad) TypedResult(rehash(df.select(outCols: _*)), df.limit(0), opts)
     else {
       // row is bad iff some typed col: input non-null, parse null, no default
       val colBad = types.keys.toSeq.map { name =>
@@ -193,7 +209,7 @@ object DatasetType {
         else col(name).isNotNull && parse(col(name), types(name), opts).isNull
       }
       val rowBad = colBad.reduce(_ || _)
-      TypedResult(rehash(df.filter(!rowBad).select(outCols: _*)), df.filter(rowBad))
+      TypedResult(rehash(df.filter(!rowBad).select(outCols: _*)), df.filter(rowBad), opts)
     }
   }
 }

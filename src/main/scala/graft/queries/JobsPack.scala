@@ -83,7 +83,7 @@ object JobsPack {
       "changed_param_rebuilds" -> (!a3.cached),
       "rebuild_propagates_downstream" -> (!b3.cached && b3.jobid != b1.jobid),
       "why_build_names_changed_param" ->
-        why.get(a1.jobid).exists(d => d.keySet == Set("to")),
+        why.get(a1.jobid).exists(d => d.keySet == Set("options.to")),
       "force_build_reruns" -> (!a4.cached && a4.jobid != a1.jobid),
       "outputs_nonempty" -> (store.get(b1.output("default")).meta.lines > 0),
     )

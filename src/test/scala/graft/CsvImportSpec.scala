@@ -68,6 +68,14 @@ class CsvImportSpec extends AnyFunSuite {
     }
   }
 
+  test("leading comment/empty lines never become the header") {
+    val p = write("hdr_comment", "# generated\n\na,b\n1,2\n")
+    val r = CsvImport(spark, p, CsvImportConfig(comment = "#", skipEmptyLines = true))
+    assert(r.data.columns.toSeq == Seq("a", "b"))
+    assert(r.data.collect().map(_.toSeq).toSeq == Seq(Seq("1", "2")))
+    assert(r.skipped.count() == 2, "comment and empty line land in skipped")
+  }
+
   test("comment, skip_lines and skipped dataset") {
     val p = write("skip", "garbage line\na,b\n#note\n1,2\n")
     val res = CsvImport(spark, p,

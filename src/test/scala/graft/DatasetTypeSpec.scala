@@ -124,6 +124,8 @@ class DatasetTypeSpec extends AnyFunSuite {
     assert(got(0).toString == big, "38 digits exact")
     assert(got(1).toString == "42")
     assert(got(2) == null, "39 digits is a bad value, not a rounded one")
+    assert(conv("number:big", Seq("3.5", "-2.", "1e5")) == Seq(null, null, null),
+      "fractional/exponent input is a bad value — a bare decimal cast would HALF_UP round 3.5 to 4")
   }
 
   test("numeric_comma: ',' is the decimal separator, '.' is a bad value") {

@@ -57,7 +57,12 @@ class JobsSpec extends AnyFunSuite {
     val r = newRunner("jobs_why")
     val a = r.build(JobRequest("m", "1", Map("x" -> "1", "y" -> "2"))) { _ => Map() }
     val why = r.whyBuild(JobRequest("m", "1", Map("x" -> "1", "y" -> "3")))
-    assert(why(a.jobid) == Map("y" -> (Some("2"), Some("3"))))
+    assert(why(a.jobid) == Map("options.y" -> (Some("2"), Some("3"))))
+    // options and inputs are distinct namespaces: the same key moved
+    // between them must NOT cancel out in the diff
+    val moved = r.whyBuild(JobRequest("m", "1", inputs = Map("x" -> "1", "y" -> "2")))
+    assert(moved(a.jobid).keySet ==
+      Set("options.x", "options.y", "inputs.x", "inputs.y"))
   }
 
   test("artifacts: jobs save non-dataset results, consumers load them") {
