@@ -13,10 +13,14 @@ import org.apache.spark.sql.functions._
   */
 object TextFunctions {
 
-  /** Whitespace tokens (empty input → empty array, not [""]). */
+  /** Whitespace tokens (empty input → empty array, not [""]).
+    * split() emits "" at a leading/trailing delimiter and Spark's trim
+    * strips U+0020 ONLY — so the old trim-then-split produced a phantom ""
+    * token for every \t/\n-bounded document (real-world text usually ends
+    * in \n). Removing empties after the split handles every boundary.
+    */
   def tokens(text: Column): Column =
-    when(trim(text) === "", array().cast("array<string>"))
-      .otherwise(split(trim(text), "\\s+"))
+    array_remove(split(text, "\\s+"), "")
 
   def tokenCount(text: Column): Column = size(tokens(text)).cast("long")
 

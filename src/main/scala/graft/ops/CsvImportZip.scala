@@ -42,6 +42,10 @@ object CsvImportZip {
     val include = if (cfg.includeRe.isEmpty) ".".r else cfg.includeRe.r
     val exclude = if (cfg.excludeRe.isEmpty) "^$".r else cfg.excludeRe.r
     val tmp = Files.createTempDirectory("csvimport_zip")
+    // the extracted copies feed lazy RDD reads, so they can't be deleted
+    // here — register them (deepest first) for JVM-exit cleanup so a
+    // long-lived session doesn't accumulate them forever
+    tmp.toFile.deleteOnExit()
     val zf = new ZipFile(zipPath)
     try {
       val remaining = scala.collection.mutable.Map(cfg.insideFilenames.toSeq: _*)
@@ -56,6 +60,21 @@ object CsvImportZip {
       }.toSeq
       require(remaining.isEmpty,
         s"members not found in $zipPath: ${remaining.keySet}")
+      // ambiguity guards: stripDirs can collapse distinct members onto one
+      // name — silently importing "whichever the zip enumerates first" (or
+      // crashing on the extracted-file collision) is never what the user
+      // meant (reference keys members by their stripped name the same way)
+      if (cfg.insideFilenames.nonEmpty && cfg.stripDirs) {
+        val stripped = zf.entries().asScala.filterNot(_.isDirectory)
+          .map(_.getName.split('/').last).toSeq
+        val dupWanted = stripped.groupBy(identity)
+          .filter { case (n, g) => g.size > 1 && cfg.insideFilenames.contains(n) }
+        require(dupWanted.isEmpty,
+          s"ambiguous members after stripDirs in $zipPath: ${dupWanted.keySet}")
+      }
+      val dupDs = selected.map(_._2).groupBy(identity).filter(_._2.size > 1)
+      require(dupDs.isEmpty,
+        s"duplicate dataset names in $zipPath (use stripDirs=false or rename): ${dupDs.keySet}")
       val ordered = cfg.chaining match {
         case "by_filename" => selected.sortBy(_._3)
         case "by_dsname"   => selected.sortBy(_._2)
@@ -66,6 +85,7 @@ object CsvImportZip {
         val out = tmp.resolve(dsName.replace('/', '_'))
         val in = zf.getInputStream(entry)
         try Files.copy(in, out) finally in.close()
+        out.toFile.deleteOnExit()
         dsName -> CsvImport(spark, out.toString, cfg.csv)
       }
     } finally zf.close()
@@ -75,8 +95,11 @@ object CsvImportZip {
     * reference's filename-labeled iteration over the member chain.
     */
   def unioned(results: Seq[(String, CsvImportResult)],
-              memberCol: String = "member"): DataFrame =
+              memberCol: String = "member"): DataFrame = {
+    require(results.nonEmpty,
+      "csvimport_zip: no members matched — nothing to union")
     results.map { case (name, r) =>
       r.data.withColumn(memberCol, lit(name))
     }.reduce(_ unionByName _)
+  }
 }

@@ -48,10 +48,16 @@ object Multimodal {
       raw(y * (width + 1) + 1 + x) = ((x * 31 + y * 17) & 0xff).toByte
     val deflater = new java.util.zip.Deflater()
     deflater.setInput(raw); deflater.finish()
-    val buf = new Array[Byte](raw.length + 64)
-    val n = deflater.deflate(buf)
+    // loop until finished — a single deflate() call truncates the IDAT
+    // stream once stored-block overhead exceeds the slack on large rasters
+    val zout = new java.io.ByteArrayOutputStream()
+    val buf = new Array[Byte](64 * 1024)
+    while (!deflater.finished()) {
+      val n = deflater.deflate(buf)
+      zout.write(buf, 0, n)
+    }
     deflater.end()
-    chunk("IDAT", buf.take(n))
+    chunk("IDAT", zout.toByteArray)
     chunk("IEND", Array.empty)
     out.toByteArray
   }
@@ -120,9 +126,13 @@ object Multimodal {
   def contentFingerprint(bin: Column): Column =
     conv(substring(md5(bin), 1, 15), 16, 10).cast("long")
 
-  /** Exact dedup over a binary column: group by content hash. */
+  /** Exact dedup over a binary column: group by the FULL md5 — at the
+    * 10^9-blob design scale a 60-bit truncation has ~40% birthday-collision
+    * probability (silently merging distinct blobs); the full 128 bits cost
+    * the same one shuffle.
+    */
   def dedupByContent(df: DataFrame, idCol: String, binCol: String): DataFrame =
-    df.groupBy(contentFingerprint(col(binCol)).as("content_fp"))
+    df.groupBy(md5(col(binCol)).as("content_md5"))
       .agg(min(col(idCol)).as(idCol), count(lit(1)).as("dup_count"))
 
   /** STUB — the decode seam. Real pixel decoding needs an imaging library

@@ -159,8 +159,11 @@ object TextPack {
 
   // DuckDB-side common table prefixes (carries n_chars through so consumers
   // never need to re-join documents — a self-join made `text` ambiguous)
+  // toks drops empty strings — split emits "" at leading/trailing
+  // whitespace, matching TextFunctions.tokens' array_remove(…, "")
   private val TOKS =
-    """d AS (SELECT doc_id, lang, text, n_chars, regexp_split_to_array(trim(text), '\s+') toks,
+    """d AS (SELECT doc_id, lang, text, n_chars,
+       [t for t in regexp_split_to_array(text, '\s+') if t <> ''] toks,
        regexp_split_to_array(lower(trim(regexp_replace(text,'\s+',' '))), ' ') ntoks
        FROM documents)"""
   private val STOP = "['the','a','an','and','or','of','to','in','is','it','that','for','on','with','as','at','by','be','this']"
@@ -178,11 +181,13 @@ object TextPack {
          FROM documents""",
     "pl_chunks" ->
       """WITH toks AS (
-           SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t,
-                  len(regexp_split_to_array(trim(text), '\s+')) AS n
-           FROM documents WHERE trim(text) <> ''
+           SELECT doc_id,
+                  [x for x in regexp_split_to_array(text, '\s+') if x <> ''] AS t,
+                  len([x for x in regexp_split_to_array(text, '\s+') if x <> '']) AS n
+           FROM documents
          ), ix AS (
-           SELECT doc_id, t, n, ((greatest(n - 64, 0) + 47) // 48) + 1 AS nchunks FROM toks
+           SELECT doc_id, t, n, ((greatest(n - 64, 0) + 47) // 48) + 1 AS nchunks
+           FROM toks WHERE n > 0
          )
          SELECT doc_id, i AS chunk_ix,
            array_to_string(t[i*48+1 : least(i*48+64, n)], ' ') AS chunk_text,
