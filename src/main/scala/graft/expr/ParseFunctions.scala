@@ -165,18 +165,39 @@ object ParseFunctions {
     regexp_replace(c, "^\\s+|\\s+$", "")
 
   /** ascii strict: non-ASCII input is a bad value (reference
-    * 'ascii'/'ascii:strict').
+    * 'ascii:strict', dataset_type.py:157-172).
     */
   def asciiStrict(c: Column): Column =
     when(c.rlike("^[\\x00-\\x7F]*$"), c)
 
-  /** ascii replace: non-ASCII characters replaced with '?' (deviation: the
-    * reference emits octal escapes, dataset_type.py _c_conv_ascii_template;
-    * the *filtering* contract — output is pure ASCII, row is never bad —
-    * is preserved).
+  /** ascii / ascii:replace (reference default, dataset_type.py:143-152,
+    * 794-798): bytes > 127 become \ooo octal escapes.
     */
-  def asciiReplace(c: Column): Column =
-    regexp_replace(c, "[^\\x00-\\x7F]", "?")
+  def asciiReplace(c: Column): Column = {
+    import org.apache.spark.sql.GraftBridge
+    GraftBridge.column(graft.expr.AsciiOctal(
+      GraftBridge.expression(c), escapeBackslash = false))
+  }
+
+  /** ascii:encode (dataset_type.py:799-800): like replace, plus backslash
+    * itself escapes as \134 — the output round-trips unambiguously.
+    */
+  def asciiEncode(c: Column): Column = {
+    import org.apache.spark.sql.GraftBridge
+    GraftBridge.column(graft.expr.AsciiOctal(
+      GraftBridge.expression(c), escapeBackslash = true))
+  }
+
+  /** unicode:<codec>[/errors] (dataset_type.py:75-100, 789-792): decode a
+    * byte-preserving string's raw bytes with `codec`; `errors` ∈
+    * strict (failure → bad value) / replace (U+FFFD) / ignore (drop).
+    */
+  def unicodeRecode(c: Column, codec: String, errors: String): Column = {
+    import org.apache.spark.sql.GraftBridge
+    graft.expr.RecodeHelper.validate(codec, errors)
+    GraftBridge.column(graft.expr.RecodeCharset(
+      GraftBridge.expression(c), codec, errors))
+  }
 
   /** complex64/32 (dataset_type.py:734-737, Python complex() grammar):
     * '(1+2j)', '1+2j', '-3j', '42' → struct(re, im); unparseable → null.

@@ -17,13 +17,13 @@ object SimilarityFunctions {
         i => substring(norm, lit(1) + i, lit(n))))
   }
 
-  /** Word n-gram shingles (distinct), joined with ''. */
+  /** Word n-gram shingles (distinct), joined with '\u0001'. */
   def wordShingles(text: Column, n: Int): Column = {
     val toks = TextFunctions.tokens(TextFunctions.normalized(text))
     array_distinct(
-      when(size(toks) < n, array(concat_ws("", toks)))
+      when(size(toks) < n, array(concat_ws("\u0001", toks)))
         .otherwise(transform(sequence(lit(0), size(toks) - n),
-          i => concat_ws("", slice(toks, i + 1, lit(n))))))
+          i => concat_ws("\u0001", slice(toks, i + 1, lit(n))))))
   }
 
   /** Jaccard similarity of two shingle arrays (set semantics). */

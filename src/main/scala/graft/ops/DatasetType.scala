@@ -129,14 +129,40 @@ object DatasetType {
         regexp_extract(c, "^\\s*(\\d{1,2}:\\d{2}:\\d{2}(\\.\\d{1,6})?)", 1))
       case "bytes"     => c.cast("binary")
       case "bytesstrip" => stripWs(c).cast("binary")
-      case "ascii" => if (fmt == "replace") asciiReplace(c) else asciiStrict(c)
-      case "asciistrip" =>
-        if (fmt == "replace") asciiReplace(stripWs(c)) else asciiStrict(stripWs(c))
-      case "unicode"   => c.cast("string")
-      case "unicodestrip" => stripWs(c)
+      // ascii[strip][:errors] — errors ∈ replace (DEFAULT, \ooo octal
+      // escapes) / encode (replace + backslash → \134) / strict (>127 is a
+      // bad value). Reference dataset_type.py:793-800: bare 'ascii' is
+      // replace, not strict.
+      case "ascii"      => asciiFmt(c, fmt)
+      case "asciistrip" => asciiFmt(stripWs(c), fmt)
+      // unicode[strip][:<codec>[/errors]] — with a codec, reinterpret the
+      // byte-preserving string (CsvImportConfig.encoding="bytes") as raw
+      // bytes and decode (dataset_type.py:75-100, 789-792). Strip applies
+      // to the BYTES before decoding, as the reference's C template does.
+      // Bare unicode = keep as-is (the value is already text).
+      case "unicode" =>
+        if (fmt.isEmpty) c.cast("string") else unicodeFmt(c, fmt)
+      case "unicodestrip" =>
+        if (fmt.isEmpty) stripWs(c) else unicodeFmt(stripWs(c), fmt)
       case "json"      => c // stored as string; validation is reader-side
       case other => throw new IllegalArgumentException(s"unknown type spec '$other'")
     }
+  }
+
+  private def asciiFmt(c: Column, fmt: String): Column = fmt match {
+    case "" | "replace" => asciiReplace(c)
+    case "encode"       => asciiEncode(c)
+    case "strict"       => asciiStrict(c)
+    case other => throw new IllegalArgumentException(
+      s"ascii errors must be replace/encode/strict, got '$other'")
+  }
+
+  private def unicodeFmt(c: Column, fmt: String): Column = {
+    val (codec, errors) = fmt.indexOf('/') match {
+      case -1 => (fmt, "strict")
+      case i  => (fmt.substring(0, i), fmt.substring(i + 1))
+    }
+    unicodeRecode(c, codec, errors)
   }
 
   /** Type `df`'s columns per `types`; untyped columns pass through.

@@ -48,10 +48,16 @@ object Dedup {
     * c_hot) eliminates almost all pairs before the hot-correction join, so
     * the expensive path runs on survivors only. Every shuffle carries only
     * ids and longs.
+    *
+    * `maxDf` is REQUIRED (no default): it is the parameter that keeps the
+    * inverted-index self-join from going O(df²) on stopword-grams, and an
+    * unbounded default would be a silent scale-killer at 100 TB. A caller
+    * who truly wants the uncapped join passes `Int.MaxValue` explicitly
+    * and owns that decision.
     */
   def ngramJaccard(df: DataFrame, idCol: String, textCol: String,
-                   n: Int = 3, threshold: Double = 0.8,
-                   maxDf: Int = Int.MaxValue): DataFrame = {
+                   maxDf: Int,
+                   n: Int = 3, threshold: Double = 0.8): DataFrame = {
     val withHs = df.select(col(idCol).as("id"),
       S.shingleHashes(col(textCol), n).as("hs"))
     // the posting list feeds FIVE branches (hot, cold, hotPost, sizes, hot

@@ -114,6 +114,42 @@ object Operators {
       .select(col("n_nationkey"), col("n_name"), col("n_regionkey"), col("member"))
   }
 
+  /** Non-UTF-8 round trip (the round-3 fidelity gap): nation names
+    * re-spelled with high-bit characters are written as raw ISO-8859-1
+    * bytes AND as UTF-8 bytes, imported through the byte-preserving path
+    * (encoding = "bytes" — reference csvimport.py:173-300 never decodes),
+    * then decoded by dataset_type `unicode:<codec>` / octal-escaped by
+    * `ascii` (dataset_type.py:789-800). A UTF-8-decoding reader would
+    * mangle the latin-1 bytes into U+FFFD and the oracle hash catches it.
+    */
+  def csvLatin1(s: SparkSession, dir: String): DataFrame = {
+    import java.nio.charset.StandardCharsets
+    import java.nio.file.{Files, Paths}
+    val tmp = tmpDir("csv_l1")
+    val rows = Tables.nation(s, dir).select("n_nationkey", "n_name")
+      .orderBy("n_nationkey").collect() // 25-row fixture build, driver-side
+    def body(label: String) =
+      s"n_nationkey,$label\n" + rows.map { r =>
+        s"${r.get(0)},${r.getString(1).replace("A", "Ä")}ß"
+      }.mkString("", "\n", "\n")
+    Files.write(Paths.get(s"$tmp/nation_l1.csv"),
+      body("name_l1").getBytes(StandardCharsets.ISO_8859_1))
+    Files.write(Paths.get(s"$tmp/nation_u8.csv"),
+      body("name_u8").getBytes(StandardCharsets.UTF_8))
+    val bytesCfg = CsvImportConfig(encoding = "bytes")
+    val imp1 = CsvImport(s, s"$tmp/nation_l1.csv", bytesCfg).data
+      .withColumn("name_ascii", col("name_l1"))
+    val t1 = DatasetType(imp1, Map(
+      "n_nationkey" -> "int32",
+      "name_l1" -> "unicode:iso-8859-1",
+      "name_ascii" -> "ascii")).good
+    val imp2 = CsvImport(s, s"$tmp/nation_u8.csv", bytesCfg).data
+    val t2 = DatasetType(imp2, Map(
+      "n_nationkey" -> "int32", "name_u8" -> "unicode:utf-8")).good
+    t1.join(t2, "n_nationkey")
+      .select("n_nationkey", "name_l1", "name_ascii", "name_u8")
+  }
+
   /** Global sort; returns the first 100 rows with their physical position. */
   def sortOrder(s: SparkSession, dir: String): DataFrame = {
     val sorted = DatasetSort(
@@ -416,6 +452,7 @@ object Operators {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "op_csv_roundtrip" -> csvRoundtrip _,
+    "op_csv_latin1" -> csvLatin1 _,
     "op_dataset_type" -> datasetType _,
     "op_dataset_type2" -> datasetType2 _,
     "op_csvimport_zip" -> csvimportZip _,
@@ -439,6 +476,14 @@ object Operators {
   val oracle: Map[String, String] = Map(
     "op_csv_roundtrip" ->
       "SELECT n_nationkey, n_name, n_regionkey FROM nation",
+    // '\304'/'\337' are literal backslash-octal text (no escape processing
+    // in SQL single quotes) — the ascii spec's rendering of 0xC4/0xDF
+    "op_csv_latin1" ->
+      """SELECT n_nationkey,
+         replace(n_name, 'A', 'Ä') || 'ß' AS name_l1,
+         replace(n_name, 'A', '\304') || '\337' AS name_ascii,
+         replace(n_name, 'A', 'Ä') || 'ß' AS name_u8
+         FROM nation""",
     "op_dataset_type" ->
       """SELECT l_orderkey, l_linenumber, l_quantity AS qty, l_shipdate AS ship,
          l_orderkey AS messy_id, (l_returnflag = 'R') AS flag FROM lineitem""",

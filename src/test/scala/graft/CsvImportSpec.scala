@@ -149,4 +149,52 @@ class CsvImportSpec extends AnyFunSuite {
     val content = Files.readString(Paths.get(out))
     assert(content == "a,b\r\n1,2\r\n")
   }
+
+  test("encoding=bytes: every byte 0x01-0xFF round-trips unmangled") {
+    // the round-3 gap: sc.textFile UTF-8-decodes with U+FFFD replacement,
+    // silently corrupting latin-1 (or any non-UTF-8) input. The byte path
+    // must preserve ALL bytes except the record separator \n (reference
+    // csvimport.py:173-300 never decodes).
+    // \n and \r are record separators at the byte level (Hadoop line
+    // reader); ',' is the field separator; '"' would open a quoted field
+    val allBytes = (1 to 255)
+      .filter(b => b != '\n' && b != '\r' && b != ',' && b != '"')
+      .map(_.toByte).toArray
+    val field = new String(allBytes.map(b => (b & 0xFF).toChar))
+    val p = Paths.get(tmpDir("csv_bytes"), "bytes.csv")
+    val content = "k,v\n".getBytes("ISO-8859-1") ++
+      "1,".getBytes("ISO-8859-1") ++ allBytes ++ "\n".getBytes("ISO-8859-1")
+    Files.write(p, content)
+    val got = rows(p.toString, CsvImportConfig(encoding = "bytes")).head
+    assert(got(0) == "1")
+    assert(got(1) == field, "every non-separator byte value preserved bijectively")
+  }
+
+  test("encoding strict: undecodable lines become bad, never corrupted") {
+    // 0xC4 alone is invalid UTF-8; with encoding=utf-8 strict the line is
+    // bad (latin-1-rendered bytes in `bad.data`), not silently U+FFFD'd
+    val p = Paths.get(tmpDir("csv_enc"), "mixed.csv")
+    Files.write(p, "k,v\n1,ok\n".getBytes("ISO-8859-1") ++
+      "2,badÄbyte\n".getBytes("ISO-8859-1"))
+    val res = CsvImport(spark, p.toString,
+      CsvImportConfig(encoding = "utf-8", encodingErrors = "strict", allowBad = true))
+    assert(res.data.collect().map(_.getString(0)).toSeq == Seq("1"))
+    val bad = res.bad.collect()
+    assert(bad.length == 1 && bad(0).getString(1) == "2,badÄbyte",
+      "raw bytes survive into bad (latin-1 rendering)")
+    // replace mode keeps the line with U+FFFD instead
+    val rep = CsvImport(spark, p.toString,
+      CsvImportConfig(encoding = "utf-8", encodingErrors = "replace"))
+    assert(rep.data.count() == 2)
+    // unknown charset / errors mode fail fast driver-side
+    intercept[Exception](CsvImport(spark, p.toString, CsvImportConfig(encoding = "no-such")))
+    intercept[Exception](CsvImport(spark, p.toString, CsvImportConfig(encodingErrors = "maybe")))
+  }
+
+  test("explicit charset decode (latin-1 file read as latin-1 text)") {
+    val p = Paths.get(tmpDir("csv_l1spec"), "l1.csv")
+    Files.write(p, "k,v\n1,café\n".getBytes("ISO-8859-1"))
+    val got = rows(p.toString, CsvImportConfig(encoding = "iso-8859-1")).head
+    assert(got == Seq("1", "café"))
+  }
 }

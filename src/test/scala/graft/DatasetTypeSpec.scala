@@ -156,8 +156,39 @@ class DatasetTypeSpec extends AnyFunSuite {
 
   test("strip and ascii variants") {
     assert(conv("unicodestrip", Seq("  x \t", "y")) == Seq("x", "y"))
-    assert(conv("ascii", Seq("plain", "ümlaut")) == Seq("plain", null))
-    assert(conv("ascii:replace", Seq("ümlaut")) == Seq("?mlaut"))
+    // reference dataset_type.py:793-800: bare 'ascii' IS replace — every
+    // byte > 127 becomes a \ooo octal escape; strict makes it a bad value
+    assert(conv("ascii", Seq("plain", "ümlaut")) == Seq("plain", "\\374mlaut"))
+    assert(conv("ascii:replace", Seq("ümlaut")) == Seq("\\374mlaut"))
+    assert(conv("ascii:strict", Seq("plain", "ümlaut")) == Seq("plain", null))
+    // encode additionally escapes backslash itself (\ → \134) so the
+    // output round-trips unambiguously
+    assert(conv("ascii:encode", Seq("a\\b", "ümlaut")) ==
+      Seq("a\\134b", "\\374mlaut"))
+    // a code unit > 0xFF (already-decoded text, not byte-preserving) is
+    // escaped per UTF-8 byte — 'π' = 0xCF 0x80 → \317\200
+    assert(conv("ascii", Seq("aπb")) == Seq("a\\317\\200b"))
+  }
+
+  test("unicode:<codec>[/errors] decodes byte-preserving strings") {
+    // byte-preserving input: each code unit ≤ 0xFF IS the raw byte
+    // (CsvImportConfig.encoding="bytes"). "Ä" as UTF-8 bytes is 0xC3 0x84.
+    val u8bytes = "\u00c3\u0084x"
+    assert(conv("unicode:utf-8", Seq(u8bytes)) == Seq("Äx"))
+    // latin-1 reinterprets the same two bytes as two characters
+    assert(conv("unicode:iso-8859-1", Seq(u8bytes)) == Seq(u8bytes))
+    // strict: invalid utf-8 (lone 0xC4) is a bad value; replace → U+FFFD;
+    // ignore → dropped
+    assert(conv("unicode:utf-8", Seq("aÄb")) == Seq(null))
+    assert(conv("unicode:utf-8/replace", Seq("aÄb")) == Seq("a�b"))
+    assert(conv("unicode:utf-8/ignore", Seq("aÄb")) == Seq("ab"))
+    // a code unit > 0xFF cannot come from the bytes import — bad value
+    assert(conv("unicode:utf-8", Seq("aπb")) == Seq(null))
+    // unicodestrip:<codec> strips the BYTES before decoding
+    assert(conv("unicodestrip:utf-8", Seq(s"  $u8bytes \t")) == Seq("Äx"))
+    // unknown codec / bad errors mode fail at plan time, not silently
+    intercept[Exception](conv("unicode:no-such-codec", Seq("x")))
+    intercept[Exception](conv("unicode:utf-8/maybe", Seq("x")))
   }
 
   test("timezone: wall-clock datetimes convert to UTC, epochs don't") {
