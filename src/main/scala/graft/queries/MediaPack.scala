@@ -15,13 +15,21 @@ import graft.ops.Multimodal
 object MediaPack {
 
   def mediaMeta(s: SparkSession, dir: String): DataFrame = {
-    val media = Tables.documents(s, dir).select(col("doc_id"))
-      .withColumn("img", Multimodal.makePng(
-        (lit(16) + col("doc_id") % 32).cast("int"),
-        (lit(9) + col("doc_id") % 7).cast("int")))
-      .withColumn("wav", Multimodal.makeWav(
-        (lit(8000) + (col("doc_id") % 3) * 4000).cast("int"),
-        (lit(100) + col("doc_id") % 50).cast("int")))
+    // fixture: the per-doc PNG/WAV blob generation (UDFs — test-data
+    // construction, not an operator path) lands in a snapshot once; the
+    // timed/verified work is the codegen'd header extraction below
+    val (store, _) = Fixtures(s, dir, "fix_media_blobs") { st =>
+      st.write(Tables.documents(s, dir).select(col("doc_id"))
+        .withColumn("img", Multimodal.makePng(
+          (lit(16) + col("doc_id") % 32).cast("int"),
+          (lit(9) + col("doc_id") % 7).cast("int")))
+        .withColumn("wav", Multimodal.makeWav(
+          (lit(8000) + (col("doc_id") % 3) * 4000).cast("int"),
+          (lit(100) + col("doc_id") % 50).cast("int"))),
+        "mm_media", slices = 8)
+      Map("blobs" -> "mm_media")
+    }
+    val media = store.readResolved("mm_media")
     val meta = media.select(col("doc_id"),
       Multimodal.mediaType(col("img")).as("img_type"),
       Multimodal.pngWidth(col("img")).as("img_w"),

@@ -91,24 +91,28 @@ object Operators {
   }
 
   /** Zip of two CSV halves of nation → csvimport_zip → chained union must
-    * reproduce the table, with member provenance.
+    * reproduce the table, with member provenance. The zip file is a
+    * memoized fixture; the operator under test is the import.
     */
   def csvimportZip(s: SparkSession, dir: String): DataFrame = {
-    val tmp = tmpDir("csv_zip")
-    val nation = Tables.nation(s, dir).select("n_nationkey", "n_name", "n_regionkey")
-    CsvExport(nation.filter(col("n_nationkey") < 13), s"$tmp/part1.csv",
-      CsvExportConfig())
-    CsvExport(nation.filter(col("n_nationkey") >= 13), s"$tmp/part2.csv",
-      CsvExportConfig())
-    val zipPath = s"$tmp/nation.zip"
-    val zos = new java.util.zip.ZipOutputStream(
-      java.nio.file.Files.newOutputStream(java.nio.file.Paths.get(zipPath)))
-    try Seq("part1.csv", "part2.csv").foreach { n =>
-      zos.putNextEntry(new java.util.zip.ZipEntry(n))
-      zos.write(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(s"$tmp/$n")))
-      zos.closeEntry()
-    } finally zos.close()
-    val results = CsvImportZip(s, zipPath)
+    val (_, out) = Fixtures(s, dir, "fix_csvimport_zip") { _ =>
+      val tmp = Fixtures.filesDir(dir, "fix_csvimport_zip")
+      val nation = Tables.nation(s, dir).select("n_nationkey", "n_name", "n_regionkey")
+      CsvExport(nation.filter(col("n_nationkey") < 13), s"$tmp/part1.csv",
+        CsvExportConfig())
+      CsvExport(nation.filter(col("n_nationkey") >= 13), s"$tmp/part2.csv",
+        CsvExportConfig())
+      val zipPath = s"$tmp/nation.zip"
+      val zos = new java.util.zip.ZipOutputStream(
+        java.nio.file.Files.newOutputStream(java.nio.file.Paths.get(zipPath)))
+      try Seq("part1.csv", "part2.csv").foreach { n =>
+        zos.putNextEntry(new java.util.zip.ZipEntry(n))
+        zos.write(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(s"$tmp/$n")))
+        zos.closeEntry()
+      } finally zos.close()
+      Map("zip" -> zipPath)
+    }
+    val results = CsvImportZip(s, out("zip"))
     val u = CsvImportZip.unioned(results)
     DatasetType(u, Map("n_nationkey" -> "int32", "n_regionkey" -> "int32")).good
       .select(col("n_nationkey"), col("n_name"), col("n_regionkey"), col("member"))
@@ -125,25 +129,28 @@ object Operators {
   def csvLatin1(s: SparkSession, dir: String): DataFrame = {
     import java.nio.charset.StandardCharsets
     import java.nio.file.{Files, Paths}
-    val tmp = tmpDir("csv_l1")
-    val rows = Tables.nation(s, dir).select("n_nationkey", "n_name")
-      .orderBy("n_nationkey").collect() // 25-row fixture build, driver-side
-    def body(label: String) =
-      s"n_nationkey,$label\n" + rows.map { r =>
-        s"${r.get(0)},${r.getString(1).replace("A", "Ä")}ß"
-      }.mkString("", "\n", "\n")
-    Files.write(Paths.get(s"$tmp/nation_l1.csv"),
-      body("name_l1").getBytes(StandardCharsets.ISO_8859_1))
-    Files.write(Paths.get(s"$tmp/nation_u8.csv"),
-      body("name_u8").getBytes(StandardCharsets.UTF_8))
+    val (_, out) = Fixtures(s, dir, "fix_csv_latin1") { _ =>
+      val tmp = Fixtures.filesDir(dir, "fix_csv_latin1")
+      val rows = Tables.nation(s, dir).select("n_nationkey", "n_name")
+        .orderBy("n_nationkey").collect() // 25-row fixture build, driver-side
+      def body(label: String) =
+        s"n_nationkey,$label\n" + rows.map { r =>
+          s"${r.get(0)},${r.getString(1).replace("A", "Ä")}ß"
+        }.mkString("", "\n", "\n")
+      Files.write(Paths.get(s"$tmp/nation_l1.csv"),
+        body("name_l1").getBytes(StandardCharsets.ISO_8859_1))
+      Files.write(Paths.get(s"$tmp/nation_u8.csv"),
+        body("name_u8").getBytes(StandardCharsets.UTF_8))
+      Map("l1" -> s"$tmp/nation_l1.csv", "u8" -> s"$tmp/nation_u8.csv")
+    }
     val bytesCfg = CsvImportConfig(encoding = "bytes")
-    val imp1 = CsvImport(s, s"$tmp/nation_l1.csv", bytesCfg).data
+    val imp1 = CsvImport(s, out("l1"), bytesCfg).data
       .withColumn("name_ascii", col("name_l1"))
     val t1 = DatasetType(imp1, Map(
       "n_nationkey" -> "int32",
       "name_l1" -> "unicode:iso-8859-1",
       "name_ascii" -> "ascii")).good
-    val imp2 = CsvImport(s, s"$tmp/nation_u8.csv", bytesCfg).data
+    val imp2 = CsvImport(s, out("u8"), bytesCfg).data
     val t2 = DatasetType(imp2, Map(
       "n_nationkey" -> "int32", "name_u8" -> "unicode:utf-8")).good
     t1.join(t2, "n_nationkey")
@@ -217,17 +224,19 @@ object Operators {
     * zone maps, result must equal a plain SQL range filter.
     */
   def chainRange(s: SparkSession, dir: String): DataFrame = {
-    val store = new SnapshotStore(s, tmpDir("store"))
-    val ord = Tables.orders(s, dir)
-    def yr(a: String, b: String) =
-      ord.filter(col("o_orderdate") >= lit(a).cast("timestamp") &&
-                 col("o_orderdate") < lit(b).cast("timestamp"))
-    store.write(yr("1990-01-01", "1994-01-01"), "orders_a", slices = 4)
-    store.write(yr("1994-01-01", "1996-01-01"), "orders_b",
-      previous = Some("orders_a"), slices = 4)
-    store.write(yr("1996-01-01", "2000-01-01"), "orders_c",
-      previous = Some("orders_b"), slices = 4)
-    val it = store.iterateChain("orders_c",
+    val (store, _) = Fixtures(s, dir, "fix_chain_range") { st =>
+      val ord = Tables.orders(s, dir)
+      def yr(a: String, b: String) =
+        ord.filter(col("o_orderdate") >= lit(a).cast("timestamp") &&
+                   col("o_orderdate") < lit(b).cast("timestamp"))
+      st.write(yr("1990-01-01", "1994-01-01"), "cr_orders_a", slices = 4)
+      st.write(yr("1994-01-01", "1996-01-01"), "cr_orders_b",
+        previous = Some("cr_orders_a"), slices = 4)
+      st.write(yr("1996-01-01", "2000-01-01"), "cr_orders_c",
+        previous = Some("cr_orders_b"), slices = 4)
+      Map("tip" -> "cr_orders_c")
+    }
+    val it = store.iterateChain("cr_orders_c",
       columns = Seq("o_orderkey", "o_orderdate", "o_totalprice", "o_orderstatus"),
       range = Some(("o_orderdate", "1994-06-01", "1995-06-01")))
     it.groupBy(col("o_orderstatus"))
@@ -259,8 +268,10 @@ object Operators {
     * exposes exactly the kept columns.
     */
   def filterColumnsQ(s: SparkSession, dir: String): DataFrame = {
-    val store = new SnapshotStore(s, tmpDir("store_fc"))
-    store.write(Tables.customer(s, dir), "fc_cust_full", slices = 4)
+    val (store, _) = Fixtures(s, dir, "fix_filter_columns") { st =>
+      st.write(Tables.customer(s, dir), "fc_cust_full", slices = 4)
+      Map("base" -> "fc_cust_full")
+    }
     val snap = store.filterColumns("fc_cust_full", "fc_cust_slim",
       Seq("c_custkey", "c_name", "c_mktsegment"))
     val shared =
@@ -276,11 +287,13 @@ object Operators {
     * crossJoins of 1-row aggregates.
     */
   def checksumChain(s: SparkSession, dir: String): DataFrame = {
-    val store = new SnapshotStore(s, tmpDir("store_cc"))
     val ord = Tables.orders(s, dir)
     // testdata orders span 1995..2001 — bounds must cover the whole table
-    val tip = yearChain(store, ord,
-      Seq("1990-01-01", "1996-01-01", "1998-01-01", "2010-01-01"), "cc_orders_")
+    val (store, out) = Fixtures(s, dir, "fix_checksum_chain") { st =>
+      Map("tip" -> yearChain(st, ord,
+        Seq("1990-01-01", "1996-01-01", "1998-01-01", "2010-01-01"), "cc_orders_"))
+    }
+    val tip = out("tip")
     val parts = store.chain(tip).reverse.zipWithIndex.map { case (sn, i) =>
       DatasetChecksum(store.readResolved(sn.meta.name))
         .select(col("sum_hi").as(s"hi$i"), col("sum_lo").as(s"lo$i"),
@@ -301,12 +314,14 @@ object Operators {
     * the rehash repartition every key must live in exactly one partition.
     */
   def rehashIterate(s: SparkSession, dir: String): DataFrame = {
-    val store = new SnapshotStore(s, tmpDir("store_rh"))
-    val cust = Tables.customer(s, dir)
-    store.write(cust.filter(col("c_custkey") % 3 === 0), "rh_cust_a",
-      hashlabel = Some("c_nationkey"), slices = 8)
-    store.write(cust.filter(col("c_custkey") % 3 =!= 0), "rh_cust_b",
-      hashlabel = Some("c_custkey"), previous = Some("rh_cust_a"), slices = 8)
+    val (store, _) = Fixtures(s, dir, "fix_rehash_iterate") { st =>
+      val cust = Tables.customer(s, dir)
+      st.write(cust.filter(col("c_custkey") % 3 === 0), "rh_cust_a",
+        hashlabel = Some("c_nationkey"), slices = 8)
+      st.write(cust.filter(col("c_custkey") % 3 =!= 0), "rh_cust_b",
+        hashlabel = Some("c_custkey"), previous = Some("rh_cust_a"), slices = 8)
+      Map("tip" -> "rh_cust_b")
+    }
     val it = store.iterateChain("rh_cust_b",
       columns = Seq("c_custkey", "c_nationkey"),
       hashlabel = Some("c_nationkey"), rehash = true)
@@ -322,11 +337,12 @@ object Operators {
     * hook fired for exactly those, in chain order.
     */
   def iterateCallbacks(s: SparkSession, dir: String): DataFrame = {
-    val store = new SnapshotStore(s, tmpDir("store_cb"))
-    val ord = Tables.orders(s, dir)
-    val tip = yearChain(store, ord,
-      Seq("1990-01-01", "1996-01-01", "1997-01-01", "1998-01-01", "2010-01-01"),
-      "cb_orders_")
+    val (store, out) = Fixtures(s, dir, "fix_iterate_callbacks") { st =>
+      Map("tip" -> yearChain(st, Tables.orders(s, dir),
+        Seq("1990-01-01", "1996-01-01", "1997-01-01", "1998-01-01", "2010-01-01"),
+        "cb_orders_"))
+    }
+    val tip = out("tip")
     val postSeen = scala.collection.mutable.ArrayBuffer.empty[String]
     val it = store.iterateChain(tip,
       columns = Seq("o_orderstatus", "o_totalprice", "o_orderdate"),
@@ -352,19 +368,26 @@ object Operators {
     * NEGATIVE to exercise resolution against total chain lines.
     */
   def sliceWindowQ(s: SparkSession, dir: String): DataFrame = {
-    val store = new SnapshotStore(s, tmpDir("store_sw"))
-    val numbered = Tables.orders(s, dir)
-      .select(col("o_orderkey"), col("o_totalprice"))
-      .withColumn("lineno",
-        row_number().over(Window.orderBy(col("o_orderkey"))).cast("long") - 1)
-    val total = numbered.count()
+    val (store, out) = Fixtures(s, dir, "fix_slice_window") { st =>
+      // the unpartitioned row_number window is fixture-only (one global
+      // numbering pass, built once) — never an operator path
+      val numbered = Tables.orders(s, dir)
+        .select(col("o_orderkey"), col("o_totalprice"))
+        .withColumn("lineno",
+          row_number().over(Window.orderBy(col("o_orderkey"))).cast("long") - 1)
+      val total = numbered.count()
+      val n1 = total / 3
+      val n2 = 2 * total / 3
+      st.write(numbered.filter(col("lineno") < n1), "sw_a", slices = 4)
+      st.write(numbered.filter(col("lineno") >= n1 && col("lineno") < n2),
+        "sw_b", previous = Some("sw_a"), slices = 4)
+      st.write(numbered.filter(col("lineno") >= n2), "sw_c",
+        previous = Some("sw_b"), slices = 4)
+      Map("total" -> total.toString)
+    }
+    val total = out("total").toLong
     val n1 = total / 3
     val n2 = 2 * total / 3
-    store.write(numbered.filter(col("lineno") < n1), "sw_a", slices = 4)
-    store.write(numbered.filter(col("lineno") >= n1 && col("lineno") < n2),
-      "sw_b", previous = Some("sw_a"), slices = 4)
-    store.write(numbered.filter(col("lineno") >= n2), "sw_c",
-      previous = Some("sw_b"), slices = 4)
     store.iterateChain("sw_c",
       columns = Seq("lineno", "o_orderkey", "o_totalprice"),
       sliceWindow = Some((Some(n1 - 7), Some(-(total - n2 - 11)))),
@@ -377,18 +400,20 @@ object Operators {
     * and the resolved read-through-the-link yields parent ++ appended.
     */
   def parentAppend(s: SparkSession, dir: String): DataFrame = {
-    val store = new SnapshotStore(s, tmpDir("store_pa"))
-    store.write(store.withRowId(Tables.customer(s, dir)), "pa_base", slices = 4)
-    store.appendColumns("pa_base", "pa_ext") { df =>
-      df.select(col(SnapshotStore.RowIdName),
-        (col("c_acctbal") > 0).as("positive"),
-        lower(col("c_mktsegment")).as("seg_l"))
+    val (store, _) = Fixtures(s, dir, "fix_parent_append") { st =>
+      st.write(st.withRowId(Tables.customer(s, dir)), "pa_base", slices = 4)
+      st.appendColumns("pa_base", "pa_ext") { df =>
+        df.select(col(SnapshotStore.RowIdName),
+          (col("c_acctbal") > 0).as("positive"),
+          lower(col("c_mktsegment")).as("seg_l"))
+      }
+      st.linkToHere("pa_ext", "pa_link")
+      Map("link" -> "pa_link")
     }
-    val linked = store.linkToHere("pa_ext", "pa_link")
     val childCols = store.get("pa_ext").read(s).columns.toSet
     val zeroCopy =
       childCols == Set(SnapshotStore.RowIdName, "positive", "seg_l") &&
-      linked.meta.dataDir.isDefined
+      store.get("pa_link").meta.dataDir.isDefined
     store.readResolved("pa_link")
       .select(col("c_custkey"), col("c_name"), col("positive"), col("seg_l"))
       .withColumn("zero_copy", lit(zeroCopy))
@@ -400,12 +425,14 @@ object Operators {
     * structurally) and the resolved read shadows the parent's versions.
     */
   def copyModeQ(s: SparkSession, dir: String): DataFrame = {
-    val store = new SnapshotStore(s, tmpDir("store_cm"))
-    store.write(store.withRowId(Tables.customer(s, dir)), "cm_base", slices = 4)
-    store.appendColumns("cm_base", "cm_upd", replace = true) { df =>
-      df.select(col(SnapshotStore.RowIdName),
-        substring(col("c_mktsegment"), 1, 4).as("c_mktsegment"),
-        (col("c_acctbal") * 2).as("bal2x"))
+    val (store, _) = Fixtures(s, dir, "fix_copy_mode") { st =>
+      st.write(st.withRowId(Tables.customer(s, dir)), "cm_base", slices = 4)
+      st.appendColumns("cm_base", "cm_upd", replace = true) { df =>
+        df.select(col(SnapshotStore.RowIdName),
+          substring(col("c_mktsegment"), 1, 4).as("c_mktsegment"),
+          (col("c_acctbal") * 2).as("bal2x"))
+      }
+      Map("tip" -> "cm_upd")
     }
     val childCols = store.get("cm_upd").read(s).columns.toSet
     val zeroCopy =
@@ -422,13 +449,14 @@ object Operators {
     * a driver loop.
     */
   def shellGrep(s: SparkSession, dir: String): DataFrame = {
-    val storeRoot = tmpDir("store_sh")
-    val store = new SnapshotStore(s, storeRoot)
-    val cust = Tables.customer(s, dir)
-    store.write(cust.filter(col("c_custkey") % 2 === 0), "sh_cust_a", slices = 4)
-    store.write(cust.filter(col("c_custkey") % 2 =!= 0), "sh_cust_b",
-      previous = Some("sh_cust_a"), slices = 4)
-    Shell.grepDf(store, Shell.Args(storeRoot, "sh_cust_b",
+    val (store, _) = Fixtures(s, dir, "fix_shell_grep") { st =>
+      val cust = Tables.customer(s, dir)
+      st.write(cust.filter(col("c_custkey") % 2 === 0), "sh_cust_a", slices = 4)
+      st.write(cust.filter(col("c_custkey") % 2 =!= 0), "sh_cust_b",
+        previous = Some("sh_cust_a"), slices = 4)
+      Map("tip" -> "sh_cust_b")
+    }
+    Shell.grepDf(store, Shell.Args(store.root, "sh_cust_b",
       Seq("c_custkey", "c_name", "c_mktsegment", "c_nationkey"),
       pattern = "BUILDING|007$", chain = 2))
   }
@@ -439,8 +467,13 @@ object Operators {
     * original (≡ a SQL join on the alignment rowid).
     */
   def csvexportZipQ(s: SparkSession, dir: String): DataFrame = {
-    val store = new SnapshotStore(s, tmpDir("store_cz"))
-    val base = store.withRowId(Tables.customer(s, dir))
+    // fixture: the rowid'd base snapshot (an rdd zipWithIndex pass);
+    // the zipped EXPORT + import are the operators under test and stay live
+    val (store, _) = Fixtures(s, dir, "fix_csvexport_zip") { st =>
+      st.write(st.withRowId(Tables.customer(s, dir)), "cz_base", slices = 4)
+      Map("base" -> "cz_base")
+    }
+    val base = store.readResolved("cz_base")
     val left = base.select(col(SnapshotStore.RowIdName), col("c_custkey"), col("c_name"))
     val right = base.select(col(SnapshotStore.RowIdName), col("c_nationkey"), col("c_mktsegment"))
     val path = tmpDir("csv_zipcols") + "/cust_zip.csv"
