@@ -37,7 +37,10 @@ case class SnapshotMeta(
     caption: String = "",
     version: Int = 1,
     parent: Option[String] = None,
-    dataDir: Option[String] = None)
+    dataDir: Option[String] = None,
+    // DDL of the stored files' schema, kept for hashed snapshots so any
+    // session can re-register the bucketed table (see SnapshotStore.write)
+    storedSchema: Option[String] = None)
 
 final case class Snapshot(meta: SnapshotMeta, dir: String) {
   /** Raw read of THIS snapshot's stored columns (for parented snapshots
@@ -92,7 +95,27 @@ final class SnapshotStore(val spark: SparkSession, val root: String) {
       case None    => df
     }
     val dir = dirOf(name)
-    routed.write.mode("overwrite").parquet(s"$dir/data")
+    val dataDir = s"$dir/data"
+    // Drop any stale bucket-table registration for this data dir (rewrites).
+    spark.sql(s"DROP TABLE IF EXISTS ${SnapshotStore.bucketTable(dataDir)}")
+    hashlabel match {
+      case Some(h) =>
+        // Hashed snapshots are written as a BUCKETED datasource table so the
+        // read side recovers HashPartitioning(h, n): bucket placement is
+        // HashPartitioning.partitionIdExpression = pmod(murmur3(h), n) —
+        // bit-identical to the repartition above, so each write task holds
+        // exactly one bucket and emits one file. A downstream groupBy/join
+        // on the hashlabel then plans NO Exchange — at 100 TB that is a full
+        // shuffle of the largest table saved (the reference gets the same
+        // effect from its sliced-by-hashlabel layout, dataset.py:58).
+        val p = new org.apache.hadoop.fs.Path(dataDir)
+        val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        fs.delete(p, true)
+        routed.write.format("parquet").option("path", dataDir)
+          .bucketBy(n, h).saveAsTable(SnapshotStore.bucketTable(dataDir))
+      case None =>
+        routed.write.mode("overwrite").parquet(dataDir)
+    }
     // One agg pass for lines + zone maps (comparable, non-complex types only).
     val comparable = df.schema.fields.filter { f =>
       f.dataType.typeName match {
@@ -126,7 +149,8 @@ final class SnapshotStore(val spark: SparkSession, val root: String) {
       ColumnMeta(f.name, f.dataType.simpleString,
         refTypes.getOrElse(f.name, f.dataType.simpleString), f.nullable, mn, mx)
     }.toSeq
-    val meta = SnapshotMeta(name, cols, lines, n, hashlabel, previous, caption)
+    val meta = SnapshotMeta(name, cols, lines, n, hashlabel, previous, caption,
+      storedSchema = hashlabel.map(_ => routed.schema.toDDL))
     Files.writeString(Paths.get(dir, "meta.json"), MetaJson.render(meta))
     val snap = Snapshot(meta, dir)
     metaCache.put(name, snap)
@@ -239,12 +263,33 @@ final class SnapshotStore(val spark: SparkSession, val root: String) {
     */
   def readResolved(name: String): DataFrame = readResolved(name, Set.empty)
 
+  /** Read a snapshot's stored files, recovering the hash partitioning for
+    * hashed snapshots: the data was written as a bucketed datasource table
+    * (see `write`), so reading through the catalog gives the scan
+    * `outputPartitioning = HashPartitioning(hashlabel, slices)` and
+    * downstream aggs/joins on the hashlabel plan no Exchange. Any session
+    * can read: the table is re-registered from the sidecar's stored schema
+    * if this session's (in-memory) catalog doesn't have it yet.
+    */
+  private def readStored(snap: Snapshot): DataFrame =
+    (snap.meta.hashlabel, snap.meta.storedSchema) match {
+      case (Some(h), Some(ddl)) =>
+        val dataDir = snap.meta.dataDir.getOrElse(s"${snap.dir}/data")
+        val tbl = SnapshotStore.bucketTable(dataDir)
+        if (!spark.catalog.tableExists(tbl))
+          spark.sql(s"CREATE TABLE $tbl ($ddl) USING parquet " +
+            s"CLUSTERED BY (`$h`) INTO ${snap.meta.slices} BUCKETS " +
+            s"LOCATION '$dataDir'")
+        spark.table(tbl)
+      case _ => snap.read(spark)
+    }
+
   private def readResolved(name: String, walking: Set[String]): DataFrame = {
     require(!walking.contains(name),
       s"readResolved: parent cycle at $name (via ${walking.mkString(", ")})")
     val snap = get(name)
     val resolved = snap.meta.parent match {
-      case None => snap.read(spark)
+      case None => readStored(snap)
       case Some(p) =>
         // child's columns shadow the parent's (copy_mode replace /
         // merge "later wins"); untouched parent columns come straight
@@ -497,6 +542,17 @@ final class SnapshotStore(val spark: SparkSession, val root: String) {
 
 object SnapshotStore {
   val RowIdName = "__rowid"
+
+  /** Catalog table name for a hashed snapshot's bucketed data directory.
+    * Keyed by the data dir (not the snapshot name) so metadata-only views
+    * over shared data (linkToHere / filterColumns) reuse one registration.
+    */
+  def bucketTable(dataDir: String): String = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(dataDir.getBytes("UTF-8"))
+      .map(b => f"$b%02x").mkString
+    s"graft_b_${hex.take(16)}"
+  }
 }
 
 /** Chain-iteration flow control thrown from preCallback (reference
@@ -550,7 +606,8 @@ object MetaJson {
     s"""{"name":${q(m.name)},"lines":${m.lines},"slices":${m.slices},""" +
     s""""hashlabel":${opt(m.hashlabel)},"previous":${opt(m.previous)},""" +
     s""""caption":${q(m.caption)},"version":${m.version},""" +
-    s""""parent":${opt(m.parent)},"dataDir":${opt(m.dataDir)},"columns":$cols}"""
+    s""""parent":${opt(m.parent)},"dataDir":${opt(m.dataDir)},""" +
+    s""""storedSchema":${opt(m.storedSchema)},"columns":$cols}"""
   }
 
   // Minimal recursive-descent JSON parser (objects/arrays/strings/numbers/
@@ -575,7 +632,8 @@ object MetaJson {
       ostr(v.getOrElse("hashlabel", null)), ostr(v.getOrElse("previous", null)),
       v.getOrElse("caption", "").toString,
       asLong(v.getOrElse("version", 1L)).toInt,
-      ostr(v.getOrElse("parent", null)), ostr(v.getOrElse("dataDir", null)))
+      ostr(v.getOrElse("parent", null)), ostr(v.getOrElse("dataDir", null)),
+      ostr(v.getOrElse("storedSchema", null)))
   }
 }
 

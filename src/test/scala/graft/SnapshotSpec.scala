@@ -62,6 +62,27 @@ class SnapshotSpec extends AnyFunSuite {
     assert(snap.read(s).count() == 100)
   }
 
+  test("hashed snapshot reads back co-partitioned: groupBy(hashlabel) plans no Exchange") {
+    val s = spark
+    import s.implicits._
+    val store = new SnapshotStore(s, tmpDir("snap_bucket"))
+    val df = (1 to 200).map(i => (i.toLong % 17, i.toLong)).toDF("k", "v")
+    store.write(df, "bk_a", hashlabel = Some("k"), slices = 4)
+    val agg = store.iterateChain("bk_a", hashlabel = Some("k"))
+      .groupBy(col("k")).agg(sum(col("v")).as("sv"))
+    val plan = agg.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      s"groupBy on the hashlabel of a hashed snapshot must not shuffle:\n$plan")
+    // and the values are right
+    val got = agg.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val want = (1 to 200).map(_.toLong).groupBy(_ % 17).map { case (k, vs) => k -> vs.sum }
+    assert(got == want)
+    // a fresh store instance (new "session" metadata cache) re-registers
+    // the bucketed table from the sidecar and still reads all rows
+    val store2 = new SnapshotStore(s, store.root)
+    assert(store2.readResolved("bk_a").count() == 200)
+  }
+
   test("parent column-append: zero-copy storage, resolved read") {
     val s = spark
     import s.implicits._
