@@ -195,63 +195,92 @@ object Dedup {
 
   /** Duplicate-cluster assignment: connected components over near-dup
     * pairs, labeling every document with the MIN id of its component (the
-    * canonical representative a dedup pipeline keeps). Iterative min-label
-    * propagation — the standard distributed CC algorithm (converges in
-    * O(component diameter) rounds; dup clusters are small, so few):
-    * each round every node takes the min of its own and its neighbors'
-    * labels; a driver-side fixpoint check stops the loop. Deterministic
-    * regardless of partitioning.
+    * canonical representative a dedup pipeline keeps).
+    *
+    * Algorithm: alternating large-star / small-star (Kiveris et al.,
+    * "Connected Components in MapReduce and Beyond", SoCC'14) — converges
+    * in O(log d) rounds instead of the O(d) of plain min-label
+    * propagation, so a pathological chain-shaped component (diameter in
+    * the millions at 100 TB) finishes in ~20 rounds, not millions.
+    * Per round:
+    *   large-star: every node links its LARGER neighbors to the minimum
+    *               of its neighborhood (incl. itself);
+    *   small-star: every node links its smaller neighbors and itself to
+    *               that minimum.
+    * The unique fixpoint per component is a star rooted at the component
+    * min; the fixpoint test is an exact (count, checksum) pair over the
+    * canonical edge set. Deterministic regardless of partitioning; every
+    * shuffle carries two longs per edge.
     *
     * Returns (id, cluster) for every id appearing in a pair; singleton
     * docs are their own cluster by definition (join back with a default).
+    *
+    * @param maxIter safety bound; non-convergence within it is an ERROR
+    *   (a silently split cluster corrupts dedup downstream) unless
+    *   `warnOnly` — there is no legitimate non-converged state at
+    *   O(log d): hitting the bound means the input is adversarial or the
+    *   bound absurdly low.
     */
-  def dupClusters(pairs: DataFrame, maxIter: Int = 30): DataFrame = {
+  def dupClusters(pairs: DataFrame, maxIter: Int = 30,
+                  warnOnly: Boolean = false): DataFrame = {
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
-      .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
-      .distinct().persist(lvl)
-    var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("label", col("id")).persist(lvl)
+    // canonical undirected edges, oriented u > v, self-loops dropped
+    var edges = pairs
+      .select(greatest(col("id_a"), col("id_b")).as("u"),
+              least(col("id_a"), col("id_b")).as("v"))
+      .filter(col("u") =!= col("v")).distinct().persist(lvl)
     var converged = false
     var i = 0
-    // fixpoint detection by exact label sum: min-propagation only ever
-    // DECREASES labels, so sum unchanged ⟺ no label changed. One agg over
-    // the new labels replaces a per-round join against the old ones, and
-    // the agg scans every partition — fully materializing the new cache
-    // before the superseded one is released (a short-circuit check would
-    // leave partitions to recompute through unpersisted lineage).
-    // DECIMAL(38,0) keeps the sum exact at any id magnitude/count.
-    var prevSum: java.math.BigDecimal = null
+    var prev: (Long, java.math.BigDecimal) = null
     while (!converged && i < maxIter) {
-      val neighborMin = edges
-        .join(labels.select(col("id").as("dst"), col("label")), "dst")
-        .groupBy(col("src").as("id")).agg(min("label").as("nlabel"))
-      val updated0 = labels.join(neighborMin, Seq("id"), "left")
-        .select(col("id"),
-          least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
-      // localCheckpoint every 5 rounds cuts the lineage that otherwise
-      // deepens by one join per round (quadratic planning time on deep
-      // components); plain persist is enough in between
-      val updated =
-        if ((i + 1) % 5 == 0) updated0.localCheckpoint()
-        else updated0.persist(lvl)
-      val newSum = updated
-        .agg(sum(col("label").cast("decimal(38,0)"))).collect()(0).getDecimal(0)
-      labels.unpersist() // superseded — executor storage would leak per round
-      labels = updated
-      converged = newSum == null || // no labels at all (empty pair set)
-        (prevSum != null && newSum.compareTo(prevSum) == 0)
-      prevSum = newSum
+      // LARGE-STAR over both directions: x's neighborhood min m =
+      // min(N(x) ∪ {x}); every neighbor nbr > x re-links to m.
+      val bidir = edges.select(col("u").as("x"), col("v").as("nbr"))
+        .unionByName(edges.select(col("v").as("x"), col("u").as("nbr")))
+      val mins = bidir.groupBy("x").agg(least(min(col("nbr")), col("x")).as("m"))
+      val large = bidir.join(mins, "x")
+        .filter(col("nbr") > col("x"))
+        .select(col("nbr").as("u"), col("m").as("v"))
+        .distinct()
+      // SMALL-STAR over the (u > v)-oriented result: u's min smaller
+      // neighbor m; u and all its other smaller neighbors link to m.
+      val mins2 = large.groupBy("u").agg(min(col("v")).as("m"))
+      val relinked = large.join(mins2, "u")
+        .filter(col("v") =!= col("m"))
+        .select(col("v").as("u"), col("m").as("v"))
+      val next0 = relinked.unionByName(mins2.select(col("u"), col("m").as("v")))
+        .distinct()
+      // lineage grows by ~4 joins per round — checkpoint every other round,
+      // persist in between; the fixpoint agg below scans every partition,
+      // fully materializing the new cache BEFORE the superseded one is
+      // released (recompute-through-released-lineage pitfall)
+      val next = if ((i + 1) % 2 == 0) next0.localCheckpoint() else next0.persist(lvl)
+      val row = next.agg(count(lit(1)),
+        sum(xxhash64(col("u"), col("v")).cast("decimal(38,0)"))).collect()(0)
+      val stats = (row.getLong(0), row.getDecimal(1))
+      edges.unpersist() // superseded — executor storage would leak per round
+      edges = next
+      converged = prev != null && prev._1 == stats._1 &&
+        ((prev._2 == null && stats._2 == null) ||
+         (prev._2 != null && stats._2 != null && prev._2.compareTo(stats._2) == 0))
+      prev = stats
       i += 1
     }
-    if (!converged)
-      System.err.println(s"WARN graft.ops.Dedup.dupClusters: maxIter=$maxIter " +
-        "reached without convergence — labels may be non-minimal for " +
-        "components with diameter > maxIter")
-    val out = labels.localCheckpoint()
-    labels.unpersist()
+    if (!converged) {
+      val msg = s"graft.ops.Dedup.dupClusters: maxIter=$maxIter reached " +
+        "without convergence — cluster labels would be silently split"
+      if (warnOnly) System.err.println(s"WARN $msg")
+      else throw new IllegalStateException(msg)
+    }
+    // fixpoint is a star per component: u→v edges ARE the labels; roots
+    // (appearing only as v) label themselves
+    val roots = edges.select(col("v")).distinct()
+      .join(edges.select(col("u").as("v")), Seq("v"), "left_anti")
+    val out = edges.select(col("u").as("id"), col("v").as("cluster"))
+      .unionByName(roots.select(col("v").as("id"), col("v").as("cluster")))
+      .localCheckpoint()
     edges.unpersist()
-    out.select(col("id"), col("label").as("cluster"))
+    out
   }
 
   /** Embedding near-dup: pairs with cosine ≥ threshold. Brute-force

@@ -85,7 +85,7 @@ class SketchesSpec extends AnyFunSuite {
     assert(got == want)
   }
 
-  test("dupClusters: min-label propagation finds connected components") {
+  test("dupClusters: large/small-star finds connected components") {
     val s = spark
     import s.implicits._
     // a 4-node chain (needs >1 iteration) plus a separate pair
@@ -95,6 +95,32 @@ class SketchesSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
     assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
       10L -> 10L, 11L -> 10L))
+  }
+
+  test("dupClusters: diameter-200 path converges in O(log d) rounds") {
+    val s = spark
+    import s.implicits._
+    // path 0-1-2-...-200: plain min-propagation needs 200 rounds; the
+    // star algorithm must finish well inside 10 (≈ log2 200 + slack).
+    // ids descend so the min label has to travel the whole path.
+    val pairs = (0L until 200L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val got = graft.ops.Dedup.dupClusters(pairs, maxIter = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.length == 201)
+    assert(got.forall(_._2 == 0L), "every node labels to the component min")
+  }
+
+  test("dupClusters: non-convergence is an error by default") {
+    val s = spark
+    import s.implicits._
+    val pairs = (0L until 32L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    // maxIter=1 cannot converge (fixpoint needs a confirming round)
+    intercept[IllegalStateException] {
+      graft.ops.Dedup.dupClusters(pairs, maxIter = 1)
+    }
+    // warnOnly downgrades to the old behavior
+    val lax = graft.ops.Dedup.dupClusters(pairs, maxIter = 1, warnOnly = true)
+    assert(lax.count() > 0)
   }
 
   test("LSH plane weights are deterministic and in [-1, 1)") {
