@@ -27,6 +27,38 @@ class MultimodalSpec extends AnyFunSuite {
     assert(got(1) == Seq(2L, 48L, 15L, 16000L, 1L, 4L, "image/png", "audio/wav"))
   }
 
+  test("WAV with LIST/fact chunks before fmt parses via the chunk walk") {
+    val s = spark
+    import s.implicits._
+    val df = Seq((1L, 8000, 120), (2L, 16000, 75))
+      .toDF("id", "rate", "n")
+      .withColumn("wav", Multimodal.makeWavWithList(col("rate"), col("n")))
+    val got = df.select(col("id"),
+      Multimodal.wavSampleRate(col("wav")), Multimodal.wavChannels(col("wav")),
+      Multimodal.wavBitsPerSample(col("wav")), Multimodal.wavDataBytes(col("wav")),
+      Multimodal.wavDurationMs(col("wav")))
+      .collect().map(_.toSeq).toSeq.sortBy(_.head.asInstanceOf[Long])
+    // fixed-offset parsing would read the LIST chunk's bytes as fmt fields
+    assert(got(0) == Seq(1L, 8000L, 1L, 16L, 240L, 15L))
+    assert(got(1) == Seq(2L, 16000L, 1L, 16L, 150L, 4L))
+  }
+
+  test("non-WAV and chunkless blobs yield null metadata, not garbage") {
+    val s = spark
+    import s.implicits._
+    // a RIFF/WAVE header with only a LIST chunk (no fmt/data), and a PNG
+    val headerOnly = "RIFF".getBytes("US-ASCII") ++ Array[Byte](20, 0, 0, 0) ++
+      "WAVE".getBytes("US-ASCII") ++ "LIST".getBytes("US-ASCII") ++
+      Array[Byte](4, 0, 0, 0) ++ "INFO".getBytes("US-ASCII")
+    val df = Seq((1L, headerOnly), (2L, Multimodal.pngBytes(4, 4)))
+      .toDF("id", "wav")
+    val got = df.select(col("id"),
+      Multimodal.wavSampleRate(col("wav")), Multimodal.wavDataBytes(col("wav")))
+      .collect().map(_.toSeq).toSeq.sortBy(_.head.asInstanceOf[Long])
+    assert(got(0) == Seq(1L, null, null))
+    assert(got(1) == Seq(2L, null, null))
+  }
+
   test("png bytes are a valid PNG (ImageIO-free check: signature + CRCs)") {
     val png = Multimodal.pngBytes(5, 3)
     assert(png.take(8).map(_ & 0xff).toSeq ==
