@@ -20,7 +20,11 @@ final case class CsvExportConfig(
     labels: Seq[String] = Nil,           // empty = all, in schema order
     header: Boolean = true,
     sliced: Boolean = false,
-    compression: String = "none")         // none | gzip
+    compression: String = "none",        // none | gzip
+    encoding: String = "utf-8")          // output charset; "bytes" writes
+                                         // byte-preserving strings back as
+                                         // their raw bytes (inverse of
+                                         // CsvImportConfig.encoding="bytes")
 
 object CsvExport {
 
@@ -110,6 +114,67 @@ object CsvExport {
     df.select(concat_ws(cfg.separator, labels.map(cell(df, _, cfg)): _*).as("line"))
   }
 
+  /** Per-line encoder for the export `encoding` — the exact inverse of
+    * CsvImport.lineDecoder: "bytes" maps code units ≤ 0xFF back to their
+    * raw bytes (iso-8859-1, bijective — the byte-preserving import
+    * contract), any other charset encodes STRICTLY. Unencodable content
+    * is an error, never silent mojibake (the reference's csvexport writes
+    * raw bytes and cannot corrupt, a_csvexport.py:38-229 — failing loudly
+    * is our equivalent for decoded text that doesn't fit the target).
+    */
+  private[graft] def lineEncoder(encoding: String): String => Array[Byte] = {
+    import java.nio.charset.{Charset, CodingErrorAction, StandardCharsets}
+    val cs =
+      if (encoding.equalsIgnoreCase("bytes")) StandardCharsets.ISO_8859_1
+      else Charset.forName(encoding) // fail fast on unknown charset
+    s => {
+      val enc = cs.newEncoder() // not thread-safe; cheap per call on lines
+        .onMalformedInput(CodingErrorAction.REPORT)
+        .onUnmappableCharacter(CodingErrorAction.REPORT)
+      try {
+        val bb = enc.encode(java.nio.CharBuffer.wrap(s))
+        val out = new Array[Byte](bb.remaining())
+        bb.get(out)
+        out
+      } catch {
+        case e: java.nio.charset.CharacterCodingException =>
+          throw new IllegalArgumentException(
+            s"csvexport: line not encodable as $encoding " +
+            s"(byte-preserving data? use encoding=\"bytes\"): ${s.take(80)}", e)
+      }
+    }
+  }
+
+  /** Distributed raw-byte write of the rendered lines (non-UTF-8 path):
+    * each line encodes per-partition and lands through a bytes-verbatim
+    * Hadoop output format — same part-file layout as the text writer.
+    */
+  private def writeEncoded(lines: DataFrame, path: String,
+                           cfg: CsvExportConfig, gzip: Boolean): Unit = {
+    import org.apache.hadoop.io.{BytesWritable, NullWritable}
+    val enc = cfg.encoding
+    val sepBytes = lineEncoder(enc)(cfg.lineSeparator)
+    val sc = lines.sparkSession.sparkContext
+    val conf = new org.apache.hadoop.conf.Configuration(sc.hadoopConfiguration)
+    if (gzip) {
+      conf.set("mapreduce.output.fileoutputformat.compress", "true")
+      conf.set("mapreduce.output.fileoutputformat.compress.codec",
+        classOf[org.apache.hadoop.io.compress.GzipCodec].getName)
+    }
+    val target = new org.apache.hadoop.fs.Path(path)
+    target.getFileSystem(conf).delete(target, true) // overwrite semantics
+    lines.rdd.mapPartitions { it =>
+      val encode = lineEncoder(enc)
+      it.map { r =>
+        val lb = encode(r.getString(0))
+        val b = java.util.Arrays.copyOf(lb, lb.length + sepBytes.length)
+        System.arraycopy(sepBytes, 0, b, lb.length, sepBytes.length)
+        (NullWritable.get(), new BytesWritable(b))
+      }
+    }.saveAsNewAPIHadoopFile(path, classOf[NullWritable], classOf[BytesWritable],
+      classOf[RawBytesOutputFormat], conf)
+  }
+
   /** Write to `path` (a directory of part files when sliced, else a single
     * assembled `path` file).
     */
@@ -122,17 +187,22 @@ object CsvExport {
       }
     }.mkString(cfg.separator)
     val lines = render(df, cfg)
+    val utf8 = cfg.encoding.equalsIgnoreCase("utf-8")
     // lineSep reaches DATA rows too (the text writer's record separator),
     // not just the header line.
     if (cfg.sliced) {
-      lines.write.mode("overwrite")
-        .option("compression", cfg.compression)
-        .option("lineSep", cfg.lineSeparator)
-        .text(path)
+      if (utf8)
+        lines.write.mode("overwrite")
+          .option("compression", cfg.compression)
+          .option("lineSep", cfg.lineSeparator)
+          .text(path)
+      else
+        writeEncoded(lines, path, cfg, gzip = cfg.compression == "gzip")
       if (cfg.header) {
         // header goes into a 00-sorting sidecar, as the reference writes the
         // header once per file; part files sort after it
-        Files.writeString(Paths.get(path, "_0_header.csv"), header + cfg.lineSeparator)
+        Files.write(Paths.get(path, "_0_header.csv"),
+          lineEncoder(cfg.encoding)(header + cfg.lineSeparator))
       }
     } else {
       // single assembled file: stream-concat the part files (constant
@@ -141,8 +211,10 @@ object CsvExport {
       // assembled .gz never decompresses on the driver either.
       val gzip = cfg.compression == "gzip"
       val tmp = path + ".parts"
-      val w = lines.write.mode("overwrite").option("lineSep", cfg.lineSeparator)
-      (if (gzip) w.option("compression", "gzip") else w).text(tmp)
+      if (utf8) {
+        val w = lines.write.mode("overwrite").option("lineSep", cfg.lineSeparator)
+        (if (gzip) w.option("compression", "gzip") else w).text(tmp)
+      } else writeEncoded(lines, tmp, cfg, gzip)
       val parts = Files.list(Paths.get(tmp)).iterator().asScala
         .filter(_.getFileName.toString.startsWith("part-")).toSeq.sortBy(_.toString)
       val out = Paths.get(path)
@@ -151,14 +223,15 @@ object CsvExport {
         StandardOpenOption.CREATE, StandardOpenOption.APPEND)
       try {
         if (cfg.header) {
+          val rawHdr = lineEncoder(cfg.encoding)(header + cfg.lineSeparator)
           val hdrBytes =
             if (gzip) {
               val bos = new java.io.ByteArrayOutputStream()
               val gz = new java.util.zip.GZIPOutputStream(bos)
-              gz.write((header + cfg.lineSeparator).getBytes("UTF-8"))
+              gz.write(rawHdr)
               gz.close()
               bos.toByteArray
-            } else (header + cfg.lineSeparator).getBytes("UTF-8")
+            } else rawHdr
           outCh.write(java.nio.ByteBuffer.wrap(hdrBytes))
         }
         parts.foreach { p =>
@@ -173,6 +246,41 @@ object CsvExport {
       // best-effort cleanup of the staging dir
       Files.walk(Paths.get(tmp)).iterator().asScala.toSeq.reverse
         .foreach(Files.deleteIfExists(_))
+    }
+  }
+}
+
+/** Hadoop output format writing each BytesWritable VERBATIM (no key, no
+  * added separator — the record already carries its encoded line ending).
+  * Keeps the non-UTF-8 export distributed with the standard part-file
+  * layout; honors the standard compress settings (gzip).
+  */
+final class RawBytesOutputFormat
+    extends org.apache.hadoop.mapreduce.lib.output.FileOutputFormat[
+      org.apache.hadoop.io.NullWritable, org.apache.hadoop.io.BytesWritable] {
+  import org.apache.hadoop.io.{BytesWritable, NullWritable}
+  import org.apache.hadoop.mapreduce.{RecordWriter, TaskAttemptContext}
+  import org.apache.hadoop.mapreduce.lib.output.FileOutputFormat
+
+  override def getRecordWriter(ctx: TaskAttemptContext): RecordWriter[NullWritable, BytesWritable] = {
+    val conf = ctx.getConfiguration
+    val (codec, ext) =
+      if (FileOutputFormat.getCompressOutput(ctx)) {
+        val cls = FileOutputFormat.getOutputCompressorClass(
+          ctx, classOf[org.apache.hadoop.io.compress.GzipCodec])
+        val c = org.apache.hadoop.util.ReflectionUtils.newInstance(cls, conf)
+        (Some(c), c.getDefaultExtension)
+      } else (None, "")
+    val file = getDefaultWorkFile(ctx, ext)
+    val raw = file.getFileSystem(conf).create(file, false)
+    val out: java.io.OutputStream = codec match {
+      case Some(c) => c.createOutputStream(raw)
+      case None    => raw
+    }
+    new RecordWriter[NullWritable, BytesWritable] {
+      override def write(k: NullWritable, v: BytesWritable): Unit =
+        out.write(v.getBytes, 0, v.getLength)
+      override def close(c: TaskAttemptContext): Unit = out.close()
     }
   }
 }

@@ -153,8 +153,16 @@ object Operators {
     val imp2 = CsvImport(s, out("u8"), bytesCfg).data
     val t2 = DatasetType(imp2, Map(
       "n_nationkey" -> "int32", "name_u8" -> "unicode:utf-8")).good
-    t1.join(t2, "n_nationkey")
-      .select("n_nationkey", "name_l1", "name_ascii", "name_u8")
+    // byte-faithful EXPORT: write the decoded latin-1 text back out as
+    // latin-1 bytes (CsvExportConfig.encoding) and re-import — name_rt
+    // proves the full bytes-in → type → bytes-out → bytes-in round trip
+    val rtPath = tmpDir("csv_latin1_rt") + "/nation_rt.csv"
+    CsvExport(t1.select(col("n_nationkey"), col("name_l1").as("name_rt")),
+      rtPath, CsvExportConfig(encoding = "iso-8859-1"))
+    val t3 = DatasetType(CsvImport(s, rtPath, bytesCfg).data, Map(
+      "n_nationkey" -> "int32", "name_rt" -> "unicode:iso-8859-1")).good
+    t1.join(t2, "n_nationkey").join(t3, "n_nationkey")
+      .select("n_nationkey", "name_l1", "name_ascii", "name_u8", "name_rt")
   }
 
   /** Global sort; returns the first 100 rows with their physical position. */
@@ -515,7 +523,8 @@ object Operators {
       """SELECT n_nationkey,
          replace(n_name, 'A', 'Ä') || 'ß' AS name_l1,
          replace(n_name, 'A', '\304') || '\337' AS name_ascii,
-         replace(n_name, 'A', 'Ä') || 'ß' AS name_u8
+         replace(n_name, 'A', 'Ä') || 'ß' AS name_u8,
+         replace(n_name, 'A', 'Ä') || 'ß' AS name_rt
          FROM nation""",
     "op_dataset_type" ->
       """SELECT l_orderkey, l_linenumber, l_quantity AS qty, l_shipdate AS ship,

@@ -197,4 +197,83 @@ class CsvImportSpec extends AnyFunSuite {
     val got = rows(p.toString, CsvImportConfig(encoding = "iso-8859-1")).head
     assert(got == Seq("1", "café"))
   }
+
+  test("undecodable header is a config error even with allowBad=true") {
+    // with auto labels, a header that fails strict decode must NOT be
+    // routed to bad (promoting the first data row to label row mislabels
+    // every column) — it errors, pointing at the encoding
+    val p = Paths.get(tmpDir("csv_badhdr"), "badhdr.csv")
+    Files.write(p, "k,vÄl\n".getBytes("ISO-8859-1") ++
+      "1,ok\n".getBytes("ISO-8859-1"))
+    val e = intercept[Exception] {
+      CsvImport(spark, p.toString,
+        CsvImportConfig(encoding = "utf-8", encodingErrors = "strict",
+          allowBad = true)).data.collect()
+    }
+    assert(e.getMessage.contains("header"), e.getMessage)
+    // explicit labels sidestep header detection: the bad line goes to bad
+    val res = CsvImport(spark, p.toString,
+      CsvImportConfig(encoding = "utf-8", encodingErrors = "strict",
+        allowBad = true, labels = Seq("k", "v"), skipLines = 1))
+    assert(res.data.collect().map(_.getString(0)).toSeq == Seq("1"))
+  }
+
+  test("non-ASCII-superset charsets and non-ASCII custom newlines are rejected") {
+    val p = write("enc_guard", "a,b\n1,2\n")
+    // utf-16: byte-level \n splitting would slice code units mid-character
+    intercept[Exception] {
+      CsvImport(spark, p, CsvImportConfig(encoding = "utf-16"))
+    }
+    // a 0x80+ delimiter char would be UTF-8-encoded by Hadoop and never
+    // match latin-1 file bytes
+    intercept[Exception] {
+      CsvImport(spark, p, CsvImportConfig(encoding = "bytes", newline = "ä"))
+    }
+    // ASCII custom newline with a non-UTF-8 charset stays fine
+    val p2 = Paths.get(tmpDir("csv_nl0"), "nl0.csv")
+    Files.write(p2, "k,v\u00001,café\u0000".getBytes("ISO-8859-1"))
+    val got = rows(p2.toString, CsvImportConfig(encoding = "iso-8859-1",
+      newline = "\u0000")).head
+    assert(got == Seq("1", "café"))
+  }
+
+  test("export encoding=bytes: byte-preserving import writes back byte-identical") {
+    // bytes in → bytes out must be the identity on content (reference
+    // a_csvexport.py never decodes). Every non-separator byte value goes
+    // through import(bytes) → export(bytes) and the file bytes match.
+    val allBytes = (1 to 255)
+      .filter(b => b != '\n' && b != '\r' && b != ',' && b != '"')
+      .map(_.toByte).toArray
+    val p = Paths.get(tmpDir("csv_bytes_rt"), "orig.csv")
+    val content = "k,v\n".getBytes("ISO-8859-1") ++
+      "1,".getBytes("ISO-8859-1") ++ allBytes ++ "\n".getBytes("ISO-8859-1")
+    Files.write(p, content)
+    val imported = CsvImport(spark, p.toString, CsvImportConfig(encoding = "bytes"))
+    val out = Paths.get(tmpDir("csv_bytes_rt"), "back.csv").toString
+    CsvExport(imported.data.orderBy("k"), out,
+      CsvExportConfig(encoding = "bytes"))
+    assert(Files.readAllBytes(Paths.get(out)).toSeq == content.toSeq,
+      "export must reproduce the original file byte for byte")
+  }
+
+  test("export with a charset: latin-1 text lands as latin-1 bytes, strict on misfit") {
+    val s = spark
+    import s.implicits._
+    val df = Seq((1L, "Ärger"), (2L, "groß")).toDF("k", "v")
+    val out = Paths.get(tmpDir("csv_l1_export"), "l1.csv").toString
+    CsvExport(df.orderBy("k"), out, CsvExportConfig(encoding = "iso-8859-1"))
+    val want = "k,v\n1,Ärger\n2,groß\n".getBytes("ISO-8859-1")
+    assert(Files.readAllBytes(Paths.get(out)).toSeq == want.toSeq)
+    // unencodable text (€ is not in latin-1) fails loudly, never mojibake
+    val bad = Seq((1L, "€")).toDF("k", "v")
+    intercept[org.apache.spark.SparkException] {
+      CsvExport(bad, Paths.get(tmpDir("csv_l1_export"), "bad.csv").toString,
+        CsvExportConfig(encoding = "iso-8859-1"))
+    }
+    // unknown charset fails fast driver-side
+    intercept[Exception] {
+      CsvExport(df, Paths.get(tmpDir("csv_l1_export"), "x.csv").toString,
+        CsvExportConfig(encoding = "no-such"))
+    }
+  }
 }
