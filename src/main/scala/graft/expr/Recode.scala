@@ -109,10 +109,13 @@ object RecodeHelper {
       else if (ch <= 127) sb.append(ch)
       else if (ch <= 0xFF) esc(ch.toInt)
       else {
-        val bs = String.valueOf(Character.toChars(str.codePointAt(i)))
+        val cp = str.codePointAt(i)
+        val bs = String.valueOf(Character.toChars(cp))
           .getBytes(java.nio.charset.StandardCharsets.UTF_8)
         bs.foreach(b => esc(b & 0xFF))
-        if (Character.isHighSurrogate(ch)) i += 1 // consumed the pair
+        i += Character.charCount(cp) - 1 // 1 extra unit ONLY for a real pair
+        // (an unpaired high surrogate consumes one unit; skipping two would
+        // silently drop the following character)
       }
       i += 1
     }

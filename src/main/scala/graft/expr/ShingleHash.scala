@@ -26,31 +26,39 @@ object Md5Hash40 {
 
 /** Distinct word-n-gram shingle hashes from a token array — the fused
   * equivalent of `array_distinct(transform(wordShingles(toks, n),
-  * tokenHash40))`: shingles are the ''-joined n-grams, with the whole
-  * text as a single shingle when there are fewer than n tokens
-  * (SimilarityFunctions.wordShingles semantics).
+  * tokenHash40))`, value-identical to it: shingles are the
+  * U+0001-joined n-grams (the separator keeps token boundaries —
+  * ["ab","c"] and ["a","bc"] must NOT produce the same shingle), with the
+  * whole text as a single shingle when there are fewer than n tokens
+  * (SimilarityFunctions.wordShingles semantics; the DuckDB oracle joins
+  * with chr(1) identically).
   */
 case class ShingleHash40(child: Expression, n: Int) extends UnaryExpression {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "graft_shingle_hash40"
 
+  private final val Sep = '\u0001'
+
   def compute(arr: ArrayData): ArrayData = {
     val m = arr.numElements()
     val seen = new java.util.LinkedHashSet[java.lang.Long]()
+    // concat_ws semantics: null elements are skipped WITHOUT a separator
+    def join(sb: java.lang.StringBuilder, idx: Int): Unit =
+      if (!arr.isNullAt(idx)) {
+        if (sb.length > 0) sb.append(Sep)
+        sb.append(arr.getUTF8String(idx))
+      }
     if (m < n) {
       val sb = new java.lang.StringBuilder
       var i = 0
-      while (i < m) { if (!arr.isNullAt(i)) sb.append(arr.getUTF8String(i)); i += 1 }
+      while (i < m) { join(sb, i); i += 1 }
       seen.add(Md5Hash40.of(sb.toString.getBytes("UTF-8")))
     } else {
       var i = 0
       while (i + n <= m) {
         val sb = new java.lang.StringBuilder
         var j = 0
-        while (j < n) {
-          if (!arr.isNullAt(i + j)) sb.append(arr.getUTF8String(i + j))
-          j += 1
-        }
+        while (j < n) { join(sb, i + j); j += 1 }
         seen.add(Md5Hash40.of(sb.toString.getBytes("UTF-8")))
         i += 1
       }

@@ -122,6 +122,13 @@ object CsvImport {
     val cs =
       if (encoding.equalsIgnoreCase("bytes")) StandardCharsets.ISO_8859_1
       else Charset.forName(encoding) // fail fast on unknown charset
+    // record splitting happens at the BYTE level before decoding — only
+    // ASCII-superset charsets survive that (utf-16 etc. would have their
+    // code units sliced mid-character and decode to garbage line by line)
+    require(new String("A\n,0".getBytes(StandardCharsets.US_ASCII), cs) == "A\n,0",
+      s"csvimport: charset $encoding is not an ASCII superset — " +
+      "byte-level record splitting would corrupt it (use utf-8, latin-1, " +
+      "any 8-bit ASCII-superset charset, or encoding=\"bytes\")")
     if (cs == StandardCharsets.ISO_8859_1) {
       // byte-preserving fast path: latin-1 maps bytes 0..255 bijectively to
       // U+0000..U+00FF — cannot fail, nothing is ever corrupted
@@ -155,8 +162,17 @@ object CsvImport {
     // to the reference's model and safe for every ASCII-superset charset.
     lineDecoder(cfg.encoding, cfg.encodingErrors) // validate driver-side
     val hconf = new org.apache.hadoop.conf.Configuration(sc.hadoopConfiguration)
-    if (cfg.newline.nonEmpty)
+    if (cfg.newline.nonEmpty) {
+      // Hadoop UTF-8-encodes the delimiter; a char ≥ 0x80 would become
+      // multi-byte and never match latin-1/bytes-mode file bytes. ASCII
+      // delimiter bytes are identical in every charset we accept
+      // (ASCII supersets — enforced above), so restrict to ASCII unless
+      // the file itself is UTF-8.
+      require(cfg.encoding.equalsIgnoreCase("utf-8") || cfg.newline.forall(_ < 0x80),
+        s"csvimport: custom newline must be ASCII with encoding=${cfg.encoding} " +
+        "(the byte-level record splitter matches the delimiter's UTF-8 bytes)")
       hconf.set("textinputformat.record.delimiter", cfg.newline)
+    }
     val byteLines = sc.newAPIHadoopFile(path,
         classOf[org.apache.hadoop.mapreduce.lib.input.TextInputFormat],
         classOf[org.apache.hadoop.io.LongWritable],
@@ -193,10 +209,12 @@ object CsvImport {
         // the header is the first line that survives ALL skip rules —
         // skipLines AND comment AND empty (reference csvimport reads
         // labels after comment/empty filtering; a leading "# …" line must
-        // not become the label row). It must also have DECODED: a header
-        // the configured charset cannot read is a config error, not data.
-        val cand = raw.filter { case (ln, l, ok) =>
-          ok && ln >= skipN &&
+        // not become the label row). Decode failure does NOT skip it:
+        // silently promoting the next decodable DATA row to label row
+        // would mislabel every column — an undecodable header is a config
+        // error raised below, even with allowBad=true.
+        val cand = raw.filter { case (ln, l, _) =>
+          ln >= skipN &&
           !(comment.nonEmpty && l.startsWith(comment)) &&
           !(skipEmpty && l.isEmpty)
         }
@@ -210,7 +228,10 @@ object CsvImport {
           p += 1
         }
         require(hdr.nonEmpty, s"csvimport: no header line in $path")
-        val (ln, line, _) = hdr.get
+        val (ln, line, hdrOk) = hdr.get
+        require(hdrOk,
+          s"csvimport: header line (lineno $ln) does not decode with " +
+          s"encoding=${cfg.encoding} — fix the encoding or pass labels= explicitly")
         val fields =
           if (sep0.isEmpty) Array(line)
           else splitLine(line, sep0.charAt(0), quoteChars)

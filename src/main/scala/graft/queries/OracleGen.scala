@@ -14,15 +14,17 @@ import graft.expr.MinHashConsts
 object OracleGen {
 
   /** Word-trigram shingle CTEs shared by the ngram/minhash oracles —
-    * mirrors SimilarityFunctions.wordShingles (distinct, ''-joined,
-    * whole-text fallback when fewer than n tokens) followed by the 40-bit
-    * md5 shingle hashing (set semantics survive hashing; both engines
-    * apply the identical hash, so even collisions replicate).
+    * mirrors SimilarityFunctions.wordShingles (distinct, chr(1)-joined so
+    * token boundaries stay significant — identical to wordShingles'
+    * U+0001 separator and ShingleHash40.Sep — whole-text fallback when
+    * fewer than n tokens) followed by the 40-bit md5 shingle hashing (set
+    * semantics survive hashing; both engines apply the identical hash, so
+    * even collisions replicate).
     */
   private val Shingles =
     raw"""t AS (SELECT doc_id, string_split(lower(trim(regexp_replace(text,'\s+',' '))),' ') t FROM documents),
-         sh AS (SELECT doc_id, list_distinct(CASE WHEN len(t) < 3 THEN [list_aggregate(t, 'string_agg', '')]
-           ELSE [t[i]||t[i+1]||t[i+2] for i in range(1, len(t)-1)] END) s FROM t),
+         sh AS (SELECT doc_id, list_distinct(CASE WHEN len(t) < 3 THEN [list_aggregate(t, 'string_agg', chr(1))]
+           ELSE [t[i]||chr(1)||t[i+1]||chr(1)||t[i+2] for i in range(1, len(t)-1)] END) s FROM t),
          hsh AS (SELECT doc_id, list_distinct(list_transform(s, x -> ('0x'||substr(md5(x),1,10))::BIGINT)) hs FROM sh)"""
 
   private def jac(a: String, b: String) =
