@@ -19,33 +19,65 @@ import graft.ops.{CsvExport, CsvExportConfig}
   *   graft.cli.Shell method  <jobsRoot>                 — methods seen + versions
   *
   * `cat`/`grep` accept `-c N` (chain length, like the reference's ~N
-  * chain-walk refs) and `-n N` (row limit). grep matches the regex against
-  * every selected column (reference default) via a codegen'd rlike filter
-  * — at scale this is a full distributed scan+filter, not a driver loop.
+  * chain-walk refs) and `-n N` (row limit), plus the reference grep's
+  * daily-driver flags (shell/grep.py:45-57):
+  *   -i         case-insensitive pattern
+  *   -O         ordered output — by the dataset's explicit order column
+  *              (lineno / __rowid; Spark has no positional row identity,
+  *              SURVEY §7.4, so order is a column or an error)
+  *   -s N       only slice N (repeatable) — with bucketed hashed
+  *              snapshots, slice == bucket, so this inspects one bucket
+  *   -g COL     match only COL (repeatable) while showing all selected
+  *   -f FMT     output format: csv (default) | raw (no quoting) | json
+  *   -t SEP     field separator (default ",")
+  * grep matches the regex against every selected column (reference
+  * default) via a codegen'd rlike filter — at scale this is a full
+  * distributed scan+filter, not a driver loop.
   */
 object Shell {
 
   final case class Args(
       store: String, name: String, columns: Seq[String],
-      pattern: String = "", limit: Int = -1, chain: Int = 1)
+      pattern: String = "", limit: Int = -1, chain: Int = 1,
+      ignoreCase: Boolean = false, ordered: Boolean = false,
+      slices: Seq[Int] = Nil, grepCols: Seq[String] = Nil,
+      format: String = "csv", fieldSep: String = ",")
 
   private def parse(rest: List[String], withPattern: Boolean): Args = {
     var limit = -1
     var chain = 1
+    var ignoreCase = false
+    var ordered = false
+    var slices = List.empty[Int]
+    var grepCols = List.empty[String]
+    var format = "csv"
+    var fieldSep = ","
     var pos = List.empty[String]
     var xs = rest
     while (xs.nonEmpty) xs match {
       case "-n" :: v :: t => limit = v.toInt; xs = t
       case "-c" :: v :: t => chain = v.toInt; xs = t
+      case "-i" :: t      => ignoreCase = true; xs = t
+      case "-O" :: t      => ordered = true; xs = t
+      case "-s" :: v :: t => slices = slices :+ v.toInt; xs = t
+      case "-g" :: v :: t => grepCols = grepCols :+ v; xs = t
+      case "-f" :: v :: t =>
+        require(Seq("csv", "raw", "json").contains(v), s"unknown format $v (csv|raw|json)")
+        format = v; xs = t
+      case "-t" :: v :: t => fieldSep = v; xs = t
       case v :: t         => pos = pos :+ v; xs = t
       case Nil            =>
     }
     if (withPattern) {
       require(pos.size >= 3, "usage: grep <storeRoot> <regex> <name> [col ...]")
-      Args(pos(0), pos(2), pos.drop(3), pattern = pos(1), limit = limit, chain = chain)
+      Args(pos(0), pos(2), pos.drop(3), pattern = pos(1), limit = limit, chain = chain,
+        ignoreCase = ignoreCase, ordered = ordered, slices = slices,
+        grepCols = grepCols, format = format, fieldSep = fieldSep)
     } else {
       require(pos.size >= 2, "usage: <storeRoot> <name> [col ...]")
-      Args(pos(0), pos(1), pos.drop(2), limit = limit, chain = chain)
+      Args(pos(0), pos(1), pos.drop(2), limit = limit, chain = chain,
+        ignoreCase = ignoreCase, ordered = ordered, slices = slices,
+        grepCols = grepCols, format = format, fieldSep = fieldSep)
     }
   }
 
@@ -100,20 +132,52 @@ object Shell {
     b.toString
   }
 
-  /** Rows of (a chain of) a snapshot, optionally projected/limited. */
-  def catDf(store: SnapshotStore, a: Args): DataFrame = {
+  /** The dataset's explicit order column — Spark rows have no positional
+    * identity (SURVEY §7.4), so `-O` needs a stored order: the import
+    * lineno or a withRowId rowid.
+    */
+  private def orderColumn(df: DataFrame): org.apache.spark.sql.Column =
+    Seq("lineno", SnapshotStore.RowIdName).find(df.columns.contains).map(col)
+      .getOrElse(sys.error("-O: dataset has no order column (lineno/" +
+        s"${SnapshotStore.RowIdName}) — import with linenoLabel or write from withRowId"))
+
+  /** Base frame before any match filter: chain walk, slice selection
+    * (partition pruning happens before projection so spark_partition_id
+    * reflects the stored slicing), projection.
+    */
+  private def baseDf(store: SnapshotStore, a: Args): DataFrame = {
     val name = resolveRef(store, a.name)
     val df0 = if (a.chain == 1) store.readResolved(name)
               else store.iterateChain(name, length = a.chain)
-    val df1 = if (a.columns.nonEmpty) df0.select(a.columns.map(col): _*) else df0
-    if (a.limit >= 0) df1.limit(a.limit) else df1
+    val df1 =
+      if (a.slices.isEmpty) df0
+      else df0.filter(spark_partition_id().isin(a.slices.map(Integer.valueOf): _*))
+    // sort BEFORE projecting — the order column need not be displayed
+    val df1o = if (a.ordered) df1.orderBy(orderColumn(df1)) else df1
+    if (a.columns.nonEmpty) df1o.select(a.columns.map(col): _*) else df1o
   }
 
-  /** grep: keep rows where ANY selected column matches the regex. */
+  /** Rows of (a chain of) a snapshot, optionally projected/limited. */
+  def catDf(store: SnapshotStore, a: Args): DataFrame = {
+    val df = baseDf(store, a)
+    if (a.limit >= 0) df.limit(a.limit) else df
+  }
+
+  /** grep: keep rows where ANY matched column matches the regex (all
+    * selected columns by default; `-g` restricts matching without
+    * restricting display, `-i` prepends (?i)).
+    */
   def grepDf(store: SnapshotStore, a: Args): DataFrame = {
-    val df = catDf(store, a.copy(limit = -1))
-    val cols = if (a.columns.nonEmpty) a.columns else df.columns.toSeq
-    val hit = cols.map(c => coalesce(col(c).cast("string"), lit("")).rlike(a.pattern))
+    val df = baseDf(store, a.copy(limit = -1))
+    val cols =
+      if (a.grepCols.nonEmpty) {
+        val missing = a.grepCols.filterNot(df.columns.contains)
+        require(missing.isEmpty, s"grep -g: no such columns $missing")
+        a.grepCols
+      } else if (a.columns.nonEmpty) a.columns
+      else df.columns.toSeq
+    val pat = if (a.ignoreCase) "(?i)" + a.pattern else a.pattern
+    val hit = cols.map(c => coalesce(col(c).cast("string"), lit("")).rlike(pat))
       .reduce(_ || _)
     val out = df.filter(hit)
     if (a.limit >= 0) out.limit(a.limit) else out
@@ -198,13 +262,20 @@ object Shell {
     }.mkString("\n") + "\n"
   }
 
-  private def printCsv(df: DataFrame): Unit = {
-    println(df.columns.mkString(","))
+  private def printRows(df: DataFrame, a: Args): Unit = {
     // toLocalIterator streams one partition at a time to the driver — an
     // unlimited `ax grep` over a big store never materializes every match
     // in driver memory (the reference streams per-slice the same way).
-    CsvExport.render(df, CsvExportConfig(quoteMode = "lazy"))
-      .toLocalIterator().forEachRemaining(r => println(r.getString(0)))
+    val rendered = a.format match {
+      case "json" =>
+        df.select(to_json(struct(df.columns.map(col): _*)).as("line"))
+      case fmt =>
+        println(df.columns.mkString(a.fieldSep))
+        CsvExport.render(df, CsvExportConfig(
+          separator = a.fieldSep,
+          quoteMode = if (fmt == "raw") "off" else "lazy"))
+    }
+    rendered.toLocalIterator().forEachRemaining(r => println(r.getString(0)))
   }
 
   def main(argv: Array[String]): Unit = {
@@ -223,10 +294,10 @@ object Shell {
         print(dsInfo(st, resolveRef(st, a.name)))
       case "cat" =>
         val a = parse(argv.toList.tail, withPattern = false)
-        printCsv(catDf(new SnapshotStore(spark, a.store), a))
+        printRows(catDf(new SnapshotStore(spark, a.store), a), a)
       case "grep" =>
         val a = parse(argv.toList.tail, withPattern = true)
-        printCsv(grepDf(new SnapshotStore(spark, a.store), a))
+        printRows(grepDf(new SnapshotStore(spark, a.store), a), a)
       case "job" =>
         print(jobInfo(argv(1), argv(2)))
       case "urd" =>

@@ -101,4 +101,62 @@ class ShellSpec extends AnyFunSuite {
       Shell.Args(st.root, "sh_b", Seq("id"), pattern = "^2$", chain = -1))
     assert(byCol.count() == 1)
   }
+
+  test("grep -i matches case-insensitively") {
+    val st = store()
+    val none = Shell.grepDf(st,
+      Shell.Args(st.root, "sh_a", Nil, pattern = "ALPHA"))
+    assert(none.count() == 0)
+    val hits = Shell.grepDf(st,
+      Shell.Args(st.root, "sh_a", Nil, pattern = "ALPHA", ignoreCase = true))
+      .collect().map(_.getString(1)).toSeq
+    assert(hits == Seq("alpha"))
+  }
+
+  test("grep -g matches only the named columns while showing all") {
+    val st = store()
+    // "2" appears in id=2 AND in scores (20.0); -g id restricts matching
+    val hits = Shell.grepDf(st,
+      Shell.Args(st.root, "sh_a", Nil, pattern = "2", grepCols = Seq("id")))
+      .collect().map(_.getLong(0)).toSeq
+    assert(hits == Seq(2L))
+    intercept[IllegalArgumentException] {
+      Shell.grepDf(st,
+        Shell.Args(st.root, "sh_a", Nil, pattern = "x", grepCols = Seq("nope")))
+        .collect()
+    }
+  }
+
+  test("-O orders by the explicit order column; errors without one") {
+    val s = spark
+    import s.implicits._
+    val st = new SnapshotStore(s, tmpDir("shell_ord"))
+    st.write(Seq((3L, "c", 0L), (1L, "a", 2L), (2L, "b", 1L))
+      .toDF("id", "v", "lineno"), "so_a", slices = 2)
+    val got = Shell.catDf(st,
+      Shell.Args(st.root, "so_a", Seq("id"), ordered = true))
+      .collect().map(_.getLong(0)).toSeq
+    assert(got == Seq(3L, 2L, 1L), "rows come back in lineno order")
+    // no lineno/__rowid → clear error, not silent arbitrary order
+    st.write(Seq((1L, "x")).toDF("id", "v"), "so_b", slices = 1)
+    val e = intercept[RuntimeException] {
+      Shell.catDf(st, Shell.Args(st.root, "so_b", Nil, ordered = true)).collect()
+    }
+    assert(e.getMessage.contains("order column"))
+  }
+
+  test("-s restricts to the chosen slices (bucket inspection on hashed stores)") {
+    val st = store()
+    val all = Shell.catDf(st, Shell.Args(st.root, "sh_a", Seq("id")))
+      .collect().map(_.getLong(0)).toSet
+    val s0 = Shell.catDf(st,
+      Shell.Args(st.root, "sh_a", Seq("id"), slices = Seq(0)))
+      .collect().map(_.getLong(0)).toSet
+    val s1 = Shell.catDf(st,
+      Shell.Args(st.root, "sh_a", Seq("id"), slices = Seq(1)))
+      .collect().map(_.getLong(0)).toSet
+    assert((s0 ++ s1) == all && s0.intersect(s1).isEmpty,
+      s"slices partition the rows: $s0 / $s1")
+    assert(s0.nonEmpty || s1.nonEmpty)
+  }
 }
