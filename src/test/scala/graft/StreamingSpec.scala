@@ -81,6 +81,33 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("idleFlush=true: a silent user's session closes by processing-time timeout") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val in = MemoryStream[SessionEvent]
+    // NOTE: processAllAvailable cannot be used here — with
+    // ProcessingTimeTimeout the engine keeps scheduling empty batches to
+    // evaluate timeouts, so it never settles. Poll the sink with a
+    // deadline instead; the timeout itself is what closes the session.
+    val q = Streams.sessionize(in.toDS(), gapMs = 1500, idleFlush = true)
+      .writeStream.format("memory").queryName("sessto")
+      .outputMode(OutputMode.Append())
+      .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime("500 milliseconds"))
+      .start()
+    try {
+      in.addData(SessionEvent(1L, ts(0), 1.0))
+      // no further events arrive: ONLY the processing-time timeout path
+      // (state.hasTimedOut) can emit this session
+      def rows() = s.sql("SELECT user_id, n_events, total_value FROM sessto").collect()
+      val deadline = System.currentTimeMillis() + 60000
+      while (rows().isEmpty && System.currentTimeMillis() < deadline) Thread.sleep(250)
+      val got = rows().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2))).toSeq
+      assert(got == Seq((1L, 1, 1.0)),
+        s"session flushed by idle timeout, exactly once: ${got.toList}")
+    } finally q.stop()
+  }
+
   test("chainSink: micro-batches land as a chained, iterable snapshot history") {
     val s = spark
     import s.implicits._
