@@ -2,7 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
-import graft.functions.{TextFunctions => T}
+import graft.functions.{SimilarityFunctions => S, TextFunctions => T}
 
 /** Corpus-preparation operators for training pipelines: deterministic
   * train/val/test splitting, seeded reshuffling, and token-window chunking.
@@ -50,6 +50,57 @@ object TrainingPipeline {
     */
   def shuffled(df: DataFrame, idCol: String, seed: String): DataFrame =
     df.orderBy(md5(concat(lit(seed), col(idCol).cast("string"))), col(idCol))
+
+  /** Deterministic stratified sampling: keep a row iff its hash bucket
+    * falls under its stratum's rate — the "mix sources at different
+    * weights" primitive of corpus assembly (e.g. upsample curated sources,
+    * downsample crawl). Assignment depends only on (salt, id, stratum
+    * rate), so the sample is reproducible and monotone: lowering a rate
+    * only removes rows, never swaps them.
+    *
+    * Scale: pure scan-side column math — no shuffle, no sampling pass, and
+    * the filter is codegen'd into the scan stage.
+    */
+  def sampleStratified(df: DataFrame, idCol: String, strataCol: String,
+                       salt: String, rates: Seq[(String, Double)],
+                       defaultRate: Double): DataFrame = {
+    require((defaultRate +: rates.map(_._2)).forall(r => r >= 0 && r <= 1),
+      "every rate must be in [0, 1]")
+    val threshold = rates.foldRight(lit(math.round(defaultRate * M)): Column) {
+      case ((k, r), acc) =>
+        when(col(strataCol) === lit(k), lit(math.round(r * M))).otherwise(acc)
+    }
+    df.filter(bucketOf(col(idCol), salt) < threshold)
+  }
+
+  /** Benchmark decontamination (the GPT-3/PaLM n-gram overlap check): for
+    * every training document, the containment of its word-n-gram shingle
+    * set in the union of the benchmark set's shingles —
+    * |doc ∩ bench| / |doc| — plus the contaminated flag at `threshold`.
+    * High containment means the document quotes enough of an eval benchmark
+    * to leak it into training.
+    *
+    * Scale: the benchmark union is SMALL (eval sets are MBs against a
+    * 100 TB corpus) — it is deduped once and broadcast, so the corpus scan
+    * never shuffles: explode → broadcast-hash lookup → partial agg back to
+    * one row per doc (a doc's shingles never leave their partition, so the
+    * final exchange carries one (id, counts) row per doc).
+    */
+  def decontaminate(df: DataFrame, bench: DataFrame, idCol: String,
+                    textCol: String, n: Int = 3,
+                    threshold: Double = 0.5): DataFrame = {
+    val benchSet = bench
+      .select(explode(S.shingleHashes(col(textCol), n)).as("h"))
+      .distinct().withColumn("hit", lit(1L))
+    df.select(col(idCol), explode(S.shingleHashes(col(textCol), n)).as("h"))
+      .join(broadcast(benchSet), Seq("h"), "left")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_shingles"),
+           sum(coalesce(col("hit"), lit(0L))).as("n_overlap"))
+      .withColumn("containment",
+        col("n_overlap").cast("double") / col("n_shingles").cast("double"))
+      .withColumn("contaminated", col("containment") >= threshold)
+  }
 
   /** Token-window chunking: split each document's whitespace tokens into
     * windows of `chunkSize` tokens starting every `stride` tokens

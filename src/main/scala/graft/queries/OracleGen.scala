@@ -87,6 +87,23 @@ object OracleGen {
          WHERE bit_count(xor(x.sh, y.sh)) <= $maxHamming"""
   }
 
+  /** Benchmark decontamination: docs with doc_id % mod == 0 are the eval
+    * set; every other doc's shingle-set containment in the eval union,
+    * with the contaminated flag at `threshold`. Mirrors
+    * TrainingPipeline.decontaminate (identical shingle hashing).
+    */
+  def decontaminate(mod: Int, threshold: Double): String =
+    raw"""WITH $Shingles,
+         bench AS (SELECT DISTINCT unnest(hs) h FROM hsh WHERE doc_id % $mod = 0),
+         ex AS (SELECT doc_id, unnest(hs) h FROM hsh WHERE doc_id % $mod != 0),
+         agg AS (SELECT ex.doc_id, count(*)::BIGINT n_shingles,
+             sum(CASE WHEN bench.h IS NOT NULL THEN 1 ELSE 0 END)::BIGINT n_overlap
+           FROM ex LEFT JOIN bench ON ex.h = bench.h GROUP BY ex.doc_id)
+         SELECT doc_id, n_shingles, n_overlap,
+           n_overlap::DOUBLE / n_shingles AS containment,
+           n_overlap::DOUBLE / n_shingles >= $threshold AS contaminated
+         FROM agg"""
+
   /** Connected components over near-dup pairs via a recursive CTE:
     * min reachable id == the min-label fixpoint the Spark iteration
     * converges to.

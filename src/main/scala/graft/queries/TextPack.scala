@@ -137,10 +137,31 @@ object TextPack {
     TrainingPipeline.chunk(Tables.documents(s, dir), "doc_id", "text",
       chunkSize = 64, stride = 48)
 
+  /** Benchmark decontamination: every 50th doc plays the held-out eval
+    * set; the rest are scored for trigram containment in its shingle
+    * union.
+    */
+  def pipelineDecontam(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+    TrainingPipeline.decontaminate(
+      d.filter(col("doc_id") % 50 =!= 0),
+      d.filter(col("doc_id") % 50 === 0),
+      "doc_id", "text", n = 3, threshold = 0.5)
+  }
+
+  /** Deterministic stratified sample: upsample src0/src1, thin the rest. */
+  def pipelineSample(s: SparkSession, dir: String): DataFrame =
+    TrainingPipeline.sampleStratified(
+      Tables.documents(s, dir).select(col("doc_id"), col("source")),
+      "doc_id", "source", "s9",
+      rates = Seq("src0" -> 0.5, "src1" -> 0.25), defaultRate = 0.1)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "pl_split" -> pipelineSplit _,
     "pl_shuffle" -> pipelineShuffle _,
     "pl_chunks" -> pipelineChunks _,
+    "pl_decontam" -> pipelineDecontam _,
+    "pl_sample" -> pipelineSample _,
     "tx_stats" -> textStats _,
     "tx_quality" -> quality _,
     "tx_langid" -> langid _,
@@ -252,6 +273,12 @@ object TextPack {
          SELECT doc_id, trigram_total, trigram_distinct,
            1.0 - trigram_distinct::DOUBLE / trigram_total::DOUBLE AS rep_ratio
          FROM x""",
+    "pl_decontam" -> OracleGen.decontaminate(50, 0.5),
+    "pl_sample" ->
+      """SELECT doc_id, source FROM documents
+         WHERE ('0x'||substr(md5('s9'||doc_id::VARCHAR),1,15))::BIGINT % 1000000 <
+           CASE source WHEN 'src0' THEN 500000 WHEN 'src1' THEN 250000
+                ELSE 100000 END""",
     "dd_ngram_jaccard" -> OracleGen.ngramJaccard(NgramMaxDf, 0.3),
     "dd_minhash_lsh" -> OracleGen.minhashLsh(16, 8, 0.3),
     "dd_simhash" -> OracleGen.simhash(3),

@@ -85,16 +85,22 @@ class SketchesSpec extends AnyFunSuite {
     assert(got == want)
   }
 
-  test("dupClusters: large/small-star finds connected components") {
+  test("dupClusters: both paths find connected components") {
     val s = spark
     import s.implicits._
-    // a 4-node chain (needs >1 iteration) plus a separate pair
+    // a 4-node chain (needs >1 star iteration) plus a separate pair
     val pairs = Seq((2L, 1L), (2L, 3L), (3L, 4L), (10L, 11L))
       .toDF("id_a", "id_b")
-    val got = graft.ops.Dedup.dupClusters(pairs)
+    val want = Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L)
+    // default: 4 edges <= localThreshold, driver union-find
+    val local = graft.ops.Dedup.dupClusters(pairs)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
-    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
-      10L -> 10L, 11L -> 10L))
+    assert(local == want)
+    // localThreshold=0 forces the distributed star iteration
+    val dist = graft.ops.Dedup.dupClusters(pairs, localThreshold = 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(dist == want)
   }
 
   test("dupClusters: diameter-200 path converges in O(log d) rounds") {
@@ -104,7 +110,8 @@ class SketchesSpec extends AnyFunSuite {
     // star algorithm must finish well inside 10 (≈ log2 200 + slack).
     // ids descend so the min label has to travel the whole path.
     val pairs = (0L until 200L).map(i => (i, i + 1)).toDF("id_a", "id_b")
-    val got = graft.ops.Dedup.dupClusters(pairs, maxIter = 10)
+    val got = graft.ops.Dedup.dupClusters(pairs, maxIter = 10,
+        localThreshold = 0)
       .collect().map(r => (r.getLong(0), r.getLong(1)))
     assert(got.length == 201)
     assert(got.forall(_._2 == 0L), "every node labels to the component min")
@@ -116,11 +123,26 @@ class SketchesSpec extends AnyFunSuite {
     val pairs = (0L until 32L).map(i => (i, i + 1)).toDF("id_a", "id_b")
     // maxIter=1 cannot converge (fixpoint needs a confirming round)
     intercept[IllegalStateException] {
-      graft.ops.Dedup.dupClusters(pairs, maxIter = 1)
+      graft.ops.Dedup.dupClusters(pairs, maxIter = 1, localThreshold = 0)
     }
     // warnOnly downgrades to the old behavior
-    val lax = graft.ops.Dedup.dupClusters(pairs, maxIter = 1, warnOnly = true)
+    val lax = graft.ops.Dedup.dupClusters(pairs, maxIter = 1,
+      warnOnly = true, localThreshold = 0)
     assert(lax.count() > 0)
+  }
+
+  test("dupClusters: local and distributed paths agree on a random graph") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(7)
+    val pairs = (0 until 300).map(_ =>
+      (rnd.nextInt(80).toLong, rnd.nextInt(80).toLong))
+      .filter { case (a, b) => a != b }.toDF("id_a", "id_b")
+    val local = graft.ops.Dedup.dupClusters(pairs)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val dist = graft.ops.Dedup.dupClusters(pairs, localThreshold = 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(local == dist)
   }
 
   test("LSH plane weights are deterministic and in [-1, 1)") {

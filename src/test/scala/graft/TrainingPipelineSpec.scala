@@ -61,6 +61,62 @@ class TrainingPipelineSpec extends AnyFunSuite {
     assert(!chunkPlan.contains("Exchange"), s"chunk must not shuffle:\n$chunkPlan")
   }
 
+  test("sampleStratified: per-stratum rates, deterministic, monotone") {
+    val s = spark
+    import s.implicits._
+    val rows = (1L to 3000L).map(i => (i, s"src${i % 3}")).toDF("id", "src")
+    def sample(rates: Seq[(String, Double)], default: Double) =
+      TrainingPipeline.sampleStratified(rows, "id", "src", "q", rates, default)
+    val a = sample(Seq("src0" -> 0.9, "src1" -> 0.2), 0.05)
+    val counts = a.groupBy("src").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // 1000 per stratum; hash buckets are near-uniform
+    assert(counts("src0") > 820 && counts("src0") < 980)
+    assert(counts("src1") > 130 && counts("src1") < 270)
+    assert(counts.getOrElse("src2", 0L) < 110)
+    val b = sample(Seq("src0" -> 0.9, "src1" -> 0.2), 0.05)
+    assert(a.except(b).count() == 0 && b.except(a).count() == 0,
+      "pure function of (salt, id, rates)")
+    // monotone: lowering a rate only removes rows
+    val lower = sample(Seq("src0" -> 0.5, "src1" -> 0.2), 0.05)
+    assert(lower.except(a).count() == 0, "lower rate ⇒ subset")
+    // rate 1.0 keeps everything, rate 0 keeps nothing
+    val all = sample(Seq.empty, 1.0)
+    assert(all.count() == 3000)
+    assert(sample(Seq.empty, 0.0).count() == 0)
+    intercept[IllegalArgumentException] { sample(Seq("src0" -> 1.5), 0.1) }
+    // scan-side: no shuffle
+    val plan = a.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"sample must not shuffle:\n$plan")
+  }
+
+  test("decontaminate: containment against the benchmark shingle union") {
+    val s = spark
+    import s.implicits._
+    val bench = Seq((100L, "alpha beta gamma delta")).toDF("id", "text")
+    val train = Seq(
+      // full overlap: same text ⇒ containment 1.0
+      (1L, "alpha beta gamma delta"),
+      // 2 trigrams, 1 shared (alpha beta gamma) ⇒ 0.5
+      (2L, "alpha beta gamma other"),
+      // no shared trigrams
+      (3L, "one two three four")).toDF("id", "text")
+    val got = graft.ops.TrainingPipeline
+      .decontaminate(train, bench, "id", "text", n = 3, threshold = 0.5)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getBoolean(4)))).toMap
+    assert(got(1L) == ((2L, 2L, 1.0, true)))
+    assert(got(2L) == ((2L, 1L, 0.5, true)))
+    assert(got(3L) == ((2L, 0L, 0.0, false)))
+    // the benchmark side must be broadcast — the corpus never shuffles
+    // before the per-doc partial agg
+    val plan = graft.ops.TrainingPipeline
+      .decontaminate(train, bench, "id", "text", n = 3, threshold = 0.5)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"benchmark set must broadcast:\n$plan")
+  }
+
   test("shuffled: seeded deterministic permutation") {
     val s = spark
     import s.implicits._
