@@ -104,12 +104,11 @@ object OracleGen {
            n_overlap::DOUBLE / n_shingles >= $threshold AS contaminated
          FROM agg"""
 
-  /** Connected components over near-dup pairs via a recursive CTE:
-    * min reachable id == the min-label fixpoint the Spark iteration
-    * converges to.
+  /** Connected-component CTE chain over near-dup pairs (recursive reach →
+    * min reachable id per node) — shared by dupClusters and dedupCorpus.
     */
-  def dupClusters(pairsSql: String): String =
-    raw"""WITH pairs AS ($pairsSql),
+  private def ccCtes(pairsSql: String): String =
+    raw"""pairs AS ($pairsSql),
          edges AS (SELECT id_a src, id_b dst FROM pairs
                    UNION SELECT id_b, id_a FROM pairs),
          nodes AS (SELECT DISTINCT src id FROM edges),
@@ -117,10 +116,27 @@ object OracleGen {
              SELECT id, id FROM nodes
              UNION
              SELECT e.src, reach.lab FROM edges e JOIN reach ON e.dst = reach.id)
-           SELECT id, min(lab) clu FROM reach GROUP BY id)
+           SELECT id, min(lab) clu FROM reach GROUP BY id)"""
+
+  /** Connected components over near-dup pairs via a recursive CTE:
+    * min reachable id == the min-label fixpoint the Spark iteration
+    * converges to.
+    */
+  def dupClusters(pairsSql: String): String =
+    raw"""WITH ${ccCtes(pairsSql)}
          SELECT id doc_id, clu AS "cluster",
            count(*) OVER (PARTITION BY clu) cluster_size
          FROM r"""
+
+  /** The deduplicated corpus: every document except clustered
+    * non-representatives (cluster members whose id is not the component
+    * min). Mirrors the Spark-side minhash → components → anti-join
+    * composition.
+    */
+  def dedupCorpus(pairsSql: String): String =
+    raw"""WITH ${ccCtes(pairsSql)}
+         SELECT d.doc_id, d.lang, d.source FROM documents d
+         WHERE d.doc_id NOT IN (SELECT id FROM r WHERE id != clu)"""
 
   /** IVF ANN: deterministic sampled coarse quantizer (centroids = vec_id
     * < nCentroids), cosine assignment with lowest-id tie-break, top-nprobe

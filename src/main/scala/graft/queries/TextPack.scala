@@ -92,6 +92,25 @@ object TextPack {
       .select(col("id").as("doc_id"), col("cluster"), col("cluster_size"))
   }
 
+  /** The end-to-end dedup composition a pipeline actually runs: near-dup
+    * pairs (minhash-LSH, verified) → connected components → drop every
+    * cluster member except the min-id representative. Returns the
+    * surviving corpus.
+    *
+    * Scale: the drop list is only clustered non-representatives — tiny
+    * next to the corpus — so the final anti-join broadcasts it and the
+    * corpus never shuffles.
+    */
+  def pipelineDedupCorpus(s: SparkSession, dir: String): DataFrame = {
+    val pairs = dedupMinhash(s, dir).select("id_a", "id_b")
+    val drop = Dedup.dupClusters(pairs)
+      .filter(col("id") =!= col("cluster"))
+      .select(col("id").as("doc_id"))
+    Tables.documents(s, dir)
+      .join(broadcast(drop), Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("lang"), col("source"))
+  }
+
   def annBrute(s: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(s, dir)
     val queries = emb.filter(col("vec_id") < 5)
@@ -162,6 +181,7 @@ object TextPack {
     "pl_chunks" -> pipelineChunks _,
     "pl_decontam" -> pipelineDecontam _,
     "pl_sample" -> pipelineSample _,
+    "pl_dedup_corpus" -> pipelineDedupCorpus _,
     "tx_stats" -> textStats _,
     "tx_quality" -> quality _,
     "tx_langid" -> langid _,
@@ -285,6 +305,7 @@ object TextPack {
     "dd_embedding_cosine" ->
       OracleGen.embeddingCosineLsh(0.45, dim = 64, tables = 8, planes = 6),
     "dd_clusters" -> OracleGen.dupClusters(OracleGen.minhashLsh(16, 8, 0.3)),
+    "pl_dedup_corpus" -> OracleGen.dedupCorpus(OracleGen.minhashLsh(16, 8, 0.3)),
     "ann_lsh_topk" -> OracleGen.annLsh(tables = 8, planes = 10, dim = 64, k = 10),
     "ann_ivf_topk" -> OracleGen.annIvf(nCentroids = 16, nprobe = 4, k = 10),
     "ann_brute_topk" ->
