@@ -141,9 +141,24 @@ object Shell {
       .getOrElse(sys.error("-O: dataset has no order column (lineno/" +
         s"${SnapshotStore.RowIdName}) — import with linenoLabel or write from withRowId"))
 
-  /** Base frame before any match filter: chain walk, slice selection
-    * (partition pruning happens before projection so spark_partition_id
-    * reflects the stored slicing), projection.
+  /** Stored slice of a row, derived from the file it lives in — NOT
+    * spark_partition_id(), which reflects read-time split packing (small
+    * files merge into one scan partition, bucketed scans may be disabled
+    * when nothing downstream needs the partitioning) and so can diverge
+    * arbitrarily from the on-disk slicing. The writer emits one file per
+    * slice: bucketed stores carry the bucket id as the `_NNNNN.cNNN`
+    * suffix, plain stores the write-task id as the `part-NNNNN-` prefix.
+    */
+  private def sliceId: org.apache.spark.sql.Column = {
+    val f = input_file_name()
+    val bucket = regexp_extract(f, "_(\\d+)\\.c\\d+", 1)
+    when(bucket =!= "", bucket.cast("int"))
+      .otherwise(regexp_extract(f, "part-(\\d+)-", 1).cast("int"))
+  }
+
+  /** Base frame before any match filter: chain walk, slice selection,
+    * ordering. Projection happens in `projected` AFTER any grep filter so
+    * `-g` can match on columns that are not displayed.
     */
   private def baseDf(store: SnapshotStore, a: Args): DataFrame = {
     val name = resolveRef(store, a.name)
@@ -151,24 +166,27 @@ object Shell {
               else store.iterateChain(name, length = a.chain)
     val df1 =
       if (a.slices.isEmpty) df0
-      else df0.filter(spark_partition_id().isin(a.slices.map(Integer.valueOf): _*))
+      else df0.filter(sliceId.isin(a.slices.map(Integer.valueOf): _*))
     // sort BEFORE projecting — the order column need not be displayed
-    val df1o = if (a.ordered) df1.orderBy(orderColumn(df1)) else df1
-    if (a.columns.nonEmpty) df1o.select(a.columns.map(col): _*) else df1o
+    if (a.ordered) df1.orderBy(orderColumn(df1)) else df1
   }
+
+  private def projected(df: DataFrame, a: Args): DataFrame =
+    if (a.columns.nonEmpty) df.select(a.columns.map(col): _*) else df
 
   /** Rows of (a chain of) a snapshot, optionally projected/limited. */
   def catDf(store: SnapshotStore, a: Args): DataFrame = {
-    val df = baseDf(store, a)
+    val df = projected(baseDf(store, a), a)
     if (a.limit >= 0) df.limit(a.limit) else df
   }
 
   /** grep: keep rows where ANY matched column matches the regex (all
     * selected columns by default; `-g` restricts matching without
-    * restricting display, `-i` prepends (?i)).
+    * restricting display — the match columns need not be displayed —
+    * `-i` prepends (?i)).
     */
   def grepDf(store: SnapshotStore, a: Args): DataFrame = {
-    val df = baseDf(store, a.copy(limit = -1))
+    val df = baseDf(store, a) // unprojected: -g may match hidden columns
     val cols =
       if (a.grepCols.nonEmpty) {
         val missing = a.grepCols.filterNot(df.columns.contains)
@@ -179,7 +197,7 @@ object Shell {
     val pat = if (a.ignoreCase) "(?i)" + a.pattern else a.pattern
     val hit = cols.map(c => coalesce(col(c).cast("string"), lit("")).rlike(pat))
       .reduce(_ || _)
-    val out = df.filter(hit)
+    val out = projected(df.filter(hit), a)
     if (a.limit >= 0) out.limit(a.limit) else out
   }
 

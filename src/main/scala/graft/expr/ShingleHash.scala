@@ -42,23 +42,29 @@ case class ShingleHash40(child: Expression, n: Int) extends UnaryExpression {
   def compute(arr: ArrayData): ArrayData = {
     val m = arr.numElements()
     val seen = new java.util.LinkedHashSet[java.lang.Long]()
-    // concat_ws semantics: null elements are skipped WITHOUT a separator
-    def join(sb: java.lang.StringBuilder, idx: Int): Unit =
-      if (!arr.isNullAt(idx)) {
-        if (sb.length > 0) sb.append(Sep)
+    // concat_ws semantics: null elements are skipped WITHOUT a separator;
+    // the separator goes between non-null elements even when one is empty
+    // (["","a"] → "a"), so track first-non-null, not sb.length
+    def join(sb: java.lang.StringBuilder, idx: Int, first: Boolean): Boolean =
+      if (arr.isNullAt(idx)) first
+      else {
+        if (!first) sb.append(Sep)
         sb.append(arr.getUTF8String(idx))
+        false
       }
     if (m < n) {
       val sb = new java.lang.StringBuilder
+      var first = true
       var i = 0
-      while (i < m) { join(sb, i); i += 1 }
+      while (i < m) { first = join(sb, i, first); i += 1 }
       seen.add(Md5Hash40.of(sb.toString.getBytes("UTF-8")))
     } else {
       var i = 0
       while (i + n <= m) {
         val sb = new java.lang.StringBuilder
+        var first = true
         var j = 0
-        while (j < n) { join(sb, i + j); j += 1 }
+        while (j < n) { first = join(sb, i + j, first); j += 1 }
         seen.add(Md5Hash40.of(sb.toString.getBytes("UTF-8")))
         i += 1
       }

@@ -127,10 +127,22 @@ object CsvExport {
     val cs =
       if (encoding.equalsIgnoreCase("bytes")) StandardCharsets.ISO_8859_1
       else Charset.forName(encoding) // fail fast on unknown charset
+    // lines are encoded independently and byte-concatenated — only
+    // stateless ASCII-superset charsets survive that (utf-16 would emit a
+    // BOM per line and a separator that no reader reassembles); mirrors
+    // CsvImport.lineDecoder's guard on the read side
+    require(java.util.Arrays.equals("A\n,0".getBytes(cs),
+        "A\n,0".getBytes(StandardCharsets.US_ASCII)),
+      s"csvexport: charset $encoding is not an ASCII superset — " +
+      "per-line encoding would corrupt it (use utf-8, latin-1, any 8-bit " +
+      "ASCII-superset charset, or encoding=\"bytes\")")
+    // ONE encoder per factory call (= per partition on the write path);
+    // partition iterators are single-threaded, and the convenience
+    // encode(CharBuffer) resets it per line
+    val enc = cs.newEncoder()
+      .onMalformedInput(CodingErrorAction.REPORT)
+      .onUnmappableCharacter(CodingErrorAction.REPORT)
     s => {
-      val enc = cs.newEncoder() // not thread-safe; cheap per call on lines
-        .onMalformedInput(CodingErrorAction.REPORT)
-        .onUnmappableCharacter(CodingErrorAction.REPORT)
       try {
         val bb = enc.encode(java.nio.CharBuffer.wrap(s))
         val out = new Array[Byte](bb.remaining())

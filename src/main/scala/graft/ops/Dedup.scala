@@ -212,9 +212,12 @@ object Dedup {
     * canonical edge set. Deterministic regardless of partitioning; every
     * shuffle carries two longs per edge.
     *
-    * Returns (id, cluster) for every id appearing in a pair; singleton
-    * docs are their own cluster by definition (join back with a default).
-    * Ids are cast to long (integral id types only).
+    * Returns (id, cluster) for every id appearing in a pair — including
+    * ids that only appear in self-pairs (id_a == id_b), which label
+    * themselves; singleton docs are their own cluster by definition (join
+    * back with a default). Ids must be integral (cast to long); any other
+    * id type is rejected up front — a silent cast-to-null would empty the
+    * edge set and return no clusters at all.
     *
     * The edge set is counted first: at or below `localThreshold` edges the
     * components are solved by a driver-side union-find — the same
@@ -237,16 +240,27 @@ object Dedup {
   def dupClusters(pairs: DataFrame, maxIter: Int = 30,
                   warnOnly: Boolean = false,
                   localThreshold: Long = 1L << 20): DataFrame = {
+    import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+    Seq("id_a", "id_b").foreach { c =>
+      val t = pairs.schema(c).dataType
+      require(Seq(ByteType, ShortType, IntegerType, LongType).contains(t),
+        s"dupClusters: $c must be an integral type, got ${t.simpleString} — " +
+        "hash non-integral ids to long first (e.g. xxhash64)")
+    }
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-    // canonical undirected edges, oriented u > v, self-loops dropped
-    var edges = pairs
+    // canonical undirected pairs, oriented u >= v; self-loops carry no
+    // connectivity but their ids must still appear in the output
+    val canon = pairs
       .select(greatest(col("id_a"), col("id_b")).cast("long").as("u"),
               least(col("id_a"), col("id_b")).cast("long").as("v"))
-      .filter(col("u") =!= col("v")).distinct().persist(lvl)
+      .distinct().persist(lvl)
+    val loops = canon.filter(col("u") === col("v")).select(col("u").as("id"))
+    var edges = canon.filter(col("u") =!= col("v"))
     val edgeCount = edges.count()
     if (edgeCount <= localThreshold) {
-      val out = localClusters(pairs.sparkSession, edges.collect())
-      edges.unpersist()
+      val labeled = localClusters(pairs.sparkSession, edges.collect())
+      val out = withSelfLoops(labeled, loops).localCheckpoint()
+      canon.unpersist()
       return out
     }
     var converged = false
@@ -296,12 +310,25 @@ object Dedup {
     // (appearing only as v) label themselves
     val roots = edges.select(col("v")).distinct()
       .join(edges.select(col("u").as("v")), Seq("v"), "left_anti")
-    val out = edges.select(col("u").as("id"), col("v").as("cluster"))
+    val raw = edges.select(col("u").as("id"), col("v").as("cluster"))
       .unionByName(roots.select(col("v").as("id"), col("v").as("cluster")))
-      .localCheckpoint()
+    // a non-converged (warnOnly) edge set is not a star — a node can carry
+    // several labels and labels can chain; keep the minimum so the output
+    // is at least one label per id (possibly non-minimal, as warned)
+    val labeled =
+      if (converged) raw
+      else raw.groupBy("id").agg(min(col("cluster")).as("cluster"))
+    val out = withSelfLoops(labeled, loops).localCheckpoint()
     edges.unpersist()
+    canon.unpersist()
     out
   }
+
+  /** Ids appearing only in self-pairs connect to nothing: label themselves. */
+  private def withSelfLoops(labeled: DataFrame, loops: DataFrame): DataFrame =
+    labeled.unionByName(
+      loops.join(labeled, Seq("id"), "left_anti")
+        .select(col("id"), col("id").as("cluster")))
 
   /** Driver-side union-find over a collected (u > v) edge list: min-root
     * union + path-halving find, so the root of every component IS its

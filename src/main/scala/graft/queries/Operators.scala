@@ -129,6 +129,7 @@ object Operators {
   def csvLatin1(s: SparkSession, dir: String): DataFrame = {
     import java.nio.charset.StandardCharsets
     import java.nio.file.{Files, Paths}
+    val bytesCfg = CsvImportConfig(encoding = "bytes")
     val (_, out) = Fixtures(s, dir, "fix_csv_latin1") { _ =>
       val tmp = Fixtures.filesDir(dir, "fix_csv_latin1")
       val rows = Tables.nation(s, dir).select("n_nationkey", "n_name")
@@ -141,9 +142,18 @@ object Operators {
         body("name_l1").getBytes(StandardCharsets.ISO_8859_1))
       Files.write(Paths.get(s"$tmp/nation_u8.csv"),
         body("name_u8").getBytes(StandardCharsets.UTF_8))
-      Map("l1" -> s"$tmp/nation_l1.csv", "u8" -> s"$tmp/nation_u8.csv")
+      // byte-faithful EXPORT built INSIDE the memoized fixture (it is a
+      // write job — rebuilding it on every query construction would both
+      // re-run the export and race concurrent builders on the same path):
+      // decoded latin-1 text back out as latin-1 bytes, re-imported below
+      val rtPath = s"$tmp/nation_rt.csv"
+      val rt = DatasetType(CsvImport(s, s"$tmp/nation_l1.csv", bytesCfg).data,
+        Map("n_nationkey" -> "int32", "name_l1" -> "unicode:iso-8859-1")).good
+      CsvExport(rt.select(col("n_nationkey"), col("name_l1").as("name_rt")),
+        rtPath, CsvExportConfig(encoding = "iso-8859-1"))
+      Map("l1" -> s"$tmp/nation_l1.csv", "u8" -> s"$tmp/nation_u8.csv",
+          "rt" -> rtPath)
     }
-    val bytesCfg = CsvImportConfig(encoding = "bytes")
     val imp1 = CsvImport(s, out("l1"), bytesCfg).data
       .withColumn("name_ascii", col("name_l1"))
     val t1 = DatasetType(imp1, Map(
@@ -153,13 +163,8 @@ object Operators {
     val imp2 = CsvImport(s, out("u8"), bytesCfg).data
     val t2 = DatasetType(imp2, Map(
       "n_nationkey" -> "int32", "name_u8" -> "unicode:utf-8")).good
-    // byte-faithful EXPORT: write the decoded latin-1 text back out as
-    // latin-1 bytes (CsvExportConfig.encoding) and re-import — name_rt
-    // proves the full bytes-in → type → bytes-out → bytes-in round trip
-    val rtPath = tmpDir("csv_latin1_rt") + "/nation_rt.csv"
-    CsvExport(t1.select(col("n_nationkey"), col("name_l1").as("name_rt")),
-      rtPath, CsvExportConfig(encoding = "iso-8859-1"))
-    val t3 = DatasetType(CsvImport(s, rtPath, bytesCfg).data, Map(
+    // name_rt proves the bytes-in → type → bytes-out → bytes-in round trip
+    val t3 = DatasetType(CsvImport(s, out("rt"), bytesCfg).data, Map(
       "n_nationkey" -> "int32", "name_rt" -> "unicode:iso-8859-1")).good
     t1.join(t2, "n_nationkey").join(t3, "n_nationkey")
       .select("n_nationkey", "name_l1", "name_ascii", "name_u8", "name_rt")

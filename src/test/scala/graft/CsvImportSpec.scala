@@ -275,5 +275,11 @@ class CsvImportSpec extends AnyFunSuite {
       CsvExport(df, Paths.get(tmpDir("csv_l1_export"), "x.csv").toString,
         CsvExportConfig(encoding = "no-such"))
     }
+    // non-ASCII-superset charset (utf-16 would emit a BOM per line) fails
+    // fast driver-side, mirroring the import guard — never a corrupt file
+    intercept[IllegalArgumentException] {
+      CsvExport(df, Paths.get(tmpDir("csv_l1_export"), "u16.csv").toString,
+        CsvExportConfig(encoding = "utf-16"))
+    }
   }
 }

@@ -145,18 +145,53 @@ class ShellSpec extends AnyFunSuite {
     assert(e.getMessage.contains("order column"))
   }
 
-  test("-s restricts to the chosen slices (bucket inspection on hashed stores)") {
+  test("-s restricts to the stored slice (bucket inspection on hashed stores)") {
+    val s = spark
+    import org.apache.spark.sql.functions.{col, hash, pmod}
     val st = store()
-    val all = Shell.catDf(st, Shell.Args(st.root, "sh_a", Seq("id")))
+    // expected slice = the writer's routing: pmod(murmur3(id), slices) —
+    // HashPartitioning.partitionIdExpression, same seed as functions.hash
+    val want = st.readResolved("sh_a")
+      .select(col("id"), pmod(hash(col("id")), org.apache.spark.sql.functions.lit(2)).as("b"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    (0 to 1).foreach { sl =>
+      val got = Shell.catDf(st,
+        Shell.Args(st.root, "sh_a", Seq("id"), slices = Seq(sl)))
+        .collect().map(_.getLong(0)).toSet
+      assert(got == want.collect { case (id, b) if b == sl => id }.toSet,
+        s"-s $sl must return exactly the rows stored in bucket $sl")
+    }
+  }
+
+  test("-s on a plain (unhashed) snapshot selects the stored part file") {
+    val s = spark
+    import s.implicits._
+    val st = new SnapshotStore(s, tmpDir("shell_plain"))
+    // repartition(2) writes two part files: part-00000 and part-00001
+    st.write(Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d")).toDF("k", "v")
+      .repartition(2), "pp_a", slices = 2)
+    val all = Shell.catDf(st, Shell.Args(st.root, "pp_a", Seq("k")))
       .collect().map(_.getLong(0)).toSet
-    val s0 = Shell.catDf(st,
-      Shell.Args(st.root, "sh_a", Seq("id"), slices = Seq(0)))
+    val s0 = Shell.catDf(st, Shell.Args(st.root, "pp_a", Seq("k"), slices = Seq(0)))
       .collect().map(_.getLong(0)).toSet
-    val s1 = Shell.catDf(st,
-      Shell.Args(st.root, "sh_a", Seq("id"), slices = Seq(1)))
+    val s1 = Shell.catDf(st, Shell.Args(st.root, "pp_a", Seq("k"), slices = Seq(1)))
       .collect().map(_.getLong(0)).toSet
+    assert(s0.nonEmpty && s1.nonEmpty, "both part files hold rows")
     assert((s0 ++ s1) == all && s0.intersect(s1).isEmpty,
-      s"slices partition the rows: $s0 / $s1")
-    assert(s0.nonEmpty || s1.nonEmpty)
+      s"part files partition the rows: $s0 / $s1")
+  }
+
+  test("grep -g matches on columns that are not displayed") {
+    val st = store()
+    val got = Shell.grepDf(st, Shell.Args(st.root, "sh_a", Seq("name"),
+        pattern = "^2$", grepCols = Seq("id")))
+      .collect().map(_.getString(0)).toSeq
+    assert(got == Seq("beta"), s"match on hidden id=2, display name: $got")
+    // unknown -g column is still a clear error
+    val e = intercept[IllegalArgumentException] {
+      Shell.grepDf(st, Shell.Args(st.root, "sh_a", Seq("name"),
+        pattern = "x", grepCols = Seq("nope"))).collect()
+    }
+    assert(e.getMessage.contains("no such columns"))
   }
 }

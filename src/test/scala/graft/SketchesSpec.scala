@@ -29,6 +29,29 @@ class SketchesSpec extends AnyFunSuite {
     assert(got == toks.map(h40))
   }
 
+  test("ShingleHash40 joins with the separator exactly like concat_ws") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.GraftBridge
+    // raw token arrays, bypassing the tokenizer: an empty leading token
+    // must still get the separator (concat_ws puts it between non-null
+    // elements even when one is empty); nulls are skipped without a sep
+    val sep = "\u0001"
+    def hashesOf(toks: Seq[String], n: Int): Seq[Long] =
+      Seq(Tuple1(toks)).toDF("toks")
+        .select(GraftBridge.column(graft.expr.ShingleHash40(
+          GraftBridge.expression(col("toks")), n)))
+        .collect().head.getSeq[Long](0)
+    assert(hashesOf(Seq("", "a"), 2) == Seq(h40(sep + "a")))
+    assert(hashesOf(Seq("a", "b", "c"), 2) ==
+      Seq(h40("a" + sep + "b"), h40("b" + sep + "c")))
+    assert(hashesOf(Seq(null, "a", "b"), 3) == Seq(h40("a" + sep + "b")))
+    // cross-check the concat_ws claim directly on the same arrays
+    val ws = Seq(Tuple1(Seq("", "a"))).toDF("toks")
+      .select(concat_ws(sep, col("toks"))).collect().head.getString(0)
+    assert(ws == sep + "a")
+  }
+
   test("minhash signature equals the per-slot model") {
     val s = spark
     import s.implicits._
@@ -125,10 +148,34 @@ class SketchesSpec extends AnyFunSuite {
     intercept[IllegalStateException] {
       graft.ops.Dedup.dupClusters(pairs, maxIter = 1, localThreshold = 0)
     }
-    // warnOnly downgrades to the old behavior
+    // warnOnly downgrades to a warning but the result must still be
+    // well-formed: exactly one label per id
     val lax = graft.ops.Dedup.dupClusters(pairs, maxIter = 1,
       warnOnly = true, localThreshold = 0)
-    assert(lax.count() > 0)
+    val rows = lax.collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(rows.map(_._1).distinct.length == rows.length,
+      s"one label per id even when not converged: ${rows.toSeq}")
+    assert(rows.map(_._1).toSet == (0L to 32L).toSet)
+  }
+
+  test("dupClusters: self-loop-only ids label themselves; bad id types rejected") {
+    val s = spark
+    import s.implicits._
+    // 7 appears only as a self-pair: it must still come out, as its own
+    // cluster (both paths)
+    val pairs = Seq((1L, 2L), (7L, 7L), (2L, 2L)).toDF("id_a", "id_b")
+    for (thr <- Seq(1L << 20, 0L)) {
+      val got = graft.ops.Dedup.dupClusters(pairs, localThreshold = thr)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+      assert(got == Map(1L -> 1L, 2L -> 1L, 7L -> 7L), s"thr=$thr: $got")
+    }
+    // string ids would silently cast to null and empty the edge set —
+    // must be rejected loudly instead
+    val bad = Seq(("a", "b")).toDF("id_a", "id_b")
+    val e = intercept[IllegalArgumentException] {
+      graft.ops.Dedup.dupClusters(bad)
+    }
+    assert(e.getMessage.contains("integral"))
   }
 
   test("dupClusters: local and distributed paths agree on a random graph") {

@@ -77,10 +77,20 @@ class SnapshotSpec extends AnyFunSuite {
     val got = agg.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     val want = (1 to 200).map(_.toLong).groupBy(_ % 17).map { case (k, vs) => k -> vs.sum }
     assert(got == want)
-    // a fresh store instance (new "session" metadata cache) re-registers
-    // the bucketed table from the sidecar and still reads all rows
+    // a fresh "session" re-registers the bucketed table from the sidecar:
+    // DROP the catalog entry first (saveAsTable left it registered, which
+    // would otherwise mask the CREATE TABLE re-registration path entirely)
+    val dataDir = store.get("bk_a").meta.dataDir
+      .getOrElse(s"${store.get("bk_a").dir}/data")
+    s.sql(s"DROP TABLE IF EXISTS ${SnapshotStore.bucketTable(dataDir)}")
     val store2 = new SnapshotStore(s, store.root)
-    assert(store2.readResolved("bk_a").count() == 200)
+    val re = store2.readResolved("bk_a")
+    assert(re.count() == 200)
+    // and the re-registered table still recovers the hash partitioning
+    val plan2 = re.groupBy(col("k")).agg(sum(col("v")))
+      .queryExecution.executedPlan.toString
+    assert(!plan2.contains("Exchange"),
+      s"re-registered bucketed table must keep co-partitioning:\n$plan2")
   }
 
   test("parent column-append: zero-copy storage, resolved read") {
