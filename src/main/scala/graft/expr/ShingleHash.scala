@@ -44,7 +44,7 @@ case class ShingleHash40(child: Expression, n: Int) extends UnaryExpression {
     val seen = new java.util.LinkedHashSet[java.lang.Long]()
     // concat_ws semantics: null elements are skipped WITHOUT a separator;
     // the separator goes between non-null elements even when one is empty
-    // (["","a"] → "a"), so track first-non-null, not sb.length
+    // (["","a"] → "\u0001" + "a"), so track first-non-null, not sb.length
     def join(sb: java.lang.StringBuilder, idx: Int, first: Boolean): Boolean =
       if (arr.isNullAt(idx)) first
       else {

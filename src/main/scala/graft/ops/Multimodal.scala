@@ -11,10 +11,13 @@ import org.apache.spark.sql.functions._
   * a metadata-only query never reads the blobs once metadata is
   * materialized to its own columns). Header parsing is pure Column
   * arithmetic over `substring`/`hex`/`conv` — codegen'd, no UDF in the
-  * extract path. Real pixel/sample DECODING is out of scope in this
-  * container (no image/audio libs): `decodeImageStub` marks the seam where
-  * a decode UDF (or mapInPandas in pyspark pipelines) would plug in; the
-  * schema, batching and partitioning around it are real and tested.
+  * extract path. Pixel/sample DECODE is REAL for the formats the JVM can
+  * handle without codec libraries — PNG (gray/RGB 8-bit: inflate + filter
+  * reconstruction) and PCM-16 WAV — via the codegen'd expressions in
+  * graft.expr.MediaCodecHelper ([[decodeImage]], [[imageResize]],
+  * [[audioFeatures]], [[audioFrameSample]]). `decodeImageStub` remains the
+  * seam for formats that genuinely need an external codec (JPEG/video),
+  * where a decode UDF (or mapInPandas in pyspark pipelines) would plug in.
   *
   * Fixture generators (valid minimal PNG / WAV bytes, CRCs and all) are
   * Scala UDFs — they exist to create test data, not to process it.
@@ -179,15 +182,47 @@ object Multimodal {
     df.groupBy(md5(col(binCol)).as("content_md5"))
       .agg(min(col(idCol)).as(idCol), count(lit(1)).as("dup_count"))
 
-  /** STUB — the decode seam. Real pixel decoding needs an imaging library
-    * that is not in this container; pipelines plug a decode UDF (JVM) or
-    * `mapInPandas` (Python) in here. The stub returns the deterministic
-    * fake "pixel summary" (width, height, mean of the generator formula)
-    * so downstream schema/partitioning is exercised end-to-end.
+  private def bridge(e: org.apache.spark.sql.catalyst.expressions.Expression): Column =
+    org.apache.spark.sql.GraftBridge.column(e)
+  private def ex(c: Column) = org.apache.spark.sql.GraftBridge.expression(c)
+
+  /** REAL image decode (PNG gray/RGB 8-bit, any scanline filter): inflate
+    * IDAT + filter reconstruction, returning
+    * struct(width, height, channels, px_sum, px_min, px_max) — integer
+    * channel statistics an oracle can reproduce exactly. Null for formats
+    * outside the JVM-decodable envelope (route those to [[decodeImageStub]]
+    * / an external codec).
+    */
+  def decodeImage(bin: Column): Column = bridge(graft.expr.PngStats(ex(bin)))
+
+  /** REAL nearest-neighbor resize: decode → integer-floor index map →
+    * re-encode as PNG. Null when not decodable.
+    */
+  def imageResize(bin: Column, w: Int, h: Int): Column =
+    bridge(graft.expr.PngResizeNearest(ex(bin), w, h))
+
+  /** REAL audio feature extraction (PCM-16 WAV via the RIFF walk):
+    * struct(n_samples, sample_rate, pcm_sum, pcm_sqsum, pcm_peak); RMS =
+    * sqrt(pcm_sqsum / n_samples) downstream. Null for non-PCM-16.
+    */
+  def audioFeatures(bin: Column): Column = bridge(graft.expr.WavPcmStats(ex(bin)))
+
+  /** REAL frame-sampling: keep every `step`-th PCM frame, re-encoded as a
+    * canonical WAV — the audio analogue of video frame thumbnailing.
+    */
+  def audioFrameSample(bin: Column, step: Int): Column =
+    bridge(graft.expr.WavFrameSample(ex(bin), step))
+
+  /** STUB — the decode seam for formats that need an external codec
+    * library (JPEG/video — not in this container); pipelines plug a decode
+    * UDF (JVM) or `mapInPandas` (Python) in here. PNG/WAV decode is REAL —
+    * see [[decodeImage]]/[[audioFeatures]]. The stub returns the
+    * deterministic fake "pixel summary" (width, height, null mean) so
+    * downstream schema/partitioning is exercised end-to-end.
     */
   def decodeImageStub(bin: Column): Column =
     struct(pngWidth(bin).as("width"), pngHeight(bin).as("height"),
-      lit(null).cast("double").as("mean_intensity")) // real decode: not available here
+      lit(null).cast("double").as("mean_intensity")) // real decode: see decodeImage
 
   /** Batched per-partition binary processing — the Scala equivalent of
     * the `mapInPandas` shape used for decode/resize/frame-sample in

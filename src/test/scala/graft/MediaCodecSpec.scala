@@ -1,0 +1,132 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.expr.MediaCodecHelper
+import graft.ops.Multimodal
+import TestSpark.spark
+
+/** Real PNG/WAV codec: inflate + filter reconstruction, resize round-trip,
+  * PCM stats and frame decimation — including the filter types and layouts
+  * the fixture generator never emits.
+  */
+class MediaCodecSpec extends AnyFunSuite {
+
+  private def formulaPix(w: Int, h: Int): Array[Byte] = {
+    val a = new Array[Byte](w * h)
+    for (y <- 0 until h; x <- 0 until w) a(y * w + x) = ((x * 31 + y * 17) & 0xff).toByte
+    a
+  }
+
+  test("decodePng recovers the exact raster from the fixture generator") {
+    for ((w, h) <- Seq((16, 9), (47, 15), (1, 1), (300, 2))) {
+      val r = MediaCodecHelper.decodePng(Multimodal.pngBytes(w, h))
+      assert(r != null && r.width == w && r.height == h && r.bpp == 1)
+      assert(r.pix.toSeq == formulaPix(w, h).toSeq, s"pixels differ at ${w}x$h")
+    }
+  }
+
+  test("every scanline filter round-trips, gray and RGB") {
+    // pseudo-random raster so Sub/Up/Average/Paeth all produce distinct
+    // residuals (the fixture's linear formula is too regular to stress them)
+    def noisy(n: Int): Array[Byte] = {
+      val a = new Array[Byte](n)
+      var s = 12345
+      for (i <- 0 until n) { s = s * 1103515245 + 12345; a(i) = (s >> 16).toByte }
+      a
+    }
+    for (bpp <- Seq(1, 3); filter <- 0 to 4) {
+      val (w, h) = (23, 11)
+      val px = noisy(w * h * bpp)
+      val enc = MediaCodecHelper.encodePng(
+        new MediaCodecHelper.Raster(w, h, bpp, px), filter)
+      val dec = MediaCodecHelper.decodePng(enc)
+      assert(dec != null, s"filter $filter bpp $bpp failed to decode")
+      assert(dec.bpp == bpp && dec.pix.toSeq == px.toSeq,
+        s"filter $filter bpp $bpp corrupted pixels")
+    }
+  }
+
+  test("unsupported and corrupt PNGs return null, never garbage") {
+    val good = Multimodal.pngBytes(8, 8)
+    assert(MediaCodecHelper.decodePng(null) == null)
+    assert(MediaCodecHelper.decodePng(Array[Byte](1, 2, 3)) == null)
+    assert(MediaCodecHelper.decodePng(good.dropRight(20)) == null) // no IEND
+    val truncatedIdat = good.clone()
+    // corrupt the deflate stream body (IDAT starts after the 33-byte
+    // sig+IHDR preamble; byte 50 is inside it for an 8x8)
+    truncatedIdat(50) = (truncatedIdat(50) ^ 0x7f).toByte
+    assert(MediaCodecHelper.decodePng(truncatedIdat) == null)
+    val hugeHeader = good.clone()
+    hugeHeader(16) = 0x7f // width -> ~2^31: size cap must reject, not OOM
+    assert(MediaCodecHelper.decodePng(hugeHeader) == null)
+  }
+
+  test("nearest-neighbor resize matches the integer index map") {
+    val src = Multimodal.pngBytes(40, 13)
+    val out = MediaCodecHelper.decodePng(
+      MediaCodecHelper.pngResizeNearest(src, 8, 8))
+    assert(out != null && out.width == 8 && out.height == 8)
+    for (y <- 0 until 8; x <- 0 until 8) {
+      val sx = x * 40 / 8; val sy = y * 13 / 8
+      assert((out.pix(y * 8 + x) & 0xff) == ((sx * 31 + sy * 17) & 0xff))
+    }
+  }
+
+  test("wavPcmStats reads PCM through the chunk walk (LIST-first layout too)") {
+    for (bytes <- Seq(Multimodal.wavBytes(8000, 120),
+                      Multimodal.wavBytesWithList(8000, 120))) {
+      val row = MediaCodecHelper.wavPcmStats(bytes)
+      assert(row != null)
+      val samples = (0 until 120).map(i => (i % 256) * 128 - 16384)
+      assert(row.getLong(0) == 120L)
+      assert(row.getInt(1) == 8000)
+      assert(row.getLong(2) == samples.map(_.toLong).sum)
+      assert(row.getLong(3) == samples.map(v => v.toLong * v).sum)
+      assert(row.getInt(4) == samples.map(math.abs).max)
+    }
+  }
+
+  test("frame-sampling keeps every Nth frame and re-encodes a valid WAV") {
+    val fs = MediaCodecHelper.wavFrameSample(Multimodal.wavBytes(8000, 100), 7)
+    assert(fs != null)
+    val row = MediaCodecHelper.wavPcmStats(fs)
+    val kept = (0 until 100 by 7).map(i => (i % 256) * 128 - 16384)
+    assert(row.getLong(0) == kept.length.toLong)
+    assert(row.getLong(2) == kept.map(_.toLong).sum)
+    assert(row.getInt(1) == 8000) // rate preserved
+    // non-PCM input routes to null
+    assert(MediaCodecHelper.wavFrameSample("RIFFxxxxWAVE".getBytes, 2) == null)
+  }
+
+  test("Column API: decode/resize/features/frame-sample stay codegen'd end-to-end") {
+    val s = spark
+    import s.implicits._
+    val df = Seq((1L, 16, 9, 8000, 100), (2L, 47, 15, 12000, 149))
+      .toDF("id", "w", "h", "rate", "n")
+      .withColumn("img", Multimodal.makePng(col("w"), col("h")))
+      .withColumn("wav", Multimodal.makeWav(col("rate"), col("n")))
+    val img = Multimodal.decodeImage(col("img"))
+    val rs = Multimodal.decodeImage(Multimodal.imageResize(col("img"), 8, 8))
+    val fs = Multimodal.audioFeatures(Multimodal.audioFrameSample(col("wav"), 4))
+    val got = df.select(col("id"), col("w"), col("h"), col("n"),
+        img.getField("width").as("dw"), img.getField("px_sum").as("ps"),
+        rs.getField("width").as("rw"), rs.getField("px_sum").as("rp"),
+        fs.getField("n_samples").as("fn"), fs.getField("pcm_sum").as("fsum"))
+      .collect().sortBy(_.getLong(0))
+    for (r <- got) {
+      val (w, h, n) = (r.getInt(1), r.getInt(2), r.getInt(3))
+      assert(r.getInt(4) == w)
+      val expSum = (for (y <- 0 until h; x <- 0 until w)
+        yield ((x * 31 + y * 17) & 0xff).toLong).sum
+      assert(r.getLong(5) == expSum)
+      assert(r.getInt(6) == 8)
+      val expRs = (for (y <- 0 until 8; x <- 0 until 8)
+        yield (((x * w / 8) * 31 + (y * h / 8) * 17) & 0xff).toLong).sum
+      assert(r.getLong(7) == expRs)
+      val kept = 0 until n by 4
+      assert(r.getLong(8) == kept.length.toLong)
+      assert(r.getLong(9) == kept.map(i => ((i % 256) * 128 - 16384).toLong).sum)
+    }
+  }
+}
