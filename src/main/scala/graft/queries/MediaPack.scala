@@ -81,9 +81,55 @@ object MediaPack {
       fs.getField("pcm_sum").as("fs_sum"))
   }
 
+  /** End-to-end multimodal corpus assembly — the composition a training
+    * pipeline actually runs, each stage in its scalable form:
+    *  1. text gate: length >= 100 (a cheap scan-side predicate);
+    *  2. exact image dedup: min(doc_id) per full-md5 content group as a
+    *     window over the hash — ONE shuffle, no driver-side keeper set;
+    *  3. decoded-image gate: px_sum % 3 != 0 — synthetic because the
+    *     fixture rasters are deliberately intensity-uniform, but only
+    *     computable by an exact decode, so it pins the decoder inside a
+    *     composed plan;
+    *  4. audio gate: >= 30 frames after every-4th-frame decimation (a
+    *     REAL decode-derived predicate: the decimated clip is re-encoded
+    *     and re-analyzed);
+    *  5. deterministic hash split (salt mm1, 80/10/10).
+    * All per-row work is codegen'd scan-side; the only exchanges are the
+    * dedup window and the verify-ordering sort the driver applies.
+    */
+  def multimodalCorpus(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val media = mediaBlobs(s, dir)
+    val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+    val img = Multimodal.decodeImage(col("img"))
+    val fs = Multimodal.audioFeatures(Multimodal.audioFrameSample(col("wav"), 4))
+    // decode + hash BEFORE the dedup shuffle: the exchange carries
+    // (doc_id, md5, four longs), never the blobs — at 100 TB, shuffling
+    // binaries is the bottleneck; scan-side CPU on eventual dedup losers
+    // is the far cheaper side of that trade. Decoded gates also apply
+    // pre-shuffle, shrinking the exchange further.
+    val feat = media.join(docs, "doc_id")
+      .filter(length(col("text")) >= 100)
+      .select(col("doc_id"), md5(col("img")).as("content_md5"),
+        img.getField("px_sum").as("px_sum"),
+        img.getField("width").cast("long").as("img_w"),
+        img.getField("height").cast("long").as("img_h"),
+        fs.getField("n_samples").as("audio_frames"))
+      .filter(col("px_sum") % 3 =!= 0 && col("audio_frames") >= 30)
+    val keeper = min(col("doc_id"))
+      .over(Window.partitionBy(col("content_md5")))
+    graft.ops.TrainingPipeline.splitByHash(
+      feat.withColumn("keep_id", keeper)
+        .filter(col("doc_id") === col("keep_id"))
+        .select(col("doc_id"), col("img_w"), col("img_h"),
+          col("px_sum"), col("audio_frames")),
+      "doc_id", "mm1", Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_media_meta" -> mediaMeta _,
     "mm_codec_roundtrip" -> codecRoundtrip _,
+    "pl_mm_corpus" -> multimodalCorpus _,
   )
 
   val oracle: Map[String, String] = Map(
@@ -147,5 +193,39 @@ object MediaPack {
          JOIN img ON img.doc_id = d.doc_id
          JOIN rs ON rs.doc_id = d.doc_id
          JOIN pcm ON pcm.doc_id = d.doc_id""",
+    // stage-for-stage replay, matching the Spark plan's gate-before-dedup
+    // order: text + decoded-feature gates first, THEN min-doc_id per
+    // content group over the gated set (content is a pure function of
+    // (doc_id%32, doc_id%7)), then the md5 hash split. px_sum comes from
+    // the raster formula, audio_frames from the step-4 decimation count.
+    "pl_mm_corpus" ->
+      """WITH base AS (
+           SELECT doc_id, 16 + doc_id % 32 AS w, 9 + doc_id % 7 AS h,
+                  100 + doc_id % 50 AS n
+           FROM documents
+           WHERE length(text) >= 100
+         ), px AS (
+           SELECT b.doc_id, sum((x.x*31 + y.y*17) % 256) AS s
+           FROM base b
+           JOIN range(0, 47) x(x) ON x.x < b.w
+           JOIN range(0, 15) y(y) ON y.y < b.h
+           GROUP BY b.doc_id
+         ), feat AS (
+           SELECT b.doc_id, b.w, b.h, b.n, p.s,
+                  min(b.doc_id) OVER (PARTITION BY b.w, b.h) AS keep_id
+           FROM base b
+           JOIN px p ON p.doc_id = b.doc_id
+           WHERE p.s % 3 != 0 AND (b.n + 3) // 4 >= 30
+         )
+         SELECT f.doc_id,
+         CAST(f.w AS BIGINT) AS img_w,
+         CAST(f.h AS BIGINT) AS img_h,
+         CAST(f.s AS BIGINT) AS px_sum,
+         CAST((f.n + 3) // 4 AS BIGINT) AS audio_frames,
+         CASE WHEN ('0x'||substr(md5('mm1'||f.doc_id::VARCHAR),1,15))::BIGINT % 1000000 < 800000 THEN 'train'
+              WHEN ('0x'||substr(md5('mm1'||f.doc_id::VARCHAR),1,15))::BIGINT % 1000000 < 900000 THEN 'val'
+              ELSE 'test' END AS split
+         FROM feat f
+         WHERE f.doc_id = f.keep_id""",
   )
 }
