@@ -129,4 +129,35 @@ class MediaCodecSpec extends AnyFunSuite {
       assert(r.getLong(9) == kept.map(i => ((i % 256) * 128 - 16384).toLong).sum)
     }
   }
+
+  // Under AQE, EnsureRequirements only inserts exchanges at execution
+  // time (inside AdaptiveSparkPlanExec, opaque to collect()), so plan
+  // assertions build the plan with AQE off to see the real exchanges.
+  private def physicalNoAqe(build: => org.apache.spark.sql.DataFrame) = {
+    val prev = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try build.queryExecution.executedPlan
+    finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+  }
+
+  test("pl_mm_corpus: no binary column ever enters an exchange") {
+    import org.apache.spark.sql.execution.exchange.Exchange
+    import org.apache.spark.sql.types.BinaryType
+    val plan = physicalNoAqe(
+      graft.queries.MediaPack.multimodalCorpus(spark, TestSpark.sfDir))
+    val exchanges = plan.collect { case e: Exchange => e }
+    assert(exchanges.nonEmpty, "expected the dedup window exchange")
+    for (e <- exchanges; f <- e.child.schema.fields)
+      assert(f.dataType != BinaryType,
+        s"blob column '${f.name}' would be shuffled — decode/hash must stay scan-side")
+  }
+
+  test("mm_codec_roundtrip: decode pipeline plans zero shuffles") {
+    import org.apache.spark.sql.execution.exchange.Exchange
+    val plan = physicalNoAqe(
+      graft.queries.MediaPack.codecRoundtrip(spark, TestSpark.sfDir))
+    val exchanges = plan.collect { case e: Exchange => e }
+    assert(exchanges.isEmpty,
+      s"per-row decode must be a pure scan-side map, found: $exchanges")
+  }
 }
