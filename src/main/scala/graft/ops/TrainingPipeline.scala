@@ -131,4 +131,59 @@ object TrainingPipeline {
         concat_ws(" ", slice(col("t"), start + 1, len)).as("chunk_text"),
         len.cast("long").as("chunk_tokens"))
   }
+
+  /** Concat-and-cut sequence packing — the GPT-pretraining layout: order
+    * the corpus deterministically (same md5(seed||id) total order as
+    * [[shuffled]]), lay documents end-to-end on one global token tape, and
+    * cut the tape every `capacity` tokens. Each doc gets its pack id,
+    * offset within the pack, and how many packs it straddles.
+    *
+    * Scale: the naive form is a global-window cumsum — a single-partition
+    * anti-pattern. This is the two-phase prefix sum instead: ONE
+    * range-sort shuffle, then per-partition token totals (P longs to the
+    * driver — P is the partition count, not the row count), then a second
+    * per-partition pass that adds each partition's base offset. Identical
+    * cost class to [[shuffled]]; results are independent of the partition
+    * count because the order key is a total order.
+    */
+  def packSequences(df: DataFrame, idCol: String, lenCol: String,
+                    seed: String, capacity: Int): DataFrame = {
+    require(capacity > 0, s"capacity must be positive, got $capacity")
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    val ordered = df
+      .select(col(idCol), col(lenCol).cast("long").as("n_tokens"))
+      .orderBy(md5(concat(lit(seed), col(idCol).cast("string"))), col(idCol))
+    val rdd = ordered.rdd
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val totals = rdd.mapPartitionsWithIndex { (i, it) =>
+      var s = 0L; it.foreach(s += _.getLong(1)); Iterator((i, s))
+    }.collect().sortBy(_._1).map(_._2)
+    val bases = totals.scanLeft(0L)(_ + _)
+    val withOff = rdd.mapPartitionsWithIndex { (i, it) =>
+      var off = bases(i)
+      it.map { r =>
+        val o = off; off += r.getLong(1)
+        Row(r.get(0), r.getLong(1), o)
+      }
+    }
+    val schema = StructType(Seq(
+      df.schema(idCol),
+      StructField("n_tokens", LongType, nullable = false),
+      StructField("global_off", LongType, nullable = false)))
+    val cap = lit(capacity.toLong)
+    val packId = floor(col("global_off") / cap).cast("long")
+    val lastPack = floor((col("global_off") + greatest(col("n_tokens"), lit(1L)) - 1) / cap).cast("long")
+    val result = df.sparkSession.createDataFrame(withOff, schema)
+      .select(col(idCol), col("n_tokens"),
+        packId.as("pack_id"),
+        (col("global_off") % cap).as("pack_off"),
+        (lastPack - packId + 1L).as("packs_spanned"))
+      // materialize before releasing the sorted RDD (one row per doc —
+      // tiny next to the corpus); a long-lived driver must not accumulate
+      // executor storage across repeated packing runs
+      .localCheckpoint()
+    rdd.unpersist()
+    result
+  }
 }

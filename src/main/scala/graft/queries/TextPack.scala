@@ -168,6 +168,15 @@ object TextPack {
       "doc_id", "text", n = 3, threshold = 0.5)
   }
 
+  /** Concat-and-cut packing of whitespace token counts into 2048-token
+    * training sequences, in the md5('p1'||id) deterministic order.
+    */
+  def pipelinePack(s: SparkSession, dir: String): DataFrame =
+    TrainingPipeline.packSequences(
+      Tables.documents(s, dir)
+        .select(col("doc_id"), T.tokenCount(col("text")).as("n_tokens")),
+      "doc_id", "n_tokens", "p1", capacity = 2048)
+
   /** Deterministic stratified sample: upsample src0/src1, thin the rest. */
   def pipelineSample(s: SparkSession, dir: String): DataFrame =
     TrainingPipeline.sampleStratified(
@@ -181,6 +190,7 @@ object TextPack {
     "pl_chunks" -> pipelineChunks _,
     "pl_decontam" -> pipelineDecontam _,
     "pl_sample" -> pipelineSample _,
+    "pl_pack" -> pipelinePack _,
     "pl_dedup_corpus" -> pipelineDedupCorpus _,
     "tx_stats" -> textStats _,
     "tx_quality" -> quality _,
@@ -210,6 +220,23 @@ object TextPack {
   private val STOP = "['the','a','an','and','or','of','to','in','is','it','that','for','on','with','as','at','by','be','this']"
 
   val oracle: Map[String, String] = Map(
+    "pl_pack" ->
+      """WITH t AS (
+           SELECT doc_id,
+                  len([x for x in regexp_split_to_array(text, '\s+') if x <> '']) AS n
+           FROM documents
+         ), o AS (
+           SELECT doc_id, n,
+                  coalesce(sum(n) OVER (ORDER BY md5('p1'||doc_id::VARCHAR), doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+           FROM t
+         )
+         SELECT doc_id,
+           CAST(n AS BIGINT) AS n_tokens,
+           CAST(off // 2048 AS BIGINT) AS pack_id,
+           CAST(off % 2048 AS BIGINT) AS pack_off,
+           CAST((off + greatest(n, 1) - 1) // 2048 - off // 2048 + 1 AS BIGINT) AS packs_spanned
+         FROM o""",
     "pl_split" ->
       """SELECT doc_id,
          CASE WHEN ('0x'||substr(md5('s7'||doc_id::VARCHAR),1,15))::BIGINT % 1000000 < 800000 THEN 'train'

@@ -127,4 +127,31 @@ class TrainingPipelineSpec extends AnyFunSuite {
     assert(order("s") != order("t"), "different seed ⇒ different order")
     assert(order("s").sorted == (1L to 100L), "a permutation, not a sample")
   }
+
+  test("packSequences: contiguous tape, capacity cuts, partition-count independent") {
+    val s = spark
+    import s.implicits._
+    val docs = (1L to 200L).map(i => (i, 1 + (i * 7) % 40)).toDF("id", "len")
+    def run(parts: Int) =
+      TrainingPipeline.packSequences(docs.repartition(parts), "id", "len", "pk", 64)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+        .sortBy(_._1).toSeq
+    val got = run(4)
+    // identical result regardless of input partitioning (total order key)
+    assert(got == run(1) && got == run(13))
+    // replay the tape in md5 order: offsets must be exactly contiguous
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def key(id: Long) = md.digest(s"pk$id".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    val inOrder = got.sortBy(t => (key(t._1), t._1))
+    var off = 0L
+    for ((id, n, packId, packOff, spanned) <- inOrder) {
+      assert(packId == off / 64 && packOff == off % 64, s"doc $id misplaced")
+      assert(spanned == (off + math.max(n, 1) - 1) / 64 - off / 64 + 1)
+      off += n
+    }
+    assert(off == got.map(_._2).sum)
+    // straddlers exist at this capacity and are flagged
+    assert(got.exists(_._5 > 1))
+  }
 }
