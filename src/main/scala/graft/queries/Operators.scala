@@ -382,12 +382,14 @@ object Operators {
     */
   def sliceWindowQ(s: SparkSession, dir: String): DataFrame = {
     val (store, out) = Fixtures(s, dir, "fix_slice_window") { st =>
-      // the unpartitioned row_number window is fixture-only (one global
-      // numbering pass, built once) — never an operator path
-      val numbered = Tables.orders(s, dir)
-        .select(col("o_orderkey"), col("o_totalprice"))
-        .withColumn("lineno",
-          row_number().over(Window.orderBy(col("o_orderkey"))).cast("long") - 1)
+      // global numbering via range-sort + zipWithIndex (withPosition) —
+      // no single-partition window even in fixture code, and no
+      // WindowExec warning polluting the bench tail
+      val numbered = withPosition(
+        Tables.orders(s, dir)
+          .select(col("o_orderkey"), col("o_totalprice"))
+          .orderBy(col("o_orderkey")),
+        "lineno")
       val total = numbered.count()
       val n1 = total / 3
       val n2 = 2 * total / 3
