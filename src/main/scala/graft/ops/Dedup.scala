@@ -29,6 +29,28 @@ object Dedup {
       .agg(min(col(idCol)).as(idCol), count(lit(1)).as("dup_count"))
       .select(col(idCol), col("fp"), col("dup_count"))
 
+  /** Incremental exact dedup — the daily-ingest shape: drop every row of
+    * `batch` whose content fingerprint already appears anywhere in
+    * `history` (typically the full snapshot chain), and collapse
+    * within-batch duplicates to their min-id representative. Returns the
+    * surviving (id, fp) rows.
+    *
+    * Scale: both sides reduce to fingerprints scan-side, so the shuffles
+    * carry (id, long) / (long) only — the history's text column never
+    * moves. History fingerprints are distinct-ed first (map-side combine)
+    * so the anti-join's build side is one long per UNIQUE historical
+    * content, not per row.
+    */
+  def incrementalExact(batch: DataFrame, history: DataFrame,
+                       idCol: String, textCol: String): DataFrame = {
+    val bfp = batch.select(col(idCol),
+      T.fingerprint(col(textCol)).as("fp"))
+    val hfp = history.select(T.fingerprint(col(textCol)).as("fp")).distinct()
+    bfp.join(hfp, Seq("fp"), "left_anti")
+      .groupBy("fp").agg(min(col(idCol)).as(idCol))
+      .select(col(idCol), col("fp"))
+  }
+
   /** Word-n-gram Jaccard pairs with similarity ≥ threshold, computed
     * entirely from COUNTS — no shingle array ever crosses a shuffle.
     *

@@ -183,6 +183,37 @@ object TextPack {
       "doc_id", "text", n = 3, threshold = 0.5)
   }
 
+  /** Incremental exact dedup against a snapshot CHAIN — the daily-ingest
+    * composition: history is a two-snapshot chain (80% of the corpus,
+    * split by parity), today's batch is the remaining 20% where every
+    * doc_id % 10 == 0 row plagiarizes the text of doc_id+1 (a doc that IS
+    * in history). Survivors must be exactly the batch rows with fresh
+    * content, matched by fingerprint, not by id arithmetic.
+    */
+  def dedupIncremental(s: SparkSession, dir: String): DataFrame = {
+    val (store, _) = Fixtures(s, dir, "fix_doc_chain") { st =>
+      val d = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      val hist = d.filter(col("doc_id") % 5 =!= 0)
+      st.write(hist.filter(col("doc_id") % 2 === 0), "dc_a", slices = 4)
+      st.write(hist.filter(col("doc_id") % 2 =!= 0), "dc_b",
+        previous = Some("dc_a"), slices = 4)
+      Map("tip" -> "dc_b")
+    }
+    val history = store.iterateChain("dc_b", columns = Seq("doc_id", "text"))
+    val d = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+    // today's batch: ids % 5 == 0; every % 10 == 0 row carries the text of
+    // doc_id+1 (already in history) — built by a self-join, so the dup is
+    // by CONTENT, not by construction-time fingerprint arithmetic
+    val stolen = d.select((col("doc_id") - 1).as("doc_id"),
+      col("text").as("stolen_text"))
+    val batch = d.filter(col("doc_id") % 5 === 0)
+      .join(stolen, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("doc_id") % 10 === 0, col("stolen_text"))
+          .otherwise(col("text")).as("text"))
+    Dedup.incrementalExact(batch, history, "doc_id", "text")
+  }
+
   /** PII scrubbing over deterministically decorated text (the synthetic
     * corpus contains no natural PII, so the fixture injects emails/URLs/
     * phones as pure functions of doc_id — construction, not operator
@@ -229,6 +260,7 @@ object TextPack {
     "pl_sample" -> pipelineSample _,
     "pl_pack" -> pipelinePack _,
     "tx_scrub" -> scrub _,
+    "dd_incremental" -> dedupIncremental _,
     "pl_dedup_corpus" -> pipelineDedupCorpus _,
     "tx_stats" -> textStats _,
     "tx_quality" -> quality _,
@@ -258,6 +290,23 @@ object TextPack {
   private val STOP = "['the','a','an','and','or','of','to','in','is','it','that','for','on','with','as','at','by','be','this']"
 
   val oracle: Map[String, String] = Map(
+    "dd_incremental" ->
+      """WITH batch AS (
+           SELECT d.doc_id,
+                  CASE WHEN d.doc_id % 10 = 0 THEN s.text ELSE d.text END AS text
+           FROM documents d LEFT JOIN documents s ON s.doc_id = d.doc_id + 1
+           WHERE d.doc_id % 5 = 0
+         ), hist AS (
+           SELECT DISTINCT ('0x' || substr(md5(lower(trim(regexp_replace(text,'\s+',' ')))),1,15))::BIGINT AS fp
+           FROM documents WHERE doc_id % 5 != 0
+         ), bfp AS (
+           SELECT doc_id,
+                  ('0x' || substr(md5(lower(trim(regexp_replace(text,'\s+',' ')))),1,15))::BIGINT AS fp
+           FROM batch
+         )
+         SELECT min(doc_id) AS doc_id, fp FROM bfp
+         WHERE fp NOT IN (SELECT fp FROM hist)
+         GROUP BY fp""",
     "tx_scrub" ->
       """WITH dec AS (
            SELECT doc_id, text || ' contact user' || doc_id || '@example.com or user'
