@@ -183,4 +183,29 @@ class TrainingPipelineSpec extends AnyFunSuite {
     assert(got(4)._2 == "<EMAIL> at <URL> <PHONE>" || got(4)._2.contains("<EMAIL>"))
     assert(got(4)._3 == 2L && got(4)._5 == 1L)
   }
+
+  test("incrementalExact: no text column crosses an exchange") {
+    // asserted on the OPERATOR with parquet-like inputs (the dd_incremental
+    // query's synthetic batch construction self-joins text to build its
+    // plagiarism fixture — that join is test-data setup, not the ingest
+    // path a production batch arrives through)
+    import org.apache.spark.sql.execution.exchange.Exchange
+    import org.apache.spark.sql.types.StringType
+    val s = spark
+    val docs = s.read.parquet(TestSpark.sfDir + "/documents.parquet")
+      .select(org.apache.spark.sql.functions.col("doc_id"),
+        org.apache.spark.sql.functions.col("text"))
+    val prev = s.conf.get("spark.sql.adaptive.enabled")
+    s.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val plan = graft.ops.Dedup.incrementalExact(
+        docs.limit(100), docs, "doc_id", "text")
+        .queryExecution.executedPlan
+      val exchanges = plan.collect { case e: Exchange => e }
+      assert(exchanges.nonEmpty)
+      for (e <- exchanges; f <- e.child.schema.fields)
+        assert(f.dataType != StringType,
+          s"text column '${f.name}' would be shuffled — fingerprint must reduce scan-side")
+    } finally s.conf.set("spark.sql.adaptive.enabled", prev)
+  }
 }
