@@ -49,6 +49,12 @@ object Bench {
         name -> (System.nanoTime() - t0) / 1e9
       }.toMap
     }
+    // per-pass totals to stderr: when a future round's numbers look off,
+    // this shows whether noise hit one pass or all three (the JSON line on
+    // stdout stays the single driver-parsed artifact)
+    samples.zipWithIndex.foreach { case (m, i) =>
+      System.err.println(f"[bench] pass ${i + 1}: ${m.values.sum}%.1f s")
+    }
     val results = ordered.map { case (name, _) =>
       name -> samples.map(_(name)).min
     }
