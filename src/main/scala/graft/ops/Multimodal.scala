@@ -113,7 +113,47 @@ object Multimodal {
     out.toByteArray
   }
 
+  /** Minimal valid RGB PNG (color type 2, filter 0) — written by its OWN
+    * byte-level code, deliberately NOT via MediaCodecHelper.encodePng: the
+    * oracle check on decoded RGB values only means something if fixture
+    * generation and production decode share no code path. Channel c of
+    * pixel (x,y) = (x*31 + y*17 + c*53) & 0xFF.
+    */
+  def rgbPngBytes(width: Int, height: Int): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    def be(i: Int): Array[Byte] =
+      Array(((i >> 24) & 0xff).toByte, ((i >> 16) & 0xff).toByte,
+            ((i >> 8) & 0xff).toByte, (i & 0xff).toByte)
+    def chunk(tag: String, data: Array[Byte]): Unit = {
+      out.write(be(data.length))
+      val tagged = tag.getBytes("US-ASCII") ++ data
+      out.write(tagged)
+      val crc = new java.util.zip.CRC32()
+      crc.update(tagged)
+      out.write(be(crc.getValue.toInt))
+    }
+    out.write(Array(0x89, 'P', 'N', 'G', '\r', '\n', 0x1a, '\n').map(_.toByte))
+    chunk("IHDR", be(width) ++ be(height) ++ Array[Byte](8, 2, 0, 0, 0))
+    val stride = width * 3
+    val raw = new Array[Byte](height * (stride + 1))
+    for (y <- 0 until height; x <- 0 until width; c <- 0 until 3)
+      raw(y * (stride + 1) + 1 + x * 3 + c) = ((x * 31 + y * 17 + c * 53) & 0xff).toByte
+    val deflater = new java.util.zip.Deflater()
+    deflater.setInput(raw); deflater.finish()
+    val zout = new java.io.ByteArrayOutputStream()
+    val buf = new Array[Byte](64 * 1024)
+    while (!deflater.finished()) {
+      val n = deflater.deflate(buf)
+      zout.write(buf, 0, n)
+    }
+    deflater.end()
+    chunk("IDAT", zout.toByteArray)
+    chunk("IEND", Array.empty)
+    out.toByteArray
+  }
+
   val makePng = udf((w: Int, h: Int) => pngBytes(w, h))
+  val makeRgbPng = udf((w: Int, h: Int) => rgbPngBytes(w, h))
   val makeWav = udf((rate: Int, n: Int) => wavBytes(rate, n))
   val makeWavWithList = udf((rate: Int, n: Int) => wavBytesWithList(rate, n))
 

@@ -28,7 +28,10 @@ object MediaPack {
           (lit(9) + col("doc_id") % 7).cast("int")))
         .withColumn("wav", Multimodal.makeWav(
           (lit(8000) + (col("doc_id") % 3) * 4000).cast("int"),
-          (lit(100) + col("doc_id") % 50).cast("int"))),
+          (lit(100) + col("doc_id") % 50).cast("int")))
+        .withColumn("rgb", Multimodal.makeRgbPng(
+          (lit(8) + col("doc_id") % 16).cast("int"),
+          (lit(5) + col("doc_id") % 5).cast("int"))),
         "mm_media", slices = 8)
       Map("blobs" -> "mm_media")
     }
@@ -67,6 +70,7 @@ object MediaPack {
     val rs = Multimodal.decodeImage(Multimodal.imageResize(col("img"), 8, 8))
     val pcm = Multimodal.audioFeatures(col("wav"))
     val fs = Multimodal.audioFeatures(Multimodal.audioFrameSample(col("wav"), 4))
+    val rgb = Multimodal.decodeImage(col("rgb"))
     media.select(col("doc_id"),
       img.getField("width").cast("long").as("img_w"),
       img.getField("height").cast("long").as("img_h"),
@@ -78,7 +82,9 @@ object MediaPack {
       pcm.getField("pcm_sum").as("pcm_sum"),
       pcm.getField("pcm_sqsum").as("pcm_sqsum"),
       pcm.getField("pcm_peak").cast("long").as("pcm_peak"),
-      fs.getField("pcm_sum").as("fs_sum"))
+      fs.getField("pcm_sum").as("fs_sum"),
+      rgb.getField("channels").cast("long").as("rgb_ch"),
+      rgb.getField("px_sum").as("rgb_sum"))
   }
 
   /** End-to-end multimodal corpus assembly — the composition a training
@@ -177,6 +183,15 @@ object MediaPack {
            JOIN range(0, 149) i(i) ON i.i < 100 + d.doc_id % 50
            GROUP BY d.doc_id
          )
+         , rgb AS (
+           SELECT d.doc_id,
+                  sum((x.x*31 + y.y*17) % 256 + (x.x*31 + y.y*17 + 53) % 256
+                    + (x.x*31 + y.y*17 + 106) % 256) AS s
+           FROM documents d
+           JOIN range(0, 23) x(x) ON x.x < 8 + d.doc_id % 16
+           JOIN range(0, 9) y(y) ON y.y < 5 + d.doc_id % 5
+           GROUP BY d.doc_id
+         )
          SELECT d.doc_id,
          CAST(16 + d.doc_id % 32 AS BIGINT) AS img_w,
          CAST(9 + d.doc_id % 7 AS BIGINT) AS img_h,
@@ -188,11 +203,14 @@ object MediaPack {
          CAST(pcm.s AS BIGINT) AS pcm_sum,
          CAST(pcm.q AS BIGINT) AS pcm_sqsum,
          CAST(pcm.pk AS BIGINT) AS pcm_peak,
-         CAST(pcm.fss AS BIGINT) AS fs_sum
+         CAST(pcm.fss AS BIGINT) AS fs_sum,
+         CAST(3 AS BIGINT) AS rgb_ch,
+         CAST(rgb.s AS BIGINT) AS rgb_sum
          FROM documents d
          JOIN img ON img.doc_id = d.doc_id
          JOIN rs ON rs.doc_id = d.doc_id
-         JOIN pcm ON pcm.doc_id = d.doc_id""",
+         JOIN pcm ON pcm.doc_id = d.doc_id
+         JOIN rgb ON rgb.doc_id = d.doc_id""",
     // stage-for-stage replay, matching the Spark plan's gate-before-dedup
     // order: text + decoded-feature gates first, THEN min-doc_id per
     // content group over the gated set (content is a pure function of
