@@ -95,7 +95,10 @@ object MediaCodecHelper {
     try {
       while (got < raw.length && !inf.finished()) {
         val n = inf.inflate(raw, got, raw.length - got)
-        if (n == 0 && inf.needsInput()) return null // truncated stream
+        // n == 0 while unfinished covers BOTH truncation (needsInput) and
+        // a preset-dictionary stream (needsDictionary) — bailing only on
+        // needsInput would spin forever on an FDICT zlib header
+        if (n == 0) return null
         got += n
       }
     } catch { case _: java.util.zip.DataFormatException => return null }

@@ -157,7 +157,16 @@ object TrainingPipeline {
     val rdd = ordered.rdd
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val totals = rdd.mapPartitionsWithIndex { (i, it) =>
-      var s = 0L; it.foreach(s += _.getLong(1)); Iterator((i, s))
+      var s = 0L
+      it.foreach { r =>
+        // fail fast with a real message — Row.getLong on a null would
+        // abort the job with an opaque executor NPE, and the declared
+        // nullable=false schema below must actually be enforced
+        require(!r.isNullAt(1),
+          s"packSequences: null $lenCol for ${r.get(0)} — lengths must be non-null")
+        s += r.getLong(1)
+      }
+      Iterator((i, s))
     }.collect().sortBy(_._1).map(_._2)
     val bases = totals.scanLeft(0L)(_ + _)
     val withOff = rdd.mapPartitionsWithIndex { (i, it) =>

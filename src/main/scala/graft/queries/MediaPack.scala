@@ -109,19 +109,23 @@ object MediaPack {
     val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
     val img = Multimodal.decodeImage(col("img"))
     val fs = Multimodal.audioFeatures(Multimodal.audioFrameSample(col("wav"), 4))
-    // decode + hash BEFORE the dedup shuffle: the exchange carries
-    // (doc_id, md5, four longs), never the blobs — at 100 TB, shuffling
-    // binaries is the bottleneck; scan-side CPU on eventual dedup losers
-    // is the far cheaper side of that trade. Decoded gates also apply
-    // pre-shuffle, shrinking the exchange further.
-    val feat = media.join(docs, "doc_id")
-      .filter(length(col("text")) >= 100)
+    // decode + hash from the media scan ALONE, before any join: the join
+    // and the dedup exchange then carry (doc_id, md5, four longs), never
+    // the blobs — at 100 TB, shuffling binaries is the bottleneck;
+    // scan-side CPU on rows a later gate drops is the far cheaper side of
+    // that trade. (Joining media to docs first and selecting after would
+    // re-introduce a blob shuffle the moment the docs side outgrows the
+    // broadcast threshold — Catalyst prunes columns but cannot push
+    // derived expressions below a join.)
+    val feat = media
       .select(col("doc_id"), md5(col("img")).as("content_md5"),
         img.getField("px_sum").as("px_sum"),
         img.getField("width").cast("long").as("img_w"),
         img.getField("height").cast("long").as("img_h"),
         fs.getField("n_samples").as("audio_frames"))
       .filter(col("px_sum") % 3 =!= 0 && col("audio_frames") >= 30)
+      .join(docs.filter(length(col("text")) >= 100).select(col("doc_id")),
+        "doc_id")
     val keeper = min(col("doc_id"))
       .over(Window.partitionBy(col("content_md5")))
     graft.ops.TrainingPipeline.splitByHash(

@@ -206,10 +206,14 @@ object TextPack {
     // by CONTENT, not by construction-time fingerprint arithmetic
     val stolen = d.select((col("doc_id") - 1).as("doc_id"),
       col("text").as("stolen_text"))
+    // coalesce: if doc_id+1 does not exist (a corpus whose max id is
+    // divisible by 10), the doc keeps its own text — without it the row
+    // carries a null fingerprint, which Spark's null-safe anti-join keeps
+    // but the oracle's NOT IN silently drops (latent verify divergence)
     val batch = d.filter(col("doc_id") % 5 === 0)
       .join(stolen, Seq("doc_id"), "left")
       .select(col("doc_id"),
-        when(col("doc_id") % 10 === 0, col("stolen_text"))
+        when(col("doc_id") % 10 === 0, coalesce(col("stolen_text"), col("text")))
           .otherwise(col("text")).as("text"))
     Dedup.incrementalExact(batch, history, "doc_id", "text")
   }
@@ -293,7 +297,7 @@ object TextPack {
     "dd_incremental" ->
       """WITH batch AS (
            SELECT d.doc_id,
-                  CASE WHEN d.doc_id % 10 = 0 THEN s.text ELSE d.text END AS text
+                  CASE WHEN d.doc_id % 10 = 0 THEN coalesce(s.text, d.text) ELSE d.text END AS text
            FROM documents d LEFT JOIN documents s ON s.doc_id = d.doc_id + 1
            WHERE d.doc_id % 5 = 0
          ), hist AS (

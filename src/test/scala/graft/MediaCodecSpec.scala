@@ -60,6 +60,12 @@ class MediaCodecSpec extends AnyFunSuite {
     val hugeHeader = good.clone()
     hugeHeader(16) = 0x7f // width -> ~2^31: size cap must reject, not OOM
     assert(MediaCodecHelper.decodePng(hugeHeader) == null)
+    // FDICT zlib header (0x78 0x20 — valid FCHECK, preset-dictionary bit
+    // set): Inflater returns 0 with needsDictionary(), which must yield
+    // null, not an infinite inflate loop pinning the executor
+    val fdict = good.clone()
+    fdict(41) = 0x78; fdict(42) = 0x20 // first two IDAT data bytes
+    assert(MediaCodecHelper.decodePng(fdict) == null)
   }
 
   test("nearest-neighbor resize matches the integer index map") {
