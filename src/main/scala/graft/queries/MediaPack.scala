@@ -100,8 +100,9 @@ object MediaPack {
     *     REAL decode-derived predicate: the decimated clip is re-encoded
     *     and re-analyzed);
     *  5. deterministic hash split (salt mm1, 80/10/10).
-    * All per-row work is codegen'd scan-side; the only exchanges are the
-    * dedup window and the verify-ordering sort the driver applies.
+    * All per-row work is codegen'd scan-side; every exchange (the gated-id
+    * join and the dedup window) carries only doc_id, md5 and a few longs —
+    * never a blob or the text column.
     */
   def multimodalCorpus(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
