@@ -88,6 +88,78 @@ case class ShingleHash40(child: Expression, n: Int) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Positioned word-n-gram hashes: out(j) = 60-bit md5 hash of the
+  * space-joined tokens j..j+n-1, for j in 0..m-n (EMPTY when m < n — a
+  * short document has no full window, unlike ShingleHash40's whole-text
+  * fallback, because span arithmetic needs every hash to stand for exactly
+  * n tokens). Non-distinct and index-aligned so the consumer can map a
+  * duplicated hash back to the token span it covers
+  * (Dedup.dupSpans). Space-joining is injective here: tokens come from a
+  * whitespace split, so they cannot contain the separator. Value-identical
+  * to the oracle's `('0x'||substr(md5(array_to_string(ts[j+1:j+n],' ')),1,15))::BIGINT`.
+  *
+  * Single pass, one StringBuilder per window — the HOF formulation
+  * (`transform(sequence(...), j => conv(substring(md5(concat_ws(...`
+  * evaluates interpreted per window (see file header).
+  */
+case class PositionedShingleHash60(child: Expression, n: Int) extends UnaryExpression {
+  require(n > 0, s"n must be positive, got $n")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_positioned_shingle_hash60"
+
+  def compute(arr: ArrayData): ArrayData = {
+    val m = arr.numElements()
+    if (m < n) return new GenericArrayData(Array.emptyLongArray)
+    val out = new Array[Long](m - n + 1)
+    var i = 0
+    while (i + n <= m) {
+      val sb = new java.lang.StringBuilder
+      var j = 0
+      var first = true
+      while (j < n) {
+        // concat_ws semantics (nulls skipped without separator) — token
+        // arrays from TextFunctions.tokens never carry nulls, but stay
+        // consistent with the column-function formulation
+        if (!arr.isNullAt(i + j)) {
+          if (!first) sb.append(' ')
+          sb.append(arr.getUTF8String(i + j))
+          first = false
+        }
+        j += 1
+      }
+      out(i) = Md5Hash60.of(sb.toString.getBytes("UTF-8"))
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("shingler", this, classOf[PositionedShingleHash60].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $self.compute($c);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): PositionedShingleHash60 =
+    copy(child = newChild)
+}
+
+/** First 15 hex digits of md5 as a 60-bit long — the fused equivalent of
+  * `conv(substring(md5(x),1,15),16,10)` (TextFunctions.fingerprint and the
+  * oracle's `('0x'||substr(md5(x),1,15))::BIGINT`): bytes 0-6 whole, plus
+  * the high nibble of byte 7.
+  */
+object Md5Hash60 {
+  def of(bytes: Array[Byte]): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5").digest(bytes)
+    var v = 0L
+    var i = 0
+    while (i < 7) { v = (v << 8) | (d(i) & 0xffL); i += 1 }
+    (v << 4) | ((d(7) >> 4) & 0xfL)
+  }
+}
+
 /** Per-token 40-bit hashes (non-distinct) — the fused equivalent of
   * `transform(toks, tokenHash40)`, feeding SimHash.
   */

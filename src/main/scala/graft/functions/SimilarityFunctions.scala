@@ -42,6 +42,18 @@ object SimilarityFunctions {
     GraftBridge.column(graft.expr.ShingleHash40(GraftBridge.expression(toks), n))
   }
 
+  /** Positioned (non-distinct) 60-bit n-gram hashes over a token array:
+    * element j hashes tokens j..j+n-1; empty when the doc has fewer than n
+    * tokens. Fused single-pass expression
+    * (graft.expr.PositionedShingleHash60) — feeds span-level dedup, where
+    * a duplicated hash must map back to the token positions it covers.
+    */
+  def positionedShingleHashes(toks: Column, n: Int): Column = {
+    import org.apache.spark.sql.GraftBridge
+    GraftBridge.column(graft.expr.PositionedShingleHash60(
+      GraftBridge.expression(toks), n))
+  }
+
   /** Per-token 40-bit hashes, fused (graft.expr.TokenHash40Array). */
   def tokenHashes40(toks: Column): Column = {
     import org.apache.spark.sql.GraftBridge

@@ -386,6 +386,63 @@ object Dedup {
     labeled.toDF("id", "cluster")
   }
 
+  /** Span-level exact-substring dedup (the token-window variant of Lee et
+    * al., "Deduplicating Training Data Makes Language Models Better",
+    * ACL'22): find every token n-gram that also occurs in an EARLIER
+    * document (min-doc-id owner keeps its copy), and scrub the covered
+    * token spans from all later occurrences. Catches the cross-document
+    * boilerplate (headers, license blocks, quoted passages) that
+    * document-level dedup can't touch because the surrounding text
+    * differs.
+    *
+    * Returns one row per input document: (idCol, n_tokens, n_dup_ngrams,
+    * n_removed, clean_text) where clean_text is the normalized text with
+    * every covered token dropped ('' when fully covered).
+    *
+    * Scale: the positioned-hash explode is the corpus's token count in
+    * (id, pos, h) longs — the same cost class as the shingle inverted
+    * index; the owner table aggregates map-side; the dup-position rejoin
+    * and the per-doc regroup carry only actual duplicate windows, which is
+    * tiny unless the corpus is mostly boilerplate. The final join back to
+    * the token arrays is doc-id-keyed. Per-row scrub cost is
+    * O(tokens × dup windows) via the exists() predicate — bounded by doc
+    * length, partition-local.
+    *
+    * Ids must be orderable; "earlier" = smaller id. n defaults to 10 — long
+    * enough that natural text rarely collides, short enough to catch
+    * sentence-level quoting.
+    */
+  def dupSpans(df: DataFrame, idCol: String, textCol: String,
+               n: Int = 10): DataFrame = {
+    require(n > 0, s"n must be positive, got $n")
+    // the token arrays feed both the gram explode and the final scrub
+    // join. Deliberately NOT persisted: the result (and this intermediate)
+    // is corpus-sized, so caching would spill ~the whole corpus at scale —
+    // two codegen'd tokenize scans are the cheaper side of that trade
+    // (ngramJaccard persists because its reuse target is tiny pair sets)
+    val toksDf = df.select(col(idCol).as("id"),
+      T.tokens(T.normalized(col(textCol))).as("ts"))
+    val grams = toksDf
+      .select(col("id"), posexplode(S.positionedShingleHashes(col("ts"), n)))
+      .toDF("id", "pos", "h")
+    val owners = grams.groupBy("h").agg(min(col("id")).as("owner"))
+    val perDoc = grams.join(owners, "h")
+      .filter(col("id") > col("owner"))
+      .groupBy("id").agg(sort_array(collect_list(col("pos"))).as("ps"))
+    val joined = toksDf.join(perDoc, Seq("id"), "left")
+      .select(col("id"), col("ts"),
+        coalesce(col("ps"), lit(Array.emptyIntArray)).as("ps"))
+    // token i is covered iff some dup window starting at p spans it
+    val clean = filter(col("ts"), (_, i) =>
+      !exists(col("ps"), p => p <= i && i < p + n))
+    joined.select(
+      col("id").as(idCol),
+      size(col("ts")).cast("long").as("n_tokens"),
+      size(col("ps")).cast("long").as("n_dup_ngrams"),
+      (size(col("ts")) - size(clean)).cast("long").as("n_removed"),
+      concat_ws(" ", clean).as("clean_text"))
+  }
+
   /** Embedding near-dup: pairs with cosine ≥ threshold. Brute-force
     * O(n²/2) — correct baseline for small corpora; `embeddingCosineLsh`
     * is the at-scale path.

@@ -132,6 +132,80 @@ object TrainingPipeline {
         len.cast("long").as("chunk_tokens"))
   }
 
+  /** Corpus vocabulary: the top-`topK` normalized tokens by total
+    * occurrence count (term frequency), with document frequency, for
+    * tokens appearing in at least `minDf` documents. The classic
+    * distributed wordcount, which every tokenizer-training and
+    * stopword-derivation pipeline starts from.
+    *
+    * Returns (token, tf, df, rank), rank 1-based by (tf desc, token asc) —
+    * a total order, so results are deterministic.
+    *
+    * Scale: both aggregations are token-keyed with map-side partial
+    * combine — the skew of natural-language token frequency (Zipf: "the"
+    * is everywhere) is absorbed by the partial aggregation, so no single
+    * reducer sees the corpus. The tf/df join happens after both sides
+    * collapsed to vocab size. Global top-K is a sort-limit
+    * (TakeOrderedAndProject: per-partition heaps, K rows to the driver
+    * merge — never a corpus-wide single-partition sort).
+    */
+  def vocabulary(df: DataFrame, textCol: String,
+                 minDf: Int, topK: Int): DataFrame = {
+    require(minDf >= 1 && topK >= 1,
+      s"need minDf >= 1 and topK >= 1, got minDf=$minDf topK=$topK")
+    val toks = df.select(T.tokens(T.normalized(col(textCol))).as("ts"))
+    val tf = toks.select(explode(col("ts")).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("tf"))
+    val dfc = toks.select(explode(array_distinct(col("ts"))).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("df"))
+    val top = tf.join(dfc, "token")
+      .filter(col("df") >= minDf)
+      .orderBy(col("tf").desc, col("token").asc)
+      .limit(topK)
+    // the rank window is unpartitioned BY DESIGN: it runs over the ≤topK
+    // rows surviving the limit, not the corpus — bounded, not a scale risk
+    import org.apache.spark.sql.expressions.Window
+    top.withColumn("rank", row_number()
+        .over(Window.orderBy(col("tf").desc, col("token").asc)).cast("long"))
+  }
+
+  /** Per-document keyword extraction: the top-`topK` tokens of each
+    * document by tf-idf. The idf is the RATIONAL form nDocs/df (not
+    * log-scaled): rank order per document is identical (log is monotone)
+    * and the score stays a product/quotient of exactly-representable
+    * integers — deterministic double arithmetic the oracle reproduces
+    * bit-for-bit, with no libm ulp dependence.
+    *
+    * Returns (idCol, rank, token, tf_doc, df, score), rank 1-based by
+    * (score desc, token asc) within each document.
+    *
+    * Scale: the (doc, token) aggregation is the big shuffle (corpus token
+    * count in, collapsed pairs out, map-side combined); the df table
+    * collapses to vocab size before the join back (token-keyed shuffle
+    * join — vocab can reach billions of rows at 100 TB, so no broadcast
+    * assumption); the top-K window is keyed by document — bounded
+    * partitions, no skew beyond document length.
+    */
+  def tfidfKeywords(df: DataFrame, idCol: String, textCol: String,
+                    topK: Int = 3): DataFrame = {
+    require(topK >= 1, s"topK must be >= 1, got $topK")
+    val nDocs = df.count()
+    val pairs = df
+      .select(col(idCol), explode(T.tokens(T.normalized(col(textCol)))).as("token"))
+      .groupBy(col(idCol), col("token")).agg(count(lit(1)).as("tf_doc"))
+    val dfc = pairs.groupBy("token").agg(count(lit(1)).as("df"))
+    val scored = pairs.join(dfc, "token")
+      .withColumn("score",
+        col("tf_doc").cast("double") * lit(nDocs.toDouble) / col("df").cast("double"))
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(idCol))
+      .orderBy(col("score").desc, col("token").asc)
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= topK)
+      .select(col(idCol), col("rank"), col("token"), col("tf_doc"),
+        col("df"), col("score"))
+  }
+
   /** Concat-and-cut sequence packing — the GPT-pretraining layout: order
     * the corpus deterministically (same md5(seed||id) total order as
     * [[shuffled]]), lay documents end-to-end on one global token tape, and

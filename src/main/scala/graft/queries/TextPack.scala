@@ -249,6 +249,25 @@ object TextPack {
         .select(col("doc_id"), T.tokenCount(col("text")).as("n_tokens")),
       "doc_id", "n_tokens", "p1", capacity = 2048)
 
+  /** Corpus vocabulary: top-100 tokens by term frequency among those in
+    * ≥2 documents — the wordcount every tokenizer/stopword pipeline runs.
+    */
+  def vocab(s: SparkSession, dir: String): DataFrame =
+    TrainingPipeline.vocabulary(Tables.documents(s, dir), "text",
+      minDf = 2, topK = 100)
+
+  /** Per-document top-3 keywords by (rational-idf) tf-idf. */
+  def keywords(s: SparkSession, dir: String): DataFrame =
+    TrainingPipeline.tfidfKeywords(Tables.documents(s, dir), "doc_id", "text",
+      topK = 3)
+
+  /** Span-level exact-substring scrub: every token 10-gram also present in
+    * an earlier document is removed from the later one (Lee et al. ACL'22
+    * semantics at token-window granularity).
+    */
+  def dedupSpans(s: SparkSession, dir: String): DataFrame =
+    Dedup.dupSpans(Tables.documents(s, dir), "doc_id", "text", n = 10)
+
   /** Deterministic stratified sample: upsample src0/src1, thin the rest. */
   def pipelineSample(s: SparkSession, dir: String): DataFrame =
     TrainingPipeline.sampleStratified(
@@ -271,6 +290,9 @@ object TextPack {
     "tx_langid" -> langid _,
     "tx_fingerprint" -> fingerprintQ _,
     "tx_repetition" -> repetition _,
+    "pl_vocab" -> vocab _,
+    "tx_keywords" -> keywords _,
+    "dd_spans" -> dedupSpans _,
     "dd_exact" -> dedupExact _,
     "dd_ngram_jaccard" -> dedupNgram _,
     "dd_minhash_lsh" -> dedupMinhash _,
