@@ -456,6 +456,61 @@ object TextPack {
          WHERE ('0x'||substr(md5('s9'||doc_id::VARCHAR),1,15))::BIGINT % 1000000 <
            CASE source WHEN 'src0' THEN 500000 WHEN 'src1' THEN 250000
                 ELSE 100000 END""",
+    // normalized-token CTE shared by the three corpus-statistics oracles:
+    // identical to TextFunctions.tokens(normalized(text)) — split the
+    // whitespace-collapsed lowercased text and drop empties
+    "pl_vocab" ->
+      """WITH n AS (SELECT doc_id,
+             [t for t in string_split(lower(trim(regexp_replace(text,'\s+',' '))),' ') if t <> ''] ts
+           FROM documents),
+         tf AS (SELECT t AS token, count(*) AS tf
+           FROM n, LATERAL unnest(ts) AS u(t) GROUP BY 1),
+         dfc AS (SELECT token, count(*) AS df FROM
+           (SELECT DISTINCT doc_id, t AS token FROM n, LATERAL unnest(ts) AS u(t))
+           GROUP BY 1)
+         SELECT token, tf, df,
+           row_number() OVER (ORDER BY tf DESC, token ASC) AS "rank"
+         FROM tf JOIN dfc USING (token)
+         WHERE df >= 2
+         ORDER BY tf DESC, token ASC
+         LIMIT 100""",
+    "tx_keywords" ->
+      """WITH n AS (SELECT doc_id,
+             [t for t in string_split(lower(trim(regexp_replace(text,'\s+',' '))),' ') if t <> ''] ts
+           FROM documents),
+         pairs AS (SELECT doc_id, t AS token, count(*) AS tf_doc
+           FROM n, LATERAL unnest(ts) AS u(t) GROUP BY 1, 2),
+         dfc AS (SELECT token, count(*) AS df FROM pairs GROUP BY 1),
+         scored AS (SELECT p.doc_id, p.token, p.tf_doc, d.df,
+             p.tf_doc::DOUBLE * (SELECT count(*) FROM documents)::DOUBLE / d.df::DOUBLE AS score
+           FROM pairs p JOIN dfc d USING (token))
+         SELECT doc_id, "rank", token, tf_doc, df, score FROM (
+           SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, token ASC) AS "rank"
+           FROM scored) t
+         WHERE "rank" <= 3""",
+    "dd_spans" ->
+      """WITH n AS (SELECT doc_id,
+             [t for t in string_split(lower(trim(regexp_replace(text,'\s+',' '))),' ') if t <> ''] ts
+           FROM documents),
+         grams AS (SELECT doc_id, i AS pos,
+             ('0x'||substr(md5(array_to_string(ts[i+1:i+10],' ')),1,15))::BIGINT AS h
+           FROM n, LATERAL unnest(range(greatest(len(ts)-9, 0))) AS u(i)),
+         owners AS (SELECT h, min(doc_id) AS owner FROM grams GROUP BY h),
+         dup AS (SELECT g.doc_id, list_sort(list(g.pos)) AS ps
+           FROM grams g JOIN owners o USING (h)
+           WHERE g.doc_id > o.owner GROUP BY g.doc_id),
+         j AS (SELECT n.doc_id, n.ts, coalesce(dup.ps, []) AS ps
+           FROM n LEFT JOIN dup USING (doc_id)),
+         c AS (SELECT doc_id, ts, ps,
+             [ts[i+1] for i in range(len(ts))
+              if len([p for p in ps if p <= i AND i < p + 10]) = 0] AS clean
+           FROM j)
+         SELECT doc_id,
+           len(ts)::BIGINT AS n_tokens,
+           len(ps)::BIGINT AS n_dup_ngrams,
+           (len(ts) - len(clean))::BIGINT AS n_removed,
+           coalesce(array_to_string(clean, ' '), '') AS clean_text
+         FROM c""",
     "dd_ngram_jaccard" -> OracleGen.ngramJaccard(NgramMaxDf, 0.3),
     "dd_minhash_lsh" -> OracleGen.minhashLsh(16, 8, 0.3),
     "dd_simhash" -> OracleGen.simhash(3),

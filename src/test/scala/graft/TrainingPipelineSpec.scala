@@ -208,4 +208,72 @@ class TrainingPipelineSpec extends AnyFunSuite {
           s"text column '${f.name}' would be shuffled — fingerprint must reduce scan-side")
     } finally s.conf.set("spark.sql.adaptive.enabled", prev)
   }
+
+  test("vocabulary: tf/df counts, minDf filter, deterministic rank") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      (1L, "the cat sat"),
+      (2L, "the cat ran"),
+      (3L, "THE  dog\tran"), // normalization folds case + whitespace
+      (4L, "unique")).toDF("id", "text")
+    val got = TrainingPipeline.vocabulary(docs, "text", minDf = 2, topK = 10)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // the: tf 3 / df 3; cat tf 2 df 2; ran tf 2 df 2; sat/dog/unique df 1 → out
+    assert(got.toSeq == Seq(("the", 3L, 3L, 1L), ("cat", 2L, 2L, 2L),
+      ("ran", 2L, 2L, 3L)))
+    val top1 = TrainingPipeline.vocabulary(docs, "text", minDf = 2, topK = 1)
+      .collect().map(_.getString(0)).toSeq
+    assert(top1 == Seq("the"), "topK truncates after the (tf desc, token) order")
+    intercept[IllegalArgumentException] {
+      TrainingPipeline.vocabulary(docs, "text", minDf = 0, topK = 10)
+    }
+  }
+
+  test("tfidfKeywords: rational idf ranks doc-specific terms first") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      (1L, "common common rare"),
+      (2L, "common other"),
+      (3L, "common other")).toDF("id", "text")
+    val got = TrainingPipeline.tfidfKeywords(docs, "id", "text", topK = 2)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5)))
+      .sortBy(x => (x._1, x._2)).toSeq
+    // doc 1: rare tf=1 df=1 → score 1*3/1=3; common tf=2 df=3 → 2*3/3=2
+    assert(got(0) == ((1L, 1L, "rare", 1L, 1L, 3.0)))
+    assert(got(1) == ((1L, 2L, "common", 2L, 3L, 2.0)))
+    // docs 2/3: other tf=1 df=2 → 1.5 beats common 1*3/3=1
+    assert(got(2) == ((2L, 1L, "other", 1L, 2L, 1.5)))
+    assert(got(3) == ((2L, 2L, "common", 1L, 3L, 1.0)))
+    assert(got.count(_._1 == 3L) == 2, "topK bounds every doc's rows")
+  }
+
+  test("dupSpans: later copies of an earlier n-gram are scrubbed") {
+    val s = spark
+    import s.implicits._
+    val passage = (1 to 12).map(i => s"p$i").mkString(" ") // 12 tokens
+    val docs = Seq(
+      (1L, s"intro $passage outro"),            // owner: keeps everything
+      (2L, s"different lead $passage and tail"), // later: passage scrubbed
+      (3L, "short doc under ten tokens"),        // <n tokens: no windows
+      (4L, "fully original text that shares no ten gram with anything else"))
+      .toDF("id", "text")
+    val got = graft.ops.Dedup.dupSpans(docs, "id", "text", n = 10)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))
+      .sortBy(_._1).toSeq
+    val d1 = got(0)
+    assert(d1._3 == 0L && d1._4 == 0L, "min-id owner is never scrubbed")
+    assert(d1._5 == s"intro $passage outro")
+    val d2 = got(1)
+    // doc 2's 12-token passage contains three 10-gram windows duplicated
+    // from doc 1 (starts at p1, p2, p3) → union covers all 12 tokens
+    assert(d2._2 == 16L && d2._3 == 3L && d2._4 == 12L)
+    assert(d2._5 == "different lead and tail")
+    assert(got(2) == ((3L, 5L, 0L, 0L, "short doc under ten tokens")))
+    assert(got(3)._4 == 0L, "original text loses nothing")
+  }
 }
