@@ -160,6 +160,83 @@ object Relational {
            count(lit(1)).as("n"))
   }
 
+  /** Full cube over (status, priority) with grouping_id, so consumers can
+    * tell a super-aggregate NULL from a data NULL. gid bit order (leftmost
+    * grouping column = most significant) matches DuckDB's GROUPING().
+    */
+  def cubeVolume(s: SparkSession, dir: String): DataFrame = {
+    Tables.orders(s, dir)
+      .cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(grouping_id().cast("long").as("gid"),
+           sum(dec(col("o_totalprice"))).cast("double").as("volume"),
+           count(lit(1)).as("n"))
+  }
+
+  /** Exact per-group percentiles (linear interpolation between order
+    * statistics — the quantile_cont definition both engines share). Exact
+    * percentile is the oracle-able BASELINE; at 100 TB the same plan shape
+    * runs with approx_percentile (t-digest, one pass, no per-group value
+    * buffer), which cannot be hash-verified cross-engine and so is not the
+    * gated query. l_quantity is integer-valued, so the interpolation
+    * arithmetic ((n-1)*p split + exact-binary fractions .25/.5/.75 over
+    * exactly-representable doubles) is bit-deterministic in both engines.
+    */
+  def quantityPercentiles(s: SparkSession, dir: String): DataFrame = {
+    Tables.lineitem(s, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"),
+           percentile(col("l_quantity"), lit(0.25)).as("p25"),
+           percentile(col("l_quantity"), lit(0.5)).as("median"),
+           percentile(col("l_quantity"), lit(0.75)).as("p75"))
+  }
+
+  /** Moment statistics (mean / variance / stddev / covariance /
+    * correlation) from EXACT decimal power sums, with the double math on
+    * top written once and replicated operation-for-operation in the
+    * oracle. Spark's builtin var_samp/corr are single-pass Welford
+    * aggregates whose float result depends on partition merge order — they
+    * can never hash-match another engine; the decimal-sum formulation is
+    * order-independent (decimal addition is exact), one map-side-combined
+    * shuffle, and equally one-pass.
+    */
+  def momentStats(s: SparkSession, dir: String): DataFrame =
+    momentStatsOn(Tables.lineitem(s, dir))
+
+  private[graft] def momentStatsOn(li: DataFrame): DataFrame = {
+    val x = dec(col("l_quantity"))
+    val y = dec(col("l_extendedprice"))
+    val agg = li.groupBy(col("l_returnflag")).agg(
+      count(lit(1)).as("n"),
+      sum(x).cast("double").as("sx"),
+      sum(x * x).cast("double").as("sxx"),
+      sum(y).cast("double").as("sy"),
+      sum(y * y).cast("double").as("syy"),
+      sum(x * y).cast("double").as("sxy"))
+    val nd = col("n").cast("double")
+    val vq = (col("sxx") - col("sx") * col("sx") / nd) / (nd - lit(1.0))
+    val vp = (col("syy") - col("sy") * col("sy") / nd) / (nd - lit(1.0))
+    val cv = (col("sxy") - col("sx") * col("sy") / nd) / (nd - lit(1.0))
+    agg.select(col("l_returnflag"), col("n"),
+      (col("sx") / nd).as("mean_qty"),
+      vq.as("var_qty"),
+      sqrt(vq).as("stddev_qty"),
+      cv.as("covar_qty_price"),
+      (cv / sqrt(vq * vp)).as("corr_qty_price"))
+  }
+
+  /** Bag-semantics set ops (INTERSECT ALL / EXCEPT ALL / UNION ALL) —
+    * duplicates carry multiplicity, unlike [[setOps]]' set semantics.
+    * Spark plans intersectAll/exceptAll as count-aggregate + replicate
+    * (one shuffle on the value), not a join per duplicate.
+    */
+  def setOpsAll(s: SparkSession, dir: String): DataFrame = {
+    val a = Tables.lineitem(s, dir).select((col("l_orderkey") % 97).as("k"))
+    val b = Tables.orders(s, dir).select((col("o_orderkey") % 97).as("k"))
+    a.intersectAll(b).agg(count(lit(1)).as("n"), lit("intersect_all").as("op"))
+      .unionByName(a.exceptAll(b).agg(count(lit(1)).as("n"), lit("except_all").as("op")))
+      .unionByName(a.unionAll(b).agg(count(lit(1)).as("n"), lit("union_all").as("op")))
+  }
+
   /** Hourly event rollup — exercises the events table's TIMESTAMP(NANOS)
     * read path (exact integer ns→µs truncation; a double division here
     * would drift by 1µs near rounding boundaries and break the hash).
@@ -292,6 +369,10 @@ object Relational {
     "q_semi_anti_join" -> semiAntiJoin _,
     "q_set_ops" -> setOps _,
     "q_rollup_volume" -> rollupVolume _,
+    "q_cube_volume" -> cubeVolume _,
+    "q_percentiles" -> quantityPercentiles _,
+    "q_moment_stats" -> momentStats _,
+    "q_set_ops_all" -> setOpsAll _,
     "q_agg_distinct" -> aggDistinct _,
     "q_events_hourly" -> eventsHourly _,
     "q_events_ns" -> eventsNsPrecision _,
@@ -377,6 +458,43 @@ object Relational {
       """SELECT o_orderstatus, o_orderpriority,
          CAST(sum(o_totalprice::DECIMAL(18,2)) AS DOUBLE) AS volume, count(*) AS n
          FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)""",
+    "q_cube_volume" ->
+      """SELECT o_orderstatus, o_orderpriority,
+         CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT) AS gid,
+         CAST(sum(o_totalprice::DECIMAL(18,2)) AS DOUBLE) AS volume, count(*) AS n
+         FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)""",
+    "q_percentiles" ->
+      """SELECT l_returnflag, count(*) AS n,
+         quantile_cont(l_quantity, 0.25) AS p25,
+         quantile_cont(l_quantity, 0.5) AS median,
+         quantile_cont(l_quantity, 0.75) AS p75
+         FROM lineitem GROUP BY 1""",
+    "q_moment_stats" ->
+      """WITH a AS (SELECT l_returnflag, count(*) AS n,
+           CAST(sum(l_quantity::DECIMAL(18,2)) AS DOUBLE) AS sx,
+           CAST(sum(l_quantity::DECIMAL(18,2) * l_quantity::DECIMAL(18,2)) AS DOUBLE) AS sxx,
+           CAST(sum(l_extendedprice::DECIMAL(18,2)) AS DOUBLE) AS sy,
+           CAST(sum(l_extendedprice::DECIMAL(18,2) * l_extendedprice::DECIMAL(18,2)) AS DOUBLE) AS syy,
+           CAST(sum(l_quantity::DECIMAL(18,2) * l_extendedprice::DECIMAL(18,2)) AS DOUBLE) AS sxy
+           FROM lineitem GROUP BY 1)
+         SELECT l_returnflag, n,
+           sx / n::DOUBLE AS mean_qty,
+           (sxx - sx * sx / n::DOUBLE) / (n::DOUBLE - 1.0) AS var_qty,
+           sqrt((sxx - sx * sx / n::DOUBLE) / (n::DOUBLE - 1.0)) AS stddev_qty,
+           (sxy - sx * sy / n::DOUBLE) / (n::DOUBLE - 1.0) AS covar_qty_price,
+           ((sxy - sx * sy / n::DOUBLE) / (n::DOUBLE - 1.0))
+             / sqrt(((sxx - sx * sx / n::DOUBLE) / (n::DOUBLE - 1.0))
+                  * ((syy - sy * sy / n::DOUBLE) / (n::DOUBLE - 1.0))) AS corr_qty_price
+         FROM a""",
+    "q_set_ops_all" ->
+      """WITH a AS (SELECT l_orderkey % 97 AS k FROM lineitem),
+         b AS (SELECT o_orderkey % 97 AS k FROM orders)
+         SELECT count(*) AS n, 'intersect_all' AS op
+           FROM (SELECT * FROM a INTERSECT ALL SELECT * FROM b)
+         UNION ALL SELECT count(*), 'except_all'
+           FROM (SELECT * FROM a EXCEPT ALL SELECT * FROM b)
+         UNION ALL SELECT count(*), 'union_all'
+           FROM (SELECT * FROM a UNION ALL SELECT * FROM b)""",
     "q_events_hourly" ->
       """SELECT date_trunc('hour', ts::TIMESTAMP) AS hour, event_type,
          count(*) AS n,

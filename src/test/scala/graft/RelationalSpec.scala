@@ -43,4 +43,29 @@ class RelationalSpec extends AnyFunSuite {
   test("entry flagship returns rows at sf0.001") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
+
+  test("cube: gid distinguishes super-aggregate NULLs; counts reconcile") {
+    val rows = Relational.cubeVolume(spark, sfDir).collect()
+    val grand = rows.filter(_.getLong(2) == 3L)
+    assert(grand.length == 1 && grand.head.isNullAt(0) && grand.head.isNullAt(1))
+    val detail = rows.filter(_.getLong(2) == 0L).map(_.getLong(4)).sum
+    assert(grand.head.getLong(4) == detail,
+      "grand total row count must equal the sum of detail rows")
+    // each one-dim margin partitions the same universe
+    assert(rows.filter(_.getLong(2) == 1L).map(_.getLong(4)).sum == detail)
+    assert(rows.filter(_.getLong(2) == 2L).map(_.getLong(4)).sum == detail)
+  }
+
+  test("momentStats: matches the closed form on a tiny exact input") {
+    val s = spark
+    import s.implicits._
+    // quantities 1..4 (mean 2.5, var_samp 5/3), price = 10*q (corr exactly 1)
+    val li = Seq((1.0, 10.0, "A"), (2.0, 20.0, "A"), (3.0, 30.0, "A"), (4.0, 40.0, "A"))
+      .toDF("l_quantity", "l_extendedprice", "l_returnflag")
+    val stats = Relational.momentStatsOn(li).collect().head
+    assert(stats.getLong(1) == 4L)
+    assert(stats.getDouble(2) == 2.5)
+    assert(math.abs(stats.getDouble(3) - 5.0 / 3.0) < 1e-12)
+    assert(stats.getDouble(6) == 1.0, "perfectly linear price => corr 1")
+  }
 }
