@@ -162,4 +162,25 @@ object TextFunctions {
     val noUrl = regexp_replace(noEmail, UrlRe, "<URL>")
     regexp_replace(noUrl, PhoneRe, "<PHONE>")
   }
+
+  /** HTML → text: drop script/style ELEMENTS (content included), strip
+    * remaining tags to a space, decode the five predefined entities +
+    * nbsp/#39 (amp LAST, so `&amp;lt;` decodes to `&lt;` not `<`), and
+    * collapse whitespace. The web-corpus boilerplate-removal baseline —
+    * all RE2-compatible regexes (non-greedy, no backreferences: script and
+    * style get separate patterns), so the oracle replays it verbatim.
+    *
+    * Scale: a fixed chain of codegen'd regexp passes over the scan — no
+    * UDF, no shuffle, each pattern linear-time.
+    */
+  def stripHtml(text: Column): Column = {
+    val noScript = regexp_replace(text, "(?s)<script[^>]*>.*?</script>", " ")
+    val noStyle = regexp_replace(noScript, "(?s)<style[^>]*>.*?</style>", " ")
+    val noTags = regexp_replace(noStyle, "<[^>]*>", " ")
+    val decoded = Seq(
+      "&nbsp;" -> " ", "&lt;" -> "<", "&gt;" -> ">",
+      "&quot;" -> "\"", "&#39;" -> "'", "&amp;" -> "&"
+    ).foldLeft(noTags) { case (c, (e, r)) => regexp_replace(c, e, r) }
+    trim(regexp_replace(decoded, "\\s+", " "))
+  }
 }

@@ -73,6 +73,41 @@ object TrainingPipeline {
     df.filter(bucketOf(col(idCol), salt) < threshold)
   }
 
+  /** Source-weighted epoch expansion: replicate each document
+    * floor(w) times, plus one more iff its hash bucket falls under the
+    * fractional part — so a stratum with weight 2.5 contributes each doc
+    * 2 or 3 times, 2.5× in expectation, deterministically per (salt, id).
+    * This is the "N epochs of curated sources, <1 epoch of crawl" mixture
+    * primitive of pretraining corpus assembly (weights above 1 are what
+    * [[sampleStratified]] can't express). Emits (input columns..., copy),
+    * copy in [0, n_copies) — distinct copies of a doc stay distinguishable
+    * downstream (e.g. for [[shuffled]] with id ⊕ copy).
+    *
+    * Scale: scan-side column math + an explode whose output is exactly the
+    * training corpus being materialized — no shuffle, no join; the weight
+    * table is a compiled when-chain, not a broadcast.
+    */
+  def epochWeighted(df: DataFrame, idCol: String, strataCol: String,
+                    salt: String, weights: Seq[(String, Double)],
+                    defaultWeight: Double): DataFrame = {
+    require((defaultWeight +: weights.map(_._2)).forall(w => w >= 0 && w <= 100),
+      "every weight must be in [0, 100] epochs")
+    def copiesFor(w: Double): Column = {
+      val whole = math.floor(w).toLong
+      val frac = math.round((w - whole) * M)
+      // branch is per-stratum CONSTANT: whole + (bucket < frac ? 1 : 0)
+      lit(whole) + when(bucketOf(col(idCol), salt) < lit(frac), 1L).otherwise(0L)
+    }
+    val nCopies = weights.foldRight(copiesFor(defaultWeight)) {
+      case ((k, w), acc) => when(col(strataCol) === lit(k), copiesFor(w)).otherwise(acc)
+    }
+    // guard the 0-copy case: sequence(0, -1) yields [0,-1] (descending),
+    // not [] — an unguarded explode would keep one copy of dropped docs
+    val copies = when(nCopies > lit(0L), sequence(lit(0L), nCopies - lit(1L)))
+      .otherwise(lit(Array.emptyLongArray))
+    df.withColumn("copy", explode(copies))
+  }
+
   /** Benchmark decontamination (the GPT-3/PaLM n-gram overlap check): for
     * every training document, the containment of its word-n-gram shingle
     * set in the union of the benchmark set's shingles —

@@ -240,6 +240,26 @@ object TextPack {
         T.scrubPii(col("t")).as("clean"))
   }
 
+  /** HTML boilerplate removal over deterministically decorated text (the
+    * synthetic corpus is plain text, so the fixture wraps it in markup as
+    * a pure function of doc_id — construction, not operator work):
+    * script/style elements dropped with their content, tags stripped,
+    * entities decoded amp-last, whitespace collapsed.
+    */
+  def htmlStrip(s: SparkSession, dir: String): DataFrame = {
+    val decorated = concat(
+      lit("<html><body class=\"d"), col("doc_id"),
+      lit("\"><h1>Doc &amp; &lt;"), col("doc_id"), lit("&gt; &#39;q&#39;&nbsp;</h1><p>"),
+      col("text"),
+      lit("</p><script>var x = 1 &amp;&amp; 2;\nif (x < 3) { x = 4; }</script>"),
+      when(col("doc_id") % 3 === 0, lit("<style>.a { color: red }\n.b>i { }</style>"))
+        .otherwise(lit("")),
+      lit("</body></html>"))
+    Tables.documents(s, dir)
+      .select(col("doc_id"), decorated.as("t"))
+      .select(col("doc_id"), T.stripHtml(col("t")).as("clean"))
+  }
+
   /** Concat-and-cut packing of whitespace token counts into 2048-token
     * training sequences, in the md5('p1'||id) deterministic order.
     */
@@ -268,6 +288,16 @@ object TextPack {
   def dedupSpans(s: SparkSession, dir: String): DataFrame =
     Dedup.dupSpans(Tables.documents(s, dir), "doc_id", "text", n = 10)
 
+  /** Source-weighted epoch mixture: 2.5 epochs of src0, 1 of src1, 0.25 of
+    * the rest — each doc replicated floor(w) (+1 on the fractional-part
+    * hash) times with a copy index.
+    */
+  def pipelineEpochs(s: SparkSession, dir: String): DataFrame =
+    TrainingPipeline.epochWeighted(
+      Tables.documents(s, dir).select(col("doc_id"), col("source")),
+      "doc_id", "source", "w3",
+      weights = Seq("src0" -> 2.5, "src1" -> 1.0), defaultWeight = 0.25)
+
   /** Deterministic stratified sample: upsample src0/src1, thin the rest. */
   def pipelineSample(s: SparkSession, dir: String): DataFrame =
     TrainingPipeline.sampleStratified(
@@ -281,8 +311,10 @@ object TextPack {
     "pl_chunks" -> pipelineChunks _,
     "pl_decontam" -> pipelineDecontam _,
     "pl_sample" -> pipelineSample _,
+    "pl_epochs" -> pipelineEpochs _,
     "pl_pack" -> pipelinePack _,
     "tx_scrub" -> scrub _,
+    "tx_html" -> htmlStrip _,
     "dd_incremental" -> dedupIncremental _,
     "pl_dedup_corpus" -> pipelineDedupCorpus _,
     "tx_stats" -> textStats _,
@@ -350,6 +382,29 @@ object TextPack {
              'https?://[^\s]+', '<URL>', 'g'),
              '[0-9]{3}-[0-9]{3,4}(-[0-9]{4})?', '<PHONE>', 'g') AS clean
          FROM dec""",
+    "tx_html" ->
+      """WITH dec AS (SELECT doc_id,
+           '<html><body class="d' || doc_id || '"><h1>Doc &amp; &lt;' || doc_id
+           || '&gt; &#39;q&#39;&nbsp;</h1><p>' || text
+           || '</p><script>var x = 1 &amp;&amp; 2;' || chr(10)
+           || 'if (x < 3) { x = 4; }</script>'
+           || CASE WHEN doc_id % 3 = 0
+                THEN '<style>.a { color: red }' || chr(10) || '.b>i { }</style>'
+                ELSE '' END
+           || '</body></html>' AS t
+           FROM documents),
+         s1 AS (SELECT doc_id,
+           regexp_replace(t, '(?s)<script[^>]*>.*?</script>', ' ', 'g') AS t FROM dec),
+         s2 AS (SELECT doc_id,
+           regexp_replace(t, '(?s)<style[^>]*>.*?</style>', ' ', 'g') AS t FROM s1),
+         s3 AS (SELECT doc_id, regexp_replace(t, '<[^>]*>', ' ', 'g') AS t FROM s2),
+         s4 AS (SELECT doc_id,
+           regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+             regexp_replace(t, '&nbsp;', ' ', 'g'),
+             '&lt;', '<', 'g'), '&gt;', '>', 'g'), '&quot;', '"', 'g'),
+             '&#39;', '''', 'g'), '&amp;', '&', 'g') AS t FROM s3)
+         SELECT doc_id, trim(regexp_replace(t, '\s+', ' ', 'g')) AS clean
+         FROM s4""",
     "pl_pack" ->
       """WITH t AS (
            SELECT doc_id,
@@ -451,6 +506,15 @@ object TextPack {
            1.0 - trigram_distinct::DOUBLE / trigram_total::DOUBLE AS rep_ratio
          FROM x""",
     "pl_decontam" -> OracleGen.decontaminate(50, 0.5),
+    "pl_epochs" ->
+      """WITH w AS (SELECT doc_id, source,
+           CASE source WHEN 'src0' THEN 2 WHEN 'src1' THEN 1 ELSE 0 END
+           + CASE WHEN ('0x'||substr(md5('w3'||doc_id::VARCHAR),1,15))::BIGINT % 1000000 <
+               CASE source WHEN 'src0' THEN 500000 WHEN 'src1' THEN 0 ELSE 250000 END
+             THEN 1 ELSE 0 END AS n
+           FROM documents)
+         SELECT doc_id, source, c AS copy
+         FROM w, LATERAL unnest(range(n)) AS u(c)""",
     "pl_sample" ->
       """SELECT doc_id, source FROM documents
          WHERE ('0x'||substr(md5('s9'||doc_id::VARCHAR),1,15))::BIGINT % 1000000 <

@@ -155,6 +155,26 @@ class TrainingPipelineSpec extends AnyFunSuite {
     assert(got.exists(_._5 > 1))
   }
 
+  test("stripHtml: elements dropped with content, tags stripped, entities amp-last") {
+    val s = spark
+    import s.implicits._
+    import graft.functions.{TextFunctions => T}
+    import org.apache.spark.sql.functions.col
+    val df = Seq(
+      (1L, "<p>Hello   <b>world</b></p>"),
+      (2L, "a &amp;lt; b"), // amp decodes LAST: stays a literal "&lt;"
+      (3L, "<script type=\"x\">var s = '<p>none</p>';</script>kept"),
+      (4L, "x&nbsp;&#39;y&#39; <style>.c > i { }</style>&quot;z&quot;"),
+      (5L, "<div\nclass='m'>multi\nline</div>")).toDF("id", "t")
+    val got = df.select(col("id"), T.stripHtml(col("t")).as("c"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+    assert(got(0) == ((1L, "Hello world")))
+    assert(got(1) == ((2L, "a &lt; b")))
+    assert(got(2) == ((3L, "kept")), "script CONTENT must go, not just tags")
+    assert(got(3) == ((4L, "x 'y' \"z\"")))
+    assert(got(4) == ((5L, "multi line")), "attributes may span lines")
+  }
+
   test("scrubPii: placeholders, ordering, and non-PII left intact") {
     val s = spark
     import s.implicits._
@@ -249,6 +269,57 @@ class TrainingPipelineSpec extends AnyFunSuite {
     assert(got(2) == ((2L, 1L, "other", 1L, 2L, 1.5)))
     assert(got(3) == ((2L, 2L, "common", 1L, 3L, 1.0)))
     assert(got.count(_._1 == 3L) == 2, "topK bounds every doc's rows")
+  }
+
+  test("epochWeighted: floor copies + fractional by hash; zero weight drops") {
+    val s = spark
+    import s.implicits._
+    val docs = (1L to 400L).map(i => (i, if (i % 2 == 0) "a" else "b"))
+      .toDF("id", "source")
+    def run() = TrainingPipeline.epochWeighted(docs, "id", "source", "t1",
+      Seq("a" -> 2.5, "b" -> 0.0), defaultWeight = 0.0)
+    val out = run().collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(!out.exists(_._2 == "b"), "weight-0 strata contribute nothing")
+    val perDoc = out.filter(_._2 == "a").groupBy(_._1).view
+      .mapValues(_.map(_._3).sorted.toVector)
+    assert(perDoc.values.forall(cs => cs.sameElements(0L until cs.size.toLong)),
+      "copy indices are contiguous from 0")
+    assert(perDoc.values.forall(cs => cs.size == 2 || cs.size == 3),
+      "weight 2.5 gives each doc 2 or 3 copies")
+    val total = perDoc.values.map(_.size).sum
+    assert(total > 420 && total < 580, s"expected ~500 copies of 200 docs, got $total")
+    assert(run().collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      .sorted.sameElements(out.sorted), "pure function of (salt, id, weights)")
+  }
+
+  test("dupSpans matches a brute-force reference on a random collision-heavy corpus") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(7)
+    val vocab = Vector("a", "b", "c", "d", "e")
+    val n = 3
+    val docs = (1L to 30L).map { i =>
+      (i, Seq.fill(rnd.nextInt(30))(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    }
+    val toks = docs.map { case (id, t) =>
+      id -> t.split("\\s+").filter(_.nonEmpty).toVector }.toMap
+    val grams = for {
+      (id, ts) <- toks.toSeq
+      j <- 0 to ts.size - n
+    } yield (ts.slice(j, j + n).mkString(" "), id, j)
+    val owner = grams.groupBy(_._1).map { case (g, xs) => g -> xs.map(_._2).min }
+    val expected = toks.map { case (id, ts) =>
+      val ps = grams.filter(g => g._2 == id && owner(g._1) < id).map(_._3).sorted
+      val covered = ps.flatMap(p => p until p + n).toSet
+      val clean = ts.zipWithIndex.collect { case (t, i) if !covered(i) => t }
+      (id, ts.size.toLong, ps.size.toLong, (ts.size - clean.size).toLong,
+        clean.mkString(" "))
+    }.toSeq.sortBy(_._1)
+    val got = graft.ops.Dedup.dupSpans(docs.toDF("id", "text"), "id", "text", n = n)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))
+      .sortBy(_._1).toSeq
+    assert(got == expected)
   }
 
   test("dupSpans: later copies of an earlier n-gram are scrubbed") {
