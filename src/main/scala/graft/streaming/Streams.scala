@@ -134,6 +134,29 @@ object Streams {
       .withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark("fp")
 
+  /** Stream-stream inner join within an event-time bound — the
+    * impressions⋈clicks attribution shape: a right-side row matches a
+    * left-side row with the same key when it arrives in
+    * [leftTs, leftTs + within]. BOTH sides carry a watermark and the join
+    * condition bounds the event-time gap, which is what lets Spark evict
+    * buffered rows as the watermarks advance — an unbounded stream-stream
+    * join would otherwise hold both streams in state forever. Column names
+    * must be disjoint across the two frames (standard Spark join-ambiguity
+    * rule; callers rename before joining).
+    *
+    * Runs unchanged on batch frames (withWatermark is a no-op there), so
+    * the same plan is testable against a batch equivalence.
+    */
+  def joinWithin(left: DataFrame, right: DataFrame,
+                 leftKey: String, rightKey: String,
+                 leftTs: String, rightTs: String,
+                 within: String, watermark: String): DataFrame =
+    left.withWatermark(leftTs, watermark)
+      .join(right.withWatermark(rightTs, watermark),
+        col(leftKey) === col(rightKey) &&
+          col(rightTs) >= col(leftTs) &&
+          col(rightTs) <= col(leftTs) + expr(s"INTERVAL $within"))
+
   /** Stream → chain bridge: each micro-batch becomes a snapshot chained to
     * the previous batch's snapshot and logged on the urd timeline. The
     * stream's full history is then a first-class dataset chain.

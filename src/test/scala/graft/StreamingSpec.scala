@@ -61,6 +61,31 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-stream join matches only within the event-time bound") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val imps = MemoryStream[(java.sql.Timestamp, Long)]
+    val clicks = MemoryStream[(java.sql.Timestamp, Long)]
+    val out = Streams.joinWithin(
+      imps.toDF.toDF("imp_ts", "imp_key"),
+      clicks.toDF.toDF("click_ts", "click_key"),
+      "imp_key", "click_key", "imp_ts", "click_ts",
+      within = "5 minutes", watermark = "10 minutes")
+    val q = out.writeStream.format("memory").queryName("ssj")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      imps.addData((ts(1), 100L), (ts(2), 200L), (ts(3), 300L))
+      // key 100 clicks in-bound; 200 clicks too late (7 min); 300 never;
+      // 400 clicks with no impression
+      clicks.addData((ts(4), 100L), (ts(9), 200L), (ts(5), 400L))
+      q.processAllAvailable()
+      val got = s.sql("SELECT imp_key FROM ssj").collect().map(_.getLong(0)).toSeq
+      assert(got == Seq(100L),
+        "only the in-bound (key, time) pair joins; late and unmatched rows do not")
+    } finally q.stop()
+  }
+
   test("sessionization: gap closes a session, state carries across batches") {
     val s = spark
     import s.implicits._

@@ -250,6 +250,16 @@ class TrainingPipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("vocabulary plans a two-level top-K, not a global sort") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq((1L, "a b"), (2L, "a c")).toDF("id", "text")
+    val plan = TrainingPipeline.vocabulary(docs, "text", minDf = 1, topK = 5)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"orderBy+limit must plan per-partition heaps, not a full sort:\n$plan")
+  }
+
   test("tfidfKeywords: rational idf ranks doc-specific terms first") {
     val s = spark
     import s.implicits._
