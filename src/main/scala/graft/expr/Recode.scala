@@ -78,6 +78,22 @@ object RecodeHelper {
     catch { case _: java.nio.charset.CharacterCodingException => null }
   }
 
+  def formOf(form: String): java.text.Normalizer.Form = form match {
+    case "NFC"  => java.text.Normalizer.Form.NFC
+    case "NFD"  => java.text.Normalizer.Form.NFD
+    case "NFKC" => java.text.Normalizer.Form.NFKC
+    case "NFKD" => java.text.Normalizer.Form.NFKD
+    case other => throw new IllegalArgumentException(
+      s"unicode normal form must be NFC/NFD/NFKC/NFKD, got '$other'")
+  }
+
+  def normalize(s: UTF8String, form: String): UTF8String = {
+    val f = formOf(form)
+    val str = s.toString
+    if (java.text.Normalizer.isNormalized(str, f)) s
+    else UTF8String.fromString(java.text.Normalizer.normalize(str, f))
+  }
+
   /** ascii[:replace|:encode] (dataset_type.py:143-152, 797-800): every byte
     * > 127 becomes a 3-digit octal escape \ooo; `encode` additionally
     * escapes backslash as \134. Code units ≤ 0xFF are the raw bytes
@@ -121,6 +137,36 @@ object RecodeHelper {
     }
     UTF8String.fromString(sb.toString)
   }
+}
+
+/** Unicode normalization (NFC/NFD/NFKC/NFKD) — the canonicalization step a
+  * text pipeline runs before tokenization/fingerprinting, so that composed
+  * and decomposed spellings of the same grapheme fingerprint identically.
+  * Fast path: `Normalizer.isNormalized` returns the input untouched for
+  * already-normal text (the overwhelmingly common case in web corpora), so
+  * the scan-side pass allocates nothing per row unless it must rewrite.
+  * Normal forms are fully specified by the Unicode standard — DuckDB's
+  * utf8proc-based nfc_normalize produces identical bytes, which is what the
+  * oracle checks.
+  */
+case class UnicodeNormalize(child: Expression, form: String)
+    extends UnaryExpression {
+  RecodeHelper.formOf(form) // unknown form fails at plan time, not per row
+  override def dataType: DataType = StringType
+  override def prettyName: String = "graft_unicode_normalize"
+
+  override def nullSafeEval(input: Any): Any =
+    RecodeHelper.normalize(input.asInstanceOf[UTF8String], form)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val f = ctx.addReferenceObj("form", form, "java.lang.String")
+    nullSafeCodeGen(ctx, ev, c => {
+      s"${ev.value} = graft.expr.RecodeHelper.normalize($c, $f);"
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): UnicodeNormalize =
+    copy(child = newChild)
 }
 
 /** dataset_type `unicode:<codec>[/errors]` — reinterpret byte-preserving

@@ -163,6 +163,18 @@ object TextFunctions {
     regexp_replace(noUrl, PhoneRe, "<PHONE>")
   }
 
+  /** Unicode normalization (default NFC): composed/decomposed spellings of
+    * the same grapheme become byte-identical before tokenization and
+    * fingerprinting. Codegen'd expression (graft.expr.UnicodeNormalize)
+    * with an isNormalized fast path — no allocation for already-normal
+    * text.
+    */
+  def normalizeUnicode(text: Column, form: String = "NFC"): Column = {
+    import org.apache.spark.sql.GraftBridge
+    GraftBridge.column(graft.expr.UnicodeNormalize(
+      GraftBridge.expression(text), form))
+  }
+
   /** HTML → text: drop script/style ELEMENTS (content included), strip
     * remaining tags to a space, decode the five predefined entities +
     * nbsp/#39 (amp LAST, so `&amp;lt;` decodes to `&lt;` not `<`), and

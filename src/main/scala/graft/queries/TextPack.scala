@@ -260,6 +260,26 @@ object TextPack {
       .select(col("doc_id"), T.stripHtml(col("t")).as("clean"))
   }
 
+  /** Unicode NFC canonicalization over deterministically decorated text
+    * (the synthetic corpus is ASCII, so the fixture appends a decomposed /
+    * compatibility suffix as a pure function of doc_id): combining-mark
+    * sequences compose, the Angstrom sign folds to A-ring, already-composed
+    * text passes through unchanged.
+    */
+  def nfc(s: SparkSession, dir: String): DataFrame = {
+    val m = col("doc_id") % 4
+    val suffix = when(m === 0, lit(" Cafe\u0301")) // e + combining acute
+      .when(m === 1, lit(" A\u030A")) // A + combining ring above
+      .when(m === 2, lit(" \u212B")) // Angstrom sign -> U+00C5 A-ring
+      .otherwise(lit(" \u00E9")) // composed e-acute, already NFC
+    val t = concat(col("text"), suffix)
+    Tables.documents(s, dir)
+      .select(col("doc_id"), t.as("t"))
+      .select(col("doc_id"),
+        T.normalizeUnicode(col("t")).as("norm"),
+        (T.normalizeUnicode(col("t")) =!= col("t")).as("changed"))
+  }
+
   /** Concat-and-cut packing of whitespace token counts into 2048-token
     * training sequences, in the md5('p1'||id) deterministic order.
     */
@@ -315,6 +335,7 @@ object TextPack {
     "pl_pack" -> pipelinePack _,
     "tx_scrub" -> scrub _,
     "tx_html" -> htmlStrip _,
+    "tx_nfc" -> nfc _,
     "dd_incremental" -> dedupIncremental _,
     "pl_dedup_corpus" -> pipelineDedupCorpus _,
     "tx_stats" -> textStats _,
@@ -381,6 +402,17 @@ object TextPack {
              '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
              'https?://[^\s]+', '<URL>', 'g'),
              '[0-9]{3}-[0-9]{3,4}(-[0-9]{4})?', '<PHONE>', 'g') AS clean
+         FROM dec""",
+    "tx_nfc" ->
+      """WITH dec AS (SELECT doc_id, text ||
+           CASE doc_id % 4
+             WHEN 0 THEN ' Cafe' || chr(769)
+             WHEN 1 THEN ' A' || chr(778)
+             WHEN 2 THEN ' ' || chr(8491)
+             ELSE ' ' || chr(233) END AS t
+           FROM documents)
+         SELECT doc_id, nfc_normalize(t) AS norm,
+           (nfc_normalize(t) != t) AS changed
          FROM dec""",
     "tx_html" ->
       """WITH dec AS (SELECT doc_id,

@@ -175,6 +175,34 @@ class TrainingPipelineSpec extends AnyFunSuite {
     assert(got(4) == ((5L, "multi line")), "attributes may span lines")
   }
 
+  test("normalizeUnicode: NFC/NFD/NFKC forms, identity fast path, bad form rejected") {
+    val s = spark
+    import s.implicits._
+    import graft.functions.{TextFunctions => T}
+    import org.apache.spark.sql.functions.col
+    val composed = "Caf\u00E9"
+    val decomposed = "Cafe\u0301"
+    val df = Seq(
+      (1L, decomposed),   // decomposed -> composes
+      (2L, composed),     // already NFC -> untouched
+      (3L, "\u212B"),     // Angstrom sign -> U+00C5
+      (4L, "\uFB01le")    // fi ligature: NFC keeps, NFKC folds to "fi"
+    ).toDF("id", "t")
+    def run(form: String) = df
+      .select(col("id"), T.normalizeUnicode(col("t"), form).as("n"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1).toSeq
+    val nfc = run("NFC")
+    assert(nfc(0)._2 == composed && nfc(1)._2 == composed)
+    assert(nfc(2)._2 == "\u00C5")
+    assert(nfc(3)._2 == "\uFB01le", "NFC preserves compatibility characters")
+    assert(run("NFKC")(3)._2 == "file", "NFKC folds the ligature")
+    assert(run("NFD")(1)._2 == decomposed, "NFD decomposes")
+    intercept[IllegalArgumentException] {
+      graft.expr.UnicodeNormalize(
+        org.apache.spark.sql.GraftBridge.expression(col("t")), "NFX")
+    }
+  }
+
   test("scrubPii: placeholders, ordering, and non-PII left intact") {
     val s = spark
     import s.implicits._
