@@ -14,15 +14,19 @@ import graft.functions.{SimilarityFunctions => S}
   */
 object TopKPerGroup {
   def apply(df: DataFrame, groupCols: Seq[String], orderCol: String,
-            k: Int, payload: Seq[String]): DataFrame = {
+            k: Int, payload: Seq[String],
+            ascending: Boolean = false): DataFrame = {
     val item = struct((orderCol +: payload).map(col): _*)
+    def top(items: org.apache.spark.sql.Column) = {
+      val sorted = array_sort(items)
+      slice(if (ascending) sorted else reverse(sorted), 1, k)
+    }
     val localTop = df
       .groupBy((groupCols.map(col) :+ spark_partition_id().as("__pid")): _*)
-      .agg(slice(reverse(array_sort(collect_list(item))), 1, k).as("top"))
+      .agg(top(collect_list(item)).as("top"))
     val merged = localTop
       .groupBy(groupCols.map(col): _*)
-      .agg(slice(reverse(array_sort(flatten(collect_list(col("top"))))), 1, k)
-        .as("top"))
+      .agg(top(flatten(collect_list(col("top")))).as("top"))
     val exploded = merged.select(
       (groupCols.map(col) :+ posexplode(col("top"))): _*)
     exploded.select(

@@ -73,6 +73,26 @@ object TrainingPipeline {
     df.filter(bucketOf(col(idCol), salt) < threshold)
   }
 
+  /** Per-group contribution cap: keep at most `k` rows per group, selected
+    * in deterministic hash order md5(salt || id) (id tiebreak) — the "no
+    * single domain may dominate the corpus" cap of web-corpus curation, as
+    * a reproducible pseudo-random draw rather than a true sample. Returns
+    * (groupCol, idCol, rank), rank 1..k in draw order.
+    *
+    * Scale: two-level top-k (per-partition heads before the group
+    * shuffle), so a mega-domain with billions of rows reduces each input
+    * partition to ≤k rows BEFORE the exchange — the skewed key never
+    * funnels its raw rows through one reducer (a row_number window would).
+    */
+  def capPerGroup(df: DataFrame, idCol: String, groupCol: String,
+                  salt: String, k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val keyed = df.select(col(groupCol), col(idCol))
+      .withColumn("__hk", md5(concat(lit(salt), col(idCol).cast("string"))))
+    TopKPerGroup(keyed, Seq(groupCol), "__hk", k, Seq(idCol), ascending = true)
+      .select(col(groupCol), col(idCol), col("rank"))
+  }
+
   /** Source-weighted epoch expansion: replicate each document
     * floor(w) times, plus one more iff its hash bucket falls under the
     * fractional part — so a stratum with weight 2.5 contributes each doc

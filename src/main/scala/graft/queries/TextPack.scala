@@ -318,6 +318,12 @@ object TextPack {
       "doc_id", "source", "w3",
       weights = Seq("src0" -> 2.5, "src1" -> 1.0), defaultWeight = 0.25)
 
+  /** Domain cap: at most 60 docs per source, drawn in md5('c1'||id) order. */
+  def pipelineCap(s: SparkSession, dir: String): DataFrame =
+    TrainingPipeline.capPerGroup(
+      Tables.documents(s, dir).select(col("doc_id"), col("source")),
+      "doc_id", "source", "c1", k = 60)
+
   /** Deterministic stratified sample: upsample src0/src1, thin the rest. */
   def pipelineSample(s: SparkSession, dir: String): DataFrame =
     TrainingPipeline.sampleStratified(
@@ -332,6 +338,7 @@ object TextPack {
     "pl_decontam" -> pipelineDecontam _,
     "pl_sample" -> pipelineSample _,
     "pl_epochs" -> pipelineEpochs _,
+    "pl_cap" -> pipelineCap _,
     "pl_pack" -> pipelinePack _,
     "tx_scrub" -> scrub _,
     "tx_html" -> htmlStrip _,
@@ -538,6 +545,13 @@ object TextPack {
            1.0 - trigram_distinct::DOUBLE / trigram_total::DOUBLE AS rep_ratio
          FROM x""",
     "pl_decontam" -> OracleGen.decontaminate(50, 0.5),
+    "pl_cap" ->
+      """SELECT source, doc_id, rank FROM (
+           SELECT source, doc_id,
+             row_number() OVER (PARTITION BY source
+               ORDER BY md5('c1'||doc_id::VARCHAR) ASC, doc_id ASC) AS rank
+           FROM documents) t
+         WHERE rank <= 60""",
     "pl_epochs" ->
       """WITH w AS (SELECT doc_id, source,
            CASE source WHEN 'src0' THEN 2 WHEN 'src1' THEN 1 ELSE 0 END

@@ -309,6 +309,29 @@ class TrainingPipelineSpec extends AnyFunSuite {
     assert(got.count(_._1 == 3L) == 2, "topK bounds every doc's rows")
   }
 
+  test("capPerGroup: at most k per group, deterministic prefix draw, no window") {
+    val s = spark
+    import s.implicits._
+    val rows = (1L to 999L).map(i => (i, s"g${i % 3}")).toDF("id", "g")
+    def run(k: Int) = TrainingPipeline.capPerGroup(rows, "id", "g", "s", k)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val a = run(50)
+    val perGroup = a.groupBy(_._1).view.mapValues(_.sortBy(_._3)).toMap
+    assert(perGroup.keySet == Set("g0", "g1", "g2"))
+    assert(perGroup.values.forall(_.size == 50), "333 candidates cap to exactly k")
+    assert(perGroup.values.forall(_.map(_._3).toSeq == (1L to 50L)),
+      "ranks are contiguous draw positions")
+    assert(run(50).sortBy(x => (x._1, x._3)).toSeq == a.sortBy(x => (x._1, x._3)).toSeq,
+      "pure function of (salt, ids)")
+    // prefix property: the k=20 draw is the first 20 of the k=50 draw
+    val b = run(20).groupBy(_._1).view.mapValues(_.sortBy(_._3).map(_._2)).toMap
+    assert(b.forall { case (g, ids) => ids.sameElements(perGroup(g).take(20).map(_._2)) })
+    // two-level reduce, not a per-group window funnel
+    val plan = TrainingPipeline.capPerGroup(rows, "id", "g", "s", 5)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"cap must not plan a window:\n$plan")
+  }
+
   test("epochWeighted: floor copies + fractional by hash; zero weight drops") {
     val s = spark
     import s.implicits._
