@@ -318,6 +318,40 @@ object TextPack {
       "doc_id", "source", "w3",
       weights = Seq("src0" -> 2.5, "src1" -> 1.0), defaultWeight = 0.25)
 
+  /** End-to-end corpus build — the composition a pretraining pipeline
+    * actually ships: quality gate → exact dedup (min-id representative) →
+    * benchmark decontamination → train split → per-source cap → sequence
+    * packing. Every stage is the SAME operator the individual pl_ and dd_
+    * queries verify one at a time; this query verifies they COMPOSE
+    * (column contracts, filter boundary semantics, cross-stage
+    * determinism) under a single oracle.
+    *
+    * Scale: the stages keep their individual shuffle shapes; the glue this
+    * query adds is id-only semi-joins (kept-id lists are small and
+    * broadcastable) — text never crosses an extra exchange.
+    */
+  def corpusE2E(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+    val bench = d.filter(col("doc_id") % 50 === 0)
+    val pool = d.filter(col("doc_id") % 50 =!= 0)
+    val qual = pool.filter(T.qualityScore(col("text")) >= 0.5)
+    val reps = Dedup.exact(qual, "doc_id", "text").select(col("doc_id"))
+    val deduped = qual.join(reps, Seq("doc_id"), "left_semi")
+    val clean = TrainingPipeline
+      .decontaminate(deduped, bench, "doc_id", "text", n = 3, threshold = 0.5)
+      .filter(!col("contaminated")).select(col("doc_id"))
+    val train = TrainingPipeline.splitByHash(
+        deduped.join(clean, Seq("doc_id"), "left_semi")
+          .select(col("doc_id"), col("source")),
+        "doc_id", "e2", Seq("train" -> 0.9, "holdout" -> 0.1))
+      .filter(col("split") === "train")
+    val capped = TrainingPipeline.capPerGroup(train, "doc_id", "source", "c2", k = 80)
+    val lens = capped.select(col("doc_id"))
+      .join(pool.select(col("doc_id"), T.tokenCount(col("text")).as("n_tokens")),
+        Seq("doc_id"))
+    TrainingPipeline.packSequences(lens, "doc_id", "n_tokens", "p2", capacity = 512)
+  }
+
   /** Domain cap: at most 60 docs per source, drawn in md5('c1'||id) order. */
   def pipelineCap(s: SparkSession, dir: String): DataFrame =
     TrainingPipeline.capPerGroup(
@@ -339,6 +373,7 @@ object TextPack {
     "pl_sample" -> pipelineSample _,
     "pl_epochs" -> pipelineEpochs _,
     "pl_cap" -> pipelineCap _,
+    "pl_corpus_e2e" -> corpusE2E _,
     "pl_pack" -> pipelinePack _,
     "tx_scrub" -> scrub _,
     "tx_html" -> htmlStrip _,
@@ -545,6 +580,61 @@ object TextPack {
            1.0 - trigram_distinct::DOUBLE / trigram_total::DOUBLE AS rep_ratio
          FROM x""",
     "pl_decontam" -> OracleGen.decontaminate(50, 0.5),
+    // the composed pipeline: each CTE mirrors one stage's already-verified
+    // oracle formula (quality from tx_quality, fingerprint dedup from
+    // dd_exact, shingle containment from pl_decontam, split from pl_split,
+    // cap from pl_cap, packing from pl_pack) with this query's salts
+    "pl_corpus_e2e" ->
+      s"""WITH pool AS (SELECT doc_id, source, text FROM documents WHERE doc_id % 50 != 0),
+         q0 AS (SELECT doc_id, source, text,
+             [x for x in regexp_split_to_array(text, '\\s+') if x <> ''] rt,
+             regexp_split_to_array(lower(trim(regexp_replace(text,'\\s+',' '))), ' ') nt
+           FROM pool),
+         q1 AS (SELECT doc_id, source, text,
+             least(1.0, length(text)::DOUBLE / 400.0) * 0.4
+             + (len(list_distinct(rt))::DOUBLE / greatest(len(rt),1)) * 0.4
+             + (CASE WHEN sw >= 0.05 AND sw <= 0.6 THEN 1.0 ELSE 0.0 END) * 0.2 AS quality
+           FROM (SELECT *, len([t for t in nt if list_contains($STOP, t)])::DOUBLE
+                   / greatest(len(rt),1) sw FROM q0) z),
+         qual AS (SELECT doc_id, source, text FROM q1 WHERE quality >= 0.5),
+         keepid AS (SELECT min(doc_id) doc_id FROM qual
+           GROUP BY lower(trim(regexp_replace(text,'\\s+',' ')))),
+         d2 AS (SELECT q.* FROM qual q JOIN keepid USING (doc_id)),
+         bt AS (SELECT doc_id, string_split(lower(trim(regexp_replace(text,'\\s+',' '))),' ') t
+           FROM documents WHERE doc_id % 50 = 0),
+         bsh AS (SELECT doc_id, list_distinct(
+             CASE WHEN len(t) < 3 THEN [list_aggregate(t, 'string_agg', chr(1))]
+             ELSE [t[i]||chr(1)||t[i+1]||chr(1)||t[i+2] for i in range(1, len(t)-1)] END) s
+           FROM bt),
+         bench AS (SELECT DISTINCT ('0x'||substr(md5(x),1,10))::BIGINT h
+           FROM bsh, LATERAL unnest(s) AS u(x)),
+         dt AS (SELECT doc_id, string_split(lower(trim(regexp_replace(text,'\\s+',' '))),' ') t
+           FROM d2),
+         dsh AS (SELECT doc_id, list_distinct(list_transform(
+             CASE WHEN len(t) < 3 THEN [list_aggregate(t, 'string_agg', chr(1))]
+             ELSE [t[i]||chr(1)||t[i+1]||chr(1)||t[i+2] for i in range(1, len(t)-1)] END,
+             x -> ('0x'||substr(md5(x),1,10))::BIGINT)) hs FROM dt),
+         ex AS (SELECT doc_id, unnest(hs) h FROM dsh),
+         agg AS (SELECT ex.doc_id, count(*)::BIGINT n_sh,
+             sum(CASE WHEN bench.h IS NOT NULL THEN 1 ELSE 0 END)::BIGINT n_ov
+           FROM ex LEFT JOIN bench ON ex.h = bench.h GROUP BY ex.doc_id),
+         clean AS (SELECT doc_id FROM agg WHERE NOT (n_ov::DOUBLE / n_sh >= 0.5)),
+         tr AS (SELECT d2.doc_id, d2.source FROM d2 JOIN clean USING (doc_id)
+           WHERE ('0x'||substr(md5('e2'||d2.doc_id::VARCHAR),1,15))::BIGINT % 1000000 < 900000),
+         cap AS (SELECT doc_id, source FROM (
+             SELECT doc_id, source, row_number() OVER (PARTITION BY source
+               ORDER BY md5('c2'||doc_id::VARCHAR) ASC, doc_id ASC) rn FROM tr) z
+           WHERE rn <= 80),
+         lens AS (SELECT c.doc_id, len(q0.rt) n FROM cap c JOIN q0 USING (doc_id)),
+         o AS (SELECT doc_id, n,
+             coalesce(sum(n) OVER (ORDER BY md5('p2'||doc_id::VARCHAR), doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+           FROM lens)
+         SELECT doc_id, CAST(n AS BIGINT) AS n_tokens,
+           CAST(off // 512 AS BIGINT) AS pack_id,
+           CAST(off % 512 AS BIGINT) AS pack_off,
+           CAST((off + greatest(n, 1) - 1) // 512 - off // 512 + 1 AS BIGINT) AS packs_spanned
+         FROM o""",
     "pl_cap" ->
       """SELECT source, doc_id, rank FROM (
            SELECT source, doc_id,
