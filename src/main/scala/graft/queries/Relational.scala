@@ -229,6 +229,48 @@ object Relational {
     * Spark plans intersectAll/exceptAll as count-aggregate + replicate
     * (one shuffle on the value), not a join per duplicate.
     */
+  /** JSON property extraction + typed aggregation: the reference's `json`
+    * dataset type holds arbitrary JSON text (SURVEY §1.2) — here the
+    * parse/extract/aggregate shape over the events `props` column. Exact
+    * long sums, so the aggregate hash-matches cross-engine.
+    */
+  def eventsJsonProps(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .select(col("event_type"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"),
+        min(col("k")).as("min_k"), max(col("k")).as("max_k"))
+
+  /** Click → purchase conversion funnel: for every click, the FIRST
+    * purchase by the same user strictly after it, and whether it landed
+    * within the 10-minute attribution window. Forward as-of = the
+    * union-window AsOfJoin on NEGATED event times (nearest-after is
+    * nearest-before under time reversal) — still one shuffle on user_id,
+    * no candidate-pair explosion; the window bound is a post-filter on the
+    * single matched row. Same-instant purchase ties collapse to the min
+    * value so the match is deterministic.
+    */
+  def funnel(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id"), col("ts").as("click_ts"))
+      .withColumn("__nct", -unix_micros(col("click_ts")))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .groupBy(col("user_id"), col("ts").as("p_ts"))
+      .agg(min(col("value")).as("p_value"))
+      .withColumn("__npt", -unix_micros(col("p_ts")))
+    val j = graft.ops.AsOfJoin(clicks, purchases, Seq("user_id"),
+      leftTime = "__nct", rightTime = "__npt",
+      rightCols = Seq("p_ts", "p_value"), strict = true)
+    val converted = col("asof_p_ts").isNotNull &&
+      col("asof_p_ts") <= col("click_ts") + expr("INTERVAL 10 MINUTES")
+    j.select(col("user_id"), col("event_id"), col("click_ts"),
+      converted.as("converted"),
+      when(converted, col("asof_p_ts")).as("purchase_ts"),
+      when(converted, col("asof_p_value")).as("purchase_value"))
+  }
+
   def setOpsAll(s: SparkSession, dir: String): DataFrame = {
     val a = Tables.lineitem(s, dir).select((col("l_orderkey") % 97).as("k"))
     val b = Tables.orders(s, dir).select((col("o_orderkey") % 97).as("k"))
@@ -381,6 +423,8 @@ object Relational {
     "q_pivot_returns" -> pivotReturns _,
     "q_asof_prev_event" -> asofPrevEvent _,
     "q_range_join" -> rangeJoinBalance _,
+    "q_events_json" -> eventsJsonProps _,
+    "q_funnel" -> funnel _,
   )
 
   private val DISC = "(1.00::DECIMAL(18,2) - l_discount::DECIMAL(18,2))"
@@ -534,6 +578,27 @@ object Relational {
                 ELSE (epoch_us(l.t) - epoch_us(r.t)) // 1000 END AS gap_ms
          FROM e l ASOF LEFT JOIN e r
            ON l.user_id = r.user_id AND r.t < l.t""",
+    "q_events_json" ->
+      """SELECT event_type, count(*) AS n,
+         CAST(sum(json_extract_string(props, '$.k')::BIGINT) AS BIGINT) AS sum_k,
+         min(json_extract_string(props, '$.k')::BIGINT) AS min_k,
+         max(json_extract_string(props, '$.k')::BIGINT) AS max_k
+         FROM events GROUP BY 1""",
+    "q_funnel" ->
+      """WITH c AS (SELECT user_id, event_id, ts::TIMESTAMP ct FROM events
+           WHERE event_type = 'click'),
+         p AS (SELECT user_id, ts::TIMESTAMP pt, min(value) pv FROM events
+           WHERE event_type = 'purchase' GROUP BY 1, 2),
+         j AS (SELECT c.user_id, c.event_id, c.ct, p.pt, p.pv
+           FROM c ASOF LEFT JOIN p
+             ON c.user_id = p.user_id AND p.pt > c.ct)
+         SELECT user_id, event_id, ct AS click_ts,
+           (pt IS NOT NULL AND pt <= ct + INTERVAL 10 MINUTE) AS converted,
+           CASE WHEN pt IS NOT NULL AND pt <= ct + INTERVAL 10 MINUTE
+                THEN pt END AS purchase_ts,
+           CASE WHEN pt IS NOT NULL AND pt <= ct + INTERVAL 10 MINUTE
+                THEN pv END AS purchase_value
+         FROM j""",
     "q_events_sessions" ->
       """WITH e AS (SELECT user_id, event_id, epoch_us(ts::TIMESTAMP) t FROM events),
          marked AS (SELECT user_id, event_id, t,
