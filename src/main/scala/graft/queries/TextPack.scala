@@ -326,30 +326,50 @@ object TextPack {
     * (column contracts, filter boundary semantics, cross-stage
     * determinism) under a single oracle.
     *
-    * Scale: the stages keep their individual shuffle shapes; the glue this
-    * query adds is id-only semi-joins (kept-id lists are small and
-    * broadcastable) — text never crosses an extra exchange.
+    * Scale: every text-consuming signal (quality score, content
+    * fingerprint, shingle containment, token count) is computed INSIDE a
+    * scan-stage projection; everything downstream is id algebra — the
+    * dedup groupBy carries (fp, id) longs, the decontamination explode
+    * carries (id, hash) longs, the stage intersections are id semi-joins.
+    * The text column never crosses an exchange (plan-asserted in
+    * TrainingPipelineSpec), which is the difference between shuffling ids
+    * and shuffling 100 TB. Quality is evaluated in two scan branches
+    * rather than carried through a join — recomputing a codegen'd
+    * projection is the cheap side of that trade.
     */
-  def corpusE2E(s: SparkSession, dir: String): DataFrame = {
+  def corpusE2E(s: SparkSession, dir: String): DataFrame =
+    TrainingPipeline.packSequences(corpusE2ELens(s, dir),
+      "doc_id", "n_tokens", "p2", capacity = 512)
+
+  /** Stages 1-5 (everything before packing, which crosses into an RDD and
+    * would hide upstream exchanges from plan assertions). Returns the
+    * surviving (doc_id, n_tokens).
+    */
+  private[graft] def corpusE2ELens(s: SparkSession, dir: String): DataFrame = {
     val d = Tables.documents(s, dir)
     val bench = d.filter(col("doc_id") % 50 === 0)
     val pool = d.filter(col("doc_id") % 50 =!= 0)
     val qual = pool.filter(T.qualityScore(col("text")) >= 0.5)
-    val reps = Dedup.exact(qual, "doc_id", "text").select(col("doc_id"))
-    val deduped = qual.join(reps, Seq("doc_id"), "left_semi")
-    val clean = TrainingPipeline
-      .decontaminate(deduped, bench, "doc_id", "text", n = 3, threshold = 0.5)
+    // kept-id sets, each derived scan-side from `qual`, joined as ids only
+    val repIds = qual
+      .select(col("doc_id"), T.fingerprint(col("text")).as("fp"))
+      .groupBy(col("fp")).agg(min(col("doc_id")).as("doc_id"))
+      .select(col("doc_id"))
+    val cleanIds = TrainingPipeline
+      .decontaminate(qual, bench, "doc_id", "text", n = 3, threshold = 0.5)
       .filter(!col("contaminated")).select(col("doc_id"))
-    val train = TrainingPipeline.splitByHash(
-        deduped.join(clean, Seq("doc_id"), "left_semi")
-          .select(col("doc_id"), col("source")),
-        "doc_id", "e2", Seq("train" -> 0.9, "holdout" -> 0.1))
-      .filter(col("split") === "train")
-    val capped = TrainingPipeline.capPerGroup(train, "doc_id", "source", "c2", k = 80)
-    val lens = capped.select(col("doc_id"))
+    val keptIds = repIds.join(cleanIds, Seq("doc_id"), "left_semi")
+    val train = TrainingPipeline.splitByHash(keptIds, "doc_id", "e2",
+        Seq("train" -> 0.9, "holdout" -> 0.1))
+      .filter(col("split") === "train").select(col("doc_id"))
+    // narrow column-pruned re-scans attach source (for the cap) and token
+    // count (for packing) to the surviving ids
+    val withSource = train
+      .join(pool.select(col("doc_id"), col("source")), Seq("doc_id"))
+    val capped = TrainingPipeline.capPerGroup(withSource, "doc_id", "source", "c2", k = 80)
+    capped.select(col("doc_id"))
       .join(pool.select(col("doc_id"), T.tokenCount(col("text")).as("n_tokens")),
         Seq("doc_id"))
-    TrainingPipeline.packSequences(lens, "doc_id", "n_tokens", "p2", capacity = 512)
   }
 
   /** Domain cap: at most 60 docs per source, drawn in md5('c1'||id) order. */

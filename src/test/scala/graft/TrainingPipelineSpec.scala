@@ -309,6 +309,22 @@ class TrainingPipelineSpec extends AnyFunSuite {
     assert(got.count(_._1 == 3L) == 2, "topK bounds every doc's rows")
   }
 
+  test("corpusE2E: the text column never crosses an exchange") {
+    import org.apache.spark.sql.execution.exchange.Exchange
+    val s = spark
+    val prev = s.conf.get("spark.sql.adaptive.enabled")
+    s.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val plan = graft.queries.TextPack.corpusE2ELens(s, TestSpark.sfDir)
+        .queryExecution.executedPlan
+      val exchanges = plan.collect { case e: Exchange => e }
+      assert(exchanges.nonEmpty, "the pipeline must have id-keyed shuffles")
+      for (e <- exchanges; f <- e.child.schema.fields)
+        assert(f.name != "text",
+          s"text would be shuffled — signals must reduce scan-side:\n$e")
+    } finally s.conf.set("spark.sql.adaptive.enabled", prev)
+  }
+
   test("capPerGroup: at most k per group, deterministic prefix draw, no window") {
     val s = spark
     import s.implicits._
