@@ -152,6 +152,13 @@ object RecodeHelper {
 case class UnicodeNormalize(child: Expression, form: String)
     extends UnaryExpression {
   RecodeHelper.formOf(form) // unknown form fails at plan time, not per row
+  // non-string children fail analysis, not per-row inside an executor
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires a string child, got ${child.dataType.catalogString}")
   override def dataType: DataType = StringType
   override def prettyName: String = "graft_unicode_normalize"
 

@@ -186,8 +186,11 @@ object TextFunctions {
     * UDF, no shuffle, each pattern linear-time.
     */
   def stripHtml(text: Column): Column = {
-    val noScript = regexp_replace(text, "(?s)<script[^>]*>.*?</script>", " ")
-    val noStyle = regexp_replace(noScript, "(?s)<style[^>]*>.*?</style>", " ")
+    // (?is): HTML tag names are case-insensitive — '<SCRIPT>' must drop its
+    // content exactly like '<script>', or the code LEAKS into the cleaned
+    // text once the tag-strip pass removes only the markers
+    val noScript = regexp_replace(text, "(?is)<script[^>]*>.*?</script>", " ")
+    val noStyle = regexp_replace(noScript, "(?is)<style[^>]*>.*?</style>", " ")
     val noTags = regexp_replace(noStyle, "<[^>]*>", " ")
     val decoded = Seq(
       "&nbsp;" -> " ", "&lt;" -> "<", "&gt;" -> ">",

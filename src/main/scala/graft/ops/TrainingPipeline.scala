@@ -87,7 +87,12 @@ object TrainingPipeline {
   def capPerGroup(df: DataFrame, idCol: String, groupCol: String,
                   salt: String, k: Int): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
+    // a null id has no stable draw key (md5 of null is null, which the
+    // ascending struct sort would rank FIRST, silently displacing keyed
+    // rows — and DuckDB's ORDER BY ranks nulls last, so the two engines
+    // would even disagree). Unkeyable rows are excluded from the draw.
     val keyed = df.select(col(groupCol), col(idCol))
+      .filter(col(idCol).isNotNull)
       .withColumn("__hk", md5(concat(lit(salt), col(idCol).cast("string"))))
     TopKPerGroup(keyed, Seq(groupCol), "__hk", k, Seq(idCol), ascending = true)
       .select(col(groupCol), col(idCol), col("rank"))

@@ -213,22 +213,31 @@ object Relational {
       sum(y * y).cast("double").as("syy"),
       sum(x * y).cast("double").as("sxy"))
     val nd = col("n").cast("double")
-    val vq = (col("sxx") - col("sx") * col("sx") / nd) / (nd - lit(1.0))
-    val vp = (col("syy") - col("sy") * col("sy") / nd) / (nd - lit(1.0))
-    val cv = (col("sxy") - col("sx") * col("sy") / nd) / (nd - lit(1.0))
+    // degenerate groups are GUARDED to null in both engines rather than
+    // left to divisor semantics: Spark's Divide returns NULL on /0 while
+    // DuckDB's IEEE float division returns NaN/Inf — without the explicit
+    // CASE the two engines disagree on single-row or constant groups
+    val vq0 = (col("sxx") - col("sx") * col("sx") / nd) / (nd - lit(1.0))
+    val vp0 = (col("syy") - col("sy") * col("sy") / nd) / (nd - lit(1.0))
+    val cv0 = (col("sxy") - col("sx") * col("sy") / nd) / (nd - lit(1.0))
+    val multi = col("n") > 1
+    val vq = when(multi, vq0)
+    val vp = when(multi, vp0)
+    val cv = when(multi, cv0)
     agg.select(col("l_returnflag"), col("n"),
       (col("sx") / nd).as("mean_qty"),
       vq.as("var_qty"),
-      sqrt(vq).as("stddev_qty"),
+      // nested whens, NOT `multi && vq0 >= 0`: conjunction operands are
+      // not short-circuited, so the flat form would evaluate vq0's
+      // /(n-1) for single-row groups — an ANSI-mode DIVIDE_BY_ZERO error.
+      // (vq0 can also cancel to a tiny negative on a constant group;
+      // sqrt of a negative is NaN in Spark but an error in DuckDB.)
+      when(multi, when(vq0 >= 0.0, sqrt(vq0))).as("stddev_qty"),
       cv.as("covar_qty_price"),
-      (cv / sqrt(vq * vp)).as("corr_qty_price"))
+      when(multi, when(vq0 > 0.0 && vp0 > 0.0, cv0 / sqrt(vq0 * vp0)))
+        .as("corr_qty_price"))
   }
 
-  /** Bag-semantics set ops (INTERSECT ALL / EXCEPT ALL / UNION ALL) —
-    * duplicates carry multiplicity, unlike [[setOps]]' set semantics.
-    * Spark plans intersectAll/exceptAll as count-aggregate + replicate
-    * (one shuffle on the value), not a join per duplicate.
-    */
   /** JSON property extraction + typed aggregation: the reference's `json`
     * dataset type holds arbitrary JSON text (SURVEY §1.2) — here the
     * parse/extract/aggregate shape over the events `props` column. Exact
@@ -271,12 +280,17 @@ object Relational {
       when(converted, col("asof_p_value")).as("purchase_value"))
   }
 
+  /** Bag-semantics set ops (INTERSECT ALL / EXCEPT ALL / UNION ALL) —
+    * duplicates carry multiplicity, unlike [[setOps]]' set semantics.
+    * Spark plans intersectAll/exceptAll as count-aggregate + replicate
+    * (one shuffle on the value), not a join per duplicate.
+    */
   def setOpsAll(s: SparkSession, dir: String): DataFrame = {
     val a = Tables.lineitem(s, dir).select((col("l_orderkey") % 97).as("k"))
     val b = Tables.orders(s, dir).select((col("o_orderkey") % 97).as("k"))
     a.intersectAll(b).agg(count(lit(1)).as("n"), lit("intersect_all").as("op"))
       .unionByName(a.exceptAll(b).agg(count(lit(1)).as("n"), lit("except_all").as("op")))
-      .unionByName(a.unionAll(b).agg(count(lit(1)).as("n"), lit("union_all").as("op")))
+      .unionByName(a.union(b).agg(count(lit(1)).as("n"), lit("union_all").as("op")))
   }
 
   /** Hourly event rollup — exercises the events table's TIMESTAMP(NANOS)
@@ -523,12 +537,19 @@ object Relational {
            FROM lineitem GROUP BY 1)
          SELECT l_returnflag, n,
            sx / n::DOUBLE AS mean_qty,
-           (sxx - sx * sx / n::DOUBLE) / (n::DOUBLE - 1.0) AS var_qty,
-           sqrt((sxx - sx * sx / n::DOUBLE) / (n::DOUBLE - 1.0)) AS stddev_qty,
-           (sxy - sx * sy / n::DOUBLE) / (n::DOUBLE - 1.0) AS covar_qty_price,
-           ((sxy - sx * sy / n::DOUBLE) / (n::DOUBLE - 1.0))
-             / sqrt(((sxx - sx * sx / n::DOUBLE) / (n::DOUBLE - 1.0))
-                  * ((syy - sy * sy / n::DOUBLE) / (n::DOUBLE - 1.0))) AS corr_qty_price
+           CASE WHEN n > 1
+             THEN (sxx - sx * sx / n::DOUBLE) / (n::DOUBLE - 1.0) END AS var_qty,
+           CASE WHEN n > 1
+                 AND (sxx - sx * sx / n::DOUBLE) / (n::DOUBLE - 1.0) >= 0.0
+             THEN sqrt((sxx - sx * sx / n::DOUBLE) / (n::DOUBLE - 1.0)) END AS stddev_qty,
+           CASE WHEN n > 1
+             THEN (sxy - sx * sy / n::DOUBLE) / (n::DOUBLE - 1.0) END AS covar_qty_price,
+           CASE WHEN n > 1
+                 AND (sxx - sx * sx / n::DOUBLE) / (n::DOUBLE - 1.0) > 0.0
+                 AND (syy - sy * sy / n::DOUBLE) / (n::DOUBLE - 1.0) > 0.0
+             THEN ((sxy - sx * sy / n::DOUBLE) / (n::DOUBLE - 1.0))
+               / sqrt(((sxx - sx * sx / n::DOUBLE) / (n::DOUBLE - 1.0))
+                    * ((syy - sy * sy / n::DOUBLE) / (n::DOUBLE - 1.0))) END AS corr_qty_price
          FROM a""",
     "q_set_ops_all" ->
       """WITH a AS (SELECT l_orderkey % 97 AS k FROM lineitem),

@@ -488,9 +488,9 @@ object TextPack {
            || '</body></html>' AS t
            FROM documents),
          s1 AS (SELECT doc_id,
-           regexp_replace(t, '(?s)<script[^>]*>.*?</script>', ' ', 'g') AS t FROM dec),
+           regexp_replace(t, '(?is)<script[^>]*>.*?</script>', ' ', 'g') AS t FROM dec),
          s2 AS (SELECT doc_id,
-           regexp_replace(t, '(?s)<style[^>]*>.*?</style>', ' ', 'g') AS t FROM s1),
+           regexp_replace(t, '(?is)<style[^>]*>.*?</style>', ' ', 'g') AS t FROM s1),
          s3 AS (SELECT doc_id, regexp_replace(t, '<[^>]*>', ' ', 'g') AS t FROM s2),
          s4 AS (SELECT doc_id,
            regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(

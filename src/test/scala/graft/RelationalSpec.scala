@@ -67,5 +67,15 @@ class RelationalSpec extends AnyFunSuite {
     assert(stats.getDouble(2) == 2.5)
     assert(math.abs(stats.getDouble(3) - 5.0 / 3.0) < 1e-12)
     assert(stats.getDouble(6) == 1.0, "perfectly linear price => corr 1")
+    // degenerate groups: single row -> null moments; constant values ->
+    // zero variance and null corr (guarded, not NaN/Infinity)
+    val deg = Seq((7.0, 1.0, "S"), (3.0, 5.0, "C"), (3.0, 6.0, "C"))
+      .toDF("l_quantity", "l_extendedprice", "l_returnflag")
+    val byFlag = Relational.momentStatsOn(deg).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(byFlag("S").isNullAt(3) && byFlag("S").isNullAt(4) && byFlag("S").isNullAt(6),
+      "n=1 group has no sample moments")
+    assert(byFlag("C").getDouble(3) == 0.0 && byFlag("C").isNullAt(6),
+      "constant quantity: zero variance, undefined correlation")
   }
 }

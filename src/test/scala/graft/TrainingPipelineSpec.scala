@@ -165,7 +165,8 @@ class TrainingPipelineSpec extends AnyFunSuite {
       (2L, "a &amp;lt; b"), // amp decodes LAST: stays a literal "&lt;"
       (3L, "<script type=\"x\">var s = '<p>none</p>';</script>kept"),
       (4L, "x&nbsp;&#39;y&#39; <style>.c > i { }</style>&quot;z&quot;"),
-      (5L, "<div\nclass='m'>multi\nline</div>")).toDF("id", "t")
+      (5L, "<div\nclass='m'>multi\nline</div>"),
+      (6L, "<SCRIPT>var hidden = 1;</SCRIPT>visible <Style>.x{}</Style>too")).toDF("id", "t")
     val got = df.select(col("id"), T.stripHtml(col("t")).as("c"))
       .collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
     assert(got(0) == ((1L, "Hello world")))
@@ -173,6 +174,8 @@ class TrainingPipelineSpec extends AnyFunSuite {
     assert(got(2) == ((3L, "kept")), "script CONTENT must go, not just tags")
     assert(got(3) == ((4L, "x 'y' \"z\"")))
     assert(got(4) == ((5L, "multi line")), "attributes may span lines")
+    assert(got(5) == ((6L, "visible too")),
+      "HTML tag names are case-insensitive — uppercase elements drop content too")
   }
 
   test("normalizeUnicode: NFC/NFD/NFKC forms, identity fast path, bad form rejected") {
@@ -346,6 +349,12 @@ class TrainingPipelineSpec extends AnyFunSuite {
     val plan = TrainingPipeline.capPerGroup(rows, "id", "g", "s", 5)
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Window"), s"cap must not plan a window:\n$plan")
+    // null ids have no draw key and must not displace keyed rows
+    val withNulls = Seq((Some(1L), "g"), (None, "g"), (Some(2L), "g"))
+      .toDF("id", "g")
+    val drawn = TrainingPipeline.capPerGroup(withNulls, "id", "g", "s", 2)
+      .collect().map(r => r.getLong(1)).sorted.toSeq
+    assert(drawn == Seq(1L, 2L), "unkeyable rows are excluded from the draw")
   }
 
   test("epochWeighted: floor copies + fractional by hash; zero weight drops") {
