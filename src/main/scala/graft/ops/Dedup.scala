@@ -183,6 +183,57 @@ object Dedup {
     result
   }
 
+  /** Minhash index rows — per doc, the hashed shingle set and the k-slot
+    * signature (exactly what [[minhashLsh]] computes internally), meant to
+    * be persisted once as a snapshot/job output so daily batches dedup
+    * against history without ever re-reading historical text.
+    */
+  def minhashIndex(df: DataFrame, idCol: String, textCol: String,
+                   n: Int = 3, k: Int = 16): DataFrame =
+    df.select(col(idCol).as("id"), S.shingleHashes(col(textCol), n).as("hs"))
+      .select(col("id"), col("hs"), S.minhashSignatureHashed(col("hs"), k).as("sig"))
+
+  /** Incremental minhash-LSH: near-dup pairs (batch × history) ∪ (batch ×
+    * batch) from precomputed [[minhashIndex]] rows — the daily-ingest
+    * composition where the historical index is built once and only the
+    * new batch pays signature computation. Returns (id_a, id_b, jaccard)
+    * with id_a always a batch doc; batch-batch pairs have id_a < id_b.
+    * Batch and history id spaces must be disjoint.
+    *
+    * Scale: the band join carries (id, band, r-slot slice) rows only;
+    * shingle sets are joined back BY ID for verified candidates alone;
+    * historical text is never touched — the index is the only thing that
+    * has to exist, which is what makes day-N dedup O(batch), not
+    * O(corpus).
+    */
+  def incrementalMinhash(batchIdx: DataFrame, historyIdx: DataFrame,
+                         k: Int = 16, bands: Int = 8,
+                         threshold: Double = 0.8): DataFrame = {
+    require(k % bands == 0, s"k=$k must be a multiple of bands=$bands")
+    val rows = k / bands
+    def bandRows(idx: DataFrame) = idx.select(col("id"), posexplode(
+        array((0 until bands).map(b =>
+          slice(col("sig"), b * rows + 1, rows)): _*)))
+      .toDF("id", "band", "bslice")
+    val bx = bandRows(batchIdx)
+    val hx = bandRows(historyIdx)
+    val bandEq = col("x.band") === col("y.band") &&
+      col("x.bslice") === col("y.bslice")
+    val crossPairs = bx.as("x").join(hx.as("y"), bandEq)
+      .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
+    val withinPairs = bx.as("x").join(bx.as("y"),
+        bandEq && col("x.id") < col("y.id"))
+      .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
+    val cands = crossPairs.unionByName(withinPairs).distinct()
+    val a = batchIdx.select(col("id").as("id_a"), col("hs").as("hs_a"))
+    val both = batchIdx.unionByName(historyIdx)
+      .select(col("id").as("id_b"), col("hs").as("hs_b"))
+    cands.join(a, "id_a").join(both, "id_b")
+      .select(col("id_a"), col("id_b"),
+        S.jaccard(col("hs_a"), col("hs_b")).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
   /** SimHash near-dup pairs with Hamming distance ≤ maxHamming over the
     * 40-bit sketch.
     *

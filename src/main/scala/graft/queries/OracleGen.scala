@@ -67,6 +67,35 @@ object OracleGen {
          FROM cand WHERE ${jac("sa", "sb")} >= $threshold"""
   }
 
+  /** Incremental minhash: pairs (batch × history) ∪ (batch × batch,
+    * a < b), batch = doc_id % mod == 0 — same signatures/band condition
+    * as [[minhashLsh]], restricted to pairs a production daily-ingest
+    * dedup would check against a prebuilt history index.
+    */
+  def incrementalMinhash(k: Int, bands: Int, threshold: Double,
+                         mod: Int): String = {
+    val r = k / bands
+    val sigExprs = (0 until k).map { i =>
+      s"list_min(list_transform(h, v -> (${MinHashConsts.a(i)}*v + ${MinHashConsts.b(i)}) % ${MinHashConsts.M}))"
+    }.mkString("[", ", ", "]")
+    val bandCond = (0 until bands).map { b =>
+      (0 until r).map(j => s"x.sig[${b * r + j + 1}] = y.sig[${b * r + j + 1}]")
+        .mkString("(", " AND ", ")")
+    }.mkString(" OR ")
+    raw"""WITH $Shingles,
+         sig AS (SELECT doc_id, hs, $sigExprs sig FROM (SELECT doc_id, hs, hs h FROM hsh) z),
+         bs AS (SELECT * FROM sig WHERE doc_id % $mod = 0),
+         hist AS (SELECT * FROM sig WHERE doc_id % $mod != 0),
+         cand AS (
+           SELECT x.doc_id id_a, y.doc_id id_b, x.hs sa, y.hs sb
+             FROM bs x JOIN hist y ON ($bandCond)
+           UNION
+           SELECT x.doc_id, y.doc_id, x.hs, y.hs
+             FROM bs x JOIN bs y ON x.doc_id < y.doc_id AND ($bandCond))
+         SELECT id_a, id_b, ${jac("sa", "sb")} AS jaccard
+         FROM cand WHERE ${jac("sa", "sb")} >= $threshold"""
+  }
+
   /** SimHash-40 with Manku block candidates and Hamming verification. */
   def simhash(maxHamming: Int): String = {
     val bits = 40

@@ -218,6 +218,26 @@ object TextPack {
     Dedup.incrementalExact(batch, history, "doc_id", "text")
   }
 
+  /** Incremental minhash near-dup: batch (doc_id % 5 == 0) vs a HISTORY
+    * INDEX built once as a memoized job — only the batch pays signature
+    * computation; history text is never re-read. Pairs are batch×history
+    * plus within-batch.
+    */
+  def dedupIncMinhash(s: SparkSession, dir: String): DataFrame = {
+    val (store, _) = Fixtures(s, dir, "job_minhash_index") { st =>
+      val hist = Tables.documents(s, dir).filter(col("doc_id") % 5 =!= 0)
+      st.write(Dedup.minhashIndex(hist, "doc_id", "text", n = 3, k = 16),
+        "mh_index", slices = 4)
+      Map("index" -> "mh_index")
+    }
+    val historyIdx = store.readResolved("mh_index").select("id", "hs", "sig")
+    val batchIdx = Dedup.minhashIndex(
+      Tables.documents(s, dir).filter(col("doc_id") % 5 === 0),
+      "doc_id", "text", n = 3, k = 16)
+    Dedup.incrementalMinhash(batchIdx, historyIdx,
+      k = 16, bands = 8, threshold = 0.3)
+  }
+
   /** PII scrubbing over deterministically decorated text (the synthetic
     * corpus contains no natural PII, so the fixture injects emails/URLs/
     * phones as pure functions of doc_id — construction, not operator
@@ -399,6 +419,7 @@ object TextPack {
     "tx_html" -> htmlStrip _,
     "tx_nfc" -> nfc _,
     "dd_incremental" -> dedupIncremental _,
+    "dd_inc_minhash" -> dedupIncMinhash _,
     "pl_dedup_corpus" -> pipelineDedupCorpus _,
     "tx_stats" -> textStats _,
     "tx_quality" -> quality _,
@@ -733,6 +754,7 @@ object TextPack {
          FROM c""",
     "dd_ngram_jaccard" -> OracleGen.ngramJaccard(NgramMaxDf, 0.3),
     "dd_minhash_lsh" -> OracleGen.minhashLsh(16, 8, 0.3),
+    "dd_inc_minhash" -> OracleGen.incrementalMinhash(16, 8, 0.3, mod = 5),
     "dd_simhash" -> OracleGen.simhash(3),
     "dd_embedding_cosine" ->
       OracleGen.embeddingCosineLsh(0.45, dim = 64, tables = 8, planes = 6),

@@ -312,6 +312,28 @@ class TrainingPipelineSpec extends AnyFunSuite {
     assert(got.count(_._1 == 3L) == 2, "topK bounds every doc's rows")
   }
 
+  test("incrementalMinhash equals the batch-restricted full LSH pair set") {
+    val s = spark
+    import org.apache.spark.sql.functions.col
+    val docs = s.read.parquet(TestSpark.sfDir + "/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    def unordered(rows: Array[org.apache.spark.sql.Row]) = rows.map { r =>
+      val (a, b) = (r.getLong(0), r.getLong(1))
+      (math.min(a, b), math.max(a, b), r.getDouble(2))
+    }.toSet
+    val full = unordered(graft.ops.Dedup
+      .minhashLsh(docs, "doc_id", "text", n = 3, k = 16, bands = 8, threshold = 0.3)
+      .collect())
+    val batchTouched = full.filter(p => p._1 % 5 == 0 || p._2 % 5 == 0)
+    val inc = unordered(graft.ops.Dedup.incrementalMinhash(
+      graft.ops.Dedup.minhashIndex(docs.filter(col("doc_id") % 5 === 0), "doc_id", "text", 3, 16),
+      graft.ops.Dedup.minhashIndex(docs.filter(col("doc_id") % 5 =!= 0), "doc_id", "text", 3, 16),
+      k = 16, bands = 8, threshold = 0.3).collect())
+    assert(inc == batchTouched,
+      "incremental dedup must find exactly the full-corpus pairs that touch the batch")
+    assert(inc.nonEmpty, "fixture must actually exercise near-dup pairs")
+  }
+
   test("corpusE2E: the text column never crosses an exchange") {
     import org.apache.spark.sql.execution.exchange.Exchange
     val s = spark
