@@ -300,6 +300,25 @@ object TextPack {
         (T.normalizeUnicode(col("t")) =!= col("t")).as("changed"))
   }
 
+  /** One-row corpus report card: the profiling pass a pipeline runs before
+    * and after every curation step. All aggregates are exact integers
+    * (counts and long sums — no double accumulation, which would be
+    * merge-order-dependent), so the report is bit-deterministic.
+    */
+  def corpusReport(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+    val nTokens = T.tokenCount(col("text"))
+    d.agg(
+      count(lit(1)).as("n_docs"),
+      countDistinct(T.fingerprint(col("text"))).as("n_unique_contents"),
+      countDistinct(col("source")).as("n_sources"),
+      sum(nTokens).as("total_tokens"),
+      min(nTokens).as("min_tokens"),
+      max(nTokens).as("max_tokens"),
+      sum(when(T.qualityScore(col("text")) >= 0.5, 1L).otherwise(0L)).as("n_quality_ok"),
+      sum(when(T.langId(col("text")) === "en", 1L).otherwise(0L)).as("n_detected_en"))
+  }
+
   /** Concat-and-cut packing of whitespace token counts into 2048-token
     * training sequences, in the md5('p1'||id) deterministic order.
     */
@@ -417,6 +436,7 @@ object TextPack {
     "pl_pack" -> pipelinePack _,
     "tx_scrub" -> scrub _,
     "tx_html" -> htmlStrip _,
+    "pl_report" -> corpusReport _,
     "tx_nfc" -> nfc _,
     "dd_incremental" -> dedupIncremental _,
     "dd_inc_minhash" -> dedupIncMinhash _,
@@ -486,6 +506,35 @@ object TextPack {
              'https?://[^\s]+', '<URL>', 'g'),
              '[0-9]{3}-[0-9]{3,4}(-[0-9]{4})?', '<PHONE>', 'g') AS clean
          FROM dec""",
+    "pl_report" ->
+      s"""WITH d AS (SELECT doc_id, source, text,
+             [t for t in regexp_split_to_array(text, '\\s+') if t <> ''] toks,
+             regexp_split_to_array(lower(trim(regexp_replace(text,'\\s+',' '))), ' ') ntoks
+           FROM documents),
+         q AS (SELECT *,
+             least(1.0, length(text)::DOUBLE / 400.0) * 0.4
+             + (len(list_distinct(toks))::DOUBLE / greatest(len(toks),1)) * 0.4
+             + (CASE WHEN sw >= 0.05 AND sw <= 0.6 THEN 1.0 ELSE 0.0 END) * 0.2 AS quality
+           FROM (SELECT *,
+               len([t for t in ntoks if list_contains($STOP, t)])::DOUBLE
+                 / greatest(len(toks),1) sw,
+               len([t for t in ntoks if list_contains(['the','and','of','to','is'], t)])::BIGINT s_en,
+               len([t for t in ntoks if list_contains(['der','die','und','das','ist'], t)])::BIGINT s_de,
+               len([t for t in ntoks if list_contains(['le','la','les','et','est'], t)])::BIGINT s_fr,
+               len([t for t in ntoks if list_contains(['el','los','las','y','es'], t)])::BIGINT s_es,
+               len([t for t in ntoks if list_contains(['的','是','在','了','和'], t)])::BIGINT s_zh
+             FROM d) z)
+         SELECT count(*)::BIGINT AS n_docs,
+           count(DISTINCT ('0x'||substr(md5(lower(trim(regexp_replace(text,'\\s+',' ')))),1,15))::BIGINT)::BIGINT AS n_unique_contents,
+           count(DISTINCT source)::BIGINT AS n_sources,
+           sum(len(toks))::BIGINT AS total_tokens,
+           min(len(toks))::BIGINT AS min_tokens,
+           max(len(toks))::BIGINT AS max_tokens,
+           sum(CASE WHEN quality >= 0.5 THEN 1 ELSE 0 END)::BIGINT AS n_quality_ok,
+           sum(CASE WHEN greatest(s_en,s_de,s_fr,s_es,s_zh) > 0
+                     AND s_en = greatest(s_en,s_de,s_fr,s_es,s_zh)
+                    THEN 1 ELSE 0 END)::BIGINT AS n_detected_en
+         FROM q""",
     "tx_nfc" ->
       """WITH dec AS (SELECT doc_id, text ||
            CASE doc_id % 4
