@@ -150,12 +150,17 @@ object Streams {
   def joinWithin(left: DataFrame, right: DataFrame,
                  leftKey: String, rightKey: String,
                  leftTs: String, rightTs: String,
-                 within: String, watermark: String): DataFrame =
+                 within: String, watermark: String,
+                 joinType: String = "inner"): DataFrame =
     left.withWatermark(leftTs, watermark)
       .join(right.withWatermark(rightTs, watermark),
         col(leftKey) === col(rightKey) &&
           col(rightTs) >= col(leftTs) &&
-          col(rightTs) <= col(leftTs) + expr(s"INTERVAL $within"))
+          col(rightTs) <= col(leftTs) + expr(s"INTERVAL $within"),
+        // "leftOuter" additionally emits unmatched left rows with null
+        // right columns once the watermark proves no match can still
+        // arrive — the "unconverted impressions" half of attribution
+        joinType)
 
   /** Stream → chain bridge: each micro-batch becomes a snapshot chained to
     * the previous batch's snapshot and logged on the urd timeline. The

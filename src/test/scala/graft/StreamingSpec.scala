@@ -86,6 +86,35 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-stream LEFT OUTER join emits unmatched rows after the watermark") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val imps = MemoryStream[(java.sql.Timestamp, Long)]
+    val clicks = MemoryStream[(java.sql.Timestamp, Long)]
+    val out = Streams.joinWithin(
+      imps.toDF.toDF("imp_ts", "imp_key"),
+      clicks.toDF.toDF("click_ts", "click_key"),
+      "imp_key", "click_key", "imp_ts", "click_ts",
+      within = "5 minutes", watermark = "10 minutes", joinType = "leftOuter")
+    val q = out.writeStream.format("memory").queryName("ssjo")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      imps.addData((ts(1), 100L), (ts(2), 200L))
+      clicks.addData((ts(4), 100L))
+      q.processAllAvailable()
+      // push both watermarks far past the bound so 200's no-match is final
+      imps.addData((ts(59), 900L))
+      clicks.addData((ts(59), 901L))
+      q.processAllAvailable()
+      val got = s.sql("SELECT imp_key, click_key FROM ssjo WHERE imp_key < 900")
+        .collect().map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1)))
+        .toSet
+      assert(got == Set((100L, 100L), (200L, -1L)),
+        "matched row joins; unmatched row emits with null right side once provably final")
+    } finally q.stop()
+  }
+
   test("sessionization: gap closes a session, state carries across batches") {
     val s = spark
     import s.implicits._
