@@ -141,6 +141,13 @@ object TextPack {
       .select(col("qid"), col("rank"), col("nid"), col("cosine"))
   }
 
+  /** Int8 quantization stats over the embedding store: per-vector scale,
+    * integer code checksums, and squared reconstruction error.
+    */
+  def annQuantize(s: SparkSession, dir: String): DataFrame =
+    SimilaritySearch.quantizeInt8(Tables.embeddings(s, dir), "vec_id", "embedding")
+      .withColumnRenamed("id", "vec_id")
+
   def annIvf(s: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(s, dir)
     val queries = emb.filter(col("vec_id") < 5)
@@ -458,6 +465,7 @@ object TextPack {
     "ann_brute_topk" -> annBrute _,
     "ann_lsh_topk" -> annLsh _,
     "ann_ivf_topk" -> annIvf _,
+    "ann_quantize" -> annQuantize _,
   )
 
   // DuckDB-side common table prefixes (carries n_chars through so consumers
@@ -811,6 +819,25 @@ object TextPack {
     "pl_dedup_corpus" -> OracleGen.dedupCorpus(OracleGen.minhashLsh(16, 8, 0.3)),
     "ann_lsh_topk" -> OracleGen.annLsh(tables = 8, planes = 10, dim = 64, k = 10),
     "ann_ivf_topk" -> OracleGen.annIvf(nCentroids = 16, nprobe = 4, k = 10),
+    "ann_quantize" ->
+      """WITH v AS (SELECT vec_id, embedding::DOUBLE[] e FROM embeddings),
+         s AS (SELECT vec_id, e,
+             list_reduce([0.0] || list_transform(e, x -> abs(x)),
+               (acc, x) -> greatest(acc, x)) / 127.0 AS scale
+           FROM v),
+         qq AS (SELECT vec_id, e, scale,
+             CASE WHEN scale = 0.0 THEN list_transform(e, x -> 0::BIGINT)
+                  ELSE list_transform(e, x -> floor(x / scale + 0.5)::BIGINT) END AS q
+           FROM s)
+         SELECT vec_id, scale,
+           len(q)::BIGINT AS dim,
+           list_sum(q)::BIGINT AS q_sum,
+           list_sum(list_transform(q, x -> abs(x)))::BIGINT AS q_l1,
+           list_reduce([0.0] ||
+             [ (e[i] - q[i] * scale) * (e[i] - q[i] * scale)
+               for i in range(1, len(e)+1) ],
+             (acc, x) -> acc + x) AS err2
+         FROM qq""",
     "ann_brute_topk" ->
       """WITH v AS (SELECT vec_id, embedding::DOUBLE[] e FROM embeddings),
          q AS (SELECT * FROM v WHERE vec_id < 5),

@@ -108,6 +108,27 @@ class SketchesSpec extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("quantizeInt8: codes bounded, zero vector safe, error within half-step") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      (1L, Array(1.0, -2.0, 0.5, 127.0)),
+      (2L, Array(0.0, 0.0, 0.0, 0.0)),
+      (3L, Array(-0.001, 0.001, 0.0005, -0.0005))).toDF("id", "v")
+    val got = SimilaritySearch.quantizeInt8(df, "id", "v").collect()
+      .map(r => r.getLong(0) ->
+        ((r.getDouble(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5)))).toMap
+    val (s1, d1, _, l11, e1) = got(1L)
+    assert(s1 == 1.0 && d1 == 4L, "maxAbs 127 gives scale exactly 1")
+    assert(l11 <= 4 * 127, "codes bounded by ±127 per slot")
+    assert(e1 <= 4 * (s1 / 2) * (s1 / 2) + 1e-12, "error per slot at most half a step")
+    val (s2, _, q2sum, q2l1, e2) = got(2L)
+    assert(s2 == 0.0 && q2sum == 0L && q2l1 == 0L && e2 == 0.0,
+      "all-zero vector quantizes to zeros without dividing by zero")
+    assert(got(3L)._5 <= 4 * (got(3L)._1 / 2) * (got(3L)._1 / 2) + 1e-20,
+      "tiny magnitudes scale correctly")
+  }
+
   test("dupClusters: both paths find connected components") {
     val s = spark
     import s.implicits._
