@@ -157,29 +157,23 @@ object Dedup {
                  threshold: Double = 0.8): DataFrame = {
     require(k % bands == 0, s"k=$k must be a multiple of bands=$bands")
     val rows = k / bands
-    val withHs = df.select(col(idCol).as("id"),
-      S.shingleHashes(col(textCol), n).as("hs"))
-      // reused by the signature path and both verify joins
+    // reused by the band path and both verify joins
+    val idx = minhashIndex(df, idCol, textCol, n, k)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val withSig = withHs.select(col("id"),
-      S.minhashSignatureHashed(col("hs"), k).as("sig"))
-    val bandRows = withSig.select(col("id"), posexplode(
-        array((0 until bands).map(b =>
-          slice(col("sig"), b * rows + 1, rows)): _*)))
-      .toDF("id", "band", "bslice")
-    val cands = bandRows.as("x").join(bandRows.as("y"),
+    val br = bandRows(idx, bands, rows)
+    val cands = br.as("x").join(br.as("y"),
         col("x.band") === col("y.band") && col("x.bslice") === col("y.bslice") &&
         col("x.id") < col("y.id"))
       .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
       .distinct()
-    val a = withHs.select(col("id").as("id_a"), col("hs").as("hs_a"))
-    val b = withHs.select(col("id").as("id_b"), col("hs").as("hs_b"))
+    val a = idx.select(col("id").as("id_a"), col("hs").as("hs_a"))
+    val b = idx.select(col("id").as("id_b"), col("hs").as("hs_b"))
     val result = cands.join(a, "id_a").join(b, "id_b")
       .select(col("id_a"), col("id_b"),
         S.jaccard(col("hs_a"), col("hs_b")).as("jaccard"))
       .filter(col("jaccard") >= threshold)
       .localCheckpoint() // see ngramJaccard: release the cache below
-    withHs.unpersist()
+    idx.unpersist()
     result
   }
 
@@ -192,6 +186,16 @@ object Dedup {
                    n: Int = 3, k: Int = 16): DataFrame =
     df.select(col(idCol).as("id"), S.shingleHashes(col(textCol), n).as("hs"))
       .select(col("id"), col("hs"), S.minhashSignatureHashed(col("hs"), k).as("sig"))
+
+  /** One (id, band, r-slot slice) row per band of each index row — the
+    * join key material of every LSH path (shared by [[minhashLsh]] and
+    * [[incrementalMinhash]] so the banding scheme cannot diverge).
+    */
+  private def bandRows(idx: DataFrame, bands: Int, rows: Int): DataFrame =
+    idx.select(col("id"), posexplode(
+        array((0 until bands).map(b =>
+          slice(col("sig"), b * rows + 1, rows)): _*)))
+      .toDF("id", "band", "bslice")
 
   /** Incremental minhash-LSH: near-dup pairs (batch × history) ∪ (batch ×
     * batch) from precomputed [[minhashIndex]] rows — the daily-ingest
@@ -211,12 +215,14 @@ object Dedup {
                          threshold: Double = 0.8): DataFrame = {
     require(k % bands == 0, s"k=$k must be a multiple of bands=$bands")
     val rows = k / bands
-    def bandRows(idx: DataFrame) = idx.select(col("id"), posexplode(
-        array((0 until bands).map(b =>
-          slice(col("sig"), b * rows + 1, rows)): _*)))
-      .toDF("id", "band", "bslice")
-    val bx = bandRows(batchIdx)
-    val hx = bandRows(historyIdx)
+    // the batch index is referenced four times (two band joins + both
+    // verify sides) — persist it, or the batch's signature computation
+    // re-executes per reference, violating the "batch pays once" contract
+    // (the history side is a persisted snapshot already)
+    val batch = batchIdx
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bx = bandRows(batch, bands, rows)
+    val hx = bandRows(historyIdx, bands, rows)
     val bandEq = col("x.band") === col("y.band") &&
       col("x.bslice") === col("y.bslice")
     val crossPairs = bx.as("x").join(hx.as("y"), bandEq)
@@ -225,13 +231,16 @@ object Dedup {
         bandEq && col("x.id") < col("y.id"))
       .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
     val cands = crossPairs.unionByName(withinPairs).distinct()
-    val a = batchIdx.select(col("id").as("id_a"), col("hs").as("hs_a"))
-    val both = batchIdx.unionByName(historyIdx)
+    val a = batch.select(col("id").as("id_a"), col("hs").as("hs_a"))
+    val both = batch.unionByName(historyIdx)
       .select(col("id").as("id_b"), col("hs").as("hs_b"))
-    cands.join(a, "id_a").join(both, "id_b")
+    val result = cands.join(a, "id_a").join(both, "id_b")
       .select(col("id_a"), col("id_b"),
         S.jaccard(col("hs_a"), col("hs_b")).as("jaccard"))
       .filter(col("jaccard") >= threshold)
+      .localCheckpoint() // release the cache below without cutting the result
+    batch.unpersist()
+    result
   }
 
   /** SimHash near-dup pairs with Hamming distance ≤ maxHamming over the

@@ -52,40 +52,46 @@ object SimilaritySearch {
     * shuffle for candidate generation; exact re-ranking keeps the
     * originals). Per vector: scale = maxAbs/127, q_i = floor(v_i/scale
     * + 0.5) (explicit half-up — both engines' round() differ in tie
-    * handling, floor(x+0.5) does not), plus the squared reconstruction
-    * error. All-zero vectors quantize to zeros with scale 0.
+    * handling, floor(x+0.5) does not). All-zero vectors quantize to zeros
+    * with scale 0. Returns (id, v, scale, q) — the codes themselves, for
+    * store-builders; [[quantizeInt8Stats]] is the oracle-verified digest
+    * view.
     *
     * Float determinism: the folds (aggregate over the array) run
     * left-to-right sequentially in BOTH engines — unlike a distributed
     * double sum, the per-vector accumulation order is fixed, so the
     * oracle replays it bit-for-bit.
     *
-    * Scale: scan-side per-row math, no shuffle; output carries the int8
-    * codes, not the original vectors.
+    * Scale: scan-side per-row math, no shuffle.
     */
   def quantizeInt8(df: DataFrame, idCol: String, vecCol: String): DataFrame = {
     val base = df.select(col(idCol).as("id"),
       col(vecCol).cast("array<double>").as("v"))
     val withScale = base.withColumn("scale",
       aggregate(col("v"), lit(0.0), (acc, x) => greatest(acc, abs(x))) / lit(127.0))
-    val withQ = withScale.withColumn("q",
+    withScale.withColumn("q",
       when(col("scale") === 0.0, transform(col("v"), _ => lit(0L)))
         .otherwise(transform(col("v"),
           x => floor(x / col("scale") + lit(0.5)).cast("long"))))
-    withQ
+  }
+
+  /** Scalar digests of [[quantizeInt8]]'s output — (id, scale, dim, code
+    * checksums, squared reconstruction error). This is the VERIFIED view:
+    * exact integer checksums compare robustly cross-engine where a raw
+    * array column would not; store-builders take the codes from
+    * [[quantizeInt8]] itself.
+    */
+  def quantizeInt8Stats(df: DataFrame, idCol: String, vecCol: String): DataFrame =
+    quantizeInt8(df, idCol, vecCol)
       .withColumn("err2", aggregate(
         zip_with(col("v"), col("q"), (a, b) => {
           val d = a - b.cast("double") * col("scale"); d * d
         }),
         lit(0.0), (acc, x) => acc + x))
-      // scalar digests of the code vector, not the array itself: exact
-      // integer checksums compare robustly cross-engine, and a consumer
-      // wanting the codes keeps the `q` column upstream
       .select(col("id"), col("scale"), size(col("q")).cast("long").as("dim"),
         aggregate(col("q"), lit(0L), (acc, x) => acc + x).as("q_sum"),
         aggregate(col("q"), lit(0L), (acc, x) => acc + abs(x)).as("q_l1"),
         col("err2"))
-  }
 
   /** Deterministic pseudo-random hyperplanes: component j of plane p in
     * table t = md5("t,p,j")-derived value in [-1,1). No RNG state,

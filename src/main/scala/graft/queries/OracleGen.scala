@@ -50,15 +50,26 @@ object OracleGen {
     * constants; candidates agree on ≥1 band (raw slice equality, same as
     * the Spark array-equality band join); verified on true Jaccard.
     */
-  def minhashLsh(k: Int, bands: Int, threshold: Double): String = {
-    val r = k / bands
-    val sigExprs = (0 until k).map { i =>
+  /** Per-slot minhash signature exprs + ≥1-band-agrees condition — shared
+    * by [[minhashLsh]] and [[incrementalMinhash]] so the two oracles'
+    * mixing constants and band-slot indexing cannot desynchronize.
+    */
+  private def sigExprs(k: Int): String =
+    (0 until k).map { i =>
       s"list_min(list_transform(h, v -> (${MinHashConsts.a(i)}*v + ${MinHashConsts.b(i)}) % ${MinHashConsts.M}))"
     }.mkString("[", ", ", "]")
-    val bandCond = (0 until bands).map { b =>
+
+  private def bandCond(k: Int, bands: Int): String = {
+    val r = k / bands
+    (0 until bands).map { b =>
       (0 until r).map(j => s"x.sig[${b * r + j + 1}] = y.sig[${b * r + j + 1}]")
         .mkString("(", " AND ", ")")
     }.mkString(" OR ")
+  }
+
+  def minhashLsh(k: Int, bands: Int, threshold: Double): String = {
+    val sigExprs = this.sigExprs(k)
+    val bandCond = this.bandCond(k, bands)
     raw"""WITH $Shingles,
          sig AS (SELECT doc_id, hs, $sigExprs sig FROM (SELECT doc_id, hs, hs h FROM hsh) z),
          cand AS (SELECT x.doc_id id_a, y.doc_id id_b, x.hs sa, y.hs sb
@@ -74,14 +85,8 @@ object OracleGen {
     */
   def incrementalMinhash(k: Int, bands: Int, threshold: Double,
                          mod: Int): String = {
-    val r = k / bands
-    val sigExprs = (0 until k).map { i =>
-      s"list_min(list_transform(h, v -> (${MinHashConsts.a(i)}*v + ${MinHashConsts.b(i)}) % ${MinHashConsts.M}))"
-    }.mkString("[", ", ", "]")
-    val bandCond = (0 until bands).map { b =>
-      (0 until r).map(j => s"x.sig[${b * r + j + 1}] = y.sig[${b * r + j + 1}]")
-        .mkString("(", " AND ", ")")
-    }.mkString(" OR ")
+    val sigExprs = this.sigExprs(k)
+    val bandCond = this.bandCond(k, bands)
     raw"""WITH $Shingles,
          sig AS (SELECT doc_id, hs, $sigExprs sig FROM (SELECT doc_id, hs, hs h FROM hsh) z),
          bs AS (SELECT * FROM sig WHERE doc_id % $mod = 0),

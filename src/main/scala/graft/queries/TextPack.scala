@@ -145,7 +145,7 @@ object TextPack {
     * integer code checksums, and squared reconstruction error.
     */
   def annQuantize(s: SparkSession, dir: String): DataFrame =
-    SimilaritySearch.quantizeInt8(Tables.embeddings(s, dir), "vec_id", "embedding")
+    SimilaritySearch.quantizeInt8Stats(Tables.embeddings(s, dir), "vec_id", "embedding")
       .withColumnRenamed("id", "vec_id")
 
   def annIvf(s: SparkSession, dir: String): DataFrame = {

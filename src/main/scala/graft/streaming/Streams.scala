@@ -134,7 +134,7 @@ object Streams {
       .withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark("fp")
 
-  /** Stream-stream inner join within an event-time bound — the
+  /** Stream-stream join within an event-time bound — the
     * impressions⋈clicks attribution shape: a right-side row matches a
     * left-side row with the same key when it arrives in
     * [leftTs, leftTs + within]. BOTH sides carry a watermark and the join
@@ -143,6 +143,13 @@ object Streams {
     * join would otherwise hold both streams in state forever. Column names
     * must be disjoint across the two frames (standard Spark join-ambiguity
     * rule; callers rename before joining).
+    *
+    * @param joinType "inner" (default) emits matched pairs only;
+    *   "leftOuter" additionally emits each unmatched left row with null
+    *   right columns — but only once the watermark proves no in-bound
+    *   match can still arrive, so outer results trail the data by the
+    *   watermark delay (the "unconverted impressions" half of
+    *   attribution).
     *
     * Runs unchanged on batch frames (withWatermark is a no-op there), so
     * the same plan is testable against a batch equivalence.
@@ -157,9 +164,6 @@ object Streams {
         col(leftKey) === col(rightKey) &&
           col(rightTs) >= col(leftTs) &&
           col(rightTs) <= col(leftTs) + expr(s"INTERVAL $within"),
-        // "leftOuter" additionally emits unmatched left rows with null
-        // right columns once the watermark proves no match can still
-        // arrive — the "unconverted impressions" half of attribution
         joinType)
 
   /** Stream → chain bridge: each micro-batch becomes a snapshot chained to

@@ -115,13 +115,15 @@ class SketchesSpec extends AnyFunSuite {
       (1L, Array(1.0, -2.0, 0.5, 127.0)),
       (2L, Array(0.0, 0.0, 0.0, 0.0)),
       (3L, Array(-0.001, 0.001, 0.0005, -0.0005))).toDF("id", "v")
-    val got = SimilaritySearch.quantizeInt8(df, "id", "v").collect()
+    val got = SimilaritySearch.quantizeInt8Stats(df, "id", "v").collect()
       .map(r => r.getLong(0) ->
         ((r.getDouble(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5)))).toMap
-    val (s1, d1, _, l11, e1) = got(1L)
+    // exact digests: q = (1, -2, 1, 127) — pins the ±127 boundary slot
+    // (an off-by-one to 128 would shift q_sum/q_l1 by exactly 1)
+    val (s1, d1, q1sum, l11, e1) = got(1L)
     assert(s1 == 1.0 && d1 == 4L, "maxAbs 127 gives scale exactly 1")
-    assert(l11 <= 4 * 127, "codes bounded by ±127 per slot")
-    assert(e1 <= 4 * (s1 / 2) * (s1 / 2) + 1e-12, "error per slot at most half a step")
+    assert(q1sum == 127L && l11 == 131L, "codes are exactly (1, -2, 1, 127)")
+    assert(e1 == 0.25, "only the 0.5 slot rounds: error (1.0-0.5)^2")
     val (s2, _, q2sum, q2l1, e2) = got(2L)
     assert(s2 == 0.0 && q2sum == 0L && q2l1 == 0L && e2 == 0.0,
       "all-zero vector quantizes to zeros without dividing by zero")
