@@ -108,6 +108,22 @@ class SketchesSpec extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("positionedShingleHashes equals the md5-prefix model, index-aligned") {
+    val s = spark
+    import s.implicits._
+    def md5Hash60(text: String): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(text.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.take(15), 16)
+    }
+    val df = Seq((1L, Seq("a", "b", "c", "d")), (2L, Seq("x", "y"))).toDF("id", "ts")
+    val got = df.select(col("id"), S.positionedShingleHashes(col("ts"), 3).as("h"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(got(1L) == Seq(md5Hash60("a b c"), md5Hash60("b c d")),
+      "element j hashes the space-joined tokens j..j+n-1")
+    assert(got(2L).isEmpty, "documents shorter than n have no full window")
+  }
+
   test("quantizeInt8: codes bounded, zero vector safe, error within half-step") {
     val s = spark
     import s.implicits._
