@@ -166,6 +166,70 @@ object Streams {
           col(rightTs) <= col(leftTs) + expr(s"INTERVAL $within"),
         joinType)
 
+  /** Streaming NEAR-dup dedup with a persistent chain index. Structured
+    * Streaming has no native near-duplicate operator (dropDuplicates and
+    * dropDuplicatesWithinWatermark are exact-key only), so this composes
+    * the batch primitives through foreachBatch: each micro-batch is
+    * minhash-indexed, deduplicated against the accumulated index CHAIN
+    * plus itself ([[graft.ops.Dedup.incrementalMinhash]] — a batch doc
+    * drops when it near-dups history or a smaller-id batch doc), the
+    * survivors land chained under `outPrefix`, and the batch's index lands
+    * chained under `indexPrefix`.
+    *
+    * Dedup state is therefore ordinary snapshots — restart-safe,
+    * shell-inspectable, shared with batch jobs — instead of opaque
+    * state-store files, and each batch pays O(batch) signature work
+    * regardless of history size. The trade against watermark dedup: state
+    * is NOT evicted (near-dup identity has no time horizon); at 100 TB
+    * the index chain is (id, hs, sig) rows — a constant-factor sketch of
+    * the corpus, not the corpus.
+    */
+  def nearDupDedupSink(docs: DataFrame, idCol: String, textCol: String,
+                       store: SnapshotStore, indexPrefix: String,
+                       outPrefix: String, checkpoint: String,
+                       n: Int = 3, k: Int = 16, bands: Int = 8,
+                       threshold: Double = 0.8): StreamingQuery = {
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode(OutputMode.Append())
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          val batchIdx = graft.ops.Dedup
+            .minhashIndex(batch, idCol, textCol, n, k)
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          def prevOf(prefix: String) = (batchId - 1 to 0L by -1)
+            .map(i => s"$prefix.$i").find(store.exists)
+          val prevIdx = prevOf(indexPrefix)
+          val history = prevIdx match {
+            case Some(tip) => store.iterateChain(tip)
+              .select(col("id"), col("hs"), col("sig"))
+            case None => batchIdx.limit(0)
+          }
+          val pairs = graft.ops.Dedup
+            .incrementalMinhash(batchIdx, history, k, bands, threshold)
+          // classify by id_b: batch and history id spaces are disjoint, so
+          // id_b ∈ batch ⇒ within-batch pair (drop the larger side, id_b);
+          // id_b ∉ batch ⇒ history pair (drop the batch side, id_a)
+          val batchIds = batchIdx.select(col("id"))
+          val dropWithin = pairs
+            .join(batchIds.withColumnRenamed("id", "id_b"), Seq("id_b"), "left_semi")
+            .select(col("id_b").as(idCol))
+          val dropCross = pairs
+            .join(batchIds.withColumnRenamed("id", "id_b"), Seq("id_b"), "left_anti")
+            .select(col("id_a").as(idCol))
+          val survivors = batch.join(
+            dropWithin.unionByName(dropCross).distinct(), Seq(idCol), "left_anti")
+          store.write(survivors, s"$outPrefix.$batchId",
+            previous = prevOf(outPrefix))
+          store.write(batchIdx, s"$indexPrefix.$batchId", previous = prevIdx)
+          batchIdx.unpersist()
+        }
+        ()
+      }
+      .start()
+  }
+
   /** Stream → chain bridge: each micro-batch becomes a snapshot chained to
     * the previous batch's snapshot and logged on the urd timeline. The
     * stream's full history is then a first-class dataset chain.

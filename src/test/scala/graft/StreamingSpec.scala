@@ -183,6 +183,38 @@ class StreamingSpec extends AnyFunSuite {
     assert(store.iterateChain(tip).count() == 3)
   }
 
+  test("nearDupDedupSink: streaming near-dup dedup against the chain index") {
+    val s = spark
+    import s.implicits._
+    val dir = tmpDir("nd_src")
+    val store = new SnapshotStore(s, tmpDir("nd_store"))
+    val base = "the quick brown fox jumps over the lazy dog again and again"
+    // appended-token variants: jaccard ~0.91 (a replaced token gives only
+    // ~0.54, which sits in the 8-band sketch's ~6% miss zone)
+    // file 1 → batch 0: doc 2 near-dups doc 1
+    Seq((1L, base), (2L, base + " extra")).toDF("doc_id", "text")
+      .coalesce(1).write.mode("append").parquet(dir)
+    // file 2 → batch 1: doc 3 near-dups HISTORY; doc 4 is fresh
+    Seq((3L, base + " bonus"),
+        (4L, "completely different words with no shared trigrams at all here"))
+      .toDF("doc_id", "text")
+      .coalesce(1).write.mode("append").parquet(dir)
+    val stream = Streams.eventStream(s, dir, maxFilesPerTrigger = 1)
+    val q = Streams.nearDupDedupSink(stream, "doc_id", "text",
+      store, "ndidx", "ndout", checkpoint = tmpDir("nd_ckpt"),
+      n = 3, k = 16, bands = 8, threshold = 0.5)
+    q.awaitTermination(120000)
+    val outs = store.list().filter(_.startsWith("ndout.")).sorted
+    assert(outs.size == 2, s"expected 2 survivor snapshots, got $outs")
+    val survivors = store.iterateChain(outs.last, columns = Seq("doc_id"))
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(survivors == Seq(1L, 4L),
+      "batch 0 keeps the min-id rep; batch 1 drops the history near-dup, keeps the fresh doc")
+    val idxTip = store.list().filter(_.startsWith("ndidx.")).sorted.last
+    assert(store.iterateChain(idxTip).count() == 4,
+      "the index chain accumulates every doc's sketch, survivors or not")
+  }
+
   test("corpus-prep stack (scrub + quality gate + dedup) runs unmodified in a stream") {
     val s = spark
     import s.implicits._
