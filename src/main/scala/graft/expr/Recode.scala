@@ -87,8 +87,7 @@ object RecodeHelper {
       s"unicode normal form must be NFC/NFD/NFKC/NFKD, got '$other'")
   }
 
-  def normalize(s: UTF8String, form: String): UTF8String = {
-    val f = formOf(form)
+  def normalize(s: UTF8String, f: java.text.Normalizer.Form): UTF8String = {
     val str = s.toString
     if (java.text.Normalizer.isNormalized(str, f)) s
     else UTF8String.fromString(java.text.Normalizer.normalize(str, f))
@@ -151,7 +150,10 @@ object RecodeHelper {
   */
 case class UnicodeNormalize(child: Expression, form: String)
     extends UnaryExpression {
-  RecodeHelper.formOf(form) // unknown form fails at plan time, not per row
+  // resolved ONCE (also validates at construction — unknown form fails at
+  // plan time): per-row string→Form matching has no place on the hot path
+  @transient private lazy val resolvedForm = RecodeHelper.formOf(form)
+  resolvedForm
   // non-string children fail analysis, not per-row inside an executor
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
     if (child.dataType == StringType)
@@ -163,10 +165,10 @@ case class UnicodeNormalize(child: Expression, form: String)
   override def prettyName: String = "graft_unicode_normalize"
 
   override def nullSafeEval(input: Any): Any =
-    RecodeHelper.normalize(input.asInstanceOf[UTF8String], form)
+    RecodeHelper.normalize(input.asInstanceOf[UTF8String], resolvedForm)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val f = ctx.addReferenceObj("form", form, "java.lang.String")
+    val f = ctx.addReferenceObj("form", resolvedForm, "java.text.Normalizer.Form")
     nullSafeCodeGen(ctx, ev, c => {
       s"${ev.value} = graft.expr.RecodeHelper.normalize($c, $f);"
     })

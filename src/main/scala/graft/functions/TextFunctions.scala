@@ -182,6 +182,12 @@ object TextFunctions {
     * all RE2-compatible regexes (non-greedy, no backreferences: script and
     * style get separate patterns), so the oracle replays it verbatim.
     *
+    * Known lossy behavior of the regex-stripper baseline: an UNESCAPED
+    * '<' in body text consumes everything up to the next '>' as if it
+    * were a tag ("x < 3 and y > 2" loses "< 3 and y >"). That is inherent
+    * to tag-soup regex stripping — real pipelines route pre-escaped or
+    * non-HTML text around this operator; an HTML parser is out of scope.
+    *
     * Scale: a fixed chain of codegen'd regexp passes over the scan — no
     * UDF, no shuffle, each pattern linear-time.
     */

@@ -215,14 +215,27 @@ object Dedup {
                          threshold: Double = 0.8): DataFrame = {
     require(k % bands == 0, s"k=$k must be a multiple of bands=$bands")
     val rows = k / bands
+    // the index frames were built with SOME k — a mismatch with this k
+    // would not fail: short sig slices make [] === [] band keys (a silent
+    // batch×history cross product); long sigs silently halve recall.
+    // Guard each row's slot count so the mismatch is an error, not a
+    // degradation.
+    def checkedSig(idx: DataFrame) = idx.withColumn("sig",
+      when(size(col("sig")) === k, col("sig")).otherwise(raise_error(concat(
+        lit("minhash index row has "), size(col("sig")).cast("string"),
+        lit(s" signature slots, expected k=$k")))))
     // the batch index is referenced four times (two band joins + both
     // verify sides) — persist it, or the batch's signature computation
     // re-executes per reference, violating the "batch pays once" contract
-    // (the history side is a persisted snapshot already)
-    val batch = batchIdx
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val bx = bandRows(batch, bands, rows)
-    val hx = bandRows(historyIdx, bands, rows)
+    // (the history side is a persisted snapshot already). A frame the
+    // CALLER already persisted is left alone — and left persisted.
+    val callerCached =
+      batchIdx.storageLevel != org.apache.spark.storage.StorageLevel.NONE
+    val batch =
+      if (callerCached) batchIdx
+      else batchIdx.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bx = bandRows(checkedSig(batch), bands, rows)
+    val hx = bandRows(checkedSig(historyIdx), bands, rows)
     val bandEq = col("x.band") === col("y.band") &&
       col("x.bslice") === col("y.bslice")
     val crossPairs = bx.as("x").join(hx.as("y"), bandEq)
@@ -239,7 +252,7 @@ object Dedup {
         S.jaccard(col("hs_a"), col("hs_b")).as("jaccard"))
       .filter(col("jaccard") >= threshold)
       .localCheckpoint() // release the cache below without cutting the result
-    batch.unpersist()
+    if (!callerCached) batch.unpersist()
     result
   }
 

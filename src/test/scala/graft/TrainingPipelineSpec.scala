@@ -332,6 +332,14 @@ class TrainingPipelineSpec extends AnyFunSuite {
     assert(inc == batchTouched,
       "incremental dedup must find exactly the full-corpus pairs that touch the batch")
     assert(inc.nonEmpty, "fixture must actually exercise near-dup pairs")
+    // a k mismatched against the prebuilt index must raise, not silently
+    // degrade (short slices band-match everything; long ones halve recall)
+    val idx16 = graft.ops.Dedup.minhashIndex(docs.limit(10), "doc_id", "text", 3, 16)
+    val err = intercept[Exception] {
+      graft.ops.Dedup.incrementalMinhash(idx16, idx16.limit(0),
+        k = 32, bands = 8, threshold = 0.3).collect()
+    }
+    assert(err.getMessage != null)
   }
 
   test("corpusE2E: the text column never crosses an exchange") {
