@@ -163,6 +163,17 @@ object TextFunctions {
     regexp_replace(noUrl, PhoneRe, "<PHONE>")
   }
 
+  /** C4-style line filter (Raffel et al. 2020 §2.2 heuristics, the
+    * line-level half): keep only lines that end in terminal punctuation
+    * and carry at least `minWords` whitespace words — dropping the nav
+    * bars, button labels, and cookie banners that survive tag stripping.
+    * Returns the kept lines as an array; compose with concat_ws to
+    * rebuild the document. Scan-side array ops, no UDF.
+    */
+  def c4KeptLines(text: Column, minWords: Int): Column =
+    filter(split(text, "\n"), l =>
+      trim(l).rlike("[.!?\"]$") && (size(tokens(trim(l))) >= minWords))
+
   /** Unicode normalization (default NFC): composed/decomposed spellings of
     * the same grapheme become byte-identical before tokenization and
     * fingerprinting. Codegen'd expression (graft.expr.UnicodeNormalize)

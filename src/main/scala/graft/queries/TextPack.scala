@@ -307,6 +307,27 @@ object TextPack {
         (T.normalizeUnicode(col("t")) =!= col("t")).as("changed"))
   }
 
+  /** C4 line filtering over deterministically line-decorated text (the
+    * synthetic docs are single-line, so the fixture appends the classic
+    * web-page junk: a nav bar, a button label, a too-short sentence — plus
+    * one real sentence; the doc body gets a terminal period so it
+    * qualifies when long enough).
+    */
+  def c4Lines(s: SparkSession, dir: String): DataFrame = {
+    val decorated = concat(col("text"), lit("."),
+      lit("\nhome | about | contact"),
+      lit("\nClick here"),
+      lit("\nThis sentence has exactly seven words total."),
+      lit("\nshort."))
+    val lines = Tables.documents(s, dir)
+      .select(col("doc_id"), decorated.as("t"))
+    val kept = T.c4KeptLines(col("t"), minWords = 5)
+    lines.select(col("doc_id"),
+      size(split(col("t"), "\n")).cast("long").as("n_lines"),
+      size(kept).cast("long").as("n_kept"),
+      concat_ws("\n", kept).as("clean"))
+  }
+
   /** One-row corpus report card: the profiling pass a pipeline runs before
     * and after every curation step. All aggregates are exact integers
     * (counts and long sums — no double accumulation, which would be
@@ -443,6 +464,7 @@ object TextPack {
     "pl_pack" -> pipelinePack _,
     "tx_scrub" -> scrub _,
     "tx_html" -> htmlStrip _,
+    "tx_c4_lines" -> c4Lines _,
     "pl_report" -> corpusReport _,
     "tx_nfc" -> nfc _,
     "dd_incremental" -> dedupIncremental _,
@@ -514,6 +536,23 @@ object TextPack {
              'https?://[^\s]+', '<URL>', 'g'),
              '[0-9]{3}-[0-9]{3,4}(-[0-9]{4})?', '<PHONE>', 'g') AS clean
          FROM dec""",
+    "tx_c4_lines" ->
+      """WITH dec AS (SELECT doc_id,
+           text || '.' || chr(10) || 'home | about | contact'
+             || chr(10) || 'Click here'
+             || chr(10) || 'This sentence has exactly seven words total.'
+             || chr(10) || 'short.' AS t
+           FROM documents),
+         l AS (SELECT doc_id, t, string_split(t, chr(10)) AS lines FROM dec),
+         k AS (SELECT doc_id, t, lines,
+             [x for x in lines if regexp_matches(trim(x), '[.!?"]$')
+              and len([w for w in regexp_split_to_array(trim(x), '\s+') if w <> '']) >= 5] AS kept
+           FROM l)
+         SELECT doc_id,
+           len(lines)::BIGINT AS n_lines,
+           len(kept)::BIGINT AS n_kept,
+           coalesce(array_to_string(kept, chr(10)), '') AS clean
+         FROM k""",
     "pl_report" ->
       s"""WITH d AS (SELECT doc_id, source, text,
              [t for t in regexp_split_to_array(text, '\\s+') if t <> ''] toks,

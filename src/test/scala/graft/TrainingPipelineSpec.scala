@@ -206,6 +206,25 @@ class TrainingPipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("c4KeptLines: punctuation + word-count gates, per line") {
+    val s = spark
+    import s.implicits._
+    import graft.functions.{TextFunctions => T}
+    import org.apache.spark.sql.functions.col
+    val doc = Seq((1L, Seq(
+      "A proper sentence with enough words.",   // kept
+      "home | about | contact",                 // no terminal punctuation
+      "Ok then.",                               // < 5 words
+      "She said the word \"stop\"",             // ends with quote, 5 words
+      "Is this a real question?").mkString("\n"))).toDF("id", "t")
+    val got = doc.select(T.c4KeptLines(col("t"), 5).as("k"))
+      .collect().head.getSeq[String](0)
+    assert(got == Seq(
+      "A proper sentence with enough words.",
+      "She said the word \"stop\"",
+      "Is this a real question?"))
+  }
+
   test("scrubPii: placeholders, ordering, and non-PII left intact") {
     val s = spark
     import s.implicits._
