@@ -238,6 +238,18 @@ object Relational {
         .as("corr_qty_price"))
   }
 
+  /** Top-2 orders per customer via the two-level heap reduce
+    * (TopKPerGroup) rather than a rank window — per-partition heads
+    * collapse each input partition to ≤k rows per key BEFORE the
+    * exchange, so a customer with millions of orders never funnels raw
+    * rows through one reducer. The verified tiebreak is (price desc,
+    * orderkey desc) — the struct sort's lexicographic order.
+    */
+  def topOrdersPerCustomer(s: SparkSession, dir: String): DataFrame =
+    graft.ops.TopKPerGroup(
+      Tables.orders(s, dir).select(col("o_custkey"), col("o_totalprice"), col("o_orderkey")),
+      Seq("o_custkey"), "o_totalprice", k = 2, payload = Seq("o_orderkey"))
+
   /** JSON property extraction + typed aggregation: the reference's `json`
     * dataset type holds arbitrary JSON text (SURVEY §1.2) — here the
     * parse/extract/aggregate shape over the events `props` column. Exact
@@ -439,6 +451,7 @@ object Relational {
     "q_range_join" -> rangeJoinBalance _,
     "q_events_json" -> eventsJsonProps _,
     "q_funnel" -> funnel _,
+    "q_topk_per_cust" -> topOrdersPerCustomer _,
   )
 
   private val DISC = "(1.00::DECIMAL(18,2) - l_discount::DECIMAL(18,2))"
@@ -599,6 +612,13 @@ object Relational {
                 ELSE (epoch_us(l.t) - epoch_us(r.t)) // 1000 END AS gap_ms
          FROM e l ASOF LEFT JOIN e r
            ON l.user_id = r.user_id AND r.t < l.t""",
+    "q_topk_per_cust" ->
+      """SELECT o_custkey, rank, o_totalprice, o_orderkey FROM (
+           SELECT o_custkey, o_totalprice, o_orderkey,
+             row_number() OVER (PARTITION BY o_custkey
+               ORDER BY o_totalprice DESC, o_orderkey DESC) AS rank
+           FROM orders) t
+         WHERE rank <= 2""",
     "q_events_json" ->
       """SELECT event_type, count(*) AS n,
          CAST(sum(json_extract_string(props, '$.k')::BIGINT) AS BIGINT) AS sum_k,
