@@ -44,6 +44,17 @@ class RelationalSpec extends AnyFunSuite {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
+  test("topOrdersPerCustomer: heap reduce, not a window funnel") {
+    val plan = Relational.topOrdersPerCustomer(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"),
+      s"per-group top-K must reduce via per-partition heaps:\n$plan")
+    val rows = Relational.topOrdersPerCustomer(spark, sfDir).collect()
+    val perKey = rows.groupBy(_.getLong(0)).values
+    assert(perKey.forall(_.length <= 2), "at most k rows per customer")
+    assert(rows.exists(_.getLong(1) == 2L), "second ranks exist")
+  }
+
   test("cube: gid distinguishes super-aggregate NULLs; counts reconcile") {
     val rows = Relational.cubeVolume(spark, sfDir).collect()
     val grand = rows.filter(_.getLong(2) == 3L)
