@@ -169,9 +169,16 @@ object TextFunctions {
     * bars, button labels, and cookie banners that survive tag stripping.
     * Returns the kept lines as an array; compose with concat_ws to
     * rebuild the document. Scan-side array ops, no UDF.
+    *
+    * Splits on `\r?\n` so CRLF text behaves like LF text: with a bare
+    * `\n` split a Windows line keeps its trailing `\r`, and Java's `$`
+    * (which matches BEFORE a final terminator) would pass "foo.\r"
+    * through the punctuation gate while RE2's end-of-string `$` (the
+    * DuckDB oracle) rejects it — an engine divergence, and the kept
+    * lines would carry stray `\r` bytes into the rebuilt document.
     */
   def c4KeptLines(text: Column, minWords: Int): Column =
-    filter(split(text, "\n"), l =>
+    filter(split(text, "\r?\n"), l =>
       trim(l).rlike("[.!?\"]$") && (size(tokens(trim(l))) >= minWords))
 
   /** Unicode normalization (default NFC): composed/decomposed spellings of

@@ -181,11 +181,18 @@ object Dedup {
     * signature (exactly what [[minhashLsh]] computes internally), meant to
     * be persisted once as a snapshot/job output so daily batches dedup
     * against history without ever re-reading historical text.
+    *
+    * The construction parameters ride along as constant columns `n` and
+    * `k`: a persisted index is self-describing, so a later batch built
+    * with DIFFERENT parameters is a loud error in [[incrementalMinhash]]
+    * instead of silently skewed jaccard (n mismatch — undetectable from
+    * the hashes alone) or silently lost recall (k mismatch).
     */
   def minhashIndex(df: DataFrame, idCol: String, textCol: String,
                    n: Int = 3, k: Int = 16): DataFrame =
     df.select(col(idCol).as("id"), S.shingleHashes(col(textCol), n).as("hs"))
-      .select(col("id"), col("hs"), S.minhashSignatureHashed(col("hs"), k).as("sig"))
+      .select(col("id"), col("hs"), S.minhashSignatureHashed(col("hs"), k).as("sig"),
+        lit(n).as("n"), lit(k).as("k"))
 
   /** One (id, band, r-slot slice) row per band of each index row — the
     * join key material of every LSH path (shared by [[minhashLsh]] and
@@ -219,11 +226,19 @@ object Dedup {
     // would not fail: short sig slices make [] === [] band keys (a silent
     // batch×history cross product); long sigs silently halve recall.
     // Guard each row's slot count so the mismatch is an error, not a
-    // degradation.
-    def checkedSig(idx: DataFrame) = idx.withColumn("sig",
-      when(size(col("sig")) === k, col("sig")).otherwise(raise_error(concat(
-        lit("minhash index row has "), size(col("sig")).cast("string"),
-        lit(s" signature slots, expected k=$k")))))
+    // degradation. Indexes carrying the [[minhashIndex]] `k` column get
+    // the declared value checked too (same failure, clearer message).
+    def checkedSig(idx: DataFrame) = {
+      val sized = idx.withColumn("sig",
+        when(size(col("sig")) === k, col("sig")).otherwise(raise_error(concat(
+          lit("minhash index row has "), size(col("sig")).cast("string"),
+          lit(s" signature slots, expected k=$k")))))
+      if (!idx.columns.contains("k")) sized
+      else sized.withColumn("sig",
+        when(col("k") === k, col("sig")).otherwise(raise_error(concat(
+          lit("minhash index was built with k="), col("k").cast("string"),
+          lit(s", caller expects k=$k")))))
+    }
     // the batch index is referenced four times (two band joins + both
     // verify sides) — persist it, or the batch's signature computation
     // re-executes per reference, violating the "batch pays once" contract
@@ -234,8 +249,29 @@ object Dedup {
     val batch =
       if (callerCached) batchIdx
       else batchIdx.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // shingle size n is invisible in the hashes — a batch indexed with a
+    // different n than history silently skews every jaccard. When both
+    // frames carry [[minhashIndex]]'s `n` column, cross-check each
+    // history row against the batch's (broadcast 1-row min/max over the
+    // already-persisted batch index — no extra corpus pass). min≠max also
+    // catches a frankenstein batch unioned from differently-built indexes.
+    val historyChecked =
+      if (!(batchIdx.columns.contains("n") && historyIdx.columns.contains("n"))) historyIdx
+      else {
+        val bn = broadcast(batch.groupBy()
+          .agg(min(col("n")).as("__bn_min"), max(col("n")).as("__bn_max")))
+        historyIdx.crossJoin(bn).withColumn("hs",
+          when(col("__bn_min").isNull ||
+               (col("n") === col("__bn_min") && col("n") === col("__bn_max")),
+            col("hs")).otherwise(raise_error(concat(
+              lit("minhash index shingle size mismatch: history n="),
+              col("n").cast("string"), lit(", batch n="),
+              col("__bn_min").cast("string"), lit("..."),
+              col("__bn_max").cast("string")))))
+          .drop("__bn_min", "__bn_max")
+      }
     val bx = bandRows(checkedSig(batch), bands, rows)
-    val hx = bandRows(checkedSig(historyIdx), bands, rows)
+    val hx = bandRows(checkedSig(historyChecked), bands, rows)
     val bandEq = col("x.band") === col("y.band") &&
       col("x.bslice") === col("y.bslice")
     val crossPairs = bx.as("x").join(hx.as("y"), bandEq)
@@ -245,8 +281,10 @@ object Dedup {
       .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
     val cands = crossPairs.unionByName(withinPairs).distinct()
     val a = batch.select(col("id").as("id_a"), col("hs").as("hs_a"))
-    val both = batch.unionByName(historyIdx)
-      .select(col("id").as("id_b"), col("hs").as("hs_b"))
+    // project before the union: the two indexes may disagree on metadata
+    // columns (an old persisted index without n/k vs a fresh batch)
+    val both = batch.select(col("id").as("id_b"), col("hs").as("hs_b"))
+      .unionByName(historyChecked.select(col("id").as("id_b"), col("hs").as("hs_b")))
     val result = cands.join(a, "id_a").join(both, "id_b")
       .select(col("id_a"), col("id_b"),
         S.jaccard(col("hs_a"), col("hs_b")).as("jaccard"))

@@ -4,29 +4,43 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import graft.functions.{SimilarityFunctions => S}
 
-/** Scale-safe per-group top-k: two-level aggregation instead of a global
-  * window. A window `partitionBy(group) orderBy(score)` shuffles EVERY
-  * candidate row into one partition per group — with few groups (typical
-  * ANN: a handful of query vectors vs the whole corpus) that is a
-  * catastrophic skew at 100 TB. Here each input partition first reduces to
-  * its local top-k per group (map-side combine via collect_list+slice),
-  * then only n_partitions·k tiny rows shuffle.
+/** Scale-safe per-group top-k: a bounded-heap aggregate instead of a
+  * global window. A window `partitionBy(group) orderBy(score)` shuffles
+  * EVERY candidate row into one partition per group — with few groups
+  * (typical ANN: a handful of query vectors vs the whole corpus) that is
+  * a catastrophic skew at 100 TB.
+  *
+  * The aggregate is Spark's own `CollectTopK` — a
+  * `TypedImperativeAggregate` whose buffer is a size-k
+  * `BoundedPriorityQueue`, so memory is O(k) per group REGARDLESS of how
+  * many rows of the group land in a partition (a mega-group never
+  * materializes as an array before reduction, unlike a
+  * collect_list+sort formulation). Partial aggregation applies as usual:
+  * each map task keeps per-group k-heaps, the exchange carries only
+  * n_partitions·k serialized entries per group, and the final merge folds
+  * heaps into a heap. Ordering is the full item-struct lexicographic
+  * order (orderCol first, then payload) — the same total order
+  * `array_sort` would use, so ties stay deterministic.
   */
 object TopKPerGroup {
   def apply(df: DataFrame, groupCols: Seq[String], orderCol: String,
             k: Int, payload: Seq[String],
             ascending: Boolean = false): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    import org.apache.spark.sql.GraftBridge
+    import org.apache.spark.sql.catalyst.expressions.aggregate.CollectTopK
     val item = struct((orderCol +: payload).map(col): _*)
-    def top(items: org.apache.spark.sql.Column) = {
-      val sorted = array_sort(items)
-      slice(if (ascending) sorted else reverse(sorted), 1, k)
+    // reverse=false keeps the k LARGEST under struct order; true the
+    // smallest. The heap's output order is an implementation detail —
+    // re-rank with an explicit sort over the <=k survivors (O(k log k)).
+    val heap = GraftBridge.column(
+      new CollectTopK(GraftBridge.expression(item), k, ascending)
+        .toAggregateExpression())
+    val ranked = {
+      val sorted = array_sort(heap)
+      if (ascending) sorted else reverse(sorted)
     }
-    val localTop = df
-      .groupBy((groupCols.map(col) :+ spark_partition_id().as("__pid")): _*)
-      .agg(top(collect_list(item)).as("top"))
-    val merged = localTop
-      .groupBy(groupCols.map(col): _*)
-      .agg(top(flatten(collect_list(col("top")))).as("top"))
+    val merged = df.groupBy(groupCols.map(col): _*).agg(ranked.as("top"))
     val exploded = merged.select(
       (groupCols.map(col) :+ posexplode(col("top"))): _*)
     exploded.select(

@@ -79,10 +79,12 @@ object TrainingPipeline {
     * a reproducible pseudo-random draw rather than a true sample. Returns
     * (groupCol, idCol, rank), rank 1..k in draw order.
     *
-    * Scale: two-level top-k (per-partition heads before the group
-    * shuffle), so a mega-domain with billions of rows reduces each input
-    * partition to ≤k rows BEFORE the exchange — the skewed key never
-    * funnels its raw rows through one reducer (a row_number window would).
+    * Scale: bounded-heap top-k ([[graft.ops.TopKPerGroup]] — O(k) buffer
+    * per group), so a mega-domain with billions of rows reduces each
+    * input partition to ≤k rows BEFORE the exchange — the skewed key
+    * never funnels its raw rows through one reducer (a row_number window
+    * would), and no partition ever holds more than k entries of a group
+    * in memory.
     */
   def capPerGroup(df: DataFrame, idCol: String, groupCol: String,
                   salt: String, k: Int): DataFrame = {
@@ -244,19 +246,34 @@ object TrainingPipeline {
     * collapses to vocab size before the join back (token-keyed shuffle
     * join — vocab can reach billions of rows at 100 TB, so no broadcast
     * assumption); the top-K window is keyed by document — bounded
-    * partitions, no skew beyond document length.
+    * partitions, no skew beyond document length. The idf numerator nDocs
+    * is part of the SAME job (a broadcast 1-row count aggregate, column-
+    * pruned to an empty read schema), NOT a separate df.count() action —
+    * at 100 TB a blocking pre-pass over the corpus just to count rows
+    * would be a whole extra scan. Callers that already know the count
+    * exactly (e.g. a snapshot's `lines` metadata, core/Snapshot.scala)
+    * pass it via `nDocs` and skip even that.
     */
   def tfidfKeywords(df: DataFrame, idCol: String, textCol: String,
-                    topK: Int = 3): DataFrame = {
+                    topK: Int = 3, nDocs: Option[Long] = None): DataFrame = {
     require(topK >= 1, s"topK must be >= 1, got $topK")
-    val nDocs = df.count()
+    val nDocsCol = nDocs match {
+      case Some(n) => lit(n.toDouble)
+      case None    => col("__n_docs").cast("double")
+    }
     val pairs = df
       .select(col(idCol), explode(T.tokens(T.normalized(col(textCol)))).as("token"))
       .groupBy(col(idCol), col("token")).agg(count(lit(1)).as("tf_doc"))
     val dfc = pairs.groupBy("token").agg(count(lit(1)).as("df"))
-    val scored = pairs.join(dfc, "token")
+    val joined = pairs.join(dfc, "token")
+    val withN = nDocs match {
+      case Some(_) => joined
+      case None => joined.crossJoin(
+        broadcast(df.groupBy().agg(count(lit(1)).as("__n_docs"))))
+    }
+    val scored = withN
       .withColumn("score",
-        col("tf_doc").cast("double") * lit(nDocs.toDouble) / col("df").cast("double"))
+        col("tf_doc").cast("double") * nDocsCol / col("df").cast("double"))
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col(idCol))
       .orderBy(col("score").desc, col("token").asc)

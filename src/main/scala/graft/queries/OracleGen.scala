@@ -46,10 +46,6 @@ object OracleGen {
          FROM cand JOIN hsh a ON id_a = a.doc_id JOIN hsh b ON id_b = b.doc_id
          WHERE ${jac("a.hs", "b.hs")} >= $threshold"""
 
-  /** Banded minhash-LSH: per-slot mins with the exact MinHashConsts
-    * constants; candidates agree on ≥1 band (raw slice equality, same as
-    * the Spark array-equality band join); verified on true Jaccard.
-    */
   /** Per-slot minhash signature exprs + ≥1-band-agrees condition — shared
     * by [[minhashLsh]] and [[incrementalMinhash]] so the two oracles'
     * mixing constants and band-slot indexing cannot desynchronize.
@@ -67,6 +63,10 @@ object OracleGen {
     }.mkString(" OR ")
   }
 
+  /** Banded minhash-LSH: per-slot mins with the exact MinHashConsts
+    * constants; candidates agree on ≥1 band (raw slice equality, same as
+    * the Spark array-equality band join); verified on true Jaccard.
+    */
   def minhashLsh(k: Int, bands: Int, threshold: Double): String = {
     val sigExprs = this.sigExprs(k)
     val bandCond = this.bandCond(k, bands)

@@ -238,12 +238,13 @@ object Relational {
         .as("corr_qty_price"))
   }
 
-  /** Top-2 orders per customer via the two-level heap reduce
-    * (TopKPerGroup) rather than a rank window — per-partition heads
+  /** Top-2 orders per customer via the bounded-heap reduce
+    * (TopKPerGroup) rather than a rank window — map-side partial heaps
     * collapse each input partition to ≤k rows per key BEFORE the
     * exchange, so a customer with millions of orders never funnels raw
-    * rows through one reducer. The verified tiebreak is (price desc,
-    * orderkey desc) — the struct sort's lexicographic order.
+    * rows through one reducer, and the aggregation buffer itself is O(k)
+    * per group. The verified tiebreak is (price desc, orderkey desc) —
+    * the struct sort's lexicographic order.
     */
   def topOrdersPerCustomer(s: SparkSession, dir: String): DataFrame =
     graft.ops.TopKPerGroup(

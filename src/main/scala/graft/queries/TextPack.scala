@@ -237,7 +237,8 @@ object TextPack {
         "mh_index", slices = 4)
       Map("index" -> "mh_index")
     }
-    val historyIdx = store.readResolved("mh_index").select("id", "hs", "sig")
+    val historyIdx = store.readResolved("mh_index")
+      .select("id", "hs", "sig", "n", "k")
     val batchIdx = Dedup.minhashIndex(
       Tables.documents(s, dir).filter(col("doc_id") % 5 === 0),
       "doc_id", "text", n = 3, k = 16)
@@ -323,7 +324,7 @@ object TextPack {
       .select(col("doc_id"), decorated.as("t"))
     val kept = T.c4KeptLines(col("t"), minWords = 5)
     lines.select(col("doc_id"),
-      size(split(col("t"), "\n")).cast("long").as("n_lines"),
+      size(split(col("t"), "\r?\n")).cast("long").as("n_lines"),
       size(kept).cast("long").as("n_kept"),
       concat_ws("\n", kept).as("clean"))
   }
@@ -543,7 +544,7 @@ object TextPack {
              || chr(10) || 'This sentence has exactly seven words total.'
              || chr(10) || 'short.' AS t
            FROM documents),
-         l AS (SELECT doc_id, t, string_split(t, chr(10)) AS lines FROM dec),
+         l AS (SELECT doc_id, t, regexp_split_to_array(t, '\r?\n') AS lines FROM dec),
          k AS (SELECT doc_id, t, lines,
              [x for x in lines if regexp_matches(trim(x), '[.!?"]$')
               and len([w for w in regexp_split_to_array(trim(x), '\s+') if w <> '']) >= 5] AS kept

@@ -189,6 +189,8 @@ object Streams {
                        outPrefix: String, checkpoint: String,
                        n: Int = 3, k: Int = 16, bands: Int = 8,
                        threshold: Double = 0.8): StreamingQuery = {
+    val idxTip = new ChainTip(store, indexPrefix)
+    val outTip = new ChainTip(store, outPrefix)
     docs.writeStream
       .option("checkpointLocation", checkpoint)
       .outputMode(OutputMode.Append())
@@ -198,12 +200,16 @@ object Streams {
           val batchIdx = graft.ops.Dedup
             .minhashIndex(batch, idCol, textCol, n, k)
             .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-          def prevOf(prefix: String) = (batchId - 1 to 0L by -1)
-            .map(i => s"$prefix.$i").find(store.exists)
-          val prevIdx = prevOf(indexPrefix)
+          val prevIdx = idxTip.prevFor(batchId)
           val history = prevIdx match {
-            case Some(tip) => store.iterateChain(tip)
-              .select(col("id"), col("hs"), col("sig"))
+            case Some(tip) =>
+              val chain = store.iterateChain(tip)
+              // keep the n/k parameter columns when the stored index has
+              // them — incrementalMinhash cross-validates the banding
+              // scheme from exactly these
+              val keep = Seq("id", "hs", "sig") ++
+                Seq("n", "k").filter(chain.columns.contains)
+              chain.select(keep.map(col): _*)
             case None => batchIdx.limit(0)
           }
           val pairs = graft.ops.Dedup
@@ -221,8 +227,10 @@ object Streams {
           val survivors = batch.join(
             dropWithin.unionByName(dropCross).distinct(), Seq(idCol), "left_anti")
           store.write(survivors, s"$outPrefix.$batchId",
-            previous = prevOf(outPrefix))
+            previous = outTip.prevFor(batchId))
           store.write(batchIdx, s"$indexPrefix.$batchId", previous = prevIdx)
+          outTip.advance(s"$outPrefix.$batchId")
+          idxTip.advance(s"$indexPrefix.$batchId")
           batchIdx.unpersist()
         }
         ()
@@ -237,6 +245,7 @@ object Streams {
   def chainSink(stream: DataFrame, store: SnapshotStore, prefix: String,
                 urd: Option[(Urd, String)] = None,
                 checkpoint: String): StreamingQuery = {
+    val tip = new ChainTip(store, prefix)
     stream.writeStream
       .option("checkpointLocation", checkpoint)
       .outputMode(OutputMode.Append())
@@ -244,9 +253,8 @@ object Streams {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         if (!batch.isEmpty) {
           val name = s"$prefix.$batchId"
-          val prev = (batchId - 1 to 0L by -1)
-            .map(i => s"$prefix.$i").find(store.exists)
-          store.write(batch, name, previous = prev)
+          store.write(batch, name, previous = tip.prevFor(batchId))
+          tip.advance(name)
           urd.foreach { case (u, key) =>
             u.add(key, f"$batchId%010d", Seq(prefix -> name))
           }
@@ -255,4 +263,38 @@ object Streams {
       }
       .start()
   }
+}
+
+/** Chain-tip tracker for foreachBatch sinks: remembers the previous
+  * snapshot name across micro-batches in the sink closure, so steady-state
+  * tip lookup is O(1). After a restart the tip is recovered with ONE store
+  * listing — not the O(batchId) `exists` probes per batch the naive scan
+  * costs, which compounds to O(N²) driver metadata calls over a long-lived
+  * stream's life. foreachBatch bodies run sequentially on the driver, so a
+  * plain var is safe.
+  */
+private final class ChainTip(store: SnapshotStore, prefix: String) {
+  private[this] var tip: Option[String] = None
+  private[this] var recovered = false
+
+  /** Previous snapshot for `batchId` — strictly earlier batch numbers
+    * only, so a replayed batch (restart after write, before checkpoint
+    * commit) never chains to its own partial output.
+    */
+  def prevFor(batchId: Long): Option[String] = {
+    if (!recovered) {
+      val pat = (java.util.regex.Pattern.quote(prefix) + "\\.(\\d+)").r
+      tip = store.list()
+        .flatMap {
+          case pat(i) if i.toLong < batchId => Some(i.toLong)
+          case _ => None
+        }
+        .maxOption
+        .map(i => s"$prefix.$i")
+      recovered = true
+    }
+    tip
+  }
+
+  def advance(name: String): Unit = { tip = Some(name); recovered = true }
 }

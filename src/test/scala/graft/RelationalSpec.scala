@@ -49,10 +49,35 @@ class RelationalSpec extends AnyFunSuite {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Window"),
       s"per-group top-K must reduce via per-partition heaps:\n$plan")
+    assert(plan.contains("ObjectHashAggregate") && plan.contains("collect_top_k"),
+      s"per-group top-K must be the bounded-heap aggregate:\n$plan")
+    assert(plan.contains("partial_collect_top_k"),
+      s"heap aggregation must have a map-side partial stage:\n$plan")
     val rows = Relational.topOrdersPerCustomer(spark, sfDir).collect()
     val perKey = rows.groupBy(_.getLong(0)).values
     assert(perKey.forall(_.length <= 2), "at most k rows per customer")
     assert(rows.exists(_.getLong(1) == 2L), "second ranks exist")
+  }
+
+  test("TopKPerGroup buffer stays O(k) on a mega-group") {
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.catalyst.expressions.BoundReference
+    import org.apache.spark.sql.catalyst.expressions.aggregate.CollectTopK
+    import org.apache.spark.sql.types.LongType
+    // feed 100k rows of one group straight into the aggregate buffer —
+    // the collect_list formulation this replaced would hold all 100k
+    val agg = new CollectTopK(BoundReference(0, LongType, nullable = false),
+      5, false)
+    val buf = agg.createAggregationBuffer()
+    var i = 0L
+    var updated = buf
+    while (i < 100000L) { updated = agg.update(updated, InternalRow(i)); i += 1 }
+    assert(updated.size == 5, s"buffer must be bounded at k, was ${updated.size}")
+    assert(agg.eval(updated) != null)
+    // and the retained set is the TOP 5 under the ordering (reverse=false)
+    val kept = updated.iterator.map(_.asInstanceOf[Long]).toSet
+    assert(kept == Set(99995L, 99996L, 99997L, 99998L, 99999L),
+      s"reverse=false must keep the largest k, kept $kept")
   }
 
   test("cube: gid distinguishes super-aggregate NULLs; counts reconcile") {

@@ -225,6 +225,26 @@ class TrainingPipelineSpec extends AnyFunSuite {
       "Is this a real question?"))
   }
 
+  test("c4KeptLines: CRLF text behaves exactly like LF text") {
+    val s = spark
+    import s.implicits._
+    import graft.functions.{TextFunctions => T}
+    import org.apache.spark.sql.functions.col
+    // with a bare \n split, "…words.\r" would keep its \r: Java's $
+    // matches before the terminator (line passes), RE2's does not —
+    // and the kept line would carry the stray \r byte
+    val doc = Seq((1L, Seq(
+      "A proper sentence with enough words.",
+      "home | about | contact",
+      "Another proper sentence with enough words!").mkString("\r\n"))).toDF("id", "t")
+    val got = doc.select(T.c4KeptLines(col("t"), 5).as("k"))
+      .collect().head.getSeq[String](0)
+    assert(got == Seq(
+      "A proper sentence with enough words.",
+      "Another proper sentence with enough words!"),
+      s"CRLF lines must be clean of \\r and gate identically, got $got")
+  }
+
   test("scrubPii: placeholders, ordering, and non-PII left intact") {
     val s = spark
     import s.implicits._
@@ -359,6 +379,19 @@ class TrainingPipelineSpec extends AnyFunSuite {
         k = 32, bands = 8, threshold = 0.3).collect()
     }
     assert(err.getMessage != null)
+    // a shingle-size mismatch between batch and history is invisible in
+    // the hashes (identical schema, plausible values) — the recorded `n`
+    // column must turn it into an error, not silently skewed jaccard
+    val idxN4 = graft.ops.Dedup.minhashIndex(
+      docs.filter(col("doc_id") % 5 =!= 0).limit(20), "doc_id", "text", 4, 16)
+    val errN = intercept[Exception] {
+      graft.ops.Dedup.incrementalMinhash(idx16, idxN4,
+        k = 16, bands = 8, threshold = 0.3).collect()
+    }
+    assert(Option(errN.getMessage).exists(_.contains("shingle size mismatch")) ||
+      Option(errN.getCause).flatMap(c => Option(c.getMessage))
+        .exists(_.contains("shingle size mismatch")),
+      s"expected a shingle-size mismatch error, got: $errN")
   }
 
   test("corpusE2E: the text column never crosses an exchange") {
