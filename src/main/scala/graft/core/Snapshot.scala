@@ -330,6 +330,31 @@ final class SnapshotStore(val spark: SparkSession, val root: String) {
     out.toSeq
   }
 
+  /** Collapse the whole chain ending at `tip` into ONE equivalent snapshot
+    * `name` — the chain-maintenance job for long-lived incremental
+    * pipelines. A sink appending a snapshot per micro-batch grows an
+    * O(batches) chain; every consumer then pays an O(chain) metadata walk
+    * and a union over thousands of small Parquet datasets, and each small
+    * snapshot means small files. Compaction trades one rewrite for O(1)
+    * steady-state reads.
+    *
+    * The compacted snapshot holds exactly the chain's rows (iterateChain,
+    * oldest→newest), keeps the tip's hashlabel (hashed chains compact to
+    * a bucketed table, so downstream groupBy/join on the hashlabel still
+    * plans no Exchange), and has NO `previous` — it IS the whole history,
+    * ready to serve as the new chain base for subsequent appends. The old
+    * links are immutable and stay on disk; nothing that read the old tip
+    * breaks.
+    */
+  def compactChain(tip: String, name: String, slices: Int = 0): Snapshot = {
+    val t = get(tip)
+    write(iterateChain(tip), name,
+      hashlabel = t.meta.hashlabel,
+      previous = None,
+      slices = if (slices > 0) slices else t.meta.slices,
+      caption = s"compact of ${t.meta.name}")
+  }
+
   /** Union a chain in chain order (oldest→newest), with optional projection
     * and a `range` filter `lo <= col < hi` that *skips whole snapshots* via
     * zone maps before any scan is planned (reference dataset.py:609-614).

@@ -246,6 +246,37 @@ object TextPack {
       k = 16, bands = 8, threshold = 0.3)
   }
 
+  /** Incremental minhash against a COMPACTED history chain: the history
+    * index accumulates in three chained snapshots (the shape a streaming
+    * sink leaves behind — one small index snapshot per micro-batch), the
+    * chain is folded into ONE snapshot by `SnapshotStore.compactChain`,
+    * and the batch dedups against the compacted index. Shares
+    * [[dedupIncMinhash]]'s oracle exactly: compaction is maintenance, it
+    * must be invisible in results.
+    */
+  def dedupCompactMinhash(s: SparkSession, dir: String): DataFrame = {
+    val (store, _) = Fixtures(s, dir, "job_minhash_chain_compact") { st =>
+      val hist = Tables.documents(s, dir).filter(col("doc_id") % 5 =!= 0)
+      var prev: Option[String] = None
+      (0 until 3).foreach { i =>
+        st.write(
+          Dedup.minhashIndex(hist.filter(col("doc_id") % 3 === i),
+            "doc_id", "text", n = 3, k = 16),
+          s"mhc_index.$i", previous = prev, slices = 4)
+        prev = Some(s"mhc_index.$i")
+      }
+      st.compactChain("mhc_index.2", "mhc_index.c")
+      Map("index" -> "mhc_index.c")
+    }
+    val historyIdx = store.readResolved("mhc_index.c")
+      .select("id", "hs", "sig", "n", "k")
+    val batchIdx = Dedup.minhashIndex(
+      Tables.documents(s, dir).filter(col("doc_id") % 5 === 0),
+      "doc_id", "text", n = 3, k = 16)
+    Dedup.incrementalMinhash(batchIdx, historyIdx,
+      k = 16, bands = 8, threshold = 0.3)
+  }
+
   /** PII scrubbing over deterministically decorated text (the synthetic
     * corpus contains no natural PII, so the fixture injects emails/URLs/
     * phones as pure functions of doc_id — construction, not operator
@@ -470,6 +501,7 @@ object TextPack {
     "tx_nfc" -> nfc _,
     "dd_incremental" -> dedupIncremental _,
     "dd_inc_minhash" -> dedupIncMinhash _,
+    "dd_compact_minhash" -> dedupCompactMinhash _,
     "pl_dedup_corpus" -> pipelineDedupCorpus _,
     "tx_stats" -> textStats _,
     "tx_quality" -> quality _,
@@ -852,6 +884,9 @@ object TextPack {
     "dd_ngram_jaccard" -> OracleGen.ngramJaccard(NgramMaxDf, 0.3),
     "dd_minhash_lsh" -> OracleGen.minhashLsh(16, 8, 0.3),
     "dd_inc_minhash" -> OracleGen.incrementalMinhash(16, 8, 0.3, mod = 5),
+    // compaction must be invisible: the compacted-chain query answers to
+    // the SAME oracle as the chained one
+    "dd_compact_minhash" -> OracleGen.incrementalMinhash(16, 8, 0.3, mod = 5),
     "dd_simhash" -> OracleGen.simhash(3),
     "dd_embedding_cosine" ->
       OracleGen.embeddingCosineLsh(0.45, dim = 64, tables = 8, planes = 6),

@@ -188,7 +188,9 @@ object Streams {
                        store: SnapshotStore, indexPrefix: String,
                        outPrefix: String, checkpoint: String,
                        n: Int = 3, k: Int = 16, bands: Int = 8,
-                       threshold: Double = 0.8): StreamingQuery = {
+                       threshold: Double = 0.8,
+                       compactEvery: Option[Int] = None): StreamingQuery = {
+    compactEvery.foreach(e => require(e >= 1, s"compactEvery must be >= 1, got $e"))
     val idxTip = new ChainTip(store, indexPrefix)
     val outTip = new ChainTip(store, outPrefix)
     docs.writeStream
@@ -232,6 +234,16 @@ object Streams {
           outTip.advance(s"$outPrefix.$batchId")
           idxTip.advance(s"$indexPrefix.$batchId")
           batchIdx.unpersist()
+          // periodic index maintenance: without it the index chain is
+          // O(batches) links of small snapshots, and every batch's history
+          // read unions the whole walk. Compaction folds the chain into
+          // one snapshot (same rows) that becomes the new chain base —
+          // steady-state history reads stay O(1) datasets deep.
+          if (compactEvery.exists(e => batchId > 0 && batchId % e == 0)) {
+            val cname = s"$indexPrefix.$batchId-c"
+            store.compactChain(s"$indexPrefix.$batchId", cname)
+            idxTip.advance(cname)
+          }
         }
         ()
       }
@@ -279,18 +291,21 @@ private final class ChainTip(store: SnapshotStore, prefix: String) {
 
   /** Previous snapshot for `batchId` — strictly earlier batch numbers
     * only, so a replayed batch (restart after write, before checkpoint
-    * commit) never chains to its own partial output.
+    * commit) never chains to its own partial output. A compacted tip
+    * (`prefix.N-c`, written by the periodic index-merge) supersedes the
+    * chain link of the same batch number: it holds those same rows as
+    * one snapshot, and appends must build on it.
     */
   def prevFor(batchId: Long): Option[String] = {
     if (!recovered) {
-      val pat = (java.util.regex.Pattern.quote(prefix) + "\\.(\\d+)").r
+      val pat = (java.util.regex.Pattern.quote(prefix) + "\\.(\\d+)(-c)?").r
       tip = store.list()
         .flatMap {
-          case pat(i) if i.toLong < batchId => Some(i.toLong)
+          case pat(i, c) if i.toLong < batchId => Some((i.toLong, c != null))
           case _ => None
         }
         .maxOption
-        .map(i => s"$prefix.$i")
+        .map { case (i, c) => s"$prefix.$i" + (if (c) "-c" else "") }
       recovered = true
     }
     tip

@@ -93,6 +93,43 @@ class SnapshotSpec extends AnyFunSuite {
       s"re-registered bucketed table must keep co-partitioning:\n$plan2")
   }
 
+  test("compactChain: one snapshot, same rows, hash co-partitioning kept") {
+    val s = spark
+    import s.implicits._
+    val store = new SnapshotStore(s, tmpDir("snap_compact"))
+    // a 3-link hashed chain, the shape a per-batch sink leaves behind
+    var prev: Option[String] = None
+    (0 until 3).foreach { i =>
+      val df = (1 to 50).map(j => ((i * 50 + j).toLong % 7, (i * 50 + j).toLong))
+        .toDF("k", "v")
+      store.write(df, s"cc.$i", hashlabel = Some("k"), previous = prev, slices = 4)
+      prev = Some(s"cc.$i")
+    }
+    store.compactChain("cc.2", "cc.compact")
+    val snap = store.get("cc.compact")
+    assert(snap.meta.previous.isEmpty, "the compacted snapshot IS the history")
+    assert(snap.meta.hashlabel.contains("k"), "hashlabel survives compaction")
+    assert(snap.meta.lines == 150L)
+    assert(store.chain("cc.compact").size == 1, "chain walk is O(1) after compaction")
+    // identical multiset of rows
+    val want = store.iterateChain("cc.2").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    val got = store.readResolved("cc.compact").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(got == want)
+    // compacting a hashed chain writes a bucketed table: groupBy on the
+    // hashlabel over the COMPACTED snapshot still plans no Exchange
+    val plan = store.readResolved("cc.compact")
+      .groupBy(col("k")).agg(sum(col("v")))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      s"compacted hashed snapshot must keep co-partitioning:\n$plan")
+    // and the compacted tip accepts further appends as a chain base
+    store.write(Seq((3L, 999L)).toDF("k", "v"), "cc.3",
+      hashlabel = Some("k"), previous = Some("cc.compact"), slices = 4)
+    assert(store.iterateChain("cc.3").count() == 151)
+  }
+
   test("parent column-append: zero-copy storage, resolved read") {
     val s = spark
     import s.implicits._

@@ -215,6 +215,48 @@ class StreamingSpec extends AnyFunSuite {
       "the index chain accumulates every doc's sketch, survivors or not")
   }
 
+  test("nearDupDedupSink: periodic compaction folds the index chain, same results") {
+    val s = spark
+    import s.implicits._
+    val dir = tmpDir("ndc_src")
+    val store = new SnapshotStore(s, tmpDir("ndc_store"))
+    val base = "the quick brown fox jumps over the lazy dog again and again"
+    // batch 0: doc 2 near-dups doc 1
+    Seq((1L, base), (2L, base + " extra")).toDF("doc_id", "text")
+      .coalesce(1).write.mode("append").parquet(dir)
+    // batch 1: doc 3 near-dups history, doc 4 fresh — then compaction runs
+    Seq((3L, base + " bonus"),
+        (4L, "completely different words with no shared trigrams at all here"))
+      .toDF("doc_id", "text")
+      .coalesce(1).write.mode("append").parquet(dir)
+    // batch 2: doc 5 near-dups history THROUGH the compacted index; doc 6 fresh
+    Seq((5L, base + " more"),
+        (6L, "yet another unrelated sentence sharing nothing with the fox text"))
+      .toDF("doc_id", "text")
+      .coalesce(1).write.mode("append").parquet(dir)
+    val stream = Streams.eventStream(s, dir, maxFilesPerTrigger = 1)
+    val q = Streams.nearDupDedupSink(stream, "doc_id", "text",
+      store, "ndidx", "ndout", checkpoint = tmpDir("ndc_ckpt"),
+      n = 3, k = 16, bands = 8, threshold = 0.5,
+      compactEvery = Some(1))
+    q.awaitTermination(120000)
+    val survivors = store.iterateChain("ndout.2", columns = Seq("doc_id"))
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(survivors == Seq(1L, 4L, 6L),
+      s"dedup results must be identical with compaction on, got $survivors")
+    // batch 2's history came from the compacted tip: its index snapshot
+    // chains onto ndidx.2-c... rather, ndidx.2 was written BEFORE the
+    // compaction at batch 2, so check batch 2's previous is batch 1's
+    // compacted snapshot
+    assert(store.get("ndidx.2").meta.previous.contains("ndidx.1-c"),
+      "appends after a compaction must chain onto the compacted base")
+    assert(store.get("ndidx.1-c").meta.previous.isEmpty)
+    assert(store.chain("ndidx.2").size == 2,
+      "chain depth stays O(compactEvery), not O(batches)")
+    assert(store.iterateChain("ndidx.2").count() == 6,
+      "no sketches lost across compaction")
+  }
+
   test("corpus-prep stack (scrub + quality gate + dedup) runs unmodified in a stream") {
     val s = spark
     import s.implicits._
