@@ -71,11 +71,21 @@ object DatasetType {
         floatInt(c, 64, exact = true, saturate = false)
       case "number" if fmt == "big" =>
         // number:big — exact integers up to 38 digits (DECIMAL(38,0)); the
-        // closest Spark type to the reference's arbitrary-precision int
-        // (2^1007); magnitudes beyond 38 digits are bad values, not
+        // closest NATIVE Spark type to the reference's arbitrary-precision
+        // int (2^1007); magnitudes beyond 38 digits are bad values, not
         // silently rounded. Integers ONLY: a bare decimal cast would
         // HALF_UP-round "3.5" to 4 — fractional input is a bad value.
+        // Past 38 digits, use number:bignum below.
         when(trim(c).rlike("^[-+]?[0-9]+$"), trim(c).try_cast("decimal(38,0)"))
+      case "number" if fmt == "bignum" =>
+        // number:bignum — the FULL reference range, ±(2^1007-1)
+        // (dataset_type.py:804), as canonical strings (no '+', no leading
+        // zeros, "-0" -> "0"). Equality/grouping/dedup are plain string
+        // ops on the canonical form; ordering and exact sums via
+        // graft.functions.BigNumFunctions.{sortKey, sum}. Beyond the
+        // bound, or non-integer text -> bad value, like the reference's
+        // parse failure (never a silent float downgrade).
+        graft.functions.BigNumFunctions.canon(c)
       case "number"    => fl(c)
       case "numberi"   => numberI(c)
       case "float64"   => fl(c)

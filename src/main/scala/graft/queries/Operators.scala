@@ -90,6 +90,38 @@ object Operators {
       col("bnum"), col("ship_local"), col("ship_java"))
   }
 
+  /** number:bignum end-to-end — the reference's arbitrary-precision
+    * `number` range (±2^1007, dataset_type.py:804) as canonical strings:
+    * canonicalization of signed/zero-padded text, NUMERIC ordering via the
+    * lexicographic sort key, and exact big-integer sums. The oracle
+    * cross-checks everything DuckDB can express: sums/min/max in the
+    * ≤38-digit DECIMAL domain, and >38-digit ordering via arg_max over
+    * (length, digits) — numeric order for positive integers regardless of
+    * width. The beyond-oracle domain (300-digit arithmetic) is
+    * spec-checked against java.math.BigInteger in BigNumSpec.
+    */
+  def bignumQ(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.{BigNumFunctions => B}
+    val ks = col("k").cast("string")
+    val raw = when(col("k") % 7 === 0, concat(lit("-000"), repeat(ks, 3)))
+      .when(col("k") % 7 === 1, concat(lit("+"), repeat(ks, 5)))
+      .when(col("k") % 7 === 2, lit(" 000 "))
+      .when(col("k") % 7 === 3, concat(lit("-0"), ks))
+      .otherwise(repeat(ks, 4))
+    val o = Tables.orders(s, dir).select(col("o_orderkey").as("k"))
+      .select(col("k"), raw.as("raw"), repeat(ks, 9).as("raw45"))
+    val t = DatasetType(o,
+      Map("raw" -> "number:bignum", "raw45" -> "number:bignum")).good
+    t.groupBy((col("k") % 5).as("grp"))
+      .agg(
+        count(lit(1)).as("n"),
+        B.sum(col("raw")).as("sum_big"),
+        min_by(col("raw"), B.sortKey(col("raw"))).as("min_big"),
+        max_by(col("raw"), B.sortKey(col("raw"))).as("max_big"),
+        max_by(col("raw45"), B.sortKey(col("raw45"))).as("max_big45"),
+        max(length(col("raw45"))).cast("long").as("max_digits45"))
+  }
+
   /** Zip of two CSV halves of nation → csvimport_zip → chained union must
     * reproduce the table, with member provenance. The zip file is a
     * memoized fixture; the operator under test is the import.
@@ -503,6 +535,7 @@ object Operators {
     "op_csv_latin1" -> csvLatin1 _,
     "op_dataset_type" -> datasetType _,
     "op_dataset_type2" -> datasetType2 _,
+    "op_bignum" -> bignumQ _,
     "op_csvimport_zip" -> csvimportZip _,
     "op_sort_order" -> sortOrder _,
     "op_hashpart_integrity" -> hashpartIntegrity _,
@@ -546,6 +579,26 @@ object Operators {
          l_shipdate - INTERVAL '5 hours 30 minutes' AS ship_local,
          l_shipdate AS ship_java
          FROM lineitem""",
+    // sums/min/max replay in DECIMAL(38,0) (inputs are <=30 digits by
+    // construction, group sums <=36); the >38-digit max replays as
+    // arg_max over (length, digits) — numeric order for positive ints
+    "op_bignum" ->
+      """WITH o AS (SELECT o_orderkey AS k, o_orderkey::VARCHAR AS ks FROM orders),
+         d AS (SELECT k,
+             CASE WHEN k % 7 = 0 THEN -(repeat(ks, 3)::DECIMAL(38,0))
+                  WHEN k % 7 = 1 THEN repeat(ks, 5)::DECIMAL(38,0)
+                  WHEN k % 7 = 2 THEN 0::DECIMAL(38,0)
+                  WHEN k % 7 = 3 THEN -(ks::DECIMAL(38,0))
+                  ELSE repeat(ks, 4)::DECIMAL(38,0) END AS v,
+             repeat(ks, 9) AS raw45
+           FROM o)
+         SELECT k % 5 AS grp, count(*) AS n,
+           sum(v)::VARCHAR AS sum_big,
+           min(v)::VARCHAR AS min_big,
+           max(v)::VARCHAR AS max_big,
+           arg_max(raw45, lpad(length(raw45)::VARCHAR, 4, '0') || raw45) AS max_big45,
+           max(length(raw45))::BIGINT AS max_digits45
+         FROM d GROUP BY 1""",
     "op_csvimport_zip" ->
       """SELECT n_nationkey, n_name, n_regionkey,
          CASE WHEN n_nationkey < 13 THEN 'part1.csv' ELSE 'part2.csv' END AS member
