@@ -156,6 +156,28 @@ object TextPack {
       .select(col("qid"), col("rank"), col("nid"), col("cosine"))
   }
 
+  /** IVF search against a PERSISTED index: the corpus assignment pass runs
+    * ONCE inside a memoized job (index + centroids land as snapshots, the
+    * index hashed on its inverted-list id), and the query batch replays
+    * only probe selection + candidate scan — the build-once/query-many
+    * split that makes IVF pay off at corpus scale. Shares [[annIvf]]'s
+    * oracle: a persisted index must answer exactly like an inline one.
+    */
+  def annIvfPersisted(s: SparkSession, dir: String): DataFrame = {
+    val (store, _) = Fixtures(s, dir, "job_ivf_index") { st =>
+      val (index, cents) = SimilaritySearch.ivfIndex(
+        Tables.embeddings(s, dir), "vec_id", "embedding", nCentroids = 16)
+      st.write(index, "ivf_index", hashlabel = Some("cluster"), slices = 4)
+      st.write(cents, "ivf_cents", slices = 1)
+      Map("index" -> "ivf_index", "cents" -> "ivf_cents")
+    }
+    val queries = Tables.embeddings(s, dir).filter(col("vec_id") < 5)
+    SimilaritySearch.ivfSearchIndexed(
+      store.readResolved("ivf_index"), store.readResolved("ivf_cents"),
+      queries, "vec_id", "embedding", k = 10, nprobe = 4)
+      .select(col("qid"), col("rank"), col("nid"), col("cosine"))
+  }
+
   /** Deterministic hash train/val/test split: per-doc assignment depends
     * only on (salt, id) — md5-replicable in the oracle row for row.
     */
@@ -520,6 +542,7 @@ object TextPack {
     "ann_brute_topk" -> annBrute _,
     "ann_lsh_topk" -> annLsh _,
     "ann_ivf_topk" -> annIvf _,
+    "ann_ivf_persisted" -> annIvfPersisted _,
     "ann_quantize" -> annQuantize _,
   )
 
@@ -894,6 +917,8 @@ object TextPack {
     "pl_dedup_corpus" -> OracleGen.dedupCorpus(OracleGen.minhashLsh(16, 8, 0.3)),
     "ann_lsh_topk" -> OracleGen.annLsh(tables = 8, planes = 10, dim = 64, k = 10),
     "ann_ivf_topk" -> OracleGen.annIvf(nCentroids = 16, nprobe = 4, k = 10),
+    // a persisted IVF index must answer exactly like the inline build
+    "ann_ivf_persisted" -> OracleGen.annIvf(nCentroids = 16, nprobe = 4, k = 10),
     "ann_quantize" ->
       """WITH v AS (SELECT vec_id, embedding::DOUBLE[] e FROM embeddings),
          s AS (SELECT vec_id, e,

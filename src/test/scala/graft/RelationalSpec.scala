@@ -59,6 +59,43 @@ class RelationalSpec extends AnyFunSuite {
     assert(rows.exists(_.getLong(1) == 2L), "second ranks exist")
   }
 
+  test("TopKPerGroup equals the window formulation on skewed random data") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions.{col, row_number}
+    val rnd = new scala.util.Random(1234)
+    // heavy skew: group 0 holds ~80% of rows (the shape that kills a
+    // window plan and used to bloat the collect_list buffer)
+    val data = (1 to 5000).map { i =>
+      val g = if (rnd.nextInt(5) > 0) 0L else rnd.nextInt(40).toLong
+      (g, rnd.nextInt(1000).toDouble, i.toLong)
+    }
+    val df = data.toDF("g", "score", "id").repartition(8)
+    val got = graft.ops.TopKPerGroup(df, Seq("g"), "score", 3, Seq("id"))
+      .select("g", "rank", "score", "id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSet
+    val w = Window.partitionBy(col("g"))
+      .orderBy(col("score").desc, col("id").desc)
+    val want = df.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 3)
+      .select("g", "rank", "score", "id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSet
+    assert(got == want, "bounded-heap top-K must equal the rank-window result")
+    // ascending variant agrees with the ascending window too
+    val gotAsc = graft.ops.TopKPerGroup(df, Seq("g"), "score", 3, Seq("id"),
+      ascending = true)
+      .select("g", "rank", "score", "id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSet
+    val wAsc = Window.partitionBy(col("g"))
+      .orderBy(col("score").asc, col("id").asc)
+    val wantAsc = df.withColumn("rank", row_number().over(wAsc).cast("long"))
+      .filter(col("rank") <= 3)
+      .select("g", "rank", "score", "id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSet
+    assert(gotAsc == wantAsc)
+  }
+
   test("TopKPerGroup buffer stays O(k) on a mega-group") {
     import org.apache.spark.sql.catalyst.InternalRow
     import org.apache.spark.sql.catalyst.expressions.BoundReference
