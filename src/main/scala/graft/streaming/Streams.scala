@@ -256,7 +256,9 @@ object Streams {
     */
   def chainSink(stream: DataFrame, store: SnapshotStore, prefix: String,
                 urd: Option[(Urd, String)] = None,
-                checkpoint: String): StreamingQuery = {
+                checkpoint: String,
+                compactEvery: Option[Int] = None): StreamingQuery = {
+    compactEvery.foreach(e => require(e >= 1, s"compactEvery must be >= 1, got $e"))
     val tip = new ChainTip(store, prefix)
     stream.writeStream
       .option("checkpointLocation", checkpoint)
@@ -267,6 +269,13 @@ object Streams {
           val name = s"$prefix.$batchId"
           store.write(batch, name, previous = tip.prevFor(batchId))
           tip.advance(name)
+          // same maintenance trade as nearDupDedupSink: fold the chain
+          // periodically so consumers read O(1) datasets, not O(batches)
+          if (compactEvery.exists(e => batchId > 0 && batchId % e == 0)) {
+            val cname = s"$prefix.$batchId-c"
+            store.compactChain(name, cname)
+            tip.advance(cname)
+          }
           urd.foreach { case (u, key) =>
             u.add(key, f"$batchId%010d", Seq(prefix -> name))
           }

@@ -128,6 +128,11 @@ class SnapshotSpec extends AnyFunSuite {
     store.write(Seq((3L, 999L)).toDF("k", "v"), "cc.3",
       hashlabel = Some("k"), previous = Some("cc.compact"), slices = 4)
     assert(store.iterateChain("cc.3").count() == 151)
+    // the order/slicing-independent dataset checksum is invariant under
+    // compaction — the cross-operator identity a maintenance job must keep
+    val before = graft.ops.DatasetChecksum.value(store.iterateChain("cc.2"))
+    val after = graft.ops.DatasetChecksum.value(store.readResolved("cc.compact"))
+    assert(before == after, "compaction must preserve the dataset checksum")
   }
 
   test("parent column-append: zero-copy storage, resolved read") {
