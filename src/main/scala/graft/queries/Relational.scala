@@ -428,6 +428,21 @@ object Relational {
            min(dec(col("l_extendedprice"))).cast("double").as("min_price"))
   }
 
+  /** lineitem ⋈ orders through the skew-salted join (ops/SaltedJoin) —
+    * salting must be INVISIBLE in results, so the oracle is the plain
+    * join. The salt spreads any hot orderkey across 8 buckets before the
+    * shuffle; orders is the replicated (×8) side, as the smaller input.
+    */
+  def saltedJoinVolume(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_quantity"))
+    val o = Tables.orders(s, dir)
+      .select(col("o_orderkey").as("l_orderkey"), col("o_orderpriority"))
+    graft.ops.SaltedJoin(li, o, Seq("l_orderkey"), salt = 8)
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"),
+           sum(dec(col("l_quantity"))).cast("double").as("sum_qty"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_pricing_summary" -> pricingSummary _,
     "q3_shipping_priority" -> shippingPriority _,
@@ -452,6 +467,7 @@ object Relational {
     "q_range_join" -> rangeJoinBalance _,
     "q_events_json" -> eventsJsonProps _,
     "q_funnel" -> funnel _,
+    "q_salted_join" -> saltedJoinVolume _,
     "q_topk_per_cust" -> topOrdersPerCustomer _,
   )
 
@@ -661,5 +677,11 @@ object Relational {
          CAST(max(l_extendedprice::DECIMAL(18,2)) AS DOUBLE) AS max_price,
          CAST(min(l_extendedprice::DECIMAL(18,2)) AS DOUBLE) AS min_price
          FROM lineitem GROUP BY l_returnflag""",
+    // salting must be invisible: the oracle is the PLAIN join
+    "q_salted_join" ->
+      """SELECT o_orderpriority, count(*) AS n,
+         CAST(sum(l_quantity::DECIMAL(18,2)) AS DOUBLE) AS sum_qty
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         GROUP BY 1""",
   )
 }

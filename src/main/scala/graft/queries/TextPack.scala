@@ -178,6 +178,23 @@ object TextPack {
       .select(col("qid"), col("rank"), col("nid"), col("cosine"))
   }
 
+  /** JSONL round-trip over the documents table: export to sharded JSONL
+    * (the LLM-corpus delivery format) inside a memoized job, read the
+    * shards back with the explicit schema, and return the rows — the
+    * oracle is simply the source table, so every byte of text (newlines,
+    * quotes, unicode) must survive the JSON escape/unescape cycle.
+    */
+  def jsonlRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val src = Tables.documents(s, dir)
+      .select(col("doc_id"), col("text"), col("lang"), col("source"), col("n_chars"))
+    val (_, out) = Fixtures(s, dir, "fix_jsonl_export") { _ =>
+      val path = Fixtures.filesDir(dir, "fix_jsonl_export") + "/docs_jsonl"
+      graft.ops.JsonlExport(src, path, slices = 4, gzip = true)
+      Map("path" -> path)
+    }
+    graft.ops.JsonlExport.read(s, out("path"), src.schema)
+  }
+
   /** Deterministic hash train/val/test split: per-doc assignment depends
     * only on (salt, id) — md5-replicable in the oracle row for row.
     */
@@ -524,6 +541,7 @@ object TextPack {
     "dd_incremental" -> dedupIncremental _,
     "dd_inc_minhash" -> dedupIncMinhash _,
     "dd_compact_minhash" -> dedupCompactMinhash _,
+    "pl_jsonl_roundtrip" -> jsonlRoundtrip _,
     "pl_dedup_corpus" -> pipelineDedupCorpus _,
     "tx_stats" -> textStats _,
     "tx_quality" -> quality _,
@@ -910,6 +928,9 @@ object TextPack {
     // compaction must be invisible: the compacted-chain query answers to
     // the SAME oracle as the chained one
     "dd_compact_minhash" -> OracleGen.incrementalMinhash(16, 8, 0.3, mod = 5),
+    // a JSONL export/import cycle must be the identity on the source rows
+    "pl_jsonl_roundtrip" ->
+      "SELECT doc_id, text, lang, source, n_chars FROM documents",
     "dd_simhash" -> OracleGen.simhash(3),
     "dd_embedding_cosine" ->
       OracleGen.embeddingCosineLsh(0.45, dim = 64, tables = 8, planes = 6),

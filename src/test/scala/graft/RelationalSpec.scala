@@ -117,6 +117,32 @@ class RelationalSpec extends AnyFunSuite {
       s"reverse=false must keep the largest k, kept $kept")
   }
 
+  test("saltedJoin: bucket in the join key, replication by explode, same rows") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions.col
+    val skewed = ((1 to 900).map(_ => (1L, "hot")) ++
+      (1 to 100).map(i => (i.toLong + 1, s"cold$i"))).toDF("k", "tag")
+      .repartition(6)
+    val dim = (1 to 101).map(i => (i.toLong, s"d$i")).toDF("k", "name")
+    val joined = graft.ops.SaltedJoin(skewed, dim, Seq("k"), salt = 8)
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("__salt"), s"join must key on the salt bucket:\n$plan")
+    assert(plan.contains("Generate") || plan.contains("explode"),
+      s"the replicated side must explode over buckets:\n$plan")
+    val got = joined.collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).sorted.toSeq
+    val want = skewed.join(dim, "k").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).sorted.toSeq
+    assert(got == want, "salting must be invisible in the result set")
+    // the hot key really spreads — even though its 900 rows are
+    // byte-identical duplicates (the position term in the salt)
+    import org.apache.spark.sql.functions.countDistinct
+    val buckets = skewed.filter(col("k") === 1L)
+      .select(graft.ops.SaltedJoin.bucket(skewed, 8).as("b"))
+      .agg(countDistinct(col("b"))).collect()(0).getLong(0)
+    assert(buckets > 1, s"hot key must spread across buckets, used $buckets")
+  }
+
   test("cube: gid distinguishes super-aggregate NULLs; counts reconcile") {
     val rows = Relational.cubeVolume(spark, sfDir).collect()
     val grand = rows.filter(_.getLong(2) == 3L)
