@@ -107,6 +107,56 @@ object SimilaritySearch {
         aggregate(col("q"), lit(0L), (acc, x) => acc + abs(x)).as("q_l1"),
         col("err2"))
 
+  /** Quantized search index: (id, scale, q) — the int8 codes of
+    * [[quantizeInt8]] WITHOUT the float vectors, meant to be persisted
+    * once (snapshot/job output) and scanned by [[searchQuantized]]'s
+    * first stage. At 100 TB of float64 embeddings the candidate scan is
+    * memory-bandwidth-bound; the code table is ~8× smaller (int8 codes +
+    * one scale), which is the whole first-stage win.
+    */
+  def quantizedIndex(corpus: DataFrame, idCol: String, vecCol: String): DataFrame =
+    quantizeInt8(corpus, idCol, vecCol).select(col("id"), col("scale"), col("q"))
+
+  /** Two-stage quantized top-k (the standard retrieval architecture):
+    * stage 1 ranks ALL candidates by the cosine of their QUANTIZED
+    * vectors — scales cancel in cosine, so the score is integer dot /
+    * integer norms: exact arithmetic both engines replay bit-for-bit —
+    * and keeps the top `rerank` per query (bounded heap); stage 2 joins
+    * ONLY those survivors back to the float corpus and re-scores with
+    * exact cosine for the final k. Float vectors are touched for
+    * queries·rerank rows, not the corpus; the id-only survivor set is
+    * the one shuffle between stages. Recall loss is bounded by
+    * quantization error and absorbed by rerank > k headroom.
+    */
+  def searchQuantized(index: DataFrame, corpus: DataFrame,
+                      queries: DataFrame, idCol: String, vecCol: String,
+                      k: Int, rerank: Int): DataFrame = {
+    require(rerank >= k, s"rerank=$rerank must be >= k=$k")
+    def n2(q: Column): Column = aggregate(q, lit(0L), (a, x) => a + x * x)
+    def dotq(a: Column, b: Column): Column =
+      aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, x) => acc + x)
+    val ci = index.select(col("id").as("nid"), col("q").as("cq"))
+      .withColumn("cn2", n2(col("cq")))
+    val qi = quantizedIndex(queries, idCol, vecCol)
+      .select(col("id").as("qid"), col("q").as("qq"))
+      .withColumn("qn2", n2(col("qq")))
+    val approx = ci.crossJoin(broadcast(qi))
+      .filter(col("nid") =!= col("qid"))
+      .select(col("qid"), col("nid"),
+        (dotq(col("cq"), col("qq")).cast("double") /
+          (sqrt(col("cn2").cast("double")) * sqrt(col("qn2").cast("double"))))
+          .as("cq_cos"))
+    val survivors = TopKPerGroup(approx, Seq("qid"), "cq_cos", rerank, Seq("nid"))
+      .select("qid", "nid")
+    val cv = corpus.select(col(idCol).as("nid"),
+      col(vecCol).cast("array<double>").as("cv"))
+    val qv = queries.select(col(idCol).as("qid"),
+      col(vecCol).cast("array<double>").as("qv"))
+    val exact = survivors.join(cv, "nid").join(broadcast(qv), "qid")
+      .select(col("qid"), col("nid"), cos(col("cv"), col("qv")).as("cosine"))
+    TopKPerGroup(exact, Seq("qid"), "cosine", k, Seq("nid"))
+  }
+
   /** Deterministic pseudo-random hyperplanes: component j of plane p in
     * table t = md5("t,p,j")-derived value in [-1,1). No RNG state,
     * reproducible across runs/cluster sizes, and — because md5 + the same

@@ -178,6 +178,27 @@ object TextPack {
       .select(col("qid"), col("rank"), col("nid"), col("cosine"))
   }
 
+  /** Two-stage quantized ANN: the int8 code table is built ONCE as a
+    * snapshot (8× smaller than the float corpus — the first-stage scan is
+    * bandwidth-bound at 100 TB, so the code table is the whole win);
+    * stage 1 ranks by quantized cosine (integer dot/norms — exactly
+    * replayable), stage 2 re-scores only the top-`rerank` survivors with
+    * float cosine. The oracle replays both stages including the
+    * quantization.
+    */
+  def annQuantizedRerank(s: SparkSession, dir: String): DataFrame = {
+    val (store, _) = Fixtures(s, dir, "job_quantized_index") { st =>
+      st.write(SimilaritySearch.quantizedIndex(
+        Tables.embeddings(s, dir), "vec_id", "embedding"), "q_index", slices = 4)
+      Map("index" -> "q_index")
+    }
+    val emb = Tables.embeddings(s, dir)
+    SimilaritySearch.searchQuantized(
+      store.readResolved("q_index"), emb, emb.filter(col("vec_id") < 5),
+      "vec_id", "embedding", k = 10, rerank = 25)
+      .select(col("qid"), col("rank"), col("nid"), col("cosine"))
+  }
+
   /** JSONL round-trip over the documents table: export to sharded JSONL
     * (the LLM-corpus delivery format) inside a memoized job, read the
     * shards back with the explicit schema, and return the rows — the
@@ -542,6 +563,7 @@ object TextPack {
     "dd_inc_minhash" -> dedupIncMinhash _,
     "dd_compact_minhash" -> dedupCompactMinhash _,
     "pl_jsonl_roundtrip" -> jsonlRoundtrip _,
+    "ann_quantized_rerank" -> annQuantizedRerank _,
     "pl_dedup_corpus" -> pipelineDedupCorpus _,
     "tx_stats" -> textStats _,
     "tx_quality" -> quality _,
@@ -968,5 +990,34 @@ object TextPack {
          SELECT qid, rank, nid FROM (
            SELECT qid, nid, row_number() OVER (PARTITION BY qid ORDER BY c DESC, nid DESC) rank
            FROM scored) t WHERE rank <= 10""",
+    // two-stage: quantized-cosine top-25 (integer dot/norms), exact
+    // cosine re-rank to top-10 — replays the Spark plan stage for stage
+    "ann_quantized_rerank" ->
+      """WITH v AS (SELECT vec_id, embedding::DOUBLE[] e FROM embeddings),
+         s AS (SELECT vec_id, e,
+             list_reduce([0.0] || list_transform(e, x -> abs(x)),
+               (acc, x) -> greatest(acc, x)) / 127.0 AS scale
+           FROM v),
+         qq AS (SELECT vec_id, e,
+             CASE WHEN scale = 0.0 THEN list_transform(e, x -> 0::BIGINT)
+                  ELSE list_transform(e, x -> floor(x / scale + 0.5)::BIGINT) END AS q
+           FROM s),
+         qn AS (SELECT vec_id, e, q,
+             list_sum(list_transform(q, x -> x * x))::BIGINT n2
+           FROM qq),
+         qry AS (SELECT * FROM qn WHERE vec_id < 5),
+         approx AS (SELECT r.vec_id qid, c.vec_id nid,
+             list_dot_product(c.q::DOUBLE[], r.q::DOUBLE[]) / (sqrt(c.n2) * sqrt(r.n2)) cq
+           FROM qn c CROSS JOIN qry r WHERE c.vec_id != r.vec_id),
+         surv AS (SELECT qid, nid FROM (
+             SELECT qid, nid, row_number() OVER (PARTITION BY qid ORDER BY cq DESC, nid DESC) rn
+             FROM approx) z WHERE rn <= 25),
+         exact AS (SELECT qid, nid,
+             list_dot_product(cv.e, qv.e) / (sqrt(list_dot_product(cv.e, cv.e)) * sqrt(list_dot_product(qv.e, qv.e))) c
+           FROM surv JOIN v cv ON nid = cv.vec_id JOIN v qv ON qid = qv.vec_id)
+         SELECT qid, rank, nid, cosine FROM (
+           SELECT qid, nid, c cosine,
+             row_number() OVER (PARTITION BY qid ORDER BY c DESC, nid DESC) rank
+           FROM exact) t WHERE rank <= 10""",
   )
 }

@@ -147,6 +147,31 @@ class SketchesSpec extends AnyFunSuite {
       "tiny magnitudes scale correctly")
   }
 
+  test("searchQuantized with full rerank headroom equals exact brute force") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions.col
+    // seeded random vectors: quantization reorders stage 1, but with
+    // rerank covering the whole corpus the exact re-rank must recover the
+    // exact brute-force answer bit for bit
+    val rnd = new scala.util.Random(7)
+    val vecs = (0L until 60L).map(i =>
+      (i, Array.fill(16)(rnd.nextDouble() * 2 - 1))).toDF("id", "v")
+    val queries = vecs.filter(col("id") < 3)
+    val index = SimilaritySearch.quantizedIndex(vecs, "id", "v")
+    val got = SimilaritySearch
+      .searchQuantized(index, vecs, queries, "id", "v", k = 5, rerank = 60)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3), r.getDouble(2))).toSet
+    val want = SimilaritySearch.bruteForce(vecs, queries, "id", "v", k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3), r.getDouble(2))).toSet
+    assert(got == want, "full-headroom two-stage must equal exact search")
+    // with tight headroom it still returns k well-formed rows per query
+    val tight = SimilaritySearch
+      .searchQuantized(index, vecs, queries, "id", "v", k = 5, rerank = 8)
+      .collect()
+    assert(tight.groupBy(_.getLong(0)).values.forall(_.length == 5))
+  }
+
   test("dupClusters: both paths find connected components") {
     val s = spark
     import s.implicits._
