@@ -324,8 +324,43 @@ object Shell {
         print(workdirInfo(new SnapshotStore(spark, argv(1))))
       case "method" =>
         print(methodInfo(argv(1)))
+      case "init" =>
+        print(init(argv(1), argv.lift(2).map(_.toInt)
+          .getOrElse(spark.sparkContext.defaultParallelism)))
       case other =>
-        sys.error(s"unknown subcommand $other (ds|cat|grep|job|urd|workdir|method)")
+        sys.error(s"unknown subcommand $other (ds|cat|grep|job|urd|workdir|method|init)")
     } finally spark.stop()
+  }
+
+  /** `graft.cli.Shell init <root> [slices]` — scaffold a project root the
+    * way the reference's `ax init` scaffolds a workdir (shell/init.py):
+    * store/ + jobs/ + an empty urd log + a conf recording the default
+    * slice count. Idempotent: re-running on an initialized root only
+    * reports it. (The reference also writes an example METHOD; ours are
+    * compiled Scala — SURVEY §2.4 documented deviation — so the conf
+    * points at the entry points instead.)
+    */
+  def init(root: String, slices: Int): String = {
+    import java.nio.file.{Files, Paths}
+    val r = Paths.get(root)
+    val conf = r.resolve("graft.conf")
+    if (Files.exists(conf))
+      s"already initialized: $conf\n"
+    else {
+      Files.createDirectories(r.resolve("store"))
+      Files.createDirectories(r.resolve("jobs"))
+      val urd = r.resolve("urd.log")
+      if (!Files.exists(urd)) Files.createFile(urd)
+      Files.writeString(conf,
+        s"""# graft project root (created by `Shell init`)
+           |slices = $slices
+           |store = store
+           |jobs = jobs
+           |urd = urd.log
+           |# entry points: graft.cli.Shell ds|cat|grep|job|urd|workdir|method
+           |# build scripts are compiled Scala: see graft.jobs.JobRunner
+           |""".stripMargin)
+      s"initialized $root (slices=$slices): store/ jobs/ urd.log graft.conf\n"
+    }
   }
 }

@@ -194,4 +194,24 @@ class ShellSpec extends AnyFunSuite {
     }
     assert(e.getMessage.contains("no such columns"))
   }
+
+  test("init scaffolds a project root, idempotently, and it is usable") {
+    import java.nio.file.{Files, Paths}
+    val root = TestSpark.tmpDir("shell_init")
+    val msg = Shell.init(root, slices = 4)
+    assert(msg.contains("initialized"))
+    assert(Files.isDirectory(Paths.get(root, "store")))
+    assert(Files.isDirectory(Paths.get(root, "jobs")))
+    assert(Files.exists(Paths.get(root, "urd.log")))
+    val conf = Files.readString(Paths.get(root, "graft.conf"))
+    assert(conf.contains("slices = 4"))
+    assert(Shell.init(root, 8).contains("already initialized"),
+      "re-init must not clobber an existing project")
+    // the scaffold is a working store root
+    val s = TestSpark.spark
+    import s.implicits._
+    val st = new graft.core.SnapshotStore(s, s"$root/store")
+    st.write(Seq((1L, "x")).toDF("id", "name"), "t0", slices = 1)
+    assert(st.readResolved("t0").count() == 1)
+  }
 }
