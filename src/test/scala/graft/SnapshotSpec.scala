@@ -93,6 +93,28 @@ class SnapshotSpec extends AnyFunSuite {
       s"re-registered bucketed table must keep co-partitioning:\n$plan2")
   }
 
+  test("strange column names survive the snapshot layer (reference parity)") {
+    val s = spark
+    import s.implicits._
+    // the reference stores arbitrary column names ("a b", "print@", "-",
+    // "42" — test_methods/a_test_dataset_column_names.py); our layer must
+    // not choke on them in writes, zone-map aggs, chains, or projections
+    val store = new SnapshotStore(s, tmpDir("snap_names"))
+    val df = Seq(("x1", "y1", 1L, "w1"), ("x2", "y2", 2L, "w2"))
+      .toDF("a b", "print@", "-", "42")
+    store.write(df, "odd.0", slices = 1)
+    store.write(df, "odd.1", previous = Some("odd.0"), slices = 1)
+    val snap = store.get("odd.1")
+    assert(snap.columnNames == Seq("a b", "print@", "-", "42"))
+    assert(snap.minOf("-").contains("1") && snap.maxOf("-").contains("2"),
+      "zone maps computed for strangely-named numeric columns")
+    val chained = store.iterateChain("odd.1", columns = Seq("print@", "-"))
+    assert(chained.columns.toSeq == Seq("print@", "-"))
+    assert(chained.count() == 4)
+    val vals = chained.collect().map(r => (r.getString(0), r.getLong(1))).sorted.toSeq
+    assert(vals == Seq(("y1", 1L), ("y1", 1L), ("y2", 2L), ("y2", 2L)))
+  }
+
   test("compactChain: one snapshot, same rows, hash co-partitioning kept") {
     val s = spark
     import s.implicits._
