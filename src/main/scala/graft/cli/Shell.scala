@@ -286,7 +286,7 @@ object Shell {
     // in driver memory (the reference streams per-slice the same way).
     val rendered = a.format match {
       case "json" =>
-        df.select(to_json(struct(df.columns.map(col): _*)).as("line"))
+        df.select(to_json(struct(df.columns.toIndexedSeq.map(col): _*)).as("line"))
       case fmt =>
         println(df.columns.mkString(a.fieldSep))
         CsvExport.render(df, CsvExportConfig(

@@ -300,7 +300,7 @@ final class SnapshotStore(val spark: SparkSession, val root: String) {
         val shadowed = child.columns.toSet - RowId
         val parentDf = readResolved(p, walking + name)
         val parentKeep = parentDf.columns.filterNot(shadowed.contains)
-        parentDf.select(parentKeep.map(col): _*).join(child, RowId)
+        parentDf.select(parentKeep.toIndexedSeq.map(col): _*).join(child, RowId)
     }
     // apply the metadata column filter (filterColumns snapshots expose
     // fewer columns than the shared/joined data holds) — for parented

@@ -79,7 +79,7 @@ object CsvExport {
     val joined = dfs.reduce { (a, b) =>
       val dup = b.columns.toSet.intersect(a.columns.toSet) - on
       val aKeep = a.columns.filterNot(dup.contains)
-      a.select(aKeep.map(col): _*).join(b, on)
+      a.select(aKeep.toIndexedSeq.map(col): _*).join(b, on)
     }
     val ordered = joined.orderBy(col(on))
     apply(if (keepOn) ordered else ordered.drop(on), path, cfg)

@@ -28,7 +28,7 @@ object JsonlExport {
             gzip: Boolean = false): Unit = {
     val sliced = if (slices > 0) df.repartition(slices) else df
     val lines = sliced.select(
-      to_json(struct(df.columns.map(col): _*)).as("value"))
+      to_json(struct(df.columns.toIndexedSeq.map(col): _*)).as("value"))
     val w = lines.write.mode("overwrite")
     (if (gzip) w.option("compression", "gzip") else w).text(path)
   }

@@ -34,7 +34,7 @@ object SaltedJoin {
     * harmless.
     */
   private[graft] def bucket(df: DataFrame, salt: Int): Column =
-    pmod(hash(struct(df.columns.map(col): _*), monotonically_increasing_id()),
+    pmod(hash(struct(df.columns.toIndexedSeq.map(col): _*), monotonically_increasing_id()),
       lit(salt))
 
   def apply(skewed: DataFrame, other: DataFrame, keys: Seq[String],

@@ -119,7 +119,7 @@ object DatasetMerge {
     val overlap = a.columns.toSet.intersect(b.columns.toSet)
     val aKept = a.select(a.columns.filterNot(overlap.contains).map(col).toSeq: _*)
     val schema = StructType(aKept.schema.fields ++ b.schema.fields)
-    val rdd = aKept.rdd.zip(b.rdd).map { case (x, y) => Row.merge(x, y) }
+    val rdd = aKept.rdd.zip(b.rdd).map { case (x, y) => Row.fromSeq(x.toSeq ++ y.toSeq) }
     a.sparkSession.createDataFrame(rdd, schema)
   }
 }

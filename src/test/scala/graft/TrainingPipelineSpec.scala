@@ -231,7 +231,7 @@ class TrainingPipelineSpec extends AnyFunSuite {
     val rows = Seq(
       (1L, "plain"),
       (2L, "line\nbreak and \"quotes\" and \\backslash"),
-      (3L, "unicode: åäö 中文 🙂 control"),
+      (3L, "unicode: åäö 中文 🙂 \u0001control"),
       (4L, null.asInstanceOf[String]),
       (5L, ""))
     val df = rows.toDF("id", "text")
