@@ -63,6 +63,66 @@ object TextFunctions {
     lenScore * 0.4 + distinctRatio(text) * 0.4 + stopBand * 0.2
   }
 
+  /** The Gopher quality rules (Rae et al. 2021, §A1.1) as named per-rule
+    * signals — the standard web-corpus document gate, kept as individual
+    * columns so a pipeline can tune thresholds or audit WHY a document
+    * dropped (the composite [[qualityScore]] cannot say). All counts and
+    * ratios are exact integer/double arithmetic — replayable in SQL.
+    *
+    * Returns a struct:
+    *   n_words           whitespace tokens
+    *   mean_word_len     sum(len)/n (null for empty docs)
+    *   symbol_ratio      ('#' or '…' occurrences) / words
+    *   bullet_line_frac  lines starting with a bullet (• or "- ")
+    *   ellipsis_line_frac lines ending in '…' or "..."
+    *   alpha_word_frac   words containing at least one [a-zA-Z]
+    *   n_stop_hits       distinct hits in the 8-word Gopher stop set
+    *   passes            the full conjunction at the paper's thresholds:
+    *                     50 ≤ words ≤ 100000, 3 ≤ mean len ≤ 10,
+    *                     symbol_ratio ≤ 0.1, bullet lines ≤ 10%,
+    *                     ellipsis lines ≤ 30%, alpha words ≥ 80%,
+    *                     stop hits ≥ 2
+    *
+    * Scale: scan-side array arithmetic over the token/line splits — no
+    * UDF, no shuffle.
+    */
+  def gopherFlags(text: Column): Column = {
+    val toks = tokens(text)
+    val n = size(toks)
+    val nD = n.cast("double")
+    val meanLen = when(n > 0,
+      aggregate(toks, lit(0L), (a, t) => a + length(t)).cast("double") / nD)
+    val symbols = (length(text) -
+      length(regexp_replace(text, "[#…]", ""))).cast("double")
+    val symbolRatio = when(n > 0, symbols / nD)
+    val lines = split(text, "\r?\n")
+    val nLines = greatest(size(lines), lit(1)).cast("double")
+    val bulletFrac = size(filter(lines, l =>
+      trim(l).startsWith("•") || trim(l).startsWith("- "))).cast("double") / nLines
+    val ellipsisFrac = size(filter(lines, l =>
+      trim(l).endsWith("…") || trim(l).endsWith("..."))).cast("double") / nLines
+    val alphaFrac = when(n > 0,
+      size(filter(toks, t => t.rlike("[A-Za-z]"))).cast("double") / nD)
+    val gopherStops = Seq("the", "be", "to", "of", "and", "that", "have", "with")
+    val stopHits = size(array_intersect(
+      array_distinct(tokens(lower(text))),
+      array(gopherStops.map(lit): _*))).cast("long")
+    val passes = n >= 50 && n <= 100000 &&
+      meanLen >= 3.0 && meanLen <= 10.0 &&
+      symbolRatio <= 0.1 &&
+      bulletFrac <= 0.1 && ellipsisFrac <= 0.3 &&
+      alphaFrac >= 0.8 && stopHits >= 2
+    struct(
+      n.cast("long").as("n_words"),
+      meanLen.as("mean_word_len"),
+      symbolRatio.as("symbol_ratio"),
+      bulletFrac.as("bullet_line_frac"),
+      ellipsisFrac.as("ellipsis_line_frac"),
+      alphaFrac.as("alpha_word_frac"),
+      stopHits.as("n_stop_hits"),
+      coalesce(passes, lit(false)).as("passes"))
+  }
+
   /** Language marker words (high-frequency function words per language). */
   val LangMarkers: Seq[(String, Seq[String])] = Seq(
     "en" -> Seq("the", "and", "of", "to", "is"),

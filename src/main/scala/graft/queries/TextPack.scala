@@ -178,6 +178,26 @@ object TextPack {
       .select(col("qid"), col("rank"), col("nid"), col("cosine"))
   }
 
+  /** Gopher quality rules over deterministically decorated text (the
+    * synthetic docs are single-line prose, so the fixture injects the
+    * structures the rules exist to catch: bullet lists, ellipsis lines,
+    * symbol runs). Per-rule columns + the paper-threshold conjunction.
+    */
+  def gopher(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.{TextFunctions => T}
+    val decorated = when(col("doc_id") % 4 === 0,
+        concat(col("text"),
+          lit("\n• bullet one\n• bullet two\n- dash bullet\nreal closing line.")))
+      .when(col("doc_id") % 4 === 1,
+        concat(col("text"), lit("\ntrailing thought...\nanother one…")))
+      .when(col("doc_id") % 4 === 2,
+        concat(col("text"), lit(" ## #hashtag #…")))
+      .otherwise(col("text"))
+    Tables.documents(s, dir)
+      .select(col("doc_id"), T.gopherFlags(decorated).as("g"))
+      .select(col("doc_id"), col("g.*"))
+  }
+
   /** Two-stage quantized ANN: the int8 code table is built ONCE as a
     * snapshot (8× smaller than the float corpus — the first-stage scan is
     * bandwidth-bound at 100 TB, so the code table is the whole win);
@@ -564,6 +584,7 @@ object TextPack {
     "dd_compact_minhash" -> dedupCompactMinhash _,
     "pl_jsonl_roundtrip" -> jsonlRoundtrip _,
     "ann_quantized_rerank" -> annQuantizedRerank _,
+    "tx_gopher" -> gopher _,
     "pl_dedup_corpus" -> pipelineDedupCorpus _,
     "tx_stats" -> textStats _,
     "tx_quality" -> quality _,
@@ -953,6 +974,45 @@ object TextPack {
     // a JSONL export/import cycle must be the identity on the source rows
     "pl_jsonl_roundtrip" ->
       "SELECT doc_id, text, lang, source, n_chars FROM documents",
+    "tx_gopher" ->
+      """WITH dec AS (SELECT doc_id,
+           CASE WHEN doc_id % 4 = 0 THEN text || chr(10) || '• bullet one'
+                  || chr(10) || '• bullet two' || chr(10) || '- dash bullet'
+                  || chr(10) || 'real closing line.'
+                WHEN doc_id % 4 = 1 THEN text || chr(10) || 'trailing thought...'
+                  || chr(10) || 'another one…'
+                WHEN doc_id % 4 = 2 THEN text || ' ## #hashtag #…'
+                ELSE text END AS t
+           FROM documents),
+         base AS (SELECT doc_id, t,
+             [w for w in regexp_split_to_array(t, '\s+') if w <> ''] ts,
+             [w for w in regexp_split_to_array(lower(t), '\s+') if w <> ''] tl,
+             regexp_split_to_array(t, '\r?\n') ls
+           FROM dec),
+         m AS (SELECT doc_id, t, ts, ls,
+             len(ts) n,
+             CASE WHEN len(ts) > 0 THEN
+               list_sum(list_transform(ts, w -> length(w)))::DOUBLE / len(ts)::DOUBLE END mean_len,
+             CASE WHEN len(ts) > 0 THEN
+               (length(t) - length(regexp_replace(t, '[#…]', '', 'g')))::DOUBLE / len(ts)::DOUBLE END sym,
+             len([l for l in ls if starts_with(trim(l), '•') OR starts_with(trim(l), '- ')])::DOUBLE
+               / greatest(len(ls), 1)::DOUBLE bullet,
+             len([l for l in ls if trim(l) LIKE '%…' OR trim(l) LIKE '%...'])::DOUBLE
+               / greatest(len(ls), 1)::DOUBLE ell,
+             CASE WHEN len(ts) > 0 THEN
+               len([w for w in ts if regexp_matches(w, '[A-Za-z]')])::DOUBLE / len(ts)::DOUBLE END alpha,
+             len([w for w in ['the','be','to','of','and','that','have','with']
+                  if list_contains(tl, w)])::BIGINT stops
+           FROM base)
+         SELECT doc_id,
+           n::BIGINT AS n_words, mean_len AS mean_word_len,
+           sym AS symbol_ratio, bullet AS bullet_line_frac,
+           ell AS ellipsis_line_frac, alpha AS alpha_word_frac,
+           stops AS n_stop_hits,
+           coalesce(n >= 50 AND n <= 100000 AND mean_len >= 3.0 AND mean_len <= 10.0
+             AND sym <= 0.1 AND bullet <= 0.1 AND ell <= 0.3
+             AND alpha >= 0.8 AND stops >= 2, false) AS passes
+         FROM m""",
     "dd_simhash" -> OracleGen.simhash(3),
     "dd_embedding_cosine" ->
       OracleGen.embeddingCosineLsh(0.45, dim = 64, tables = 8, planes = 6),

@@ -225,6 +225,34 @@ class TrainingPipelineSpec extends AnyFunSuite {
       "Is this a real question?"))
   }
 
+  test("gopherFlags: rule boundaries and the pass conjunction") {
+    val s = spark
+    import s.implicits._
+    import graft.functions.{TextFunctions => T}
+    import org.apache.spark.sql.functions.col
+    // 50 natural words incl. >=2 gopher stopwords, mean len in [3,10]
+    val good = (("the quick brown fox jumps over the lazy dog and " * 5).trim)
+    val short49 = good.split(" ").take(49).mkString(" ")
+    val bullets = good + "\n• one\n• two\n• three\n• four\n• five\n• six"
+    val symbols = good + " " + ("# " * 20).trim
+    val rows = Seq((1L, good), (2L, short49), (3L, bullets), (4L, symbols))
+      .toDF("id", "t")
+      .select(col("id"), T.gopherFlags(col("t")).as("g"))
+      .select(col("id"), col("g.n_words"), col("g.bullet_line_frac"),
+        col("g.symbol_ratio"), col("g.passes"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3), r.getBoolean(4)))).toMap
+    assert(rows(1L)._1 == 50L && rows(1L)._4, "50 natural words pass")
+    assert(rows(2L)._1 == 49L && !rows(2L)._4, "49 words fail the word-count gate")
+    assert(rows(3L)._2 > 0.1 && !rows(3L)._4, "bullet-heavy doc fails")
+    assert(rows(4L)._3 > 0.1 && !rows(4L)._4, "symbol-heavy doc fails")
+    // empty doc: no NaNs, no NULL pass — just false
+    val empty = Seq((9L, "")).toDF("id", "t")
+      .select(T.gopherFlags(col("t")).as("g")).select(col("g.passes"))
+      .collect()(0).getBoolean(0)
+    assert(!empty)
+  }
+
   test("JSONL export/import: identity on hostile strings and nulls") {
     val s = spark
     import s.implicits._
