@@ -60,6 +60,46 @@ object Streams {
         col("window.end").as("window_end"),
         col("event_type"), col("n"), col("total_value"))
 
+  /** Trending top-k sink: windowed per-item counts (watermark-bounded
+    * state, append mode — each window emits exactly once, when the
+    * watermark passes it) flow through foreachBatch, where every CLOSED
+    * window's counts reduce to its top-`k` items via the bounded-heap
+    * [[graft.ops.TopKPerGroup]] and land as chained snapshots. The
+    * "what's hot this hour" feed of every event pipeline, with dedup'd
+    * state budgeting: the streaming state holds (window, item) counts
+    * only inside the watermark horizon; the per-window ranking is batch
+    * work on already-final counts, so it costs one k-bounded heap pass
+    * per closed window — never a global window function.
+    */
+  def trendingSink(events: DataFrame, tsCol: String, itemCol: String,
+                   store: SnapshotStore, prefix: String, checkpoint: String,
+                   windowLen: String = "10 minutes",
+                   watermark: String = "15 minutes",
+                   k: Int = 3): StreamingQuery = {
+    val counts = events
+      .withWatermark(tsCol, watermark)
+      .groupBy(window(col(tsCol), windowLen), col(itemCol))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("window_start"),
+        col("window.end").as("window_end"), col(itemCol), col("n"))
+    val tip = new ChainTip(store, prefix)
+    counts.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode(OutputMode.Append())
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          val top = graft.ops.TopKPerGroup(batch,
+            Seq("window_start", "window_end"), "n", k, Seq(itemCol))
+          val name = s"$prefix.$batchId"
+          store.write(top, name, previous = tip.prevFor(batchId))
+          tip.advance(name)
+        }
+        ()
+      }
+      .start()
+  }
+
   final case class SessionEvent(user_id: Long, ts: java.sql.Timestamp, value: Double)
   final case class SessionState(start: Long, last: Long, events: Int, total: Double)
   final case class SessionOut(user_id: Long, session_start: java.sql.Timestamp,

@@ -257,6 +257,40 @@ class StreamingSpec extends AnyFunSuite {
       "no sketches lost across compaction")
   }
 
+  test("trendingSink: closed windows rank top-k into chained snapshots") {
+    val s = spark
+    import s.implicits._
+    val dir = tmpDir("trend_src")
+    val store = new SnapshotStore(s, tmpDir("trend_store"))
+    def ts(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 00:$m%02d:00")
+    // batch 0: window [00:00,00:10) — a:2, b:1, c:1
+    Seq((ts(1), "a"), (ts(2), "a"), (ts(3), "b"), (ts(4), "c"))
+      .toDF("ts", "event_type").coalesce(1).write.mode("append").parquet(dir)
+    // batch 1: advances max event time to 00:40 (watermark still behind A)
+    Seq((java.sql.Timestamp.valueOf("2024-01-01 00:40:00"), "x"))
+      .toDF("ts", "event_type").coalesce(1).write.mode("append").parquet(dir)
+    // batch 2: watermark = 00:40 - 15min = 00:25 > 00:10 — window A closes
+    Seq((java.sql.Timestamp.valueOf("2024-01-01 01:00:00"), "y"))
+      .toDF("ts", "event_type").coalesce(1).write.mode("append").parquet(dir)
+    val q = Streams.trendingSink(
+      Streams.eventStream(s, dir), "ts", "event_type",
+      store, "trend", checkpoint = tmpDir("trend_ckpt"),
+      windowLen = "10 minutes", watermark = "15 minutes", k = 2)
+    q.awaitTermination(120000)
+    val tips = store.list().filter(_.startsWith("trend.")).sorted
+    assert(tips.nonEmpty, "at least one closed-window snapshot")
+    val rows = store.iterateChain(tips.last)
+      .select("window_start", "rank", "n", "event_type")
+      .collect().map(r => (r.getTimestamp(0), r.getLong(1), r.getLong(2), r.getString(3)))
+      .sortBy(x => (x._1.getTime, x._2)).toSeq
+    // only window A has closed (later windows are still inside the
+    // watermark horizon at end-of-stream); k=2 keeps a then the c/b tie
+    // broken by the struct order (item desc)
+    assert(rows == Seq(
+      (ts(0), 1L, 2L, "a"),
+      (ts(0), 2L, 1L, "c")), s"unexpected trending rows: $rows")
+  }
+
   test("corpus-prep stack (scrub + quality gate + dedup) runs unmodified in a stream") {
     val s = spark
     import s.implicits._
