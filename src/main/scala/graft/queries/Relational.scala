@@ -428,6 +428,47 @@ object Relational {
            min(dec(col("l_extendedprice"))).cast("double").as("min_price"))
   }
 
+  /** The at-scale counterpart of [[quantityPercentiles]]: one-pass
+    * Greenwald-Khanna sketch (`approx_percentile`) instead of exact order
+    * statistics. The exact form buffers every group value for the final
+    * percentile step; the sketch holds O(1/ε) entries per group no matter
+    * how many rows flow through — the variant a 100 TB run actually uses.
+    * NOT oracle-gated: GK picks a real element (no interpolation) and its
+    * merge result is sketch-internal, so it cannot hash-match DuckDB's
+    * t-digest `approx_quantile` (or the interpolated exact). RelationalSpec
+    * asserts the plan is a single partial-agg pass (no per-group value
+    * buffer, no sort) and the values land within GK's ε·N rank bound of
+    * the exact percentiles.
+    */
+  def approxPercentiles(s: SparkSession, dir: String): DataFrame = {
+    Tables.lineitem(s, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"),
+           approx_percentile(col("l_quantity"), lit(0.25), lit(10000)).as("p25"),
+           approx_percentile(col("l_quantity"), lit(0.5), lit(10000)).as("median"),
+           approx_percentile(col("l_quantity"), lit(0.75), lit(10000)).as("p75"))
+  }
+
+  /** The at-scale counterpart of [[aggDistinct]]: HyperLogLog++
+    * (`approx_count_distinct`, rsd 1%) instead of exact distinct counts.
+    * Exact `count(DISTINCT x)` plans through an Expand (input ×(#distinct
+    * aggs)) plus a second shuffle keyed on (group, value) — at 100 TB the
+    * Expand alone doubles the shuffled bytes; the HLL sketch is one
+    * map-side-combined pass with a constant-size buffer per group.
+    * NOT oracle-gated (sketch estimates are engine-internal); the spec
+    * asserts no Expand in the plan and estimates within the rsd bound of
+    * the exact counts. The exact max/min ride along unchanged — mixing
+    * exact and sketch aggregates stays a single pass, which is the point.
+    */
+  def approxDistinct(s: SparkSession, dir: String): DataFrame = {
+    Tables.lineitem(s, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(approx_count_distinct(col("l_orderkey"), rsd = 0.01).as("n_orders"),
+           approx_count_distinct(col("l_partkey"), rsd = 0.01).as("n_parts"),
+           max(dec(col("l_extendedprice"))).cast("double").as("max_price"),
+           min(dec(col("l_extendedprice"))).cast("double").as("min_price"))
+  }
+
   /** lineitem ⋈ orders through the skew-salted join (ops/SaltedJoin) —
     * salting must be INVISIBLE in results, so the oracle is the plain
     * join. The salt spreads any hot orderkey across 8 buckets before the
@@ -469,6 +510,11 @@ object Relational {
     "q_funnel" -> funnel _,
     "q_salted_join" -> saltedJoinVolume _,
     "q_topk_per_cust" -> topOrdersPerCustomer _,
+    // at-scale sketch variants — no oracle entry (sketch results are
+    // engine-internal; correctness is spec'd in RelationalSpec via plan
+    // shape + tolerance vs the exact forms)
+    "q_approx_percentiles" -> approxPercentiles _,
+    "q_approx_distinct" -> approxDistinct _,
   )
 
   private val DISC = "(1.00::DECIMAL(18,2) - l_discount::DECIMAL(18,2))"

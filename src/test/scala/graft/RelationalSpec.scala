@@ -177,4 +177,51 @@ class RelationalSpec extends AnyFunSuite {
     assert(byFlag("C").getDouble(3) == 0.0 && byFlag("C").isNullAt(6),
       "constant quantity: zero variance, undefined correlation")
   }
+
+  test("approxPercentiles: single sketch pass, values within GK rank bound") {
+    val plan = planOf(Relational.approxPercentiles)
+    assert(plan.contains("partial_approx_percentile") ||
+           plan.contains("partial_percentile_approx"),
+      s"sketch must partial-aggregate map-side:\n$plan")
+    assert(!plan.contains("Window") && !plan.contains("collect_list"),
+      s"approx percentile must not buffer group values:\n$plan")
+    // one exchange total: partial sketch -> final merge, nothing else
+    assert("Exchange".r.findAllIn(plan).size == 1,
+      s"expected exactly one shuffle in:\n$plan")
+    val approx = Relational.approxPercentiles(spark, sfDir).collect()
+      .map(r => r.getString(0) -> (r.getDouble(2), r.getLong(1))).toMap
+    val exact = Relational.quantityPercentiles(spark, sfDir).collect()
+      .map(r => r.getString(0) -> r.getDouble(2)).toMap
+    // accuracy 10000 => rank error <= n/10000; quantities are integers
+    // 1..50, so at sf0.001 (n per group ~1.5k < accuracy) GK is the exact
+    // order statistic — within 1 of the interpolated exact median.
+    approx.foreach { case (flag, (med, _)) =>
+      assert(math.abs(med - exact(flag)) <= 1.0,
+        s"flag $flag: approx median $med vs exact ${exact(flag)}")
+    }
+  }
+
+  test("approxDistinct: HLL single pass (no Expand), estimates within rsd") {
+    val plan = planOf(Relational.approxDistinct)
+    assert(!plan.contains("Expand"),
+      s"HLL must not plan the distinct-agg Expand:\n$plan")
+    assert(plan.contains("partial_approx_count_distinct"),
+      s"HLL must partial-aggregate map-side:\n$plan")
+    assert("Exchange".r.findAllIn(plan).size == 1,
+      s"expected exactly one shuffle in:\n$plan")
+    // the exact formulation DOES pay the Expand — the contrast is the point
+    val exactPlan = planOf(Relational.aggDistinct)
+    assert(exactPlan.contains("Expand"),
+      s"exact countDistinct should Expand (else this spec tests nothing):\n$exactPlan")
+    val approx = Relational.approxDistinct(spark, sfDir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val exact = Relational.aggDistinct(spark, sfDir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    approx.foreach { case (flag, (o, p)) =>
+      val (eo, ep) = exact(flag)
+      // rsd 1%; allow 5% headroom — estimate quality, not luck
+      assert(math.abs(o - eo).toDouble / eo < 0.05, s"$flag orders: $o vs $eo")
+      assert(math.abs(p - ep).toDouble / ep < 0.05, s"$flag parts: $p vs $ep")
+    }
+  }
 }
