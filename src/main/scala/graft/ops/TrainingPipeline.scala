@@ -148,6 +148,93 @@ object TrainingPipeline {
     * one row per doc (a doc's shingles never leave their partition, so the
     * final exchange carries one (id, counts) row per doc).
     */
+  /** Deterministic fixed-SIZE sample: exactly `n` rows — the n smallest
+    * md5(salt || id) values, id tiebreak. Fraction-based sampling
+    * ([[sampleStratified]]) cannot hit an exact count; a random
+    * `orderBy(rand()).limit(n)` is irreproducible. Hash order is both: a
+    * uniform draw, and the same draw on every run, cluster size, and
+    * engine (the oracle replays it as ORDER BY md5 LIMIT n).
+    *
+    * Scale: `.orderBy(...).limit(n)` plans as TakeOrderedAndProject —
+    * every partition keeps an n-bounded heap, the exchange carries P·n
+    * candidate rows to one reducer, and NO global sort or range exchange
+    * ever materializes. The spec pins that plan shape.
+    */
+  def sampleN(df: DataFrame, idCol: String, salt: String, n: Int): DataFrame = {
+    require(n >= 1, s"n must be >= 1, got $n")
+    val rk = md5(concat(lit(salt), col(idCol).cast("string")))
+    df.withColumn("rk", rk)
+      .orderBy(col("rk").asc, col(idCol).asc)
+      .limit(n)
+      .drop("rk")
+  }
+
+  /** [[decontaminate]] with a Bloom-filter prescreen — same EXACT output
+    * (it shares pl_decontam's oracle), different 100 TB cost model. The
+    * exact form broadcasts the benchmark shingle set as a hash table; at
+    * ~100M distinct shingles that is multi-GB per executor. Here the
+    * benchmark set is folded DISTRIBUTEDLY into Spark's own
+    * `BloomFilterAggregate` (only the serialized m-bit filter reaches the
+    * driver — ~1.2 MB per million shingles at fpp 1e-2), the corpus scan
+    * probes it through the codegen'd `BloomFilterMightContain` predicate
+    * at the scan (a shingle failing the filter is DEFINITELY clean —
+    * Bloom filters have no false negatives), and only the tiny surviving
+    * fraction (true hits + fpp of the rest) pays an exact semi-join that
+    * cancels the false positives. Per-doc totals come scan-side from
+    * `size(shingles)` — the full shingle explode never crosses an
+    * exchange; the only per-shingle shuffle carries bloom survivors.
+    *
+    * The corpus text is scanned twice (totals + probe pass), both
+    * projections pruned to (id, text); at scale that is far cheaper than
+    * shuffling or broadcasting a multi-GB exact set. Bench-side shingling
+    * runs twice too (filter build + verify join) — eval sets are MBs.
+    */
+  def decontaminateBloom(df: DataFrame, bench: DataFrame, idCol: String,
+                         textCol: String, n: Int = 3,
+                         threshold: Double = 0.5,
+                         fpp: Double = 0.01): DataFrame = {
+    import org.apache.spark.sql.GraftBridge
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    val benchSet = bench
+      .select(explode(S.shingleHashes(col(textCol), n)).as("h"))
+      .distinct()
+    // the count is one cheap agg over the (small) bench set; it sizes the
+    // filter so fpp holds rather than guessing expectedNumItems
+    val est = math.max(benchSet.count(), 1L)
+    val numBits = org.apache.spark.util.sketch.BloomFilter
+      .optimalNumOfBits(est, fpp)
+    val bfAgg = new BloomFilterAggregate(
+      GraftBridge.expression(col("h")), Literal(est), Literal(numBits), 0, 0)
+      .toAggregateExpression()
+    val filterBytes = benchSet.select(GraftBridge.column(bfAgg).as("bf"))
+      .head.getAs[Array[Byte]](0)
+    val might = GraftBridge.column(BloomFilterMightContain(
+      Literal.create(filterBytes,
+        org.apache.spark.sql.types.BinaryType),
+      GraftBridge.expression(col("h"))))
+    // per-doc denominators WITHOUT exploding: one scan, no shuffle of
+    // shingles; explode semantics kept by dropping shingle-less docs
+    val totals = df.select(col(idCol),
+        size(S.shingleHashes(col(textCol), n)).cast("long").as("n_shingles"))
+      .filter(col("n_shingles") > 0)
+    // bloom prescreen at the scan; exact verify (semi-join, NOT broadcast
+    // by construction — the planner may still broadcast when small) only
+    // on survivors, so false positives cancel and the result is exact
+    val hits = df
+      .select(col(idCol), explode(S.shingleHashes(col(textCol), n)).as("h"))
+      .filter(might)
+      .join(benchSet, Seq("h"), "left_semi")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("hits"))
+    totals.join(hits, Seq(idCol), "left")
+      .select(col(idCol), col("n_shingles"),
+        coalesce(col("hits"), lit(0L)).as("n_overlap"))
+      .withColumn("containment",
+        col("n_overlap").cast("double") / col("n_shingles").cast("double"))
+      .withColumn("contaminated", col("containment") >= threshold)
+  }
+
   def decontaminate(df: DataFrame, bench: DataFrame, idCol: String,
                     textCol: String, n: Int = 3,
                     threshold: Double = 0.5): DataFrame = {

@@ -270,6 +270,18 @@ object TextPack {
       "doc_id", "text", n = 3, threshold = 0.5)
   }
 
+  /** Same fixture and ORACLE as pl_decontam, through the Bloom-prescreen
+    * path — hash-gating both proves the prescreen changes nothing but the
+    * cost model (TrainingPipeline.decontaminateBloom).
+    */
+  def pipelineDecontamBloom(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+    TrainingPipeline.decontaminateBloom(
+      d.filter(col("doc_id") % 50 =!= 0),
+      d.filter(col("doc_id") % 50 === 0),
+      "doc_id", "text", n = 3, threshold = 0.5)
+  }
+
   /** Incremental exact dedup against a snapshot CHAIN — the daily-ingest
     * composition: history is a two-snapshot chain (80% of the corpus,
     * split by parity), today's batch is the remaining 20% where every
@@ -564,12 +576,22 @@ object TextPack {
       "doc_id", "source", "s9",
       rates = Seq("src0" -> 0.5, "src1" -> 0.25), defaultRate = 0.1)
 
+  /** Exact-count deterministic sample: the 500 docs with smallest
+    * md5('sN'||doc_id) — TakeOrderedAndProject, no global sort.
+    */
+  def pipelineSampleN(s: SparkSession, dir: String): DataFrame =
+    TrainingPipeline.sampleN(
+      Tables.documents(s, dir).select(col("doc_id"), col("source")),
+      "doc_id", "sN", n = 500)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "pl_split" -> pipelineSplit _,
     "pl_shuffle" -> pipelineShuffle _,
     "pl_chunks" -> pipelineChunks _,
     "pl_decontam" -> pipelineDecontam _,
+    "pl_decontam_bloom" -> pipelineDecontamBloom _,
     "pl_sample" -> pipelineSample _,
+    "pl_sample_n" -> pipelineSampleN _,
     "pl_epochs" -> pipelineEpochs _,
     "pl_cap" -> pipelineCap _,
     "pl_corpus_e2e" -> corpusE2E _,
@@ -834,6 +856,7 @@ object TextPack {
            1.0 - trigram_distinct::DOUBLE / trigram_total::DOUBLE AS rep_ratio
          FROM x""",
     "pl_decontam" -> OracleGen.decontaminate(50, 0.5),
+    "pl_decontam_bloom" -> OracleGen.decontaminate(50, 0.5),
     // the composed pipeline: each CTE mirrors one stage's already-verified
     // oracle formula (quality from tx_quality, fingerprint dedup from
     // dd_exact, shingle containment from pl_decontam, split from pl_split,
@@ -910,6 +933,10 @@ object TextPack {
          WHERE ('0x'||substr(md5('s9'||doc_id::VARCHAR),1,15))::BIGINT % 1000000 <
            CASE source WHEN 'src0' THEN 500000 WHEN 'src1' THEN 250000
                 ELSE 100000 END""",
+    // same hash order both engines: lowercase-hex md5 compares bytewise
+    "pl_sample_n" ->
+      """SELECT doc_id, source FROM documents
+         ORDER BY md5('sN'||doc_id::VARCHAR), doc_id LIMIT 500""",
     // normalized-token CTE shared by the three corpus-statistics oracles:
     // identical to TextFunctions.tokens(normalized(text)) — split the
     // whitespace-collapsed lowercased text and drop empties

@@ -117,6 +117,57 @@ class TrainingPipelineSpec extends AnyFunSuite {
       s"benchmark set must broadcast:\n$plan")
   }
 
+  test("decontaminateBloom: identical to exact decontaminate; bloom probe at the scan") {
+    val s = spark
+    import s.implicits._
+    // larger fixture than the exact test: 200 docs, every 10th quoting the
+    // bench text — enough shingle volume that a false-positive-cancelling
+    // bug (rather than fpp luck) would surface
+    val bench = Seq((1000L, "alpha beta gamma delta epsilon zeta")).toDF("id", "text")
+    val train = (1L to 200L).map { i =>
+      if (i % 10 == 0) (i, "alpha beta gamma delta epsilon zeta")
+      else if (i % 10 == 5) (i, s"alpha beta gamma word$i other tokens here")
+      else (i, s"doc $i has completely unrelated content number ${i * 7}")
+    }.toDF("id", "text")
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3), r.getBoolean(4))
+    val exact = TrainingPipeline
+      .decontaminate(train, bench, "id", "text", n = 3, threshold = 0.5)
+      .collect().map(key).toSet
+    val viaBloom = TrainingPipeline
+      .decontaminateBloom(train, bench, "id", "text", n = 3, threshold = 0.5)
+      .collect().map(key).toSet
+    assert(viaBloom == exact, "bloom prescreen must not change results")
+    val plan = TrainingPipeline
+      .decontaminateBloom(train, bench, "id", "text", n = 3, threshold = 0.5)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("might_contain"),
+      s"bloom membership probe missing from the plan:\n$plan")
+    // the denominators must come from size(shingles) scan-side — no
+    // Generate (explode) feeding the totals aggregate; the only Generate
+    // allowed on the corpus side is the probe pass
+    val generates = "Generate".r.findAllIn(plan).size
+    assert(generates <= 2, // corpus probe pass + bench build/verify side
+      s"expected no explode on the totals path:\n$plan")
+  }
+
+  test("sampleN: exact count, deterministic, bounded-heap plan") {
+    val s = spark
+    import s.implicits._
+    val docs = (1L to 1000L).toDF("id")
+    def draw(salt: String) = TrainingPipeline.sampleN(docs, "id", salt, 100)
+      .collect().map(_.getLong(0)).toSet
+    assert(draw("a").size == 100, "exactly n rows")
+    assert(draw("a") == draw("a"), "same salt ⇒ same sample")
+    assert(draw("a") != draw("b"), "different salt ⇒ different sample")
+    val plan = TrainingPipeline.sampleN(docs, "id", "a", 100)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"fixed-N sample must be a bounded-heap top-n, not a global sort:\n$plan")
+    assert(!plan.contains("Exchange rangepartitioning"),
+      s"no range exchange for a top-n:\n$plan")
+  }
+
   test("shuffled: seeded deterministic permutation") {
     val s = spark
     import s.implicits._
