@@ -169,6 +169,24 @@ object TrainingPipeline {
       .drop("rk")
   }
 
+  /** Exactly `nPer` rows from EVERY group (source/language/shard):
+    * [[sampleN]]'s deterministic hash order, reduced per group by the
+    * bounded-heap aggregate (ops.TopKPerGroup) instead of a global top-n —
+    * a rank window `partitionBy(group)` would funnel every row of a group
+    * through one reducer, while the heap keeps O(nPer) per group per
+    * partition and the exchange carries ≤ P·nPer rows per group. Returns
+    * (group, rank, id) with rank 1..nPer in hash order.
+    */
+  def sampleNPerGroup(df: DataFrame, idCol: String, groupCol: String,
+                      salt: String, nPer: Int): DataFrame = {
+    require(nPer >= 1, s"nPer must be >= 1, got $nPer")
+    val keyed = df.withColumn("rk",
+      md5(concat(lit(salt), col(idCol).cast("string"))))
+    graft.ops.TopKPerGroup(keyed, Seq(groupCol), "rk", nPer, Seq(idCol),
+        ascending = true)
+      .select(col(groupCol), col("rank"), col(idCol))
+  }
+
   /** [[decontaminate]] with a Bloom-filter prescreen — same EXACT output
     * (it shares pl_decontam's oracle), different 100 TB cost model. The
     * exact form broadcasts the benchmark shingle set as a hash table; at

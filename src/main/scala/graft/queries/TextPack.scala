@@ -584,6 +584,14 @@ object TextPack {
       Tables.documents(s, dir).select(col("doc_id"), col("source")),
       "doc_id", "sN", n = 500)
 
+  /** Exactly 100 docs per source, deterministic hash order, bounded-heap
+    * reduce (no per-group window funnel).
+    */
+  def pipelineSampleGroup(s: SparkSession, dir: String): DataFrame =
+    TrainingPipeline.sampleNPerGroup(
+      Tables.documents(s, dir).select(col("doc_id"), col("source")),
+      "doc_id", "source", "sG", nPer = 100)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "pl_split" -> pipelineSplit _,
     "pl_shuffle" -> pipelineShuffle _,
@@ -592,6 +600,7 @@ object TextPack {
     "pl_decontam_bloom" -> pipelineDecontamBloom _,
     "pl_sample" -> pipelineSample _,
     "pl_sample_n" -> pipelineSampleN _,
+    "pl_sample_group" -> pipelineSampleGroup _,
     "pl_epochs" -> pipelineEpochs _,
     "pl_cap" -> pipelineCap _,
     "pl_corpus_e2e" -> corpusE2E _,
@@ -937,6 +946,12 @@ object TextPack {
     "pl_sample_n" ->
       """SELECT doc_id, source FROM documents
          ORDER BY md5('sN'||doc_id::VARCHAR), doc_id LIMIT 500""",
+    "pl_sample_group" ->
+      """SELECT source, rank, doc_id FROM (
+           SELECT source, doc_id, row_number() OVER (
+             PARTITION BY source
+             ORDER BY md5('sG'||doc_id::VARCHAR), doc_id) AS rank
+           FROM documents) WHERE rank <= 100""",
     // normalized-token CTE shared by the three corpus-statistics oracles:
     // identical to TextFunctions.tokens(normalized(text)) — split the
     // whitespace-collapsed lowercased text and drop empties

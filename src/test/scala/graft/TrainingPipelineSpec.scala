@@ -168,6 +168,26 @@ class TrainingPipelineSpec extends AnyFunSuite {
       s"no range exchange for a top-n:\n$plan")
   }
 
+  test("sampleNPerGroup: exact per-group counts via the heap, no window") {
+    val s = spark
+    import s.implicits._
+    // skewed strata: 900 'big', 90 'mid', 10 'tiny' (< nPer)
+    val docs = (1L to 1000L).map { i =>
+      (i, if (i <= 900) "big" else if (i <= 990) "mid" else "tiny")
+    }.toDF("id", "grp")
+    val got = TrainingPipeline.sampleNPerGroup(docs, "id", "grp", "x", 50)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val bySize = got.groupBy(_._1).view.mapValues(_.length).toMap
+    assert(bySize == Map("big" -> 50, "mid" -> 50, "tiny" -> 10),
+      s"per-group counts wrong: $bySize")
+    assert(got.filter(_._1 == "big").map(_._2).sorted.toSeq == (1L to 50L),
+      "ranks are 1..n per group")
+    val plan = TrainingPipeline.sampleNPerGroup(docs, "id", "grp", "x", 50)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window") && plan.contains("collect_top_k"),
+      s"per-group sample must reduce via bounded heaps:\n$plan")
+  }
+
   test("shuffled: seeded deterministic permutation") {
     val s = spark
     import s.implicits._
