@@ -316,6 +316,29 @@ object TrainingPipeline {
     * (TakeOrderedAndProject: per-partition heaps, K rows to the driver
     * merge — never a corpus-wide single-partition sort).
     */
+  /** Per-group heavy-hitter tokens via the mergeable Misra–Gries summary
+    * (expr/HeavyHitters.scala): memory O(k) per group per partition where
+    * [[vocabulary]]'s exact token aggregation is O(vocabulary) — the
+    * at-scale answer to "top tokens" when the vocabulary itself doesn't
+    * fit. Guarantees (per group of n token instances): every token with
+    * frequency > n/(k+1) is reported, with a lower-bound count within
+    * n/(k+1) of truth. Counts depend on partitioning (inherent to MG), so
+    * this is spec-verified by its guarantees, not oracle-hashed.
+    */
+  def heavyHitters(df: DataFrame, textCol: String, groupCol: String,
+                   k: Int): DataFrame = {
+    import org.apache.spark.sql.GraftBridge
+    val toks = df.select(col(groupCol),
+      explode(T.tokens(T.normalized(col(textCol)))).as("token"))
+    val mg = GraftBridge.column(
+      graft.expr.MisraGriesAgg(GraftBridge.expression(col("token")), k)
+        .toAggregateExpression())
+    toks.groupBy(col(groupCol))
+      .agg(mg.as("hh"))
+      .select(col(groupCol), explode(col("hh")).as("e"))
+      .select(col(groupCol), col("e.token").as("token"), col("e.est").as("est"))
+  }
+
   def vocabulary(df: DataFrame, textCol: String,
                  minDf: Int, topK: Int): DataFrame = {
     require(minDf >= 1 && topK >= 1,

@@ -428,6 +428,46 @@ object Relational {
            min(dec(col("l_extendedprice"))).cast("double").as("min_price"))
   }
 
+  /** Window-frame coverage beyond [[windowTopOrders]]'s rank/running-sum:
+    * a bounded ROWS frame (3-order moving spend — exact decimal sum inside
+    * the frame, cast to double at the end), and the rank-derived analytics
+    * (percent_rank, cume_dist, ntile) whose values are integer-rank
+    * ratios — the same division in both engines, so they hash-match. The
+    * (date, orderkey) order is unique per customer, making every rank
+    * deterministic. One shuffle on o_custkey serves all four functions
+    * (same window spec).
+    */
+  def windowFrames(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+    Tables.orders(s, dir)
+      .select(col("o_custkey"), col("o_orderkey"),
+        sum(dec(col("o_totalprice")))
+          .over(w.rowsBetween(-2, Window.currentRow))
+          .cast("double").as("moving_spend_3"),
+        percent_rank().over(w).as("pr"),
+        cume_dist().over(w).as("cd"),
+        ntile(4).over(w).cast("long").as("quartile"))
+  }
+
+  /** TPC-H Q12's shape on the columns we have: fact-fact join + conditional
+    * aggregation (CASE inside SUM) — counts of urgent-class vs other orders
+    * per lineitem status in a shipdate year. The CASE evaluates scan-side
+    * after the join; the aggregate is one map-side-combined shuffle on the
+    * (small-domain) group key.
+    */
+  def priorityMix(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+      .filter(col("l_shipdate") >= lit("1995-01-01").cast("timestamp") &&
+              col("l_shipdate") < lit("1996-01-01").cast("timestamp"))
+    val ord = Tables.orders(s, dir)
+    val high = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("l_linestatus"))
+      .agg(sum(when(high, 1L).otherwise(0L)).as("high_line_count"),
+           sum(when(high, 0L).otherwise(1L)).as("low_line_count"))
+  }
+
   /** The at-scale counterpart of [[quantityPercentiles]]: one-pass
     * Greenwald-Khanna sketch (`approx_percentile`) instead of exact order
     * statistics. The exact form buffers every group value for the final
@@ -491,6 +531,8 @@ object Relational {
     "q6_forecast_revenue" -> forecastRevenue _,
     "q10_returned_items" -> returnedItems _,
     "q_window_top_orders" -> windowTopOrders _,
+    "q_window_frames" -> windowFrames _,
+    "q_priority_mix" -> priorityMix _,
     "q_semi_anti_join" -> semiAntiJoin _,
     "q_set_ops" -> setOps _,
     "q_rollup_volume" -> rollupVolume _,
@@ -574,6 +616,20 @@ object Relational {
            row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC) AS rk,
            CAST(sum(o_totalprice::DECIMAL(18,2)) OVER (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_spend
          FROM orders) t WHERE rk <= 3""",
+    "q_window_frames" ->
+      """SELECT o_custkey, o_orderkey,
+           CAST(sum(o_totalprice::DECIMAL(18,2)) OVER (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE) AS moving_spend_3,
+           percent_rank() OVER (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC) AS pr,
+           cume_dist() OVER (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC) AS cd,
+           ntile(4) OVER (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC)::BIGINT AS quartile
+         FROM orders""",
+    "q_priority_mix" ->
+      """SELECT l_linestatus,
+           sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END)::BIGINT AS high_line_count,
+           sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 0 ELSE 1 END)::BIGINT AS low_line_count
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         WHERE l_shipdate >= '1995-01-01' AND l_shipdate < '1996-01-01'
+         GROUP BY l_linestatus""",
     "q_semi_anti_join" ->
       """SELECT count(*) AS n, 'with_orders' AS kind FROM customer
          WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)

@@ -592,6 +592,15 @@ object TextPack {
       Tables.documents(s, dir).select(col("doc_id"), col("source")),
       "doc_id", "source", "sG", nPer = 100)
 
+  /** Top-32 tokens per language via the O(k) Misra–Gries summary — the
+    * at-scale variant of pl_vocab (which aggregates the full vocabulary).
+    * Non-gated: MG counts are partitioning-dependent lower bounds; the
+    * guarantees are spec'd in TrainingPipelineSpec.
+    */
+  def pipelineHeavyHitters(s: SparkSession, dir: String): DataFrame =
+    TrainingPipeline.heavyHitters(
+      Tables.documents(s, dir), "text", "lang", k = 32)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "pl_split" -> pipelineSplit _,
     "pl_shuffle" -> pipelineShuffle _,
@@ -601,6 +610,7 @@ object TextPack {
     "pl_sample" -> pipelineSample _,
     "pl_sample_n" -> pipelineSampleN _,
     "pl_sample_group" -> pipelineSampleGroup _,
+    "pl_heavy_hitters" -> pipelineHeavyHitters _,
     "pl_epochs" -> pipelineEpochs _,
     "pl_cap" -> pipelineCap _,
     "pl_corpus_e2e" -> corpusE2E _,

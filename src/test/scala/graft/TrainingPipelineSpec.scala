@@ -168,6 +168,38 @@ class TrainingPipelineSpec extends AnyFunSuite {
       s"no range exchange for a top-n:\n$plan")
   }
 
+  test("heavyHitters: MG guarantees hold against exact counts across partitions") {
+    val s = spark
+    import s.implicits._
+    // zipf-ish: token t_i appears 600/i times, i=1..60, in two groups,
+    // shuffled across 13 partitions so merges actually exercise the
+    // (k+1)-th-largest reduction
+    val rows = for {
+      g <- Seq("g1", "g2"); i <- 1 to 60; _ <- 1 to (600 / i)
+    } yield (g, s"t$i")
+    val docs = scala.util.Random.shuffle(rows)
+      .map { case (g, t) => (g, t) }.toDF("grp", "text").repartition(13)
+    val k = 16
+    val got = TrainingPipeline.heavyHitters(docs, "text", "grp", k)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val exact = rows.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val n = rows.count(_._1 == "g1").toLong // groups are same-sized
+    val eps = n / (k + 1)
+    for (g <- Seq("g1", "g2"); i <- 1 to 60) {
+      val t = s"t$i"; val truth = exact((g, t))
+      if (truth > eps)
+        assert(got.contains((g, t)), s"frequent token $g/$t (n=$truth > $eps) missing")
+      got.get((g, t)).foreach { est =>
+        assert(est <= truth, s"$g/$t: est $est exceeds true $truth")
+        assert(truth - est <= eps, s"$g/$t: est $est more than $eps below $truth")
+      }
+    }
+    val plan = TrainingPipeline.heavyHitters(docs, "text", "grp", k)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("partial_misra_gries"),
+      s"MG must partial-aggregate map-side:\n$plan")
+  }
+
   test("sampleNPerGroup: exact per-group counts via the heap, no window") {
     val s = spark
     import s.implicits._
