@@ -468,6 +468,25 @@ object Relational {
            sum(when(high, 0L).otherwise(1L)).as("low_line_count"))
   }
 
+  /** Cohort retention — the classic event-analytics matrix: users grouped
+    * by first-active week, counted at each later week they return. The
+    * (user, week) activity set is deduped BEFORE the cohort join, so the
+    * final count is a plain count(*) — no distinct-agg Expand; both
+    * aggregations are map-side combined and the join key (user_id) is the
+    * natural partitioning of both sides, so at scale the join shuffles
+    * each side once on the same key.
+    */
+  def cohortRetention(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .select(col("user_id"), date_trunc("week", col("ts")).as("wk"))
+    val firstWeek = ev.groupBy("user_id").agg(min("wk").as("cohort"))
+    val active = ev.distinct()
+    active.join(firstWeek, "user_id")
+      .withColumn("week_offset", expr("datediff(wk, cohort) div 7"))
+      .groupBy(col("cohort"), col("week_offset"))
+      .agg(count(lit(1)).as("users"))
+  }
+
   /** The at-scale counterpart of [[quantityPercentiles]]: one-pass
     * Greenwald-Khanna sketch (`approx_percentile`) instead of exact order
     * statistics. The exact form buffers every group value for the final
@@ -542,6 +561,7 @@ object Relational {
     "q_set_ops_all" -> setOpsAll _,
     "q_agg_distinct" -> aggDistinct _,
     "q_events_hourly" -> eventsHourly _,
+    "q_events_retention" -> cohortRetention _,
     "q_events_ns" -> eventsNsPrecision _,
     "q_events_windowed" -> eventsWindowed _,
     "q_events_sessions" -> eventsSessions _,
@@ -697,6 +717,13 @@ object Relational {
          count(*) AS n,
          CAST(sum(value::DECIMAL(18,2)) AS DOUBLE) AS total_value
          FROM events GROUP BY 1, 2""",
+    "q_events_retention" ->
+      """WITH ev AS (SELECT user_id, date_trunc('week', ts::TIMESTAMP) AS wk FROM events),
+         fw AS (SELECT user_id, min(wk) AS cohort FROM ev GROUP BY 1),
+         act AS (SELECT DISTINCT user_id, wk FROM ev)
+         SELECT cohort, (date_diff('day', cohort, wk) // 7)::BIGINT AS week_offset,
+           count(*)::BIGINT AS users
+         FROM act JOIN fw USING (user_id) GROUP BY 1, 2""",
     "q_events_ns" ->
       """SELECT event_id, epoch_us(ts::TIMESTAMP) AS ts_us,
          ts::TIMESTAMP AS ts_trunc, true AS trunc_exact
