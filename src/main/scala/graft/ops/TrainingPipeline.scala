@@ -339,6 +339,35 @@ object TrainingPipeline {
       .select(col(groupCol), col("e.token").as("token"), col("e.est").as("est"))
   }
 
+  /** Merge two [[heavyHitters]] summaries (same group/token/est shape)
+    * without touching raw tokens — the DataFrame form of MisraGriesAgg's
+    * mergeable combine (sum per token, subtract the (k+1)-th largest per
+    * group, drop non-positive). Error bounds add across merges, so folding
+    * daily summaries stays within n_total/(k+1) of truth: the incremental
+    * idiom for heavy hitters over a snapshot chain
+    * (streaming/Streams.heavyHittersSink).
+    *
+    * Scale: inputs are ≤k rows per group each; the rank window runs over
+    * ≤2k rows per group — bounded, never a corpus-sized window.
+    */
+  def mergeHeavyHitters(a: DataFrame, b: DataFrame, groupCol: String,
+                        k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val summed = a.unionByName(b)
+      .groupBy(col(groupCol), col("token"))
+      .agg(sum(col("est")).as("est"))
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(col("est").desc, col("token").asc)
+    val ranked = summed.withColumn("rn", row_number().over(w))
+    val kth = ranked.filter(col("rn") === k + 1)
+      .select(col(groupCol), col("est").as("m"))
+    ranked.filter(col("rn") <= k)
+      .join(kth, Seq(groupCol), "left")
+      .withColumn("est2", col("est") - coalesce(col("m"), lit(0L)))
+      .filter(col("est2") > 0)
+      .select(col(groupCol), col("token"), col("est2").as("est"))
+  }
+
   def vocabulary(df: DataFrame, textCol: String,
                  minDf: Int, topK: Int): DataFrame = {
     require(minDf >= 1 && topK >= 1,

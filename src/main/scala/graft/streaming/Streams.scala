@@ -100,6 +100,45 @@ object Streams {
       .start()
   }
 
+  /** Incremental heavy-hitters sink: each micro-batch's tokens fold into
+    * an O(k)-per-group Misra–Gries summary (ops.TrainingPipeline
+    * .heavyHitters), which merges with the previous cumulative summary
+    * (mergeHeavyHitters — error bounds add, so the tip stays within
+    * n_total/(k+1) of the true counts) and lands as a snapshot chained to
+    * it. Read the chain TIP for "top tokens so far"; the chain itself is
+    * the summary's history (trending-vocabulary time series), NOT a
+    * union-me dataset. Raw token history is never re-read — each batch
+    * pays one pass over its own text plus a ≤2k-rows-per-group merge,
+    * the same build-once/fold-forward shape as nearDupDedupSink's index.
+    */
+  def heavyHittersSink(docs: DataFrame, textCol: String, groupCol: String,
+                       store: SnapshotStore, prefix: String,
+                       checkpoint: String, k: Int = 32): StreamingQuery = {
+    val tip = new ChainTip(store, prefix)
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode(OutputMode.Append())
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          val batchSummary = graft.ops.TrainingPipeline
+            .heavyHitters(batch, textCol, groupCol, k)
+          val prev = tip.prevFor(batchId)
+          val merged = prev match {
+            case Some(p) => graft.ops.TrainingPipeline.mergeHeavyHitters(
+              store.readResolved(p).select(col(groupCol), col("token"), col("est")),
+              batchSummary, groupCol, k)
+            case None => batchSummary
+          }
+          val name = s"$prefix.$batchId"
+          store.write(merged, name, previous = prev)
+          tip.advance(name)
+        }
+        ()
+      }
+      .start()
+  }
+
   final case class SessionEvent(user_id: Long, ts: java.sql.Timestamp, value: Double)
   final case class SessionState(start: Long, last: Long, events: Int, total: Double)
   final case class SessionOut(user_id: Long, session_start: java.sql.Timestamp,

@@ -291,6 +291,51 @@ class StreamingSpec extends AnyFunSuite {
       (ts(0), 2L, 1L, "c")), s"unexpected trending rows: $rows")
   }
 
+  test("heavyHittersSink: cumulative MG summary folds forward across batches") {
+    val s = spark
+    import s.implicits._
+    val dir = tmpDir("hh_src")
+    val store = new SnapshotStore(s, tmpDir("hh_store"))
+    // three daily batches; "hot" and "warm" are cross-batch heavy hitters
+    val b0 = Seq.fill(30)("hot") ++ (1 to 10).flatMap(i => Seq.fill(2)(s"f$i"))
+    val b1 = Seq.fill(25)("hot") ++ Seq.fill(20)("warm") ++
+      (11 to 20).flatMap(i => Seq.fill(2)(s"f$i"))
+    val b2 = Seq.fill(25)("warm") ++ (21 to 30).flatMap(i => Seq.fill(2)(s"f$i"))
+    Seq(b0, b1, b2).foreach { b =>
+      Seq(("g", b.mkString(" "))).toDF("grp", "text")
+        .coalesce(1).write.mode("append").parquet(dir)
+    }
+    val schema = s.read.parquet(dir).schema
+    val stream = s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(dir)
+    val k = 8
+    val q = Streams.heavyHittersSink(stream, "text", "grp", store, "hh",
+      checkpoint = tmpDir("hh_ckpt"), k = k)
+    q.awaitTermination(120000)
+    val tips = store.list().filter(_.startsWith("hh.")).sorted
+    assert(tips.size == 3, s"one cumulative summary per micro-batch: $tips")
+    val got = store.readResolved(tips.last)
+      .collect().map(r => r.getString(1) -> r.getLong(2)).toMap
+    assert(got.size <= k, s"summary must stay within k entries: $got")
+    val all = b0 ++ b1 ++ b2
+    val exact = all.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val eps = all.size.toLong / (k + 1)
+    for (t <- exact.keys) {
+      if (exact(t) > eps)
+        assert(got.contains(t), s"cross-batch heavy hitter $t missing from tip")
+      got.get(t).foreach { est =>
+        assert(est <= exact(t), s"$t: est $est exceeds true ${exact(t)}")
+        assert(exact(t) - est <= eps, s"$t: est $est under by more than $eps")
+      }
+    }
+    // each snapshot is the summary AT that batch (history, not union):
+    // batch 0's tip must not know "warm" yet
+    val s0 = store.readResolved(tips.head)
+      .collect().map(r => r.getString(1)).toSet
+    assert(s0.contains("hot") && !s0.contains("warm"),
+      s"first summary reflects only batch 0: $s0")
+  }
+
   test("corpus-prep stack (scrub + quality gate + dedup) runs unmodified in a stream") {
     val s = spark
     import s.implicits._
