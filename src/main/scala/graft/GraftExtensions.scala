@@ -1,0 +1,118 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.types.{IntegerType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** SQL surface for graft's custom expressions, via the standard extension
+  * point: `spark.sql.extensions=graft.GraftExtensions` (or
+  * `builder.withExtensions(new GraftExtensions)`) registers them in the
+  * session's function registry, so pure-SQL users — the `spark.sql(...)` /
+  * thrift-server audience — get the library without touching the Scala
+  * API.
+  *
+  * Only expressions whose semantics SQL can't already express are
+  * registered (the Column-combinator operators are plain SQL once
+  * written); each function builds the same codegen'd Expression the Scala
+  * API uses, so plans are identical whichever surface declared them.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  import GraftExtensions._
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    // usage strings document intent here; ExpressionInfo's extended-doc
+    // constructors validate a markup format, so registration passes only
+    // (class, db, name)
+    def inject(name: String, usage: String)(b: Seq[Expression] => Expression): Unit =
+      ext.injectFunction((FunctionIdentifier(name),
+        new ExpressionInfo(classOf[GraftExtensions].getName, null, name),
+        b))
+
+    inject("graft_shingle_hashes",
+      "graft_shingle_hashes(text, n) - distinct 40-bit word-n-gram shingle hashes") {
+      args => expect(args, 2)
+        graft.expr.ShingleHash40(tokensExpr(args(0)), litInt(args(1), "n"))
+    }
+    inject("graft_minhash_sig",
+      "graft_minhash_sig(hashes, k) - k-slot minhash signature of a long-array") {
+      args => expect(args, 2)
+        graft.expr.MinHashSig(args(0), litInt(args(1), "k"))
+    }
+    inject("graft_simhash",
+      "graft_simhash(hashes, bits) - simhash of a token-hash array") {
+      args => expect(args, 2)
+        graft.expr.SimHash(args(0), litInt(args(1), "bits"))
+    }
+    inject("graft_token_hashes",
+      "graft_token_hashes(tokens) - per-token 40-bit hashes (non-distinct)") {
+      args => expect(args, 1)
+        graft.expr.TokenHash40Array(args(0))
+    }
+    inject("graft_dot",
+      "graft_dot(a, b) - sequential-fold dot product of two double arrays") {
+      args => expect(args, 2)
+        graft.expr.DotProduct(args(0), args(1))
+    }
+    inject("graft_unicode_normalize",
+      "graft_unicode_normalize(s, form) - Unicode NFC/NFD/NFKC/NFKD normalization") {
+      args => expect(args, 2)
+        graft.expr.UnicodeNormalize(args(0), litStr(args(1), "form"))
+    }
+    inject("graft_bignum",
+      "graft_bignum(s) - canonical big integer (reference number range), null if invalid") {
+      args => expect(args, 1)
+        graft.expr.BigNumCanon(args(0))
+    }
+    inject("graft_bignum_sum",
+      "graft_bignum_sum(s) - exact arbitrary-precision SUM of canonical bignum strings") {
+      args => expect(args, 1)
+        graft.expr.BigNumSum(args(0))
+    }
+    inject("graft_misra_gries",
+      "graft_misra_gries(token, k) - mergeable heavy-hitters summary, O(k) state") {
+      args => expect(args, 2)
+        graft.expr.MisraGriesAgg(args(0), litInt(args(1), "k"))
+    }
+  }
+}
+
+private object GraftExtensions {
+  private def expect(args: Seq[Expression], n: Int): Unit =
+    require(args.length == n, s"expected $n arguments, got ${args.length}")
+
+  /** The catalyst tree of TextFunctions.tokens(normalized(text)) — SQL
+    * builders must return expressions, not Column wrappers (an unresolved
+    * ColumnNode inside a resolved function result never re-enters
+    * analysis). Kept value-identical to the Column form:
+    * array_remove(split(lower(trim(regexp_replace(text,'\s+',' '))),'\s+'),'').
+    */
+  private def tokensExpr(text: Expression): Expression = {
+    import org.apache.spark.sql.catalyst.expressions.{ArrayRemove, Lower, RegExpReplace, StringSplit, StringTrim}
+    val norm = Lower(StringTrim(RegExpReplace(text,
+      Literal(UTF8String.fromString("\\s+"), StringType),
+      Literal(UTF8String.fromString(" "), StringType))))
+    ArrayRemove(
+      StringSplit(norm, Literal(UTF8String.fromString("\\s+"), StringType),
+        Literal(-1, IntegerType)),
+      Literal(UTF8String.fromString(""), StringType))
+  }
+
+  /** Parameters that shape the expression (k, n, bits, form) must be
+    * foldable literals — they pick the generated code, they can't vary by
+    * row.
+    */
+  private def litInt(e: Expression, what: String): Int = e match {
+    case Literal(v: Int, IntegerType) => v
+    case Literal(v: Long, LongType)   => v.toInt
+    case _ => throw new IllegalArgumentException(
+      s"$what must be a literal integer, got $e")
+  }
+
+  private def litStr(e: Expression, what: String): String = e match {
+    case Literal(v: UTF8String, StringType) => v.toString
+    case _ => throw new IllegalArgumentException(
+      s"$what must be a literal string, got $e")
+  }
+}

@@ -1,0 +1,87 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The SQL surface: a session built with graft.GraftExtensions resolves
+  * the graft_* functions from plain SQL, producing the same expressions
+  * (and therefore the same results) as the Scala API.
+  */
+class GraftExtensionsSpec extends AnyFunSuite {
+
+  /** A second session over the shared SparkContext with the extensions
+    * applied — extensions only apply at session construction, so the
+    * shared TestSpark session can't be used directly. Active/default are
+    * restored afterwards so other suites see the plain session.
+    */
+  private def withExtSession[A](f: SparkSession => A): A = {
+    val base = TestSpark.spark // ensures the context exists
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    try {
+      val s = SparkSession.builder()
+        .withExtensions(new GraftExtensions)
+        .getOrCreate()
+      f(s)
+    } finally {
+      SparkSession.clearActiveSession()
+      SparkSession.clearDefaultSession()
+      SparkSession.setActiveSession(base)
+      SparkSession.setDefaultSession(base)
+    }
+  }
+
+  test("scalar functions resolve and compute from SQL") {
+    withExtSession { s =>
+      val dot = s.sql(
+        "SELECT graft_dot(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS d")
+        .head.getDouble(0)
+      assert(dot == 11.0)
+      val nfc = s.sql(
+        "SELECT length(graft_unicode_normalize('é', 'NFC')) AS l")
+        .head.getInt(0)
+      assert(nfc == 1, "combining accent composes under NFC")
+      val canon = s.sql("SELECT graft_bignum('007'), graft_bignum('x')")
+        .head
+      assert(canon.getString(0) == "7" && canon.isNullAt(1))
+      // the sketch pipeline end-to-end in SQL: text -> shingles -> minhash
+      val sig = s.sql(
+        """SELECT size(graft_minhash_sig(
+             graft_shingle_hashes('a b c d e f g', 3), 16)) AS k""")
+        .head.getInt(0)
+      assert(sig == 16)
+    }
+  }
+
+  test("aggregates resolve: exact bignum sum and MG heavy hitters") {
+    withExtSession { s =>
+      val big = "9" * 40 // past DECIMAL(38) range
+      val sum = s.sql(
+        s"""SELECT graft_bignum_sum(v) FROM VALUES
+            ('$big'), ('$big'), ('2') AS t(v)""").head.getString(0)
+      assert(sum == new java.math.BigInteger(big)
+        .multiply(java.math.BigInteger.TWO)
+        .add(java.math.BigInteger.TWO).toString)
+      val hh = s.sql(
+        """SELECT graft_misra_gries(t, 2) FROM VALUES
+           ('a'),('a'),('a'),('a'),('b'),('b'),('c') AS v(t)""")
+        .head.getSeq[org.apache.spark.sql.Row](0)
+      assert(hh.head.getString(0) == "a", s"dominant token first: $hh")
+    }
+  }
+
+  test("results match the Scala-API expressions exactly") {
+    withExtSession { s =>
+      import s.implicits._
+      val df = Seq("the quick brown fox jumps over the lazy dog").toDF("t")
+      df.createOrReplaceTempView("docs")
+      val viaSql = s.sql(
+        "SELECT graft_shingle_hashes(t, 3) AS hs FROM docs")
+        .head.getSeq[Long](0).toSet
+      val viaApi = df.select(graft.functions.SimilarityFunctions
+          .shingleHashes(org.apache.spark.sql.functions.col("t"), 3).as("hs"))
+        .head.getSeq[Long](0).toSet
+      assert(viaSql == viaApi)
+    }
+  }
+}
