@@ -169,6 +169,35 @@ object TrainingPipeline {
       .drop("rk")
   }
 
+  /** Weighted fixed-size sample (integer weights): doc selection odds
+    * scale with `weightCol` by giving each doc w independent md5 draws and
+    * keeping its MINIMUM as the sort key — the replication form of
+    * weighted min-hash sampling (min of w uniforms ~ Beta(1, w), so a
+    * weight-w doc beats a weight-1 doc w times as often in the limit).
+    * Every arithmetic step is md5 + string compare, so the oracle replays
+    * the selection EXACTLY — unlike the float pow(u, 1/w) key of
+    * Efraimidis–Spirakis, whose libm differences across engines could
+    * flip near-ties.
+    *
+    * Scale: the w draws are a scan-side transform over sequence(1, w) +
+    * array_min — no explode, no shuffle of replicas; the top-n reduce is
+    * the same TakeOrderedAndProject as [[sampleN]]. Weights are capped by
+    * `maxWeight` (the transform materializes w hashes per row — weights
+    * are mixture knobs, not unbounded counts).
+    */
+  def sampleWeighted(df: DataFrame, idCol: String, weightCol: String,
+                     salt: String, n: Int, maxWeight: Int = 64): DataFrame = {
+    require(n >= 1, s"n must be >= 1, got $n")
+    val w = least(greatest(col(weightCol).cast("long"), lit(1L)), lit(maxWeight.toLong))
+    val rk = array_min(transform(sequence(lit(1L), w),
+      j => md5(concat(lit(salt), col(idCol).cast("string"), lit("-"),
+        j.cast("string")))))
+    df.withColumn("rk", rk)
+      .orderBy(col("rk").asc, col(idCol).asc)
+      .limit(n)
+      .drop("rk")
+  }
+
   /** Exactly `nPer` rows from EVERY group (source/language/shard):
     * [[sampleN]]'s deterministic hash order, reduced per group by the
     * bounded-heap aggregate (ops.TopKPerGroup) instead of a global top-n —

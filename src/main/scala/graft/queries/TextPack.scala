@@ -601,6 +601,18 @@ object TextPack {
     TrainingPipeline.heavyHitters(
       Tables.documents(s, dir), "text", "lang", k = 32)
 
+  /** Mixture-weighted draw of 400 docs: src0 weighted 4, src1 weighted 2,
+    * rest 1 — the integer-replication min-hash key, exactly replayed by
+    * the oracle.
+    */
+  def pipelineSampleWeighted(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir).select(col("doc_id"), col("source"))
+      .withColumn("wt",
+        when(col("source") === "src0", 4L)
+          .when(col("source") === "src1", 2L).otherwise(1L))
+    TrainingPipeline.sampleWeighted(d, "doc_id", "wt", "sW", n = 400)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "pl_split" -> pipelineSplit _,
     "pl_shuffle" -> pipelineShuffle _,
@@ -611,6 +623,7 @@ object TextPack {
     "pl_sample_n" -> pipelineSampleN _,
     "pl_sample_group" -> pipelineSampleGroup _,
     "pl_heavy_hitters" -> pipelineHeavyHitters _,
+    "pl_sample_weighted" -> pipelineSampleWeighted _,
     "pl_epochs" -> pipelineEpochs _,
     "pl_cap" -> pipelineCap _,
     "pl_corpus_e2e" -> corpusE2E _,
@@ -962,6 +975,15 @@ object TextPack {
              PARTITION BY source
              ORDER BY md5('sG'||doc_id::VARCHAR), doc_id) AS rank
            FROM documents) WHERE rank <= 100""",
+    "pl_sample_weighted" ->
+      """SELECT doc_id, source, wt FROM (
+           SELECT doc_id, source, wt,
+             list_min(list_transform(range(1, wt + 1),
+               j -> md5('sW'||doc_id::VARCHAR||'-'||j::VARCHAR))) AS rk
+           FROM (SELECT doc_id, source,
+             CASE source WHEN 'src0' THEN 4 WHEN 'src1' THEN 2 ELSE 1 END::BIGINT AS wt
+             FROM documents))
+         ORDER BY rk, doc_id LIMIT 400""",
     // normalized-token CTE shared by the three corpus-statistics oracles:
     // identical to TextFunctions.tokens(normalized(text)) — split the
     // whitespace-collapsed lowercased text and drop empties

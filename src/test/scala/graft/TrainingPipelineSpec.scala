@@ -200,6 +200,27 @@ class TrainingPipelineSpec extends AnyFunSuite {
       s"MG must partial-aggregate map-side:\n$plan")
   }
 
+  test("sampleWeighted: heavy docs dominate, deterministic, bounded-heap plan") {
+    val s = spark
+    import s.implicits._
+    // 100 docs at weight 64 among 900 at weight 1 — a 50-doc draw should
+    // be nearly all heavy (deterministic given the salt, so pinned loosely)
+    val docs = (1L to 1000L)
+      .map(i => (i, if (i <= 100) 64L else 1L)).toDF("id", "wt")
+    def draw(salt: String) =
+      TrainingPipeline.sampleWeighted(docs, "id", "wt", salt, 50)
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val a = draw("w1")
+    assert(a.length == 50, "exactly n rows")
+    assert(a.toSeq == draw("w1").toSeq, "same salt ⇒ same draw")
+    val heavy = a.count(_._2 == 64L)
+    assert(heavy >= 40, s"weight-64 docs should dominate the draw: $heavy/50")
+    val plan = TrainingPipeline.sampleWeighted(docs, "id", "wt", "w1", 50)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"weighted sample must be a bounded-heap top-n:\n$plan")
+  }
+
   test("sampleNPerGroup: exact per-group counts via the heap, no window") {
     val s = spark
     import s.implicits._
