@@ -468,6 +468,34 @@ object Relational {
            sum(when(high, 0L).otherwise(1L)).as("low_line_count"))
   }
 
+  /** Argmax-per-group in ONE aggregation — the no-window way to answer
+    * "the top X per Y" when k=1: max over a struct whose leading fields
+    * are the ordering (spend desc via natural struct order, custkey asc
+    * via negation) and whose trailing fields are the payload that rides
+    * along. A rank-window formulation would shuffle every customer row
+    * into one reducer per nation; this is a map-side-combined agg whose
+    * state is ONE struct per nation per partition. Returns each nation's
+    * top customer by total order spend.
+    */
+  def argmaxJoin(s: SparkSession, dir: String): DataFrame = {
+    val spend = Tables.orders(s, dir)
+      .groupBy(col("o_custkey"))
+      .agg(sum(dec(col("o_totalprice"))).as("spend_d"))
+    val perNation = spend
+      .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_nationkey"))
+      .agg(max(struct(col("spend_d"), (-col("c_custkey")).as("nck"),
+        col("c_name").as("nm"))).as("m"))
+      .select(col("c_nationkey"),
+        (-col("m.nck")).cast("long").as("c_custkey"),
+        col("m.nm").as("c_name"),
+        col("m.spend_d").cast("double").as("spend"))
+    perNation
+      .join(broadcast(Tables.nation(s, dir)),
+        col("c_nationkey") === col("n_nationkey"))
+      .select(col("n_name"), col("c_custkey"), col("c_name"), col("spend"))
+  }
+
   /** Cohort retention — the classic event-analytics matrix: users grouped
     * by first-active week, counted at each later week they return. The
     * (user, week) activity set is deduped BEFORE the cohort join, so the
@@ -562,6 +590,7 @@ object Relational {
     "q_agg_distinct" -> aggDistinct _,
     "q_events_hourly" -> eventsHourly _,
     "q_events_retention" -> cohortRetention _,
+    "q_argmax_join" -> argmaxJoin _,
     "q_events_ns" -> eventsNsPrecision _,
     "q_events_windowed" -> eventsWindowed _,
     "q_events_sessions" -> eventsSessions _,
@@ -717,6 +746,16 @@ object Relational {
          count(*) AS n,
          CAST(sum(value::DECIMAL(18,2)) AS DOUBLE) AS total_value
          FROM events GROUP BY 1, 2""",
+    "q_argmax_join" ->
+      """SELECT n_name, c_custkey, c_name, spend FROM (
+           SELECT c_nationkey, c_custkey, c_name, spend, row_number() OVER (
+             PARTITION BY c_nationkey ORDER BY spend_d DESC, c_custkey ASC) AS rn
+           FROM (SELECT c_custkey, c_name, c_nationkey,
+                   sum(o_totalprice::DECIMAL(18,2)) AS spend_d,
+                   CAST(sum(o_totalprice::DECIMAL(18,2)) AS DOUBLE) AS spend
+                 FROM orders JOIN customer ON o_custkey = c_custkey
+                 GROUP BY 1, 2, 3)) t
+         JOIN nation ON t.c_nationkey = n_nationkey WHERE rn = 1""",
     "q_events_retention" ->
       """WITH ev AS (SELECT user_id, date_trunc('week', ts::TIMESTAMP) AS wk FROM events),
          fw AS (SELECT user_id, min(wk) AS cohort FROM ev GROUP BY 1),

@@ -178,6 +178,19 @@ class RelationalSpec extends AnyFunSuite {
       "constant quantity: zero variance, undefined correlation")
   }
 
+  test("argmaxJoin: one agg per level, no rank window, nation broadcast") {
+    val plan = planOf(Relational.argmaxJoin)
+    assert(!plan.contains("Window"),
+      s"argmax must be a struct-max aggregate, not a rank window:\n$plan")
+    assert(plan.contains("partial_max"),
+      s"struct-max must partial-aggregate map-side:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"), s"nation must broadcast:\n$plan")
+    val rows = Relational.argmaxJoin(spark, sfDir).collect()
+    assert(rows.map(_.getString(0)).distinct.length == rows.length,
+      "exactly one row per nation")
+    assert(rows.forall(_.getDouble(3) > 0))
+  }
+
   test("approxPercentiles: single sketch pass, values within GK rank bound") {
     val plan = planOf(Relational.approxPercentiles)
     assert(plan.contains("partial_approx_percentile") ||
