@@ -31,6 +31,11 @@ class GraftExtensionsSpec extends AnyFunSuite {
     }
   }
 
+  // NOTE: the `spark.sql.extensions=graft.GraftExtensions` config path
+  // reads the SPARKCONTEXT conf at context creation, so it cannot be
+  // exercised against this suite's shared context — it is Spark's own
+  // reflective instantiation of exactly the class tested below.
+
   test("scalar functions resolve and compute from SQL") {
     withExtSession { s =>
       val dot = s.sql(
