@@ -31,9 +31,12 @@ import org.apache.spark.unsafe.types.UTF8String
   * pl_vocab aggregation gives for a vocabulary that FITS — here memory is
   * O(k) per group regardless of vocabulary size.
   *
-  * Buffer ops: update is O(1) amortized (the decrement-all path removes at
-  * least one of k counters and runs at most once per k updates); merge is
-  * O(k log k) for the (k+1)-th-largest reduction.
+  * Buffer ops: update is O(1) amortized by a count-mass argument: each
+  * update adds at most 1 to the total stored count, and each O(k)
+  * decrement-all pass subtracts exactly k from it, so over n updates the
+  * decrement passes do O(n) total work (a pass need not free a slot when
+  * every counter is ≥2 — the bound comes from the mass it burns, not from
+  * evictions). Merge is O(k log k) for the (k+1)-th-largest reduction.
   */
 case class MisraGriesAgg(
     child: Expression,

@@ -255,15 +255,19 @@ object Dedup {
     // history row against the batch's (broadcast 1-row min/max over the
     // already-persisted batch index — no extra corpus pass). min≠max also
     // catches a frankenstein batch unioned from differently-built indexes.
+    // The guard wraps `sig`, NOT `hs`: every history row's sig is sliced
+    // by the band explode below, so the check fires per row even when the
+    // mismatch yields zero band collisions (the very symptom it exists to
+    // catch) — hs is only evaluated for rows that reach the verify join.
     val historyChecked =
       if (!(batchIdx.columns.contains("n") && historyIdx.columns.contains("n"))) historyIdx
       else {
         val bn = broadcast(batch.groupBy()
           .agg(min(col("n")).as("__bn_min"), max(col("n")).as("__bn_max")))
-        historyIdx.crossJoin(bn).withColumn("hs",
+        historyIdx.crossJoin(bn).withColumn("sig",
           when(col("__bn_min").isNull ||
                (col("n") === col("__bn_min") && col("n") === col("__bn_max")),
-            col("hs")).otherwise(raise_error(concat(
+            col("sig")).otherwise(raise_error(concat(
               lit("minhash index shingle size mismatch: history n="),
               col("n").cast("string"), lit(", batch n="),
               col("__bn_min").cast("string"), lit("..."),

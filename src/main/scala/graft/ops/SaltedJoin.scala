@@ -21,27 +21,67 @@ import org.apache.spark.sql.functions._
   * deterministic layout requirement. Cost: the replicated side scans
   * `salt`× — size it as (hot-key rows / healthy-partition rows), usually
   * 4-32, and keep the REPLICATED side the smaller input.
+  *
+  * Join-type contract: the construction preserves the SKEWED (left) side
+  * only. inner/left/left_semi/left_anti are result-equivalent to the
+  * unsalted join; right/full/right_semi/right_anti would emit each
+  * unmatched `other` row once per salt replica (it was exploded ×salt),
+  * so they are rejected — to preserve the small side, swap the arguments
+  * (the replicated side should be the smaller input anyway) and use a
+  * left-preserving type.
   */
 object SaltedJoin {
 
-  /** Per-row salt bucket: hash of the whole row MIXED with the row's
-    * position id. The position term is what spreads a hot key whose rows
-    * are byte-identical duplicates (dedup'd corpora still carry them) —
-    * row-content hashing alone would send every copy to one bucket and
-    * re-create the hot partition. Join correctness does not depend on
-    * WHICH bucket a row gets (the other side meets it in all of them), so
-    * the partition-layout dependence of monotonically_increasing_id is
-    * harmless.
+  /** Left-preserving types for which salting is result-equivalent to the
+    * unsalted join (Spark's accepted spellings).
     */
-  private[graft] def bucket(df: DataFrame, salt: Int): Column =
-    pmod(hash(struct(df.columns.toIndexedSeq.map(col): _*), monotonically_increasing_id()),
-      lit(salt))
+  private val safeJoinTypes: Set[String] = Set(
+    "inner", "left", "leftouter", "left_outer",
+    "semi", "leftsemi", "left_semi",
+    "anti", "leftanti", "left_anti")
+
+  /** Per-row salt bucket: a DETERMINISTIC hash of the whole row, plus the
+    * caller's `spreadCol` when given. Determinism matters at cluster
+    * scale: a nondeterministic term (monotonically_increasing_id, rand)
+    * in a shuffle key re-assigns rows when a map task is recomputed after
+    * a fetch failure — the SPARK-23207 class of bug, where reducers that
+    * already fetched the old assignment lose or duplicate rows. Content
+    * hashing recomputes identically on retry.
+    *
+    * The trade: rows that are BYTE-IDENTICAL duplicates of each other
+    * hash to one bucket. Hot keys almost always carry distinct payload
+    * columns (line numbers, timestamps, doc ids) and spread fine; for a
+    * corpus that genuinely repeats visible rows, first attach a unique-id
+    * column (e.g. a source row number carried from import) and name it as
+    * `spreadCol` — the bucket then hashes ONLY that id, which is both
+    * cheaper than hashing a wide row and uniformly spreading, while
+    * staying replay-stable because the id is real data, not a
+    * position-derived expression.
+    */
+  private[graft] def bucket(df: DataFrame, salt: Int,
+                            spreadCol: Option[String] = None): Column = {
+    val terms = spreadCol.map(c => IndexedSeq(col(c)))
+      .getOrElse(df.columns.toIndexedSeq.map(col))
+    pmod(hash(struct(terms: _*)), lit(salt))
+  }
 
   def apply(skewed: DataFrame, other: DataFrame, keys: Seq[String],
-            salt: Int, joinType: String = "inner"): DataFrame = {
+            salt: Int, joinType: String = "inner",
+            spreadCol: Option[String] = None): DataFrame = {
     require(salt >= 1, s"salt must be >= 1, got $salt")
     require(keys.nonEmpty, "need at least one join key")
-    val bucketed = skewed.withColumn("__salt", bucket(skewed, salt))
+    val jt = joinType.toLowerCase.replace("_", "")
+    require(safeJoinTypes.contains(jt),
+      s"SaltedJoin supports left-preserving join types only " +
+        s"(${safeJoinTypes.toSeq.sorted.mkString(", ")}); got '$joinType'. " +
+        "For right-preservation swap the arguments: the replicated side " +
+        "should be the smaller input.")
+    spreadCol.foreach { c =>
+      require(skewed.columns.contains(c),
+        s"spreadCol '$c' is not a column of the skewed side " +
+          s"(has ${skewed.columns.mkString(", ")})")
+    }
+    val bucketed = skewed.withColumn("__salt", bucket(skewed, salt, spreadCol))
     val replicated = other.withColumn("__salt",
       explode(sequence(lit(0), lit(salt - 1))))
     bucketed.join(replicated, keys :+ "__salt", joinType).drop("__salt")

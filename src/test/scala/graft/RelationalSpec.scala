@@ -121,7 +121,9 @@ class RelationalSpec extends AnyFunSuite {
     val s = spark
     import s.implicits._
     import org.apache.spark.sql.functions.col
-    val skewed = ((1 to 900).map(_ => (1L, "hot")) ++
+    // hot key 1 appears 900× with distinct payloads (rid) — the realistic
+    // skew shape; byte-identical rows need an explicit spreadCol (below)
+    val skewed = ((1 to 900).map(i => (1L, s"hot$i")) ++
       (1 to 100).map(i => (i.toLong + 1, s"cold$i"))).toDF("k", "tag")
       .repartition(6)
     val dim = (1 to 101).map(i => (i.toLong, s"d$i")).toDF("k", "name")
@@ -134,13 +136,61 @@ class RelationalSpec extends AnyFunSuite {
     val want = skewed.join(dim, "k").collect()
       .map(r => (r.getLong(0), r.getString(1), r.getString(2))).sorted.toSeq
     assert(got == want, "salting must be invisible in the result set")
-    // the hot key really spreads — even though its 900 rows are
-    // byte-identical duplicates (the position term in the salt)
+    // the hot key really spreads across buckets via the content hash
     import org.apache.spark.sql.functions.countDistinct
     val buckets = skewed.filter(col("k") === 1L)
       .select(graft.ops.SaltedJoin.bucket(skewed, 8).as("b"))
       .agg(countDistinct(col("b"))).collect()(0).getLong(0)
     assert(buckets > 1, s"hot key must spread across buckets, used $buckets")
+  }
+
+  test("saltedJoin: deterministic bucket, spreadCol, and joinType guard") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions.{col, countDistinct}
+    // byte-identical duplicate rows + a unique id column: spreadCol
+    // spreads them where the content hash cannot
+    val dup = (1 to 400).map(i => (1L, "same", i.toLong)).toDF("k", "tag", "rid")
+      .repartition(4)
+    val contentBuckets = dup
+      .select(graft.ops.SaltedJoin.bucket(dup.drop("rid"), 8).as("b"))
+      .agg(countDistinct(col("b"))).collect()(0).getLong(0)
+    assert(contentBuckets == 1L,
+      "identical rows co-bucket under the content hash (the documented trade)")
+    val spreadBuckets = dup
+      .select(graft.ops.SaltedJoin.bucket(dup, 8, Some("rid")).as("b"))
+      .agg(countDistinct(col("b"))).collect()(0).getLong(0)
+    assert(spreadBuckets > 1L, s"spreadCol must spread, used $spreadBuckets")
+    // replay-stability: the assignment is a pure function of row content,
+    // so recomputing it (fresh plan, different partitioning) agrees row-for-row
+    val a = dup.select(col("rid"), graft.ops.SaltedJoin.bucket(dup, 8, Some("rid")).as("b"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val b = dup.repartition(9)
+      .select(col("rid"), graft.ops.SaltedJoin.bucket(dup, 8, Some("rid")).as("b"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(a == b, "bucket assignment must be stable across recomputation")
+    // spreadCol joins stay result-equivalent to the unsalted join
+    val dim = Seq((1L, "d1")).toDF("k", "name")
+    val saltedRows = graft.ops.SaltedJoin(dup, dim, Seq("k"), salt = 8,
+      spreadCol = Some("rid")).count()
+    assert(saltedRows == dup.join(dim, "k").count())
+    // right/full joins would duplicate unmatched replicated rows — rejected
+    for (bad <- Seq("right", "right_outer", "full", "full_outer", "cross")) {
+      val e = intercept[IllegalArgumentException] {
+        graft.ops.SaltedJoin(dup, dim, Seq("k"), salt = 8, joinType = bad)
+      }
+      assert(e.getMessage.contains("left-preserving"), s"$bad must be rejected")
+    }
+    // left-preserving types pass the guard and match their unsalted twin
+    for (ok <- Seq("left", "left_semi", "left_anti")) {
+      val got = graft.ops.SaltedJoin(dup, dim, Seq("k"), salt = 8, joinType = ok).count()
+      assert(got == dup.join(dim, Seq("k"), ok).count(), s"$ok must match unsalted")
+    }
+    // unknown spreadCol fails fast
+    val miss = intercept[IllegalArgumentException] {
+      graft.ops.SaltedJoin(dup, dim, Seq("k"), salt = 8, spreadCol = Some("nope"))
+    }
+    assert(miss.getMessage.contains("spreadCol"))
   }
 
   test("cube: gid distinguishes super-aggregate NULLs; counts reconcile") {

@@ -567,6 +567,22 @@ class TrainingPipelineSpec extends AnyFunSuite {
       Option(errN.getCause).flatMap(c => Option(c.getMessage))
         .exists(_.contains("shingle size mismatch")),
       s"expected a shingle-size mismatch error, got: $errN")
+    // the guard must fire even when the mismatch yields ZERO band
+    // collisions (the very symptom of a wrong n) — it wraps the sig
+    // column the band explode always evaluates, not the verify-only hs
+    val sd = spark
+    import sd.implicits._
+    val alien = (1 to 20).map(i => (100000L + i, s"zzqx$i wvut$i ppon$i"))
+      .toDF("doc_id", "text")
+    val idxAlien = graft.ops.Dedup.minhashIndex(alien, "doc_id", "text", 5, 16)
+    val errZ = intercept[Exception] {
+      graft.ops.Dedup.incrementalMinhash(idx16, idxAlien,
+        k = 16, bands = 8, threshold = 0.3).collect()
+    }
+    assert(Option(errZ.getMessage).exists(_.contains("shingle size mismatch")) ||
+      Option(errZ.getCause).flatMap(c => Option(c.getMessage))
+        .exists(_.contains("shingle size mismatch")),
+      s"zero-collision mismatch must still raise, got: $errZ")
   }
 
   test("corpusE2E: the text column never crosses an exchange") {
