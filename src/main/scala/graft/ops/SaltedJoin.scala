@@ -36,9 +36,12 @@ object SaltedJoin {
     * unsalted join (Spark's accepted spellings).
     */
   private val safeJoinTypes: Set[String] = Set(
-    "inner", "left", "leftouter", "left_outer",
-    "semi", "leftsemi", "left_semi",
-    "anti", "leftanti", "left_anti")
+    "inner", "left", "leftouter", "semi", "leftsemi", "anti", "leftanti")
+
+  /** Canonical spellings for the error message (each accepted modulo
+    * case and underscores, e.g. "left_semi" normalizes to "leftsemi").
+    */
+  private val safeJoinTypeNames = "inner, left_outer, left_semi, left_anti"
 
   /** Per-row salt bucket: a DETERMINISTIC hash of the whole row, plus the
     * caller's `spreadCol` when given. Determinism matters at cluster
@@ -73,7 +76,7 @@ object SaltedJoin {
     val jt = joinType.toLowerCase.replace("_", "")
     require(safeJoinTypes.contains(jt),
       s"SaltedJoin supports left-preserving join types only " +
-        s"(${safeJoinTypes.toSeq.sorted.mkString(", ")}); got '$joinType'. " +
+        s"($safeJoinTypeNames); got '$joinType'. " +
         "For right-preservation swap the arguments: the replicated side " +
         "should be the smaller input.")
     spreadCol.foreach { c =>

@@ -16,7 +16,13 @@ object DatasetHashpart {
     *   dsutilmodule.c:559-560) — with a null-heavy hashlabel the
     *   all-nulls partition is a real straggler at scale. Null placement
     *   is not semantic (iteration by hashlabel only guarantees non-null
-    *   co-location), so the spread key is a per-row synthetic id.
+    *   co-location), so the spread term is a deterministic hash of the
+    *   WHOLE row — never a position-derived id like
+    *   monotonically_increasing_id, whose value changes when a map task
+    *   is recomputed after a fetch failure (SPARK-23207: reducers that
+    *   already fetched the old assignment lose or duplicate rows).
+    *   Byte-identical null-key duplicates co-bucket under a content
+    *   hash, which is acceptable: they carry no skewed key by definition.
     */
   def apply(df: DataFrame, hashlabel: String, slices: Int,
             spreadNone: Boolean = false): DataFrame =
@@ -24,7 +30,8 @@ object DatasetHashpart {
     else df.repartition(slices,
       when(col(hashlabel).isNotNull, col(hashlabel).cast("string"))
         .otherwise(concat(lit("\u0000spread\u0000"),
-          pmod(monotonically_increasing_id(), lit(slices.toLong)).cast("string"))))
+          pmod(hash(struct(df.columns.toIndexedSeq.map(col): _*)),
+            lit(slices)).cast("string"))))
 
   /** `as_chain` (a_dataset_hashpart.py as_chain=True): instead of merging
     * the whole source chain into one dataset, hashpart each chained
