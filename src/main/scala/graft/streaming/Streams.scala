@@ -356,7 +356,14 @@ object Streams {
             tip.advance(cname)
           }
           urd.foreach { case (u, key) =>
-            u.add(key, f"$batchId%010d", Seq(prefix -> name))
+            val ts = f"$batchId%010d"
+            // Replay-idempotent: a crashed attempt of THIS batch may have
+            // already recorded the entry (foreachBatch side effects land
+            // before the checkpoint commit). The replay re-lands the same
+            // snapshot name, so the existing entry is already correct —
+            // re-adding would trip the timeline's duplicate-timestamp guard
+            // and kill the restarted stream.
+            if (u.get(key, ts).isEmpty) u.add(key, ts, Seq(prefix -> name))
           }
         }
         ()

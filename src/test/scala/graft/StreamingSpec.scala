@@ -336,6 +336,126 @@ class StreamingSpec extends AnyFunSuite {
       s"first summary reflects only batch 0: $s0")
   }
 
+  /** Put a completed checkpoint into the exact on-disk state of a crash
+    * that hit AFTER the foreachBatch body ran (snapshots written,
+    * compaction done, urd recorded) but BEFORE the engine committed the
+    * batch: the offsets entry for `batchId` exists, its commit marker does
+    * not. On restart Spark replays that batch with the same batchId and
+    * the same file list — the path a long-running production ingest hits
+    * on every crash.
+    */
+  private def dropCommit(checkpoint: String, batchId: Long): Unit = {
+    val p = java.nio.file.Paths.get(checkpoint, "commits", batchId.toString)
+    assert(java.nio.file.Files.deleteIfExists(p),
+      s"expected a commit marker to delete at $p")
+    // also drop the local-FS checksum sibling — a real crash wrote neither
+    java.nio.file.Files.deleteIfExists(
+      java.nio.file.Paths.get(checkpoint, "commits", s".$batchId.crc"))
+  }
+
+  test("chainSink: crash between snapshot write and checkpoint commit replays idempotently") {
+    val s = spark
+    import s.implicits._
+    val dir = tmpDir("rs_src")
+    // 3 files → batches 0,1,2 at maxFilesPerTrigger=1; compactEvery=2
+    // fires at batch 2, so the crashed attempt leaves BOTH an uncommitted
+    // chain link (ev.2) and an uncommitted compaction snapshot (ev.2-c)
+    Seq((1L, "a"), (2L, "b")).toDF("id", "v").coalesce(1)
+      .write.mode("append").parquet(dir)
+    Seq((3L, "c")).toDF("id", "v").coalesce(1)
+      .write.mode("append").parquet(dir)
+    Seq((4L, "d"), (5L, "e")).toDF("id", "v").coalesce(1)
+      .write.mode("append").parquet(dir)
+
+    def runSink(store: SnapshotStore, urd: graft.jobs.Urd, ckpt: String): Unit =
+      Streams.chainSink(Streams.eventStream(s, dir), store, "ev",
+        urd = Some((urd, "stream/ev")), checkpoint = ckpt,
+        compactEvery = Some(2)).awaitTermination(120000)
+
+    // baseline: one uninterrupted run
+    val storeA = new SnapshotStore(s, tmpDir("rs_store_a"))
+    val urdA = new graft.jobs.Urd(tmpDir("rs_urd_a") + "/urd.log")
+    runSink(storeA, urdA, tmpDir("rs_ckpt_a"))
+
+    // crashed twin: full run, then un-commit the last batch and restart
+    // (fresh sink closure — the ChainTip must recover from the store)
+    val storeB = new SnapshotStore(s, tmpDir("rs_store_b"))
+    val urdB = new graft.jobs.Urd(tmpDir("rs_urd_b") + "/urd.log")
+    val ckptB = tmpDir("rs_ckpt_b")
+    runSink(storeB, urdB, ckptB)
+    dropCommit(ckptB, 2)
+    runSink(storeB, urdB, ckptB)
+
+    assert(storeB.list() == storeA.list(),
+      s"replay must re-land, not duplicate: ${storeB.list()} vs ${storeA.list()}")
+    for (n <- storeA.list()) {
+      assert(storeB.get(n).meta.previous == storeA.get(n).meta.previous,
+        s"$n: chain link differs after replay")
+      assert(storeB.get(n).meta.lines == storeA.get(n).meta.lines,
+        s"$n: row count differs after replay")
+    }
+    // the replayed batch chained to its true predecessor, NOT to its own
+    // crashed output, and the re-run compaction re-based the chain
+    assert(storeB.get("ev.2").meta.previous.contains("ev.1"))
+    assert(storeB.get("ev.2-c").meta.previous.isEmpty)
+    val ids = storeB.iterateChain("ev.2-c").select("id")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(ids == Seq(1L, 2L, 3L, 4L, 5L),
+      s"tip chain must hold the input exactly once after replay: $ids")
+    // urd: the crashed attempt already recorded batch 2 — the replay must
+    // tolerate the existing entry, and the timeline must equal the baseline
+    assert(urdB.timestamps("stream/ev") == urdA.timestamps("stream/ev"),
+      "replay must not duplicate or drop urd timeline entries")
+    assert(urdB.latest("stream/ev").map(_.joblist) ==
+      urdA.latest("stream/ev").map(_.joblist))
+  }
+
+  test("nearDupDedupSink: crash-and-restart replays dedup against the true history") {
+    val s = spark
+    import s.implicits._
+    val dir = tmpDir("rsnd_src")
+    val base = "the quick brown fox jumps over the lazy dog again and again"
+    // batch 0: doc 2 near-dups doc 1; batch 1: doc 3 near-dups HISTORY,
+    // doc 4 fresh. The crash un-commits batch 1, so its replay must dedup
+    // doc 3 against the committed history (ndidx.0) — not against the
+    // crashed attempt's own uncommitted index (ndidx.1), which prevFor
+    // must exclude, or doc 3 would also match ITSELF and still drop, but
+    // the index chain would gain a duplicate link.
+    Seq((1L, base), (2L, base + " extra")).toDF("doc_id", "text")
+      .coalesce(1).write.mode("append").parquet(dir)
+    Seq((3L, base + " bonus"),
+        (4L, "completely different words with no shared trigrams at all here"))
+      .toDF("doc_id", "text")
+      .coalesce(1).write.mode("append").parquet(dir)
+
+    def runSink(store: SnapshotStore, ckpt: String): Unit =
+      Streams.nearDupDedupSink(Streams.eventStream(s, dir), "doc_id", "text",
+        store, "ndidx", "ndout", checkpoint = ckpt,
+        n = 3, k = 16, bands = 8, threshold = 0.5).awaitTermination(120000)
+
+    val storeA = new SnapshotStore(s, tmpDir("rsnd_store_a"))
+    runSink(storeA, tmpDir("rsnd_ckpt_a"))
+
+    val storeB = new SnapshotStore(s, tmpDir("rsnd_store_b"))
+    val ckptB = tmpDir("rsnd_ckpt_b")
+    runSink(storeB, ckptB)
+    dropCommit(ckptB, 1)
+    runSink(storeB, ckptB)
+
+    assert(storeB.list() == storeA.list(),
+      s"replay must re-land both chains: ${storeB.list()} vs ${storeA.list()}")
+    for (n <- storeA.list()) {
+      assert(storeB.get(n).meta.previous == storeA.get(n).meta.previous, n)
+      assert(storeB.get(n).meta.lines == storeA.get(n).meta.lines, n)
+    }
+    val survivors = storeB.iterateChain("ndout.1", columns = Seq("doc_id"))
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(survivors == Seq(1L, 4L),
+      s"replayed dedup must give the uninterrupted answer: $survivors")
+    assert(storeB.iterateChain("ndidx.1").count() == 4,
+      "index chain holds each doc's sketch exactly once after replay")
+  }
+
   test("corpus-prep stack (scrub + quality gate + dedup) runs unmodified in a stream") {
     val s = spark
     import s.implicits._
