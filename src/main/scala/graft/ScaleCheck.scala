@@ -1,0 +1,167 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Empirical scale check: the 100 TB design claims (banded candidate
+  * generation, O(k) per-group reduces, broadcast-sized decontam, no global
+  * sorts) are otherwise verified only by plan shape at sf0.1 (~600k
+  * lineitem rows). This main synthesizes a ~10x dataset from sf0.1 and
+  * measures the most expensive queries at both scales, publishing the
+  * per-query sf0.1→10x log-log scaling slope to SCALE_CHECK.json. A slope
+  * near 1.0 is linear; super-linear slopes expose the constant-factor
+  * killers plan-shape audits miss (posting-list memory cliffs, candidate
+  * pair blowups, AQE flipping a broadcast join to SMJ past a size
+  * threshold).
+  *
+  * Synthesis (deterministic, replica 0 = the original rows byte-for-byte):
+  *  - fact tables replicate `reps` times with all join keys offset by
+  *    `replica * 1e9`, so each replica preserves the original's join
+  *    structure and the merged dataset scales it exactly linearly;
+  *  - dimension tables (nation, region) stay fixed — that is what "10x
+  *    more data" means in a star schema;
+  *  - documents get replica-disjoint token spaces (every non-space run is
+  *    suffixed `_r<i>`): per-replica shingle/token statistics are
+  *    IDENTICAL to sf0.1 and no cross-replica near-duplicates exist, so
+  *    the true dedup workload (pairs, posting lists, signatures) scales
+  *    exactly linearly by construction — any super-linear runtime is the
+  *    engine's fault, not the data's.
+  *
+  * Timing protocol: same session config at both scales (local[32],
+  * shuffle.partitions=32 — the Bench settings), untimed warmup pass per
+  * scale (JIT + codegen + fixture builds), then min-of-3 timed passes at
+  * sf0.1 and min-of-2 at 10x (each 10x pass is ~10x the wall time; min
+  * over warm passes still suppresses GC/contention noise, which only ever
+  * inflates samples).
+  */
+object ScaleCheck {
+
+  /** The 10 most expensive queries per BENCH_FULL.json, spanning every
+    * heavy code path: posting-list dedup, simhash banding, minhash LSH,
+    * the 6-stage corpus pipeline, salted/broadcast joins, the column-zip
+    * export, the global sort, and tf-idf.
+    */
+  private val Targets = Seq(
+    "dd_ngram_jaccard", "dd_simhash", "dd_minhash_lsh", "pl_corpus_e2e",
+    "pl_dedup_corpus", "q_salted_join", "q5_local_supplier",
+    "op_csvexport_zip", "op_sort_order", "tx_keywords")
+
+  /** Key offset per replica — far above any base key (max base key is
+    * o_orderkey ~ 1.5e5 at sf0.1), so replica key spaces never collide.
+    */
+  private val Stride = 1000000000L
+
+  private val FactKeys: Map[String, Seq[String]] = Map(
+    "customer"   -> Seq("c_custkey"),
+    "supplier"   -> Seq("s_suppkey"),
+    "part"       -> Seq("p_partkey"),
+    "orders"     -> Seq("o_orderkey", "o_custkey"),
+    "lineitem"   -> Seq("l_orderkey", "l_partkey", "l_suppkey"),
+    "events"     -> Seq("event_id", "user_id"),
+    "documents"  -> Seq("doc_id"),
+    "embeddings" -> Seq("vec_id"))
+
+  private val DimTables = Seq("nation", "region")
+
+  private def replicateTable(s: SparkSession, baseDir: String, outDir: String,
+                             table: String, reps: Int): Unit = {
+    val df = s.read.parquet(s"$baseDir/$table.parquet")
+    val keys = FactKeys(table)
+    val repd = df.crossJoin(broadcast(s.range(reps).toDF("__rep")))
+    val shifted = repd.select(df.columns.map { c =>
+      if (keys.contains(c)) (col(c) + col("__rep") * Stride).as(c) else col(c)
+    }.toIndexedSeq :+ col("__rep"): _*)
+    val out = table match {
+      case "documents" =>
+        // replica-disjoint token space; replica 0 keeps the original text.
+        // regexp_replace preserves whitespace runs exactly, so token and
+        // shingle COUNTS per document are identical across replicas.
+        shifted
+          .withColumn("text", when(col("__rep") === 0, col("text"))
+            .otherwise(regexp_replace(col("text"), lit("(\\S+)"),
+              concat(lit("$1_r"), col("__rep")))))
+          .withColumn("n_chars", length(col("text")).cast("long"))
+      case _ => shifted
+    }
+    out.drop("__rep").write.mode("overwrite").parquet(s"$outDir/$table.parquet")
+  }
+
+  def synthesize(s: SparkSession, baseDir: String, outDir: String, reps: Int): Unit = {
+    val marker = java.nio.file.Paths.get(outDir, "_SCALE_DONE")
+    if (java.nio.file.Files.exists(marker)) return
+    FactKeys.keys.toSeq.sorted.foreach(replicateTable(s, baseDir, outDir, _, reps))
+    DimTables.foreach { t =>
+      s.read.parquet(s"$baseDir/$t.parquet")
+        .write.mode("overwrite").parquet(s"$outDir/$t.parquet")
+    }
+    java.nio.file.Files.writeString(marker, s"reps=$reps base=$baseDir\n")
+  }
+
+  private def timedPasses(dir: String, passes: Int): Map[String, Double] = {
+    val samples = (1 to passes).map { p =>
+      Targets.map { name =>
+        val t0 = System.nanoTime()
+        SparkEntry.queries(name)(activeSpark, dir).count()
+        val dt = (System.nanoTime() - t0) / 1e9
+        System.err.println(f"[scale] $dir pass $p $name: $dt%.2f s")
+        name -> dt
+      }.toMap
+    }
+    Targets.map(n => n -> samples.map(_(n)).min).toMap
+  }
+
+  private var activeSpark: SparkSession = _
+
+  def main(args: Array[String]): Unit = {
+    val baseDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val outDir = args.headOption.getOrElse(
+      s"${sys.props("user.dir")}/target/scale10")
+    val reps = 10
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    activeSpark = spark
+
+    synthesize(spark, baseDir, outDir, reps)
+    // sanity: the 10x documents table really is reps x the base
+    val nBase = spark.read.parquet(s"$baseDir/documents.parquet").count()
+    val nBig = spark.read.parquet(s"$outDir/documents.parquet").count()
+    require(nBig == reps * nBase, s"synthesis wrong: $nBig != $reps*$nBase")
+
+    // untimed warmup at both scales: tables, codegen, memoized fixtures
+    for (dir <- Seq(baseDir, outDir)) {
+      (FactKeys.keys.toSeq ++ DimTables).foreach { t =>
+        spark.read.parquet(s"$dir/$t.parquet").count()
+      }
+      Targets.foreach { name =>
+        val t0 = System.nanoTime()
+        SparkEntry.queries(name)(spark, dir).count()
+        System.err.println(f"[scale] warmup $dir $name: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      }
+    }
+
+    val small = timedPasses(baseDir, passes = 3)
+    val big = timedPasses(outDir, passes = 2)
+
+    val entries = Targets.map { name =>
+      val (t1, t10) = (small(name), big(name))
+      val ratio = t10 / t1
+      val slope = math.log(ratio) / math.log(reps.toDouble)
+      f""""$name":{"sf01_sec":$t1%.3f,"x10_sec":$t10%.3f,"ratio":$ratio%.2f,"slope":$slope%.3f}"""
+    }
+    val totalS = Targets.map(small).sum
+    val totalB = Targets.map(big).sum
+    val json =
+      s"""{"reps":$reps,"base":"$baseDir","protocol":"min-of-3 at sf0.1, min-of-2 at 10x, untimed warmup per scale, local[32] shuffle=32 at both scales","queries":{${entries.mkString(",")}},""" +
+      f""""total_sf01_sec":$totalS%.3f,"total_x10_sec":$totalB%.3f,"total_slope":${math.log(totalB / totalS) / math.log(reps.toDouble)}%.3f}"""
+    println(json)
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"${sys.props("user.dir")}/SCALE_CHECK.json"), json + "\n")
+    spark.stop()
+  }
+}
