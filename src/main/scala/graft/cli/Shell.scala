@@ -17,6 +17,8 @@ import graft.ops.{CsvExport, CsvExportConfig}
   *   graft.cli.Shell urd  <urdLog> [key [timestamp]]    — timeline listing
   *   graft.cli.Shell workdir <storeRoot>                — all snapshots
   *   graft.cli.Shell method  <jobsRoot>                 — methods seen + versions
+  *   graft.cli.Shell script  <package> [match ...]      — list build scripts
+  *   graft.cli.Shell script -r <pkg.Object> [args ...]  — launch one by name
   *
   * `cat`/`grep` accept `-c N` (chain length, like the reference's ~N
   * chain-walk refs) and `-n N` (row limit), plus the reference grep's
@@ -280,6 +282,81 @@ object Shell {
     }.mkString("\n") + "\n"
   }
 
+  /** Build-script discovery (reference `ax script`, shell/script.py:34-77:
+    * lists `build.py` / `build_*.py` per method package with their
+    * `description` attributes, filtered by substring). Ours are compiled
+    * Scala mains, so "scripts in a package" means OBJECTS named `Build` or
+    * `Build_*` on the classpath — found by enumerating the package's
+    * classfile resources (dir or jar), never by instantiating anything
+    * else in the package. The description is the object's parameterless
+    * `description` member when present, mirroring the reference's
+    * module-level `description`.
+    */
+  private def buildObjectsIn(pkg: String): Seq[(String, Class[_])] = {
+    import scala.jdk.CollectionConverters._
+    val path = pkg.replace('.', '/')
+    val cl = Thread.currentThread.getContextClassLoader
+    val names = cl.getResources(path).asScala.flatMap { url =>
+      url.getProtocol match {
+        case "file" =>
+          val d = new java.io.File(url.toURI)
+          Option(d.listFiles()).toSeq.flatten.map(_.getName)
+            .filter(_.endsWith(".class"))
+        case "jar" =>
+          val conn = url.openConnection().asInstanceOf[java.net.JarURLConnection]
+          conn.getJarFile.entries().asScala.map(_.getName)
+            .filter(n => n.startsWith(path + "/") && n.endsWith(".class"))
+            .map(_.substring(path.length + 1))
+            .filter(!_.contains("/")).toSeq
+        case _ => Nil
+      }
+    }.map(_.stripSuffix(".class")).toSeq.distinct
+    // a Scala `object Build_x` compiles to class `Build_x$` with MODULE$
+    names.filter { n =>
+      n.endsWith("$") && !n.dropRight(1).contains("$") && {
+        val s = n.stripSuffix("$"); s == "Build" || s.startsWith("Build_")
+      }
+    }.sorted.flatMap { n =>
+      try Some((n.stripSuffix("$"), Class.forName(s"$pkg.$n", false, cl)))
+      catch { case _: Throwable => None }
+    }
+  }
+
+  private def moduleOf(cls: Class[_]): AnyRef =
+    cls.getField("MODULE$").get(null)
+
+  private def descriptionOf(cls: Class[_]): String =
+    try cls.getMethod("description").invoke(moduleOf(cls)).toString
+    catch { case _: Throwable => "" }
+
+  /** List build scripts in `pkg`, optionally filtered by substring match
+    * on the fully-qualified name (reference: `ax script [match ...]`).
+    */
+  def scriptInfo(pkg: String, matches: Seq[String] = Nil): String = {
+    val found = buildObjectsIn(pkg).filter { case (n, _) =>
+      matches.isEmpty || matches.exists(m => s"$pkg.$n".contains(m))
+    }
+    if (found.isEmpty) s"$pkg: no build scripts\n"
+    else s"$pkg\n" + found.map { case (n, cls) =>
+      val d = descriptionOf(cls)
+      if (d.nonEmpty) f"    $n%-24s $d\n" else s"    $n\n"
+    }.mkString
+  }
+
+  /** Launch a build script by fully-qualified object name: invokes the
+    * object's `main(Array[String])` with the remaining args. The listing
+    * half of `ax script` plus the launch half of `ax run` — build scripts
+    * are compiled mains here (SURVEY §2.6), not sourced .py files.
+    */
+  def scriptLaunch(fqcn: String, args: Array[String]): Unit = {
+    val cls = Class.forName(fqcn + "$", true,
+      Thread.currentThread.getContextClassLoader)
+    val mod = moduleOf(cls)
+    cls.getMethod("main", classOf[Array[String]])
+      .invoke(mod, args.asInstanceOf[AnyRef])
+    ()
+  }
+
   private def printRows(df: DataFrame, a: Args): Unit = {
     // toLocalIterator streams one partition at a time to the driver — an
     // unlimited `ax grep` over a big store never materializes every match
@@ -327,8 +404,11 @@ object Shell {
       case "init" =>
         print(init(argv(1), argv.lift(2).map(_.toInt)
           .getOrElse(spark.sparkContext.defaultParallelism)))
+      case "script" =>
+        if (argv.lift(1).contains("-r")) scriptLaunch(argv(2), argv.drop(3))
+        else print(scriptInfo(argv(1), argv.drop(2).toSeq))
       case other =>
-        sys.error(s"unknown subcommand $other (ds|cat|grep|job|urd|workdir|method|init)")
+        sys.error(s"unknown subcommand $other (ds|cat|grep|job|urd|workdir|method|init|script)")
     } finally spark.stop()
   }
 

@@ -214,4 +214,28 @@ class ShellSpec extends AnyFunSuite {
     st.write(Seq((1L, "x")).toDF("id", "name"), "t0", slices = 1)
     assert(st.readResolved("t0").count() == 1)
   }
+
+  test("script lists Build/Build_* objects with descriptions, filtered by match") {
+    val listing = Shell.scriptInfo("graft.buildscripts")
+    assert(listing.contains("Build") && listing.contains("demo default build script"))
+    assert(listing.contains("Build_extra") && listing.contains("secondary demo script"))
+    assert(!listing.contains("Helper"),
+      s"only Build/Build_* objects are build scripts:\n$listing")
+    // substring match against the fully-qualified name (reference semantics)
+    val filtered = Shell.scriptInfo("graft.buildscripts", Seq("extra"))
+    assert(filtered.contains("Build_extra") && !filtered.contains("demo default"))
+    assert(Shell.scriptInfo("graft.buildscripts", Seq("nomatch"))
+      .contains("no build scripts"))
+    assert(Shell.scriptInfo("graft.no_such_pkg").contains("no build scripts"))
+  }
+
+  test("script -r launches a build script main by fully-qualified name") {
+    graft.buildscripts.Build.lastArgs = null
+    Shell.scriptLaunch("graft.buildscripts.Build", Array("alpha", "beta"))
+    assert(graft.buildscripts.Build.lastArgs == List("alpha", "beta"),
+      "launch must invoke the object's main with the remaining args")
+    intercept[ClassNotFoundException] {
+      Shell.scriptLaunch("graft.buildscripts.NoSuch", Array.empty)
+    }
+  }
 }
