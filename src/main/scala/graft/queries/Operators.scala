@@ -530,6 +530,53 @@ object Operators {
       .select("c_custkey", "c_name", "c_nationkey", "c_mktsegment")
   }
 
+  /** Hostile-input dataset_type fuzz, oracle-gated: every messy string is
+    * CONSTRUCTED from lineitem values (so DuckDB can recompute the expected
+    * typed value from the clean columns), covering the corner-case families
+    * of the reference's a_test_dataset_type_corner_cases.py — garbage
+    * prefixes/suffixes around ints (int64i), sign absorption from
+    * surrounding junk, whitespace-padded floats, locale decimal commas
+    * (numeric_comma), e-notation, 0x hex with base auto-detect, pre-1970
+    * and far-future epoch seconds, strbool's whitespace-is-true rule, and
+    * filter_bad dropping rows whose strict int parse fails. The
+    * numeric_comma column types in a SECOND DatasetType pass because the
+    * option is per-call and would corrupt the dot-decimal floats.
+    */
+  def typeFuzz(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir).select(
+      col("l_orderkey"), col("l_linenumber"),
+      col("l_quantity").cast("decimal(18,2)").as("q2"))
+    val messy = li.select(
+      col("l_orderkey"), col("l_linenumber"),
+      concat(lit("#"), col("l_orderkey"), lit(":"), col("l_linenumber"), lit("#"))
+        .as("messy_int"),
+      // the junk '-' right before the digits is absorbed by the first-int
+      // regex: 'junk-123tail' parses as -123 (reference int64i semantics)
+      concat(lit("junk-"), col("l_orderkey"), lit("tail")).as("neg_int"),
+      concat(lit("   "), col("q2"), lit(" \t")).as("ws_float"),
+      translate(col("q2").cast("string"), ".", ",").as("comma_float"),
+      concat(col("q2"), lit("e-2")).as("sci_float"),
+      concat(lit("0x"), hex(col("l_orderkey"))).as("hex_int"),
+      (pmod(col("l_orderkey") * 7919L + col("l_linenumber"), lit(4000000000L))
+        - 2000000000L).cast("string").as("epoch_ts"),
+      element_at(array(lit("FALSE"), lit("0"), lit("off"),
+        lit("TRUE"), lit("   "), lit("nope")),
+        (col("l_linenumber") % 6 + 1).cast("int")).as("bool_mix"),
+      when(col("l_orderkey") % 97 === 0, lit("garbage!"))
+        .otherwise(col("l_orderkey").cast("string")).as("strict_int"))
+    val typed = DatasetType(messy, Map(
+      "messy_int" -> "int64i",
+      "neg_int" -> "int64i",
+      "ws_float" -> "float64",
+      "sci_float" -> "float64",
+      "hex_int" -> "int64_0",
+      "epoch_ts" -> "datetime:%s",
+      "bool_mix" -> "strbool",
+      "strict_int" -> "int64"), filterBad = true).good
+    DatasetType(typed, Map("comma_float" -> "float64"),
+      opts = graft.ops.TypeOptions(numericComma = true)).good
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "op_csv_roundtrip" -> csvRoundtrip _,
     "op_csv_latin1" -> csvLatin1 _,
@@ -552,11 +599,29 @@ object Operators {
     "op_copy_mode" -> copyModeQ _,
     "op_shell_grep" -> shellGrep _,
     "op_csvexport_zip" -> csvexportZipQ _,
+    "op_type_fuzz" -> typeFuzz _,
   )
 
   val oracle: Map[String, String] = Map(
     "op_csv_roundtrip" ->
       "SELECT n_nationkey, n_name, n_regionkey FROM nation",
+    // every expected value recomputed from the CLEAN columns — the messy
+    // strings only ever exist on the Spark side (except sci_float, where
+    // both engines cast the identical decimal-string: correctly-rounded
+    // IEEE parse agrees). bool_mix truth table: indexes 0-2 are falsy
+    // spellings, 3-5 truthy (including the whitespace-only-is-true rule).
+    "op_type_fuzz" ->
+      """SELECT l_orderkey, l_linenumber,
+         l_orderkey AS messy_int,
+         -l_orderkey AS neg_int,
+         CAST(l_quantity AS DECIMAL(18,2))::DOUBLE AS ws_float,
+         CAST(l_quantity AS DECIMAL(18,2))::DOUBLE AS comma_float,
+         ((CAST(l_quantity AS DECIMAL(18,2)))::VARCHAR || 'e-2')::DOUBLE AS sci_float,
+         l_orderkey AS hex_int,
+         to_timestamp(((l_orderkey * 7919 + l_linenumber) % 4000000000) - 2000000000)::TIMESTAMP AS epoch_ts,
+         (l_linenumber % 6) >= 3 AS bool_mix,
+         l_orderkey AS strict_int
+         FROM lineitem WHERE l_orderkey % 97 <> 0""",
     // '\304'/'\337' are literal backslash-octal text (no escape processing
     // in SQL single quotes) — the ascii spec's rendering of 0xC4/0xDF
     "op_csv_latin1" ->
