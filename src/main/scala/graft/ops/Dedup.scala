@@ -301,22 +301,50 @@ object Dedup {
   /** SimHash near-dup pairs with Hamming distance ≤ maxHamming over the
     * 40-bit sketch.
     *
-    * Candidate generation uses the Manku block trick: split the hash into
-    * (maxHamming+1) blocks — any pair within the distance agrees on ≥1
-    * whole block (pigeonhole), so joining per-block is complete w.r.t. the
-    * sketch.
+    * Candidate generation is the GENERALIZED Manku block scheme (Manku,
+    * Jain & Das Sarma, WWW'07 §3): split the hash into `blocks` pieces and
+    * build one table per (blocks − maxHamming)-subset of pieces, keyed on
+    * those pieces' concatenated bits. A pair within the distance has ≤
+    * maxHamming dirty pieces, so some subset is entirely clean
+    * (pigeonhole) and the pair meets in that table — the guarantee is
+    * exact, not probabilistic, for every `blocks > maxHamming`.
+    *
+    * Why not the minimal blocks = maxHamming+1 (one piece per table)? Key
+    * width. RANDOM collisions between unrelated docs cost
+    * ~n²·tables/2^keyBits candidate pairs — quadratic in corpus size —
+    * and the minimal scheme's 10-bit keys made exactly that term the
+    * dominant shuffle at the 10x scale check (SCALE_CHECK round 10:
+    * shuffle slope 1.45 before, with candidates ~n²·4/2^10). The default
+    * blocks=5 keys on 2 pieces = 16 bits: 2.5x the replication, 64x fewer
+    * random collisions, and the crossover only improves as n grows. At a
+    * 5B-doc corpus, push `blocks` higher still (e.g. 8 ⇒ C(8,3)=56 tables
+    * on 25-bit keys) — replication is linear in tables while collisions
+    * fall exponentially in key width.
+    *
+    * Result set is banding-independent: the hamming filter decides
+    * membership; `blocks` only tunes the candidate volume.
     */
   def simhash(df: DataFrame, idCol: String, textCol: String,
-              maxHamming: Int = 3): DataFrame = {
+              maxHamming: Int = 3, blocks: Int = 5): DataFrame = {
+    require(blocks > maxHamming,
+      s"simhash: need blocks > maxHamming for the pigeonhole guarantee " +
+        s"(got blocks=$blocks, maxHamming=$maxHamming)")
     val bits = 40
-    val blocks = maxHamming + 1
     val width = bits / blocks
+    require(width >= 1, s"simhash: $blocks blocks over $bits bits leaves empty pieces")
+    def piece(b: Int): org.apache.spark.sql.Column =
+      shiftright(col("h"), b * width).bitwiseAND((1L << width) - 1)
+    // one table per clean-subset; key = the subset's pieces packed into a
+    // long (keep the sketch column once — 8 bytes/row — for the hamming)
+    val combos = (0 until blocks).combinations(blocks - maxHamming).toSeq
     val withH = df.select(col(idCol).as("id"),
       S.simhash40(T.tokens(T.normalized(col(textCol)))).as("h"))
     val keyed = withH.select(col("id"), col("h"),
-      explode(array((0 until blocks).map { b =>
-        struct(lit(b).as("blk"),
-          shiftright(col("h"), b * width).bitwiseAND((1L << width) - 1).as("key"))
+      explode(array(combos.zipWithIndex.map { case (subset, t) =>
+        val packed = subset.zipWithIndex.map { case (b, i) =>
+          shiftleft(piece(b), i * width)
+        }.reduce(_.bitwiseOR(_))
+        struct(lit(t).as("blk"), packed.as("key"))
       }: _*)).as("bk"))
       .select(col("id"), col("h"), col("bk.blk").as("blk"), col("bk.key").as("key"))
     keyed.as("x").join(keyed.as("y"), Seq("blk", "key"))

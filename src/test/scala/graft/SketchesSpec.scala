@@ -95,6 +95,44 @@ class SketchesSpec extends AnyFunSuite {
     assert(ham(ha, hc) > ham(ha, hb), "far docs differ in more bits")
   }
 
+  test("simhash banding is complete for every blocks > maxHamming (pigeonhole)") {
+    val s = spark
+    import s.implicits._
+    // deterministic corpus with clusters of near-identical docs: mutate a
+    // base token list at 0-3 positions so hamming ≤ 3 pairs genuinely exist
+    val rnd = new scala.util.Random(7)
+    val vocab = (1 to 400).map(i => s"w$i")
+    val docs = (0 until 12).flatMap { c =>
+      val base = Seq.fill(40)(vocab(rnd.nextInt(vocab.size)))
+      (0 until 5).map { j =>
+        val muts = rnd.nextInt(4)
+        val t = (0 until muts).foldLeft(base) { (acc, _) =>
+          acc.updated(rnd.nextInt(acc.size), vocab(rnd.nextInt(vocab.size)))
+        }
+        (c * 5L + j, t.mkString(" "))
+      }
+    }
+    val df = docs.toDF("doc_id", "text")
+    // brute-force truth: every pair with sketch hamming <= 3
+    val hs = df.select(col("doc_id"),
+      S.simhash40(T.tokens(T.normalized(col("text")))).as("h"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    val want = (for {
+      (ia, ha) <- hs; (ib, hb) <- hs
+      if ia < ib && java.lang.Long.bitCount(ha ^ hb) <= 3
+    } yield (ia, ib)).toSet
+    assert(want.nonEmpty, "fixture must contain near-dup pairs")
+    for (blocks <- Seq(4, 5, 8)) {
+      val got = graft.ops.Dedup.simhash(df, "doc_id", "text",
+        maxHamming = 3, blocks = blocks)
+        .select("id_a", "id_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == want,
+        s"blocks=$blocks must find exactly the brute-force pairs " +
+          s"(missing ${want -- got}, extra ${got -- want})")
+    }
+  }
+
   test("simhash40 equals the majority-vote model") {
     val s = spark
     import s.implicits._
