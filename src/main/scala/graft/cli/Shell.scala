@@ -19,6 +19,7 @@ import graft.ops.{CsvExport, CsvExportConfig}
   *   graft.cli.Shell method  <jobsRoot>                 — methods seen + versions
   *   graft.cli.Shell script  <package> [match ...]      — list build scripts
   *   graft.cli.Shell script -r <pkg.Object> [args ...]  — launch one by name
+  *   graft.cli.Shell curl    <urdLog> <path>            — urd API paths as JSON
   *
   * `cat`/`grep` accept `-c N` (chain length, like the reference's ~N
   * chain-walk refs) and `-n N` (row limit), plus the reference grep's
@@ -282,6 +283,46 @@ object Shell {
     }.mkString("\n") + "\n"
   }
 
+  /** `ax curl` analog (reference shell/curl.py + the urd server's GET
+    * routes, urd.py:431-512). The reference shells out to curl against the
+    * urd daemon's HTTP API; there is no daemon here (SURVEY §2.6 — builds
+    * are synchronous in-process), so the same RESOURCE PATHS are answered
+    * locally with the same JSON response shapes:
+    *
+    *   list                          → sorted keys
+    *   <user>/<build>/latest|first   → entry
+    *   <user>/<build>/since/<ts>     → timestamps after <ts>
+    *   <user>/<build>/<ts>           → exact entry; with a </<=/>/>=
+    *                                   prefix, the bounded lookup
+    *                                   (closest entry within the bound)
+    */
+  def curlInfo(urdLog: String, path: String): String = {
+    val u = new graft.jobs.Urd(urdLog)
+    def entry(e: Option[graft.jobs.UrdEntry]): String =
+      e.map(u.entryJson).getOrElse("null")
+    path.split("/").toList match {
+      case "list" :: Nil =>
+        u.keys.map(u.jsonString).mkString("[", ",", "]") + "\n"
+      case user :: build :: "latest" :: Nil =>
+        entry(u.latest(s"$user/$build")) + "\n"
+      case user :: build :: "first" :: Nil =>
+        entry(u.first(s"$user/$build")) + "\n"
+      case user :: build :: "since" :: ts :: Nil =>
+        u.since(s"$user/$build", ts).map(e => u.jsonString(e.timestamp))
+          .mkString("[", ",", "]") + "\n"
+      case user :: build :: ts :: Nil =>
+        val key = s"$user/$build"
+        val m = "^(<=|>=|<|>)(.+)$".r
+        (ts match {
+          case m(op, t) => entry(u.bounded(key, op, t))
+          case t        => entry(u.get(key, t))
+        }) + "\n"
+      case _ => throw new IllegalArgumentException(
+        s"curl: unknown path '$path' (list | user/build/latest|first | " +
+          "user/build/since/<ts> | user/build/<ts> with optional </<=/>/>= prefix)")
+    }
+  }
+
   /** Build-script discovery (reference `ax script`, shell/script.py:34-77:
     * lists `build.py` / `build_*.py` per method package with their
     * `description` attributes, filtered by substring). Ours are compiled
@@ -407,8 +448,10 @@ object Shell {
       case "script" =>
         if (argv.lift(1).contains("-r")) scriptLaunch(argv(2), argv.drop(3))
         else print(scriptInfo(argv(1), argv.drop(2).toSeq))
+      case "curl" =>
+        print(curlInfo(argv(1), argv(2)))
       case other =>
-        sys.error(s"unknown subcommand $other (ds|cat|grep|job|urd|workdir|method|init|script)")
+        sys.error(s"unknown subcommand $other (ds|cat|grep|job|urd|workdir|method|init|script|curl)")
     } finally spark.stop()
   }
 

@@ -123,6 +123,39 @@ final class Urd(val path: String) {
   def since(key: String, timestamp: String): Seq[UrdEntry] =
     timestamps(key).filter(_ > timestamp).flatMap(get(key, _))
 
+  /** Bounded lookup (reference urd.py:448-474 `limited_endpoint`): the
+    * closest entry whose timestamp satisfies `op` against `timestamp` —
+    * `<`/`<=` pick the LATEST such entry, `>`/`>=` the EARLIEST. The
+    * reference's date-prefix rule carries over: under `<=` with a dashed
+    * timestamp, an entry that merely EXTENDS the bound's date prefix
+    * (2014-04-10 vs bound 2014-04) counts as within it.
+    */
+  def bounded(key: String, op: String, timestamp: String): Option[UrdEntry] = {
+    val keep: String => Boolean = op match {
+      case "<"  => _ < timestamp
+      case "<=" =>
+        if (timestamp.contains("-")) k => k <= timestamp || k.startsWith(timestamp)
+        else k => k <= timestamp
+      case ">"  => _ > timestamp
+      case ">=" => _ >= timestamp
+      case other => throw new IllegalArgumentException(
+        s"urd bounded lookup: comparator must be one of < <= > >=, got '$other'")
+    }
+    val cand = timestamps(key).filter(keep)
+    (if (op.startsWith("<")) cand.lastOption else cand.headOption)
+      .flatMap(get(key, _))
+  }
+
+  /** Entry as the urd HTTP API's JSON shape (urd.py GET responses). */
+  def entryJson(e: UrdEntry): String = {
+    val jl = e.joblist.map { case (n, j) => s"[${jstr(n)},${jstr(j)}]" }
+      .mkString("[", ",", "]")
+    s"""{"key":${jstr(e.key)},"timestamp":${jstr(e.timestamp)},""" +
+      s""""caption":${jstr(e.caption)},"joblist":$jl}"""
+  }
+
+  private[graft] def jsonString(s: String): String = jstr(s)
+
   /** Ghost all entries at or after `timestamp` (reference truncate:
     * urd.py:334-360 — entries stay in the log, replay drops them).
     */

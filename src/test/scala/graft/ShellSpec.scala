@@ -215,6 +215,34 @@ class ShellSpec extends AnyFunSuite {
     assert(st.readResolved("t0").count() == 1)
   }
 
+  test("curl answers the urd API paths as JSON, including bounded timestamp lookups") {
+    val root = tmpDir("shell_curl")
+    val log = s"$root/urd.log"
+    val u = new graft.jobs.Urd(log)
+    u.add("ab/daily", "2024-04-01", Seq("import" -> "im-0"))
+    u.add("ab/daily", "2024-04-10", Seq("import" -> "im-1"))
+    u.add("ab/daily", "2024-05-02", Seq("import" -> "im-2"), caption = "may")
+    u.add("cd/weekly", "2024-04-07", Seq("roll" -> "r-0"))
+
+    assert(Shell.curlInfo(log, "list") == "[\"ab/daily\",\"cd/weekly\"]\n")
+    assert(Shell.curlInfo(log, "ab/daily/latest").contains("\"timestamp\":\"2024-05-02\""))
+    assert(Shell.curlInfo(log, "ab/daily/latest").contains("\"caption\":\"may\""))
+    assert(Shell.curlInfo(log, "ab/daily/first").contains("2024-04-01"))
+    assert(Shell.curlInfo(log, "ab/daily/since/2024-04-01")
+      == "[\"2024-04-10\",\"2024-05-02\"]\n")
+    assert(Shell.curlInfo(log, "ab/daily/2024-04-10").contains("im-1"))
+    assert(Shell.curlInfo(log, "ab/daily/2024-04-11") == "null\n")
+    // bounded lookups (urd limited_endpoint semantics)
+    assert(Shell.curlInfo(log, "ab/daily/<2024-04-10").contains("2024-04-01"),
+      "strictly-before picks the latest earlier entry")
+    assert(Shell.curlInfo(log, "ab/daily/<=2024-04-10").contains("2024-04-10"))
+    assert(Shell.curlInfo(log, "ab/daily/>2024-04-10").contains("2024-05-02"))
+    assert(Shell.curlInfo(log, "ab/daily/>=2024-04-10").contains("2024-04-10"))
+    // the date-prefix rule: 2024-04-10 <= bound 2024-04 because it extends it
+    assert(Shell.curlInfo(log, "ab/daily/<=2024-04").contains("2024-04-10"))
+    intercept[IllegalArgumentException] { Shell.curlInfo(log, "nope") }
+  }
+
   test("script lists Build/Build_* objects with descriptions, filtered by match") {
     val listing = Shell.scriptInfo("graft.buildscripts")
     assert(listing.contains("Build") && listing.contains("demo default build script"))
