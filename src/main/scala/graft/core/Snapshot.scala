@@ -5,6 +5,21 @@ import org.apache.spark.sql.functions._
 import java.nio.file.{Files, Paths, Path}
 import scala.jdk.CollectionConverters._
 
+/** Column-BY-NAME helper: `functions.col(name)` PARSES its argument
+  * (dots → struct-field access, backticks → quoting syntax), so any
+  * operator that round-trips a user-provided column NAME through it
+  * breaks on legal names like "a.b" or "tick`t" (the reference supports
+  * arbitrary unicode names, a_test_dataset_column_names.py). Everything
+  * in graft that holds a name string (not an expression) resolves it via
+  * `Cols.q`, which backtick-quotes with doubling — the attribute parser's
+  * escape — so the name is taken literally.
+  */
+object Cols {
+  def q(name: String): org.apache.spark.sql.Column =
+    org.apache.spark.sql.functions.col(quoted(name))
+  def quoted(name: String): String = "`" + name.replace("`", "``") + "`"
+}
+
 /** Column-level metadata recorded per snapshot.
   *
   * Mirrors the reference's `DatasetColumn` (accelerator/dataset.py:116-117):
@@ -91,7 +106,7 @@ final class SnapshotStore(val spark: SparkSession, val root: String) {
       caption: String = ""): Snapshot = {
     val n = if (slices > 0) slices else spark.sparkContext.defaultParallelism
     val routed = hashlabel match {
-      case Some(h) => df.repartition(n, col(h))
+      case Some(h) => df.repartition(n, Cols.q(h))
       case None    => df
     }
     val dir = dirOf(name)
@@ -128,8 +143,8 @@ final class SnapshotStore(val spark: SparkSession, val root: String) {
         // NaN must not poison float zone maps (Spark's max sorts NaN above
         // everything; the reference excludes NaN/None, dataset.py:875-897)
         val c = f.dataType.typeName match {
-          case "double" | "float" => when(!isnan(col(f.name)), col(f.name))
-          case _                  => col(f.name)
+          case "double" | "float" => when(!isnan(Cols.q(f.name)), Cols.q(f.name))
+          case _                  => Cols.q(f.name)
         }
         Seq(min(c).cast("string").as(s"__min_${f.name}"),
             max(c).cast("string").as(s"__max_${f.name}"))
@@ -300,7 +315,7 @@ final class SnapshotStore(val spark: SparkSession, val root: String) {
         val shadowed = child.columns.toSet - RowId
         val parentDf = readResolved(p, walking + name)
         val parentKeep = parentDf.columns.filterNot(shadowed.contains)
-        parentDf.select(parentKeep.toIndexedSeq.map(col): _*).join(child, RowId)
+        parentDf.select(parentKeep.toIndexedSeq.map(Cols.q): _*).join(child, RowId)
     }
     // apply the metadata column filter (filterColumns snapshots expose
     // fewer columns than the shared/joined data holds) — for parented
@@ -308,7 +323,7 @@ final class SnapshotStore(val spark: SparkSession, val root: String) {
     val want = snap.columnNames
     if (want.nonEmpty && want.toSet != resolved.columns.toSet &&
         want.forall(resolved.columns.contains))
-      resolved.select(want.map(col): _*)
+      resolved.select(want.map(Cols.q): _*)
     else resolved
   }
 
@@ -466,18 +481,18 @@ final class SnapshotStore(val spark: SparkSession, val root: String) {
     require(snaps.nonEmpty || snaps0.nonEmpty, s"empty chain for $name")
     val dfs = (if (snaps.isEmpty) snaps0.take(1) else snaps).map { s =>
       val df = readResolved(s.meta.name) // resolves parent column-appends
-      if (columns.nonEmpty) df.select(columns.map(col): _*) else df
+      if (columns.nonEmpty) df.select(columns.map(Cols.q): _*) else df
     }
     val unioned = dfs.reduce(_.unionByName(_))
     val filtered = range match {
       case Some((c, lo, hi)) if !sloppyRange =>
-        unioned.filter(col(c) >= lit(lo).cast(unioned.schema(c).dataType) &&
-                       col(c) < lit(hi).cast(unioned.schema(c).dataType))
+        unioned.filter(Cols.q(c) >= lit(lo).cast(unioned.schema(c).dataType) &&
+                       Cols.q(c) < lit(hi).cast(unioned.schema(c).dataType))
       case _ => unioned
     }
     hashlabel match {
       case Some(h) if rehash =>
-        filtered.repartition(spark.sparkContext.defaultParallelism, col(h))
+        filtered.repartition(spark.sparkContext.defaultParallelism, Cols.q(h))
       case _ => filtered
     }
   }
@@ -510,7 +525,7 @@ final class SnapshotStore(val spark: SparkSession, val root: String) {
     require(stop <= total, s"wanted to stop after $stop lines, but only $total lines available")
     require(start <= stop, s"slice start $start is bigger than stop $stop")
     def project(df: DataFrame): DataFrame =
-      if (columns.nonEmpty) df.select(columns.map(col): _*) else df
+      if (columns.nonEmpty) df.select(columns.map(Cols.q): _*) else df
     var g0 = 0L
     val frames = snaps.flatMap { s =>
       val g1 = g0 + s.meta.lines
@@ -525,7 +540,7 @@ final class SnapshotStore(val spark: SparkSession, val root: String) {
           val b = math.min(g1, stop) - g0
           require(a <= Int.MaxValue && b <= Int.MaxValue,
             s"sliceWindow boundary offset $a..$b exceeds Int range within one snapshot")
-          Some(project(readResolved(s.meta.name).orderBy(col(oc))
+          Some(project(readResolved(s.meta.name).orderBy(Cols.q(oc))
             .offset(a.toInt).limit((b - a).toInt)))
         }
       g0 = g1

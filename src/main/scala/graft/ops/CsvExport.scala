@@ -2,6 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import graft.core.Cols.{q => Q}
 import java.nio.file.{Files, Paths, StandardOpenOption}
 import scala.jdk.CollectionConverters._
 
@@ -58,8 +59,8 @@ object CsvExport {
     // integral keys count==distinct==n, min=0, max=n-1 proves the key set
     // is exactly {0..n-1} (the withRowId contract), making the zip exact.
     val stats = dfs.map { d =>
-      val r = d.agg(count(lit(1)), count_distinct(col(on)),
-        min(col(on)).cast("string"), max(col(on)).cast("string")).collect()(0)
+      val r = d.agg(count(lit(1)), count_distinct(Q(on)),
+        min(Q(on)).cast("string"), max(Q(on)).cast("string")).collect()(0)
       (r.getLong(0), r.getLong(1), r.getString(2), r.getString(3))
     }
     require(stats.map(_._1).distinct.size == 1,
@@ -79,9 +80,9 @@ object CsvExport {
     val joined = dfs.reduce { (a, b) =>
       val dup = b.columns.toSet.intersect(a.columns.toSet) - on
       val aKeep = a.columns.filterNot(dup.contains)
-      a.select(aKeep.toIndexedSeq.map(col): _*).join(b, on)
+      a.select(aKeep.toIndexedSeq.map(Q): _*).join(b, on)
     }
-    val ordered = joined.orderBy(col(on))
+    val ordered = joined.orderBy(Q(on))
     apply(if (keepOn) ordered else ordered.drop(on), path, cfg)
   }
 
@@ -91,8 +92,8 @@ object CsvExport {
     val sep = cfg.separator
     val q = "\""
     val base0 = df.schema(name).dataType.typeName match {
-      case "binary" => col(name).cast("string")
-      case _        => col(name).cast("string")
+      case "binary" => Q(name).cast("string")
+      case _        => Q(name).cast("string")
     }
     val base = coalesce(base0, lit(noneAs))
     cfg.quoteMode match {

@@ -2,6 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import graft.core.Cols.{q => Q}
 import graft.expr.ParseFunctions._
 
 /** THE typing operator — converts string columns to typed columns with the
@@ -29,7 +30,7 @@ final case class TypedResult(good: DataFrame, bad: DataFrame,
     if (bad.isEmpty) types.keys.map(_ -> 0L).toMap
     else {
       val aggs = types.keys.toSeq.map { c =>
-        sum(when(DatasetType.parse(col(c), types(c), opts).isNull && col(c).isNotNull, 1L)
+        sum(when(DatasetType.parse(Q(c), types(c), opts).isNull && Q(c).isNotNull, 1L)
           .otherwise(0L)).as(c)
       }
       val row = bad.agg(aggs.head, aggs.tail: _*).collect()(0)
@@ -213,12 +214,12 @@ object DatasetType {
     }
 
     def typedCol(name: String): Column = {
-      val parsed = parse(col(name), types(name), opts)
+      val parsed = parse(Q(name), types(name), opts)
       defaults.get(name) match {
         case Some(d) =>
           // input null → null; parse failure on non-null input → default
           val dv = parse(lit(d), types(name), opts)
-          coalesce(parsed, when(col(name).isNotNull, dv)).as(name)
+          coalesce(parsed, when(Q(name).isNotNull, dv)).as(name)
         case None => parsed.as(name)
       }
     }
@@ -226,7 +227,7 @@ object DatasetType {
     val outCols: Seq[Column] = df.columns.toSeq.flatMap { name =>
       if (types.contains(name)) Some(typedCol(name))
       else if (discardUntyped) None
-      else Some(col(name))
+      else Some(Q(name))
     }
 
     def rehash(out: DataFrame): DataFrame = hashlabel match {
@@ -242,7 +243,7 @@ object DatasetType {
       // row is bad iff some typed col: input non-null, parse null, no default
       val colBad = types.keys.toSeq.map { name =>
         if (defaults.contains(name)) lit(false)
-        else col(name).isNotNull && parse(col(name), types(name), opts).isNull
+        else Q(name).isNotNull && parse(Q(name), types(name), opts).isNull
       }
       val rowBad = colBad.reduce(_ || _)
       TypedResult(rehash(df.filter(!rowBad).select(outCols: _*)), df.filter(rowBad), opts)

@@ -3,6 +3,7 @@ package graft.ops
 import org.apache.spark.sql.{DataFrame, SparkSession, Row}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.StructType
+import graft.core.Cols.{q => Q}
 
 /** dataset_hashpart (reference standard_methods/a_dataset_hashpart.py:32-135):
   * rewrite a dataset partitioned by a new hashlabel. In Spark this is a
@@ -26,11 +27,11 @@ object DatasetHashpart {
     */
   def apply(df: DataFrame, hashlabel: String, slices: Int,
             spreadNone: Boolean = false): DataFrame =
-    if (!spreadNone) df.repartition(slices, col(hashlabel))
+    if (!spreadNone) df.repartition(slices, Q(hashlabel))
     else df.repartition(slices,
-      when(col(hashlabel).isNotNull, col(hashlabel).cast("string"))
+      when(Q(hashlabel).isNotNull, Q(hashlabel).cast("string"))
         .otherwise(concat(lit("\u0000spread\u0000"),
-          pmod(hash(struct(df.columns.toIndexedSeq.map(col): _*)),
+          pmod(hash(struct(df.columns.toIndexedSeq.map(Q): _*)),
             lit(slices)).cast("string"))))
 
   /** `as_chain` (a_dataset_hashpart.py as_chain=True): instead of merging
@@ -60,9 +61,9 @@ object DatasetHashpart {
   */
 object FilterColumns {
   def keep(df: DataFrame, cols: Seq[String]): DataFrame =
-    df.select(cols.map(col): _*)
+    df.select(cols.map(Q): _*)
   def discard(df: DataFrame, cols: Set[String]): DataFrame =
-    df.select(df.columns.filterNot(cols.contains).map(col).toSeq: _*)
+    df.select(df.columns.filterNot(cols.contains).map(Q).toSeq: _*)
 }
 
 /** dataset_merge (reference a_dataset_merge.py:19-39 → dataset.py:329-377):
@@ -109,7 +110,7 @@ object DatasetMerge {
             checkAligned: Boolean = true): DataFrame = {
     if (checkAligned) {
       val Seq((na, nda), (nb, ndb)) = Seq(a, b).map { d =>
-        val r = d.agg(count(lit(1)), count_distinct(col(key))).collect()(0)
+        val r = d.agg(count(lit(1)), count_distinct(Q(key))).collect()(0)
         (r.getLong(0), r.getLong(1))
       }
       require(na == nb, s"dataset_merge: inputs are not line-aligned ($na vs $nb rows)")
@@ -118,13 +119,13 @@ object DatasetMerge {
     }
     val overlap = a.columns.toSet.intersect(b.columns.toSet) - key
     // later dataset wins on column conflicts (dataset.py:361-366)
-    val aKept = a.select((a.columns.filterNot(overlap.contains)).map(col).toSeq: _*)
+    val aKept = a.select((a.columns.filterNot(overlap.contains)).map(Q).toSeq: _*)
     aKept.join(b, Seq(key))
   }
 
   def zip(a: DataFrame, b: DataFrame): DataFrame = {
     val overlap = a.columns.toSet.intersect(b.columns.toSet)
-    val aKept = a.select(a.columns.filterNot(overlap.contains).map(col).toSeq: _*)
+    val aKept = a.select(a.columns.filterNot(overlap.contains).map(Q).toSeq: _*)
     val schema = StructType(aKept.schema.fields ++ b.schema.fields)
     val rdd = aKept.rdd.zip(b.rdd).map { case (x, y) => Row.fromSeq(x.toSeq ++ y.toSeq) }
     a.sparkSession.createDataFrame(rdd, schema)
@@ -150,11 +151,11 @@ object Unroundrobin {
       "unroundrobin: triggerColumn only takes effect with slices > 0 " +
       "(it governs which slice a run of equal values lands in)")
     val ranged = (slices, triggerColumn) match {
-      case (n, Some(t)) if n > 0 => df.repartitionByRange(n, col(t))
-      case (n, None) if n > 0    => df.repartitionByRange(n, col(lineno))
+      case (n, Some(t)) if n > 0 => df.repartitionByRange(n, Q(t))
+      case (n, None) if n > 0    => df.repartitionByRange(n, Q(lineno))
       case _                     => df
     }
-    ranged.sortWithinPartitions(col(lineno))
+    ranged.sortWithinPartitions(Q(lineno))
   }
 }
 
