@@ -456,6 +456,83 @@ class StreamingSpec extends AnyFunSuite {
       "index chain holds each doc's sketch exactly once after replay")
   }
 
+  test("heavyHittersSink: crash-and-restart re-merges against the committed tip, not its own partial") {
+    val s = spark
+    import s.implicits._
+    val dir = tmpDir("rshh_src")
+    // batch 0 establishes a summary; batch 1 merges into it. The crash
+    // un-commits batch 1: its replay must merge batch 1's tokens with the
+    // COMMITTED hh.0 summary (prevFor excludes the crashed attempt's own
+    // hh.1), or "hot" would double-count history through the partial merge.
+    val b0 = Seq.fill(30)("hot") ++ (1 to 10).map(i => s"f$i")
+    val b1 = Seq.fill(20)("hot") ++ Seq.fill(25)("warm") ++ (11 to 20).map(i => s"f$i")
+    Seq(b0, b1).foreach { b =>
+      Seq(("g", b.mkString(" "))).toDF("grp", "text")
+        .coalesce(1).write.mode("append").parquet(dir)
+    }
+    def runSink(store: SnapshotStore, ckpt: String): Unit = {
+      val schema = s.read.parquet(dir).schema
+      val stream = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(dir)
+      Streams.heavyHittersSink(stream, "text", "grp", store, "hh",
+        checkpoint = ckpt, k = 8).awaitTermination(120000)
+    }
+    val storeA = new SnapshotStore(s, tmpDir("rshh_store_a"))
+    runSink(storeA, tmpDir("rshh_ckpt_a"))
+    val storeB = new SnapshotStore(s, tmpDir("rshh_store_b"))
+    val ckptB = tmpDir("rshh_ckpt_b")
+    runSink(storeB, ckptB)
+    dropCommit(ckptB, 1)
+    runSink(storeB, ckptB)
+    assert(storeB.list() == storeA.list())
+    // the replayed cumulative summary is value-identical to the baseline's
+    def tip(st: SnapshotStore) = st.readResolved("hh.1")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      .sortBy(t => (t._1, t._2)).toSeq
+    assert(tip(storeB) == tip(storeA),
+      "replayed merge must equal the uninterrupted merge exactly")
+    // and the estimate for the cross-batch heavy hitter did not double-count
+    val hot = tip(storeB).collectFirst { case ("g", "hot", n) => n }.get
+    assert(hot <= 50L, s"replay double-merged history: est $hot > true 50")
+  }
+
+  test("trendingSink: crash-and-restart re-lands the closed window's top-k once") {
+    val s = spark
+    import s.implicits._
+    val dir = tmpDir("rstr_src")
+    def t(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 00:$m%02d:00")
+    Seq((t(1), "a"), (t(2), "a"), (t(3), "b"), (t(4), "c"))
+      .toDF("ts", "event_type").coalesce(1).write.mode("append").parquet(dir)
+    Seq((java.sql.Timestamp.valueOf("2024-01-01 00:40:00"), "x"))
+      .toDF("ts", "event_type").coalesce(1).write.mode("append").parquet(dir)
+    Seq((java.sql.Timestamp.valueOf("2024-01-01 01:00:00"), "y"))
+      .toDF("ts", "event_type").coalesce(1).write.mode("append").parquet(dir)
+    def runSink(store: SnapshotStore, ckpt: String): Unit =
+      Streams.trendingSink(Streams.eventStream(s, dir), "ts", "event_type",
+        store, "trend", checkpoint = ckpt,
+        windowLen = "10 minutes", watermark = "15 minutes", k = 2)
+        .awaitTermination(120000)
+    val storeA = new SnapshotStore(s, tmpDir("rstr_store_a"))
+    runSink(storeA, tmpDir("rstr_ckpt_a"))
+    val storeB = new SnapshotStore(s, tmpDir("rstr_store_b"))
+    val ckptB = tmpDir("rstr_ckpt_b")
+    runSink(storeB, ckptB)
+    // un-commit the batch that emitted the closed window's ranking
+    val last = storeB.list().filter(_.startsWith("trend.")).sorted.last
+      .stripPrefix("trend.").toLong
+    dropCommit(ckptB, last)
+    runSink(storeB, ckptB)
+    assert(storeB.list() == storeA.list(),
+      "replay must not duplicate the closed-window snapshot")
+    def rows(st: SnapshotStore) = st
+      .iterateChain(st.list().filter(_.startsWith("trend.")).sorted.last)
+      .select("window_start", "rank", "n", "event_type")
+      .collect().map(r => (r.getTimestamp(0), r.getLong(1), r.getLong(2), r.getString(3)))
+      .sortBy(x => (x._1.getTime, x._2)).toSeq
+    assert(rows(storeB) == rows(storeA),
+      "replayed ranking must equal the uninterrupted run")
+  }
+
   test("corpus-prep stack (scrub + quality gate + dedup) runs unmodified in a stream") {
     val s = spark
     import s.implicits._
