@@ -2,6 +2,7 @@ package graft.cli
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import graft.core.Cols.{q => Q}
 import graft.core.SnapshotStore
 import graft.ops.{CsvExport, CsvExportConfig}
 
@@ -140,7 +141,7 @@ object Shell {
     * lineno or a withRowId rowid.
     */
   private def orderColumn(df: DataFrame): org.apache.spark.sql.Column =
-    Seq("lineno", SnapshotStore.RowIdName).find(df.columns.contains).map(col)
+    Seq("lineno", SnapshotStore.RowIdName).find(df.columns.contains).map(Q)
       .getOrElse(sys.error("-O: dataset has no order column (lineno/" +
         s"${SnapshotStore.RowIdName}) — import with linenoLabel or write from withRowId"))
 
@@ -175,7 +176,7 @@ object Shell {
   }
 
   private def projected(df: DataFrame, a: Args): DataFrame =
-    if (a.columns.nonEmpty) df.select(a.columns.map(col): _*) else df
+    if (a.columns.nonEmpty) df.select(a.columns.map(Q): _*) else df
 
   /** Rows of (a chain of) a snapshot, optionally projected/limited. */
   def catDf(store: SnapshotStore, a: Args): DataFrame = {
@@ -198,7 +199,7 @@ object Shell {
       } else if (a.columns.nonEmpty) a.columns
       else df.columns.toSeq
     val pat = if (a.ignoreCase) "(?i)" + a.pattern else a.pattern
-    val hit = cols.map(c => coalesce(col(c).cast("string"), lit("")).rlike(pat))
+    val hit = cols.map(c => coalesce(Q(c).cast("string"), lit("")).rlike(pat))
       .reduce(_ || _)
     val out = projected(df.filter(hit), a)
     if (a.limit >= 0) out.limit(a.limit) else out
@@ -404,7 +405,7 @@ object Shell {
     // in driver memory (the reference streams per-slice the same way).
     val rendered = a.format match {
       case "json" =>
-        df.select(to_json(struct(df.columns.toIndexedSeq.map(col): _*)).as("line"))
+        df.select(to_json(struct(df.columns.toIndexedSeq.map(Q): _*)).as("line"))
       case fmt =>
         println(df.columns.mkString(a.fieldSep))
         CsvExport.render(df, CsvExportConfig(

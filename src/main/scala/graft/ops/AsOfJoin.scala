@@ -3,6 +3,7 @@ package graft.ops
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.core.Cols.{q => Q}
 
 /** As-of join: for each left row, the single right row with equal keys and
   * the greatest rightTime ≤ leftTime (or < with `strict`) — the
@@ -39,19 +40,19 @@ object AsOfJoin {
     // sort first (asc = nulls first) and their payload would "match" every
     // left row that precedes the first real right row
     val rPrep = right.filter(col(rightTime).isNotNull).select(
-        (keys.map(col) :+ col(rightTime).as("__t")) :+
-        struct(rightCols.map(col): _*).as("__rpay"): _*)
+        (keys.map(Q) :+ Q(rightTime).as("__t")) :+
+        struct(rightCols.map(Q): _*).as("__rpay"): _*)
       .withColumn("__tag", lit(rtag))
     val lPrep = left
       .withColumn("__t", col(leftTime))
       .withColumn("__tag", lit(ltag))
     val u = lPrep.unionByName(rPrep, allowMissingColumns = true)
-    val w = Window.partitionBy(keys.map(col): _*)
+    val w = Window.partitionBy(keys.map(Q): _*)
       .orderBy(col("__t").asc, col("__tag").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val withAsof = u.withColumn("__pay", last(col("__rpay"), ignoreNulls = true).over(w))
     withAsof.filter(col("__tag") === ltag)
-      .select(left.columns.map(col).toSeq ++
+      .select(left.columns.map(Q).toSeq ++
         rightCols.map(c => col(s"__pay.$c").as(prefix + c)): _*)
   }
 }

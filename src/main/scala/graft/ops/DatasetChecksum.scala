@@ -2,6 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import graft.core.Cols.{q => Q}
 
 /** dataset_checksum (reference standard_methods/a_dataset_checksum.py:47-127):
   * an order- and slicing-independent fingerprint of a dataset, used as the
@@ -29,7 +30,7 @@ object DatasetChecksum {
     */
   private def rowDigest(df: DataFrame, columns: Seq[String], orderCol: Option[String]): Column = {
     val cols = (if (columns.nonEmpty) columns else df.columns.toSeq).sorted
-    val payload = struct(cols.map(col) ++ orderCol.map(col).toSeq: _*)
+    val payload = struct(cols.map(Q) ++ orderCol.map(Q).toSeq: _*)
     md5(to_json(payload))
   }
 

@@ -2,6 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import graft.core.Cols.{q => Q}
 
 /** JSONL (one JSON object per line) export/import — the de-facto delivery
   * format of LLM training corpora (and of every eval-set exchange). The
@@ -28,7 +29,7 @@ object JsonlExport {
             gzip: Boolean = false): Unit = {
     val sliced = if (slices > 0) df.repartition(slices) else df
     val lines = sliced.select(
-      to_json(struct(df.columns.toIndexedSeq.map(col): _*)).as("value"))
+      to_json(struct(df.columns.toIndexedSeq.map(Q): _*)).as("value"))
     val w = lines.write.mode("overwrite")
     (if (gzip) w.option("compression", "gzip") else w).text(path)
   }

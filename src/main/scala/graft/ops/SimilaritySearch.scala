@@ -2,6 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import graft.core.Cols.{q => Q}
 import graft.functions.{SimilarityFunctions => S}
 
 /** Scale-safe per-group top-k: a bounded-heap aggregate instead of a
@@ -29,7 +30,7 @@ object TopKPerGroup {
     require(k >= 1, s"k must be >= 1, got $k")
     import org.apache.spark.sql.GraftBridge
     import org.apache.spark.sql.catalyst.expressions.aggregate.CollectTopK
-    val item = struct((orderCol +: payload).map(col): _*)
+    val item = struct((orderCol +: payload).map(Q): _*)
     // reverse=false keeps the k LARGEST under struct order; true the
     // smallest. The heap's output order is an implementation detail —
     // re-rank with an explicit sort over the <=k survivors (O(k log k)).
@@ -40,11 +41,11 @@ object TopKPerGroup {
       val sorted = array_sort(heap)
       if (ascending) sorted else reverse(sorted)
     }
-    val merged = df.groupBy(groupCols.map(col): _*).agg(ranked.as("top"))
+    val merged = df.groupBy(groupCols.map(Q): _*).agg(ranked.as("top"))
     val exploded = merged.select(
-      (groupCols.map(col) :+ posexplode(col("top"))): _*)
+      (groupCols.map(Q) :+ posexplode(col("top"))): _*)
     exploded.select(
-      (groupCols.map(col) :+ (col("pos") + 1).cast("long").as("rank")) ++
+      (groupCols.map(Q) :+ (col("pos") + 1).cast("long").as("rank")) ++
       (orderCol +: payload).map(f => col(s"col.$f").as(f)): _*)
   }
 }

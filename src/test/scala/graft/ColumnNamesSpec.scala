@@ -61,6 +61,24 @@ class ColumnNamesSpec extends AnyFunSuite {
     assert(dropped.count() == 3)
   }
 
+  test("dataset_checksum and shell cat/grep handle hostile names") {
+    val store = new SnapshotStore(spark, tmpDir("colnames_misc"))
+    store.write(df(), "weird_m", slices = 2)
+    // checksum hashes every column's payload, by name
+    val sum1 = graft.ops.DatasetChecksum(store.readResolved("weird_m"),
+      columns = Seq("a.b", "tick`t", "a b")).collect()
+    assert(sum1.nonEmpty)
+    // shell cat projects by name; grep matches across hostile columns
+    val cat = graft.cli.Shell.catDf(store,
+      graft.cli.Shell.Args(store.root, "weird_m", Seq("id", "a.b")))
+    assert(cat.columns.toSeq == Seq("id", "a.b") && cat.count() == 3)
+    val hits = graft.cli.Shell.grepDf(store,
+      graft.cli.Shell.Args(store.root, "weird_m", Seq("id"),
+        pattern = "c6 2", grepCols = Seq("a.b")))
+    assert(hits.collect().map(_.getLong(0)).toSeq == Seq(2L),
+      "grep -g on a dotted column must match only that column")
+  }
+
   test("csvexport -> csvimport -> dataset_type round-trips hostile names") {
     val path = tmpDir("colnames_csv") + "/weird.csv"
     CsvExport(df(), path, CsvExportConfig(quoteMode = "lazy", header = true))
