@@ -142,12 +142,22 @@ final class SnapshotStore(val spark: SparkSession, val root: String) {
       if (zoneMaps) {
         // NaN must not poison float zone maps (Spark's max sorts NaN above
         // everything; the reference excludes NaN/None, dataset.py:875-897)
-        val c = f.dataType.typeName match {
-          case "double" | "float" => when(!isnan(Cols.q(f.name)), Cols.q(f.name))
-          case _                  => Cols.q(f.name)
+        // — UNLESS NaN is the only value, where the reference records
+        // min=max=NaN (a_test_dataset_nan.py). Range skipping stays safe:
+        // every comparison against a "NaN" bound is false, so such a
+        // snapshot is never skipped.
+        f.dataType.typeName match {
+          case "double" | "float" =>
+            val qc = Cols.q(f.name)
+            val nonNaN = when(!isnan(qc), qc)
+            val allNaN = max(when(isnan(qc), lit("NaN")))
+            Seq(coalesce(min(nonNaN).cast("string"), allNaN).as(s"__min_${f.name}"),
+                coalesce(max(nonNaN).cast("string"), allNaN).as(s"__max_${f.name}"))
+          case _ =>
+            val qc = Cols.q(f.name)
+            Seq(min(qc).cast("string").as(s"__min_${f.name}"),
+                max(qc).cast("string").as(s"__max_${f.name}"))
         }
-        Seq(min(c).cast("string").as(s"__min_${f.name}"),
-            max(c).cast("string").as(s"__max_${f.name}"))
       } else Nil
     }.toSeq
     val row = df.agg(aggs.head, aggs.tail: _*).collect()(0)

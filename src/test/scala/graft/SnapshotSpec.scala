@@ -336,4 +336,23 @@ class SnapshotSpec extends AnyFunSuite {
     assert(store.iterateChain("c_3").collect().map(_.getInt(0)).sorted.toSeq ==
       Seq(1, 2, 3))
   }
+
+  test("NaN zone maps: excluded unless it's the only value (a_test_dataset_nan.py)") {
+    val s = TestSpark.spark
+    import s.implicits._
+    val store = new SnapshotStore(s, TestSpark.tmpDir("nan_store"))
+    val nan = Double.NaN
+    val inf = Double.PositiveInfinity
+    // all-NaN (+ a null): min=max=NaN, nulls ignored
+    val a = store.write(Seq[(java.lang.Double, java.lang.Double)](
+      (nan, nan), (nan, nan), (null, nan)).toDF("f64", "g64"), "nan_a", slices = 1)
+    assert(a.minOf("f64").contains("NaN") && a.maxOf("f64").contains("NaN"))
+    // NaN alongside real values: NaN excluded entirely
+    val b = store.write(Seq(nan, 2.0, nan).toDF("f64"), "nan_b", slices = 1)
+    assert(b.minOf("f64").contains("2.0") && b.maxOf("f64").contains("2.0"))
+    // mixed with infinity: inf is a real value and becomes the max
+    val c = store.write(Seq(nan, inf, 0.0, nan).toDF("f64"), "nan_c", slices = 1)
+    assert(c.minOf("f64").contains("0.0"), s"got ${c.minOf("f64")}")
+    assert(c.maxOf("f64").contains("Infinity"), s"got ${c.maxOf("f64")}")
+  }
 }
