@@ -155,12 +155,12 @@ object ScaleCheck {
     val outDir = args.headOption.getOrElse(
       s"${sys.props("user.dir")}/target/scale10")
     val reps = 10
-    val spark = SparkSession.builder()
+    val spark = graft.core.SessionTuning.tune(SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", 32)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.ui.enabled", "false")
+      .config("spark.ui.enabled", "false"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     activeSpark = spark

@@ -417,11 +417,11 @@ object Shell {
 
   def main(argv: Array[String]): Unit = {
     require(argv.nonEmpty, "usage: Shell ds|cat|grep ...")
-    val spark = SparkSession.builder()
+    val spark = graft.core.SessionTuning.tune(SparkSession.builder()
       .master(sys.env.getOrElse("SPARK_MASTER", "local[4]"))
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.ui.enabled", "false")
+      .config("spark.ui.enabled", "false"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     try argv(0) match {
