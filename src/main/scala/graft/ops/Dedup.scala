@@ -631,4 +631,65 @@ object Dedup {
          (S.l2Norm(col("va")) * S.l2Norm(col("vb")))).as("cosine"))
       .filter(col("cosine") >= threshold)
   }
+
+  /** Corpus-wide line dedup (the C4 family's other scrub, Raffel et al.
+    * 2020 §2.2 / Dolma's line-level pass): every NON-BLANK line that
+    * occurs more than once anywhere in the corpus is kept only at its
+    * first occurrence — (doc id, line position) order — and removed from
+    * every later one; documents are reassembled without the removed
+    * lines. Complements [[dupSpans]]: spans catch quoting inside flowing
+    * text, line dedup catches the structural boilerplate (nav bars,
+    * cookie banners, license footers) that repeats verbatim as whole
+    * lines. Blank lines (trim == "") are structure, not content: always
+    * kept, never owners.
+    *
+    * Returns one row per input document:
+    * (idCol, n_lines, n_lines_dropped, text_dedup).
+    *
+    * Scale: ownership is discovered on ids alone — those passes shuffle
+    * only (md5 hash, packed id·2^20+pos key) pairs; the min-owner agg
+    * combines map-side; the occurrence↔owner hash join streams hot
+    * boilerplate keys (owner side is one row per distinct line, so AQE's
+    * skew split applies to the streamed side). Dropped positions fold to
+    * ONE small row per affected document — `(id, positions array)` — so
+    * text crosses AT MOST the single doc-keyed fold-back exchange, and in
+    * the common case (dropped docs ≪ corpus) AQE broadcasts the positions
+    * side instead and reassembly is a scan-side `filter(lines, …)` with
+    * zero text movement.
+    *
+    * Ids must be non-negative longs < 2^42 and documents < 2^20 lines
+    * (the packed-key layout; violations raise rather than corrupt).
+    */
+  def lineDedup(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    import graft.core.Cols.{q => Q}
+    val lines = split(Q(textCol), "\n", -1)
+    // ids-only ownership pass: 1-based pos packed beside the id so ONE
+    // long both orders occurrences and decodes back to (id, pos)
+    val packed = (Q(idCol).cast("long") * lit(1L << 20)) +
+      col("pos0").cast("long") + lit(1L)
+    val k = when(Q(idCol).cast("long") < 0L ||
+        Q(idCol).cast("long") >= lit(1L << 42) || col("pos0") >= lit((1 << 20) - 1),
+      raise_error(concat(lit("lineDedup: id/pos outside packed-key range at id="),
+        Q(idCol).cast("string")))).otherwise(packed)
+    val occ = df
+      .select(Q(idCol), posexplode(lines).as(Seq("pos0", "line")))
+      .filter(trim(col("line")) =!= "")
+      .select(md5(col("line")).as("h"), k.as("k"))
+    val owners = occ.groupBy("h").agg(min(col("k")).as("k0"))
+    val dropped = occ.join(owners, Seq("h"))
+      .filter(col("k") =!= col("k0"))
+      .select(shiftright(col("k"), 20).as("__doc"),
+        col("k").bitwiseAND(lit((1L << 20) - 1)).as("pos"))
+    val dropPos = dropped.groupBy(col("__doc"))
+      .agg(sort_array(collect_set(col("pos"))).as("__drop_ps"))
+    df.join(dropPos, Q(idCol).cast("long") === col("__doc"), "left")
+      .select(Q(idCol),
+        size(lines).cast("long").as("n_lines"),
+        when(col("__drop_ps").isNull, 0L)
+          .otherwise(size(col("__drop_ps")).cast("long")).as("n_lines_dropped"),
+        when(col("__drop_ps").isNull, Q(textCol)).otherwise(
+          concat_ws("\n", filter(lines,
+            (_, i) => !array_contains(col("__drop_ps"), i.cast("long") + 1L))))
+          .as("text_dedup"))
+  }
 }

@@ -613,6 +613,39 @@ object TextPack {
     TrainingPipeline.sampleWeighted(d, "doc_id", "wt", "sW", n = 400)
   }
 
+  /** Corpus-wide line dedup over a deterministically "boilerplated" corpus:
+    * the base docs are single-line and all distinct, so the fixture plants
+    * the repeats line dedup exists for — a newsletter footer on every 3rd
+    * doc, a cookie banner on every 5th, an in-doc repeated line on every
+    * 7th, trailing blank lines on every 4th (blank = exempt), and every
+    * 10th doc quoting the NEXT doc's whole text as an extra line (so the
+    * quoting doc, having the smaller id, steals ownership and the original
+    * loses its body — position order decides, exactly as at corpus scale).
+    */
+  def dedupLines(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+    val nxt = d.select((col("doc_id") - 1).as("doc_id"),
+      col("text").as("next_text"))
+    val dec = d.join(nxt, Seq("doc_id"), "left")
+      .withColumn("t",
+        when(col("doc_id") % 10 === 0 && col("next_text").isNotNull,
+          concat(col("text"), lit("\n"), col("next_text")))
+          .otherwise(col("text")))
+      .withColumn("t", when(col("doc_id") % 3 === 0, concat(col("t"),
+          lit("\nSubscribe to our newsletter today!\nAll rights reserved.")))
+        .otherwise(col("t")))
+      .withColumn("t", when(col("doc_id") % 5 === 0,
+          concat(lit("Cookie notice: this site uses cookies.\n"), col("t")))
+        .otherwise(col("t")))
+      .withColumn("t", when(col("doc_id") % 7 === 0,
+          concat(col("t"), lit("\nrepeat me\nrepeat me")))
+        .otherwise(col("t")))
+      .withColumn("t", when(col("doc_id") % 4 === 0,
+          concat(col("t"), lit("\n\n"))).otherwise(col("t")))
+      .select(col("doc_id"), col("t").as("text"))
+    Dedup.lineDedup(dec, "doc_id", "text")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "pl_split" -> pipelineSplit _,
     "pl_shuffle" -> pipelineShuffle _,
@@ -648,6 +681,7 @@ object TextPack {
     "pl_vocab" -> vocab _,
     "tx_keywords" -> keywords _,
     "dd_spans" -> dedupSpans _,
+    "dd_line_dedup" -> dedupLines _,
     "dd_exact" -> dedupExact _,
     "dd_ngram_jaccard" -> dedupNgram _,
     "dd_minhash_lsh" -> dedupMinhash _,
@@ -1039,6 +1073,42 @@ object TextPack {
            (len(ts) - len(clean))::BIGINT AS n_removed,
            coalesce(array_to_string(clean, ' '), '') AS clean_text
          FROM c""",
+    "dd_line_dedup" ->
+      """WITH s0 AS (SELECT d.doc_id,
+             CASE WHEN d.doc_id % 10 = 0 AND n.text IS NOT NULL
+                  THEN d.text || chr(10) || n.text ELSE d.text END AS t
+           FROM documents d LEFT JOIN documents n ON n.doc_id = d.doc_id + 1),
+         s1 AS (SELECT doc_id, CASE WHEN doc_id % 3 = 0
+             THEN t || chr(10) || 'Subscribe to our newsletter today!'
+                    || chr(10) || 'All rights reserved.'
+             ELSE t END AS t FROM s0),
+         s2 AS (SELECT doc_id, CASE WHEN doc_id % 5 = 0
+             THEN 'Cookie notice: this site uses cookies.' || chr(10) || t
+             ELSE t END AS t FROM s1),
+         s3 AS (SELECT doc_id, CASE WHEN doc_id % 7 = 0
+             THEN t || chr(10) || 'repeat me' || chr(10) || 'repeat me'
+             ELSE t END AS t FROM s2),
+         dec AS (SELECT doc_id, CASE WHEN doc_id % 4 = 0
+             THEN t || chr(10) || chr(10) ELSE t END AS t FROM s3),
+         l AS (SELECT doc_id, t, string_split(t, chr(10)) AS ls FROM dec),
+         o0 AS (SELECT doc_id, unnest(ls) AS line,
+             generate_subscripts(ls, 1) AS pos FROM l),
+         o2 AS (SELECT doc_id, pos, md5(line) AS h,
+             doc_id * 1048576 + pos AS kk FROM o0 WHERE trim(line) <> ''),
+         own AS (SELECT h, min(kk) AS k0 FROM o2 GROUP BY h),
+         dr AS (SELECT o2.doc_id, list(o2.pos) AS ps
+           FROM o2 JOIN own USING (h) WHERE o2.kk <> own.k0
+           GROUP BY o2.doc_id),
+         fin AS (SELECT l.doc_id, l.t, l.ls, coalesce(dr.ps, []) AS ps
+           FROM l LEFT JOIN dr USING (doc_id))
+         SELECT doc_id,
+           len(ls)::BIGINT AS n_lines,
+           len(ps)::BIGINT AS n_lines_dropped,
+           CASE WHEN len(ps) = 0 THEN t
+                ELSE array_to_string([ls[i+1] for i in range(len(ls))
+                                      if NOT list_contains(ps, i+1)], chr(10))
+           END AS text_dedup
+         FROM fin""",
     "dd_ngram_jaccard" -> OracleGen.ngramJaccard(NgramMaxDf, 0.3),
     "dd_minhash_lsh" -> OracleGen.minhashLsh(16, 8, 0.3),
     "dd_inc_minhash" -> OracleGen.incrementalMinhash(16, 8, 0.3, mod = 5),

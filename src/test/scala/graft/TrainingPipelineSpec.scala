@@ -706,4 +706,83 @@ class TrainingPipelineSpec extends AnyFunSuite {
     assert(got(2) == ((3L, 5L, 0L, 0L, "short doc under ten tokens")))
     assert(got(3)._4 == 0L, "original text loses nothing")
   }
+
+  test("lineDedup matches a brute-force reference on a repeat-heavy corpus") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(11)
+    val pool = Vector("alpha beta", "gamma", "delta epsilon zeta", "", "  ",
+      "eta theta", "iota", "kappa lambda mu")
+    val docs = (1L to 40L).map { i =>
+      (i, Seq.fill(rnd.nextInt(8))(pool(rnd.nextInt(pool.size))).mkString("\n"))
+    }
+    val lines = docs.map { case (id, t) => id -> t.split("\n", -1).toVector }.toMap
+    val occ = for {
+      (id, ls) <- lines.toSeq; (l, p) <- ls.zipWithIndex if l.trim.nonEmpty
+    } yield (l, id, p)
+    val owner = occ.groupBy(_._1).map { case (l, xs) =>
+      l -> xs.map(x => (x._2, x._3)).min }
+    val expected = docs.map { case (id, t) =>
+      val ls = lines(id)
+      val dropped = ls.zipWithIndex
+        .filter { case (l, p) => l.trim.nonEmpty && owner(l) != ((id, p)) }
+        .map(_._2).toSet
+      val kept = ls.zipWithIndex.collect { case (l, p) if !dropped(p) => l }
+      (id, ls.size.toLong, dropped.size.toLong, kept.mkString("\n"))
+    }.sortBy(_._1)
+    val got = graft.ops.Dedup.lineDedup(docs.toDF("id", "text"), "id", "text")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+      .sortBy(_._1).toSeq
+    assert(got == expected)
+  }
+
+  test("lineDedup: first (id, pos) occurrence owns; blanks exempt; docs can empty out") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      (1L, "boiler\nunique one"),
+      (2L, "boiler\n\nboiler\nunique two"), // both copies drop, blank stays
+      (3L, "boiler"),                       // fully emptied
+      (4L, ""))                             // empty text: one blank line, kept
+      .toDF("id", "text")
+    val got = graft.ops.Dedup.lineDedup(docs, "id", "text").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+      .sortBy(_._1).toSeq
+    assert(got(0) == ((1L, 2L, 0L, "boiler\nunique one")))
+    assert(got(1) == ((2L, 4L, 2L, "\nunique two")))
+    assert(got(2) == ((3L, 1L, 1L, "")))
+    assert(got(3) == ((4L, 1L, 0L, "")))
+  }
+
+  test("lineDedup: ids outside the packed-key range raise, not corrupt") {
+    val s = spark
+    import s.implicits._
+    def msgs(t: Throwable): String =
+      if (t == null) "" else s"${t.getMessage}\n${msgs(t.getCause)}"
+    val bad = Seq((-1L, "x\nx")).toDF("id", "text")
+    val e = intercept[Exception] {
+      graft.ops.Dedup.lineDedup(bad, "id", "text").collect()
+    }
+    assert(msgs(e).contains("lineDedup"), s"want the op's own guard, got:\n${msgs(e)}")
+  }
+
+  test("lineDedup: ownership passes shuffle ids only; text crosses at most the fold-back") {
+    import org.apache.spark.sql.execution.exchange.Exchange
+    val s = spark
+    val prev = s.conf.get("spark.sql.adaptive.enabled")
+    s.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val plan = graft.ops.Dedup.lineDedup(
+          graft.core.Tables.documents(s, TestSpark.sfDir), "doc_id", "text")
+        .queryExecution.executedPlan
+      val exchanges = plan.collect { case e: Exchange => e }
+      assert(exchanges.nonEmpty, "ownership requires a hash shuffle")
+      val textCarrying = exchanges.filter(
+        _.child.schema.fields.exists(f => f.name == "text" || f.name == "line"))
+      assert(textCarrying.size <= 1,
+        s"only the doc-keyed fold-back may move text, found ${textCarrying.size}:\n" +
+          textCarrying.mkString("\n"))
+    } finally s.conf.set("spark.sql.adaptive.enabled", prev)
+  }
 }
