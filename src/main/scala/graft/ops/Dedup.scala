@@ -680,16 +680,95 @@ object Dedup {
       .filter(col("k") =!= col("k0"))
       .select(shiftright(col("k"), 20).as("__doc"),
         col("k").bitwiseAND(lit((1L << 20) - 1)).as("pos"))
-    val dropPos = dropped.groupBy(col("__doc"))
-      .agg(sort_array(collect_set(col("pos"))).as("__drop_ps"))
+    reassemble(df, idCol, textCol, dropped)
+  }
+
+  /** The persistent line index [[incrementalLineDedup]] probes: one row
+    * per DISTINCT non-blank line, column `h` (md5 hex). 16 bytes/line
+    * regardless of line length — the all-time index a daily ingest keeps
+    * as a snapshot chain, so history text is hashed once at index-build
+    * and never re-read.
+    */
+  def lineIndex(df: DataFrame, textCol: String): DataFrame = {
+    import graft.core.Cols.{q => Q}
+    df.select(explode(split(Q(textCol), "\n", -1)).as("line"))
+      .filter(trim(col("line")) =!= "")
+      .select(md5(col("line")).as("h"))
+      .distinct()
+  }
+
+  /** Incremental [[lineDedup]] — the daily-ingest shape, mirroring
+    * [[incrementalExact]]/[[incrementalMinhash]]: drop every non-blank
+    * line of `batch` whose hash already appears in `index`
+    * (a [[lineIndex]], typically the all-time snapshot chain), dedupe the
+    * survivors within the batch by first (id, pos) occurrence, and
+    * reassemble. Returns one row per batch document:
+    * (idCol, n_lines, n_dropped_history, n_dropped_batch, text_dedup).
+    * The updated index for the next ingest is
+    * `index ∪ lineIndex(result.text_dedup)` — distinct hashes only.
+    *
+    * Scale: identical cost model to [[lineDedup]] — ids-only ownership
+    * shuffles, at most one doc-keyed text exchange on fold-back — plus a
+    * hash semi/anti-join against the index, which carries 16-byte hashes
+    * and combines map-side. Within-batch ownership is decided only among
+    * lines that SURVIVE the history probe, so a line both in history and
+    * repeated in the batch drops everywhere (history owns it).
+    */
+  def incrementalLineDedup(batch: DataFrame, index: DataFrame,
+                           idCol: String, textCol: String): DataFrame = {
+    import graft.core.Cols.{q => Q}
+    require(index.columns.toSeq == Seq("h"),
+      s"index must be a lineIndex (single column h), got ${index.columns.toSeq}")
+    val lines = split(Q(textCol), "\n", -1)
+    val packed = (Q(idCol).cast("long") * lit(1L << 20)) +
+      col("pos0").cast("long") + lit(1L)
+    val k = when(Q(idCol).cast("long") < 0L ||
+        Q(idCol).cast("long") >= lit(1L << 42) || col("pos0") >= lit((1 << 20) - 1),
+      raise_error(concat(lit("lineDedup: id/pos outside packed-key range at id="),
+        Q(idCol).cast("string")))).otherwise(packed)
+    val occ = batch
+      .select(Q(idCol), posexplode(lines).as(Seq("pos0", "line")))
+      .filter(trim(col("line")) =!= "")
+      .select(md5(col("line")).as("h"), k.as("k"))
+    val histDropped = occ.join(index.select(col("h")), Seq("h"), "left_semi")
+    val fresh = occ.join(index.select(col("h")), Seq("h"), "left_anti")
+    val owners = fresh.groupBy("h").agg(min(col("k")).as("k0"))
+    val batchDropped = fresh.join(owners, Seq("h"))
+      .filter(col("k") =!= col("k0"))
+    def decode(d: DataFrame, tag: String) =
+      d.select(shiftright(col("k"), 20).as("__doc"),
+        col("k").bitwiseAND(lit((1L << 20) - 1)).as("pos"),
+        lit(tag).as("why"))
+    val dropped = decode(histDropped, "h").unionByName(decode(batchDropped, "b"))
+    reassemble(batch, idCol, textCol, dropped,
+      extraCounts = Seq("h" -> "n_dropped_history", "b" -> "n_dropped_batch"))
+  }
+
+  /** Fold a dropped-occurrence set — (`__doc`, `pos`[, `why`]) — back onto
+    * the document table and reassemble text without the dropped lines.
+    * Shared tail of [[lineDedup]] / [[incrementalLineDedup]]; see
+    * [[lineDedup]] for the exchange accounting.
+    */
+  private def reassemble(df: DataFrame, idCol: String, textCol: String,
+                         dropped: DataFrame,
+                         extraCounts: Seq[(String, String)] = Nil): DataFrame = {
+    import graft.core.Cols.{q => Q}
+    val lines = split(Q(textCol), "\n", -1)
+    val aggs = sort_array(collect_set(col("pos"))).as("__drop_ps") +:
+      extraCounts.map { case (tag, name) =>
+        sum(when(col("why") === tag, 1L).otherwise(0L)).as(name) }
+    val dropPos = dropped.groupBy(col("__doc")).agg(aggs.head, aggs.tail: _*)
+    val countCols: Seq[org.apache.spark.sql.Column] =
+      if (extraCounts.isEmpty)
+        Seq(when(col("__drop_ps").isNull, 0L)
+          .otherwise(size(col("__drop_ps")).cast("long")).as("n_lines_dropped"))
+      else extraCounts.map { case (_, name) =>
+        coalesce(col(name), lit(0L)).as(name) }
     df.join(dropPos, Q(idCol).cast("long") === col("__doc"), "left")
-      .select(Q(idCol),
-        size(lines).cast("long").as("n_lines"),
-        when(col("__drop_ps").isNull, 0L)
-          .otherwise(size(col("__drop_ps")).cast("long")).as("n_lines_dropped"),
+      .select(Q(idCol) +: size(lines).cast("long").as("n_lines") +: countCols :+
         when(col("__drop_ps").isNull, Q(textCol)).otherwise(
           concat_ws("\n", filter(lines,
             (_, i) => !array_contains(col("__drop_ps"), i.cast("long") + 1L))))
-          .as("text_dedup"))
+          .as("text_dedup"): _*)
   }
 }

@@ -646,6 +646,32 @@ object TextPack {
     Dedup.lineDedup(dec, "doc_id", "text")
   }
 
+  /** Incremental line dedup, the daily-ingest twin of [[dedupLines]]:
+    * history is every doc_id % 5 != 0 document (hashed once into a
+    * [[Dedup.lineIndex]]); the batch is the rest, each quoting its
+    * successor's text (a history hit), every 10th sharing a footer line
+    * (a within-batch dup — first batch occurrence keeps), every 20th
+    * carrying trailing blanks (exempt).
+    */
+  def dedupIncLines(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+    val hist = d.filter(col("doc_id") % 5 =!= 0)
+    val nxt = d.select((col("doc_id") - 1).as("doc_id"),
+      col("text").as("next_text"))
+    val batch = d.filter(col("doc_id") % 5 === 0)
+      .join(nxt, Seq("doc_id"), "left")
+      .withColumn("t", when(col("next_text").isNotNull,
+          concat(col("text"), lit("\n"), col("next_text")))
+        .otherwise(col("text")))
+      .withColumn("t", when(col("doc_id") % 10 === 0,
+          concat(col("t"), lit("\nShared footer line."))).otherwise(col("t")))
+      .withColumn("t", when(col("doc_id") % 20 === 0,
+          concat(col("t"), lit("\n\n"))).otherwise(col("t")))
+      .select(col("doc_id"), col("t").as("text"))
+    Dedup.incrementalLineDedup(batch, Dedup.lineIndex(hist, "text"),
+      "doc_id", "text")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "pl_split" -> pipelineSplit _,
     "pl_shuffle" -> pipelineShuffle _,
@@ -682,6 +708,7 @@ object TextPack {
     "tx_keywords" -> keywords _,
     "dd_spans" -> dedupSpans _,
     "dd_line_dedup" -> dedupLines _,
+    "dd_inc_lines" -> dedupIncLines _,
     "dd_exact" -> dedupExact _,
     "dd_ngram_jaccard" -> dedupNgram _,
     "dd_minhash_lsh" -> dedupMinhash _,
@@ -1104,6 +1131,47 @@ object TextPack {
          SELECT doc_id,
            len(ls)::BIGINT AS n_lines,
            len(ps)::BIGINT AS n_lines_dropped,
+           CASE WHEN len(ps) = 0 THEN t
+                ELSE array_to_string([ls[i+1] for i in range(len(ls))
+                                      if NOT list_contains(ps, i+1)], chr(10))
+           END AS text_dedup
+         FROM fin""",
+    "dd_inc_lines" ->
+      """WITH idx AS (SELECT DISTINCT md5(line) AS h FROM (
+             SELECT unnest(string_split(text, chr(10))) AS line
+             FROM documents WHERE doc_id % 5 <> 0) q
+           WHERE trim(line) <> ''),
+         b0 AS (SELECT d.doc_id,
+             CASE WHEN n.text IS NOT NULL
+                  THEN d.text || chr(10) || n.text ELSE d.text END AS t
+           FROM documents d LEFT JOIN documents n ON n.doc_id = d.doc_id + 1
+           WHERE d.doc_id % 5 = 0),
+         b1 AS (SELECT doc_id, CASE WHEN doc_id % 10 = 0
+             THEN t || chr(10) || 'Shared footer line.' ELSE t END AS t FROM b0),
+         dec AS (SELECT doc_id, CASE WHEN doc_id % 20 = 0
+             THEN t || chr(10) || chr(10) ELSE t END AS t FROM b1),
+         l AS (SELECT doc_id, t, string_split(t, chr(10)) AS ls FROM dec),
+         o0 AS (SELECT doc_id, unnest(ls) AS line,
+             generate_subscripts(ls, 1) AS pos FROM l),
+         o2 AS (SELECT doc_id, pos, md5(line) AS h,
+             doc_id * 1048576 + pos AS kk FROM o0 WHERE trim(line) <> ''),
+         hd AS (SELECT * FROM o2 WHERE h IN (SELECT h FROM idx)),
+         fresh AS (SELECT * FROM o2 WHERE h NOT IN (SELECT h FROM idx)),
+         own AS (SELECT h, min(kk) AS k0 FROM fresh GROUP BY h),
+         bd AS (SELECT f.* FROM fresh f JOIN own USING (h) WHERE f.kk <> own.k0),
+         dr AS (SELECT doc_id, list(pos) AS ps,
+             sum(CASE WHEN why = 'h' THEN 1 ELSE 0 END) AS nh,
+             sum(CASE WHEN why = 'b' THEN 1 ELSE 0 END) AS nb
+           FROM (SELECT doc_id, pos, 'h' AS why FROM hd
+                 UNION ALL SELECT doc_id, pos, 'b' AS why FROM bd) u
+           GROUP BY doc_id),
+         fin AS (SELECT l.doc_id, l.t, l.ls, coalesce(dr.ps, []) AS ps,
+             coalesce(dr.nh, 0) AS nh, coalesce(dr.nb, 0) AS nb
+           FROM l LEFT JOIN dr USING (doc_id))
+         SELECT doc_id,
+           len(ls)::BIGINT AS n_lines,
+           nh::BIGINT AS n_dropped_history,
+           nb::BIGINT AS n_dropped_batch,
            CASE WHEN len(ps) = 0 THEN t
                 ELSE array_to_string([ls[i+1] for i in range(len(ls))
                                       if NOT list_contains(ps, i+1)], chr(10))

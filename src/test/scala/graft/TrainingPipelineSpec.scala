@@ -767,6 +767,54 @@ class TrainingPipelineSpec extends AnyFunSuite {
     assert(msgs(e).contains("lineDedup"), s"want the op's own guard, got:\n${msgs(e)}")
   }
 
+  test("incrementalLineDedup: history owns everywhere, batch dedupes among survivors") {
+    val s = spark
+    import s.implicits._
+    val hist = Seq((100L, "old news\nweather")).toDF("id", "text")
+    val idx = graft.ops.Dedup.lineIndex(hist, "text")
+    val batch = Seq(
+      (1L, "old news\nfresh take\nshared"), // history hit + 2 fresh
+      (2L, "shared\nweather\n\nonly mine"), // batch-dup (doc 1 owns shared), history hit, blank
+      (3L, "old news"))                     // fully emptied by history
+      .toDF("id", "text")
+    val got = graft.ops.Dedup.incrementalLineDedup(batch, idx, "id", "text")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))
+      .sortBy(_._1).toSeq
+    assert(got(0) == ((1L, 3L, 1L, 0L, "fresh take\nshared")))
+    assert(got(1) == ((2L, 4L, 1L, 1L, "\nonly mine")))
+    assert(got(2) == ((3L, 1L, 1L, 0L, "")))
+    // a line in history AND repeated in the batch drops everywhere: no
+    // batch occurrence becomes a new owner of a historical line
+    val b2 = Seq((1L, "weather"), (2L, "weather")).toDF("id", "text")
+    val g2 = graft.ops.Dedup.incrementalLineDedup(b2, idx, "id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getString(4))).sortBy(_._1)
+    assert(g2.forall { case (_, nh, t) => nh == 1L && t == "" })
+    // index contract is enforced
+    intercept[IllegalArgumentException] {
+      graft.ops.Dedup.incrementalLineDedup(batch, hist, "id", "text")
+    }
+  }
+
+  test("incrementalLineDedup: empty index reduces to lineDedup") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(13)
+    val pool = Vector("p", "q r", "", "s t u", "v")
+    val docs = (1L to 25L).map { i =>
+      (i, Seq.fill(rnd.nextInt(6))(pool(rnd.nextInt(pool.size))).mkString("\n"))
+    }.toDF("id", "text")
+    val emptyIdx = graft.ops.Dedup.lineIndex(
+      Seq.empty[(Long, String)].toDF("id", "text"), "text")
+    val inc = graft.ops.Dedup.incrementalLineDedup(docs, emptyIdx, "id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2) + r.getLong(3),
+        r.getString(4))).sortBy(_._1).toSeq
+    val plain = graft.ops.Dedup.lineDedup(docs, "id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+      .sortBy(_._1).toSeq
+    assert(inc == plain)
+  }
+
   test("lineDedup: ownership passes shuffle ids only; text crosses at most the fold-back") {
     import org.apache.spark.sql.execution.exchange.Exchange
     val s = spark
