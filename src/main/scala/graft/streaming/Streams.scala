@@ -329,6 +329,64 @@ object Streams {
       .start()
   }
 
+  /** Streaming corpus-wide LINE dedup with a persistent chain index — the
+    * stream twin of [[graft.ops.Dedup.incrementalLineDedup]], following
+    * [[nearDupDedupSink]]'s shape: each micro-batch drops every non-blank
+    * line already hashed into the accumulated index chain, dedupes the
+    * survivors within the batch by first (id, pos) occurrence, lands the
+    * reassembled documents chained under `outPrefix`
+    * (idCol, n_lines, n_dropped_history, n_dropped_batch, text_dedup),
+    * and appends the KEPT lines' hashes — the new owners — chained under
+    * `indexPrefix`.
+    *
+    * State is ordinary snapshots of 16-byte line hashes: restart-safe (a
+    * replayed batch re-dedups against the committed tip, never its own
+    * partial output — ChainTip), shell-inspectable, and O(distinct lines)
+    * regardless of how often boilerplate repeats. As with near-dup, index
+    * state is never evicted — a line seen once is boilerplate forever.
+    */
+  def lineDedupSink(docs: DataFrame, idCol: String, textCol: String,
+                    store: SnapshotStore, indexPrefix: String,
+                    outPrefix: String, checkpoint: String,
+                    compactEvery: Option[Int] = None): StreamingQuery = {
+    compactEvery.foreach(e => require(e >= 1, s"compactEvery must be >= 1, got $e"))
+    val idxTip = new ChainTip(store, indexPrefix)
+    val outTip = new ChainTip(store, outPrefix)
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode(OutputMode.Append())
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          val prevIdx = idxTip.prevFor(batchId)
+          val history = prevIdx match {
+            case Some(tip) => store.iterateChain(tip).select(col("h"))
+            case None => graft.ops.Dedup.lineIndex(batch.limit(0), textCol)
+          }
+          val cleaned = graft.ops.Dedup
+            .incrementalLineDedup(batch, history, idCol, textCol)
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          // the kept lines are exactly the batch's fresh owners: they are
+          // the full delta the NEXT ingest must probe against
+          val newIdx = graft.ops.Dedup.lineIndex(
+            cleaned.select(col("text_dedup").as(textCol)), textCol)
+          store.write(cleaned, s"$outPrefix.$batchId",
+            previous = outTip.prevFor(batchId))
+          store.write(newIdx, s"$indexPrefix.$batchId", previous = prevIdx)
+          outTip.advance(s"$outPrefix.$batchId")
+          idxTip.advance(s"$indexPrefix.$batchId")
+          cleaned.unpersist()
+          if (compactEvery.exists(e => batchId > 0 && batchId % e == 0)) {
+            val cname = s"$indexPrefix.$batchId-c"
+            store.compactChain(s"$indexPrefix.$batchId", cname)
+            idxTip.advance(cname)
+          }
+        }
+        ()
+      }
+      .start()
+  }
+
   /** Stream → chain bridge: each micro-batch becomes a snapshot chained to
     * the previous batch's snapshot and logged on the urd timeline. The
     * stream's full history is then a first-class dataset chain.

@@ -257,6 +257,67 @@ class StreamingSpec extends AnyFunSuite {
       "no sketches lost across compaction")
   }
 
+  test("lineDedupSink: streaming line dedup against the chain line index") {
+    val s = spark
+    import s.implicits._
+    val dir = tmpDir("ld_src")
+    val store = new SnapshotStore(s, tmpDir("ld_store"))
+    // batch 0: "boiler" repeats across docs — doc 1 (smaller id) owns
+    Seq((1L, "keep me\nboiler"), (2L, "boiler\nmine too"))
+      .toDF("doc_id", "text").coalesce(1).write.mode("append").parquet(dir)
+    // batch 1: doc 3 hits HISTORY; doc 4 repeats itself around a blank
+    Seq((3L, "boiler\nfresh line"), (4L, "all new\n\nall new"))
+      .toDF("doc_id", "text").coalesce(1).write.mode("append").parquet(dir)
+    val q = Streams.lineDedupSink(Streams.eventStream(s, dir, maxFilesPerTrigger = 1),
+      "doc_id", "text", store, "ldidx", "ldout", checkpoint = tmpDir("ld_ckpt"))
+    q.awaitTermination(120000)
+    val out = store.iterateChain("ldout.1")
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3), r.getString(4)))
+      .sortBy(_._1).toSeq
+    assert(out == Seq(
+      (1L, 0L, 0L, "keep me\nboiler"),
+      (2L, 0L, 1L, "mine too"),
+      (3L, 1L, 0L, "fresh line"),
+      (4L, 0L, 1L, "all new\n")),
+      s"got $out")
+    assert(store.iterateChain("ldidx.1").count() == 5,
+      "index holds one hash per kept line: 3 from batch 0 + 2 fresh")
+  }
+
+  test("lineDedupSink: crash-and-restart replays against the committed index tip") {
+    val s = spark
+    import s.implicits._
+    val dir = tmpDir("rsld_src")
+    Seq((1L, "keep me\nboiler"), (2L, "boiler\nmine too"))
+      .toDF("doc_id", "text").coalesce(1).write.mode("append").parquet(dir)
+    Seq((3L, "boiler\nfresh line"), (4L, "all new\n\nall new"))
+      .toDF("doc_id", "text").coalesce(1).write.mode("append").parquet(dir)
+    def runSink(store: SnapshotStore, ckpt: String): Unit =
+      Streams.lineDedupSink(Streams.eventStream(s, dir), "doc_id", "text",
+        store, "ldidx", "ldout", checkpoint = ckpt,
+        compactEvery = Some(1)).awaitTermination(120000)
+    val storeA = new SnapshotStore(s, tmpDir("rsld_store_a"))
+    runSink(storeA, tmpDir("rsld_ckpt_a"))
+    val storeB = new SnapshotStore(s, tmpDir("rsld_store_b"))
+    val ckptB = tmpDir("rsld_ckpt_b")
+    runSink(storeB, ckptB)
+    dropCommit(ckptB, 1)
+    runSink(storeB, ckptB)
+    assert(storeB.list() == storeA.list(),
+      s"replay must re-land both chains: ${storeB.list()} vs ${storeA.list()}")
+    for (n <- storeA.list()) {
+      assert(storeB.get(n).meta.previous == storeA.get(n).meta.previous, n)
+      assert(storeB.get(n).meta.lines == storeA.get(n).meta.lines, n)
+    }
+    val out = storeB.iterateChain("ldout.1", columns = Seq("doc_id", "text_dedup"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1).toSeq
+    assert(out == Seq((1L, "keep me\nboiler"), (2L, "mine too"),
+      (3L, "fresh line"), (4L, "all new\n")),
+      s"replayed dedup must give the uninterrupted answer: $out")
+    assert(storeB.iterateChain("ldidx.1-c").count() == 5,
+      "compacted index holds each kept line's hash exactly once after replay")
+  }
+
   test("trendingSink: closed windows rank top-k into chained snapshots") {
     val s = spark
     import s.implicits._
