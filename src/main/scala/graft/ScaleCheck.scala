@@ -36,15 +36,19 @@ import org.apache.spark.sql.functions._
   */
 object ScaleCheck {
 
-  /** The 10 most expensive queries per BENCH_FULL.json, spanning every
+  /** The most expensive queries per BENCH_FULL.json, spanning every
     * heavy code path: posting-list dedup, simhash banding, minhash LSH,
     * the 6-stage corpus pipeline, salted/broadcast joins, the column-zip
-    * export, the global sort, and tf-idf.
+    * export, the global sort, tf-idf, the hostile-parse pass (the widest
+    * codegen surface — the hugeMethodLimit regime must hold at 10x), and
+    * corpus-wide line dedup (its fixture's shared footer lines become
+    * genuinely hot ownership keys at 10x — the skew path).
     */
   private val Targets = Seq(
     "dd_ngram_jaccard", "dd_simhash", "dd_minhash_lsh", "pl_corpus_e2e",
     "pl_dedup_corpus", "q_salted_join", "q5_local_supplier",
-    "op_csvexport_zip", "op_sort_order", "tx_keywords")
+    "op_csvexport_zip", "op_sort_order", "tx_keywords", "op_type_fuzz",
+    "dd_line_dedup")
 
   /** Key offset per replica — far above any base key (max base key is
     * o_orderkey ~ 1.5e5 at sf0.1), so replica key spaces never collide.
