@@ -1,0 +1,174 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Integer-exact k-means over an embedding column — the clustering stage of
+  * cluster-aware corpus curation (SemDeDup-style semantic dedup and
+  * cluster-balanced sampling both start from exactly this: k-means over
+  * document embeddings, then per-cluster policies; Abbas et al. 2023,
+  * arXiv:2303.09540).
+  *
+  * Why integer-exact: float k-means is not replayable — centroid means
+  * depend on float summation order, which differs between engines and
+  * between runs of the same engine (partial aggregation). Every arithmetic
+  * step here is integer, so the assignment is bit-identical wherever it is
+  * replayed (the DuckDB oracle runs the same iterations in SQL):
+  *
+  *  - quantize: `q_i = floor(x_i * 2^quantShift)` — float→double is exact,
+  *    multiplying by a power of two is exact, floor is exact. No rounding
+  *    mode ambiguity anywhere.
+  *  - init: the k rows with the smallest `(md5(cast(id as string)), id)` —
+  *    a deterministic pseudo-random draw both engines compute identically
+  *    (same trick as the sampling family in [[TrainingPipeline]]).
+  *  - centroids live in fixed point: `mu = round(2^fpShift * sum / count)`
+  *    with round-half-away-from-zero expressed as truncating integer
+  *    division (`(2F|s|+c) div 2c`, sign reapplied) — Scala `/` on Long,
+  *    Spark `div` and DuckDB `//` all truncate toward zero.
+  *  - assignment: `argmin_j  sum_i (q_i*F - mu_j_i)^2`, ties to the lowest
+  *    cluster id via struct-min ordering. All Long arithmetic; with
+  *    quantShift=6, fpShift=10, dim=64 the worst-case distance is
+  *    64*(2*64*1024)^2 ≈ 2^40 — no overflow.
+  *
+  * Scale shape: the classic broadcast-centroid Lloyd. Per iteration, one
+  * scan computing assignments against k*dim literal centroids (no shuffle)
+  * plus one partial-aggregated sum shuffle of at most partitions*k*dim rows
+  * (posexplode feeds a map-side combine on (cluster, pos)); only k*dim sums
+  * ever reach the driver. The quantized vectors are cached for the
+  * iteration loop (ids + dim longs per row — the float embeddings are read
+  * once and never shuffled). Cost is O(iters * N * k * dim) compute with
+  * O(k * dim) driver state — the same envelope as [[SimilaritySearch]]'s
+  * IVF assignment pass.
+  */
+object KMeans {
+
+  /** One Lloyd update's worth of state: centroids as fixed-point Longs. */
+  private type Centroids = Array[Array[Long]]
+
+  private def roundDiv(s: Long, cnt: Long, twoF: Long): Long =
+    if (s >= 0) (twoF * s + cnt) / (2 * cnt)
+    else -((twoF * (-s) + cnt) / (2 * cnt))
+
+  /** argmin over literal centroids as a struct-min: struct(dist, c) orders
+    * by dist then cluster id — the tie-break is part of the contract.
+    */
+  private def bestOf(q: Column, mus: Centroids, fp: Long): Column = {
+    val scaled = transform(q, e => e * lit(fp))
+    val cands = mus.zipWithIndex.map { case (mu, j) =>
+      val d = aggregate(
+        zip_with(scaled, typedlit(mu.toSeq), (a, b) => (a - b) * (a - b)),
+        lit(0L), (acc, x) => acc + x)
+      struct(d.as("dist"), lit(j.toLong).as("cluster"))
+    }
+    // the aggregate() lambda resolves late, so struct()'s eager field-name
+    // inference falls back to col1/col2 — the cast restores the names
+    // (same types, comparison order unchanged: dist first, then cluster)
+    array_min(array(cands.toIndexedSeq: _*))
+      .cast("struct<dist:bigint,cluster:bigint>")
+  }
+
+  /** Cluster `df(vecCol)` into (at most) k clusters with `iters` exact
+    * Lloyd iterations; returns (idCol, cluster, dist) where `dist` is the
+    * integer squared fixed-point distance to the final centroid.
+    */
+  def fixedPoint(df: DataFrame, idCol: String, vecCol: String, k: Int,
+                 iters: Int, quantShift: Int = 6, fpShift: Int = 10): DataFrame = {
+    require(k >= 1 && iters >= 0, s"need k>=1, iters>=0 (got k=$k iters=$iters)")
+    require(quantShift + fpShift <= 20,
+      "quantShift+fpShift beyond 20 bits risks Long overflow in the distance sum")
+    val scale = 1L << quantShift
+    val fp = 1L << fpShift
+    val id = col(idCol)
+
+    val q = df.select(id.as("kid"),
+        transform(col(vecCol), x => floor(x.cast("double") * lit(scale.toDouble)).cast("long"))
+          .as("q"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+
+    // Deterministic init: k smallest by (md5(id-as-string), id). The collect
+    // is k rows — TakeOrderedAndProject, not a sort of the corpus.
+    val seeds = q
+      .withColumn("h", md5(col("kid").cast("string").cast("binary")))
+      .orderBy(col("h"), col("kid"))
+      .limit(k)
+      .select(col("q"))
+      .collect()
+      .map(_.getSeq[Long](0).toArray)
+    require(seeds.nonEmpty, "kmeans: empty input")
+    val dim = seeds.head.length
+
+    var mus: Centroids = seeds.map(_.map(_ * fp))
+    for (_ <- 0 until iters) {
+      val best = bestOf(col("q"), mus, fp)
+      // (cluster, pos) partial sums: shuffle carries at most
+      // partitions * k * dim pre-combined rows; k*dim reach the driver.
+      val sums = q.select(best.getField("cluster").as("cluster"),
+          posexplode(col("q")).as(Seq("pos", "v")))
+        .groupBy("cluster", "pos")
+        .agg(sum("v").as("s"), count(lit(1)).as("cnt"))
+        .collect()
+      val next = mus.map(_.clone()) // empty cluster: centroid carries over
+      sums.foreach { r =>
+        val (c, p) = (r.getLong(0).toInt, r.getInt(1))
+        next(c)(p) = roundDiv(r.getLong(2), r.getLong(3), 2 * fp)
+      }
+      mus = next
+    }
+
+    val best = bestOf(col("q"), mus, fp)
+    q.select(col("kid").as(idCol), best.getField("cluster").as("cluster"),
+      best.getField("dist").as("dist"))
+  }
+
+  /** The DuckDB replay of [[fixedPoint]] as a WITH-chain: one (assign,
+    * update) CTE pair per iteration, then the final assignment. Generated,
+    * not hand-written, so the oracle always matches the parameters under
+    * test. `table`/`idCol`/`vecCol` name the parquet view and columns.
+    */
+  def oracleSql(table: String, idCol: String, vecCol: String, k: Int,
+                iters: Int, quantShift: Int = 6, fpShift: Int = 10): String = {
+    val scale = 1L << quantShift
+    val fp = 1L << fpShift
+    val iterCtes = (1 to iters).map { i =>
+      s"""d$i AS (
+         |  SELECT p.$idCol, c.c,
+         |    sum((p.qv*$fp - c.mu)*(p.qv*$fp - c.mu)) AS dist
+         |  FROM pts p JOIN cent${i - 1} c ON p.pos = c.pos
+         |  GROUP BY 1, 2),
+         |a$i AS (
+         |  SELECT $idCol, c, dist FROM d$i
+         |  QUALIFY row_number() OVER (PARTITION BY $idCol ORDER BY dist, c) = 1),
+         |upd$i AS (
+         |  SELECT a.c, p.pos, sum(p.qv) AS s, count(*) AS cnt
+         |  FROM pts p JOIN a$i a USING ($idCol)
+         |  GROUP BY 1, 2),
+         |cent$i AS (
+         |  SELECT c0.c, c0.pos,
+         |    CASE WHEN u.cnt IS NULL THEN c0.mu
+         |         WHEN u.s >= 0 THEN (${2 * fp}*u.s + u.cnt)//(2*u.cnt)
+         |         ELSE -((${2 * fp}*(-u.s) + u.cnt)//(2*u.cnt)) END AS mu
+         |  FROM cent${i - 1} c0 LEFT JOIN upd$i u ON c0.c = u.c AND c0.pos = u.pos)""".stripMargin
+    }
+    val fin = iters + 1
+    s"""WITH q AS (
+       |  SELECT $idCol,
+       |    list_transform($vecCol, x -> CAST(floor(CAST(x AS DOUBLE)*$scale) AS BIGINT)) AS q
+       |  FROM $table),
+       |seeds AS (
+       |  SELECT row_number() OVER (ORDER BY md5(CAST($idCol AS VARCHAR)), $idCol) - 1 AS c, q
+       |  FROM (SELECT * FROM q ORDER BY md5(CAST($idCol AS VARCHAR)), $idCol LIMIT $k)),
+       |cent0 AS (
+       |  SELECT c, generate_subscripts(q, 1) AS pos, unnest(q)*$fp AS mu FROM seeds),
+       |pts AS (
+       |  SELECT $idCol, generate_subscripts(q, 1) AS pos, unnest(q) AS qv FROM q),
+       |${iterCtes.mkString(",\n")},
+       |d$fin AS (
+       |  SELECT p.$idCol, c.c,
+       |    sum((p.qv*$fp - c.mu)*(p.qv*$fp - c.mu)) AS dist
+       |  FROM pts p JOIN cent$iters c ON p.pos = c.pos
+       |  GROUP BY 1, 2)
+       |SELECT $idCol, c AS cluster, dist::BIGINT AS dist FROM d$fin
+       |QUALIFY row_number() OVER (PARTITION BY $idCol ORDER BY dist, c) = 1""".stripMargin
+  }
+}

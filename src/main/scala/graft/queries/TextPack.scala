@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.core.Tables
 import graft.functions.{TextFunctions => T, SimilarityFunctions => S}
-import graft.ops.{Dedup, SimilaritySearch, TrainingPipeline}
+import graft.ops.{Dedup, KMeans, SimilaritySearch, TrainingPipeline}
 
 /** Training-data pipeline queries over `documents` / `embeddings`:
   * text analysis, dedup families, similarity search — each oracle-checked
@@ -147,6 +147,17 @@ object TextPack {
   def annQuantize(s: SparkSession, dir: String): DataFrame =
     SimilaritySearch.quantizeInt8Stats(Tables.embeddings(s, dir), "vec_id", "embedding")
       .withColumnRenamed("id", "vec_id")
+
+  /** Cluster the embedding store with the integer-exact fixed-point Lloyd
+    * ([[graft.ops.KMeans]]) — the clustering stage cluster-aware curation
+    * (SemDeDup, cluster-balanced sampling) builds on. k=8 over the 10
+    * synthetic label groups so clusters genuinely merge/split; 3
+    * iterations keeps the oracle's CTE chain honest about the update step
+    * (a 0-iteration run would only test the init draw).
+    */
+  def kmeansQ(s: SparkSession, dir: String): DataFrame =
+    KMeans.fixedPoint(Tables.embeddings(s, dir), "vec_id", "embedding",
+      k = 8, iters = 3)
 
   def annIvf(s: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(s, dir)
@@ -720,6 +731,7 @@ object TextPack {
     "ann_ivf_topk" -> annIvf _,
     "ann_ivf_persisted" -> annIvfPersisted _,
     "ann_quantize" -> annQuantize _,
+    "pl_kmeans" -> kmeansQ _,
   )
 
   // DuckDB-side common table prefixes (carries n_chars through so consumers
@@ -1291,5 +1303,9 @@ object TextPack {
            SELECT qid, nid, c cosine,
              row_number() OVER (PARTITION BY qid ORDER BY c DESC, nid DESC) rank
            FROM exact) t WHERE rank <= 10""",
+    // generated, not hand-written: the CTE chain must track the Spark
+    // parameters (k, iters, shifts) or the oracle silently tests nothing
+    "pl_kmeans" ->
+      KMeans.oracleSql("embeddings", "vec_id", "embedding", k = 8, iters = 3),
   )
 }

@@ -1,0 +1,112 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.ops.KMeans
+import TestSpark.spark
+
+/** Integer-exact k-means: Spark's result must equal an independent Scala
+  * model of the same fixed-point Lloyd iterations (the DuckDB oracle is
+  * the third replication in the correctness gate).
+  */
+class KMeansSpec extends AnyFunSuite {
+
+  private def md5hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  /** Driver-side model of KMeans.fixedPoint — same quantization, init,
+    * rounding, and tie-break, written against plain collections.
+    */
+  private def model(rows: Seq[(Long, Seq[Double])], k: Int, iters: Int,
+                    quantShift: Int = 6, fpShift: Int = 10): Map[Long, (Long, Long)] = {
+    val scale = 1L << quantShift
+    val fp = 1L << fpShift
+    // through Float first: the table column is float32, like embeddings
+    val q = rows.map { case (id, v) =>
+      id -> v.map(x => math.floor(x.toFloat.toDouble * scale).toLong)
+    }
+    val seeds = q.sortBy { case (id, _) => (md5hex(id.toString), id) }.take(k).map(_._2)
+    var mus = seeds.map(_.map(_ * fp).toArray).toArray
+    def assign(qv: Seq[Long]): (Long, Long) =
+      mus.zipWithIndex.map { case (mu, j) =>
+        (qv.zip(mu).map { case (a, b) => val d = a * fp - b; d * d }.sum, j.toLong)
+      }.min
+    def roundDiv(s: Long, cnt: Long): Long =
+      if (s >= 0) (2 * fp * s + cnt) / (2 * cnt)
+      else -((2 * fp * (-s) + cnt) / (2 * cnt))
+    for (_ <- 0 until iters) {
+      val byC = q.groupBy { case (_, qv) => assign(qv)._2 }
+      mus = mus.zipWithIndex.map { case (old, j) =>
+        byC.get(j.toLong) match {
+          case None => old
+          case Some(members) =>
+            val cnt = members.size.toLong
+            old.indices.map(i => roundDiv(members.map(_._2(i)).sum, cnt)).toArray
+        }
+      }
+    }
+    q.map { case (id, qv) => val (d, c) = assign(qv); id -> (c, d) }.toMap
+  }
+
+  private def run(rows: Seq[(Long, Seq[Double])], k: Int, iters: Int): Map[Long, (Long, Long)] = {
+    val s = spark
+    import s.implicits._
+    val df = rows.toDF("id", "vec")
+      .select(col("id"), col("vec").cast("array<float>").as("vec"))
+    KMeans.fixedPoint(df, "id", "vec", k, iters)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+  }
+
+  // deterministic pseudo-random vectors around c cluster centers
+  private def blobs(n: Int, dim: Int, c: Int): Seq[(Long, Seq[Double])] =
+    (0L until n).map { id =>
+      val rnd = new scala.util.Random(id * 7919 + 13)
+      val center = (id % c).toInt
+      id -> Seq.tabulate(dim)(i =>
+        (if (i % c == center) 0.4 else -0.1) + rnd.nextDouble() * 0.1)
+    }
+
+  test("matches the driver-side model on clustered data") {
+    val rows = blobs(120, 16, 3)
+    assert(run(rows, k = 5, iters = 3) == model(rows, k = 5, iters = 3))
+  }
+
+  test("matches the model when k exceeds the natural cluster count and iters=0") {
+    val rows = blobs(40, 8, 2)
+    // iters=0 gates the init draw alone (assignment against raw seeds)
+    assert(run(rows, k = 7, iters = 0) == model(rows, k = 7, iters = 0))
+  }
+
+  test("duplicate points tie-break to the lowest cluster id") {
+    // two identical seed candidates -> both centroids identical -> every
+    // point equidistant from both; everything must land in the LOWER id
+    val rows = (0L until 6L).map(id => id -> Seq.fill(4)(0.25))
+    val got = run(rows, k = 2, iters = 2)
+    assert(got.values.map(_._1).toSet == Set(0L))
+    assert(got == model(rows, k = 2, iters = 2))
+  }
+
+  test("empty clusters carry their centroid; points stay assigned across iterations") {
+    // one far outlier seeds a cluster that goes empty once the mass pulls
+    // the other centroid closer; result must still match the model exactly
+    val rows = (0L until 30L).map { id =>
+      if (id == 17L) id -> Seq(10.0, 10.0, 10.0, 10.0)
+      else id -> Seq.fill(4)(0.01 * id)
+    }
+    val (g, m) = (run(rows, k = 4, iters = 4), model(rows, k = 4, iters = 4))
+    assert(g == m)
+    assert(g.values.map(_._1).toSet.size >= 2) // outlier keeps its own cluster
+  }
+
+  test("clusters recover the planted structure on well-separated blobs") {
+    val rows = blobs(90, 12, 3)
+    val got = run(rows, k = 3, iters = 5)
+    // every planted group (id % 3) maps to exactly one k-means cluster
+    val planted = rows.map { case (id, _) => id -> id % 3 }.toMap
+    val mapping = got.groupBy { case (id, _) => planted(id) }
+      .view.mapValues(_.values.map(_._1).toSet).toMap
+    assert(mapping.values.forall(_.size == 1))
+    assert(mapping.values.flatten.toSet.size == 3)
+  }
+}
