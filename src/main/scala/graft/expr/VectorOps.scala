@@ -166,3 +166,101 @@ case class SignBuckets(child: Expression, tables: Int, planes: Int,
   override protected def withNewChildInternal(newChild: Expression): SignBuckets =
     copy(child = newChild)
 }
+
+/** One-pass k-means assignment: struct(dist, cluster) =
+  * argmin_j sum_i (q_i*fp - mu[j*dim+i])^2 with ties to the LOWEST j —
+  * strict `<` in the scan is exactly the struct-min (dist, cluster)
+  * ordering of the HOF formulation it replaces.
+  *
+  * Why an Expression and not `array_min(array(struct(aggregate(zip_with`:
+  * the HOF tree is CodegenFallback — ~k*3*dim interpreted boxed calls per
+  * row — and its centroid LITERALS change every Lloyd iteration, forcing a
+  * fresh plan each time. Here the centroid matrix rides in as a reference
+  * object (`ctx.addReferenceObj`), so the generated source is identical
+  * across iterations and the janino cache turns per-iteration compilation
+  * into a one-time cost. All arithmetic is Long — bit-identical to the
+  * KMeansSpec model and the generated DuckDB oracle.
+  *
+  * Null contract: a null vector, a vector whose length differs from `dim`,
+  * or any null element → null (the caller quantizes non-null float arrays,
+  * so this only guards malformed input).
+  */
+case class KMeansAssign(child: Expression, dim: Int, fp: Long,
+                        centroids: Array[Long])
+    extends UnaryExpression {
+  require(centroids.length > 0 && centroids.length % dim == 0,
+    s"centroids must be k*dim longs (dim=$dim, got ${centroids.length})")
+  private def k: Int = centroids.length / dim
+  override def dataType: DataType = StructType(Seq(
+    StructField("dist", LongType, nullable = false),
+    StructField("cluster", LongType, nullable = false)))
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_kmeans_assign"
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    if (arr.numElements() != dim) return null
+    val v = new Array[Long](dim)
+    var i = 0
+    while (i < dim) {
+      if (arr.isNullAt(i)) return null
+      v(i) = arr.getLong(i) * fp
+      i += 1
+    }
+    var bestD = Long.MaxValue
+    var bestC = 0L
+    var j = 0
+    while (j < k) {
+      var acc = 0L
+      val base = j * dim
+      i = 0
+      while (i < dim) { val d = v(i) - centroids(base + i); acc += d * d; i += 1 }
+      if (acc < bestD) { bestD = acc; bestC = j.toLong }
+      j += 1
+    }
+    org.apache.spark.sql.catalyst.InternalRow(bestD, bestC)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val muRef = ctx.addReferenceObj("kmeansCentroids", centroids, "long[]")
+    nullSafeCodeGen(ctx, ev, c => {
+      val v = ctx.freshName("v")
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      val d = ctx.freshName("d")
+      val acc = ctx.freshName("acc")
+      val base = ctx.freshName("base")
+      val bestD = ctx.freshName("bestD")
+      val bestC = ctx.freshName("bestC")
+      s"""
+         |if ($c.numElements() != $dim) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  final long[] $v = new long[$dim];
+         |  for (int $i = 0; $i < $dim && !${ev.isNull}; $i++) {
+         |    if ($c.isNullAt($i)) ${ev.isNull} = true;
+         |    else $v[$i] = $c.getLong($i) * ${fp}L;
+         |  }
+         |  if (!${ev.isNull}) {
+         |    long $bestD = Long.MAX_VALUE;
+         |    long $bestC = 0L;
+         |    for (int $j = 0; $j < $k; $j++) {
+         |      long $acc = 0L;
+         |      final int $base = $j * $dim;
+         |      for (int $i = 0; $i < $dim; $i++) {
+         |        final long $d = $v[$i] - $muRef[$base + $i];
+         |        $acc += $d * $d;
+         |      }
+         |      if ($acc < $bestD) { $bestD = $acc; $bestC = (long) $j; }
+         |    }
+         |    ${ev.value} = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+         |      new Object[]{ (Object) $bestD, (Object) $bestC });
+         |  }
+         |}
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): KMeansAssign =
+    copy(child = newChild)
+}

@@ -32,7 +32,8 @@ import org.apache.spark.storage.StorageLevel
   *    64*(2*64*1024)^2 ≈ 2^40 — no overflow.
   *
   * Scale shape: the classic broadcast-centroid Lloyd. Per iteration, one
-  * scan computing assignments against k*dim literal centroids (no shuffle)
+  * scan computing assignments against the k*dim centroid matrix — a single
+  * codegen'd pass ([[graft.expr.KMeansAssign]]), no shuffle —
   * plus one partial-aggregated sum shuffle of at most partitions*k*dim rows
   * (posexplode feeds a map-side combine on (cluster, pos)); only k*dim sums
   * ever reach the driver. The quantized vectors are cached for the
@@ -50,23 +51,16 @@ object KMeans {
     if (s >= 0) (twoF * s + cnt) / (2 * cnt)
     else -((twoF * (-s) + cnt) / (2 * cnt))
 
-  /** argmin over literal centroids as a struct-min: struct(dist, c) orders
-    * by dist then cluster id — the tie-break is part of the contract.
+  /** argmin over the centroid matrix — struct(dist, cluster), ties to the
+    * lowest cluster id (the tie-break is part of the contract). One
+    * codegen'd pass ([[graft.expr.KMeansAssign]]); the matrix rides as a
+    * reference object, so every Lloyd iteration reuses the same compiled
+    * code.
     */
-  private def bestOf(q: Column, mus: Centroids, fp: Long): Column = {
-    val scaled = transform(q, e => e * lit(fp))
-    val cands = mus.zipWithIndex.map { case (mu, j) =>
-      val d = aggregate(
-        zip_with(scaled, typedlit(mu.toSeq), (a, b) => (a - b) * (a - b)),
-        lit(0L), (acc, x) => acc + x)
-      struct(d.as("dist"), lit(j.toLong).as("cluster"))
-    }
-    // the aggregate() lambda resolves late, so struct()'s eager field-name
-    // inference falls back to col1/col2 — the cast restores the names
-    // (same types, comparison order unchanged: dist first, then cluster)
-    array_min(array(cands.toIndexedSeq: _*))
-      .cast("struct<dist:bigint,cluster:bigint>")
-  }
+  private def bestOf(q: Column, mus: Centroids, fp: Long): Column =
+    org.apache.spark.sql.GraftBridge.column(graft.expr.KMeansAssign(
+      org.apache.spark.sql.GraftBridge.expression(q),
+      mus.head.length, fp, mus.flatten.toArray))
 
   /** Cluster `df(vecCol)` into (at most) k clusters with `iters` exact
     * Lloyd iterations; returns (idCol, cluster, dist) where `dist` is the
@@ -101,10 +95,13 @@ object KMeans {
     var mus: Centroids = seeds.map(_.map(_ * fp))
     for (_ <- 0 until iters) {
       val best = bestOf(col("q"), mus, fp)
-      // (cluster, pos) partial sums: shuffle carries at most
-      // partitions * k * dim pre-combined rows; k*dim reach the driver.
-      val sums = q.select(best.getField("cluster").as("cluster"),
-          posexplode(col("q")).as(Seq("pos", "v")))
+      // assignment in the INNER projection: one argmin per row, below the
+      // Generate — selecting it alongside posexplode would re-evaluate it
+      // for every exploded position. (cluster, pos) partial sums: shuffle
+      // carries at most partitions * k * dim pre-combined rows; k*dim
+      // reach the driver.
+      val sums = q.select(best.getField("cluster").as("cluster"), col("q"))
+        .select(col("cluster"), posexplode(col("q")).as(Seq("pos", "v")))
         .groupBy("cluster", "pos")
         .agg(sum("v").as("s"), count(lit(1)).as("cnt"))
         .collect()
