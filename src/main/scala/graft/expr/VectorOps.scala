@@ -167,6 +167,63 @@ case class SignBuckets(child: Expression, tables: Int, planes: Int,
     copy(child = newChild)
 }
 
+/** Squared Euclidean distance of two long arrays in one generated loop —
+  * the pair predicate of SemDeDup's within-cluster compare. Null semantics
+  * match `aggregate(zip_with(a, b, (x,y) => (x-y)*(x-y)), 0L, _+_)`:
+  * unequal lengths or any null element → null.
+  */
+case class SqDistLong(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_sqdist"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    if (y.numElements() != n) return null
+    var acc = 0L
+    var i = 0
+    while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
+      val d = x.getLong(i) - y.getLong(i)
+      acc += d * d
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val d = ctx.freshName("d")
+      val acc = ctx.freshName("acc")
+      s"""
+         |final int $n = $a.numElements();
+         |if ($b.numElements() != $n) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  long $acc = 0L;
+         |  for (int $i = 0; $i < $n && !${ev.isNull}; $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) {
+         |      ${ev.isNull} = true;
+         |    } else {
+         |      final long $d = $a.getLong($i) - $b.getLong($i);
+         |      $acc += $d * $d;
+         |    }
+         |  }
+         |  ${ev.value} = $acc;
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): SqDistLong =
+    copy(left = newLeft, right = newRight)
+}
+
 /** One-pass k-means assignment: struct(dist, cluster) =
   * argmin_j sum_i (q_i*fp - mu[j*dim+i])^2 with ties to the LOWEST j —
   * strict `<` in the scan is exactly the struct-min (dist, cluster)

@@ -67,7 +67,17 @@ object KMeans {
     * integer squared fixed-point distance to the final centroid.
     */
   def fixedPoint(df: DataFrame, idCol: String, vecCol: String, k: Int,
-                 iters: Int, quantShift: Int = 6, fpShift: Int = 10): DataFrame = {
+                 iters: Int, quantShift: Int = 6, fpShift: Int = 10): DataFrame =
+    assigned(df, idCol, vecCol, k, iters, quantShift, fpShift)
+      .select(col(idCol), col("cluster"), col("dist"))
+
+  /** [[fixedPoint]] plus the quantized vector each row was assigned with —
+    * (idCol, cluster, dist, q: array<long>). The cluster-aware curation
+    * consumers ([[SemDeDup]]) need q for within-cluster pair distances
+    * without re-quantizing.
+    */
+  def assigned(df: DataFrame, idCol: String, vecCol: String, k: Int,
+               iters: Int, quantShift: Int = 6, fpShift: Int = 10): DataFrame = {
     require(k >= 1 && iters >= 0, s"need k>=1, iters>=0 (got k=$k iters=$iters)")
     require(quantShift + fpShift <= 20,
       "quantShift+fpShift beyond 20 bits risks Long overflow in the distance sum")
@@ -115,7 +125,7 @@ object KMeans {
 
     val best = bestOf(col("q"), mus, fp)
     q.select(col("kid").as(idCol), best.getField("cluster").as("cluster"),
-      best.getField("dist").as("dist"))
+      best.getField("dist").as("dist"), col("q"))
   }
 
   /** The DuckDB replay of [[fixedPoint]] as a WITH-chain: one (assign,
@@ -124,7 +134,17 @@ object KMeans {
     * test. `table`/`idCol`/`vecCol` name the parquet view and columns.
     */
   def oracleSql(table: String, idCol: String, vecCol: String, k: Int,
-                iters: Int, quantShift: Int = 6, fpShift: Int = 10): String = {
+                iters: Int, quantShift: Int = 6, fpShift: Int = 10): String =
+    oracleChain(table, idCol, vecCol, k, iters, quantShift, fpShift) +
+      s"\nSELECT $idCol, c AS cluster, dist FROM afin"
+
+  /** The WITH-chain alone, ending in CTE `afin` ($idCol, c, dist, plus
+    * `pts` with the quantized per-position values) — the cluster-aware
+    * curation oracles ([[SemDeDup]]) append their own CTEs/SELECT so the
+    * clustering replay is shared, never duplicated.
+    */
+  def oracleChain(table: String, idCol: String, vecCol: String, k: Int,
+                  iters: Int, quantShift: Int = 6, fpShift: Int = 10): String = {
     val scale = 1L << quantShift
     val fp = 1L << fpShift
     val iterCtes = (1 to iters).map { i =>
@@ -164,8 +184,9 @@ object KMeans {
        |  SELECT p.$idCol, c.c,
        |    sum((p.qv*$fp - c.mu)*(p.qv*$fp - c.mu)) AS dist
        |  FROM pts p JOIN cent$iters c ON p.pos = c.pos
-       |  GROUP BY 1, 2)
-       |SELECT $idCol, c AS cluster, dist::BIGINT AS dist FROM d$fin
-       |QUALIFY row_number() OVER (PARTITION BY $idCol ORDER BY dist, c) = 1""".stripMargin
+       |  GROUP BY 1, 2),
+       |afin AS (
+       |  SELECT $idCol, c, dist::BIGINT AS dist FROM d$fin
+       |  QUALIFY row_number() OVER (PARTITION BY $idCol ORDER BY dist, c) = 1)""".stripMargin
   }
 }

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.core.Tables
 import graft.functions.{TextFunctions => T, SimilarityFunctions => S}
-import graft.ops.{Dedup, KMeans, SimilaritySearch, TrainingPipeline}
+import graft.ops.{Dedup, KMeans, SemDeDup, SimilaritySearch, TrainingPipeline}
 
 /** Training-data pipeline queries over `documents` / `embeddings`:
   * text analysis, dedup families, similarity search — each oracle-checked
@@ -158,6 +158,22 @@ object TextPack {
   def kmeansQ(s: SparkSession, dir: String): DataFrame =
     KMeans.fixedPoint(Tables.embeddings(s, dir), "vec_id", "embedding",
       k = 8, iters = 3)
+
+  /** SemDeDup over the embedding store: kept=false rows have a
+    * higher-priority semantic near-duplicate in their cluster. tauSq=6500
+    * sits at the ~5th percentile of within-cluster pair distances at this
+    * quantization — a real planted drop-set, not a vacuous threshold.
+    */
+  def semDedupQ(s: SparkSession, dir: String): DataFrame =
+    SemDeDup.semantic(Tables.embeddings(s, dir), "vec_id", "embedding",
+      k = 8, iters = 3, tauSq = 6500L)
+
+  /** Cluster-balanced sample: 5 deterministic draws per k-means cluster —
+    * the "balance the corpus across semantic clusters" curation step.
+    */
+  def clusterSampleQ(s: SparkSession, dir: String): DataFrame =
+    SemDeDup.clusterSample(Tables.embeddings(s, dir), "vec_id", "embedding",
+      k = 8, iters = 3, n = 5)
 
   def annIvf(s: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(s, dir)
@@ -732,6 +748,8 @@ object TextPack {
     "ann_ivf_persisted" -> annIvfPersisted _,
     "ann_quantize" -> annQuantize _,
     "pl_kmeans" -> kmeansQ _,
+    "dd_semantic" -> semDedupQ _,
+    "pl_cluster_sample" -> clusterSampleQ _,
   )
 
   // DuckDB-side common table prefixes (carries n_chars through so consumers
@@ -1307,5 +1325,11 @@ object TextPack {
     // parameters (k, iters, shifts) or the oracle silently tests nothing
     "pl_kmeans" ->
       KMeans.oracleSql("embeddings", "vec_id", "embedding", k = 8, iters = 3),
+    "dd_semantic" ->
+      SemDeDup.semanticOracleSql("embeddings", "vec_id", "embedding",
+        k = 8, iters = 3, tauSq = 6500L),
+    "pl_cluster_sample" ->
+      SemDeDup.clusterSampleOracleSql("embeddings", "vec_id", "embedding",
+        k = 8, iters = 3, n = 5),
   )
 }

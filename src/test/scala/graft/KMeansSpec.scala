@@ -5,27 +5,29 @@ import org.apache.spark.sql.functions._
 import graft.ops.KMeans
 import TestSpark.spark
 
-/** Integer-exact k-means: Spark's result must equal an independent Scala
-  * model of the same fixed-point Lloyd iterations (the DuckDB oracle is
-  * the third replication in the correctness gate).
+/** Driver-side models of the cluster-curation family — plain-collections
+  * replications shared by KMeansSpec and SemDeDupSpec (the DuckDB oracle
+  * is the third replication in the correctness gate).
   */
-class KMeansSpec extends AnyFunSuite {
+private[graft] object KMeansModel {
 
-  private def md5hex(s: String): String =
+  def md5hex(s: String): String =
     java.security.MessageDigest.getInstance("MD5")
       .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  def quantize(v: Seq[Double], quantShift: Int): Seq[Long] = {
+    val scale = 1L << quantShift
+    // through Float first: the table column is float32, like embeddings
+    v.map(x => math.floor(x.toFloat.toDouble * scale).toLong)
+  }
 
   /** Driver-side model of KMeans.fixedPoint — same quantization, init,
     * rounding, and tie-break, written against plain collections.
     */
-  private def model(rows: Seq[(Long, Seq[Double])], k: Int, iters: Int,
-                    quantShift: Int = 6, fpShift: Int = 10): Map[Long, (Long, Long)] = {
-    val scale = 1L << quantShift
+  def model(rows: Seq[(Long, Seq[Double])], k: Int, iters: Int,
+            quantShift: Int = 6, fpShift: Int = 10): Map[Long, (Long, Long)] = {
     val fp = 1L << fpShift
-    // through Float first: the table column is float32, like embeddings
-    val q = rows.map { case (id, v) =>
-      id -> v.map(x => math.floor(x.toFloat.toDouble * scale).toLong)
-    }
+    val q = rows.map { case (id, v) => id -> quantize(v, quantShift) }
     val seeds = q.sortBy { case (id, _) => (md5hex(id.toString), id) }.take(k).map(_._2)
     var mus = seeds.map(_.map(_ * fp).toArray).toArray
     def assign(qv: Seq[Long]): (Long, Long) =
@@ -48,6 +50,11 @@ class KMeansSpec extends AnyFunSuite {
     }
     q.map { case (id, qv) => val (d, c) = assign(qv); id -> (c, d) }.toMap
   }
+}
+
+/** Integer-exact k-means: Spark's result must equal [[KMeansModel]]. */
+class KMeansSpec extends AnyFunSuite {
+  import KMeansModel.model
 
   private def run(rows: Seq[(Long, Seq[Double])], k: Int, iters: Int): Map[Long, (Long, Long)] = {
     val s = spark

@@ -1,0 +1,103 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.ops.SemDeDup
+import TestSpark.spark
+
+/** SemDeDup semantics against a driver-side model: the EXISTS drop rule is
+  * priority-based, NOT survival-based — a row is dropped by any
+  * higher-priority neighbor within tauSq even if that neighbor itself
+  * drops. Priority = (dist-to-centroid DESC, id ASC).
+  */
+class SemDeDupSpec extends AnyFunSuite {
+  import KMeansModel.{model, quantize, md5hex}
+
+  /** Plain-collections replication of SemDeDup.semantic. */
+  private def semModel(rows: Seq[(Long, Seq[Double])], k: Int, iters: Int,
+                       tauSq: Long): Map[Long, (Long, Boolean)] = {
+    val a = model(rows, k, iters) // id -> (cluster, dist)
+    val q = rows.map { case (id, v) => id -> quantize(v, 6) }.toMap
+    def d2(x: Long, y: Long): Long =
+      q(x).zip(q(y)).map { case (p, r) => val d = p - r; d * d }.sum
+    rows.map { case (xid, _) =>
+      val (xc, xd) = a(xid)
+      val dropped = rows.exists { case (yid, _) =>
+        yid != xid && a(yid)._1 == xc && {
+          val yd = a(yid)._2
+          (yd > xd || (yd == xd && yid < xid)) && d2(xid, yid) <= tauSq
+        }
+      }
+      xid -> (xc, !dropped)
+    }.toMap
+  }
+
+  private def run(rows: Seq[(Long, Seq[Double])], k: Int, iters: Int,
+                  tauSq: Long): Map[Long, (Long, Boolean)] = {
+    val s = spark
+    import s.implicits._
+    val df = rows.toDF("id", "vec")
+      .select(col("id"), col("vec").cast("array<float>").as("vec"))
+    SemDeDup.semantic(df, "id", "vec", k, iters, tauSq)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+  }
+
+  private def blobs(n: Int, dim: Int, c: Int): Seq[(Long, Seq[Double])] =
+    (0L until n).map { id =>
+      val rnd = new scala.util.Random(id * 7919 + 13)
+      val center = (id % c).toInt
+      id -> Seq.tabulate(dim)(i =>
+        (if (i % c == center) 0.4 else -0.1) + rnd.nextDouble() * 0.1)
+    }
+
+  test("matches the model across thresholds") {
+    val rows = blobs(80, 12, 3)
+    for (tau <- Seq(0L, 200L, 2000L, Long.MaxValue / 4))
+      assert(run(rows, k = 4, iters = 2, tau) == semModel(rows, k = 4, iters = 2, tau))
+  }
+
+  test("drop-by-dropped: the EXISTS rule uses priority, not survival") {
+    // md5("1") < md5("2") < md5("0") < md5("3"), so with k=1, iters=0 the
+    // centroid is id 1's vector. Values 0/2/4 on a line, tau = one step:
+    // priority (far-from-centroid first) is id3 > id2 > id1; id2 drops via
+    // id3, id1 drops via id2 EVEN THOUGH id2 itself dropped. kept = {id3}.
+    assert(md5hex("1") < md5hex("2") && md5hex("2") < md5hex("0"))
+    val rows = Seq(1L -> Seq(0.0), 2L -> Seq(2.0), 3L -> Seq(4.0))
+    val tau = 128L * 128L // (2 * 2^6)^2 — exactly one step
+    val got = run(rows, k = 1, iters = 0, tau)
+    assert(got == semModel(rows, k = 1, iters = 0, tau))
+    assert(got.view.mapValues(_._2).toMap == Map(1L -> false, 2L -> false, 3L -> true))
+  }
+
+  test("tauSq huge keeps exactly the top-priority row per cluster") {
+    val rows = blobs(60, 8, 2)
+    val got = run(rows, k = 3, iters = 2, Long.MaxValue / 4)
+    val byCluster = got.groupBy(_._2._1)
+    assert(byCluster.values.forall(_.count(_._2._2) == 1))
+    assert(got == semModel(rows, k = 3, iters = 2, Long.MaxValue / 4))
+  }
+
+  test("tauSq=0 drops only exact quantized duplicates, higher id loses ties") {
+    val rows = blobs(30, 6, 2) ++ Seq(100L -> Seq.fill(6)(0.2), 101L -> Seq.fill(6)(0.2))
+    val got = run(rows, k = 2, iters = 1, 0L)
+    assert(got == semModel(rows, k = 2, iters = 1, 0L))
+    assert(got(100L)._2 && !got(101L)._2) // equal dist: lower id has priority
+  }
+
+  test("clusterSample draws n per cluster in (md5, id) order") {
+    val rows = blobs(50, 8, 2)
+    val s = spark
+    import s.implicits._
+    val df = rows.toDF("id", "vec")
+      .select(col("id"), col("vec").cast("array<float>").as("vec"))
+    val got = SemDeDup.clusterSample(df, "id", "vec", k = 3, iters = 2, n = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val a = model(rows, k = 3, iters = 2)
+    val expect = a.groupBy(_._2._1).flatMap { case (c, members) =>
+      members.keys.toSeq.sortBy(id => (md5hex(id.toString), id)).take(4)
+        .map(_ -> c)
+    }
+    assert(got == expect)
+    assert(got.groupBy(_._2).values.forall(_.size <= 4))
+  }
+}
