@@ -55,14 +55,29 @@ object CsvExport {
     require(dfs.size >= 2, "zipped export needs at least two datasets")
     require(dfs.forall(_.columns.contains(on)), s"every dataset needs the alignment column $on")
     // Line-alignment guard: an inner join would SILENTLY drop (missing
-    // keys) or fan out (duplicate keys) rows. One agg pass per input; for
-    // integral keys count==distinct==n, min=0, max=n-1 proves the key set
-    // is exactly {0..n-1} (the withRowId contract), making the zip exact.
-    val stats = dfs.map { d =>
-      val r = d.agg(count(lit(1)), count_distinct(Q(on)),
-        min(Q(on)).cast("string"), max(Q(on)).cast("string")).collect()(0)
-      (r.getLong(0), r.getLong(1), r.getString(2), r.getString(3))
-    }
+    // keys) or fan out (duplicate keys) rows. For integral keys
+    // count==distinct==n, min=0, max=n-1 proves the key set is exactly
+    // {0..n-1} (the withRowId contract), making the zip exact. ALL inputs
+    // are guarded in ONE union-agg job — the key columns union keyed by
+    // input ordinal, one grouped agg, one collect — instead of a
+    // job-per-input round-trip (the per-job overhead dominated this
+    // export's cost at bench scale).
+    val keyType = dfs.head.schema(on).dataType
+    require(dfs.forall(_.schema(on).dataType == keyType),
+      s"zipped export: alignment column $on must have one type across inputs")
+    val statsByDs = dfs.zipWithIndex
+      .map { case (d, i) => d.select(lit(i).as("__ds"), Q(on).as("__k")) }
+      .reduce(_ unionByName _)
+      .groupBy(col("__ds"))
+      .agg(count(lit(1)), count_distinct(col("__k")),
+        min(col("__k")).cast("string"), max(col("__k")).cast("string"))
+      .collect()
+      .map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2), r.getString(3), r.getString(4)))
+      .toMap
+    // an empty input has no group row; its stats are (0, 0, null, null),
+    // matching what a per-input agg reported
+    val stats = dfs.indices.map(i =>
+      statsByDs.getOrElse(i, (0L, 0L, null: String, null: String)))
     require(stats.map(_._1).distinct.size == 1,
       s"zipped export: datasets are not line-aligned: counts=${stats.map(_._1)}")
     stats.foreach { case (n, nd, _, _) =>
