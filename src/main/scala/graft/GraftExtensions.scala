@@ -55,6 +55,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       args => expect(args, 2)
         graft.expr.DotProduct(args(0), args(1))
     }
+    inject("graft_sqdist",
+      "graft_sqdist(a, b) - squared Euclidean distance of two long arrays") {
+      args => expect(args, 2)
+        graft.expr.SqDistLong(args(0), args(1))
+    }
     inject("graft_unicode_normalize",
       "graft_unicode_normalize(s, form) - Unicode NFC/NFD/NFKC/NFKD normalization") {
       args => expect(args, 2)

@@ -95,6 +95,42 @@ object SemDeDup {
       .select(col(idCol), col("cluster"))
   }
 
+  /** Prototypicality pruning (SSL-prototype metric of Sorscher et al.
+    * 2022, arXiv:2206.14486: data beats scaling laws when you keep the
+    * HARD examples): per cluster, keep the ceil(keepFrac * cluster_size)
+    * rows farthest from their centroid (dist DESC, ties to the lower id).
+    * Integer rank arithmetic — rank and the ceil'd cutoff are exact in
+    * both engines, so the kept set replays bit-identically.
+    *
+    * Returns (idCol, cluster, dist) for the kept rows only.
+    */
+  def prototypePrune(df: DataFrame, idCol: String, vecCol: String, k: Int,
+                     iters: Int, keepNum: Int, keepDen: Int,
+                     quantShift: Int = 6, fpShift: Int = 10): DataFrame = {
+    require(keepNum >= 0 && keepDen > 0 && keepNum <= keepDen,
+      s"keep fraction must be 0 <= $keepNum/$keepDen <= 1")
+    val a = KMeans.fixedPoint(df, idCol, vecCol, k, iters, quantShift, fpShift)
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("cluster"))
+    val ord = w.orderBy(col("dist").desc, col(idCol))
+    // ceil(n * num / den) in integers: (n*num + den - 1) div den
+    a.withColumn("__rk", row_number().over(ord))
+      .withColumn("__n", count(lit(1)).over(w))
+      .filter(col("__rk") <= expr(s"(__n * $keepNum + ${keepDen - 1}) div $keepDen"))
+      .select(col(idCol), col("cluster"), col("dist"))
+  }
+
+  /** DuckDB replay of [[prototypePrune]]: shared chain + the same integer
+    * rank/cutoff window.
+    */
+  def prototypePruneOracleSql(table: String, idCol: String, vecCol: String,
+                              k: Int, iters: Int, keepNum: Int, keepDen: Int,
+                              quantShift: Int = 6, fpShift: Int = 10): String =
+    KMeans.oracleChain(table, idCol, vecCol, k, iters, quantShift, fpShift) +
+      s"""
+         |SELECT $idCol, c AS cluster, dist FROM afin
+         |QUALIFY row_number() OVER (PARTITION BY c ORDER BY dist DESC, $idCol)
+         |  <= (count(*) OVER (PARTITION BY c) * $keepNum + $keepDen - 1) // $keepDen""".stripMargin
+
   /** DuckDB replay of [[semantic]]: the shared [[KMeans.oracleChain]]
     * (ending in `afin` + `pts`), then pair distances over the ordered half
     * of each within-cluster pair and the EXISTS drop rule.

@@ -175,6 +175,14 @@ object TextPack {
     SemDeDup.clusterSample(Tables.embeddings(s, dir), "vec_id", "embedding",
       k = 8, iters = 3, n = 5)
 
+  /** Prototype pruning: keep the hardest 3/10 of each cluster (farthest
+    * from centroid) — the Sorscher-style "prune the prototypical mass"
+    * curation step, exact integer rank + ceil cutoff.
+    */
+  def prototypePruneQ(s: SparkSession, dir: String): DataFrame =
+    SemDeDup.prototypePrune(Tables.embeddings(s, dir), "vec_id", "embedding",
+      k = 8, iters = 3, keepNum = 3, keepDen = 10)
+
   def annIvf(s: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(s, dir)
     val queries = emb.filter(col("vec_id") < 5)
@@ -750,6 +758,7 @@ object TextPack {
     "pl_kmeans" -> kmeansQ _,
     "dd_semantic" -> semDedupQ _,
     "pl_cluster_sample" -> clusterSampleQ _,
+    "pl_prototype_prune" -> prototypePruneQ _,
   )
 
   // DuckDB-side common table prefixes (carries n_chars through so consumers
@@ -1331,5 +1340,8 @@ object TextPack {
     "pl_cluster_sample" ->
       SemDeDup.clusterSampleOracleSql("embeddings", "vec_id", "embedding",
         k = 8, iters = 3, n = 5),
+    "pl_prototype_prune" ->
+      SemDeDup.prototypePruneOracleSql("embeddings", "vec_id", "embedding",
+        k = 8, iters = 3, keepNum = 3, keepDen = 10),
   )
 }

@@ -42,6 +42,12 @@ class GraftExtensionsSpec extends AnyFunSuite {
         "SELECT graft_dot(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS d")
         .head.getDouble(0)
       assert(dot == 11.0)
+      val sqd = s.sql(
+        "SELECT graft_sqdist(array(1L, 5L), array(4L, 1L)) AS d")
+        .head.getLong(0)
+      assert(sqd == 25L)
+      assert(s.sql("SELECT graft_sqdist(array(1L), array(1L, 2L)) AS d")
+        .head.isNullAt(0), "length mismatch is null, matching the HOF form")
       val nfc = s.sql(
         "SELECT length(graft_unicode_normalize('é', 'NFC')) AS l")
         .head.getInt(0)

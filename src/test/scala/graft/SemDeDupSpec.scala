@@ -84,6 +84,28 @@ class SemDeDupSpec extends AnyFunSuite {
     assert(got(100L)._2 && !got(101L)._2) // equal dist: lower id has priority
   }
 
+  test("prototypePrune keeps the ceil-fraction farthest rows per cluster") {
+    val rows = blobs(50, 8, 2)
+    val s = spark
+    import s.implicits._
+    val df = rows.toDF("id", "vec")
+      .select(col("id"), col("vec").cast("array<float>").as("vec"))
+    val got = SemDeDup.prototypePrune(df, "id", "vec", k = 3, iters = 2,
+        keepNum = 3, keepDen = 10)
+      .collect().map(r => r.getLong(0)).toSet
+    val a = model(rows, k = 3, iters = 2)
+    val expect = a.groupBy(_._2._1).flatMap { case (_, members) =>
+      val keep = (members.size * 3 + 9) / 10
+      members.toSeq.sortBy { case (id, (_, d)) => (-d, id) }.take(keep).map(_._1)
+    }.toSet
+    assert(got == expect)
+    // the cutoff is ceil: a 1-row cluster with any nonzero fraction keeps its row
+    val one = Seq(0L -> Seq.fill(4)(0.1))
+    val df1 = one.toDF("id", "vec")
+      .select(col("id"), col("vec").cast("array<float>").as("vec"))
+    assert(SemDeDup.prototypePrune(df1, "id", "vec", 1, 0, 1, 10).count() == 1L)
+  }
+
   test("clusterSample draws n per cluster in (md5, id) order") {
     val rows = blobs(50, 8, 2)
     val s = spark
