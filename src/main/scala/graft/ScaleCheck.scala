@@ -48,7 +48,14 @@ object ScaleCheck {
     "dd_ngram_jaccard", "dd_simhash", "dd_minhash_lsh", "pl_corpus_e2e",
     "pl_dedup_corpus", "q_salted_join", "q5_local_supplier",
     "op_csvexport_zip", "op_sort_order", "tx_keywords", "op_type_fuzz",
-    "dd_line_dedup")
+    "dd_line_dedup", "pl_kmeans")
+  // dd_semantic is deliberately NOT a scale target: its within-cluster
+  // pairwise compare is O(sum c_i^2) BY DESIGN (SemDeDup's published
+  // trade), so replicating the corpus under a FIXED k would measure the
+  // data's quadratic pair growth, not engine cost — production scales k
+  // with N to hold cluster size constant (ops/SemDeDup.scala Scaladoc).
+  // pl_kmeans IS one: fixed k over 10x rows must scale linearly (one
+  // assignment scan + one bounded partial-agg shuffle per iteration).
 
   /** Key offset per replica — far above any base key (max base key is
     * o_orderkey ~ 1.5e5 at sf0.1), so replica key spaces never collide.

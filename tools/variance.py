@@ -1,8 +1,8 @@
 #!/usr/bin/env python3
 """Build VARIANCE.json from two back-to-back Bench runs of the identical
 build (target/BENCH_runA.json, target/BENCH_runB.json): per-query spread
-between the two min-of-3 results, plus the comparison against the previous
-round's committed BENCH_FULL numbers, to establish the noise band that
+between the two min-of-3 results, plus the comparison against the last
+COMMITTED BENCH_FULL numbers (label: prev), to establish the noise band that
 makes round-over-round deltas interpretable."""
 import json, subprocess, sys
 
@@ -10,8 +10,9 @@ runA = json.load(open("target/BENCH_runA.json"))
 runB = json.load(open("target/BENCH_runB.json"))
 
 # previous round's committed table (pre-variance-experiment HEAD)
+prev_ref = sys.argv[1] if len(sys.argv) > 1 else "HEAD"
 prev_raw = subprocess.run(
-    ["git", "show", "HEAD:BENCH_FULL.json"], capture_output=True, text=True)
+    ["git", "show", f"{prev_ref}:BENCH_FULL.json"], capture_output=True, text=True)
 prev = json.loads(prev_raw.stdout)["queries"] if prev_raw.returncode == 0 else {}
 
 qa, qb = runA["queries"], runB["queries"]
@@ -26,13 +27,14 @@ for q in common:
     rows[q] = {
         "runA": round(a, 4), "runB": round(b, 4),
         "rel_spread": round(spread, 4),
-        **({"r9": prev[q], "delta_vs_r9": round((m - prev[q]) / prev[q], 4)}
+        **({"prev": prev[q], "delta_vs_prev": round((m - prev[q]) / prev[q], 4)}
            if q in prev else {}),
     }
 
 ta, tb = runA["value"], runB["value"]
 tprev = sum(prev.values()) if prev else None
 out = {
+    "prev_note": f"prev = committed BENCH_FULL at {prev_ref}; r10 compares against the round-9 sf0.1 table (ref ff9d259) — that baseline predates the driver's testdata regeneration and this round's new queries, so delta_vs_prev mixes data-generation drift with code changes",
     "protocol": "two back-to-back exclusive `runMain graft.Bench` runs of the "
                 "identical build, cpus=32, each min-of-3 after untimed warmup",
     "total_runA_sec": round(ta, 2),
@@ -40,8 +42,8 @@ out = {
     "total_rel_spread": round(abs(ta - tb) / min(ta, tb), 4),
     "median_query_rel_spread": round(sorted(spreads)[len(spreads) // 2], 4),
     "p90_query_rel_spread": round(sorted(spreads)[int(len(spreads) * 0.9)], 4),
-    **({"total_r9_sec": round(tprev, 2),
-        "delta_best_vs_r9": round((min(ta, tb) - tprev) / tprev, 4)}
+    **({"total_prev_sec": round(tprev, 2),
+        "delta_best_vs_prev": round((min(ta, tb) - tprev) / tprev, 4)}
        if tprev else {}),
     "queries": rows,
 }
