@@ -84,6 +84,20 @@ class SemDeDupSpec extends AnyFunSuite {
     assert(got(100L)._2 && !got(101L)._2) // equal dist: lower id has priority
   }
 
+  test("the pair join is an equi-join on cluster, never a cartesian") {
+    val rows = blobs(40, 8, 2)
+    val s = spark
+    import s.implicits._
+    val df = rows.toDF("id", "vec")
+      .select(col("id"), col("vec").cast("array<float>").as("vec"))
+    val plan = SemDeDup.semantic(df, "id", "vec", k = 3, iters = 1, tauSq = 100L)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"),
+      "within-cluster pairing must hash on the cluster key")
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      "the priority+distance predicates must ride an equi-join, not a nested loop")
+  }
+
   test("prototypePrune keeps the ceil-fraction farthest rows per cluster") {
     val rows = blobs(50, 8, 2)
     val s = spark
