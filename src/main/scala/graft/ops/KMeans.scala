@@ -78,18 +78,64 @@ object KMeans {
     */
   def assigned(df: DataFrame, idCol: String, vecCol: String, k: Int,
                iters: Int, quantShift: Int = 6, fpShift: Int = 10): DataFrame = {
-    require(k >= 1 && iters >= 0, s"need k>=1, iters>=0 (got k=$k iters=$iters)")
     require(quantShift + fpShift <= 20,
       "quantShift+fpShift beyond 20 bits risks Long overflow in the distance sum")
-    val scale = 1L << quantShift
     val fp = 1L << fpShift
-    val id = col(idCol)
-
-    val q = df.select(id.as("kid"),
-        transform(col(vecCol), x => floor(x.cast("double") * lit(scale.toDouble)).cast("long"))
-          .as("q"))
+    val q = quantize(df, idCol, vecCol, quantShift)
       .persist(StorageLevel.MEMORY_AND_DISK)
+    val mus = lloyd(q, k, iters, fp)
+    finish(q, mus, fp, idCol)
+  }
 
+  /** Fit alone: the final fixed-point centroid matrix (k × dim longs) —
+    * the persistable "model" an incremental consumer assigns NEW batches
+    * against ([[SemDeDup.incremental]]) without refitting.
+    */
+  def fit(df: DataFrame, idCol: String, vecCol: String, k: Int,
+          iters: Int, quantShift: Int = 6, fpShift: Int = 10): Array[Array[Long]] = {
+    require(quantShift + fpShift <= 20,
+      "quantShift+fpShift beyond 20 bits risks Long overflow in the distance sum")
+    val fp = 1L << fpShift
+    val q = quantize(df, idCol, vecCol, quantShift)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val mus = lloyd(q, k, iters, fp)
+    q.unpersist()
+    mus
+  }
+
+  /** Assign rows to a GIVEN centroid matrix (no fitting) — one scan,
+    * returns (idCol, cluster, dist, q) like [[assigned]].
+    */
+  def assignTo(df: DataFrame, idCol: String, vecCol: String,
+               mus: Array[Array[Long]], quantShift: Int = 6,
+               fpShift: Int = 10): DataFrame = {
+    require(mus.nonEmpty, "assignTo: empty centroid matrix")
+    require(quantShift + fpShift <= 20,
+      "quantShift+fpShift beyond 20 bits risks Long overflow in the distance sum")
+    finish(quantize(df, idCol, vecCol, quantShift), mus, 1L << fpShift, idCol)
+  }
+
+  private def quantize(df: DataFrame, idCol: String, vecCol: String,
+                       quantShift: Int): DataFrame = {
+    val scale = 1L << quantShift
+    df.select(col(idCol).as("kid"),
+      transform(col(vecCol), x => floor(x.cast("double") * lit(scale.toDouble)).cast("long"))
+        .as("q"))
+  }
+
+  private def finish(q: DataFrame, mus: Centroids, fp: Long,
+                     idCol: String): DataFrame = {
+    val best = bestOf(col("q"), mus, fp)
+    q.select(col("kid").as(idCol), best.getField("cluster").as("cluster"),
+      best.getField("dist").as("dist"), col("q"))
+  }
+
+  /** The exact Lloyd loop over a (kid, q) frame; returns the final
+    * fixed-point centroid matrix.
+    */
+  private def lloyd(q: DataFrame, k: Int, iters: Int, fp: Long): Centroids = {
+    require(k >= 1 && iters >= 0, s"need k>=1, iters>=0 (got k=$k iters=$iters)")
+    require((fp & (fp - 1)) == 0, "fpShift must give a power of two")
     // Deterministic init: k smallest by (md5(id-as-string), id). The collect
     // is k rows — TakeOrderedAndProject, not a sort of the corpus.
     val seeds = q
@@ -100,7 +146,6 @@ object KMeans {
       .collect()
       .map(_.getSeq[Long](0).toArray)
     require(seeds.nonEmpty, "kmeans: empty input")
-    val dim = seeds.head.length
 
     var mus: Centroids = seeds.map(_.map(_ * fp))
     for (_ <- 0 until iters) {
@@ -122,10 +167,7 @@ object KMeans {
       }
       mus = next
     }
-
-    val best = bestOf(col("q"), mus, fp)
-    q.select(col("kid").as(idCol), best.getField("cluster").as("cluster"),
-      best.getField("dist").as("dist"), col("q"))
+    mus
   }
 
   /** The DuckDB replay of [[fixedPoint]] as a WITH-chain: one (assign,

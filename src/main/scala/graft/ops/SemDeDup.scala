@@ -95,6 +95,104 @@ object SemDeDup {
       .select(col(idCol), col("cluster"))
   }
 
+  /** INCREMENTAL semantic dedup — the daily-ingest twin of [[semantic]],
+    * completing the incremental family (exact/minhash/line dedup all have
+    * one). `history` is the persisted assignment index of the corpus so
+    * far — (idCol, cluster, q), the [[KMeans.assigned]]/[[KMeans.assignTo]]
+    * shape, typically landed as a snapshot by the job that fitted the
+    * centroids — and `mus` is that fit ([[KMeans.fit]]). The batch is
+    * assigned to the FROZEN centroids (one scan, no refit: history
+    * assignments stay valid, which is the whole point), then a batch row
+    * drops when EITHER a same-cluster history row sits within `tauSq`
+    * (history is immutable — it always wins) OR a higher-priority
+    * same-cluster batch row does (exactly [[semantic]]'s rule).
+    *
+    * At scale: history vectors are never re-read from the corpus — the
+    * index carries the dim-long quantized vectors, the history side
+    * shuffles once keyed by cluster, and the batch (daily delta, orders
+    * of magnitude smaller) drives both joins.
+    *
+    * Returns (idCol, cluster, kept) for the BATCH rows only.
+    */
+  def incremental(batch: DataFrame, history: DataFrame,
+                  mus: Array[Array[Long]], idCol: String, vecCol: String,
+                  tauSq: Long, quantShift: Int = 6,
+                  fpShift: Int = 10): DataFrame = {
+    require(tauSq >= 0, s"tauSq must be >= 0, got $tauSq")
+    val ab = KMeans.assignTo(batch, idCol, vecCol, mus, quantShift, fpShift)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val x = ab.select(col(idCol).as("xid"), col("cluster"),
+      col("dist").as("xd"), col("q").as("xq"))
+    val h = history.select(col("cluster").as("hcluster"), col("q").as("hq"))
+    val hDrop = x.join(h,
+        col("cluster") === col("hcluster") &&
+          sq(col("xq"), col("hq")) <= lit(tauSq),
+        "left_semi")
+      .select(col("xid"))
+    val y = ab.select(col(idCol).as("yid"), col("cluster").as("ycluster"),
+      col("dist").as("yd"), col("q").as("yq"))
+    val bDrop = x.join(y,
+        col("cluster") === col("ycluster") &&
+          (col("yd") > col("xd") ||
+            (col("yd") === col("xd") && col("yid") < col("xid"))) &&
+          sq(col("xq"), col("yq")) <= lit(tauSq),
+        "left_semi")
+      .select(col("xid"))
+    val dropped = hDrop.unionByName(bDrop).distinct()
+    ab.join(dropped.withColumn("__dropped", lit(true)),
+        col(idCol) === col("xid"), "left_outer")
+      .select(col(idCol), col("cluster"),
+        coalesce(col("__dropped"), lit(false)).unary_!.as("kept"))
+  }
+
+  /** DuckDB replay of [[incremental]] where history = `$table` rows
+    * matching `histPred` and the batch is the rest: the shared chain fits
+    * centroids on history only, then the batch is assigned to the frozen
+    * `cent<iters>` matrix and the two drop rules replay relationally.
+    */
+  def incrementalOracleSql(table: String, idCol: String, vecCol: String,
+                           histPred: String, k: Int, iters: Int,
+                           tauSq: Long, quantShift: Int = 6,
+                           fpShift: Int = 10): String = {
+    val scale = 1L << quantShift
+    val fp = 1L << fpShift
+    KMeans.oracleChain(s"(SELECT * FROM $table WHERE $histPred)",
+        idCol, vecCol, k, iters, quantShift, fpShift) +
+      s""",
+         |qb AS (
+         |  SELECT $idCol,
+         |    list_transform($vecCol, x -> CAST(floor(CAST(x AS DOUBLE)*$scale) AS BIGINT)) AS q
+         |  FROM $table WHERE NOT ($histPred)),
+         |ptsb AS (SELECT $idCol, generate_subscripts(q, 1) AS pos, unnest(q) AS qv FROM qb),
+         |dbat AS (
+         |  SELECT p.$idCol, c.c,
+         |    sum((p.qv*$fp - c.mu)*(p.qv*$fp - c.mu)) AS dist
+         |  FROM ptsb p JOIN cent$iters c ON p.pos = c.pos
+         |  GROUP BY 1, 2),
+         |abat AS (
+         |  SELECT $idCol, c, dist::BIGINT AS dist FROM dbat
+         |  QUALIFY row_number() OVER (PARTITION BY $idCol ORDER BY dist, c) = 1),
+         |hpair AS (
+         |  SELECT ab.$idCol AS bid, sum((pb.qv - ph.qv)*(pb.qv - ph.qv)) AS d2
+         |  FROM abat ab JOIN afin ah ON ab.c = ah.c
+         |  JOIN ptsb pb ON pb.$idCol = ab.$idCol
+         |  JOIN pts ph ON ph.$idCol = ah.$idCol AND ph.pos = pb.pos
+         |  GROUP BY ab.$idCol, ah.$idCol),
+         |bpair AS (
+         |  SELECT ax.$idCol AS bid, sum((px.qv - py.qv)*(px.qv - py.qv)) AS d2
+         |  FROM abat ax
+         |  JOIN abat ay ON ax.c = ay.c
+         |    AND (ay.dist > ax.dist OR (ay.dist = ax.dist AND ay.$idCol < ax.$idCol))
+         |  JOIN ptsb px ON px.$idCol = ax.$idCol
+         |  JOIN ptsb py ON py.$idCol = ay.$idCol AND py.pos = px.pos
+         |  GROUP BY ax.$idCol, ay.$idCol),
+         |dropped AS (
+         |  SELECT DISTINCT bid FROM hpair WHERE d2 <= $tauSq
+         |  UNION SELECT DISTINCT bid FROM bpair WHERE d2 <= $tauSq)
+         |SELECT a.$idCol, a.c AS cluster, (d.bid IS NULL) AS kept
+         |FROM abat a LEFT JOIN dropped d ON a.$idCol = d.bid""".stripMargin
+  }
+
   /** Prototypicality pruning (SSL-prototype metric of Sorscher et al.
     * 2022, arXiv:2206.14486: data beats scaling laws when you keep the
     * HARD examples): per cluster, keep the ceil(keepFrac * cluster_size)

@@ -175,6 +175,36 @@ object TextPack {
     SemDeDup.clusterSample(Tables.embeddings(s, dir), "vec_id", "embedding",
       k = 8, iters = 3, n = 5)
 
+  /** Incremental SemDeDup: the persisted "semantic index" (centroid
+    * matrix + history assignments with quantized vectors) is a memoized
+    * fixture; today's batch (vec_id % 5 == 0) assigns to the FROZEN
+    * centroids and drops against history + itself. History embeddings are
+    * never re-read — only the index snapshots are.
+    */
+  def incSemanticQ(s: SparkSession, dir: String): DataFrame = {
+    val (store, _) = Fixtures(s, dir, "km_index") { st =>
+      val hist = Tables.embeddings(s, dir).filter(col("vec_id") % 5 =!= 0)
+      val mus = KMeans.fit(hist, "vec_id", "embedding", k = 8, iters = 3)
+      val sess = s
+      import sess.implicits._
+      st.write(mus.zipWithIndex
+          .map { case (mu, c) => (c.toLong, mu.toSeq) }.toSeq
+          .toDF("cluster", "mu"),
+        "km_cent", slices = 1)
+      st.write(KMeans.assignTo(hist, "vec_id", "embedding", mus),
+        "km_hist", slices = 4)
+      Map("cent" -> "km_cent", "hist" -> "km_hist")
+    }
+    val mus = store.readResolved("km_cent").orderBy(col("cluster")).collect()
+      .map(_.getSeq[Long](1).toArray)
+    val batch = Tables.embeddings(s, dir).filter(col("vec_id") % 5 === 0)
+    // tauSq=5000 ~ the 30th pct of batch rows' nearest-history distance
+    // at this quantization: a third drop via history, the rest split on
+    // batch-internal priority - both rules genuinely exercised
+    SemDeDup.incremental(batch, store.readResolved("km_hist"), mus,
+      "vec_id", "embedding", tauSq = 5000L)
+  }
+
   /** Prototype pruning: keep the hardest 3/10 of each cluster (farthest
     * from centroid) — the Sorscher-style "prune the prototypical mass"
     * curation step, exact integer rank + ceil cutoff.
@@ -759,6 +789,7 @@ object TextPack {
     "dd_semantic" -> semDedupQ _,
     "pl_cluster_sample" -> clusterSampleQ _,
     "pl_prototype_prune" -> prototypePruneQ _,
+    "dd_inc_semantic" -> incSemanticQ _,
   )
 
   // DuckDB-side common table prefixes (carries n_chars through so consumers
@@ -1343,5 +1374,8 @@ object TextPack {
     "pl_prototype_prune" ->
       SemDeDup.prototypePruneOracleSql("embeddings", "vec_id", "embedding",
         k = 8, iters = 3, keepNum = 3, keepDen = 10),
+    "dd_inc_semantic" ->
+      SemDeDup.incrementalOracleSql("embeddings", "vec_id", "embedding",
+        histPred = "vec_id % 5 <> 0", k = 8, iters = 3, tauSq = 5000L),
   )
 }

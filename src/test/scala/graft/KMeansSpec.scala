@@ -21,24 +21,26 @@ private[graft] object KMeansModel {
     v.map(x => math.floor(x.toFloat.toDouble * scale).toLong)
   }
 
-  /** Driver-side model of KMeans.fixedPoint — same quantization, init,
-    * rounding, and tie-break, written against plain collections.
+  private def argmin(qv: Seq[Long], mus: Array[Array[Long]],
+                     fp: Long): (Long, Long) =
+    mus.zipWithIndex.map { case (mu, j) =>
+      (qv.zip(mu).map { case (a, b) => val d = a * fp - b; d * d }.sum, j.toLong)
+    }.min
+
+  /** Driver-side model of KMeans.fit — the final fixed-point centroid
+    * matrix after the exact Lloyd iterations.
     */
-  def model(rows: Seq[(Long, Seq[Double])], k: Int, iters: Int,
-            quantShift: Int = 6, fpShift: Int = 10): Map[Long, (Long, Long)] = {
+  def fit(rows: Seq[(Long, Seq[Double])], k: Int, iters: Int,
+          quantShift: Int = 6, fpShift: Int = 10): Array[Array[Long]] = {
     val fp = 1L << fpShift
     val q = rows.map { case (id, v) => id -> quantize(v, quantShift) }
     val seeds = q.sortBy { case (id, _) => (md5hex(id.toString), id) }.take(k).map(_._2)
     var mus = seeds.map(_.map(_ * fp).toArray).toArray
-    def assign(qv: Seq[Long]): (Long, Long) =
-      mus.zipWithIndex.map { case (mu, j) =>
-        (qv.zip(mu).map { case (a, b) => val d = a * fp - b; d * d }.sum, j.toLong)
-      }.min
     def roundDiv(s: Long, cnt: Long): Long =
       if (s >= 0) (2 * fp * s + cnt) / (2 * cnt)
       else -((2 * fp * (-s) + cnt) / (2 * cnt))
     for (_ <- 0 until iters) {
-      val byC = q.groupBy { case (_, qv) => assign(qv)._2 }
+      val byC = q.groupBy { case (_, qv) => argmin(qv, mus, fp)._2 }
       mus = mus.zipWithIndex.map { case (old, j) =>
         byC.get(j.toLong) match {
           case None => old
@@ -48,8 +50,26 @@ private[graft] object KMeansModel {
         }
       }
     }
-    q.map { case (id, qv) => val (d, c) = assign(qv); id -> (c, d) }.toMap
+    mus
   }
+
+  /** Driver-side model of KMeans.assignTo against a given matrix. */
+  def assignTo(rows: Seq[(Long, Seq[Double])], mus: Array[Array[Long]],
+               quantShift: Int = 6, fpShift: Int = 10): Map[Long, (Long, Long)] = {
+    val fp = 1L << fpShift
+    rows.map { case (id, v) =>
+      val (d, c) = argmin(quantize(v, quantShift), mus, fp)
+      id -> (c, d)
+    }.toMap
+  }
+
+  /** Driver-side model of KMeans.fixedPoint — same quantization, init,
+    * rounding, and tie-break, written against plain collections.
+    */
+  def model(rows: Seq[(Long, Seq[Double])], k: Int, iters: Int,
+            quantShift: Int = 6, fpShift: Int = 10): Map[Long, (Long, Long)] =
+    assignTo(rows, fit(rows, k, iters, quantShift, fpShift),
+      quantShift, fpShift)
 }
 
 /** Integer-exact k-means: Spark's result must equal [[KMeansModel]]. */

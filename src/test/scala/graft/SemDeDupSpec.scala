@@ -120,6 +120,63 @@ class SemDeDupSpec extends AnyFunSuite {
     assert(SemDeDup.prototypePrune(df1, "id", "vec", 1, 0, 1, 10).count() == 1L)
   }
 
+  /** Plain-collections replication of SemDeDup.incremental. */
+  private def incModel(hist: Seq[(Long, Seq[Double])],
+                       batch: Seq[(Long, Seq[Double])], k: Int, iters: Int,
+                       tauSq: Long): Map[Long, (Long, Boolean)] = {
+    val mus = KMeansModel.fit(hist, k, iters)
+    val ah = KMeansModel.assignTo(hist, mus)
+    val ab = KMeansModel.assignTo(batch, mus)
+    val qAll = (hist ++ batch).map { case (id, v) => id -> quantize(v, 6) }.toMap
+    def d2(x: Long, y: Long): Long =
+      qAll(x).zip(qAll(y)).map { case (p, r) => val d = p - r; d * d }.sum
+    batch.map { case (xid, _) =>
+      val (xc, xd) = ab(xid)
+      val hDrop = hist.exists { case (hid, _) =>
+        ah(hid)._1 == xc && d2(xid, hid) <= tauSq
+      }
+      val bDrop = batch.exists { case (yid, _) =>
+        yid != xid && ab(yid)._1 == xc && {
+          val yd = ab(yid)._2
+          (yd > xd || (yd == xd && yid < xid)) && d2(xid, yid) <= tauSq
+        }
+      }
+      xid -> (xc, !(hDrop || bDrop))
+    }.toMap
+  }
+
+  private def runInc(hist: Seq[(Long, Seq[Double])],
+                     batch: Seq[(Long, Seq[Double])], k: Int, iters: Int,
+                     tauSq: Long): Map[Long, (Long, Boolean)] = {
+    val s = spark
+    import s.implicits._
+    def df(rows: Seq[(Long, Seq[Double])]) = rows.toDF("id", "vec")
+      .select(col("id"), col("vec").cast("array<float>").as("vec"))
+    val mus = graft.ops.KMeans.fit(df(hist), "id", "vec", k, iters)
+    val h = graft.ops.KMeans.assignTo(df(hist), "id", "vec", mus)
+    SemDeDup.incremental(df(batch), h, mus, "id", "vec", tauSq)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+  }
+
+  test("incremental matches the model; centroids frozen to the history fit") {
+    val all = blobs(90, 10, 3)
+    val (hist, batch) = all.partition { case (id, _) => id % 5 != 0 }
+    for (tau <- Seq(0L, 500L, 5000L))
+      assert(runInc(hist, batch, k = 4, iters = 2, tau) ==
+        incModel(hist, batch, k = 4, iters = 2, tau))
+  }
+
+  test("incremental: history always wins, even over the top-priority batch row") {
+    // batch row 100 duplicates history row 1 exactly -> dropped by history
+    // at tau=0 regardless of its within-batch priority; batch row 101 is
+    // far from everything -> kept.
+    val hist = (1L to 8L).map(id => id -> Seq.fill(4)(0.01 * id))
+    val batch = Seq(100L -> Seq.fill(4)(0.01), 101L -> Seq.fill(4)(0.9))
+    val got = runInc(hist, batch, k = 2, iters = 2, tauSq = 0L)
+    assert(got == incModel(hist, batch, k = 2, iters = 2, tauSq = 0L))
+    assert(!got(100L)._2 && got(101L)._2)
+  }
+
   test("clusterSample draws n per cluster in (md5, id) order") {
     val rows = blobs(50, 8, 2)
     val s = spark
