@@ -117,10 +117,20 @@ object SemDeDup {
   def incremental(batch: DataFrame, history: DataFrame,
                   mus: Array[Array[Long]], idCol: String, vecCol: String,
                   tauSq: Long, quantShift: Int = 6,
-                  fpShift: Int = 10): DataFrame = {
+                  fpShift: Int = 10): DataFrame =
+    incrementalAssigned(
+      KMeans.assignTo(batch, idCol, vecCol, mus, quantShift, fpShift)
+        .persist(StorageLevel.MEMORY_AND_DISK),
+      history, idCol, tauSq)
+
+  /** [[incremental]]'s core over an ALREADY-assigned batch — `ab` is the
+    * (idCol, cluster, dist, q) shape of [[KMeans.assignTo]] (persisted by
+    * the caller; it is scanned three times). The streaming sink assigns
+    * once per micro-batch and reuses the frame here.
+    */
+  def incrementalAssigned(ab: DataFrame, history: DataFrame, idCol: String,
+                          tauSq: Long): DataFrame = {
     require(tauSq >= 0, s"tauSq must be >= 0, got $tauSq")
-    val ab = KMeans.assignTo(batch, idCol, vecCol, mus, quantShift, fpShift)
-      .persist(StorageLevel.MEMORY_AND_DISK)
     val x = ab.select(col(idCol).as("xid"), col("cluster"),
       col("dist").as("xd"), col("q").as("xq"))
     val h = history.select(col("cluster").as("hcluster"), col("q").as("hq"))

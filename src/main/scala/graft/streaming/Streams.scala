@@ -387,6 +387,71 @@ object Streams {
       .start()
   }
 
+  /** Streaming SEMANTIC dedup against a frozen centroid matrix and a
+    * persistent chain index — the stream twin of
+    * [[graft.ops.SemDeDup.incremental]], following [[lineDedupSink]]'s
+    * shape. `mus` is a [[graft.ops.KMeans.fit]] fitted OFFLINE (freezing
+    * it is what keeps the accumulated index valid); each micro-batch of
+    * embeddings assigns to it in one scan, drops rows with a same-cluster
+    * index neighbor within `tauSq` or a higher-priority batch neighbor,
+    * lands survivors under `outPrefix`, and appends the SURVIVORS'
+    * assignments — (id, cluster, dist, q) — under `indexPrefix`.
+    *
+    * The index holds kept rows only: semantic dedup defines duplicates
+    * against the KEPT corpus (a dropped row's neighborhood is represented
+    * by whichever row dropped it), exactly like [[lineDedupSink]]'s
+    * owner-lines index — and unlike [[nearDupDedupSink]], whose sketch
+    * index deliberately accumulates every doc. At 100 TB the index is
+    * (id, 2 longs, dim longs) per KEPT row — the deduped corpus's
+    * semantic footprint, not the corpus.
+    */
+  def semanticDedupSink(embs: DataFrame, idCol: String, vecCol: String,
+                        mus: Array[Array[Long]], store: SnapshotStore,
+                        indexPrefix: String, outPrefix: String,
+                        checkpoint: String, tauSq: Long,
+                        quantShift: Int = 6, fpShift: Int = 10,
+                        compactEvery: Option[Int] = None): StreamingQuery = {
+    compactEvery.foreach(e => require(e >= 1, s"compactEvery must be >= 1, got $e"))
+    val idxTip = new ChainTip(store, indexPrefix)
+    val outTip = new ChainTip(store, outPrefix)
+    embs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode(OutputMode.Append())
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          val prevIdx = idxTip.prevFor(batchId)
+          val ab = graft.ops.KMeans
+            .assignTo(batch, idCol, vecCol, mus, quantShift, fpShift)
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          val history = prevIdx match {
+            case Some(tip) =>
+              store.iterateChain(tip).select(col("cluster"), col("q"))
+            case None => ab.select(col("cluster"), col("q")).limit(0)
+          }
+          val keptIds = graft.ops.SemDeDup
+            .incrementalAssigned(ab, history, idCol, tauSq)
+            .filter(col("kept"))
+            .select(col(idCol))
+          val survivors = batch.join(keptIds, Seq(idCol), "left_semi")
+          val keptIdx = ab.join(keptIds, Seq(idCol), "left_semi")
+          store.write(survivors, s"$outPrefix.$batchId",
+            previous = outTip.prevFor(batchId))
+          store.write(keptIdx, s"$indexPrefix.$batchId", previous = prevIdx)
+          outTip.advance(s"$outPrefix.$batchId")
+          idxTip.advance(s"$indexPrefix.$batchId")
+          ab.unpersist()
+          if (compactEvery.exists(e => batchId > 0 && batchId % e == 0)) {
+            val cname = s"$indexPrefix.$batchId-c"
+            store.compactChain(s"$indexPrefix.$batchId", cname)
+            idxTip.advance(cname)
+          }
+        }
+        ()
+      }
+      .start()
+  }
+
   /** Stream → chain bridge: each micro-batch becomes a snapshot chained to
     * the previous batch's snapshot and logged on the urd timeline. The
     * stream's full history is then a first-class dataset chain.

@@ -284,6 +284,46 @@ class StreamingSpec extends AnyFunSuite {
       "index holds one hash per kept line: 3 from batch 0 + 2 fresh")
   }
 
+  test("semanticDedupSink: streaming semantic dedup against frozen centroids") {
+    val s = spark
+    import s.implicits._
+    val dir = tmpDir("sd_src")
+    val store = new SnapshotStore(s, tmpDir("sd_store"))
+    def vec(x: Double) = Seq.fill(4)(x)
+    def df(rows: (Long, Seq[Double])*) = rows.toDF("vec_id", "embedding")
+      .select(col("vec_id"), col("embedding").cast("array<float>").as("embedding"))
+    // centroids fitted OFFLINE on two anchor points — two clusters at 0 and 2
+    val mus = graft.ops.KMeans.fit(df(10L -> vec(0.0), 11L -> vec(2.0)),
+      "vec_id", "embedding", k = 2, iters = 0)
+    // batch 0: ids 1,2 are exact dups (cluster 0) — lower id keeps; 3 is
+    // the other cluster's first member
+    df(1L -> vec(0.0), 2L -> vec(0.0), 3L -> vec(2.0))
+      .coalesce(1).write.mode("append").parquet(dir)
+    // batch 1: 4 duplicates HISTORY survivor 1 — drops; 5 is same cluster
+    // as 3 but outside tau=0 — kept
+    df(4L -> vec(0.0), 5L -> vec(2.5))
+      .coalesce(1).write.mode("append").parquet(dir)
+    val q = Streams.semanticDedupSink(
+      Streams.eventStream(s, dir, maxFilesPerTrigger = 1),
+      "vec_id", "embedding", mus, store, "sdidx", "sdout",
+      checkpoint = tmpDir("sd_ckpt"), tauSq = 0L)
+    q.awaitTermination(120000)
+    val survivors = store.iterateChain("sdout.1", columns = Seq("vec_id"))
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(survivors == Seq(1L, 3L, 5L),
+      s"exact dup drops in-batch (2) and vs history (4); got $survivors")
+    assert(store.iterateChain("sdidx.1").count() == 3,
+      "the semantic index holds KEPT rows' assignments only")
+    // the streaming result equals the batch twin applied sequentially
+    val h0 = graft.ops.KMeans.assignTo(
+      df(1L -> vec(0.0), 3L -> vec(2.0)), "vec_id", "embedding", mus)
+    val twin = graft.ops.SemDeDup.incremental(
+      df(4L -> vec(0.0), 5L -> vec(2.5)), h0, mus,
+      "vec_id", "embedding", tauSq = 0L)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    assert(twin == Map(4L -> false, 5L -> true))
+  }
+
   test("lineDedupSink: crash-and-restart replays against the committed index tip") {
     val s = spark
     import s.implicits._
