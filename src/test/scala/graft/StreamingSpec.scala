@@ -557,6 +557,54 @@ class StreamingSpec extends AnyFunSuite {
       "index chain holds each doc's sketch exactly once after replay")
   }
 
+  test("semanticDedupSink: crash-and-restart replays against the committed index tip") {
+    val s = spark
+    import s.implicits._
+    val dir = tmpDir("rssd_src")
+    def vec(x: Double) = Seq.fill(4)(x)
+    def df(rows: (Long, Seq[Double])*) = rows.toDF("vec_id", "embedding")
+      .select(col("vec_id"), col("embedding").cast("array<float>").as("embedding"))
+    val mus = graft.ops.KMeans.fit(df(10L -> vec(0.0), 11L -> vec(2.0)),
+      "vec_id", "embedding", k = 2, iters = 0)
+    // batch 0: 2 dups 1; batch 1: 4 dups HISTORY survivor 1, 5 fresh. The
+    // crash un-commits batch 1; its replay must drop 4 against the
+    // COMMITTED sdidx.0 (prevFor excludes the crashed attempt's own
+    // sdidx.1 — which holds survivor 5, so a self-match would NOT change
+    // the answer here; what the assertions pin is the chain shape: no
+    // duplicate links, no orphan, same tips as the uninterrupted twin).
+    df(1L -> vec(0.0), 2L -> vec(0.0), 3L -> vec(2.0))
+      .coalesce(1).write.mode("append").parquet(dir)
+    df(4L -> vec(0.0), 5L -> vec(2.5))
+      .coalesce(1).write.mode("append").parquet(dir)
+
+    def runSink(store: SnapshotStore, ckpt: String): Unit =
+      Streams.semanticDedupSink(Streams.eventStream(s, dir),
+        "vec_id", "embedding", mus, store, "sdidx", "sdout",
+        checkpoint = ckpt, tauSq = 0L).awaitTermination(120000)
+
+    val storeA = new SnapshotStore(s, tmpDir("rssd_store_a"))
+    runSink(storeA, tmpDir("rssd_ckpt_a"))
+
+    val storeB = new SnapshotStore(s, tmpDir("rssd_store_b"))
+    val ckptB = tmpDir("rssd_ckpt_b")
+    runSink(storeB, ckptB)
+    dropCommit(ckptB, 1)
+    runSink(storeB, ckptB)
+
+    assert(storeB.list() == storeA.list(),
+      s"replay must re-land both chains: ${storeB.list()} vs ${storeA.list()}")
+    for (n <- storeA.list()) {
+      assert(storeB.get(n).meta.previous == storeA.get(n).meta.previous, n)
+      assert(storeB.get(n).meta.lines == storeA.get(n).meta.lines, n)
+    }
+    val survivors = storeB.iterateChain("sdout.1", columns = Seq("vec_id"))
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(survivors == Seq(1L, 3L, 5L),
+      s"replayed dedup must give the uninterrupted answer: $survivors")
+    assert(storeB.iterateChain("sdidx.1").count() == 3,
+      "index chain holds each KEPT row's assignment exactly once after replay")
+  }
+
   test("heavyHittersSink: crash-and-restart re-merges against the committed tip, not its own partial") {
     val s = spark
     import s.implicits._
