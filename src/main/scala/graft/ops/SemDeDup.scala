@@ -239,6 +239,32 @@ object SemDeDup {
          |QUALIFY row_number() OVER (PARTITION BY c ORDER BY dist DESC, $idCol)
          |  <= (count(*) OVER (PARTITION BY c) * $keepNum + $keepDen - 1) // $keepDen""".stripMargin
 
+  /** Per-cluster report card — the curation observability companion:
+    * size, total/max integer inertia (sum and max of the squared
+    * fixed-point distance to centroid), and the min id (a stable
+    * exemplar handle). One grouped aggregation over the assignment; all
+    * integer, so it hash-replays.
+    */
+  def clusterReport(df: DataFrame, idCol: String, vecCol: String, k: Int,
+                    iters: Int, quantShift: Int = 6,
+                    fpShift: Int = 10): DataFrame =
+    KMeans.fixedPoint(df, idCol, vecCol, k, iters, quantShift, fpShift)
+      .groupBy(col("cluster"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("dist")).as("inertia"),
+        max(col("dist")).as("max_dist"),
+        min(col(idCol)).as("exemplar_id"))
+
+  /** DuckDB replay of [[clusterReport]]: shared chain + the same agg. */
+  def clusterReportOracleSql(table: String, idCol: String, vecCol: String,
+                             k: Int, iters: Int, quantShift: Int = 6,
+                             fpShift: Int = 10): String =
+    KMeans.oracleChain(table, idCol, vecCol, k, iters, quantShift, fpShift) +
+      s"""
+         |SELECT c AS cluster, count(*) AS n, sum(dist)::BIGINT AS inertia,
+         |  max(dist) AS max_dist, min($idCol) AS exemplar_id
+         |FROM afin GROUP BY 1""".stripMargin
+
   /** DuckDB replay of [[semantic]]: the shared [[KMeans.oracleChain]]
     * (ending in `afin` + `pts`), then pair distances over the ordered half
     * of each within-cluster pair and the EXISTS drop rule.

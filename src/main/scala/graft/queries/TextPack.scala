@@ -205,6 +205,13 @@ object TextPack {
       "vec_id", "embedding", tauSq = 5000L)
   }
 
+  /** Cluster report card: per-cluster size, integer inertia, max radius,
+    * min-id exemplar — curation observability over the same assignment.
+    */
+  def clusterReportQ(s: SparkSession, dir: String): DataFrame =
+    SemDeDup.clusterReport(Tables.embeddings(s, dir), "vec_id", "embedding",
+      k = 8, iters = 3)
+
   /** Prototype pruning: keep the hardest 3/10 of each cluster (farthest
     * from centroid) — the Sorscher-style "prune the prototypical mass"
     * curation step, exact integer rank + ceil cutoff.
@@ -790,6 +797,7 @@ object TextPack {
     "pl_cluster_sample" -> clusterSampleQ _,
     "pl_prototype_prune" -> prototypePruneQ _,
     "dd_inc_semantic" -> incSemanticQ _,
+    "pl_cluster_report" -> clusterReportQ _,
   )
 
   // DuckDB-side common table prefixes (carries n_chars through so consumers
@@ -1377,5 +1385,8 @@ object TextPack {
     "dd_inc_semantic" ->
       SemDeDup.incrementalOracleSql("embeddings", "vec_id", "embedding",
         histPred = "vec_id % 5 <> 0", k = 8, iters = 3, tauSq = 5000L),
+    "pl_cluster_report" ->
+      SemDeDup.clusterReportOracleSql("embeddings", "vec_id", "embedding",
+        k = 8, iters = 3),
   )
 }
