@@ -1,0 +1,110 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.catalyst.InternalRow
+import graft.expr.{KMeansAssign, SqDistLong}
+import TestSpark.spark
+
+/** The curation expressions' three evaluation paths must agree: the
+  * interpreted path (nullSafeEval — what CodegenFallback contexts and
+  * TypedImperativeAggregate buffers would hit), the codegen path (what a
+  * DataFrame query runs), and a plain-Scala model. The oracle gate pins
+  * Spark↔DuckDB; this pins Spark↔Spark across execution modes on hostile
+  * random inputs, where a doGenCode/nullSafeEval divergence would
+  * otherwise surface only as a scale-dependent heisenbug.
+  */
+class VectorExprPropertySpec extends AnyFunSuite {
+
+  private def sample[A](g: Gen[A], i: Int): A =
+    g.pureApply(Gen.Parameters.default, Seed(977L + i))
+
+  private val dim = 6
+  private val vecGen: Gen[Array[Long]] =
+    Gen.containerOfN[Array, Long](dim, Gen.chooseNum(-5000L, 5000L))
+
+  private def lit(a: Array[Long]) =
+    org.apache.spark.sql.catalyst.expressions.Literal.create(
+      a.toSeq, org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.LongType, containsNull = false))
+
+  test("SqDistLong: interpreted == codegen(DataFrame) == model") {
+    val s = spark
+    import s.implicits._
+    for (i <- 1 to 60) {
+      val (a, b) = (sample(vecGen, i), sample(vecGen, 1000 + i))
+      val model = a.zip(b).map { case (x, y) => val d = x - y; d * d }.sum
+      val interp = SqDistLong(lit(a), lit(b))
+        .eval(InternalRow.empty).asInstanceOf[Long]
+      assert(interp == model)
+      val viaCol = Seq((a.toSeq, b.toSeq)).toDF("a", "b")
+        .select(org.apache.spark.sql.GraftBridge.column(
+          SqDistLong(
+            org.apache.spark.sql.GraftBridge.expression(col("a")),
+            org.apache.spark.sql.GraftBridge.expression(col("b")))).as("d"))
+        .head.getLong(0)
+      assert(viaCol == model)
+    }
+  }
+
+  test("SqDistLong: length mismatch and null elements are null on both paths") {
+    val s = spark
+    import s.implicits._
+    val interp = SqDistLong(lit(Array(1L, 2L)), lit(Array(1L, 2L, 3L)))
+      .eval(InternalRow.empty)
+    assert(interp == null)
+    val viaCol = Seq((Seq(1L, 2L), Seq(1L, 2L, 3L))).toDF("a", "b")
+      .select(org.apache.spark.sql.GraftBridge.column(
+        SqDistLong(
+          org.apache.spark.sql.GraftBridge.expression(col("a")),
+          org.apache.spark.sql.GraftBridge.expression(col("b")))).as("d"))
+      .head
+    assert(viaCol.isNullAt(0))
+  }
+
+  test("KMeansAssign: interpreted == codegen(DataFrame) == model argmin") {
+    val s = spark
+    import s.implicits._
+    val k = 4
+    val fp = 1L << 10
+    val musGen = Gen.containerOfN[Array, Long](k * dim, Gen.chooseNum(-5000L, 5000L))
+    for (i <- 1 to 40) {
+      val (v, mus) = (sample(vecGen, i), sample(musGen, 2000 + i))
+      val model = (0 until k).map { j =>
+        var acc = 0L
+        (0 until dim).foreach { i =>
+          val d = v(i) * fp - mus(j * dim + i); acc += d * d
+        }
+        (acc, j.toLong)
+      }.min
+      val interp = KMeansAssign(lit(v), dim, fp, mus)
+        .eval(InternalRow.empty).asInstanceOf[InternalRow]
+      assert((interp.getLong(0), interp.getLong(1)) == model)
+      val viaCol = Seq(Tuple1(v.toSeq)).toDF("v")
+        .select(org.apache.spark.sql.GraftBridge.column(
+          KMeansAssign(
+            org.apache.spark.sql.GraftBridge.expression(col("v")),
+            dim, fp, mus)).as("s"))
+        .select(col("s.dist"), col("s.cluster"))
+        .head
+      assert((viaCol.getLong(0), viaCol.getLong(1)) == model)
+    }
+  }
+
+  test("KMeansAssign: wrong-length vector is null on both paths") {
+    val s = spark
+    import s.implicits._
+    val mus = Array.fill(2 * dim)(0L)
+    assert(KMeansAssign(lit(Array(1L, 2L)), dim, 1024L, mus)
+      .eval(InternalRow.empty) == null)
+    val viaCol = Seq(Tuple1(Seq(1L, 2L))).toDF("v")
+      .select(org.apache.spark.sql.GraftBridge.column(
+        KMeansAssign(
+          org.apache.spark.sql.GraftBridge.expression(col("v")),
+          dim, 1024L, mus)).as("s"))
+      .head
+    assert(viaCol.isNullAt(0))
+  }
+}
