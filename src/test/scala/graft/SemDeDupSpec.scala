@@ -177,6 +177,23 @@ class SemDeDupSpec extends AnyFunSuite {
     assert(!got(100L)._2 && got(101L)._2)
   }
 
+  test("clusterReport aggregates the model assignment exactly") {
+    val rows = blobs(60, 8, 3)
+    val s = spark
+    import s.implicits._
+    val df = rows.toDF("id", "vec")
+      .select(col("id"), col("vec").cast("array<float>").as("vec"))
+    val got = SemDeDup.clusterReport(df, "id", "vec", k = 4, iters = 2)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    val a = model(rows, k = 4, iters = 2)
+    val expect = a.groupBy(_._2._1).map { case (c, members) =>
+      val ds = members.values.map(_._2)
+      c -> (members.size.toLong, ds.sum, ds.max, members.keys.min)
+    }
+    assert(got == expect)
+  }
+
   test("clusterSample draws n per cluster in (md5, id) order") {
     val rows = blobs(50, 8, 2)
     val s = spark
