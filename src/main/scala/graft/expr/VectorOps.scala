@@ -167,10 +167,91 @@ case class SignBuckets(child: Expression, tables: Int, planes: Int,
     copy(child = newChild)
 }
 
+/** Fixed-point quantization of a float/double vector in one generated
+  * loop: out[i] = floor(v[i] * 2^quantShift) as Long — the corpus-wide
+  * embedding pass every curation consumer ([[graft.ops.KMeans]],
+  * SemDeDup, IVF assignment) starts from. The `transform()` HOF
+  * formulation is CodegenFallback (interpreted per element, ~dim boxed
+  * calls per row) and this is the one stage that touches EVERY float
+  * embedding of the corpus, so at scale it is the family's
+  * bandwidth-bound step; this expression is the same math in generated
+  * code.
+  *
+  * Numeric contract — identical results to
+  * `transform(v, x => floor(x.cast("double") * lit(scale)).cast("long"))`:
+  * float→double widening is exact, multiplying by a power of two is
+  * exact, and Spark's `Floor(double)` is `(long) Math.floor(x)`. Null
+  * semantics also match the HOF: top-level null → null, a null element →
+  * null element (floor(null) is null).
+  */
+case class QuantizeLong(child: Expression, quantShift: Int)
+    extends UnaryExpression {
+  require(quantShift >= 0 && quantShift < 62, s"bad quantShift $quantShift")
+  private val scale: Double = (1L << quantShift).toDouble
+  // resolved lazily: the child is unresolved at construction time
+  @transient private lazy val elemIsFloat: Boolean = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(FloatType | DoubleType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"$prettyName needs array<float|double>, got ${other.sql}")
+    }
+  override def dataType: DataType = ArrayType(LongType, containsNull = true)
+  override def prettyName: String = "graft_quantize"
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val out = new Array[Any](n)
+    var i = 0
+    while (i < n) {
+      if (!arr.isNullAt(i)) {
+        val v = if (elemIsFloat) arr.getFloat(i).toDouble else arr.getDouble(i)
+        out(i) = Math.floor(v * scale).toLong
+      }
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val out = ctx.freshName("out")
+      val get = if (elemIsFloat) s"(double) $c.getFloat" else s"$c.getDouble"
+      s"""
+         |final int $n = $c.numElements();
+         |final Object[] $out = new Object[$n];
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if (!$c.isNullAt($i)) {
+         |    $out[$i] = (Object) (long) java.lang.Math.floor($get($i) * ${scale}D);
+         |  }
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): QuantizeLong =
+    copy(child = newChild)
+}
+
 /** Squared Euclidean distance of two long arrays in one generated loop —
   * the pair predicate of SemDeDup's within-cluster compare. Null semantics
   * match `aggregate(zip_with(a, b, (x,y) => (x-y)*(x-y)), 0L, _+_)`:
   * unequal lengths or any null element → null.
+  *
+  * Overflow contract: every step is checked (`Math.subtractExact` /
+  * `multiplyExact` / `addExact`), so inputs large enough to wrap the Long
+  * accumulator raise ArithmeticException instead of silently diverging
+  * from the HUGEINT-summing DuckDB replay. The [[graft.ops.KMeans]]
+  * shift bound (quantShift+fpShift ≤ 20) keeps well-formed curation
+  * inputs far from the guard; it exists for hostile magnitudes.
   */
 case class SqDistLong(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -187,8 +268,8 @@ case class SqDistLong(left: Expression, right: Expression)
     var i = 0
     while (i < n) {
       if (x.isNullAt(i) || y.isNullAt(i)) return null
-      val d = x.getLong(i) - y.getLong(i)
-      acc += d * d
+      val d = Math.subtractExact(x.getLong(i), y.getLong(i))
+      acc = Math.addExact(acc, Math.multiplyExact(d, d))
       i += 1
     }
     acc
@@ -210,8 +291,8 @@ case class SqDistLong(left: Expression, right: Expression)
          |    if ($a.isNullAt($i) || $b.isNullAt($i)) {
          |      ${ev.isNull} = true;
          |    } else {
-         |      final long $d = $a.getLong($i) - $b.getLong($i);
-         |      $acc += $d * $d;
+         |      final long $d = java.lang.Math.subtractExact($a.getLong($i), $b.getLong($i));
+         |      $acc = java.lang.Math.addExact($acc, java.lang.Math.multiplyExact($d, $d));
          |    }
          |  }
          |  ${ev.value} = $acc;
@@ -241,6 +322,12 @@ case class SqDistLong(left: Expression, right: Expression)
   * Null contract: a null vector, a vector whose length differs from `dim`,
   * or any null element → null (the caller quantizes non-null float arrays,
   * so this only guards malformed input).
+  *
+  * Overflow contract: like [[SqDistLong]], all arithmetic is checked
+  * (ArithmeticException on wrap) — the shift-bound `require` in
+  * [[graft.ops.KMeans]] caps the scale factors but not input magnitude,
+  * and a silent wrap would break the bit-identical-replay contract with
+  * no signal.
   */
 case class KMeansAssign(child: Expression, dim: Int, fp: Long,
                         centroids: Array[Long])
@@ -261,7 +348,7 @@ case class KMeansAssign(child: Expression, dim: Int, fp: Long,
     var i = 0
     while (i < dim) {
       if (arr.isNullAt(i)) return null
-      v(i) = arr.getLong(i) * fp
+      v(i) = Math.multiplyExact(arr.getLong(i), fp)
       i += 1
     }
     var bestD = Long.MaxValue
@@ -271,7 +358,11 @@ case class KMeansAssign(child: Expression, dim: Int, fp: Long,
       var acc = 0L
       val base = j * dim
       i = 0
-      while (i < dim) { val d = v(i) - centroids(base + i); acc += d * d; i += 1 }
+      while (i < dim) {
+        val d = Math.subtractExact(v(i), centroids(base + i))
+        acc = Math.addExact(acc, Math.multiplyExact(d, d))
+        i += 1
+      }
       if (acc < bestD) { bestD = acc; bestC = j.toLong }
       j += 1
     }
@@ -296,7 +387,7 @@ case class KMeansAssign(child: Expression, dim: Int, fp: Long,
          |  final long[] $v = new long[$dim];
          |  for (int $i = 0; $i < $dim && !${ev.isNull}; $i++) {
          |    if ($c.isNullAt($i)) ${ev.isNull} = true;
-         |    else $v[$i] = $c.getLong($i) * ${fp}L;
+         |    else $v[$i] = java.lang.Math.multiplyExact($c.getLong($i), ${fp}L);
          |  }
          |  if (!${ev.isNull}) {
          |    long $bestD = Long.MAX_VALUE;
@@ -305,8 +396,8 @@ case class KMeansAssign(child: Expression, dim: Int, fp: Long,
          |      long $acc = 0L;
          |      final int $base = $j * $dim;
          |      for (int $i = 0; $i < $dim; $i++) {
-         |        final long $d = $v[$i] - $muRef[$base + $i];
-         |        $acc += $d * $d;
+         |        final long $d = java.lang.Math.subtractExact($v[$i], $muRef[$base + $i]);
+         |        $acc = java.lang.Math.addExact($acc, java.lang.Math.multiplyExact($d, $d));
          |      }
          |      if ($acc < $bestD) { $bestD = $acc; $bestC = (long) $j; }
          |    }

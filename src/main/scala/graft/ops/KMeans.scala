@@ -115,12 +115,19 @@ object KMeans {
     finish(quantize(df, idCol, vecCol, quantShift), mus, 1L << fpShift, idCol)
   }
 
+  /** floor(x * 2^quantShift) per element, as one codegen'd pass
+    * ([[graft.expr.QuantizeLong]] — the `transform()` HOF is
+    * CodegenFallback, and this is the stage that scans every float
+    * embedding of the corpus).
+    */
   private def quantize(df: DataFrame, idCol: String, vecCol: String,
                        quantShift: Int): DataFrame = {
-    val scale = 1L << quantShift
-    df.select(col(idCol).as("kid"),
-      transform(col(vecCol), x => floor(x.cast("double") * lit(scale.toDouble)).cast("long"))
-        .as("q"))
+    val qdf = df.select(col(idCol).as("kid"), col(vecCol).as("__v"))
+    val qExpr = graft.expr.QuantizeLong(
+      org.apache.spark.sql.GraftBridge.expression(
+        qdf("__v")), quantShift)
+    qdf.select(col("kid"),
+      org.apache.spark.sql.GraftBridge.column(qExpr).as("q"))
   }
 
   private def finish(q: DataFrame, mus: Centroids, fp: Long,

@@ -5,7 +5,7 @@ import org.scalacheck.Gen
 import org.scalacheck.rng.Seed
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.catalyst.InternalRow
-import graft.expr.{KMeansAssign, SqDistLong}
+import graft.expr.{KMeansAssign, QuantizeLong, SqDistLong}
 import TestSpark.spark
 
 /** The curation expressions' three evaluation paths must agree: the
@@ -91,6 +91,81 @@ class VectorExprPropertySpec extends AnyFunSuite {
         .head
       assert((viaCol.getLong(0), viaCol.getLong(1)) == model)
     }
+  }
+
+  test("QuantizeLong: interpreted == codegen(DataFrame) == HOF transform == model") {
+    val s = spark
+    import s.implicits._
+    val fGen = Gen.containerOfN[Array, Float](dim,
+      Gen.chooseNum(-100.0f, 100.0f))
+    for (i <- 1 to 40) {
+      val v = sample(fGen, 5000 + i)
+      val shift = 6
+      val scale = (1L << shift).toDouble
+      val model = v.map(x => math.floor(x.toDouble * scale).toLong).toSeq
+      val df = Seq(Tuple1(v.toSeq)).toDF("v")
+      val viaExpr = df.select(org.apache.spark.sql.GraftBridge.column(
+          QuantizeLong(
+            org.apache.spark.sql.GraftBridge.expression(col("v")), shift)).as("q"))
+        .head.getSeq[Long](0)
+      assert(viaExpr == model)
+      // the HOF formulation this expression replaced — must stay value-identical
+      val viaHof = df.select(transform(col("v"),
+          x => floor(x.cast("double") *
+            org.apache.spark.sql.functions.lit(scale)).cast("long")).as("q"))
+        .head.getSeq[Long](0)
+      assert(viaHof == model)
+    }
+    // double elements + null element preservation, interpreted path
+    val lit2 = org.apache.spark.sql.catalyst.expressions.Literal.create(
+      Seq[java.lang.Double](1.5, null, -2.25),
+      org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.DoubleType, containsNull = true))
+    val out = QuantizeLong(lit2, 2).eval(InternalRow.empty)
+      .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    assert(out.numElements() == 3 && !out.isNullAt(0) && out.isNullAt(1))
+    assert(out.getLong(0) == 6L && out.getLong(2) == -9L)
+  }
+
+  test("overflow wraps are checked, not silent, on both evaluation paths") {
+    val s = spark
+    import s.implicits._
+    val big = Array(Long.MaxValue / 2, 0L, 0L, 0L, 0L, 0L)
+    val neg = Array(Long.MinValue / 2, 0L, 0L, 0L, 0L, 0L)
+    // interpreted
+    intercept[ArithmeticException] {
+      SqDistLong(lit(big), lit(neg)).eval(InternalRow.empty)
+    }
+    // codegen (DataFrame path)
+    val ex = intercept[Exception] {
+      Seq((big.toSeq, neg.toSeq)).toDF("a", "b")
+        .select(org.apache.spark.sql.GraftBridge.column(
+          SqDistLong(
+            org.apache.spark.sql.GraftBridge.expression(col("a")),
+            org.apache.spark.sql.GraftBridge.expression(col("b")))).as("d"))
+        .head
+    }
+    def rootIsArithmetic(t: Throwable): Boolean =
+      t != null && (t.isInstanceOf[ArithmeticException] || rootIsArithmetic(t.getCause))
+    assert(rootIsArithmetic(ex))
+    intercept[ArithmeticException] {
+      KMeansAssign(lit(big), dim, 1L << 10, Array.fill(dim)(Long.MinValue / 2))
+        .eval(InternalRow.empty)
+    }
+  }
+
+  test("kmeans quantize stage is the codegen'd expression, not a HOF") {
+    val s = spark
+    // parquet-backed input so the projection isn't constant-folded away
+    val df = s.read.parquet(s"${TestSpark.sfDir}/embeddings.parquet")
+    val mus = Array(Array.fill(64)(0L), Array.fill(64)(64L))
+    val plan = graft.ops.KMeans.assignTo(df, "vec_id", "embedding", mus)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("graft_quantize"), plan)
+    assert(!plan.contains("transform("), plan)
+    assert(!QuantizeLong(
+      org.apache.spark.sql.GraftBridge.expression(col("v")), 6)
+      .isInstanceOf[org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback])
   }
 
   test("KMeansAssign: wrong-length vector is null on both paths") {
