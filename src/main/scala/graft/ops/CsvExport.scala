@@ -62,11 +62,22 @@ object CsvExport {
     // input ordinal, one grouped agg, one collect — instead of a
     // job-per-input round-trip (the per-job overhead dominated this
     // export's cost at bench scale).
-    val keyType = dfs.head.schema(on).dataType
-    require(dfs.forall(_.schema(on).dataType == keyType),
-      s"zipped export: alignment column $on must have one type across inputs")
+    // Mixed-but-compatible integral key widths (int vs bigint rowids) are
+    // legal — widen to bigint for the union-agg and the stats compare.
+    // Anything else mixed (string vs int, decimal vs double) is a caller
+    // bug: fail fast rather than compare via lossy casts.
+    val keyTypes = dfs.map(_.schema(on).dataType)
+    val allIntegral = keyTypes.forall {
+      case org.apache.spark.sql.types.ByteType | org.apache.spark.sql.types.ShortType |
+           org.apache.spark.sql.types.IntegerType | org.apache.spark.sql.types.LongType => true
+      case _ => false
+    }
+    require(allIntegral || keyTypes.distinct.size == 1,
+      s"zipped export: alignment column $on must have one type across inputs " +
+        s"(or all-integral, which widen to bigint); got ${keyTypes.map(_.simpleString).distinct}")
     val statsByDs = dfs.zipWithIndex
-      .map { case (d, i) => d.select(lit(i).as("__ds"), Q(on).as("__k")) }
+      .map { case (d, i) => d.select(lit(i).as("__ds"),
+        (if (allIntegral) Q(on).cast("bigint") else Q(on)).as("__k")) }
       .reduce(_ unionByName _)
       .groupBy(col("__ds"))
       .agg(count(lit(1)), count_distinct(col("__k")),
@@ -83,11 +94,7 @@ object CsvExport {
     stats.foreach { case (n, nd, _, _) =>
       require(n == nd, s"zipped export: alignment column $on has duplicates ($nd distinct of $n rows)")
     }
-    val integral = dfs.head.schema(on).dataType.typeName match {
-      case "int" | "bigint" | "long" | "integer" | "smallint" | "tinyint" => true
-      case _ => false
-    }
-    if (integral) stats.foreach { case (n, _, mn, mx) =>
+    if (allIntegral) stats.foreach { case (n, _, mn, mx) =>
       if (n > 0)
         require(mn.toLong == 0L && mx.toLong == n - 1,
           s"zipped export: $on must cover 0..${n - 1} (got $mn..$mx) — write inputs from withRowId")

@@ -75,6 +75,13 @@ object KMeans {
     * (idCol, cluster, dist, q: array<long>). The cluster-aware curation
     * consumers ([[SemDeDup]]) need q for within-cluster pair distances
     * without re-quantizing.
+    *
+    * Caching: the quantized frame persists for the Lloyd loop and stays
+    * cached so the returned assignment's consumers don't re-quantize;
+    * the lifetime is CALLER-OWNED — a long-lived session invoking this
+    * repeatedly should `spark.catalog.clearCache()` (or unpersist the
+    * consumed plan) between invocations, as the bench harness does
+    * per-pass.
     */
   def assigned(df: DataFrame, idCol: String, vecCol: String, k: Int,
                iters: Int, quantShift: Int = 6, fpShift: Int = 10): DataFrame = {

@@ -35,6 +35,38 @@ object SemDeDup {
     GraftBridge.column(graft.expr.SqDistLong(
       GraftBridge.expression(c), GraftBridge.expression(d)))
 
+  /** Default ceiling for the within-cluster pair join. SemDeDup's O(Σc²)
+    * pair compare is sound ONLY while clusters stay bounded — the paper's
+    * sizing rule is k ≈ N / (1e4..1e5) so clusters hold ~10k-100k rows
+    * (Abbas et al. 2023 run k≈100k over 5B docs). 100k rows is the upper
+    * end of that band: one reducer then evaluates ≤ 100k²/2 codegen'd
+    * long-array distances, the largest group a single task should own.
+    */
+  val DefaultMaxClusterSize: Long = 100000L
+
+  /** The skew gate: one ids-only aggregation over the (persisted)
+    * assignment. A degenerate fit — k too small for N, or collapsed
+    * centroids — otherwise turns the cluster-keyed self-join into a
+    * single reducer doing quadratic work, the classic scale-killer, with
+    * no signal until the stage straggles at corpus scale. Fails fast with
+    * the re-sizing rule instead.
+    */
+  private def guardClusterSizes(a: DataFrame, maxClusterSize: Long,
+                                what: String): Unit = {
+    require(maxClusterSize >= 1, s"maxClusterSize must be >= 1, got $maxClusterSize")
+    val top = a.groupBy(col("cluster")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc).limit(1).collect()
+    top.headOption.foreach { r =>
+      val (c, n) = (r.getLong(0), r.getLong(1))
+      require(n <= maxClusterSize,
+        s"$what: cluster $c holds $n rows > maxClusterSize=$maxClusterSize; " +
+          "the within-cluster pair join is O(c^2) per cluster, so this would " +
+          "put quadratic work on one reducer. Increase k so clusters stay " +
+          "~1e4-1e5 rows (k ~ N/1e5..1e4, Abbas et al. 2023), sub-cluster the " +
+          "oversized clusters, or raise maxClusterSize deliberately.")
+    }
+  }
+
   /** Semantic dedup: drop a row when a same-cluster row with higher keep
     * priority sits within `tauSq` (squared quantized distance). Keep
     * priority is (dist-to-centroid DESC, id ASC) — SemDeDup keeps the
@@ -46,31 +78,135 @@ object SemDeDup {
     * EXISTS (no sequential sweep to replay).
     *
     * Returns (idCol, cluster, kept) for every input row.
+    *
+    * `maxClusterSize` is the skew gate ([[DefaultMaxClusterSize]]): the
+    * call fails fast when any cluster exceeds it, because the pair join
+    * below is quadratic per cluster. Checked eagerly (the Lloyd fit is
+    * already eager, so this adds one ids-only job over the persisted
+    * assignment, not a laziness change).
+    *
+    * Caching: the assignment persists for the two scans below; the
+    * lifetime is caller-owned — call `spark.catalog.clearCache()` (or
+    * unpersist via the returned plan's children) between repeated
+    * invocations in one long-lived session, as [[KMeans.assignTo]] /
+    * [[incrementalAssigned]] already document.
     */
   def semantic(df: DataFrame, idCol: String, vecCol: String, k: Int,
                iters: Int, tauSq: Long, quantShift: Int = 6,
-               fpShift: Int = 10): DataFrame = {
+               fpShift: Int = 10,
+               maxClusterSize: Long = DefaultMaxClusterSize): DataFrame = {
     require(tauSq >= 0, s"tauSq must be >= 0, got $tauSq")
     val a = KMeans.assigned(df, idCol, vecCol, k, iters, quantShift, fpShift)
       .persist(StorageLevel.MEMORY_AND_DISK)
+    guardClusterSizes(a, maxClusterSize, "SemDeDup.semantic")
+    val dropped = droppedWithin(a, idCol, tauSq)
+    a.join(dropped.withColumn("__dropped", lit(true)),
+        col(idCol) === col("xid"), "left_outer")
+      .select(col(idCol), col("cluster"),
+        coalesce(col("__dropped"), lit(false)).unary_!.as("kept"))
+  }
+
+  /** The EXISTS drop rule over one assignment: ids (as `xid`) of rows
+    * with a higher-priority same-cluster neighbor within tauSq. The
+    * priority predicate applies BEFORE the codegen'd distance, so the
+    * distance only evaluates for the ordered half of each candidate pair.
+    */
+  private def droppedWithin(a: DataFrame, idCol: String, tauSq: Long): DataFrame = {
     val x = a.select(col(idCol).as("xid"), col("cluster"),
       col("dist").as("xd"), col("q").as("xq"))
     val y = a.select(col(idCol).as("yid"), col("cluster").as("ycluster"),
       col("dist").as("yd"), col("q").as("yq"))
-    // priority predicate first: the codegen'd distance only runs for the
-    // ordered half of each candidate pair
-    val dropped = x.join(y,
+    x.join(y,
         col("cluster") === col("ycluster") &&
           (col("yd") > col("xd") ||
             (col("yd") === col("xd") && col("yid") < col("xid"))) &&
           sq(col("xq"), col("yq")) <= lit(tauSq),
         "left_semi")
       .select(col("xid"))
-    a.join(dropped.withColumn("__dropped", lit(true)),
-        col(idCol) === col("xid"), "left_outer")
-      .select(col(idCol), col("cluster"),
-        coalesce(col("__dropped"), lit(false)).unary_!.as("kept"))
   }
+
+  /** The full curation pipeline as ONE chained computation over ONE
+    * k-means fit — the composition the stage operators ([[semantic]],
+    * [[prototypePrune]], [[clusterSample]]) are built for, mirroring the
+    * reference's chained-jobs idiom
+    * (reference: examples/build_dsexample-import_csv.py — each stage
+    * consumes the previous stage's dataset):
+    *
+    *   1. cluster: integer-exact Lloyd fit + assignment (once);
+    *   2. semantic dedup: drop rows with a higher-priority same-cluster
+    *      neighbor within tauSq;
+    *   3. prototype prune: per cluster keep the ceil(keepNum/keepDen
+    *      fraction) SURVIVORS farthest from the centroid;
+    *   4. cluster-balanced sample: n deterministic (md5, id) draws per
+    *      cluster from the pruned set.
+    *
+    * Scale shape: the float embeddings are read once and quantized in
+    * the scan; the assignment (ids + dim-long vectors) persists and
+    * feeds every stage, so `q` crosses an exchange only in the
+    * cluster-keyed pair join of stage 2. Stages 3-4 are bounded windows
+    * over (id, cluster, dist) — the vectors are already gone. All three
+    * policy stages share stage 1's cluster partitioning.
+    *
+    * Returns (idCol, cluster, dist) for the finally-sampled rows.
+    */
+  def curate(df: DataFrame, idCol: String, vecCol: String, k: Int,
+             iters: Int, tauSq: Long, keepNum: Int, keepDen: Int, n: Int,
+             quantShift: Int = 6, fpShift: Int = 10,
+             maxClusterSize: Long = DefaultMaxClusterSize): DataFrame = {
+    require(tauSq >= 0, s"tauSq must be >= 0, got $tauSq")
+    require(keepNum >= 0 && keepDen > 0 && keepNum <= keepDen,
+      s"keep fraction must be 0 <= $keepNum/$keepDen <= 1")
+    require(n >= 1, s"need n >= 1, got $n")
+    val a = KMeans.assigned(df, idCol, vecCol, k, iters, quantShift, fpShift)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    guardClusterSizes(a, maxClusterSize, "SemDeDup.curate")
+    val surv = a.join(droppedWithin(a, idCol, tauSq),
+        col(idCol) === col("xid"), "left_anti")
+      .select(col(idCol), col("cluster"), col("dist"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("cluster"))
+    val pruned = surv
+      .withColumn("__rk", row_number().over(
+        w.orderBy(col("dist").desc, col(idCol))))
+      .withColumn("__n", count(lit(1)).over(w))
+      .filter(col("__rk") <= expr(s"(__n * $keepNum + ${keepDen - 1}) div $keepDen"))
+    pruned
+      .withColumn("__sk", row_number().over(
+        w.orderBy(md5(col(idCol).cast("string").cast("binary")), col(idCol))))
+      .filter(col("__sk") <= n)
+      .select(col(idCol), col("cluster"), col("dist"))
+  }
+
+  /** DuckDB replay of [[curate]]: the shared [[KMeans.oracleChain]], the
+    * semantic EXISTS rule, then the prune and sample windows over the
+    * survivor set — every stage appended to ONE chain so the Lloyd replay
+    * is never duplicated.
+    */
+  def curateOracleSql(table: String, idCol: String, vecCol: String,
+                      k: Int, iters: Int, tauSq: Long, keepNum: Int,
+                      keepDen: Int, n: Int, quantShift: Int = 6,
+                      fpShift: Int = 10): String =
+    KMeans.oracleChain(table, idCol, vecCol, k, iters, quantShift, fpShift) +
+      s""",
+         |pairdist AS (
+         |  SELECT ax.$idCol AS xid,
+         |    sum((px.qv - py.qv)*(px.qv - py.qv)) AS d2
+         |  FROM afin ax
+         |  JOIN afin ay ON ax.c = ay.c
+         |    AND (ay.dist > ax.dist OR (ay.dist = ax.dist AND ay.$idCol < ax.$idCol))
+         |  JOIN pts px ON px.$idCol = ax.$idCol
+         |  JOIN pts py ON py.$idCol = ay.$idCol AND py.pos = px.pos
+         |  GROUP BY ax.$idCol, ay.$idCol),
+         |dropped AS (SELECT DISTINCT xid FROM pairdist WHERE d2 <= $tauSq),
+         |surv AS (
+         |  SELECT a.$idCol, a.c, a.dist FROM afin a
+         |  LEFT JOIN dropped d ON a.$idCol = d.xid WHERE d.xid IS NULL),
+         |pruned AS (
+         |  SELECT $idCol, c, dist FROM surv
+         |  QUALIFY row_number() OVER (PARTITION BY c ORDER BY dist DESC, $idCol)
+         |    <= (count(*) OVER (PARTITION BY c) * $keepNum + ${keepDen - 1}) // $keepDen)
+         |SELECT $idCol, c AS cluster, dist FROM pruned
+         |QUALIFY row_number() OVER (PARTITION BY c
+         |  ORDER BY md5(CAST($idCol AS VARCHAR)), $idCol) <= $n""".stripMargin
 
   /** Cluster-balanced sample: the `n` rows of each cluster with the
     * smallest (md5(id-as-string), id) — the same deterministic
@@ -117,20 +253,30 @@ object SemDeDup {
   def incremental(batch: DataFrame, history: DataFrame,
                   mus: Array[Array[Long]], idCol: String, vecCol: String,
                   tauSq: Long, quantShift: Int = 6,
-                  fpShift: Int = 10): DataFrame =
+                  fpShift: Int = 10,
+                  maxClusterSize: Long = DefaultMaxClusterSize): DataFrame =
     incrementalAssigned(
       KMeans.assignTo(batch, idCol, vecCol, mus, quantShift, fpShift)
         .persist(StorageLevel.MEMORY_AND_DISK),
-      history, idCol, tauSq)
+      history, idCol, tauSq, maxClusterSize)
 
   /** [[incremental]]'s core over an ALREADY-assigned batch — `ab` is the
     * (idCol, cluster, dist, q) shape of [[KMeans.assignTo]] (persisted by
     * the caller; it is scanned three times). The streaming sink assigns
     * once per micro-batch and reuses the frame here.
+    *
+    * The skew gate checks the BATCH's cluster sizes (one ids-only count
+    * per micro-batch — the batch drives both joins, so an oversized batch
+    * cluster is what puts quadratic work on a reducer). The history index
+    * is assumed gated when it was built: it is the survivor set of a
+    * [[semantic]]/[[incremental]] run, both of which enforce the same
+    * bound.
     */
   def incrementalAssigned(ab: DataFrame, history: DataFrame, idCol: String,
-                          tauSq: Long): DataFrame = {
+                          tauSq: Long,
+                          maxClusterSize: Long = DefaultMaxClusterSize): DataFrame = {
     require(tauSq >= 0, s"tauSq must be >= 0, got $tauSq")
+    guardClusterSizes(ab, maxClusterSize, "SemDeDup.incremental (batch)")
     val x = ab.select(col(idCol).as("xid"), col("cluster"),
       col("dist").as("xd"), col("q").as("xq"))
     val h = history.select(col("cluster").as("hcluster"), col("q").as("hq"))

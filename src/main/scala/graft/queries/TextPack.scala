@@ -77,6 +77,17 @@ object TextPack {
   def dedupSimhash(s: SparkSession, dir: String): DataFrame =
     Dedup.simhash(Tables.documents(s, dir), "doc_id", "text", maxHamming = 3)
 
+  /** The hamming-distance histogram of the simhash pair set (0..maxHamming).
+    * Observability companion to dd_simhash: its pair count sits on a
+    * threshold cliff (SCALE_CHECK r10: 75% of pairs at hamming exactly 3),
+    * so scale runs need the distribution, not just the total, to separate
+    * data-volume shift from engine regression mechanically.
+    */
+  def dedupSimhashHist(s: SparkSession, dir: String): DataFrame =
+    Dedup.simhash(Tables.documents(s, dir), "doc_id", "text", maxHamming = 3)
+      .groupBy(col("hamming"))
+      .agg(count(lit(1)).as("n_pairs"))
+
   def dedupEmbedding(s: SparkSession, dir: String): DataFrame =
     Dedup.embeddingCosineLsh(Tables.embeddings(s, dir), "vec_id", "embedding",
       threshold = 0.45, dim = 64, tables = 8, planes = 6)
@@ -204,6 +215,17 @@ object TextPack {
     SemDeDup.incremental(batch, store.readResolved("km_hist"), mus,
       "vec_id", "embedding", tauSq = 5000L)
   }
+
+  /** Curation end to end, one chained computation over ONE k-means fit:
+    * cluster → semantic dedup (tauSq=6500) → prototype prune (keep the
+    * hardest 3/4 of each cluster's survivors) → cluster-balanced sample
+    * (5 per cluster) — the composition mirroring the reference's
+    * chained-jobs idiom, with every stage's decision replayed in a
+    * single appended oracle WITH-chain.
+    */
+  def curationE2eQ(s: SparkSession, dir: String): DataFrame =
+    SemDeDup.curate(Tables.embeddings(s, dir), "vec_id", "embedding",
+      k = 8, iters = 3, tauSq = 6500L, keepNum = 3, keepDen = 4, n = 5)
 
   /** Cluster report card: per-cluster size, integer inertia, max radius,
     * min-id exemplar — curation observability over the same assignment.
@@ -785,6 +807,7 @@ object TextPack {
     "dd_ngram_jaccard" -> dedupNgram _,
     "dd_minhash_lsh" -> dedupMinhash _,
     "dd_simhash" -> dedupSimhash _,
+    "dd_simhash_hist" -> dedupSimhashHist _,
     "dd_embedding_cosine" -> dedupEmbedding _,
     "dd_clusters" -> dedupClusters _,
     "ann_brute_topk" -> annBrute _,
@@ -798,6 +821,7 @@ object TextPack {
     "pl_prototype_prune" -> prototypePruneQ _,
     "dd_inc_semantic" -> incSemanticQ _,
     "pl_cluster_report" -> clusterReportQ _,
+    "pl_curation_e2e" -> curationE2eQ _,
   )
 
   // DuckDB-side common table prefixes (carries n_chars through so consumers
@@ -1304,6 +1328,8 @@ object TextPack {
              AND alpha >= 0.8 AND stops >= 2, false) AS passes
          FROM m""",
     "dd_simhash" -> OracleGen.simhash(3),
+    "dd_simhash_hist" ->
+      s"SELECT hamming, count(*) AS n_pairs FROM (${OracleGen.simhash(3)}) GROUP BY 1",
     "dd_embedding_cosine" ->
       OracleGen.embeddingCosineLsh(0.45, dim = 64, tables = 8, planes = 6),
     "dd_clusters" -> OracleGen.dupClusters(OracleGen.minhashLsh(16, 8, 0.3)),
@@ -1388,5 +1414,8 @@ object TextPack {
     "pl_cluster_report" ->
       SemDeDup.clusterReportOracleSql("embeddings", "vec_id", "embedding",
         k = 8, iters = 3),
+    "pl_curation_e2e" ->
+      SemDeDup.curateOracleSql("embeddings", "vec_id", "embedding",
+        k = 8, iters = 3, tauSq = 6500L, keepNum = 3, keepDen = 4, n = 5),
   )
 }

@@ -127,6 +127,25 @@ class CsvImportSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] { CsvExport.zipped(Seq(a), "rid", out) }
   }
 
+  test("zipped export widens mixed integral key widths; rejects other mixes") {
+    val s = spark
+    import s.implicits._
+    // int rowids on one side, bigint on the other — both legal withRowId
+    // shapes; the alignment guard widens to bigint instead of failing
+    val a = Seq((0, "x0"), (1, "x1")).toDF("rid", "xa")
+    val b = Seq((0L, "y0"), (1L, "y1")).toDF("rid", "yb")
+    val out = tmpDir("csv_zip_mixed") + "/zipped.csv"
+    CsvExport.zipped(Seq(a, b), "rid", out)
+    val lines = Files.readAllLines(Paths.get(out))
+    assert(lines.get(0) == "xa,yb" && lines.get(1) == "x0,y0")
+    // string vs int stays a fail-fast caller bug
+    val c = Seq(("0", "z0"), ("1", "z1")).toDF("rid", "zc")
+    val ex = intercept[IllegalArgumentException] {
+      CsvExport.zipped(Seq(a, c), "rid", out)
+    }
+    assert(ex.getMessage.contains("one type across inputs"))
+  }
+
   test("gzip single-file export round-trips through import") {
     val s = spark
     import s.implicits._

@@ -50,6 +50,85 @@ class SemDeDupSpec extends AnyFunSuite {
         (if (i % c == center) 0.4 else -0.1) + rnd.nextDouble() * 0.1)
     }
 
+  test("curate: end-to-end composition matches the staged model") {
+    val s = spark
+    import s.implicits._
+    val rows = blobs(90, 12, 3)
+    val (k, iters, tau, keepNum, keepDen, n) = (4, 2, 2000L, 1, 2, 3)
+    val df = rows.toDF("id", "vec")
+      .select(col("id"), col("vec").cast("array<float>").as("vec"))
+    val got = SemDeDup.curate(df, "id", "vec", k, iters, tau,
+        keepNum, keepDen, n)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // staged model: semantic survivors -> prune window -> sample window
+    val a = model(rows, k, iters)
+    val sem = semModel(rows, k, iters, tau)
+    val surv = rows.map(_._1).filter(id => sem(id)._2)
+    val pruned = surv.groupBy(id => a(id)._1).toSeq.flatMap { case (_, ids) =>
+      val ordered = ids.sortBy(id => (-a(id)._2, id))
+      ordered.take(((ordered.size * keepNum + keepDen - 1) / keepDen).toInt)
+    }
+    val want = pruned.groupBy(id => a(id)._1).toSeq.flatMap { case (_, ids) =>
+      ids.sortBy(id => (md5hex(id.toString), id)).take(n)
+    }.map(id => (id, a(id)._1, a(id)._2)).toSet
+    assert(got == want)
+  }
+
+  test("curate: embeddings cross an exchange at most once (the pair join)") {
+    import org.apache.spark.sql.execution.exchange.Exchange
+    import org.apache.spark.sql.types.{ArrayType, FloatType, LongType}
+    val s = spark
+    val emb = s.read.parquet(TestSpark.sfDir + "/embeddings.parquet")
+    val prev = s.conf.get("spark.sql.adaptive.enabled")
+    s.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val plan = SemDeDup.curate(emb, "vec_id", "embedding",
+          k = 4, iters = 1, tauSq = 6500L, keepNum = 3, keepDen = 4, n = 5)
+        .queryExecution.executedPlan
+      val exchanges = plan.collect { case e: Exchange => e }
+      assert(exchanges.nonEmpty)
+      // the raw float embeddings never shuffle — quantization is scan-side
+      for (e <- exchanges; f <- e.child.schema.fields)
+        assert(f.dataType != ArrayType(FloatType, containsNull = true) &&
+          f.dataType != ArrayType(FloatType, containsNull = false),
+          s"float embedding column '${f.name}' would be shuffled")
+      // the quantized vectors cross only the cluster-keyed pair join
+      // (its two sides); the prune/sample windows carry ids+dist only
+      val vectorExchanges = exchanges.count(_.child.schema.fields.exists(f =>
+        f.dataType == ArrayType(LongType, containsNull = true) ||
+          f.dataType == ArrayType(LongType, containsNull = false)))
+      assert(vectorExchanges <= 2,
+        s"quantized vectors cross $vectorExchanges exchanges:\n$plan")
+    } finally s.conf.set("spark.sql.adaptive.enabled", prev)
+  }
+
+  test("cluster-size gate fails fast on an oversized cluster") {
+    val s = spark
+    import s.implicits._
+    val rows = blobs(40, 12, 3)
+    val df = rows.toDF("id", "vec")
+      .select(col("id"), col("vec").cast("array<float>").as("vec"))
+    // k=1 forces one 40-row mega-cluster; a bound of 10 must trip the gate
+    val ex = intercept[IllegalArgumentException] {
+      SemDeDup.semantic(df, "id", "vec", k = 1, iters = 1, tauSq = 100L,
+        maxClusterSize = 10L)
+    }
+    assert(ex.getMessage.contains("maxClusterSize=10"))
+    assert(ex.getMessage.contains("O(c^2)"))
+    // the same degenerate fit passes when the bound admits it
+    assert(SemDeDup.semantic(df, "id", "vec", k = 1, iters = 1, tauSq = 100L,
+      maxClusterSize = 40L).count() == 40)
+    // incremental gates the batch side identically
+    val mus = graft.ops.KMeans.fit(df, "id", "vec", k = 1, iters = 1)
+    val exInc = intercept[IllegalArgumentException] {
+      SemDeDup.incremental(df, df.limit(0).select(col("id"),
+          org.apache.spark.sql.functions.lit(0L).as("cluster"),
+          org.apache.spark.sql.functions.array().cast("array<long>").as("q")),
+        mus, "id", "vec", tauSq = 100L, maxClusterSize = 10L)
+    }
+    assert(exInc.getMessage.contains("batch"))
+  }
+
   test("matches the model across thresholds") {
     val rows = blobs(80, 12, 3)
     for (tau <- Seq(0L, 200L, 2000L, Long.MaxValue / 4))

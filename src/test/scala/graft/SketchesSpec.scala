@@ -133,6 +133,37 @@ class SketchesSpec extends AnyFunSuite {
     }
   }
 
+  test("simhash blocks=5 candidate keying is exhaustively complete over all <=3-bit flips") {
+    // data-independent twin of the corpus test above: for EVERY 40-bit
+    // xor-mask with popcount <= maxHamming, some (blocks-maxHamming)-piece
+    // subset must be entirely clean (the pigeonhole guarantee the banded
+    // join relies on). Exhaustive - 1+40+780+9880 masks - so the invariant
+    // is pinned for the production default blocks=5, not just sampled.
+    val (bits, blocks, maxHamming) = (40, 5, 3)
+    val width = bits / blocks
+    val combos = (0 until blocks).combinations(blocks - maxHamming).toSeq
+    assert(combos.size == 10, "C(5,2) tables at the default parameters")
+    def dirtyPieces(mask: Long): Set[Int] =
+      (0 until blocks).filter(b => ((mask >> (b * width)) & ((1L << width) - 1)) != 0).toSet
+    val masks: Iterator[Long] =
+      Iterator(0L) ++
+        (0 until bits).iterator.map(i => 1L << i) ++
+        (for { i <- (0 until bits).iterator; j <- (i + 1 until bits).iterator }
+          yield (1L << i) | (1L << j)) ++
+        (for { i <- (0 until bits).iterator; j <- (i + 1 until bits).iterator;
+               l <- (j + 1 until bits).iterator }
+          yield (1L << i) | (1L << j) | (1L << l))
+    var checked = 0
+    masks.foreach { m =>
+      val dirty = dirtyPieces(m)
+      assert(combos.exists(subset => subset.forall(!dirty.contains(_))),
+        s"mask ${m.toBinaryString} (hamming ${java.lang.Long.bitCount(m)}) " +
+          "has no clean table - the banded join would lose this pair")
+      checked += 1
+    }
+    assert(checked == 1 + 40 + 780 + 9880)
+  }
+
   test("simhash40 equals the majority-vote model") {
     val s = spark
     import s.implicits._

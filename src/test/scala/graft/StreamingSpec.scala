@@ -324,6 +324,59 @@ class StreamingSpec extends AnyFunSuite {
     assert(twin == Map(4L -> false, 5L -> true))
   }
 
+  test("semanticDedupSink: crash leaving an orphan COMPACTION replays to the identical index") {
+    val s = spark
+    import s.implicits._
+    val dir = tmpDir("rssdc_src")
+    def vec(x: Double) = Seq.fill(4)(x)
+    def df(rows: (Long, Seq[Double])*) = rows.toDF("vec_id", "embedding")
+      .select(col("vec_id"), col("embedding").cast("array<float>").as("embedding"))
+    val mus = graft.ops.KMeans.fit(df(10L -> vec(0.0), 11L -> vec(2.0)),
+      "vec_id", "embedding", k = 2, iters = 0)
+    // batch 0: 1,2 exact dups (cluster 0) — 1 keeps; 3 in the far cluster
+    df(1L -> vec(0.0), 2L -> vec(0.0), 3L -> vec(2.0))
+      .coalesce(1).write.mode("append").parquet(dir)
+    // batch 1 (the crashed-then-replayed one): 4 dups history survivor 1;
+    // 5 lands in cluster 1 beyond tau — kept
+    df(4L -> vec(0.0), 5L -> vec(2.5))
+      .coalesce(1).write.mode("append").parquet(dir)
+    def runSink(store: SnapshotStore, ckpt: String): Unit =
+      Streams.semanticDedupSink(
+        Streams.eventStream(s, dir, maxFilesPerTrigger = 1),
+        "vec_id", "embedding", mus, store, "sdidx", "sdout",
+        checkpoint = ckpt, tauSq = 0L,
+        compactEvery = Some(1)).awaitTermination(120000)
+    // A: uninterrupted; B: crash AFTER batch 1's snapshots AND the
+    // sdidx.1-c compaction landed but BEFORE the engine committed — the
+    // replay must overwrite the orphan compaction, not double-chain it
+    val storeA = new SnapshotStore(s, tmpDir("rssdc_store_a"))
+    runSink(storeA, tmpDir("rssdc_ckpt_a"))
+    val storeB = new SnapshotStore(s, tmpDir("rssdc_store_b"))
+    val ckptB = tmpDir("rssdc_ckpt_b")
+    runSink(storeB, ckptB)
+    dropCommit(ckptB, 1)
+    runSink(storeB, ckptB)
+    assert(storeB.list() == storeA.list(),
+      s"replay must re-land chains + compaction: ${storeB.list()} vs ${storeA.list()}")
+    for (n <- storeA.list()) {
+      assert(storeB.get(n).meta.previous == storeA.get(n).meta.previous, n)
+      assert(storeB.get(n).meta.lines == storeA.get(n).meta.lines, n)
+    }
+    // survivor chain identical to the uninterrupted run
+    val survB = storeB.iterateChain("sdout.1", columns = Seq("vec_id"))
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(survB == Seq(1L, 3L, 5L),
+      s"replayed survivors must give the uninterrupted answer: $survB")
+    // frozen-centroid assignment index: compacted tip holds exactly the
+    // kept rows' assignments, identical (cluster, dist, q) in both runs
+    def idx(st: SnapshotStore) = st.iterateChain("sdidx.1-c")
+      .select("vec_id", "cluster", "dist")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1).toSeq
+    assert(idx(storeB) == idx(storeA))
+    assert(idx(storeB).map(_._1) == Seq(1L, 3L, 5L),
+      "index holds KEPT rows only after replay")
+  }
+
   test("lineDedupSink: crash-and-restart replays against the committed index tip") {
     val s = spark
     import s.implicits._
