@@ -215,10 +215,18 @@ object CsvExport {
     */
   def apply(df: DataFrame, path: String, cfg: CsvExportConfig = CsvExportConfig()): Unit = {
     val labels = if (cfg.labels.nonEmpty) cfg.labels else df.columns.toSeq
+    // header cells quote by the SAME rules as data cells — a label
+    // containing the separator, a quote, or a newline would otherwise
+    // shift every subsequent header field and break re-import
     val header = labels.map { l =>
+      def quoted = "\"" + l.replace("\"", "\"\"") + "\""
       cfg.quoteMode match {
-        case "always" => "\"" + l.replace("\"", "\"\"") + "\""
-        case _        => l
+        case "always" => quoted
+        case "lazy" =>
+          if (l.contains(cfg.separator) || l.contains("\"") ||
+            l.contains("\n") || l.contains("\r")) quoted
+          else l
+        case _ => l
       }
     }.mkString(cfg.separator)
     val lines = render(df, cfg)

@@ -31,11 +31,14 @@ object DatasetSort {
       case TimestampType | TimestampNTZType | DateType => true
       case _ => false
     }
+    // Q, not col(): sort columns are USER names — dots/backticks must be
+    // taken literally (HostileSchemaPropertySpec found the raw version)
+    val c = graft.core.Cols.q(sc.name)
     (sc.asc, nullsLargest) match {
-      case (true, false)  => col(sc.name).asc_nulls_first
-      case (true, true)   => col(sc.name).asc_nulls_last
-      case (false, false) => col(sc.name).desc_nulls_last
-      case (false, true)  => col(sc.name).desc_nulls_first
+      case (true, false)  => c.asc_nulls_first
+      case (true, true)   => c.asc_nulls_last
+      case (false, false) => c.desc_nulls_last
+      case (false, true)  => c.desc_nulls_first
     }
   }
 
@@ -46,7 +49,7 @@ object DatasetSort {
       stableTiebreak: Option[String] = None,
       triggerColumn: Option[String] = None): DataFrame = {
     val order = by.map(orderExpr(df, _)) ++
-      stableTiebreak.map(c => col(c).asc).toSeq
+      stableTiebreak.map(c => graft.core.Cols.q(c).asc).toSeq
     triggerColumn match {
       case Some(t) =>
         // trigger semantics (a_dataset_sort.py:132-184): globally sorted,

@@ -234,7 +234,7 @@ object DatasetType {
       case Some(h) =>
         val n = if (slices > 0) slices
                 else out.sparkSession.sparkContext.defaultParallelism
-        out.repartition(n, col(h))
+        out.repartition(n, Q(h))
       case None => out
     }
 
