@@ -305,6 +305,153 @@ case class SqDistLong(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Sequential-fold dot product of two LONG arrays — the stage-1 scorer of
+  * the int8 two-stage retrieval ([[graft.ops.SimilaritySearch]]
+  * searchQuantized): at scale it evaluates per (corpus × query) pair, the
+  * engine's widest inner loop, and the
+  * `aggregate(zip_with(a, b, _*_), 0L, _+_)` HOF formulation it replaces
+  * is CodegenFallback (interpreted per element). Null semantics match the
+  * HOF: unequal lengths or any null element → null. Arithmetic is
+  * checked like [[SqDistLong]] (int8 codes over any practical dim sit far
+  * below the guard; it exists for hostile magnitudes).
+  */
+case class DotLong(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_dot_long"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    if (y.numElements() != n) return null
+    var acc = 0L
+    var i = 0
+    while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
+      acc = Math.addExact(acc, Math.multiplyExact(x.getLong(i), y.getLong(i)))
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc")
+      s"""
+         |final int $n = $a.numElements();
+         |if ($b.numElements() != $n) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  long $acc = 0L;
+         |  for (int $i = 0; $i < $n && !${ev.isNull}; $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) {
+         |      ${ev.isNull} = true;
+         |    } else {
+         |      $acc = java.lang.Math.addExact($acc,
+         |        java.lang.Math.multiplyExact($a.getLong($i), $b.getLong($i)));
+         |    }
+         |  }
+         |  ${ev.value} = $acc;
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): DotLong =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Symmetric int8 quantization of a double vector in ONE generated pass:
+  * struct(scale, q) with scale = maxAbs/127 and q_i = floor(v_i/scale
+  * + 0.5) — the compression scan of the embedding store
+  * ([[graft.ops.SimilaritySearch]] quantizeInt8), which touches every
+  * float of the corpus and previously ran as an interpreted
+  * aggregate + two transform HOFs.
+  *
+  * Value-identical to that HOF chain, including its edge semantics:
+  *  - the max-abs fold SKIPS null elements (Spark's `greatest` ignores
+  *    nulls), so scale is never null;
+  *  - scale == 0.0 (all-zero or empty vector) → q is all ZEROS, null
+  *    positions included (`transform(v, _ => 0L)` maps every position);
+  *  - otherwise a null element stays a null code;
+  *  - NaN elements: NaN wins the max fold (Java Math.max = Spark
+  *    greatest NaN ordering), NaN/scale floors to 0L on both paths.
+  */
+case class QuantizeInt8(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StructType(Seq(
+    StructField("scale", DoubleType, nullable = false),
+    StructField("q", ArrayType(LongType, containsNull = true), nullable = false)))
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_quantize_int8"
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(DoubleType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"$prettyName needs array<double>, got ${other.sql}")
+    }
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    var maxAbs = 0.0
+    var i = 0
+    while (i < n) {
+      if (!arr.isNullAt(i)) maxAbs = Math.max(maxAbs, Math.abs(arr.getDouble(i)))
+      i += 1
+    }
+    val scale = maxAbs / 127.0
+    val out = new Array[Any](n)
+    i = 0
+    while (i < n) {
+      if (scale == 0.0) out(i) = 0L
+      else if (!arr.isNullAt(i))
+        out(i) = Math.floor(arr.getDouble(i) / scale + 0.5).toLong
+      i += 1
+    }
+    org.apache.spark.sql.catalyst.InternalRow(scale, new GenericArrayData(out))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val maxAbs = ctx.freshName("maxAbs")
+      val scale = ctx.freshName("scale")
+      val out = ctx.freshName("out")
+      s"""
+         |final int $n = $c.numElements();
+         |double $maxAbs = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if (!$c.isNullAt($i)) {
+         |    $maxAbs = java.lang.Math.max($maxAbs, java.lang.Math.abs($c.getDouble($i)));
+         |  }
+         |}
+         |final double $scale = $maxAbs / 127.0;
+         |final Object[] $out = new Object[$n];
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if ($scale == 0.0) {
+         |    $out[$i] = (Object) 0L;
+         |  } else if (!$c.isNullAt($i)) {
+         |    $out[$i] = (Object) (long) java.lang.Math.floor($c.getDouble($i) / $scale + 0.5);
+         |  }
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+         |  new Object[]{ (Object) $scale,
+         |    new org.apache.spark.sql.catalyst.util.GenericArrayData($out) });
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): QuantizeInt8 =
+    copy(child = newChild)
+}
+
 /** One-pass k-means assignment: struct(dist, cluster) =
   * argmin_j sum_i (q_i*fp - mu[j*dim+i])^2 with ties to the LOWEST j —
   * strict `<` in the scan is exactly the struct-min (dist, cluster)

@@ -80,14 +80,16 @@ object SimilaritySearch {
     * Scale: scan-side per-row math, no shuffle.
     */
   def quantizeInt8(df: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    import org.apache.spark.sql.GraftBridge
     val base = df.select(col(idCol).as("id"),
       col(vecCol).cast("array<double>").as("v"))
-    val withScale = base.withColumn("scale",
-      aggregate(col("v"), lit(0.0), (acc, x) => greatest(acc, abs(x))) / lit(127.0))
-    withScale.withColumn("q",
-      when(col("scale") === 0.0, transform(col("v"), _ => lit(0L)))
-        .otherwise(transform(col("v"),
-          x => floor(x / col("scale") + lit(0.5)).cast("long"))))
+    // one codegen'd pass (graft.expr.QuantizeInt8) — the HOF chain
+    // (aggregate max-abs + two transforms) ran interpreted per element in
+    // the scan that touches every float of the store
+    val sq = GraftBridge.column(graft.expr.QuantizeInt8(
+      GraftBridge.expression(base("v"))))
+    base.select(col("id"), col("v"),
+      sq.getField("scale").as("scale"), sq.getField("q").as("q"))
   }
 
   /** Scalar digests of [[quantizeInt8]]'s output — (id, scale, dim, code
@@ -133,9 +135,14 @@ object SimilaritySearch {
                       queries: DataFrame, idCol: String, vecCol: String,
                       k: Int, rerank: Int): DataFrame = {
     require(rerank >= k, s"rerank=$rerank must be >= k=$k")
-    def n2(q: Column): Column = aggregate(q, lit(0L), (a, x) => a + x * x)
-    def dotq(a: Column, b: Column): Column =
-      aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, x) => acc + x)
+    // codegen'd long-array dot (graft.expr.DotLong): this evaluates per
+    // (corpus × query) candidate pair — the widest inner loop here
+    def dotq(a: Column, b: Column): Column = {
+      import org.apache.spark.sql.GraftBridge
+      GraftBridge.column(graft.expr.DotLong(
+        GraftBridge.expression(a), GraftBridge.expression(b)))
+    }
+    def n2(q: Column): Column = dotq(q, q)
     val ci = index.select(col("id").as("nid"), col("q").as("cq"))
       .withColumn("cn2", n2(col("cq")))
     val qi = quantizedIndex(queries, idCol, vecCol)

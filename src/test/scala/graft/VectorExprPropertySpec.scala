@@ -5,7 +5,7 @@ import org.scalacheck.Gen
 import org.scalacheck.rng.Seed
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.catalyst.InternalRow
-import graft.expr.{KMeansAssign, QuantizeLong, SqDistLong}
+import graft.expr.{DotLong, KMeansAssign, QuantizeInt8, QuantizeLong, SqDistLong}
 import TestSpark.spark
 
 /** The curation expressions' three evaluation paths must agree: the
@@ -125,6 +125,81 @@ class VectorExprPropertySpec extends AnyFunSuite {
       .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
     assert(out.numElements() == 3 && !out.isNullAt(0) && out.isNullAt(1))
     assert(out.getLong(0) == 6L && out.getLong(2) == -9L)
+  }
+
+  test("DotLong: interpreted == codegen(DataFrame) == HOF aggregate(zip_with) == model") {
+    val s = spark
+    import s.implicits._
+    for (i <- 1 to 40) {
+      val (a, b) = (sample(vecGen, 7000 + i), sample(vecGen, 8000 + i))
+      val model = a.zip(b).map { case (x, y) => x * y }.sum
+      val interp = DotLong(lit(a), lit(b)).eval(InternalRow.empty).asInstanceOf[Long]
+      assert(interp == model)
+      val row = Seq((a.toSeq, b.toSeq)).toDF("a", "b")
+        .select(
+          org.apache.spark.sql.GraftBridge.column(DotLong(
+            org.apache.spark.sql.GraftBridge.expression(col("a")),
+            org.apache.spark.sql.GraftBridge.expression(col("b")))).as("d"),
+          aggregate(zip_with(col("a"), col("b"), (x, y) => x * y),
+            org.apache.spark.sql.functions.lit(0L), (acc, x) => acc + x).as("hof"))
+        .head
+      assert(row.getLong(0) == model && row.getLong(1) == model)
+    }
+    // length mismatch / null element -> null, like the HOF
+    assert(DotLong(lit(Array(1L, 2L)), lit(Array(1L, 2L, 3L)))
+      .eval(InternalRow.empty) == null)
+  }
+
+  test("QuantizeInt8: interpreted == codegen(DataFrame) == HOF chain == model") {
+    val s = spark
+    import s.implicits._
+    val dGen = Gen.containerOfN[Array, Double](dim,
+      Gen.chooseNum(-50.0, 50.0))
+    def model(v: Array[Double]): (Double, Seq[Long]) = {
+      val scale = v.map(math.abs).foldLeft(0.0)(math.max) / 127.0
+      (scale,
+        if (scale == 0.0) Seq.fill(v.length)(0L)
+        else v.map(x => math.floor(x / scale + 0.5).toLong).toSeq)
+    }
+    for (i <- 1 to 30) {
+      val v = sample(dGen, 9000 + i)
+      val (wScale, wQ) = model(v)
+      // interpreted
+      val interp = QuantizeInt8(
+        org.apache.spark.sql.catalyst.expressions.Literal.create(v.toSeq,
+          org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.DoubleType, containsNull = false)))
+        .eval(InternalRow.empty).asInstanceOf[InternalRow]
+      assert(interp.getDouble(0) == wScale)
+      // codegen + the HOF chain it replaced, side by side
+      val row = Seq(Tuple1(v.toSeq)).toDF("v")
+        .select(col("v"),
+          aggregate(col("v"), org.apache.spark.sql.functions.lit(0.0),
+            (acc, x) => greatest(acc, abs(x))).as("ma"))
+        .select(
+          org.apache.spark.sql.GraftBridge.column(graft.expr.QuantizeInt8(
+            org.apache.spark.sql.GraftBridge.expression(col("v")))).as("sq"),
+          (col("ma") / org.apache.spark.sql.functions.lit(127.0)).as("hofScale"),
+          col("v"))
+        .select(col("sq.scale"), col("sq.q"), col("hofScale"),
+          when(col("hofScale") === 0.0, transform(col("v"), _ =>
+              org.apache.spark.sql.functions.lit(0L)))
+            .otherwise(transform(col("v"), x =>
+              floor(x / col("hofScale") +
+                org.apache.spark.sql.functions.lit(0.5)).cast("long"))).as("hofQ"))
+        .head
+      assert(row.getDouble(0) == wScale && row.getDouble(2) == wScale)
+      assert(row.getSeq[Long](1) == wQ && row.getSeq[Long](3) == wQ)
+    }
+    // zero vector: scale 0, all-zero codes on the interpreted path too
+    val z = QuantizeInt8(
+      org.apache.spark.sql.catalyst.expressions.Literal.create(
+        Seq(0.0, 0.0),
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.DoubleType, containsNull = false)))
+      .eval(InternalRow.empty).asInstanceOf[InternalRow]
+    assert(z.getDouble(0) == 0.0)
+    assert(z.getArray(1).toLongArray().toSeq == Seq(0L, 0L))
   }
 
   test("overflow wraps are checked, not silent, on both evaluation paths") {
