@@ -60,6 +60,21 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       args => expect(args, 2)
         graft.expr.SqDistLong(args(0), args(1))
     }
+    inject("graft_dot_long",
+      "graft_dot_long(a, b) - sequential-fold dot product of two long arrays") {
+      args => expect(args, 2)
+        graft.expr.DotLong(args(0), args(1))
+    }
+    inject("graft_quantize",
+      "graft_quantize(v, shift) - floor(x * 2^shift) per element as longs") {
+      args => expect(args, 2)
+        graft.expr.QuantizeLong(args(0), litInt(args(1), "shift"))
+    }
+    inject("graft_quantize_int8",
+      "graft_quantize_int8(v) - struct(scale, q): symmetric int8 codes of a double array") {
+      args => expect(args, 1)
+        graft.expr.QuantizeInt8(args(0))
+    }
     inject("graft_unicode_normalize",
       "graft_unicode_normalize(s, form) - Unicode NFC/NFD/NFKC/NFKD normalization") {
       args => expect(args, 2)

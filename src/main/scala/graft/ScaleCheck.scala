@@ -79,9 +79,13 @@ object ScaleCheck {
           KMeans.assignTo(hist, "vec_id", "embedding", mus)
             .select(col("vec_id"), col("cluster"), col("q")),
           mus, "vec_id", "embedding", tauSq = 5000L)
-      }))
+      }),
+      "pl_curation_e2e" -> ((s: SparkSession, dir: String, mult: Int) =>
+        SemDeDup.curate(Tables.embeddings(s, dir), "vec_id", "embedding",
+          k = 8 * mult, iters = 3, tauSq = 6500L,
+          keepNum = 3, keepDen = 4, n = 5)))
   }
-  private val ScaledNames = Seq("dd_semantic", "dd_inc_semantic")
+  private val ScaledNames = Seq("dd_semantic", "dd_inc_semantic", "pl_curation_e2e")
 
   private def runTarget(s: SparkSession, name: String, dir: String,
                         mult: Int): Long =

@@ -305,6 +305,116 @@ case class SqDistLong(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Grouped k-means assignment — the level-2 step of two-level
+  * (hierarchical) clustering: argmin over only the centroids belonging to
+  * the row's PARENT cluster. The full centroid set rides as one flattened
+  * reference array plus a per-parent offset table (parents can own fewer
+  * than k2 centroids when the parent cluster is smaller than k2);
+  * `struct(dist, cluster)` returns the LOCAL centroid index within the
+  * parent, ties to the lowest index — the same tie rule as
+  * [[KMeansAssign]], replayed identically by the DuckDB chain.
+  *
+  * Null contract: null/wrong-length/null-element vector, or a parent id
+  * outside [0, parents) → null. Arithmetic checked like [[KMeansAssign]].
+  */
+case class KMeansAssignGrouped(left: Expression, right: Expression,
+                               dim: Int, fp: Long, centroids: Array[Long],
+                               offsets: Array[Int])
+    extends BinaryExpression {
+  require(offsets.length >= 2 && offsets.head == 0 &&
+    offsets.last * dim == centroids.length,
+    s"offsets must cover the centroid array (dim=$dim, " +
+      s"${centroids.length} longs, offsets ${offsets.toSeq})")
+  private def parents: Int = offsets.length - 1
+  override def dataType: DataType = StructType(Seq(
+    StructField("dist", LongType, nullable = false),
+    StructField("cluster", LongType, nullable = false)))
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_kmeans_assign_grouped"
+
+  override def nullSafeEval(q: Any, parent: Any): Any = {
+    val arr = q.asInstanceOf[ArrayData]
+    val c1 = parent.asInstanceOf[Long]
+    if (arr.numElements() != dim || c1 < 0 || c1 >= parents) return null
+    val v = new Array[Long](dim)
+    var i = 0
+    while (i < dim) {
+      if (arr.isNullAt(i)) return null
+      v(i) = Math.multiplyExact(arr.getLong(i), fp)
+      i += 1
+    }
+    val from = offsets(c1.toInt)
+    val until = offsets(c1.toInt + 1)
+    if (until <= from) return null // parent owns no centroids (empty cluster)
+    var bestD = Long.MaxValue
+    var bestC = 0L
+    var j = from
+    while (j < until) {
+      var acc = 0L
+      val base = j * dim
+      i = 0
+      while (i < dim) {
+        val d = Math.subtractExact(v(i), centroids(base + i))
+        acc = Math.addExact(acc, Math.multiplyExact(d, d))
+        i += 1
+      }
+      if (acc < bestD) { bestD = acc; bestC = (j - from).toLong }
+      j += 1
+    }
+    org.apache.spark.sql.catalyst.InternalRow(bestD, bestC)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val muRef = ctx.addReferenceObj("groupedCentroids", centroids, "long[]")
+    val offRef = ctx.addReferenceObj("groupedOffsets", offsets, "int[]")
+    nullSafeCodeGen(ctx, ev, (q, parent) => {
+      val v = ctx.freshName("v")
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      val d = ctx.freshName("d")
+      val acc = ctx.freshName("acc")
+      val base = ctx.freshName("base")
+      val from = ctx.freshName("from")
+      val until = ctx.freshName("until")
+      val bestD = ctx.freshName("bestD")
+      val bestC = ctx.freshName("bestC")
+      s"""
+         |if ($q.numElements() != $dim || $parent < 0 || $parent >= ${parents}L) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  final long[] $v = new long[$dim];
+         |  for (int $i = 0; $i < $dim && !${ev.isNull}; $i++) {
+         |    if ($q.isNullAt($i)) ${ev.isNull} = true;
+         |    else $v[$i] = java.lang.Math.multiplyExact($q.getLong($i), ${fp}L);
+         |  }
+         |  final int $from = $offRef[(int) $parent];
+         |  final int $until = $offRef[(int) $parent + 1];
+         |  if ($until <= $from) ${ev.isNull} = true;
+         |  if (!${ev.isNull}) {
+         |    long $bestD = Long.MAX_VALUE;
+         |    long $bestC = 0L;
+         |    for (int $j = $from; $j < $until; $j++) {
+         |      long $acc = 0L;
+         |      final int $base = $j * $dim;
+         |      for (int $i = 0; $i < $dim; $i++) {
+         |        final long $d = java.lang.Math.subtractExact($v[$i], $muRef[$base + $i]);
+         |        $acc = java.lang.Math.addExact($acc, java.lang.Math.multiplyExact($d, $d));
+         |      }
+         |      if ($acc < $bestD) { $bestD = $acc; $bestC = (long) ($j - $from); }
+         |    }
+         |    ${ev.value} = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+         |      new Object[]{ (Object) $bestD, (Object) $bestC });
+         |  }
+         |}
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): KMeansAssignGrouped =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Sequential-fold dot product of two LONG arrays — the stage-1 scorer of
   * the int8 two-stage retrieval ([[graft.ops.SimilaritySearch]]
   * searchQuantized): at scale it evaluates per (corpus × query) pair, the

@@ -184,6 +184,99 @@ object KMeans {
     mus
   }
 
+  /** Two-level (hierarchical) k-means: a level-1 fit ([[assigned]]) then
+    * an independent integer-exact Lloyd WITHIN every level-1 cluster
+    * (k2 sub-centroids each, seeded by the same deterministic (md5, id)
+    * draw per parent). Leaf cluster id = c1 * k2 + c2; `dist` is the
+    * squared fixed-point distance to the LEAF centroid. Returns the
+    * [[assigned]] shape: (idCol, cluster, dist, q).
+    *
+    * This is the constructive answer to SemDeDup's oversized-cluster
+    * hazard (see [[SemDeDup.DefaultMaxClusterSize]]): rather than only
+    * gating on cluster size, sub-clustering divides every parent by ~k2
+    * BY CONSTRUCTION, so the O(c²) within-cluster pair join runs over
+    * leaf clusters a k2-th the size — the recursive-split mechanism of
+    * Abbas et al. 2023 unrolled one level. (Exact-duplicate blobs are
+    * the one thing a Voronoi split cannot divide — identical vectors
+    * always co-assign — so the gate remains the backstop for adversarial
+    * data.)
+    *
+    * Scale shape: identical envelope to [[assigned]] run twice — the
+    * level-2 loop is one grouped-assignment scan per iteration (a single
+    * codegen'd pass, [[graft.expr.KMeansAssignGrouped]], the whole
+    * k1·k2·dim matrix riding as one reference object) plus one
+    * partial-aggregated sum shuffle of ≤ partitions·k1·k2·dim rows;
+    * O(k1·k2·dim) driver state.
+    */
+  def assignedTwoLevel(df: DataFrame, idCol: String, vecCol: String,
+                       k1: Int, iters1: Int, k2: Int, iters2: Int,
+                       quantShift: Int = 6, fpShift: Int = 10): DataFrame = {
+    require(k2 >= 1 && iters2 >= 0, s"need k2>=1, iters2>=0 (got k2=$k2 iters2=$iters2)")
+    val fp = 1L << fpShift
+    val a1 = assigned(df, idCol, vecCol, k1, iters1, quantShift, fpShift)
+      .select(col(idCol).as("kid"), col("cluster").as("c1"), col("q"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+
+    // per-parent seeds: the k2 smallest (md5(id), id) of each parent —
+    // ≤ k1·k2 rows reach the driver
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("c1"))
+      .orderBy(md5(col("kid").cast("string").cast("binary")), col("kid"))
+    val seedRows = a1
+      .withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") <= k2)
+      .select(col("c1"), col("__rk"), col("q"))
+      .collect()
+      .map(r => (r.getLong(0).toInt, r.getInt(1) - 1, r.getSeq[Long](2).toArray))
+    require(seedRows.nonEmpty, "two-level kmeans: empty input")
+    val dim = seedRows.head._3.length
+
+    // ragged per-parent matrices (a parent smaller than k2 owns fewer)
+    var mus: Array[Array[Array[Long]]] = {
+      val byParent = seedRows.groupBy(_._1)
+      Array.tabulate(k1) { c1 =>
+        byParent.getOrElse(c1, Array.empty).sortBy(_._2)
+          .map(_._3.map(_ * fp))
+      }
+    }
+    def flat(m: Array[Array[Array[Long]]]): (Array[Long], Array[Int]) = {
+      val offsets = m.scanLeft(0)(_ + _.length)
+      (m.flatten.flatten, offsets)
+    }
+    def bestOf2(m: Array[Array[Array[Long]]]): Column = {
+      val (f, o) = flat(m)
+      org.apache.spark.sql.GraftBridge.column(graft.expr.KMeansAssignGrouped(
+        org.apache.spark.sql.GraftBridge.expression(col("q")),
+        org.apache.spark.sql.GraftBridge.expression(col("c1")),
+        dim, fp, f, o))
+    }
+
+    for (_ <- 0 until iters2) {
+      val best = bestOf2(mus)
+      val sums = a1.select(col("c1"), best.getField("cluster").as("c2"), col("q"))
+        .select(col("c1"), col("c2"), posexplode(col("q")).as(Seq("pos", "v")))
+        .groupBy("c1", "c2", "pos")
+        .agg(sum("v").as("s"), count(lit(1)).as("cnt"))
+        .collect()
+      val next = mus.map(_.map(_.clone())) // empty subcluster: carry over
+      sums.foreach { r =>
+        val (c1, c2, p) = (r.getLong(0).toInt, r.getLong(1).toInt, r.getInt(2))
+        next(c1)(c2)(p) = roundDiv(r.getLong(3), r.getLong(4), 2 * fp)
+      }
+      mus = next
+    }
+    val best = bestOf2(mus)
+    a1.select(col("kid").as(idCol),
+      (col("c1") * k2 + best.getField("cluster")).as("cluster"),
+      best.getField("dist").as("dist"), col("q"))
+  }
+
+  /** [[assignedTwoLevel]] without the vectors — (idCol, cluster, dist). */
+  def fixedPointTwoLevel(df: DataFrame, idCol: String, vecCol: String,
+                         k1: Int, iters1: Int, k2: Int, iters2: Int,
+                         quantShift: Int = 6, fpShift: Int = 10): DataFrame =
+    assignedTwoLevel(df, idCol, vecCol, k1, iters1, k2, iters2, quantShift, fpShift)
+      .select(col(idCol), col("cluster"), col("dist"))
+
   /** The DuckDB replay of [[fixedPoint]] as a WITH-chain: one (assign,
     * update) CTE pair per iteration, then the final assignment. Generated,
     * not hand-written, so the oracle always matches the parameters under
@@ -245,4 +338,71 @@ object KMeans {
        |  SELECT $idCol, c, dist::BIGINT AS dist FROM d$fin
        |  QUALIFY row_number() OVER (PARTITION BY $idCol ORDER BY dist, c) = 1)""".stripMargin
   }
+
+  /** [[oracleChain]] extended with the level-2 replay of
+    * [[assignedTwoLevel]], ending in CTE `leaf` ($idCol, cluster, dist)
+    * with cluster = c1*k2 + c2 — the hierarchical consumers
+    * ([[SemDeDup]]) append their CTEs to this like the flat ones append
+    * to `afin`.
+    */
+  def oracleChainTwoLevel(table: String, idCol: String, vecCol: String,
+                          k1: Int, iters1: Int, k2: Int, iters2: Int,
+                          quantShift: Int = 6, fpShift: Int = 10): String = {
+    val fp = 1L << fpShift
+    val iterCtes = (1 to iters2).map { i =>
+      s"""e$i AS (
+         |  SELECT p.$idCol, c.c1, c.c2,
+         |    sum((p.qv*$fp - c.mu)*(p.qv*$fp - c.mu)) AS dist
+         |  FROM pts2 p JOIN cent2_${i - 1} c ON p.c1 = c.c1 AND p.pos = c.pos
+         |  GROUP BY 1, 2, 3),
+         |b$i AS (
+         |  SELECT $idCol, c1, c2, dist FROM e$i
+         |  QUALIFY row_number() OVER (PARTITION BY $idCol ORDER BY dist, c2) = 1),
+         |upd2_$i AS (
+         |  SELECT b.c1, b.c2, p.pos, sum(p.qv) AS s, count(*) AS cnt
+         |  FROM pts2 p JOIN b$i b USING ($idCol)
+         |  GROUP BY 1, 2, 3),
+         |cent2_$i AS (
+         |  SELECT c0.c1, c0.c2, c0.pos,
+         |    CASE WHEN u.cnt IS NULL THEN c0.mu
+         |         WHEN u.s >= 0 THEN (${2 * fp}*u.s + u.cnt)//(2*u.cnt)
+         |         ELSE -((${2 * fp}*(-u.s) + u.cnt)//(2*u.cnt)) END AS mu
+         |  FROM cent2_${i - 1} c0
+         |  LEFT JOIN upd2_$i u ON c0.c1 = u.c1 AND c0.c2 = u.c2 AND c0.pos = u.pos)""".stripMargin
+    }
+    val fin = iters2 + 1
+    oracleChain(table, idCol, vecCol, k1, iters1, quantShift, fpShift) +
+      s""",
+         |r2 AS (SELECT $idCol, c AS c1 FROM afin),
+         |s2 AS (
+         |  SELECT $idCol, c1,
+         |    row_number() OVER (PARTITION BY c1
+         |      ORDER BY md5(CAST($idCol AS VARCHAR)), $idCol) - 1 AS c2
+         |  FROM r2
+         |  QUALIFY c2 < $k2),
+         |pts2 AS (SELECT p.$idCol, r.c1, p.pos, p.qv FROM pts p JOIN r2 r USING ($idCol)),
+         |cent2_0 AS (
+         |  SELECT s.c1, s.c2, p.pos, p.qv*$fp AS mu
+         |  FROM s2 s JOIN pts p USING ($idCol)),
+         |${iterCtes.mkString(",\n")}${if (iterCtes.nonEmpty) "," else ""}
+         |e$fin AS (
+         |  SELECT p.$idCol, c.c1, c.c2,
+         |    sum((p.qv*$fp - c.mu)*(p.qv*$fp - c.mu)) AS dist
+         |  FROM pts2 p JOIN cent2_$iters2 c ON p.c1 = c.c1 AND p.pos = c.pos
+         |  GROUP BY 1, 2, 3),
+         |b$fin AS (
+         |  SELECT $idCol, c1, c2, dist FROM e$fin
+         |  QUALIFY row_number() OVER (PARTITION BY $idCol ORDER BY dist, c2) = 1),
+         |leaf AS (
+         |  SELECT $idCol, (c1*$k2 + c2)::BIGINT AS cluster, dist::BIGINT AS dist
+         |  FROM b$fin)""".stripMargin
+  }
+
+  /** DuckDB replay of [[fixedPointTwoLevel]]. */
+  def oracleSqlTwoLevel(table: String, idCol: String, vecCol: String,
+                        k1: Int, iters1: Int, k2: Int, iters2: Int,
+                        quantShift: Int = 6, fpShift: Int = 10): String =
+    oracleChainTwoLevel(table, idCol, vecCol, k1, iters1, k2, iters2,
+      quantShift, fpShift) +
+      s"\nSELECT $idCol, cluster, dist FROM leaf"
 }

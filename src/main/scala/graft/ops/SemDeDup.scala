@@ -125,6 +125,60 @@ object SemDeDup {
       .select(col("xid"))
   }
 
+  /** [[semantic]] over TWO-LEVEL clusters ([[KMeans.assignedTwoLevel]]):
+    * the constructive fix for the oversized-cluster hazard — every
+    * level-1 cluster is sub-split k2 ways, so the O(c²) pair join runs
+    * over leaf clusters ~k2× smaller BY CONSTRUCTION (the recursive-split
+    * mechanism of Abbas et al. 2023, one level unrolled). The drop rule,
+    * priority, and gate are exactly [[semantic]]'s, applied to leaf
+    * clusters; `dist` priority is distance to the LEAF centroid. The gate
+    * remains the backstop: exact-duplicate blobs co-assign under any
+    * Voronoi split, so pathological inputs still fail fast rather than
+    * straggle.
+    *
+    * Returns (idCol, cluster, kept) with cluster = c1*k2 + c2.
+    */
+  def semanticHierarchical(df: DataFrame, idCol: String, vecCol: String,
+                           k1: Int, iters1: Int, k2: Int, iters2: Int,
+                           tauSq: Long, quantShift: Int = 6, fpShift: Int = 10,
+                           maxClusterSize: Long = DefaultMaxClusterSize): DataFrame = {
+    require(tauSq >= 0, s"tauSq must be >= 0, got $tauSq")
+    val a = KMeans.assignedTwoLevel(df, idCol, vecCol, k1, iters1, k2, iters2,
+        quantShift, fpShift)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    guardClusterSizes(a, maxClusterSize, "SemDeDup.semanticHierarchical")
+    val dropped = droppedWithin(a, idCol, tauSq)
+    a.join(dropped.withColumn("__dropped", lit(true)),
+        col(idCol) === col("xid"), "left_outer")
+      .select(col(idCol), col("cluster"),
+        coalesce(col("__dropped"), lit(false)).unary_!.as("kept"))
+  }
+
+  /** DuckDB replay of [[semanticHierarchical]]: the two-level chain
+    * ([[KMeans.oracleChainTwoLevel]], ending in `leaf`), then the same
+    * pair-distance EXISTS rule over leaf clusters.
+    */
+  def semanticHierarchicalOracleSql(table: String, idCol: String,
+                                    vecCol: String, k1: Int, iters1: Int,
+                                    k2: Int, iters2: Int, tauSq: Long,
+                                    quantShift: Int = 6,
+                                    fpShift: Int = 10): String =
+    KMeans.oracleChainTwoLevel(table, idCol, vecCol, k1, iters1, k2, iters2,
+      quantShift, fpShift) +
+      s""",
+         |pairdist AS (
+         |  SELECT ax.$idCol AS xid,
+         |    sum((px.qv - py.qv)*(px.qv - py.qv)) AS d2
+         |  FROM leaf ax
+         |  JOIN leaf ay ON ax.cluster = ay.cluster
+         |    AND (ay.dist > ax.dist OR (ay.dist = ax.dist AND ay.$idCol < ax.$idCol))
+         |  JOIN pts px ON px.$idCol = ax.$idCol
+         |  JOIN pts py ON py.$idCol = ay.$idCol AND py.pos = px.pos
+         |  GROUP BY ax.$idCol, ay.$idCol),
+         |dropped AS (SELECT DISTINCT xid FROM pairdist WHERE d2 <= $tauSq)
+         |SELECT a.$idCol, a.cluster, (d.xid IS NULL) AS kept
+         |FROM leaf a LEFT JOIN dropped d ON a.$idCol = d.xid""".stripMargin
+
   /** The full curation pipeline as ONE chained computation over ONE
     * k-means fit — the composition the stage operators ([[semantic]],
     * [[prototypePrune]], [[clusterSample]]) are built for, mirroring the

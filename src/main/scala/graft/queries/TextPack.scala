@@ -227,6 +227,23 @@ object TextPack {
     SemDeDup.curate(Tables.embeddings(s, dir), "vec_id", "embedding",
       k = 8, iters = 3, tauSq = 6500L, keepNum = 3, keepDen = 4, n = 5)
 
+  /** Two-level k-means over the embedding store: 4 parents × 3
+    * sub-clusters, both levels integer-exact — the hierarchical
+    * assignment semantic dedup sub-splits oversized clusters with.
+    */
+  def kmeans2Q(s: SparkSession, dir: String): DataFrame =
+    KMeans.fixedPointTwoLevel(Tables.embeddings(s, dir), "vec_id", "embedding",
+      k1 = 4, iters1 = 2, k2 = 3, iters2 = 2)
+
+  /** SemDeDup over two-level (leaf) clusters: the constructive
+    * oversized-cluster fix — every parent sub-split 3 ways before the
+    * O(c²) pair join. Same tauSq as dd_semantic so the flat/hierarchical
+    * drop sets are directly comparable.
+    */
+  def semDedup2Q(s: SparkSession, dir: String): DataFrame =
+    SemDeDup.semanticHierarchical(Tables.embeddings(s, dir), "vec_id",
+      "embedding", k1 = 4, iters1 = 2, k2 = 3, iters2 = 2, tauSq = 6500L)
+
   /** Cluster report card: per-cluster size, integer inertia, max radius,
     * min-id exemplar — curation observability over the same assignment.
     */
@@ -822,6 +839,8 @@ object TextPack {
     "dd_inc_semantic" -> incSemanticQ _,
     "pl_cluster_report" -> clusterReportQ _,
     "pl_curation_e2e" -> curationE2eQ _,
+    "pl_kmeans2" -> kmeans2Q _,
+    "dd_semantic_2level" -> semDedup2Q _,
   )
 
   // DuckDB-side common table prefixes (carries n_chars through so consumers
@@ -1417,5 +1436,11 @@ object TextPack {
     "pl_curation_e2e" ->
       SemDeDup.curateOracleSql("embeddings", "vec_id", "embedding",
         k = 8, iters = 3, tauSq = 6500L, keepNum = 3, keepDen = 4, n = 5),
+    "pl_kmeans2" ->
+      KMeans.oracleSqlTwoLevel("embeddings", "vec_id", "embedding",
+        k1 = 4, iters1 = 2, k2 = 3, iters2 = 2),
+    "dd_semantic_2level" ->
+      SemDeDup.semanticHierarchicalOracleSql("embeddings", "vec_id",
+        "embedding", k1 = 4, iters1 = 2, k2 = 3, iters2 = 2, tauSq = 6500L),
   )
 }

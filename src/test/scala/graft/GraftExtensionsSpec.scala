@@ -48,6 +48,14 @@ class GraftExtensionsSpec extends AnyFunSuite {
       assert(sqd == 25L)
       assert(s.sql("SELECT graft_sqdist(array(1L), array(1L, 2L)) AS d")
         .head.isNullAt(0), "length mismatch is null, matching the HOF form")
+      assert(s.sql("SELECT graft_dot_long(array(2L, 3L), array(4L, 5L)) AS d")
+        .head.getLong(0) == 23L)
+      assert(s.sql("SELECT graft_quantize(array(1.5d, -2.25d), 2) AS q")
+        .head.getSeq[Long](0) == Seq(6L, -9L))
+      val qi8 = s.sql(
+        "SELECT q.scale, q.q FROM (SELECT graft_quantize_int8(array(127.0d, -63.5d)) AS q)")
+        .head
+      assert(qi8.getDouble(0) == 1.0 && qi8.getSeq[Long](1) == Seq(127L, -63L))
       val nfc = s.sql(
         "SELECT length(graft_unicode_normalize('é', 'NFC')) AS l")
         .head.getInt(0)

@@ -70,6 +70,22 @@ private[graft] object KMeansModel {
             quantShift: Int = 6, fpShift: Int = 10): Map[Long, (Long, Long)] =
     assignTo(rows, fit(rows, k, iters, quantShift, fpShift),
       quantShift, fpShift)
+
+  /** Driver-side model of KMeans.assignedTwoLevel: level-1 model, then an
+    * INDEPENDENT fit+assign per parent cluster (the grouped Spark
+    * iteration is exactly per-parent-independent Lloyd). Leaf id =
+    * c1*k2 + c2; dist is to the leaf centroid.
+    */
+  def twoLevel(rows: Seq[(Long, Seq[Double])], k1: Int, iters1: Int,
+               k2: Int, iters2: Int, quantShift: Int = 6,
+               fpShift: Int = 10): Map[Long, (Long, Long)] = {
+    val a1 = model(rows, k1, iters1, quantShift, fpShift)
+    rows.groupBy(r => a1(r._1)._1).flatMap { case (c1, members) =>
+      val musSub = fit(members.toSeq, k2, iters2, quantShift, fpShift)
+      assignTo(members.toSeq, musSub, quantShift, fpShift)
+        .map { case (id, (c2, d)) => id -> (c1 * k2 + c2, d) }
+    }
+  }
 }
 
 /** Integer-exact k-means: Spark's result must equal [[KMeansModel]]. */
@@ -124,6 +140,37 @@ class KMeansSpec extends AnyFunSuite {
     val (g, m) = (run(rows, k = 4, iters = 4), model(rows, k = 4, iters = 4))
     assert(g == m)
     assert(g.values.map(_._1).toSet.size >= 2) // outlier keeps its own cluster
+  }
+
+  test("two-level assignment matches the per-parent-independent model") {
+    val s = spark
+    import s.implicits._
+    val rows = blobs(90, 12, 3)
+    val df = rows.toDF("id", "vec")
+      .select(col("id"), col("vec").cast("array<float>").as("vec"))
+    for ((k1, i1, k2, i2) <- Seq((3, 2, 2, 2), (4, 1, 3, 0), (2, 0, 5, 1))) {
+      val got = KMeans.fixedPointTwoLevel(df, "id", "vec", k1, i1, k2, i2)
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+      assert(got == KMeansModel.twoLevel(rows, k1, i1, k2, i2),
+        s"k1=$k1 iters1=$i1 k2=$k2 iters2=$i2")
+    }
+    // sub-splitting really divides: leaf clusters are strictly more
+    // numerous than parents on this multi-blob data
+    val leaves = KMeansModel.twoLevel(rows, 3, 2, 2, 2).values.map(_._1).toSet
+    assert(leaves.size > 3)
+  }
+
+  test("two-level handles parents smaller than k2 (ragged sub-matrices)") {
+    val s = spark
+    import s.implicits._
+    // 5 points, k1=2 parents, k2=4 > any parent's size
+    val rows = (0L until 5L).map(id => id -> Seq.fill(4)(id.toDouble))
+    val df = rows.toDF("id", "vec")
+      .select(col("id"), col("vec").cast("array<float>").as("vec"))
+    val got = KMeans.fixedPointTwoLevel(df, "id", "vec",
+        k1 = 2, iters1 = 1, k2 = 4, iters2 = 1)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got == KMeansModel.twoLevel(rows, 2, 1, 4, 1))
   }
 
   test("clusters recover the planted structure on well-separated blobs") {

@@ -50,6 +50,43 @@ class SemDeDupSpec extends AnyFunSuite {
         (if (i % c == center) 0.4 else -0.1) + rnd.nextDouble() * 0.1)
     }
 
+  test("semanticHierarchical matches the drop rule over the two-level assignment") {
+    val s = spark
+    import s.implicits._
+    val rows = blobs(80, 12, 3)
+    val (k1, i1, k2, i2, tau) = (3, 2, 2, 1, 2000L)
+    val df = rows.toDF("id", "vec")
+      .select(col("id"), col("vec").cast("array<float>").as("vec"))
+    val got = SemDeDup.semanticHierarchical(df, "id", "vec", k1, i1, k2, i2, tau)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    // model: same EXISTS rule as semModel, over the two-level leaves
+    val a = KMeansModel.twoLevel(rows, k1, i1, k2, i2)
+    val q = rows.map { case (id, v) => id -> quantize(v, 6) }.toMap
+    def d2(x: Long, y: Long): Long =
+      q(x).zip(q(y)).map { case (p, r) => val d = p - r; d * d }.sum
+    val want = rows.map { case (xid, _) =>
+      val (xc, xd) = a(xid)
+      val dropped = rows.exists { case (yid, _) =>
+        yid != xid && a(yid)._1 == xc && {
+          val yd = a(yid)._2
+          (yd > xd || (yd == xd && yid < xid)) && d2(xid, yid) <= tau
+        }
+      }
+      xid -> (xc, !dropped)
+    }.toMap
+    assert(got == want)
+    // the sub-split gate: same data, same bound — flat k=3 trips it, the
+    // hierarchical split passes because every leaf is a fraction of its
+    // parent (the constructive fix the operator exists for)
+    val bound = rows.size / 3 - 5L
+    intercept[IllegalArgumentException] {
+      SemDeDup.semantic(df, "id", "vec", k = 3, iters = 2, tauSq = tau,
+        maxClusterSize = bound)
+    }
+    assert(SemDeDup.semanticHierarchical(df, "id", "vec", k1 = 3, iters1 = 2,
+      k2 = 3, iters2 = 2, tauSq = tau, maxClusterSize = bound).count() == rows.size)
+  }
+
   test("curate: end-to-end composition matches the staged model") {
     val s = spark
     import s.implicits._
