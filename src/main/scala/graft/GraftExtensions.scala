@@ -65,6 +65,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       args => expect(args, 2)
         graft.expr.DotLong(args(0), args(1))
     }
+    inject("graft_log2fp",
+      "graft_log2fp(x) - integer-exact 2^20-scaled log2 of a positive BIGINT") {
+      args => expect(args, 1)
+        graft.expr.Log2Fp(args(0))
+    }
     inject("graft_quantize",
       "graft_quantize(v, shift) - floor(x * 2^shift) per element as longs") {
       args => expect(args, 2)

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.core.Tables
 import graft.functions.{TextFunctions => T, SimilarityFunctions => S}
-import graft.ops.{Dedup, KMeans, SemDeDup, SimilaritySearch, TrainingPipeline}
+import graft.ops.{Dedup, KMeans, ModelFilter, SemDeDup, SimilaritySearch, TrainingPipeline}
 
 /** Training-data pipeline queries over `documents` / `embeddings`:
   * text analysis, dedup families, similarity search — each oracle-checked
@@ -783,6 +783,29 @@ object TextPack {
       "doc_id", "text")
   }
 
+  /** Learned language-ID: multinomial NB over hashed tokens, trained on
+    * the even-id half, scored on the odd half — the fasttext-classifier
+    * role of a CCNet-style pipeline, integer-exact (see ModelFilter).
+    */
+  def nbLangQ(s: SparkSession, dir: String): DataFrame =
+    ModelFilter.naiveBayes(Tables.documents(s, dir), "doc_id", "text",
+      "lang", col("doc_id") % 2 === 0)
+
+  /** Stupid-backoff trigram LM: counts from the even-id half, per-doc
+    * fixed-point log-scores + backoff-level histogram on the odd half.
+    */
+  def lmBackoffQ(s: SparkSession, dir: String): DataFrame =
+    ModelFilter.stupidBackoff(Tables.documents(s, dir), "doc_id", "text",
+      col("doc_id") % 2 === 0)
+
+  /** DSIR importance selection: target = English docs, hashed
+    * unigram+bigram buckets, deterministic top-150 by fixed-point log
+    * importance ratio.
+    */
+  def dsirQ(s: SparkSession, dir: String): DataFrame =
+    ModelFilter.dsirSelect(Tables.documents(s, dir), "doc_id", "text",
+      col("lang") === "en", k = 150, buckets = 2048)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "pl_split" -> pipelineSplit _,
     "pl_shuffle" -> pipelineShuffle _,
@@ -841,6 +864,9 @@ object TextPack {
     "pl_curation_e2e" -> curationE2eQ _,
     "pl_kmeans2" -> kmeans2Q _,
     "dd_semantic_2level" -> semDedup2Q _,
+    "pl_nb_lang" -> nbLangQ _,
+    "pl_lm_backoff" -> lmBackoffQ _,
+    "pl_dsir" -> dsirQ _,
   )
 
   // DuckDB-side common table prefixes (carries n_chars through so consumers
@@ -1442,5 +1468,8 @@ object TextPack {
     "dd_semantic_2level" ->
       SemDeDup.semanticHierarchicalOracleSql("embeddings", "vec_id",
         "embedding", k1 = 4, iters1 = 2, k2 = 3, iters2 = 2, tauSq = 6500L),
+    "pl_nb_lang" -> ModelOracle.naiveBayes(mod = 2),
+    "pl_lm_backoff" -> ModelOracle.stupidBackoff(mod = 2),
+    "pl_dsir" -> ModelOracle.dsir("en", buckets = 2048, k = 150),
   )
 }

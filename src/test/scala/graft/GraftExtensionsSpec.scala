@@ -48,6 +48,12 @@ class GraftExtensionsSpec extends AnyFunSuite {
       assert(sqd == 25L)
       assert(s.sql("SELECT graft_sqdist(array(1L), array(1L, 2L)) AS d")
         .head.isNullAt(0), "length mismatch is null, matching the HOF form")
+      assert(s.sql("SELECT graft_log2fp(1024L) AS l").head.getLong(0)
+        == 10L << 20)
+      assert(s.sql("SELECT graft_log2fp(10L) AS l").head.getLong(0)
+        == graft.expr.Log2Fp.compute(10L))
+      assert(s.sql("SELECT graft_log2fp(0L) AS l").head.isNullAt(0),
+        "log2 of a non-positive is null")
       assert(s.sql("SELECT graft_dot_long(array(2L, 3L), array(4L, 5L)) AS d")
         .head.getLong(0) == 23L)
       assert(s.sql("SELECT graft_quantize(array(1.5d, -2.25d), 2) AS q")
