@@ -48,9 +48,15 @@ object ScaleCheck {
     "dd_ngram_jaccard", "dd_simhash", "dd_minhash_lsh", "pl_corpus_e2e",
     "pl_dedup_corpus", "q_salted_join", "q5_local_supplier",
     "op_csvexport_zip", "op_sort_order", "tx_keywords", "op_type_fuzz",
-    "dd_line_dedup", "pl_kmeans")
+    "dd_line_dedup", "pl_kmeans", "pl_nb_lang", "pl_lm_backoff")
   // pl_kmeans: fixed k over 10x rows must scale linearly (one assignment
   // scan + one bounded partial-agg shuffle per iteration).
+  // pl_nb_lang / pl_lm_backoff: the replicas' disjoint token spaces give a
+  // TRUE 10x vocabulary, so the n-gram count tables grow 10x alongside the
+  // positions stream — the regime where the count-table joins stop being
+  // broadcastable and the Brants-style hash-sharded join design has to
+  // hold (doc_id parity survives the 1e9 replica stride, so the
+  // train/score split stays balanced).
 
   /** The semantic-dedup family scales k WITH N (k = 8·mult below):
     * SemDeDup's within-cluster pairwise compare is O(sum c_i^2) BY

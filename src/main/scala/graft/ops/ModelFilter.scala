@@ -89,16 +89,22 @@ object ModelFilter {
     val train = base.filter(col("is_train"))
     val score = base.filter(!col("is_train"))
 
-    val trainTok = train.select(col("lbl"), explode(col("hs")).as("h"))
-    val cnt = trainTok.groupBy("lbl", "h").agg(count(lit(1)).as("c"))
+    // ONE corpus-scan of the training half builds the raw (lbl, h, c)
+    // count table; everything downstream derives from it (class token
+    // totals = Σc per lbl, vocabulary = distinct h) or from the cheap
+    // docs-only scan (priors) — re-exploding the token stream per
+    // aggregate would triple the family's only corpus-sized pass.
+    val cntRaw = train.select(col("lbl"), explode(col("hs")).as("h"))
+      .groupBy("lbl", "h").agg(count(lit(1)).as("c"))
+    val cnt = cntRaw
       .select(col("lbl"), col("h"), log2fp(col("c") + 1).as("lg"))
     // D (train docs) and V (train vocabulary) are 1-row aggregates; the
     // class table is |classes| rows — all broadcast-sized by construction.
     val dv = train.groupBy().agg(count(lit(1)).as("d"))
-      .crossJoin(trainTok.groupBy().agg(
-        count_distinct(col("h")).as("v")))
+      .crossJoin(cntRaw.select("h").distinct()
+        .groupBy().agg(count(lit(1)).as("v")))
     val classes = train.groupBy("lbl").agg(count(lit(1)).as("p"))
-      .join(trainTok.groupBy("lbl").agg(count(lit(1)).as("t")), "lbl")
+      .join(cntRaw.groupBy("lbl").agg(sum(col("c")).as("t")), "lbl")
       .crossJoin(broadcast(dv))
       .select(col("lbl"),
         (log2fp(col("p")) - log2fp(col("d"))).as("prior_fp"),
@@ -249,27 +255,30 @@ object ModelFilter {
       .withColumn("fs", concat(
         S.positionedShingleHashes(col("ts"), 1),
         S.positionedShingleHashes(col("ts"), 2)))
-    val feats = base.select(col("id"), col("is_target"),
+    // ONE explode + ONE (id, bucket)-keyed aggregation is the only
+    // corpus-sized pass; the B-row bucket model and the normalizer totals
+    // are re-aggregations of its (tiny) output, not fresh corpus scans.
+    val docAll = base.select(col("id"), col("is_target"),
       explode(col("fs")).as("h"))
-      .withColumn("bkt", col("h") % buckets)
+      .groupBy(col("id"), col("is_target"),
+        (col("h") % buckets).as("bkt"))
+      .agg(count(lit(1)).as("n"))
 
-    val ct = feats.filter(col("is_target")).groupBy("bkt")
-      .agg(count(lit(1)).as("ct"))
-    val cr = feats.groupBy("bkt").agg(count(lit(1)).as("cr"))
-    val totals = feats.groupBy().agg(
-      coalesce(sum(when(col("is_target"), 1L)), lit(0L)).as("tt"),
-      count(lit(1)).as("tr"))
+    val perBkt = docAll.groupBy("bkt").agg(
+      coalesce(sum(when(col("is_target"), col("n"))), lit(0L)).as("ct"),
+      sum(col("n")).as("cr"))
+    val totals = perBkt.groupBy().agg(
+      coalesce(sum(col("ct")), lit(0L)).as("tt"),
+      coalesce(sum(col("cr")), lit(0L)).as("tr"))
     // B-row model: per-bucket delta + the shared normalizer constant.
-    val model = cr.join(ct, Seq("bkt"), "left")
-      .select(col("bkt"),
-        (log2fp(coalesce(col("ct"), lit(0L)) + 1) -
-          log2fp(col("cr") + 1)).as("delta_fp"))
+    val model = perBkt.select(col("bkt"),
+      (log2fp(col("ct") + 1) - log2fp(col("cr") + 1)).as("delta_fp"))
     val konst = totals.select(
       (log2fp(col("tr") + buckets) - log2fp(col("tt") + buckets))
         .as("const_fp"))
 
-    val docB = feats.filter(!col("is_target"))
-      .groupBy("id", "bkt").agg(count(lit(1)).as("n"))
+    val docB = docAll.filter(!col("is_target"))
+      .select(col("id"), col("bkt"), col("n"))
     docB.join(broadcast(model), "bkt")
       .groupBy("id").agg(
         sum(col("n")).as("n_feats"),

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.core.Tables
 import graft.functions.{TextFunctions => T, SimilarityFunctions => S}
-import graft.ops.{Dedup, KMeans, ModelFilter, SemDeDup, SimilaritySearch, TrainingPipeline}
+import graft.ops.{Bpe, Dedup, KMeans, ModelFilter, SemDeDup, SimilaritySearch, TrainingPipeline}
 
 /** Training-data pipeline queries over `documents` / `embeddings`:
   * text analysis, dedup families, similarity search — each oracle-checked
@@ -806,6 +806,20 @@ object TextPack {
     ModelFilter.dsirSelect(Tables.documents(s, dir), "doc_id", "text",
       col("lang") === "en", k = 150, buckets = 2048)
 
+  /** Real BPE: train 200 merges on the corpus (distributed word count →
+    * driver merge loop), encode scan-side, emit the exact reconstruction.
+    * The oracle hash-gates decode∘encode == normalized text across every
+    * document; piece-level equivalence vs a plain-Scala reference is
+    * BpeSpec's job (piece counts aren't SQL-expressible without the
+    * data-derived merge table).
+    */
+  def bpeRoundtripQ(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+    val model = Bpe.train(d, "text", numMerges = 200)
+    Bpe.encodeStats(d, "doc_id", "text", model)
+      .select(col("doc_id"), col("n_tokens"), col("decoded"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "pl_split" -> pipelineSplit _,
     "pl_shuffle" -> pipelineShuffle _,
@@ -867,6 +881,7 @@ object TextPack {
     "pl_nb_lang" -> nbLangQ _,
     "pl_lm_backoff" -> lmBackoffQ _,
     "pl_dsir" -> dsirQ _,
+    "pl_bpe_roundtrip" -> bpeRoundtripQ _,
   )
 
   // DuckDB-side common table prefixes (carries n_chars through so consumers
@@ -1471,5 +1486,10 @@ object TextPack {
     "pl_nb_lang" -> ModelOracle.naiveBayes(mod = 2),
     "pl_lm_backoff" -> ModelOracle.stupidBackoff(mod = 2),
     "pl_dsir" -> ModelOracle.dsir("en", buckets = 2048, k = 150),
+    "pl_bpe_roundtrip" ->
+      raw"""WITH n AS (SELECT doc_id,
+           [t for t in string_split(lower(trim(regexp_replace(text,'\s+',' '))),' ') if t <> ''] ts
+           FROM documents)
+           SELECT doc_id, len(ts)::BIGINT n_tokens, array_to_string(ts, ' ') decoded FROM n""",
   )
 }
