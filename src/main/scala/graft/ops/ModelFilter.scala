@@ -83,17 +83,28 @@ object ModelFilter {
   def naiveBayes(df: DataFrame, idCol: String, textCol: String,
                  labelCol: String, trainFilter: Column): DataFrame = {
     import graft.core.Cols.{q => Q}
-    val base = toksOf(df, idCol, textCol, Q(labelCol).as("lbl"),
-      trainFilter.as("is_train"))
-      .withColumn("hs", S.positionedShingleHashes(col("ts"), 1))
-    val train = base.filter(col("is_train"))
-    val score = base.filter(!col("is_train"))
+    val (cnt, classes) = naiveBayesModel(df, textCol, labelCol, trainFilter)
+    naiveBayesScoreFrozen(df.filter(!trainFilter), idCol, textCol, labelCol,
+      cnt, classes)
+  }
 
-    // ONE corpus-scan of the training half builds the raw (lbl, h, c)
-    // count table; everything downstream derives from it (class token
-    // totals = Σc per lbl, vocabulary = distinct h) or from the cheap
-    // docs-only scan (priors) — re-exploding the token stream per
-    // aggregate would triple the family's only corpus-sized pass.
+  /** The trained NB model as two DataFrames — `cnt` (lbl, h, lg) with
+    * lg = log2fp(count+1), and `classes` (lbl, prior_fp, denom_fp) —
+    * the shapes a production pipeline PERSISTS (snapshots / a memoized
+    * job) so daily scoring batches and streaming sinks never re-read the
+    * training corpus. ONE corpus-scan of the training half builds the raw
+    * count table; class token totals (Σc per lbl), the vocabulary size
+    * (distinct h), and the priors all derive from it or from the cheap
+    * docs-only scan — re-exploding the token stream per aggregate would
+    * triple the family's only corpus-sized pass.
+    */
+  def naiveBayesModel(df: DataFrame, textCol: String, labelCol: String,
+                      trainFilter: Column): (DataFrame, DataFrame) = {
+    import graft.core.Cols.{q => Q}
+    val train = df.filter(trainFilter)
+      .select(T.tokens(T.normalized(Q(textCol))).as("ts"),
+        Q(labelCol).as("lbl"))
+      .withColumn("hs", S.positionedShingleHashes(col("ts"), 1))
     val cntRaw = train.select(col("lbl"), explode(col("hs")).as("h"))
       .groupBy("lbl", "h").agg(count(lit(1)).as("c"))
     val cnt = cntRaw
@@ -109,7 +120,21 @@ object ModelFilter {
       .select(col("lbl"),
         (log2fp(col("p")) - log2fp(col("d"))).as("prior_fp"),
         log2fp(col("t") + col("v")).as("denom_fp"))
+    (cnt, classes)
+  }
 
+  /** Score a batch against a FROZEN model (the persisted/streaming twin —
+    * same contract as KMeans.assignTo vs fit): `cnt`/`classes` in the
+    * [[naiveBayesModel]] shapes, possibly read back from snapshots. Output
+    * is identical to [[naiveBayes]] on the same split, which is exactly
+    * what lets the persisted variant share the in-one-plan oracle.
+    */
+  def naiveBayesScoreFrozen(df: DataFrame, idCol: String, textCol: String,
+                            labelCol: String, cnt: DataFrame,
+                            classes: DataFrame): DataFrame = {
+    import graft.core.Cols.{q => Q}
+    val score = toksOf(df, idCol, textCol, Q(labelCol).as("lbl"))
+      .withColumn("hs", S.positionedShingleHashes(col("ts"), 1))
     val pos = score.select(col("id"), explode(col("hs")).as("h"))
     val hits = pos.join(cnt, "h")
       .groupBy("id", "lbl").agg(sum(col("lg")).as("hit_fp"))

@@ -806,6 +806,54 @@ object TextPack {
     ModelFilter.dsirSelect(Tables.documents(s, dir), "doc_id", "text",
       col("lang") === "en", k = 150, buckets = 2048)
 
+  /** CCNet-style LM quality bucketing (Wenzek et al. 2020 split Common
+    * Crawl into head/middle/tail by LM perplexity): per-doc average
+    * stupid-backoff log-score over scored (non-OOV) tokens, exact global
+    * tertiles via interpolated `percentile` (the q_percentiles-proven
+    * Spark↔DuckDB-exact aggregate; at 250 scored docs p·(n-1) lands on
+    * integer indices, so the thresholds are pure order statistics), keep
+    * head+middle. The composition query for the model family, like
+    * pl_corpus_e2e is for the corpus family.
+    */
+  def filterE2eQ(s: SparkSession, dir: String): DataFrame = {
+    val lm = ModelFilter.stupidBackoff(Tables.documents(s, dir),
+      "doc_id", "text", col("doc_id") % 2 === 0)
+    val scored = lm.select(col("doc_id"), col("n_tokens"), col("n_oov"),
+      (col("logscore_fp").cast("double") /
+        greatest(col("n_tokens") - col("n_oov"), lit(1L)).cast("double"))
+        .as("avg_s"))
+    val th = scored.agg(
+      percentile(col("avg_s"), lit(1.0 / 3)).as("t1"),
+      percentile(col("avg_s"), lit(2.0 / 3)).as("t2"))
+    scored.crossJoin(broadcast(th))
+      .select(col("doc_id"), col("n_tokens"), col("n_oov"), col("avg_s"),
+        when(col("avg_s") >= col("t2"), "head")
+          .when(col("avg_s") >= col("t1"), "middle")
+          .otherwise("tail").as("bucket"),
+        (col("avg_s") >= col("t1")).as("kept"))
+  }
+
+  /** NB scoring against a PERSISTED model — the production shape: the
+    * model tables land as snapshots via a memoized job (training corpus
+    * paid once, like the IVF index), and scoring batches join against
+    * them. Shares pl_nb_lang's oracle: the frozen-model path must be
+    * bit-identical to the train-and-score-in-one-plan path, which is the
+    * gate that proves the persistence round-trip is invisible.
+    */
+  def nbPersistedQ(s: SparkSession, dir: String): DataFrame = {
+    val (store, _) = Fixtures(s, dir, "job_nb_model") { st =>
+      val (cnt, classes) = ModelFilter.naiveBayesModel(
+        Tables.documents(s, dir), "text", "lang", col("doc_id") % 2 === 0)
+      st.write(cnt, "nb_cnt", hashlabel = Some("h"), slices = 4)
+      st.write(classes, "nb_classes", slices = 1)
+      Map("cnt" -> "nb_cnt", "classes" -> "nb_classes")
+    }
+    ModelFilter.naiveBayesScoreFrozen(
+      Tables.documents(s, dir).filter(col("doc_id") % 2 =!= 0),
+      "doc_id", "text", "lang",
+      store.readResolved("nb_cnt"), store.readResolved("nb_classes"))
+  }
+
   /** Real BPE: train 200 merges on the corpus (distributed word count →
     * driver merge loop), encode scan-side, emit the exact reconstruction.
     * The oracle hash-gates decode∘encode == normalized text across every
@@ -882,6 +930,8 @@ object TextPack {
     "pl_lm_backoff" -> lmBackoffQ _,
     "pl_dsir" -> dsirQ _,
     "pl_bpe_roundtrip" -> bpeRoundtripQ _,
+    "pl_nb_persisted" -> nbPersistedQ _,
+    "pl_filter_e2e" -> filterE2eQ _,
   )
 
   // DuckDB-side common table prefixes (carries n_chars through so consumers
@@ -1484,8 +1534,23 @@ object TextPack {
       SemDeDup.semanticHierarchicalOracleSql("embeddings", "vec_id",
         "embedding", k1 = 4, iters1 = 2, k2 = 3, iters2 = 2, tauSq = 6500L),
     "pl_nb_lang" -> ModelOracle.naiveBayes(mod = 2),
+    // the persisted-model twin must be indistinguishable from the
+    // one-plan path - same oracle, by design
+    "pl_nb_persisted" -> ModelOracle.naiveBayes(mod = 2),
     "pl_lm_backoff" -> ModelOracle.stupidBackoff(mod = 2),
     "pl_dsir" -> ModelOracle.dsir("en", buckets = 2048, k = 150),
+    "pl_filter_e2e" ->
+      raw"""WITH lm AS (${ModelOracle.stupidBackoff(mod = 2)}),
+           scored AS (SELECT doc_id, n_tokens, n_oov,
+               logscore_fp::DOUBLE / greatest(n_tokens - n_oov, 1)::DOUBLE avg_s
+             FROM lm),
+           th AS (SELECT quantile_cont(avg_s, 1.0/3) t1,
+               quantile_cont(avg_s, 2.0/3) t2 FROM scored)
+           SELECT doc_id, n_tokens, n_oov, avg_s,
+             CASE WHEN avg_s >= t2 THEN 'head'
+                  WHEN avg_s >= t1 THEN 'middle' ELSE 'tail' END bucket,
+             avg_s >= t1 kept
+           FROM scored CROSS JOIN th""",
     "pl_bpe_roundtrip" ->
       raw"""WITH n AS (SELECT doc_id,
            [t for t in string_split(lower(trim(regexp_replace(text,'\s+',' '))),' ') if t <> ''] ts

@@ -452,6 +452,40 @@ object Streams {
       .start()
   }
 
+  /** Streaming NB classification against a FROZEN model — the stream twin
+    * of [[graft.ops.ModelFilter.naiveBayes]], same frozen-artifact
+    * contract as [[semanticDedupSink]]'s centroids: `cnt`/`classes` are
+    * [[graft.ops.ModelFilter.naiveBayesModel]] tables fitted OFFLINE
+    * (typically read back from the persisted snapshots the pl_nb_persisted
+    * job writes). Each micro-batch scores in one
+    * [[graft.ops.ModelFilter.naiveBayesScoreFrozen]] pass and lands
+    * predictions as chained snapshots — per-batch output is byte-identical
+    * to batch scoring of the same rows because the model is frozen and
+    * scoring is per-document (no cross-batch state, hence no index chain:
+    * this sink is the stateless end of the streaming-family spectrum).
+    */
+  def nbScoreSink(docs: DataFrame, idCol: String, textCol: String,
+                  labelCol: String, cnt: DataFrame, classes: DataFrame,
+                  store: SnapshotStore, prefix: String,
+                  checkpoint: String): StreamingQuery = {
+    val tip = new ChainTip(store, prefix)
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode(OutputMode.Append())
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          val scored = graft.ops.ModelFilter.naiveBayesScoreFrozen(
+            batch, idCol, textCol, labelCol, cnt, classes)
+          store.write(scored, s"$prefix.$batchId",
+            previous = tip.prevFor(batchId))
+          tip.advance(s"$prefix.$batchId")
+        }
+        ()
+      }
+      .start()
+  }
+
   /** Stream → chain bridge: each micro-batch becomes a snapshot chained to
     * the previous batch's snapshot and logged on the urd timeline. The
     * stream's full history is then a first-class dataset chain.

@@ -765,4 +765,36 @@ class StreamingSpec extends AnyFunSuite {
       assert(got == Seq((1L, "reach me at <EMAIL> today ok", 1L)))
     } finally q.stop()
   }
+
+  test("nbScoreSink: frozen-model streaming scores == batch scoring") {
+    val s = spark
+    val dir = tmpDir("nbs_src")
+    val store = new SnapshotStore(s, tmpDir("nbs_store"))
+    val all = s.read.parquet(s"${TestSpark.sfDir}/documents.parquet")
+    val (cnt, classes) = graft.ops.ModelFilter.naiveBayesModel(
+      all, "text", "lang", col("doc_id") % 2 === 0)
+    val scoreDocs = all.filter(col("doc_id") % 2 =!= 0)
+      .select("doc_id", "text", "lang")
+    // two files -> two micro-batches against the same frozen model
+    scoreDocs.filter(col("doc_id") < 250)
+      .coalesce(1).write.mode("append").parquet(dir)
+    scoreDocs.filter(col("doc_id") >= 250)
+      .coalesce(1).write.mode("append").parquet(dir)
+    val q = Streams.nbScoreSink(
+      Streams.eventStream(s, dir, maxFilesPerTrigger = 1),
+      "doc_id", "text", "lang", cnt, classes, store, "nbs",
+      checkpoint = tmpDir("nbs_ckpt"))
+    q.awaitTermination(120000)
+    val cols = Seq("doc_id", "pred_lang", "score_fp", "lang", "correct")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select(cols.map(col): _*).collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+          r.getString(3), r.getBoolean(4))).sortBy(_._1).toSeq
+    val streamed = rows(store.iterateChain("nbs.1"))
+    val batch = rows(graft.ops.ModelFilter.naiveBayes(
+      all, "doc_id", "text", "lang", col("doc_id") % 2 === 0))
+    assert(streamed.size == 250)
+    assert(streamed == batch,
+      "per-batch frozen-model scoring must equal one-plan batch scoring")
+  }
 }
