@@ -48,7 +48,7 @@ object ScaleCheck {
     "dd_ngram_jaccard", "dd_simhash", "dd_minhash_lsh", "pl_corpus_e2e",
     "pl_dedup_corpus", "q_salted_join", "q5_local_supplier",
     "op_csvexport_zip", "op_sort_order", "tx_keywords", "op_type_fuzz",
-    "dd_line_dedup", "pl_kmeans", "pl_nb_lang", "pl_lm_backoff")
+    "dd_line_dedup", "pl_kmeans", "pl_nb_lang", "pl_lm_backoff", "rt_bm25")
   // pl_kmeans: fixed k over 10x rows must scale linearly (one assignment
   // scan + one bounded partial-agg shuffle per iteration).
   // pl_nb_lang / pl_lm_backoff: the replicas' disjoint token spaces give a
@@ -57,6 +57,11 @@ object ScaleCheck {
   // broadcastable and the Brants-style hash-sharded join design has to
   // hold (doc_id parity survives the 1e9 replica stride, so the
   // train/score split stays balanced).
+  // rt_bm25: index+score in one plan. The replicas' disjoint token spaces
+  // grow the dictionary 10x with the postings, while the literal query
+  // terms exist only in replica 0 — so the slope isolates the index-build
+  // corpus pass (the one cost that scales) from scoring, which stays
+  // replica-0-sized by construction.
 
   /** The semantic-dedup family scales k WITH N (k = 8·mult below):
     * SemDeDup's within-cluster pairwise compare is O(sum c_i^2) BY

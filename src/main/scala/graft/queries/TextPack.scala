@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.core.Tables
 import graft.functions.{TextFunctions => T, SimilarityFunctions => S}
-import graft.ops.{Bpe, Dedup, KMeans, ModelFilter, SemDeDup, SimilaritySearch, TrainingPipeline}
+import graft.ops.{Bm25, Bpe, Dedup, KMeans, ModelFilter, SemDeDup, SimilaritySearch, TrainingPipeline}
 
 /** Training-data pipeline queries over `documents` / `embeddings`:
   * text analysis, dedup families, similarity search — each oracle-checked
@@ -854,6 +854,66 @@ object TextPack {
       store.readResolved("nb_cnt"), store.readResolved("nb_classes"))
   }
 
+  /** The BM25 family's shared literal query set — multi-term queries over
+    * the synthetic vocabulary so tf-normalization, idf spread (common vs
+    * rarer terms), and multi-term summation are all exercised.
+    */
+  private val Bm25Queries = Seq(
+    "q_join" -> "fast hash join",
+    "q_stream" -> "stream window batch agg",
+    "q_sort" -> "customer query sort order table")
+
+  /** BM25 batch baseline: index + score in one plan. */
+  def bm25Q(s: SparkSession, dir: String): DataFrame =
+    Bm25.bm25(Tables.documents(s, dir), "doc_id", "text", Bm25Queries, k = 10)
+
+  /** BM25 against a PERSISTED inverted index — postings bucketed by term
+    * hash (the on-disk inverted-index layout), dictionary and corpus stats
+    * beside them, all built once through the memoized job. Shares
+    * rt_bm25's oracle: the persistence round-trip must be invisible.
+    */
+  def bm25PersistedQ(s: SparkSession, dir: String): DataFrame = {
+    val (store, _) = Fixtures(s, dir, "job_bm25_index") { st =>
+      val (postings, dict, stats) = Bm25.index(
+        Tables.documents(s, dir), "doc_id", "text")
+      st.write(postings, "bm25_post", hashlabel = Some("h"), slices = 4)
+      st.write(dict, "bm25_dict", hashlabel = Some("h"), slices = 4)
+      st.write(stats, "bm25_stats", slices = 1)
+      Map("post" -> "bm25_post", "dict" -> "bm25_dict",
+        "stats" -> "bm25_stats")
+    }
+    Bm25.scoreIndexed(store.readResolved("bm25_post"),
+      store.readResolved("bm25_dict"), store.readResolved("bm25_stats"),
+      Bm25Queries, k = 10)
+  }
+
+  /** INCREMENTAL BM25 indexing: history (doc_id % 2 = 0) indexed and
+    * persisted once; the new batch indexes only itself, and scoring runs
+    * over the concatenated postings with dict/stats re-aggregated by
+    * summation — history text is never re-read. Shares the full-corpus
+    * oracle: incremental index ∪ batch index must equal index-at-once.
+    */
+  def bm25IncQ(s: SparkSession, dir: String): DataFrame = {
+    val (store, _) = Fixtures(s, dir, "job_bm25_hist") { st =>
+      val (postings, dict, stats) = Bm25.index(
+        Tables.documents(s, dir).filter(col("doc_id") % 2 === 0),
+        "doc_id", "text")
+      st.write(postings, "bm25h_post", hashlabel = Some("h"), slices = 4)
+      st.write(dict, "bm25h_dict", hashlabel = Some("h"), slices = 4)
+      st.write(stats, "bm25h_stats", slices = 1)
+      Map("post" -> "bm25h_post", "dict" -> "bm25h_dict",
+        "stats" -> "bm25h_stats")
+    }
+    val (bp, bd, bs) = Bm25.index(
+      Tables.documents(s, dir).filter(col("doc_id") % 2 =!= 0),
+      "doc_id", "text")
+    Bm25.scoreIndexed(
+      store.readResolved("bm25h_post").unionByName(bp),
+      store.readResolved("bm25h_dict").unionByName(bd),
+      store.readResolved("bm25h_stats").unionByName(bs),
+      Bm25Queries, k = 10)
+  }
+
   /** Real BPE: train 200 merges on the corpus (distributed word count →
     * driver merge loop), encode scan-side, emit the exact reconstruction.
     * The oracle hash-gates decode∘encode == normalized text across every
@@ -932,6 +992,9 @@ object TextPack {
     "pl_bpe_roundtrip" -> bpeRoundtripQ _,
     "pl_nb_persisted" -> nbPersistedQ _,
     "pl_filter_e2e" -> filterE2eQ _,
+    "rt_bm25" -> bm25Q _,
+    "rt_bm25_persisted" -> bm25PersistedQ _,
+    "rt_bm25_inc" -> bm25IncQ _,
   )
 
   // DuckDB-side common table prefixes (carries n_chars through so consumers
@@ -1551,6 +1614,11 @@ object TextPack {
                   WHEN avg_s >= t1 THEN 'middle' ELSE 'tail' END bucket,
              avg_s >= t1 kept
            FROM scored CROSS JOIN th""",
+    "rt_bm25" -> RetrievalOracle.bm25(Bm25Queries, k = 10),
+    // persisted-index and incremental-index paths must be
+    // indistinguishable from index-at-once - same oracle, by design
+    "rt_bm25_persisted" -> RetrievalOracle.bm25(Bm25Queries, k = 10),
+    "rt_bm25_inc" -> RetrievalOracle.bm25(Bm25Queries, k = 10),
     "pl_bpe_roundtrip" ->
       raw"""WITH n AS (SELECT doc_id,
            [t for t in string_split(lower(trim(regexp_replace(text,'\s+',' '))),' ') if t <> ''] ts

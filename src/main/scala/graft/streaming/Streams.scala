@@ -486,6 +486,55 @@ object Streams {
       .start()
   }
 
+  /** Streaming BM25 index ingestion — the stream twin of
+    * [[graft.ops.Bm25.index]]: each micro-batch of documents is indexed
+    * IN ISOLATION (its own postings, per-batch dictionary counts,
+    * per-batch corpus stats) and appended as three chained snapshots
+    * (`<prefix>-post/-dict/-stats`). This works because every index
+    * component is a sum-mergeable sketch of its batch: postings
+    * concatenate (doc ids are disjoint across batches), document
+    * frequencies and corpus stats merge by summation — which is exactly
+    * the re-aggregation [[graft.ops.Bm25.scoreIndexed]] already performs,
+    * so scoring the three chain tips equals batch-indexing all ingested
+    * documents at once. History text is never re-read; ingest cost is
+    * per-batch, not per-corpus. `compactEvery` folds the chains
+    * periodically so consumer reads stay O(1) datasets.
+    */
+  def bm25IndexSink(docs: DataFrame, idCol: String, textCol: String,
+                    store: SnapshotStore, prefix: String,
+                    checkpoint: String,
+                    compactEvery: Option[Int] = None): StreamingQuery = {
+    compactEvery.foreach(e => require(e >= 1, s"compactEvery must be >= 1, got $e"))
+    val tips = Seq("post", "dict", "stats")
+      .map(p => p -> new ChainTip(store, s"$prefix-$p")).toMap
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode(OutputMode.Append())
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          val (post, dict, stats) =
+            graft.ops.Bm25.index(batch, idCol, textCol)
+          val parts = Seq("post" -> post, "dict" -> dict, "stats" -> stats)
+          parts.foreach { case (p, df) =>
+            val tip = tips(p)
+            val hl = if (p == "stats") None else Some("h")
+            store.write(df, s"$prefix-$p.$batchId",
+              previous = tip.prevFor(batchId), hashlabel = hl,
+              slices = if (p == "stats") 1 else 4)
+            tip.advance(s"$prefix-$p.$batchId")
+            if (compactEvery.exists(e => batchId > 0 && batchId % e == 0)) {
+              val cname = s"$prefix-$p.$batchId-c"
+              store.compactChain(s"$prefix-$p.$batchId", cname)
+              tip.advance(cname)
+            }
+          }
+        }
+        ()
+      }
+      .start()
+  }
+
   /** Stream → chain bridge: each micro-batch becomes a snapshot chained to
     * the previous batch's snapshot and logged on the urd timeline. The
     * stream's full history is then a first-class dataset chain.

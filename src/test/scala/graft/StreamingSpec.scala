@@ -797,4 +797,84 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed == batch,
       "per-batch frozen-model scoring must equal one-plan batch scoring")
   }
+
+  private val bm25Qs = Seq(
+    "qa" -> "fast hash join", "qb" -> "stream window batch agg")
+
+  private def bm25Rows(df: org.apache.spark.sql.DataFrame) =
+    df.select("qid", "rank", "id", "score_fp").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(t => (t._1, t._2)).toSeq
+
+  test("bm25IndexSink: chained per-batch indexes score == index-at-once") {
+    val s = spark
+    val dir = tmpDir("bm_src")
+    val store = new SnapshotStore(s, tmpDir("bm_store"))
+    val all = s.read.parquet(s"${TestSpark.sfDir}/documents.parquet")
+      .select("doc_id", "text")
+    all.filter(col("doc_id") < 250)
+      .coalesce(1).write.mode("append").parquet(dir)
+    all.filter(col("doc_id") >= 250)
+      .coalesce(1).write.mode("append").parquet(dir)
+    val q = Streams.bm25IndexSink(
+      Streams.eventStream(s, dir, maxFilesPerTrigger = 1),
+      "doc_id", "text", store, "bms", checkpoint = tmpDir("bm_ckpt"))
+    q.awaitTermination(120000)
+    // two micro-batches -> chains of length 2 per component
+    assert(store.get("bms-post.1").meta.previous.contains("bms-post.0"))
+    val streamed = bm25Rows(graft.ops.Bm25.scoreIndexed(
+      store.iterateChain("bms-post.1"), store.iterateChain("bms-dict.1"),
+      store.iterateChain("bms-stats.1"), bm25Qs, k = 10))
+    val batch = bm25Rows(
+      graft.ops.Bm25.bm25(all, "doc_id", "text", bm25Qs, k = 10))
+    assert(streamed.size == 20)
+    assert(streamed == batch,
+      "scoring the chain tips must equal batch-indexing all ingested docs")
+  }
+
+  test("bm25IndexSink: crash between write and commit replays to identical index chains") {
+    val s = spark
+    val dir = tmpDir("bmr_src")
+    val all = s.read.parquet(s"${TestSpark.sfDir}/documents.parquet")
+      .select("doc_id", "text")
+    // 3 files → batches 0,1,2; compactEvery=2 fires at batch 2, so the
+    // crashed attempt leaves uncommitted chain links AND compactions for
+    // all three components
+    all.filter(col("doc_id") < 150)
+      .coalesce(1).write.mode("append").parquet(dir)
+    all.filter(col("doc_id") >= 150 && col("doc_id") < 300)
+      .coalesce(1).write.mode("append").parquet(dir)
+    all.filter(col("doc_id") >= 300)
+      .coalesce(1).write.mode("append").parquet(dir)
+    def runSink(store: SnapshotStore, ckpt: String): Unit =
+      Streams.bm25IndexSink(Streams.eventStream(s, dir), "doc_id", "text",
+        store, "bms", checkpoint = ckpt, compactEvery = Some(2))
+        .awaitTermination(120000)
+    val storeA = new SnapshotStore(s, tmpDir("bmr_store_a"))
+    runSink(storeA, tmpDir("bmr_ckpt_a"))
+    val storeB = new SnapshotStore(s, tmpDir("bmr_store_b"))
+    val ckptB = tmpDir("bmr_ckpt_b")
+    runSink(storeB, ckptB)
+    dropCommit(ckptB, 2)
+    runSink(storeB, ckptB)
+    assert(storeB.list() == storeA.list(),
+      s"replay must re-land, not duplicate: ${storeB.list()}")
+    for (n <- storeA.list()) {
+      assert(storeB.get(n).meta.previous == storeA.get(n).meta.previous,
+        s"$n: chain link differs after replay")
+      assert(storeB.get(n).meta.lines == storeA.get(n).meta.lines,
+        s"$n: row count differs after replay")
+    }
+    // the replayed batch chained to its true predecessor, not to its own
+    // crashed output; scoring the compacted tips equals index-at-once
+    assert(storeB.get("bms-post.2").meta.previous.contains("bms-post.1"))
+    val streamed = bm25Rows(graft.ops.Bm25.scoreIndexed(
+      storeB.iterateChain("bms-post.2-c"),
+      storeB.iterateChain("bms-dict.2-c"),
+      storeB.iterateChain("bms-stats.2-c"), bm25Qs, k = 10))
+    val batch = bm25Rows(
+      graft.ops.Bm25.bm25(all, "doc_id", "text", bm25Qs, k = 10))
+    assert(streamed == batch,
+      "post-replay compacted tips must score identically to index-at-once")
+  }
 }
