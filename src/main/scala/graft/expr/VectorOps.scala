@@ -669,3 +669,74 @@ case class KMeansAssign(child: Expression, dim: Int, fp: Long,
   override protected def withNewChildInternal(newChild: Expression): KMeansAssign =
     copy(child = newChild)
 }
+
+/** Asymmetric-distance (ADC) lookup-sum for product quantization
+  * (Jégou et al. 2011, "Product Quantization for Nearest Neighbor
+  * Search"): score = Σ_j dtab[j·ksub + codes[j]] — the per-subspace
+  * query-to-centroid distance table gathered by the corpus row's code
+  * word. One generated pass; both inputs are columns (codes from the
+  * encoded store, dtab broadcast per query), so no reference object is
+  * needed and the same compiled code serves every query.
+  *
+  * Null contract: null arrays, null elements, a code outside [0, ksub),
+  * or dtab.length != codes.length·ksub → null (a malformed store row must
+  * surface, not fabricate a distance). Sums are checked (addExact) like
+  * every curation expression — distances are bounded by the quantization
+  * shifts, so overflow means corrupted inputs.
+  */
+case class PqAdc(left: Expression, right: Expression, ksub: Int)
+    extends BinaryExpression {
+  require(ksub >= 1, s"ksub must be >= 1, got $ksub")
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_pq_adc"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val codes = a.asInstanceOf[ArrayData]
+    val dtab = b.asInstanceOf[ArrayData]
+    val m = codes.numElements()
+    if (dtab.numElements() != m * ksub) return null
+    var acc = 0L
+    var j = 0
+    while (j < m) {
+      if (codes.isNullAt(j)) return null
+      val c = codes.getLong(j)
+      if (c < 0 || c >= ksub) return null
+      val idx = j * ksub + c.toInt
+      if (dtab.isNullAt(idx)) return null
+      acc = Math.addExact(acc, dtab.getLong(idx))
+      j += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val m = ctx.freshName("m")
+      val j = ctx.freshName("j")
+      val c = ctx.freshName("c")
+      val idx = ctx.freshName("idx")
+      val acc = ctx.freshName("acc")
+      s"""
+         |final int $m = $a.numElements();
+         |if ($b.numElements() != $m * $ksub) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  long $acc = 0L;
+         |  for (int $j = 0; $j < $m && !${ev.isNull}; $j++) {
+         |    if ($a.isNullAt($j)) { ${ev.isNull} = true; continue; }
+         |    final long $c = $a.getLong($j);
+         |    if ($c < 0 || $c >= $ksub) { ${ev.isNull} = true; continue; }
+         |    final int $idx = $j * $ksub + (int) $c;
+         |    if ($b.isNullAt($idx)) { ${ev.isNull} = true; continue; }
+         |    $acc = java.lang.Math.addExact($acc, $b.getLong($idx));
+         |  }
+         |  ${ev.value} = $acc;
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): PqAdc =
+    copy(left = newLeft, right = newRight)
+}

@@ -287,55 +287,60 @@ object KMeans {
     oracleChain(table, idCol, vecCol, k, iters, quantShift, fpShift) +
       s"\nSELECT $idCol, c AS cluster, dist FROM afin"
 
-  /** The WITH-chain alone, ending in CTE `afin` ($idCol, c, dist, plus
-    * `pts` with the quantized per-position values) — the cluster-aware
-    * curation oracles ([[SemDeDup]]) append their own CTEs/SELECT so the
-    * clustering replay is shared, never duplicated.
+  /** The WITH-chain alone, ending in CTE `<prefix>afin` ($idCol, c, dist,
+    * plus `<prefix>pts` with the quantized per-position values) — the
+    * cluster-aware curation oracles ([[SemDeDup]]) append their own
+    * CTEs/SELECT so the clustering replay is shared, never duplicated.
+    * `prefix` namespaces every CTE so several independent chains (e.g. the
+    * per-subspace fits of [[Pq]]) can live in ONE WITH — with the default
+    * empty prefix the output is byte-identical to the historical form.
     */
   def oracleChain(table: String, idCol: String, vecCol: String, k: Int,
-                  iters: Int, quantShift: Int = 6, fpShift: Int = 10): String = {
+                  iters: Int, quantShift: Int = 6, fpShift: Int = 10,
+                  prefix: String = ""): String = {
     val scale = 1L << quantShift
     val fp = 1L << fpShift
+    def n(s: String): String = prefix + s
     val iterCtes = (1 to iters).map { i =>
-      s"""d$i AS (
+      s"""${n(s"d$i")} AS (
          |  SELECT p.$idCol, c.c,
          |    sum((p.qv*$fp - c.mu)*(p.qv*$fp - c.mu)) AS dist
-         |  FROM pts p JOIN cent${i - 1} c ON p.pos = c.pos
+         |  FROM ${n("pts")} p JOIN ${n(s"cent${i - 1}")} c ON p.pos = c.pos
          |  GROUP BY 1, 2),
-         |a$i AS (
-         |  SELECT $idCol, c, dist FROM d$i
+         |${n(s"a$i")} AS (
+         |  SELECT $idCol, c, dist FROM ${n(s"d$i")}
          |  QUALIFY row_number() OVER (PARTITION BY $idCol ORDER BY dist, c) = 1),
-         |upd$i AS (
+         |${n(s"upd$i")} AS (
          |  SELECT a.c, p.pos, sum(p.qv) AS s, count(*) AS cnt
-         |  FROM pts p JOIN a$i a USING ($idCol)
+         |  FROM ${n("pts")} p JOIN ${n(s"a$i")} a USING ($idCol)
          |  GROUP BY 1, 2),
-         |cent$i AS (
+         |${n(s"cent$i")} AS (
          |  SELECT c0.c, c0.pos,
          |    CASE WHEN u.cnt IS NULL THEN c0.mu
          |         WHEN u.s >= 0 THEN (${2 * fp}*u.s + u.cnt)//(2*u.cnt)
          |         ELSE -((${2 * fp}*(-u.s) + u.cnt)//(2*u.cnt)) END AS mu
-         |  FROM cent${i - 1} c0 LEFT JOIN upd$i u ON c0.c = u.c AND c0.pos = u.pos)""".stripMargin
+         |  FROM ${n(s"cent${i - 1}")} c0 LEFT JOIN ${n(s"upd$i")} u ON c0.c = u.c AND c0.pos = u.pos)""".stripMargin
     }
     val fin = iters + 1
-    s"""WITH q AS (
+    s"""WITH ${n("q")} AS (
        |  SELECT $idCol,
        |    list_transform($vecCol, x -> CAST(floor(CAST(x AS DOUBLE)*$scale) AS BIGINT)) AS q
        |  FROM $table),
-       |seeds AS (
+       |${n("seeds")} AS (
        |  SELECT row_number() OVER (ORDER BY md5(CAST($idCol AS VARCHAR)), $idCol) - 1 AS c, q
-       |  FROM (SELECT * FROM q ORDER BY md5(CAST($idCol AS VARCHAR)), $idCol LIMIT $k)),
-       |cent0 AS (
-       |  SELECT c, generate_subscripts(q, 1) AS pos, unnest(q)*$fp AS mu FROM seeds),
-       |pts AS (
-       |  SELECT $idCol, generate_subscripts(q, 1) AS pos, unnest(q) AS qv FROM q),
+       |  FROM (SELECT * FROM ${n("q")} ORDER BY md5(CAST($idCol AS VARCHAR)), $idCol LIMIT $k)),
+       |${n("cent0")} AS (
+       |  SELECT c, generate_subscripts(q, 1) AS pos, unnest(q)*$fp AS mu FROM ${n("seeds")}),
+       |${n("pts")} AS (
+       |  SELECT $idCol, generate_subscripts(q, 1) AS pos, unnest(q) AS qv FROM ${n("q")}),
        |${iterCtes.mkString(",\n")},
-       |d$fin AS (
+       |${n(s"d$fin")} AS (
        |  SELECT p.$idCol, c.c,
        |    sum((p.qv*$fp - c.mu)*(p.qv*$fp - c.mu)) AS dist
-       |  FROM pts p JOIN cent$iters c ON p.pos = c.pos
+       |  FROM ${n("pts")} p JOIN ${n(s"cent$iters")} c ON p.pos = c.pos
        |  GROUP BY 1, 2),
-       |afin AS (
-       |  SELECT $idCol, c, dist::BIGINT AS dist FROM d$fin
+       |${n("afin")} AS (
+       |  SELECT $idCol, c, dist::BIGINT AS dist FROM ${n(s"d$fin")}
        |  QUALIFY row_number() OVER (PARTITION BY $idCol ORDER BY dist, c) = 1)""".stripMargin
   }
 

@@ -1,0 +1,157 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, GraftBridge}
+import org.apache.spark.sql.functions._
+import graft.core.Cols.{q => Q}
+
+/** Product quantization ANN (Jégou et al. 2011): split each dim-D vector
+  * into `m` subvectors, learn a `ksub`-centroid codebook per subspace,
+  * store each vector as `m` small codes, and answer queries with
+  * asymmetric distance (ADC) — a per-query distance TABLE to every
+  * centroid of every subspace, so scoring a corpus row is `m` table
+  * lookups instead of a D-dim arithmetic pass.
+  *
+  * Why it's here: PQ is the memory-bound scale path of an embedding
+  * store. int8 scalar quantization ([[SimilaritySearch.quantizeInt8]])
+  * compresses 4×; PQ at m=8, ksub=16 stores 8 codes for a 64-float
+  * vector (~64× smaller), which is what makes a 100 TB embedding corpus
+  * scannable at all. The decomposition: codebooks train ONCE (m
+  * independent integer-exact k-means fits — [[KMeans.fit]] over sliced
+  * vectors, so init draw, Lloyd updates, and tie-breaks are all the
+  * replayable fixed-point machinery); encoding is one corpus scan with m
+  * codegen'd [[graft.expr.KMeansAssign]] passes over array slices; search
+  * never touches float vectors — codes × broadcast per-query tables,
+  * summed by the codegen'd [[graft.expr.PqAdc]] gather.
+  *
+  * Everything is integer-exact (quantized inputs, fixed-point centroids,
+  * Long distance tables), so even the APPROXIMATE ADC ranking is
+  * bit-replayable in DuckDB and hash-gated — same property the int8
+  * two-stage rerank relies on.
+  *
+  * Scale shape: training shuffles at most partitions·ksub·(D/m) combined
+  * rows per Lloyd iteration (m fits); encode and search are shuffle-free
+  * scans until the final bounded-heap top-k (n_partitions·k rows per
+  * query). The encoded store (id, m codes) is the only corpus-sized
+  * artifact a query ever reads.
+  */
+object Pq {
+
+  /** The m per-subspace codebooks: books(j) is a ksub × (dim/m) matrix of
+    * fixed-point centroids — [[KMeans.fit]] run on the j-th vector slice.
+    * One fit per subspace; each is the broadcast-Lloyd envelope documented
+    * on [[KMeans]]. The same (md5(id), id) init draw seeds every subspace,
+    * which the oracle replays per subspace chain.
+    */
+  def train(df: DataFrame, idCol: String, vecCol: String, dim: Int, m: Int,
+            ksub: Int, iters: Int, quantShift: Int = 6,
+            fpShift: Int = 10): Array[Array[Array[Long]]] = {
+    require(m >= 1 && dim % m == 0, s"dim=$dim must divide into m=$m subspaces")
+    val sub = dim / m
+    (0 until m).toArray.map { j =>
+      KMeans.fit(
+        df.select(Q(idCol),
+          slice(Q(vecCol), j * sub + 1, sub).as(vecCol)),
+        idCol, vecCol, ksub, iters, quantShift, fpShift)
+    }
+  }
+
+  private def quant(c: Column, quantShift: Int): Column =
+    GraftBridge.column(graft.expr.QuantizeLong(
+      GraftBridge.expression(c), quantShift))
+
+  private def assign(qArr: Column, mus: Array[Array[Long]], sub: Int,
+                     fp: Long): Column =
+    GraftBridge.column(graft.expr.KMeansAssign(
+      GraftBridge.expression(qArr), sub, fp, mus.flatten))
+
+  /** Encode the corpus against frozen codebooks: ONE scan (quantize once,
+    * then m codegen'd subspace assignments over slices) → (id, codes)
+    * with codes(j) = argmin centroid of subspace j. This is the
+    * compressed store a deployment persists; everything downstream reads
+    * codes, never vectors.
+    */
+  def encode(df: DataFrame, idCol: String, vecCol: String,
+             books: Array[Array[Array[Long]]], quantShift: Int = 6,
+             fpShift: Int = 10): DataFrame = {
+    val m = books.length
+    require(m >= 1, "encode: empty codebook set")
+    val sub = books.head.head.length
+    val fp = 1L << fpShift
+    val q = df.select(Q(idCol).as("nid"),
+      quant(Q(vecCol), quantShift).as("__q"))
+    val codes = array((0 until m).map { j =>
+      assign(slice(col("__q"), j * sub + 1, sub), books(j), sub, fp)
+        .getField("cluster")
+    }: _*)
+    q.select(col("nid"), codes.as("codes"))
+  }
+
+  /** The flat m·ksub ADC table for ONE quantized query vector: entry
+    * j·ksub + c is the fixed-point squared distance from the query's j-th
+    * subvector to centroid c of codebook j — the same metric
+    * [[graft.expr.KMeansAssign]] minimizes, so ADC of a vector against
+    * its own code equals its assignment distance.
+    */
+  def adcTable(books: Array[Array[Array[Long]]], qv: Array[Long],
+               fpShift: Int): Array[Long] = {
+    val fp = 1L << fpShift
+    val sub = books.head.head.length
+    books.zipWithIndex.flatMap { case (book, j) =>
+      book.map { mu =>
+        var acc = 0L
+        var i = 0
+        while (i < sub) {
+          val d = Math.subtractExact(
+            Math.multiplyExact(qv(j * sub + i), fp), mu(i))
+          acc = Math.addExact(acc, Math.multiplyExact(d, d))
+          i += 1
+        }
+        acc
+      }
+    }
+  }
+
+  /** ADC top-k of `queries` against an ENCODED store + frozen codebooks —
+    * the deployment path: codes and books persisted once, queries pay m
+    * lookups per corpus row. Queries are quantized through the same
+    * expression as the corpus (one tiny job), tables built driver-side
+    * (m·ksub longs per query), broadcast, and summed by [[graft.expr.PqAdc]].
+    * Self-matches are excluded (ann-pack convention). Returns
+    * (qid, rank, adist, nid), rank 1 = smallest distance, ties to the
+    * smallest nid.
+    */
+  def searchEncoded(codes: DataFrame, books: Array[Array[Array[Long]]],
+                    queries: DataFrame, idCol: String, vecCol: String,
+                    k: Int, quantShift: Int = 6, fpShift: Int = 10): DataFrame = {
+    val s = codes.sparkSession
+    val ksub = books.head.length
+    val qRows = queries
+      .select(Q(idCol).as("qid"), quant(Q(vecCol), quantShift).as("__q"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1).toArray))
+    import s.implicits._
+    val qdf = qRows.map { case (qid, qv) =>
+      (qid, adcTable(books, qv, fpShift).toSeq)
+    }.toSeq.toDF("qid", "dtab")
+    val scored = codes.crossJoin(broadcast(qdf))
+      .filter(col("nid") =!= col("qid"))
+      .select(col("qid"), col("nid"),
+        GraftBridge.column(graft.expr.PqAdc(
+          GraftBridge.expression(col("codes")),
+          GraftBridge.expression(col("dtab")), ksub)).as("adist"))
+    TopKPerGroup(scored, Seq("qid"), "adist", k, Seq("nid"),
+      ascending = true)
+  }
+
+  /** Train + encode + search in one call — the batch baseline the
+    * persisted-store twin must match bit-for-bit.
+    */
+  def search(corpus: DataFrame, queries: DataFrame, idCol: String,
+             vecCol: String, dim: Int, m: Int, ksub: Int, iters: Int,
+             k: Int, quantShift: Int = 6, fpShift: Int = 10): DataFrame = {
+    val books = train(corpus, idCol, vecCol, dim, m, ksub, iters,
+      quantShift, fpShift)
+    searchEncoded(encode(corpus, idCol, vecCol, books, quantShift, fpShift),
+      books, queries, idCol, vecCol, k, quantShift, fpShift)
+  }
+}

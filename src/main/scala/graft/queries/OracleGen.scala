@@ -200,6 +200,56 @@ object OracleGen {
              row_number() OVER (PARTITION BY qid ORDER BY c DESC, nid DESC) rank
            FROM scored) t WHERE rank <= $k"""
 
+  /** Product-quantization ADC ANN: m independent [[graft.ops.KMeans]]
+    * Lloyd replays (one prefixed [[graft.ops.KMeans.oracleChain]] per
+    * vector slice), codes = the per-subspace `afin` assignments, per-query
+    * distance tables from the final centroid CTEs, ADC = the m-way
+    * table-lookup sum, top-k by (adist ASC, nid ASC) — the ascending
+    * bounded-heap order. Integer-exact end to end, so even the APPROXIMATE
+    * ranking hash-gates.
+    */
+  def annPq(dim: Int, m: Int, ksub: Int, iters: Int, k: Int,
+            quantShift: Int = 6, fpShift: Int = 10): String = {
+    val sub = dim / m
+    val fp = 1L << fpShift
+    val chains = (0 until m).map { j =>
+      graft.ops.KMeans.oracleChain("embeddings", "vec_id",
+        s"embedding[${j * sub + 1}:${(j + 1) * sub}]", ksub, iters,
+        quantShift, fpShift, prefix = s"p${j}_")
+    }
+    val codesJoins = (1 until m)
+      .map(j => s"JOIN p${j}_afin ON p0_afin.vec_id = p${j}_afin.vec_id")
+      .mkString(" ")
+    val dts = (0 until m).map { j =>
+      s"""dt$j AS (
+         |  SELECT p.vec_id qid, c.c,
+         |    sum((p.qv*$fp - c.mu)*(p.qv*$fp - c.mu))::BIGINT d
+         |  FROM p${j}_pts p JOIN p${j}_cent$iters c ON p.pos = c.pos
+         |  WHERE p.vec_id < 5 GROUP BY 1, 2)""".stripMargin
+    }
+    val dtJoins = (1 until m)
+      .map(j => s"JOIN dt$j ON dt$j.c = cd.c$j AND dt$j.qid = dt0.qid")
+      .mkString("\n           ")
+    s"""${chains.head},
+       |${chains.tail.map(_.stripPrefix("WITH ")).mkString(",\n")},
+       |codes AS (
+       |  SELECT p0_afin.vec_id,
+       |    ${(0 until m).map(j => s"p${j}_afin.c c$j").mkString(", ")}
+       |  FROM p0_afin $codesJoins),
+       |${dts.mkString(",\n")},
+       |scored AS (
+       |  SELECT dt0.qid, cd.vec_id nid,
+       |    (${(0 until m).map(j => s"dt$j.d").mkString(" + ")})::BIGINT adist
+       |  FROM codes cd
+       |  JOIN dt0 ON dt0.c = cd.c0
+       |           $dtJoins
+       |  WHERE cd.vec_id != dt0.qid)
+       |SELECT qid, "rank", adist, nid FROM (
+       |  SELECT qid, nid, adist,
+       |    row_number() OVER (PARTITION BY qid ORDER BY adist ASC, nid ASC) "rank"
+       |  FROM scored) t WHERE "rank" <= $k""".stripMargin
+  }
+
   /** Bucketed embedding near-dup: same deterministic sign-LSH planes as
     * annLsh; pairs sharing ≥1 (table, bucket) verified by exact cosine.
     */

@@ -289,6 +289,46 @@ object TextPack {
       .select(col("qid"), col("rank"), col("nid"), col("cosine"))
   }
 
+  /** PQ-ADC ANN: m=8 subspace codebooks over dim-64 embeddings (ksub=16,
+    * 2 Lloyd iterations each), codes-only scoring. Approximate by nature,
+    * hash-gated anyway — the whole path is integer-exact.
+    */
+  def annPq(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    graft.ops.Pq.search(emb, emb.filter(col("vec_id") < 5),
+      "vec_id", "embedding", dim = 64, m = 8, ksub = 16, iters = 2, k = 10)
+  }
+
+  /** PQ against a PERSISTED encoded store — the deployment shape: codes
+    * (the 64×-compressed corpus) and codebooks land as snapshots via the
+    * memoized job; queries never read a float corpus vector. Shares
+    * ann_pq's oracle: the store round-trip must be invisible.
+    */
+  def annPqPersisted(s: SparkSession, dir: String): DataFrame = {
+    val (store, _) = Fixtures(s, dir, "job_pq_store") { st =>
+      val emb = Tables.embeddings(s, dir)
+      val books = graft.ops.Pq.train(emb, "vec_id", "embedding",
+        dim = 64, m = 8, ksub = 16, iters = 2)
+      val sess = s
+      import sess.implicits._
+      st.write(books.zipWithIndex.flatMap { case (book, j) =>
+          book.zipWithIndex.map { case (mu, c) => (j, c, mu.toSeq) }
+        }.toSeq.toDF("subspace", "centroid", "mu"),
+        "pq_books", slices = 1)
+      st.write(graft.ops.Pq.encode(emb, "vec_id", "embedding", books),
+        "pq_codes", slices = 4)
+      Map("books" -> "pq_books", "codes" -> "pq_codes")
+    }
+    val books = store.readResolved("pq_books")
+      .orderBy(col("subspace"), col("centroid")).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Long](2).toArray))
+      .groupBy(_._1).toSeq.sortBy(_._1)
+      .map(_._2.sortBy(_._2).map(_._3).toArray).toArray
+    graft.ops.Pq.searchEncoded(store.readResolved("pq_codes"), books,
+      Tables.embeddings(s, dir).filter(col("vec_id") < 5),
+      "vec_id", "embedding", k = 10)
+  }
+
   /** Gopher quality rules over deterministically decorated text (the
     * synthetic docs are single-line prose, so the fixture injects the
     * structures the rules exist to catch: bullet lists, ellipsis lines,
@@ -995,6 +1035,8 @@ object TextPack {
     "rt_bm25" -> bm25Q _,
     "rt_bm25_persisted" -> bm25PersistedQ _,
     "rt_bm25_inc" -> bm25IncQ _,
+    "ann_pq" -> annPq _,
+    "ann_pq_persisted" -> annPqPersisted _,
   )
 
   // DuckDB-side common table prefixes (carries n_chars through so consumers
@@ -1619,6 +1661,10 @@ object TextPack {
     // indistinguishable from index-at-once - same oracle, by design
     "rt_bm25_persisted" -> RetrievalOracle.bm25(Bm25Queries, k = 10),
     "rt_bm25_inc" -> RetrievalOracle.bm25(Bm25Queries, k = 10),
+    "ann_pq" -> OracleGen.annPq(dim = 64, m = 8, ksub = 16, iters = 2, k = 10),
+    // the persisted-store path must be indistinguishable - same oracle
+    "ann_pq_persisted" ->
+      OracleGen.annPq(dim = 64, m = 8, ksub = 16, iters = 2, k = 10),
     "pl_bpe_roundtrip" ->
       raw"""WITH n AS (SELECT doc_id,
            [t for t in string_split(lower(trim(regexp_replace(text,'\s+',' '))),' ') if t <> ''] ts
