@@ -154,4 +154,72 @@ object Pq {
     searchEncoded(encode(corpus, idCol, vecCol, books, quantShift, fpShift),
       books, queries, idCol, vecCol, k, quantShift, fpShift)
   }
+
+  /** The query-side probe list: the `nprobe` coarse centroids nearest to
+    * each quantized query under the same fixed-point metric, ties to the
+    * lowest centroid id — matching both [[graft.expr.KMeansAssign]]'s
+    * tie-break and the oracle's (dist, c) row_number order.
+    */
+  private def probeList(coarse: Array[Array[Long]], qv: Array[Long],
+                        nprobe: Int, fp: Long): Seq[Long] =
+    coarse.zipWithIndex.map { case (mu, c) =>
+      var acc = 0L
+      var i = 0
+      while (i < mu.length) {
+        val d = Math.subtractExact(Math.multiplyExact(qv(i), fp), mu(i))
+        acc = Math.addExact(acc, Math.multiplyExact(d, d))
+        i += 1
+      }
+      (acc, c.toLong)
+    }.sortBy(identity).take(nprobe).map(_._2).toSeq
+
+  /** IVF-PQ: the production retrieval shape at 100 TB — a coarse
+    * [[KMeans]] quantizer partitions the ENCODED store into `nlist`
+    * inverted lists, and a query ADC-scans only its `nprobe` nearest
+    * lists, i.e. ~nprobe/nlist of the code store instead of all of it
+    * (Jégou et al. 2011 §IV; the non-residual IVFADC variant, kept
+    * residual-free so every stage reuses the replayable fixed-point
+    * machinery unchanged).
+    *
+    * Plan shape: corpus passes are the one-time builds (coarse fit +
+    * assignment, m codebook fits, encode). Search = the (cluster, codes)
+    * store × broadcast (qid, probes, dtab) rows, probe predicate applied
+    * AT THE SCAN before any ADC arithmetic — on a store bucketed by
+    * `cluster` (hashlabel, as a persisted deployment would write it) the
+    * probe filter prunes buckets, which is what bounds a query's I/O by
+    * nprobe/nlist. Returns (qid, rank, adist, nid).
+    */
+  def searchIvfPq(corpus: DataFrame, queries: DataFrame, idCol: String,
+                  vecCol: String, dim: Int, m: Int, ksub: Int, iters: Int,
+                  nlist: Int, nprobe: Int, k: Int, quantShift: Int = 6,
+                  fpShift: Int = 10): DataFrame = {
+    require(nprobe >= 1 && nprobe <= nlist, s"need 1 <= nprobe=$nprobe <= nlist=$nlist")
+    val s = corpus.sparkSession
+    val fp = 1L << fpShift
+    val coarse = KMeans.fit(corpus, idCol, vecCol, nlist, iters,
+      quantShift, fpShift)
+    val books = train(corpus, idCol, vecCol, dim, m, ksub, iters,
+      quantShift, fpShift)
+    val store = encode(corpus, idCol, vecCol, books, quantShift, fpShift)
+      .join(KMeans.assignTo(corpus, idCol, vecCol, coarse, quantShift, fpShift)
+        .select(Q(idCol).as("nid"), col("cluster")), "nid")
+    val qRows = queries
+      .select(Q(idCol).as("qid"), quant(Q(vecCol), quantShift).as("__q"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1).toArray))
+    import s.implicits._
+    val qdf = qRows.map { case (qid, qv) =>
+      (qid, probeList(coarse, qv, nprobe, fp),
+        adcTable(books, qv, fpShift).toSeq)
+    }.toSeq.toDF("qid", "probes", "dtab")
+    val scored = store.crossJoin(broadcast(qdf))
+      .filter(array_contains(col("probes"), col("cluster")) &&
+        col("nid") =!= col("qid"))
+      .select(col("qid"), col("nid"),
+        GraftBridge.column(graft.expr.PqAdc(
+          GraftBridge.expression(col("codes")),
+          GraftBridge.expression(col("dtab")), ksub)).as("adist"))
+    TopKPerGroup(scored, Seq("qid"), "adist", k, Seq("nid"),
+      ascending = true)
+  }
 }

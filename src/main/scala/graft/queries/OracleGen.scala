@@ -250,6 +250,68 @@ object OracleGen {
        |  FROM scored) t WHERE "rank" <= $k""".stripMargin
   }
 
+  /** IVF-PQ: [[annPq]]'s m subspace chains PLUS a coarse full-dim Lloyd
+    * chain (prefix `cv_`); queries rank coarse centroids by the same
+    * fixed-point metric ((d, c) order = the probe tie-break), candidates
+    * are restricted to rows whose coarse assignment is probed, then ADC as
+    * in annPq.
+    */
+  def annIvfPq(dim: Int, m: Int, ksub: Int, iters: Int, nlist: Int,
+               nprobe: Int, k: Int, quantShift: Int = 6,
+               fpShift: Int = 10): String = {
+    val sub = dim / m
+    val fp = 1L << fpShift
+    val coarse = graft.ops.KMeans.oracleChain("embeddings", "vec_id",
+      "embedding", nlist, iters, quantShift, fpShift, prefix = "cv_")
+    val chains = (0 until m).map { j =>
+      graft.ops.KMeans.oracleChain("embeddings", "vec_id",
+        s"embedding[${j * sub + 1}:${(j + 1) * sub}]", ksub, iters,
+        quantShift, fpShift, prefix = s"p${j}_")
+    }
+    val codesJoins = (1 until m)
+      .map(j => s"JOIN p${j}_afin ON p0_afin.vec_id = p${j}_afin.vec_id")
+      .mkString(" ")
+    val dts = (0 until m).map { j =>
+      s"""dt$j AS (
+         |  SELECT p.vec_id qid, c.c,
+         |    sum((p.qv*$fp - c.mu)*(p.qv*$fp - c.mu))::BIGINT d
+         |  FROM p${j}_pts p JOIN p${j}_cent$iters c ON p.pos = c.pos
+         |  WHERE p.vec_id < 5 GROUP BY 1, 2)""".stripMargin
+    }
+    val dtJoins = (1 until m)
+      .map(j => s"JOIN dt$j ON dt$j.c = cd.c$j AND dt$j.qid = dt0.qid")
+      .mkString("\n           ")
+    s"""$coarse,
+       |${chains.map(_.stripPrefix("WITH ")).mkString(",\n")},
+       |codes AS (
+       |  SELECT p0_afin.vec_id,
+       |    ${(0 until m).map(j => s"p${j}_afin.c c$j").mkString(", ")}
+       |  FROM p0_afin $codesJoins),
+       |${dts.mkString(",\n")},
+       |cdist AS (
+       |  SELECT p.vec_id qid, c.c,
+       |    sum((p.qv*$fp - c.mu)*(p.qv*$fp - c.mu)) d
+       |  FROM cv_pts p JOIN cv_cent$iters c ON p.pos = c.pos
+       |  WHERE p.vec_id < 5 GROUP BY 1, 2),
+       |probe AS (
+       |  SELECT qid, c FROM (
+       |    SELECT qid, c, row_number() OVER (PARTITION BY qid ORDER BY d, c) rn
+       |    FROM cdist) z WHERE rn <= $nprobe),
+       |scored AS (
+       |  SELECT dt0.qid, cd.vec_id nid,
+       |    (${(0 until m).map(j => s"dt$j.d").mkString(" + ")})::BIGINT adist
+       |  FROM codes cd
+       |  JOIN cv_afin ca ON ca.vec_id = cd.vec_id
+       |  JOIN dt0 ON dt0.c = cd.c0
+       |           $dtJoins
+       |  JOIN probe pb ON pb.qid = dt0.qid AND pb.c = ca.c
+       |  WHERE cd.vec_id != dt0.qid)
+       |SELECT qid, "rank", adist, nid FROM (
+       |  SELECT qid, nid, adist,
+       |    row_number() OVER (PARTITION BY qid ORDER BY adist ASC, nid ASC) "rank"
+       |  FROM scored) t WHERE "rank" <= $k""".stripMargin
+  }
+
   /** Bucketed embedding near-dup: same deterministic sign-LSH planes as
     * annLsh; pairs sharing ≥1 (table, bucket) verified by exact cosine.
     */

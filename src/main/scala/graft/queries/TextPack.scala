@@ -329,6 +329,17 @@ object TextPack {
       "vec_id", "embedding", k = 10)
   }
 
+  /** IVF-PQ: coarse 16-list quantizer over the encoded store, 4-probe
+    * ADC — a query scans ~nprobe/nlist of the code store. The production
+    * retrieval shape; hash-gated like the rest of the PQ family.
+    */
+  def annIvfPq(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    graft.ops.Pq.searchIvfPq(emb, emb.filter(col("vec_id") < 5),
+      "vec_id", "embedding", dim = 64, m = 8, ksub = 16, iters = 2,
+      nlist = 16, nprobe = 4, k = 10)
+  }
+
   /** Gopher quality rules over deterministically decorated text (the
     * synthetic docs are single-line prose, so the fixture injects the
     * structures the rules exist to catch: bullet lists, ellipsis lines,
@@ -1037,6 +1048,7 @@ object TextPack {
     "rt_bm25_inc" -> bm25IncQ _,
     "ann_pq" -> annPq _,
     "ann_pq_persisted" -> annPqPersisted _,
+    "ann_ivfpq" -> annIvfPq _,
   )
 
   // DuckDB-side common table prefixes (carries n_chars through so consumers
@@ -1665,6 +1677,8 @@ object TextPack {
     // the persisted-store path must be indistinguishable - same oracle
     "ann_pq_persisted" ->
       OracleGen.annPq(dim = 64, m = 8, ksub = 16, iters = 2, k = 10),
+    "ann_ivfpq" -> OracleGen.annIvfPq(dim = 64, m = 8, ksub = 16,
+      iters = 2, nlist = 16, nprobe = 4, k = 10),
     "pl_bpe_roundtrip" ->
       raw"""WITH n AS (SELECT doc_id,
            [t for t in string_split(lower(trim(regexp_replace(text,'\s+',' '))),' ') if t <> ''] ts

@@ -486,6 +486,37 @@ object Streams {
       .start()
   }
 
+  /** Streaming PQ encoding against FROZEN codebooks — the ingest path of
+    * a growing compressed embedding store: each micro-batch of vectors
+    * encodes in one [[graft.ops.Pq.encode]] scan (m codegen'd subspace
+    * assignments) and lands as a chained snapshot of (nid, codes) rows.
+    * The chain IS the code store [[graft.ops.Pq.searchEncoded]] reads, so
+    * the store grows per-batch while queries keep paying m lookups per
+    * row. Stateless per row (codebooks frozen, like [[nbScoreSink]]'s
+    * model), so per-batch output is byte-identical to batch encoding.
+    */
+  def pqEncodeSink(vecs: DataFrame, idCol: String, vecCol: String,
+                   books: Array[Array[Array[Long]]], store: SnapshotStore,
+                   prefix: String, checkpoint: String,
+                   quantShift: Int = 6, fpShift: Int = 10): StreamingQuery = {
+    val tip = new ChainTip(store, prefix)
+    vecs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode(OutputMode.Append())
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          val codes = graft.ops.Pq.encode(batch, idCol, vecCol, books,
+            quantShift, fpShift)
+          store.write(codes, s"$prefix.$batchId",
+            previous = tip.prevFor(batchId))
+          tip.advance(s"$prefix.$batchId")
+        }
+        ()
+      }
+      .start()
+  }
+
   /** Streaming BM25 index ingestion — the stream twin of
     * [[graft.ops.Bm25.index]]: each micro-batch of documents is indexed
     * IN ISOLATION (its own postings, per-batch dictionary counts,

@@ -877,4 +877,39 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed == batch,
       "post-replay compacted tips must score identically to index-at-once")
   }
+
+  test("pqEncodeSink: frozen-codebook chain store searches == batch encode") {
+    val s = spark
+    val dir = tmpDir("pqs_src")
+    val store = new SnapshotStore(s, tmpDir("pqs_store"))
+    val all = s.read.parquet(s"${TestSpark.sfDir}/embeddings.parquet")
+      .select("vec_id", "embedding")
+    val books = graft.ops.Pq.train(all, "vec_id", "embedding",
+      dim = 64, m = 8, ksub = 8, iters = 2)
+    val n = all.count()
+    all.filter(col("vec_id") < n / 2)
+      .coalesce(1).write.mode("append").parquet(dir)
+    all.filter(col("vec_id") >= n / 2)
+      .coalesce(1).write.mode("append").parquet(dir)
+    val q = Streams.pqEncodeSink(
+      Streams.eventStream(s, dir, maxFilesPerTrigger = 1),
+      "vec_id", "embedding", books, store, "pqs",
+      checkpoint = tmpDir("pqs_ckpt"))
+    q.awaitTermination(120000)
+    assert(store.get("pqs.1").meta.previous.contains("pqs.0"))
+    val queries = all.filter(col("vec_id") < 5)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("qid", "rank", "nid", "adist").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .sortBy(t => (t._1, t._2)).toSeq
+    val streamed = rows(graft.ops.Pq.searchEncoded(
+      store.iterateChain("pqs.1"), books, queries, "vec_id", "embedding",
+      k = 10))
+    val batch = rows(graft.ops.Pq.searchEncoded(
+      graft.ops.Pq.encode(all, "vec_id", "embedding", books), books,
+      queries, "vec_id", "embedding", k = 10))
+    assert(streamed.size == 50)
+    assert(streamed == batch,
+      "searching the streamed chain store must equal batch encoding")
+  }
 }
