@@ -106,7 +106,19 @@ object Bm25 {
     * Returns (qid, rank, id, score_fp).
     */
   def scoreIndexed(postings: DataFrame, dict: DataFrame, stats: DataFrame,
-                   queries: Seq[(String, String)], k: Int): DataFrame = {
+                   queries: Seq[(String, String)], k: Int): DataFrame =
+    TopKPerGroup(scoreAll(postings, dict, stats, queries),
+      Seq("qid"), "score_fp", k, Seq("id"))
+
+  /** [[scoreIndexed]] WITHOUT the final top-k: every (qid, id, score_fp)
+    * with at least one matching term. Exposed so consumers that filter
+    * candidates (e.g. hybrid more-like-this retrieval dropping the query
+    * document itself) can do so BEFORE ranking — filtering a top-k
+    * afterwards would leave rank gaps and could lose legitimate
+    * candidates pushed out by the excluded row.
+    */
+  def scoreAll(postings: DataFrame, dict: DataFrame, stats: DataFrame,
+               queries: Seq[(String, String)]): DataFrame = {
     require(queries.nonEmpty, "empty query set")
     val s = postings.sparkSession
     val qt = queryTerms(s, queries)
@@ -126,13 +138,23 @@ object Bm25 {
       .crossJoin(broadcast(st))
     val idf = log2fp(lit(2) * col("nd") + lit(2)) -
       log2fp(lit(2) * col("df") + lit(1))
-    val contrib = cand.withColumn("__idf", idf)
-      .withColumn("__tfn",
+    // Overflow fail-fast (the documented magnitude bound, enforced): the
+    // widest product 22528·tf·afp stays under 2^63 for dl ≤ 2^20 (tf ≤ dl
+    // and afp = 64·avgdl ≤ 64·max dl follow). DuckDB's BIGINT arithmetic
+    // errors loudly on wrap; without this guard Spark would wrap silently
+    // and diverge from the replay with no signal — the same asymmetry the
+    // curation expressions close with addExact.
+    val tfn = when(col("dl") > lit(1L << 20),
+        raise_error(concat(lit("bm25: document length "),
+          col("dl").cast("string"),
+          lit(" exceeds 2^20 tokens — scoring would overflow Long"))))
+      .otherwise(
         expr("(22528 * tf * afp) div (10 * tf * afp + 3 * afp + 576 * dl)"))
+    val contrib = cand.withColumn("__idf", idf)
+      .withColumn("__tfn", tfn)
       .withColumn("c", expr("(__idf * __tfn) div 1024"))
-    val perDoc = contrib.groupBy("qid", "id")
+    contrib.groupBy("qid", "id")
       .agg(sum(col("c")).as("score_fp"))
-    TopKPerGroup(perDoc, Seq("qid"), "score_fp", k, Seq("id"))
   }
 
   /** Index + score in one plan — the batch baseline the persisted and

@@ -41,6 +41,13 @@ object Pq {
     * One fit per subspace; each is the broadcast-Lloyd envelope documented
     * on [[KMeans]]. The same (md5(id), id) init draw seeds every subspace,
     * which the oracle replays per subspace chain.
+    *
+    * 100 TB note: `df` is the TRAINING corpus, and nothing requires it to
+    * be the full one — production PQ trains codebooks on a deterministic
+    * sample (e.g. `df.filter(id % mod === 0)`, the repo's standard
+    * replayable draw) and [[encode]]s everything against the frozen books;
+    * the m training scans then touch the sample, and the only full-corpus
+    * pass is the single encode scan.
     */
   def train(df: DataFrame, idCol: String, vecCol: String, dim: Int, m: Int,
             ksub: Int, iters: Int, quantShift: Int = 6,
@@ -58,6 +65,15 @@ object Pq {
   private def quant(c: Column, quantShift: Int): Column =
     GraftBridge.column(graft.expr.QuantizeLong(
       GraftBridge.expression(c), quantShift))
+
+  /** (id, q) with q = the codegen'd floor-quantized vector — the shared
+    * integer domain of the whole PQ family; exposed so evaluation
+    * harnesses (e.g. recall-vs-exact queries) can brute-force in exactly
+    * the space PQ approximates.
+    */
+  def quantized(df: DataFrame, idCol: String, vecCol: String,
+                quantShift: Int = 6): DataFrame =
+    df.select(Q(idCol).as("nid"), quant(Q(vecCol), quantShift).as("q"))
 
   private def assign(qArr: Column, mus: Array[Array[Long]], sub: Int,
                      fp: Long): Column =

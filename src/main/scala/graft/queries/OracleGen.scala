@@ -208,8 +208,13 @@ object OracleGen {
     * bounded-heap order. Integer-exact end to end, so even the APPROXIMATE
     * ranking hash-gates.
     */
-  def annPq(dim: Int, m: Int, ksub: Int, iters: Int, k: Int,
-            quantShift: Int = 6, fpShift: Int = 10): String = {
+  /** [[annPq]]'s shared WITH-body through CTE `scored` (qid, nid, adist):
+    * the m prefixed Lloyd chains, per-vector codes, per-query distance
+    * tables, and the ADC sum. [[annPq]]/[[annPqRecall]] append their own
+    * final CTEs/SELECT.
+    */
+  private def pqCore(dim: Int, m: Int, ksub: Int, iters: Int,
+                     quantShift: Int, fpShift: Int): String = {
     val sub = dim / m
     val fp = 1L << fpShift
     val chains = (0 until m).map { j =>
@@ -243,11 +248,47 @@ object OracleGen {
        |  FROM codes cd
        |  JOIN dt0 ON dt0.c = cd.c0
        |           $dtJoins
-       |  WHERE cd.vec_id != dt0.qid)
+       |  WHERE cd.vec_id != dt0.qid)""".stripMargin
+  }
+
+  def annPq(dim: Int, m: Int, ksub: Int, iters: Int, k: Int,
+            quantShift: Int = 6, fpShift: Int = 10): String =
+    s"""${pqCore(dim, m, ksub, iters, quantShift, fpShift)}
        |SELECT qid, "rank", adist, nid FROM (
        |  SELECT qid, nid, adist,
        |    row_number() OVER (PARTITION BY qid ORDER BY adist ASC, nid ASC) "rank"
        |  FROM scored) t WHERE "rank" <= $k""".stripMargin
+
+  /** PQ recall@k vs the exact quantized-L2 brute force — both rankings in
+    * the same integer domain, overlap counted per query.
+    */
+  def annPqRecall(dim: Int, m: Int, ksub: Int, iters: Int, k: Int,
+                  quantShift: Int = 6, fpShift: Int = 10): String = {
+    val scale = 1L << quantShift
+    s"""${pqCore(dim, m, ksub, iters, quantShift, fpShift)},
+       |aptop AS (
+       |  SELECT qid, nid FROM (
+       |    SELECT qid, nid,
+       |      row_number() OVER (PARTITION BY qid ORDER BY adist ASC, nid ASC) rn
+       |    FROM scored) z WHERE rn <= $k),
+       |fpts AS (
+       |  SELECT vec_id, generate_subscripts(q, 1) pos, unnest(q) qv FROM (
+       |    SELECT vec_id,
+       |      list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE)*$scale) AS BIGINT)) q
+       |    FROM embeddings)),
+       |exd AS (
+       |  SELECT a.vec_id qid, b.vec_id nid,
+       |    sum((a.qv - b.qv)*(a.qv - b.qv))::BIGINT d
+       |  FROM fpts a JOIN fpts b ON a.pos = b.pos
+       |  WHERE a.vec_id < 5 AND b.vec_id != a.vec_id GROUP BY 1, 2),
+       |extop AS (
+       |  SELECT qid, nid FROM (
+       |    SELECT qid, nid, row_number() OVER (PARTITION BY qid ORDER BY d, nid) rn
+       |    FROM exd) z WHERE rn <= $k)
+       |SELECT q.qid, coalesce(h.hits, 0)::BIGINT hits, $k::BIGINT k
+       |FROM (SELECT DISTINCT qid FROM extop) q
+       |LEFT JOIN (SELECT qid, count(*) hits FROM extop JOIN aptop USING (qid, nid)
+       |  GROUP BY 1) h USING (qid)""".stripMargin
   }
 
   /** IVF-PQ: [[annPq]]'s m subspace chains PLUS a coarse full-dim Lloyd

@@ -15,11 +15,11 @@ object RetrievalOracle {
   private def norm(x: String): String =
     raw"""[t for t in string_split(lower(trim(regexp_replace($x,'\s+',' '))),' ') if t <> '']"""
 
-  /** BM25 top-k over `documents` for a literal query set. */
-  def bm25(queries: Seq[(String, String)], k: Int): String = {
-    val values = queries
-      .map { case (qid, qt) => s"('$qid', '$qt')" }.mkString(", ")
-    raw"""WITH n AS (SELECT doc_id, ${norm("text")} ts FROM documents),
+  /** The corpus-side CTE prefix shared by every BM25-family oracle:
+    * tokenized docs, lengths, postings, dict, stats, integer avgdl.
+    */
+  private def corpus: String =
+    raw"""n AS (SELECT doc_id, ${norm("text")} ts FROM documents),
          d AS (SELECT doc_id, len(ts)::BIGINT dl FROM n),
          post AS (SELECT doc_id, h, count(*)::BIGINT tf FROM (
              SELECT doc_id, ${h("t")} h FROM n, LATERAL unnest(ts) AS u(t))
@@ -27,22 +27,75 @@ object RetrievalOracle {
          dict AS (SELECT h, count(*)::BIGINT df FROM post GROUP BY 1),
          st AS (SELECT count(*)::BIGINT nd, coalesce(sum(dl), 0)::BIGINT tl
            FROM d),
-         afp AS (SELECT nd, (64 * tl) // nd a FROM st),
-         q AS (SELECT * FROM (VALUES $values) v(qid, qt)),
-         qt AS (SELECT DISTINCT qid, ${h("t")} h
-           FROM (SELECT qid, ${norm("qt")} ts FROM q), LATERAL unnest(ts) AS u(t)),
-         sc AS (SELECT qt.qid, p.doc_id AS id,
+         afp AS (SELECT nd, (64 * tl) // nd a FROM st)"""
+
+  /** The per-(query-term, doc) score sum — CTE `sc` body given a `qt`
+    * (qid, h) CTE; `extra` appends to the WHERE (e.g. self-exclusion).
+    */
+  private def scored(extra: String = ""): String =
+    raw"""SELECT qt.qid, p.doc_id AS id,
              sum(((${ModelOracle.log2fp("(2*nd + 2)")} -
                    ${ModelOracle.log2fp("(2*df + 1)")}) *
                   ((22528 * p.tf * a) // (10 * p.tf * a + 3 * a + 576 * d.dl)))
                  // 1024)::BIGINT score_fp
            FROM qt JOIN post p USING (h) JOIN dict USING (h)
              JOIN d ON p.doc_id = d.doc_id CROSS JOIN afp
-           GROUP BY 1, 2)
+           ${if (extra.isEmpty) "" else s"WHERE $extra"}
+           GROUP BY 1, 2"""
+
+  /** BM25 top-k over `documents` for a literal query set. */
+  def bm25(queries: Seq[(String, String)], k: Int): String = {
+    val values = queries
+      .map { case (qid, qt) => s"('$qid', '$qt')" }.mkString(", ")
+    raw"""WITH $corpus,
+         q AS (SELECT * FROM (VALUES $values) v(qid, qt)),
+         qt AS (SELECT DISTINCT qid, ${h("t")} h
+           FROM (SELECT qid, ${norm("qt")} ts FROM q), LATERAL unnest(ts) AS u(t)),
+         sc AS (${scored()})
          SELECT qid, "rank", id, score_fp FROM (
            SELECT *, row_number() OVER (PARTITION BY qid
                ORDER BY score_fp DESC, id DESC) "rank"
            FROM sc) z
+         WHERE "rank" <= $k"""
+  }
+
+  /** Hybrid more-like-this retrieval: BM25 lexical ranking (query = each
+    * of the first `nq` documents' own text, self excluded BEFORE ranking)
+    * fused with the exact quantized-L2 semantic ranking over `embeddings`
+    * (doc_id ≡ vec_id fixture convention) by integer reciprocal-rank
+    * fusion: contribution 2^fpShift // (k0 + rank) per leg, fused order
+    * (rrf_fp DESC, id DESC) — ops/Rrf.scala's exact algebra.
+    */
+  def hybridRrf(nq: Int, k: Int, k0: Int = 60, fpShift: Int = 20,
+                quantShift: Int = 6): String = {
+    val fp = 1L << fpShift
+    val scale = 1L << quantShift
+    raw"""WITH $corpus,
+         q AS (SELECT doc_id AS qid, ts FROM n WHERE doc_id < $nq),
+         qt AS (SELECT DISTINCT qid, ${h("t")} h
+           FROM q, LATERAL unnest(ts) AS u(t)),
+         sc AS (${scored("p.doc_id != qt.qid")}),
+         lexr AS (SELECT qid, id, row_number() OVER (PARTITION BY qid
+             ORDER BY score_fp DESC, id DESC) r FROM sc),
+         fpts AS (SELECT vec_id, generate_subscripts(qv, 1) pos, unnest(qv) x
+           FROM (SELECT vec_id,
+             list_transform(embedding,
+               e -> CAST(floor(CAST(e AS DOUBLE)*$scale) AS BIGINT)) qv
+             FROM embeddings)),
+         exd AS (SELECT b.vec_id qid, a.vec_id nid,
+             sum((a.x - b.x)*(a.x - b.x))::BIGINT dd
+           FROM fpts a JOIN fpts b ON a.pos = b.pos
+           WHERE b.vec_id < $nq AND a.vec_id != b.vec_id GROUP BY 1, 2),
+         semr AS (SELECT qid, nid AS id, row_number() OVER (PARTITION BY qid
+             ORDER BY dd, nid) r FROM exd),
+         allr AS (SELECT qid, id, $fp // ($k0 + r) c FROM lexr WHERE r <= $k
+           UNION ALL
+           SELECT qid, id, $fp // ($k0 + r) c FROM semr WHERE r <= $k),
+         f AS (SELECT qid, id, sum(c)::BIGINT rrf_fp FROM allr GROUP BY 1, 2)
+         SELECT qid, "rank", id, rrf_fp FROM (
+           SELECT qid, id, rrf_fp, row_number() OVER (PARTITION BY qid
+               ORDER BY rrf_fp DESC, id DESC) "rank"
+           FROM f) z
          WHERE "rank" <= $k"""
   }
 }

@@ -340,6 +340,44 @@ object TextPack {
       nlist = 16, nprobe = 4, k = 10)
   }
 
+  /** PQ recall@10 vs the EXACT quantized-L2 brute force — the evaluation
+    * harness a deployment tunes m/ksub against. Both rankings live in the
+    * same integer domain, so the per-query overlap count is deterministic
+    * and hash-gated: approximation QUALITY itself is under the oracle.
+    */
+  def annPqRecall(s: SparkSession, dir: String): DataFrame = {
+    import graft.ops.Pq
+    val k = 10
+    val emb = Tables.embeddings(s, dir)
+    val queries = emb.filter(col("vec_id") < 5)
+    val books = Pq.train(emb, "vec_id", "embedding",
+      dim = 64, m = 8, ksub = 16, iters = 2)
+    val approx = Pq.searchEncoded(
+        Pq.encode(emb, "vec_id", "embedding", books), books, queries,
+        "vec_id", "embedding", k)
+      .select(col("qid"), col("nid"))
+    val qz = Pq.quantized(emb, "vec_id", "embedding")
+    val exact = {
+      val pairs = qz.crossJoin(
+          broadcast(qz.filter(col("nid") < 5)
+            .select(col("nid").as("qid"), col("q").as("qq"))))
+        .filter(col("nid") =!= col("qid"))
+        .select(col("qid"), col("nid"),
+          org.apache.spark.sql.GraftBridge.column(graft.expr.SqDistLong(
+            org.apache.spark.sql.GraftBridge.expression(col("q")),
+            org.apache.spark.sql.GraftBridge.expression(col("qq"))))
+            .as("dist"))
+      graft.ops.TopKPerGroup(pairs, Seq("qid"), "dist", k, Seq("nid"),
+        ascending = true).select(col("qid"), col("nid"))
+    }
+    exact.select("qid").distinct()
+      .join(approx.join(exact, Seq("qid", "nid"))
+          .groupBy("qid").agg(count(lit(1)).as("hits")),
+        Seq("qid"), "left")
+      .select(col("qid"), coalesce(col("hits"), lit(0L)).as("hits"),
+        lit(k.toLong).as("k"))
+  }
+
   /** Gopher quality rules over deterministically decorated text (the
     * synthetic docs are single-line prose, so the fixture injects the
     * structures the rules exist to catch: bullet lists, ellipsis lines,
@@ -965,6 +1003,43 @@ object TextPack {
       Bm25Queries, k = 10)
   }
 
+  /** HYBRID retrieval: BM25 lexical leg + quantized-L2 semantic leg fused
+    * by integer-exact reciprocal-rank fusion (ops/Rrf.scala). Queries are
+    * the first 3 documents themselves ("more-like-this" retrieval — the
+    * fixture convention doc_id ≡ vec_id ties the two modalities to the
+    * same id space); each leg drops the query document BEFORE its own
+    * ranking. The bounded driver-side collect fetches the 3 query texts —
+    * the repo's accepted query-set pattern.
+    */
+  def hybridRrfQ(s: SparkSession, dir: String): DataFrame = {
+    import graft.ops.{Pq, Rrf, TopKPerGroup}
+    val k = 10
+    val nq = 3
+    val docs = Tables.documents(s, dir)
+    val qs = docs.filter(col("doc_id") < nq)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0).toString, r.getString(1))).sortBy(_._1).toSeq
+    val (post, dict, stats) = Bm25.index(docs, "doc_id", "text")
+    val lexAll = Bm25.scoreAll(post, dict, stats, qs)
+      .filter(col("id") =!= col("qid").cast("bigint"))
+    val lex = TopKPerGroup(lexAll, Seq("qid"), "score_fp", k, Seq("id"))
+      .select(col("qid").cast("bigint").as("qid"), col("id"), col("rank"))
+    val qz = Pq.quantized(Tables.embeddings(s, dir), "vec_id", "embedding")
+    val pairs = qz.crossJoin(
+        broadcast(qz.filter(col("nid") < nq)
+          .select(col("nid").as("qid"), col("q").as("qq"))))
+      .filter(col("nid") =!= col("qid"))
+      .select(col("qid"), col("nid"),
+        org.apache.spark.sql.GraftBridge.column(graft.expr.SqDistLong(
+          org.apache.spark.sql.GraftBridge.expression(col("q")),
+          org.apache.spark.sql.GraftBridge.expression(col("qq"))))
+          .as("dist"))
+    val sem = TopKPerGroup(pairs, Seq("qid"), "dist", k, Seq("nid"),
+        ascending = true)
+      .select(col("qid"), col("nid").as("id"), col("rank"))
+    Rrf.fuse(Seq(lex, sem), "qid", "id", "rank", k)
+  }
+
   /** Real BPE: train 200 merges on the corpus (distributed word count →
     * driver merge loop), encode scan-side, emit the exact reconstruction.
     * The oracle hash-gates decode∘encode == normalized text across every
@@ -1046,9 +1121,11 @@ object TextPack {
     "rt_bm25" -> bm25Q _,
     "rt_bm25_persisted" -> bm25PersistedQ _,
     "rt_bm25_inc" -> bm25IncQ _,
+    "rt_hybrid_rrf" -> hybridRrfQ _,
     "ann_pq" -> annPq _,
     "ann_pq_persisted" -> annPqPersisted _,
     "ann_ivfpq" -> annIvfPq _,
+    "ann_pq_recall" -> annPqRecall _,
   )
 
   // DuckDB-side common table prefixes (carries n_chars through so consumers
@@ -1673,12 +1750,15 @@ object TextPack {
     // indistinguishable from index-at-once - same oracle, by design
     "rt_bm25_persisted" -> RetrievalOracle.bm25(Bm25Queries, k = 10),
     "rt_bm25_inc" -> RetrievalOracle.bm25(Bm25Queries, k = 10),
+    "rt_hybrid_rrf" -> RetrievalOracle.hybridRrf(nq = 3, k = 10),
     "ann_pq" -> OracleGen.annPq(dim = 64, m = 8, ksub = 16, iters = 2, k = 10),
     // the persisted-store path must be indistinguishable - same oracle
     "ann_pq_persisted" ->
       OracleGen.annPq(dim = 64, m = 8, ksub = 16, iters = 2, k = 10),
     "ann_ivfpq" -> OracleGen.annIvfPq(dim = 64, m = 8, ksub = 16,
       iters = 2, nlist = 16, nprobe = 4, k = 10),
+    "ann_pq_recall" ->
+      OracleGen.annPqRecall(dim = 64, m = 8, ksub = 16, iters = 2, k = 10),
     "pl_bpe_roundtrip" ->
       raw"""WITH n AS (SELECT doc_id,
            [t for t in string_split(lower(trim(regexp_replace(text,'\s+',' '))),' ') if t <> ''] ts
