@@ -18,6 +18,7 @@ object SparkEntry {
       (TextPack.queries, TextPack.oracle),
       (JobsPack.queries, JobsPack.oracle),
       (MediaPack.queries, MediaPack.oracle),
+      (GraphPack.queries, GraphPack.oracle),
     )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -1,0 +1,114 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.core.Cols.{q => Q}
+
+/** Integer-exact fixed-point PageRank (Page et al. 1999) — graph-quality
+  * ranking for curation pipelines: link/citation/co-occurrence authority
+  * as a document- or host-level quality prior (the web-corpus use: seed
+  * trusted hosts, propagate, keep the high-rank tail), beside the
+  * connected-components operator (Dedup.clusters) in the graph family.
+  *
+  * The repo's replay discipline, applied to power iteration: ranks are
+  * Longs in units of 2^-fpShift ("per-node" normalization — r₀(v) = 1.0,
+  * so the stationary total mass is ~N, not 1, and no 1/N division ever
+  * happens), and every iteration is
+  *
+  *   r_{t+1}(v) = teleport(v)·(1−d)_fp + (d_fp · S(v)) div 2^fpShift
+  *   S(v)       = Σ_{u→v} (r_t(u) div outdeg(u))
+  *
+  * with d_fp = (dampNum·2^fpShift) div dampDen and (1−d)_fp its
+  * complement. Every operand is a non-negative Long, every division a
+  * positive-operand floor div, every Σ an order-independent Long sum — so
+  * a DuckDB WITH-chain that unrolls the same `iters` steps (the
+  * Lloyd-replay trick, queries/GraphOracle) hash-matches bit for bit.
+  *
+  * Dangling nodes (no out-edges) keep receiving teleport but leak their
+  * d·r mass instead of redistributing it — the "PageRank as it was
+  * originally stated" variant; the iteration is still a contraction, both
+  * engines iterate the identical map, and no global dangling-sum term
+  * (an extra all-node reduce per iteration) is needed.
+  *
+  * Magnitude bound (documented like expr/VectorOps): S(v) ≤ N·2^fpShift
+  * in the worst case (every node points at v), so the widest product
+  * d_fp·S(v) needs fewer than 2·fpShift + log2(N) + 1 bits; the
+  * constructor requires that bound against a caller-supplied maxNodes
+  * hint rather than silently wrapping. At the default fpShift = 20 that
+  * is ~4M nodes; billion-node graphs run at fpShift = 14 (the usual
+  * precision-vs-magnitude dial, cf. KMeans quantShift).
+  *
+  * 100 TB shape: `edges` is pre-joined once with out-degrees and cached
+  * for the loop (persist lifetime is CALLER-OWNED, the SemDeDup/KMeans
+  * convention); each iteration is then exactly one shuffle — the
+  * groupBy(dst) contribution sum — plus a co-partitioned left join back
+  * to the node set. Rank state is (v, Long): 16 bytes/node regardless of
+  * iteration count. Edges partitioned by src join the rank state on its
+  * own key, so an edge store bucketed by src makes the per-iteration join
+  * shuffle-free on the big side; contributions shuffle as (dst, Long)
+  * pairs only. Iterations are a fixed small count (5–20), not
+  * to-convergence polling, so the plan is a statically unrolled linear
+  * DAG — no driver-side convergence collect in the loop.
+  */
+object PageRank {
+
+  /** Ranks after `iters` iterations over the DISTINCT directed edge set.
+    *
+    * @param seeds optional personalization: a (node) DataFrame; when
+    *   present, only seed nodes receive the teleport term (personalized
+    *   PageRank — authority flows outward from the seed set, the
+    *   trusted-seed quality-propagation shape). Nodes outside the edge
+    *   set's endpoints are ignored.
+    * @return (v, rank_fp) for every node appearing as an endpoint.
+    */
+  def ranks(edges: DataFrame, srcCol: String, dstCol: String, iters: Int,
+            fpShift: Int = 20, dampNum: Int = 85, dampDen: Int = 100,
+            maxNodes: Long = 1L << 22,
+            seeds: Option[DataFrame] = None): DataFrame = {
+    require(iters >= 1 && iters <= 64, s"iters out of range: $iters")
+    require(fpShift >= 4 && fpShift <= 24, s"fpShift out of range: $fpShift")
+    require(dampNum > 0 && dampDen > 0 && dampNum < dampDen,
+      s"damping must be in (0,1): $dampNum/$dampDen")
+    require(maxNodes >= 2 &&
+        2 * fpShift +
+          (64 - java.lang.Long.numberOfLeadingZeros(maxNodes - 1)) <= 62,
+      s"fpShift=$fpShift with maxNodes=$maxNodes could overflow Long " +
+        "rank arithmetic - lower fpShift (see Scaladoc magnitude bound)")
+    val fp = 1L << fpShift
+    val dFp = (dampNum.toLong * fp) / dampDen
+    val omdFp = fp - dFp
+
+    val e = edges.select(Q(srcCol).cast("long").as("src"),
+        Q(dstCol).cast("long").as("dst"))
+      .where(col("src").isNotNull && col("dst").isNotNull)
+      .distinct()
+    val outDeg = e.groupBy("src").agg(count(lit(1)).as("deg"))
+    // one pre-joined (src, dst, deg) relation reused every iteration
+    val eDeg = e.join(outDeg, "src").persist()
+    val nodes0 = e.select(col("src").as("v"))
+      .union(e.select(col("dst").as("v"))).distinct()
+    // teleport mass: everywhere 1 for plain PageRank, seed-indicator for
+    // personalized. Broadcast-join the (small) seed set at the node scan.
+    val nodes = (seeds match {
+      case None => nodes0.withColumn("tp", lit(1L))
+      case Some(sd) =>
+        val s0 = sd.toDF("sv").select(col("sv").cast("long").as("sv"))
+          .distinct()
+        nodes0.join(broadcast(s0), nodes0("v") === col("sv"), "left")
+          .select(col("v"),
+            when(col("sv").isNotNull, 1L).otherwise(0L).as("tp"))
+    }).persist()
+
+    var r = nodes.select(col("v"), (col("tp") * fp).as("r"))
+    for (_ <- 1 to iters) {
+      val sums = r.join(eDeg, r("v") === eDeg("src"))
+        .select(col("dst"), expr("r div deg").as("c"))
+        .groupBy("dst").agg(sum(col("c")).as("acc"))
+      r = nodes.join(sums, nodes("v") === sums("dst"), "left")
+        .select(col("v"), col("tp"),
+          (col("tp") * omdFp +
+            expr(s"(${dFp}L * coalesce(acc, 0L)) div ${fp}L")).as("r"))
+    }
+    r.select(col("v"), col("r").as("rank_fp"))
+  }
+}

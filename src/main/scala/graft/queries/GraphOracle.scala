@@ -1,0 +1,54 @@
+package graft.queries
+
+/** Generated DuckDB oracle SQL for the graph family (ops/PageRank.scala):
+  * the Lloyd-replay trick applied to power iteration — each PageRank step
+  * is unrolled as its own CTE running the identical integer fixed-point
+  * map, so the final ranks hash-match Spark bit for bit.
+  */
+object GraphOracle {
+
+  /** PageRank over the DISTINCT edge set produced by `edgesSql` (must
+    * yield columns src, dst; nulls and self-loops are dropped here, the
+    * operator's own normalization). `seedPred` is a SQL predicate over
+    * node id `v` selecting the personalization seed set; absent = plain
+    * PageRank (teleport everywhere).
+    */
+  def pageRank(edgesSql: String, iters: Int, fpShift: Int = 20,
+               dampNum: Int = 85, dampDen: Int = 100,
+               seedPred: Option[String] = None): String = {
+    val fp = 1L << fpShift
+    val dFp = dampNum.toLong * fp / dampDen
+    val omd = fp - dFp
+    val tp = seedPred.fold("1")(p => s"CASE WHEN $p THEN 1 ELSE 0 END")
+    val iterCtes = (1 to iters).map { t =>
+      s"""r$t AS (SELECT n.v,
+         |    (n.tp * $omd + ($dFp * coalesce(s.acc, 0)) // $fp)::BIGINT r
+         |  FROM nodes n LEFT JOIN (
+         |    SELECT e.dst v2, sum(r.r // od.deg)::BIGINT acc
+         |    FROM r${t - 1} r JOIN e ON e.src = r.v JOIN od ON od.src = r.v
+         |    GROUP BY 1) s ON s.v2 = n.v)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e0 AS ($edgesSql),
+       |e AS (SELECT DISTINCT src, dst FROM e0
+       |  WHERE src IS NOT NULL AND dst IS NOT NULL),
+       |od AS (SELECT src, count(*)::BIGINT deg FROM e GROUP BY 1),
+       |nodes AS (SELECT v, ($tp)::BIGINT tp FROM
+       |  (SELECT src v FROM e UNION SELECT dst FROM e)),
+       |r0 AS (SELECT v, tp, (tp * $fp)::BIGINT r FROM nodes),
+       |$iterCtes
+       |SELECT v, r AS rank_fp FROM r$iters""".stripMargin
+  }
+
+  /** The co-purchase item graph both gr_ queries run on: symmetric
+    * co-occurrence — two distinct parts in the same order are linked both
+    * ways. Pure set semantics (no row order anywhere), because the
+    * synthetic lineitem duplicates l_linenumber within orders, so any
+    * sequence-based edge rule would be non-deterministic.
+    */
+  val CoPurchaseEdges: String =
+    """SELECT a.l_partkey src, b.l_partkey dst
+      |FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) a
+      |JOIN (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) b
+      |  USING (l_orderkey)
+      |WHERE a.l_partkey != b.l_partkey""".stripMargin
+}

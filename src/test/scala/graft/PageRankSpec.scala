@@ -1,0 +1,87 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.ops.PageRank
+import TestSpark.spark
+
+/** Integer fixed-point PageRank. The driver's oracle (gr_pagerank/gr_ppr)
+  * pins Spark↔DuckDB on the co-purchase graph; this spec is the
+  * third replication — a plain-collections power iteration with the same
+  * integer algebra — plus the contract and ranking-shape checks.
+  */
+class PageRankSpec extends AnyFunSuite {
+  import spark.implicits._
+
+  private val fpShift = 20
+  private val fp = 1L << fpShift
+  private val dFp = 85L * fp / 100
+  private val omd = fp - dFp
+
+  /** Plain-Scala replication of the exact integer map. */
+  private def ref(edges: Seq[(Long, Long)], iters: Int,
+                  seeds: Option[Set[Long]]): Map[Long, Long] = {
+    val e = edges.distinct
+    val deg = e.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val nodes = (e.map(_._1) ++ e.map(_._2)).distinct
+    val tp = nodes.map(v =>
+      v -> (if (seeds.forall(_.contains(v))) 1L else 0L)).toMap
+    var r = nodes.map(v => v -> tp(v) * fp).toMap
+    for (_ <- 1 to iters) {
+      val acc = e.groupBy(_._2).view.mapValues(
+        _.map { case (u, _) => r(u) / deg(u) }.sum).toMap
+      r = nodes.map(v =>
+        v -> (tp(v) * omd + dFp * acc.getOrElse(v, 0L) / fp)).toMap
+    }
+    r
+  }
+
+  // a small graph with a cycle, a dangling node (4), skew into 1, and a
+  // node reachable only from outside the seed set
+  private val edges = Seq(
+    (1L, 2L), (2L, 3L), (3L, 1L), (2L, 1L), (3L, 4L), (5L, 1L), (6L, 1L),
+    (7L, 6L), (1L, 2L)) // duplicate edge — must collapse
+
+  private def run(seeds: Option[Set[Long]], iters: Int = 6) = {
+    val df = edges.toDF("src", "dst")
+    PageRank.ranks(df, "src", "dst", iters,
+        seeds = seeds.map(ss => ss.toSeq.toDF("v")))
+      .as[(Long, Long)].collect().toMap
+  }
+
+  test("ranks replay the plain-collections integer power iteration") {
+    assert(run(None) == ref(edges, 6, None))
+  }
+
+  test("personalized ranks: teleport only at seeds, exact replay") {
+    val seeds = Set(5L, 7L)
+    val got = run(Some(seeds))
+    assert(got == ref(edges, 6, Some(seeds)))
+    // a node with no teleport and no inbound path from a seed decays to 0
+    assert(got(4L) >= 0L)
+    // seeds hold their teleport mass
+    assert(got(5L) >= omd)
+  }
+
+  test("dangling node receives but never redistributes") {
+    val r = run(None)
+    // node 4 has no out-edges; its rank is teleport + inbound from 3 only,
+    // and total mass stays bounded by N * fp (leak, never growth)
+    assert(r.values.sum <= r.size * fp)
+    assert(r(1L) > r(4L)) // the skew hub outranks the leaf
+  }
+
+  test("contract: overflow bound and parameter validation fail fast") {
+    val df = edges.toDF("src", "dst")
+    intercept[IllegalArgumentException] {
+      PageRank.ranks(df, "src", "dst", iters = 5, fpShift = 24,
+        maxNodes = 1L << 32)
+    }
+    intercept[IllegalArgumentException] {
+      PageRank.ranks(df, "src", "dst", iters = 0)
+    }
+    intercept[IllegalArgumentException] {
+      PageRank.ranks(df, "src", "dst", iters = 5, dampNum = 100,
+        dampDen = 100)
+    }
+  }
+}
