@@ -59,6 +59,63 @@ object RetrievalOracle {
          WHERE "rank" <= $k"""
   }
 
+  /** The exact quantized-L2 brute-force CTEs shared by the semantic legs:
+    * `fpts` (floor-quantized vector elements, the expr.QuantizeLong
+    * domain) and `exd` (qid, nid, dd) for queries vec_id < nq, self
+    * excluded.
+    */
+  private def quantBrute(nq: Int, quantShift: Int): String = {
+    val scale = 1L << quantShift
+    raw"""fpts AS (SELECT vec_id, generate_subscripts(qv, 1) pos, unnest(qv) x
+         |  FROM (SELECT vec_id,
+         |    list_transform(embedding,
+         |      e -> CAST(floor(CAST(e AS DOUBLE)*$scale) AS BIGINT)) qv
+         |    FROM embeddings)),
+         |exd AS (SELECT b.vec_id qid, a.vec_id nid,
+         |    sum((a.x - b.x)*(a.x - b.x))::BIGINT dd
+         |  FROM fpts a JOIN fpts b ON a.pos = b.pos
+         |  WHERE b.vec_id < $nq AND a.vec_id != b.vec_id GROUP BY 1, 2)""".stripMargin
+  }
+
+  /** Retrieval-quality evaluation against the embeddings.label ground
+    * truth: for each query, MRR (2^20 // first-relevant rank), binary-gain
+    * DCG with the fixed-point log2 discount (2^40 // log2fp(rank+1), so
+    * contributions land back on the 2^20 scale), the ideal DCG from the
+    * per-label relevant count, and nDCG in basis points — all integer
+    * floor arithmetic, so even the evaluation METRICS hash-gate. The
+    * ranking under evaluation is the exact quantized-L2 top-k (the
+    * deterministic semantic leg).
+    */
+  def labelEval(nq: Int, k: Int, quantShift: Int = 6): String = {
+    val fp = 1L << 20
+    val fp2 = 1L << 40
+    raw"""WITH ${quantBrute(nq, quantShift)},
+         rk AS (SELECT qid, nid, row_number() OVER (PARTITION BY qid
+             ORDER BY dd, nid) r FROM exd),
+         lab AS (SELECT vec_id, label FROM embeddings),
+         rl AS (SELECT rk.qid, rk.r,
+             CASE WHEN ln.label = lq.label THEN 1 ELSE 0 END rel
+           FROM rk JOIN lab ln ON ln.vec_id = rk.nid
+             JOIN lab lq ON lq.vec_id = rk.qid
+           WHERE rk.r <= $k),
+         agg AS (SELECT qid,
+             coalesce($fp // min(CASE WHEN rel = 1 THEN r END), 0)::BIGINT mrr_fp,
+             coalesce(sum(CASE WHEN rel = 1
+               THEN $fp2 // ${ModelOracle.log2fp("(r + 1)")} END), 0)::BIGINT dcg_fp
+           FROM rl GROUP BY 1),
+         cnt AS (SELECT lq.vec_id qid, count(*)::BIGINT c
+           FROM lab lq JOIN lab ln
+             ON ln.label = lq.label AND ln.vec_id != lq.vec_id
+           WHERE lq.vec_id < $nq GROUP BY 1),
+         ideal AS (SELECT qid,
+             sum($fp2 // ${ModelOracle.log2fp("(i + 1)")})::BIGINT idcg_fp
+           FROM (SELECT qid, unnest(range(1, least(c, $k) + 1)) i FROM cnt)
+           GROUP BY qid)
+         SELECT a.qid, a.mrr_fp, a.dcg_fp, i.idcg_fp,
+           ((10000 * a.dcg_fp) // i.idcg_fp)::BIGINT ndcg_bp
+         FROM agg a JOIN ideal i USING (qid)"""
+  }
+
   /** Hybrid more-like-this retrieval: BM25 lexical ranking (query = each
     * of the first `nq` documents' own text, self excluded BEFORE ranking)
     * fused with the exact quantized-L2 semantic ranking over `embeddings`
@@ -77,15 +134,7 @@ object RetrievalOracle {
          sc AS (${scored("p.doc_id != qt.qid")}),
          lexr AS (SELECT qid, id, row_number() OVER (PARTITION BY qid
              ORDER BY score_fp DESC, id DESC) r FROM sc),
-         fpts AS (SELECT vec_id, generate_subscripts(qv, 1) pos, unnest(qv) x
-           FROM (SELECT vec_id,
-             list_transform(embedding,
-               e -> CAST(floor(CAST(e AS DOUBLE)*$scale) AS BIGINT)) qv
-             FROM embeddings)),
-         exd AS (SELECT b.vec_id qid, a.vec_id nid,
-             sum((a.x - b.x)*(a.x - b.x))::BIGINT dd
-           FROM fpts a JOIN fpts b ON a.pos = b.pos
-           WHERE b.vec_id < $nq AND a.vec_id != b.vec_id GROUP BY 1, 2),
+         ${quantBrute(nq, quantShift)},
          semr AS (SELECT qid, nid AS id, row_number() OVER (PARTITION BY qid
              ORDER BY dd, nid) r FROM exd),
          allr AS (SELECT qid, id, $fp // ($k0 + r) c FROM lexr WHERE r <= $k

@@ -1040,6 +1040,64 @@ object TextPack {
     Rrf.fuse(Seq(lex, sem), "qid", "id", "rank", k)
   }
 
+  /** Retrieval-quality metrics against the embeddings.label ground truth:
+    * per-query MRR, binary-gain DCG with the fixed-point log2 discount,
+    * ideal DCG, and nDCG in basis points — the evaluation harness a
+    * deployment tunes retrieval against, itself integer-exact and
+    * hash-gated (RetrievalOracle.labelEval). Evaluates the deterministic
+    * quantized-L2 exact top-k, so metric differences measure EMBEDDING
+    * quality, not ranking noise.
+    */
+  def retrievalEvalQ(s: SparkSession, dir: String): DataFrame = {
+    import graft.ops.{Pq, TopKPerGroup}
+    val k = 10
+    val nq = 8
+    val fp = 1L << 20
+    val fp2 = 1L << 40
+    val emb = Tables.embeddings(s, dir)
+    val qz = Pq.quantized(emb, "vec_id", "embedding")
+    val pairs = qz.crossJoin(
+        broadcast(qz.filter(col("nid") < nq)
+          .select(col("nid").as("qid"), col("q").as("qq"))))
+      .filter(col("nid") =!= col("qid"))
+      .select(col("qid"), col("nid"),
+        org.apache.spark.sql.GraftBridge.column(graft.expr.SqDistLong(
+          org.apache.spark.sql.GraftBridge.expression(col("q")),
+          org.apache.spark.sql.GraftBridge.expression(col("qq"))))
+          .as("dist"))
+    val ranked = TopKPerGroup(pairs, Seq("qid"), "dist", k, Seq("nid"),
+      ascending = true)
+    val lab = emb.select(col("vec_id"), col("label"))
+    val rl = ranked
+      .join(lab.select(col("vec_id").as("nid"), col("label")), "nid")
+      .join(broadcast(lab.filter(col("vec_id") < nq)
+        .select(col("vec_id").as("qid"), col("label").as("qlabel"))), "qid")
+      .withColumn("rel",
+        when(col("label") === col("qlabel"), 1L).otherwise(0L))
+    val agg = rl
+      .withColumn("disc", ModelFilter.log2fp(col("rank") + 1))
+      .groupBy("qid").agg(
+        coalesce(expr(s"${fp}L div min(CASE WHEN rel = 1 THEN rank END)"),
+          lit(0L)).as("mrr_fp"),
+        coalesce(sum(when(col("rel") === 1, expr(s"${fp2}L div disc"))),
+          lit(0L)).as("dcg_fp"))
+    // ideal DCG: per-label relevant count (minus self), discount series
+    // exploded over <= k rows per query — nq rows total, negligible.
+    val cnt = lab.filter(col("vec_id") < nq)
+      .select(col("vec_id").as("qid"), col("label"))
+      .join(lab.groupBy("label").agg(count(lit(1)).as("n")), "label")
+      .select(col("qid"), (col("n") - 1).as("c"))
+    val ideal = cnt
+      .select(col("qid"),
+        explode(sequence(lit(1L), least(col("c"), lit(k.toLong)))).as("i"))
+      .withColumn("disc", ModelFilter.log2fp(col("i") + 1))
+      .select(col("qid"), expr(s"${fp2}L div disc").as("d"))
+      .groupBy("qid").agg(sum(col("d")).as("idcg_fp"))
+    agg.join(ideal, "qid")
+      .select(col("qid"), col("mrr_fp"), col("dcg_fp"), col("idcg_fp"),
+        expr("(10000 * dcg_fp) div idcg_fp").as("ndcg_bp"))
+  }
+
   /** Real BPE: train 200 merges on the corpus (distributed word count →
     * driver merge loop), encode scan-side, emit the exact reconstruction.
     * The oracle hash-gates decode∘encode == normalized text across every
@@ -1122,6 +1180,7 @@ object TextPack {
     "rt_bm25_persisted" -> bm25PersistedQ _,
     "rt_bm25_inc" -> bm25IncQ _,
     "rt_hybrid_rrf" -> hybridRrfQ _,
+    "rt_eval_labels" -> retrievalEvalQ _,
     "ann_pq" -> annPq _,
     "ann_pq_persisted" -> annPqPersisted _,
     "ann_ivfpq" -> annIvfPq _,
@@ -1751,6 +1810,7 @@ object TextPack {
     "rt_bm25_persisted" -> RetrievalOracle.bm25(Bm25Queries, k = 10),
     "rt_bm25_inc" -> RetrievalOracle.bm25(Bm25Queries, k = 10),
     "rt_hybrid_rrf" -> RetrievalOracle.hybridRrf(nq = 3, k = 10),
+    "rt_eval_labels" -> RetrievalOracle.labelEval(nq = 8, k = 10),
     "ann_pq" -> OracleGen.annPq(dim = 64, m = 8, ksub = 16, iters = 2, k = 10),
     // the persisted-store path must be indistinguishable - same oracle
     "ann_pq_persisted" ->
