@@ -39,6 +39,42 @@ object GraphOracle {
        |SELECT v, r AS rank_fp FROM r$iters""".stripMargin
   }
 
+  /** Clamped majority-vote label propagation (ops/LabelProp.scala),
+    * unrolled like [[pageRank]]: per iteration, count in-neighbor labels,
+    * pick argmax by (count DESC, label ASC), clamp seeds, keep the
+    * previous label when no neighbor is labeled.
+    *
+    * @param prelude extra CTEs the nodes/edges SQL may reference
+    * @param nodesSql yields (v, seed_lbl) — null seed_lbl = unlabeled
+    * @param edgesSql yields (src, dst) — src's label flows to dst
+    * @param finalSql builds the final SELECT from the last CTE's name,
+    *   which exposes (v, lbl)
+    */
+  def labelProp(prelude: String, nodesSql: String, edgesSql: String,
+                iters: Int, finalSql: String => String): String = {
+    val iterCtes = (1 to iters).map { t =>
+      s"""c$t AS (SELECT e.dst, l.lbl nlbl, count(*)::BIGINT c
+         |  FROM e JOIN l${t - 1} l ON l.v = e.src
+         |  WHERE l.lbl IS NOT NULL GROUP BY 1, 2),
+         |b$t AS (SELECT dst, nlbl FROM (
+         |    SELECT dst, nlbl, row_number() OVER (PARTITION BY dst
+         |      ORDER BY c DESC, nlbl ASC) r FROM c$t) WHERE r = 1),
+         |l$t AS (SELECT n.v, n.seed_lbl,
+         |    CASE WHEN n.seed_lbl IS NOT NULL THEN n.seed_lbl
+         |         WHEN b.nlbl IS NOT NULL THEN b.nlbl
+         |         ELSE p.lbl END lbl
+         |  FROM nodes n LEFT JOIN b$t b ON b.dst = n.v
+         |    LEFT JOIN l${t - 1} p ON p.v = n.v)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $prelude,
+       |nodes AS ($nodesSql),
+       |e AS (SELECT DISTINCT src, dst FROM ($edgesSql)
+       |  WHERE src IS NOT NULL AND dst IS NOT NULL),
+       |l0 AS (SELECT v, seed_lbl, seed_lbl lbl FROM nodes),
+       |$iterCtes
+       |${finalSql(s"l$iters")}""".stripMargin
+  }
+
   /** The co-purchase item graph both gr_ queries run on: symmetric
     * co-occurrence — two distinct parts in the same order are linked both
     * ways. Pure set semantics (no row order anywhere), because the

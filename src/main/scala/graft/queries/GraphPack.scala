@@ -44,9 +44,50 @@ object GraphPack {
       seeds = Some(seeds))
   }
 
+  /** Label propagation over the exact k-NN graph of the embedding space:
+    * 10% of nodes keep their true label as clamped seeds, everyone else
+    * adopts the majority among its 5 nearest neighbors for 3 rounds —
+    * the label-a-few, propagate-to-millions curation shape, with the
+    * per-node agreement against ground truth in the gated output. The
+    * graph is built on the vec_id-even half by integer-exact brute force
+    * (quantized L2) for oracle replay; at production scale the same
+    * edges come from the ANN index family instead.
+    */
+  def knnLabelPropQ(s: SparkSession, dir: String): DataFrame = {
+    import graft.ops.{LabelProp, Pq, TopKPerGroup}
+    val k = 5
+    val iters = 3
+    val emb = Tables.embeddings(s, dir)
+    val sub = emb.filter(col("vec_id") % 2 === 0)
+    val qz = Pq.quantized(sub, "vec_id", "embedding")
+    val pairs = qz.crossJoin(
+        broadcast(qz.select(col("nid").as("qid"), col("q").as("qq"))))
+      .filter(col("nid") =!= col("qid"))
+      .select(col("qid"), col("nid"),
+        org.apache.spark.sql.GraftBridge.column(graft.expr.SqDistLong(
+          org.apache.spark.sql.GraftBridge.expression(col("q")),
+          org.apache.spark.sql.GraftBridge.expression(col("qq"))))
+          .as("dist"))
+    val knn = TopKPerGroup(pairs, Seq("qid"), "dist", k, Seq("nid"),
+      ascending = true)
+    val edges = knn.select(col("nid").as("src"), col("qid").as("dst"))
+    val nodes = sub.select(col("vec_id").as("v"),
+      when(col("vec_id") % 10 === 0, col("label")).as("seed_lbl"))
+    LabelProp.propagate(nodes, edges, iters)
+      .join(nodes, "v")
+      .join(emb.select(col("vec_id").as("v"), col("label").as("label_true")),
+        "v")
+      .select(col("v"),
+        when(col("seed_lbl").isNotNull, 1L).otherwise(0L).as("is_seed"),
+        col("label_true"), col("lbl").as("label_prop"),
+        when(col("lbl") === col("label_true"), 1L).otherwise(0L)
+          .as("correct"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "gr_pagerank" -> (pagerankQ _),
     "gr_ppr" -> (pprQ _),
+    "gr_knn_labelprop" -> (knnLabelPropQ _),
   )
 
   def oracle: Map[String, String] = Map(
@@ -54,5 +95,33 @@ object GraphPack {
       iters = 5),
     "gr_ppr" -> GraphOracle.pageRank(GraphOracle.CoPurchaseEdges,
       iters = 5, seedPred = Some("v % 53 = 0")),
+    "gr_knn_labelprop" -> GraphOracle.labelProp(
+      prelude =
+        """fpts AS (SELECT vec_id, generate_subscripts(qv, 1) pos,
+          |    unnest(qv) x
+          |  FROM (SELECT vec_id,
+          |    list_transform(embedding,
+          |      e -> CAST(floor(CAST(e AS DOUBLE)*64) AS BIGINT)) qv
+          |    FROM embeddings WHERE vec_id % 2 = 0)),
+          |exd AS (SELECT b.vec_id qid, a.vec_id nid,
+          |    sum((a.x - b.x)*(a.x - b.x))::BIGINT dd
+          |  FROM fpts a JOIN fpts b ON a.pos = b.pos
+          |  WHERE a.vec_id != b.vec_id GROUP BY 1, 2)""".stripMargin,
+      nodesSql =
+        """SELECT vec_id v,
+          |  CASE WHEN vec_id % 10 = 0 THEN label END seed_lbl
+          |FROM embeddings WHERE vec_id % 2 = 0""".stripMargin,
+      edgesSql =
+        """SELECT nid src, qid dst FROM (
+          |  SELECT qid, nid, row_number() OVER (PARTITION BY qid
+          |    ORDER BY dd, nid) r FROM exd) WHERE r <= 5""".stripMargin,
+      iters = 3,
+      finalSql = last =>
+        s"""SELECT l.v,
+           |  (CASE WHEN n.seed_lbl IS NOT NULL THEN 1 ELSE 0 END)::BIGINT is_seed,
+           |  em.label label_true, l.lbl label_prop,
+           |  (CASE WHEN l.lbl = em.label THEN 1 ELSE 0 END)::BIGINT correct
+           |FROM $last l JOIN nodes n ON n.v = l.v
+           |  JOIN embeddings em ON em.vec_id = l.v""".stripMargin),
   )
 }
