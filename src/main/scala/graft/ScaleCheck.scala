@@ -48,7 +48,8 @@ object ScaleCheck {
     "dd_ngram_jaccard", "dd_simhash", "dd_minhash_lsh", "pl_corpus_e2e",
     "pl_dedup_corpus", "q_salted_join", "q5_local_supplier",
     "op_csvexport_zip", "op_sort_order", "tx_keywords", "op_type_fuzz",
-    "dd_line_dedup", "pl_kmeans", "pl_nb_lang", "pl_lm_backoff", "rt_bm25")
+    "dd_line_dedup", "pl_kmeans", "pl_nb_lang", "pl_lm_backoff", "rt_bm25",
+    "rt_hybrid_rrf", "gr_pagerank")
   // pl_kmeans: fixed k over 10x rows must scale linearly (one assignment
   // scan + one bounded partial-agg shuffle per iteration).
   // pl_nb_lang / pl_lm_backoff: the replicas' disjoint token spaces give a
@@ -62,6 +63,16 @@ object ScaleCheck {
   // terms exist only in replica 0 — so the slope isolates the index-build
   // corpus pass (the one cost that scales) from scoring, which stays
   // replica-0-sized by construction.
+  // rt_hybrid_rrf: both legs' corpus passes (inverted-index build, the
+  // quantize+distance scan over 10x embeddings) scale; the query side (3
+  // replica-0 docs) and the fusion (O(|q|*k) rows) stay constant.
+  // gr_pagerank: the key stride makes each replica a disjoint co-purchase
+  // graph — 10x nodes and edges with identical degree structure, so all
+  // five (dst, Long) contribution shuffles must scale linearly. (The
+  // labelprop twin runs the same iteration engine; its gated query builds
+  // edges by DELIBERATE brute-force O(N^2) kNN for oracle replay, so a
+  // slope row would measure the fixture, not the engine — the production
+  // edge build is the ANN index family, measured by its own rows.)
 
   /** The semantic-dedup family scales k WITH N (k = 8·mult below):
     * SemDeDup's within-cluster pairwise compare is O(sum c_i^2) BY
