@@ -16,7 +16,10 @@ import graft.core.Cols.{q => Q}
   * happens), and every iteration is
   *
   *   r_{t+1}(v) = teleport(v)·(1−d)_fp + (d_fp · S(v)) div 2^fpShift
-  *   S(v)       = Σ_{u→v} (r_t(u) div outdeg(u))
+  *   S(v)       = Σ_{u→v} (r_t(u)·w(u,v)) div Σ_out w(u)
+  *
+  * (unweighted graphs are the exact special case w ≡ 1, where the
+  * contribution reduces to r div outdeg)
   *
   * with d_fp = (dampNum·2^fpShift) div dampDen and (1−d)_fp its
   * complement. Every operand is a non-negative Long, every division a
@@ -36,7 +39,10 @@ import graft.core.Cols.{q => Q}
   * constructor requires that bound against a caller-supplied maxNodes
   * hint rather than silently wrapping. At the default fpShift = 20 that
   * is ~4M nodes; billion-node graphs run at fpShift = 14 (the usual
-  * precision-vs-magnitude dial, cf. KMeans quantShift).
+  * precision-vs-magnitude dial, cf. KMeans quantShift). Weighted runs
+  * additionally form r·w before the floor division, so per-edge weights
+  * must keep bits(N) + fpShift + bits(max w) ≤ 62 — at the defaults,
+  * weights to ~2^20.
   *
   * 100 TB shape: `edges` is pre-joined once with out-degrees and cached
   * for the loop (persist lifetime is CALLER-OWNED, the SemDeDup/KMeans
@@ -59,12 +65,16 @@ object PageRank {
     *   PageRank — authority flows outward from the seed set, the
     *   trusted-seed quality-propagation shape). Nodes outside the edge
     *   set's endpoints are ignored.
+    * @param weightCol optional positive edge weight; parallel (src, dst)
+    *   rows fold by summation, out-mass splits proportionally. Absent =
+    *   unweighted (the DISTINCT edge set, w ≡ 1).
     * @return (v, rank_fp) for every node appearing as an endpoint.
     */
   def ranks(edges: DataFrame, srcCol: String, dstCol: String, iters: Int,
             fpShift: Int = 20, dampNum: Int = 85, dampDen: Int = 100,
             maxNodes: Long = 1L << 22,
-            seeds: Option[DataFrame] = None): DataFrame = {
+            seeds: Option[DataFrame] = None,
+            weightCol: Option[String] = None): DataFrame = {
     require(iters >= 1 && iters <= 64, s"iters out of range: $iters")
     require(fpShift >= 4 && fpShift <= 24, s"fpShift out of range: $fpShift")
     require(dampNum > 0 && dampDen > 0 && dampNum < dampDen,
@@ -78,13 +88,26 @@ object PageRank {
     val dFp = (dampNum.toLong * fp) / dampDen
     val omdFp = fp - dFp
 
-    val e = edges.select(Q(srcCol).cast("long").as("src"),
-        Q(dstCol).cast("long").as("dst"))
-      .where(col("src").isNotNull && col("dst").isNotNull)
-      .distinct()
-    val outDeg = e.groupBy("src").agg(count(lit(1)).as("deg"))
-    // one pre-joined (src, dst, deg) relation reused every iteration
-    val eDeg = e.join(outDeg, "src").persist()
+    // weighted: parallel edges fold into one (src, dst, Σw) row and a
+    // node's out-mass splits proportionally, (r·w) div Σ_out w — with the
+    // unweighted case as the exact special case w = 1 (then Σ_out w is the
+    // out-degree and the contribution reduces to r div deg).
+    val e = weightCol match {
+      case None =>
+        edges.select(Q(srcCol).cast("long").as("src"),
+            Q(dstCol).cast("long").as("dst"))
+          .where(col("src").isNotNull && col("dst").isNotNull)
+          .distinct().withColumn("w", lit(1L))
+      case Some(wc) =>
+        edges.select(Q(srcCol).cast("long").as("src"),
+            Q(dstCol).cast("long").as("dst"), Q(wc).cast("long").as("w"))
+          .where(col("src").isNotNull && col("dst").isNotNull &&
+            col("w") > 0)
+          .groupBy("src", "dst").agg(sum(col("w")).as("w"))
+    }
+    val outW = e.groupBy("src").agg(sum(col("w")).as("sw"))
+    // one pre-joined (src, dst, w, sw) relation reused every iteration
+    val eDeg = e.join(outW, "src").persist()
     val nodes0 = e.select(col("src").as("v"))
       .union(e.select(col("dst").as("v"))).distinct()
     // teleport mass: everywhere 1 for plain PageRank, seed-indicator for
@@ -102,7 +125,7 @@ object PageRank {
     var r = nodes.select(col("v"), (col("tp") * fp).as("r"))
     for (_ <- 1 to iters) {
       val sums = r.join(eDeg, r("v") === eDeg("src"))
-        .select(col("dst"), expr("r div deg").as("c"))
+        .select(col("dst"), expr("(r * w) div sw").as("c"))
         .groupBy("dst").agg(sum(col("c")).as("acc"))
       r = nodes.join(sums, nodes("v") === sums("dst"), "left")
         .select(col("v"), col("tp"),

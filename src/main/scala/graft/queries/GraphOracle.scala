@@ -15,23 +15,34 @@ object GraphOracle {
     */
   def pageRank(edgesSql: String, iters: Int, fpShift: Int = 20,
                dampNum: Int = 85, dampDen: Int = 100,
-               seedPred: Option[String] = None): String = {
+               seedPred: Option[String] = None,
+               weighted: Boolean = false): String = {
     val fp = 1L << fpShift
     val dFp = dampNum.toLong * fp / dampDen
     val omd = fp - dFp
     val tp = seedPred.fold("1")(p => s"CASE WHEN $p THEN 1 ELSE 0 END")
+    // unweighted = the exact special case w ≡ 1 over the distinct edge
+    // set; the iteration formula below is shared (sw is then out-degree).
+    val eCte =
+      if (weighted)
+        """e AS (SELECT src, dst, sum(w)::BIGINT w FROM e0
+          |  WHERE src IS NOT NULL AND dst IS NOT NULL AND w > 0
+          |  GROUP BY 1, 2)""".stripMargin
+      else
+        """e AS (SELECT src, dst, 1::BIGINT w FROM (
+          |  SELECT DISTINCT src, dst FROM e0
+          |  WHERE src IS NOT NULL AND dst IS NOT NULL))""".stripMargin
     val iterCtes = (1 to iters).map { t =>
       s"""r$t AS (SELECT n.v,
          |    (n.tp * $omd + ($dFp * coalesce(s.acc, 0)) // $fp)::BIGINT r
          |  FROM nodes n LEFT JOIN (
-         |    SELECT e.dst v2, sum(r.r // od.deg)::BIGINT acc
+         |    SELECT e.dst v2, sum((r.r * e.w) // od.sw)::BIGINT acc
          |    FROM r${t - 1} r JOIN e ON e.src = r.v JOIN od ON od.src = r.v
          |    GROUP BY 1) s ON s.v2 = n.v)""".stripMargin
     }.mkString(",\n")
     s"""WITH e0 AS ($edgesSql),
-       |e AS (SELECT DISTINCT src, dst FROM e0
-       |  WHERE src IS NOT NULL AND dst IS NOT NULL),
-       |od AS (SELECT src, count(*)::BIGINT deg FROM e GROUP BY 1),
+       |$eCte,
+       |od AS (SELECT src, sum(w)::BIGINT sw FROM e GROUP BY 1),
        |nodes AS (SELECT v, ($tp)::BIGINT tp FROM
        |  (SELECT src v FROM e UNION SELECT dst FROM e)),
        |r0 AS (SELECT v, tp, (tp * $fp)::BIGINT r FROM nodes),
@@ -81,10 +92,17 @@ object GraphOracle {
     * synthetic lineitem duplicates l_linenumber within orders, so any
     * sequence-based edge rule would be non-deterministic.
     */
-  val CoPurchaseEdges: String =
-    """SELECT a.l_partkey src, b.l_partkey dst
-      |FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) a
-      |JOIN (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) b
-      |  USING (l_orderkey)
-      |WHERE a.l_partkey != b.l_partkey""".stripMargin
+  val CoPurchaseEdges: String = coPurchaseEdges(weighted = false)
+
+  /** Same pairs with w = 1 per shared order, so the weighted aggregate
+    * counts how many orders link the pair.
+    */
+  def coPurchaseEdges(weighted: Boolean): String = {
+    val w = if (weighted) ", 1 w" else ""
+    s"""SELECT a.l_partkey src, b.l_partkey dst$w
+       |FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) a
+       |JOIN (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) b
+       |  USING (l_orderkey)
+       |WHERE a.l_partkey != b.l_partkey""".stripMargin
+  }
 }

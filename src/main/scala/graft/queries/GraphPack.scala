@@ -44,6 +44,21 @@ object GraphPack {
       seeds = Some(seeds))
   }
 
+  /** Weighted PageRank: the co-purchase edge weighted by how many orders
+    * share the pair, so frequently-bought-together links carry
+    * proportionally more authority.
+    */
+  def pagerankWeightedQ(s: SparkSession, dir: String): DataFrame = {
+    val op = Tables.lineitem(s, dir)
+      .select(col("l_orderkey").as("k"), col("l_partkey").as("p"))
+      .distinct()
+    val pairRows = op.join(op.select(col("k"), col("p").as("p2")), "k")
+      .where(col("p") =!= col("p2"))
+      .select(col("p").as("src"), col("p2").as("dst"), lit(1L).as("n"))
+    PageRank.ranks(pairRows, "src", "dst", iters = 5,
+      weightCol = Some("n"))
+  }
+
   /** Label propagation over the exact k-NN graph of the embedding space:
     * 10% of nodes keep their true label as clamped seeds, everyone else
     * adopts the majority among its 5 nearest neighbors for 3 rounds —
@@ -87,6 +102,7 @@ object GraphPack {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "gr_pagerank" -> (pagerankQ _),
     "gr_ppr" -> (pprQ _),
+    "gr_pagerank_w" -> (pagerankWeightedQ _),
     "gr_knn_labelprop" -> (knnLabelPropQ _),
   )
 
@@ -95,6 +111,9 @@ object GraphPack {
       iters = 5),
     "gr_ppr" -> GraphOracle.pageRank(GraphOracle.CoPurchaseEdges,
       iters = 5, seedPred = Some("v % 53 = 0")),
+    "gr_pagerank_w" -> GraphOracle.pageRank(
+      GraphOracle.coPurchaseEdges(weighted = true),
+      iters = 5, weighted = true),
     "gr_knn_labelprop" -> GraphOracle.labelProp(
       prelude =
         """fpts AS (SELECT vec_id, generate_subscripts(qv, 1) pos,

@@ -70,6 +70,43 @@ class PageRankSpec extends AnyFunSuite {
     assert(r(1L) > r(4L)) // the skew hub outranks the leaf
   }
 
+  /** Weighted replication: contribution (r·w) div Σ_out w. */
+  private def refW(edges: Seq[(Long, Long, Long)], iters: Int)
+      : Map[Long, Long] = {
+    val byPair = edges.groupBy(t => (t._1, t._2)).view
+      .mapValues(_.map(_._3).sum).toSeq
+      .map { case ((s0, d0), w) => (s0, d0, w) }
+    val sw = byPair.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
+    val nodes = (byPair.map(_._1) ++ byPair.map(_._2)).distinct
+    var r = nodes.map(v => v -> fp).toMap
+    for (_ <- 1 to iters) {
+      val acc = byPair.groupBy(_._2).view.mapValues(
+        _.map { case (u, _, w) => r(u) * w / sw(u) }.sum).toMap
+      r = nodes.map(v => v -> (omd + dFp * acc.getOrElse(v, 0L) / fp)).toMap
+    }
+    r
+  }
+
+  test("weighted ranks replay; uniform weights reduce to unweighted") {
+    val we = Seq((1L, 2L, 3L), (1L, 3L, 1L), (2L, 1L, 2L), (3L, 2L, 2L),
+      (1L, 2L, 2L)) // parallel edge folds by summation
+    val got = PageRank.ranks(we.toDF("src", "dst", "w"), "src", "dst",
+        iters = 4, weightCol = Some("w"))
+      .as[(Long, Long)].collect().toMap
+    assert(got == refW(we, 4))
+    // every weight equal → identical to the unweighted run on the same
+    // distinct edge set (the w ≡ 1 special-case law)
+    val ue = Seq((1L, 2L), (1L, 3L), (2L, 1L), (3L, 2L))
+    val uw = PageRank.ranks(
+        ue.map { case (a, b) => (a, b, 7L) }.toDF("src", "dst", "w"),
+        "src", "dst", iters = 4, weightCol = Some("w"))
+      .as[(Long, Long)].collect().toMap
+    val plain = PageRank.ranks(ue.toDF("src", "dst"), "src", "dst",
+        iters = 4)
+      .as[(Long, Long)].collect().toMap
+    assert(uw == plain)
+  }
+
   test("contract: overflow bound and parameter validation fail fast") {
     val df = edges.toDF("src", "dst")
     intercept[IllegalArgumentException] {
