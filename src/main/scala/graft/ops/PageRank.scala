@@ -74,7 +74,8 @@ object PageRank {
             fpShift: Int = 20, dampNum: Int = 85, dampDen: Int = 100,
             maxNodes: Long = 1L << 22,
             seeds: Option[DataFrame] = None,
-            weightCol: Option[String] = None): DataFrame = {
+            weightCol: Option[String] = None,
+            init: Option[DataFrame] = None): DataFrame = {
     require(iters >= 1 && iters <= 64, s"iters out of range: $iters")
     require(fpShift >= 4 && fpShift <= 24, s"fpShift out of range: $fpShift")
     require(dampNum > 0 && dampDen > 0 && dampNum < dampDen,
@@ -122,7 +123,18 @@ object PageRank {
             when(col("sv").isNotNull, 1L).otherwise(0L).as("tp"))
     }).persist()
 
-    var r = nodes.select(col("v"), (col("tp") * fp).as("r"))
+    val r0 = init match {
+      case None => nodes.select(col("v"), col("tp"), (col("tp") * fp).as("r"))
+      case Some(pr) =>
+        // warm start from persisted ranks; nodes the snapshot doesn't
+        // cover (new endpoints) begin at their teleport init.
+        val p0 = pr.select(col("v").cast("long").as("pv"),
+          col("rank_fp").cast("long").as("pr"))
+        nodes.join(p0, nodes("v") === col("pv"), "left")
+          .select(col("v"), col("tp"),
+            coalesce(col("pr"), col("tp") * fp).as("r"))
+    }
+    var r = r0
     for (_ <- 1 to iters) {
       val sums = r.join(eDeg, r("v") === eDeg("src"))
         .select(col("dst"), expr("(r * w) div sw").as("c"))
@@ -134,4 +146,19 @@ object PageRank {
     }
     r.select(col("v"), col("r").as("rank_fp"))
   }
+
+  /** Continue the iteration from persisted ranks: ranks(e, a) resumed for
+    * b more iterations equals ranks(e, a+b) bit for bit (the iteration
+    * map depends only on the current rank vector), so a stored rank
+    * snapshot is a checkpoint, not an approximation — the graph twin of
+    * the persisted-index pattern (Bm25/SemDeDup), gated by sharing the
+    * full-run oracle.
+    */
+  def resume(prev: DataFrame, edges: DataFrame, srcCol: String,
+             dstCol: String, iters: Int, fpShift: Int = 20,
+             dampNum: Int = 85, dampDen: Int = 100,
+             maxNodes: Long = 1L << 22, seeds: Option[DataFrame] = None,
+             weightCol: Option[String] = None): DataFrame =
+    ranks(edges, srcCol, dstCol, iters, fpShift, dampNum, dampDen,
+      maxNodes, seeds, weightCol, init = Some(prev))
 }

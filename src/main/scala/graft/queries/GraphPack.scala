@@ -44,6 +44,21 @@ object GraphPack {
       seeds = Some(seeds))
   }
 
+  /** Warm-start round-trip: 3 iterations, ranks persisted as a snapshot
+    * through the memoized job, then resumed for 2 more — must equal the
+    * 5-iteration run bit for bit (shares gr_pagerank's oracle), proving a
+    * rank snapshot is a checkpoint, not an approximation.
+    */
+  def pagerankResumeQ(s: SparkSession, dir: String): DataFrame = {
+    val (store, _) = Fixtures(s, dir, "job_pagerank_warm") { st =>
+      st.write(PageRank.ranks(coPurchaseEdges(s, dir), "src", "dst",
+        iters = 3), "pr_warm", slices = 4)
+      Map("r" -> "pr_warm")
+    }
+    PageRank.resume(store.readResolved("pr_warm"),
+      coPurchaseEdges(s, dir), "src", "dst", iters = 2)
+  }
+
   /** Weighted PageRank: the co-purchase edge weighted by how many orders
     * share the pair, so frequently-bought-together links carry
     * proportionally more authority.
@@ -103,6 +118,7 @@ object GraphPack {
     "gr_pagerank" -> (pagerankQ _),
     "gr_ppr" -> (pprQ _),
     "gr_pagerank_w" -> (pagerankWeightedQ _),
+    "gr_pagerank_resume" -> (pagerankResumeQ _),
     "gr_knn_labelprop" -> (knnLabelPropQ _),
   )
 
@@ -114,6 +130,9 @@ object GraphPack {
     "gr_pagerank_w" -> GraphOracle.pageRank(
       GraphOracle.coPurchaseEdges(weighted = true),
       iters = 5, weighted = true),
+    // the resume query must be indistinguishable from the straight run
+    "gr_pagerank_resume" -> GraphOracle.pageRank(GraphOracle.CoPurchaseEdges,
+      iters = 5),
     "gr_knn_labelprop" -> GraphOracle.labelProp(
       prelude =
         """fpts AS (SELECT vec_id, generate_subscripts(qv, 1) pos,

@@ -107,6 +107,16 @@ class PageRankSpec extends AnyFunSuite {
     assert(uw == plain)
   }
 
+  test("resume law: a rank snapshot is a checkpoint, not an approximation") {
+    val df = edges.toDF("src", "dst")
+    val r2 = PageRank.ranks(df, "src", "dst", iters = 2)
+    val resumed = PageRank.resume(r2, df, "src", "dst", iters = 2)
+      .as[(Long, Long)].collect().toMap
+    val full = PageRank.ranks(df, "src", "dst", iters = 4)
+      .as[(Long, Long)].collect().toMap
+    assert(resumed == full)
+  }
+
   test("contract: overflow bound and parameter validation fail fast") {
     val df = edges.toDF("src", "dst")
     intercept[IllegalArgumentException] {

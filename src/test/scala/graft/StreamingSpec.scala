@@ -183,6 +183,29 @@ class StreamingSpec extends AnyFunSuite {
     assert(store.iterateChain(tip).count() == 3)
   }
 
+  test("edge ingest: PageRank over a stream-accumulated edge chain == batch") {
+    val s = spark
+    import s.implicits._
+    import graft.ops.PageRank
+    val dir = tmpDir("gredge_src")
+    val store = new SnapshotStore(s, tmpDir("gredge_store"))
+    val b1 = Seq((1L, 2L), (2L, 3L), (3L, 1L))
+    val b2 = Seq((2L, 1L), (3L, 2L), (4L, 1L), (1L, 2L)) // cross-batch dup
+    b1.toDF("src", "dst").coalesce(1).write.mode("append").parquet(dir)
+    b2.toDF("src", "dst").coalesce(1).write.mode("append").parquet(dir)
+    val q = Streams.chainSink(Streams.eventStream(s, dir), store, "edges",
+      checkpoint = tmpDir("gredge_ckpt"))
+    q.awaitTermination(60000)
+    val tip = store.list().filter(_.startsWith("edges.")).sorted.last
+    val got = PageRank.ranks(store.iterateChain(tip), "src", "dst",
+        iters = 4)
+      .as[(Long, Long)].collect().toMap
+    val want = PageRank.ranks((b1 ++ b2).toDF("src", "dst"), "src", "dst",
+        iters = 4)
+      .as[(Long, Long)].collect().toMap
+    assert(got == want, "the edge chain is a first-class graph input")
+  }
+
   test("nearDupDedupSink: streaming near-dup dedup against the chain index") {
     val s = spark
     import s.implicits._
