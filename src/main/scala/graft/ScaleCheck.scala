@@ -110,11 +110,21 @@ object ScaleCheck {
   private val ScaledNames = Seq("dd_semantic", "dd_inc_semantic", "pl_curation_e2e")
 
   private def runTarget(s: SparkSession, name: String, dir: String,
-                        mult: Int): Long =
+                        mult: Int): Long = {
+    // Bench's per-query purge, for the same reason: operators that
+    // persist() intermediates (KMeans, SemDeDup, PageRank) register in
+    // the cache manager keyed on the LOGICAL PLAN, so a later invocation
+    // of the identical query silently reuses the warmup pass's cache and
+    // the measured "slope" is the warm-iteration cost with the dominant
+    // build stage cached away. Purging first makes every timed pass pay
+    // the full cold plan — the cost a fresh consumer actually sees.
+    s.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
+    s.catalog.clearCache()
     ScaledTargets.get(name) match {
       case Some(f) => f(s, dir, mult).count()
       case None    => SparkEntry.queries(name)(s, dir).count()
     }
+  }
 
   private def allTargets: Seq[String] = Targets ++ ScaledNames
 
@@ -287,7 +297,7 @@ object ScaleCheck {
     val totalS = allTargets.map(small).sum
     val totalB = allTargets.map(big).sum
     val json =
-      s"""{"reps":$reps,"base":"$baseDir","protocol":"min-of-3 at sf0.1, min-of-2 at 10x, untimed warmup per scale, local[32] shuffle=32 at both scales; shuffle bytes sampled on pass 1","notes":{"dd_simhash":"output-pair count is threshold-cliff sensitive (75% of pairs sit at hamming exactly 3), so each replica's independent token-hash draw moves borderline mass across the cutoff: measured per-replica pairs 11.6k-123k around replica 0's 15.2k. The elevated slope is TRUE near-dup volume in the synthesized data, not engine cost growth; the quadratic random-collision candidate term was separately measured and fixed (blocks=5 generalized Manku banding: 23.3M -> 7.7M candidates at 10x)","dd_semantic":"k scales with N (k=8 at sf0.1, k=80 at 10x) per the SemDeDup sizing rule k ~ N/1e4..1e5 (Abbas et al. 2023) - the same rule the operator's maxClusterSize gate enforces - holding per-cluster size constant so the slope measures engine cost, not the data's designed O(sum c^2) pair growth under a fixed k. dd_inc_semantic is the in-memory twin of the gated query (fit on history, frozen-centroid batch assignment, history+batch drop joins) without the snapshot-index round-trip. Shuffle-slope caveat for this family: absolute shuffle volumes are sub-MB at BOTH scales (the sf0.1 run broadcast-joins everything), so the log-slope numerically amplifies an AQE broadcast->SMJ plan transition; read the absolute MB columns, not the slope, when sf01 volume is ~0"},"queries":{${entries.mkString(",")}},""" +
+      s"""{"reps":$reps,"base":"$baseDir","protocol":"min-of-3 at sf0.1, min-of-2 at 10x, untimed warmup per scale, local[32] shuffle=32 at both scales; shuffle bytes sampled on pass 1; cache manager purged before every timed query (r11) so persist()-ing operators pay their build stage cold - slopes for pl_kmeans/dd_semantic/gr_pagerank are NOT comparable to pre-r11 files, which inherited warmup caches","notes":{"dd_simhash":"output-pair count is threshold-cliff sensitive (75% of pairs sit at hamming exactly 3), so each replica's independent token-hash draw moves borderline mass across the cutoff: measured per-replica pairs 11.6k-123k around replica 0's 15.2k. The elevated slope is TRUE near-dup volume in the synthesized data, not engine cost growth; the quadratic random-collision candidate term was separately measured and fixed (blocks=5 generalized Manku banding: 23.3M -> 7.7M candidates at 10x)","dd_semantic":"k scales with N (k=8 at sf0.1, k=80 at 10x) per the SemDeDup sizing rule k ~ N/1e4..1e5 (Abbas et al. 2023) - the same rule the operator's maxClusterSize gate enforces - holding per-cluster size constant so the slope measures engine cost, not the data's designed O(sum c^2) pair growth under a fixed k. dd_inc_semantic is the in-memory twin of the gated query (fit on history, frozen-centroid batch assignment, history+batch drop joins) without the snapshot-index round-trip. Shuffle-slope caveat for this family: absolute shuffle volumes are sub-MB at BOTH scales (the sf0.1 run broadcast-joins everything), so the log-slope numerically amplifies an AQE broadcast->SMJ plan transition; read the absolute MB columns, not the slope, when sf01 volume is ~0"},"queries":{${entries.mkString(",")}},""" +
       f""""total_sf01_sec":$totalS%.3f,"total_x10_sec":$totalB%.3f,"total_slope":${math.log(totalB / totalS) / math.log(reps.toDouble)}%.3f}"""
     println(json)
     java.nio.file.Files.writeString(

@@ -114,12 +114,65 @@ object GraphPack {
           .as("correct"))
   }
 
+  /** The SCALE path for k-NN label propagation: edges from
+    * cluster-bucketed candidates (integer-exact k-means partitions the
+    * space; neighbors are sought within a point's cluster only), so the
+    * pair join is O(Σc²) with c bounded by the SemDeDup sizing rule
+    * instead of the brute-force fixture's O(N²) — same propagation
+    * engine, same oracle discipline (Lloyd replay + unrolled iterations).
+    */
+  def clusterLabelPropQ(s: SparkSession, dir: String): DataFrame = {
+    import graft.ops.{KMeans, LabelProp, TopKPerGroup}
+    val k = 5
+    val iters = 3
+    val emb = Tables.embeddings(s, dir)
+    val asg = KMeans.assigned(emb, "vec_id", "embedding", k = 8, iters = 2)
+    val a = asg.select(col("vec_id").as("nid"), col("cluster").as("ca"),
+      col("q").as("qa"))
+    val b = asg.select(col("vec_id").as("qid"), col("cluster").as("cb"),
+      col("q").as("qb"))
+    val pairs = a.join(b, col("ca") === col("cb") && col("nid") =!= col("qid"))
+      .select(col("qid"), col("nid"),
+        org.apache.spark.sql.GraftBridge.column(graft.expr.SqDistLong(
+          org.apache.spark.sql.GraftBridge.expression(col("qa")),
+          org.apache.spark.sql.GraftBridge.expression(col("qb"))))
+          .as("dist"))
+    val knn = TopKPerGroup(pairs, Seq("qid"), "dist", k, Seq("nid"),
+      ascending = true)
+    val edges = knn.select(col("nid").as("src"), col("qid").as("dst"))
+    val nodes = emb.select(col("vec_id").as("v"),
+      when(col("vec_id") % 10 === 0, col("label")).as("seed_lbl"))
+    LabelProp.propagate(nodes, edges, iters)
+      .join(nodes, "v")
+      .join(emb.select(col("vec_id").as("v"), col("label").as("label_true")),
+        "v")
+      .select(col("v"),
+        when(col("seed_lbl").isNotNull, 1L).otherwise(0L).as("is_seed"),
+        col("label_true"), col("lbl").as("label_prop"),
+        when(col("lbl") === col("label_true"), 1L).otherwise(0L)
+          .as("correct"))
+  }
+
+  /** Report card for the DIRECTED customer→supplier fulfillment graph
+    * (bipartite, so every supplier is dangling and reciprocity is 0 —
+    * the profile that tells you PageRank's leak set up front).
+    */
+  def reportQ(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.orders(s, dir)
+      .join(Tables.lineitem(s, dir),
+        col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey").as("src"), col("l_suppkey").as("dst"))
+    graft.ops.Graphs.report(e, "src", "dst")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "gr_pagerank" -> (pagerankQ _),
     "gr_ppr" -> (pprQ _),
     "gr_pagerank_w" -> (pagerankWeightedQ _),
     "gr_pagerank_resume" -> (pagerankResumeQ _),
     "gr_knn_labelprop" -> (knnLabelPropQ _),
+    "gr_cluster_labelprop" -> (clusterLabelPropQ _),
+    "gr_report" -> (reportQ _),
   )
 
   def oracle: Map[String, String] = Map(
@@ -133,6 +186,49 @@ object GraphPack {
     // the resume query must be indistinguishable from the straight run
     "gr_pagerank_resume" -> GraphOracle.pageRank(GraphOracle.CoPurchaseEdges,
       iters = 5),
+    "gr_cluster_labelprop" -> GraphOracle.labelProp(
+      prelude = graft.ops.KMeans.oracleChain("embeddings", "vec_id",
+          "embedding", 8, 2).stripPrefix("WITH ") +
+        """,
+          |exd AS (SELECT b.vec_id qid, a.vec_id nid,
+          |    sum((pa.qv - pb.qv)*(pa.qv - pb.qv))::BIGINT dd
+          |  FROM afin a JOIN afin b ON a.c = b.c AND a.vec_id != b.vec_id
+          |  JOIN pts pa ON pa.vec_id = a.vec_id
+          |  JOIN pts pb ON pb.vec_id = b.vec_id AND pb.pos = pa.pos
+          |  GROUP BY 1, 2)""".stripMargin,
+      nodesSql =
+        """SELECT vec_id v,
+          |  CASE WHEN vec_id % 10 = 0 THEN label END seed_lbl
+          |FROM embeddings""".stripMargin,
+      edgesSql =
+        """SELECT nid src, qid dst FROM (
+          |  SELECT qid, nid, row_number() OVER (PARTITION BY qid
+          |    ORDER BY dd, nid) r FROM exd) WHERE r <= 5""".stripMargin,
+      iters = 3,
+      finalSql = last =>
+        s"""SELECT l.v,
+           |  (CASE WHEN n.seed_lbl IS NOT NULL THEN 1 ELSE 0 END)::BIGINT is_seed,
+           |  em.label label_true, l.lbl label_prop,
+           |  (CASE WHEN l.lbl = em.label THEN 1 ELSE 0 END)::BIGINT correct
+           |FROM $last l JOIN nodes n ON n.v = l.v
+           |  JOIN embeddings em ON em.vec_id = l.v""".stripMargin),
+    "gr_report" ->
+      """WITH e AS (SELECT DISTINCT o_custkey src, l_suppkey dst
+        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |  WHERE o_custkey IS NOT NULL AND l_suppkey IS NOT NULL),
+        |od AS (SELECT src, count(*)::BIGINT od FROM e GROUP BY 1),
+        |ind AS (SELECT dst, count(*)::BIGINT id FROM e GROUP BY 1),
+        |nodes AS (SELECT src v FROM e UNION SELECT dst FROM e)
+        |SELECT
+        |  (SELECT count(*) FROM nodes)::BIGINT n_nodes,
+        |  (SELECT count(*) FROM e)::BIGINT n_edges,
+        |  (SELECT count(*) FROM nodes n WHERE NOT EXISTS
+        |    (SELECT 1 FROM od WHERE od.src = n.v))::BIGINT n_dangling,
+        |  (SELECT max(od) FROM od)::BIGINT max_out_deg,
+        |  (SELECT max(id) FROM ind)::BIGINT max_in_deg,
+        |  (SELECT count(*) FROM e a JOIN e b
+        |    ON a.src = b.dst AND a.dst = b.src)::BIGINT n_reciprocal
+        |""".stripMargin,
     "gr_knn_labelprop" -> GraphOracle.labelProp(
       prelude =
         """fpts AS (SELECT vec_id, generate_subscripts(qv, 1) pos,
