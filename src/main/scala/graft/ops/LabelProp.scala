@@ -34,10 +34,12 @@ object LabelProp {
     */
   def propagate(nodes: DataFrame, edges: DataFrame, iters: Int): DataFrame = {
     require(iters >= 1 && iters <= 64, s"iters out of range: $iters")
+    // cached pre-partitioned on src, the every-iteration join key (see
+    // PageRank.eDeg); lifetime caller-owned, the KMeans convention
     val e = edges.select(col("src").cast("long").as("src"),
         col("dst").cast("long").as("dst"))
       .where(col("src").isNotNull && col("dst").isNotNull)
-      .distinct().persist() // lifetime caller-owned, the KMeans convention
+      .distinct().repartition(col("src")).persist()
     val n0 = nodes.select(col("v").cast("long").as("v"),
       col("seed_lbl").cast("int").as("seed_lbl"))
     var cur = n0.withColumn("lbl", col("seed_lbl"))

@@ -93,7 +93,11 @@ object PageRank {
     // node's out-mass splits proportionally, (r·w) div Σ_out w — with the
     // unweighted case as the exact special case w = 1 (then Σ_out w is the
     // out-degree and the contribution reduces to r div deg).
-    val e = weightCol match {
+    // The normalized edge set is cached: its lineage (often a join- or
+    // window-built projection) would otherwise re-run for each of its
+    // four consumers below (out-weights, the cached eDeg, and both node
+    // scans). Lifetime caller-owned, the KMeans convention.
+    val e = (weightCol match {
       case None =>
         edges.select(Q(srcCol).cast("long").as("src"),
             Q(dstCol).cast("long").as("dst"))
@@ -105,10 +109,16 @@ object PageRank {
           .where(col("src").isNotNull && col("dst").isNotNull &&
             col("w") > 0)
           .groupBy("src", "dst").agg(sum(col("w")).as("w"))
-    }
+    }).persist()
     val outW = e.groupBy("src").agg(sum(col("w")).as("sw"))
-    // one pre-joined (src, dst, w, sw) relation reused every iteration
-    val eDeg = e.join(outW, "src").persist()
+    // One pre-joined (src, dst, w, sw) relation reused every iteration,
+    // cached ALREADY HASH-PARTITIONED on src: the per-iteration join key.
+    // The cached partitioning survives in InMemoryTableScan's
+    // outputPartitioning, and the rank state arrives partitioned on v
+    // (it is the output of the previous iteration's v-keyed join), so
+    // iterations pay exactly ONE exchange — the (dst, Long) contribution
+    // groupBy — never a re-shuffle of the edge relation.
+    val eDeg = e.join(outW, "src").repartition(col("src")).persist()
     val nodes0 = e.select(col("src").as("v"))
       .union(e.select(col("dst").as("v"))).distinct()
     // teleport mass: everywhere 1 for plain PageRank, seed-indicator for
@@ -121,7 +131,7 @@ object PageRank {
         nodes0.join(broadcast(s0), nodes0("v") === col("sv"), "left")
           .select(col("v"),
             when(col("sv").isNotNull, 1L).otherwise(0L).as("tp"))
-    }).persist()
+    }).repartition(col("v")).persist()
 
     val r0 = init match {
       case None => nodes.select(col("v"), col("tp"), (col("tp") * fp).as("r"))
