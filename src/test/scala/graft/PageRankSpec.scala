@@ -117,6 +117,43 @@ class PageRankSpec extends AnyFunSuite {
     assert(resumed == full)
   }
 
+  test("scale shape: marginal cost per iteration is a bounded stage count") {
+    // Plan-text Exchange counting lies here (InMemoryTableScan reprints
+    // its cached subplan at every reference), so measure the runtime
+    // truth: stages actually submitted. The design claim is one
+    // contribution shuffle (+ its read side) per iteration over the
+    // CACHED edge relation; if an iteration re-shuffled eDeg or nodes,
+    // the marginal stages per round would jump by the edge-build depth.
+    def stagesFor(iters: Int): Int = {
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
+      spark.catalog.clearCache()
+      val n = new java.util.concurrent.atomic.AtomicInteger
+      val l = new org.apache.spark.scheduler.SparkListener {
+        override def onStageSubmitted(
+            s: org.apache.spark.scheduler.SparkListenerStageSubmitted): Unit =
+          n.incrementAndGet()
+      }
+      spark.sparkContext.addSparkListener(l)
+      try {
+        PageRank.ranks(edges.toDF("src", "dst"), "src", "dst", iters).count()
+        // listenerBus is package-private; the reflective drain is the
+        // ScaleCheck pattern
+        val sc = spark.sparkContext
+        val bus = sc.getClass.getMethod("listenerBus").invoke(sc)
+        bus.getClass.getMethods
+          .find(m => m.getName == "waitUntilEmpty" && m.getParameterCount == 0)
+          .foreach(_.invoke(bus))
+        n.get()
+      } finally spark.sparkContext.removeSparkListener(l)
+    }
+    val s2 = stagesFor(2)
+    val s6 = stagesFor(6)
+    val perIter = (s6 - s2) / 4.0
+    assert(perIter <= 3.0,
+      s"marginal $perIter stages/iteration (s2=$s2, s6=$s6) — an " +
+        "iteration is re-shuffling a cached relation")
+  }
+
   test("contract: overflow bound and parameter validation fail fast") {
     val df = edges.toDF("src", "dst")
     intercept[IllegalArgumentException] {
