@@ -86,18 +86,24 @@ object RetrievalOracle {
     * ranking under evaluation is the exact quantized-L2 top-k (the
     * deterministic semantic leg).
     */
-  def labelEval(nq: Int, k: Int, quantShift: Int = 6): String = {
+  def labelEval(nq: Int, k: Int, quantShift: Int = 6): String =
+    raw"""WITH ${quantBrute(nq, quantShift)},
+         rb AS (SELECT qid, nid id, r FROM (
+           SELECT qid, nid, row_number() OVER (PARTITION BY qid
+             ORDER BY dd, nid) r FROM exd) WHERE r <= $k)
+         ${labelMetricsSql("rb", k)}"""
+
+  /** The metric CTEs + final SELECT shared by every label-eval oracle:
+    * `rankRel` must expose (qid, id, r) already bounded to the top k.
+    */
+  private def labelMetricsSql(rankRel: String, k: Int): String = {
     val fp = 1L << 20
     val fp2 = 1L << 40
-    raw"""WITH ${quantBrute(nq, quantShift)},
-         rk AS (SELECT qid, nid, row_number() OVER (PARTITION BY qid
-             ORDER BY dd, nid) r FROM exd),
-         lab AS (SELECT vec_id, label FROM embeddings),
-         rl AS (SELECT rk.qid, rk.r,
+    raw""",lab AS (SELECT vec_id, label FROM embeddings),
+         rl AS (SELECT t.qid, t.r,
              CASE WHEN ln.label = lq.label THEN 1 ELSE 0 END rel
-           FROM rk JOIN lab ln ON ln.vec_id = rk.nid
-             JOIN lab lq ON lq.vec_id = rk.qid
-           WHERE rk.r <= $k),
+           FROM $rankRel t JOIN lab ln ON ln.vec_id = t.id
+             JOIN lab lq ON lq.vec_id = t.qid),
          agg AS (SELECT qid,
              coalesce($fp // min(CASE WHEN rel = 1 THEN r END), 0)::BIGINT mrr_fp,
              coalesce(sum(CASE WHEN rel = 1
@@ -106,7 +112,8 @@ object RetrievalOracle {
          cnt AS (SELECT lq.vec_id qid, count(*)::BIGINT c
            FROM lab lq JOIN lab ln
              ON ln.label = lq.label AND ln.vec_id != lq.vec_id
-           WHERE lq.vec_id < $nq GROUP BY 1),
+           WHERE lq.vec_id IN (SELECT DISTINCT qid FROM $rankRel)
+           GROUP BY 1),
          ideal AS (SELECT qid,
              sum($fp2 // ${ModelOracle.log2fp("(i + 1)")})::BIGINT idcg_fp
            FROM (SELECT qid, unnest(range(1, least(c, $k) + 1)) i FROM cnt)
@@ -124,9 +131,17 @@ object RetrievalOracle {
     * (rrf_fp DESC, id DESC) — ops/Rrf.scala's exact algebra.
     */
   def hybridRrf(nq: Int, k: Int, k0: Int = 60, fpShift: Int = 20,
-                quantShift: Int = 6): String = {
+                quantShift: Int = 6): String =
+    raw"""${hybridCore(nq, k, k0, fpShift, quantShift)}
+         SELECT qid, r AS "rank", id, rrf_fp FROM hr WHERE r <= $k"""
+
+  /** The hybrid chain through CTE `hr` (qid, id, rrf_fp, r — the fused
+    * ranking, unbounded); [[hybridRrf]]/[[hybridEval]] append their own
+    * final SELECT.
+    */
+  private def hybridCore(nq: Int, k: Int, k0: Int, fpShift: Int,
+                         quantShift: Int): String = {
     val fp = 1L << fpShift
-    val scale = 1L << quantShift
     raw"""WITH $corpus,
          q AS (SELECT doc_id AS qid, ts FROM n WHERE doc_id < $nq),
          qt AS (SELECT DISTINCT qid, ${h("t")} h
@@ -140,11 +155,16 @@ object RetrievalOracle {
          allr AS (SELECT qid, id, $fp // ($k0 + r) c FROM lexr WHERE r <= $k
            UNION ALL
            SELECT qid, id, $fp // ($k0 + r) c FROM semr WHERE r <= $k),
-         f AS (SELECT qid, id, sum(c)::BIGINT rrf_fp FROM allr GROUP BY 1, 2)
-         SELECT qid, "rank", id, rrf_fp FROM (
-           SELECT qid, id, rrf_fp, row_number() OVER (PARTITION BY qid
-               ORDER BY rrf_fp DESC, id DESC) "rank"
-           FROM f) z
-         WHERE "rank" <= $k"""
+         f AS (SELECT qid, id, sum(c)::BIGINT rrf_fp FROM allr GROUP BY 1, 2),
+         hr AS (SELECT qid, id, rrf_fp, row_number() OVER (PARTITION BY qid
+             ORDER BY rrf_fp DESC, id DESC) r
+           FROM f)"""
   }
+
+  /** [[labelEval]]'s metrics over the fused hybrid ranking. */
+  def hybridEval(nq: Int, k: Int, k0: Int = 60, fpShift: Int = 20,
+                 quantShift: Int = 6): String =
+    raw"""${hybridCore(nq, k, k0, fpShift, quantShift)},
+         rb AS (SELECT qid, id, r FROM hr WHERE r <= $k)
+         ${labelMetricsSql("rb", k)}"""
 }

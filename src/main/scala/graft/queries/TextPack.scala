@@ -1052,8 +1052,6 @@ object TextPack {
     import graft.ops.{Pq, TopKPerGroup}
     val k = 10
     val nq = 8
-    val fp = 1L << 20
-    val fp2 = 1L << 40
     val emb = Tables.embeddings(s, dir)
     val qz = Pq.quantized(emb, "vec_id", "embedding")
     val pairs = qz.crossJoin(
@@ -1067,36 +1065,20 @@ object TextPack {
           .as("dist"))
     val ranked = TopKPerGroup(pairs, Seq("qid"), "dist", k, Seq("nid"),
       ascending = true)
-    val lab = emb.select(col("vec_id"), col("label"))
-    val rl = ranked
-      .join(lab.select(col("vec_id").as("nid"), col("label")), "nid")
-      .join(broadcast(lab.filter(col("vec_id") < nq)
-        .select(col("vec_id").as("qid"), col("label").as("qlabel"))), "qid")
-      .withColumn("rel",
-        when(col("label") === col("qlabel"), 1L).otherwise(0L))
-    val agg = rl
-      .withColumn("disc", ModelFilter.log2fp(col("rank") + 1))
-      .groupBy("qid").agg(
-        coalesce(expr(s"${fp}L div min(CASE WHEN rel = 1 THEN rank END)"),
-          lit(0L)).as("mrr_fp"),
-        coalesce(sum(when(col("rel") === 1, expr(s"${fp2}L div disc"))),
-          lit(0L)).as("dcg_fp"))
-    // ideal DCG: per-label relevant count (minus self), discount series
-    // exploded over <= k rows per query — nq rows total, negligible.
-    val cnt = lab.filter(col("vec_id") < nq)
-      .select(col("vec_id").as("qid"), col("label"))
-      .join(lab.groupBy("label").agg(count(lit(1)).as("n")), "label")
-      .select(col("qid"), (col("n") - 1).as("c"))
-    val ideal = cnt
-      .select(col("qid"),
-        explode(sequence(lit(1L), least(col("c"), lit(k.toLong)))).as("i"))
-      .withColumn("disc", ModelFilter.log2fp(col("i") + 1))
-      .select(col("qid"), expr(s"${fp2}L div disc").as("d"))
-      .groupBy("qid").agg(sum(col("d")).as("idcg_fp"))
-    agg.join(ideal, "qid")
-      .select(col("qid"), col("mrr_fp"), col("dcg_fp"), col("idcg_fp"),
-        expr("(10000 * dcg_fp) div idcg_fp").as("ndcg_bp"))
+    graft.ops.RankEval.labelMetrics(
+      ranked.select(col("qid"), col("nid").as("id"), col("rank")),
+      emb.select(col("vec_id"), col("label")), k)
   }
+
+  /** The same metrics over the HYBRID ranking (rt_hybrid_rrf): the
+    * evaluation harness applies to any (qid, id, rank) relation, so
+    * fusion quality is measured under the identical oracle discipline as
+    * the single legs.
+    */
+  def hybridEvalQ(s: SparkSession, dir: String): DataFrame =
+    graft.ops.RankEval.labelMetrics(
+      hybridRrfQ(s, dir).select(col("qid"), col("id"), col("rank")),
+      Tables.embeddings(s, dir).select(col("vec_id"), col("label")), k = 10)
 
   /** Real BPE: train 200 merges on the corpus (distributed word count →
     * driver merge loop), encode scan-side, emit the exact reconstruction.
@@ -1181,6 +1163,7 @@ object TextPack {
     "rt_bm25_inc" -> bm25IncQ _,
     "rt_hybrid_rrf" -> hybridRrfQ _,
     "rt_eval_labels" -> retrievalEvalQ _,
+    "rt_eval_hybrid" -> hybridEvalQ _,
     "ann_pq" -> annPq _,
     "ann_pq_persisted" -> annPqPersisted _,
     "ann_ivfpq" -> annIvfPq _,
@@ -1811,6 +1794,7 @@ object TextPack {
     "rt_bm25_inc" -> RetrievalOracle.bm25(Bm25Queries, k = 10),
     "rt_hybrid_rrf" -> RetrievalOracle.hybridRrf(nq = 3, k = 10),
     "rt_eval_labels" -> RetrievalOracle.labelEval(nq = 8, k = 10),
+    "rt_eval_hybrid" -> RetrievalOracle.hybridEval(nq = 3, k = 10),
     "ann_pq" -> OracleGen.annPq(dim = 64, m = 8, ksub = 16, iters = 2, k = 10),
     // the persisted-store path must be indistinguishable - same oracle
     "ann_pq_persisted" ->
