@@ -105,9 +105,17 @@ object ScaleCheck {
       "pl_curation_e2e" -> ((s: SparkSession, dir: String, mult: Int) =>
         SemDeDup.curate(Tables.embeddings(s, dir), "vec_id", "embedding",
           k = 8 * mult, iters = 3, tauSq = 6500L,
-          keepNum = 3, keepDen = 4, n = 5)))
+          keepNum = 3, keepDen = 4, n = 5)),
+      // label propagation over cluster-bucketed kNN edges: same k-with-N
+      // sizing as dd_semantic, so the slope measures the kNN pair join +
+      // the per-iteration (dst, label) aggregations, not the designed
+      // O(Σc²) growth a fixed cluster count would add.
+      "gr_cluster_labelprop" -> ((s: SparkSession, dir: String, mult: Int) =>
+        graft.queries.GraphPack.clusterLabelProp(s, dir,
+          kClusters = 8 * mult)))
   }
-  private val ScaledNames = Seq("dd_semantic", "dd_inc_semantic", "pl_curation_e2e")
+  private val ScaledNames = Seq("dd_semantic", "dd_inc_semantic",
+    "pl_curation_e2e", "gr_cluster_labelprop")
 
   private def runTarget(s: SparkSession, name: String, dir: String,
                         mult: Int): Long = {

@@ -1,0 +1,69 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.core.Cols.{q => Q}
+
+/** Deterministic random-walk corpus over a directed graph — the DeepWalk
+  * shape (Perozzi et al. 2014): short walks from seed nodes become the
+  * "sentences" a graph-embedding or co-occurrence model trains on. The
+  * repo's replayable-draw discipline replaces the RNG: at step t the walk
+  * moves to out-neighbor index
+  *
+  *   md5_60(walk_id ‖ '|' ‖ t) mod outdeg(v)
+  *
+  * with neighbors indexed by (src, dst-order row_number). Every draw is a
+  * pure function of (walk_id, t), so the whole corpus hash-gates under a
+  * DuckDB replay of the same md5 arithmetic — the sampling-op pattern of
+  * TrainingPipeline (pl_split/pl_shuffle) applied to graphs. Walks
+  * TERMINATE at dangling nodes (no out-edges): the emitted walk is
+  * simply shorter.
+  *
+  * 100 TB shape: the neighbor index (src, idx, dst, deg) is built once —
+  * one row_number window partitioned BY SRC (bounded by max out-degree,
+  * no global sort) — and cached partitioned on src, the every-step join
+  * key. Each step joins the |walks|-row frontier (tiny, broadcastable)
+  * against it with the draw-equality predicate fused into the same
+  * stage, so nothing beyond the surviving one-row-per-walk frontier is
+  * ever materialized or shuffled.
+  */
+object RandomWalks {
+
+  /** @param starts (v) seed nodes; walk_id = the seed node id.
+    * @return (walk_id, step, node), step 0..steps, dense until the walk
+    *   dies at a dangling node.
+    */
+  def walks(edges: DataFrame, srcCol: String, dstCol: String,
+            starts: DataFrame, steps: Int): DataFrame = {
+    require(steps >= 1 && steps <= 128, s"steps out of range: $steps")
+    val e = edges.select(Q(srcCol).cast("long").as("src"),
+        Q(dstCol).cast("long").as("dst"))
+      .where(col("src").isNotNull && col("dst").isNotNull)
+      .distinct()
+    val deg = e.groupBy("src").agg(count(lit(1)).as("deg"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("src").orderBy("dst")
+    // cached pre-partitioned on src, the every-step join key
+    val nbr = e.withColumn("idx", row_number().over(w).cast("long") - 1)
+      .join(deg, "src")
+      .repartition(col("src")).persist() // lifetime caller-owned
+    def draw(t: Int) =
+      conv(substring(md5(concat(col("walk_id").cast("string"),
+        lit(s"|$t"))), 1, 15), 16, 10).cast("long")
+    var frontier = starts.select(col("v").cast("long").as("walk_id"))
+      .where(col("walk_id").isNotNull).distinct()
+      .select(col("walk_id"), col("walk_id").as("node"))
+    var acc = frontier.select(col("walk_id"), lit(0L).as("step"),
+      col("node"))
+    for (t <- 1 to steps) {
+      frontier = frontier
+        .join(nbr, frontier("node") === nbr("src"))
+        .where(draw(t) % col("deg") === col("idx"))
+        .select(col("walk_id"), col("dst").as("node"))
+      acc = acc.unionByName(
+        frontier.select(col("walk_id"), lit(t.toLong).as("step"),
+          col("node")))
+    }
+    acc
+  }
+}

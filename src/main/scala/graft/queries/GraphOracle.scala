@@ -86,6 +86,40 @@ object GraphOracle {
        |${finalSql(s"l$iters")}""".stripMargin
   }
 
+  /** Deterministic random walks (ops/RandomWalks.scala): one CTE per
+    * step, each moving every live walk to out-neighbor index
+    * md5_60(walk_id ‖ '|' ‖ t) mod outdeg — the identical md5 arithmetic
+    * Spark computes via conv(substring(md5(...),1,15),16,10).
+    *
+    * @param startsPred SQL predicate over node id `v` selecting seeds
+    */
+  def randomWalks(edgesSql: String, startsPred: String,
+                  steps: Int): String = {
+    def h(t: Int): String =
+      s"('0x'||substr(md5(CAST(p.walk_id AS VARCHAR)||'|$t'),1,15))::BIGINT"
+    val stepCtes = (1 to steps).map { t =>
+      s"""w$t AS (SELECT p.walk_id, n.dst node
+         |  FROM w${t - 1} p JOIN nbr n ON n.src = p.node
+         |    AND n.idx = ${h(t)} % n.deg)""".stripMargin
+    }.mkString(",\n")
+    val unions = (0 to steps)
+      .map(t => s"SELECT walk_id, $t::BIGINT step, node FROM w$t")
+      .mkString("\nUNION ALL\n")
+    s"""WITH e0 AS ($edgesSql),
+       |e AS (SELECT DISTINCT src, dst FROM e0
+       |  WHERE src IS NOT NULL AND dst IS NOT NULL),
+       |deg AS (SELECT src, count(*)::BIGINT deg FROM e GROUP BY 1),
+       |nbr AS (SELECT e.src, e.dst,
+       |    row_number() OVER (PARTITION BY e.src ORDER BY e.dst) - 1 idx,
+       |    d.deg
+       |  FROM e JOIN deg d ON d.src = e.src),
+       |w0 AS (SELECT v walk_id, v node FROM
+       |  (SELECT DISTINCT src v FROM e UNION SELECT dst FROM e)
+       |  WHERE $startsPred),
+       |$stepCtes
+       |$unions""".stripMargin
+  }
+
   /** The co-purchase item graph both gr_ queries run on: symmetric
     * co-occurrence — two distinct parts in the same order are linked both
     * ways. Pure set semantics (no row order anywhere), because the

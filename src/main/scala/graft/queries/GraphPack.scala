@@ -121,12 +121,21 @@ object GraphPack {
     * instead of the brute-force fixture's O(N²) — same propagation
     * engine, same oracle discipline (Lloyd replay + unrolled iterations).
     */
-  def clusterLabelPropQ(s: SparkSession, dir: String): DataFrame = {
+  def clusterLabelPropQ(s: SparkSession, dir: String): DataFrame =
+    clusterLabelProp(s, dir, kClusters = 8)
+
+  /** Parameterized form: ScaleCheck scales kClusters with N (the
+    * SemDeDup sizing rule) so the measured slope is engine cost, not the
+    * designed O(Σc²) growth under a fixed cluster count.
+    */
+  def clusterLabelProp(s: SparkSession, dir: String,
+                       kClusters: Int): DataFrame = {
     import graft.ops.{KMeans, LabelProp, TopKPerGroup}
     val k = 5
     val iters = 3
     val emb = Tables.embeddings(s, dir)
-    val asg = KMeans.assigned(emb, "vec_id", "embedding", k = 8, iters = 2)
+    val asg = KMeans.assigned(emb, "vec_id", "embedding", k = kClusters,
+      iters = 2)
     val a = asg.select(col("vec_id").as("nid"), col("cluster").as("ca"),
       col("q").as("qa"))
     val b = asg.select(col("vec_id").as("qid"), col("cluster").as("cb"),
@@ -153,6 +162,18 @@ object GraphPack {
           .as("correct"))
   }
 
+  /** Walk corpus from every ~1-in-97 node over the co-purchase graph:
+    * 8-step deterministic walks, the DeepWalk "sentences" a graph
+    * embedding trains on.
+    */
+  def walksQ(s: SparkSession, dir: String): DataFrame = {
+    val e = coPurchaseEdges(s, dir)
+    val starts = e.select(col("src").as("v"))
+      .union(e.select(col("dst").as("v"))).distinct()
+      .where(col("v") % 97 === 0)
+    graft.ops.RandomWalks.walks(e, "src", "dst", starts, steps = 8)
+  }
+
   /** Report card for the DIRECTED customer→supplier fulfillment graph
     * (bipartite, so every supplier is dangling and reciprocity is 0 —
     * the profile that tells you PageRank's leak set up front).
@@ -173,6 +194,7 @@ object GraphPack {
     "gr_knn_labelprop" -> (knnLabelPropQ _),
     "gr_cluster_labelprop" -> (clusterLabelPropQ _),
     "gr_report" -> (reportQ _),
+    "gr_walks" -> (walksQ _),
   )
 
   def oracle: Map[String, String] = Map(
@@ -212,6 +234,8 @@ object GraphPack {
            |  (CASE WHEN l.lbl = em.label THEN 1 ELSE 0 END)::BIGINT correct
            |FROM $last l JOIN nodes n ON n.v = l.v
            |  JOIN embeddings em ON em.vec_id = l.v""".stripMargin),
+    "gr_walks" -> GraphOracle.randomWalks(GraphOracle.CoPurchaseEdges,
+      startsPred = "v % 97 = 0", steps = 8),
     "gr_report" ->
       """WITH e AS (SELECT DISTINCT o_custkey src, l_suppkey dst
         |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey

@@ -1,0 +1,69 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.expr.Md5Hash60
+import graft.ops.RandomWalks
+import TestSpark.spark
+
+/** Deterministic random walks. The driver's oracle (gr_walks) pins
+  * Spark↔DuckDB; this spec is the plain-collections third replication
+  * plus the termination and determinism laws.
+  */
+class RandomWalksSpec extends AnyFunSuite {
+  import spark.implicits._
+
+  private def ref(edges: Seq[(Long, Long)], starts: Seq[Long],
+                  steps: Int): Seq[(Long, Long, Long)] = {
+    val nbr = edges.distinct.groupBy(_._1).view
+      .mapValues(_.map(_._2).sorted.toIndexedSeq).toMap
+    starts.distinct.sorted.flatMap { w =>
+      var node = w
+      var alive = true
+      (w, 0L, node) +: (1 to steps).flatMap { t =>
+        if (!alive) None
+        else nbr.get(node) match {
+          case None => alive = false; None
+          case Some(ns) =>
+            val h = Md5Hash60.of(s"$w|$t".getBytes("UTF-8"))
+            node = ns((h % ns.size).toInt)
+            Some((w, t.toLong, node))
+        }
+      }
+    }
+  }
+
+  // a cycle, a branch, and a dangling sink (4)
+  private val edges = Seq(
+    (1L, 2L), (2L, 3L), (3L, 1L), (2L, 4L), (3L, 5L), (5L, 1L),
+    (1L, 3L), (1L, 2L)) // duplicate edge collapses
+
+  private def run(starts: Seq[Long], steps: Int) =
+    RandomWalks.walks(edges.toDF("src", "dst"), "src", "dst",
+        starts.toDF("v"), steps)
+      .as[(Long, Long, Long)].collect().toSeq.sorted
+
+  test("walks replay the plain-collections md5-draw model") {
+    for (steps <- Seq(1, 6)) {
+      assert(run(Seq(1L, 2L, 4L), steps) ==
+        ref(edges, Seq(1L, 2L, 4L), steps).sorted, s"steps=$steps")
+    }
+  }
+
+  test("laws: dangling termination, per-walk independence, idempotence") {
+    val out = run(Seq(1L, 2L, 4L), 6)
+    // a walk starting AT the dangling node emits only step 0
+    assert(out.filter(_._1 == 4L) == Seq((4L, 0L, 4L)))
+    // walks are pure functions of (walk_id, t): re-running is identical
+    assert(out == run(Seq(1L, 2L, 4L), 6))
+    // and dropping a start does not perturb the others' draws
+    val solo = run(Seq(1L), 6)
+    assert(out.filter(_._1 == 1L) == solo)
+  }
+
+  test("contract: step bound validated") {
+    intercept[IllegalArgumentException] {
+      RandomWalks.walks(edges.toDF("src", "dst"), "src", "dst",
+        Seq(1L).toDF("v"), 0)
+    }
+  }
+}
