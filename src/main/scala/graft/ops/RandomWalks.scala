@@ -56,10 +56,15 @@ object RandomWalks {
     var acc = frontier.select(col("walk_id"), lit(0L).as("step"),
       col("node"))
     for (t <- 1 to steps) {
+      // Each step's frontier is CACHED (|walks| rows): the output unions
+      // every step's state, so without this the union branch for step t
+      // and the lineage of every later step would each recompute the
+      // whole prefix chain — O(steps²) joins instead of O(steps).
       frontier = frontier
         .join(nbr, frontier("node") === nbr("src"))
         .where(draw(t) % col("deg") === col("idx"))
         .select(col("walk_id"), col("dst").as("node"))
+        .persist()
       acc = acc.unionByName(
         frontier.select(col("walk_id"), lit(t.toLong).as("step"),
           col("node")))
