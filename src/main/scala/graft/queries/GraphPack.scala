@@ -167,7 +167,9 @@ object GraphPack {
     * embedding trains on.
     */
   def walksQ(s: SparkSession, dir: String): DataFrame = {
-    val e = coPurchaseEdges(s, dir)
+    // cache the order self-join: it feeds the seed derivation (twice)
+    // and the walk operator's own edge normalization
+    val e = coPurchaseEdges(s, dir).persist()
     val starts = e.select(col("src").as("v"))
       .union(e.select(col("dst").as("v"))).distinct()
       .where(col("v") % 97 === 0)
