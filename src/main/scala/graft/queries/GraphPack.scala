@@ -204,6 +204,10 @@ object GraphPack {
     graft.ops.Graphs.report(e, "src", "dst")
   }
 
+  /** Triangle census of the co-purchase graph (undirected support). */
+  def trianglesQ(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Graphs.triangleStats(edgeStore(s, dir), "src", "dst")
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "gr_pagerank" -> (pagerankQ _),
     "gr_ppr" -> (pprQ _),
@@ -213,6 +217,7 @@ object GraphPack {
     "gr_cluster_labelprop" -> (clusterLabelPropQ _),
     "gr_report" -> (reportQ _),
     "gr_walks" -> (walksQ _),
+    "gr_triangles" -> (trianglesQ _),
   )
 
   def oracle: Map[String, String] = Map(
@@ -254,6 +259,21 @@ object GraphPack {
            |  JOIN embeddings em ON em.vec_id = l.v""".stripMargin),
     "gr_walks" -> GraphOracle.randomWalks(GraphOracle.CoPurchaseEdges,
       startsPred = "v % 97 = 0", steps = 8),
+    // id-ordered orientation here; the operator uses the degree-ordered
+    // one — the triangle count is orientation-invariant.
+    "gr_triangles" ->
+      s"""WITH e0 AS (${GraphOracle.CoPurchaseEdges}),
+         |u AS (SELECT DISTINCT least(src, dst) a, greatest(src, dst) b
+         |  FROM e0 WHERE src != dst),
+         |deg AS (SELECT v, count(*)::BIGINT d FROM
+         |  (SELECT a v FROM u UNION ALL SELECT b FROM u) GROUP BY 1),
+         |wed AS (SELECT sum((d * (d - 1)) // 2)::BIGINT w FROM deg),
+         |tri AS (SELECT count(*)::BIGINT t
+         |  FROM u e1 JOIN u e2 ON e2.a = e1.b
+         |    JOIN u e3 ON e3.a = e1.a AND e3.b = e2.b)
+         |SELECT t n_triangles, w n_wedges,
+         |  (CASE WHEN w > 0 THEN (30000 * t) // w ELSE 0 END)::BIGINT global_cc_bp
+         |FROM tri, wed""".stripMargin,
     "gr_report" ->
       """WITH e AS (SELECT DISTINCT o_custkey src, l_suppkey dst
         |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
