@@ -49,7 +49,7 @@ object ScaleCheck {
     "pl_dedup_corpus", "q_salted_join", "q5_local_supplier",
     "op_csvexport_zip", "op_sort_order", "tx_keywords", "op_type_fuzz",
     "dd_line_dedup", "pl_kmeans", "pl_nb_lang", "pl_lm_backoff", "rt_bm25",
-    "rt_hybrid_rrf", "gr_pagerank")
+    "rt_hybrid_rrf", "gr_pagerank", "gr_walks", "gr_triangles")
   // pl_kmeans: fixed k over 10x rows must scale linearly (one assignment
   // scan + one bounded partial-agg shuffle per iteration).
   // pl_nb_lang / pl_lm_backoff: the replicas' disjoint token spaces give a
@@ -68,7 +68,11 @@ object ScaleCheck {
   // replica-0 docs) and the fusion (O(|q|*k) rows) stay constant.
   // gr_pagerank: the key stride makes each replica a disjoint co-purchase
   // graph — 10x nodes and edges with identical degree structure, so all
-  // five (dst, Long) contribution shuffles must scale linearly. (The
+  // five (dst, Long) contribution shuffles must scale linearly.
+  // gr_walks / gr_triangles: same replica-disjoint graph; walks pay the
+  // neighbor-index build + 8 broadcast-frontier steps over 10x edges,
+  // triangles the degree-ordered two-hop join — the shape whose failure
+  // mode (hub-anchored wedge blowup) the orientation exists to prevent. (The
   // labelprop twin runs the same iteration engine; its gated query builds
   // edges by DELIBERATE brute-force O(N^2) kNN for oracle replay, so a
   // slope row would measure the fixture, not the engine — the production

