@@ -60,8 +60,12 @@ object RandomWalks {
       // every step's state, so without this the union branch for step t
       // and the lineage of every later step would each recompute the
       // whole prefix chain — O(steps²) joins instead of O(steps).
-      frontier = frontier
-        .join(nbr, frontier("node") === nbr("src"))
+      // The frontier BROADCASTS (|walks| rows — walk batches are sized by
+      // the caller); without the explicit hint the planner sort-merge
+      // joins, re-sorting the full cached neighbor table every step.
+      val f = broadcast(frontier)
+      frontier = f
+        .join(nbr, f("node") === nbr("src"))
         .where(draw(t) % col("deg") === col("idx"))
         .select(col("walk_id"), col("dst").as("node"))
         .persist()
