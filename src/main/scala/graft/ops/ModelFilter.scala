@@ -205,11 +205,17 @@ object ModelFilter {
 
     // Ending-position-aligned padded arrays: elem p of b_end is the bigram
     // ENDING at token p (null for p=0), etc. arrays_zip + one posexplode →
-    // the exploded rows carry 5 longs, not 5 whole arrays.
+    // the exploded rows carry 5 longs, not 5 whole arrays. posexplode is
+    // deliberately NON-outer: an empty token array must contribute zero
+    // position rows (outer would emit one all-null row that miscounts as
+    // n_tokens=1/n_oov=1); zero-token docs are re-attached by the left
+    // join from `scoredDocs` below, mirroring the oracle's
+    // `FROM sc LEFT JOIN agg`.
+    val scoredDocs = base.filter(!col("is_train")).select(col("id"))
     val nullL = lit(null).cast("long")
     val m = size(col("u"))
     val score = base.filter(!col("is_train"))
-      .select(col("id"), posexplode_outer(arrays_zip(
+      .select(col("id"), posexplode(arrays_zip(
         col("u").as("h1"),
         slice(concat(array(nullL), col("b")), lit(1), m).as("h2"),
         slice(concat(array(nullL, nullL), col("t3")), lit(1), m).as("h3"),
@@ -245,16 +251,24 @@ object ModelFilter {
     val k = (maxOrd - lvl).cast("long")
     val sFp = log2fp(num) - log2fp(den) + k * lit(AlphaFp)
 
-    joined.withColumn("lvl", lvl)
+    val agg = joined.withColumn("lvl", lvl)
       .withColumn("s_fp", when(lvl > 0, sFp))
       .groupBy("id").agg(
-        count(lit(1)).as("n_tokens"),
-        count(when(col("lvl") === 0, 1)).as("n_oov"),
-        count(when(col("lvl") === 3, 1)).as("n_tri"),
-        count(when(col("lvl") === 2, 1)).as("n_bi"),
-        count(when(col("lvl") === 1, 1)).as("n_uni"),
-        coalesce(sum(col("s_fp")), lit(0L)).as("logscore_fp"))
-      .withColumnRenamed("id", idCol)
+        count(lit(1)).as("nt"),
+        count(when(col("lvl") === 0, 1)).as("oov"),
+        count(when(col("lvl") === 3, 1)).as("l3"),
+        count(when(col("lvl") === 2, 1)).as("l2"),
+        count(when(col("lvl") === 1, 1)).as("l1"),
+        coalesce(sum(col("s_fp")), lit(0L)).as("ls"))
+
+    scoredDocs.join(agg, Seq("id"), "left")
+      .select(col("id").as(idCol),
+        coalesce(col("nt"), lit(0L)).as("n_tokens"),
+        coalesce(col("oov"), lit(0L)).as("n_oov"),
+        coalesce(col("l3"), lit(0L)).as("n_tri"),
+        coalesce(col("l2"), lit(0L)).as("n_bi"),
+        coalesce(col("l1"), lit(0L)).as("n_uni"),
+        coalesce(col("ls"), lit(0L)).as("logscore_fp"))
   }
 
   /** DSIR-style importance log-weights (Xie et al. 2023): features are

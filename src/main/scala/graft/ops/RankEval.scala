@@ -52,7 +52,12 @@ object RankEval {
       .join(lab.select(col("lid").as("qid"), col("label")), "qid")
       .join(lab.groupBy("label").agg(count(lit(1)).as("n")), "label")
       .select(col("qid"), (col("n") - 1).as("c"))
-    val ideal = cnt
+    // c = 0 (a query whose label has no other member) must DROP the qid —
+    // the oracle's range(1, least(c,k)+1) is empty so its inner join
+    // discards it. Without the filter, Spark's sequence(1, 0) evaluates
+    // as the DESCENDING [1, 0] (default step -1) and fabricates an
+    // idcg_fp=2^20 row the oracle never emits.
+    val ideal = cnt.filter(col("c") >= 1)
       .select(col("qid"),
         explode(sequence(lit(1L), least(col("c"), lit(k.toLong)))).as("i"))
       .withColumn("disc", ModelFilter.log2fp(col("i") + 1))

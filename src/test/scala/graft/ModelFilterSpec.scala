@@ -223,4 +223,24 @@ class ModelFilterSpec extends AnyFunSuite {
       (Log2Fp.compute(1) - Log2Fp.compute(2))            // a b c: 1 / ctx ab=2
     assert(row.getAs[Long]("logscore_fp") == expected)
   }
+
+  test("stupidBackoff zero-token scored docs report 0/0, not 1/1") {
+    val s = spark
+    import s.implicits._
+    // A doc with empty text and one with null text must still appear in
+    // the output (the oracle's `FROM sc LEFT JOIN agg` keeps them) with
+    // every count zero — NOT as a phantom 1-token/1-OOV row (the
+    // posexplode_outer regression ADVICE r11 flagged).
+    val df = Seq((0L, "a b c a b d"), (1L, ""), (2L, null: String),
+      (3L, "a b")).toDF("doc_id", "text")
+    val r = ModelFilter.stupidBackoff(df, "doc_id", "text",
+      col("doc_id") === 0)
+      .collect().map(x => x.getAs[Long]("doc_id") ->
+        (x.getAs[Long]("n_tokens"), x.getAs[Long]("n_oov"),
+         x.getAs[Long]("logscore_fp"))).toMap
+    assert(r.keySet == Set(1L, 2L, 3L))
+    assert(r(1L) == ((0L, 0L, 0L)))
+    assert(r(2L) == ((0L, 0L, 0L)))
+    assert(r(3L)._1 == 2L)
+  }
 }
