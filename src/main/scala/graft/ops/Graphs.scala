@@ -11,10 +11,12 @@ import graft.core.Cols.{q => Q}
   * graph is — a co-occurrence projection reports 100%, a citation graph
   * near 0%). Exact integers only, so it hash-gates.
   *
-  * 100 TB shape: two grouped degree aggregations, one anti-join for
-  * dangling, one self-join on the (dst, src) key for reciprocity — all
-  * map-side combinable or key-partitioned; the final assembly crossJoins
-  * six single-row aggregates (the accepted 1-row pattern).
+  * 100 TB shape: ONE per-node degree aggregation (out- and in-degree in
+  * the same grouped pass — node count, edge count, dangling count, and
+  * both degree extrema all fold out of it in a single global agg) plus
+  * one self-join on the (dst, src) key for reciprocity; the final
+  * assembly crossJoins two single-row aggregates (the accepted 1-row
+  * pattern). Down from six separate passes (VERDICT r11 item 6).
   */
 object Graphs {
 
@@ -25,24 +27,31 @@ object Graphs {
     val e = edges.select(Q(srcCol).cast("long").as("src"),
         Q(dstCol).cast("long").as("dst"))
       .where(col("src").isNotNull && col("dst").isNotNull)
-      .distinct().persist() // lifetime caller-owned, the KMeans convention
-    val outD = e.groupBy("src").agg(count(lit(1)).as("od"))
-    val nodes = e.select(col("src").as("v"))
-      .union(e.select(col("dst").as("v"))).distinct()
-    val nNodes = nodes.agg(count(lit(1)).as("n_nodes"))
-    val nEdges = e.agg(count(lit(1)).as("n_edges"))
-    val nDangling = nodes
-      .join(outD, nodes("v") === outD("src"), "left_anti")
-      .agg(count(lit(1)).as("n_dangling"))
-    val maxOut = outD.agg(max(col("od")).as("max_out_deg"))
-    val maxIn = e.groupBy("dst").agg(count(lit(1)).as("id"))
-      .agg(max(col("id")).as("max_in_deg"))
+      .distinct().persist() // released at exit, result materialized first
+    // One grouped pass builds (v, out-degree, in-degree) for every node;
+    // then: n_nodes = count, n_edges = Σ od (each distinct edge counted
+    // exactly once at its src), n_dangling = count(od = 0), and the
+    // degree extrema are plain maxes (max od over ALL nodes equals the
+    // max over out-edge-having nodes whenever any edge exists — a node
+    // without out-edges contributes od = 0).
+    val degs = e.select(col("src").as("v"), lit(1L).as("o"), lit(0L).as("i"))
+      .unionAll(e.select(col("dst").as("v"), lit(0L).as("o"),
+        lit(1L).as("i")))
+      .groupBy("v").agg(sum(col("o")).as("od"), sum(col("i")).as("id"))
+    val summary = degs.agg(
+      count(lit(1)).as("n_nodes"),
+      coalesce(sum(col("od")), lit(0L)).as("n_edges"),
+      count(when(col("od") === 0, 1)).as("n_dangling"),
+      max(col("od")).as("max_out_deg"),
+      max(col("id")).as("max_in_deg"))
     val rev = e.select(col("dst").as("rsrc"), col("src").as("rdst"))
     val nRecip = e.join(rev,
         col("src") === col("rsrc") && col("dst") === col("rdst"))
       .agg(count(lit(1)).as("n_reciprocal"))
-    nNodes.crossJoin(nEdges).crossJoin(nDangling)
-      .crossJoin(maxOut).crossJoin(maxIn).crossJoin(nRecip)
+    val out = summary.crossJoin(nRecip).persist()
+    out.count()
+    e.unpersist()
+    out
   }
 
   /** Triangle census of the UNDIRECTED graph underlying the edge set:
@@ -71,7 +80,7 @@ object Graphs {
     // undirected support: one row per unordered pair
     val und = e.select(least(col("src"), col("dst")).as("a"),
         greatest(col("src"), col("dst")).as("b"))
-      .distinct().persist() // lifetime caller-owned
+      .distinct().persist() // released at exit, result materialized first
     val deg = und.select(col("a").as("v"))
       .unionAll(und.select(col("b").as("v")))
       .groupBy("v").agg(count(lit(1)).as("d"))
@@ -93,10 +102,17 @@ object Graphs {
     val tri = e1.join(e2, col("y") === col("y0"))
       .join(e3, col("x") === col("x1") && col("z") === col("z1"))
       .agg(count(lit(1)).as("n_triangles"))
-    tri.crossJoin(wedges)
+    // The census is ONE row: materialize it, then release both internal
+    // caches so repeated invocations leak nothing (ADVICE r11).
+    val out = tri.crossJoin(wedges)
       .select(col("n_triangles"), col("n_wedges"),
         when(col("n_wedges") > 0,
           expr("(30000 * n_triangles) div n_wedges")).otherwise(0L)
           .as("global_cc_bp"))
+      .persist()
+    out.count()
+    ranked.unpersist()
+    und.unpersist()
+    out
   }
 }

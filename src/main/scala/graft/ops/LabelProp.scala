@@ -31,11 +31,14 @@ object LabelProp {
     * @param nodes (v, seed_lbl): seed_lbl non-null = clamped seed.
     * @param edges (src, dst): src's label flows to dst.
     * @return (v, lbl) — null lbl for nodes never reached by any label.
+    *   PERSISTED and eagerly materialized: the single caller-owned cache;
+    *   internals (the edge store and per-iteration label states) are
+    *   released before return.
     */
   def propagate(nodes: DataFrame, edges: DataFrame, iters: Int): DataFrame = {
     require(iters >= 1 && iters <= 64, s"iters out of range: $iters")
     // cached pre-partitioned on src, the every-iteration join key (see
-    // PageRank.eDeg); lifetime caller-owned, the KMeans convention
+    // PageRank.eDeg); released at exit once the result is materialized
     val e = edges.select(col("src").cast("long").as("src"),
         col("dst").cast("long").as("dst"))
       .where(col("src").isNotNull && col("dst").isNotNull)
@@ -43,7 +46,8 @@ object LabelProp {
     val n0 = nodes.select(col("v").cast("long").as("v"),
       col("seed_lbl").cast("int").as("seed_lbl"))
     var cur = n0.withColumn("lbl", col("seed_lbl"))
-    for (_ <- 1 to iters) {
+    var prevCache: DataFrame = null
+    for (i <- 1 to iters) {
       val cnt = e
         .join(cur.select(col("v").as("src"), col("lbl").as("nlbl")), "src")
         .where(col("nlbl").isNotNull)
@@ -51,12 +55,23 @@ object LabelProp {
       val best = cnt.groupBy("dst")
         .agg(max(struct(col("c"), (-col("nlbl")).as("nl"))).as("m"))
         .select(col("dst"), (-col("m.nl")).cast("int").as("blbl"))
+      // Each iteration reads the previous state TWICE (the cnt chain and
+      // the direct join), so the state is persisted per round — without
+      // this the physical plan doubles the whole prefix chain every
+      // iteration (2^iters subtrees at the allowed iters=64; ADVICE r11).
+      // Materializing round i lets round i-1's cache be released
+      // immediately: peak cached state is two (v, int) relations.
       cur = cur.join(best, cur("v") === best("dst"), "left")
         .select(cur("v"), col("seed_lbl"),
           when(col("seed_lbl").isNotNull, col("seed_lbl"))
             .when(col("blbl").isNotNull, col("blbl"))
             .otherwise(cur("lbl")).as("lbl"))
+        .persist()
+      cur.count()
+      if (prevCache != null) prevCache.unpersist()
+      prevCache = cur
     }
+    e.unpersist()
     cur.select(col("v"), col("lbl"))
   }
 }

@@ -45,8 +45,9 @@ import graft.core.Cols.{q => Q}
   * weights to ~2^20.
   *
   * 100 TB shape: `edges` is pre-joined once with out-degrees and cached
-  * for the loop (persist lifetime is CALLER-OWNED, the SemDeDup/KMeans
-  * convention); each iteration is then exactly one shuffle — the
+  * for the loop (released before return once the final rank vector is
+  * materialized; the persisted RESULT is the one caller-owned cache);
+  * each iteration is then exactly one shuffle — the
   * groupBy(dst) contribution sum — plus a co-partitioned left join back
   * to the node set. Rank state is (v, Long): 16 bytes/node regardless of
   * iteration count. Edges partitioned by src join the rank state on its
@@ -96,7 +97,7 @@ object PageRank {
     // The normalized edge set is cached: its lineage (often a join- or
     // window-built projection) would otherwise re-run for each of its
     // four consumers below (out-weights, the cached eDeg, and both node
-    // scans). Lifetime caller-owned, the KMeans convention.
+    // scans). Released at exit once the result is materialized.
     val e = (weightCol match {
       case None =>
         edges.select(Q(srcCol).cast("long").as("src"),
@@ -104,11 +105,25 @@ object PageRank {
           .where(col("src").isNotNull && col("dst").isNotNull)
           .distinct().withColumn("w", lit(1L))
       case Some(wc) =>
+        // Weighted bound enforcement (the Scaladoc's bits(N) + fpShift +
+        // bits(max w) <= 62): DuckDB's BIGINT errors loudly on wrap but
+        // Spark's Long wraps silently, so an oversized FOLDED weight (the
+        // per-(src,dst) sum, which is what enters r*w) must fail fast
+        // here, mirroring Bm25's dl guard — not diverge from the replay
+        // with no signal.
+        val nodeBits = 64 - java.lang.Long.numberOfLeadingZeros(maxNodes - 1)
+        val maxW = 1L << math.min(62 - fpShift - nodeBits, 40).max(1)
         edges.select(Q(srcCol).cast("long").as("src"),
             Q(dstCol).cast("long").as("dst"), Q(wc).cast("long").as("w"))
           .where(col("src").isNotNull && col("dst").isNotNull &&
             col("w") > 0)
           .groupBy("src", "dst").agg(sum(col("w")).as("w"))
+          .withColumn("w", when(col("w") > lit(maxW),
+              raise_error(concat(lit("pagerank: folded edge weight "),
+                col("w").cast("string"),
+                lit(s" exceeds $maxW (= 2^(62 - fpShift=$fpShift - " +
+                  s"log2 maxNodes=$maxNodes)) — r*w would overflow Long"))))
+            .otherwise(col("w")))
     }).persist()
     val outW = e.groupBy("src").agg(sum(col("w")).as("sw"))
     // One pre-joined (src, dst, w, sw) relation reused every iteration,
@@ -154,7 +169,16 @@ object PageRank {
           (col("tp") * omdFp +
             expr(s"(${dFp}L * coalesce(acc, 0L)) div ${fp}L")).as("r"))
     }
-    r.select(col("v"), col("r").as("rank_fp"))
+    // Materialize the final rank vector once, then release the three
+    // internal caches (e, eDeg, nodes): the persisted result is the only
+    // cache surviving this call — repeated invocations no longer
+    // accumulate unreachable cached RDDs (ADVICE r11).
+    val out = r.select(col("v"), col("r").as("rank_fp")).persist()
+    out.count()
+    eDeg.unpersist()
+    nodes.unpersist()
+    e.unpersist()
+    out
   }
 
   /** Continue the iteration from persisted ranks: ranks(e, a) resumed for

@@ -31,7 +31,11 @@ object RandomWalks {
 
   /** @param starts (v) seed nodes; walk_id = the seed node id.
     * @return (walk_id, step, node), step 0..steps, dense until the walk
-    *   dies at a dangling node.
+    *   dies at a dangling node. The result is PERSISTED and eagerly
+    *   materialized — the single caller-owned cache handle; every
+    *   internal cache (the neighbor index and the per-step frontiers) is
+    *   released before return, so repeated invocations do not accumulate
+    *   unreachable cached RDDs (the ADVICE r11 leak).
     */
   def walks(edges: DataFrame, srcCol: String, dstCol: String,
             starts: DataFrame, steps: Int): DataFrame = {
@@ -46,7 +50,7 @@ object RandomWalks {
     // cached pre-partitioned on src, the every-step join key
     val nbr = e.withColumn("idx", row_number().over(w).cast("long") - 1)
       .join(deg, "src")
-      .repartition(col("src")).persist() // lifetime caller-owned
+      .repartition(col("src")).persist()
     def draw(t: Int) =
       conv(substring(md5(concat(col("walk_id").cast("string"),
         lit(s"|$t"))), 1, 15), 16, 10).cast("long")
@@ -55,6 +59,7 @@ object RandomWalks {
       .select(col("walk_id"), col("walk_id").as("node"))
     var acc = frontier.select(col("walk_id"), lit(0L).as("step"),
       col("node"))
+    val stepCaches = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     for (t <- 1 to steps) {
       // Each step's frontier is CACHED (|walks| rows): the output unions
       // every step's state, so without this the union branch for step t
@@ -69,10 +74,18 @@ object RandomWalks {
         .where(draw(t) % col("deg") === col("idx"))
         .select(col("walk_id"), col("dst").as("node"))
         .persist()
+      stepCaches += frontier
       acc = acc.unionByName(
         frontier.select(col("walk_id"), lit(t.toLong).as("step"),
           col("node")))
     }
-    acc
+    // Materialize the walk corpus once (every step computes exactly once
+    // against the live per-step caches), then release the internals: the
+    // persisted `out` is the only cache that survives this call.
+    val out = acc.persist()
+    out.count()
+    stepCaches.foreach(_.unpersist())
+    nbr.unpersist()
+    out
   }
 }

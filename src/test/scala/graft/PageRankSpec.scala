@@ -120,10 +120,17 @@ class PageRankSpec extends AnyFunSuite {
   test("scale shape: marginal cost per iteration is a bounded stage count") {
     // Plan-text Exchange counting lies here (InMemoryTableScan reprints
     // its cached subplan at every reference), so measure the runtime
-    // truth: stages actually submitted. The design claim is one
-    // contribution shuffle (+ its read side) per iteration over the
-    // CACHED edge relation; if an iteration re-shuffled eDeg or nodes,
-    // the marginal stages per round would jump by the edge-build depth.
+    // truth: stages actually submitted. Since r12, ranks() materializes
+    // its result internally (persist + count — the cache-release fix),
+    // which is also the HONEST protocol: a bare count() on the lazy plan
+    // lets Catalyst eliminate every per-iteration left join outright
+    // (sums is unique on dst), so pre-r12 this test measured a collapsed
+    // plan. On this tiny graph AQE turns both per-iteration joins into
+    // broadcasts, so a real iteration costs ~5 stages (contribution
+    // shuffle + broadcast builds/probes). The claims that matter: the
+    // marginal cost is CONSTANT (no prefix-chain recompute — that would
+    // be super-linear) and bounded well under the edge-build depth (no
+    // re-shuffle of the cached eDeg/nodes relations per round).
     def stagesFor(iters: Int): Int = {
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
       spark.catalog.clearCache()
@@ -148,10 +155,15 @@ class PageRankSpec extends AnyFunSuite {
     }
     val s2 = stagesFor(2)
     val s6 = stagesFor(6)
-    val perIter = (s6 - s2) / 4.0
-    assert(perIter <= 3.0,
-      s"marginal $perIter stages/iteration (s2=$s2, s6=$s6) — an " +
+    val s10 = stagesFor(10)
+    val m1 = (s6 - s2) / 4.0
+    val m2 = (s10 - s6) / 4.0
+    assert(m1 <= 6.0,
+      s"marginal $m1 stages/iteration (s2=$s2, s6=$s6) — an " +
         "iteration is re-shuffling a cached relation")
+    assert(math.abs(m2 - m1) <= 1.0,
+      s"marginal stages not constant ($m1 then $m2; s2=$s2, s6=$s6, " +
+        s"s10=$s10) — the prefix chain is being recomputed per iteration")
   }
 
   test("contract: overflow bound and parameter validation fail fast") {
