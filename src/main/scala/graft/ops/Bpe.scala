@@ -100,6 +100,29 @@ object Bpe {
     new BpeModel(merges.result().toArray)
   }
 
+  /** The model as a (merge_idx, left, right) DataFrame — the snapshot
+    * shape for the persisted-model twin: merge ORDER is the model (BPE
+    * encodes by applying merges in training order), so the index column
+    * is data, not bookkeeping. Vocabulary-sized (= numMerges rows).
+    */
+  def modelToDf(spark: org.apache.spark.sql.SparkSession,
+                model: BpeModel): DataFrame = {
+    import spark.implicits._
+    model.merges.zipWithIndex
+      .map { case ((l, r), i) => (i.toLong, l, r) }.toSeq
+      .toDF("merge_idx", "left", "right")
+  }
+
+  /** Rebuild the model from its snapshot. The collect is merge-table
+    * sized (numMerges rows — driver-side by design, like trainFromCounts'
+    * word table).
+    */
+  def modelFromDf(df: DataFrame): BpeModel =
+    new BpeModel(df.select(col("merge_idx").cast("long"),
+        col("left"), col("right"))
+      .collect().sortBy(_.getLong(0))
+      .map(r => (r.getString(1), r.getString(2))))
+
   /** Per-token nested pieces column: `array<array<string>>` aligned with
     * the token array of `textCol`.
     */

@@ -1094,6 +1094,27 @@ object TextPack {
       .select(col("doc_id"), col("n_tokens"), col("decoded"))
   }
 
+  /** BPE against a PERSISTED model — the production shape, completing the
+    * trained-artifact set (NB tables, PQ codebooks, k-means centroids,
+    * BM25 index, PageRank ranks all have snapshot twins): the merge table
+    * lands as a snapshot via the memoized job (training corpus paid
+    * once), encoding re-runs from the LOADED model. Shares
+    * pl_bpe_roundtrip's oracle: the round-trip must be invisible —
+    * any merge lost, reordered, or corrupted by the store changes some
+    * document's reconstruction and breaks the shared hash gate.
+    */
+  def bpePersistedQ(s: SparkSession, dir: String): DataFrame = {
+    val (store, _) = Fixtures(s, dir, "job_bpe_model") { st =>
+      val model = Bpe.train(Tables.documents(s, dir), "text",
+        numMerges = 200)
+      st.write(Bpe.modelToDf(s, model), "bpe_merges", slices = 1)
+      Map("merges" -> "bpe_merges")
+    }
+    val model = Bpe.modelFromDf(store.readResolved("bpe_merges"))
+    Bpe.encodeStats(Tables.documents(s, dir), "doc_id", "text", model)
+      .select(col("doc_id"), col("n_tokens"), col("decoded"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "pl_split" -> pipelineSplit _,
     "pl_shuffle" -> pipelineShuffle _,
@@ -1156,6 +1177,7 @@ object TextPack {
     "pl_lm_backoff" -> lmBackoffQ _,
     "pl_dsir" -> dsirQ _,
     "pl_bpe_roundtrip" -> bpeRoundtripQ _,
+    "pl_bpe_persisted" -> bpePersistedQ _,
     "pl_nb_persisted" -> nbPersistedQ _,
     "pl_filter_e2e" -> filterE2eQ _,
     "rt_bm25" -> bm25Q _,
@@ -1804,6 +1826,13 @@ object TextPack {
     "ann_pq_recall" ->
       OracleGen.annPqRecall(dim = 64, m = 8, ksub = 16, iters = 2, k = 10),
     "pl_bpe_roundtrip" ->
+      raw"""WITH n AS (SELECT doc_id,
+           [t for t in string_split(lower(trim(regexp_replace(text,'\s+',' '))),' ') if t <> ''] ts
+           FROM documents)
+           SELECT doc_id, len(ts)::BIGINT n_tokens, array_to_string(ts, ' ') decoded FROM n""",
+    // the persisted-model twin shares the roundtrip oracle: snapshot
+    // round-trip of the merge table must be provably invisible
+    "pl_bpe_persisted" ->
       raw"""WITH n AS (SELECT doc_id,
            [t for t in string_split(lower(trim(regexp_replace(text,'\s+',' '))),' ') if t <> ''] ts
            FROM documents)

@@ -110,4 +110,24 @@ class BpeSpec extends AnyFunSuite {
       assert(out(id) == norm, s"doc $id")
     }
   }
+
+  test("model DataFrame round-trip preserves merges and pieces exactly") {
+    val s = spark
+    import s.implicits._
+    val df = Seq((1L, "low lower lowest new newer"),
+      (2L, "low low newer newest wide wider")).toDF("doc_id", "text")
+    val model = Bpe.train(df, "text", numMerges = 30)
+    // the DataFrame shape shuffled (snapshot stores don't keep row order)
+    // must rebuild the identical model: merge ORDER is the model
+    val loaded = Bpe.modelFromDf(
+      Bpe.modelToDf(s, model).orderBy(rand(7)))
+    assert(loaded.merges.toSeq == model.merges.toSeq)
+    val a = Bpe.encodeStats(df, "doc_id", "text", model)
+      .select("doc_id", "n_pieces", "decoded")
+      .as[(Long, Long, String)].collect().sortBy(_._1).toSeq
+    val b = Bpe.encodeStats(df, "doc_id", "text", loaded)
+      .select("doc_id", "n_pieces", "decoded")
+      .as[(Long, Long, String)].collect().sortBy(_._1).toSeq
+    assert(a == b)
+  }
 }
