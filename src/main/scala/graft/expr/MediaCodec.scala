@@ -260,6 +260,68 @@ object MediaCodecHelper {
     encodePng(new Raster(dstW, dstH, r.bpp, out))
   }
 
+  // ---------------- JPEG (header metadata only) ----------------
+
+  /** JPEG frame-header metadata via the SOI/SOF marker walk:
+    * struct(width, height, components), null for non-JPEG or malformed
+    * streams. Metadata needs NO codec: every JPEG segment before the
+    * entropy-coded scan is a (FF, marker, 2-byte big-endian length)
+    * frame, and the SOF segment carries precision/height/width/component
+    * count at fixed offsets. Pixel DECODE stays behind the documented
+    * external-codec seam (ops/Multimodal.decodeImageStub) — this walk
+    * covers the 90% of what a pipeline does with JPEGs (dimension
+    * filtering, aspect gates, metadata columns, content-hash dedup).
+    *
+    * Accepted SOF markers: C0–CF excluding C4 (DHT), C8 (JPG ext), CC
+    * (DAC) — baseline, extended sequential, progressive, lossless, and
+    * their arithmetic twins all share the frame-header layout. The walk
+    * stops (returns null) at SOS or EOI without a SOF: entropy-coded data
+    * may contain any byte sequence and must never be scanned for markers.
+    * Bounds-checked throughout — adversarial lengths cannot read out of
+    * range.
+    */
+  def jpegMeta(bytes: Array[Byte]): InternalRow = {
+    if (bytes == null || bytes.length < 4) return null
+    if ((bytes(0) & 0xff) != 0xff || (bytes(1) & 0xff) != 0xd8) return null
+    var off = 2
+    while (off + 1 < bytes.length) {
+      if ((bytes(off) & 0xff) != 0xff) return null
+      // fill bytes: any number of FFs may pad before the marker id
+      var m = bytes(off + 1) & 0xff
+      while (m == 0xff && off + 2 < bytes.length) {
+        off += 1; m = bytes(off + 1) & 0xff
+      }
+      off += 2
+      m match {
+        case 0xd8 | 0x01 => // SOI again / TEM: standalone, no length
+        case x if x >= 0xd0 && x <= 0xd7 => // RSTn: standalone
+        case 0xd9 => return null // EOI before any SOF
+        case 0xda => return null // SOS before any SOF
+        case x if x >= 0xc0 && x <= 0xcf && x != 0xc4 && x != 0xc8 &&
+            x != 0xcc =>
+          // SOF: len(2) precision(1) height(2) width(2) ncomp(1)
+          if (off + 8 > bytes.length) return null
+          val len = ((bytes(off) & 0xff) << 8) | (bytes(off + 1) & 0xff)
+          val h = ((bytes(off + 3) & 0xff) << 8) | (bytes(off + 4) & 0xff)
+          val w = ((bytes(off + 5) & 0xff) << 8) | (bytes(off + 6) & 0xff)
+          val nc = bytes(off + 7) & 0xff
+          if (len < 8 + 3 * nc || w <= 0 || h <= 0 || nc <= 0) return null
+          return new GenericInternalRow(Array[Any](w, h, nc))
+        case _ =>
+          if (off + 2 > bytes.length) return null
+          val len = ((bytes(off) & 0xff) << 8) | (bytes(off + 1) & 0xff)
+          if (len < 2 || off + len > bytes.length) return null
+          off += len
+      }
+    }
+    null
+  }
+
+  val JpegMetaType: StructType = StructType(Seq(
+    StructField("width", IntegerType, nullable = false),
+    StructField("height", IntegerType, nullable = false),
+    StructField("components", IntegerType, nullable = false)))
+
   // ---------------- WAV ----------------
 
   private def leShort(b: Array[Byte], o: Int): Int =
@@ -396,6 +458,26 @@ case class PngResizeNearest(child: Expression, dstW: Int, dstH: Int)
        """.stripMargin
     })
   override protected def withNewChildInternal(newChild: Expression): PngResizeNearest =
+    copy(child = newChild)
+}
+
+/** JPEG frame-header metadata (width, height, components) via the
+  * bounded SOI/SOF marker walk; null for non-JPEG or malformed blobs.
+  */
+case class JpegMeta(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = MediaCodecHelper.JpegMetaType
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_jpeg_meta"
+  override def nullSafeEval(input: Any): Any =
+    MediaCodecHelper.jpegMeta(input.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      s"""
+         |${ev.value} = graft.expr.MediaCodecHelper.jpegMeta($c);
+         |${ev.isNull} = (${ev.value} == null);
+       """.stripMargin
+    })
+  override protected def withNewChildInternal(newChild: Expression): JpegMeta =
     copy(child = newChild)
 }
 

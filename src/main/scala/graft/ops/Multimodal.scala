@@ -15,9 +15,12 @@ import org.apache.spark.sql.functions._
   * handle without codec libraries — PNG (gray/RGB 8-bit: inflate + filter
   * reconstruction) and PCM-16 WAV — via the codegen'd expressions in
   * graft.expr.MediaCodecHelper ([[decodeImage]], [[imageResize]],
-  * [[audioFeatures]], [[audioFrameSample]]). `decodeImageStub` remains the
-  * seam for formats that genuinely need an external codec (JPEG/video),
-  * where a decode UDF (or mapInPandas in pyspark pipelines) would plug in.
+  * [[audioFeatures]], [[audioFrameSample]]). JPEG gets HEADER metadata
+  * (width/height/components via the [[jpegMeta]] marker walk — no codec
+  * needed) plus content-hash dedup; `decodeImageStub` remains the seam
+  * for pixel decode of formats that genuinely need an external codec
+  * (JPEG rasters/video), where a decode UDF (or mapInPandas in pyspark
+  * pipelines) would plug in.
   *
   * Fixture generators (valid minimal PNG / WAV bytes, CRCs and all) are
   * Scala UDFs — they exist to create test data, not to process it.
@@ -152,7 +155,39 @@ object Multimodal {
     out.toByteArray
   }
 
+  /** Minimal structurally-valid JPEG: SOI, JFIF APP0, a COM segment whose
+    * length varies with (w+h) so the SOF offset is data-dependent (a
+    * fixed-offset parser reads garbage), SOF0 with the given dimensions
+    * and component count, a one-component SOS with a few entropy bytes
+    * (containing a bare FF! — a marker walk that keeps scanning past SOS
+    * would misparse), and EOI. Own byte emission, deliberately sharing no
+    * code with the production parser.
+    */
+  def jpegBytes(width: Int, height: Int, components: Int): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    def b(vs: Int*): Unit = vs.foreach(v => out.write(v & 0xff))
+    def be16(v: Int): Unit = { out.write((v >> 8) & 0xff); out.write(v & 0xff) }
+    b(0xff, 0xd8)                                   // SOI
+    b(0xff, 0xe0); be16(16)                         // APP0 JFIF
+    out.write("JFIF".getBytes("US-ASCII")); b(0)
+    b(1, 1, 0); be16(1); be16(1); b(0, 0)           // v1.1, no density, no thumb
+    val pad = (width + height) % 7                  // data-dependent COM size
+    b(0xff, 0xfe); be16(2 + 5 + pad)
+    out.write("graft".getBytes("US-ASCII"))
+    (0 until pad).foreach(_ => b('x'))
+    b(0xff, 0xc0); be16(8 + 3 * components); b(8)   // SOF0, precision 8
+    be16(height); be16(width); b(components)
+    (0 until components).foreach { c =>
+      b(c + 1, 0x11, if (c == 0) 0 else 1)          // id, 1x1 sampling, qtab
+    }
+    b(0xff, 0xda); be16(8); b(1, 1, 0, 0, 63, 0)    // SOS, 1 component
+    b(0x12, 0xff, 0x00, 0x34)                       // entropy bytes incl. stuffed FF
+    b(0xff, 0xd9)                                   // EOI
+    out.toByteArray
+  }
+
   val makePng = udf((w: Int, h: Int) => pngBytes(w, h))
+  val makeJpeg = udf((w: Int, h: Int, c: Int) => jpegBytes(w, h, c))
   val makeRgbPng = udf((w: Int, h: Int) => rgbPngBytes(w, h))
   val makeWav = udf((rate: Int, n: Int) => wavBytes(rate, n))
   val makeWavWithList = udf((rate: Int, n: Int) => wavBytesWithList(rate, n))
@@ -204,8 +239,28 @@ object Multimodal {
     floor((wavDataBytes(bin) * 1000L) / bytesPerSec).cast("long")
   }
 
+  def isJpeg(bin: Column): Column = hex(substring(bin, 1, 2)) === "FFD8"
+
+  /** JPEG frame-header metadata via the codegen'd SOI/SOF marker walk
+    * (graft.expr.JpegMeta): struct(width, height, components), null for
+    * non-JPEG/malformed blobs. Pixel decode remains behind
+    * [[decodeImageStub]]'s external-codec seam — header metadata +
+    * content-hash dedup need no codec.
+    */
+  def jpegMeta(bin: Column): Column =
+    org.apache.spark.sql.GraftBridge.column(
+      graft.expr.JpegMeta(org.apache.spark.sql.GraftBridge.expression(bin)))
+
+  def jpegWidth(bin: Column): Column =
+    jpegMeta(bin).getField("width").cast("long")
+  def jpegHeight(bin: Column): Column =
+    jpegMeta(bin).getField("height").cast("long")
+  def jpegComponents(bin: Column): Column =
+    jpegMeta(bin).getField("components").cast("long")
+
   def mediaType(bin: Column): Column =
-    when(isPng(bin), "image/png").when(isWav(bin), "audio/wav").otherwise("unknown")
+    when(isPng(bin), "image/png").when(isWav(bin), "audio/wav")
+      .when(isJpeg(bin), "image/jpeg").otherwise("unknown")
 
   /** 60-bit content fingerprint of the raw bytes — the binary-column exact
     * dedup key (md5 over bytes; oracle: md5 over the same bytes).

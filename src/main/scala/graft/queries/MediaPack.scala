@@ -31,7 +31,11 @@ object MediaPack {
           (lit(100) + col("doc_id") % 50).cast("int")))
         .withColumn("rgb", Multimodal.makeRgbPng(
           (lit(8) + col("doc_id") % 16).cast("int"),
-          (lit(5) + col("doc_id") % 5).cast("int"))),
+          (lit(5) + col("doc_id") % 5).cast("int")))
+        .withColumn("jpg", Multimodal.makeJpeg(
+          (lit(24) + col("doc_id") % 40).cast("int"),
+          (lit(12) + col("doc_id") % 11).cast("int"),
+          (lit(1) + (col("doc_id") % 2) * 2).cast("int"))),
         "mm_media", slices = 8)
       Map("blobs" -> "mm_media")
     }
@@ -47,11 +51,16 @@ object MediaPack {
       Multimodal.pngHeight(col("img")).as("img_h"),
       Multimodal.wavSampleRate(col("wav")).as("wav_rate"),
       Multimodal.wavDurationMs(col("wav")).as("wav_ms"),
+      Multimodal.mediaType(col("jpg")).as("jpg_type"),
+      Multimodal.jpegWidth(col("jpg")).as("jpg_w"),
+      Multimodal.jpegHeight(col("jpg")).as("jpg_h"),
+      Multimodal.jpegComponents(col("jpg")).as("jpg_ch"),
       Multimodal.contentFingerprint(col("img")).as("img_fp"))
     val dups = meta.groupBy("img_fp").agg(count(lit(1)).as("img_dups"))
     meta.join(dups, "img_fp")
       .select(col("doc_id"), col("img_type"), col("img_w"), col("img_h"),
-        col("wav_rate"), col("wav_ms"), col("img_dups"))
+        col("wav_rate"), col("wav_ms"), col("jpg_type"), col("jpg_w"),
+        col("jpg_h"), col("jpg_ch"), col("img_dups"))
   }
 
   /** REAL decode round-trip: PNG pixels via inflate+unfilter (PngStats),
@@ -151,6 +160,10 @@ object MediaPack {
          9 + doc_id % 7 AS img_h,
          8000 + (doc_id % 3) * 4000 AS wav_rate,
          ((100 + doc_id % 50) * 2 * 1000) // ((8000 + (doc_id % 3) * 4000) * 2) AS wav_ms,
+         'image/jpeg' AS jpg_type,
+         24 + doc_id % 40 AS jpg_w,
+         12 + doc_id % 11 AS jpg_h,
+         1 + (doc_id % 2) * 2 AS jpg_ch,
          count(*) OVER (PARTITION BY doc_id % 32, doc_id % 7) AS img_dups
          FROM documents""",
     // replicates the fixture formulas: pixel (x,y) = (x*31+y*17)%256 on a

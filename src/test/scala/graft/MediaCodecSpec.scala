@@ -207,4 +207,63 @@ class MediaCodecSpec extends AnyFunSuite {
     assert(MediaCodecHelper.decodePng(mutated(25, 3)) == null, "palette")
     assert(MediaCodecHelper.decodePng(mutated(28, 1)) == null, "interlaced")
   }
+
+  test("jpegMeta walks SOI→SOF through variable-length segments") {
+    // the fixture varies the COM length with (w+h) % 7, so these hit
+    // different SOF offsets; components 1 and 3 both parse
+    for ((w, h, c) <- Seq((24, 12, 1), (63, 22, 3), (1, 1, 1),
+        (65535, 65535, 4), (300, 2, 3))) {
+      val r = MediaCodecHelper.jpegMeta(Multimodal.jpegBytes(w, h, c))
+      assert(r != null, s"${w}x$h/$c")
+      assert(r.getInt(0) == w && r.getInt(1) == h && r.getInt(2) == c)
+    }
+  }
+
+  test("jpegMeta: malformed and non-JPEG blobs return null, never garbage") {
+    val good = Multimodal.jpegBytes(24, 12, 3)
+    assert(MediaCodecHelper.jpegMeta(null) == null)
+    assert(MediaCodecHelper.jpegMeta(Array[Byte](0x12, 0x34)) == null)
+    assert(MediaCodecHelper.jpegMeta(Multimodal.pngBytes(8, 8)) == null)
+    // truncated before the SOF segment
+    assert(MediaCodecHelper.jpegMeta(good.take(20)) == null, "truncated")
+    // SOS before any SOF: the walk must stop, not scan entropy data
+    val noSof = Array[Byte](0xff.toByte, 0xd8.toByte, 0xff.toByte,
+      0xda.toByte, 0, 8, 1, 1, 0, 0, 63, 0, 0x12, 0xff.toByte, 0x00, 0x34)
+    assert(MediaCodecHelper.jpegMeta(noSof) == null, "SOS before SOF")
+    // a segment length pointing past the end of the buffer
+    val overflow = Array[Byte](0xff.toByte, 0xd8.toByte, 0xff.toByte,
+      0xfe.toByte, 0x7f, 0xff.toByte, 'x')
+    assert(MediaCodecHelper.jpegMeta(overflow) == null, "length overflow")
+    // DHT (C4) must be skipped as a plain segment, not taken as a SOF
+    val dhtFirst = {
+      val o = new java.io.ByteArrayOutputStream()
+      o.write(Array[Byte](0xff.toByte, 0xd8.toByte))
+      o.write(Array[Byte](0xff.toByte, 0xc4.toByte, 0, 5, 1, 2, 3))
+      o.write(good.drop(2)) // rest of a valid stream (APP0 COM SOF0 ...)
+      o.toByteArray
+    }
+    val r = MediaCodecHelper.jpegMeta(dhtFirst)
+    assert(r != null && r.getInt(0) == 24 && r.getInt(1) == 12 &&
+      r.getInt(2) == 3)
+  }
+
+  test("jpegMeta Column API: codegen'd walk matches the fixture formulas") {
+    val s = spark
+    import s.implicits._
+    val df = (0L until 64L).toDF("doc_id")
+      .withColumn("jpg", Multimodal.makeJpeg(
+        (lit(24) + col("doc_id") % 40).cast("int"),
+        (lit(12) + col("doc_id") % 11).cast("int"),
+        (lit(1) + (col("doc_id") % 2) * 2).cast("int")))
+    val got = df.select(col("doc_id"),
+        Multimodal.mediaType(col("jpg")).as("t"),
+        Multimodal.jpegWidth(col("jpg")).as("w"),
+        Multimodal.jpegHeight(col("jpg")).as("h"),
+        Multimodal.jpegComponents(col("jpg")).as("c"))
+      .as[(Long, String, Long, Long, Long)].collect()
+    got.foreach { case (id, t, w, h, c) =>
+      assert(t == "image/jpeg")
+      assert(w == 24 + id % 40 && h == 12 + id % 11 && c == 1 + (id % 2) * 2)
+    }
+  }
 }
