@@ -54,6 +54,54 @@ object Graphs {
     out
   }
 
+  /** Census-shape diagnostic: one row (n_wedges, n_candidates,
+    * n_oriented_edges, max_oriented_outdeg) where n_candidates is the
+    * oriented two-hop join size Σ_v in(v)·out(v) — the EXACT row count
+    * [[triangleStats]]'s first join materializes, i.e. the shuffle the
+    * census pays. Wedges measure the DATA (Σ d(d−1)/2 grows when
+    * replication densifies a fixed node domain); candidates measure the
+    * ENGINE (what the degree-ordered orientation admits of those
+    * wedges). Candidates tracking wedges at scale = densification;
+    * candidates outgrowing wedges = an orientation bug. max_oriented_
+    * outdeg checks the O(√m) adjacency bound the orientation exists for.
+    */
+  def triangleDiag(edges: DataFrame, srcCol: String,
+                   dstCol: String): DataFrame = {
+    val e = edges.select(Q(srcCol).cast("long").as("src"),
+        Q(dstCol).cast("long").as("dst"))
+      .where(col("src").isNotNull && col("dst").isNotNull &&
+        col("src") =!= col("dst"))
+    val und = e.select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .distinct().persist()
+    val deg = und.select(col("a").as("v"))
+      .unionAll(und.select(col("b").as("v")))
+      .groupBy("v").agg(count(lit(1)).as("d"))
+    val wedges = deg.agg(sum(expr("(d * (d - 1)) div 2")).as("n_wedges"))
+    val ranked = und
+      .join(deg.select(col("v").as("a"), col("d").as("da")), "a")
+      .join(deg.select(col("v").as("b"), col("d").as("db")), "b")
+      .select(
+        when(col("da") < col("db") ||
+          (col("da") === col("db") && col("a") < col("b")),
+          struct(col("a").as("lo"), col("b").as("hi")))
+          .otherwise(struct(col("b").as("lo"), col("a").as("hi")))
+          .as("o"))
+      .select(col("o.lo").as("x"), col("o.hi").as("y"))
+    val outs = ranked.groupBy("x").agg(count(lit(1)).as("outn"))
+    val ins = ranked.groupBy("y").agg(count(lit(1)).as("inn"))
+    val cand = outs.join(ins, outs("x") === ins("y"))
+      .agg(coalesce(sum(col("outn") * col("inn")), lit(0L))
+        .as("n_candidates"))
+    val eStats = outs.agg(count(lit(1)).as("__nv"),
+      coalesce(sum(col("outn")), lit(0L)).as("n_oriented_edges"),
+      max(col("outn")).as("max_oriented_outdeg")).drop("__nv")
+    val out = wedges.crossJoin(cand).crossJoin(eStats).persist()
+    out.count()
+    und.unpersist()
+    out
+  }
+
   /** Triangle census of the UNDIRECTED graph underlying the edge set:
     * one row (n_triangles, n_wedges, global_cc_bp) where n_wedges is the
     * open-or-closed path-of-length-2 count Σ d(d−1)/2 and global_cc_bp

@@ -216,6 +216,16 @@ object GraphPack {
         .where(col("src") % 2 === 0 && col("dst") % 2 === 0),
       "src", "dst")
 
+  /** The census adjudication diagnostic over gr_triangles' exact edge
+    * set — wedges (data growth) vs oriented two-hop candidates (engine
+    * cost); published by ScaleCheck's gr_triangles note.
+    */
+  def trianglesDiag(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Graphs.triangleDiag(
+      edgeStore(s, dir)
+        .where(col("src") % 2 === 0 && col("dst") % 2 === 0),
+      "src", "dst")
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "gr_pagerank" -> (pagerankQ _),
     "gr_ppr" -> (pprQ _),
