@@ -40,7 +40,15 @@ object Bench {
     //  - sorted order: SparkEntry.queries is a Map, so adding a query
     //    permutes iteration order and shifts which neighbors' GC debt each
     //    query inherits. Sorting keeps run order stable across rounds.
-    val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
+    //    SPARK_GRAFT_BENCH_ORDER=reverse runs the reverse-sorted order —
+    //    the order-independence experiment (VARIANCE.json order_note):
+    //    diffing the two orders measures how much a query's number is its
+    //    neighbors' GC debt rather than its own plan.
+    val ordered0 = SparkEntry.queries.toSeq.sortBy(_._1)
+    val ordered =
+      if (sys.env.get("SPARK_GRAFT_BENCH_ORDER").contains("reverse"))
+        ordered0.reverse
+      else ordered0
     val passes = 3
     val samples = (1 to passes).map { _ =>
       // drop every persisted RDD/Dataset from previous passes: queries

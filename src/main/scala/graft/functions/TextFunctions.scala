@@ -253,6 +253,27 @@ object TextFunctions {
       GraftBridge.expression(text), form))
   }
 
+  /** Integer-exact code-point entropy struct(n, ent_fp) of the RAW text —
+    * gibberish / binary-ish / boilerplate-repetition quality signal in
+    * fixed-point log2 units (n·H·2^20). See [[graft.expr.EntropyFpHelper]].
+    */
+  def charEntropyFp(text: Column): Column = {
+    import org.apache.spark.sql.GraftBridge
+    GraftBridge.column(graft.expr.Utf8EntropyFp(
+      GraftBridge.expression(text)))
+  }
+
+  /** Integer-exact entropy struct(n, ent_fp) over the normalized token
+    * multiset — the vocabulary-diversity gate (a distinct-token RATIO
+    * can't tell a two-token coin-flip document from a uniform-vocabulary
+    * one; entropy can).
+    */
+  def tokenEntropyFp(text: Column): Column = {
+    import org.apache.spark.sql.GraftBridge
+    GraftBridge.column(graft.expr.StringArrayEntropyFp(
+      GraftBridge.expression(tokens(normalized(text)))))
+  }
+
   /** HTML → text: drop script/style ELEMENTS (content included), strip
     * remaining tags to a space, decode the five predefined entities +
     * nbsp/#39 (amp LAST, so `&amp;lt;` decodes to `&lt;` not `<`), and

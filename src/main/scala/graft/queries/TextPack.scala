@@ -29,6 +29,22 @@ object TextPack {
       T.qualityScore(col("text")).as("quality"))
   }
 
+  /** Integer-exact Shannon entropy per document — code-point entropy of
+    * the raw text and token entropy of the normalized token multiset,
+    * both as n·H·2^20 in Long arithmetic (expr/EntropyFp), so the quality
+    * signal itself hash-gates under the DuckDB log2fp-recurrence replay.
+    * All scan-side: the symbol maps never leave the row.
+    */
+  def entropyQ(s: SparkSession, dir: String): DataFrame = {
+    val ce = T.charEntropyFp(col("text"))
+    val te = T.tokenEntropyFp(col("text"))
+    Tables.documents(s, dir).select(col("doc_id"),
+      ce.getField("n").as("n_cp"),
+      ce.getField("ent_fp").as("ent_char_fp"),
+      te.getField("n").as("n_tok"),
+      te.getField("ent_fp").as("ent_tok_fp"))
+  }
+
   def langid(s: SparkSession, dir: String): DataFrame = {
     val d = Tables.documents(s, dir)
     d.select(col("doc_id"), col("lang").as("labeled_lang"),
@@ -1135,6 +1151,7 @@ object TextPack {
     "tx_c4_lines" -> c4Lines _,
     "pl_report" -> corpusReport _,
     "tx_nfc" -> nfc _,
+    "tx_entropy" -> entropyQ _,
     "dd_incremental" -> dedupIncremental _,
     "dd_inc_minhash" -> dedupIncMinhash _,
     "dd_compact_minhash" -> dedupCompactMinhash _,
@@ -1284,6 +1301,35 @@ object TextPack {
                      AND s_en = greatest(s_en,s_de,s_fr,s_es,s_zh)
                     THEN 1 ELSE 0 END)::BIGINT AS n_detected_en
          FROM q""",
+    // entropy: same log2fp recurrence as the model family, over per-doc
+    // code-point / normalized-token histograms. DuckDB's string_split
+    // with '' separator splits by code point (combining marks separate),
+    // matching Java codePoints(); the list-comprehension filter keeps the
+    // empty-string corner (split('','') = ['']) from minting a phantom
+    // symbol.
+    "tx_entropy" ->
+      raw"""WITH ch AS (SELECT doc_id, c, count(*)::BIGINT cn FROM (
+             SELECT doc_id, unnest([x for x in string_split(text, '') if x <> '']) c
+             FROM documents) GROUP BY 1, 2),
+           chn AS (SELECT doc_id, sum(cn)::BIGINT n FROM ch GROUP BY 1),
+           che AS (SELECT ch.doc_id,
+               sum(cn * (${ModelOracle.log2fp("n")} - ${ModelOracle.log2fp("cn")}))::BIGINT e
+             FROM ch JOIN chn USING (doc_id) GROUP BY 1),
+           tk AS (SELECT doc_id, t, count(*)::BIGINT cn FROM (
+             SELECT doc_id, unnest([x for x in string_split(lower(trim(regexp_replace(text,'\s+',' '))),' ') if x <> '']) t
+             FROM documents) GROUP BY 1, 2),
+           tkn AS (SELECT doc_id, sum(cn)::BIGINT n FROM tk GROUP BY 1),
+           tke AS (SELECT tk.doc_id,
+               sum(cn * (${ModelOracle.log2fp("n")} - ${ModelOracle.log2fp("cn")}))::BIGINT e
+             FROM tk JOIN tkn USING (doc_id) GROUP BY 1)
+           SELECT d.doc_id,
+             coalesce(chn.n, 0) AS n_cp, coalesce(che.e, 0) AS ent_char_fp,
+             coalesce(tkn.n, 0) AS n_tok, coalesce(tke.e, 0) AS ent_tok_fp
+           FROM documents d
+           LEFT JOIN chn ON chn.doc_id = d.doc_id
+           LEFT JOIN che ON che.doc_id = d.doc_id
+           LEFT JOIN tkn ON tkn.doc_id = d.doc_id
+           LEFT JOIN tke ON tke.doc_id = d.doc_id""",
     "tx_nfc" ->
       """WITH dec AS (SELECT doc_id, text ||
            CASE doc_id % 4
