@@ -100,6 +100,21 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       args => expect(args, 2)
         graft.expr.MisraGriesAgg(args(0), litInt(args(1), "k"))
     }
+    inject("graft_char_entropy_fp",
+      "graft_char_entropy_fp(s) - struct(n, ent_fp): integer-exact code-point entropy, n*H*2^20") {
+      args => expect(args, 1)
+        graft.expr.Utf8EntropyFp(args(0))
+    }
+    inject("graft_token_entropy_fp",
+      "graft_token_entropy_fp(s) - struct(n, ent_fp): entropy of the normalized token multiset") {
+      args => expect(args, 1)
+        graft.expr.StringArrayEntropyFp(tokensExpr(args(0)))
+    }
+    inject("graft_jpeg_meta",
+      "graft_jpeg_meta(bin) - struct(width, height, components) via the JPEG SOI/SOF marker walk") {
+      args => expect(args, 1)
+        graft.expr.JpegMeta(args(0))
+    }
   }
 }
 

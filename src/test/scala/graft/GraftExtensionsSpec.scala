@@ -75,6 +75,23 @@ class GraftExtensionsSpec extends AnyFunSuite {
              graft_shingle_hashes('a b c d e f g', 3), 16)) AS k""")
         .head.getInt(0)
       assert(sig == 16)
+      // entropy: uniform 4 symbols = 4 * log2fp(4); token form normalizes
+      val ent = s.sql(
+        "SELECT e.n, e.ent_fp FROM (SELECT graft_char_entropy_fp('abcd') AS e)")
+        .head
+      assert(ent.getLong(0) == 4L && ent.getLong(1) == 4L * 2 * (1L << 20))
+      val tent = s.sql(
+        "SELECT e.n, e.ent_fp FROM (SELECT graft_token_entropy_fp('Go  GO') AS e)")
+        .head
+      assert(tent.getLong(0) == 2L && tent.getLong(1) == 0L,
+        "normalized identical tokens carry zero entropy")
+      // JPEG marker walk from SQL over fixture bytes
+      val jm = s.sql(
+        s"SELECT m.width, m.height, m.components FROM (SELECT graft_jpeg_meta(" +
+          s"unhex('${graft.ops.Multimodal.jpegBytes(24, 12, 3)
+            .map("%02X".format(_)).mkString}')) AS m)")
+        .head
+      assert(jm.getInt(0) == 24 && jm.getInt(1) == 12 && jm.getInt(2) == 3)
     }
   }
 
