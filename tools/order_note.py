@@ -6,7 +6,7 @@ query's number moves with run order (neighbor GC-debt effects), and merge
 an `order_note` section into VARIANCE.json."""
 import json
 
-fwd = json.load(open("target/BENCH_runA.json"))
+fwd = json.load(open("target/BENCH_runFwd.json"))
 rev = json.load(open("target/BENCH_runR.json"))
 qa, qr = fwd["queries"], rev["queries"]
 common = sorted(set(qa) & set(qr))
@@ -30,7 +30,10 @@ beyond = [q for s, q in spreads if p90_same_order and s > p90_same_order]
 var["order_note"] = {
     "protocol": "one reverse-sorted Bench run (SPARK_GRAFT_BENCH_ORDER="
                 "reverse) diffed against the forward-sorted run of the "
-                "identical build, back-to-back on the same machine",
+                "identical build, back-to-back on the same machine; both "
+                "under the FIXED-ORDER protocol (every pass same order) - "
+                "this experiment is what motivated switching the standard "
+                "protocol to per-pass randomized order in r12",
     "median_order_spread": round(order_median, 4),
     "p90_order_spread": round(order_p90, 4),
     "p90_same_order_spread_for_reference": p90_same_order,

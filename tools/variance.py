@@ -34,7 +34,7 @@ for q in common:
 ta, tb = runA["value"], runB["value"]
 tprev = sum(prev.values()) if prev else None
 out = {
-    "prev_note": f"prev = committed BENCH_FULL at {prev_ref}; r10 compares against the round-9 sf0.1 table (ref ff9d259) — that baseline predates the driver's testdata regeneration and this round's new queries, so delta_vs_prev mixes data-generation drift with code changes",
+    "prev_note": f"prev = committed BENCH_FULL at {prev_ref}; r12 compares against r11's table, which was measured under the count() action — count() let Catalyst prune projections and eliminate unique-key left joins, so r12's noop-materialization numbers are a deliberate honest re-baseline and delta_vs_prev mixes that action change with code changes (see BENCH_ANALYSIS_r12.md for the attribution)",
     "protocol": "two back-to-back exclusive `runMain graft.Bench` runs of the "
                 "identical build, cpus=32, each min-of-3 after untimed warmup",
     "total_runA_sec": round(ta, 2),
