@@ -282,6 +282,53 @@ object TrainingPipeline {
       .withColumn("contaminated", col("containment") >= threshold)
   }
 
+  /** Per-BENCHMARK contamination report — the governance twin of
+    * [[decontaminate]]: instead of a per-document verdict against one
+    * pooled benchmark, a one-row-per-benchmark summary of how much of
+    * the corpus overlaps each eval set — what a training run publishes
+    * beside its data card. Integer outputs only (containment in basis
+    * points via floor division, with `cont_bp >= threshold·10⁴` exactly
+    * equivalent to `overlap/shingles >= threshold` for thresholds that
+    * are multiples of 1/10⁴), so the report hash-gates.
+    *
+    * Output per benchmark: (bench, n_docs_overlapping,
+    * n_docs_contaminated, max_cont_bp, total_overlap_shingles,
+    * n_docs_checked, contaminated_bp).
+    *
+    * Scale: identical cost model to [[decontaminate]] — the benchmark
+    * shingle set is eval-set-sized (broadcast), corpus shingles stream
+    * through the join without materializing, and the per-(doc, bench)
+    * overlap rows are bounded by actual overlap, not corpus size.
+    */
+  def contaminationReport(df: DataFrame, bench: DataFrame, idCol: String,
+                          textCol: String, benchCol: String, n: Int = 3,
+                          threshold: Double = 0.5): DataFrame = {
+    val thrBp = Math.round(threshold * 10000)
+    require(thrBp > 0 && math.abs(threshold * 10000 - thrBp) < 1e-9,
+      s"threshold must be a positive multiple of 1/10000, got $threshold")
+    val bset = bench
+      .select(col(benchCol).as("__b"),
+        explode(S.shingleHashes(col(textCol), n)).as("h"))
+      .distinct()
+    val ex = df.select(col(idCol).as("__id"),
+      explode(S.shingleHashes(col(textCol), n)).as("h"))
+    val tot = df.select(col(idCol).as("__id"),
+        size(S.shingleHashes(col(textCol), n)).cast("long").as("ns"))
+      .filter(col("ns") > 0)
+    val per = ex.join(broadcast(bset), "h")
+      .groupBy(col("__id"), col("__b")).agg(count(lit(1)).as("ov"))
+      .join(tot, "__id")
+      .withColumn("bp", expr("(10000 * ov) div ns"))
+    per.groupBy(col("__b").as("bench")).agg(
+        count(lit(1)).as("n_docs_overlapping"),
+        count(when(col("bp") >= thrBp, 1)).as("n_docs_contaminated"),
+        max(col("bp")).as("max_cont_bp"),
+        sum(col("ov")).as("total_overlap_shingles"))
+      .crossJoin(broadcast(tot.agg(count(lit(1)).as("n_docs_checked"))))
+      .withColumn("contaminated_bp",
+        expr("(10000 * n_docs_contaminated) div n_docs_checked"))
+  }
+
   def decontaminate(df: DataFrame, bench: DataFrame, idCol: String,
                     textCol: String, n: Int = 3,
                     threshold: Double = 0.5): DataFrame = {

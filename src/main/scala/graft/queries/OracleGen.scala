@@ -138,6 +138,35 @@ object OracleGen {
            n_overlap::DOUBLE / n_shingles >= $threshold AS contaminated
          FROM agg"""
 
+  /** Per-benchmark contamination report — replays
+    * TrainingPipeline.contaminationReport: bench names from
+    * (doc_id div mod) % 3, containment in floor basis points, the
+    * flagged test `bp >= threshold·10⁴` (exactly `ov/ns >= threshold`
+    * for integer-bp thresholds).
+    */
+  def contaminationReport(mod: Int, thrBp: Long): String =
+    raw"""WITH $Shingles,
+         bmap AS (SELECT doc_id, 'bench_' || ((doc_id // $mod) % 3) b
+           FROM documents WHERE doc_id % $mod = 0),
+         bench AS (SELECT DISTINCT b, unnest(hs) h
+           FROM hsh JOIN bmap USING (doc_id)),
+         ex AS (SELECT doc_id, unnest(hs) h FROM hsh WHERE doc_id % $mod != 0),
+         tot AS (SELECT doc_id, len(hs)::BIGINT ns FROM hsh
+           WHERE doc_id % $mod != 0 AND len(hs) > 0),
+         ov AS (SELECT ex.doc_id, bench.b, count(*)::BIGINT ov
+           FROM ex JOIN bench USING (h) GROUP BY 1, 2),
+         per AS (SELECT ov.doc_id, b, ov, ns, (10000 * ov) // ns bp
+           FROM ov JOIN tot USING (doc_id)),
+         nd AS (SELECT count(*)::BIGINT n FROM tot)
+         SELECT b AS bench,
+           count(*)::BIGINT n_docs_overlapping,
+           (count(*) FILTER (bp >= $thrBp))::BIGINT n_docs_contaminated,
+           max(bp)::BIGINT max_cont_bp,
+           sum(ov)::BIGINT total_overlap_shingles,
+           (SELECT n FROM nd) n_docs_checked,
+           (10000 * count(*) FILTER (bp >= $thrBp)) // (SELECT n FROM nd) contaminated_bp
+         FROM per GROUP BY 1"""
+
   /** Connected-component CTE chain over near-dup pairs (recursive reach →
     * min reachable id per node) — shared by dupClusters and dedupCorpus.
     */

@@ -486,6 +486,21 @@ object TextPack {
       "doc_id", "text", n = 3, threshold = 0.5)
   }
 
+  /** Per-benchmark contamination report: three synthetic eval sets
+    * carved from the held-out docs (doc_id % 50 = 0, named by
+    * (doc_id div 50) % 3), reported against the training split — the
+    * governance summary a run publishes beside its data card.
+    */
+  def pipelineDecontamReport(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+    TrainingPipeline.contaminationReport(
+      d.filter(col("doc_id") % 50 =!= 0),
+      d.filter(col("doc_id") % 50 === 0)
+        .withColumn("bench",
+          concat(lit("bench_"), (expr("doc_id div 50") % 3).cast("string"))),
+      "doc_id", "text", "bench", n = 3, threshold = 0.5)
+  }
+
   /** Same fixture and ORACLE as pl_decontam, through the Bloom-prescreen
     * path — hash-gating both proves the prescreen changes nothing but the
     * cost model (TrainingPipeline.decontaminateBloom).
@@ -1137,6 +1152,7 @@ object TextPack {
     "pl_chunks" -> pipelineChunks _,
     "pl_decontam" -> pipelineDecontam _,
     "pl_decontam_bloom" -> pipelineDecontamBloom _,
+    "pl_decontam_report" -> pipelineDecontamReport _,
     "pl_sample" -> pipelineSample _,
     "pl_sample_n" -> pipelineSampleN _,
     "pl_sample_group" -> pipelineSampleGroup _,
@@ -1466,6 +1482,7 @@ object TextPack {
          FROM x""",
     "pl_decontam" -> OracleGen.decontaminate(50, 0.5),
     "pl_decontam_bloom" -> OracleGen.decontaminate(50, 0.5),
+    "pl_decontam_report" -> OracleGen.contaminationReport(50, 5000L),
     // the composed pipeline: each CTE mirrors one stage's already-verified
     // oracle formula (quality from tx_quality, fingerprint dedup from
     // dd_exact, shingle containment from pl_decontam, split from pl_split,

@@ -117,6 +117,37 @@ class TrainingPipelineSpec extends AnyFunSuite {
       s"benchmark set must broadcast:\n$plan")
   }
 
+  test("contaminationReport: per-benchmark summary, integer bp threshold") {
+    val s = spark
+    import s.implicits._
+    val bench = Seq(
+      (100L, "A", "alpha beta gamma delta"),
+      (101L, "B", "one two three four")).toDF("id", "bench", "text")
+    val train = Seq(
+      (1L, "alpha beta gamma delta"),   // A: 2/2 -> 10000 bp
+      (2L, "alpha beta gamma other"),   // A: 1/2 -> 5000 bp (== threshold)
+      (3L, "one two three nope"),       // B: 1/2 -> 5000 bp
+      (4L, "zz yy xx ww")).toDF("id", "text") // no overlap anywhere
+    val got = graft.ops.TrainingPipeline
+      .contaminationReport(train, bench, "id", "text", "bench",
+        n = 3, threshold = 0.5)
+      .collect().map(r => r.getAs[String]("bench") -> ((
+        r.getAs[Long]("n_docs_overlapping"),
+        r.getAs[Long]("n_docs_contaminated"),
+        r.getAs[Long]("max_cont_bp"),
+        r.getAs[Long]("total_overlap_shingles"),
+        r.getAs[Long]("n_docs_checked"),
+        r.getAs[Long]("contaminated_bp")))).toMap
+    assert(got.keySet == Set("A", "B"))
+    // bp >= 5000 is exactly ov/ns >= 0.5: doc 2 (exactly half) counts
+    assert(got("A") == ((2L, 2L, 10000L, 3L, 4L, 5000L)))
+    assert(got("B") == ((1L, 1L, 5000L, 1L, 4L, 2500L)))
+    intercept[IllegalArgumentException] {
+      graft.ops.TrainingPipeline.contaminationReport(
+        train, bench, "id", "text", "bench", threshold = 0.33333)
+    }
+  }
+
   test("decontaminateBloom: identical to exact decontaminate; bloom probe at the scan") {
     val s = spark
     import s.implicits._
