@@ -28,4 +28,60 @@ class GraphsSpec extends AnyFunSuite {
     val noisy = base ++ base.map(_.swap) ++ Seq((1L, 2L), (2L, 2L))
     assert(stats(noisy) == stats(base))
   }
+
+  test("report: consolidated values match the hand graph, <=1 cartesian") {
+    // 1->2, 1->3, 2->1, 3->4: nodes {1,2,3,4}; node 4 dangling;
+    // out-degrees 1:2 2:1 3:1; in-degrees 2:1 3:1 1:1 4:1;
+    // reciprocal pairs: (1,2) and (2,1) -> 2 directed reciprocal edges
+    val e = Seq((1L, 2L), (1L, 3L), (2L, 1L), (3L, 4L))
+    val df = Graphs.report(e.toDF("src", "dst"), "src", "dst")
+    val r = df.collect().head
+    assert(r.getAs[Long]("n_nodes") == 4L)
+    assert(r.getAs[Long]("n_edges") == 4L)
+    assert(r.getAs[Long]("n_dangling") == 1L)
+    assert(r.getAs[Long]("max_out_deg") == 2L)
+    assert(r.getAs[Long]("max_in_deg") == 1L)
+    assert(r.getAs[Long]("n_reciprocal") == 2L)
+    // the r12 consolidation: ONE degree pass + one global agg + the
+    // reciprocity self-join, one 1-row crossJoin — not six crossJoined
+    // single-row aggregates. Plan-text counting lies here (AQE + cached
+    // subplans reprint), so measure the runtime truth: stages submitted
+    // for a fresh report() (the pre-r12 shape paid six separate
+    // aggregate pipelines over the edge set).
+    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
+    spark.catalog.clearCache()
+    val n = new java.util.concurrent.atomic.AtomicInteger
+    val l = new org.apache.spark.scheduler.SparkListener {
+      override def onStageSubmitted(
+          st: org.apache.spark.scheduler.SparkListenerStageSubmitted): Unit =
+        n.incrementAndGet()
+    }
+    spark.sparkContext.addSparkListener(l)
+    try {
+      Graphs.report(e.toDF("src", "dst"), "src", "dst")
+      val sc = spark.sparkContext
+      val bus = sc.getClass.getMethod("listenerBus").invoke(sc)
+      bus.getClass.getMethods
+        .find(m => m.getName == "waitUntilEmpty" && m.getParameterCount == 0)
+        .foreach(_.invoke(bus))
+    } finally spark.sparkContext.removeSparkListener(l)
+    assert(n.get() <= 12,
+      s"report() submitted ${n.get()} stages — the consolidation " +
+        "(one degree pass + one global agg + reciprocity) regressed")
+  }
+
+  test("triangleDiag: wedges/candidates replay closed forms") {
+    // K4 oriented by (degree, id): every orientation of K4 is acyclic
+    // with out-degrees {3,2,1,0}-ish; candidates = sum in(v)*out(v)
+    val k4 = for (a <- 1L to 4L; b <- 1L to 4L if a != b) yield (a, b)
+    val r = Graphs.triangleDiag(k4.toDF("src", "dst"), "src", "dst")
+      .collect().head
+    assert(r.getAs[Long]("n_wedges") == 12L)
+    // id-ordered orientation of K4 (all degrees equal): edges lo->hi;
+    // out(1)=3,out(2)=2,out(3)=1; in(2)=1,in(3)=2,in(4)=3
+    // candidates = sum over v of in(v)*out(v) = 1*2 + 2*1 = 4
+    assert(r.getAs[Long]("n_candidates") == 4L)
+    assert(r.getAs[Long]("n_oriented_edges") == 6L)
+    assert(r.getAs[Long]("max_oriented_outdeg") == 3L)
+  }
 }

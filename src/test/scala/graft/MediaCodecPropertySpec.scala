@@ -79,4 +79,29 @@ class MediaCodecPropertySpec extends AnyFunSuite {
         s"case $i: step $a then $b != step ${a * b} over $n samples")
     }
   }
+
+  test("jpegMeta: 500 arbitrary byte blobs never throw; valid prefixes parse") {
+    // hostile-input law: the marker walk is total — null or a correct
+    // struct, never an exception, never an out-of-range read
+    val blobGen = for {
+      n <- Gen.choose(0, 300)
+      bs <- Gen.listOfN(n, Gen.choose(Byte.MinValue, Byte.MaxValue))
+    } yield bs.toArray
+    for (i <- 0 until 500) {
+      val raw = sample(blobGen, 7000 + i)
+      MediaCodecHelper.jpegMeta(raw) // must not throw
+      // same blob glued after a valid SOI: still total
+      MediaCodecHelper.jpegMeta(Array[Byte](0xff.toByte, 0xd8.toByte) ++ raw)
+      // corrupting one byte of a valid stream: total, and if it still
+      // parses the dimensions must be sane (parsed from SOF bounds)
+      val good = graft.ops.Multimodal.jpegBytes(16 + i % 50, 9 + i % 30,
+        1 + i % 3)
+      val pos = i % good.length
+      val mutated = good.clone(); mutated(pos) = (mutated(pos) ^ 0x5a).toByte
+      val r = MediaCodecHelper.jpegMeta(mutated)
+      if (r != null) {
+        assert(r.getInt(0) > 0 && r.getInt(1) > 0 && r.getInt(2) > 0)
+      }
+    }
+  }
 }
