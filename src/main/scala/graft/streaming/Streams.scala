@@ -464,6 +464,43 @@ object Streams {
     * scoring is per-document (no cross-batch state, hence no index chain:
     * this sink is the stateless end of the streaming-family spectrum).
     */
+  /** Streaming quality annotation — the ingest-time gate of a training
+    * pipeline: each micro-batch of documents lands as a chained snapshot
+    * of (id, n_cp, ent_char_fp, n_tok, ent_tok_fp, quality) rows —
+    * the integer-exact entropy signals (expr/EntropyFp) plus the
+    * composite quality score, all scan-side codegen. Stateless per row
+    * (like [[nbScoreSink]]'s frozen model), so per-batch output is
+    * byte-identical to batch annotation and the chain replays under the
+    * tx_entropy discipline.
+    */
+  def qualityAnnotateSink(docs: DataFrame, idCol: String, textCol: String,
+                          store: SnapshotStore, prefix: String,
+                          checkpoint: String): StreamingQuery = {
+    import graft.functions.{TextFunctions => T}
+    val tip = new ChainTip(store, prefix)
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode(OutputMode.Append())
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          val ce = T.charEntropyFp(col(textCol))
+          val te = T.tokenEntropyFp(col(textCol))
+          val scored = batch.select(col(idCol),
+            ce.getField("n").as("n_cp"),
+            ce.getField("ent_fp").as("ent_char_fp"),
+            te.getField("n").as("n_tok"),
+            te.getField("ent_fp").as("ent_tok_fp"),
+            T.qualityScore(col(textCol)).as("quality"))
+          store.write(scored, s"$prefix.$batchId",
+            previous = tip.prevFor(batchId))
+          tip.advance(s"$prefix.$batchId")
+        }
+        ()
+      }
+      .start()
+  }
+
   def nbScoreSink(docs: DataFrame, idCol: String, textCol: String,
                   labelCol: String, cnt: DataFrame, classes: DataFrame,
                   store: SnapshotStore, prefix: String,

@@ -789,6 +789,38 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("qualityAnnotateSink: per-batch entropy/quality == batch annotation") {
+    val s = spark
+    val dir = tmpDir("qa_src")
+    val store = new SnapshotStore(s, tmpDir("qa_store"))
+    val all = s.read.parquet(s"${TestSpark.sfDir}/documents.parquet")
+      .select("doc_id", "text")
+    all.filter(col("doc_id") < 250)
+      .coalesce(1).write.mode("append").parquet(dir)
+    all.filter(col("doc_id") >= 250)
+      .coalesce(1).write.mode("append").parquet(dir)
+    val q = Streams.qualityAnnotateSink(
+      Streams.eventStream(s, dir, maxFilesPerTrigger = 1),
+      "doc_id", "text", store, "qa", checkpoint = tmpDir("qa_ckpt"))
+    q.awaitTermination(120000)
+    import graft.functions.{TextFunctions => T}
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_id", "n_cp", "ent_char_fp", "n_tok", "ent_tok_fp")
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4))).sortBy(_._1).toSeq
+    val streamed = rows(store.iterateChain("qa.1"))
+    val ce = T.charEntropyFp(col("text"))
+    val te = T.tokenEntropyFp(col("text"))
+    val batch = rows(all.select(col("doc_id"),
+      ce.getField("n").as("n_cp"),
+      ce.getField("ent_fp").as("ent_char_fp"),
+      te.getField("n").as("n_tok"),
+      te.getField("ent_fp").as("ent_tok_fp")))
+    assert(streamed.size == batch.size && streamed == batch,
+      "streamed entropy annotation must equal the batch scan")
+  }
+
   test("nbScoreSink: frozen-model streaming scores == batch scoring") {
     val s = spark
     val dir = tmpDir("nbs_src")
