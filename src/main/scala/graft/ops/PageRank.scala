@@ -133,7 +133,11 @@ object PageRank {
     // (it is the output of the previous iteration's v-keyed join), so
     // iterations pay exactly ONE exchange — the (dst, Long) contribution
     // groupBy — never a re-shuffle of the edge relation.
-    val eDeg = e.join(outW, "src").repartition(col("src")).persist()
+    // NOTE: no explicit repartition — the SMJ/aggregation outputs above
+    // are already hashpartitioning(src); an explicit repartition(src)
+    // here re-shuffled the full edge relation for nothing (measured r12:
+    // one redundant edge-sized exchange per ranks() call).
+    val eDeg = e.join(outW, "src").persist()
     val nodes0 = e.select(col("src").as("v"))
       .union(e.select(col("dst").as("v"))).distinct()
     // teleport mass: everywhere 1 for plain PageRank, seed-indicator for
@@ -146,7 +150,7 @@ object PageRank {
         nodes0.join(broadcast(s0), nodes0("v") === col("sv"), "left")
           .select(col("v"),
             when(col("sv").isNotNull, 1L).otherwise(0L).as("tp"))
-    }).repartition(col("v")).persist()
+    }).persist() // nodes0.distinct() is already hashpartitioning(v)
 
     val r0 = init match {
       case None => nodes.select(col("v"), col("tp"), (col("tp") * fp).as("r"))
