@@ -47,10 +47,13 @@ object RandomWalks {
     val deg = e.groupBy("src").agg(count(lit(1)).as("deg"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("src").orderBy("dst")
-    // cached pre-partitioned on src, the every-step join key
+    // cached pre-partitioned on src, the every-step join key — the
+    // row_number window already forces hashpartitioning(src) and the deg
+    // join preserves it, so no explicit repartition (it would re-shuffle
+    // the whole neighbor index for nothing; cf. the PageRank r12 fix)
     val nbr = e.withColumn("idx", row_number().over(w).cast("long") - 1)
       .join(deg, "src")
-      .repartition(col("src")).persist()
+      .persist()
     def draw(t: Int) =
       conv(substring(md5(concat(col("walk_id").cast("string"),
         lit(s"|$t"))), 1, 15), 16, 10).cast("long")
