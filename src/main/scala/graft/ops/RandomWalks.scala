@@ -91,4 +91,32 @@ object RandomWalks {
     nbr.unpersist()
     out
   }
+
+  /** Skip-gram training pairs from a walk corpus — the step that turns
+    * DeepWalk's walks into word2vec-shaped data (Perozzi et al. 2014
+    * §4.2): each walk is a "sentence", and every ordered (center,
+    * context) node pair within `window` steps contributes one
+    * observation; duplicate pairs fold into a frequency column, the
+    * (pair, n) rows a negative-sampling trainer consumes.
+    *
+    * 100 TB shape: the self-join is keyed on walk_id — each group is at
+    * most steps+1 rows, so the join is a bounded per-walk nested loop
+    * after one co-partitioned shuffle, and output is ≤ 2·window rows per
+    * walk position. The grouped count is map-side combinable. Nothing
+    * quadratic in corpus size anywhere.
+    *
+    * @param walks (walk_id, step, node) — [[walks]]' output shape.
+    * @return (center, context, n), n = observation count.
+    */
+  def skipGramPairs(walks: DataFrame, window: Int): DataFrame = {
+    require(window >= 1 && window <= 16, s"window out of range: $window")
+    val a = walks.select(col("walk_id"), col("step").as("sc"),
+      col("node").as("center"))
+    val b = walks.select(col("walk_id"), col("step").as("sx"),
+      col("node").as("context"))
+    a.join(b, "walk_id")
+      .where(col("sx") =!= col("sc") &&
+        abs(col("sx") - col("sc")) <= window)
+      .groupBy("center", "context").agg(count(lit(1)).as("n"))
+  }
 }

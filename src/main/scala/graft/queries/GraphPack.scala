@@ -192,6 +192,12 @@ object GraphPack {
     graft.ops.RandomWalks.walks(e, "src", "dst", starts, steps = 8)
   }
 
+  /** Skip-gram (center, context, n) pairs over the walk corpus, window 2
+    * — the word2vec-shaped training data DeepWalk exists to produce.
+    */
+  def walkPairsQ(s: SparkSession, dir: String): DataFrame =
+    graft.ops.RandomWalks.skipGramPairs(walksQ(s, dir), window = 2)
+
   /** Report card for the DIRECTED customer→supplier fulfillment graph
     * (bipartite, so every supplier is dangling and reciprocity is 0 —
     * the profile that tells you PageRank's leak set up front).
@@ -235,6 +241,7 @@ object GraphPack {
     "gr_cluster_labelprop" -> (clusterLabelPropQ _),
     "gr_report" -> (reportQ _),
     "gr_walks" -> (walksQ _),
+    "gr_walk_pairs" -> (walkPairsQ _),
     "gr_triangles" -> (trianglesQ _),
   )
 
@@ -277,6 +284,15 @@ object GraphPack {
            |  JOIN embeddings em ON em.vec_id = l.v""".stripMargin),
     "gr_walks" -> GraphOracle.randomWalks(GraphOracle.CoPurchaseEdges,
       startsPred = "v % 97 = 0", steps = 8),
+    // skip-gram pairs compose the walks oracle with the bounded
+    // per-walk self-join; window 2
+    "gr_walk_pairs" ->
+      s"""WITH wk AS (${GraphOracle.randomWalks(GraphOracle.CoPurchaseEdges,
+             startsPred = "v % 97 = 0", steps = 8)})
+         |SELECT a.node center, b.node context, count(*)::BIGINT n
+         |FROM wk a JOIN wk b ON a.walk_id = b.walk_id
+         |  AND a.step != b.step AND abs(a.step - b.step) <= 2
+         |GROUP BY 1, 2""".stripMargin,
     // id-ordered orientation here; the operator uses the degree-ordered
     // one — the triangle count is orientation-invariant.
     "gr_triangles" ->

@@ -65,5 +65,28 @@ class RandomWalksSpec extends AnyFunSuite {
       RandomWalks.walks(edges.toDF("src", "dst"), "src", "dst",
         Seq(1L).toDF("v"), 0)
     }
+    intercept[IllegalArgumentException] {
+      RandomWalks.skipGramPairs(
+        Seq((1L, 0L, 1L)).toDF("walk_id", "step", "node"), 0)
+    }
+  }
+
+  test("skipGramPairs replay the plain-collections window model") {
+    val corpus = run(Seq(1L, 2L), 6).map { case (w, s, n) => (w, s, n) }
+    val got = RandomWalks.skipGramPairs(
+        corpus.toDF("walk_id", "step", "node"), window = 2)
+      .as[(Long, Long, Long)].collect().sorted.toSeq
+    val expect = corpus.groupBy(_._1).values.flatMap { walk =>
+      for {
+        (_, sc, c) <- walk
+        (_, sx, x) <- walk
+        if sx != sc && math.abs(sx - sc) <= 2
+      } yield (c, x)
+    }.groupBy(identity).map { case ((c, x), v) => (c, x, v.size.toLong) }
+      .toSeq.sorted
+    assert(got == expect)
+    // symmetry law: skip-gram windows are symmetric in (center, context)
+    val m = got.map { case (c, x, n) => (c, x) -> n }.toMap
+    got.foreach { case (c, x, n) => assert(m((x, c)) == n) }
   }
 }
