@@ -192,11 +192,22 @@ object GraphPack {
     graft.ops.RandomWalks.walks(e, "src", "dst", starts, steps = 8)
   }
 
-  /** Skip-gram (center, context, n) pairs over the walk corpus, window 2
-    * — the word2vec-shaped training data DeepWalk exists to produce.
+  /** Skip-gram (center, context, n) pairs over the PERSISTED walk
+    * corpus, window 2 — the word2vec-shaped training data DeepWalk
+    * exists to produce, in the production shape: the walk corpus is a
+    * build-once memoized snapshot (walks are deterministic, so the
+    * corpus is an artifact, not a query), and pair generation reads it.
+    * The oracle replays walks from scratch, so the hash gate also
+    * proves the corpus round-trip is invisible.
     */
-  def walkPairsQ(s: SparkSession, dir: String): DataFrame =
-    graft.ops.RandomWalks.skipGramPairs(walksQ(s, dir), window = 2)
+  def walkPairsQ(s: SparkSession, dir: String): DataFrame = {
+    val (store, _) = Fixtures(s, dir, "job_walk_corpus") { st =>
+      st.write(walksQ(s, dir), "walk_corpus", slices = 4)
+      Map("walks" -> "walk_corpus")
+    }
+    graft.ops.RandomWalks.skipGramPairs(
+      store.readResolved("walk_corpus"), window = 2)
+  }
 
   /** Report card for the DIRECTED customer→supplier fulfillment graph
     * (bipartite, so every supplier is dangling and reciprocity is 0 —
