@@ -77,7 +77,8 @@ object Graphs {
     val deg = und.select(col("a").as("v"))
       .unionAll(und.select(col("b").as("v")))
       .groupBy("v").agg(count(lit(1)).as("d"))
-    val wedges = deg.agg(sum(expr("(d * (d - 1)) div 2")).as("n_wedges"))
+    val wedges = deg.agg(coalesce(sum(expr("(d * (d - 1)) div 2")),
+      lit(0L)).as("n_wedges"))
     val ranked = und
       .join(deg.select(col("v").as("a"), col("d").as("da")), "a")
       .join(deg.select(col("v").as("b"), col("d").as("db")), "b")
@@ -95,7 +96,8 @@ object Graphs {
         .as("n_candidates"))
     val eStats = outs.agg(count(lit(1)).as("__nv"),
       coalesce(sum(col("outn")), lit(0L)).as("n_oriented_edges"),
-      max(col("outn")).as("max_oriented_outdeg")).drop("__nv")
+      coalesce(max(col("outn")), lit(0L)).as("max_oriented_outdeg"))
+      .drop("__nv")
     val out = wedges.crossJoin(cand).crossJoin(eStats).persist()
     out.count()
     und.unpersist()
@@ -132,7 +134,8 @@ object Graphs {
     val deg = und.select(col("a").as("v"))
       .unionAll(und.select(col("b").as("v")))
       .groupBy("v").agg(count(lit(1)).as("d"))
-    val wedges = deg.agg(sum(expr("(d * (d - 1)) div 2")).as("n_wedges"))
+    val wedges = deg.agg(coalesce(sum(expr("(d * (d - 1)) div 2")),
+      lit(0L)).as("n_wedges"))
     // (degree, id)-ordered orientation
     val ranked = und
       .join(deg.select(col("v").as("a"), col("d").as("da")), "a")

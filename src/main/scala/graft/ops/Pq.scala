@@ -267,9 +267,14 @@ object Pq {
     val qdf = qRows.map { case (qid, qv) =>
       (qid, probeList(coarse, qv, nprobe, fp))
     }.toSeq.toDF("qid", "probes")
-    qdf.select(col("qid"), explode(col("probes")).as("cluster"))
-      .join(sizes, "cluster")
-      .groupBy("qid").agg(sum(col("n")).as("scanned"))
+    // Left join: a probed-but-empty cluster contributes 0 rows scanned,
+    // and a query whose probe lists are all empty still reports
+    // scanned = 0 instead of vanishing (ADVICE r12 — ScaleCheck's probe
+    // fraction averages over these rows).
+    qdf.select(col("qid"), explode_outer(col("probes")).as("cluster"))
+      .join(sizes, Seq("cluster"), "left")
+      .groupBy("qid")
+      .agg(coalesce(sum(col("n")), lit(0L)).as("scanned"))
       .withColumn("total", lit(total))
   }
 }

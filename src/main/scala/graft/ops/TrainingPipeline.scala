@@ -319,14 +319,30 @@ object TrainingPipeline {
       .groupBy(col("__id"), col("__b")).agg(count(lit(1)).as("ov"))
       .join(tot, "__id")
       .withColumn("bp", expr("(10000 * ov) div ns"))
-    per.groupBy(col("__b").as("bench")).agg(
-        count(lit(1)).as("n_docs_overlapping"),
-        count(when(col("bp") >= thrBp, 1)).as("n_docs_contaminated"),
-        max(col("bp")).as("max_cont_bp"),
-        sum(col("ov")).as("total_overlap_shingles"))
+    val agg = per.groupBy(col("__b").as("bench")).agg(
+      count(lit(1)).as("n_docs_overlapping"),
+      count(when(col("bp") >= thrBp, 1)).as("n_docs_contaminated"),
+      max(col("bp")).as("max_cont_bp"),
+      sum(col("ov")).as("total_overlap_shingles"))
+    // Every declared benchmark keeps a row even with zero overlapping
+    // docs — a governance report must distinguish "clean" from "not
+    // evaluated". An empty corpus reports contaminated_bp = 0 rather
+    // than dividing by n_docs_checked = 0.
+    bench.select(col(benchCol).as("bench")).distinct()
+      .join(agg, Seq("bench"), "left")
       .crossJoin(broadcast(tot.agg(count(lit(1)).as("n_docs_checked"))))
-      .withColumn("contaminated_bp",
-        expr("(10000 * n_docs_contaminated) div n_docs_checked"))
+      .select(col("bench"),
+        coalesce(col("n_docs_overlapping"), lit(0L)).as("n_docs_overlapping"),
+        coalesce(col("n_docs_contaminated"), lit(0L))
+          .as("n_docs_contaminated"),
+        coalesce(col("max_cont_bp"), lit(0L)).as("max_cont_bp"),
+        coalesce(col("total_overlap_shingles"), lit(0L))
+          .as("total_overlap_shingles"),
+        col("n_docs_checked"),
+        when(col("n_docs_checked") === 0, lit(0L))
+          .otherwise(expr(
+            "(10000 * coalesce(n_docs_contaminated, 0L)) div n_docs_checked"))
+          .as("contaminated_bp"))
   }
 
   def decontaminate(df: DataFrame, bench: DataFrame, idCol: String,

@@ -202,7 +202,9 @@ object GraphPack {
     */
   def walkPairsQ(s: SparkSession, dir: String): DataFrame = {
     val (store, _) = Fixtures(s, dir, "job_walk_corpus") { st =>
-      st.write(walksQ(s, dir), "walk_corpus", slices = 4)
+      val w = walksQ(s, dir) // caller-owned cache (walks() persists)
+      st.write(w, "walk_corpus", slices = 4)
+      w.unpersist() // the snapshot IS the artifact; drop the build cache
       Map("walks" -> "walk_corpus")
     }
     graft.ops.RandomWalks.skipGramPairs(

@@ -157,15 +157,24 @@ object OracleGen {
            FROM ex JOIN bench USING (h) GROUP BY 1, 2),
          per AS (SELECT ov.doc_id, b, ov, ns, (10000 * ov) // ns bp
            FROM ov JOIN tot USING (doc_id)),
-         nd AS (SELECT count(*)::BIGINT n FROM tot)
-         SELECT b AS bench,
-           count(*)::BIGINT n_docs_overlapping,
-           (count(*) FILTER (bp >= $thrBp))::BIGINT n_docs_contaminated,
-           max(bp)::BIGINT max_cont_bp,
-           sum(ov)::BIGINT total_overlap_shingles,
+         nd AS (SELECT count(*)::BIGINT n FROM tot),
+         names AS (SELECT DISTINCT b FROM bmap),
+         rep AS (SELECT b,
+             count(*)::BIGINT n_docs_overlapping,
+             (count(*) FILTER (bp >= $thrBp))::BIGINT n_docs_contaminated,
+             max(bp)::BIGINT max_cont_bp,
+             sum(ov)::BIGINT total_overlap_shingles
+           FROM per GROUP BY 1)
+         SELECT names.b AS bench,
+           coalesce(n_docs_overlapping, 0)::BIGINT n_docs_overlapping,
+           coalesce(n_docs_contaminated, 0)::BIGINT n_docs_contaminated,
+           coalesce(max_cont_bp, 0)::BIGINT max_cont_bp,
+           coalesce(total_overlap_shingles, 0)::BIGINT total_overlap_shingles,
            (SELECT n FROM nd) n_docs_checked,
-           (10000 * count(*) FILTER (bp >= $thrBp)) // (SELECT n FROM nd) contaminated_bp
-         FROM per GROUP BY 1"""
+           (CASE WHEN (SELECT n FROM nd) = 0 THEN 0
+             ELSE (10000 * coalesce(n_docs_contaminated, 0))
+               // (SELECT n FROM nd) END)::BIGINT contaminated_bp
+         FROM names LEFT JOIN rep USING (b)"""
 
   /** Connected-component CTE chain over near-dup pairs (recursive reach →
     * min reachable id per node) — shared by dupClusters and dedupCorpus.

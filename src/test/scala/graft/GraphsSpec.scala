@@ -84,4 +84,20 @@ class GraphsSpec extends AnyFunSuite {
     assert(r.getAs[Long]("n_oriented_edges") == 6L)
     assert(r.getAs[Long]("max_oriented_outdeg") == 3L)
   }
+
+  test("triangleDiag and triangleStats: edge-free input is all-zero, not null") {
+    val empty = Seq.empty[(Long, Long)]
+    val d = Graphs.triangleDiag(empty.toDF("src", "dst"), "src", "dst")
+      .collect().head
+    assert(!(0 until d.length).exists(d.isNullAt),
+      s"diagnostic row must carry 0s, not nulls: $d")
+    assert(Seq("n_wedges", "n_candidates", "n_oriented_edges",
+      "max_oriented_outdeg").forall(c => d.getAs[Long](c) == 0L))
+    assert(stats(empty) == (0L, 0L, 0L))
+    // self-loop-only input reduces to edge-free after cleaning
+    val dl = Graphs.triangleDiag(Seq((5L, 5L)).toDF("src", "dst"),
+      "src", "dst").collect().head
+    assert(Seq("n_wedges", "n_candidates", "n_oriented_edges",
+      "max_oriented_outdeg").forall(c => dl.getAs[Long](c) == 0L))
+  }
 }

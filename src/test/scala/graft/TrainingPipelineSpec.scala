@@ -122,7 +122,9 @@ class TrainingPipelineSpec extends AnyFunSuite {
     import s.implicits._
     val bench = Seq(
       (100L, "A", "alpha beta gamma delta"),
-      (101L, "B", "one two three four")).toDF("id", "bench", "text")
+      (101L, "B", "one two three four"),
+      // zero-overlap benchmark: must still report a (clean) row
+      (102L, "C", "qq rr ss tt uu")).toDF("id", "bench", "text")
     val train = Seq(
       (1L, "alpha beta gamma delta"),   // A: 2/2 -> 10000 bp
       (2L, "alpha beta gamma other"),   // A: 1/2 -> 5000 bp (== threshold)
@@ -138,10 +140,21 @@ class TrainingPipelineSpec extends AnyFunSuite {
         r.getAs[Long]("total_overlap_shingles"),
         r.getAs[Long]("n_docs_checked"),
         r.getAs[Long]("contaminated_bp")))).toMap
-    assert(got.keySet == Set("A", "B"))
+    assert(got.keySet == Set("A", "B", "C"))
     // bp >= 5000 is exactly ov/ns >= 0.5: doc 2 (exactly half) counts
     assert(got("A") == ((2L, 2L, 10000L, 3L, 4L, 5000L)))
     assert(got("B") == ((1L, 1L, 5000L, 1L, 4L, 2500L)))
+    // clean benchmark ≠ unevaluated benchmark: all-zero row, not absence
+    assert(got("C") == ((0L, 0L, 0L, 0L, 4L, 0L)))
+    // empty corpus: every benchmark reports zeros, no division by zero
+    val empty = graft.ops.TrainingPipeline
+      .contaminationReport(train.limit(0), bench, "id", "text", "bench",
+        n = 3, threshold = 0.5)
+      .collect().map(r => r.getAs[String]("bench") ->
+        ((r.getAs[Long]("n_docs_checked"),
+          r.getAs[Long]("contaminated_bp")))).toMap
+    assert(empty.keySet == Set("A", "B", "C"))
+    assert(empty.values.toSet == Set((0L, 0L)))
     intercept[IllegalArgumentException] {
       graft.ops.TrainingPipeline.contaminationReport(
         train, bench, "id", "text", "bench", threshold = 0.33333)
