@@ -44,7 +44,16 @@ object Bench {
     //    the order-independence experiment (VARIANCE.json order_note):
     //    diffing the two orders measures how much a query's number is its
     //    neighbors' GC debt rather than its own plan.
-    val ordered0 = SparkEntry.queries.toSeq.sortBy(_._1)
+    // SPARK_GRAFT_BENCH_ONLY=<comma-separated name prefixes>: time only
+    // matching queries — the local-reproduction switch for adjudicating
+    // single-query drift (the driver sets nothing, so it always runs the
+    // full set).
+    val only: String => Boolean = sys.env.get("SPARK_GRAFT_BENCH_ONLY") match {
+      case Some(ps0) => val ps = ps0.split(','); n => ps.exists(n.startsWith)
+      case None => _ => true
+    }
+    val ordered0 = SparkEntry.queries.toSeq.filter(kv => only(kv._1))
+      .sortBy(_._1)
     // Per-pass order: pass 1 sorted, passes 2..n deterministically
     // seeded shuffles. The r12 order experiment measured median 5.4% /
     // p90 21.5% per-query movement between forward and reverse order
