@@ -23,15 +23,6 @@ object Bench {
       catch { case e: Throwable =>
         System.err.println(s"[bench] warmup skipped $t: ${e.getMessage}") }
     }
-    // full untimed pass over every query: builds/caches the memoized
-    // fixtures (graft.queries.Fixtures — JobRunner-backed, so the second
-    // pass reuses them) and absorbs per-query first-run codegen. The timed
-    // pass below then measures operator plan cost, not fixture I/O.
-    SparkEntry.queries.foreach { case (name, fn) =>
-      try graft.core.Materialize.full(fn(spark, sfDir))
-      catch { case e: Throwable =>
-        System.err.println(s"[bench] warmup $name failed: ${e.getMessage}") }
-    }
     // Timed: min of 3 passes per query, in sorted-name order.
     //  - min-of-N: a single pass is hostage to GC pauses / machine
     //    contention — round 6 showed 3-4x swings on queries whose code had
@@ -48,12 +39,45 @@ object Bench {
     // matching queries — the local-reproduction switch for adjudicating
     // single-query drift (the driver sets nothing, so it always runs the
     // full set).
+    // Empty/typo'd filters fail fast: a prefix that matches nothing (or an
+    // empty-string value, which would match EVERYTHING while looking like a
+    // single-query run) would otherwise produce a normal-looking BENCH
+    // artifact that timed the wrong set.
     val only: String => Boolean = sys.env.get("SPARK_GRAFT_BENCH_ONLY") match {
-      case Some(ps0) => val ps = ps0.split(','); n => ps.exists(n.startsWith)
+      case Some(ps0) =>
+        val ps = ps0.split(',').map(_.trim).filter(_.nonEmpty)
+        if (ps.isEmpty) {
+          System.err.println(
+            "[bench] SPARK_GRAFT_BENCH_ONLY is set but empty — refusing to " +
+              "time the full set under a filter flag; unset it or name a prefix")
+          sys.exit(2)
+        }
+        n => ps.exists(n.startsWith)
       case None => _ => true
     }
     val ordered0 = SparkEntry.queries.toSeq.filter(kv => only(kv._1))
       .sortBy(_._1)
+    if (sys.env.contains("SPARK_GRAFT_BENCH_ONLY")) {
+      if (ordered0.isEmpty) {
+        System.err.println(
+          s"[bench] SPARK_GRAFT_BENCH_ONLY=${sys.env("SPARK_GRAFT_BENCH_ONLY")} " +
+            "matched zero queries — check the prefix spelling")
+        sys.exit(2)
+      }
+      System.err.println(
+        s"[bench] SPARK_GRAFT_BENCH_ONLY matched ${ordered0.size} queries: " +
+          ordered0.map(_._1).mkString(", "))
+    }
+    // full untimed pass over the (possibly filtered) query set: builds/caches
+    // the memoized fixtures (graft.queries.Fixtures — JobRunner-backed, so
+    // the second pass reuses them) and absorbs per-query first-run codegen.
+    // The timed pass below then measures operator plan cost, not fixture I/O.
+    // Warming only the filtered set keeps single-query repro runs fast.
+    ordered0.foreach { case (name, fn) =>
+      try graft.core.Materialize.full(fn(spark, sfDir))
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] warmup $name failed: ${e.getMessage}") }
+    }
     // Per-pass order: pass 1 sorted, passes 2..n deterministically
     // seeded shuffles. The r12 order experiment measured median 5.4% /
     // p90 21.5% per-query movement between forward and reverse order
@@ -68,6 +92,18 @@ object Bench {
         ordered0.reverse
       else if (pass == 1) ordered0
       else new scala.util.Random(pass.toLong * 7919L).shuffle(ordered0)
+    // GC/heap telemetry: cumulative collector time across all GC beans, and
+    // used-heap after each sample. Recorded per query per pass so a future
+    // wall-time outlier is adjudicated mechanically (wall inflation that
+    // tracks gc_ms is memory pressure; wall inflation with flat gc_ms is
+    // ambient CPU contention) instead of by narrative — the r12 driver tail
+    // took three rounds to adjudicate for lack of exactly these columns.
+    import scala.jdk.CollectionConverters._
+    def gcMillis(): Long = java.lang.management.ManagementFactory
+      .getGarbageCollectorMXBeans.asScala.map(b => math.max(0L, b.getCollectionTime)).sum
+    def heapUsedMb(): Long = java.lang.management.ManagementFactory
+      .getMemoryMXBean.getHeapMemoryUsage.getUsed >> 20
+    final case class Sample(sec: Double, gcMs: Long, heapMb: Long)
     val passes = 3
     val samples = (1 to passes).map { pass =>
       // drop every persisted RDD/Dataset from previous passes: queries
@@ -82,6 +118,7 @@ object Bench {
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
       spark.catalog.clearCache()
       orderFor(pass).map { case (name, fn) =>
+        val gc0 = gcMillis()
         val t0 = System.nanoTime()
         // noop-sink full materialization, NOT count(): count() lets
         // Catalyst prune projections and eliminate unique-key left joins,
@@ -89,33 +126,48 @@ object Bench {
         // numbers from r12 on are re-baselined under the honest action)
         try { graft.core.Materialize.full(fn(spark, sfDir)) }
         catch { case _: Throwable => () }
-        name -> (System.nanoTime() - t0) / 1e9
+        val sec = (System.nanoTime() - t0) / 1e9
+        name -> Sample(sec, gcMillis() - gc0, heapUsedMb())
       }.toMap
     }
     // per-pass totals to stderr: when a future round's numbers look off,
     // this shows whether noise hit one pass or all three (the JSON line on
     // stdout stays the single driver-parsed artifact)
     samples.zipWithIndex.foreach { case (m, i) =>
-      System.err.println(f"[bench] pass ${i + 1}: ${m.values.sum}%.1f s")
+      System.err.println(
+        f"[bench] pass ${i + 1}: ${m.values.map(_.sec).sum}%.1f s, gc ${m.values.map(_.gcMs).sum} ms")
     }
     val results = ordered0.map { case (name, _) =>
-      name -> samples.map(_(name)).min
+      name -> samples.map(_(name)).minBy(_.sec)
     }
     // 4 decimals (0.1 ms): full double precision tripled the line length
     // and the driver archives only a fixed-size tail of stdout — r7's
     // BENCH tail lost the first ~18 queries AND the total to truncation.
-    val qs = results.map { case (k, v) => f""""$k":$v%.4f""" }
+    val qs = results.map { case (k, v) => f""""$k":${v.sec}%.4f""" }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
+    val total = results.map(_._2.sec).sum
     // total LAST: whatever prefix the tail window cuts, the total (the one
     // round-over-round comparable number) survives at the line's end.
     val line =
       f"""{"metric":"total","unit":"sec","sf":"$sfDir","queries":$qs,"value":$total%.4f}"""
     println(line)
     // Complete, untruncatable copy for the judge (the stdout tail keeps
-    // only ~2000 chars; ~90 queries need more).
+    // only ~2000 chars; ~90 queries need more) — with per-query telemetry
+    // columns the short stdout line omits: gc_ms = GC time during the
+    // min-wall sample (the reported number's own GC cost), gc_ms_worst =
+    // max GC delta across the 3 passes (neighbor-debt / pressure signal),
+    // heap_mb = used heap right after the min-wall sample.
+    val gcQs = results.map { case (k, v) => s""""$k":${v.gcMs}""" }
+      .mkString("{", ",", "}")
+    val gcWorstQs = ordered0.map { case (name, _) =>
+      s""""$name":${samples.map(_(name).gcMs).max}"""
+    }.mkString("{", ",", "}")
+    val heapQs = results.map { case (k, v) => s""""$k":${v.heapMb}""" }
+      .mkString("{", ",", "}")
+    val fullLine =
+      f"""{"metric":"total","unit":"sec","sf":"$sfDir","queries":$qs,"gc_ms":$gcQs,"gc_ms_worst":$gcWorstQs,"heap_mb":$heapQs,"value":$total%.4f}"""
     try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_FULL.json"),
-      (line + "\n").getBytes("UTF-8"))
+      (fullLine + "\n").getBytes("UTF-8"))
     catch { case e: Throwable =>
       System.err.println(s"[bench] BENCH_FULL.json write failed: ${e.getMessage}") }
     spark.stop()
