@@ -9,8 +9,10 @@ import org.apache.spark.sql.types._
 
 /** Real (not stubbed) pure-JVM media decode for the multimodal column
   * pipeline: PNG raster decode via `java.util.zip.Inflater` + full filter
-  * reconstruction, nearest-neighbor resize with re-encode, and WAV PCM
-  * sample access via the bounded RIFF walk ([[RiffWalkHelper]]).
+  * reconstruction, baseline JPEG decode (Huffman + dequant + IDCT +
+  * chroma upsample + YCbCr→RGB, ITU-T T.81), nearest-neighbor resize
+  * with re-encode, and WAV PCM sample access via the bounded RIFF walk
+  * ([[RiffWalkHelper]]).
   *
   * Scope (honest partial decoder, null on anything else — never garbage):
   *  - PNG: 8-bit depth, color type 0 (grayscale, 1 byte/px) or 2 (RGB,
@@ -18,6 +20,10 @@ import org.apache.spark.sql.types._
   *    (None/Sub/Up/Average/Paeth). Covers the overwhelmingly common
   *    "decoded training image" layouts; palette/alpha/16-bit/interlaced
   *    return null so a pipeline routes them to its bad-blob side.
+  *  - JPEG: baseline/extended-sequential Huffman (SOF0/SOF1), 8-bit,
+  *    gray or YCbCr with sampling factors 1–2 (4:4:4/4:2:2/4:2:0),
+  *    restart markers, multi-table DQT/DHT. Progressive/arithmetic/12-bit
+  *    return null.
   *  - WAV: PCM 16-bit, located through the chunk walk (LIST/fact chunks
   *    before `fmt ` are fine).
   *
@@ -29,9 +35,11 @@ import org.apache.spark.sql.types._
   *
   * Why decode can be real here with zero codec libraries: PNG's IDAT is a
   * zlib stream (java.util.zip) and the filter pass is ~40 lines of integer
-  * arithmetic; WAV PCM is length-prefixed little-endian shorts. The
-  * remaining `decodeImageStub` seam in ops/Multimodal is only for formats
-  * that genuinely need an external codec (JPEG/video).
+  * arithmetic; baseline JPEG is canonical-Huffman bit reading plus an 8×8
+  * IDCT, all bounded public-spec work; WAV PCM is length-prefixed
+  * little-endian shorts. The remaining `decodeImageStub` seam in
+  * ops/Multimodal is only for VIDEO — the one format that genuinely needs
+  * an external codec.
   */
 object MediaCodecHelper {
 
@@ -240,6 +248,439 @@ object MediaCodecHelper {
     */
   def pngResizeNearest(bytes: Array[Byte], dstW: Int, dstH: Int): Array[Byte] = {
     val r = decodePng(bytes)
+    if (r == null) return null
+    val out = new Array[Byte](dstW * dstH * r.bpp)
+    var y = 0
+    while (y < dstH) {
+      val sy = y * r.height / dstH
+      var x = 0
+      while (x < dstW) {
+        val sx = x * r.width / dstW
+        var c = 0
+        while (c < r.bpp) {
+          out((y * dstW + x) * r.bpp + c) = r.pix((sy * r.width + sx) * r.bpp + c)
+          c += 1
+        }
+        x += 1
+      }
+      y += 1
+    }
+    encodePng(new Raster(dstW, dstH, r.bpp, out))
+  }
+
+  // ---------------- JPEG (baseline decode) ----------------
+
+  /** Zigzag index → natural raster position (row*8+col), ITU-T T.81
+    * Figure A.6. The fixture encoder in ops/Multimodal generates its own
+    * zigzag algorithmically — no shared table between test-data
+    * construction and production decode.
+    */
+  private val JpegZigzag: Array[Int] = Array(
+    0, 1, 8, 16, 9, 2, 3, 10,
+    17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34,
+    27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36,
+    29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46,
+    53, 60, 61, 54, 47, 55, 62, 63)
+
+  /** IDCT basis: IdctCos(u)(x) = C(u)/2 · cos((2x+1)uπ/16), C(0)=1/√2.
+    * StrictMath so the table is bit-identical on every JVM; the fixture
+    * coefficients are chosen so every decoded value sits ≥0.016 from a
+    * rounding boundary (vs ~1e-13 double noise), making the integer
+    * outputs deterministic and oracle-replayable.
+    */
+  private val IdctCos: Array[Array[Double]] = Array.tabulate(8, 8) { (u, x) =>
+    val cu = if (u == 0) 1.0 / StrictMath.sqrt(2.0) else 1.0
+    cu / 2.0 * StrictMath.cos((2 * x + 1) * u * StrictMath.PI / 16.0)
+  }
+
+  /** Control-flow bail for malformed/out-of-envelope streams: the decoder
+    * throws this (or any runtime exception from a bounds check) and the
+    * public entry point returns null — honest "can't decode", never
+    * garbage pixels.
+    */
+  private object JpegBail extends RuntimeException with scala.util.control.NoStackTrace
+
+  /** Canonical Huffman table from a DHT segment's BITS/HUFFVAL, decoded by
+    * the mincode/maxcode/valptr walk of ITU-T T.81 §F.2.2.3.
+    */
+  private final class JHuff(counts: Array[Int], val vals: Array[Int]) {
+    val minc = new Array[Int](17)
+    val maxc = Array.fill(17)(-1)
+    val vptr = new Array[Int](17)
+    locally {
+      var code = 0; var k = 0; var l = 1
+      while (l <= 16) {
+        if (counts(l - 1) > 0) {
+          vptr(l) = k; minc(l) = code
+          code += counts(l - 1); k += counts(l - 1)
+          maxc(l) = code - 1
+        }
+        code <<= 1; l += 1
+      }
+      if (k != vals.length) throw JpegBail
+    }
+  }
+
+  /** MSB-first bit reader over entropy-coded data with FF00 unstuffing.
+    * Any non-stuffing marker hit mid-read throws (entropy data may contain
+    * any byte sequence only via stuffing; a bare marker there is corrupt
+    * or an unsupported layout). Restart markers are consumed only at the
+    * decoder's expected MCU boundaries via [[restart]].
+    */
+  private final class JBits(b: Array[Byte], var pos: Int, end: Int) {
+    private var buf = 0
+    private var cnt = 0
+    def bit(): Int = {
+      if (cnt == 0) {
+        if (pos >= end) throw JpegBail
+        val v = b(pos) & 0xff; pos += 1
+        if (v == 0xff) {
+          if (pos >= end) throw JpegBail
+          if ((b(pos) & 0xff) != 0x00) throw JpegBail
+          pos += 1
+        }
+        buf = v; cnt = 8
+      }
+      cnt -= 1
+      (buf >> cnt) & 1
+    }
+    def receive(n: Int): Int = {
+      var v = 0; var i = 0
+      while (i < n) { v = (v << 1) | bit(); i += 1 }
+      v
+    }
+    /** Byte-align and consume the expected RSTn marker. */
+    def restart(idx: Int): Unit = {
+      cnt = 0
+      if (pos + 2 > end) throw JpegBail
+      if ((b(pos) & 0xff) != 0xff || (b(pos + 1) & 0xff) != (0xd0 + idx)) throw JpegBail
+      pos += 2
+    }
+  }
+
+  private def jDecodeSym(r: JBits, t: JHuff): Int = {
+    var code = 0; var l = 0
+    while (l < 16) {
+      code = (code << 1) | r.bit(); l += 1
+      if (t.maxc(l) >= 0 && code <= t.maxc(l))
+        return t.vals(t.vptr(l) + code - t.minc(l))
+    }
+    throw JpegBail
+  }
+
+  /** T.81 §F.2.2.1 EXTEND: map a `t`-bit magnitude to its signed value. */
+  private def jExtend(v: Int, t: Int): Int =
+    if (t == 0) 0 else if (v < (1 << (t - 1))) v - (1 << t) + 1 else v
+
+  private final class JComp {
+    var h = 1; var v = 1; var tq = 0
+    var td = 0; var ta = 0
+    var plane: Array[Byte] = null
+    var planeW = 0
+    var pred = 0
+  }
+
+  /** Full baseline JPEG decode — Huffman entropy decode, dequantization,
+    * floating IDCT with deterministic rounding, 4:2:0/4:2:2/4:4:4 chroma
+    * replication upsample, integer YCbCr→RGB. Pure JVM, zero codec
+    * libraries: every piece is bounded public-spec work (ITU-T T.81),
+    * same pattern as the PNG inflate+unfilter path above.
+    *
+    * Envelope (null outside it — honest partial decoder, never garbage):
+    * SOF0/SOF1 (baseline/extended sequential, Huffman), 8-bit precision,
+    * 1 or 3 components, sampling factors 1 or 2, one interleaved scan
+    * (Ss=0, Se=63, Ah=Al=0), restart markers, 8- or 16-bit quant tables.
+    * Progressive (SOF2), arithmetic coding, 12-bit, and multi-scan files
+    * return null — as does video, the one remaining external-codec seam.
+    *
+    * Output: gray raster (bpp=1) for 1 component; interleaved RGB (bpp=3)
+    * for 3, converted with the fixed-point CCIR 601 constants
+    * (91881/22554/46802/116130 : 65536) and floor((x+32768)>>16) rounding
+    * so an oracle replays the exact integers.
+    */
+  def decodeJpeg(bytes: Array[Byte]): Raster = {
+    if (bytes == null || bytes.length < 4) return null
+    try decodeJpeg0(bytes)
+    catch { case _: RuntimeException => null }
+  }
+
+  private def decodeJpeg0(b: Array[Byte]): Raster = {
+    if ((b(0) & 0xff) != 0xff || (b(1) & 0xff) != 0xd8) return null
+    val qt = Array.ofDim[Int](4, 64) // zigzag order
+    val dcT = new Array[JHuff](4)
+    val acT = new Array[JHuff](4)
+    var w = 0; var h = 0
+    var comps: Array[JComp] = null
+    var restartInt = 0
+    var off = 2
+    while (off + 1 < b.length) {
+      if ((b(off) & 0xff) != 0xff) return null
+      var m = b(off + 1) & 0xff
+      while (m == 0xff && off + 2 < b.length) { off += 1; m = b(off + 1) & 0xff }
+      off += 2
+      def segLen: Int = {
+        if (off + 2 > b.length) throw JpegBail
+        val len = ((b(off) & 0xff) << 8) | (b(off + 1) & 0xff)
+        if (len < 2 || off + len > b.length) throw JpegBail
+        len
+      }
+      m match {
+        case 0xd8 | 0x01 => // stray SOI / TEM: standalone
+        case x if x >= 0xd0 && x <= 0xd7 => // RSTn outside scan: ignore
+        case 0xd9 => return null // EOI before SOS
+        case 0xdb => // DQT: one or more tables
+          val len = segLen
+          var p = off + 2; val stop = off + len
+          while (p < stop) {
+            val pq = (b(p) & 0xff) >> 4; val tq = b(p) & 0x0f
+            if (pq > 1 || tq > 3) throw JpegBail
+            p += 1
+            val step = if (pq == 0) 1 else 2
+            if (p + 64 * step > stop) throw JpegBail
+            var i = 0
+            while (i < 64) {
+              qt(tq)(i) =
+                if (pq == 0) b(p + i) & 0xff
+                else ((b(p + 2 * i) & 0xff) << 8) | (b(p + 2 * i + 1) & 0xff)
+              if (qt(tq)(i) == 0) throw JpegBail
+              i += 1
+            }
+            p += 64 * step
+          }
+          off += len
+        case 0xc4 => // DHT: one or more tables
+          val len = segLen
+          var p = off + 2; val stop = off + len
+          while (p < stop) {
+            val tc = (b(p) & 0xff) >> 4; val th = b(p) & 0x0f
+            if (tc > 1 || th > 3) throw JpegBail
+            p += 1
+            if (p + 16 > stop) throw JpegBail
+            val counts = Array.tabulate(16)(i => b(p + i) & 0xff)
+            p += 16
+            val n = counts.sum
+            if (n > 256 || p + n > stop) throw JpegBail
+            val vals = Array.tabulate(n)(i => b(p + i) & 0xff)
+            p += n
+            val t = new JHuff(counts, vals)
+            if (tc == 0) dcT(th) = t else acT(th) = t
+          }
+          off += len
+        case 0xc0 | 0xc1 => // SOF0/SOF1: baseline frame header
+          val len = segLen
+          if (len < 8) throw JpegBail
+          val precision = b(off + 2) & 0xff
+          h = ((b(off + 3) & 0xff) << 8) | (b(off + 4) & 0xff)
+          w = ((b(off + 5) & 0xff) << 8) | (b(off + 6) & 0xff)
+          val nc = b(off + 7) & 0xff
+          if (precision != 8 || w <= 0 || h <= 0 || (nc != 1 && nc != 3)) return null
+          if (len < 8 + 3 * nc) throw JpegBail
+          // decoded-size cap, same rationale as PNG: forged dims can't OOM
+          if (w.toLong * h * nc > 64L * 1024 * 1024) return null
+          comps = Array.tabulate(nc) { i =>
+            val c = new JComp
+            val hv = b(off + 9 + 3 * i) & 0xff
+            c.h = hv >> 4; c.v = hv & 0x0f
+            c.tq = b(off + 10 + 3 * i) & 0xff
+            if (c.h < 1 || c.h > 2 || c.v < 1 || c.v > 2 || c.tq > 3) return null
+            c
+          }
+          // single-component scans carry one data unit per MCU regardless
+          // of declared sampling (T.81 A.2.2) — normalize to 1x1
+          if (nc == 1) { comps(0).h = 1; comps(0).v = 1 }
+          off += len
+        case x if x >= 0xc2 && x <= 0xcf && x != 0xc4 && x != 0xc8 && x != 0xcc =>
+          return null // progressive / arithmetic / lossless: out of envelope
+        case 0xdd => // DRI
+          val len = segLen
+          if (len != 4) throw JpegBail
+          restartInt = ((b(off + 2) & 0xff) << 8) | (b(off + 3) & 0xff)
+          off += len
+        case 0xda => // SOS: one interleaved scan over all frame components
+          val len = segLen
+          if (comps == null) return null
+          val ns = b(off + 2) & 0xff
+          if (ns != comps.length || len < 6 + 2 * ns) return null
+          var i = 0
+          while (i < ns) {
+            val cid = b(off + 3 + 2 * i) & 0xff
+            // match scan component to frame component by position (our
+            // envelope: scan order == frame order; id mismatch → bail)
+            val tdta = b(off + 4 + 2 * i) & 0xff
+            comps(i).td = tdta >> 4; comps(i).ta = tdta & 0x0f
+            if (comps(i).td > 3 || comps(i).ta > 3) return null
+            val _ = cid
+            i += 1
+          }
+          val ss = b(off + 3 + 2 * ns) & 0xff
+          val se = b(off + 4 + 2 * ns) & 0xff
+          val ahal = b(off + 5 + 2 * ns) & 0xff
+          if (ss != 0 || se != 63 || ahal != 0) return null
+          return jScan(b, off + len, w, h, comps, qt, dcT, acT, restartInt)
+        case _ => off += segLen // APPn / COM / other: skip
+      }
+    }
+    null // ran off the end without a scan
+  }
+
+  /** Entropy-decode the interleaved scan, IDCT each block into its
+    * component plane, then upsample + color-convert + crop.
+    */
+  private def jScan(b: Array[Byte], scanOff: Int, w: Int, h: Int,
+                    comps: Array[JComp], qt: Array[Array[Int]],
+                    dcT: Array[JHuff], acT: Array[JHuff],
+                    restartInt: Int): Raster = {
+    var hmax = 1; var vmax = 1
+    comps.foreach { c => if (c.h > hmax) hmax = c.h; if (c.v > vmax) vmax = c.v }
+    val mcusX = (w + 8 * hmax - 1) / (8 * hmax)
+    val mcusY = (h + 8 * vmax - 1) / (8 * vmax)
+    comps.foreach { c =>
+      if (dcT(c.td) == null || acT(c.ta) == null) throw JpegBail
+      c.planeW = mcusX * 8 * c.h
+      c.plane = new Array[Byte](c.planeW * mcusY * 8 * c.v)
+      c.pred = 0
+    }
+    val r = new JBits(b, scanOff, b.length)
+    val coef = new Array[Int](64)
+    val tmp = new Array[Double](64)
+    var mcu = 0; var rstIdx = 0
+    var my = 0
+    while (my < mcusY) {
+      var mx = 0
+      while (mx < mcusX) {
+        if (restartInt > 0 && mcu > 0 && mcu % restartInt == 0) {
+          r.restart(rstIdx); rstIdx = (rstIdx + 1) & 7
+          comps.foreach(_.pred = 0)
+        }
+        var ci = 0
+        while (ci < comps.length) {
+          val c = comps(ci)
+          val q = qt(c.tq)
+          var by = 0
+          while (by < c.v) {
+            var bx = 0
+            while (bx < c.h) {
+              // --- decode one block: DC diff + AC run/size, dequantized
+              java.util.Arrays.fill(coef, 0)
+              val t = jDecodeSym(r, dcT(c.td))
+              if (t > 11) throw JpegBail
+              c.pred += jExtend(r.receive(t), t)
+              coef(0) = c.pred * q(0)
+              var k = 1
+              while (k < 64) {
+                val rs = jDecodeSym(r, acT(c.ta))
+                val run = rs >> 4; val s = rs & 15
+                if (s == 0) {
+                  if (run == 15) k += 16 else k = 64 // ZRL / EOB
+                } else {
+                  k += run
+                  if (k > 63) throw JpegBail
+                  coef(JpegZigzag(k)) = jExtend(r.receive(s), s) * q(k)
+                  k += 1
+                }
+              }
+              // --- separable IDCT, deterministic floor(x+128.5) rounding
+              var x = 0
+              while (x < 8) {
+                var v = 0
+                while (v < 8) {
+                  var acc = 0.0
+                  var u = 0
+                  while (u < 8) { acc += coef(v * 8 + u) * IdctCos(u)(x); u += 1 }
+                  tmp(v * 8 + x) = acc
+                  v += 1
+                }
+                x += 1
+              }
+              val x0 = (mx * c.h + bx) * 8
+              val y0 = (my * c.v + by) * 8
+              var y = 0
+              while (y < 8) {
+                var xx = 0
+                while (xx < 8) {
+                  var f = 0.0
+                  var v = 0
+                  while (v < 8) { f += tmp(v * 8 + xx) * IdctCos(v)(y); v += 1 }
+                  var p = StrictMath.floor(f + 128.5).toInt
+                  if (p < 0) p = 0 else if (p > 255) p = 255
+                  c.plane((y0 + y) * c.planeW + x0 + xx) = p.toByte
+                  xx += 1
+                }
+                y += 1
+              }
+              bx += 1
+            }
+            by += 1
+          }
+          ci += 1
+        }
+        mcu += 1; mx += 1
+      }
+      my += 1
+    }
+    // --- assemble: crop (gray) or replication-upsample + YCbCr→RGB
+    if (comps.length == 1) {
+      val c = comps(0)
+      val pix = new Array[Byte](w * h)
+      var y = 0
+      while (y < h) {
+        System.arraycopy(c.plane, y * c.planeW, pix, y * w, w)
+        y += 1
+      }
+      new Raster(w, h, 1, pix)
+    } else {
+      val cy = comps(0); val cb = comps(1); val cr = comps(2)
+      val pix = new Array[Byte](w * h * 3)
+      var y = 0
+      while (y < h) {
+        val yY = y * cy.v / vmax; val yB = y * cb.v / vmax; val yR = y * cr.v / vmax
+        var x = 0
+        while (x < w) {
+          val yv = cy.plane(yY * cy.planeW + x * cy.h / hmax) & 0xff
+          val cbv = (cb.plane(yB * cb.planeW + x * cb.h / hmax) & 0xff) - 128
+          val crv = (cr.plane(yR * cr.planeW + x * cr.h / hmax) & 0xff) - 128
+          var rv = yv + ((91881 * crv + 32768) >> 16)
+          var gv = yv - ((22554 * cbv + 46802 * crv + 32768) >> 16)
+          var bv = yv + ((116130 * cbv + 32768) >> 16)
+          if (rv < 0) rv = 0 else if (rv > 255) rv = 255
+          if (gv < 0) gv = 0 else if (gv > 255) gv = 255
+          if (bv < 0) bv = 0 else if (bv > 255) bv = 255
+          val o = (y * w + x) * 3
+          pix(o) = rv.toByte; pix(o + 1) = gv.toByte; pix(o + 2) = bv.toByte
+          x += 1
+        }
+        y += 1
+      }
+      new Raster(w, h, 3, pix)
+    }
+  }
+
+  /** struct(width, height, channels, px_sum, px_min, px_max) over the
+    * fully decoded JPEG raster (same shape as [[pngStats]]); null outside
+    * the baseline envelope.
+    */
+  def jpegStats(bytes: Array[Byte]): InternalRow = {
+    val r = decodeJpeg(bytes)
+    if (r == null) return null
+    var sum = 0L; var mn = 255; var mx = 0
+    var i = 0
+    while (i < r.pix.length) {
+      val v = r.pix(i) & 0xff
+      sum += v; if (v < mn) mn = v; if (v > mx) mx = v
+      i += 1
+    }
+    new GenericInternalRow(Array[Any](r.width, r.height, r.bpp, sum, mn, mx))
+  }
+
+  /** Transcode: baseline JPEG decode → integer-floor nearest-neighbor
+    * resize → PNG re-encode (the lossless landing format, so downstream
+    * stages replay byte-exactly). null when the JPEG is not decodable.
+    */
+  def jpegResizeToPng(bytes: Array[Byte], dstW: Int, dstH: Int): Array[Byte] = {
+    val r = decodeJpeg(bytes)
     if (r == null) return null
     val out = new Array[Byte](dstW * dstH * r.bpp)
     var y = 0
@@ -498,6 +939,49 @@ case class WavPcmStats(child: Expression) extends UnaryExpression {
        """.stripMargin
     })
   override protected def withNewChildInternal(newChild: Expression): WavPcmStats =
+    copy(child = newChild)
+}
+
+/** Full baseline JPEG decode + channel statistics (Huffman + dequant +
+  * IDCT + upsample + YCbCr→RGB), null outside the baseline envelope.
+  */
+case class JpegStats(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = MediaCodecHelper.PngStatsType
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_jpeg_stats"
+  override def nullSafeEval(input: Any): Any =
+    MediaCodecHelper.jpegStats(input.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      s"""
+         |${ev.value} = graft.expr.MediaCodecHelper.jpegStats($c);
+         |${ev.isNull} = (${ev.value} == null);
+       """.stripMargin
+    })
+  override protected def withNewChildInternal(newChild: Expression): JpegStats =
+    copy(child = newChild)
+}
+
+/** JPEG → nearest-neighbor resize → PNG transcode (decode is the full
+  * baseline path; PNG is the lossless landing format); null when the
+  * input is not a decodable baseline JPEG.
+  */
+case class JpegResizeToPng(child: Expression, dstW: Int, dstH: Int)
+    extends UnaryExpression {
+  require(dstW > 0 && dstH > 0, s"bad resize target ${dstW}x$dstH")
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_jpeg_resize_png"
+  override def nullSafeEval(input: Any): Any =
+    MediaCodecHelper.jpegResizeToPng(input.asInstanceOf[Array[Byte]], dstW, dstH)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      s"""
+         |${ev.value} = graft.expr.MediaCodecHelper.jpegResizeToPng($c, $dstW, $dstH);
+         |${ev.isNull} = (${ev.value} == null);
+       """.stripMargin
+    })
+  override protected def withNewChildInternal(newChild: Expression): JpegResizeToPng =
     copy(child = newChild)
 }
 

@@ -11,16 +11,17 @@ import org.apache.spark.sql.functions._
   * a metadata-only query never reads the blobs once metadata is
   * materialized to its own columns). Header parsing is pure Column
   * arithmetic over `substring`/`hex`/`conv` — codegen'd, no UDF in the
-  * extract path. Pixel/sample DECODE is REAL for the formats the JVM can
-  * handle without codec libraries — PNG (gray/RGB 8-bit: inflate + filter
-  * reconstruction) and PCM-16 WAV — via the codegen'd expressions in
-  * graft.expr.MediaCodecHelper ([[decodeImage]], [[imageResize]],
-  * [[audioFeatures]], [[audioFrameSample]]). JPEG gets HEADER metadata
-  * (width/height/components via the [[jpegMeta]] marker walk — no codec
-  * needed) plus content-hash dedup; `decodeImageStub` remains the seam
-  * for pixel decode of formats that genuinely need an external codec
-  * (JPEG rasters/video), where a decode UDF (or mapInPandas in pyspark
-  * pipelines) would plug in.
+  * extract path. Pixel/sample DECODE is REAL for every image/audio
+  * format in scope — PNG (gray/RGB 8-bit: inflate + filter
+  * reconstruction), baseline JPEG (Huffman + dequant + IDCT + chroma
+  * upsample + YCbCr→RGB, ITU-T T.81) and PCM-16 WAV — via the codegen'd
+  * expressions in graft.expr.MediaCodecHelper ([[decodeImage]],
+  * [[decodeJpeg]], [[imageResize]], [[jpegResizePng]],
+  * [[audioFeatures]], [[audioFrameSample]]). [[jpegMeta]] additionally
+  * extracts frame-header metadata without entropy decode (the cheap path
+  * for dimension gates). `decodeImageStub` remains the seam only for
+  * VIDEO — the one format that genuinely needs an external codec — where
+  * a decode UDF (or mapInPandas in pyspark pipelines) would plug in.
   *
   * Fixture generators (valid minimal PNG / WAV bytes, CRCs and all) are
   * Scala UDFs — they exist to create test data, not to process it.
@@ -186,7 +187,251 @@ object Multimodal {
     out.toByteArray
   }
 
+  /** REAL baseline JPEG encoder (fixture side): constant-valued 8×8
+    * blocks (DC-only, so decoded values are exactly the block constants
+    * under any conforming IDCT), an optional hand-set quantized
+    * coefficient block at Y position (0,0) that exercises the AC/IDCT
+    * path with pre-verified integer outputs, 4:4:4 or 4:2:0 chroma
+    * layout, and restart markers. Deliberately shares NO code with the
+    * production decoder in expr/MediaCodecHelper — its zigzag is
+    * generated algorithmically, its Huffman tables are custom canonical
+    * tables built here, and its bit writer is its own — so a hash match
+    * on decoded statistics proves two independent implementations of the
+    * T.81 entropy/DCT layers agree.
+    *
+    * Quant tables: luma DC=8 / AC=16 (table 0), chroma DC=4 / AC=16
+    * (table 1). Block constant v encodes to quantized DC (v-128)·8/q —
+    * exact by construction, so decode replays v exactly.
+    *
+    * @param yBlock  Y (or gray) constant for 8×8 block (bx, by) — also
+    *                evaluated for pad blocks beyond the image edge
+    * @param cbBlock Cb constant per chroma block == per MCU under 4:2:0
+    * @param crBlock Cr constant per chroma block
+    * @param acSeed  quantized zigzag coefficients (length 64) replacing
+    *                Y block (0,0); null for all-constant images
+    */
+  def jpegBaselineBytes(width: Int, height: Int, color: Boolean,
+                        sub420: Boolean,
+                        yBlock: (Int, Int) => Int,
+                        cbBlock: (Int, Int) => Int,
+                        crBlock: (Int, Int) => Int,
+                        acSeed: Array[Int],
+                        restartInterval: Int): Array[Byte] = {
+    require(width > 0 && height > 0)
+    val out = new java.io.ByteArrayOutputStream()
+    def b(vs: Int*): Unit = vs.foreach(v => out.write(v & 0xff))
+    def be16(v: Int): Unit = { out.write((v >> 8) & 0xff); out.write(v & 0xff) }
+    def seg(marker: Int, payload: Array[Byte]): Unit = {
+      b(0xff, marker); be16(payload.length + 2); out.write(payload)
+    }
+    // zigzag (index -> (row, col)) generated by the diagonal walk — the
+    // decoder hard-codes the T.81 table; independent derivations.
+    val zz = {
+      val a = new Array[(Int, Int)](64)
+      var r = 0; var c = 0
+      for (i <- 0 until 64) {
+        a(i) = (r, c)
+        if ((r + c) % 2 == 0) {
+          if (c == 7) r += 1 else if (r == 0) c += 1 else { r -= 1; c += 1 }
+        } else {
+          if (r == 7) c += 1 else if (c == 0) r += 1 else { r += 1; c -= 1 }
+        }
+      }
+      a
+    }
+    val _ = zz // zigzag identity: constant blocks only need position 0;
+    // acSeed is SPECIFIED in zigzag order so no reorder happens here —
+    // the decoder's dezigzag is what's under test.
+    // quant tables, zigzag order
+    val q0 = Array.tabulate(64)(i => if (i == 0) 8 else 16)
+    val q1 = Array.tabulate(64)(i => if (i == 0) 4 else 16)
+    b(0xff, 0xd8) // SOI
+    seg(0xdb, (0x00.toByte +: q0.map(_.toByte)) ++
+      (if (color) 0x01.toByte +: q1.map(_.toByte) else Array.empty[Byte]))
+    // SOF0
+    val ncomp = if (color) 3 else 1
+    val sofPayload = new java.io.ByteArrayOutputStream()
+    sofPayload.write(8) // precision
+    sofPayload.write((height >> 8) & 0xff); sofPayload.write(height & 0xff)
+    sofPayload.write((width >> 8) & 0xff); sofPayload.write(width & 0xff)
+    sofPayload.write(ncomp)
+    if (color) {
+      sofPayload.write(1); sofPayload.write(if (sub420) 0x22 else 0x11); sofPayload.write(0)
+      sofPayload.write(2); sofPayload.write(0x11); sofPayload.write(1)
+      sofPayload.write(3); sofPayload.write(0x11); sofPayload.write(1)
+    } else {
+      sofPayload.write(1); sofPayload.write(0x11); sofPayload.write(0)
+    }
+    seg(0xc0, sofPayload.toByteArray)
+    // Huffman tables: 12 DC categories and 12 AC run/size symbols, all at
+    // code length 4 (16 slots, no all-ones code used).
+    val dcVals = (0 to 11).toArray
+    val acVals = Array(0x00, 0x01, 0x02, 0x03, 0x04, 0x05,
+      0x11, 0x12, 0x21, 0x31, 0xB1, 0xF0)
+    val counts = Array(0, 0, 0, 12, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0)
+    def canon(vals: Array[Int]): Map[Int, (Int, Int)] = {
+      var code = 0; var k = 0
+      val m = scala.collection.mutable.Map[Int, (Int, Int)]()
+      for (l <- 1 to 16) {
+        for (_ <- 0 until counts(l - 1)) { m(vals(k)) = (code, l); code += 1; k += 1 }
+        code <<= 1
+      }
+      m.toMap
+    }
+    val dcCode = canon(dcVals)
+    val acCode = canon(acVals)
+    def dhtPayload(tc: Int, th: Int, vals: Array[Int]): Array[Byte] =
+      (((tc << 4) | th) +: (counts ++ vals)).map(_.toByte)
+    // two tables per DHT segment (exercises the decoder's multi-table walk)
+    seg(0xc4, dhtPayload(0, 0, dcVals) ++ dhtPayload(1, 0, acVals))
+    if (color) seg(0xc4, dhtPayload(0, 1, dcVals) ++ dhtPayload(1, 1, acVals))
+    if (restartInterval > 0)
+      seg(0xdd, Array(((restartInterval >> 8) & 0xff).toByte,
+        (restartInterval & 0xff).toByte))
+    // SOS
+    val sosPayload = new java.io.ByteArrayOutputStream()
+    sosPayload.write(ncomp)
+    sosPayload.write(1); sosPayload.write(0x00)
+    if (color) {
+      sosPayload.write(2); sosPayload.write(0x11)
+      sosPayload.write(3); sosPayload.write(0x11)
+    }
+    sosPayload.write(0); sosPayload.write(63); sosPayload.write(0)
+    seg(0xda, sosPayload.toByteArray)
+    // entropy-coded data: MSB-first bit writer with FF00 stuffing
+    var acc = 0; var nbits = 0
+    def putBit(bit: Int): Unit = {
+      acc = (acc << 1) | bit; nbits += 1
+      if (nbits == 8) {
+        out.write(acc)
+        if (acc == 0xff) out.write(0x00)
+        acc = 0; nbits = 0
+      }
+    }
+    def putBits(v: Int, n: Int): Unit = {
+      var i = n - 1
+      while (i >= 0) { putBit((v >> i) & 1); i -= 1 }
+    }
+    def flushBits(): Unit = while (nbits != 0) putBit(1) // pad with 1s
+    def cat(v: Int): Int = 32 - Integer.numberOfLeadingZeros(math.abs(v))
+    def emitDc(diff: Int): Unit = {
+      val t = cat(diff)
+      val (c0, l0) = dcCode(t)
+      putBits(c0, l0)
+      if (t > 0) putBits(if (diff < 0) diff + (1 << t) - 1 else diff, t)
+    }
+    def emitEob(): Unit = { val (c0, l0) = acCode(0x00); putBits(c0, l0) }
+    /** Encode one block from quantized zigzag coefficients; returns new DC pred. */
+    def emitBlock(coeffs: Array[Int], pred: Int): Int = {
+      emitDc(coeffs(0) - pred)
+      var lastNz = 0
+      for (k <- 1 until 64 if coeffs(k) != 0) lastNz = k
+      var k = 1
+      while (k <= lastNz) {
+        var run = 0
+        while (coeffs(k) == 0) { run += 1; k += 1 }
+        while (run >= 16) { val (c0, l0) = acCode(0xF0); putBits(c0, l0); run -= 16 }
+        val v = coeffs(k); val s = cat(v)
+        val (c0, l0) = acCode((run << 4) | s)
+        putBits(c0, l0)
+        putBits(if (v < 0) v + (1 << s) - 1 else v, s)
+        k += 1
+      }
+      if (lastNz < 63) emitEob()
+      coeffs(0)
+    }
+    val constBlock = new Array[Int](64)
+    def emitConst(value: Int, qdc: Int, pred: Int): Int = {
+      val dcq = (value - 128) * 8 / qdc // exact: qdc ∈ {8, 4}
+      constBlock(0) = dcq
+      emitBlock(constBlock, pred)
+    }
+    val hmax = if (color && sub420) 2 else 1
+    val mcusX = (width + 8 * hmax - 1) / (8 * hmax)
+    val mcusY = (height + 8 * hmax - 1) / (8 * hmax)
+    var predY = 0; var predCb = 0; var predCr = 0
+    var mcu = 0; var rstIdx = 0
+    for (my <- 0 until mcusY; mx <- 0 until mcusX) {
+      if (restartInterval > 0 && mcu > 0 && mcu % restartInterval == 0) {
+        flushBits()
+        b(0xff, 0xd0 + rstIdx); rstIdx = (rstIdx + 1) & 7
+        predY = 0; predCb = 0; predCr = 0
+      }
+      val yBlocks =
+        if (hmax == 2) Seq((2 * mx, 2 * my), (2 * mx + 1, 2 * my),
+          (2 * mx, 2 * my + 1), (2 * mx + 1, 2 * my + 1))
+        else Seq((mx, my))
+      for ((bx, by) <- yBlocks) {
+        predY =
+          if (acSeed != null && bx == 0 && by == 0) emitBlock(acSeed, predY)
+          else emitConst(yBlock(bx, by), 8, predY)
+      }
+      if (color) {
+        predCb = emitConst(cbBlock(mx, my), 4, predCb)
+        predCr = emitConst(crBlock(mx, my), 4, predCr)
+      }
+      mcu += 1
+    }
+    flushBits()
+    b(0xff, 0xd9) // EOI
+    out.toByteArray
+  }
+
+  /** The hand-set AC test block (quantized, zigzag order): DC + 9 AC
+    * coefficients including an 11-zero run that forces a (run, size)
+    * symbol with run > 0. Its decoded 64 pixels were computed by an
+    * INDEPENDENT Python IDCT at fixture-design time (sum 8383, min 103,
+    * max 187, every value ≥ 0.016 from a rounding boundary vs ~1e-13
+    * double noise) and are hard-coded in the DuckDB oracle — so the
+    * hash gate covers the production Huffman + dequant + dezigzag +
+    * IDCT path end-to-end.
+    */
+  val GrayAcSeed: Array[Int] = {
+    val a = new Array[Int](64)
+    a(0) = 3; a(1) = 5; a(2) = -3; a(3) = 2; a(4) = -2
+    a(5) = 1; a(6) = 4; a(7) = -1; a(8) = 2; a(20) = 1
+    a
+  }
+
+  /** Expected decode of [[GrayAcSeed]] (row-major), from the independent
+    * reference IDCT — used by specs and embedded in the oracle SQL.
+    */
+  val GrayAcPixels: Array[Int] = Array(
+    151, 138, 126, 127, 134, 133, 120, 106,
+    143, 130, 118, 120, 128, 129, 117, 103,
+    141, 128, 117, 119, 129, 132, 122, 109,
+    143, 129, 117, 119, 130, 134, 125, 114,
+    146, 131, 117, 117, 126, 130, 122, 111,
+    162, 146, 129, 125, 132, 134, 124, 113,
+    181, 163, 143, 136, 139, 138, 128, 116,
+    187, 168, 146, 136, 137, 135, 123, 111)
+
+  /** Gray baseline JPEG fixture for doc `id`: (20+id%37)×(11+id%13),
+    * block (bx,by) constant (bx*29+by*41+id*7)%256 except the AC seed at
+    * (0,0); restart marker every 5 MCUs.
+    */
+  def grayJpegBytes(id: Long): Array[Byte] =
+    jpegBaselineBytes(20 + (id % 37).toInt, 11 + (id % 13).toInt,
+      color = false, sub420 = false,
+      yBlock = (bx, by) => ((bx * 29 + by * 41 + id * 7) % 256).toInt,
+      cbBlock = null, crBlock = null,
+      acSeed = GrayAcSeed, restartInterval = 5)
+
+  /** 4:2:0 color baseline JPEG fixture for doc `id`: (9+id%23)×(7+id%17),
+    * Y block (bx,by) = (bx*23+by*31+id*11)%256, chroma constant per MCU:
+    * Cb = (mx*17+id*5)%256, Cr = (my*19+id*3)%256.
+    */
+  def colorJpegBytes(id: Long): Array[Byte] =
+    jpegBaselineBytes(9 + (id % 23).toInt, 7 + (id % 17).toInt,
+      color = true, sub420 = true,
+      yBlock = (bx, by) => ((bx * 23 + by * 31 + id * 11) % 256).toInt,
+      cbBlock = (mx, _) => ((mx * 17 + id * 5) % 256).toInt,
+      crBlock = (_, my) => ((my * 19 + id * 3) % 256).toInt,
+      acSeed = null, restartInterval = 0)
+
   val makePng = udf((w: Int, h: Int) => pngBytes(w, h))
+  val makeGrayJpeg = udf((id: Long) => grayJpegBytes(id))
+  val makeColorJpeg = udf((id: Long) => colorJpegBytes(id))
   val makeJpeg = udf((w: Int, h: Int, c: Int) => jpegBytes(w, h, c))
   val makeRgbPng = udf((w: Int, h: Int) => rgbPngBytes(w, h))
   val makeWav = udf((rate: Int, n: Int) => wavBytes(rate, n))
@@ -296,6 +541,23 @@ object Multimodal {
   def imageResize(bin: Column, w: Int, h: Int): Column =
     bridge(graft.expr.PngResizeNearest(ex(bin), w, h))
 
+  /** REAL baseline JPEG decode (Huffman + dequant + IDCT + 4:2:0/4:2:2
+    * chroma upsample + integer YCbCr→RGB — ITU-T T.81, pure JVM):
+    * struct(width, height, channels, px_sum, px_min, px_max), the same
+    * integer statistics shape as [[decodeImage]]. Null for
+    * progressive/arithmetic/12-bit streams (outside the baseline
+    * envelope).
+    */
+  def decodeJpeg(bin: Column): Column = bridge(graft.expr.JpegStats(ex(bin)))
+
+  /** REAL JPEG → PNG transcode with nearest-neighbor resize: full
+    * baseline decode, integer-floor index map, lossless PNG re-encode
+    * (so downstream stages replay byte-exactly). Null when not a
+    * decodable baseline JPEG.
+    */
+  def jpegResizePng(bin: Column, w: Int, h: Int): Column =
+    bridge(graft.expr.JpegResizeToPng(ex(bin), w, h))
+
   /** REAL audio feature extraction (PCM-16 WAV via the RIFF walk):
     * struct(n_samples, sample_rate, pcm_sum, pcm_sqsum, pcm_peak); RMS =
     * sqrt(pcm_sqsum / n_samples) downstream. Null for non-PCM-16.
@@ -308,12 +570,13 @@ object Multimodal {
   def audioFrameSample(bin: Column, step: Int): Column =
     bridge(graft.expr.WavFrameSample(ex(bin), step))
 
-  /** STUB — the decode seam for formats that need an external codec
-    * library (JPEG/video — not in this container); pipelines plug a decode
-    * UDF (JVM) or `mapInPandas` (Python) in here. PNG/WAV decode is REAL —
-    * see [[decodeImage]]/[[audioFeatures]]. The stub returns the
-    * deterministic fake "pixel summary" (width, height, null mean) so
-    * downstream schema/partitioning is exercised end-to-end.
+  /** STUB — the decode seam for VIDEO, the one format that still needs an
+    * external codec library (not in this container); pipelines plug a
+    * decode UDF (JVM) or `mapInPandas` (Python) in here. PNG, baseline
+    * JPEG and WAV decode are REAL — see [[decodeImage]]/[[decodeJpeg]]/
+    * [[audioFeatures]]. The stub returns the deterministic fake "pixel
+    * summary" (width, height, null mean) so downstream
+    * schema/partitioning is exercised end-to-end.
     */
   def decodeImageStub(bin: Column): Column =
     struct(pngWidth(bin).as("width"), pngHeight(bin).as("height"),

@@ -35,7 +35,9 @@ object MediaPack {
         .withColumn("jpg", Multimodal.makeJpeg(
           (lit(24) + col("doc_id") % 40).cast("int"),
           (lit(12) + col("doc_id") % 11).cast("int"),
-          (lit(1) + (col("doc_id") % 2) * 2).cast("int"))),
+          (lit(1) + (col("doc_id") % 2) * 2).cast("int")))
+        .withColumn("jpgg", Multimodal.makeGrayJpeg(col("doc_id")))
+        .withColumn("jpgc", Multimodal.makeColorJpeg(col("doc_id"))),
         "mm_media", slices = 8)
       Map("blobs" -> "mm_media")
     }
@@ -80,6 +82,13 @@ object MediaPack {
     val pcm = Multimodal.audioFeatures(col("wav"))
     val fs = Multimodal.audioFeatures(Multimodal.audioFrameSample(col("wav"), 4))
     val rgb = Multimodal.decodeImage(col("rgb"))
+    // full baseline JPEG decodes: gray with the AC seed block + restart
+    // markers, 4:2:0 color through upsample + YCbCr→RGB, and the
+    // JPEG→resize→PNG transcode decoded AGAIN by the PNG path — three
+    // independent layers must agree byte-exactly for the hash to match
+    val jg = Multimodal.decodeJpeg(col("jpgg"))
+    val jc = Multimodal.decodeJpeg(col("jpgc"))
+    val jr = Multimodal.decodeImage(Multimodal.jpegResizePng(col("jpgg"), 8, 8))
     media.select(col("doc_id"),
       img.getField("width").cast("long").as("img_w"),
       img.getField("height").cast("long").as("img_h"),
@@ -93,7 +102,17 @@ object MediaPack {
       pcm.getField("pcm_peak").cast("long").as("pcm_peak"),
       fs.getField("pcm_sum").as("fs_sum"),
       rgb.getField("channels").cast("long").as("rgb_ch"),
-      rgb.getField("px_sum").as("rgb_sum"))
+      rgb.getField("px_sum").as("rgb_sum"),
+      jg.getField("width").cast("long").as("jg_w"),
+      jg.getField("height").cast("long").as("jg_h"),
+      jg.getField("px_sum").as("jg_sum"),
+      jg.getField("px_min").cast("long").as("jg_min"),
+      jg.getField("px_max").cast("long").as("jg_max"),
+      jc.getField("channels").cast("long").as("jc_ch"),
+      jc.getField("px_sum").as("jc_sum"),
+      jc.getField("px_min").cast("long").as("jc_min"),
+      jc.getField("px_max").cast("long").as("jc_max"),
+      jr.getField("px_sum").as("jr_sum"))
   }
 
   /** End-to-end multimodal corpus assembly — the composition a training
@@ -210,6 +229,78 @@ object MediaPack {
            JOIN range(0, 9) y(y) ON y.y < 5 + d.doc_id % 5
            GROUP BY d.doc_id
          )
+         -- gray baseline JPEG: constant 8x8 blocks decode to their exact
+         -- constants; block (0,0) is the hand-set AC coefficient block
+         -- whose 64 decoded pixels (sum 8383, min 103, max 187, listed in
+         -- jac below) were computed by an independent reference IDCT at
+         -- fixture-design time
+         , jg AS (
+           SELECT d.doc_id,
+                  sum(CASE WHEN bx.b = 0 AND by.b = 0 THEN 8383
+                      ELSE ((bx.b*29 + by.b*41 + d.doc_id*7) % 256)
+                           * (LEAST(8, (20 + d.doc_id % 37) - bx.b*8)
+                            * LEAST(8, (11 + d.doc_id % 13) - by.b*8)) END) AS s,
+                  LEAST(103, min(CASE WHEN bx.b = 0 AND by.b = 0 THEN 255
+                      ELSE (bx.b*29 + by.b*41 + d.doc_id*7) % 256 END)) AS mn,
+                  GREATEST(187, max(CASE WHEN bx.b = 0 AND by.b = 0 THEN 0
+                      ELSE (bx.b*29 + by.b*41 + d.doc_id*7) % 256 END)) AS mx
+           FROM documents d
+           JOIN range(0, 8) bx(b) ON bx.b*8 < 20 + d.doc_id % 37
+           JOIN range(0, 3) by(b) ON by.b*8 < 11 + d.doc_id % 13
+           GROUP BY d.doc_id
+         )
+         -- 4:2:0 color JPEG: Y constant per 8x8 block, chroma constant per
+         -- 16x16 MCU (block index // 2); RGB replays the decoder's
+         -- fixed-point CCIR 601 integer conversion exactly
+         , jcb AS (
+           SELECT d.doc_id,
+                  (bx.b*23 + by.b*31 + d.doc_id*11) % 256 AS yv,
+                  ((bx.b // 2)*17 + d.doc_id*5) % 256 - 128 AS cb,
+                  ((by.b // 2)*19 + d.doc_id*3) % 256 - 128 AS cr,
+                  LEAST(8, (9 + d.doc_id % 23) - bx.b*8)
+                    * LEAST(8, (7 + d.doc_id % 17) - by.b*8) AS vis
+           FROM documents d
+           JOIN range(0, 4) bx(b) ON bx.b*8 < 9 + d.doc_id % 23
+           JOIN range(0, 3) by(b) ON by.b*8 < 7 + d.doc_id % 17
+         ), jcc AS (
+           SELECT doc_id, vis,
+             GREATEST(0, LEAST(255, yv + CAST(floor((91881*cr + 32768)/65536.0) AS BIGINT))) AS r,
+             GREATEST(0, LEAST(255, yv - CAST(floor((22554*cb + 46802*cr + 32768)/65536.0) AS BIGINT))) AS g,
+             GREATEST(0, LEAST(255, yv + CAST(floor((116130*cb + 32768)/65536.0) AS BIGINT))) AS b
+           FROM jcb
+         ), jc AS (
+           SELECT doc_id, sum((r + g + b) * vis) AS s,
+                  min(LEAST(r, g, b)) AS mn, max(GREATEST(r, g, b)) AS mx
+           FROM jcc GROUP BY doc_id
+         )
+         -- decoded pixels of the AC seed block, row-major (y*8+x)
+         , jac(i, v) AS (VALUES
+           (0,151),(1,138),(2,126),(3,127),(4,134),(5,133),(6,120),(7,106),
+           (8,143),(9,130),(10,118),(11,120),(12,128),(13,129),(14,117),(15,103),
+           (16,141),(17,128),(18,117),(19,119),(20,129),(21,132),(22,122),(23,109),
+           (24,143),(25,129),(26,117),(27,119),(28,130),(29,134),(30,125),(31,114),
+           (32,146),(33,131),(34,117),(35,117),(36,126),(37,130),(38,122),(39,111),
+           (40,162),(41,146),(42,129),(43,125),(44,132),(45,134),(46,124),(47,113),
+           (48,181),(49,163),(50,143),(51,136),(52,139),(53,138),(54,128),(55,116),
+           (56,187),(57,168),(58,146),(59,136),(60,137),(61,135),(62,123),(63,111))
+         -- JPEG -> 8x8 nearest-neighbor resize -> PNG transcode, decoded
+         -- again: source pixel (sx, sy) = (x*w//8, y*h//8) reads the AC
+         -- block when sx,sy < 8, else its block constant
+         , jr AS (
+           SELECT d.doc_id,
+                  sum(CASE WHEN (xx.x*(20 + d.doc_id % 37)) // 8 < 8
+                            AND (yy.y*(11 + d.doc_id % 13)) // 8 < 8
+                      THEN a.v
+                      ELSE ( ((xx.x*(20 + d.doc_id % 37)) // 64) * 29
+                           + ((yy.y*(11 + d.doc_id % 13)) // 64) * 41
+                           + d.doc_id*7) % 256 END) AS s
+           FROM documents d
+           CROSS JOIN range(0, 8) xx(x)
+           CROSS JOIN range(0, 8) yy(y)
+           JOIN jac a ON a.i = (((yy.y*(11 + d.doc_id % 13)) // 8) % 8) * 8
+                             + (((xx.x*(20 + d.doc_id % 37)) // 8) % 8)
+           GROUP BY d.doc_id
+         )
          SELECT d.doc_id,
          CAST(16 + d.doc_id % 32 AS BIGINT) AS img_w,
          CAST(9 + d.doc_id % 7 AS BIGINT) AS img_h,
@@ -223,12 +314,25 @@ object MediaPack {
          CAST(pcm.pk AS BIGINT) AS pcm_peak,
          CAST(pcm.fss AS BIGINT) AS fs_sum,
          CAST(3 AS BIGINT) AS rgb_ch,
-         CAST(rgb.s AS BIGINT) AS rgb_sum
+         CAST(rgb.s AS BIGINT) AS rgb_sum,
+         CAST(20 + d.doc_id % 37 AS BIGINT) AS jg_w,
+         CAST(11 + d.doc_id % 13 AS BIGINT) AS jg_h,
+         CAST(jg.s AS BIGINT) AS jg_sum,
+         CAST(jg.mn AS BIGINT) AS jg_min,
+         CAST(jg.mx AS BIGINT) AS jg_max,
+         CAST(3 AS BIGINT) AS jc_ch,
+         CAST(jc.s AS BIGINT) AS jc_sum,
+         CAST(jc.mn AS BIGINT) AS jc_min,
+         CAST(jc.mx AS BIGINT) AS jc_max,
+         CAST(jr.s AS BIGINT) AS jr_sum
          FROM documents d
          JOIN img ON img.doc_id = d.doc_id
          JOIN rs ON rs.doc_id = d.doc_id
          JOIN pcm ON pcm.doc_id = d.doc_id
-         JOIN rgb ON rgb.doc_id = d.doc_id""",
+         JOIN rgb ON rgb.doc_id = d.doc_id
+         JOIN jg ON jg.doc_id = d.doc_id
+         JOIN jc ON jc.doc_id = d.doc_id
+         JOIN jr ON jr.doc_id = d.doc_id""",
     // stage-for-stage replay, matching the Spark plan's gate-before-dedup
     // order: text + decoded-feature gates first, THEN min-doc_id per
     // content group over the gated set (content is a pure function of

@@ -266,4 +266,173 @@ class MediaCodecSpec extends AnyFunSuite {
       assert(w == 24 + id % 40 && h == 12 + id % 11 && c == 1 + (id % 2) * 2)
     }
   }
+
+  // ---- baseline JPEG decode (Huffman + dequant + IDCT + color) ----
+
+  /** Independent reference IDCT for the AC seed block: direct 2D double
+    * sum (NOT the production separable form), floor(x+128.5) rounding.
+    * Agreement with the stored GrayAcPixels and with production decode
+    * means three independent evaluations of T.81 A.3.3 coincide.
+    */
+  private def referenceIdct(zigzagQuantized: Array[Int]): Array[Int] = {
+    // regenerate zigzag by the diagonal walk (third independent derivation)
+    val zig = new Array[(Int, Int)](64)
+    var r = 0; var c = 0
+    for (i <- 0 until 64) {
+      zig(i) = (r, c)
+      if ((r + c) % 2 == 0) {
+        if (c == 7) r += 1 else if (r == 0) c += 1 else { r -= 1; c += 1 }
+      } else {
+        if (r == 7) c += 1 else if (c == 0) r += 1 else { r += 1; c -= 1 }
+      }
+    }
+    val f = Array.ofDim[Double](8, 8) // f(row=v)(col=u), dequantized
+    for (k <- 0 until 64 if zigzagQuantized(k) != 0) {
+      val (row, col) = zig(k)
+      f(row)(col) = zigzagQuantized(k).toDouble * (if (k == 0) 8 else 16)
+    }
+    def ct(u: Int, x: Int): Double =
+      (if (u == 0) 1.0 / math.sqrt(2.0) else 1.0) / 2.0 *
+        math.cos((2 * x + 1) * u * math.Pi / 16.0)
+    val out = new Array[Int](64)
+    for (y <- 0 until 8; x <- 0 until 8) {
+      var acc = 0.0
+      for (v <- 0 until 8; u <- 0 until 8) acc += f(v)(u) * ct(u, x) * ct(v, y)
+      out(y * 8 + x) = math.max(0, math.min(255, math.floor(acc + 128.5).toInt))
+    }
+    out
+  }
+
+  test("GrayAcPixels matches an independent direct-form reference IDCT") {
+    assert(referenceIdct(Multimodal.GrayAcSeed).toSeq ==
+      Multimodal.GrayAcPixels.toSeq)
+  }
+
+  test("gray baseline JPEG decodes exactly: constants, AC block, restarts") {
+    for (id <- Seq(0L, 1L, 7L, 36L, 123L, 499L)) {
+      val w = 20 + (id % 37).toInt; val h = 11 + (id % 13).toInt
+      val r = MediaCodecHelper.decodeJpeg(Multimodal.grayJpegBytes(id))
+      assert(r != null, s"id $id failed to decode")
+      assert(r.width == w && r.height == h && r.bpp == 1)
+      for (y <- 0 until h; x <- 0 until w) {
+        val bx = x / 8; val by = y / 8
+        val want =
+          if (bx == 0 && by == 0) Multimodal.GrayAcPixels((y % 8) * 8 + (x % 8))
+          else ((bx * 29 + by * 41 + id * 7) % 256).toInt
+        assert((r.pix(y * w + x) & 0xff) == want,
+          s"id $id pixel ($x,$y): got ${r.pix(y * w + x) & 0xff}, want $want")
+      }
+    }
+  }
+
+  test("4:2:0 color JPEG decodes exactly through upsample + YCbCr→RGB") {
+    for (id <- Seq(0L, 3L, 16L, 250L)) {
+      val w = 9 + (id % 23).toInt; val h = 7 + (id % 17).toInt
+      val r = MediaCodecHelper.decodeJpeg(Multimodal.colorJpegBytes(id))
+      assert(r != null && r.width == w && r.height == h && r.bpp == 3)
+      for (y <- 0 until h; x <- 0 until w) {
+        val yv = (((x / 8) * 23 + (y / 8) * 31 + id * 11) % 256).toInt
+        val cb = (((x / 16) * 17 + id * 5) % 256).toInt - 128
+        val cr = (((y / 16) * 19 + id * 3) % 256).toInt - 128
+        def cl(v: Int) = math.max(0, math.min(255, v))
+        val want = Seq(
+          cl(yv + ((91881 * cr + 32768) >> 16)),
+          cl(yv - ((22554 * cb + 46802 * cr + 32768) >> 16)),
+          cl(yv + ((116130 * cb + 32768) >> 16)))
+        val got = (0 to 2).map(c => r.pix((y * w + x) * 3 + c) & 0xff)
+        assert(got == want, s"id $id pixel ($x,$y): got $got, want $want")
+      }
+    }
+  }
+
+  test("4:4:4 color (no subsampling) also decodes exactly") {
+    val id = 42L
+    val w = 19; val h = 10
+    val bytes = Multimodal.jpegBaselineBytes(w, h, color = true, sub420 = false,
+      yBlock = (bx, by) => ((bx * 23 + by * 31 + id * 11) % 256).toInt,
+      cbBlock = (mx, _) => ((mx * 17 + id * 5) % 256).toInt,
+      crBlock = (_, my) => ((my * 19 + id * 3) % 256).toInt,
+      acSeed = null, restartInterval = 2)
+    val r = MediaCodecHelper.decodeJpeg(bytes)
+    assert(r != null && r.width == w && r.height == h && r.bpp == 3)
+    // 4:4:4: chroma block grid == Y block grid (bx, by), not the MCU grid
+    for (y <- 0 until h; x <- 0 until w) {
+      val yv = (((x / 8) * 23 + (y / 8) * 31 + id * 11) % 256).toInt
+      val cb = (((x / 8) * 17 + id * 5) % 256).toInt - 128
+      val cr = (((y / 8) * 19 + id * 3) % 256).toInt - 128
+      def cl(v: Int) = math.max(0, math.min(255, v))
+      val want = Seq(
+        cl(yv + ((91881 * cr + 32768) >> 16)),
+        cl(yv - ((22554 * cb + 46802 * cr + 32768) >> 16)),
+        cl(yv + ((116130 * cb + 32768) >> 16)))
+      val got = (0 to 2).map(c => r.pix((y * w + x) * 3 + c) & 0xff)
+      assert(got == want, s"pixel ($x,$y): got $got, want $want")
+    }
+  }
+
+  test("out-of-envelope and corrupt JPEGs return null, never garbage") {
+    val good = Multimodal.grayJpegBytes(5L)
+    assert(MediaCodecHelper.decodeJpeg(null) == null)
+    assert(MediaCodecHelper.decodeJpeg(Array[Byte](1, 2)) == null)
+    // truncated mid-entropy
+    assert(MediaCodecHelper.decodeJpeg(good.dropRight(good.length / 3)) == null)
+    // progressive: flip SOF0 -> SOF2
+    val prog = good.clone()
+    val sofIdx = (0 until prog.length - 1).find(i =>
+      (prog(i) & 0xff) == 0xff && (prog(i + 1) & 0xff) == 0xc0).get
+    prog(sofIdx + 1) = 0xc2.toByte
+    assert(MediaCodecHelper.decodeJpeg(prog) == null)
+    // the meta-only fixture (garbage entropy bytes, no DQT/DHT)
+    assert(MediaCodecHelper.decodeJpeg(Multimodal.jpegBytes(24, 12, 3)) == null)
+    // corrupt a byte in the entropy stream: either a Huffman code goes
+    // invalid (null) or values change — it must never throw
+    val corrupt = good.clone()
+    corrupt(corrupt.length - 10) = (corrupt(corrupt.length - 10) ^ 0x55).toByte
+    MediaCodecHelper.decodeJpeg(corrupt) // no exception escapes
+  }
+
+  test("jpegResizeToPng: decode → NN resize → PNG round-trips the index map") {
+    val id = 17L
+    val src = MediaCodecHelper.decodeJpeg(Multimodal.grayJpegBytes(id))
+    val png = MediaCodecHelper.jpegResizeToPng(Multimodal.grayJpegBytes(id), 8, 8)
+    assert(png != null)
+    val r = MediaCodecHelper.decodePng(png)
+    assert(r != null && r.width == 8 && r.height == 8 && r.bpp == 1)
+    for (y <- 0 until 8; x <- 0 until 8) {
+      val sx = x * src.width / 8; val sy = y * src.height / 8
+      assert((r.pix(y * 8 + x) & 0xff) == (src.pix(sy * src.width + sx) & 0xff))
+    }
+    assert(MediaCodecHelper.jpegResizeToPng(Array[Byte](1, 2, 3), 4, 4) == null)
+  }
+
+  test("JPEG Column API stays codegen'd end-to-end") {
+    val s = spark
+    import s.implicits._
+    val df = (0L until 32L).toDF("doc_id")
+      .withColumn("jpg", Multimodal.makeGrayJpeg(col("doc_id")))
+      .withColumn("jpgc", Multimodal.makeColorJpeg(col("doc_id")))
+    val st = Multimodal.decodeJpeg(col("jpg"))
+    val stc = Multimodal.decodeJpeg(col("jpgc"))
+    val rs = Multimodal.decodeImage(Multimodal.jpegResizePng(col("jpg"), 8, 8))
+    val got = df.select(col("doc_id"),
+        st.getField("width").as("w"), st.getField("height").as("h"),
+        st.getField("channels").as("ch"), st.getField("px_sum").as("s"),
+        stc.getField("channels").as("cch"),
+        rs.getField("width").as("rw")).collect()
+    got.foreach { r =>
+      val id = r.getLong(0)
+      assert(r.getInt(1) == 20 + (id % 37).toInt)
+      assert(r.getInt(2) == 11 + (id % 13).toInt)
+      assert(r.getInt(3) == 1 && r.getInt(5) == 3 && r.getInt(6) == 8)
+      // px_sum replayed from the block formula + AC constant
+      val w = 20 + (id % 37).toInt; val h = 11 + (id % 13).toInt
+      var sum = 0L
+      for (by <- 0 until (h + 7) / 8; bx <- 0 until (w + 7) / 8) {
+        val vis = math.min(8, w - 8 * bx) * math.min(8, h - 8 * by)
+        sum += (if (bx == 0 && by == 0) 8383L
+                else ((bx * 29 + by * 41 + id * 7) % 256) * vis)
+      }
+      assert(r.getLong(4) == sum, s"id $id px_sum")
+    }
+  }
 }
