@@ -49,8 +49,16 @@ object ScaleCheck {
     "pl_dedup_corpus", "q_salted_join", "q5_local_supplier",
     "op_csvexport_zip", "op_sort_order", "tx_keywords", "op_type_fuzz",
     "dd_line_dedup", "pl_kmeans", "pl_nb_lang", "pl_lm_backoff", "rt_bm25",
-    "rt_hybrid_rrf", "gr_pagerank", "gr_walks", "gr_triangles",
-    "ann_pq_persisted")
+    "rt_hybrid_rrf", "gr_pagerank", "gr_pagerank_w", "gr_walks",
+    "gr_triangles", "ann_pq_persisted", "op_dataset_type2", "dd_spans",
+    "op_checksum_invariant")
+  // gr_pagerank_w: the only gated PageRank variant without a row until
+  // r14 — gr_pagerank plus one edge-weight fold and the scan-side
+  // raise_error weight guard; its slope should track gr_pagerank's.
+  // op_dataset_type2 / dd_spans / op_checksum_invariant: the three
+  // honest-action-exposed queries (their pre-r12 count() numbers timed a
+  // collapsed plan) — all linear scans, so expected slope ~1.0, but
+  // measured is the house standard.
   // ann_pq_persisted: the deployment-shape PQ path — the memoized store
   // build runs in warmup (the Fixtures job), so the timed passes measure
   // what a query pays: the ~64x-compressed code-store scan + broadcast
@@ -272,9 +280,32 @@ object ScaleCheck {
     * (driver-side metadata, snapshot counts, broadcast sizes).
     */
   private val X100Targets = Seq("dd_line_dedup", "pl_kmeans",
-    "pl_dedup_corpus", "gr_cluster_labelprop")
+    "pl_dedup_corpus", "gr_cluster_labelprop",
+    // r14: one HEAVY family per domain at two decades (VERDICT r13 item
+    // 3) — gr_pagerank carries the largest absolute shuffle volume in
+    // the 10x table (1.13 GB/decade) and rt_bm25 the largest
+    // posting-list build; both fit the sandbox at x100 by their 10x
+    // ratios (extrapolated ~60 s and ~40 s per pass).
+    "gr_pagerank", "rt_bm25")
 
   private var activeSpark: SparkSession = _
+
+  /** SPARK_GRAFT_SCALE_ONLY=<comma-separated name prefixes>: the
+    * single-query reproduction switch (Bench's SPARK_GRAFT_BENCH_ONLY,
+    * applied to scale rows) — time only matching targets and write to
+    * SCALE_CHECK_REPRO.json instead of SCALE_CHECK.json, so a repro run
+    * never clobbers the full artifact. Diagnostics and notes are skipped
+    * under the filter. Fails fast on an empty or zero-match filter.
+    */
+  private val onlyFilter: Option[String => Boolean] =
+    sys.env.get("SPARK_GRAFT_SCALE_ONLY").map { ps0 =>
+      val ps = ps0.split(',').map(_.trim).filter(_.nonEmpty)
+      if (ps.isEmpty) {
+        System.err.println("[scale] SPARK_GRAFT_SCALE_ONLY is set but empty")
+        sys.exit(2)
+      }
+      (n: String) => ps.exists(n.startsWith)
+    }
 
   def main(args: Array[String]): Unit = {
     val baseDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -297,12 +328,24 @@ object ScaleCheck {
     val nBig = spark.read.parquet(s"$outDir/documents.parquet").count()
     require(nBig == reps * nBase, s"synthesis wrong: $nBig != $reps*$nBase")
 
+    val runTargets = onlyFilter match {
+      case Some(f) =>
+        val t = allTargets.filter(f)
+        if (t.isEmpty && X100Targets.filter(f).isEmpty) {
+          System.err.println("[scale] SPARK_GRAFT_SCALE_ONLY matched zero targets")
+          sys.exit(2)
+        }
+        System.err.println(s"[scale] SPARK_GRAFT_SCALE_ONLY matched: ${t.mkString(", ")}")
+        t
+      case None => allTargets
+    }
+
     // untimed warmup at both scales: tables, codegen, memoized fixtures
     for ((dir, mult) <- Seq(baseDir -> 1, outDir -> reps)) {
       (FactKeys.keys.toSeq ++ DimTables).foreach { t =>
         spark.read.parquet(s"$dir/$t.parquet").count()
       }
-      allTargets.foreach { name =>
+      runTargets.foreach { name =>
         val t0 = System.nanoTime()
         runTarget(spark, name, dir, mult)
         System.err.println(f"[scale] warmup $dir $name: ${(System.nanoTime() - t0) / 1e9}%.2f s")
@@ -312,9 +355,31 @@ object ScaleCheck {
     val meter = new ShuffleMeter
     spark.sparkContext.addSparkListener(meter)
     val (small, shufS) = timedPasses(baseDir, mult = 1, passes = 3, meter,
-      allTargets)
+      runTargets)
     val (big, shufB) = timedPasses(outDir, mult = reps, passes = 2, meter,
-      allTargets)
+      runTargets)
+
+    // repro mode: filtered rows only, no diagnostics, separate artifact —
+    // never clobbers the full SCALE_CHECK.json
+    onlyFilter.foreach { f =>
+      val entries = runTargets.map { name =>
+        val (t1, t10) = (small(name), big(name))
+        val slope = math.log(t10 / t1) / math.log(reps.toDouble)
+        val (s1, s10) = (shufS(name), shufB(name))
+        val bSlope =
+          if (s1 > 0 && s10 > 0) math.log(s10.toDouble / s1) / math.log(reps.toDouble)
+          else 0.0
+        f""""$name":{"sf01_sec":$t1%.3f,"x10_sec":$t10%.3f,"slope":$slope%.3f,""" +
+          f""""shuffle_sf01_mb":${s1 / 1e6}%.1f,"shuffle_x10_mb":${s10 / 1e6}%.1f,"shuffle_slope":$bSlope%.3f}"""
+      }
+      val json =
+        s"""{"repro":true,"reps":$reps,"base":"$baseDir","queries":{${entries.mkString(",")}}}"""
+      println(json)
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(
+        s"${sys.props("user.dir")}/SCALE_CHECK_REPRO.json"), json + "\n")
+      spark.stop()
+      return
+    }
 
     // ---- untimed diagnostics for the adjudication notes ----
     // IVF-PQ probe fraction: what share of the code store a query's

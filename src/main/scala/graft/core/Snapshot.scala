@@ -489,16 +489,28 @@ final class SnapshotStore(val spark: SparkSession, val root: String) {
       case None => snaps0.filter(_.meta.lines > 0)
     }
     require(snaps.nonEmpty || snaps0.nonEmpty, s"empty chain for $name")
+    // The range column need not be in the projection (reference iterate:
+    // range= and columns= are independent knobs — r14, caught by the
+    // README doc-test): carry it through the per-snapshot select for the
+    // row filter, then drop it. Catalyst still prunes the scan to exactly
+    // what the filter + projection need.
+    val extraRangeCol = range match {
+      case Some((c, _, _)) if columns.nonEmpty && !columns.contains(c) =>
+        Seq(c)
+      case _ => Seq.empty
+    }
     val dfs = (if (snaps.isEmpty) snaps0.take(1) else snaps).map { s =>
       val df = readResolved(s.meta.name) // resolves parent column-appends
-      if (columns.nonEmpty) df.select(columns.map(Cols.q): _*) else df
+      if (columns.nonEmpty) df.select((columns ++ extraRangeCol).map(Cols.q): _*)
+      else df
     }
     val unioned = dfs.reduce(_.unionByName(_))
     val filtered = range match {
       case Some((c, lo, hi)) if !sloppyRange =>
         unioned.filter(Cols.q(c) >= lit(lo).cast(unioned.schema(c).dataType) &&
                        Cols.q(c) < lit(hi).cast(unioned.schema(c).dataType))
-      case _ => unioned
+          .drop(extraRangeCol: _*)
+      case _ => unioned.drop(extraRangeCol: _*)
     }
     hashlabel match {
       case Some(h) if rehash =>

@@ -42,8 +42,10 @@ object Graphs {
       count(lit(1)).as("n_nodes"),
       coalesce(sum(col("od")), lit(0L)).as("n_edges"),
       count(when(col("od") === 0, 1)).as("n_dangling"),
-      max(col("od")).as("max_out_deg"),
-      max(col("id")).as("max_in_deg"))
+      // edge-free input: all-zero row, not NULL extrema — the same
+      // convention as triangleDiag (r13)
+      coalesce(max(col("od")), lit(0L)).as("max_out_deg"),
+      coalesce(max(col("id")), lit(0L)).as("max_in_deg"))
     val rev = e.select(col("dst").as("rsrc"), col("src").as("rdst"))
     val nRecip = e.join(rev,
         col("src") === col("rsrc") && col("dst") === col("rdst"))

@@ -119,4 +119,45 @@ object RandomWalks {
         abs(col("sx") - col("sc")) <= window)
       .groupBy("center", "context").agg(count(lit(1)).as("n"))
   }
+
+  /** Negative-sampling draw table from a skip-gram pair corpus — the
+    * terminal operator of the DeepWalk family: word2vec's negatives are
+    * drawn from the unigram distribution raised to the 3/4 power
+    * (Mikolov et al. 2013 §2.2), and this materializes that draw as a
+    * deterministic, oracle-replayable table so the walk family ends in
+    * trainer-ready batches.
+    *
+    * The repo's replayable-draw discipline, twice over:
+    *  - the 3/4 power is INTEGER-EXACT: w = ⌊freq^(3/4)⌋ computed as
+    *    |{x ∈ 1..64 : x⁴ ≤ freq³}| (the largest integer 4th root of
+    *    freq³), never float pow — libm differences can flip ⌊16^0.75⌋
+    *    between 7 and 8; counting x⁴ ≤ freq³ cannot. Weights cap at 64
+    *    (so freq ≥ 256 short-circuits, keeping freq³ inside Long), the
+    *    same maxWeight as [[TrainingPipeline.sampleWeighted]] whose
+    *    replication min-hash key then performs the draw: w independent
+    *    md5 draws per node, keep the minimum — a weight-w node wins
+    *    proportionally w times as often, exactly replayed by the oracle.
+    *
+    * 100 TB shape: the unigram table is one map-side-combinable grouped
+    * count over the pair corpus (|V| rows out), the 4th-root weight is a
+    * 64-element scan-side collection expression, and the draw is
+    * [[TrainingPipeline.sampleN]]'s TakeOrderedAndProject bounded heap —
+    * no global sort, nothing corpus-sized past the first aggregation.
+    *
+    * @param pairs (center, context, n) — [[skipGramPairs]]' output shape.
+    * @return (node, freq, w34): the `nDraws` drawn negatives with their
+    *   context frequency and integer ⌊freq^(3/4)⌋ replication weight.
+    */
+  def negativeDraws(pairs: DataFrame, salt: String, nDraws: Int): DataFrame = {
+    require(nDraws >= 1, s"nDraws must be >= 1, got $nDraws")
+    val freq = pairs.groupBy(col("context").as("node"))
+      .agg(sum(col("n")).as("freq"))
+    val cube = col("freq") * col("freq") * col("freq")
+    val tbl = freq.withColumn("w34",
+      when(col("freq") >= 256L, lit(64L)) // 64^4 = 256^3: already at cap
+        .otherwise(size(filter(sequence(lit(1L), lit(64L)),
+          x => x * x * x * x <= cube)).cast("long")))
+    graft.ops.TrainingPipeline.sampleWeighted(tbl, "node", "w34", salt,
+      nDraws)
+  }
 }

@@ -211,6 +211,17 @@ object GraphPack {
       store.readResolved("walk_corpus"), window = 2)
   }
 
+  /** Negative-sampling draws over the walk-pair corpus: 100 nodes drawn
+    * from the unigram^(3/4) noise distribution of skip-gram contexts
+    * (Mikolov et al. 2013) via the integer 4th-root replication weight —
+    * the trainer-facing terminal of the walk family. Reads the same
+    * memoized pair pipeline as gr_walk_pairs; the oracle replays walks,
+    * pairs, the integer ⌊freq^¾⌋, and the min-hash draw from scratch.
+    */
+  def walkNegativesQ(s: SparkSession, dir: String): DataFrame =
+    graft.ops.RandomWalks.negativeDraws(walkPairsQ(s, dir), "gN",
+      nDraws = 100)
+
   /** Report card for the DIRECTED customer→supplier fulfillment graph
     * (bipartite, so every supplier is dangling and reciprocity is 0 —
     * the profile that tells you PageRank's leak set up front).
@@ -255,6 +266,7 @@ object GraphPack {
     "gr_report" -> (reportQ _),
     "gr_walks" -> (walksQ _),
     "gr_walk_pairs" -> (walkPairsQ _),
+    "gr_walk_negatives" -> (walkNegativesQ _),
     "gr_triangles" -> (trianglesQ _),
   )
 
@@ -306,6 +318,30 @@ object GraphPack {
          |FROM wk a JOIN wk b ON a.walk_id = b.walk_id
          |  AND a.step != b.step AND abs(a.step - b.step) <= 2
          |GROUP BY 1, 2""".stripMargin,
+    // composes the walks + pairs replay with the integer 4th-root
+    // weight (count of x in 1..64 with x^4 <= freq^3 — float pow would
+    // risk libm boundary flips) and the replication min-hash draw,
+    // pl_sample_weighted's exact discipline
+    "gr_walk_negatives" ->
+      s"""WITH wk AS (${GraphOracle.randomWalks(GraphOracle.CoPurchaseEdges,
+             startsPred = "v % 97 = 0", steps = 8)}),
+         |prs AS (SELECT a.node center, b.node context, count(*)::BIGINT n
+         |  FROM wk a JOIN wk b ON a.walk_id = b.walk_id
+         |    AND a.step != b.step AND abs(a.step - b.step) <= 2
+         |  GROUP BY 1, 2),
+         |frq AS (SELECT context node, sum(n)::BIGINT freq
+         |  FROM prs GROUP BY 1),
+         |wts AS (SELECT node, freq,
+         |  (CASE WHEN freq >= 256 THEN 64 ELSE
+         |    (SELECT count(*) FROM range(1, 65) t(x)
+         |     WHERE x*x*x*x <= freq*freq*freq) END)::BIGINT w34
+         |  FROM frq)
+         |SELECT node, freq, w34 FROM (
+         |  SELECT node, freq, w34,
+         |    list_min(list_transform(range(1, w34 + 1),
+         |      j -> md5('gN'||node::VARCHAR||'-'||j::VARCHAR))) rk
+         |  FROM wts)
+         |ORDER BY rk, node LIMIT 100""".stripMargin,
     // id-ordered orientation here; the operator uses the degree-ordered
     // one — the triangle count is orientation-invariant.
     "gr_triangles" ->
@@ -333,8 +369,8 @@ object GraphPack {
         |  (SELECT count(*) FROM e)::BIGINT n_edges,
         |  (SELECT count(*) FROM nodes n WHERE NOT EXISTS
         |    (SELECT 1 FROM od WHERE od.src = n.v))::BIGINT n_dangling,
-        |  (SELECT max(od) FROM od)::BIGINT max_out_deg,
-        |  (SELECT max(id) FROM ind)::BIGINT max_in_deg,
+        |  COALESCE((SELECT max(od) FROM od), 0)::BIGINT max_out_deg,
+        |  COALESCE((SELECT max(id) FROM ind), 0)::BIGINT max_in_deg,
         |  (SELECT count(*) FROM e a JOIN e b
         |    ON a.src = b.dst AND a.dst = b.src)::BIGINT n_reciprocal
         |""".stripMargin,

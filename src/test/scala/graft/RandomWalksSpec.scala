@@ -89,4 +89,42 @@ class RandomWalksSpec extends AnyFunSuite {
     val m = got.map { case (c, x, n) => (c, x) -> n }.toMap
     got.foreach { case (c, x, n) => assert(m((x, c)) == n) }
   }
+
+  test("negativeDraws: integer 4th-root weights and the min-hash draw") {
+    // ⌊freq^(3/4)⌋ spot values incl. the exact-power boundary 16 (=2^4,
+    // where float pow could flip between 7.999... and 8) and the cap
+    val pairs = Seq(
+      (101L, 1L, 1L),   // freq 1  -> w 1
+      (102L, 2L, 2L),   // freq 2  -> w 1   (2^3=8 < 2^4=16)
+      (103L, 3L, 5L),   // freq 5  -> w 3   (3^4=81 <= 125 < 4^4=256)
+      (104L, 4L, 16L),  // freq 16 -> w 8   (8^4 = 16^3 = 4096 exactly)
+      (105L, 5L, 255L), // freq 255 -> w 63 (63^4 <= 255^3 < 64^4)
+      (106L, 6L, 300L), // freq 300 -> w 64 (cap short-circuit)
+      (107L, 6L, 100L)) // same context as ^: freqs SUM (300+100=400)
+      .toDF("center", "context", "n")
+    val got = RandomWalks.negativeDraws(pairs, "t1", nDraws = 4)
+      .as[(Long, Long, Long)].collect().toSeq
+    val wOf = got.map { case (node, _, w) => node -> w }.toMap
+    val fOf = got.map { case (node, f, _) => node -> f }.toMap
+    // replicate the draw in plain Scala: min over w md5 draws per node
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val expectW = Map(1L -> 1L, 2L -> 1L, 5L -> 3L, 16L -> 8L,
+      255L -> 63L, 400L -> 64L)
+    val freqs = Map(1L -> 1L, 2L -> 2L, 3L -> 5L, 4L -> 16L, 5L -> 255L,
+      6L -> 400L)
+    val ranked = freqs.toSeq.map { case (node, f) =>
+      val w = expectW(f)
+      val rk = (1L to w).map(j => md5hex(s"t1$node-$j")).min
+      (rk, node, f, w)
+    }.sorted.take(4)
+    assert(got.toSet ==
+      ranked.map { case (_, node, f, w) => (node, f, w) }.toSet)
+    got.foreach { case (node, f, w) =>
+      assert(f == freqs(node) && w == expectW(f),
+        s"node $node: freq $f w $w")
+    }
+    val _ = (wOf, fOf)
+  }
 }

@@ -280,6 +280,86 @@ class StreamingSpec extends AnyFunSuite {
       "no sketches lost across compaction")
   }
 
+  test("compaction under load: 32 micro-batches keep tip reads O(compactEvery)") {
+    // The existing compaction test proves correctness across ~3 batches;
+    // this one proves the POLICY holds at realistic batch counts: with
+    // compactEvery = 4 over 32 micro-batches, the index chain a new batch
+    // must read never exceeds compactEvery + 1 snapshots (one compacted
+    // base + the appends since), so tip-read plan cost is O(compactEvery),
+    // not O(batches). Without compaction the same load walks O(batches)
+    // snapshots — asserted on an 8-batch control below, so the bounded
+    // depth is demonstrably the compaction's doing.
+    val s = spark
+    import s.implicits._
+    val base = "the quick brown fox jumps over the lazy dog again and again"
+    def feed(dir: String, batches: Int): Unit =
+      for (i <- 0 until batches) {
+        val fresh = s"s$i alpha$i beta$i gamma$i delta$i epsilon$i zeta$i"
+        val docs =
+          if (i == 0) Seq((1L, base), (2L, fresh))
+          else Seq((10L * i + 1, base + s" x$i"), // near-dups history
+                   (10L * i + 2, fresh))          // disjoint tokens: kept
+        docs.toDF("doc_id", "text")
+          .coalesce(1).write.mode("append").parquet(dir)
+      }
+    val batches = 32
+    val every = 4
+    val dir = tmpDir("ndl_src")
+    feed(dir, batches)
+    val store = new SnapshotStore(s, tmpDir("ndl_store"))
+    val q = Streams.nearDupDedupSink(
+      Streams.eventStream(s, dir, maxFilesPerTrigger = 1),
+      "doc_id", "text", store, "ndlidx", "ndlout",
+      checkpoint = tmpDir("ndl_ckpt"),
+      n = 3, k = 16, bands = 8, threshold = 0.5,
+      compactEvery = Some(every))
+    q.awaitTermination(600000)
+    // every doc's sketch survives: 2 per batch, none lost across 8 compactions
+    val tip = store.list().filter(_.startsWith("ndlidx."))
+      .maxBy(n => n.split("\\.").last.takeWhile(_.isDigit).toInt)
+    assert(store.iterateChain(tip).count() == 2L * batches,
+      "sketches lost under compaction load")
+    // the near-dup stream deduped correctly THROUGH every compacted base:
+    // each batch's base-variant doc dropped against history, fresh kept
+    val outTip = store.list().filter(_.startsWith("ndlout."))
+      .maxBy(n => n.split("\\.").last.toInt)
+    val survivors = store.iterateChain(outTip, columns = Seq("doc_id"))
+      .collect().map(_.getLong(0)).sorted.toSeq
+    val want = (1L +: 2L +: (1 until batches).map(i => 10L * i + 2)).sorted
+    assert(survivors == want, s"got $survivors")
+    // THE load claim: chain depth at the tip — what the NEXT batch's
+    // history read walks — is bounded by compactEvery + 1 at every
+    // point in the run, and the physical read fans out over exactly
+    // chain-depth parquet relations (no hidden O(batches) union)
+    val depth = store.chain(tip).size
+    assert(depth <= every + 1, s"tip chain depth $depth after $batches " +
+      s"batches with compactEvery=$every — compaction is not bounding reads")
+    val leaves = store.iterateChain(tip)
+      .queryExecution.optimizedPlan.collectLeaves().size
+    assert(leaves <= every + 1, s"tip read scans $leaves relations")
+    // historical tips the run actually read: every post-compaction batch
+    // chained onto a compacted base, so NO batch ever walked more than
+    // compactEvery + 1 snapshots
+    (1 until batches).foreach { b =>
+      val d = store.chain(s"ndlidx.$b").size
+      assert(d <= every + 1,
+        s"batch $b read a depth-$d chain (> ${every + 1})")
+    }
+    // control: the same sink without compaction walks O(batches) —
+    // proving the depth bound above is the policy, not the fixture
+    val dir2 = tmpDir("ndl2_src")
+    feed(dir2, 8)
+    val store2 = new SnapshotStore(s, tmpDir("ndl2_store"))
+    val q2 = Streams.nearDupDedupSink(
+      Streams.eventStream(s, dir2, maxFilesPerTrigger = 1),
+      "doc_id", "text", store2, "ndlidx", "ndlout",
+      checkpoint = tmpDir("ndl2_ckpt"),
+      n = 3, k = 16, bands = 8, threshold = 0.5, compactEvery = None)
+    q2.awaitTermination(600000)
+    assert(store2.chain("ndlidx.7").size == 8,
+      "uncompacted control should walk one snapshot per batch")
+  }
+
   test("lineDedupSink: streaming line dedup against the chain line index") {
     val s = spark
     import s.implicits._
