@@ -115,6 +115,21 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       args => expect(args, 1)
         graft.expr.JpegMeta(args(0))
     }
+    inject("graft_avi_meta",
+      "graft_avi_meta(bin) - struct(width, height, n_frames, usec_per_frame, handler) via the AVI RIFF walk") {
+      args => expect(args, 1)
+        graft.expr.AviMeta(args(0))
+    }
+    inject("graft_mjpeg_stats",
+      "graft_mjpeg_stats(bin, step) - every-step-th MJPEG frame decoded, aggregated pixel statistics") {
+      args => expect(args, 2)
+        graft.expr.MjpegStats(args(0), litInt(args(1), "step"))
+    }
+    inject("graft_mjpeg_frame",
+      "graft_mjpeg_frame(bin, idx) - the idx-th video frame's raw JPEG bytes") {
+      args => expect(args, 2)
+        graft.expr.MjpegFrame(args(0), litInt(args(1), "idx"))
+    }
   }
 }
 

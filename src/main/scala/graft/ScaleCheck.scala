@@ -51,7 +51,13 @@ object ScaleCheck {
     "dd_line_dedup", "pl_kmeans", "pl_nb_lang", "pl_lm_backoff", "rt_bm25",
     "rt_hybrid_rrf", "gr_pagerank", "gr_pagerank_w", "gr_walks",
     "gr_triangles", "ann_pq_persisted", "op_dataset_type2", "dd_spans",
-    "op_checksum_invariant")
+    "op_checksum_invariant", "mm_codec_roundtrip", "mm_video_frames",
+    "gr_node2vec")
+  // gr_node2vec (r14): the second-order walk — two broadcast probes of
+  // the cached neighbor index per step instead of gr_walks' one, plus
+  // the walk-keyed cumulative-weight window; its slope should track
+  // gr_walks' (the graph-sized work per step doubles but stays
+  // broadcast-shaped; everything else is frontier-bounded).
   // gr_pagerank_w: the only gated PageRank variant without a row until
   // r14 — gr_pagerank plus one edge-weight fold and the scan-side
   // raise_error weight guard; its slope should track gr_pagerank's.
@@ -59,6 +65,15 @@ object ScaleCheck {
   // honest-action-exposed queries (their pre-r12 count() numbers timed a
   // collapsed plan) — all linear scans, so expected slope ~1.0, but
   // measured is the house standard.
+  // mm_codec_roundtrip / mm_video_frames (r14): the media decode family's
+  // first scale rows. All work is scan-side codegen'd decode (PNG
+  // inflate+unfilter, baseline-JPEG Huffman+IDCT, WAV PCM, the AVI
+  // container walk with per-frame JPEG decode) over blobs that are pure
+  // functions of doc_id; the blob fixture builds run in warmup (memoized
+  // Fixtures jobs per dir), so the timed passes isolate decode CPU.
+  // Expected: slope ~1.0 and ~zero shuffle at both scales — a measured
+  // super-linear slope would expose a decode-path memory cliff
+  // (allocation pressure per blob) that plan shape can't show.
   // ann_pq_persisted: the deployment-shape PQ path — the memoized store
   // build runs in warmup (the Fixtures job), so the timed passes measure
   // what a query pays: the ~64x-compressed code-store scan + broadcast

@@ -1,0 +1,293 @@
+package graft.expr
+
+import org.apache.spark.sql.catalyst.expressions.{Expression, GenericInternalRow, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Real (not stubbed) MJPEG video decode: the AVI/RIFF container walk plus
+  * per-frame baseline JPEG decode via [[MediaCodecHelper.decodeJpeg]].
+  *
+  * Why video can be real here with zero codec libraries: AVI is a plain
+  * RIFF container (Microsoft AVI RIFF / OpenDML, public spec) — `LIST
+  * hdrl` holds the main header (`avih`: µs/frame, width, height) and one
+  * `LIST strl` per stream (`strh` stream type + handler fourcc), `LIST
+  * movi` holds the frame chunks (`##dc`/`##db`, optionally grouped in
+  * `LIST rec ` records), `idx1` is a skippable index. Motion-JPEG stores
+  * each frame as a self-contained JPEG inside its `##dc` chunk, so the
+  * frame decode IS the already-landed baseline JPEG path. With this, the
+  * multimodal stub seam narrows from "video" to "inter-frame video codecs"
+  * (H.264/HEVC/VP9/AV1 — genuinely external-codec work).
+  *
+  * Envelope (honest partial decoder, null/undecoded — never garbage):
+  *  - container: RIFF/'AVI ', one video (`vids`) stream, frames found by
+  *    the bounded movi walk (idx1 not required, one `LIST rec ` nesting
+  *    level supported);
+  *  - frames: self-contained baseline JPEGs ([[MediaCodecHelper.decodeJpeg]]'s
+  *    envelope). AVI MJPEG frames that omit DHT segments (the OpenDML
+  *    "standard tables implied" convention) count as sampled-not-decoded.
+  *
+  * All walks are bounded and bounds-checked: chunk sizes are read as
+  * unsigned, every advance is validated against the enclosing chunk, and
+  * frame counts are capped — an adversarial header can't loop, over-read,
+  * or allocate unboundedly. Per-value scan-side work wrapped in codegen'd
+  * expressions, same pattern as [[MediaCodecHelper]]: no shuffle, no UDF,
+  * memory bounded by one blob + one decoded frame per row.
+  */
+object AviCodecHelper {
+
+  private final val MaxHeaderChunks = 64
+  private final val MaxFrames = 1 << 20
+
+  /** Parsed container layout: dimensions/timing from `avih`, handler
+    * fourcc from the `vids` stream's `strh`, movi data range.
+    */
+  final class AviInfo(val width: Int, val height: Int, val usecPerFrame: Int,
+                      val handler: String, val moviStart: Int, val moviEnd: Int)
+
+  private def leUInt(b: Array[Byte], o: Int): Long =
+    (b(o) & 0xffL) | ((b(o + 1) & 0xffL) << 8) |
+      ((b(o + 2) & 0xffL) << 16) | ((b(o + 3) & 0xffL) << 24)
+  private def leInt(b: Array[Byte], o: Int): Int = leUInt(b, o).toInt
+
+  private def isTag(b: Array[Byte], o: Int, t: String): Boolean =
+    b(o) == t.charAt(0).toByte && b(o + 1) == t.charAt(1).toByte &&
+      b(o + 2) == t.charAt(2).toByte && b(o + 3) == t.charAt(3).toByte
+
+  /** Parse the container headers; null when not a RIFF/'AVI ' blob with a
+    * video stream, plausible dimensions and a movi list.
+    */
+  def parseAvi(bytes: Array[Byte]): AviInfo = {
+    if (bytes == null || bytes.length < 24) return null
+    if (!isTag(bytes, 0, "RIFF") || !isTag(bytes, 8, "AVI ")) return null
+    val end = math.min(bytes.length.toLong, 8L + leUInt(bytes, 4))
+    var off = 12L
+    var w = -1; var h = -1; var usec = -1
+    var handler: String = null
+    var moviStart = -1L; var moviEnd = -1L
+    var k = 0
+    while (off + 8 <= end && k < MaxHeaderChunks) {
+      val o = off.toInt
+      val size = leUInt(bytes, o + 4)
+      if (off + 8 + size > end) return null // forged/truncated length
+      if (isTag(bytes, o, "LIST") && size >= 4) {
+        if (isTag(bytes, o + 8, "hdrl")) {
+          val iend = off + 8 + size
+          var io = off + 12L
+          var ik = 0
+          while (io + 8 <= iend && ik < MaxHeaderChunks) {
+            val i0 = io.toInt
+            val isz = leUInt(bytes, i0 + 4)
+            if (io + 8 + isz > iend) return null
+            if (isTag(bytes, i0, "avih") && isz >= 40) {
+              usec = leInt(bytes, i0 + 8)
+              w = leInt(bytes, i0 + 8 + 32)
+              h = leInt(bytes, i0 + 8 + 36)
+            } else if (isTag(bytes, i0, "LIST") && isz >= 4 &&
+                       isTag(bytes, i0 + 8, "strl")) {
+              // strh is the strl list's mandatory first sub-chunk
+              val so = i0 + 12
+              if (io + 20 <= iend && isTag(bytes, so, "strh")) {
+                val ssz = leUInt(bytes, so + 4)
+                if (io + 20 + ssz <= iend && ssz >= 8 && handler == null &&
+                    isTag(bytes, so + 8, "vids"))
+                  handler = new String(bytes, so + 12, 4, "US-ASCII")
+              }
+            }
+            io += 8 + isz + (isz & 1)
+            ik += 1
+          }
+        } else if (isTag(bytes, o + 8, "movi")) {
+          moviStart = off + 12
+          moviEnd = off + 8 + size
+        }
+      }
+      off += 8 + size + (size & 1)
+      k += 1
+    }
+    if (w <= 0 || h <= 0 || w > (1 << 16) || h > (1 << 16) ||
+        handler == null || moviStart < 0) return null
+    new AviInfo(w, h, usec, handler, moviStart.toInt, moviEnd.toInt)
+  }
+
+  /** Video chunk id: two ASCII stream-number digits + `dc` (compressed) or
+    * `db` (uncompressed DIB).
+    */
+  private def isVideoChunk(b: Array[Byte], o: Int): Boolean =
+    b(o) >= '0' && b(o) <= '9' && b(o + 1) >= '0' && b(o + 1) <= '9' &&
+      b(o + 2) == 'd' && (b(o + 3) == 'c' || b(o + 3) == 'b')
+
+  /** (offset << 32 | size) of each video frame chunk's data, in movi
+    * order; null on a malformed movi (forged chunk length, frame-count
+    * bomb). One `LIST rec ` nesting level is walked; other chunk types
+    * (audio `##wb`, subtitles, padding `JUNK`) are skipped.
+    */
+  def frameBounds(bytes: Array[Byte], info: AviInfo): Array[Long] = {
+    val out = new java.util.ArrayList[Long]()
+    def walk(start: Long, limit: Long, depth: Int): Boolean = {
+      var off = start
+      while (off + 8 <= limit) {
+        val o = off.toInt
+        val size = leUInt(bytes, o + 4)
+        if (off + 8 + size > limit || out.size >= MaxFrames) return false
+        if (isVideoChunk(bytes, o))
+          out.add(((off + 8) << 32) | size)
+        else if (isTag(bytes, o, "LIST") && size >= 4 &&
+                 isTag(bytes, o + 8, "rec ") && depth == 0) {
+          if (!walk(off + 12, off + 8 + size, 1)) return false
+        }
+        off += 8 + size + (size & 1)
+      }
+      true
+    }
+    if (info == null) return null
+    if (!walk(info.moviStart.toLong, info.moviEnd.toLong, 0)) return null
+    val a = new Array[Long](out.size)
+    var i = 0
+    while (i < a.length) { a(i) = out.get(i); i += 1 }
+    a
+  }
+
+  val AviMetaType: StructType = StructType(Seq(
+    StructField("width", IntegerType, nullable = false),
+    StructField("height", IntegerType, nullable = false),
+    StructField("n_frames", IntegerType, nullable = false),
+    StructField("usec_per_frame", IntegerType, nullable = false),
+    StructField("handler", StringType, nullable = false)))
+
+  /** struct(width, height, n_frames, usec_per_frame, handler) — n_frames
+    * COUNTED from the movi walk (the `avih` total is advisory and wrong in
+    * real files often enough that trusting it would misreport); null for
+    * non-AVI / malformed containers.
+    */
+  def aviMeta(bytes: Array[Byte]): InternalRow = {
+    val info = parseAvi(bytes)
+    if (info == null) return null
+    val frames = frameBounds(bytes, info)
+    if (frames == null) return null
+    new GenericInternalRow(Array[Any](info.width, info.height, frames.length,
+      info.usecPerFrame, UTF8String.fromString(info.handler)))
+  }
+
+  val MjpegStatsType: StructType = StructType(Seq(
+    StructField("n_frames", IntegerType, nullable = false),
+    StructField("n_sampled", IntegerType, nullable = false),
+    StructField("n_decoded", IntegerType, nullable = false),
+    StructField("px_sum", LongType, nullable = false),
+    StructField("px_min", IntegerType, nullable = false),
+    StructField("px_max", IntegerType, nullable = false)))
+
+  /** Decode every `step`-th video frame (0, step, 2·step, …) through the
+    * baseline JPEG path and aggregate integer pixel statistics across the
+    * sampled frames: struct(n_frames, n_sampled, n_decoded, px_sum,
+    * px_min, px_max). Frames outside the JPEG envelope count as
+    * sampled-not-decoded; a zero-decode result reports px_min = px_max = 0
+    * (the all-zero empty-input convention used engine-wide). Null when the
+    * blob is not a well-formed AVI with a video stream.
+    */
+  def mjpegStats(bytes: Array[Byte], step: Int): InternalRow = {
+    val info = parseAvi(bytes)
+    if (info == null) return null
+    val frames = frameBounds(bytes, info)
+    if (frames == null) return null
+    var sampled = 0; var decoded = 0
+    var sum = 0L; var mn = 255; var mx = 0
+    var i = 0
+    while (i < frames.length) {
+      val off = (frames(i) >>> 32).toInt
+      val size = (frames(i) & 0xffffffffL).toInt
+      sampled += 1
+      val r = MediaCodecHelper.decodeJpeg(
+        java.util.Arrays.copyOfRange(bytes, off, off + size))
+      if (r != null) {
+        decoded += 1
+        var p = 0
+        while (p < r.pix.length) {
+          val v = r.pix(p) & 0xff
+          sum += v; if (v < mn) mn = v; if (v > mx) mx = v
+          p += 1
+        }
+      }
+      i += step
+    }
+    if (decoded == 0) { mn = 0; mx = 0 }
+    new GenericInternalRow(Array[Any](frames.length, sampled, decoded, sum, mn, mx))
+  }
+
+  /** Raw bytes of the `idx`-th video frame chunk — for MJPEG, a
+    * self-contained JPEG that feeds the existing decode/resize/transcode
+    * expressions. Null when not an AVI or `idx` is out of range.
+    */
+  def mjpegFrame(bytes: Array[Byte], idx: Int): Array[Byte] = {
+    val info = parseAvi(bytes)
+    if (info == null) return null
+    val frames = frameBounds(bytes, info)
+    if (frames == null || idx < 0 || idx >= frames.length) return null
+    val off = (frames(idx) >>> 32).toInt
+    val size = (frames(idx) & 0xffffffffL).toInt
+    java.util.Arrays.copyOfRange(bytes, off, off + size)
+  }
+}
+
+/** AVI container metadata (width, height, counted frames, µs/frame, video
+  * handler fourcc) via the bounded RIFF list walk; null for non-AVI blobs.
+  */
+case class AviMeta(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = AviCodecHelper.AviMetaType
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_avi_meta"
+  override def nullSafeEval(input: Any): Any =
+    AviCodecHelper.aviMeta(input.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      s"""
+         |${ev.value} = graft.expr.AviCodecHelper.aviMeta($c);
+         |${ev.isNull} = (${ev.value} == null);
+       """.stripMargin
+    })
+  override protected def withNewChildInternal(newChild: Expression): AviMeta =
+    copy(child = newChild)
+}
+
+/** Every-`step`-th-frame MJPEG decode + aggregated pixel statistics; null
+  * for non-AVI blobs (undecodable frames are counted, not nulled).
+  */
+case class MjpegStats(child: Expression, step: Int) extends UnaryExpression {
+  require(step > 0, s"bad frame-sample step $step")
+  override def dataType: DataType = AviCodecHelper.MjpegStatsType
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_mjpeg_stats"
+  override def nullSafeEval(input: Any): Any =
+    AviCodecHelper.mjpegStats(input.asInstanceOf[Array[Byte]], step)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      s"""
+         |${ev.value} = graft.expr.AviCodecHelper.mjpegStats($c, $step);
+         |${ev.isNull} = (${ev.value} == null);
+       """.stripMargin
+    })
+  override protected def withNewChildInternal(newChild: Expression): MjpegStats =
+    copy(child = newChild)
+}
+
+/** The `idx`-th video frame's raw chunk bytes (a self-contained JPEG for
+  * MJPEG streams); null when out of range or not an AVI.
+  */
+case class MjpegFrame(child: Expression, idx: Int) extends UnaryExpression {
+  require(idx >= 0, s"bad frame index $idx")
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_mjpeg_frame"
+  override def nullSafeEval(input: Any): Any =
+    AviCodecHelper.mjpegFrame(input.asInstanceOf[Array[Byte]], idx)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      s"""
+         |${ev.value} = graft.expr.AviCodecHelper.mjpegFrame($c, $idx);
+         |${ev.isNull} = (${ev.value} == null);
+       """.stripMargin
+    })
+  override protected def withNewChildInternal(newChild: Expression): MjpegFrame =
+    copy(child = newChild)
+}

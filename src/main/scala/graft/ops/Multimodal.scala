@@ -19,9 +19,11 @@ import org.apache.spark.sql.functions._
   * [[decodeJpeg]], [[imageResize]], [[jpegResizePng]],
   * [[audioFeatures]], [[audioFrameSample]]). [[jpegMeta]] additionally
   * extracts frame-header metadata without entropy decode (the cheap path
-  * for dimension gates). `decodeImageStub` remains the seam only for
-  * VIDEO — the one format that genuinely needs an external codec — where
-  * a decode UDF (or mapInPandas in pyspark pipelines) would plug in.
+  * for dimension gates). VIDEO is real for MJPEG-in-AVI — the container
+  * walk plus per-frame JPEG decode ([[videoMeta]]/[[videoFrameStats]]/
+  * [[videoFrame]], graft.expr.AviCodecHelper) — so `decodeImageStub`
+  * remains the seam only for inter-frame codecs (H.264/HEVC/VP9/AV1),
+  * where a decode UDF (or mapInPandas in pyspark pipelines) would plug in.
   *
   * Fixture generators (valid minimal PNG / WAV bytes, CRCs and all) are
   * Scala UDFs — they exist to create test data, not to process it.
@@ -429,11 +431,71 @@ object Multimodal {
       crBlock = (_, my) => ((my * 19 + id * 3) % 256).toInt,
       acSeed = null, restartInterval = 0)
 
+  /** Minimal valid AVI/MJPEG container for doc `id` — RIFF('AVI ') with
+    * LIST hdrl (avih + LIST strl(strh 'vids'/'MJPG' + strf
+    * BITMAPINFOHEADER)), LIST movi of `00dc` frame chunks each holding a
+    * self-contained baseline gray JPEG from [[jpegBaselineBytes]], and a
+    * trailing idx1 index (which the production walk must SKIP — frames
+    * come from the movi walk). Own byte emission, sharing no code with
+    * the production container walk in graft.expr.AviCodecHelper.
+    *
+    * Layout: (16+id%17)×(9+id%11), 3+id%5 frames, 20000+(id%5)·20000
+    * µs/frame; frame f's Y block (bx,by) = (bx·29+by·41+id·7+f·13)%256 —
+    * pure functions of doc_id, so the DuckDB oracle replays every decoded
+    * pixel.
+    */
+  def aviMjpegBytes(id: Long): Array[Byte] = {
+    val w = 16 + (id % 17).toInt
+    val h = 9 + (id % 11).toInt
+    val nFrames = (3 + id % 5).toInt
+    val usec = 20000 + (id % 5).toInt * 20000
+    val jpegs = (0 until nFrames).map { f =>
+      jpegBaselineBytes(w, h, color = false, sub420 = false,
+        yBlock = (bx, by) => ((bx * 29 + by * 41 + id * 7 + f * 13) % 256).toInt,
+        cbBlock = null, crBlock = null, acSeed = null, restartInterval = 0)
+    }
+    def le(v: Int): Array[Byte] =
+      Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+        ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+    def tag(s: String): Array[Byte] = s.getBytes("US-ASCII")
+    def chunk(t: String, data: Array[Byte]): Array[Byte] = {
+      val pad = if (data.length % 2 == 1) Array[Byte](0) else Array.empty[Byte]
+      tag(t) ++ le(data.length) ++ data ++ pad
+    }
+    def list(typ: String, payload: Array[Byte]): Array[Byte] =
+      chunk("LIST", tag(typ) ++ payload)
+    val avih = le(usec) ++ le(0) ++ le(0) ++ le(0) ++ le(nFrames) ++ le(0) ++
+      le(1) ++ le(0) ++ le(w) ++ le(h) ++ le(0) ++ le(0) ++ le(0) ++ le(0)
+    val strh = tag("vids") ++ tag("MJPG") ++ le(0) ++ le(0) ++ le(0) ++
+      le(usec) ++ le(1000000) ++ le(0) ++ le(nFrames) ++ le(0) ++ le(-1) ++
+      le(0) ++ le(0) ++ le(0) // dwScale=usec/dwRate=1e6; rcFrame zeroed
+    val strf = le(40) ++ le(w) ++ le(h) ++
+      Array[Byte](1, 0, 24, 0) ++ tag("MJPG") ++ le(w * h * 3) ++
+      le(0) ++ le(0) ++ le(0) ++ le(0)
+    val hdrl = list("hdrl", chunk("avih", avih) ++
+      list("strl", chunk("strh", strh) ++ chunk("strf", strf)))
+    val moviPayload = jpegs.map(j => chunk("00dc", j)).foldLeft(Array.empty[Byte])(_ ++ _)
+    val movi = list("movi", moviPayload)
+    // idx1: one entry per frame (fourcc, KEYFRAME flag, offset from the
+    // movi list type fourcc to the frame's chunk header, chunk size)
+    val idxEntries = {
+      var off = 4 // relative to "movi" fourcc; first chunk header follows it
+      jpegs.map { j =>
+        val e = tag("00dc") ++ le(0x10) ++ le(off) ++ le(j.length)
+        off += 8 + j.length + (j.length % 2)
+        e
+      }.foldLeft(Array.empty[Byte])(_ ++ _)
+    }
+    val body = tag("AVI ") ++ hdrl ++ movi ++ chunk("idx1", idxEntries)
+    tag("RIFF") ++ le(body.length) ++ body
+  }
+
   val makePng = udf((w: Int, h: Int) => pngBytes(w, h))
   val makeGrayJpeg = udf((id: Long) => grayJpegBytes(id))
   val makeColorJpeg = udf((id: Long) => colorJpegBytes(id))
   val makeJpeg = udf((w: Int, h: Int, c: Int) => jpegBytes(w, h, c))
   val makeRgbPng = udf((w: Int, h: Int) => rgbPngBytes(w, h))
+  val makeAviMjpeg = udf((id: Long) => aviMjpegBytes(id))
   val makeWav = udf((rate: Int, n: Int) => wavBytes(rate, n))
   val makeWavWithList = udf((rate: Int, n: Int) => wavBytesWithList(rate, n))
 
@@ -486,6 +548,13 @@ object Multimodal {
 
   def isJpeg(bin: Column): Column = hex(substring(bin, 1, 2)) === "FFD8"
 
+  /** RIFF with the 'AVI ' form fourcc (WAV is RIFF too — the form byte is
+    * what separates them).
+    */
+  def isAvi(bin: Column): Column =
+    hex(substring(bin, 1, 4)) === "52494646" &&   // RIFF
+    hex(substring(bin, 9, 4)) === "41564920"      // AVI_
+
   /** JPEG frame-header metadata via the codegen'd SOI/SOF marker walk
     * (graft.expr.JpegMeta): struct(width, height, components), null for
     * non-JPEG/malformed blobs. Pixel decode remains behind
@@ -505,7 +574,8 @@ object Multimodal {
 
   def mediaType(bin: Column): Column =
     when(isPng(bin), "image/png").when(isWav(bin), "audio/wav")
-      .when(isJpeg(bin), "image/jpeg").otherwise("unknown")
+      .when(isJpeg(bin), "image/jpeg").when(isAvi(bin), "video/avi")
+      .otherwise("unknown")
 
   /** 60-bit content fingerprint of the raw bytes — the binary-column exact
     * dedup key (md5 over bytes; oracle: md5 over the same bytes).
@@ -570,13 +640,36 @@ object Multimodal {
   def audioFrameSample(bin: Column, step: Int): Column =
     bridge(graft.expr.WavFrameSample(ex(bin), step))
 
-  /** STUB — the decode seam for VIDEO, the one format that still needs an
-    * external codec library (not in this container); pipelines plug a
-    * decode UDF (JVM) or `mapInPandas` (Python) in here. PNG, baseline
-    * JPEG and WAV decode are REAL — see [[decodeImage]]/[[decodeJpeg]]/
-    * [[audioFeatures]]. The stub returns the deterministic fake "pixel
-    * summary" (width, height, null mean) so downstream
-    * schema/partitioning is exercised end-to-end.
+  /** AVI container metadata via the bounded RIFF list walk
+    * (graft.expr.AviCodecHelper): struct(width, height, n_frames,
+    * usec_per_frame, handler), with n_frames COUNTED from the movi chunk
+    * walk. Null for non-AVI blobs.
+    */
+  def videoMeta(bin: Column): Column = bridge(graft.expr.AviMeta(ex(bin)))
+
+  /** REAL video frame-sample decode for MJPEG AVIs: every `step`-th movi
+    * frame decoded through the full baseline JPEG path, aggregated to
+    * struct(n_frames, n_sampled, n_decoded, px_sum, px_min, px_max).
+    * Frames outside the JPEG envelope count as sampled-not-decoded.
+    */
+  def videoFrameStats(bin: Column, step: Int): Column =
+    bridge(graft.expr.MjpegStats(ex(bin), step))
+
+  /** The `idx`-th video frame's raw bytes — for MJPEG, a self-contained
+    * JPEG that composes with [[decodeJpeg]]/[[jpegResizePng]] (video →
+    * frame → resize → PNG, every stage a real decode).
+    */
+  def videoFrame(bin: Column, idx: Int): Column =
+    bridge(graft.expr.MjpegFrame(ex(bin), idx))
+
+  /** STUB — the decode seam for INTER-FRAME video codecs (H.264/HEVC/
+    * VP9/AV1), the one media family that genuinely needs an external
+    * codec library (not in this container); pipelines plug a decode UDF
+    * (JVM) or `mapInPandas` (Python) in here. PNG, baseline JPEG, WAV
+    * and MJPEG-AVI video decode are REAL — see [[decodeImage]]/
+    * [[decodeJpeg]]/[[audioFeatures]]/[[videoFrameStats]]. The stub
+    * returns the deterministic fake "pixel summary" (width, height, null
+    * mean) so downstream schema/partitioning is exercised end-to-end.
     */
   def decodeImageStub(bin: Column): Column =
     struct(pngWidth(bin).as("width"), pngHeight(bin).as("height"),

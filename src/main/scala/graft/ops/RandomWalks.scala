@@ -92,6 +92,135 @@ object RandomWalks {
     out
   }
 
+  /** Deterministic node2vec walks — the biased SECOND-ORDER extension of
+    * [[walks]] (Grover & Leskovec 2016): at step t ≥ 2 the walk at node v
+    * arriving from u weights each out-neighbor x of v by the search-bias
+    * α(u,x) = 1/p if x = u (return), 1 if the edge u→x exists (x stays at
+    * distance 1, the BFS-ish move), 1/q otherwise (the DFS-ish move) —
+    * p interpolates between structural-equivalence and homophily
+    * embeddings, the knob DeepWalk lacks. Scaling α by p·q makes every
+    * weight a positive INTEGER — {x=u: q, u→x edge: p·q, else: p} — so
+    * the draw is exact modular arithmetic, no float normalization:
+    *
+    *   r = md5_60(walk_id ‖ '|' ‖ t) mod Σweights(u,v),
+    *
+    * and the walk moves to the unique neighbor x (in dst-order index
+    * order) whose cumulative-weight window [cum−w, cum) contains r.
+    * Step 1 has no predecessor and is [[walks]]' uniform first-order
+    * draw. Every draw is a pure function of (walk_id, t) and the edge
+    * set, so the corpus hash-gates under a DuckDB replay of the same
+    * cumulative-sum arithmetic. Walks terminate at dangling nodes.
+    *
+    * 100 TB shape: the cached (src, idx, dst, deg) neighbor index is the
+    * only graph-sized state, built once and scanned — never re-shuffled —
+    * per step. Each step does (a) the frontier-broadcast move-candidate
+    * join against the index (as [[walks]]), (b) the distance-1 test as a
+    * SECOND broadcast of the (prev, dst) candidate pairs against the same
+    * cached index (matches come back walk-keyed and tiny — the graph
+    * never moves), and (c) the cumulative-weight pick as a window over
+    * candidates partitioned by walk_id — all post-index work is bounded
+    * by |frontier| · max-out-degree rows of ids, never by |E|.
+    *
+    * @param starts (v) seed nodes; walk_id = the seed node id.
+    * @param p return parameter (≥ 1); @param q in-out parameter (≥ 1).
+    * @return (walk_id, step, node), step 0..steps, dense until the walk
+    *   dies; PERSISTED and eagerly materialized, internal caches
+    *   released before return (the [[walks]] cache contract).
+    */
+  def node2vecWalks(edges: DataFrame, srcCol: String, dstCol: String,
+                    starts: DataFrame, steps: Int, p: Int, q: Int): DataFrame = {
+    require(steps >= 1 && steps <= 128, s"steps out of range: $steps")
+    require(p >= 1 && p <= 1000 && q >= 1 && q <= 1000,
+      s"p/q out of range: $p/$q (integer 1..1000)")
+    val e = edges.select(Q(srcCol).cast("long").as("src"),
+        Q(dstCol).cast("long").as("dst"))
+      .where(col("src").isNotNull && col("dst").isNotNull)
+      .distinct()
+    val deg = e.groupBy("src").agg(count(lit(1)).as("deg"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("src").orderBy("dst")
+    val nbr = e.withColumn("idx", row_number().over(w).cast("long") - 1)
+      .join(deg, "src")
+      .persist()
+    def draw(t: Int) =
+      conv(substring(md5(concat(col("walk_id").cast("string"),
+        lit(s"|$t"))), 1, 15), 16, 10).cast("long")
+    val seeds = starts.select(col("v").cast("long").as("walk_id"))
+      .where(col("walk_id").isNotNull).distinct()
+    var acc = seeds.select(col("walk_id"), lit(0L).as("step"),
+      col("walk_id").as("node"))
+    // frontier carries (walk_id, prev, node); step 1 is the uniform
+    // first-order draw (no predecessor to bias against)
+    var frontier = seeds.select(col("walk_id"), col("walk_id").as("node"))
+    val stepCaches = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    for (t <- 1 to steps) {
+      val next =
+        if (t == 1) {
+          val f = broadcast(frontier)
+          f.join(nbr, f("node") === nbr("src"))
+            .where(draw(t) % col("deg") === col("idx"))
+            .select(col("walk_id"), col("node").as("prev"),
+              col("dst").as("node"))
+        } else {
+          // (a) move candidates: every out-neighbor of the current node,
+          // with its dst-order index — frontier-broadcast, index scanned.
+          // Materialized ONCE with lineage truncated (eager
+          // localCheckpoint): (b) and (c) below both reference cand, and
+          // keeping full lineage would double the logical plan per step —
+          // exponential in `steps` (a 6-step walk's plan string already
+          // overflows 2 GB). The checkpoint pins cand to a leaf, so the
+          // per-step plan stays constant-size; cand is frontier-bounded
+          // (|frontier| · max-out-degree id rows), never graph-sized, so
+          // the materialization is cheap and the blocks are released by
+          // the context cleaner when the step's lineage drops out.
+          val f = broadcast(frontier)
+          val cand = f.join(nbr, f("node") === nbr("src"))
+            .select(col("walk_id"), col("prev"), col("node"),
+              col("idx"), col("dst"))
+            .localCheckpoint()
+          // (b) distance-1 test: does the edge prev→dst exist? The tiny
+          // candidate pair set broadcasts against the SAME cached index;
+          // matches return walk-keyed, the graph side never shuffles.
+          val marked = broadcast(cand.select(col("walk_id").as("m_wid"),
+              col("prev").as("m_src"), col("dst").as("m_dst"),
+              col("idx").as("m_idx")))
+            .join(nbr, col("m_src") === nbr("src") &&
+              col("m_dst") === nbr("dst"))
+            .select(col("m_wid"), col("m_idx"), lit(1L).as("common"))
+          // (c) integer bias weights and the cumulative-weight pick
+          val ww = org.apache.spark.sql.expressions.Window
+            .partitionBy("walk_id").orderBy("idx")
+          val wt = org.apache.spark.sql.expressions.Window
+            .partitionBy("walk_id")
+          val weighted = cand
+            .join(marked, cand("walk_id") === col("m_wid") &&
+              cand("idx") === col("m_idx"), "left")
+            .select(col("walk_id"), col("prev"), col("node"), col("idx"),
+              col("dst"),
+              when(col("dst") === col("prev"), lit(q.toLong))
+                .when(col("common").isNotNull, lit(p.toLong * q))
+                .otherwise(lit(p.toLong)).as("bias"))
+          weighted
+            .withColumn("cum", sum(col("bias")).over(ww))
+            .withColumn("tot", sum(col("bias")).over(wt))
+            .where(draw(t) % col("tot") >= col("cum") - col("bias") &&
+              draw(t) % col("tot") < col("cum"))
+            .select(col("walk_id"), col("node").as("prev"),
+              col("dst").as("node"))
+        }
+      frontier = next.persist()
+      stepCaches += frontier
+      acc = acc.unionByName(
+        frontier.select(col("walk_id"), lit(t.toLong).as("step"),
+          col("node")))
+    }
+    val out = acc.persist()
+    out.count()
+    stepCaches.foreach(_.unpersist())
+    nbr.unpersist()
+    out
+  }
+
   /** Skip-gram training pairs from a walk corpus — the step that turns
     * DeepWalk's walks into word2vec-shaped data (Perozzi et al. 2014
     * §4.2): each walk is a "sentence", and every ordered (center,

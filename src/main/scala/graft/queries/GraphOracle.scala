@@ -120,6 +120,54 @@ object GraphOracle {
        |$unions""".stripMargin
   }
 
+  /** Deterministic node2vec walks (ops/RandomWalks.scala#node2vecWalks):
+    * step 1 replays the uniform first-order draw, and each step t ≥ 2
+    * replays the biased second-order pick — integer weights
+    * {dst = prev: q, edge prev→dst exists: p·q, else: p} (α ∈ {1/p, 1,
+    * 1/q} scaled by p·q), cumulative sum in dst-index order, and the
+    * md5_60(walk_id ‖ '|' ‖ t) mod Σweights draw landing in the unique
+    * [cum−bias, cum) window — the identical arithmetic Spark runs.
+    */
+  def node2vecWalks(edgesSql: String, startsPred: String, steps: Int,
+                    p: Int, q: Int): String = {
+    def h(t: Int, a: String): String =
+      s"('0x'||substr(md5(CAST($a.walk_id AS VARCHAR)||'|$t'),1,15))::BIGINT"
+    val stepCtes = (2 to steps).map { t =>
+      s"""c$t AS (SELECT w.walk_id, w.prev, w.node, n.idx, n.dst,
+         |    (CASE WHEN n.dst = w.prev THEN $q
+         |          WHEN m.src IS NOT NULL THEN ${p * q}
+         |          ELSE $p END)::BIGINT bias
+         |  FROM w${t - 1} w JOIN nbr n ON n.src = w.node
+         |  LEFT JOIN e m ON m.src = w.prev AND m.dst = n.dst),
+         |s$t AS (SELECT *,
+         |    sum(bias) OVER (PARTITION BY walk_id ORDER BY idx) cum,
+         |    sum(bias) OVER (PARTITION BY walk_id) tot FROM c$t),
+         |w$t AS (SELECT s.walk_id, s.node prev, s.dst node FROM s$t s
+         |  WHERE ${h(t, "s")} % s.tot >= s.cum - s.bias
+         |    AND ${h(t, "s")} % s.tot < s.cum)""".stripMargin
+    }.mkString(",\n")
+    val unions = (Seq(s"SELECT walk_id, 0::BIGINT step, node FROM w0") ++
+      (1 to steps).map(t =>
+        s"SELECT walk_id, $t::BIGINT step, node FROM w$t"))
+      .mkString("\nUNION ALL\n")
+    s"""WITH e0 AS ($edgesSql),
+       |e AS (SELECT DISTINCT src, dst FROM e0
+       |  WHERE src IS NOT NULL AND dst IS NOT NULL),
+       |deg AS (SELECT src, count(*)::BIGINT deg FROM e GROUP BY 1),
+       |nbr AS (SELECT e.src, e.dst,
+       |    row_number() OVER (PARTITION BY e.src ORDER BY e.dst) - 1 idx,
+       |    d.deg
+       |  FROM e JOIN deg d ON d.src = e.src),
+       |w0 AS (SELECT v walk_id, v node FROM
+       |  (SELECT DISTINCT src v FROM e UNION SELECT dst FROM e)
+       |  WHERE $startsPred),
+       |w1 AS (SELECT p.walk_id, p.node prev, n.dst node
+       |  FROM w0 p JOIN nbr n ON n.src = p.node
+       |    AND n.idx = ${h(1, "p")} % n.deg),
+       |$stepCtes
+       |$unions""".stripMargin
+  }
+
   /** The co-purchase item graph both gr_ queries run on: symmetric
     * co-occurrence — two distinct parts in the same order are linked both
     * ways. Pure set semantics (no row order anywhere), because the

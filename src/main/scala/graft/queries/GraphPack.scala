@@ -192,6 +192,22 @@ object GraphPack {
     graft.ops.RandomWalks.walks(e, "src", "dst", starts, steps = 8)
   }
 
+  /** Biased second-order node2vec walks over the co-purchase graph —
+    * [[walksQ]]'s seeds and length with (p, q) = (4, 2): returning to
+    * the predecessor is ¼-weighted, moving to a common neighbor of the
+    * predecessor is full-weighted, leaving its neighborhood ½-weighted
+    * (the homophily-leaning regime of Grover & Leskovec 2016). Every
+    * draw replays in DuckDB via the integer cumulative-weight windows.
+    */
+  def node2vecQ(s: SparkSession, dir: String): DataFrame = {
+    val e = edgeStore(s, dir)
+    val starts = e.select(col("src").as("v"))
+      .union(e.select(col("dst").as("v"))).distinct()
+      .where(col("v") % 97 === 0)
+    graft.ops.RandomWalks.node2vecWalks(e, "src", "dst", starts,
+      steps = 8, p = 4, q = 2)
+  }
+
   /** Skip-gram (center, context, n) pairs over the PERSISTED walk
     * corpus, window 2 — the word2vec-shaped training data DeepWalk
     * exists to produce, in the production shape: the walk corpus is a
@@ -265,6 +281,7 @@ object GraphPack {
     "gr_cluster_labelprop" -> (clusterLabelPropQ _),
     "gr_report" -> (reportQ _),
     "gr_walks" -> (walksQ _),
+    "gr_node2vec" -> (node2vecQ _),
     "gr_walk_pairs" -> (walkPairsQ _),
     "gr_walk_negatives" -> (walkNegativesQ _),
     "gr_triangles" -> (trianglesQ _),
@@ -309,6 +326,8 @@ object GraphPack {
            |  JOIN embeddings em ON em.vec_id = l.v""".stripMargin),
     "gr_walks" -> GraphOracle.randomWalks(GraphOracle.CoPurchaseEdges,
       startsPred = "v % 97 = 0", steps = 8),
+    "gr_node2vec" -> GraphOracle.node2vecWalks(GraphOracle.CoPurchaseEdges,
+      startsPred = "v % 97 = 0", steps = 8, p = 4, q = 2),
     // skip-gram pairs compose the walks oracle with the bounded
     // per-walk self-join; window 2
     "gr_walk_pairs" ->

@@ -115,6 +115,51 @@ object MediaPack {
       jr.getField("px_sum").as("jr_sum"))
   }
 
+  /** AVI/MJPEG fixture: one container per document (own RIFF writer,
+    * frames from the fixture-side JPEG encoder — zero shared code with
+    * the production walk/decoder), memoized separately from the
+    * image/audio blobs so their snapshots stay byte-identical.
+    */
+  private def videoBlobs(s: SparkSession, dir: String) = {
+    val (store, _) = Fixtures(s, dir, "fix_media_avi") { st =>
+      st.write(Tables.documents(s, dir).select(col("doc_id"))
+        .withColumn("avi", Multimodal.makeAviMjpeg(col("doc_id"))),
+        "mm_avi", slices = 8)
+      Map("blobs" -> "mm_avi")
+    }
+    store.readResolved("mm_avi")
+  }
+
+  /** REAL video decode round-trip (MJPEG-in-AVI): container metadata via
+    * the bounded RIFF list walk (frame count from the movi walk, not the
+    * advisory header), every-2nd-frame sampling decoded through the full
+    * baseline JPEG path and aggregated, and frame 1 extracted → resized →
+    * PNG-transcoded → decoded AGAIN by the PNG path (container walk, JPEG
+    * decoder, resampler, PNG round-trip all pinned in one composed plan).
+    * Every output is integer arithmetic on doc_id the DuckDB oracle
+    * replays from the fixture formulas. All work is codegen'd scan-side
+    * map; no shuffle, no UDF in the decode path.
+    */
+  def videoFrames(s: SparkSession, dir: String): DataFrame = {
+    val media = videoBlobs(s, dir)
+    val meta = Multimodal.videoMeta(col("avi"))
+    val vs = Multimodal.videoFrameStats(col("avi"), 2)
+    val vf = Multimodal.decodeImage(
+      Multimodal.jpegResizePng(Multimodal.videoFrame(col("avi"), 1), 8, 8))
+    media.select(col("doc_id"),
+      meta.getField("width").cast("long").as("v_w"),
+      meta.getField("height").cast("long").as("v_h"),
+      meta.getField("n_frames").cast("long").as("v_frames"),
+      meta.getField("usec_per_frame").cast("long").as("v_usec"),
+      meta.getField("handler").as("v_handler"),
+      vs.getField("n_sampled").cast("long").as("vs_sampled"),
+      vs.getField("n_decoded").cast("long").as("vs_decoded"),
+      vs.getField("px_sum").as("vs_sum"),
+      vs.getField("px_min").cast("long").as("vs_min"),
+      vs.getField("px_max").cast("long").as("vs_max"),
+      vf.getField("px_sum").as("vf_sum"))
+  }
+
   /** End-to-end multimodal corpus assembly — the composition a training
     * pipeline actually runs, each stage in its scalable form:
     *  1. text gate: length >= 100 (a cheap scan-side predicate);
@@ -168,6 +213,7 @@ object MediaPack {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_media_meta" -> mediaMeta _,
     "mm_codec_roundtrip" -> codecRoundtrip _,
+    "mm_video_frames" -> videoFrames _,
     "pl_mm_corpus" -> multimodalCorpus _,
   )
 
@@ -333,6 +379,55 @@ object MediaPack {
          JOIN jg ON jg.doc_id = d.doc_id
          JOIN jc ON jc.doc_id = d.doc_id
          JOIN jr ON jr.doc_id = d.doc_id""",
+    // AVI/MJPEG replay from the fixture formulas: (16+id%17)x(9+id%11),
+    // 3+id%5 frames at 20000+(id%5)*20000 us/frame; frame f's Y block
+    // (bx,by) = (bx*29+by*41+id*7+f*13)%256. Constant DC-only blocks
+    // decode to their exact constants, so the sampled-frame statistics
+    // and the frame-1 -> 8x8 resize -> PNG transcode are plain integer
+    // arithmetic; a hash match pins the container walk, the per-frame
+    // Huffman+IDCT decode, the resampler and the PNG round-trip at once.
+    "mm_video_frames" ->
+      """WITH p AS (
+           SELECT doc_id, 16 + doc_id % 17 AS w, 9 + doc_id % 11 AS h,
+                  3 + doc_id % 5 AS nf,
+                  20000 + (doc_id % 5) * 20000 AS usec
+           FROM documents
+         ), vb AS (
+           SELECT p.doc_id,
+                  (bx.b*29 + by.b*41 + p.doc_id*7 + f.f*13) % 256 AS v,
+                  LEAST(8, p.w - bx.b*8) * LEAST(8, p.h - by.b*8) AS vis
+           FROM p
+           JOIN range(0, 7) f(f) ON f.f < p.nf AND f.f % 2 = 0
+           JOIN range(0, 4) bx(b) ON bx.b*8 < p.w
+           JOIN range(0, 3) by(b) ON by.b*8 < p.h
+         ), vs AS (
+           SELECT doc_id, sum(v * vis) AS s, min(v) AS mn, max(v) AS mx
+           FROM vb GROUP BY doc_id
+         ), vf AS (
+           SELECT p.doc_id,
+                  sum((((xx.x * p.w) // 8) // 8 * 29
+                     + ((yy.y * p.h) // 8) // 8 * 41
+                     + p.doc_id*7 + 13) % 256) AS s
+           FROM p
+           CROSS JOIN range(0, 8) xx(x)
+           CROSS JOIN range(0, 8) yy(y)
+           GROUP BY p.doc_id
+         )
+         SELECT p.doc_id,
+         CAST(p.w AS BIGINT) AS v_w,
+         CAST(p.h AS BIGINT) AS v_h,
+         CAST(p.nf AS BIGINT) AS v_frames,
+         CAST(p.usec AS BIGINT) AS v_usec,
+         'MJPG' AS v_handler,
+         CAST((p.nf + 1) // 2 AS BIGINT) AS vs_sampled,
+         CAST((p.nf + 1) // 2 AS BIGINT) AS vs_decoded,
+         CAST(vs.s AS BIGINT) AS vs_sum,
+         CAST(vs.mn AS BIGINT) AS vs_min,
+         CAST(vs.mx AS BIGINT) AS vs_max,
+         CAST(vf.s AS BIGINT) AS vf_sum
+         FROM p
+         JOIN vs ON vs.doc_id = p.doc_id
+         JOIN vf ON vf.doc_id = p.doc_id""",
     // stage-for-stage replay, matching the Spark plan's gate-before-dedup
     // order: text + decoded-feature gates first, THEN min-doc_id per
     // content group over the gated set (content is a pure function of

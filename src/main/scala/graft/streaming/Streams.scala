@@ -501,6 +501,55 @@ object Streams {
       .start()
   }
 
+  /** Multimodal ingest annotation — the media twin of
+    * [[qualityAnnotateSink]]: each micro-batch of (id, blob) rows is
+    * annotated with its detected media type, REAL decode statistics
+    * (PNG/baseline-JPEG images, MJPEG-AVI video via every-2nd-frame
+    * decode, PCM WAV audio — the same codegen'd expressions the batch
+    * scans use; null columns for the formats a blob isn't), and the
+    * full-md5 content-dedup key, then landed as a snapshot chained to the
+    * previous batch. Everything is scan-side per-row work: the blobs
+    * never shuffle, and the landed chain carries only ids + metadata —
+    * at ingest scale the chain is what downstream dedup/gating reads
+    * instead of re-decoding the corpus.
+    */
+  def mediaAnnotateSink(docs: DataFrame, idCol: String, binCol: String,
+                        store: SnapshotStore, prefix: String,
+                        checkpoint: String): StreamingQuery = {
+    import graft.ops.Multimodal
+    val tip = new ChainTip(store, prefix)
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode(OutputMode.Append())
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          val img = Multimodal.decodeImage(col(binCol))
+          val jpg = Multimodal.decodeJpeg(col(binCol))
+          val vid = Multimodal.videoFrameStats(col(binCol), 2)
+          val vm = Multimodal.videoMeta(col(binCol))
+          val wav = Multimodal.audioFeatures(col(binCol))
+          val annotated = batch.select(col(idCol),
+            Multimodal.mediaType(col(binCol)).as("media_type"),
+            coalesce(img.getField("width"), jpg.getField("width"),
+              vm.getField("width")).cast("long").as("width"),
+            coalesce(img.getField("height"), jpg.getField("height"),
+              vm.getField("height")).cast("long").as("height"),
+            coalesce(img.getField("px_sum"), jpg.getField("px_sum"),
+              vid.getField("px_sum")).as("px_sum"),
+            vm.getField("n_frames").cast("long").as("n_frames"),
+            wav.getField("n_samples").as("n_samples"),
+            wav.getField("pcm_sum").as("pcm_sum"),
+            md5(col(binCol)).as("content_md5"))
+          store.write(annotated, s"$prefix.$batchId",
+            previous = tip.prevFor(batchId))
+          tip.advance(s"$prefix.$batchId")
+        }
+        ()
+      }
+      .start()
+  }
+
   def nbScoreSink(docs: DataFrame, idCol: String, textCol: String,
                   labelCol: String, cnt: DataFrame, classes: DataFrame,
                   store: SnapshotStore, prefix: String,

@@ -92,6 +92,19 @@ class GraftExtensionsSpec extends AnyFunSuite {
             .map("%02X".format(_)).mkString}')) AS m)")
         .head
       assert(jm.getInt(0) == 24 && jm.getInt(1) == 12 && jm.getInt(2) == 3)
+      // AVI container walk + MJPEG frame decode from SQL over fixture bytes
+      val aviHex = graft.ops.Multimodal.aviMjpegBytes(7L)
+        .map("%02X".format(_)).mkString
+      val am = s.sql(
+        s"SELECT m.width, m.n_frames, m.handler, " +
+          s"graft_mjpeg_stats(unhex('$aviHex'), 2).n_decoded, " +
+          s"length(graft_mjpeg_frame(unhex('$aviHex'), 0)) " +
+          s"FROM (SELECT graft_avi_meta(unhex('$aviHex')) AS m)")
+        .head
+      assert(am.getInt(0) == 16 + 7 % 17 && am.getInt(1) == 3 + 7 % 5)
+      assert(am.getString(2) == "MJPG")
+      assert(am.getInt(3) == (3 + 7 % 5 + 1) / 2)
+      assert(am.getInt(4) > 0)
     }
   }
 

@@ -298,4 +298,64 @@ class GraphPropertySpec extends AnyFunSuite {
       .as[(Long, Long, Long)].collect().toSet
     assert(got == (0 to 4).map(t => (9L, t.toLong, 9L)).toSet)
   }
+
+  // ---- law 7: node2vec biased walks replay on hostile graphs ----
+  // Self-loops make prev == cur states reachable, where the return lane
+  // (dst == prev) and the distance-1 lane (edge prev→dst) overlap — the
+  // CASE order (return wins) must agree on both sides.
+
+  private def refN2v(edges: Seq[(Long, Long)], starts: Seq[Long],
+                     steps: Int, p: Int, q: Int): Set[(Long, Long, Long)] = {
+    val eset = edges.distinct.toSet
+    val nbr = edges.distinct.groupBy(_._1).view
+      .mapValues(_.map(_._2).sorted.toIndexedSeq).toMap
+    starts.distinct.flatMap { w =>
+      var prev = -1L
+      var node = w
+      var alive = true
+      (w, 0L, node) +: (1 to steps).flatMap { t =>
+        if (!alive) None
+        else nbr.get(node) match {
+          case None => alive = false; None
+          case Some(ns) =>
+            val h = Md5Hash60.of(s"$w|$t".getBytes("UTF-8"))
+            val nxt =
+              if (t == 1) ns((h % ns.size).toInt)
+              else {
+                val biases = ns.map(x =>
+                  if (x == prev) q.toLong
+                  else if (eset((prev, x))) p.toLong * q
+                  else p.toLong)
+                val r = h % biases.sum
+                var cum = 0L
+                var pick = -1
+                biases.indices.foreach { i =>
+                  if (pick < 0) { cum += biases(i); if (r < cum) pick = i }
+                }
+                ns(pick)
+              }
+            prev = node
+            node = nxt
+            Some((w, t.toLong, node))
+        }
+      }
+    }.toSet
+  }
+
+  test("law: node2vec == plain biased replay on hostile graphs") {
+    for ((seed, p, q) <- Seq((61, 4, 2), (67, 1, 7), (71, 5, 1))) {
+      val (n, edges) = genEdges(seed)
+      val starts = (0L until n.toLong).filter(_ % 3 == 0)
+      val got = RandomWalks.node2vecWalks(edges.toDF("src", "dst"),
+          "src", "dst", starts.toDF("v"), steps = 5, p = p, q = q)
+        .as[(Long, Long, Long)].collect().toSet
+      assert(got == refN2v(edges, starts, 5, p, q), s"seed $seed p=$p q=$q")
+    }
+    // pure self-loop: the only candidate is the return lane; the walk
+    // must keep choosing it (bias q of total q) instead of dying
+    val got = RandomWalks.node2vecWalks(Seq((9L, 9L)).toDF("src", "dst"),
+        "src", "dst", Seq(9L).toDF("v"), steps = 4, p = 3, q = 2)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got == (0 to 4).map(t => (9L, t.toLong, 9L)).toSet)
+  }
 }

@@ -60,6 +60,89 @@ class RandomWalksSpec extends AnyFunSuite {
     assert(out.filter(_._1 == 1L) == solo)
   }
 
+  /** Plain-collections node2vec replication: second-order biased pick
+    * via the integer cumulative-weight windows.
+    */
+  private def refN2v(edges: Seq[(Long, Long)], starts: Seq[Long],
+                     steps: Int, p: Int, q: Int): Seq[(Long, Long, Long)] = {
+    val eset = edges.distinct.toSet
+    val nbr = edges.distinct.groupBy(_._1).view
+      .mapValues(_.map(_._2).sorted.toIndexedSeq).toMap
+    starts.distinct.sorted.flatMap { w =>
+      var prev = -1L
+      var node = w
+      var alive = true
+      (w, 0L, node) +: (1 to steps).flatMap { t =>
+        if (!alive) None
+        else nbr.get(node) match {
+          case None => alive = false; None
+          case Some(ns) =>
+            val h = Md5Hash60.of(s"$w|$t".getBytes("UTF-8"))
+            val nxt =
+              if (t == 1) ns((h % ns.size).toInt)
+              else {
+                val biases = ns.map(x =>
+                  if (x == prev) q.toLong
+                  else if (eset((prev, x))) p.toLong * q
+                  else p.toLong)
+                val r = h % biases.sum
+                var cum = 0L
+                var pick = -1
+                biases.indices.foreach { i =>
+                  if (pick < 0) { cum += biases(i); if (r < cum) pick = i }
+                }
+                ns(pick)
+              }
+            prev = node
+            node = nxt
+            Some((w, t.toLong, node))
+        }
+      }
+    }
+  }
+
+  // the base fixture plus a 2→1 back-edge so the RETURN lane (dst ==
+  // prev in the neighbor list) is genuinely reachable
+  private val n2vEdges = edges :+ (2L, 1L)
+
+  private def runN2v(starts: Seq[Long], steps: Int, p: Int, q: Int) =
+    RandomWalks.node2vecWalks(n2vEdges.toDF("src", "dst"), "src", "dst",
+        starts.toDF("v"), steps, p, q)
+      .as[(Long, Long, Long)].collect().toSeq.sorted
+
+  test("node2vecWalks replay the plain-collections second-order model") {
+    for ((steps, p, q) <- Seq((1, 4, 2), (6, 4, 2), (6, 3, 1), (6, 1, 5))) {
+      assert(runN2v(Seq(1L, 2L, 4L), steps, p, q) ==
+        refN2v(n2vEdges, Seq(1L, 2L, 4L), steps, p, q).sorted,
+        s"steps=$steps p=$p q=$q")
+    }
+  }
+
+  test("node2vec law: p = q = 1 collapses to the first-order walk") {
+    // all biases equal 1, so cum = idx+1, tot = deg and the cumulative
+    // window pick degenerates to idx = draw mod deg — bit for bit the
+    // uniform DeepWalk draw
+    val uniform = RandomWalks.walks(n2vEdges.toDF("src", "dst"), "src",
+        "dst", Seq(1L, 2L, 4L).toDF("v"), 6)
+      .as[(Long, Long, Long)].collect().toSeq.sorted
+    assert(runN2v(Seq(1L, 2L, 4L), 6, 1, 1) == uniform)
+  }
+
+  test("node2vec laws: dangling termination, independence, contract") {
+    val out = runN2v(Seq(1L, 2L, 4L), 6, 4, 2)
+    assert(out.filter(_._1 == 4L) == Seq((4L, 0L, 4L)))
+    assert(out == runN2v(Seq(1L, 2L, 4L), 6, 4, 2))
+    assert(out.filter(_._1 == 2L) == runN2v(Seq(2L), 6, 4, 2))
+    intercept[IllegalArgumentException] {
+      RandomWalks.node2vecWalks(n2vEdges.toDF("src", "dst"), "src", "dst",
+        Seq(1L).toDF("v"), 6, 0, 2)
+    }
+    intercept[IllegalArgumentException] {
+      RandomWalks.node2vecWalks(n2vEdges.toDF("src", "dst"), "src", "dst",
+        Seq(1L).toDF("v"), 129, 1, 1)
+    }
+  }
+
   test("contract: step bound validated") {
     intercept[IllegalArgumentException] {
       RandomWalks.walks(edges.toDF("src", "dst"), "src", "dst",

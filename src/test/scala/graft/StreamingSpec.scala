@@ -901,6 +901,60 @@ class StreamingSpec extends AnyFunSuite {
       "streamed entropy annotation must equal the batch scan")
   }
 
+  test("mediaAnnotateSink: streamed decode annotation == the batch scan") {
+    val s = spark
+    val dir = tmpDir("ma_src")
+    val store = new SnapshotStore(s, tmpDir("ma_store"))
+    val M = graft.ops.Multimodal
+    // five-way blob mix: PNG, gray baseline JPEG, MJPEG AVI, PCM WAV,
+    // and unstructured bytes (the bad-blob lane) — all four decoders plus
+    // the unknown branch exercised in one stream
+    val all = s.read.parquet(s"${TestSpark.sfDir}/documents.parquet")
+      .select(col("doc_id"), col("text")).filter(col("doc_id") < 120)
+      .withColumn("blob",
+        when(col("doc_id") % 5 === 0, M.makePng(lit(12), lit(7)))
+          .when(col("doc_id") % 5 === 1, M.makeGrayJpeg(col("doc_id")))
+          .when(col("doc_id") % 5 === 2, M.makeAviMjpeg(col("doc_id")))
+          .when(col("doc_id") % 5 === 3, M.makeWav(lit(8000), lit(50)))
+          .otherwise(encode(col("text"), "utf-8")))
+      .select("doc_id", "blob")
+    all.filter(col("doc_id") < 60).coalesce(1).write.mode("append").parquet(dir)
+    all.filter(col("doc_id") >= 60).coalesce(1).write.mode("append").parquet(dir)
+    val q = Streams.mediaAnnotateSink(
+      Streams.eventStream(s, dir, maxFilesPerTrigger = 1),
+      "doc_id", "blob", store, "ma", checkpoint = tmpDir("ma_ckpt"))
+    q.awaitTermination(120000)
+    val cols = Seq("doc_id", "media_type", "width", "height", "px_sum",
+      "n_frames", "n_samples", "pcm_sum", "content_md5")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select(cols.map(col): _*).collect()
+        .map(r => cols.indices.map(i => String.valueOf(r.get(i))).mkString("|"))
+        .sorted.toSeq
+    val streamed = rows(store.iterateChain("ma.1"))
+    val img = M.decodeImage(col("blob")); val jpg = M.decodeJpeg(col("blob"))
+    val vid = M.videoFrameStats(col("blob"), 2); val vm = M.videoMeta(col("blob"))
+    val wav = M.audioFeatures(col("blob"))
+    val batch = rows(all.select(col("doc_id"),
+      M.mediaType(col("blob")).as("media_type"),
+      coalesce(img.getField("width"), jpg.getField("width"),
+        vm.getField("width")).cast("long").as("width"),
+      coalesce(img.getField("height"), jpg.getField("height"),
+        vm.getField("height")).cast("long").as("height"),
+      coalesce(img.getField("px_sum"), jpg.getField("px_sum"),
+        vid.getField("px_sum")).as("px_sum"),
+      vm.getField("n_frames").cast("long").as("n_frames"),
+      wav.getField("n_samples").as("n_samples"),
+      wav.getField("pcm_sum").as("pcm_sum"),
+      md5(col("blob")).as("content_md5")))
+    assert(streamed.size == 120 && streamed == batch,
+      "streamed media annotation must equal the batch scan")
+    // every lane genuinely hit: 24 docs per blob kind
+    def kinds(tag: String) = streamed.count(_.contains(tag))
+    assert(kinds("image/png") == 24 && kinds("image/jpeg") == 24 &&
+      kinds("video/avi") == 24 && kinds("audio/wav") == 24 &&
+      kinds("unknown") == 24)
+  }
+
   test("nbScoreSink: frozen-model streaming scores == batch scoring") {
     val s = spark
     val dir = tmpDir("nbs_src")
