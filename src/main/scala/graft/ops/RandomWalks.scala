@@ -113,13 +113,14 @@ object RandomWalks {
     *
     * 100 TB shape: the cached (src, idx, dst, deg) neighbor index is the
     * only graph-sized state, built once and scanned — never re-shuffled —
-    * per step. Each step does (a) the frontier-broadcast move-candidate
-    * join against the index (as [[walks]]), (b) the distance-1 test as a
-    * SECOND broadcast of the (prev, dst) candidate pairs against the same
-    * cached index (matches come back walk-keyed and tiny — the graph
-    * never moves), and (c) the cumulative-weight pick as a window over
-    * candidates partitioned by walk_id — all post-index work is bounded
-    * by |frontier| · max-out-degree rows of ids, never by |E|.
+    * per step. Each step probes it EXACTLY ONCE: the broadcast key set is
+    * the frontier's current nodes (move candidates, as [[walks]]) UNIONED
+    * with its predecessors (whose out-neighborhoods ARE the distance-1
+    * test — x is at distance 1 from u iff x ∈ out(u)), so one scan yields
+    * both the candidate rows and the distance-1 marks, walk-keyed and
+    * tiny — the graph never moves. The cumulative-weight pick is then a
+    * window over candidates partitioned by walk_id — all post-index work
+    * is bounded by |frontier| · max-out-degree rows of ids, never by |E|.
     *
     * @param starts (v) seed nodes; walk_id = the seed node id.
     * @param p return parameter (≥ 1); @param q in-out parameter (≥ 1).
@@ -162,40 +163,49 @@ object RandomWalks {
             .select(col("walk_id"), col("node").as("prev"),
               col("dst").as("node"))
         } else {
-          // (a) move candidates: every out-neighbor of the current node,
-          // with its dst-order index — frontier-broadcast, index scanned.
-          // Materialized ONCE with lineage truncated (eager
-          // localCheckpoint): (b) and (c) below both reference cand, and
-          // keeping full lineage would double the logical plan per step —
+          // ONE probe of the cached index per step. The broadcast key set
+          // unions the frontier's current node (role 'cand': its
+          // out-neighbors are the move candidates) with its predecessor
+          // (role 'mark': its out-neighborhood IS the distance-1 set —
+          // edge prev→x exists iff x ∈ out(prev)), so a single scan of
+          // nbr yields both halves of the bias computation. Materialized
+          // ONCE with lineage truncated (eager localCheckpoint): the
+          // candidate/mark split below references it twice, and keeping
+          // full lineage would double the logical plan per step —
           // exponential in `steps` (a 6-step walk's plan string already
-          // overflows 2 GB). The checkpoint pins cand to a leaf, so the
-          // per-step plan stays constant-size; cand is frontier-bounded
-          // (|frontier| · max-out-degree id rows), never graph-sized, so
-          // the materialization is cheap and the blocks are released by
-          // the context cleaner when the step's lineage drops out.
-          val f = broadcast(frontier)
-          val cand = f.join(nbr, f("node") === nbr("src"))
-            .select(col("walk_id"), col("prev"), col("node"),
-              col("idx"), col("dst"))
+          // overflows 2 GB). The checkpoint pins it to a leaf, so the
+          // per-step plan stays constant-size; the probe result is
+          // frontier-bounded (|frontier| · max-out-degree id rows), never
+          // graph-sized, so the materialization is cheap and the blocks
+          // are released by the context cleaner when the step's lineage
+          // drops out.
+          val keys = frontier.select(col("walk_id"),
+              col("node").as("k"), col("node"), col("prev"),
+              lit(true).as("is_cand"))
+            .unionByName(frontier.select(col("walk_id"),
+              col("prev").as("k"), col("node"), col("prev"),
+              lit(false).as("is_cand")))
+          val probed = broadcast(keys)
+            .join(nbr, col("k") === nbr("src"))
+            .select(col("walk_id"), col("is_cand"), col("prev"),
+              col("node"), col("idx"), col("dst"))
             .localCheckpoint()
-          // (b) distance-1 test: does the edge prev→dst exist? The tiny
-          // candidate pair set broadcasts against the SAME cached index;
-          // matches return walk-keyed, the graph side never shuffles.
-          val marked = broadcast(cand.select(col("walk_id").as("m_wid"),
-              col("prev").as("m_src"), col("dst").as("m_dst"),
-              col("idx").as("m_idx")))
-            .join(nbr, col("m_src") === nbr("src") &&
-              col("m_dst") === nbr("dst"))
-            .select(col("m_wid"), col("m_idx"), lit(1L).as("common"))
-          // (c) integer bias weights and the cumulative-weight pick
+          val cand = probed.where(col("is_cand"))
+          // distance-1 marks: (walk_id, dst) pairs reachable from prev —
+          // unique because nbr's edges are distinct, so the left join
+          // below never duplicates a candidate row.
+          val marked = probed.where(!col("is_cand"))
+            .select(col("walk_id").as("m_wid"), col("dst").as("m_dst"),
+              lit(1L).as("common"))
+          // integer bias weights and the cumulative-weight pick
           val ww = org.apache.spark.sql.expressions.Window
             .partitionBy("walk_id").orderBy("idx")
           val wt = org.apache.spark.sql.expressions.Window
             .partitionBy("walk_id")
           val weighted = cand
-            .join(marked, cand("walk_id") === col("m_wid") &&
-              cand("idx") === col("m_idx"), "left")
-            .select(col("walk_id"), col("prev"), col("node"), col("idx"),
+            .join(broadcast(marked), cand("walk_id") === col("m_wid") &&
+              cand("dst") === col("m_dst"), "left")
+            .select(cand("walk_id"), col("prev"), col("node"), col("idx"),
               col("dst"),
               when(col("dst") === col("prev"), lit(q.toLong))
                 .when(col("common").isNotNull, lit(p.toLong * q))
