@@ -376,11 +376,19 @@ object MediaCodecHelper {
     if (t == 0) 0 else if (v < (1 << (t - 1))) v - (1 << t) + 1 else v
 
   private final class JComp {
+    var id = 0
     var h = 1; var v = 1; var tq = 0
     var td = 0; var ta = 0
     var plane: Array[Byte] = null
     var planeW = 0
     var pred = 0
+    // progressive only: full-image quantized coefficients, zigzag order
+    // per block, on the PADDED (MCU-aligned) block grid
+    var coefs: Array[Int] = null
+    var bw = 0 // padded grid width in blocks (row stride)
+    var bh = 0 // padded grid height in blocks
+    var rw = 0 // real (non-interleaved) grid width in blocks
+    var rh = 0 // real grid height in blocks
   }
 
   /** Full baseline JPEG decode — Huffman entropy decode, dequantization,
@@ -415,6 +423,8 @@ object MediaCodecHelper {
     var w = 0; var h = 0
     var comps: Array[JComp] = null
     var restartInt = 0
+    var progressive = false
+    var anyScan = false
     var off = 2
     while (off + 1 < b.length) {
       if ((b(off) & 0xff) != 0xff) return null
@@ -430,7 +440,10 @@ object MediaCodecHelper {
       m match {
         case 0xd8 | 0x01 => // stray SOI / TEM: standalone
         case x if x >= 0xd0 && x <= 0xd7 => // RSTn outside scan: ignore
-        case 0xd9 => return null // EOI before SOS
+        case 0xd9 => // EOI: progressive decode completes here
+          if (progressive && anyScan)
+            return jProgFinish(w, h, comps, qt)
+          return null // EOI before any scan
         case 0xdb => // DQT: one or more tables
           val len = segLen
           var p = off + 2; val stop = off + len
@@ -469,7 +482,8 @@ object MediaCodecHelper {
             if (tc == 0) dcT(th) = t else acT(th) = t
           }
           off += len
-        case 0xc0 | 0xc1 => // SOF0/SOF1: baseline frame header
+        case 0xc0 | 0xc1 | 0xc2 => // SOF0/SOF1 baseline, SOF2 progressive
+          progressive = m == 0xc2
           val len = segLen
           if (len < 8) throw JpegBail
           val precision = b(off + 2) & 0xff
@@ -478,10 +492,14 @@ object MediaCodecHelper {
           val nc = b(off + 7) & 0xff
           if (precision != 8 || w <= 0 || h <= 0 || (nc != 1 && nc != 3)) return null
           if (len < 8 + 3 * nc) throw JpegBail
-          // decoded-size cap, same rationale as PNG: forged dims can't OOM
+          // decoded-size cap, same rationale as PNG: forged dims can't OOM.
+          // Progressive additionally buffers 4-byte coefficients for every
+          // sample, so its cap is tighter (~64 MB of coefficient state).
           if (w.toLong * h * nc > 64L * 1024 * 1024) return null
+          if (progressive && w.toLong * h * nc > 16L * 1024 * 1024) return null
           comps = Array.tabulate(nc) { i =>
             val c = new JComp
+            c.id = b(off + 8 + 3 * i) & 0xff
             val hv = b(off + 9 + 3 * i) & 0xff
             c.h = hv >> 4; c.v = hv & 0x0f
             c.tq = b(off + 10 + 3 * i) & 0xff
@@ -492,34 +510,50 @@ object MediaCodecHelper {
           // of declared sampling (T.81 A.2.2) — normalize to 1x1
           if (nc == 1) { comps(0).h = 1; comps(0).v = 1 }
           off += len
-        case x if x >= 0xc2 && x <= 0xcf && x != 0xc4 && x != 0xc8 && x != 0xcc =>
-          return null // progressive / arithmetic / lossless: out of envelope
+        case x if x >= 0xc3 && x <= 0xcf && x != 0xc4 && x != 0xc8 && x != 0xcc =>
+          return null // arithmetic / lossless / hierarchical: out of envelope
         case 0xdd => // DRI
           val len = segLen
           if (len != 4) throw JpegBail
           restartInt = ((b(off + 2) & 0xff) << 8) | (b(off + 3) & 0xff)
           off += len
-        case 0xda => // SOS: one interleaved scan over all frame components
+        case 0xda => // SOS
           val len = segLen
           if (comps == null) return null
           val ns = b(off + 2) & 0xff
-          if (ns != comps.length || len < 6 + 2 * ns) return null
+          if (ns < 1 || ns > comps.length || len < 6 + 2 * ns) return null
+          if (!progressive && ns != comps.length) return null
+          val scanComps = new Array[JComp](ns)
           var i = 0
           while (i < ns) {
             val cid = b(off + 3 + 2 * i) & 0xff
-            // match scan component to frame component by position (our
-            // envelope: scan order == frame order; id mismatch → bail)
+            // baseline envelope: scan order == frame order (match by
+            // position); progressive scans name a subset, matched by id
+            val c =
+              if (progressive) {
+                val found = comps.find(_.id == cid).orNull
+                if (found == null) return null
+                found
+              } else comps(i)
             val tdta = b(off + 4 + 2 * i) & 0xff
-            comps(i).td = tdta >> 4; comps(i).ta = tdta & 0x0f
-            if (comps(i).td > 3 || comps(i).ta > 3) return null
-            val _ = cid
+            c.td = tdta >> 4; c.ta = tdta & 0x0f
+            if (c.td > 3 || c.ta > 3) return null
+            scanComps(i) = c
             i += 1
           }
           val ss = b(off + 3 + 2 * ns) & 0xff
           val se = b(off + 4 + 2 * ns) & 0xff
           val ahal = b(off + 5 + 2 * ns) & 0xff
-          if (ss != 0 || se != 63 || ahal != 0) return null
-          return jScan(b, off + len, w, h, comps, qt, dcT, acT, restartInt)
+          if (!progressive) {
+            if (ss != 0 || se != 63 || ahal != 0) return null
+            return jScan(b, off + len, w, h, comps, qt, dcT, acT, restartInt)
+          }
+          // progressive: decode this scan into the coefficient buffers,
+          // then continue the marker walk (EOI finishes the image)
+          if (comps(0).coefs == null) jProgAlloc(w, h, comps)
+          off = jProgScan(b, off + len, comps, scanComps, ss, se,
+            ahal >> 4, ahal & 0x0f, dcT, acT, restartInt)
+          anyScan = true
         case _ => off += segLen // APPn / COM / other: skip
       }
     }
@@ -582,35 +616,8 @@ object MediaCodecHelper {
                   k += 1
                 }
               }
-              // --- separable IDCT, deterministic floor(x+128.5) rounding
-              var x = 0
-              while (x < 8) {
-                var v = 0
-                while (v < 8) {
-                  var acc = 0.0
-                  var u = 0
-                  while (u < 8) { acc += coef(v * 8 + u) * IdctCos(u)(x); u += 1 }
-                  tmp(v * 8 + x) = acc
-                  v += 1
-                }
-                x += 1
-              }
-              val x0 = (mx * c.h + bx) * 8
-              val y0 = (my * c.v + by) * 8
-              var y = 0
-              while (y < 8) {
-                var xx = 0
-                while (xx < 8) {
-                  var f = 0.0
-                  var v = 0
-                  while (v < 8) { f += tmp(v * 8 + xx) * IdctCos(v)(y); v += 1 }
-                  var p = StrictMath.floor(f + 128.5).toInt
-                  if (p < 0) p = 0 else if (p > 255) p = 255
-                  c.plane((y0 + y) * c.planeW + x0 + xx) = p.toByte
-                  xx += 1
-                }
-                y += 1
-              }
+              jIdctBlock(coef, tmp, c.plane, c.planeW,
+                (mx * c.h + bx) * 8, (my * c.v + by) * 8)
               bx += 1
             }
             by += 1
@@ -621,7 +628,50 @@ object MediaCodecHelper {
       }
       my += 1
     }
-    // --- assemble: crop (gray) or replication-upsample + YCbCr→RGB
+    jAssemble(w, h, comps, hmax, vmax)
+  }
+
+  /** Separable IDCT of one dequantized NATURAL-order coefficient block
+    * into a component plane at (x0, y0), with the deterministic
+    * floor(x+128.5) rounding the oracle replays.
+    */
+  private def jIdctBlock(coef: Array[Int], tmp: Array[Double],
+                         plane: Array[Byte], planeW: Int,
+                         x0: Int, y0: Int): Unit = {
+    var x = 0
+    while (x < 8) {
+      var v = 0
+      while (v < 8) {
+        var acc = 0.0
+        var u = 0
+        while (u < 8) { acc += coef(v * 8 + u) * IdctCos(u)(x); u += 1 }
+        tmp(v * 8 + x) = acc
+        v += 1
+      }
+      x += 1
+    }
+    var y = 0
+    while (y < 8) {
+      var xx = 0
+      while (xx < 8) {
+        var f = 0.0
+        var v = 0
+        while (v < 8) { f += tmp(v * 8 + xx) * IdctCos(v)(y); v += 1 }
+        var p = StrictMath.floor(f + 128.5).toInt
+        if (p < 0) p = 0 else if (p > 255) p = 255
+        plane((y0 + y) * planeW + x0 + xx) = p.toByte
+        xx += 1
+      }
+      y += 1
+    }
+  }
+
+  /** Assemble decoded component planes into the output raster: crop
+    * (gray) or replication-upsample + fixed-point YCbCr→RGB (color) —
+    * shared by the baseline and progressive paths.
+    */
+  private def jAssemble(w: Int, h: Int, comps: Array[JComp],
+                        hmax: Int, vmax: Int): Raster = {
     if (comps.length == 1) {
       val c = comps(0)
       val pix = new Array[Byte](w * h)
@@ -656,6 +706,254 @@ object MediaCodecHelper {
       }
       new Raster(w, h, 3, pix)
     }
+  }
+
+  // ---------------- progressive JPEG (SOF2) scan machinery ----------------
+  //
+  // T.81 Annex G, Huffman procedures: a progressive frame carries its DCT
+  // coefficients across MULTIPLE scans — spectral selection (each AC scan
+  // covers a zigzag band [Ss, Se] of ONE component; DC scans cover
+  // coefficient 0, optionally interleaved over several components) and
+  // successive approximation (the first scan of a band delivers the
+  // point-transformed value << Al; each refinement scan appends one
+  // magnitude bit at the next lower Al). Decoding therefore buffers the
+  // quantized coefficients for the whole image (zigzag order, padded
+  // MCU-aligned block grid per component) and runs dequant + IDCT +
+  // assemble once, at EOI.
+
+  /** Allocate per-component coefficient buffers and block-grid geometry:
+    * padded (MCU-aligned) grid bw×bh for interleaved addressing, real
+    * grid rw×rh (T.81 A.2.2) for the non-interleaved scans that only
+    * visit blocks covering actual samples.
+    */
+  private def jProgAlloc(w: Int, h: Int, comps: Array[JComp]): Unit = {
+    var hmax = 1; var vmax = 1
+    comps.foreach { c => if (c.h > hmax) hmax = c.h; if (c.v > vmax) vmax = c.v }
+    val mcusX = (w + 8 * hmax - 1) / (8 * hmax)
+    val mcusY = (h + 8 * vmax - 1) / (8 * vmax)
+    comps.foreach { c =>
+      c.bw = mcusX * c.h
+      c.bh = mcusY * c.v
+      c.rw = ((w * c.h + hmax - 1) / hmax + 7) / 8
+      c.rh = ((h * c.v + vmax - 1) / vmax + 7) / 8
+      c.coefs = new Array[Int](c.bw * c.bh * 64)
+      c.pred = 0
+    }
+  }
+
+  /** Decode one progressive scan into the coefficient buffers; returns
+    * the byte offset of the next marker's 0xFF. Envelope: DC scans
+    * (Ss=Se=0) interleaved or single-component, AC scans (1≤Ss≤Se≤63)
+    * single-component, first (Ah=0) and refinement (Ah=Al+1) passes,
+    * restart markers. Anything else bails → null from the entry point.
+    */
+  private def jProgScan(b: Array[Byte], dataOff: Int, comps: Array[JComp],
+                        scanComps: Array[JComp], ss: Int, se: Int,
+                        ah: Int, al: Int, dcT: Array[JHuff],
+                        acT: Array[JHuff], restartInt: Int): Int = {
+    if (al < 0 || al > 13) throw JpegBail
+    if (ah != 0 && ah != al + 1) throw JpegBail
+    val isDc = ss == 0
+    if (isDc && se != 0) throw JpegBail
+    if (!isDc && (scanComps.length != 1 || se < ss || se > 63)) throw JpegBail
+    if (isDc && ah == 0)
+      scanComps.foreach(c => if (dcT(c.td) == null) throw JpegBail)
+    if (!isDc && acT(scanComps(0).ta) == null) throw JpegBail
+    var hmax = 1; var vmax = 1
+    comps.foreach { c => if (c.h > hmax) hmax = c.h; if (c.v > vmax) vmax = c.v }
+    val r = new JBits(b, dataOff, b.length)
+    scanComps.foreach(_.pred = 0)
+    var eobrun = 0
+    val p1 = 1 << al
+
+    def decodeDc(c: JComp, blkOff: Int): Unit =
+      if (ah == 0) {
+        val t = jDecodeSym(r, dcT(c.td))
+        if (t > 11) throw JpegBail
+        c.pred += jExtend(r.receive(t), t)
+        c.coefs(blkOff) = c.pred << al
+      } else if (r.bit() == 1) c.coefs(blkOff) |= p1
+
+    // AC first pass (Ah=0): baseline run/size coding plus EOB runs —
+    // symbol (r, 0) with r < 15 ends the band for 2^r + receive(r)
+    // consecutive blocks (this one included).
+    def decodeAcFirst(c: JComp, blkOff: Int): Unit = {
+      if (eobrun > 0) { eobrun -= 1; return }
+      val cf = c.coefs
+      var k = ss
+      while (k <= se) {
+        val rs = jDecodeSym(r, acT(c.ta))
+        val run = rs >> 4; val s = rs & 15
+        if (s == 0) {
+          if (run == 15) k += 16 // ZRL
+          else {
+            eobrun = (1 << run) - 1
+            if (run > 0) eobrun += r.receive(run)
+            return
+          }
+        } else {
+          k += run
+          if (k > se) throw JpegBail
+          cf(blkOff + k) = jExtend(r.receive(s), s) << al
+          k += 1
+        }
+      }
+    }
+
+    // AC refinement pass (Ah=Al+1): newly nonzero coefficients arrive as
+    // (run, 1) symbols with a sign bit; coefficients already nonzero from
+    // earlier passes read one correction bit wherever the scan advances
+    // past them (they do not break zero runs); EOB runs carry correction
+    // bits for the remainder of each ended band. The history-bit test
+    // (cur & p1) is exact because every magnitude at this level is a
+    // multiple of 2^Al, so two's complement keeps bit Al equal to the
+    // magnitude's bit Al.
+    def decodeAcRefine(c: JComp, blkOff: Int): Unit = {
+      val cf = c.coefs
+      var k = ss
+      if (eobrun == 0) {
+        var atEob = false
+        while (k <= se && !atEob) {
+          val rs = jDecodeSym(r, acT(c.ta))
+          var run = rs >> 4; val s = rs & 15
+          var newval = 0
+          if (s == 0) {
+            if (run != 15) {
+              eobrun = 1 << run
+              if (run > 0) eobrun += r.receive(run)
+              atEob = true
+            }
+            // run == 15: ZRL — advance over 16 zero-history positions
+          } else {
+            if (s != 1) throw JpegBail
+            newval = if (r.bit() == 1) p1 else -p1
+          }
+          if (!atEob) {
+            var placed = false
+            while (k <= se && !placed) {
+              val cur = cf(blkOff + k)
+              if (cur != 0) {
+                if (r.bit() == 1 && (cur & p1) == 0)
+                  cf(blkOff + k) = if (cur >= 0) cur + p1 else cur - p1
+              } else {
+                if (run == 0) {
+                  if (s != 0) cf(blkOff + k) = newval
+                  placed = true
+                } else run -= 1
+              }
+              k += 1
+            }
+            if (!placed && s != 0) throw JpegBail // ran off the band
+          }
+        }
+      }
+      if (eobrun > 0) {
+        // correction sweep over the rest of the band, then consume one
+        // block of the run
+        while (k <= se) {
+          val cur = cf(blkOff + k)
+          if (cur != 0) {
+            if (r.bit() == 1 && (cur & p1) == 0)
+              cf(blkOff + k) = if (cur >= 0) cur + p1 else cur - p1
+          }
+          k += 1
+        }
+        eobrun -= 1
+      }
+    }
+
+    def decodeBlock(c: JComp, blkOff: Int): Unit =
+      if (isDc) decodeDc(c, blkOff)
+      else if (ah == 0) decodeAcFirst(c, blkOff)
+      else decodeAcRefine(c, blkOff)
+
+    var mcu = 0; var rstIdx = 0
+    def maybeRestart(): Unit =
+      if (restartInt > 0 && mcu > 0 && mcu % restartInt == 0) {
+        r.restart(rstIdx); rstIdx = (rstIdx + 1) & 7
+        scanComps.foreach(_.pred = 0)
+        eobrun = 0
+      }
+
+    if (scanComps.length == 1) {
+      // non-interleaved: one block per MCU over the REAL grid, row
+      // stride = the padded grid width
+      val c = scanComps(0)
+      var by = 0
+      while (by < c.rh) {
+        var bx = 0
+        while (bx < c.rw) {
+          maybeRestart()
+          decodeBlock(c, (by * c.bw + bx) * 64)
+          mcu += 1
+          bx += 1
+        }
+        by += 1
+      }
+    } else {
+      // interleaved DC scan: MCU order over the padded grid
+      val mcusX = (comps.map(c => c.bw / c.h).max)
+      val mcusY = (comps.map(c => c.bh / c.v).max)
+      var my = 0
+      while (my < mcusY) {
+        var mx = 0
+        while (mx < mcusX) {
+          maybeRestart()
+          var ci = 0
+          while (ci < scanComps.length) {
+            val c = scanComps(ci)
+            var v = 0
+            while (v < c.v) {
+              var hh = 0
+              while (hh < c.h) {
+                decodeBlock(c,
+                  ((my * c.v + v) * c.bw + (mx * c.h + hh)) * 64)
+                hh += 1
+              }
+              v += 1
+            }
+            ci += 1
+          }
+          mcu += 1
+          mx += 1
+        }
+        my += 1
+      }
+    }
+    r.pos
+  }
+
+  /** Dequantize + IDCT every buffered block into component planes, then
+    * crop/upsample/color-convert — the progressive twin of [[jScan]]'s
+    * tail, run once at EOI.
+    */
+  private def jProgFinish(w: Int, h: Int, comps: Array[JComp],
+                          qt: Array[Array[Int]]): Raster = {
+    var hmax = 1; var vmax = 1
+    comps.foreach { c => if (c.h > hmax) hmax = c.h; if (c.v > vmax) vmax = c.v }
+    val nat = new Array[Int](64)
+    val tmp = new Array[Double](64)
+    comps.foreach { c =>
+      val q = qt(c.tq)
+      c.planeW = c.bw * 8
+      c.plane = new Array[Byte](c.planeW * c.bh * 8)
+      var by = 0
+      while (by < c.bh) {
+        var bx = 0
+        while (bx < c.bw) {
+          val blkOff = (by * c.bw + bx) * 64
+          var k = 0
+          while (k < 64) {
+            nat(JpegZigzag(k)) = c.coefs(blkOff + k) * q(k)
+            k += 1
+          }
+          jIdctBlock(nat, tmp, c.plane, c.planeW, bx * 8, by * 8)
+          bx += 1
+        }
+        by += 1
+      }
+    }
+    jAssemble(w, h, comps, hmax, vmax)
   }
 
   /** struct(width, height, channels, px_sum, px_min, px_max) over the

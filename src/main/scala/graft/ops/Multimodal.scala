@@ -431,6 +431,336 @@ object Multimodal {
       crBlock = (_, my) => ((my * 19 + id * 3) % 256).toInt,
       acSeed = null, restartInterval = 0)
 
+  /** PROGRESSIVE (SOF2) JPEG fixture encoder — spectral selection AND
+    * successive approximation, written from T.81 Annex G with its own
+    * scan scripts, EOB-run accumulator, correction-bit buffer and bit
+    * writer: zero shared code with the production decoder's progressive
+    * path (graft.expr.MediaCodecHelper.jProgScan), so a hash match on
+    * decoded statistics proves two independent implementations of the
+    * progressive entropy layer agree.
+    *
+    * Scan scripts:
+    *  - gray: DC first (Al=1) → AC 1..5 first (Al=1) → AC 6..63 first
+    *    (Al=1) → DC refine (Ah=1) → AC 1..5 refine → AC 6..63 refine,
+    *    restart markers in every scan — exercises the point transform,
+    *    band split, EOB runs across restarts, newly-nonzero-in-refine
+    *    and history-correction paths (the acSeed block's |1| values
+    *    vanish at Al=1 and reappear in refinement).
+    *  - color 4:2:0: interleaved DC first (Al=0) → per-component AC
+    *    1..63 first — exercises interleaved-DC MCU geometry and the
+    *    non-interleaved subsampled block grids.
+    *
+    * Constant blocks still decode to their exact constants (DC-only, and
+    * the approximation bits recombine exactly), so the DuckDB oracle
+    * replays every pixel from the same closed forms as the baseline
+    * fixtures.
+    */
+  def jpegProgressiveBytes(width: Int, height: Int, color: Boolean,
+                           yBlock: (Int, Int) => Int,
+                           cbBlock: (Int, Int) => Int,
+                           crBlock: (Int, Int) => Int,
+                           acSeed: Array[Int],
+                           restartInterval: Int): Array[Byte] = {
+    require(width > 0 && height > 0)
+    val out = new java.io.ByteArrayOutputStream()
+    def b(vs: Int*): Unit = vs.foreach(v => out.write(v & 0xff))
+    def be16(v: Int): Unit = { out.write((v >> 8) & 0xff); out.write(v & 0xff) }
+    def seg(marker: Int, payload: Array[Byte]): Unit = {
+      b(0xff, marker); be16(payload.length + 2); out.write(payload)
+    }
+    // quant tables (zigzag order), as the baseline fixtures
+    val q0 = Array.tabulate(64)(i => if (i == 0) 8 else 16)
+    val q1 = Array.tabulate(64)(i => if (i == 0) 4 else 16)
+    b(0xff, 0xd8)
+    seg(0xdb, (0x00.toByte +: q0.map(_.toByte)) ++
+      (if (color) 0x01.toByte +: q1.map(_.toByte) else Array.empty[Byte]))
+    val ncomp = if (color) 3 else 1
+    val sof = new java.io.ByteArrayOutputStream()
+    sof.write(8)
+    sof.write((height >> 8) & 0xff); sof.write(height & 0xff)
+    sof.write((width >> 8) & 0xff); sof.write(width & 0xff)
+    sof.write(ncomp)
+    if (color) {
+      sof.write(1); sof.write(0x22); sof.write(0)
+      sof.write(2); sof.write(0x11); sof.write(1)
+      sof.write(3); sof.write(0x11); sof.write(1)
+    } else {
+      sof.write(1); sof.write(0x11); sof.write(0)
+    }
+    seg(0xc2, sof.toByteArray) // SOF2: progressive
+    // Huffman tables. DC: categories 0..11 at length 4 (as baseline).
+    // AC: the full symbol universe a progressive scan can emit — (run,
+    // size) for run 0..15 / size 1..10, EOBn for n-exponent 0..14, ZRL —
+    // 176 symbols, all at code length 8 (codes 0..175; all-ones unused).
+    val dcVals = (0 to 11).toArray
+    val acVals = ((for (r <- 0 to 15; s <- 1 to 10) yield (r << 4) | s) ++
+      (0 to 14).map(_ << 4) :+ 0xF0).toArray
+    def canon(vals: Array[Int], counts: Array[Int]): Map[Int, (Int, Int)] = {
+      var code = 0; var k = 0
+      val mm = scala.collection.mutable.Map[Int, (Int, Int)]()
+      for (l <- 1 to 16) {
+        for (_ <- 0 until counts(l - 1)) { mm(vals(k)) = (code, l); code += 1; k += 1 }
+        code <<= 1
+      }
+      mm.toMap
+    }
+    val dcCounts = Array(0, 0, 0, 12, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0)
+    val acCounts = Array(0, 0, 0, 0, 0, 0, 0, 176, 0, 0, 0, 0, 0, 0, 0, 0)
+    val dcCode = canon(dcVals, dcCounts)
+    val acCode = canon(acVals, acCounts)
+    def dht(tc: Int, th: Int, vals: Array[Int], counts: Array[Int]): Array[Byte] =
+      (((tc << 4) | th) +: (counts ++ vals)).map(_.toByte)
+    seg(0xc4, dht(0, 0, dcVals, dcCounts) ++ dht(1, 0, acVals, acCounts))
+    if (color) seg(0xc4, dht(0, 1, dcVals, dcCounts) ++ dht(1, 1, acVals, acCounts))
+    if (restartInterval > 0)
+      seg(0xdd, Array(((restartInterval >> 8) & 0xff).toByte,
+        (restartInterval & 0xff).toByte))
+
+    // ---- quantized coefficient grids (zigzag order per block) ----
+    val hmax = if (color) 2 else 1
+    val mcusX = (width + 8 * hmax - 1) / (8 * hmax)
+    val mcusY = (height + 8 * hmax - 1) / (8 * hmax)
+    def constBlk(v: Int, qdc: Int): Array[Int] = {
+      val a = new Array[Int](64); a(0) = (v - 128) * 8 / qdc; a
+    }
+    // (padded grid for the interleaved DC scan; real grid for AC scans)
+    case class Grid(id: Int, bwPad: Int, bhPad: Int, bwReal: Int, bhReal: Int,
+                    hf: Int, vf: Int, td: Int, ta: Int,
+                    blk: (Int, Int) => Array[Int])
+    val grids: Seq[Grid] =
+      if (!color) {
+        val bw = (width + 7) / 8; val bh = (height + 7) / 8
+        Seq(Grid(1, bw, bh, bw, bh, 1, 1, 0, 0, (bx, by) =>
+          if (acSeed != null && bx == 0 && by == 0) acSeed
+          else constBlk(yBlock(bx, by), 8)))
+      } else Seq(
+        Grid(1, mcusX * 2, mcusY * 2, (width + 7) / 8, (height + 7) / 8,
+          2, 2, 0, 0, (bx, by) => constBlk(yBlock(bx, by), 8)),
+        Grid(2, mcusX, mcusY, ((width + 1) / 2 + 7) / 8,
+          ((height + 1) / 2 + 7) / 8, 1, 1, 1, 1,
+          (bx, by) => constBlk(cbBlock(bx, by), 4)),
+        Grid(3, mcusX, mcusY, ((width + 1) / 2 + 7) / 8,
+          ((height + 1) / 2 + 7) / 8, 1, 1, 1, 1,
+          (bx, by) => constBlk(crBlock(bx, by), 4)))
+
+    // ---- per-scan bit writer with FF00 stuffing ----
+    var acc = 0; var nbits = 0
+    def putBit(bit: Int): Unit = {
+      acc = (acc << 1) | bit; nbits += 1
+      if (nbits == 8) {
+        out.write(acc); if (acc == 0xff) out.write(0x00)
+        acc = 0; nbits = 0
+      }
+    }
+    def putBits(v: Int, n: Int): Unit = {
+      var i = n - 1
+      while (i >= 0) { putBit((v >> i) & 1); i -= 1 }
+    }
+    def flushBits(): Unit = while (nbits != 0) putBit(1)
+    def cat(v: Int): Int = 32 - Integer.numberOfLeadingZeros(math.abs(v))
+    def sos(comps: Seq[Grid], ss: Int, se: Int, ah: Int, al: Int): Unit = {
+      val p = new java.io.ByteArrayOutputStream()
+      p.write(comps.length)
+      comps.foreach { g => p.write(g.id); p.write((g.td << 4) | g.ta) }
+      p.write(ss); p.write(se); p.write((ah << 4) | al)
+      seg(0xda, p.toByteArray)
+    }
+    // EOB-run accumulator + buffered correction bits (refine scans)
+    var eobrun = 0
+    val bitBuf = scala.collection.mutable.ArrayBuffer.empty[Int]
+    def flushEob(): Unit = {
+      if (eobrun > 0) {
+        val r = 31 - Integer.numberOfLeadingZeros(eobrun)
+        val (c0, l0) = acCode(r << 4)
+        putBits(c0, l0)
+        if (r > 0) putBits(eobrun - (1 << r), r)
+        eobrun = 0
+      }
+      bitBuf.foreach(putBit); bitBuf.clear()
+    }
+    def emitDcSym(g: Grid, diff: Int): Unit = {
+      val t = cat(diff)
+      val (c0, l0) = dcCode(t)
+      putBits(c0, l0)
+      if (t > 0) putBits(if (diff < 0) diff + (1 << t) - 1 else diff, t)
+    }
+    // AC point transform: magnitude shift (truncate toward zero, T.81
+    // G.1.2.2); DC uses the arithmetic shift.
+    def pt(v: Int, al: Int): Int =
+      if (v >= 0) v >> al else -((-v) >> al)
+
+    def restartBoundary(mcu: Int, preds: Array[Int], rst: Array[Int]): Unit =
+      if (restartInterval > 0 && mcu > 0 && mcu % restartInterval == 0) {
+        flushEob(); flushBits()
+        b(0xff, 0xd0 + rst(0)); rst(0) = (rst(0) + 1) & 7
+        java.util.Arrays.fill(preds, 0)
+      }
+
+    // ---- scan emitters ----
+    def dcScan(comps: Seq[Grid], ah: Int, al: Int): Unit = {
+      sos(comps, 0, 0, ah, al)
+      val preds = new Array[Int](comps.length)
+      val rst = Array(0)
+      var mcu = 0
+      val interleaved = comps.length > 1
+      if (!interleaved) {
+        val g = comps.head
+        for (by <- 0 until g.bhReal; bx <- 0 until g.bwReal) {
+          restartBoundary(mcu, preds, rst)
+          val dc = g.blk(bx, by)(0)
+          if (ah == 0) {
+            val t = dc >> al
+            emitDcSym(g, t - preds(0)); preds(0) = t
+          } else putBit((dc >> al) & 1)
+          mcu += 1
+        }
+      } else {
+        for (my <- 0 until mcusY; mx <- 0 until mcusX) {
+          restartBoundary(mcu, preds, rst)
+          for ((g, gi) <- comps.zipWithIndex; v <- 0 until g.vf; hh <- 0 until g.hf) {
+            val dc = g.blk(mx * g.hf + hh, my * g.vf + v)(0)
+            if (ah == 0) {
+              val t = dc >> al
+              emitDcSym(g, t - preds(gi)); preds(gi) = t
+            } else putBit((dc >> al) & 1)
+          }
+          mcu += 1
+        }
+      }
+      flushEob(); flushBits()
+    }
+
+    def acFirstScan(g: Grid, ss: Int, se: Int, al: Int): Unit = {
+      sos(Seq(g), ss, se, 0, al)
+      val preds = new Array[Int](1)
+      val rst = Array(0)
+      var mcu = 0
+      for (by <- 0 until g.bhReal; bx <- 0 until g.bwReal) {
+        restartBoundary(mcu, preds, rst)
+        val cf = g.blk(bx, by)
+        var lastNz = ss - 1
+        for (k <- ss to se if pt(cf(k), al) != 0) lastNz = k
+        if (lastNz < ss) eobrun += 1
+        else {
+          flushEob()
+          var k = ss
+          while (k <= lastNz) {
+            var run = 0
+            while (pt(cf(k), al) == 0) { run += 1; k += 1 }
+            while (run >= 16) {
+              val (c0, l0) = acCode(0xF0); putBits(c0, l0); run -= 16
+            }
+            val v = pt(cf(k), al); val s = cat(v)
+            val (c0, l0) = acCode((run << 4) | s)
+            putBits(c0, l0)
+            putBits(if (v < 0) v + (1 << s) - 1 else v, s)
+            k += 1
+          }
+          if (lastNz < se) eobrun += 1
+        }
+        if (eobrun == 0x7fff) flushEob()
+        mcu += 1
+      }
+      flushEob(); flushBits()
+    }
+
+    def acRefineScan(g: Grid, ss: Int, se: Int, al: Int): Unit = {
+      sos(Seq(g), ss, se, al + 1, al)
+      val preds = new Array[Int](1)
+      val rst = Array(0)
+      var mcu = 0
+      for (by <- 0 until g.bhReal; bx <- 0 until g.bwReal) {
+        restartBoundary(mcu, preds, rst)
+        val cf = g.blk(bx, by)
+        // t == 1: newly nonzero this pass (gets a (run,1) symbol + sign);
+        // t > 1: history — one buffered correction bit (its low bit);
+        // t == 0: zero run
+        val t = Array.tabulate(64)(k => if (k >= ss && k <= se)
+          math.abs(pt(cf(k), al)) else 0)
+        var lastNew = ss - 1
+        for (k <- ss to se if t(k) == 1) lastNew = k
+        val pending = scala.collection.mutable.ArrayBuffer.empty[Int]
+        if (lastNew >= ss) flushEob() // symbols follow: end any open EOB run
+        var run = 0
+        var k = ss
+        while (k <= lastNew) {
+          if (t(k) == 0) run += 1
+          else {
+            // flush ZRLs as soon as the run exceeds 15 at ANY nonzero
+            // position (history or new) — the decoder's advance reads
+            // buffered correction bits strictly in position order, so a
+            // run may never carry more than 15 zeros past a history bit
+            while (run > 15) {
+              val (c0, l0) = acCode(0xF0); putBits(c0, l0); run -= 16
+              pending.foreach(putBit); pending.clear()
+            }
+            if (t(k) > 1) pending += (t(k) & 1)
+            else {
+              val (c0, l0) = acCode((run << 4) | 1)
+              putBits(c0, l0)
+              putBit(if (cf(k) > 0) 1 else 0)
+              pending.foreach(putBit); pending.clear()
+              run = 0
+            }
+          }
+          k += 1
+        }
+        // the tail past the last newly-nonzero coefficient (zeros and
+        // history corrections) rides the EOB run's buffered bits
+        while (k <= se) {
+          if (t(k) > 1) pending += (t(k) & 1)
+          k += 1
+        }
+        if (lastNew < se) {
+          eobrun += 1
+          bitBuf ++= pending
+        }
+        if (eobrun == 0x7fff) flushEob()
+        mcu += 1
+      }
+      flushEob(); flushBits()
+    }
+
+    // ---- progression scripts ----
+    if (!color) {
+      val g = grids.head
+      dcScan(Seq(g), 0, 1)
+      acFirstScan(g, 1, 5, 1)
+      acFirstScan(g, 6, 63, 1)
+      dcScan(Seq(g), 1, 0)
+      acRefineScan(g, 1, 5, 0)
+      acRefineScan(g, 6, 63, 0)
+    } else {
+      dcScan(grids, 0, 0)
+      grids.foreach(g => acFirstScan(g, 1, 63, 0))
+    }
+    b(0xff, 0xd9)
+    out.toByteArray
+  }
+
+  /** Gray progressive JPEG fixture for doc `id`: (17+id%29)×(10+id%9),
+    * block (bx,by) constant (bx*37+by*43+id*13)%256 except the AC seed
+    * at (0,0); restart marker every 5 MCUs in every scan.
+    */
+  def grayProgressiveJpegBytes(id: Long): Array[Byte] =
+    jpegProgressiveBytes(17 + (id % 29).toInt, 10 + (id % 9).toInt,
+      color = false,
+      yBlock = (bx, by) => ((bx * 37 + by * 43 + id * 13) % 256).toInt,
+      cbBlock = null, crBlock = null,
+      acSeed = GrayAcSeed, restartInterval = 5)
+
+  /** 4:2:0 color progressive JPEG fixture for doc `id`:
+    * (10+id%21)×(8+id%13), Y block (bx,by) = (bx*13+by*29+id*17)%256,
+    * chroma constant per MCU: Cb = (mx*11+id*7)%256, Cr = (my*23+id*9)%256.
+    */
+  def colorProgressiveJpegBytes(id: Long): Array[Byte] =
+    jpegProgressiveBytes(10 + (id % 21).toInt, 8 + (id % 13).toInt,
+      color = true,
+      yBlock = (bx, by) => ((bx * 13 + by * 29 + id * 17) % 256).toInt,
+      cbBlock = (mx, _) => ((mx * 11 + id * 7) % 256).toInt,
+      crBlock = (_, my) => ((my * 23 + id * 9) % 256).toInt,
+      acSeed = null, restartInterval = 0)
+
   /** Minimal valid AVI/MJPEG container for doc `id` — RIFF('AVI ') with
     * LIST hdrl (avih + LIST strl(strh 'vids'/'MJPG' + strf
     * BITMAPINFOHEADER)), LIST movi of `00dc` frame chunks each holding a
@@ -493,6 +823,8 @@ object Multimodal {
   val makePng = udf((w: Int, h: Int) => pngBytes(w, h))
   val makeGrayJpeg = udf((id: Long) => grayJpegBytes(id))
   val makeColorJpeg = udf((id: Long) => colorJpegBytes(id))
+  val makeGrayProgressiveJpeg = udf((id: Long) => grayProgressiveJpegBytes(id))
+  val makeColorProgressiveJpeg = udf((id: Long) => colorProgressiveJpegBytes(id))
   val makeJpeg = udf((w: Int, h: Int, c: Int) => jpegBytes(w, h, c))
   val makeRgbPng = udf((w: Int, h: Int) => rgbPngBytes(w, h))
   val makeAviMjpeg = udf((id: Long) => aviMjpegBytes(id))

@@ -37,7 +37,9 @@ object MediaPack {
           (lit(12) + col("doc_id") % 11).cast("int"),
           (lit(1) + (col("doc_id") % 2) * 2).cast("int")))
         .withColumn("jpgg", Multimodal.makeGrayJpeg(col("doc_id")))
-        .withColumn("jpgc", Multimodal.makeColorJpeg(col("doc_id"))),
+        .withColumn("jpgc", Multimodal.makeColorJpeg(col("doc_id")))
+        .withColumn("jpgp", Multimodal.makeGrayProgressiveJpeg(col("doc_id")))
+        .withColumn("jpcp", Multimodal.makeColorProgressiveJpeg(col("doc_id"))),
         "mm_media", slices = 8)
       Map("blobs" -> "mm_media")
     }
@@ -89,6 +91,13 @@ object MediaPack {
     val jg = Multimodal.decodeJpeg(col("jpgg"))
     val jc = Multimodal.decodeJpeg(col("jpgc"))
     val jr = Multimodal.decodeImage(Multimodal.jpegResizePng(col("jpgg"), 8, 8))
+    // PROGRESSIVE (SOF2) decodes: gray through six scans (spectral bands,
+    // Al=1 successive approximation, restarts in every scan) and 4:2:0
+    // color through interleaved-DC + per-component AC scans — the
+    // multi-scan coefficient reassembly must reproduce the same exact
+    // integers as the baseline path for the hash to match
+    val jp = Multimodal.decodeJpeg(col("jpgp"))
+    val jpc = Multimodal.decodeJpeg(col("jpcp"))
     media.select(col("doc_id"),
       img.getField("width").cast("long").as("img_w"),
       img.getField("height").cast("long").as("img_h"),
@@ -112,7 +121,16 @@ object MediaPack {
       jc.getField("px_sum").as("jc_sum"),
       jc.getField("px_min").cast("long").as("jc_min"),
       jc.getField("px_max").cast("long").as("jc_max"),
-      jr.getField("px_sum").as("jr_sum"))
+      jr.getField("px_sum").as("jr_sum"),
+      jp.getField("width").cast("long").as("jp_w"),
+      jp.getField("height").cast("long").as("jp_h"),
+      jp.getField("px_sum").as("jp_sum"),
+      jp.getField("px_min").cast("long").as("jp_min"),
+      jp.getField("px_max").cast("long").as("jp_max"),
+      jpc.getField("channels").cast("long").as("jpc_ch"),
+      jpc.getField("px_sum").as("jpc_sum"),
+      jpc.getField("px_min").cast("long").as("jpc_min"),
+      jpc.getField("px_max").cast("long").as("jpc_max"))
   }
 
   /** AVI/MJPEG fixture: one container per document (own RIFF writer,
@@ -319,6 +337,49 @@ object MediaPack {
                   min(LEAST(r, g, b)) AS mn, max(GREATEST(r, g, b)) AS mx
            FROM jcc GROUP BY doc_id
          )
+         -- PROGRESSIVE gray JPEG (SOF2, six scans: spectral bands with
+         -- Al=1 successive approximation, restarts in every scan):
+         -- constant blocks and the AC seed reassemble to the exact same
+         -- quantized coefficients as a baseline scan, so the decode
+         -- replays from the same closed forms
+         , jp AS (
+           SELECT d.doc_id,
+                  sum(CASE WHEN bx.b = 0 AND by.b = 0 THEN 8383
+                      ELSE ((bx.b*37 + by.b*43 + d.doc_id*13) % 256)
+                           * (LEAST(8, (17 + d.doc_id % 29) - bx.b*8)
+                            * LEAST(8, (10 + d.doc_id % 9) - by.b*8)) END) AS s,
+                  LEAST(103, min(CASE WHEN bx.b = 0 AND by.b = 0 THEN 255
+                      ELSE (bx.b*37 + by.b*43 + d.doc_id*13) % 256 END)) AS mn,
+                  GREATEST(187, max(CASE WHEN bx.b = 0 AND by.b = 0 THEN 0
+                      ELSE (bx.b*37 + by.b*43 + d.doc_id*13) % 256 END)) AS mx
+           FROM documents d
+           JOIN range(0, 6) bx(b) ON bx.b*8 < 17 + d.doc_id % 29
+           JOIN range(0, 3) by(b) ON by.b*8 < 10 + d.doc_id % 9
+           GROUP BY d.doc_id
+         )
+         -- PROGRESSIVE 4:2:0 color JPEG (interleaved DC scan +
+         -- per-component AC scans over the subsampled block grids)
+         , jpb AS (
+           SELECT d.doc_id,
+                  (bx.b*13 + by.b*29 + d.doc_id*17) % 256 AS yv,
+                  ((bx.b // 2)*11 + d.doc_id*7) % 256 - 128 AS cb,
+                  ((by.b // 2)*23 + d.doc_id*9) % 256 - 128 AS cr,
+                  LEAST(8, (10 + d.doc_id % 21) - bx.b*8)
+                    * LEAST(8, (8 + d.doc_id % 13) - by.b*8) AS vis
+           FROM documents d
+           JOIN range(0, 4) bx(b) ON bx.b*8 < 10 + d.doc_id % 21
+           JOIN range(0, 3) by(b) ON by.b*8 < 8 + d.doc_id % 13
+         ), jpcc AS (
+           SELECT doc_id, vis,
+             GREATEST(0, LEAST(255, yv + CAST(floor((91881*cr + 32768)/65536.0) AS BIGINT))) AS r,
+             GREATEST(0, LEAST(255, yv - CAST(floor((22554*cb + 46802*cr + 32768)/65536.0) AS BIGINT))) AS g,
+             GREATEST(0, LEAST(255, yv + CAST(floor((116130*cb + 32768)/65536.0) AS BIGINT))) AS b
+           FROM jpb
+         ), jpc AS (
+           SELECT doc_id, sum((r + g + b) * vis) AS s,
+                  min(LEAST(r, g, b)) AS mn, max(GREATEST(r, g, b)) AS mx
+           FROM jpcc GROUP BY doc_id
+         )
          -- decoded pixels of the AC seed block, row-major (y*8+x)
          , jac(i, v) AS (VALUES
            (0,151),(1,138),(2,126),(3,127),(4,134),(5,133),(6,120),(7,106),
@@ -370,7 +431,16 @@ object MediaPack {
          CAST(jc.s AS BIGINT) AS jc_sum,
          CAST(jc.mn AS BIGINT) AS jc_min,
          CAST(jc.mx AS BIGINT) AS jc_max,
-         CAST(jr.s AS BIGINT) AS jr_sum
+         CAST(jr.s AS BIGINT) AS jr_sum,
+         CAST(17 + d.doc_id % 29 AS BIGINT) AS jp_w,
+         CAST(10 + d.doc_id % 9 AS BIGINT) AS jp_h,
+         CAST(jp.s AS BIGINT) AS jp_sum,
+         CAST(jp.mn AS BIGINT) AS jp_min,
+         CAST(jp.mx AS BIGINT) AS jp_max,
+         CAST(3 AS BIGINT) AS jpc_ch,
+         CAST(jpc.s AS BIGINT) AS jpc_sum,
+         CAST(jpc.mn AS BIGINT) AS jpc_min,
+         CAST(jpc.mx AS BIGINT) AS jpc_max
          FROM documents d
          JOIN img ON img.doc_id = d.doc_id
          JOIN rs ON rs.doc_id = d.doc_id
@@ -378,7 +448,9 @@ object MediaPack {
          JOIN rgb ON rgb.doc_id = d.doc_id
          JOIN jg ON jg.doc_id = d.doc_id
          JOIN jc ON jc.doc_id = d.doc_id
-         JOIN jr ON jr.doc_id = d.doc_id""",
+         JOIN jr ON jr.doc_id = d.doc_id
+         JOIN jp ON jp.doc_id = d.doc_id
+         JOIN jpc ON jpc.doc_id = d.doc_id""",
     // AVI/MJPEG replay from the fixture formulas: (16+id%17)x(9+id%11),
     // 3+id%5 frames at 20000+(id%5)*20000 us/frame; frame f's Y block
     // (bx,by) = (bx*29+by*41+id*7+f*13)%256. Constant DC-only blocks

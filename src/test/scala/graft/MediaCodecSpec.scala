@@ -376,7 +376,9 @@ class MediaCodecSpec extends AnyFunSuite {
     assert(MediaCodecHelper.decodeJpeg(Array[Byte](1, 2)) == null)
     // truncated mid-entropy
     assert(MediaCodecHelper.decodeJpeg(good.dropRight(good.length / 3)) == null)
-    // progressive: flip SOF0 -> SOF2
+    // flip SOF0 -> SOF2: the baseline scan header (Ss=0, Se=63) is
+    // malformed as a progressive scan (DC scans must have Se=0), so the
+    // progressive path must bail to null, not misdecode
     val prog = good.clone()
     val sofIdx = (0 until prog.length - 1).find(i =>
       (prog(i) & 0xff) == 0xff && (prog(i + 1) & 0xff) == 0xc0).get
@@ -434,5 +436,58 @@ class MediaCodecSpec extends AnyFunSuite {
       }
       assert(r.getLong(4) == sum, s"id $id px_sum")
     }
+  }
+
+  test("progressive gray decode == baseline decode of the same blocks") {
+    // Same dims/blocks/AC seed through two entirely different bitstream
+    // layouts: six progressive scans (spectral bands, Al=1 successive
+    // approximation, restart markers in every scan) must reconstruct the
+    // exact quantized coefficients of the single baseline scan, so the
+    // rasters are byte-identical.
+    for (id <- 0L until 40L) {
+      val w = 17 + (id % 29).toInt; val h = 10 + (id % 9).toInt
+      def blk(bx: Int, by: Int) = ((bx * 37 + by * 43 + id * 13) % 256).toInt
+      val base = MediaCodecHelper.decodeJpeg(Multimodal.jpegBaselineBytes(
+        w, h, color = false, sub420 = false, blk, null, null,
+        Multimodal.GrayAcSeed, restartInterval = 5))
+      val prog = MediaCodecHelper.decodeJpeg(
+        Multimodal.grayProgressiveJpegBytes(id))
+      assert(base != null && prog != null, s"id $id decode failed")
+      assert(prog.width == w && prog.height == h && prog.bpp == 1)
+      assert(java.util.Arrays.equals(prog.pix, base.pix), s"id $id pixels")
+    }
+    // the AC seed block survives band-split + approximation bit-exactly
+    val p0 = MediaCodecHelper.decodeJpeg(Multimodal.grayProgressiveJpegBytes(0))
+    for (y <- 0 until 8; x <- 0 until 8)
+      assert((p0.pix(y * p0.width + x) & 0xff) ==
+        Multimodal.GrayAcPixels(y * 8 + x), s"seed ($x,$y)")
+  }
+
+  test("progressive 4:2:0 color decode == baseline decode of the same blocks") {
+    for (id <- 0L until 40L) {
+      val w = 10 + (id % 21).toInt; val h = 8 + (id % 13).toInt
+      def yb(bx: Int, by: Int) = ((bx * 13 + by * 29 + id * 17) % 256).toInt
+      def cb(mx: Int, my: Int) = { val _ = my; ((mx * 11 + id * 7) % 256).toInt }
+      def cr(mx: Int, my: Int) = { val _ = mx; ((my * 23 + id * 9) % 256).toInt }
+      val base = MediaCodecHelper.decodeJpeg(Multimodal.jpegBaselineBytes(
+        w, h, color = true, sub420 = true, yb, cb, cr, null, 0))
+      val prog = MediaCodecHelper.decodeJpeg(
+        Multimodal.colorProgressiveJpegBytes(id))
+      assert(base != null && prog != null, s"id $id decode failed")
+      assert(prog.width == w && prog.height == h && prog.bpp == 3)
+      assert(java.util.Arrays.equals(prog.pix, base.pix), s"id $id pixels")
+    }
+  }
+
+  test("progressive: truncated / scanless streams return null, never garbage") {
+    val good = Multimodal.grayProgressiveJpegBytes(3)
+    assert(MediaCodecHelper.decodeJpeg(good) != null)
+    // no EOI: a progressive image is only complete at EOI
+    assert(MediaCodecHelper.decodeJpeg(good.dropRight(2)) == null)
+    // truncated mid-scan
+    assert(MediaCodecHelper.decodeJpeg(good.take(good.length / 2)) == null)
+    // header only (SOI..SOF2..DHT, no SOS): scanless EOI is null
+    val meta = MediaCodecHelper.jpegMeta(good)
+    assert(meta != null, "SOF2 header metadata still parses")
   }
 }
