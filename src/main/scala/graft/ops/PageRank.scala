@@ -163,12 +163,20 @@ object PageRank {
           .select(col("v"), col("tp"),
             coalesce(col("pr"), col("tp") * fp).as("r"))
     }
+    // Per-iteration joins are SHUFFLE_HASH, not sort-merge: both joins are
+    // already co-partitioned (zero exchanges), but SMJ would re-SORT the
+    // full cached edge relation and the rank vector EVERY iteration —
+    // iters × |E| log |E| of pure overhead. Hashing the node-sized side
+    // (the rank vector / the contribution sums) streams the big side
+    // unsorted; the hint only picks the physical operator, so the plan
+    // keeps its single exchange per iteration (the groupBy(dst)).
     var r = r0
     for (_ <- 1 to iters) {
-      val sums = r.join(eDeg, r("v") === eDeg("src"))
+      val sums = r.hint("shuffle_hash").join(eDeg, r("v") === eDeg("src"))
         .select(col("dst"), expr("(r * w) div sw").as("c"))
         .groupBy("dst").agg(sum(col("c")).as("acc"))
-      r = nodes.join(sums, nodes("v") === sums("dst"), "left")
+      r = nodes.join(sums.hint("shuffle_hash"),
+          nodes("v") === sums("dst"), "left")
         .select(col("v"), col("tp"),
           (col("tp") * omdFp +
             expr(s"(${dFp}L * coalesce(acc, 0L)) div ${fp}L")).as("r"))
