@@ -166,10 +166,17 @@ object Bench {
       .mkString("{", ",", "}")
     val fullLine =
       f"""{"metric":"total","unit":"sec","sf":"$sfDir","queries":$qs,"gc_ms":$gcQs,"gc_ms_worst":$gcWorstQs,"heap_mb":$heapQs,"value":$total%.4f}"""
-    try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_FULL.json"),
+    // A filtered (SPARK_GRAFT_BENCH_ONLY) run writes to BENCH_PARTIAL
+    // .json so a single-query repro can never clobber the committed
+    // full-table artifact — the same never-clobber rule as ScaleCheck's
+    // SCALE_CHECK_REPRO.json.
+    val artifact =
+      if (sys.env.contains("SPARK_GRAFT_BENCH_ONLY")) "BENCH_PARTIAL.json"
+      else "BENCH_FULL.json"
+    try java.nio.file.Files.write(java.nio.file.Paths.get(artifact),
       (fullLine + "\n").getBytes("UTF-8"))
     catch { case e: Throwable =>
-      System.err.println(s"[bench] BENCH_FULL.json write failed: ${e.getMessage}") }
+      System.err.println(s"[bench] $artifact write failed: ${e.getMessage}") }
     spark.stop()
   }
 }
