@@ -53,11 +53,12 @@ object ScaleCheck {
     "gr_triangles", "ann_pq_persisted", "op_dataset_type2", "dd_spans",
     "op_checksum_invariant", "mm_codec_roundtrip", "mm_video_frames",
     "gr_node2vec")
-  // gr_node2vec (r14): the second-order walk — two broadcast probes of
-  // the cached neighbor index per step instead of gr_walks' one, plus
-  // the walk-keyed cumulative-weight window; its slope should track
-  // gr_walks' (the graph-sized work per step doubles but stays
-  // broadcast-shaped; everything else is frontier-bounded).
+  // gr_node2vec (r14): the second-order walk — one broadcast probe of
+  // the cached neighbor index per step (the frontier's nodes and
+  // predecessors share the scan), plus the walk-keyed cumulative-weight
+  // window; its slope should track gr_walks' (the per-step graph-sized
+  // work is the same single broadcast-shaped scan; everything else is
+  // frontier-bounded).
   // gr_pagerank_w: the only gated PageRank variant without a row until
   // r14 — gr_pagerank plus one edge-weight fold and the scan-side
   // raise_error weight guard; its slope should track gr_pagerank's.
@@ -481,7 +482,7 @@ object ScaleCheck {
     val pqNote =
       f""""ann_ivfpq":"sizing discipline: nlist scales with N (16 -> ${16 * reps}%d at 10x) holding inverted-list size constant, nprobe with nlist (4 -> ${4 * reps}%d) holding the probed fraction ~25 pct; MEASURED probe fraction of the code store per query: ${100 * pfS}%.1f pct at sf0.1 (avg ${pfScanS}%d of ${pfTotS}%d codes), ${100 * pfB}%.1f pct at 10x (avg ${pfScanB}%d of ${pfTotB}%d codes). The timed query retrains coarse+codebooks in-plan by design (the driver gate covers training); ann_pq_persisted is the deployment shape whose store build is memoized in warmup, so its row isolates the code-store scan + broadcast-ADC + bounded-heap search path""""
     val json =
-      s"""{"reps":$reps,"base":"$baseDir","protocol":"min-of-3 at sf0.1, min-of-2 at 10x, untimed warmup per scale, local[32] shuffle=32 at both scales; shuffle bytes sampled on pass 1; cache manager purged before every timed query (r11) so persist()-ing operators pay their build stage cold; timed action is a NOOP-SINK FULL MATERIALIZATION since r12, not count() - count() let Catalyst prune projections and eliminate unique-key left joins, so pre-r12 rows for plans with those shapes (gr_pagerank, labelprop, scoring left-joins, pure-projection tx rows) measured a collapsed plan; r12 numbers are the honest re-baseline and are NOT comparable to earlier files","notes":{"dd_simhash":"output-pair count is threshold-cliff sensitive (75% of pairs sit at hamming exactly 3), so each replica's independent token-hash draw moves borderline mass across the cutoff: measured per-replica pairs 11.6k-123k around replica 0's 15.2k. The elevated slope is TRUE near-dup volume in the synthesized data, not engine cost growth; the quadratic random-collision candidate term was separately measured and fixed (blocks=5 generalized Manku banding: 23.3M -> 7.7M candidates at 10x)","dd_semantic":"k scales with N (k=8 at sf0.1, k=80 at 10x) per the SemDeDup sizing rule k ~ N/1e4..1e5 (Abbas et al. 2023) - the same rule the operator's maxClusterSize gate enforces - holding per-cluster size constant so the slope measures engine cost, not the data's designed O(sum c^2) pair growth under a fixed k. dd_inc_semantic is the in-memory twin of the gated query (fit on history, frozen-centroid batch assignment, history+batch drop joins) without the snapshot-index round-trip. Shuffle-slope caveat for this family: absolute shuffle volumes are sub-MB at BOTH scales (the sf0.1 run broadcast-joins everything), so the log-slope numerically amplifies an AQE broadcast->SMJ plan transition; read the absolute MB columns, not the slope, when sf01 volume is ~0",$triNote,$pqNote},"queries":{${entries.mkString(",")}},""" +
+      s"""{"reps":$reps,"base":"$baseDir","protocol":"min-of-3 at sf0.1, min-of-2 at 10x, untimed warmup per scale, local[32] shuffle=32 at both scales; shuffle bytes sampled on pass 1; cache manager purged before every timed query (r11) so persist()-ing operators pay their build stage cold; timed action is a NOOP-SINK FULL MATERIALIZATION since r12, not count() - count() let Catalyst prune projections and eliminate unique-key left joins, so pre-r12 rows for plans with those shapes (gr_pagerank, labelprop, scoring left-joins, pure-projection tx rows) measured a collapsed plan; r12 numbers are the honest re-baseline and are NOT comparable to earlier files","notes":{"dd_simhash":"output-pair count is threshold-cliff sensitive (75% of pairs sit at hamming exactly 3), so each replica's independent token-hash draw moves borderline mass across the cutoff: measured per-replica pairs 11.6k-123k around replica 0's 15.2k. The elevated slope is TRUE near-dup volume in the synthesized data, not engine cost growth; the quadratic random-collision candidate term was separately measured and fixed (blocks=5 generalized Manku banding: 23.3M -> 7.7M candidates at 10x)","dd_semantic":"k scales with N (k=8 at sf0.1, k=80 at 10x) per the SemDeDup sizing rule k ~ N/1e4..1e5 (Abbas et al. 2023) - the same rule the operator's maxClusterSize gate enforces - holding per-cluster size constant so the slope measures engine cost, not the data's designed O(sum c^2) pair growth under a fixed k. dd_inc_semantic is the in-memory twin of the gated query (fit on history, frozen-centroid batch assignment, history+batch drop joins) without the snapshot-index round-trip. Shuffle-slope caveat for this family: absolute shuffle volumes are sub-MB at BOTH scales (the sf0.1 run broadcast-joins everything), so the log-slope numerically amplifies an AQE broadcast->SMJ plan transition; read the absolute MB columns, not the slope, when sf01 volume is ~0","op_type_fuzz":"slope > 1 is a synthesis artifact, not engine cost: replicas offset every join key by replica*1e9, so l_orderkey strings grow from <= 6 digits (replica 0) to 10 digits (replicas 1-9), and four of the eight fuzz columns (messy_int, neg_int, hex_int, strict_int) parse per CHARACTER - per-row parse work rises ~1.4-1.6x alongside the 10x row count. op_dataset_type2 (same parse engine, fixture strings whose width does NOT scale with the key offset) measures the engine's true slope ~0.98 - linear",$triNote,$pqNote},"queries":{${entries.mkString(",")}},""" +
       f""""total_sf01_sec":$totalS%.3f,"total_x10_sec":$totalB%.3f,"total_slope":${math.log(totalB / totalS) / math.log(reps.toDouble)}%.3f,""" +
       s""""x100":{"reps":$reps100,"protocol":"same session and purge discipline; untimed warmup at x100, then min-of-2; slopes are log(t_x100/t_sf01)/log(100) - two decades from sf0.1; gr_cluster_labelprop runs k=8*100=800 per the k-with-N sizing discipline","queries":{${x100Entries.mkString(",")}}}}"""
     println(json)
