@@ -29,6 +29,37 @@ import graft.core.Cols.{q => Q}
   */
 object RandomWalks {
 
+  /** The walk family's shared graph artifact: every out-edge with its
+    * dst-order index and the source's out-degree — (src, dst, idx, deg).
+    * Deterministic (distinct edges, row_number by dst), so it can be
+    * built ONCE and persisted as a snapshot the walk queries read — the
+    * "extract the graph once, analyze it many times" production shape.
+    * Built inline by [[walks]]/[[node2vecWalks]] when no prebuilt index
+    * is supplied.
+    *
+    * 100 TB shape: one shuffle on src (the row_number window, bounded by
+    * max out-degree per group — no global sort) plus the co-partitioned
+    * degree join; downstream walk steps only ever SCAN it as the
+    * streamed side of frontier-broadcast joins, so its storage
+    * partitioning is irrelevant to the per-step plan.
+    */
+  def neighborIndex(edges: DataFrame, srcCol: String,
+                    dstCol: String): DataFrame = {
+    val e = edges.select(Q(srcCol).cast("long").as("src"),
+        Q(dstCol).cast("long").as("dst"))
+      .where(col("src").isNotNull && col("dst").isNotNull)
+      .distinct()
+    val deg = e.groupBy("src").agg(count(lit(1)).as("deg"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("src").orderBy("dst")
+    // pre-partitioned on src, the every-step join key — the row_number
+    // window already forces hashpartitioning(src) and the deg join
+    // preserves it, so no explicit repartition (it would re-shuffle the
+    // whole neighbor index for nothing; cf. the PageRank r12 fix)
+    e.withColumn("idx", row_number().over(w).cast("long") - 1)
+      .join(deg, "src")
+  }
+
   /** @param starts (v) seed nodes; walk_id = the seed node id.
     * @return (walk_id, step, node), step 0..steps, dense until the walk
     *   dies at a dangling node. The result is PERSISTED and eagerly
@@ -38,21 +69,19 @@ object RandomWalks {
     *   unreachable cached RDDs (the ADVICE r11 leak).
     */
   def walks(edges: DataFrame, srcCol: String, dstCol: String,
-            starts: DataFrame, steps: Int): DataFrame = {
+            starts: DataFrame, steps: Int): DataFrame =
+    walksIndexed(neighborIndex(edges, srcCol, dstCol), starts, steps)
+
+  /** [[walks]] over a prebuilt [[neighborIndex]] — pass a persisted
+    * index snapshot to skip the per-call distinct + degree + row_number
+    * build; the walk corpus is identical (the index is deterministic).
+    */
+  def walksIndexed(index: DataFrame, starts: DataFrame,
+                   steps: Int): DataFrame = {
     require(steps >= 1 && steps <= 128, s"steps out of range: $steps")
-    val e = edges.select(Q(srcCol).cast("long").as("src"),
-        Q(dstCol).cast("long").as("dst"))
-      .where(col("src").isNotNull && col("dst").isNotNull)
-      .distinct()
-    val deg = e.groupBy("src").agg(count(lit(1)).as("deg"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("src").orderBy("dst")
-    // cached pre-partitioned on src, the every-step join key — the
-    // row_number window already forces hashpartitioning(src) and the deg
-    // join preserves it, so no explicit repartition (it would re-shuffle
-    // the whole neighbor index for nothing; cf. the PageRank r12 fix)
-    val nbr = e.withColumn("idx", row_number().over(w).cast("long") - 1)
-      .join(deg, "src")
+    val nbr = index.select(col("src").cast("long").as("src"),
+        col("dst").cast("long").as("dst"), col("idx").cast("long").as("idx"),
+        col("deg").cast("long").as("deg"))
       .persist()
     def draw(t: Int) =
       conv(substring(md5(concat(col("walk_id").cast("string"),
@@ -129,19 +158,20 @@ object RandomWalks {
     *   released before return (the [[walks]] cache contract).
     */
   def node2vecWalks(edges: DataFrame, srcCol: String, dstCol: String,
-                    starts: DataFrame, steps: Int, p: Int, q: Int): DataFrame = {
+                    starts: DataFrame, steps: Int, p: Int, q: Int): DataFrame =
+    node2vecIndexed(neighborIndex(edges, srcCol, dstCol), starts, steps, p, q)
+
+  /** [[node2vecWalks]] over a prebuilt [[neighborIndex]] — the same
+    * skip-the-index-build shape as [[walksIndexed]].
+    */
+  def node2vecIndexed(index: DataFrame, starts: DataFrame,
+                      steps: Int, p: Int, q: Int): DataFrame = {
     require(steps >= 1 && steps <= 128, s"steps out of range: $steps")
     require(p >= 1 && p <= 1000 && q >= 1 && q <= 1000,
       s"p/q out of range: $p/$q (integer 1..1000)")
-    val e = edges.select(Q(srcCol).cast("long").as("src"),
-        Q(dstCol).cast("long").as("dst"))
-      .where(col("src").isNotNull && col("dst").isNotNull)
-      .distinct()
-    val deg = e.groupBy("src").agg(count(lit(1)).as("deg"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("src").orderBy("dst")
-    val nbr = e.withColumn("idx", row_number().over(w).cast("long") - 1)
-      .join(deg, "src")
+    val nbr = index.select(col("src").cast("long").as("src"),
+        col("dst").cast("long").as("dst"), col("idx").cast("long").as("idx"),
+        col("deg").cast("long").as("deg"))
       .persist()
     def draw(t: Int) =
       conv(substring(md5(concat(col("walk_id").cast("string"),

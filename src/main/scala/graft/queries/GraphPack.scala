@@ -180,16 +180,33 @@ object GraphPack {
           .as("correct"))
   }
 
+  /** The walk family's neighbor index (src, dst, idx, deg) as a memoized
+    * snapshot — deterministic from the edge set, so it is an artifact
+    * built once (one bounded row_number shuffle) and READ by every walk
+    * query, exactly the edge-store pattern one level up the stack. The
+    * walk oracles replay from the raw edges, so the gate proves the
+    * snapshot round-trip is invisible.
+    */
+  private def walkIndexStore(s: SparkSession, dir: String): DataFrame = {
+    val (store, _) = Fixtures(s, dir, "job_walk_index") { st =>
+      st.write(graft.ops.RandomWalks.neighborIndex(
+        edgeStore(s, dir), "src", "dst"), "walk_nbr", slices = 4)
+      Map("nbr" -> "walk_nbr")
+    }
+    store.readResolved("walk_nbr")
+  }
+
   /** Walk corpus from every ~1-in-97 node over the co-purchase graph:
     * 8-step deterministic walks, the DeepWalk "sentences" a graph
-    * embedding trains on.
+    * embedding trains on — over the persisted neighbor-index snapshot.
     */
   def walksQ(s: SparkSession, dir: String): DataFrame = {
     val e = edgeStore(s, dir)
     val starts = e.select(col("src").as("v"))
       .union(e.select(col("dst").as("v"))).distinct()
       .where(col("v") % 97 === 0)
-    graft.ops.RandomWalks.walks(e, "src", "dst", starts, steps = 8)
+    graft.ops.RandomWalks.walksIndexed(walkIndexStore(s, dir), starts,
+      steps = 8)
   }
 
   /** Biased second-order node2vec walks over the co-purchase graph —
@@ -204,7 +221,7 @@ object GraphPack {
     val starts = e.select(col("src").as("v"))
       .union(e.select(col("dst").as("v"))).distinct()
       .where(col("v") % 97 === 0)
-    graft.ops.RandomWalks.node2vecWalks(e, "src", "dst", starts,
+    graft.ops.RandomWalks.node2vecIndexed(walkIndexStore(s, dir), starts,
       steps = 8, p = 4, q = 2)
   }
 

@@ -358,4 +358,35 @@ class GraphPropertySpec extends AnyFunSuite {
       .as[(Long, Long, Long)].collect().toSet
     assert(got == (0 to 4).map(t => (9L, t.toLong, 9L)).toSet)
   }
+
+  // ---- law 8: the prebuilt neighbor index is invisible ----
+  // walksIndexed/node2vecIndexed over a parquet-round-tripped
+  // neighborIndex must equal the inline builds corpus-for-corpus: the
+  // index is deterministic, so persisting it as a snapshot (the
+  // GraphPack walk_nbr artifact) can never change a draw.
+
+  test("law: walks over a persisted neighbor index == inline builds") {
+    val dir = java.nio.file.Files.createTempDirectory("walknbr").toString
+    for (seed <- Seq(61, 73)) {
+      val (n, edges) = genEdges(seed)
+      val starts = (0L until n.toLong).filter(_ % 3 == 0).toDF("v")
+      val e = edges.toDF("src", "dst")
+      val idxPath = s"$dir/nbr_$seed.parquet"
+      RandomWalks.neighborIndex(e, "src", "dst").write
+        .mode("overwrite").parquet(idxPath)
+      val idx = spark.read.parquet(idxPath)
+      val wInline = RandomWalks.walks(e, "src", "dst", starts, steps = 5)
+        .as[(Long, Long, Long)].collect().toSet
+      val wIndexed = RandomWalks.walksIndexed(idx, starts, steps = 5)
+        .as[(Long, Long, Long)].collect().toSet
+      assert(wIndexed == wInline, s"walks seed $seed")
+      val nInline = RandomWalks.node2vecWalks(e, "src", "dst", starts,
+          steps = 4, p = 4, q = 2)
+        .as[(Long, Long, Long)].collect().toSet
+      val nIndexed = RandomWalks.node2vecIndexed(idx, starts,
+          steps = 4, p = 4, q = 2)
+        .as[(Long, Long, Long)].collect().toSet
+      assert(nIndexed == nInline, s"node2vec seed $seed")
+    }
+  }
 }
