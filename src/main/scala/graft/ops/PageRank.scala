@@ -76,41 +76,36 @@ object PageRank {
             maxNodes: Long = 1L << 22,
             seeds: Option[DataFrame] = None,
             weightCol: Option[String] = None,
-            init: Option[DataFrame] = None): DataFrame = {
-    require(iters >= 1 && iters <= 64, s"iters out of range: $iters")
-    require(fpShift >= 4 && fpShift <= 24, s"fpShift out of range: $fpShift")
-    require(dampNum > 0 && dampDen > 0 && dampNum < dampDen,
-      s"damping must be in (0,1): $dampNum/$dampDen")
-    require(maxNodes >= 2 &&
-        2 * fpShift +
-          (64 - java.lang.Long.numberOfLeadingZeros(maxNodes - 1)) <= 62,
-      s"fpShift=$fpShift with maxNodes=$maxNodes could overflow Long " +
-        "rank arithmetic - lower fpShift (see Scaladoc magnitude bound)")
-    val fp = 1L << fpShift
-    val dFp = (dampNum.toLong * fp) / dampDen
-    val omdFp = fp - dFp
+            init: Option[DataFrame] = None): DataFrame =
+    ranksIndexed(normalizedEdges(edges, srcCol, dstCol, weightCol,
+        fpShift, maxNodes), iters, fpShift, dampNum, dampDen, maxNodes,
+      seeds, init)
 
-    // weighted: parallel edges fold into one (src, dst, Σw) row and a
-    // node's out-mass splits proportionally, (r·w) div Σ_out w — with the
-    // unweighted case as the exact special case w = 1 (then Σ_out w is the
-    // out-degree and the contribution reduces to r div deg).
-    // The normalized edge set is cached: its lineage (often a join- or
-    // window-built projection) would otherwise re-run for each of its
-    // four consumers below (out-weights, the cached eDeg, and both node
-    // scans). Released at exit once the result is materialized.
-    val e = (weightCol match {
+  /** The iteration's graph artifact: folded positive edge weights plus
+    * each source's total out-mass — (src, dst, w, sw). Deterministic, so
+    * it can be built ONCE (two shuffles) and persisted as a snapshot the
+    * rank queries read; [[ranks]] builds it inline.
+    *
+    * Weighted: parallel edges fold into one (src, dst, Σw) row and a
+    * node's out-mass splits proportionally, (r·w) div Σ_out w — with the
+    * unweighted case as the exact special case w = 1 (then Σ_out w is
+    * the out-degree and the contribution reduces to r div deg). The
+    * folded-weight magnitude guard lives here (the Scaladoc's bits(N) +
+    * fpShift + bits(max w) ≤ 62): DuckDB's BIGINT errors loudly on wrap
+    * but Spark's Long wraps silently, so an oversized folded weight must
+    * fail fast, mirroring Bm25's dl guard — not diverge from the replay
+    * with no signal.
+    */
+  def normalizedEdges(edges: DataFrame, srcCol: String, dstCol: String,
+                      weightCol: Option[String] = None, fpShift: Int = 20,
+                      maxNodes: Long = 1L << 22): DataFrame = {
+    val e = weightCol match {
       case None =>
         edges.select(Q(srcCol).cast("long").as("src"),
             Q(dstCol).cast("long").as("dst"))
           .where(col("src").isNotNull && col("dst").isNotNull)
           .distinct().withColumn("w", lit(1L))
       case Some(wc) =>
-        // Weighted bound enforcement (the Scaladoc's bits(N) + fpShift +
-        // bits(max w) <= 62): DuckDB's BIGINT errors loudly on wrap but
-        // Spark's Long wraps silently, so an oversized FOLDED weight (the
-        // per-(src,dst) sum, which is what enters r*w) must fail fast
-        // here, mirroring Bm25's dl guard — not diverge from the replay
-        // with no signal.
         val nodeBits = 64 - java.lang.Long.numberOfLeadingZeros(maxNodes - 1)
         val maxW = 1L << math.min(62 - fpShift - nodeBits, 40).max(1)
         edges.select(Q(srcCol).cast("long").as("src"),
@@ -124,22 +119,48 @@ object PageRank {
                 lit(s" exceeds $maxW (= 2^(62 - fpShift=$fpShift - " +
                   s"log2 maxNodes=$maxNodes)) — r*w would overflow Long"))))
             .otherwise(col("w")))
-    }).persist()
+    }
     val outW = e.groupBy("src").agg(sum(col("w")).as("sw"))
-    // One pre-joined (src, dst, w, sw) relation reused every iteration,
-    // cached ALREADY HASH-PARTITIONED on src: the per-iteration join key.
-    // The cached partitioning survives in InMemoryTableScan's
-    // outputPartitioning, and the rank state arrives partitioned on v
-    // (it is the output of the previous iteration's v-keyed join), so
-    // iterations pay exactly ONE exchange — the (dst, Long) contribution
-    // groupBy — never a re-shuffle of the edge relation.
-    // NOTE: no explicit repartition — the SMJ/aggregation outputs above
-    // are already hashpartitioning(src); an explicit repartition(src)
-    // here re-shuffled the full edge relation for nothing (measured r12:
-    // one redundant edge-sized exchange per ranks() call).
-    val eDeg = e.join(outW, "src").persist()
-    val nodes0 = e.select(col("src").as("v"))
-      .union(e.select(col("dst").as("v"))).distinct()
+    // (src, dst, w, sw) arrives ALREADY HASH-PARTITIONED on src (the
+    // distinct/groupBy and the co-partitioned outW join), the
+    // per-iteration join key — no explicit repartition (it would
+    // re-shuffle the whole relation for nothing; measured r12).
+    e.join(outW, "src")
+  }
+
+  /** [[ranks]] over a prebuilt [[normalizedEdges]] relation — pass a
+    * persisted snapshot to skip the per-call fold + out-mass build; the
+    * ranks are identical (the relation is deterministic).
+    */
+  def ranksIndexed(norm: DataFrame, iters: Int,
+                   fpShift: Int = 20, dampNum: Int = 85, dampDen: Int = 100,
+                   maxNodes: Long = 1L << 22,
+                   seeds: Option[DataFrame] = None,
+                   init: Option[DataFrame] = None): DataFrame = {
+    require(iters >= 1 && iters <= 64, s"iters out of range: $iters")
+    require(fpShift >= 4 && fpShift <= 24, s"fpShift out of range: $fpShift")
+    require(dampNum > 0 && dampDen > 0 && dampNum < dampDen,
+      s"damping must be in (0,1): $dampNum/$dampDen")
+    require(maxNodes >= 2 &&
+        2 * fpShift +
+          (64 - java.lang.Long.numberOfLeadingZeros(maxNodes - 1)) <= 62,
+      s"fpShift=$fpShift with maxNodes=$maxNodes could overflow Long " +
+        "rank arithmetic - lower fpShift (see Scaladoc magnitude bound)")
+    val fp = 1L << fpShift
+    val dFp = (dampNum.toLong * fp) / dampDen
+    val omdFp = fp - dFp
+    // The one edge-sized cache, reused every iteration and by both node
+    // scans; released at exit once the result is materialized. The rank
+    // state arrives partitioned on v (it is the output of the previous
+    // iteration's v-keyed join), so iterations pay exactly ONE exchange —
+    // the (dst, Long) contribution groupBy — never a re-shuffle of the
+    // edge relation.
+    val eDeg = norm.select(col("src").cast("long").as("src"),
+        col("dst").cast("long").as("dst"), col("w").cast("long").as("w"),
+        col("sw").cast("long").as("sw"))
+      .persist()
+    val nodes0 = eDeg.select(col("src").as("v"))
+      .union(eDeg.select(col("dst").as("v"))).distinct()
     // teleport mass: everywhere 1 for plain PageRank, seed-indicator for
     // personalized. Broadcast-join the (small) seed set at the node scan.
     val nodes = (seeds match {
@@ -181,15 +202,14 @@ object PageRank {
           (col("tp") * omdFp +
             expr(s"(${dFp}L * coalesce(acc, 0L)) div ${fp}L")).as("r"))
     }
-    // Materialize the final rank vector once, then release the three
-    // internal caches (e, eDeg, nodes): the persisted result is the only
+    // Materialize the final rank vector once, then release the two
+    // internal caches (eDeg, nodes): the persisted result is the only
     // cache surviving this call — repeated invocations no longer
     // accumulate unreachable cached RDDs (ADVICE r11).
     val out = r.select(col("v"), col("r").as("rank_fp")).persist()
     out.count()
     eDeg.unpersist()
     nodes.unpersist()
-    e.unpersist()
     out
   }
 
