@@ -424,6 +424,8 @@ object MediaCodecHelper {
     var comps: Array[JComp] = null
     var restartInt = 0
     var progressive = false
+    var multiScan = false // sequential (SOF0/1) frame split across scans
+    var seqSeen = Set.empty[Int] // component ids already scanned
     var anyScan = false
     var off = 2
     while (off + 1 < b.length) {
@@ -440,10 +442,15 @@ object MediaCodecHelper {
       m match {
         case 0xd8 | 0x01 => // stray SOI / TEM: standalone
         case x if x >= 0xd0 && x <= 0xd7 => // RSTn outside scan: ignore
-        case 0xd9 => // EOI: progressive decode completes here
+        case 0xd9 => // EOI: buffered (progressive / multi-scan) decode
+          // completes here. A progressive stream may legitimately stop
+          // after any scan (partial rendering is the format's point); a
+          // sequential multi-scan stream missing a component is corrupt.
           if (progressive && anyScan)
             return jProgFinish(w, h, comps, qt)
-          return null // EOI before any scan
+          if (multiScan && seqSeen.size == comps.length)
+            return jProgFinish(w, h, comps, qt)
+          return null // EOI before any scan / incomplete sequential
         case 0xdb => // DQT: one or more tables
           val len = segLen
           var p = off + 2; val stop = off + len
@@ -522,15 +529,20 @@ object MediaCodecHelper {
           if (comps == null) return null
           val ns = b(off + 2) & 0xff
           if (ns < 1 || ns > comps.length || len < 6 + 2 * ns) return null
-          if (!progressive && ns != comps.length) return null
+          // a sequential frame whose first scan covers a strict subset
+          // of the components is a MULTI-SCAN sequential stream (T.81
+          // non-interleaved layout): decode through the coefficient
+          // buffers like progressive, one full-band scan per subset
+          if (!progressive && ns != comps.length) multiScan = true
           val scanComps = new Array[JComp](ns)
           var i = 0
           while (i < ns) {
             val cid = b(off + 3 + 2 * i) & 0xff
-            // baseline envelope: scan order == frame order (match by
-            // position); progressive scans name a subset, matched by id
+            // single-interleaved-scan envelope: scan order == frame order
+            // (match by position); progressive / multi-scan sequential
+            // scans name a subset, matched by id
             val c =
-              if (progressive) {
+              if (progressive || multiScan) {
                 val found = comps.find(_.id == cid).orNull
                 if (found == null) return null
                 found
@@ -544,15 +556,23 @@ object MediaCodecHelper {
           val ss = b(off + 3 + 2 * ns) & 0xff
           val se = b(off + 4 + 2 * ns) & 0xff
           val ahal = b(off + 5 + 2 * ns) & 0xff
-          if (!progressive) {
+          if (!progressive && !multiScan) {
             if (ss != 0 || se != 63 || ahal != 0) return null
             return jScan(b, off + len, w, h, comps, qt, dcT, acT, restartInt)
           }
-          // progressive: decode this scan into the coefficient buffers,
-          // then continue the marker walk (EOI finishes the image)
+          if (multiScan) {
+            // sequential scans are always full-band, no approximation,
+            // and each component appears in exactly one scan
+            if (ss != 0 || se != 63 || ahal != 0) return null
+            if (scanComps.exists(c => seqSeen(c.id))) return null
+            seqSeen ++= scanComps.map(_.id)
+          }
+          // buffered path: decode this scan into the coefficient
+          // buffers, then continue the marker walk (EOI finishes)
           if (comps(0).coefs == null) jProgAlloc(w, h, comps)
           off = jProgScan(b, off + len, comps, scanComps, ss, se,
-            ahal >> 4, ahal & 0x0f, dcT, acT, restartInt)
+            ahal >> 4, ahal & 0x0f, dcT, acT, restartInt,
+            sequential = multiScan)
           anyScan = true
         case _ => off += segLen // APPn / COM / other: skip
       }
@@ -750,15 +770,21 @@ object MediaCodecHelper {
   private def jProgScan(b: Array[Byte], dataOff: Int, comps: Array[JComp],
                         scanComps: Array[JComp], ss: Int, se: Int,
                         ah: Int, al: Int, dcT: Array[JHuff],
-                        acT: Array[JHuff], restartInt: Int): Int = {
+                        acT: Array[JHuff], restartInt: Int,
+                        sequential: Boolean = false): Int = {
     if (al < 0 || al > 13) throw JpegBail
     if (ah != 0 && ah != al + 1) throw JpegBail
-    val isDc = ss == 0
-    if (isDc && se != 0) throw JpegBail
-    if (!isDc && (scanComps.length != 1 || se < ss || se > 63)) throw JpegBail
-    if (isDc && ah == 0)
-      scanComps.foreach(c => if (dcT(c.td) == null) throw JpegBail)
-    if (!isDc && acT(scanComps(0).ta) == null) throw JpegBail
+    val isDc = ss == 0 && !sequential
+    if (sequential) // full-band DC+AC per block: both tables required
+      scanComps.foreach(c =>
+        if (dcT(c.td) == null || acT(c.ta) == null) throw JpegBail)
+    else {
+      if (isDc && se != 0) throw JpegBail
+      if (!isDc && (scanComps.length != 1 || se < ss || se > 63)) throw JpegBail
+      if (isDc && ah == 0)
+        scanComps.foreach(c => if (dcT(c.td) == null) throw JpegBail)
+      if (!isDc && acT(scanComps(0).ta) == null) throw JpegBail
+    }
     var hmax = 1; var vmax = 1
     comps.foreach { c => if (c.h > hmax) hmax = c.h; if (c.v > vmax) vmax = c.v }
     val r = new JBits(b, dataOff, b.length)
@@ -862,8 +888,33 @@ object MediaCodecHelper {
       }
     }
 
+    // sequential full-band block: the baseline per-block entropy decode
+    // (DC diff + AC run/size), stored RAW in zigzag order — dequant
+    // happens once at EOI like every buffered path
+    def decodeSeq(c: JComp, blkOff: Int): Unit = {
+      val cf = c.coefs
+      val t = jDecodeSym(r, dcT(c.td))
+      if (t > 11) throw JpegBail
+      c.pred += jExtend(r.receive(t), t)
+      cf(blkOff) = c.pred
+      var k = 1
+      while (k < 64) {
+        val rs = jDecodeSym(r, acT(c.ta))
+        val run = rs >> 4; val s = rs & 15
+        if (s == 0) {
+          if (run == 15) k += 16 else k = 64 // ZRL / EOB
+        } else {
+          k += run
+          if (k > 63) throw JpegBail
+          cf(blkOff + k) = jExtend(r.receive(s), s)
+          k += 1
+        }
+      }
+    }
+
     def decodeBlock(c: JComp, blkOff: Int): Unit =
-      if (isDc) decodeDc(c, blkOff)
+      if (sequential) decodeSeq(c, blkOff)
+      else if (isDc) decodeDc(c, blkOff)
       else if (ah == 0) decodeAcFirst(c, blkOff)
       else decodeAcRefine(c, blkOff)
 

@@ -738,6 +738,120 @@ object Multimodal {
     out.toByteArray
   }
 
+  /** SEQUENTIAL MULTI-SCAN (SOF0, non-interleaved layout) JPEG fixture
+    * encoder: the same frame as [[jpegBaselineBytes]]' 4:2:0 color shape
+    * but split across TWO scans — Y alone (ns=1, non-interleaved block
+    * order over its REAL grid: pad blocks are never coded, unlike the
+    * single-scan interleaved layout) and Cb+Cr together (ns=2,
+    * interleaved MCU order). Own header/bit emission, zero shared code
+    * with the production decoder's multi-scan path.
+    */
+  def jpegSequentialBytes(width: Int, height: Int,
+                          yBlock: (Int, Int) => Int,
+                          cbBlock: (Int, Int) => Int,
+                          crBlock: (Int, Int) => Int): Array[Byte] = {
+    require(width > 0 && height > 0)
+    val out = new java.io.ByteArrayOutputStream()
+    def b(vs: Int*): Unit = vs.foreach(v => out.write(v & 0xff))
+    def be16(v: Int): Unit = { out.write((v >> 8) & 0xff); out.write(v & 0xff) }
+    def seg(marker: Int, payload: Array[Byte]): Unit = {
+      b(0xff, marker); be16(payload.length + 2); out.write(payload)
+    }
+    val q0 = Array.tabulate(64)(i => if (i == 0) 8 else 16)
+    val q1 = Array.tabulate(64)(i => if (i == 0) 4 else 16)
+    b(0xff, 0xd8)
+    seg(0xdb, (0x00.toByte +: q0.map(_.toByte)) ++
+      (0x01.toByte +: q1.map(_.toByte)))
+    val sof = new java.io.ByteArrayOutputStream()
+    sof.write(8)
+    sof.write((height >> 8) & 0xff); sof.write(height & 0xff)
+    sof.write((width >> 8) & 0xff); sof.write(width & 0xff)
+    sof.write(3)
+    sof.write(1); sof.write(0x22); sof.write(0)
+    sof.write(2); sof.write(0x11); sof.write(1)
+    sof.write(3); sof.write(0x11); sof.write(1)
+    seg(0xc0, sof.toByteArray) // SOF0: sequential
+    val dcVals = (0 to 11).toArray
+    val acVals = Array(0x00, 0x01, 0x02, 0x03, 0x04, 0x05,
+      0x11, 0x12, 0x21, 0x31, 0xB1, 0xF0)
+    val counts = Array(0, 0, 0, 12, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0)
+    def canon(vals: Array[Int]): Map[Int, (Int, Int)] = {
+      var code = 0; var k = 0
+      val mm = scala.collection.mutable.Map[Int, (Int, Int)]()
+      for (l <- 1 to 16) {
+        for (_ <- 0 until counts(l - 1)) { mm(vals(k)) = (code, l); code += 1; k += 1 }
+        code <<= 1
+      }
+      mm.toMap
+    }
+    val dcCode = canon(dcVals)
+    val acCode = canon(acVals)
+    def dht(tc: Int, th: Int, vals: Array[Int]): Array[Byte] =
+      (((tc << 4) | th) +: (counts ++ vals)).map(_.toByte)
+    seg(0xc4, dht(0, 0, dcVals) ++ dht(1, 0, acVals) ++
+      dht(0, 1, dcVals) ++ dht(1, 1, acVals))
+    var acc = 0; var nbits = 0
+    def putBit(bit: Int): Unit = {
+      acc = (acc << 1) | bit; nbits += 1
+      if (nbits == 8) {
+        out.write(acc); if (acc == 0xff) out.write(0x00)
+        acc = 0; nbits = 0
+      }
+    }
+    def putBits(v: Int, n: Int): Unit = {
+      var i = n - 1
+      while (i >= 0) { putBit((v >> i) & 1); i -= 1 }
+    }
+    def flushBits(): Unit = while (nbits != 0) putBit(1)
+    def cat(v: Int): Int = 32 - Integer.numberOfLeadingZeros(math.abs(v))
+    // constant block = DC diff + EOB
+    def emitConst(dcq: Int, pred: Int): Int = {
+      val diff = dcq - pred
+      val t = cat(diff)
+      val (c0, l0) = dcCode(t)
+      putBits(c0, l0)
+      if (t > 0) putBits(if (diff < 0) diff + (1 << t) - 1 else diff, t)
+      val (ce, le) = acCode(0x00)
+      putBits(ce, le)
+      dcq
+    }
+    def sos(ids: Seq[(Int, Int)]): Unit = { // (componentId, tdta)
+      val p = new java.io.ByteArrayOutputStream()
+      p.write(ids.length)
+      ids.foreach { case (cid, tdta) => p.write(cid); p.write(tdta) }
+      p.write(0); p.write(63); p.write(0)
+      seg(0xda, p.toByteArray)
+    }
+    val mcusX = (width + 15) / 16
+    val mcusY = (height + 15) / 16
+    // scan 1: Y alone, non-interleaved over the REAL block grid
+    sos(Seq(1 -> 0x00))
+    var pred = 0
+    for (by <- 0 until (height + 7) / 8; bx <- 0 until (width + 7) / 8)
+      pred = emitConst(yBlock(bx, by) - 128, pred) // qdc = 8: (v-128)*8/8
+    flushBits()
+    // scan 2: Cb + Cr interleaved (one block each per MCU)
+    sos(Seq(2 -> 0x11, 3 -> 0x11))
+    var pb = 0; var pr = 0
+    for (my <- 0 until mcusY; mx <- 0 until mcusX) {
+      pb = emitConst((cbBlock(mx, my) - 128) * 2, pb) // qdc = 4
+      pr = emitConst((crBlock(mx, my) - 128) * 2, pr)
+    }
+    flushBits()
+    b(0xff, 0xd9)
+    out.toByteArray
+  }
+
+  /** 4:2:0 sequential multi-scan JPEG fixture for doc `id`:
+    * (11+id%19)×(9+id%11), Y block (bx,by) = (bx*19+by*31+id*23)%256,
+    * chroma per MCU: Cb = (mx*13+id*3)%256, Cr = (my*29+id*5)%256.
+    */
+  def seqJpegBytes(id: Long): Array[Byte] =
+    jpegSequentialBytes(11 + (id % 19).toInt, 9 + (id % 11).toInt,
+      yBlock = (bx, by) => ((bx * 19 + by * 31 + id * 23) % 256).toInt,
+      cbBlock = (mx, _) => ((mx * 13 + id * 3) % 256).toInt,
+      crBlock = (_, my) => ((my * 29 + id * 5) % 256).toInt)
+
   /** Gray progressive JPEG fixture for doc `id`: (17+id%29)×(10+id%9),
     * block (bx,by) constant (bx*37+by*43+id*13)%256 except the AC seed
     * at (0,0); restart marker every 5 MCUs in every scan.
@@ -825,6 +939,7 @@ object Multimodal {
   val makeColorJpeg = udf((id: Long) => colorJpegBytes(id))
   val makeGrayProgressiveJpeg = udf((id: Long) => grayProgressiveJpegBytes(id))
   val makeColorProgressiveJpeg = udf((id: Long) => colorProgressiveJpegBytes(id))
+  val makeSeqJpeg = udf((id: Long) => seqJpegBytes(id))
   val makeJpeg = udf((w: Int, h: Int, c: Int) => jpegBytes(w, h, c))
   val makeRgbPng = udf((w: Int, h: Int) => rgbPngBytes(w, h))
   val makeAviMjpeg = udf((id: Long) => aviMjpegBytes(id))

@@ -39,7 +39,8 @@ object MediaPack {
         .withColumn("jpgg", Multimodal.makeGrayJpeg(col("doc_id")))
         .withColumn("jpgc", Multimodal.makeColorJpeg(col("doc_id")))
         .withColumn("jpgp", Multimodal.makeGrayProgressiveJpeg(col("doc_id")))
-        .withColumn("jpcp", Multimodal.makeColorProgressiveJpeg(col("doc_id"))),
+        .withColumn("jpcp", Multimodal.makeColorProgressiveJpeg(col("doc_id")))
+        .withColumn("jpgs", Multimodal.makeSeqJpeg(col("doc_id"))),
         "mm_media", slices = 8)
       Map("blobs" -> "mm_media")
     }
@@ -98,6 +99,10 @@ object MediaPack {
     // integers as the baseline path for the hash to match
     val jp = Multimodal.decodeJpeg(col("jpgp"))
     val jpc = Multimodal.decodeJpeg(col("jpcp"))
+    // SEQUENTIAL MULTI-SCAN decode: the same 4:2:0 frame split across a
+    // non-interleaved Y scan and an interleaved Cb+Cr scan (T.81's other
+    // legal baseline layout)
+    val jsq = Multimodal.decodeJpeg(col("jpgs"))
     media.select(col("doc_id"),
       img.getField("width").cast("long").as("img_w"),
       img.getField("height").cast("long").as("img_h"),
@@ -130,7 +135,11 @@ object MediaPack {
       jpc.getField("channels").cast("long").as("jpc_ch"),
       jpc.getField("px_sum").as("jpc_sum"),
       jpc.getField("px_min").cast("long").as("jpc_min"),
-      jpc.getField("px_max").cast("long").as("jpc_max"))
+      jpc.getField("px_max").cast("long").as("jpc_max"),
+      jsq.getField("width").cast("long").as("js_w"),
+      jsq.getField("px_sum").as("js_sum"),
+      jsq.getField("px_min").cast("long").as("js_min"),
+      jsq.getField("px_max").cast("long").as("js_max"))
   }
 
   /** AVI/MJPEG fixture: one container per document (own RIFF writer,
@@ -380,6 +389,29 @@ object MediaPack {
                   min(LEAST(r, g, b)) AS mn, max(GREATEST(r, g, b)) AS mx
            FROM jpcc GROUP BY doc_id
          )
+         -- SEQUENTIAL MULTI-SCAN 4:2:0 JPEG (non-interleaved Y scan +
+         -- interleaved Cb+Cr scan): same constant-block replay
+         , jsb AS (
+           SELECT d.doc_id,
+                  (bx.b*19 + by.b*31 + d.doc_id*23) % 256 AS yv,
+                  ((bx.b // 2)*13 + d.doc_id*3) % 256 - 128 AS cb,
+                  ((by.b // 2)*29 + d.doc_id*5) % 256 - 128 AS cr,
+                  LEAST(8, (11 + d.doc_id % 19) - bx.b*8)
+                    * LEAST(8, (9 + d.doc_id % 11) - by.b*8) AS vis
+           FROM documents d
+           JOIN range(0, 4) bx(b) ON bx.b*8 < 11 + d.doc_id % 19
+           JOIN range(0, 3) by(b) ON by.b*8 < 9 + d.doc_id % 11
+         ), jscc AS (
+           SELECT doc_id, vis,
+             GREATEST(0, LEAST(255, yv + CAST(floor((91881*cr + 32768)/65536.0) AS BIGINT))) AS r,
+             GREATEST(0, LEAST(255, yv - CAST(floor((22554*cb + 46802*cr + 32768)/65536.0) AS BIGINT))) AS g,
+             GREATEST(0, LEAST(255, yv + CAST(floor((116130*cb + 32768)/65536.0) AS BIGINT))) AS b
+           FROM jsb
+         ), jsq AS (
+           SELECT doc_id, sum((r + g + b) * vis) AS s,
+                  min(LEAST(r, g, b)) AS mn, max(GREATEST(r, g, b)) AS mx
+           FROM jscc GROUP BY doc_id
+         )
          -- decoded pixels of the AC seed block, row-major (y*8+x)
          , jac(i, v) AS (VALUES
            (0,151),(1,138),(2,126),(3,127),(4,134),(5,133),(6,120),(7,106),
@@ -440,7 +472,11 @@ object MediaPack {
          CAST(3 AS BIGINT) AS jpc_ch,
          CAST(jpc.s AS BIGINT) AS jpc_sum,
          CAST(jpc.mn AS BIGINT) AS jpc_min,
-         CAST(jpc.mx AS BIGINT) AS jpc_max
+         CAST(jpc.mx AS BIGINT) AS jpc_max,
+         CAST(11 + d.doc_id % 19 AS BIGINT) AS js_w,
+         CAST(jsq.s AS BIGINT) AS js_sum,
+         CAST(jsq.mn AS BIGINT) AS js_min,
+         CAST(jsq.mx AS BIGINT) AS js_max
          FROM documents d
          JOIN img ON img.doc_id = d.doc_id
          JOIN rs ON rs.doc_id = d.doc_id
@@ -450,7 +486,8 @@ object MediaPack {
          JOIN jc ON jc.doc_id = d.doc_id
          JOIN jr ON jr.doc_id = d.doc_id
          JOIN jp ON jp.doc_id = d.doc_id
-         JOIN jpc ON jpc.doc_id = d.doc_id""",
+         JOIN jpc ON jpc.doc_id = d.doc_id
+         JOIN jsq ON jsq.doc_id = d.doc_id""",
     // AVI/MJPEG replay from the fixture formulas: (16+id%17)x(9+id%11),
     // 3+id%5 frames at 20000+(id%5)*20000 us/frame; frame f's Y block
     // (bx,by) = (bx*29+by*41+id*7+f*13)%256. Constant DC-only blocks

@@ -490,4 +490,26 @@ class MediaCodecSpec extends AnyFunSuite {
     val meta = MediaCodecHelper.jpegMeta(good)
     assert(meta != null, "SOF2 header metadata still parses")
   }
+
+  test("sequential multi-scan decode == single-scan baseline of the same blocks") {
+    // The same 4:2:0 frame through two layouts: Y alone (non-interleaved
+    // real-grid block order) then Cb+Cr interleaved, vs one interleaved
+    // scan. Pad blocks are coded only in the single-scan layout; they are
+    // invisible, so the rasters must still be byte-identical.
+    for (id <- 0L until 40L) {
+      val w = 11 + (id % 19).toInt; val h = 9 + (id % 11).toInt
+      def yb(bx: Int, by: Int) = ((bx * 19 + by * 31 + id * 23) % 256).toInt
+      def cb(mx: Int, my: Int) = { val _ = my; ((mx * 13 + id * 3) % 256).toInt }
+      def cr(mx: Int, my: Int) = { val _ = mx; ((my * 29 + id * 5) % 256).toInt }
+      val base = MediaCodecHelper.decodeJpeg(Multimodal.jpegBaselineBytes(
+        w, h, color = true, sub420 = true, yb, cb, cr, null, 0))
+      val seq = MediaCodecHelper.decodeJpeg(Multimodal.seqJpegBytes(id))
+      assert(base != null && seq != null, s"id $id decode failed")
+      assert(seq.width == w && seq.height == h && seq.bpp == 3)
+      assert(java.util.Arrays.equals(seq.pix, base.pix), s"id $id pixels")
+    }
+    // a component scanned twice, or missing at EOI, is corrupt -> null
+    val good = Multimodal.seqJpegBytes(7)
+    assert(MediaCodecHelper.decodeJpeg(good.dropRight(2)) == null, "no EOI")
+  }
 }
