@@ -1007,6 +1007,192 @@ object MediaCodecHelper {
     jAssemble(w, h, comps, hmax, vmax)
   }
 
+  // ---------------- GIF (87a / 89a) ----------------
+
+  /** Full GIF decode — LZW decompression (variable-width LSB-first codes,
+    * CLEAR/EOI, 4096-entry dictionary with the KwKwK case), global or
+    * local color table, optional interlace (the four-pass 8/8-4/8-2/4-1/2
+    * row order). FIRST image only: extension blocks are skipped via their
+    * sub-block chains (never scanned for markers), and the walk stops at
+    * the first image's end — animation frames beyond it are out of
+    * envelope. Output is interleaved RGB (bpp = 3). null for non-GIF /
+    * malformed / truncated / oversized streams — never garbage.
+    */
+  def decodeGif(bytes: Array[Byte]): Raster = {
+    if (bytes == null || bytes.length < 14) return null
+    try decodeGif0(bytes)
+    catch { case _: RuntimeException => null }
+  }
+
+  private def decodeGif0(b: Array[Byte]): Raster = {
+    def u8(i: Int): Int = { if (i < 0 || i >= b.length) throw JpegBail; b(i) & 0xff }
+    def u16(i: Int): Int = u8(i) | (u8(i + 1) << 8)
+    val sig = new String(b, 0, 6, "US-ASCII")
+    if (sig != "GIF87a" && sig != "GIF89a") return null
+    def palette(off: Int, n: Int): Array[Int] = {
+      val p = new Array[Int](n)
+      var i = 0
+      while (i < n) {
+        p(i) = (u8(off + 3 * i) << 16) | (u8(off + 3 * i + 1) << 8) |
+          u8(off + 3 * i + 2)
+        i += 1
+      }
+      p
+    }
+    var off = 6
+    val gpacked = u8(off + 4)
+    off += 7
+    var gct: Array[Int] = null
+    if ((gpacked & 0x80) != 0) {
+      val n = 2 << (gpacked & 7)
+      gct = palette(off, n); off += 3 * n
+    }
+    while (off < b.length) {
+      u8(off) match {
+        case 0x21 => // extension: introducer + label + sub-block chain
+          off += 2
+          var len = u8(off)
+          while (len != 0) { off += 1 + len; len = u8(off) }
+          off += 1
+        case 0x3b => return null // trailer before any image
+        case 0x2c => // image descriptor: decode and return
+          val iw = u16(off + 5); val ih = u16(off + 7)
+          val ip = u8(off + 9)
+          off += 10
+          if (iw <= 0 || ih <= 0 || iw.toLong * ih * 3 > 64L * 1024 * 1024)
+            return null
+          var pal = gct
+          if ((ip & 0x80) != 0) {
+            val n = 2 << (ip & 7)
+            pal = palette(off, n); off += 3 * n
+          }
+          if (pal == null) return null
+          val interlaced = (ip & 0x40) != 0
+          val mcs = u8(off); off += 1
+          if (mcs < 2 || mcs > 8) return null
+          val data = new java.io.ByteArrayOutputStream()
+          var len = u8(off)
+          while (len != 0) {
+            if (off + 1 + len > b.length) throw JpegBail
+            data.write(b, off + 1, len); off += 1 + len; len = u8(off)
+          }
+          val indices = gifLzw(data.toByteArray, mcs, iw * ih)
+          val pix = new Array[Byte](iw * ih * 3)
+          // interlace pass row order; sequential otherwise
+          val rows =
+            if (!interlaced) 0 until ih
+            else (0 until ih by 8) ++ (4 until ih by 8) ++
+              (2 until ih by 4) ++ (1 until ih by 2)
+          var src = 0
+          rows.foreach { y =>
+            var x = 0
+            while (x < iw) {
+              val idx = indices(src) & 0xff; src += 1
+              if (idx >= pal.length) throw JpegBail
+              val c = pal(idx)
+              val o = (y * iw + x) * 3
+              pix(o) = (c >> 16).toByte
+              pix(o + 1) = ((c >> 8) & 0xff).toByte
+              pix(o + 2) = (c & 0xff).toByte
+              x += 1
+            }
+          }
+          return new Raster(iw, ih, 3, pix)
+        case _ => return null
+      }
+    }
+    null
+  }
+
+  /** GIF LZW decompression to exactly `nOut` palette indices. Width
+    * grows when the dictionary size reaches the current code capacity
+    * (max 12 bits); the encoder's mirror rule is offset by one because
+    * it adds each entry one code earlier than the decoder learns it.
+    */
+  private def gifLzw(d: Array[Byte], mcs: Int, nOut: Int): Array[Byte] = {
+    val clear = 1 << mcs
+    val eoi = clear + 1
+    val prefix = new Array[Int](4096)
+    val suffix = new Array[Byte](4096)
+    val strlen = new Array[Int](4096)
+    var i = 0
+    while (i < clear) {
+      prefix(i) = -1; suffix(i) = i.toByte; strlen(i) = 1; i += 1
+    }
+    var dictSize = eoi + 1
+    var width = mcs + 1
+    val out = new Array[Byte](nOut)
+    var outPos = 0
+    var bitPos = 0
+    val nBits = d.length * 8
+    def read(): Int = {
+      if (bitPos + width > nBits) throw JpegBail
+      var v = 0
+      var j = 0
+      while (j < width) {
+        val p = bitPos + j
+        v |= ((d(p >> 3) >> (p & 7)) & 1) << j
+        j += 1
+      }
+      bitPos += width
+      v
+    }
+    def firstChar(code: Int): Byte = {
+      var c = code
+      while (prefix(c) >= 0) c = prefix(c)
+      suffix(c)
+    }
+    def emit(code: Int): Unit = {
+      val n = strlen(code)
+      if (outPos + n > nOut) throw JpegBail
+      var c = code
+      var p = outPos + n - 1
+      while (c >= 0) { out(p) = suffix(c); p -= 1; c = prefix(c) }
+      outPos += n
+    }
+    var prev = -1
+    while (outPos < nOut) {
+      val code = read()
+      if (code == clear) { dictSize = eoi + 1; width = mcs + 1; prev = -1 }
+      else if (code == eoi) throw JpegBail // EOI before all pixels
+      else {
+        if (code > dictSize || code == eoi || (code == dictSize && prev < 0))
+          throw JpegBail
+        if (prev >= 0 && dictSize < 4096) {
+          // new entry: prev's string + first char of this code's string
+          // (for the KwKwK case code == dictSize, that first char is
+          // prev's own first char — the entry being defined)
+          val fc = if (code == dictSize) firstChar(prev) else firstChar(code)
+          prefix(dictSize) = prev
+          suffix(dictSize) = fc
+          strlen(dictSize) = strlen(prev) + 1
+          dictSize += 1
+          if (dictSize == (1 << width) && width < 12) width += 1
+        } else if (code == dictSize) throw JpegBail // KwKwK needs the add
+        emit(code)
+        prev = code
+      }
+    }
+    out
+  }
+
+  /** struct(width, height, channels, px_sum, px_min, px_max) over the
+    * fully decoded GIF raster (same shape as [[pngStats]]); null outside
+    * the envelope.
+    */
+  def gifStats(bytes: Array[Byte]): InternalRow = {
+    val r = decodeGif(bytes)
+    if (r == null) return null
+    var sum = 0L; var mn = 255; var mx = 0
+    var i = 0
+    while (i < r.pix.length) {
+      val v = r.pix(i) & 0xff
+      sum += v; if (v < mn) mn = v; if (v > mx) mx = v
+      i += 1
+    }
+    new GenericInternalRow(Array[Any](r.width, r.height, r.bpp, sum, mn, mx))
+  }
+
   /** struct(width, height, channels, px_sum, px_min, px_max) over the
     * fully decoded JPEG raster (same shape as [[pngStats]]); null outside
     * the baseline envelope.
@@ -1294,6 +1480,26 @@ case class WavPcmStats(child: Expression) extends UnaryExpression {
 /** Full baseline JPEG decode + channel statistics (Huffman + dequant +
   * IDCT + upsample + YCbCr→RGB), null outside the baseline envelope.
   */
+/** Decode a GIF (LZW + palette, optional interlace) and report raster
+  * statistics; null outside the envelope.
+  */
+case class GifStats(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = MediaCodecHelper.PngStatsType
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_gif_stats"
+  override def nullSafeEval(input: Any): Any =
+    MediaCodecHelper.gifStats(input.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      s"""
+         |${ev.value} = graft.expr.MediaCodecHelper.gifStats($c);
+         |${ev.isNull} = (${ev.value} == null);
+       """.stripMargin
+    })
+  override protected def withNewChildInternal(newChild: Expression): GifStats =
+    copy(child = newChild)
+}
+
 case class JpegStats(child: Expression) extends UnaryExpression {
   override def dataType: DataType = MediaCodecHelper.PngStatsType
   override def nullable: Boolean = true

@@ -852,6 +852,111 @@ object Multimodal {
       cbBlock = (mx, _) => ((mx * 13 + id * 3) % 256).toInt,
       crBlock = (_, my) => ((my * 29 + id * 5) % 256).toInt)
 
+  /** GIF fixture encoder — own LZW compressor (hash-map string table,
+    * LSB-first bit packing, CLEAR preamble, EOI terminator, the
+    * one-code-early width-growth mirror of the decoder's rule),
+    * 255-byte sub-block chunking, global color table, optional
+    * interlace (rows written in the four-pass order). Zero shared code
+    * with the production decoder (graft.expr.MediaCodecHelper
+    * .decodeGif/gifLzw).
+    */
+  def gifBytes(width: Int, height: Int, interlaced: Boolean, nColorBits: Int,
+               pal: Int => (Int, Int, Int),
+               pixIdx: (Int, Int) => Int): Array[Byte] = {
+    require(width > 0 && height > 0 && nColorBits >= 2 && nColorBits <= 8)
+    val nColors = 1 << nColorBits
+    val out = new java.io.ByteArrayOutputStream()
+    def b(vs: Int*): Unit = vs.foreach(v => out.write(v & 0xff))
+    def le16(v: Int): Unit = { out.write(v & 0xff); out.write((v >> 8) & 0xff) }
+    out.write("GIF89a".getBytes("US-ASCII"))
+    le16(width); le16(height)
+    b(0x80 | (nColorBits - 1)) // GCT present, size 2^nColorBits
+    b(0, 0) // background index, aspect
+    for (i <- 0 until nColors) {
+      val (r, g, bb) = pal(i); b(r, g, bb)
+    }
+    b(0x2c) // image descriptor
+    le16(0); le16(0); le16(width); le16(height)
+    b(if (interlaced) 0x40 else 0x00)
+    val mcs = nColorBits
+    b(mcs)
+    // pixel index stream in row order (interlace pass order when set)
+    val rows =
+      if (!interlaced) 0 until height
+      else (0 until height by 8) ++ (4 until height by 8) ++
+        (2 until height by 4) ++ (1 until height by 2)
+    val stream = new Array[Int](width * height)
+    var sp = 0
+    rows.foreach { y =>
+      var x = 0
+      while (x < width) { stream(sp) = pixIdx(x, y) & (nColors - 1); sp += 1; x += 1 }
+    }
+    // LZW compress
+    val clear = 1 << mcs
+    val eoi = clear + 1
+    val lzw = new java.io.ByteArrayOutputStream()
+    var acc = 0L; var nbits = 0
+    var codeWidth = mcs + 1
+    def putCode(c: Int): Unit = {
+      acc |= c.toLong << nbits; nbits += codeWidth
+      while (nbits >= 8) { lzw.write((acc & 0xff).toInt); acc >>= 8; nbits -= 8 }
+    }
+    var dict = scala.collection.mutable.Map[(Int, Int), Int]()
+    var dictSize = eoi + 1
+    putCode(clear)
+    var cur = stream(0)
+    var i = 1
+    while (i < sp) {
+      val k = stream(i)
+      dict.get((cur, k)) match {
+        case Some(c) => cur = c
+        case None =>
+          putCode(cur)
+          if (dictSize < 4096) {
+            dict((cur, k)) = dictSize
+            dictSize += 1
+            // encoder adds each entry one code earlier than the decoder
+            // learns it, so it bumps the width one entry later:
+            // decoder bumps at dictSize == 1<<w, encoder at 1<<w + 1
+            if (dictSize == (1 << codeWidth) + 1 && codeWidth < 12)
+              codeWidth += 1
+          } else {
+            // table full: clear and restart (no deferred-clear ambiguity)
+            putCode(clear)
+            dict = scala.collection.mutable.Map[(Int, Int), Int]()
+            dictSize = eoi + 1
+            codeWidth = mcs + 1
+          }
+          cur = k
+      }
+      i += 1
+    }
+    putCode(cur)
+    putCode(eoi)
+    if (nbits > 0) lzw.write((acc & 0xff).toInt)
+    // sub-block chunking
+    val bytes = lzw.toByteArray
+    var off = 0
+    while (off < bytes.length) {
+      val n = math.min(255, bytes.length - off)
+      b(n); out.write(bytes, off, n); off += n
+    }
+    b(0x00, 0x3b) // block terminator + trailer
+    out.toByteArray
+  }
+
+  /** GIF fixture for doc `id`: (13+id%17)×(8+id%9), 16-color palette
+    * (i*37+5, i*59+11, i*83+23)%256, pixel index (x*7+y*11+id)%16; odd
+    * ids are INTERLACED — the decoded raster is identical either way,
+    * so one oracle covers both row orders.
+    */
+  def gifFixtureBytes(id: Long): Array[Byte] =
+    gifBytes(13 + (id % 17).toInt, 8 + (id % 9).toInt,
+      interlaced = id % 2 == 1, nColorBits = 4,
+      pal = i => (((i * 37 + 5) % 256), ((i * 59 + 11) % 256),
+        ((i * 83 + 23) % 256)),
+      pixIdx = (x, y) => ((x * 7 + y * 11 + id) % 16).toInt)
+
   /** Gray progressive JPEG fixture for doc `id`: (17+id%29)×(10+id%9),
     * block (bx,by) constant (bx*37+by*43+id*13)%256 except the AC seed
     * at (0,0); restart marker every 5 MCUs in every scan.
@@ -940,6 +1045,7 @@ object Multimodal {
   val makeGrayProgressiveJpeg = udf((id: Long) => grayProgressiveJpegBytes(id))
   val makeColorProgressiveJpeg = udf((id: Long) => colorProgressiveJpegBytes(id))
   val makeSeqJpeg = udf((id: Long) => seqJpegBytes(id))
+  val makeGif = udf((id: Long) => gifFixtureBytes(id))
   val makeJpeg = udf((w: Int, h: Int, c: Int) => jpegBytes(w, h, c))
   val makeRgbPng = udf((w: Int, h: Int) => rgbPngBytes(w, h))
   val makeAviMjpeg = udf((id: Long) => aviMjpegBytes(id))
@@ -1066,6 +1172,12 @@ object Multimodal {
     * envelope).
     */
   def decodeJpeg(bin: Column): Column = bridge(graft.expr.JpegStats(ex(bin)))
+
+  /** Full GIF decode statistics (LZW + palette + optional interlace):
+    * struct(width, height, channels, px_sum, px_min, px_max); null
+    * outside the envelope. Codegen'd scan-side map like [[decodeJpeg]].
+    */
+  def decodeGif(bin: Column): Column = bridge(graft.expr.GifStats(ex(bin)))
 
   /** REAL JPEG → PNG transcode with nearest-neighbor resize: full
     * baseline decode, integer-floor index map, lossless PNG re-encode

@@ -40,7 +40,8 @@ object MediaPack {
         .withColumn("jpgc", Multimodal.makeColorJpeg(col("doc_id")))
         .withColumn("jpgp", Multimodal.makeGrayProgressiveJpeg(col("doc_id")))
         .withColumn("jpcp", Multimodal.makeColorProgressiveJpeg(col("doc_id")))
-        .withColumn("jpgs", Multimodal.makeSeqJpeg(col("doc_id"))),
+        .withColumn("jpgs", Multimodal.makeSeqJpeg(col("doc_id")))
+        .withColumn("gif", Multimodal.makeGif(col("doc_id"))),
         "mm_media", slices = 8)
       Map("blobs" -> "mm_media")
     }
@@ -103,6 +104,9 @@ object MediaPack {
     // non-interleaved Y scan and an interleaved Cb+Cr scan (T.81's other
     // legal baseline layout)
     val jsq = Multimodal.decodeJpeg(col("jpgs"))
+    // GIF decode: LZW + 16-color palette, interlaced on odd doc ids —
+    // one oracle covers both row orders because the raster is identical
+    val gif = Multimodal.decodeGif(col("gif"))
     media.select(col("doc_id"),
       img.getField("width").cast("long").as("img_w"),
       img.getField("height").cast("long").as("img_h"),
@@ -139,7 +143,12 @@ object MediaPack {
       jsq.getField("width").cast("long").as("js_w"),
       jsq.getField("px_sum").as("js_sum"),
       jsq.getField("px_min").cast("long").as("js_min"),
-      jsq.getField("px_max").cast("long").as("js_max"))
+      jsq.getField("px_max").cast("long").as("js_max"),
+      gif.getField("width").cast("long").as("gif_w"),
+      gif.getField("height").cast("long").as("gif_h"),
+      gif.getField("px_sum").as("gif_sum"),
+      gif.getField("px_min").cast("long").as("gif_min"),
+      gif.getField("px_max").cast("long").as("gif_max"))
   }
 
   /** AVI/MJPEG fixture: one container per document (own RIFF writer,
@@ -412,6 +421,25 @@ object MediaPack {
                   min(LEAST(r, g, b)) AS mn, max(GREATEST(r, g, b)) AS mx
            FROM jscc GROUP BY doc_id
          )
+         -- GIF: pixel (x,y) = palette((x*7 + y*11 + id) % 16) with
+         -- palette i -> ((i*37+5)%256, (i*59+11)%256, (i*83+23)%256);
+         -- odd ids are interlaced but decode to the identical raster
+         , gifp AS (
+           SELECT d.doc_id,
+                  ((x.x*7 + y.y*11 + d.doc_id) % 16) AS i
+           FROM documents d
+           JOIN range(0, 30) x(x) ON x.x < 13 + d.doc_id % 17
+           JOIN range(0, 17) y(y) ON y.y < 8 + d.doc_id % 9
+         ), gifc AS (
+           SELECT doc_id,
+                  (i*37 + 5) % 256 AS r, (i*59 + 11) % 256 AS g,
+                  (i*83 + 23) % 256 AS b
+           FROM gifp
+         ), gif AS (
+           SELECT doc_id, sum(r + g + b) AS s,
+                  min(LEAST(r, g, b)) AS mn, max(GREATEST(r, g, b)) AS mx
+           FROM gifc GROUP BY doc_id
+         )
          -- decoded pixels of the AC seed block, row-major (y*8+x)
          , jac(i, v) AS (VALUES
            (0,151),(1,138),(2,126),(3,127),(4,134),(5,133),(6,120),(7,106),
@@ -476,7 +504,12 @@ object MediaPack {
          CAST(11 + d.doc_id % 19 AS BIGINT) AS js_w,
          CAST(jsq.s AS BIGINT) AS js_sum,
          CAST(jsq.mn AS BIGINT) AS js_min,
-         CAST(jsq.mx AS BIGINT) AS js_max
+         CAST(jsq.mx AS BIGINT) AS js_max,
+         CAST(13 + d.doc_id % 17 AS BIGINT) AS gif_w,
+         CAST(8 + d.doc_id % 9 AS BIGINT) AS gif_h,
+         CAST(gif.s AS BIGINT) AS gif_sum,
+         CAST(gif.mn AS BIGINT) AS gif_min,
+         CAST(gif.mx AS BIGINT) AS gif_max
          FROM documents d
          JOIN img ON img.doc_id = d.doc_id
          JOIN rs ON rs.doc_id = d.doc_id
@@ -487,7 +520,8 @@ object MediaPack {
          JOIN jr ON jr.doc_id = d.doc_id
          JOIN jp ON jp.doc_id = d.doc_id
          JOIN jpc ON jpc.doc_id = d.doc_id
-         JOIN jsq ON jsq.doc_id = d.doc_id""",
+         JOIN jsq ON jsq.doc_id = d.doc_id
+         JOIN gif ON gif.doc_id = d.doc_id""",
     // AVI/MJPEG replay from the fixture formulas: (16+id%17)x(9+id%11),
     // 3+id%5 frames at 20000+(id%5)*20000 us/frame; frame f's Y block
     // (bx,by) = (bx*29+by*41+id*7+f*13)%256. Constant DC-only blocks

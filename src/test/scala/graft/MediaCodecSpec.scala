@@ -512,4 +512,51 @@ class MediaCodecSpec extends AnyFunSuite {
     val good = Multimodal.seqJpegBytes(7)
     assert(MediaCodecHelper.decodeJpeg(good.dropRight(2)) == null, "no EOI")
   }
+
+  test("GIF decode: LZW + palette replay the fixture formulas, interlaced too") {
+    for (id <- 0L until 64L) {
+      val w = 13 + (id % 17).toInt; val h = 8 + (id % 9).toInt
+      val r = MediaCodecHelper.decodeGif(Multimodal.gifFixtureBytes(id))
+      assert(r != null, s"id $id decode failed")
+      assert(r.width == w && r.height == h && r.bpp == 3)
+      // independent replay: pixel (x,y) -> palette((x*7+y*11+id)%16)
+      for (y <- 0 until h; x <- 0 until w) {
+        val i = ((x * 7 + y * 11 + id) % 16).toInt
+        val o = (y * w + x) * 3
+        assert((r.pix(o) & 0xff) == (i * 37 + 5) % 256, s"id $id r($x,$y)")
+        assert((r.pix(o + 1) & 0xff) == (i * 59 + 11) % 256, s"id $id g($x,$y)")
+        assert((r.pix(o + 2) & 0xff) == (i * 83 + 23) % 256, s"id $id b($x,$y)")
+      }
+    }
+    // interlaced and sequential row orders decode to the same raster
+    val seq = MediaCodecHelper.decodeGif(Multimodal.gifBytes(21, 17,
+      interlaced = false, 4, i => (i, 2 * i, 3 * i),
+      (x, y) => (x + y) % 16))
+    val ilc = MediaCodecHelper.decodeGif(Multimodal.gifBytes(21, 17,
+      interlaced = true, 4, i => (i, 2 * i, 3 * i),
+      (x, y) => (x + y) % 16))
+    assert(seq != null && ilc != null)
+    assert(java.util.Arrays.equals(seq.pix, ilc.pix))
+    // a wide image forces LZW code widths past the initial 5 bits: the
+    // width-growth handshake (decoder at 1<<w, encoder one later) must
+    // hold through several bumps
+    val big = MediaCodecHelper.decodeGif(Multimodal.gifBytes(200, 60,
+      interlaced = false, 4,
+      i => ((i * 7) % 256, (i * 13) % 256, (i * 19) % 256),
+      (x, y) => (x * 5 + y * 3 + x * y) % 16))
+    assert(big != null && big.width == 200 && big.height == 60)
+    for (y <- Seq(0, 31, 59); x <- Seq(0, 99, 199)) {
+      val i = (x * 5 + y * 3 + x * y) % 16
+      assert((big.pix((y * 200 + x) * 3) & 0xff) == (i * 7) % 256, s"($x,$y)")
+    }
+    // malformed: truncated, non-GIF, oversized dims -> null, never garbage
+    val good = Multimodal.gifFixtureBytes(3)
+    assert(MediaCodecHelper.decodeGif(null) == null)
+    assert(MediaCodecHelper.decodeGif(good.take(10)) == null)
+    assert(MediaCodecHelper.decodeGif(good.dropRight(good.length / 2)) == null)
+    assert(MediaCodecHelper.decodeGif(Multimodal.pngBytes(4, 4)) == null)
+    val corrupt = good.clone()
+    corrupt(good.length / 2) = (corrupt(good.length / 2) ^ 0x55).toByte
+    MediaCodecHelper.decodeGif(corrupt) // may be null or decode; must not throw
+  }
 }
