@@ -862,7 +862,9 @@ object Multimodal {
     */
   def gifBytes(width: Int, height: Int, interlaced: Boolean, nColorBits: Int,
                pal: Int => (Int, Int, Int),
-               pixIdx: (Int, Int) => Int): Array[Byte] = {
+               pixIdx: (Int, Int) => Int,
+               localTable: Boolean = false,
+               withExtensions: Boolean = false): Array[Byte] = {
     require(width > 0 && height > 0 && nColorBits >= 2 && nColorBits <= 8)
     val nColors = 1 << nColorBits
     val out = new java.io.ByteArrayOutputStream()
@@ -870,14 +872,27 @@ object Multimodal {
     def le16(v: Int): Unit = { out.write(v & 0xff); out.write((v >> 8) & 0xff) }
     out.write("GIF89a".getBytes("US-ASCII"))
     le16(width); le16(height)
-    b(0x80 | (nColorBits - 1)) // GCT present, size 2^nColorBits
+    // palette in the global table, or (localTable) a DECOY global table
+    // of all-zeros the image's local table must override
+    b(0x80 | (nColorBits - 1))
     b(0, 0) // background index, aspect
     for (i <- 0 until nColors) {
-      val (r, g, bb) = pal(i); b(r, g, bb)
+      if (localTable) b(0, 0, 0)
+      else { val (r, g, bb) = pal(i); b(r, g, bb) }
+    }
+    if (withExtensions) {
+      // graphics control extension + a two-sub-block comment: the decode
+      // walk must skip both via their sub-block chains
+      b(0x21, 0xf9, 0x04, 0x00); le16(0); b(0x00, 0x00)
+      b(0x21, 0xfe, 0x03); b('g', 'i', 'f'); b(0x02); b('o', 'k'); b(0x00)
     }
     b(0x2c) // image descriptor
     le16(0); le16(0); le16(width); le16(height)
-    b(if (interlaced) 0x40 else 0x00)
+    b((if (localTable) 0x80 | (nColorBits - 1) else 0x00) |
+      (if (interlaced) 0x40 else 0x00))
+    if (localTable) for (i <- 0 until nColors) {
+      val (r, g, bb) = pal(i); b(r, g, bb)
+    }
     val mcs = nColorBits
     b(mcs)
     // pixel index stream in row order (interlace pass order when set)

@@ -559,4 +559,20 @@ class MediaCodecSpec extends AnyFunSuite {
     corrupt(good.length / 2) = (corrupt(good.length / 2) ^ 0x55).toByte
     MediaCodecHelper.decodeGif(corrupt) // may be null or decode; must not throw
   }
+
+  test("GIF: local color table overrides a decoy global; extensions skipped") {
+    def px(x: Int, y: Int) = (x * 3 + y * 5) % 16
+    def pl(i: Int) = ((i * 31 + 7) % 256, (i * 43 + 13) % 256, (i * 53 + 17) % 256)
+    val plain = MediaCodecHelper.decodeGif(
+      Multimodal.gifBytes(19, 11, interlaced = false, 4, pl, px))
+    // palette moved into a LOCAL table (global is an all-zero decoy),
+    // plus GCE + comment extension blocks before the image descriptor
+    val lct = MediaCodecHelper.decodeGif(
+      Multimodal.gifBytes(19, 11, interlaced = false, 4, pl, px,
+        localTable = true, withExtensions = true))
+    assert(plain != null && lct != null)
+    assert(java.util.Arrays.equals(plain.pix, lct.pix),
+      "local table + extension skip must decode identically")
+    assert((lct.pix(0) & 0xff) == 7, "decoy global table leaked through")
+  }
 }
