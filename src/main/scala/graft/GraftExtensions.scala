@@ -130,6 +130,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       args => expect(args, 2)
         graft.expr.MjpegFrame(args(0), litInt(args(1), "idx"))
     }
+    inject("graft_gif_stats",
+      "graft_gif_stats(bin) - struct(width, height, channels, px_sum, px_min, px_max) of a fully decoded GIF") {
+      args => expect(args, 1)
+        graft.expr.GifStats(args(0))
+    }
   }
 }
 

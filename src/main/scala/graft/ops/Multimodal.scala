@@ -1140,9 +1140,13 @@ object Multimodal {
   def jpegComponents(bin: Column): Column =
     jpegMeta(bin).getField("components").cast("long")
 
+  def isGif(bin: Column): Column =
+    substring(bin, 1, 6).cast("string").isin("GIF87a", "GIF89a")
+
   def mediaType(bin: Column): Column =
     when(isPng(bin), "image/png").when(isWav(bin), "audio/wav")
       .when(isJpeg(bin), "image/jpeg").when(isAvi(bin), "video/avi")
+      .when(isGif(bin), "image/gif")
       .otherwise("unknown")
 
   /** 60-bit content fingerprint of the raw bytes — the binary-column exact

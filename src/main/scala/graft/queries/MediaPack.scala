@@ -61,12 +61,13 @@ object MediaPack {
       Multimodal.jpegWidth(col("jpg")).as("jpg_w"),
       Multimodal.jpegHeight(col("jpg")).as("jpg_h"),
       Multimodal.jpegComponents(col("jpg")).as("jpg_ch"),
+      Multimodal.mediaType(col("gif")).as("gif_type"),
       Multimodal.contentFingerprint(col("img")).as("img_fp"))
     val dups = meta.groupBy("img_fp").agg(count(lit(1)).as("img_dups"))
     meta.join(dups, "img_fp")
       .select(col("doc_id"), col("img_type"), col("img_w"), col("img_h"),
         col("wav_rate"), col("wav_ms"), col("jpg_type"), col("jpg_w"),
-        col("jpg_h"), col("jpg_ch"), col("img_dups"))
+        col("jpg_h"), col("jpg_ch"), col("gif_type"), col("img_dups"))
   }
 
   /** REAL decode round-trip: PNG pixels via inflate+unfilter (PngStats),
@@ -265,6 +266,7 @@ object MediaPack {
          24 + doc_id % 40 AS jpg_w,
          12 + doc_id % 11 AS jpg_h,
          1 + (doc_id % 2) * 2 AS jpg_ch,
+         'image/gif' AS gif_type,
          count(*) OVER (PARTITION BY doc_id % 32, doc_id % 7) AS img_dups
          FROM documents""",
     // replicates the fixture formulas: pixel (x,y) = (x*31+y*17)%256 on a

@@ -105,6 +105,16 @@ class GraftExtensionsSpec extends AnyFunSuite {
       assert(am.getString(2) == "MJPG")
       assert(am.getInt(3) == (3 + 7 % 5 + 1) / 2)
       assert(am.getInt(4) > 0)
+      // GIF LZW decode from SQL over fixture bytes (id 3: interlaced)
+      val gifHex = graft.ops.Multimodal.gifFixtureBytes(3L)
+        .map("%02X".format(_)).mkString
+      val gm = s.sql(
+        s"SELECT g.width, g.height, g.channels, g.px_min " +
+          s"FROM (SELECT graft_gif_stats(unhex('$gifHex')) AS g)")
+        .head
+      assert(gm.getInt(0) == 13 + 3 % 17 && gm.getInt(1) == 8 + 3 % 9)
+      assert(gm.getInt(2) == 3)
+      assert(gm.getInt(3) >= 0 && gm.getInt(3) <= 255)
     }
   }
 
