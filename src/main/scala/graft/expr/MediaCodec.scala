@@ -20,10 +20,13 @@ import org.apache.spark.sql.types._
   *    (None/Sub/Up/Average/Paeth). Covers the overwhelmingly common
   *    "decoded training image" layouts; palette/alpha/16-bit/interlaced
   *    return null so a pipeline routes them to its bad-blob side.
-  *  - JPEG: baseline/extended-sequential Huffman (SOF0/SOF1), 8-bit,
-  *    gray or YCbCr with sampling factors 1–2 (4:4:4/4:2:2/4:2:0),
-  *    restart markers, multi-table DQT/DHT. Progressive/arithmetic/12-bit
-  *    return null.
+  *  - JPEG: baseline/extended-sequential Huffman (SOF0/SOF1) — single
+  *    interleaved scan OR multi-scan (non-interleaved, one full-band scan
+  *    per component subset) — and progressive (SOF2, spectral selection +
+  *    successive approximation per T.81 Annex G). 8-bit, gray or YCbCr
+  *    with sampling factors 1–2 (4:4:4/4:2:2/4:2:0), restart markers,
+  *    multi-table DQT/DHT. Arithmetic coding, 12-bit precision, and
+  *    lossless/hierarchical return null.
   *  - WAV: PCM 16-bit, located through the chunk walk (LIST/fact chunks
   *    before `fmt ` are fine).
   *
@@ -398,11 +401,13 @@ object MediaCodecHelper {
     * same pattern as the PNG inflate+unfilter path above.
     *
     * Envelope (null outside it — honest partial decoder, never garbage):
-    * SOF0/SOF1 (baseline/extended sequential, Huffman), 8-bit precision,
-    * 1 or 3 components, sampling factors 1 or 2, one interleaved scan
-    * (Ss=0, Se=63, Ah=Al=0), restart markers, 8- or 16-bit quant tables.
-    * Progressive (SOF2), arithmetic coding, 12-bit, and multi-scan files
-    * return null — as does video, the one remaining external-codec seam.
+    * SOF0/SOF1 (baseline/extended sequential, Huffman) in a single
+    * interleaved scan or split across multiple full-band non-interleaved
+    * scans, AND SOF2 progressive (spectral selection + successive
+    * approximation, Huffman, per the Annex G machinery below). 8-bit
+    * precision, 1 or 3 components, sampling factors 1 or 2, restart
+    * markers, 8- or 16-bit quant tables. Null only for arithmetic
+    * coding, 12-bit precision, and lossless/hierarchical frames.
     *
     * Output: gray raster (bpp=1) for 1 component; interleaved RGB (bpp=3)
     * for 3, converted with the fixed-point CCIR 601 constants
@@ -553,6 +558,10 @@ object MediaCodecHelper {
             scanComps(i) = c
             i += 1
           }
+          // a scan header naming the same component twice would decode
+          // its blocks twice with interleaved MCU geometry — garbage
+          // coefficient state, not a partial image. Reject.
+          if (scanComps.map(_.id).distinct.length != ns) return null
           val ss = b(off + 3 + 2 * ns) & 0xff
           val se = b(off + 4 + 2 * ns) & 0xff
           val ahal = b(off + 5 + 2 * ns) & 0xff
@@ -568,7 +577,14 @@ object MediaCodecHelper {
             seqSeen ++= scanComps.map(_.id)
           }
           // buffered path: decode this scan into the coefficient
-          // buffers, then continue the marker walk (EOI finishes)
+          // buffers, then continue the marker walk (EOI finishes).
+          // multiScan is only discoverable here (at SOS, not SOF), so the
+          // tighter buffered-coefficient cap — 4 bytes/sample of Int state,
+          // the reason progressive caps at 16M samples — must be re-checked
+          // on this entry too, or a 3-component SOF0 multi-scan stream
+          // passing the 64M-sample cap allocates ~4x the documented ceiling
+          if (multiScan && w.toLong * h * comps.length > 16L * 1024 * 1024)
+            return null
           if (comps(0).coefs == null) jProgAlloc(w, h, comps)
           off = jProgScan(b, off + len, comps, scanComps, ss, se,
             ahal >> 4, ahal & 0x0f, dcT, acT, restartInt,
@@ -1015,8 +1031,12 @@ object MediaCodecHelper {
     * row order). FIRST image only: extension blocks are skipped via their
     * sub-block chains (never scanned for markers), and the walk stops at
     * the first image's end — animation frames beyond it are out of
-    * envelope. Output is interleaved RGB (bpp = 3). null for non-GIF /
-    * malformed / truncated / oversized streams — never garbage.
+    * envelope, as is an image whose descriptor places it at a nonzero
+    * left/top offset or smaller than the logical screen (that requires
+    * background-color compositing; decoding it image-local would diverge
+    * from a reference decoder, so it returns null instead). Output is
+    * interleaved RGB (bpp = 3). null for non-GIF / malformed / truncated
+    * / oversized streams — never garbage.
     */
   def decodeGif(bytes: Array[Byte]): Raster = {
     if (bytes == null || bytes.length < 14) return null
@@ -1056,10 +1076,17 @@ object MediaCodecHelper {
           off += 1
         case 0x3b => return null // trailer before any image
         case 0x2c => // image descriptor: decode and return
+          val ileft = u16(off + 1); val itop = u16(off + 3)
           val iw = u16(off + 5); val ih = u16(off + 7)
           val ip = u8(off + 9)
           off += 10
           if (iw <= 0 || ih <= 0 || iw.toLong * ih * 3 > 64L * 1024 * 1024)
+            return null
+          // an image offset within (or smaller than) the logical screen
+          // must be composited onto that screen with the background color;
+          // decoding it image-local would diverge from a reference decoder.
+          // Honest null keeps the envelope strictly reproducing-decoders.
+          if (ileft != 0 || itop != 0 || iw != u16(6) || ih != u16(8))
             return null
           var pal = gct
           if ((ip & 0x80) != 0) {

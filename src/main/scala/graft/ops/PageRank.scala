@@ -131,6 +131,16 @@ object PageRank {
   /** [[ranks]] over a prebuilt [[normalizedEdges]] relation — pass a
     * persisted snapshot to skip the per-call fold + out-mass build; the
     * ranks are identical (the relation is deterministic).
+    *
+    * fpShift/maxNodes MUST match the values the snapshot was built with:
+    * [[normalizedEdges]] bakes its folded-weight overflow guard
+    * (w ≤ 2^(62 − fpShift − bits(maxNodes))) in at build time, so a
+    * LARGER fpShift here would silently reopen the r·w Long-wrap hazard
+    * that guard exists to fail fast on. Rather than trust the caller,
+    * the guard is re-asserted at rank time against THIS call's
+    * parameters: the edge scan below raise_errors on any w above the
+    * bound implied by the passed fpShift/maxNodes — a codegen'd
+    * conditional on a scan that happens anyway, not an extra pass.
     */
   def ranksIndexed(norm: DataFrame, iters: Int,
                    fpShift: Int = 20, dampNum: Int = 85, dampDen: Int = 100,
@@ -155,8 +165,17 @@ object PageRank {
     // iteration's v-keyed join), so iterations pay exactly ONE exchange —
     // the (dst, Long) contribution groupBy — never a re-shuffle of the
     // edge relation.
+    val nodeBits = 64 - java.lang.Long.numberOfLeadingZeros(maxNodes - 1)
+    val maxW = 1L << math.min(62 - fpShift - nodeBits, 40).max(1)
     val eDeg = norm.select(col("src").cast("long").as("src"),
-        col("dst").cast("long").as("dst"), col("w").cast("long").as("w"),
+        col("dst").cast("long").as("dst"),
+        when(col("w").cast("long") > lit(maxW),
+            raise_error(concat(lit("pagerank: edge weight "),
+              col("w").cast("string"),
+              lit(s" exceeds $maxW for fpShift=$fpShift/maxNodes=$maxNodes" +
+                " — snapshot was built with different parameters" +
+                " (r*w would overflow Long)"))))
+          .otherwise(col("w").cast("long")).as("w"),
         col("sw").cast("long").as("sw"))
       .persist()
     val nodes0 = eDeg.select(col("src").as("v"))

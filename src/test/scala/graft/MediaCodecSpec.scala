@@ -560,6 +560,55 @@ class MediaCodecSpec extends AnyFunSuite {
     MediaCodecHelper.decodeGif(corrupt) // may be null or decode; must not throw
   }
 
+  test("multi-scan SOF0 past the buffered-coefficient cap returns null fast") {
+    // 4000x4000x3 = 48M samples: passes the 64M single-scan cap, but the
+    // buffered (multi-scan) path holds 4-byte Ints per sample, so the
+    // 16M-sample progressive ceiling must apply the moment multiScan is
+    // discovered at SOS — before jProgAlloc's ~192 MB allocation.
+    val out = new java.io.ByteArrayOutputStream()
+    def b(vs: Int*): Unit = vs.foreach(v => out.write(v & 0xff))
+    b(0xff, 0xd8) // SOI
+    b(0xff, 0xc0, 0, 17, 8, 0x0f, 0xa0, 0x0f, 0xa0, 3, // SOF0 4000x4000x3
+      1, 0x11, 0, 2, 0x11, 0, 3, 0x11, 0)
+    b(0xff, 0xda, 0, 8, 1, 1, 0x00, 0, 63, 0) // SOS: Y alone -> multiScan
+    val t0 = System.nanoTime()
+    assert(MediaCodecHelper.decodeJpeg(out.toByteArray) == null)
+    assert(System.nanoTime() - t0 < 1e9.toLong, "cap must fire before alloc")
+  }
+
+  test("a scan naming the same component twice is rejected, not misdecoded") {
+    val good = Multimodal.seqJpegBytes(7)
+    assert(MediaCodecHelper.decodeJpeg(good) != null)
+    // locate the second SOS (the interleaved Cb+Cr scan, ns=2): entropy
+    // data cannot contain a bare FF DA (FF00 stuffing), so the byte scan
+    // finds only real markers
+    val sos = (0 until good.length - 1).filter(i =>
+      (good(i) & 0xff) == 0xff && (good(i + 1) & 0xff) == 0xda)
+    assert(sos.length == 2, "fixture has a Y scan and a Cb+Cr scan")
+    val dup = good.clone()
+    assert((dup(sos(1) + 4) & 0xff) == 2, "second scan is ns=2")
+    dup(sos(1) + 7) = dup(sos(1) + 5) // Cr's id := Cb's id
+    assert(MediaCodecHelper.decodeJpeg(dup) == null)
+  }
+
+  test("GIF image offset from / smaller than the logical screen is null") {
+    def px(x: Int, y: Int) = (x * 3 + y * 5) % 16
+    def pl(i: Int) = ((i * 31 + 7) % 256, (i * 43 + 13) % 256, (i * 53 + 17) % 256)
+    val good = Multimodal.gifBytes(19, 11, interlaced = false, 4, pl, px)
+    assert(MediaCodecHelper.decodeGif(good) != null)
+    // image descriptor follows header(6) + LSD(7) + global table
+    val palBytes = 3 * (2 << ((good(10) & 0xff) & 7))
+    val desc = 13 + palBytes
+    assert((good(desc) & 0xff) == 0x2c, "descriptor located")
+    // nonzero left offset: the image must be composited onto the logical
+    // screen, which this decoder does not do -> honest null
+    val offs = good.clone(); offs(desc + 1) = 1
+    assert(MediaCodecHelper.decodeGif(offs) == null)
+    // image smaller than the logical screen: same compositing requirement
+    val small = good.clone(); small(desc + 5) = 18 // width 18 < screen 19
+    assert(MediaCodecHelper.decodeGif(small) == null)
+  }
+
   test("GIF: local color table overrides a decoy global; extensions skipped") {
     def px(x: Int, y: Int) = (x * 3 + y * 5) % 16
     def pl(i: Int) = ((i * 31 + 7) % 256, (i * 43 + 13) % 256, (i * 53 + 17) % 256)
