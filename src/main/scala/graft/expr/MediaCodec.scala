@@ -15,11 +15,13 @@ import org.apache.spark.sql.types._
   * ([[RiffWalkHelper]]).
   *
   * Scope (honest partial decoder, null on anything else — never garbage):
-  *  - PNG: 8-bit depth, color type 0 (grayscale, 1 byte/px) or 2 (RGB,
-  *    3 bytes/px), non-interlaced, any of the five scanline filters
-  *    (None/Sub/Up/Average/Paeth). Covers the overwhelmingly common
-  *    "decoded training image" layouts; palette/alpha/16-bit/interlaced
-  *    return null so a pipeline routes them to its bad-blob side.
+  *  - PNG: 8-bit depth, all five color types — 0 (grayscale), 2 (RGB),
+  *    3 (palette, expanded to RGB — or RGBA when tRNS supplies per-entry
+  *    alpha), 4 (gray+alpha), 6 (RGBA) — sequential OR Adam7-interlaced,
+  *    any of the five scanline filters (None/Sub/Up/Average/Paeth).
+  *    16-bit depth and color-key tRNS (types 0/2, which would require
+  *    synthesizing alpha from pixel matches) return null so a pipeline
+  *    routes them to its bad-blob side.
   *  - JPEG: baseline/extended-sequential Huffman (SOF0/SOF1) — single
   *    interleaved scan OR multi-scan (non-interleaved, one full-band scan
   *    per component subset) — and progressive (SOF2, spectral selection +
@@ -58,16 +60,31 @@ object MediaCodecHelper {
 
   private val PngSig = Array(0x89, 'P', 'N', 'G', '\r', '\n', 0x1a, '\n').map(_.toByte)
 
+  /** Adam7 pass geometry: (x0, y0, dx, dy) per pass (PNG spec §8.2). */
+  private val Adam7: Array[(Int, Int, Int, Int)] = Array(
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2))
+
   /** Decode a PNG within the supported envelope; null otherwise (bad
     * magic, unsupported layout, truncated/corrupt stream). Bounds-checked
     * chunk walk — adversarial lengths cannot read out of range.
+    *
+    * Palette images expand to RGB (or RGBA when a tRNS chunk supplies
+    * per-entry alpha; entries beyond the tRNS array default to 255 per
+    * the spec). tRNS on color types 0/2 is single-color-KEY transparency
+    * — honoring it means synthesizing an alpha channel from pixel
+    * matches, which this decoder does not do, so those streams return
+    * null rather than a raster a compositing decoder would disagree with.
     */
   def decodePng(bytes: Array[Byte]): Raster = {
     if (bytes == null || bytes.length < 33) return null
     var i = 0
     while (i < 8) { if (bytes(i) != PngSig(i)) return null; i += 1 }
     var off = 8
-    var w = 0; var h = 0; var bpp = 0
+    var w = 0; var h = 0; var bpp = 0; var color = -1
+    var interlaced = false
+    var plte: Array[Int] = null
+    var trns: Array[Byte] = null
     var idat: java.io.ByteArrayOutputStream = null
     while (off + 8 <= bytes.length) {
       val len = beInt(bytes, off)
@@ -77,19 +94,66 @@ object MediaCodecHelper {
         case "IHDR" =>
           if (len != 13) return null
           w = beInt(bytes, off + 8); h = beInt(bytes, off + 12)
-          val depth = bytes(off + 16); val color = bytes(off + 17)
+          val depth = bytes(off + 16); color = bytes(off + 17)
           val interlace = bytes(off + 20)
-          if (depth != 8 || interlace != 0) return null
-          bpp = color match { case 0 => 1; case 2 => 3; case _ => return null }
-          // cap decoded size at 64 MiB so a forged header can't OOM an executor
-          if (w <= 0 || h <= 0 || w.toLong * h * bpp > 64L * 1024 * 1024) return null
+          if (depth != 8 || interlace < 0 || interlace > 1) return null
+          interlaced = interlace == 1
+          // bytes per pixel IN THE CODED STREAM (palette = 1 index byte)
+          bpp = color match {
+            case 0 => 1; case 2 => 3; case 3 => 1; case 4 => 2; case 6 => 4
+            case _ => return null
+          }
+          // cap decoded size at 64 MiB so a forged header can't OOM an
+          // executor; palette may expand 1 -> 4 bytes, so cap on the
+          // worst-case output pixel size
+          val outBpp = if (color == 3) 4 else bpp
+          if (w <= 0 || h <= 0 || w.toLong * h * outBpp > 64L * 1024 * 1024)
+            return null
           idat = new java.io.ByteArrayOutputStream()
+        case "PLTE" =>
+          if (idat == null || len % 3 != 0 || len == 0 || len > 768) return null
+          val n = len / 3
+          plte = new Array[Int](n)
+          var p = 0
+          while (p < n) {
+            plte(p) = ((bytes(off + 8 + 3 * p) & 0xff) << 16) |
+              ((bytes(off + 9 + 3 * p) & 0xff) << 8) |
+              (bytes(off + 10 + 3 * p) & 0xff)
+            p += 1
+          }
+        case "tRNS" =>
+          if (idat == null) return null
+          color match {
+            case 3 =>
+              if (plte == null || len > plte.length) return null
+              trns = java.util.Arrays.copyOfRange(bytes, off + 8, off + 8 + len)
+            case _ => return null // color-key / invalid: out of envelope
+          }
         case "IDAT" =>
           if (idat == null) return null
           idat.write(bytes, off + 8, len)
         case "IEND" =>
           if (idat == null) return null
-          return inflateAndUnfilter(idat.toByteArray, w, h, bpp)
+          if (color == 3 && plte == null) return null
+          val pix = reconstruct(idat.toByteArray, w, h, bpp, interlaced)
+          if (pix == null) return null
+          if (color != 3) return new Raster(w, h, bpp, pix)
+          // palette expansion: index -> RGB, or RGBA when tRNS is present
+          val obpp = if (trns == null) 3 else 4
+          val out = new Array[Byte](w * h * obpp)
+          var p = 0
+          while (p < pix.length) {
+            val idx = pix(p) & 0xff
+            if (idx >= plte.length) return null // corrupt index stream
+            val c = plte(idx)
+            out(p * obpp) = (c >> 16).toByte
+            out(p * obpp + 1) = ((c >> 8) & 0xff).toByte
+            out(p * obpp + 2) = (c & 0xff).toByte
+            if (obpp == 4)
+              out(p * obpp + 3) = if (idx < trns.length) trns(idx) else -1
+            p += 1
+          }
+          return new Raster(w, h, obpp, out)
         case _ => // ancillary chunk — skip
       }
       off += 12 + len
@@ -97,9 +161,11 @@ object MediaCodecHelper {
     null // no IEND
   }
 
-  private def inflateAndUnfilter(z: Array[Byte], w: Int, h: Int, bpp: Int): Raster = {
-    val stride = w * bpp
-    val raw = new Array[Byte](h * (stride + 1))
+  /** Inflate exactly `expect` bytes of the zlib stream; null on
+    * truncation, overrun, corruption, or a preset-dictionary header.
+    */
+  private def inflateFully(z: Array[Byte], expect: Int): Array[Byte] = {
+    val raw = new Array[Byte](expect)
     val inf = new Inflater()
     inf.setInput(z)
     var got = 0
@@ -115,11 +181,24 @@ object MediaCodecHelper {
     } catch { case _: java.util.zip.DataFormatException => return null }
     finally inf.end()
     if (got != raw.length) return null
+    raw
+  }
+
+  /** Undo the per-row filters of one (sub-)image whose filtered rows
+    * start at `raw(rawOff)`, returning the w·h·bpp pixel bytes. Works on
+    * the whole image (non-interlaced) and on each Adam7 pass (each pass
+    * is filtered as an independent image: "left" is bpp back within the
+    * pass row, "up" is the previous row of the same pass). null on an
+    * unknown filter type.
+    */
+  private def unfilterPass(raw: Array[Byte], rawOff: Int,
+                           w: Int, h: Int, bpp: Int): Array[Byte] = {
+    val stride = w * bpp
     val pix = new Array[Byte](h * stride)
     var y = 0
     while (y < h) {
-      val filter = raw(y * (stride + 1)) & 0xff
-      val ro = y * (stride + 1) + 1
+      val filter = raw(rawOff + y * (stride + 1)) & 0xff
+      val ro = rawOff + y * (stride + 1) + 1
       val po = y * stride
       var x = 0
       filter match {
@@ -155,7 +234,63 @@ object MediaCodecHelper {
       }
       y += 1
     }
-    new Raster(w, h, bpp, pix)
+    pix
+  }
+
+  /** Inflate + unfilter the coded pixel stream — sequential, or the seven
+    * Adam7 passes scattered back to raster order. Returns interleaved
+    * channel bytes (bpp per pixel) or null.
+    */
+  private def reconstruct(z: Array[Byte], w: Int, h: Int, bpp: Int,
+                          interlaced: Boolean): Array[Byte] = {
+    if (!interlaced) {
+      val raw = inflateFully(z, h * (w * bpp + 1))
+      if (raw == null) return null
+      return unfilterPass(raw, 0, w, h, bpp)
+    }
+    // pass sizes; the inflated stream is the concatenation of the seven
+    // filtered sub-images, empty passes contributing nothing
+    var total = 0L
+    val pw = new Array[Int](7); val ph = new Array[Int](7)
+    var p = 0
+    while (p < 7) {
+      val (x0, y0, dx, dy) = Adam7(p)
+      pw(p) = if (w > x0) (w - x0 + dx - 1) / dx else 0
+      ph(p) = if (h > y0) (h - y0 + dy - 1) / dy else 0
+      if (pw(p) > 0 && ph(p) > 0) total += ph(p).toLong * (pw(p) * bpp + 1)
+      p += 1
+    }
+    if (total > Int.MaxValue) return null
+    val raw = inflateFully(z, total.toInt)
+    if (raw == null) return null
+    val pix = new Array[Byte](w * h * bpp)
+    var rawOff = 0
+    p = 0
+    while (p < 7) {
+      if (pw(p) > 0 && ph(p) > 0) {
+        val pp = unfilterPass(raw, rawOff, pw(p), ph(p), bpp)
+        if (pp == null) return null
+        rawOff += ph(p) * (pw(p) * bpp + 1)
+        val (x0, y0, dx, dy) = Adam7(p)
+        var py = 0
+        while (py < ph(p)) {
+          val y = y0 + py * dy
+          var px = 0
+          while (px < pw(p)) {
+            val x = x0 + px * dx
+            var c = 0
+            while (c < bpp) {
+              pix((y * w + x) * bpp + c) = pp((py * pw(p) + px) * bpp + c)
+              c += 1
+            }
+            px += 1
+          }
+          py += 1
+        }
+      }
+      p += 1
+    }
+    pix
   }
 
   /** Encode a raster back to PNG (filter 0 rows, or a fixed filter for
@@ -205,7 +340,10 @@ object MediaCodecHelper {
       out.write(be(crc.getValue.toInt))
     }
     out.write(PngSig)
-    val color: Byte = if (r.bpp == 1) 0 else 2
+    val color: Byte = r.bpp match {
+      case 1 => 0; case 2 => 4; case 3 => 2; case 4 => 6
+      case b => throw new IllegalArgumentException(s"unencodable bpp $b")
+    }
     chunk("IHDR", be(r.width) ++ be(r.height) ++ Array[Byte](8, color, 0, 0, 0))
     val def_ = new Deflater()
     def_.setInput(raw); def_.finish()

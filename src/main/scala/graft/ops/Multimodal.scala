@@ -158,6 +158,127 @@ object Multimodal {
     out.toByteArray
   }
 
+  /** Independent PNG writer for the widened-envelope fixtures (palette /
+    * alpha / Adam7 interlace): own chunk+CRC emission, own Adam7 pass
+    * geometry, own scanline filtering (pass rows alternate None and Sub,
+    * with the Sub subtraction computed here) — deliberately sharing NO
+    * code with MediaCodecHelper's decode or encode paths, so the gated
+    * round-trip proves the production decoder against an independent
+    * construction. `px(x, y)` returns the channel bytes of one pixel
+    * (for color type 3, the single palette index).
+    */
+  def pngEnvelopeBytes(width: Int, height: Int, colorType: Int,
+                       interlaced: Boolean, px: (Int, Int) => Array[Int],
+                       palette: Array[(Int, Int, Int)] = null,
+                       trns: Array[Int] = null): Array[Byte] = {
+    val bpp = colorType match {
+      case 0 | 3 => 1; case 2 => 3; case 4 => 2; case 6 => 4
+      case t => throw new IllegalArgumentException(s"bad color type $t")
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    def be(i: Int): Array[Byte] =
+      Array(((i >> 24) & 0xff).toByte, ((i >> 16) & 0xff).toByte,
+            ((i >> 8) & 0xff).toByte, (i & 0xff).toByte)
+    def chunk(tag: String, data: Array[Byte]): Unit = {
+      out.write(be(data.length))
+      val tagged = tag.getBytes("US-ASCII") ++ data
+      out.write(tagged)
+      val crc = new java.util.zip.CRC32()
+      crc.update(tagged)
+      out.write(be(crc.getValue.toInt))
+    }
+    out.write(Array(0x89, 'P', 'N', 'G', '\r', '\n', 0x1a, '\n').map(_.toByte))
+    chunk("IHDR", be(width) ++ be(height) ++
+      Array[Byte](8, colorType.toByte, 0, 0, if (interlaced) 1 else 0))
+    if (palette != null)
+      chunk("PLTE", palette.flatMap { case (r, g, b) =>
+        Array(r.toByte, g.toByte, b.toByte) })
+    if (trns != null) chunk("tRNS", trns.map(_.toByte))
+    // filtered stream: seven Adam7 sub-images, or one full-image pass
+    val passes =
+      if (interlaced)
+        Array((0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+          (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2))
+      else Array((0, 0, 1, 1))
+    val raw = new java.io.ByteArrayOutputStream()
+    for ((x0, y0, dx, dy) <- passes) {
+      val pw = if (width > x0) (width - x0 + dx - 1) / dx else 0
+      val ph = if (height > y0) (height - y0 + dy - 1) / dy else 0
+      if (pw > 0 && ph > 0) {
+        for (py <- 0 until ph) {
+          val row = new Array[Int](pw * bpp)
+          for (pxi <- 0 until pw) {
+            val v = px(x0 + pxi * dx, y0 + py * dy)
+            for (c <- 0 until bpp) row(pxi * bpp + c) = v(c) & 0xff
+          }
+          if (py % 2 == 0) {
+            raw.write(0) // None
+            row.foreach(raw.write)
+          } else {
+            raw.write(1) // Sub — own subtraction math
+            for (i <- row.indices) {
+              val left = if (i >= bpp) row(i - bpp) else 0
+              raw.write((row(i) - left) & 0xff)
+            }
+          }
+        }
+      }
+    }
+    val deflater = new java.util.zip.Deflater()
+    deflater.setInput(raw.toByteArray); deflater.finish()
+    val zout = new java.io.ByteArrayOutputStream()
+    val buf = new Array[Byte](64 * 1024)
+    while (!deflater.finished()) zout.write(buf, 0, deflater.deflate(buf))
+    deflater.end()
+    chunk("IDAT", zout.toByteArray)
+    chunk("IEND", Array.empty)
+    out.toByteArray
+  }
+
+  /** 16-entry fixture palette: i → ((i*41+7)%256,(i*61+13)%256,(i*89+29)%256). */
+  private def fixPalette: Array[(Int, Int, Int)] =
+    Array.tabulate(16)(i => ((i * 41 + 7) % 256, (i * 61 + 13) % 256,
+      (i * 89 + 29) % 256))
+
+  /** Palette PNG (color type 3, no tRNS), Adam7-interlaced on odd ids:
+    * index (x,y) = (x*5 + y*13 + id) % 16 over (12+id%19) x (7+id%13).
+    */
+  def palPngBytes(id: Long): Array[Byte] =
+    pngEnvelopeBytes(12 + (id % 19).toInt, 7 + (id % 13).toInt, 3,
+      id % 2 == 1, (x, y) => Array(((x * 5 + y * 13 + id) % 16).toInt),
+      palette = fixPalette)
+
+  /** Palette+tRNS PNG (decodes to RGBA; alpha(i) = (i*53+17)%256 for the
+    * first 8 entries, spec-default 255 beyond the tRNS array),
+    * Adam7-interlaced when id%3==1: index (x,y) = (x*11 + y*3 + id) % 16
+    * over (10+id%17) x (6+id%11).
+    */
+  def palAlphaPngBytes(id: Long): Array[Byte] =
+    pngEnvelopeBytes(10 + (id % 17).toInt, 6 + (id % 11).toInt, 3,
+      id % 3 == 1, (x, y) => Array(((x * 11 + y * 3 + id) % 16).toInt),
+      palette = fixPalette,
+      trns = Array.tabulate(8)(i => (i * 53 + 17) % 256))
+
+  /** Gray+alpha PNG (color type 4), Adam7-interlaced when id%3==2:
+    * gray = (x*23+y*29+id)%256, alpha = (x*13+y*17+id)%256 over
+    * (14+id%9) x (5+id%6).
+    */
+  def grayAlphaPngBytes(id: Long): Array[Byte] =
+    pngEnvelopeBytes(14 + (id % 9).toInt, 5 + (id % 6).toInt, 4,
+      id % 3 == 2, (x, y) => Array(((x * 23 + y * 29 + id) % 256).toInt,
+        ((x * 13 + y * 17 + id) % 256).toInt))
+
+  /** RGBA PNG (color type 6), Adam7-interlaced on even ids:
+    * r/g/b = (x*19+y*7+id + {0,71,142})%256, alpha = (x*3+y*5+id)%256
+    * over (9+id%11) x (6+id%7).
+    */
+  def rgbaPngBytes(id: Long): Array[Byte] =
+    pngEnvelopeBytes(9 + (id % 11).toInt, 6 + (id % 7).toInt, 6,
+      id % 2 == 0, (x, y) => Array(((x * 19 + y * 7 + id) % 256).toInt,
+        ((x * 19 + y * 7 + id + 71) % 256).toInt,
+        ((x * 19 + y * 7 + id + 142) % 256).toInt,
+        ((x * 3 + y * 5 + id) % 256).toInt))
+
   /** Minimal structurally-valid JPEG: SOI, JFIF APP0, a COM segment whose
     * length varies with (w+h) so the SOF offset is data-dependent (a
     * fixed-offset parser reads garbage), SOF0 with the given dimensions
@@ -1055,6 +1176,10 @@ object Multimodal {
   }
 
   val makePng = udf((w: Int, h: Int) => pngBytes(w, h))
+  val makePalPng = udf((id: Long) => palPngBytes(id))
+  val makePalAlphaPng = udf((id: Long) => palAlphaPngBytes(id))
+  val makeGrayAlphaPng = udf((id: Long) => grayAlphaPngBytes(id))
+  val makeRgbaPng = udf((id: Long) => rgbaPngBytes(id))
   val makeGrayJpeg = udf((id: Long) => grayJpegBytes(id))
   val makeColorJpeg = udf((id: Long) => colorJpegBytes(id))
   val makeGrayProgressiveJpeg = udf((id: Long) => grayProgressiveJpegBytes(id))
@@ -1168,8 +1293,9 @@ object Multimodal {
     org.apache.spark.sql.GraftBridge.column(e)
   private def ex(c: Column) = org.apache.spark.sql.GraftBridge.expression(c)
 
-  /** REAL image decode (PNG gray/RGB 8-bit, any scanline filter): inflate
-    * IDAT + filter reconstruction, returning
+  /** REAL image decode (PNG 8-bit, all five color types — gray, RGB,
+    * palette→RGB(A), gray+alpha, RGBA — sequential or Adam7-interlaced,
+    * any scanline filter): inflate IDAT + filter reconstruction, returning
     * struct(width, height, channels, px_sum, px_min, px_max) — integer
     * channel statistics an oracle can reproduce exactly. Null for formats
     * outside the JVM-decodable envelope (route those to [[decodeImageStub]]

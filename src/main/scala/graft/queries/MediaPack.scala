@@ -152,6 +152,62 @@ object MediaPack {
       gif.getField("px_max").cast("long").as("gif_max"))
   }
 
+  /** Widened-PNG-envelope fixture (palette / tRNS-alpha / gray+alpha /
+    * RGBA, Adam7-interlaced on deterministic id classes, filters
+    * alternating None/Sub per row) — written by the independent
+    * pngEnvelopeBytes writer, memoized separately from the original blob
+    * snapshot so that snapshot stays byte-identical.
+    */
+  private def pngEnvelopeBlobs(s: SparkSession, dir: String) = {
+    val (store, _) = Fixtures(s, dir, "fix_media_png2") { st =>
+      st.write(Tables.documents(s, dir).select(col("doc_id"))
+        .withColumn("p3", Multimodal.makePalPng(col("doc_id")))
+        .withColumn("p3a", Multimodal.makePalAlphaPng(col("doc_id")))
+        .withColumn("ga", Multimodal.makeGrayAlphaPng(col("doc_id")))
+        .withColumn("ra", Multimodal.makeRgbaPng(col("doc_id"))),
+        "mm_png2", slices = 8)
+      Map("blobs" -> "mm_png2")
+    }
+    store.readResolved("mm_png2")
+  }
+
+  /** REAL decode over the widened PNG envelope — the layouts that
+    * dominate scraped web corpora: palette (PLTE lookup), palette+tRNS
+    * (RGBA expansion with the spec's default-255 rule beyond the tRNS
+    * array), gray+alpha, RGBA, each Adam7-interlaced on a deterministic
+    * subset of ids (so BOTH row orders hash into the same gate), with
+    * scanline filters alternating None/Sub. The RGBA lane additionally
+    * round-trips resize → re-encode (type 6) → second decode. Every
+    * output is integer channel arithmetic the DuckDB oracle replays from
+    * the fixture formulas. All work codegen'd scan-side; no shuffle.
+    */
+  def pngEnvelope(s: SparkSession, dir: String): DataFrame = {
+    val media = pngEnvelopeBlobs(s, dir)
+    val p3 = Multimodal.decodeImage(col("p3"))
+    val p3a = Multimodal.decodeImage(col("p3a"))
+    val ga = Multimodal.decodeImage(col("ga"))
+    val ra = Multimodal.decodeImage(col("ra"))
+    val rz = Multimodal.decodeImage(Multimodal.imageResize(col("ra"), 6, 6))
+    media.select(col("doc_id"),
+      p3.getField("channels").cast("long").as("p3_ch"),
+      p3.getField("px_sum").as("p3_sum"),
+      p3.getField("px_min").cast("long").as("p3_min"),
+      p3.getField("px_max").cast("long").as("p3_max"),
+      p3a.getField("channels").cast("long").as("p3a_ch"),
+      p3a.getField("px_sum").as("p3a_sum"),
+      p3a.getField("px_min").cast("long").as("p3a_min"),
+      p3a.getField("px_max").cast("long").as("p3a_max"),
+      ga.getField("channels").cast("long").as("ga_ch"),
+      ga.getField("px_sum").as("ga_sum"),
+      ga.getField("px_min").cast("long").as("ga_min"),
+      ga.getField("px_max").cast("long").as("ga_max"),
+      ra.getField("channels").cast("long").as("ra_ch"),
+      ra.getField("px_sum").as("ra_sum"),
+      ra.getField("px_min").cast("long").as("ra_min"),
+      ra.getField("px_max").cast("long").as("ra_max"),
+      rz.getField("px_sum").as("rz_sum"))
+  }
+
   /** AVI/MJPEG fixture: one container per document (own RIFF writer,
     * frames from the fixture-side JPEG encoder — zero shared code with
     * the production walk/decoder), memoized separately from the
@@ -250,6 +306,7 @@ object MediaPack {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_media_meta" -> mediaMeta _,
     "mm_codec_roundtrip" -> codecRoundtrip _,
+    "mm_png_envelope" -> pngEnvelope _,
     "mm_video_frames" -> videoFrames _,
     "pl_mm_corpus" -> multimodalCorpus _,
   )
@@ -524,6 +581,102 @@ object MediaPack {
          JOIN jpc ON jpc.doc_id = d.doc_id
          JOIN jsq ON jsq.doc_id = d.doc_id
          JOIN gif ON gif.doc_id = d.doc_id""",
+    // widened PNG envelope replay: palette i -> ((i*41+7)%256,
+    // (i*61+13)%256, (i*89+29)%256); tRNS alpha (i*53+17)%256 for i<8,
+    // spec-default 255 beyond; gray+alpha and RGBA lanes are direct pixel
+    // formulas; rz replays the integer-floor 6x6 resize of the RGBA lane.
+    // Adam7 row order never appears here because interlace is a pure
+    // re-ordering — identical rasters, identical sums.
+    "mm_png_envelope" ->
+      """WITH p3i AS (
+           SELECT d.doc_id, (x.x*5 + y.y*13 + d.doc_id) % 16 AS i
+           FROM documents d
+           JOIN range(0, 31) x(x) ON x.x < 12 + d.doc_id % 19
+           JOIN range(0, 20) y(y) ON y.y < 7 + d.doc_id % 13
+         ), p3c AS (
+           SELECT doc_id, (i*41+7)%256 AS r, (i*61+13)%256 AS g,
+                  (i*89+29)%256 AS b
+           FROM p3i
+         ), p3 AS (
+           SELECT doc_id, sum(r+g+b) AS s, min(LEAST(r,g,b)) AS mn,
+                  max(GREATEST(r,g,b)) AS mx
+           FROM p3c GROUP BY doc_id
+         ), p3ai AS (
+           SELECT d.doc_id, (x.x*11 + y.y*3 + d.doc_id) % 16 AS i
+           FROM documents d
+           JOIN range(0, 27) x(x) ON x.x < 10 + d.doc_id % 17
+           JOIN range(0, 17) y(y) ON y.y < 6 + d.doc_id % 11
+         ), p3ac AS (
+           SELECT doc_id, (i*41+7)%256 AS r, (i*61+13)%256 AS g,
+                  (i*89+29)%256 AS b,
+                  CASE WHEN i < 8 THEN (i*53+17)%256 ELSE 255 END AS a
+           FROM p3ai
+         ), p3a AS (
+           SELECT doc_id, sum(r+g+b+a) AS s, min(LEAST(r,g,b,a)) AS mn,
+                  max(GREATEST(r,g,b,a)) AS mx
+           FROM p3ac GROUP BY doc_id
+         ), gac AS (
+           SELECT d.doc_id, (x.x*23 + y.y*29 + d.doc_id) % 256 AS g,
+                  (x.x*13 + y.y*17 + d.doc_id) % 256 AS a
+           FROM documents d
+           JOIN range(0, 23) x(x) ON x.x < 14 + d.doc_id % 9
+           JOIN range(0, 11) y(y) ON y.y < 5 + d.doc_id % 6
+         ), ga AS (
+           SELECT doc_id, sum(g+a) AS s, min(LEAST(g,a)) AS mn,
+                  max(GREATEST(g,a)) AS mx
+           FROM gac GROUP BY doc_id
+         ), rac AS (
+           SELECT d.doc_id,
+                  (x.x*19 + y.y*7 + d.doc_id) % 256 AS r,
+                  (x.x*19 + y.y*7 + d.doc_id + 71) % 256 AS g,
+                  (x.x*19 + y.y*7 + d.doc_id + 142) % 256 AS b,
+                  (x.x*3 + y.y*5 + d.doc_id) % 256 AS a
+           FROM documents d
+           JOIN range(0, 20) x(x) ON x.x < 9 + d.doc_id % 11
+           JOIN range(0, 13) y(y) ON y.y < 6 + d.doc_id % 7
+         ), ra AS (
+           SELECT doc_id, sum(r+g+b+a) AS s, min(LEAST(r,g,b,a)) AS mn,
+                  max(GREATEST(r,g,b,a)) AS mx
+           FROM rac GROUP BY doc_id
+         ), rz AS (
+           SELECT d.doc_id,
+                  sum( ((xx.x*(9 + d.doc_id % 11))//6*19
+                      + (yy.y*(6 + d.doc_id % 7))//6*7 + d.doc_id) % 256
+                     + ((xx.x*(9 + d.doc_id % 11))//6*19
+                      + (yy.y*(6 + d.doc_id % 7))//6*7 + d.doc_id + 71) % 256
+                     + ((xx.x*(9 + d.doc_id % 11))//6*19
+                      + (yy.y*(6 + d.doc_id % 7))//6*7 + d.doc_id + 142) % 256
+                     + ((xx.x*(9 + d.doc_id % 11))//6*3
+                      + (yy.y*(6 + d.doc_id % 7))//6*5 + d.doc_id) % 256 ) AS s
+           FROM documents d
+           CROSS JOIN range(0, 6) xx(x)
+           CROSS JOIN range(0, 6) yy(y)
+           GROUP BY d.doc_id
+         )
+         SELECT d.doc_id,
+         CAST(3 AS BIGINT) AS p3_ch,
+         CAST(p3.s AS BIGINT) AS p3_sum,
+         CAST(p3.mn AS BIGINT) AS p3_min,
+         CAST(p3.mx AS BIGINT) AS p3_max,
+         CAST(4 AS BIGINT) AS p3a_ch,
+         CAST(p3a.s AS BIGINT) AS p3a_sum,
+         CAST(p3a.mn AS BIGINT) AS p3a_min,
+         CAST(p3a.mx AS BIGINT) AS p3a_max,
+         CAST(2 AS BIGINT) AS ga_ch,
+         CAST(ga.s AS BIGINT) AS ga_sum,
+         CAST(ga.mn AS BIGINT) AS ga_min,
+         CAST(ga.mx AS BIGINT) AS ga_max,
+         CAST(4 AS BIGINT) AS ra_ch,
+         CAST(ra.s AS BIGINT) AS ra_sum,
+         CAST(ra.mn AS BIGINT) AS ra_min,
+         CAST(ra.mx AS BIGINT) AS ra_max,
+         CAST(rz.s AS BIGINT) AS rz_sum
+         FROM documents d
+         JOIN p3 ON p3.doc_id = d.doc_id
+         JOIN p3a ON p3a.doc_id = d.doc_id
+         JOIN ga ON ga.doc_id = d.doc_id
+         JOIN ra ON ra.doc_id = d.doc_id
+         JOIN rz ON rz.doc_id = d.doc_id""",
     // AVI/MJPEG replay from the fixture formulas: (16+id%17)x(9+id%11),
     // 3+id%5 frames at 20000+(id%5)*20000 us/frame; frame f's Y block
     // (bx,by) = (bx*29+by*41+id*7+f*13)%256. Constant DC-only blocks

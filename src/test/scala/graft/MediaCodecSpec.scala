@@ -198,14 +198,111 @@ class MediaCodecSpec extends AnyFunSuite {
     assert(r.pix.toSeq == formulaPix(12, 7).toSeq)
   }
 
-  test("palette / 16-bit / interlaced PNGs are rejected as unsupported") {
+  test("out-of-envelope / header-vs-data-mismatched PNGs are rejected") {
     val good = Multimodal.pngBytes(8, 8)
     def mutated(o: Int, v: Byte) = { val b = good.clone(); b(o) = v; b }
     // IHDR data starts at byte 16: depth at +8=24, colorType at +9=25,
     // interlace at +12=28 (0-based)
     assert(MediaCodecHelper.decodePng(mutated(24, 16)) == null, "16-bit depth")
-    assert(MediaCodecHelper.decodePng(mutated(25, 3)) == null, "palette")
-    assert(MediaCodecHelper.decodePng(mutated(28, 1)) == null, "interlaced")
+    // colorType flipped to palette but no PLTE chunk present: corrupt
+    assert(MediaCodecHelper.decodePng(mutated(25, 3)) == null, "PLTE-less palette")
+    // interlace flag set but the stream is sequential-sized: the Adam7
+    // pass layout expects more filtered bytes than the stream holds
+    assert(MediaCodecHelper.decodePng(mutated(28, 1)) == null, "size mismatch")
+  }
+
+  test("palette / alpha / RGBA PNGs decode to the exact fixture formulas") {
+    for (id <- 0L until 40L) {
+      // palette (type 3): index -> RGB via PLTE
+      val p3 = MediaCodecHelper.decodePng(Multimodal.palPngBytes(id))
+      val (w3, h3) = (12 + (id % 19).toInt, 7 + (id % 13).toInt)
+      assert(p3 != null && p3.width == w3 && p3.height == h3 && p3.bpp == 3,
+        s"id $id p3")
+      for (y <- 0 until h3; x <- 0 until w3) {
+        val i = ((x * 5 + y * 13 + id) % 16).toInt
+        val o = (y * w3 + x) * 3
+        assert((p3.pix(o) & 0xff) == (i * 41 + 7) % 256, s"id $id p3 r($x,$y)")
+        assert((p3.pix(o + 1) & 0xff) == (i * 61 + 13) % 256)
+        assert((p3.pix(o + 2) & 0xff) == (i * 89 + 29) % 256)
+      }
+      // palette + tRNS: RGBA with default-255 beyond the tRNS array
+      val p3a = MediaCodecHelper.decodePng(Multimodal.palAlphaPngBytes(id))
+      val (wa, ha) = (10 + (id % 17).toInt, 6 + (id % 11).toInt)
+      assert(p3a != null && p3a.bpp == 4 && p3a.width == wa && p3a.height == ha)
+      for (y <- 0 until ha; x <- 0 until wa) {
+        val i = ((x * 11 + y * 3 + id) % 16).toInt
+        val o = (y * wa + x) * 4
+        assert((p3a.pix(o) & 0xff) == (i * 41 + 7) % 256)
+        val expA = if (i < 8) (i * 53 + 17) % 256 else 255
+        assert((p3a.pix(o + 3) & 0xff) == expA, s"id $id alpha($x,$y)")
+      }
+      // gray+alpha (type 4)
+      val ga = MediaCodecHelper.decodePng(Multimodal.grayAlphaPngBytes(id))
+      val (wg, hg) = (14 + (id % 9).toInt, 5 + (id % 6).toInt)
+      assert(ga != null && ga.bpp == 2 && ga.width == wg && ga.height == hg)
+      for (y <- 0 until hg; x <- 0 until wg) {
+        val o = (y * wg + x) * 2
+        assert((ga.pix(o) & 0xff) == ((x * 23 + y * 29 + id) % 256).toInt)
+        assert((ga.pix(o + 1) & 0xff) == ((x * 13 + y * 17 + id) % 256).toInt)
+      }
+      // RGBA (type 6)
+      val ra = MediaCodecHelper.decodePng(Multimodal.rgbaPngBytes(id))
+      val (wr, hr) = (9 + (id % 11).toInt, 6 + (id % 7).toInt)
+      assert(ra != null && ra.bpp == 4 && ra.width == wr && ra.height == hr)
+      for (y <- 0 until hr; x <- 0 until wr) {
+        val o = (y * wr + x) * 4
+        assert((ra.pix(o) & 0xff) == ((x * 19 + y * 7 + id) % 256).toInt)
+        assert((ra.pix(o + 3) & 0xff) == ((x * 3 + y * 5 + id) % 256).toInt)
+      }
+    }
+  }
+
+  test("Adam7 interlace is a pure re-ordering: same raster both ways") {
+    def px(x: Int, y: Int) = Array((x * 19 + y * 7) % 256, (x * 19 + y * 7 + 71) % 256,
+      (x * 19 + y * 7 + 142) % 256, (x * 3 + y * 5) % 256)
+    for ((w, h) <- Seq((1, 1), (2, 3), (7, 5), (8, 8), (9, 10), (16, 2), (3, 17))) {
+      val seq = MediaCodecHelper.decodePng(
+        Multimodal.pngEnvelopeBytes(w, h, 6, interlaced = false, px))
+      val ilc = MediaCodecHelper.decodePng(
+        Multimodal.pngEnvelopeBytes(w, h, 6, interlaced = true, px))
+      assert(seq != null && ilc != null, s"${w}x$h")
+      assert(java.util.Arrays.equals(seq.pix, ilc.pix), s"${w}x$h rasters differ")
+    }
+  }
+
+  test("alpha rasters round-trip resize -> type-4/6 re-encode -> decode") {
+    val src = MediaCodecHelper.decodePng(Multimodal.rgbaPngBytes(11L))
+    val rz = MediaCodecHelper.pngResizeNearest(Multimodal.rgbaPngBytes(11L), 6, 6)
+    assert(rz != null)
+    val back = MediaCodecHelper.decodePng(rz)
+    assert(back != null && back.bpp == 4 && back.width == 6 && back.height == 6)
+    for (y <- 0 until 6; x <- 0 until 6; c <- 0 until 4) {
+      val sx = x * src.width / 6; val sy = y * src.height / 6
+      assert((back.pix((y * 6 + x) * 4 + c) & 0xff) ==
+        (src.pix((sy * src.width + sx) * 4 + c) & 0xff), s"($x,$y,$c)")
+    }
+    // gray+alpha re-encode path (color type 4)
+    val ga = MediaCodecHelper.pngResizeNearest(Multimodal.grayAlphaPngBytes(4L), 5, 5)
+    val gback = MediaCodecHelper.decodePng(ga)
+    assert(gback != null && gback.bpp == 2 && gback.width == 5)
+  }
+
+  test("PNG envelope edges: corrupt index, color-key tRNS, short tRNS") {
+    // an index past the palette is corrupt -> null, never out-of-bounds
+    val shortPal = Multimodal.pngEnvelopeBytes(4, 4, 3, interlaced = false,
+      (_, _) => Array(10), palette = Array.tabulate(4)(i => (i, i, i)))
+    assert(MediaCodecHelper.decodePng(shortPal) == null)
+    // tRNS on color type 2 is color-KEY transparency: out of envelope
+    val keyed = Multimodal.pngEnvelopeBytes(4, 4, 2, interlaced = false,
+      (x, y) => Array(x, y, x + y), trns = Array(0, 0, 0, 0, 0, 0))
+    assert(MediaCodecHelper.decodePng(keyed) == null)
+    // a tRNS shorter than the palette defaults the tail to opaque
+    val tail = MediaCodecHelper.decodePng(Multimodal.pngEnvelopeBytes(
+      4, 4, 3, interlaced = false, (x, y) => Array((x + y * 4) % 16),
+      palette = Array.tabulate(16)(i => (i, 2 * i, 3 * i)), trns = Array(7)))
+    assert(tail != null && tail.bpp == 4)
+    assert((tail.pix(3) & 0xff) == 7, "entry 0 alpha from tRNS")
+    assert((tail.pix(7) & 0xff) == 255, "entry 1 defaults opaque")
   }
 
   test("jpegMeta walks SOI→SOF through variable-length segments") {
