@@ -24,9 +24,11 @@ import org.apache.spark.unsafe.types.UTF8String
   *  - container: RIFF/'AVI ', one video (`vids`) stream, frames found by
   *    the bounded movi walk (idx1 not required, one `LIST rec ` nesting
   *    level supported);
-  *  - frames: self-contained baseline JPEGs ([[MediaCodecHelper.decodeJpeg]]'s
-  *    envelope). AVI MJPEG frames that omit DHT segments (the OpenDML
-  *    "standard tables implied" convention) count as sampled-not-decoded.
+  *  - frames: self-contained JPEGs ([[MediaCodecHelper.decodeJpeg]]'s
+  *    envelope), decoded with the implied Annex K standard Huffman
+  *    tables — the OpenDML convention for the common MJPEG flavor whose
+  *    frames omit DHT segments entirely; frames carrying their own DHT
+  *    override the implied tables, so both flavors decode.
   *
   * All walks are bounded and bounds-checked: chunk sizes are read as
   * unsigned, every advance is validated against the enclosing chunk, and
@@ -199,7 +201,8 @@ object AviCodecHelper {
       val size = (frames(i) & 0xffffffffL).toInt
       sampled += 1
       val r = MediaCodecHelper.decodeJpeg(
-        java.util.Arrays.copyOfRange(bytes, off, off + size))
+        java.util.Arrays.copyOfRange(bytes, off, off + size),
+        impliedStdTables = true)
       if (r != null) {
         decoded += 1
         var p = 0

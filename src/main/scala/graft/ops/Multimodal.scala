@@ -1139,6 +1139,15 @@ object Multimodal {
         yBlock = (bx, by) => ((bx * 29 + by * 41 + id * 7 + f * 13) % 256).toInt,
         cbBlock = null, crBlock = null, acSeed = null, restartInterval = 0)
     }
+    aviContainerBytes(w, h, usec, jpegs)
+  }
+
+  /** RIFF/AVI container around pre-built frame payloads — the writer half
+    * shared by [[aviMjpegBytes]] and [[aviMjpegNoDhtBytes]].
+    */
+  def aviContainerBytes(w: Int, h: Int, usec: Int,
+                        jpegs: Seq[Array[Byte]]): Array[Byte] = {
+    val nFrames = jpegs.length
     def le(v: Int): Array[Byte] =
       Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
         ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
@@ -1175,6 +1184,136 @@ object Multimodal {
     tag("RIFF") ++ le(body.length) ++ body
   }
 
+  /** DHT-LESS baseline 4:2:0 color JPEG — the common MJPEG frame flavor:
+    * DQT and SOF0/SOS are present but NO DHT segments; the entropy data
+    * is coded against the ITU-T T.81 Annex K "typical" Huffman tables
+    * that an OpenDML-conventional decoder implies. The Annex K BITS/VALS
+    * are declared HERE as an independent copy and turned into codes by
+    * this fixture's own canonical builder — zero shared code with the
+    * production decoder's implied-table path, so agreement proves both
+    * ends derived the same canonical code space from the public spec.
+    */
+  def jpegNoDhtBytes(width: Int, height: Int,
+                     yBlock: (Int, Int) => Int,
+                     cbBlock: (Int, Int) => Int,
+                     crBlock: (Int, Int) => Int): Array[Byte] = {
+    require(width > 0 && height > 0)
+    val out = new java.io.ByteArrayOutputStream()
+    def b(vs: Int*): Unit = vs.foreach(v => out.write(v & 0xff))
+    def be16(v: Int): Unit = { out.write((v >> 8) & 0xff); out.write(v & 0xff) }
+    def seg(marker: Int, payload: Array[Byte]): Unit = {
+      b(0xff, marker); be16(payload.length + 2); out.write(payload)
+    }
+    // Annex K typical tables, fixture-side copy (T.81 Tables K.3-K.6)
+    val kDcLumaCounts = Array(0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0)
+    val kDcChromaCounts = Array(0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0)
+    val kDcVals = (0 to 11).toArray
+    val kAcLumaCounts = Array(0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7d)
+    val kAcLumaValsHead = Array(0x01, 0x02, 0x03, 0x00, 0x04, 0x11) // EOB = 4th
+    val kAcChromaCounts = Array(0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77)
+    val kAcChromaValsHead = Array(0x00, 0x01, 0x02, 0x03, 0x11, 0x04) // EOB = 1st
+    // `vals` may be just the HEAD of the full Annex K value list (the
+    // constant-block encoder only emits DC categories and EOB, all within
+    // the first entries); positions past it still advance the code space.
+    def canon(counts: Array[Int], vals: Array[Int]): Map[Int, (Int, Int)] = {
+      var code = 0; var k = 0
+      val m = scala.collection.mutable.Map[Int, (Int, Int)]()
+      for (l <- 1 to 16) {
+        for (_ <- 0 until counts(l - 1)) {
+          if (k < vals.length) m(vals(k)) = (code, l)
+          code += 1; k += 1
+        }
+        code <<= 1
+      }
+      m.toMap
+    }
+    val dcLuma = canon(kDcLumaCounts, kDcVals)
+    val dcChroma = canon(kDcChromaCounts, kDcVals)
+    val eobLuma = canon(kAcLumaCounts, kAcLumaValsHead)(0x00)
+    val eobChroma = canon(kAcChromaCounts, kAcChromaValsHead)(0x00)
+    val q0 = Array.tabulate(64)(i => if (i == 0) 8 else 16)
+    val q1 = Array.tabulate(64)(i => if (i == 0) 4 else 16)
+    b(0xff, 0xd8) // SOI
+    seg(0xdb, (0x00.toByte +: q0.map(_.toByte)) ++
+      (0x01.toByte +: q1.map(_.toByte)))
+    val sof = new java.io.ByteArrayOutputStream()
+    sof.write(8)
+    sof.write((height >> 8) & 0xff); sof.write(height & 0xff)
+    sof.write((width >> 8) & 0xff); sof.write(width & 0xff)
+    sof.write(3)
+    sof.write(1); sof.write(0x22); sof.write(0) // Y 4:2:0, q0
+    sof.write(2); sof.write(0x11); sof.write(1) // Cb, q1
+    sof.write(3); sof.write(0x11); sof.write(1) // Cr, q1
+    seg(0xc0, sof.toByteArray)
+    // deliberately NO DHT — the decode side must imply Annex K
+    val sos = new java.io.ByteArrayOutputStream()
+    sos.write(3)
+    sos.write(1); sos.write(0x00) // Y: DC0/AC0 (implied luma)
+    sos.write(2); sos.write(0x11) // Cb: DC1/AC1 (implied chroma)
+    sos.write(3); sos.write(0x11)
+    sos.write(0); sos.write(63); sos.write(0)
+    seg(0xda, sos.toByteArray)
+    var acc = 0; var nbits = 0
+    def putBit(bit: Int): Unit = {
+      acc = (acc << 1) | bit; nbits += 1
+      if (nbits == 8) {
+        out.write(acc)
+        if (acc == 0xff) out.write(0x00)
+        acc = 0; nbits = 0
+      }
+    }
+    def putBits(v: Int, n: Int): Unit = {
+      var i = n - 1
+      while (i >= 0) { putBit((v >> i) & 1); i -= 1 }
+    }
+    def cat(v: Int): Int = 32 - Integer.numberOfLeadingZeros(math.abs(v))
+    def emitConst(value: Int, qdc: Int, pred: Int,
+                  dc: Map[Int, (Int, Int)], eob: (Int, Int)): Int = {
+      val dcq = (value - 128) * 8 / qdc
+      val diff = dcq - pred
+      val t = cat(diff)
+      val (c0, l0) = dc(t)
+      putBits(c0, l0)
+      if (t > 0) putBits(if (diff < 0) diff + (1 << t) - 1 else diff, t)
+      putBits(eob._1, eob._2)
+      dcq
+    }
+    val mcusX = (width + 15) / 16
+    val mcusY = (height + 15) / 16
+    var predY = 0; var predCb = 0; var predCr = 0
+    for (my <- 0 until mcusY; mx <- 0 until mcusX) {
+      for ((bx, by) <- Seq((2 * mx, 2 * my), (2 * mx + 1, 2 * my),
+          (2 * mx, 2 * my + 1), (2 * mx + 1, 2 * my + 1)))
+        predY = emitConst(yBlock(bx, by), 8, predY, dcLuma, eobLuma)
+      predCb = emitConst(cbBlock(mx, my), 4, predCb, dcChroma, eobChroma)
+      predCr = emitConst(crBlock(mx, my), 4, predCr, dcChroma, eobChroma)
+    }
+    while (nbits != 0) putBit(1)
+    b(0xff, 0xd9) // EOI
+    out.toByteArray
+  }
+
+  /** AVI whose MJPEG frames omit DHT (the OpenDML implied-standard-tables
+    * convention): (12+id%13)x(8+id%9) 4:2:0 color, 2+id%4 frames at
+    * 15000+(id%4)*15000 µs/frame. Frame f: Y block (bx,by) =
+    * (bx*17+by*23+id*9+f*11)%256, Cb(mx,my) = (mx*13+id*7+f*3)%256,
+    * Cr = (my*19+id*5+f*7)%256. Container writer shared with
+    * [[aviMjpegBytes]] (the container is not what this lane tests).
+    */
+  def aviMjpegNoDhtBytes(id: Long): Array[Byte] = {
+    val w = 12 + (id % 13).toInt
+    val h = 8 + (id % 9).toInt
+    val nFrames = (2 + id % 4).toInt
+    val usec = 15000 + (id % 4).toInt * 15000
+    val jpegs = (0 until nFrames).map { f =>
+      jpegNoDhtBytes(w, h,
+        yBlock = (bx, by) => ((bx * 17 + by * 23 + id * 9 + f * 11) % 256).toInt,
+        cbBlock = (mx, _) => ((mx * 13 + id * 7 + f * 3) % 256).toInt,
+        crBlock = (_, my) => ((my * 19 + id * 5 + f * 7) % 256).toInt)
+    }
+    aviContainerBytes(w, h, usec, jpegs)
+  }
+
   val makePng = udf((w: Int, h: Int) => pngBytes(w, h))
   val makePalPng = udf((id: Long) => palPngBytes(id))
   val makePalAlphaPng = udf((id: Long) => palAlphaPngBytes(id))
@@ -1189,6 +1328,7 @@ object Multimodal {
   val makeJpeg = udf((w: Int, h: Int, c: Int) => jpegBytes(w, h, c))
   val makeRgbPng = udf((w: Int, h: Int) => rgbPngBytes(w, h))
   val makeAviMjpeg = udf((id: Long) => aviMjpegBytes(id))
+  val makeAviMjpegNoDht = udf((id: Long) => aviMjpegNoDhtBytes(id))
   val makeWav = udf((rate: Int, n: Int) => wavBytes(rate, n))
   val makeWavWithList = udf((rate: Int, n: Int) => wavBytesWithList(rate, n))
 

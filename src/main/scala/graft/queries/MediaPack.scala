@@ -253,6 +253,46 @@ object MediaPack {
       vf.getField("px_sum").as("vf_sum"))
   }
 
+  /** DHT-less MJPEG fixture: frames coded against the Annex K typical
+    * Huffman tables with NO DHT segment (the most common real-world MJPEG
+    * flavor, per the OpenDML implied-standard-tables convention); 4:2:0
+    * color so both the implied luma AND chroma table pairs are exercised.
+    */
+  private def videoNoDhtBlobs(s: SparkSession, dir: String) = {
+    val (store, _) = Fixtures(s, dir, "fix_media_avi2") { st =>
+      st.write(Tables.documents(s, dir).select(col("doc_id"))
+        .withColumn("avin", Multimodal.makeAviMjpegNoDht(col("doc_id"))),
+        "mm_avi2", slices = 8)
+      Map("blobs" -> "mm_avi2")
+    }
+    store.readResolved("mm_avi2")
+  }
+
+  /** REAL DHT-less MJPEG decode: every-2nd-frame sampling through the
+    * implied Annex K standard Huffman tables (fixture encoder carries its
+    * own copy of the public BITS/VALS and its own canonical-code builder
+    * — agreement proves two independent derivations of the code space),
+    * through the full 4:2:0 upsample + fixed-point YCbCr→RGB path. The
+    * n_decoded == n_sampled equality inside the hash gate is the claim
+    * that DHT-less frames now actually DECODE rather than count as
+    * sampled-not-decoded. Codegen'd scan-side; no shuffle.
+    */
+  def videoNoDht(s: SparkSession, dir: String): DataFrame = {
+    val media = videoNoDhtBlobs(s, dir)
+    val meta = Multimodal.videoMeta(col("avin"))
+    val vs = Multimodal.videoFrameStats(col("avin"), 2)
+    media.select(col("doc_id"),
+      meta.getField("width").cast("long").as("n_w"),
+      meta.getField("height").cast("long").as("n_h"),
+      meta.getField("n_frames").cast("long").as("n_frames"),
+      meta.getField("usec_per_frame").cast("long").as("n_usec"),
+      vs.getField("n_sampled").cast("long").as("n_sampled"),
+      vs.getField("n_decoded").cast("long").as("n_decoded"),
+      vs.getField("px_sum").as("n_sum"),
+      vs.getField("px_min").cast("long").as("n_min"),
+      vs.getField("px_max").cast("long").as("n_max"))
+  }
+
   /** End-to-end multimodal corpus assembly — the composition a training
     * pipeline actually runs, each stage in its scalable form:
     *  1. text gate: length >= 100 (a cheap scan-side predicate);
@@ -308,6 +348,7 @@ object MediaPack {
     "mm_codec_roundtrip" -> codecRoundtrip _,
     "mm_png_envelope" -> pngEnvelope _,
     "mm_video_frames" -> videoFrames _,
+    "mm_video_nodht" -> videoNoDht _,
     "pl_mm_corpus" -> multimodalCorpus _,
   )
 
@@ -726,6 +767,51 @@ object MediaPack {
          FROM p
          JOIN vs ON vs.doc_id = p.doc_id
          JOIN vf ON vf.doc_id = p.doc_id""",
+    // DHT-less MJPEG replay: (12+id%13)x(8+id%9) 4:2:0 color,
+    // 2+id%4 frames at 15000+(id%4)*15000 us/frame, sampled every 2nd.
+    // Frame f: Y block (bx,by) = (bx*17+by*23+id*9+f*11)%256, chroma per
+    // MCU Cb = ((bx//2)*13+id*7+f*3)%256, Cr = ((by//2)*19+id*5+f*7)%256;
+    // constant blocks decode to their exact constants through the implied
+    // Annex K tables, then the fixed-point CCIR 601 conversion replays.
+    "mm_video_nodht" ->
+      """WITH p AS (
+           SELECT doc_id, 12 + doc_id % 13 AS w, 8 + doc_id % 9 AS h,
+                  2 + doc_id % 4 AS nf,
+                  15000 + (doc_id % 4) * 15000 AS usec
+           FROM documents
+         ), vb AS (
+           SELECT p.doc_id,
+                  (bx.b*17 + by.b*23 + p.doc_id*9 + f.f*11) % 256 AS yv,
+                  ((bx.b // 2)*13 + p.doc_id*7 + f.f*3) % 256 - 128 AS cb,
+                  ((by.b // 2)*19 + p.doc_id*5 + f.f*7) % 256 - 128 AS cr,
+                  LEAST(8, p.w - bx.b*8) * LEAST(8, p.h - by.b*8) AS vis
+           FROM p
+           JOIN range(0, 6) f(f) ON f.f < p.nf AND f.f % 2 = 0
+           JOIN range(0, 3) bx(b) ON bx.b*8 < p.w
+           JOIN range(0, 2) by(b) ON by.b*8 < p.h
+         ), vc AS (
+           SELECT doc_id, vis,
+             GREATEST(0, LEAST(255, yv + CAST(floor((91881*cr + 32768)/65536.0) AS BIGINT))) AS r,
+             GREATEST(0, LEAST(255, yv - CAST(floor((22554*cb + 46802*cr + 32768)/65536.0) AS BIGINT))) AS g,
+             GREATEST(0, LEAST(255, yv + CAST(floor((116130*cb + 32768)/65536.0) AS BIGINT))) AS b
+           FROM vb
+         ), vs AS (
+           SELECT doc_id, sum((r + g + b) * vis) AS s,
+                  min(LEAST(r, g, b)) AS mn, max(GREATEST(r, g, b)) AS mx
+           FROM vc GROUP BY doc_id
+         )
+         SELECT p.doc_id,
+         CAST(p.w AS BIGINT) AS n_w,
+         CAST(p.h AS BIGINT) AS n_h,
+         CAST(p.nf AS BIGINT) AS n_frames,
+         CAST(p.usec AS BIGINT) AS n_usec,
+         CAST((p.nf + 1) // 2 AS BIGINT) AS n_sampled,
+         CAST((p.nf + 1) // 2 AS BIGINT) AS n_decoded,
+         CAST(vs.s AS BIGINT) AS n_sum,
+         CAST(vs.mn AS BIGINT) AS n_min,
+         CAST(vs.mx AS BIGINT) AS n_max
+         FROM p
+         JOIN vs ON vs.doc_id = p.doc_id""",
     // stage-for-stage replay, matching the Spark plan's gate-before-dedup
     // order: text + decoded-feature gates first, THEN min-doc_id per
     // content group over the gated set (content is a pure function of

@@ -127,6 +127,39 @@ class AviCodecSpec extends AnyFunSuite {
       zrow.getInt(4) == 0 && zrow.getInt(5) == 0)
   }
 
+  test("DHT-less MJPEG frames decode through the implied Annex K tables") {
+    for (id <- 0L until 24L) {
+      val w = 12 + (id % 13).toInt; val h = 8 + (id % 9).toInt
+      def yb(bx: Int, by: Int) = ((bx * 17 + by * 23 + id * 9) % 256).toInt
+      def cb(mx: Int, my: Int) = { val _ = my; ((mx * 13 + id * 7) % 256).toInt }
+      def cr(mx: Int, my: Int) = { val _ = mx; ((my * 19 + id * 5) % 256).toInt }
+      // frame 0 of the no-DHT fixture vs a DHT-carrying baseline encode
+      // of the SAME blocks: Huffman tables only shape the bitstream, so
+      // the decoded rasters must be byte-identical
+      val noDht = Multimodal.jpegNoDhtBytes(w, h, yb, cb, cr)
+      val withDht = Multimodal.jpegBaselineBytes(w, h, color = true,
+        sub420 = true, yb, cb, cr, null, 0)
+      // DHT-less without implied tables is corrupt -> honest null
+      assert(MediaCodecHelper.decodeJpeg(noDht) == null, s"id $id implied off")
+      val a = MediaCodecHelper.decodeJpeg(noDht, impliedStdTables = true)
+      val b = MediaCodecHelper.decodeJpeg(withDht)
+      assert(a != null && b != null, s"id $id decode failed")
+      assert(a.width == w && a.height == h && a.bpp == 3)
+      assert(java.util.Arrays.equals(a.pix, b.pix), s"id $id pixels")
+    }
+    // in-stream DHT overrides the implied tables: same result either way
+    val own = Multimodal.grayJpegBytes(5L)
+    val plain = MediaCodecHelper.decodeJpeg(own)
+    val implied = MediaCodecHelper.decodeJpeg(own, impliedStdTables = true)
+    assert(plain != null && implied != null)
+    assert(java.util.Arrays.equals(plain.pix, implied.pix))
+    // and through the container: every sampled frame decodes
+    val avi = Multimodal.aviMjpegNoDhtBytes(9L)
+    val row = AviCodecHelper.mjpegStats(avi, 2)
+    assert(row != null)
+    assert(row.getInt(1) == row.getInt(2), "sampled == decoded")
+  }
+
   test("frames inside a LIST rec grouping are found") {
     // rewrap each 00dc chunk of a fixture into LIST(rec ) records by hand
     val id = 11L
