@@ -29,8 +29,9 @@ import org.apache.spark.sql.types._
   *    with sampling factors 1–2 (4:4:4/4:2:2/4:2:0), restart markers,
   *    multi-table DQT/DHT. Arithmetic coding, 12-bit precision, and
   *    lossless/hierarchical return null.
-  *  - WAV: PCM 16-bit, located through the chunk walk (LIST/fact chunks
-  *    before `fmt ` are fine).
+  *  - WAV: integer PCM at 8 (unsigned, reported center-zeroed), 16, 24
+  *    and 32 bits, located through the chunk walk (LIST/fact chunks
+  *    before `fmt ` are fine); float/ADPCM/extensible return null.
   *
   * Everything here is per-value scan-side work wrapped in codegen'd
   * expressions (static call per value, same pattern as [[RecodeHelper]]),
@@ -1550,10 +1551,10 @@ object MediaCodecHelper {
     (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8) |
       ((b(o + 2) & 0xff) << 16) | ((b(o + 3) & 0xff) << 24)
 
-  /** (dataOff0based, nSamples, sampleRate, channels) for PCM-16 WAVs via
-    * the bounded chunk walk; null otherwise.
+  /** (dataOff0based, nSamples, sampleRate, channels, bits) for integer
+    * PCM WAVs (8/16/24/32-bit) via the bounded chunk walk; null otherwise.
     */
-  private def pcm16Layout(bytes: Array[Byte]): Array[Int] = {
+  private def pcmLayout(bytes: Array[Byte]): Array[Int] = {
     if (bytes == null) return null
     val fmtOff = RiffWalkHelper.chunkDataOffset(bytes, 'f', 'm', 't', ' ')
     val dataOff = RiffWalkHelper.chunkDataOffset(bytes, 'd', 'a', 't', 'a')
@@ -1565,31 +1566,62 @@ object MediaCodecHelper {
     val channels = leShort(bytes, fo + 2)
     val rate = leInt(bytes, fo + 4)
     val bits = leShort(bytes, fo + 14)
-    if (codec != 1 || bits != 16 || channels < 1) return null
+    if (codec != 1 || channels < 1 ||
+        (bits != 8 && bits != 16 && bits != 24 && bits != 32)) return null
     val dataLen0 = leInt(bytes, dOff - 4)
     val dataLen = math.min(dataLen0.toLong, (bytes.length - dOff).toLong).toInt
     if (dataLen < 0) return null
-    Array(dOff, dataLen / (2 * channels), rate, channels)
+    val bytesPer = bits / 8
+    Array(dOff, dataLen / (bytesPer * channels), rate, channels, bits)
   }
 
-  /** struct(n_samples, sample_rate, pcm_sum, pcm_sqsum, pcm_peak) over all
-    * PCM-16 frames (all channels); null for non-PCM-16 blobs. Integer
-    * outputs for exact oracle reproduction; RMS = sqrt(sqsum/n) downstream.
+  /** Sample `i` (interleaved index) at the given depth. 8-bit WAV PCM is
+    * UNSIGNED; it is reported center-zeroed (u8 − 128), the value the
+    * sample represents. 16/24/32-bit are signed little-endian.
+    */
+  private def pcmSample(b: Array[Byte], dOff: Int, bits: Int, i: Int): Int =
+    bits match {
+      case 8  => (b(dOff + i) & 0xff) - 128
+      case 16 => leShort(b, dOff + 2 * i)
+      case 24 =>
+        val o = dOff + 3 * i
+        ((b(o) & 0xff) | ((b(o + 1) & 0xff) << 8) |
+          ((b(o + 2) & 0xff) << 16)) << 8 >> 8 // sign-extend 24 bits
+      case _ => leInt(b, dOff + 4 * i)
+    }
+
+  /** struct(n_samples, sample_rate, pcm_sum, pcm_sqsum, pcm_peak, pcm_zc,
+    * pcm_bits) over all PCM frames (all channels; zero crossings over
+    * channel 0 only — the per-channel metric). Integer outputs for exact
+    * oracle reproduction; RMS = sqrt(sqsum/n) downstream. Null for
+    * non-integer-PCM blobs, and for a 32-bit stream whose sum of squares
+    * exceeds int64 (honest "can't represent" rather than a silent wrap —
+    * only reachable at 32-bit: 24-bit squares can't overflow any
+    * plausible clip length).
     */
   def wavPcmStats(bytes: Array[Byte]): InternalRow = {
-    val lay = pcm16Layout(bytes)
+    val lay = pcmLayout(bytes)
     if (lay == null) return null
-    val Array(dOff, n, rate, channels) = lay
-    var sum = 0L; var sq = 0L; var peak = 0
+    val Array(dOff, n, rate, channels, bits) = lay
+    var sum = 0L; var sq = 0L; var peak = 0L; var zc = 0L
+    var prevNeg = false
     var i = 0
     val total = n * channels
-    while (i < total) {
-      val v = leShort(bytes, dOff + 2 * i)
-      sum += v; sq += v.toLong * v
-      val a = math.abs(v); if (a > peak) peak = a
-      i += 1
-    }
-    new GenericInternalRow(Array[Any](n.toLong, rate, sum, sq, peak))
+    try {
+      while (i < total) {
+        val v = pcmSample(bytes, dOff, bits, i)
+        sum = Math.addExact(sum, v)
+        sq = Math.addExact(sq, Math.multiplyExact(v.toLong, v.toLong))
+        val a = math.abs(v.toLong); if (a > peak) peak = a
+        if (i % channels == 0) { // channel 0 only
+          val neg = v < 0
+          if (i > 0 && neg != prevNeg) zc += 1
+          prevNeg = neg
+        }
+        i += 1
+      }
+    } catch { case _: ArithmeticException => return null }
+    new GenericInternalRow(Array[Any](n.toLong, rate, sum, sq, peak, zc, bits))
   }
 
   val WavPcmStatsType: StructType = StructType(Seq(
@@ -1597,19 +1629,23 @@ object MediaCodecHelper {
     StructField("sample_rate", IntegerType, nullable = false),
     StructField("pcm_sum", LongType, nullable = false),
     StructField("pcm_sqsum", LongType, nullable = false),
-    StructField("pcm_peak", IntegerType, nullable = false)))
+    StructField("pcm_peak", LongType, nullable = false),
+    StructField("pcm_zc", LongType, nullable = false),
+    StructField("pcm_bits", IntegerType, nullable = false)))
 
   /** Keep every `step`-th PCM frame (frame 0, step, 2·step, …) — the audio
     * analogue of video frame-sampling — re-emitted as a canonical
-    * RIFF/fmt/data WAV at the original sample rate. null for non-PCM-16.
+    * RIFF/fmt/data WAV at the original sample rate and depth. null for
+    * non-integer-PCM blobs.
     */
   def wavFrameSample(bytes: Array[Byte], step: Int): Array[Byte] = {
     if (step <= 0) return null
-    val lay = pcm16Layout(bytes)
+    val lay = pcmLayout(bytes)
     if (lay == null) return null
-    val Array(dOff, n, rate, channels) = lay
+    val Array(dOff, n, rate, channels, bits) = lay
+    val bp = bits / 8
     val kept = (n + step - 1) / step
-    val dataLen = kept * 2 * channels
+    val dataLen = kept * bp * channels
     val out = new Array[Byte](44 + dataLen)
     def putLe(o: Int, v: Int, len: Int): Unit = {
       var i = 0
@@ -1622,16 +1658,15 @@ object MediaCodecHelper {
     putTag(0, "RIFF"); putLe(4, 36 + dataLen, 4); putTag(8, "WAVE")
     putTag(12, "fmt "); putLe(16, 16, 4)
     putLe(20, 1, 2); putLe(22, channels, 2)
-    putLe(24, rate, 4); putLe(28, rate * 2 * channels, 4)
-    putLe(32, 2 * channels, 2); putLe(34, 16, 2)
+    putLe(24, rate, 4); putLe(28, rate * bp * channels, 4)
+    putLe(32, bp * channels, 2); putLe(34, bits, 2)
     putTag(36, "data"); putLe(40, dataLen, 4)
     var f = 0; var o = 44
     while (f < n) {
       var c = 0
-      while (c < channels) {
-        val src = dOff + 2 * (f * channels + c)
-        out(o) = bytes(src); out(o + 1) = bytes(src + 1)
-        o += 2; c += 1
+      while (c < channels * bp) {
+        out(o) = bytes(dOff + f * channels * bp + c)
+        o += 1; c += 1
       }
       f += step
     }
@@ -1701,8 +1736,8 @@ case class JpegMeta(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
-/** PCM-16 WAV sample statistics through the bounded RIFF walk; null for
-  * non-PCM-16 blobs.
+/** Integer-PCM (8/16/24/32-bit) WAV sample statistics through the
+  * bounded RIFF walk; null for non-integer-PCM blobs.
   */
 case class WavPcmStats(child: Expression) extends UnaryExpression {
   override def dataType: DataType = MediaCodecHelper.WavPcmStatsType
@@ -1784,8 +1819,9 @@ case class JpegResizeToPng(child: Expression, dstW: Int, dstH: Int)
     copy(child = newChild)
 }
 
-/** Every-`step`-th-frame decimation of a PCM-16 WAV, re-encoded as a
-  * canonical WAV; null for non-PCM-16 blobs.
+/** Every-`step`-th-frame decimation of an integer-PCM WAV, re-encoded
+  * as a canonical WAV at the source depth; null for non-integer-PCM
+  * blobs.
   */
 case class WavFrameSample(child: Expression, step: Int) extends UnaryExpression {
   require(step > 0, s"bad frame-sample step $step")

@@ -14,7 +14,7 @@ import org.apache.spark.sql.functions._
   * extract path. Pixel/sample DECODE is REAL for every image/audio
   * format in scope — PNG (gray/RGB 8-bit: inflate + filter
   * reconstruction), baseline JPEG (Huffman + dequant + IDCT + chroma
-  * upsample + YCbCr→RGB, ITU-T T.81) and PCM-16 WAV — via the codegen'd
+  * upsample + YCbCr→RGB, ITU-T T.81) and integer-PCM WAV (8/16/24/32-bit) — via the codegen'd
   * expressions in graft.expr.MediaCodecHelper ([[decodeImage]],
   * [[decodeJpeg]], [[imageResize]], [[jpegResizePng]],
   * [[audioFeatures]], [[audioFrameSample]]). [[jpegMeta]] additionally
@@ -118,6 +118,55 @@ object Multimodal {
     for (i <- 0 until nSamples) out.write(le((i % 256) * 128 - 16384, 2))
     out.toByteArray
   }
+
+  /** Integer-PCM WAV at an arbitrary depth (8/16/24/32), mono — the
+    * independent fixture writer for the audio-depth lanes. `sample(i)`
+    * returns the SIGNED value; 8-bit encodes it unsigned-offset (v+128)
+    * per the WAV convention.
+    */
+  def wavDepthBytes(bits: Int, sampleRate: Int, nSamples: Int,
+                    sample: Int => Int): Array[Byte] = {
+    require(bits == 8 || bits == 16 || bits == 24 || bits == 32)
+    val bp = bits / 8
+    val out = new java.io.ByteArrayOutputStream()
+    def le(i: Int, n: Int): Array[Byte] =
+      (0 until n).map(b => ((i >> (8 * b)) & 0xff).toByte).toArray
+    val dataLen = nSamples * bp
+    out.write("RIFF".getBytes("US-ASCII")); out.write(le(36 + dataLen, 4))
+    out.write("WAVE".getBytes("US-ASCII"))
+    out.write("fmt ".getBytes("US-ASCII")); out.write(le(16, 4))
+    out.write(le(1, 2)); out.write(le(1, 2))            // PCM, mono
+    out.write(le(sampleRate, 4)); out.write(le(sampleRate * bp, 4))
+    out.write(le(bp, 2)); out.write(le(bits, 2))
+    out.write("data".getBytes("US-ASCII")); out.write(le(dataLen, 4))
+    for (i <- 0 until nSamples) {
+      val v = sample(i)
+      if (bits == 8) out.write((v + 128) & 0xff) else out.write(le(v, bp))
+    }
+    out.toByteArray
+  }
+
+  /** 8-bit lane: 80+id%40 samples at 8000 Hz, value (i*13+id)%256 − 128
+    * (full unsigned range, center-zeroed on read).
+    */
+  def wav8Bytes(id: Long): Array[Byte] =
+    wavDepthBytes(8, 8000, 80 + (id % 40).toInt,
+      i => ((i * 13 + id) % 256).toInt - 128)
+
+  /** 24-bit lane: 60+id%30 samples at 16000 Hz, value
+    * (i*2113 + id*17) % 2^24 − 2^23 (full signed-24 range).
+    */
+  def wav24Bytes(id: Long): Array[Byte] =
+    wavDepthBytes(24, 16000, 60 + (id % 30).toInt,
+      i => ((i * 2113 + id * 17) % 16777216).toInt - 8388608)
+
+  /** 32-bit lane: 40+id%20 samples at 44100 Hz, value
+    * ((i*9973 + id*31) % 400001 − 200000) · 1000 — bounded at ±2·10⁸ so
+    * the squared sum provably fits int64 at any fixture length.
+    */
+  def wav32Bytes(id: Long): Array[Byte] =
+    wavDepthBytes(32, 44100, 40 + (id % 20).toInt,
+      i => (((i * 9973 + id * 31) % 400001).toInt - 200000) * 1000)
 
   /** Minimal valid RGB PNG (color type 2, filter 0) — written by its OWN
     * byte-level code, deliberately NOT via MediaCodecHelper.encodePng: the
@@ -1331,6 +1380,9 @@ object Multimodal {
   val makeAviMjpegNoDht = udf((id: Long) => aviMjpegNoDhtBytes(id))
   val makeWav = udf((rate: Int, n: Int) => wavBytes(rate, n))
   val makeWavWithList = udf((rate: Int, n: Int) => wavBytesWithList(rate, n))
+  val makeWav8 = udf((id: Long) => wav8Bytes(id))
+  val makeWav24 = udf((id: Long) => wav24Bytes(id))
+  val makeWav32 = udf((id: Long) => wav32Bytes(id))
 
   // ---- metadata extraction (codegen'd Column arithmetic, no UDFs) ----
 
@@ -1472,9 +1524,11 @@ object Multimodal {
   def jpegResizePng(bin: Column, w: Int, h: Int): Column =
     bridge(graft.expr.JpegResizeToPng(ex(bin), w, h))
 
-  /** REAL audio feature extraction (PCM-16 WAV via the RIFF walk):
-    * struct(n_samples, sample_rate, pcm_sum, pcm_sqsum, pcm_peak); RMS =
-    * sqrt(pcm_sqsum / n_samples) downstream. Null for non-PCM-16.
+  /** REAL audio feature extraction (integer-PCM WAV at 8/16/24/32-bit,
+    * via the RIFF walk): struct(n_samples, sample_rate, pcm_sum,
+    * pcm_sqsum, pcm_peak, pcm_zc, pcm_bits) — RMS = sqrt(pcm_sqsum /
+    * n_samples) downstream, pcm_zc the channel-0 zero-crossing count.
+    * Null for non-integer-PCM blobs.
     */
   def audioFeatures(bin: Column): Column = bridge(graft.expr.WavPcmStats(ex(bin)))
 

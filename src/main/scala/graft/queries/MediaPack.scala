@@ -253,6 +253,61 @@ object MediaPack {
       vf.getField("px_sum").as("vf_sum"))
   }
 
+  /** Audio-depth fixture: mono integer-PCM WAVs at 8, 24 and 32 bits
+    * from the independent depth writer, memoized separately from the
+    * original blob snapshot.
+    */
+  private def audioDepthBlobs(s: SparkSession, dir: String) = {
+    val (store, _) = Fixtures(s, dir, "fix_media_wav2") { st =>
+      st.write(Tables.documents(s, dir).select(col("doc_id"))
+        .withColumn("w8", Multimodal.makeWav8(col("doc_id")))
+        .withColumn("w24", Multimodal.makeWav24(col("doc_id")))
+        .withColumn("w32", Multimodal.makeWav32(col("doc_id"))),
+        "mm_wav2", slices = 8)
+      Map("blobs" -> "mm_wav2")
+    }
+    store.readResolved("mm_wav2")
+  }
+
+  /** REAL decode across the widened audio envelope: 8-bit (unsigned
+    * storage, center-zeroed values), 24-bit (sign-extended 3-byte LE)
+    * and 32-bit integer PCM, each through the RIFF walk, with the
+    * integer-exact per-clip features — energy (sum of squares, RMS's
+    * numerator) and channel-0 zero-crossing count — plus an
+    * every-3rd-frame decimation of the 24-bit lane re-encoded at depth
+    * and re-analyzed (pins the depth-generic frame sampler + re-encoder).
+    * All outputs are closed-form integer functions of doc_id the DuckDB
+    * oracle replays. Codegen'd scan-side; no shuffle.
+    */
+  def audioDepth(s: SparkSession, dir: String): DataFrame = {
+    val media = audioDepthBlobs(s, dir)
+    val a8 = Multimodal.audioFeatures(col("w8"))
+    val a24 = Multimodal.audioFeatures(col("w24"))
+    val a32 = Multimodal.audioFeatures(col("w32"))
+    val fs = Multimodal.audioFeatures(Multimodal.audioFrameSample(col("w24"), 3))
+    media.select(col("doc_id"),
+      a8.getField("n_samples").as("a8_n"),
+      a8.getField("pcm_bits").cast("long").as("a8_bits"),
+      a8.getField("pcm_sum").as("a8_sum"),
+      a8.getField("pcm_sqsum").as("a8_sqsum"),
+      a8.getField("pcm_peak").as("a8_peak"),
+      a8.getField("pcm_zc").as("a8_zc"),
+      a24.getField("n_samples").as("a24_n"),
+      a24.getField("pcm_bits").cast("long").as("a24_bits"),
+      a24.getField("pcm_sum").as("a24_sum"),
+      a24.getField("pcm_sqsum").as("a24_sqsum"),
+      a24.getField("pcm_peak").as("a24_peak"),
+      a24.getField("pcm_zc").as("a24_zc"),
+      a32.getField("n_samples").as("a32_n"),
+      a32.getField("pcm_bits").cast("long").as("a32_bits"),
+      a32.getField("pcm_sum").as("a32_sum"),
+      a32.getField("pcm_sqsum").as("a32_sqsum"),
+      a32.getField("pcm_peak").as("a32_peak"),
+      a32.getField("pcm_zc").as("a32_zc"),
+      fs.getField("n_samples").as("fs_n"),
+      fs.getField("pcm_sum").as("fs_sum"))
+  }
+
   /** DHT-less MJPEG fixture: frames coded against the Annex K typical
     * Huffman tables with NO DHT segment (the most common real-world MJPEG
     * flavor, per the OpenDML implied-standard-tables convention); 4:2:0
@@ -349,6 +404,7 @@ object MediaPack {
     "mm_png_envelope" -> pngEnvelope _,
     "mm_video_frames" -> videoFrames _,
     "mm_video_nodht" -> videoNoDht _,
+    "mm_audio_depth" -> audioDepth _,
     "pl_mm_corpus" -> multimodalCorpus _,
   )
 
@@ -767,6 +823,76 @@ object MediaPack {
          FROM p
          JOIN vs ON vs.doc_id = p.doc_id
          JOIN vf ON vf.doc_id = p.doc_id""",
+    // audio-depth replay: 8-bit v(i) = (i*13+id)%256-128 over 80+id%40;
+    // 24-bit v = (i*2113+id*17)%2^24-2^23 over 60+id%30; 32-bit v =
+    // ((i*9973+id*31)%400001-200000)*1000 over 40+id%20. Zero crossings
+    // are sign flips between consecutive channel-0 samples (lag window);
+    // fs replays the every-3rd-frame decimation of the 24-bit lane.
+    "mm_audio_depth" ->
+      """WITH v8 AS (
+           SELECT d.doc_id, i.i AS i, (i.i*13 + d.doc_id) % 256 - 128 AS v
+           FROM documents d
+           JOIN range(0, 120) i(i) ON i.i < 80 + d.doc_id % 40
+         ), z8 AS (
+           SELECT doc_id, i, v,
+                  lag(v) OVER (PARTITION BY doc_id ORDER BY i) AS pv
+           FROM v8
+         ), a8 AS (
+           SELECT doc_id, count(*) AS n, sum(v) AS s, sum(v*v) AS q,
+                  max(abs(v)) AS pk,
+                  sum(CASE WHEN pv IS NOT NULL AND ((v < 0) != (pv < 0))
+                      THEN 1 ELSE 0 END) AS zc
+           FROM z8 GROUP BY doc_id
+         ), v24 AS (
+           SELECT d.doc_id, i.i AS i,
+                  (i.i*2113 + d.doc_id*17) % 16777216 - 8388608 AS v
+           FROM documents d
+           JOIN range(0, 90) i(i) ON i.i < 60 + d.doc_id % 30
+         ), z24 AS (
+           SELECT doc_id, i, v,
+                  lag(v) OVER (PARTITION BY doc_id ORDER BY i) AS pv
+           FROM v24
+         ), a24 AS (
+           SELECT doc_id, count(*) AS n, sum(v) AS s, sum(v*v) AS q,
+                  max(abs(v)) AS pk,
+                  sum(CASE WHEN pv IS NOT NULL AND ((v < 0) != (pv < 0))
+                      THEN 1 ELSE 0 END) AS zc
+           FROM z24 GROUP BY doc_id
+         ), fs AS (
+           SELECT doc_id, count(*) AS n, sum(v) AS s
+           FROM v24 WHERE i % 3 = 0 GROUP BY doc_id
+         ), v32 AS (
+           SELECT d.doc_id, i.i AS i,
+                  ((i.i*9973 + d.doc_id*31) % 400001 - 200000) * 1000 AS v
+           FROM documents d
+           JOIN range(0, 60) i(i) ON i.i < 40 + d.doc_id % 20
+         ), z32 AS (
+           SELECT doc_id, i, v,
+                  lag(v) OVER (PARTITION BY doc_id ORDER BY i) AS pv
+           FROM v32
+         ), a32 AS (
+           SELECT doc_id, count(*) AS n, sum(v) AS s, sum(v*v) AS q,
+                  max(abs(v)) AS pk,
+                  sum(CASE WHEN pv IS NOT NULL AND ((v < 0) != (pv < 0))
+                      THEN 1 ELSE 0 END) AS zc
+           FROM z32 GROUP BY doc_id
+         )
+         SELECT d.doc_id,
+         CAST(a8.n AS BIGINT) AS a8_n, CAST(8 AS BIGINT) AS a8_bits,
+         CAST(a8.s AS BIGINT) AS a8_sum, CAST(a8.q AS BIGINT) AS a8_sqsum,
+         CAST(a8.pk AS BIGINT) AS a8_peak, CAST(a8.zc AS BIGINT) AS a8_zc,
+         CAST(a24.n AS BIGINT) AS a24_n, CAST(24 AS BIGINT) AS a24_bits,
+         CAST(a24.s AS BIGINT) AS a24_sum, CAST(a24.q AS BIGINT) AS a24_sqsum,
+         CAST(a24.pk AS BIGINT) AS a24_peak, CAST(a24.zc AS BIGINT) AS a24_zc,
+         CAST(a32.n AS BIGINT) AS a32_n, CAST(32 AS BIGINT) AS a32_bits,
+         CAST(a32.s AS BIGINT) AS a32_sum, CAST(a32.q AS BIGINT) AS a32_sqsum,
+         CAST(a32.pk AS BIGINT) AS a32_peak, CAST(a32.zc AS BIGINT) AS a32_zc,
+         CAST(fs.n AS BIGINT) AS fs_n, CAST(fs.s AS BIGINT) AS fs_sum
+         FROM documents d
+         JOIN a8 ON a8.doc_id = d.doc_id
+         JOIN a24 ON a24.doc_id = d.doc_id
+         JOIN a32 ON a32.doc_id = d.doc_id
+         JOIN fs ON fs.doc_id = d.doc_id""",
     // DHT-less MJPEG replay: (12+id%13)x(8+id%9) 4:2:0 color,
     // 2+id%4 frames at 15000+(id%4)*15000 us/frame, sampled every 2nd.
     // Frame f: Y block (bx,by) = (bx*17+by*23+id*9+f*11)%256, chroma per

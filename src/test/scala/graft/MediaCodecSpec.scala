@@ -89,8 +89,44 @@ class MediaCodecSpec extends AnyFunSuite {
       assert(row.getInt(1) == 8000)
       assert(row.getLong(2) == samples.map(_.toLong).sum)
       assert(row.getLong(3) == samples.map(v => v.toLong * v).sum)
-      assert(row.getInt(4) == samples.map(math.abs).max)
+      assert(row.getLong(4) == samples.map(math.abs).max.toLong)
+      // zero crossings: sign flips between consecutive samples
+      val zc = samples.sliding(2).count(p => (p(0) < 0) != (p(1) < 0))
+      assert(row.getLong(5) == zc.toLong)
+      assert(row.getInt(6) == 16)
     }
+  }
+
+  test("8/24/32-bit PCM decode to the exact fixture values + features") {
+    for (id <- 0L until 24L) {
+      val r8 = MediaCodecHelper.wavPcmStats(Multimodal.wav8Bytes(id))
+      val s8 = (0 until 80 + (id % 40).toInt).map(i => ((i * 13 + id) % 256).toInt - 128)
+      assert(r8 != null && r8.getInt(6) == 8)
+      assert(r8.getLong(0) == s8.length.toLong && r8.getLong(2) == s8.map(_.toLong).sum)
+      assert(r8.getLong(3) == s8.map(v => v.toLong * v).sum)
+      assert(r8.getLong(5) == s8.sliding(2).count(p => (p(0) < 0) != (p(1) < 0)).toLong)
+      val r24 = MediaCodecHelper.wavPcmStats(Multimodal.wav24Bytes(id))
+      val s24 = (0 until 60 + (id % 30).toInt)
+        .map(i => ((i * 2113 + id * 17) % 16777216).toInt - 8388608)
+      assert(r24 != null && r24.getInt(6) == 24)
+      assert(r24.getLong(2) == s24.map(_.toLong).sum, s"id $id 24-bit sum")
+      assert(r24.getLong(4) == s24.map(v => math.abs(v.toLong)).max)
+      val r32 = MediaCodecHelper.wavPcmStats(Multimodal.wav32Bytes(id))
+      val s32 = (0 until 40 + (id % 20).toInt)
+        .map(i => (((i * 9973 + id * 31) % 400001).toInt - 200000) * 1000)
+      assert(r32 != null && r32.getInt(6) == 32)
+      assert(r32.getLong(2) == s32.map(_.toLong).sum)
+      assert(r32.getLong(3) == s32.map(v => v.toLong * v).sum)
+      // depth survives the frame sampler re-encode
+      val fs = MediaCodecHelper.wavPcmStats(
+        MediaCodecHelper.wavFrameSample(Multimodal.wav24Bytes(id), 3))
+      val kept = s24.indices.filter(_ % 3 == 0).map(s24)
+      assert(fs != null && fs.getInt(6) == 24)
+      assert(fs.getLong(0) == kept.length.toLong && fs.getLong(2) == kept.map(_.toLong).sum)
+    }
+    // a 32-bit stream whose sum of squares overflows int64 is null
+    val hot = Multimodal.wavDepthBytes(32, 8000, 20, _ => Int.MinValue + 1)
+    assert(MediaCodecHelper.wavPcmStats(hot) == null, "sqsum overflow -> null")
   }
 
   test("frame-sampling keeps every Nth frame and re-encodes a valid WAV") {
