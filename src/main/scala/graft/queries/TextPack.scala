@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.core.Tables
 import graft.functions.{TextFunctions => T, SimilarityFunctions => S}
-import graft.ops.{Bm25, Bpe, Dedup, KMeans, ModelFilter, SemDeDup, SimilaritySearch, TrainingPipeline}
+import graft.ops.{Bm25, Bpe, Dedup, KMeans, ModelFilter, SemDeDup, SimilaritySearch, TrainingPipeline, Unigram}
 
 /** Training-data pipeline queries over `documents` / `embeddings`:
   * text analysis, dedup families, similarity search — each oracle-checked
@@ -1146,7 +1146,46 @@ object TextPack {
       .select(col("doc_id"), col("n_tokens"), col("decoded"))
   }
 
+  /** Unigram-LM tokenizer (Kudo 2018): train a 300-piece vocabulary on
+    * the corpus (distributed word count → driver seed/hard-EM/prune
+    * loop, integer-exact Log2Fp scores), Viterbi-encode scan-side, emit
+    * the exact reconstruction. The oracle hash-gates decode∘encode ==
+    * normalized text across every document — any piece lost or any
+    * Viterbi backtrace bug anywhere in the corpus breaks the gate.
+    * Segmentation-level optimality vs exhaustive enumeration is
+    * UnigramSpec's job (piece identities aren't SQL-expressible without
+    * the data-derived vocabulary).
+    */
+  def unigramRoundtripQ(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+    val model = Unigram.train(d, "text", vocabSize = 300)
+    Unigram.encodeStats(d, "doc_id", "text", model)
+      .select(col("doc_id"), col("n_tokens"), col("decoded"))
+  }
+
+  /** Unigram against a PERSISTED model — the production shape (the
+    * [[bpePersistedQ]] pattern): the scored piece table lands as a
+    * snapshot via the memoized job, encoding re-runs from the LOADED
+    * model. Shares pl_unigram_roundtrip's oracle: any score or piece
+    * corrupted by the store re-segments some word and breaks the shared
+    * reconstruction gate only if it breaks coverage — so the twin also
+    * re-checks n_tokens, which any vocabulary change cannot alter.
+    */
+  def unigramPersistedQ(s: SparkSession, dir: String): DataFrame = {
+    val (store, _) = Fixtures(s, dir, "job_unigram_model") { st =>
+      val model = Unigram.train(Tables.documents(s, dir), "text",
+        vocabSize = 300)
+      st.write(Unigram.modelToDf(s, model), "unigram_pieces", slices = 1)
+      Map("pieces" -> "unigram_pieces")
+    }
+    val model = Unigram.modelFromDf(store.readResolved("unigram_pieces"))
+    Unigram.encodeStats(Tables.documents(s, dir), "doc_id", "text", model)
+      .select(col("doc_id"), col("n_tokens"), col("decoded"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pl_unigram_roundtrip" -> unigramRoundtripQ _,
+    "pl_unigram_persisted" -> unigramPersistedQ _,
     "pl_split" -> pipelineSplit _,
     "pl_shuffle" -> pipelineShuffle _,
     "pl_chunks" -> pipelineChunks _,
@@ -1889,6 +1928,18 @@ object TextPack {
     "ann_pq_recall" ->
       OracleGen.annPqRecall(dim = 64, m = 8, ksub = 16, iters = 2, k = 10),
     "pl_bpe_roundtrip" ->
+      raw"""WITH n AS (SELECT doc_id,
+           [t for t in string_split(lower(trim(regexp_replace(text,'\s+',' '))),' ') if t <> ''] ts
+           FROM documents)
+           SELECT doc_id, len(ts)::BIGINT n_tokens, array_to_string(ts, ' ') decoded FROM n""",
+    // unigram shares the reconstruction-gate shape: Viterbi pieces must
+    // concatenate back to the exact normalized text, corpus-wide
+    "pl_unigram_roundtrip" ->
+      raw"""WITH n AS (SELECT doc_id,
+           [t for t in string_split(lower(trim(regexp_replace(text,'\s+',' '))),' ') if t <> ''] ts
+           FROM documents)
+           SELECT doc_id, len(ts)::BIGINT n_tokens, array_to_string(ts, ' ') decoded FROM n""",
+    "pl_unigram_persisted" ->
       raw"""WITH n AS (SELECT doc_id,
            [t for t in string_split(lower(trim(regexp_replace(text,'\s+',' '))),' ') if t <> ''] ts
            FROM documents)
