@@ -302,7 +302,14 @@ object ScaleCheck {
     // the 10x table (1.13 GB/decade) and rt_bm25 the largest
     // posting-list build; both fit the sandbox at x100 by their 10x
     // ratios (extrapolated ~60 s and ~40 s per pass).
-    "gr_pagerank", "rt_bm25")
+    "gr_pagerank", "rt_bm25",
+    // r15 (VERDICT r14 item 6): the heaviest retrieval query without a
+    // scale row — both legs' corpus passes (inverted index, quantized
+    // distance scan) scale, the query/fusion side stays replica-0-sized
+    // — and the node2vec walk, whose 10x row predates the r14 two-probe
+    // -> one-probe fusion. Extrapolated from their 10x ratios (~0.7 and
+    // ~0.3 slope), both fit the sandbox at x100 comfortably.
+    "rt_hybrid_rrf", "gr_node2vec")
 
   private var activeSpark: SparkSession = _
 
@@ -482,7 +489,7 @@ object ScaleCheck {
     val pqNote =
       f""""ann_ivfpq":"sizing discipline: nlist scales with N (16 -> ${16 * reps}%d at 10x) holding inverted-list size constant, nprobe with nlist (4 -> ${4 * reps}%d) holding the probed fraction ~25 pct; MEASURED probe fraction of the code store per query: ${100 * pfS}%.1f pct at sf0.1 (avg ${pfScanS}%d of ${pfTotS}%d codes), ${100 * pfB}%.1f pct at 10x (avg ${pfScanB}%d of ${pfTotB}%d codes). The timed query retrains coarse+codebooks in-plan by design (the driver gate covers training); ann_pq_persisted is the deployment shape whose store build is memoized in warmup, so its row isolates the code-store scan + broadcast-ADC + bounded-heap search path""""
     val json =
-      s"""{"reps":$reps,"base":"$baseDir","protocol":"min-of-3 at sf0.1, min-of-2 at 10x, untimed warmup per scale, local[32] shuffle=32 at both scales; shuffle bytes sampled on pass 1; cache manager purged before every timed query (r11) so persist()-ing operators pay their build stage cold; timed action is a NOOP-SINK FULL MATERIALIZATION since r12, not count() - count() let Catalyst prune projections and eliminate unique-key left joins, so pre-r12 rows for plans with those shapes (gr_pagerank, labelprop, scoring left-joins, pure-projection tx rows) measured a collapsed plan; r12 numbers are the honest re-baseline and are NOT comparable to earlier files","notes":{"dd_simhash":"output-pair count is threshold-cliff sensitive (75% of pairs sit at hamming exactly 3), so each replica's independent token-hash draw moves borderline mass across the cutoff: measured per-replica pairs 11.6k-123k around replica 0's 15.2k. The elevated slope is TRUE near-dup volume in the synthesized data, not engine cost growth; the quadratic random-collision candidate term was separately measured and fixed (blocks=5 generalized Manku banding: 23.3M -> 7.7M candidates at 10x)","dd_semantic":"k scales with N (k=8 at sf0.1, k=80 at 10x) per the SemDeDup sizing rule k ~ N/1e4..1e5 (Abbas et al. 2023) - the same rule the operator's maxClusterSize gate enforces - holding per-cluster size constant so the slope measures engine cost, not the data's designed O(sum c^2) pair growth under a fixed k. dd_inc_semantic is the in-memory twin of the gated query (fit on history, frozen-centroid batch assignment, history+batch drop joins) without the snapshot-index round-trip. Shuffle-slope caveat for this family: absolute shuffle volumes are sub-MB at BOTH scales (the sf0.1 run broadcast-joins everything), so the log-slope numerically amplifies an AQE broadcast->SMJ plan transition; read the absolute MB columns, not the slope, when sf01 volume is ~0","op_type_fuzz":"slope > 1 is a synthesis artifact, not engine cost: replicas offset every join key by replica*1e9, so l_orderkey strings grow from <= 6 digits (replica 0) to 10 digits (replicas 1-9), and four of the eight fuzz columns (messy_int, neg_int, hex_int, strict_int) parse per CHARACTER - per-row parse work rises ~1.4-1.6x alongside the 10x row count. op_dataset_type2 (same parse engine, fixture strings whose width does NOT scale with the key offset) measures the engine's true slope ~0.98 - linear",$triNote,$pqNote},"queries":{${entries.mkString(",")}},""" +
+      s"""{"reps":$reps,"base":"$baseDir","protocol":"min-of-3 at sf0.1, min-of-2 at 10x, untimed warmup per scale, local[32] shuffle=32 at both scales; shuffle bytes sampled on pass 1; cache manager purged before every timed query (r11) so persist()-ing operators pay their build stage cold; timed action is a NOOP-SINK FULL MATERIALIZATION since r12, not count() - count() let Catalyst prune projections and eliminate unique-key left joins, so pre-r12 rows for plans with those shapes (gr_pagerank, labelprop, scoring left-joins, pure-projection tx rows) measured a collapsed plan; r12 numbers are the honest re-baseline and are NOT comparable to earlier files","notes":{"dd_simhash":"output-pair count is threshold-cliff sensitive (75% of pairs sit at hamming exactly 3), so each replica's independent token-hash draw moves borderline mass across the cutoff: measured per-replica pairs 11.6k-123k around replica 0's 15.2k. The elevated slope is TRUE near-dup volume in the synthesized data, not engine cost growth; the quadratic random-collision candidate term was separately measured and fixed (blocks=5 generalized Manku banding: 23.3M -> 7.7M candidates at 10x)","dd_semantic":"k scales with N (k=8 at sf0.1, k=80 at 10x) per the SemDeDup sizing rule k ~ N/1e4..1e5 (Abbas et al. 2023) - the same rule the operator's maxClusterSize gate enforces - holding per-cluster size constant so the slope measures engine cost, not the data's designed O(sum c^2) pair growth under a fixed k. dd_inc_semantic is the in-memory twin of the gated query (fit on history, frozen-centroid batch assignment, history+batch drop joins) without the snapshot-index round-trip. Shuffle-slope caveat for this family: absolute shuffle volumes are sub-MB at BOTH scales (the sf0.1 run broadcast-joins everything), so the log-slope numerically amplifies an AQE broadcast->SMJ plan transition; read the absolute MB columns, not the slope, when sf01 volume is ~0","op_type_fuzz":"width-stable since r15: the query derives its digit strings from pmod(l_orderkey, 1e9) - the identity at every gated scale (oracle untouched) - so the replica*1e9 key offset no longer widens the per-CHARACTER parse columns from 6 to 10 digits; the r14 adjudication traced the table's only >1 slope (1.02) to exactly that synthesis artifact. Expected and measured: ~linear, tracking op_dataset_type2 (same parse engine, width-stable fixture strings, slope ~0.98)",$triNote,$pqNote},"queries":{${entries.mkString(",")}},""" +
       f""""total_sf01_sec":$totalS%.3f,"total_x10_sec":$totalB%.3f,"total_slope":${math.log(totalB / totalS) / math.log(reps.toDouble)}%.3f,""" +
       s""""x100":{"reps":$reps100,"protocol":"same session and purge discipline; untimed warmup at x100, then min-of-2; slopes are log(t_x100/t_sf01)/log(100) - two decades from sf0.1; gr_cluster_labelprop runs k=8*100=800 per the k-with-N sizing discipline","queries":{${x100Entries.mkString(",")}}}}"""
     println(json)

@@ -541,29 +541,39 @@ object Operators {
     * filter_bad dropping rows whose strict int parse fails. The
     * numeric_comma column types in a SECOND DatasetType pass because the
     * option is per-call and would corrupt the dot-decimal floats.
+    *
+    * String derivations use a WIDTH-STABLE key, pmod(l_orderkey, 1e9):
+    * the identity at every gated scale (base keys are far below 1e9, so
+    * the oracle is untouched), but under ScaleCheck's replica synthesis —
+    * which offsets keys by replica·1e9 — it strips the offset so the
+    * digit strings keep replica-0 width. Without it the per-CHARACTER
+    * parse columns did ~1.5x more work per row at 10x and the scale row
+    * measured the synthesis artifact, not the engine (SCALE_CHECK r14
+    * adjudication note; the only >1 slope in the table).
     */
   def typeFuzz(s: SparkSession, dir: String): DataFrame = {
     val li = Tables.lineitem(s, dir).select(
       col("l_orderkey"), col("l_linenumber"),
       col("l_quantity").cast("decimal(18,2)").as("q2"))
+    val wk = pmod(col("l_orderkey"), lit(1000000000L))
     val messy = li.select(
       col("l_orderkey"), col("l_linenumber"),
-      concat(lit("#"), col("l_orderkey"), lit(":"), col("l_linenumber"), lit("#"))
+      concat(lit("#"), wk, lit(":"), col("l_linenumber"), lit("#"))
         .as("messy_int"),
       // the junk '-' right before the digits is absorbed by the first-int
       // regex: 'junk-123tail' parses as -123 (reference int64i semantics)
-      concat(lit("junk-"), col("l_orderkey"), lit("tail")).as("neg_int"),
+      concat(lit("junk-"), wk, lit("tail")).as("neg_int"),
       concat(lit("   "), col("q2"), lit(" \t")).as("ws_float"),
       translate(col("q2").cast("string"), ".", ",").as("comma_float"),
       concat(col("q2"), lit("e-2")).as("sci_float"),
-      concat(lit("0x"), hex(col("l_orderkey"))).as("hex_int"),
-      (pmod(col("l_orderkey") * 7919L + col("l_linenumber"), lit(4000000000L))
+      concat(lit("0x"), hex(wk)).as("hex_int"),
+      (pmod(wk * 7919L + col("l_linenumber"), lit(4000000000L))
         - 2000000000L).cast("string").as("epoch_ts"),
       element_at(array(lit("FALSE"), lit("0"), lit("off"),
         lit("TRUE"), lit("   "), lit("nope")),
         (col("l_linenumber") % 6 + 1).cast("int")).as("bool_mix"),
       when(col("l_orderkey") % 97 === 0, lit("garbage!"))
-        .otherwise(col("l_orderkey").cast("string")).as("strict_int"))
+        .otherwise(wk.cast("string")).as("strict_int"))
     val typed = DatasetType(messy, Map(
       "messy_int" -> "int64i",
       "neg_int" -> "int64i",

@@ -511,12 +511,18 @@ object Streams {
     * previous batch. Everything is scan-side per-row work: the blobs
     * never shuffle, and the landed chain carries only ids + metadata —
     * at ingest scale the chain is what downstream dedup/gating reads
-    * instead of re-decoding the corpus.
+    * instead of re-decoding the corpus. `compactEvery` applies the same
+    * periodic chain-fold as the dedup sinks: a blob-heavy ingest runs for
+    * thousands of micro-batches, and whoever tails the annotation chain
+    * (dedup, gating, the shell) must read O(compactEvery) snapshots at
+    * the tip, not O(batches).
     */
   def mediaAnnotateSink(docs: DataFrame, idCol: String, binCol: String,
                         store: SnapshotStore, prefix: String,
-                        checkpoint: String): StreamingQuery = {
+                        checkpoint: String,
+                        compactEvery: Option[Int] = None): StreamingQuery = {
     import graft.ops.Multimodal
+    compactEvery.foreach(e => require(e >= 1, s"compactEvery must be >= 1, got $e"))
     val tip = new ChainTip(store, prefix)
     docs.writeStream
       .option("checkpointLocation", checkpoint)
@@ -544,6 +550,11 @@ object Streams {
           store.write(annotated, s"$prefix.$batchId",
             previous = tip.prevFor(batchId))
           tip.advance(s"$prefix.$batchId")
+          if (compactEvery.exists(e => batchId > 0 && batchId % e == 0)) {
+            val cname = s"$prefix.$batchId-c"
+            store.compactChain(s"$prefix.$batchId", cname)
+            tip.advance(cname)
+          }
         }
         ()
       }

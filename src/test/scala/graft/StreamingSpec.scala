@@ -955,6 +955,67 @@ class StreamingSpec extends AnyFunSuite {
       kinds("unknown") == 24)
   }
 
+  test("mediaAnnotateSink: 32-batch compaction-under-load keeps tip reads bounded") {
+    // the blob-heavy instance of the compaction-under-load law: a media
+    // ingest runs for thousands of micro-batches, and whoever tails the
+    // annotation chain must read O(compactEvery) snapshots, not
+    // O(batches). Four decoder lanes rotate through the batches so the
+    // compacted bases carry every annotation shape.
+    val s = spark
+    val dir = tmpDir("mal_src")
+    val store = new SnapshotStore(s, tmpDir("mal_store"))
+    val M = graft.ops.Multimodal
+    val batches = 32
+    val every = 4
+    def blobbed(ids: org.apache.spark.sql.DataFrame) = ids
+      .withColumn("blob",
+        when(col("doc_id") % 4 === 0, M.makePng(lit(12), lit(7)))
+          .when(col("doc_id") % 4 === 1, M.makeGrayJpeg(col("doc_id")))
+          .when(col("doc_id") % 4 === 2, M.makeAviMjpeg(col("doc_id")))
+          .otherwise(M.makeWav(lit(8000), lit(50))))
+      .select("doc_id", "blob")
+    val all = blobbed(s.range(4L * batches).toDF("doc_id"))
+    for (b <- 0 until batches)
+      all.filter(col("doc_id") >= 4L * b && col("doc_id") < 4L * (b + 1))
+        .coalesce(1).write.mode("append").parquet(dir)
+    val q = Streams.mediaAnnotateSink(
+      Streams.eventStream(s, dir, maxFilesPerTrigger = 1),
+      "doc_id", "blob", store, "mal", checkpoint = tmpDir("mal_ckpt"),
+      compactEvery = Some(every))
+    q.awaitTermination(600000)
+    // no annotation lost across 8 compactions, and the streamed rows
+    // match the batch scan THROUGH every compacted base
+    val tip = store.list().filter(_.startsWith("mal."))
+      .maxBy(n => n.split("\\.").last.takeWhile(_.isDigit).toInt)
+    val chain = store.iterateChain(tip)
+    assert(chain.count() == 4L * batches, "annotations lost under load")
+    val img = M.decodeImage(col("blob")); val jpg = M.decodeJpeg(col("blob"))
+    val vid = M.videoFrameStats(col("blob"), 2); val vm = M.videoMeta(col("blob"))
+    val wav = M.audioFeatures(col("blob"))
+    val want = all.select(col("doc_id"),
+        M.mediaType(col("blob")).as("media_type"),
+        coalesce(img.getField("px_sum"), jpg.getField("px_sum"),
+          vid.getField("px_sum")).as("px_sum"),
+        wav.getField("pcm_sum").as("pcm_sum"))
+      .collect().map(r => (0 to 3).map(i => String.valueOf(r.get(i))).mkString("|"))
+      .sorted.toSeq
+    val got = chain.select(col("doc_id"), col("media_type"),
+        col("px_sum"), col("pcm_sum"))
+      .collect().map(r => (0 to 3).map(i => String.valueOf(r.get(i))).mkString("|"))
+      .sorted.toSeq
+    assert(got == want, "streamed annotations diverge from the batch scan")
+    // the load claim: tip depth and every historical batch's read depth
+    // stay bounded by compactEvery + 1
+    assert(store.chain(tip).size <= every + 1,
+      s"tip chain depth ${store.chain(tip).size} — compaction not bounding")
+    (1 until batches).foreach { b =>
+      val d = store.chain(s"mal.$b").size
+      assert(d <= every + 1, s"batch $b read a depth-$d chain")
+    }
+    val leaves = chain.queryExecution.optimizedPlan.collectLeaves().size
+    assert(leaves <= every + 1, s"tip read scans $leaves relations")
+  }
+
   test("nbScoreSink: frozen-model streaming scores == batch scoring") {
     val s = spark
     val dir = tmpDir("nbs_src")
