@@ -135,6 +135,24 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       args => expect(args, 1)
         graft.expr.GifStats(args(0))
     }
+
+    inject("graft_png_stats",
+      "graft_png_stats(bin) - struct(width, height, channels, px_sum, px_min, px_max) of a decoded PNG (all 8-bit color types, Adam7 included)") {
+      args => expect(args, 1)
+        graft.expr.PngStats(args(0))
+    }
+
+    inject("graft_jpeg_stats",
+      "graft_jpeg_stats(bin) - struct(width, height, channels, px_sum, px_min, px_max) of a decoded JPEG (baseline/multi-scan/progressive)") {
+      args => expect(args, 1)
+        graft.expr.JpegStats(args(0))
+    }
+
+    inject("graft_wav_stats",
+      "graft_wav_stats(bin) - struct(n_samples, sample_rate, pcm_sum, pcm_sqsum, pcm_peak, pcm_zc, pcm_bits) of an integer-PCM WAV (8/16/24/32-bit)") {
+      args => expect(args, 1)
+        graft.expr.WavPcmStats(args(0))
+    }
   }
 }
 

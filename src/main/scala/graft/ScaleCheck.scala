@@ -52,7 +52,17 @@ object ScaleCheck {
     "rt_hybrid_rrf", "gr_pagerank", "gr_pagerank_w", "gr_walks",
     "gr_triangles", "ann_pq_persisted", "op_dataset_type2", "dd_spans",
     "op_checksum_invariant", "mm_codec_roundtrip", "mm_video_frames",
-    "gr_node2vec")
+    "gr_node2vec",
+    // r15 additions: the widened media envelopes (all scan-side codegen'd
+    // decode over doc_id-derived blobs — same expected shape as
+    // mm_codec_roundtrip, slope ~1.0 / ~zero shuffle; a super-linear
+    // slope would expose an allocation cliff in the new palette/Adam7,
+    // implied-table, or depth-generic PCM paths) and the unigram
+    // tokenizer (ONE word-count shuffle whose 10x vocabulary — the
+    // replicas' disjoint token spaces — exercises the maxWords cap,
+    // then driver EM over the capped table + a scan-side encode).
+    "mm_png_envelope", "mm_video_nodht", "mm_audio_depth", "mm_audio_g711",
+    "pl_unigram_roundtrip", "pl_wordpiece_roundtrip")
   // gr_node2vec (r14): the second-order walk — one broadcast probe of
   // the cached neighbor index per step (the frontier's nodes and
   // predecessors share the scan), plus the walk-keyed cumulative-weight

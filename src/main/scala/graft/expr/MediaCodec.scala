@@ -1551,8 +1551,9 @@ object MediaCodecHelper {
     (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8) |
       ((b(o + 2) & 0xff) << 16) | ((b(o + 3) & 0xff) << 24)
 
-  /** (dataOff0based, nSamples, sampleRate, channels, bits) for integer
-    * PCM WAVs (8/16/24/32-bit) via the bounded chunk walk; null otherwise.
+  /** (dataOff0based, nSamples, sampleRate, channels, bits, codec) for
+    * integer-PCM (codec 1, 8/16/24/32-bit) and G.711 µ-law/A-law (codecs
+    * 7/6, 8-bit) WAVs via the bounded chunk walk; null otherwise.
     */
   private def pcmLayout(bytes: Array[Byte]): Array[Int] = {
     if (bytes == null) return null
@@ -1566,21 +1567,55 @@ object MediaCodecHelper {
     val channels = leShort(bytes, fo + 2)
     val rate = leInt(bytes, fo + 4)
     val bits = leShort(bytes, fo + 14)
-    if (codec != 1 || channels < 1 ||
-        (bits != 8 && bits != 16 && bits != 24 && bits != 32)) return null
+    val ok = codec match {
+      case 1     => bits == 8 || bits == 16 || bits == 24 || bits == 32
+      case 6 | 7 => bits == 8 // G.711 A-law / µ-law: one byte per sample
+      case _     => false
+    }
+    if (!ok || channels < 1) return null
     val dataLen0 = leInt(bytes, dOff - 4)
     val dataLen = math.min(dataLen0.toLong, (bytes.length - dOff).toLong).toInt
     if (dataLen < 0) return null
     val bytesPer = bits / 8
-    Array(dOff, dataLen / (bytesPer * channels), rate, channels, bits)
+    Array(dOff, dataLen / (bytesPer * channels), rate, channels, bits, codec)
   }
 
-  /** Sample `i` (interleaved index) at the given depth. 8-bit WAV PCM is
-    * UNSIGNED; it is reported center-zeroed (u8 − 128), the value the
-    * sample represents. 16/24/32-bit are signed little-endian.
+  /** G.711 µ-law byte → 13-bit-magnitude linear sample: the canonical
+    * CCITT expansion (complement, rebias by 0x84, shift by the segment,
+    * signed by the post-complement sign bit) — pure integer steps the
+    * oracle replays.
     */
-  private def pcmSample(b: Array[Byte], dOff: Int, bits: Int, i: Int): Int =
-    bits match {
+  def ulawToLinear(b0: Int): Int = {
+    val u = (~b0) & 0xff
+    val t = (((u & 0x0f) << 3) + 0x84) << ((u & 0x70) >> 4)
+    if ((u & 0x80) != 0) 0x84 - t else t - 0x84
+  }
+
+  /** G.711 A-law byte → linear sample: the canonical expansion (xor 0x55,
+    * segment-scaled mantissa with the 8 / 0x108 low-segment biases).
+    */
+  def alawToLinear(b0: Int): Int = {
+    val a = (b0 & 0xff) ^ 0x55
+    val t0 = (a & 0x0f) << 4
+    val seg = (a & 0x70) >> 4
+    val t = seg match {
+      case 0 => t0 + 8
+      case 1 => t0 + 0x108
+      case s => (t0 + 0x108) << (s - 1)
+    }
+    if ((a & 0x80) != 0) t else -t
+  }
+
+  /** Sample `i` (interleaved index) at the given depth/codec. 8-bit WAV
+    * PCM is UNSIGNED; it is reported center-zeroed (u8 − 128), the value
+    * the sample represents. 16/24/32-bit are signed little-endian;
+    * µ-law/A-law expand through the G.711 formulas.
+    */
+  private def pcmSample(b: Array[Byte], dOff: Int, bits: Int, codec: Int,
+                        i: Int): Int =
+    if (codec == 7) ulawToLinear(b(dOff + i) & 0xff)
+    else if (codec == 6) alawToLinear(b(dOff + i) & 0xff)
+    else bits match {
       case 8  => (b(dOff + i) & 0xff) - 128
       case 16 => leShort(b, dOff + 2 * i)
       case 24 =>
@@ -1602,14 +1637,14 @@ object MediaCodecHelper {
   def wavPcmStats(bytes: Array[Byte]): InternalRow = {
     val lay = pcmLayout(bytes)
     if (lay == null) return null
-    val Array(dOff, n, rate, channels, bits) = lay
+    val Array(dOff, n, rate, channels, bits, codec) = lay
     var sum = 0L; var sq = 0L; var peak = 0L; var zc = 0L
     var prevNeg = false
     var i = 0
     val total = n * channels
     try {
       while (i < total) {
-        val v = pcmSample(bytes, dOff, bits, i)
+        val v = pcmSample(bytes, dOff, bits, codec, i)
         sum = Math.addExact(sum, v)
         sq = Math.addExact(sq, Math.multiplyExact(v.toLong, v.toLong))
         val a = math.abs(v.toLong); if (a > peak) peak = a
@@ -1642,7 +1677,7 @@ object MediaCodecHelper {
     if (step <= 0) return null
     val lay = pcmLayout(bytes)
     if (lay == null) return null
-    val Array(dOff, n, rate, channels, bits) = lay
+    val Array(dOff, n, rate, channels, bits, codec) = lay
     val bp = bits / 8
     val kept = (n + step - 1) / step
     val dataLen = kept * bp * channels
@@ -1657,7 +1692,9 @@ object MediaCodecHelper {
     }
     putTag(0, "RIFF"); putLe(4, 36 + dataLen, 4); putTag(8, "WAVE")
     putTag(12, "fmt "); putLe(16, 16, 4)
-    putLe(20, 1, 2); putLe(22, channels, 2)
+    // the SOURCE codec rides along: raw sample bytes are copied verbatim,
+    // so a µ-law clip must re-emit as µ-law or its values change meaning
+    putLe(20, codec, 2); putLe(22, channels, 2)
     putLe(24, rate, 4); putLe(28, rate * bp * channels, 4)
     putLe(32, bp * channels, 2); putLe(34, bits, 2)
     putTag(36, "data"); putLe(40, dataLen, 4)

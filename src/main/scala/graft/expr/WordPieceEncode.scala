@@ -1,0 +1,126 @@
+package graft.expr
+
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** WordPiece tokenizer model (Schuster & Nakajima 2012; the BERT runtime
+  * convention, Devlin et al. 2019): a vocabulary of word-initial pieces
+  * and `##`-prefixed continuation pieces, encoded by GREEDY
+  * LONGEST-MATCH-FIRST — at each cursor take the longest vocabulary piece
+  * (word-initial form at position 0, `##` form after), emit, advance. A
+  * word containing a codepoint the vocabulary cannot cover at some cursor
+  * encodes as the single `[UNK]` piece — the BERT convention, and the ONE
+  * lossy case (documented; the gated corpus round-trip never hits it
+  * because training seeds every corpus codepoint, initial and
+  * continuation forms both).
+  *
+  * Deterministic by construction (a set lookup per candidate length,
+  * longest wins, no scores), so the corpus-wide decode∘encode oracle
+  * hash-gates the train+encode path like the BPE and unigram twins.
+  *
+  * Per-word results memoize in the same bounded cache as [[BpeModel]].
+  */
+final class WordPieceModel(val vocab: Array[String]) extends Serializable {
+  @transient private lazy val set: java.util.HashSet[String] = {
+    val s = new java.util.HashSet[String](vocab.length * 2)
+    vocab.foreach(s.add)
+    s
+  }
+  /** Longest piece in codepoints (## prefix not counted). */
+  @transient lazy val maxLen: Int =
+    if (vocab.isEmpty) 1
+    else math.max(1, vocab.iterator.map { p =>
+      val body = if (p.startsWith("##")) p.substring(2) else p
+      body.codePointCount(0, body.length)
+    }.max)
+
+  @transient private lazy val cache =
+    new java.util.concurrent.ConcurrentHashMap[String, Array[String]]()
+  private val CacheCap = 50000
+
+  val Unk = "[UNK]"
+
+  /** Greedy longest-match-first segmentation; Array(Unk) when some cursor
+    * position has no matching piece.
+    */
+  def encodeWord(word: String): Array[String] = {
+    val hit = cache.get(word)
+    if (hit != null) return hit
+    val cps: Array[String] =
+      word.codePoints().toArray.map(cp => new String(Character.toChars(cp)))
+    val n = cps.length
+    if (n == 0) return Array.empty
+    val out = collection.mutable.ArrayBuffer.empty[String]
+    var i = 0
+    var failed = false
+    while (i < n && !failed) {
+      var l = math.min(maxLen, n - i)
+      var matched: String = null
+      while (l >= 1 && matched == null) {
+        val body = cps.slice(i, i + l).mkString
+        val cand = if (i == 0) body else "##" + body
+        if (set.contains(cand)) matched = cand
+        else l -= 1
+      }
+      if (matched == null) failed = true
+      else { out += matched; i += l }
+    }
+    val res = if (failed) Array(Unk) else out.toArray
+    if (cache.size < CacheCap) cache.put(word, res)
+    res
+  }
+}
+
+/** Pieces of every token of a document, nested per token
+  * (`array<array<string>>`) — same structure and null contract as
+  * [[BpeEncode]]/[[UnigramEncode]]; continuation pieces carry their `##`
+  * prefix (the vocabulary form), which decode strips.
+  */
+case class WordPieceEncode(child: Expression, model: WordPieceModel)
+    extends UnaryExpression {
+  override def dataType: DataType =
+    ArrayType(ArrayType(StringType, containsNull = false),
+      containsNull = false)
+  override def prettyName: String = "graft_wordpiece_encode"
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(StringType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"graft_wordpiece_encode needs array<string>, got ${other.simpleString}")
+    }
+
+  def compute(arr: ArrayData): ArrayData = {
+    val n = arr.numElements()
+    val out = new Array[AnyRef](n)
+    var j = 0
+    while (j < n) {
+      out(j) =
+        if (arr.isNullAt(j)) new GenericArrayData(Array.empty[AnyRef])
+        else {
+          val pieces = model.encodeWord(arr.getUTF8String(j).toString)
+          new GenericArrayData(
+            pieces.map(p => UTF8String.fromString(p): AnyRef))
+        }
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("wordPieceEncode", this,
+      classOf[WordPieceEncode].getName)
+    nullSafeCodeGen(ctx, ev, x => s"${ev.value} = $ref.compute($x);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): WordPieceEncode =
+    copy(child = newChild)
+}

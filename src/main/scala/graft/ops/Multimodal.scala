@@ -168,6 +168,39 @@ object Multimodal {
     wavDepthBytes(32, 44100, 40 + (id % 20).toInt,
       i => (((i * 9973 + id * 31) % 400001).toInt - 200000) * 1000)
 
+  /** G.711 log-companded WAV (codec 6 = A-law, 7 = µ-law), mono, one
+    * byte per sample — the telephony/VoIP corpus format. `byteAt(i)` is
+    * the RAW companded byte; decode expands it through the public G.711
+    * formulas.
+    */
+  def wavG711Bytes(aLaw: Boolean, sampleRate: Int, nSamples: Int,
+                   byteAt: Int => Int): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    def le(i: Int, n: Int): Array[Byte] =
+      (0 until n).map(b => ((i >> (8 * b)) & 0xff).toByte).toArray
+    out.write("RIFF".getBytes("US-ASCII")); out.write(le(36 + nSamples, 4))
+    out.write("WAVE".getBytes("US-ASCII"))
+    out.write("fmt ".getBytes("US-ASCII")); out.write(le(16, 4))
+    out.write(le(if (aLaw) 6 else 7, 2)); out.write(le(1, 2)) // codec, mono
+    out.write(le(sampleRate, 4)); out.write(le(sampleRate, 4))
+    out.write(le(1, 2)); out.write(le(8, 2))            // block align, bits
+    out.write("data".getBytes("US-ASCII")); out.write(le(nSamples, 4))
+    for (i <- 0 until nSamples) out.write(byteAt(i) & 0xff)
+    out.toByteArray
+  }
+
+  /** µ-law lane: 70+id%35 samples at 8000 Hz, byte (i*29+id*13)%256 —
+    * sweeps every segment/mantissa/sign combination across the corpus.
+    */
+  def wavUlawBytes(id: Long): Array[Byte] =
+    wavG711Bytes(aLaw = false, 8000, 70 + (id % 35).toInt,
+      i => ((i * 29 + id * 13) % 256).toInt)
+
+  /** A-law lane: 65+id%25 samples at 8000 Hz, byte (i*37+id*11)%256. */
+  def wavAlawBytes(id: Long): Array[Byte] =
+    wavG711Bytes(aLaw = true, 8000, 65 + (id % 25).toInt,
+      i => ((i * 37 + id * 11) % 256).toInt)
+
   /** Minimal valid RGB PNG (color type 2, filter 0) — written by its OWN
     * byte-level code, deliberately NOT via MediaCodecHelper.encodePng: the
     * oracle check on decoded RGB values only means something if fixture
@@ -1381,6 +1414,8 @@ object Multimodal {
   val makeWav = udf((rate: Int, n: Int) => wavBytes(rate, n))
   val makeWavWithList = udf((rate: Int, n: Int) => wavBytesWithList(rate, n))
   val makeWav8 = udf((id: Long) => wav8Bytes(id))
+  val makeWavUlaw = udf((id: Long) => wavUlawBytes(id))
+  val makeWavAlaw = udf((id: Long) => wavAlawBytes(id))
   val makeWav24 = udf((id: Long) => wav24Bytes(id))
   val makeWav32 = udf((id: Long) => wav32Bytes(id))
 

@@ -1,0 +1,159 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, GraftBridge}
+import org.apache.spark.sql.functions._
+import graft.functions.{TextFunctions => T}
+import graft.expr.{WordPieceEncode, WordPieceModel}
+
+/** Trainable WordPiece tokenizer (Schuster & Nakajima 2012; the BERT
+  * vocabulary convention of Devlin et al. 2019) — the third production
+  * tokenizer beside [[Bpe]] and [[Unigram]], completing the family.
+  *
+  * Training is the published likelihood-gain merge rule: like BPE, but
+  * the next merge maximizes count(ab) / (count(a) · count(b)) — the pair
+  * whose fusion most increases corpus likelihood under a unigram piece
+  * model — rather than raw pair count (this is the rule HuggingFace
+  * tokenizers and the BERT wordpiece trainer document). Words are symbol
+  * sequences with the `##` continuation convention from the start
+  * (`abc` → `a ##b ##c`), so every learned piece is born in vocabulary
+  * form. The comparison is INTEGER-EXACT: scores are ratios of longs,
+  * compared by BigInt cross-multiplication (c₁·a₂·b₂ vs c₂·a₁·b₁ —
+  * products of three counts overflow Long at corpus scale), ties to the
+  * lexicographically smallest (left, right). No floats anywhere, so
+  * training is bit-reproducible and the corpus round-trip hash-gates it.
+  *
+  * The distributed/driver split is the family's: ONE word-count pass
+  * (token-hash shuffle, map-side combine, capped at maxWords
+  * deterministically) is the only corpus-sized computation; the merge
+  * loop is driver-side over the bounded table. Encoding is scan-side
+  * greedy longest-match ([[graft.expr.WordPieceEncode]]) with the
+  * vocabulary broadcast as a codegen reference object.
+  */
+object WordPiece {
+
+  /** Distributed word count → driver likelihood-gain merge loop. */
+  def train(df: DataFrame, textCol: String, numMerges: Int,
+            maxWords: Int = 100000): WordPieceModel = {
+    import graft.core.Cols.{q => Q}
+    require(numMerges >= 0, s"numMerges must be >= 0, got $numMerges")
+    val counts = df
+      .select(explode(T.tokens(T.normalized(Q(textCol)))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("w").asc)
+      .limit(maxWords)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    trainFromCounts(counts, numMerges)
+  }
+
+  /** The merge loop over a word-frequency table — driver-side by design,
+    * mirroring [[Bpe.trainFromCounts]] with the WordPiece scoring rule.
+    */
+  def trainFromCounts(counts: Seq[(String, Long)],
+                      numMerges: Int): WordPieceModel = {
+    var words: Array[(Array[String], Long)] = counts.map { case (w, c) =>
+      val cps = w.codePoints().toArray
+        .map(cp => new String(Character.toChars(cp)))
+      (cps.zipWithIndex.map { case (s, i) => if (i == 0) s else "##" + s },
+        c)
+    }.toArray
+    // base vocabulary: every symbol that occurs (initial + continuation)
+    val vocab = collection.mutable.LinkedHashSet.empty[String]
+    words.toSeq.sortBy { case (ps, _) => ps.mkString("\u0000") }
+      .foreach { case (ps, _) => ps.foreach(vocab.add) }
+
+    var m = 0
+    var exhausted = false
+    while (m < numMerges && !exhausted) {
+      val pairC = collection.mutable.Map.empty[(String, String), Long]
+      val symC = collection.mutable.Map.empty[String, Long]
+      words.foreach { case (ps, c) =>
+        var i = 0
+        while (i < ps.length) {
+          symC(ps(i)) = symC.getOrElse(ps(i), 0L) + c
+          if (i < ps.length - 1) {
+            val k = (ps(i), ps(i + 1))
+            pairC(k) = pairC.getOrElse(k, 0L) + c
+          }
+          i += 1
+        }
+      }
+      if (pairC.isEmpty) exhausted = true
+      else {
+        // argmax of c_ab/(c_a*c_b) by BigInt cross-multiplication; ties
+        // to the lexicographically smallest pair — fully deterministic
+        var best: (String, String) = null
+        var bestNum = BigInt(0); var bestDen = BigInt(1)
+        pairC.toSeq.sortBy { case ((l, r), _) => (l, r) }
+          .foreach { case ((l, r), cab) =>
+            val num = BigInt(cab)
+            val den = BigInt(symC(l)) * BigInt(symC(r))
+            if (best == null || num * bestDen > bestNum * den) {
+              best = (l, r); bestNum = num; bestDen = den
+            }
+          }
+        val merged = best._1 +
+          (if (best._2.startsWith("##")) best._2.substring(2) else best._2)
+        vocab.add(merged)
+        words = words.map { case (ps, c) =>
+          if (ps.length < 2) (ps, c)
+          else {
+            val out = collection.mutable.ArrayBuffer.empty[String]
+            var i = 0
+            while (i < ps.length) {
+              if (i < ps.length - 1 && ps(i) == best._1 &&
+                  ps(i + 1) == best._2) {
+                out += merged; i += 2
+              } else { out += ps(i); i += 1 }
+            }
+            (out.toArray, c)
+          }
+        }
+        m += 1
+      }
+    }
+    new WordPieceModel(vocab.toArray.sorted)
+  }
+
+  /** The model as a (piece) DataFrame — the persisted-twin snapshot
+    * shape. Greedy longest-match has no scores or order: the piece SET
+    * is the whole model.
+    */
+  def modelToDf(spark: org.apache.spark.sql.SparkSession,
+                model: WordPieceModel): DataFrame = {
+    import spark.implicits._
+    model.vocab.toSeq.toDF("piece")
+  }
+
+  /** Rebuild from the snapshot (vocabulary-sized collect). */
+  def modelFromDf(df: DataFrame): WordPieceModel =
+    new WordPieceModel(df.select(col("piece"))
+      .collect().map(_.getString(0)).sorted)
+
+  /** Per-token nested pieces column (vocabulary form, `##` carried). */
+  def pieces(textCol: Column, model: WordPieceModel): Column =
+    GraftBridge.column(WordPieceEncode(
+      GraftBridge.expression(T.tokens(T.normalized(textCol))), model))
+
+  /** Encode a corpus: (idCol, n_tokens, n_pieces, decoded), `decoded`
+    * stripping the `##` continuation prefixes — exact reconstruction
+    * whenever no token fell to `[UNK]`, which the shared oracle then
+    * hash-gates corpus-wide (training seeds every corpus codepoint, so
+    * the gated run has no `[UNK]`; a hostile unseen codepoint is the
+    * documented lossy case, spec-covered).
+    */
+  def encodeStats(df: DataFrame, idCol: String, textCol: String,
+                  model: WordPieceModel): DataFrame = {
+    import graft.core.Cols.{q => Q}
+    df.select(Q(idCol), pieces(Q(textCol), model).as("ps"))
+      .select(Q(idCol),
+        size(col("ps")).cast("long").as("n_tokens"),
+        size(flatten(col("ps"))).cast("long").as("n_pieces"),
+        // strip ## only at continuation POSITIONS (i > 0): a token whose
+        // text literally starts with "##" emits that as its word-initial
+        // piece, which must survive decode verbatim
+        concat_ws(" ", transform(col("ps"), x => concat_ws("",
+          transform(x, (p, i) => when(i === 0, p)
+            .otherwise(regexp_replace(p, lit("^##"), lit("")))))))
+          .as("decoded"))
+  }
+}

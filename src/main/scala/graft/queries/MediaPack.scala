@@ -308,6 +308,51 @@ object MediaPack {
       fs.getField("pcm_sum").as("fs_sum"))
   }
 
+  /** G.711 fixture: µ-law and A-law clips whose companded bytes sweep
+    * every segment/mantissa/sign combination, memoized separately.
+    */
+  private def audioG711Blobs(s: SparkSession, dir: String) = {
+    val (store, _) = Fixtures(s, dir, "fix_media_wav3") { st =>
+      st.write(Tables.documents(s, dir).select(col("doc_id"))
+        .withColumn("wu", Multimodal.makeWavUlaw(col("doc_id")))
+        .withColumn("wa", Multimodal.makeWavAlaw(col("doc_id"))),
+        "mm_wav3", slices = 8)
+      Map("blobs" -> "mm_wav3")
+    }
+    store.readResolved("mm_wav3")
+  }
+
+  /** REAL G.711 decode — the telephony/VoIP audio formats: µ-law
+    * (codec 7) and A-law (codec 6) expanded through the canonical
+    * integer formulas (complement/xor-0x55, segment-scaled mantissa,
+    * 0x84 / 8-and-0x108 biases), with the same integer-exact features as
+    * the PCM lanes, plus an every-2nd-frame decimation of the µ-law clip
+    * re-encoded AT ITS CODEC and re-analyzed (pins the codec-preserving
+    * frame sampler: raw companded bytes copied verbatim mean nothing
+    * unless the header still says µ-law). The DuckDB oracle replays the
+    * bit-twiddling — xor via (b|85)−(b&85), shifts as power-of-two
+    * multiplies. Codegen'd scan-side; no shuffle.
+    */
+  def audioG711(s: SparkSession, dir: String): DataFrame = {
+    val media = audioG711Blobs(s, dir)
+    val u = Multimodal.audioFeatures(col("wu"))
+    val a = Multimodal.audioFeatures(col("wa"))
+    val fs = Multimodal.audioFeatures(Multimodal.audioFrameSample(col("wu"), 2))
+    media.select(col("doc_id"),
+      u.getField("n_samples").as("u_n"),
+      u.getField("pcm_sum").as("u_sum"),
+      u.getField("pcm_sqsum").as("u_sqsum"),
+      u.getField("pcm_peak").as("u_peak"),
+      u.getField("pcm_zc").as("u_zc"),
+      a.getField("n_samples").as("a_n"),
+      a.getField("pcm_sum").as("a_sum"),
+      a.getField("pcm_sqsum").as("a_sqsum"),
+      a.getField("pcm_peak").as("a_peak"),
+      a.getField("pcm_zc").as("a_zc"),
+      fs.getField("n_samples").as("fs_n"),
+      fs.getField("pcm_sum").as("fs_sum"))
+  }
+
   /** DHT-less MJPEG fixture: frames coded against the Annex K typical
     * Huffman tables with NO DHT segment (the most common real-world MJPEG
     * flavor, per the OpenDML implied-standard-tables convention); 4:2:0
@@ -405,6 +450,7 @@ object MediaPack {
     "mm_video_frames" -> videoFrames _,
     "mm_video_nodht" -> videoNoDht _,
     "mm_audio_depth" -> audioDepth _,
+    "mm_audio_g711" -> audioG711 _,
     "pl_mm_corpus" -> multimodalCorpus _,
   )
 
@@ -892,6 +938,76 @@ object MediaPack {
          JOIN a8 ON a8.doc_id = d.doc_id
          JOIN a24 ON a24.doc_id = d.doc_id
          JOIN a32 ON a32.doc_id = d.doc_id
+         JOIN fs ON fs.doc_id = d.doc_id""",
+    // G.711 replay: µ-law byte b -> u = 255-b (the complement),
+    // v = ±(((u&15)*8 + 132) * 2^((u&112)//16) - 132) signed by u&128;
+    // A-law byte b -> a = b xor 0x55 (as (b|85)-(b&85)),
+    // t = CASE seg: (a&15)*16 + {8, 264, then *2^(seg-1)}, v = ±t by
+    // a&128. Zero crossings via lag; fs replays the every-2nd-frame
+    // decimation of the µ-law lane (codec-preserving re-encode).
+    "mm_audio_g711" ->
+      """WITH ub AS (
+           SELECT d.doc_id, i.i AS i,
+                  255 - ((i.i*29 + d.doc_id*13) % 256) AS u
+           FROM documents d
+           JOIN range(0, 105) i(i) ON i.i < 70 + d.doc_id % 35
+         ), uv AS (
+           SELECT doc_id, i,
+                  CASE WHEN (u & 128) != 0
+                    THEN 132 - (((u & 15)*8 + 132) * (1 << ((u & 112) // 16)))
+                    ELSE (((u & 15)*8 + 132) * (1 << ((u & 112) // 16))) - 132
+                  END AS v
+           FROM ub
+         ), uz AS (
+           SELECT doc_id, i, v,
+                  lag(v) OVER (PARTITION BY doc_id ORDER BY i) AS pv
+           FROM uv
+         ), ua AS (
+           SELECT doc_id, count(*) AS n, sum(v) AS s, sum(v*v) AS q,
+                  max(abs(v)) AS pk,
+                  sum(CASE WHEN pv IS NOT NULL AND ((v < 0) != (pv < 0))
+                      THEN 1 ELSE 0 END) AS zc
+           FROM uz GROUP BY doc_id
+         ), fs AS (
+           SELECT doc_id, count(*) AS n, sum(v) AS s
+           FROM uv WHERE i % 2 = 0 GROUP BY doc_id
+         ), ab AS (
+           SELECT d.doc_id, i.i AS i,
+                  (((i.i*37 + d.doc_id*11) % 256) | 85)
+                    - (((i.i*37 + d.doc_id*11) % 256) & 85) AS a
+           FROM documents d
+           JOIN range(0, 90) i(i) ON i.i < 65 + d.doc_id % 25
+         ), av AS (
+           SELECT doc_id, i,
+                  CASE WHEN (a & 128) != 0 THEN 1 ELSE -1 END *
+                  CASE (a & 112) // 16
+                    WHEN 0 THEN (a & 15)*16 + 8
+                    WHEN 1 THEN (a & 15)*16 + 264
+                    ELSE ((a & 15)*16 + 264) * (1 << ((a & 112) // 16 - 1))
+                  END AS v
+           FROM ab
+         ), az AS (
+           SELECT doc_id, i, v,
+                  lag(v) OVER (PARTITION BY doc_id ORDER BY i) AS pv
+           FROM av
+         ), aa AS (
+           SELECT doc_id, count(*) AS n, sum(v) AS s, sum(v*v) AS q,
+                  max(abs(v)) AS pk,
+                  sum(CASE WHEN pv IS NOT NULL AND ((v < 0) != (pv < 0))
+                      THEN 1 ELSE 0 END) AS zc
+           FROM az GROUP BY doc_id
+         )
+         SELECT d.doc_id,
+         CAST(ua.n AS BIGINT) AS u_n, CAST(ua.s AS BIGINT) AS u_sum,
+         CAST(ua.q AS BIGINT) AS u_sqsum, CAST(ua.pk AS BIGINT) AS u_peak,
+         CAST(ua.zc AS BIGINT) AS u_zc,
+         CAST(aa.n AS BIGINT) AS a_n, CAST(aa.s AS BIGINT) AS a_sum,
+         CAST(aa.q AS BIGINT) AS a_sqsum, CAST(aa.pk AS BIGINT) AS a_peak,
+         CAST(aa.zc AS BIGINT) AS a_zc,
+         CAST(fs.n AS BIGINT) AS fs_n, CAST(fs.s AS BIGINT) AS fs_sum
+         FROM documents d
+         JOIN ua ON ua.doc_id = d.doc_id
+         JOIN aa ON aa.doc_id = d.doc_id
          JOIN fs ON fs.doc_id = d.doc_id""",
     // DHT-less MJPEG replay: (12+id%13)x(8+id%9) 4:2:0 color,
     // 2+id%4 frames at 15000+(id%4)*15000 us/frame, sampled every 2nd.

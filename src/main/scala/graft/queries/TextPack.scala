@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.core.Tables
 import graft.functions.{TextFunctions => T, SimilarityFunctions => S}
-import graft.ops.{Bm25, Bpe, Dedup, KMeans, ModelFilter, SemDeDup, SimilaritySearch, TrainingPipeline, Unigram}
+import graft.ops.{Bm25, Bpe, Dedup, KMeans, ModelFilter, SemDeDup, SimilaritySearch, TrainingPipeline, Unigram, WordPiece}
 
 /** Training-data pipeline queries over `documents` / `embeddings`:
   * text analysis, dedup families, similarity search — each oracle-checked
@@ -1183,9 +1183,42 @@ object TextPack {
       .select(col("doc_id"), col("n_tokens"), col("decoded"))
   }
 
+  /** WordPiece (Schuster & Nakajima 2012 / BERT): train 200
+    * likelihood-gain merges (BigInt-exact score comparison), encode by
+    * greedy longest-match scan-side, emit the exact reconstruction. The
+    * oracle hash-gates decode∘encode == normalized text corpus-wide;
+    * training seeds every corpus codepoint (initial + continuation
+    * forms), so no token falls to the documented [UNK] lossy case inside
+    * the gate. Merge-rule and greedy laws are WordPieceSpec's job.
+    */
+  def wordPieceRoundtripQ(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+    val model = WordPiece.train(d, "text", numMerges = 200)
+    WordPiece.encodeStats(d, "doc_id", "text", model)
+      .select(col("doc_id"), col("n_tokens"), col("decoded"))
+  }
+
+  /** WordPiece against a PERSISTED vocabulary — greedy longest-match has
+    * no scores or merge order, so the piece SET snapshot is the whole
+    * model; shares the roundtrip oracle (the pl_bpe_persisted pattern).
+    */
+  def wordPiecePersistedQ(s: SparkSession, dir: String): DataFrame = {
+    val (store, _) = Fixtures(s, dir, "job_wordpiece_model") { st =>
+      val model = WordPiece.train(Tables.documents(s, dir), "text",
+        numMerges = 200)
+      st.write(WordPiece.modelToDf(s, model), "wp_vocab", slices = 1)
+      Map("vocab" -> "wp_vocab")
+    }
+    val model = WordPiece.modelFromDf(store.readResolved("wp_vocab"))
+    WordPiece.encodeStats(Tables.documents(s, dir), "doc_id", "text", model)
+      .select(col("doc_id"), col("n_tokens"), col("decoded"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "pl_unigram_roundtrip" -> unigramRoundtripQ _,
     "pl_unigram_persisted" -> unigramPersistedQ _,
+    "pl_wordpiece_roundtrip" -> wordPieceRoundtripQ _,
+    "pl_wordpiece_persisted" -> wordPiecePersistedQ _,
     "pl_split" -> pipelineSplit _,
     "pl_shuffle" -> pipelineShuffle _,
     "pl_chunks" -> pipelineChunks _,
@@ -1940,6 +1973,18 @@ object TextPack {
            FROM documents)
            SELECT doc_id, len(ts)::BIGINT n_tokens, array_to_string(ts, ' ') decoded FROM n""",
     "pl_unigram_persisted" ->
+      raw"""WITH n AS (SELECT doc_id,
+           [t for t in string_split(lower(trim(regexp_replace(text,'\s+',' '))),' ') if t <> ''] ts
+           FROM documents)
+           SELECT doc_id, len(ts)::BIGINT n_tokens, array_to_string(ts, ' ') decoded FROM n""",
+    // wordpiece: greedy longest-match must reconstruct every document
+    // exactly (no [UNK] when training saw the corpus's codepoints)
+    "pl_wordpiece_roundtrip" ->
+      raw"""WITH n AS (SELECT doc_id,
+           [t for t in string_split(lower(trim(regexp_replace(text,'\s+',' '))),' ') if t <> ''] ts
+           FROM documents)
+           SELECT doc_id, len(ts)::BIGINT n_tokens, array_to_string(ts, ' ') decoded FROM n""",
+    "pl_wordpiece_persisted" ->
       raw"""WITH n AS (SELECT doc_id,
            [t for t in string_split(lower(trim(regexp_replace(text,'\s+',' '))),' ') if t <> ''] ts
            FROM documents)

@@ -115,6 +115,30 @@ class GraftExtensionsSpec extends AnyFunSuite {
       assert(gm.getInt(0) == 13 + 3 % 17 && gm.getInt(1) == 8 + 3 % 9)
       assert(gm.getInt(2) == 3)
       assert(gm.getInt(3) >= 0 && gm.getInt(3) <= 255)
+      // full PNG decode from SQL — a palette+tRNS Adam7 fixture (id 4:
+      // id%3==1, interlaced) exercises the r15 envelope from pure SQL
+      val pngHex = graft.ops.Multimodal.palAlphaPngBytes(4L)
+        .map("%02X".format(_)).mkString
+      val pm = s.sql(
+        s"SELECT p.width, p.height, p.channels " +
+          s"FROM (SELECT graft_png_stats(unhex('$pngHex')) AS p)")
+        .head
+      assert(pm.getInt(0) == 10 + 4 % 17 && pm.getInt(1) == 6 + 4 % 11)
+      assert(pm.getInt(2) == 4, "palette+tRNS decodes to RGBA")
+      // full JPEG decode from SQL — the progressive fixture
+      val jpHex = graft.ops.Multimodal.grayProgressiveJpegBytes(2L)
+        .map("%02X".format(_)).mkString
+      val jp = s.sql(
+        s"SELECT j.width, j.channels FROM (SELECT graft_jpeg_stats(" +
+          s"unhex('$jpHex')) AS j)").head
+      assert(jp.getInt(0) == 17 + 2 % 29 && jp.getInt(1) == 1)
+      // WAV PCM stats from SQL — the 24-bit depth fixture
+      val wavHex = graft.ops.Multimodal.wav24Bytes(1L)
+        .map("%02X".format(_)).mkString
+      val wm = s.sql(
+        s"SELECT w.n_samples, w.pcm_bits FROM (SELECT graft_wav_stats(" +
+          s"unhex('$wavHex')) AS w)").head
+      assert(wm.getLong(0) == 60 + 1 % 30 && wm.getInt(1) == 24)
     }
   }
 

@@ -203,6 +203,18 @@ class MediaCodecSpec extends AnyFunSuite {
       s"per-row decode must be a pure scan-side map, found: $exchanges")
   }
 
+  test("r15 media envelopes: every new decode query plans zero shuffles") {
+    import org.apache.spark.sql.execution.exchange.Exchange
+    for (q <- Seq(
+        graft.queries.MediaPack.pngEnvelope(spark, TestSpark.sfDir),
+        graft.queries.MediaPack.videoNoDht(spark, TestSpark.sfDir),
+        graft.queries.MediaPack.audioDepth(spark, TestSpark.sfDir))) {
+      val exchanges = physicalNoAqe(q).collect { case e: Exchange => e }
+      assert(exchanges.isEmpty,
+        s"per-row decode must be a pure scan-side map, found: $exchanges")
+    }
+  }
+
   test("PNG with IDAT split across multiple chunks decodes (valid per spec)") {
     // re-chunk a fixture PNG: split its single IDAT into 3-byte chunks
     val whole = Multimodal.pngBytes(12, 7)
@@ -339,6 +351,45 @@ class MediaCodecSpec extends AnyFunSuite {
     assert(tail != null && tail.bpp == 4)
     assert((tail.pix(3) & 0xff) == 7, "entry 0 alpha from tRNS")
     assert((tail.pix(7) & 0xff) == 255, "entry 1 defaults opaque")
+  }
+
+  test("G.711 expansion: canonical extremes, algebraic identity, WAV path") {
+    // canonical values from the G.711 tables: both µ-law zeros, the
+    // ±32124 µ-law extremes, the A-law -8 at 0x55 and +32256 at 0xAA
+    assert(MediaCodecHelper.ulawToLinear(0xff) == 0)
+    assert(MediaCodecHelper.ulawToLinear(0x7f) == 0)
+    assert(MediaCodecHelper.ulawToLinear(0x00) == -32124)
+    assert(MediaCodecHelper.ulawToLinear(0x80) == 32124)
+    assert(MediaCodecHelper.alawToLinear(0x55) == -8)
+    assert(MediaCodecHelper.alawToLinear(0xaa) == 32256)
+    assert(MediaCodecHelper.alawToLinear(0x2a) == -32256)
+    // algebraic identity over ALL 256 bytes: the implementation's
+    // ((8m+132)<<e)-132 must equal the (2m+33)*2^(e+2)-132 closed form
+    for (b <- 0 until 256) {
+      val u = (~b) & 0xff
+      val mag = ((2 * (u & 15) + 33) << (((u & 112) >> 4) + 2)) - 132
+      val want = if ((u & 128) != 0) -mag else mag
+      assert(MediaCodecHelper.ulawToLinear(b) == want, s"ulaw byte $b")
+    }
+    // through the WAV path: stats over a µ-law fixture replay the formula
+    val row = MediaCodecHelper.wavPcmStats(Multimodal.wavUlawBytes(3L))
+    val vals = (0 until 70 + 3 % 35)
+      .map(i => MediaCodecHelper.ulawToLinear(((i * 29 + 3 * 13) % 256).toInt))
+    assert(row != null && row.getInt(6) == 8)
+    assert(row.getLong(0) == vals.length.toLong)
+    assert(row.getLong(2) == vals.map(_.toLong).sum)
+    assert(row.getLong(3) == vals.map(v => v.toLong * v).sum)
+    // decimation preserves the codec: re-encoded clip still decodes µ-law
+    val fs = MediaCodecHelper.wavPcmStats(
+      MediaCodecHelper.wavFrameSample(Multimodal.wavUlawBytes(3L), 2))
+    val kept = vals.indices.filter(_ % 2 == 0).map(vals)
+    assert(fs != null && fs.getLong(2) == kept.map(_.toLong).sum,
+      "codec lost in the frame-sample re-encode")
+    // A-law WAV path
+    val ar = MediaCodecHelper.wavPcmStats(Multimodal.wavAlawBytes(5L))
+    val avals = (0 until 65 + 5 % 25)
+      .map(i => MediaCodecHelper.alawToLinear(((i * 37 + 5 * 11) % 256).toInt))
+    assert(ar != null && ar.getLong(2) == avals.map(_.toLong).sum)
   }
 
   test("jpegMeta walks SOI→SOF through variable-length segments") {
