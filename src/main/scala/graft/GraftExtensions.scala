@@ -136,6 +136,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         graft.expr.GifStats(args(0))
     }
 
+    inject("graft_gif_meta",
+      "graft_gif_meta(bin) - struct(width, height, n_frames): GIF animation length via the sub-block walk, no decode") {
+      args => expect(args, 1)
+        graft.expr.GifMeta(args(0))
+    }
+
     inject("graft_png_stats",
       "graft_png_stats(bin) - struct(width, height, channels, px_sum, px_min, px_max) of a decoded PNG (all 8-bit color types, Adam7 included)") {
       args => expect(args, 1)

@@ -1425,6 +1425,60 @@ object MediaCodecHelper {
     * fully decoded GIF raster (same shape as [[pngStats]]); null outside
     * the envelope.
     */
+  /** GIF container metadata — struct(width, height, n_frames): the
+    * logical-screen dimensions plus a count of ALL image descriptors via
+    * the bounded sub-block walk (local color tables and LZW data are
+    * SKIPPED by length, never decoded), so animation length is a cheap
+    * header pass while pixel decode stays first-frame
+    * ([[decodeGif]]'s envelope). Null for non-GIF / malformed streams,
+    * and for a stream with no image before the trailer.
+    */
+  def gifMeta(bytes: Array[Byte]): InternalRow = {
+    if (bytes == null || bytes.length < 14) return null
+    try {
+      def u8(i: Int): Int = { if (i < 0 || i >= bytes.length) throw JpegBail; bytes(i) & 0xff }
+      def u16(i: Int): Int = u8(i) | (u8(i + 1) << 8)
+      val sig = new String(bytes, 0, 6, "US-ASCII")
+      if (sig != "GIF87a" && sig != "GIF89a") return null
+      val w = u16(6); val h = u16(8)
+      if (w <= 0 || h <= 0) return null
+      var off = 6
+      val gpacked = u8(off + 4)
+      off += 7
+      if ((gpacked & 0x80) != 0) off += 3 * (2 << (gpacked & 7))
+      var frames = 0
+      def skipSubBlocks(): Unit = {
+        var len = u8(off)
+        while (len != 0) { off += 1 + len; len = u8(off) }
+        off += 1
+      }
+      var done = false
+      while (!done && off < bytes.length && frames < (1 << 20)) {
+        u8(off) match {
+          case 0x21 => // extension
+            off += 2
+            skipSubBlocks()
+          case 0x3b => done = true // trailer
+          case 0x2c => // image descriptor
+            val ip = u8(off + 9)
+            off += 10
+            if ((ip & 0x80) != 0) off += 3 * (2 << (ip & 7))
+            off += 1 // LZW minimum code size
+            skipSubBlocks()
+            frames += 1
+          case _ => throw JpegBail
+        }
+      }
+      if (frames == 0) return null
+      new GenericInternalRow(Array[Any](w, h, frames))
+    } catch { case _: RuntimeException => null }
+  }
+
+  val GifMetaType: StructType = StructType(Seq(
+    StructField("width", IntegerType, nullable = false),
+    StructField("height", IntegerType, nullable = false),
+    StructField("n_frames", IntegerType, nullable = false)))
+
   def gifStats(bytes: Array[Byte]): InternalRow = {
     val r = decodeGif(bytes)
     if (r == null) return null
@@ -1813,6 +1867,27 @@ case class GifStats(child: Expression) extends UnaryExpression {
        """.stripMargin
     })
   override protected def withNewChildInternal(newChild: Expression): GifStats =
+    copy(child = newChild)
+}
+
+/** GIF container metadata (logical-screen dims + image-descriptor count
+  * via the bounded sub-block walk — animation length without decode);
+  * null for non-GIF / malformed / imageless streams.
+  */
+case class GifMeta(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = MediaCodecHelper.GifMetaType
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_gif_meta"
+  override def nullSafeEval(input: Any): Any =
+    MediaCodecHelper.gifMeta(input.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      s"""
+         |${ev.value} = graft.expr.MediaCodecHelper.gifMeta($c);
+         |${ev.isNull} = (${ev.value} == null);
+       """.stripMargin
+    })
+  override protected def withNewChildInternal(newChild: Expression): GifMeta =
     copy(child = newChild)
 }
 

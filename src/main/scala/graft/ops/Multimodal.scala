@@ -1063,6 +1063,73 @@ object Multimodal {
     * with the production decoder (graft.expr.MediaCodecHelper
     * .decodeGif/gifLzw).
     */
+  /** ANIMATED GIF fixture: `nFrames` full-screen images behind a global
+    * 16-color table, each preceded by a Graphic Control Extension (the
+    * real animation layout). The LZW stream is the classic
+    * "uncompressed GIF" emission — every pixel as a literal code at
+    * width mcs+1 with a CLEAR before the dictionary could outgrow that
+    * width — deliberately a DIFFERENT valid encoding than [[gifBytes]]'
+    * growing-dictionary compressor, so the decoder's CLEAR-reset path is
+    * proven by the gate too. Frame f pixel (x,y) = pixIdx(x, y, f).
+    */
+  def gifAnimBytes(width: Int, height: Int, nFrames: Int,
+                   pal: Int => (Int, Int, Int),
+                   pixIdx: (Int, Int, Int) => Int): Array[Byte] = {
+    require(width > 0 && height > 0 && nFrames >= 1)
+    val out = new java.io.ByteArrayOutputStream()
+    def b(vs: Int*): Unit = vs.foreach(v => out.write(v & 0xff))
+    def le16(v: Int): Unit = { out.write(v & 0xff); out.write((v >> 8) & 0xff) }
+    out.write("GIF89a".getBytes("US-ASCII"))
+    le16(width); le16(height)
+    b(0x80 | 3, 0, 0) // global table, 16 entries
+    for (i <- 0 until 16) { val (r, g, bb) = pal(i); b(r, g, bb) }
+    val mcs = 4
+    val clear = 1 << mcs
+    val codeW = mcs + 1
+    // safe literal run between CLEARs: dictionary starts at clear+2
+    // entries and gains one per code after the first; stay under 2^codeW
+    val runCap = (1 << codeW) - clear - 3
+    for (f <- 0 until nFrames) {
+      b(0x21, 0xf9, 4, 0, 10, 0, 0, 0) // GCE: 10cs delay, no transparency
+      b(0x2c); le16(0); le16(0); le16(width); le16(height); b(0)
+      b(mcs)
+      val data = new java.io.ByteArrayOutputStream()
+      var acc = 0; var nbits = 0
+      def putCode(c: Int): Unit = {
+        acc |= c << nbits; nbits += codeW
+        while (nbits >= 8) { data.write(acc & 0xff); acc >>= 8; nbits -= 8 }
+      }
+      putCode(clear)
+      var run = 0
+      for (y <- 0 until height; x <- 0 until width) {
+        if (run == runCap) { putCode(clear); run = 0 }
+        putCode(pixIdx(x, y, f) & 15)
+        run += 1
+      }
+      putCode(clear + 1) // EOI
+      if (nbits > 0) data.write(acc & 0xff)
+      val bytes = data.toByteArray
+      var o = 0
+      while (o < bytes.length) {
+        val n = math.min(255, bytes.length - o)
+        b(n); out.write(bytes, o, n); o += n
+      }
+      b(0)
+    }
+    b(0x3b)
+    out.toByteArray
+  }
+
+  /** Per-doc animated fixture: (11+id%13) x (7+id%7), 2+id%5 frames,
+    * palette i → ((i*43+3)%256, (i*67+9)%256, (i*97+27)%256), frame f
+    * pixel (x,y) = (x*3 + y*7 + id + f*5) % 16.
+    */
+  def gifAnimFixtureBytes(id: Long): Array[Byte] =
+    gifAnimBytes(11 + (id % 13).toInt, 7 + (id % 7).toInt,
+      2 + (id % 5).toInt,
+      i => ((i * 43 + 3) % 256, (i * 67 + 9) % 256, (i * 97 + 27) % 256),
+      (x, y, f) => ((x * 3 + y * 7 + id + f * 5) % 16).toInt)
+
   def gifBytes(width: Int, height: Int, interlaced: Boolean, nColorBits: Int,
                pal: Int => (Int, Int, Int),
                pixIdx: (Int, Int) => Int,
@@ -1407,6 +1474,7 @@ object Multimodal {
   val makeColorProgressiveJpeg = udf((id: Long) => colorProgressiveJpegBytes(id))
   val makeSeqJpeg = udf((id: Long) => seqJpegBytes(id))
   val makeGif = udf((id: Long) => gifFixtureBytes(id))
+  val makeGifAnim = udf((id: Long) => gifAnimFixtureBytes(id))
   val makeJpeg = udf((w: Int, h: Int, c: Int) => jpegBytes(w, h, c))
   val makeRgbPng = udf((w: Int, h: Int) => rgbPngBytes(w, h))
   val makeAviMjpeg = udf((id: Long) => aviMjpegBytes(id))
@@ -1550,6 +1618,12 @@ object Multimodal {
     * outside the envelope. Codegen'd scan-side map like [[decodeJpeg]].
     */
   def decodeGif(bin: Column): Column = bridge(graft.expr.GifStats(ex(bin)))
+
+  /** GIF container metadata: struct(width, height, n_frames) — animation
+    * length from the bounded sub-block walk, no pixel decode. Null for
+    * non-GIF / malformed / imageless blobs.
+    */
+  def gifMeta(bin: Column): Column = bridge(graft.expr.GifMeta(ex(bin)))
 
   /** REAL JPEG → PNG transcode with nearest-neighbor resize: full
     * baseline decode, integer-floor index map, lossless PNG re-encode

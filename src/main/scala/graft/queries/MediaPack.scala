@@ -308,6 +308,41 @@ object MediaPack {
       fs.getField("pcm_sum").as("fs_sum"))
   }
 
+  /** Animated-GIF fixture: multi-frame GIFs from the independent
+    * clear-code LZW writer, memoized separately.
+    */
+  private def gifAnimBlobs(s: SparkSession, dir: String) = {
+    val (store, _) = Fixtures(s, dir, "fix_media_gif2") { st =>
+      st.write(Tables.documents(s, dir).select(col("doc_id"))
+        .withColumn("gan", Multimodal.makeGifAnim(col("doc_id"))),
+        "mm_gif2", slices = 8)
+      Map("blobs" -> "mm_gif2")
+    }
+    store.readResolved("mm_gif2")
+  }
+
+  /** Animated GIF: frame COUNT from the bounded sub-block walk (the
+    * cheap header pass — LZW data skipped by length, never decoded) plus
+    * the full first-frame decode, whose fixture stream here uses the
+    * OTHER legal LZW emission (literal codes with CLEAR resets before
+    * any width growth — the classic uncompressed-GIF layout) so the
+    * decoder's CLEAR-reset path is inside the hash gate too. Every
+    * output replays from closed-form integer functions of doc_id.
+    * Codegen'd scan-side; no shuffle.
+    */
+  def gifAnim(s: SparkSession, dir: String): DataFrame = {
+    val media = gifAnimBlobs(s, dir)
+    val meta = Multimodal.gifMeta(col("gan"))
+    val g1 = Multimodal.decodeGif(col("gan"))
+    media.select(col("doc_id"),
+      meta.getField("width").cast("long").as("ga_w"),
+      meta.getField("height").cast("long").as("ga_h"),
+      meta.getField("n_frames").cast("long").as("ga_frames"),
+      g1.getField("px_sum").as("g1_sum"),
+      g1.getField("px_min").cast("long").as("g1_min"),
+      g1.getField("px_max").cast("long").as("g1_max"))
+  }
+
   /** G.711 fixture: µ-law and A-law clips whose companded bytes sweep
     * every segment/mantissa/sign combination, memoized separately.
     */
@@ -451,6 +486,7 @@ object MediaPack {
     "mm_video_nodht" -> videoNoDht _,
     "mm_audio_depth" -> audioDepth _,
     "mm_audio_g711" -> audioG711 _,
+    "mm_gif_anim" -> gifAnim _,
     "pl_mm_corpus" -> multimodalCorpus _,
   )
 
@@ -939,6 +975,33 @@ object MediaPack {
          JOIN a24 ON a24.doc_id = d.doc_id
          JOIN a32 ON a32.doc_id = d.doc_id
          JOIN fs ON fs.doc_id = d.doc_id""",
+    // animated GIF replay: (11+id%13) x (7+id%7), 2+id%5 frames; frame 0
+    // pixel (x,y) -> palette((x*3 + y*7 + id) % 16) with palette
+    // i -> ((i*43+3)%256, (i*67+9)%256, (i*97+27)%256)
+    "mm_gif_anim" ->
+      """WITH gp AS (
+           SELECT d.doc_id, ((x.x*3 + y.y*7 + d.doc_id) % 16) AS i
+           FROM documents d
+           JOIN range(0, 24) x(x) ON x.x < 11 + d.doc_id % 13
+           JOIN range(0, 14) y(y) ON y.y < 7 + d.doc_id % 7
+         ), gc AS (
+           SELECT doc_id, (i*43 + 3) % 256 AS r, (i*67 + 9) % 256 AS g,
+                  (i*97 + 27) % 256 AS b
+           FROM gp
+         ), g1 AS (
+           SELECT doc_id, sum(r + g + b) AS s,
+                  min(LEAST(r, g, b)) AS mn, max(GREATEST(r, g, b)) AS mx
+           FROM gc GROUP BY doc_id
+         )
+         SELECT d.doc_id,
+         CAST(11 + d.doc_id % 13 AS BIGINT) AS ga_w,
+         CAST(7 + d.doc_id % 7 AS BIGINT) AS ga_h,
+         CAST(2 + d.doc_id % 5 AS BIGINT) AS ga_frames,
+         CAST(g1.s AS BIGINT) AS g1_sum,
+         CAST(g1.mn AS BIGINT) AS g1_min,
+         CAST(g1.mx AS BIGINT) AS g1_max
+         FROM documents d
+         JOIN g1 ON g1.doc_id = d.doc_id""",
     // G.711 replay: µ-law byte b -> u = 255-b (the complement),
     // v = ±(((u&15)*8 + 132) * 2^((u&112)//16) - 132) signed by u&128;
     // A-law byte b -> a = b xor 0x55 (as (b|85)-(b&85)),

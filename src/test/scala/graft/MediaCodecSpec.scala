@@ -793,6 +793,37 @@ class MediaCodecSpec extends AnyFunSuite {
     assert(MediaCodecHelper.decodeGif(small) == null)
   }
 
+  test("animated GIF: frame count via the sub-block walk, clear-code decode") {
+    for (id <- 0L until 32L) {
+      val w = 11 + (id % 13).toInt; val h = 7 + (id % 7).toInt
+      val nf = 2 + (id % 5).toInt
+      val blob = Multimodal.gifAnimFixtureBytes(id)
+      val meta = MediaCodecHelper.gifMeta(blob)
+      assert(meta != null, s"id $id meta")
+      assert(meta.getInt(0) == w && meta.getInt(1) == h && meta.getInt(2) == nf)
+      // frame 0 decodes through the CLEAR-reset literal-code stream
+      val r = MediaCodecHelper.decodeGif(blob)
+      assert(r != null && r.width == w && r.height == h, s"id $id decode")
+      for (y <- 0 until h; x <- 0 until w) {
+        val i = ((x * 3 + y * 7 + id) % 16).toInt
+        assert((r.pix((y * w + x) * 3) & 0xff) == (i * 43 + 3) % 256,
+          s"id $id ($x,$y)")
+      }
+    }
+    // gifMeta on the single-image fixtures counts exactly one frame, and
+    // the two meta paths agree on dimensions
+    val single = Multimodal.gifFixtureBytes(9L)
+    val m1 = MediaCodecHelper.gifMeta(single)
+    assert(m1 != null && m1.getInt(2) == 1)
+    assert(m1.getInt(0) == 13 + 9 % 17 && m1.getInt(1) == 8 + 9 % 9)
+    // malformed: truncated mid-frame / non-GIF / imageless -> null
+    val anim = Multimodal.gifAnimFixtureBytes(4L)
+    assert(MediaCodecHelper.gifMeta(anim.dropRight(anim.length / 3)) == null)
+    assert(MediaCodecHelper.gifMeta(Multimodal.pngBytes(4, 4)) == null)
+    val imageless = anim.take(13 + 48) ++ Array(0x3b.toByte)
+    assert(MediaCodecHelper.gifMeta(imageless) == null)
+  }
+
   test("GIF: local color table overrides a decoy global; extensions skipped") {
     def px(x: Int, y: Int) = (x * 3 + y * 5) % 16
     def pl(i: Int) = ((i * 31 + 7) % 256, (i * 43 + 13) % 256, (i * 53 + 17) % 256)
