@@ -43,9 +43,10 @@ import org.apache.spark.sql.types._
   * zlib stream (java.util.zip) and the filter pass is ~40 lines of integer
   * arithmetic; baseline JPEG is canonical-Huffman bit reading plus an 8×8
   * IDCT, all bounded public-spec work; WAV PCM is length-prefixed
-  * little-endian shorts. The remaining `decodeImageStub` seam in
-  * ops/Multimodal is only for VIDEO — the one format that genuinely needs
-  * an external codec.
+  * little-endian integers. The remaining `decodeImageStub` seam in
+  * ops/Multimodal covers only INTER-FRAME video codecs
+  * (H.264/HEVC/VP9/AV1) — the one family that genuinely needs an
+  * external codec; MJPEG-in-AVI (DHT-ful and DHT-less) decodes here.
   */
 object MediaCodecHelper {
 

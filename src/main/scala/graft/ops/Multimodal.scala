@@ -12,9 +12,12 @@ import org.apache.spark.sql.functions._
   * materialized to its own columns). Header parsing is pure Column
   * arithmetic over `substring`/`hex`/`conv` — codegen'd, no UDF in the
   * extract path. Pixel/sample DECODE is REAL for every image/audio
-  * format in scope — PNG (gray/RGB 8-bit: inflate + filter
-  * reconstruction), baseline JPEG (Huffman + dequant + IDCT + chroma
-  * upsample + YCbCr→RGB, ITU-T T.81) and integer-PCM WAV (8/16/24/32-bit) — via the codegen'd
+  * format in scope — PNG (all five 8-bit color types incl. palette and
+  * alpha, sequential or Adam7: inflate + filter reconstruction), JPEG
+  * (baseline/multi-scan/progressive: Huffman + dequant + IDCT + chroma
+  * upsample + YCbCr→RGB, ITU-T T.81), GIF (LZW + palettes + interlace,
+  * animation length via [[gifMeta]]), integer-PCM WAV (8/16/24/32-bit)
+  * and G.711 µ-law/A-law — via the codegen'd
   * expressions in graft.expr.MediaCodecHelper ([[decodeImage]],
   * [[decodeJpeg]], [[imageResize]], [[jpegResizePng]],
   * [[audioFeatures]], [[audioFrameSample]]). [[jpegMeta]] additionally
@@ -1545,9 +1548,9 @@ object Multimodal {
 
   /** JPEG frame-header metadata via the codegen'd SOI/SOF marker walk
     * (graft.expr.JpegMeta): struct(width, height, components), null for
-    * non-JPEG/malformed blobs. Pixel decode remains behind
-    * [[decodeImageStub]]'s external-codec seam — header metadata +
-    * content-hash dedup need no codec.
+    * non-JPEG/malformed blobs. Cheaper than [[decodeJpeg]] (no entropy
+    * decode) and wider (covers arithmetic/12-bit headers pixel decode
+    * honestly nulls on) — the metadata-only dedup/gating path.
     */
   def jpegMeta(bin: Column): Column =
     org.apache.spark.sql.GraftBridge.column(

@@ -80,17 +80,24 @@ object WordPiece {
       if (pairC.isEmpty) exhausted = true
       else {
         // argmax of c_ab/(c_a*c_b) by BigInt cross-multiplication; ties
-        // to the lexicographically smallest pair — fully deterministic
+        // to the lexicographically smallest pair. One unsorted pass —
+        // the explicit tie-break makes the argmax independent of map
+        // iteration order, so no per-merge sort is needed (it was the
+        // merge loop's dominant cost at large vocabularies)
         var best: (String, String) = null
         var bestNum = BigInt(0); var bestDen = BigInt(1)
-        pairC.toSeq.sortBy { case ((l, r), _) => (l, r) }
-          .foreach { case ((l, r), cab) =>
-            val num = BigInt(cab)
-            val den = BigInt(symC(l)) * BigInt(symC(r))
-            if (best == null || num * bestDen > bestNum * den) {
-              best = (l, r); bestNum = num; bestDen = den
+        pairC.foreach { case (k @ (l, r), cab) =>
+          val num = BigInt(cab)
+          val den = BigInt(symC(l)) * BigInt(symC(r))
+          val better =
+            if (best == null) true
+            else {
+              val c = (num * bestDen).compare(bestNum * den)
+              c > 0 || (c == 0 &&
+                (l < best._1 || (l == best._1 && r < best._2)))
             }
-          }
+          if (better) { best = k; bestNum = num; bestDen = den }
+        }
         val merged = best._1 +
           (if (best._2.startsWith("##")) best._2.substring(2) else best._2)
         vocab.add(merged)

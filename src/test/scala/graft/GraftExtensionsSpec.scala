@@ -115,6 +115,13 @@ class GraftExtensionsSpec extends AnyFunSuite {
       assert(gm.getInt(0) == 13 + 3 % 17 && gm.getInt(1) == 8 + 3 % 9)
       assert(gm.getInt(2) == 3)
       assert(gm.getInt(3) >= 0 && gm.getInt(3) <= 255)
+      // animation length from SQL — the multi-frame fixture (id 6: 3 frames)
+      val ganHex = graft.ops.Multimodal.gifAnimFixtureBytes(6L)
+        .map("%02X".format(_)).mkString
+      val ga = s.sql(
+        s"SELECT g.n_frames FROM (SELECT graft_gif_meta(unhex('$ganHex')) AS g)")
+        .head
+      assert(ga.getInt(0) == 2 + 6 % 5)
       // full PNG decode from SQL — a palette+tRNS Adam7 fixture (id 4:
       // id%3==1, interlaced) exercises the r15 envelope from pure SQL
       val pngHex = graft.ops.Multimodal.palAlphaPngBytes(4L)
