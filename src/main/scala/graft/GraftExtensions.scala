@@ -148,6 +148,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         graft.expr.PngStats(args(0))
     }
 
+    inject("graft_png16_stats",
+      "graft_png16_stats(bin) - struct(width, height, channels, px_sum, px_min, px_max) over a 16-bit PNG's full-precision samples") {
+      args => expect(args, 1)
+        graft.expr.Png16Stats(args(0))
+    }
+
     inject("graft_jpeg_stats",
       "graft_jpeg_stats(bin) - struct(width, height, channels, px_sum, px_min, px_max) of a decoded JPEG (baseline/multi-scan/progressive)") {
       args => expect(args, 1)

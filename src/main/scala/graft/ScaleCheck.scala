@@ -62,7 +62,8 @@ object ScaleCheck {
     // replicas' disjoint token spaces — exercises the maxWords cap,
     // then driver EM over the capped table + a scan-side encode).
     "mm_png_envelope", "mm_video_nodht", "mm_audio_depth", "mm_audio_g711",
-    "mm_gif_anim", "pl_unigram_roundtrip", "pl_wordpiece_roundtrip")
+    "mm_gif_anim", "mm_png16", "pl_unigram_roundtrip",
+    "pl_wordpiece_roundtrip")
   // gr_node2vec (r14): the second-order walk — one broadcast probe of
   // the cached neighbor index per step (the frontier's nodes and
   // predecessors share the scan), plus the walk-keyed cumulative-weight

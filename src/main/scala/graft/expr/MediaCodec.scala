@@ -358,6 +358,69 @@ object MediaCodecHelper {
     out.toByteArray
   }
 
+  /** 16-BIT PNG sample statistics — the scientific/depth-image layouts
+    * (gray16, RGB16, gray+alpha16, RGBA16; palette cannot be 16-bit):
+    * struct(width, height, channels, px_sum, px_min, px_max) over the
+    * big-endian 16-bit SAMPLES. PNG filtering is defined on BYTES with
+    * bpp = bytes-per-pixel regardless of depth (spec §9), so the depth-8
+    * unfilter and Adam7 machinery above apply verbatim with bpp =
+    * 2·channels; only the sample read differs. No 8-bit raster is
+    * fabricated (truncating high bytes would diverge from any real
+    * decoder) — stats are computed directly at full precision, which is
+    * what a gating/dedup pipeline consumes. Null outside the envelope.
+    */
+  def png16Stats(bytes: Array[Byte]): InternalRow = {
+    if (bytes == null || bytes.length < 33) return null
+    var i = 0
+    while (i < 8) { if (bytes(i) != PngSig(i)) return null; i += 1 }
+    var off = 8
+    var w = 0; var h = 0; var channels = 0
+    var interlaced = false
+    var idat: java.io.ByteArrayOutputStream = null
+    while (off + 8 <= bytes.length) {
+      val len = beInt(bytes, off)
+      if (len < 0 || off + 12L + len > bytes.length) return null
+      val tag = new String(bytes, off + 4, 4, "US-ASCII")
+      tag match {
+        case "IHDR" =>
+          if (len != 13) return null
+          w = beInt(bytes, off + 8); h = beInt(bytes, off + 12)
+          val depth = bytes(off + 16); val color = bytes(off + 17)
+          val interlace = bytes(off + 20)
+          if (depth != 16 || interlace < 0 || interlace > 1) return null
+          interlaced = interlace == 1
+          channels = color match {
+            case 0 => 1; case 2 => 3; case 4 => 2; case 6 => 4
+            case _ => return null
+          }
+          if (w <= 0 || h <= 0 ||
+              w.toLong * h * 2 * channels > 64L * 1024 * 1024) return null
+          idat = new java.io.ByteArrayOutputStream()
+        case "tRNS" => return null // color-key transparency: out of envelope
+        case "IDAT" =>
+          if (idat == null) return null
+          idat.write(bytes, off + 8, len)
+        case "IEND" =>
+          if (idat == null) return null
+          val pix = reconstruct(idat.toByteArray, w, h, 2 * channels,
+            interlaced)
+          if (pix == null) return null
+          var sum = 0L; var mn = 65535; var mx = 0
+          var p = 0
+          while (p < pix.length) {
+            val v = ((pix(p) & 0xff) << 8) | (pix(p + 1) & 0xff)
+            sum += v; if (v < mn) mn = v; if (v > mx) mx = v
+            p += 2
+          }
+          return new GenericInternalRow(
+            Array[Any](w, h, channels, sum, mn, mx))
+        case _ => // ancillary chunk — skip
+      }
+      off += 12 + len
+    }
+    null // no IEND
+  }
+
   /** struct(width, height, channels, px_sum, px_min, px_max) over all
     * channel bytes of the decoded raster; null if not decodable. Integer
     * outputs by design: the DuckDB oracle reproduces them exactly (no
@@ -1868,6 +1931,27 @@ case class GifStats(child: Expression) extends UnaryExpression {
        """.stripMargin
     })
   override protected def withNewChildInternal(newChild: Expression): GifStats =
+    copy(child = newChild)
+}
+
+/** 16-bit PNG sample statistics (gray16/RGB16/alpha variants, sequential
+  * or Adam7) at full precision — no truncated 8-bit raster; null outside
+  * the envelope.
+  */
+case class Png16Stats(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = MediaCodecHelper.PngStatsType
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_png16_stats"
+  override def nullSafeEval(input: Any): Any =
+    MediaCodecHelper.png16Stats(input.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      s"""
+         |${ev.value} = graft.expr.MediaCodecHelper.png16Stats($c);
+         |${ev.isNull} = (${ev.value} == null);
+       """.stripMargin
+    })
+  override protected def withNewChildInternal(newChild: Expression): Png16Stats =
     copy(child = newChild)
 }
 

@@ -320,6 +320,92 @@ object Multimodal {
     out.toByteArray
   }
 
+  /** 16-BIT PNG fixture writer (depth 16, color types 0/2/4/6,
+    * sequential or Adam7): big-endian samples, pass rows alternating
+    * None and Sub filters with the byte-level Sub math computed here
+    * (PNG filters bytes, not samples — the 16-bit left neighbor is
+    * 2·channels bytes back). Independent of the production decode path,
+    * like [[pngEnvelopeBytes]]. `sample(x, y, c)` returns the 16-bit
+    * value of channel c.
+    */
+  def png16Bytes(width: Int, height: Int, colorType: Int,
+                 interlaced: Boolean,
+                 sample: (Int, Int, Int) => Int): Array[Byte] = {
+    val channels = colorType match {
+      case 0 => 1; case 2 => 3; case 4 => 2; case 6 => 4
+      case t => throw new IllegalArgumentException(s"bad 16-bit color $t")
+    }
+    val bpp = 2 * channels
+    val out = new java.io.ByteArrayOutputStream()
+    def be(i: Int): Array[Byte] =
+      Array(((i >> 24) & 0xff).toByte, ((i >> 16) & 0xff).toByte,
+            ((i >> 8) & 0xff).toByte, (i & 0xff).toByte)
+    def chunk(tag: String, data: Array[Byte]): Unit = {
+      out.write(be(data.length))
+      val tagged = tag.getBytes("US-ASCII") ++ data
+      out.write(tagged)
+      val crc = new java.util.zip.CRC32()
+      crc.update(tagged)
+      out.write(be(crc.getValue.toInt))
+    }
+    out.write(Array(0x89, 'P', 'N', 'G', '\r', '\n', 0x1a, '\n').map(_.toByte))
+    chunk("IHDR", be(width) ++ be(height) ++
+      Array[Byte](16, colorType.toByte, 0, 0, if (interlaced) 1 else 0))
+    val passes =
+      if (interlaced)
+        Array((0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+          (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2))
+      else Array((0, 0, 1, 1))
+    val raw = new java.io.ByteArrayOutputStream()
+    for ((x0, y0, dx, dy) <- passes) {
+      val pw = if (width > x0) (width - x0 + dx - 1) / dx else 0
+      val ph = if (height > y0) (height - y0 + dy - 1) / dy else 0
+      if (pw > 0 && ph > 0) {
+        for (py <- 0 until ph) {
+          val row = new Array[Int](pw * bpp)
+          for (pxi <- 0 until pw; c <- 0 until channels) {
+            val v = sample(x0 + pxi * dx, y0 + py * dy, c) & 0xffff
+            row(pxi * bpp + 2 * c) = v >> 8
+            row(pxi * bpp + 2 * c + 1) = v & 0xff
+          }
+          if (py % 2 == 0) {
+            raw.write(0)
+            row.foreach(raw.write)
+          } else {
+            raw.write(1) // Sub at BYTE level, left = bpp bytes back
+            for (i <- row.indices) {
+              val left = if (i >= bpp) row(i - bpp) else 0
+              raw.write((row(i) - left) & 0xff)
+            }
+          }
+        }
+      }
+    }
+    val deflater = new java.util.zip.Deflater()
+    deflater.setInput(raw.toByteArray); deflater.finish()
+    val zout = new java.io.ByteArrayOutputStream()
+    val buf = new Array[Byte](64 * 1024)
+    while (!deflater.finished()) zout.write(buf, 0, deflater.deflate(buf))
+    deflater.end()
+    chunk("IDAT", zout.toByteArray)
+    chunk("IEND", Array.empty)
+    out.toByteArray
+  }
+
+  /** Gray16 lane: (13+id%11) x (6+id%9), Adam7 on odd ids, sample
+    * (x,y) = (x*2311 + y*3571 + id*97) % 65536.
+    */
+  def gray16PngBytes(id: Long): Array[Byte] =
+    png16Bytes(13 + (id % 11).toInt, 6 + (id % 9).toInt, 0, id % 2 == 1,
+      (x, y, _) => ((x * 2311 + y * 3571 + id * 97) % 65536).toInt)
+
+  /** RGB16 lane: (8+id%9) x (5+id%8), Adam7 when id%3==0, channel c =
+    * (x*2311 + y*3571 + id*97 + c*7919) % 65536.
+    */
+  def rgb16PngBytes(id: Long): Array[Byte] =
+    png16Bytes(8 + (id % 9).toInt, 5 + (id % 8).toInt, 2, id % 3 == 0,
+      (x, y, c) => ((x * 2311 + y * 3571 + id * 97 + c * 7919) % 65536).toInt)
+
   /** 16-entry fixture palette: i → ((i*41+7)%256,(i*61+13)%256,(i*89+29)%256). */
   private def fixPalette: Array[(Int, Int, Int)] =
     Array.tabulate(16)(i => ((i * 41 + 7) % 256, (i * 61 + 13) % 256,
@@ -1471,6 +1557,8 @@ object Multimodal {
   val makePalAlphaPng = udf((id: Long) => palAlphaPngBytes(id))
   val makeGrayAlphaPng = udf((id: Long) => grayAlphaPngBytes(id))
   val makeRgbaPng = udf((id: Long) => rgbaPngBytes(id))
+  val makeGray16Png = udf((id: Long) => gray16PngBytes(id))
+  val makeRgb16Png = udf((id: Long) => rgb16PngBytes(id))
   val makeGrayJpeg = udf((id: Long) => grayJpegBytes(id))
   val makeColorJpeg = udf((id: Long) => colorJpegBytes(id))
   val makeGrayProgressiveJpeg = udf((id: Long) => grayProgressiveJpegBytes(id))
@@ -1627,6 +1715,14 @@ object Multimodal {
     * non-GIF / malformed / imageless blobs.
     */
   def gifMeta(bin: Column): Column = bridge(graft.expr.GifMeta(ex(bin)))
+
+  /** 16-bit PNG sample statistics at full precision (gray16/RGB16/alpha
+    * variants, sequential or Adam7): struct(width, height, channels,
+    * px_sum, px_min, px_max) over the big-endian 16-bit samples — no
+    * truncated 8-bit raster is fabricated. Null outside the envelope.
+    */
+  def decodeImage16(bin: Column): Column =
+    bridge(graft.expr.Png16Stats(ex(bin)))
 
   /** REAL JPEG → PNG transcode with nearest-neighbor resize: full
     * baseline decode, integer-floor index map, lossless PNG re-encode

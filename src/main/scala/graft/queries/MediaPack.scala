@@ -308,6 +308,44 @@ object MediaPack {
       fs.getField("pcm_sum").as("fs_sum"))
   }
 
+  /** 16-bit PNG fixture (gray16 + RGB16, Adam7 on deterministic id
+    * classes, byte-level Sub filters on odd rows), memoized separately.
+    */
+  private def png16Blobs(s: SparkSession, dir: String) = {
+    val (store, _) = Fixtures(s, dir, "fix_media_png3") { st =>
+      st.write(Tables.documents(s, dir).select(col("doc_id"))
+        .withColumn("g16", Multimodal.makeGray16Png(col("doc_id")))
+        .withColumn("c16", Multimodal.makeRgb16Png(col("doc_id"))),
+        "mm_png3", slices = 8)
+      Map("blobs" -> "mm_png3")
+    }
+    store.readResolved("mm_png3")
+  }
+
+  /** 16-BIT PNG decode statistics — the scientific/depth-image layouts:
+    * full-precision sums/extrema over the big-endian 16-bit samples
+    * (PNG filters operate on BYTES, so the Sub rows here prove the
+    * byte-level filter math holds when a sample spans two bytes), gray16
+    * and RGB16 lanes, Adam7 on deterministic id classes. Closed-form
+    * DuckDB replay; codegen'd scan-side; no shuffle.
+    */
+  def png16(s: SparkSession, dir: String): DataFrame = {
+    val media = png16Blobs(s, dir)
+    val g = Multimodal.decodeImage16(col("g16"))
+    val c = Multimodal.decodeImage16(col("c16"))
+    media.select(col("doc_id"),
+      g.getField("width").cast("long").as("g16_w"),
+      g.getField("height").cast("long").as("g16_h"),
+      g.getField("channels").cast("long").as("g16_ch"),
+      g.getField("px_sum").as("g16_sum"),
+      g.getField("px_min").cast("long").as("g16_min"),
+      g.getField("px_max").cast("long").as("g16_max"),
+      c.getField("channels").cast("long").as("c16_ch"),
+      c.getField("px_sum").as("c16_sum"),
+      c.getField("px_min").cast("long").as("c16_min"),
+      c.getField("px_max").cast("long").as("c16_max"))
+  }
+
   /** Animated-GIF fixture: multi-frame GIFs from the independent
     * clear-code LZW writer, memoized separately.
     */
@@ -487,6 +525,7 @@ object MediaPack {
     "mm_audio_depth" -> audioDepth _,
     "mm_audio_g711" -> audioG711 _,
     "mm_gif_anim" -> gifAnim _,
+    "mm_png16" -> png16 _,
     "pl_mm_corpus" -> multimodalCorpus _,
   )
 
@@ -975,6 +1014,44 @@ object MediaPack {
          JOIN a24 ON a24.doc_id = d.doc_id
          JOIN a32 ON a32.doc_id = d.doc_id
          JOIN fs ON fs.doc_id = d.doc_id""",
+    // 16-bit PNG replay: gray16 (13+id%11)x(6+id%9) sample
+    // (x*2311+y*3571+id*97)%65536; RGB16 (8+id%9)x(5+id%8) channel c adds
+    // c*7919. Interlace is a re-ordering; sums/extrema are order-free.
+    "mm_png16" ->
+      """WITH g AS (
+           SELECT d.doc_id,
+                  sum((x.x*2311 + y.y*3571 + d.doc_id*97) % 65536) AS s,
+                  min((x.x*2311 + y.y*3571 + d.doc_id*97) % 65536) AS mn,
+                  max((x.x*2311 + y.y*3571 + d.doc_id*97) % 65536) AS mx
+           FROM documents d
+           JOIN range(0, 24) x(x) ON x.x < 13 + d.doc_id % 11
+           JOIN range(0, 15) y(y) ON y.y < 6 + d.doc_id % 9
+           GROUP BY d.doc_id
+         ), cc AS (
+           SELECT d.doc_id,
+                  (x.x*2311 + y.y*3571 + d.doc_id*97 + c.c*7919) % 65536 AS v
+           FROM documents d
+           JOIN range(0, 17) x(x) ON x.x < 8 + d.doc_id % 9
+           JOIN range(0, 13) y(y) ON y.y < 5 + d.doc_id % 8
+           CROSS JOIN range(0, 3) c(c)
+         ), c16 AS (
+           SELECT doc_id, sum(v) AS s, min(v) AS mn, max(v) AS mx
+           FROM cc GROUP BY doc_id
+         )
+         SELECT d.doc_id,
+         CAST(13 + d.doc_id % 11 AS BIGINT) AS g16_w,
+         CAST(6 + d.doc_id % 9 AS BIGINT) AS g16_h,
+         CAST(1 AS BIGINT) AS g16_ch,
+         CAST(g.s AS BIGINT) AS g16_sum,
+         CAST(g.mn AS BIGINT) AS g16_min,
+         CAST(g.mx AS BIGINT) AS g16_max,
+         CAST(3 AS BIGINT) AS c16_ch,
+         CAST(c16.s AS BIGINT) AS c16_sum,
+         CAST(c16.mn AS BIGINT) AS c16_min,
+         CAST(c16.mx AS BIGINT) AS c16_max
+         FROM documents d
+         JOIN g ON g.doc_id = d.doc_id
+         JOIN c16 ON c16.doc_id = d.doc_id""",
     // animated GIF replay: (11+id%13) x (7+id%7), 2+id%5 frames; frame 0
     // pixel (x,y) -> palette((x*3 + y*7 + id) % 16) with palette
     // i -> ((i*43+3)%256, (i*67+9)%256, (i*97+27)%256)

@@ -353,6 +353,38 @@ class MediaCodecSpec extends AnyFunSuite {
     assert((tail.pix(7) & 0xff) == 255, "entry 1 defaults opaque")
   }
 
+  test("16-bit PNG stats: full-precision samples, byte-level filters, Adam7") {
+    for (id <- 0L until 24L) {
+      val g = MediaCodecHelper.png16Stats(Multimodal.gray16PngBytes(id))
+      val (w, h) = (13 + (id % 11).toInt, 6 + (id % 9).toInt)
+      val vals = for (y <- 0 until h; x <- 0 until w)
+        yield ((x * 2311 + y * 3571 + id * 97) % 65536).toInt
+      assert(g != null, s"id $id gray16")
+      assert(g.getInt(0) == w && g.getInt(1) == h && g.getInt(2) == 1)
+      assert(g.getLong(3) == vals.map(_.toLong).sum, s"id $id sum")
+      assert(g.getInt(4) == vals.min && g.getInt(5) == vals.max)
+      val c = MediaCodecHelper.png16Stats(Multimodal.rgb16PngBytes(id))
+      val (cw, ch) = (8 + (id % 9).toInt, 5 + (id % 8).toInt)
+      val cvals = for (y <- 0 until ch; x <- 0 until cw; k <- 0 until 3)
+        yield ((x * 2311 + y * 3571 + id * 97 + k * 7919) % 65536).toInt
+      assert(c != null && c.getInt(2) == 3)
+      assert(c.getLong(3) == cvals.map(_.toLong).sum, s"id $id rgb sum")
+    }
+    // interlace is a pure re-ordering at 16-bit too
+    def px(x: Int, y: Int, c: Int) = (x * 999 + y * 77 + c * 13) % 65536
+    val seq16 = MediaCodecHelper.png16Stats(
+      Multimodal.png16Bytes(9, 10, 6, interlaced = false, px))
+    val ilc16 = MediaCodecHelper.png16Stats(
+      Multimodal.png16Bytes(9, 10, 6, interlaced = true, px))
+    assert(seq16 != null && ilc16 != null)
+    assert(seq16.getLong(3) == ilc16.getLong(3) &&
+      seq16.getInt(4) == ilc16.getInt(4) && seq16.getInt(5) == ilc16.getInt(5))
+    // envelope edges: 8-bit blob -> null here; 16-bit -> null in decodePng;
+    // palette can't be 16-bit
+    assert(MediaCodecHelper.png16Stats(Multimodal.pngBytes(4, 4)) == null)
+    assert(MediaCodecHelper.decodePng(Multimodal.gray16PngBytes(1L)) == null)
+  }
+
   test("G.711 expansion: canonical extremes, algebraic identity, WAV path") {
     // canonical values from the G.711 tables: both µ-law zeros, the
     // ±32124 µ-law extremes, the A-law -8 at 0x55 and +32256 at 0xAA
