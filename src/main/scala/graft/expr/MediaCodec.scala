@@ -1517,8 +1517,8 @@ object MediaCodecHelper {
         off += 1
       }
       var done = false
-      while (!done && off < bytes.length && frames < (1 << 20)) {
-        u8(off) match {
+      while (!done && frames < (1 << 20)) {
+        u8(off) match { // u8 throws past the end: truncated -> null
           case 0x21 => // extension
             off += 2
             skipSubBlocks()
@@ -1533,7 +1533,9 @@ object MediaCodecHelper {
           case _ => throw JpegBail
         }
       }
-      if (frames == 0) return null
+      // no trailer (truncated stream / frame-count bomb) or no image:
+      // malformed -> honest null, like every decoder in this file
+      if (!done || frames == 0) return null
       new GenericInternalRow(Array[Any](w, h, frames))
     } catch { case _: RuntimeException => null }
   }
@@ -1799,24 +1801,38 @@ object MediaCodecHelper {
     val bp = bits / 8
     val kept = (n + step - 1) / step
     val dataLen = kept * bp * channels
-    val out = new Array[Byte](44 + dataLen)
-    def putLe(o: Int, v: Int, len: Int): Unit = {
+    // the SOURCE codec rides along: raw sample bytes are copied verbatim,
+    // so a µ-law clip must re-emit as µ-law or its values change meaning.
+    // Non-PCM codecs additionally carry the spec-required cbSize=0 fmt
+    // extension and a fact chunk (WAVE requires both for codec != 1) —
+    // the in-repo walk tolerates their absence, strict consumers don't.
+    val pcm = codec == 1
+    val fmtLen = if (pcm) 16 else 18
+    val factLen = if (pcm) 0 else 12 // tag+size+nSamples
+    val headLen = 12 + 8 + fmtLen + factLen + 8
+    val out = new Array[Byte](headLen + dataLen)
+    var o = 0
+    def putLe(v: Int, len: Int): Unit = {
       var i = 0
       while (i < len) { out(o + i) = ((v >> (8 * i)) & 0xff).toByte; i += 1 }
+      o += len
     }
-    def putTag(o: Int, s: String): Unit = {
+    def putTag(s: String): Unit = {
       var i = 0
       while (i < 4) { out(o + i) = s.charAt(i).toByte; i += 1 }
+      o += 4
     }
-    putTag(0, "RIFF"); putLe(4, 36 + dataLen, 4); putTag(8, "WAVE")
-    putTag(12, "fmt "); putLe(16, 16, 4)
-    // the SOURCE codec rides along: raw sample bytes are copied verbatim,
-    // so a µ-law clip must re-emit as µ-law or its values change meaning
-    putLe(20, codec, 2); putLe(22, channels, 2)
-    putLe(24, rate, 4); putLe(28, rate * bp * channels, 4)
-    putLe(32, bp * channels, 2); putLe(34, bits, 2)
-    putTag(36, "data"); putLe(40, dataLen, 4)
-    var f = 0; var o = 44
+    putTag("RIFF"); putLe(headLen - 8 + dataLen, 4); putTag("WAVE")
+    putTag("fmt "); putLe(fmtLen, 4)
+    putLe(codec, 2); putLe(channels, 2)
+    putLe(rate, 4); putLe(rate * bp * channels, 4)
+    putLe(bp * channels, 2); putLe(bits, 2)
+    if (!pcm) {
+      putLe(0, 2) // cbSize = 0
+      putTag("fact"); putLe(4, 4); putLe(kept, 4)
+    }
+    putTag("data"); putLe(dataLen, 4)
+    var f = 0
     while (f < n) {
       var c = 0
       while (c < channels * bp) {

@@ -29,13 +29,18 @@ final class WordPieceModel(val vocab: Array[String]) extends Serializable {
     vocab.foreach(s.add)
     s
   }
-  /** Longest piece in codepoints (## prefix not counted). */
+  /** Candidate-length bound for the greedy scan: the FULL codepoint
+    * length of the longest piece. Deliberately not body length — a
+    * word-initial piece may itself start with a literal `##` (hostile
+    * markdown-ish tokens), and stripping it here would under-bound the
+    * scan and make greedy miss the in-vocabulary full match. For
+    * continuation pieces this over-bounds by the two marker chars: a few
+    * wasted set probes, never a missed match.
+    */
   @transient lazy val maxLen: Int =
     if (vocab.isEmpty) 1
-    else math.max(1, vocab.iterator.map { p =>
-      val body = if (p.startsWith("##")) p.substring(2) else p
-      body.codePointCount(0, body.length)
-    }.max)
+    else math.max(1,
+      vocab.iterator.map(p => p.codePointCount(0, p.length)).max)
 
   @transient private lazy val cache =
     new java.util.concurrent.ConcurrentHashMap[String, Array[String]]()

@@ -243,23 +243,21 @@ object Multimodal {
     out.toByteArray
   }
 
-  /** Independent PNG writer for the widened-envelope fixtures (palette /
-    * alpha / Adam7 interlace): own chunk+CRC emission, own Adam7 pass
-    * geometry, own scanline filtering (pass rows alternate None and Sub,
-    * with the Sub subtraction computed here) — deliberately sharing NO
-    * code with MediaCodecHelper's decode or encode paths, so the gated
-    * round-trip proves the production decoder against an independent
-    * construction. `px(x, y)` returns the channel bytes of one pixel
-    * (for color type 3, the single palette index).
+  /** Shared fixture-side PNG writer — signature, chunk+CRC emission,
+    * Adam7 pass geometry, and the None/Sub row filtering (Sub at BYTE
+    * level: left neighbor is bpp bytes back, the spec rule that matters
+    * when a 16-bit sample spans two bytes) for both the 8-bit envelope
+    * fixtures and the 16-bit lanes. One copy of the filter math, still
+    * deliberately sharing NO code with MediaCodecHelper's decode or
+    * encode paths, so the gated round-trips prove the production decoder
+    * against an independent construction. `pixBytes(x, y)` returns one
+    * pixel's CODED bytes (exactly bpp of them).
     */
-  def pngEnvelopeBytes(width: Int, height: Int, colorType: Int,
-                       interlaced: Boolean, px: (Int, Int) => Array[Int],
-                       palette: Array[(Int, Int, Int)] = null,
-                       trns: Array[Int] = null): Array[Byte] = {
-    val bpp = colorType match {
-      case 0 | 3 => 1; case 2 => 3; case 4 => 2; case 6 => 4
-      case t => throw new IllegalArgumentException(s"bad color type $t")
-    }
+  private def writePngFixture(width: Int, height: Int, depth: Int,
+                              colorType: Int, bpp: Int, interlaced: Boolean,
+                              pixBytes: (Int, Int) => Array[Int],
+                              palette: Array[(Int, Int, Int)],
+                              trns: Array[Int]): Array[Byte] = {
     val out = new java.io.ByteArrayOutputStream()
     def be(i: Int): Array[Byte] =
       Array(((i >> 24) & 0xff).toByte, ((i >> 16) & 0xff).toByte,
@@ -274,7 +272,8 @@ object Multimodal {
     }
     out.write(Array(0x89, 'P', 'N', 'G', '\r', '\n', 0x1a, '\n').map(_.toByte))
     chunk("IHDR", be(width) ++ be(height) ++
-      Array[Byte](8, colorType.toByte, 0, 0, if (interlaced) 1 else 0))
+      Array[Byte](depth.toByte, colorType.toByte, 0, 0,
+        if (interlaced) 1 else 0))
     if (palette != null)
       chunk("PLTE", palette.flatMap { case (r, g, b) =>
         Array(r.toByte, g.toByte, b.toByte) })
@@ -293,7 +292,7 @@ object Multimodal {
         for (py <- 0 until ph) {
           val row = new Array[Int](pw * bpp)
           for (pxi <- 0 until pw) {
-            val v = px(x0 + pxi * dx, y0 + py * dy)
+            val v = pixBytes(x0 + pxi * dx, y0 + py * dy)
             for (c <- 0 until bpp) row(pxi * bpp + c) = v(c) & 0xff
           }
           if (py % 2 == 0) {
@@ -320,13 +319,25 @@ object Multimodal {
     out.toByteArray
   }
 
-  /** 16-BIT PNG fixture writer (depth 16, color types 0/2/4/6,
-    * sequential or Adam7): big-endian samples, pass rows alternating
-    * None and Sub filters with the byte-level Sub math computed here
-    * (PNG filters bytes, not samples — the 16-bit left neighbor is
-    * 2·channels bytes back). Independent of the production decode path,
-    * like [[pngEnvelopeBytes]]. `sample(x, y, c)` returns the 16-bit
-    * value of channel c.
+  /** 8-bit envelope fixture (palette / alpha / Adam7): `px(x, y)` returns
+    * the channel bytes of one pixel (for color type 3, the single palette
+    * index). See [[writePngFixture]].
+    */
+  def pngEnvelopeBytes(width: Int, height: Int, colorType: Int,
+                       interlaced: Boolean, px: (Int, Int) => Array[Int],
+                       palette: Array[(Int, Int, Int)] = null,
+                       trns: Array[Int] = null): Array[Byte] = {
+    val bpp = colorType match {
+      case 0 | 3 => 1; case 2 => 3; case 4 => 2; case 6 => 4
+      case t => throw new IllegalArgumentException(s"bad color type $t")
+    }
+    writePngFixture(width, height, 8, colorType, bpp, interlaced, px,
+      palette, trns)
+  }
+
+  /** 16-bit fixture (gray16/RGB16/alpha variants): `sample(x, y, c)`
+    * returns channel c's 16-bit value, written big-endian. See
+    * [[writePngFixture]].
     */
   def png16Bytes(width: Int, height: Int, colorType: Int,
                  interlaced: Boolean,
@@ -335,61 +346,11 @@ object Multimodal {
       case 0 => 1; case 2 => 3; case 4 => 2; case 6 => 4
       case t => throw new IllegalArgumentException(s"bad 16-bit color $t")
     }
-    val bpp = 2 * channels
-    val out = new java.io.ByteArrayOutputStream()
-    def be(i: Int): Array[Byte] =
-      Array(((i >> 24) & 0xff).toByte, ((i >> 16) & 0xff).toByte,
-            ((i >> 8) & 0xff).toByte, (i & 0xff).toByte)
-    def chunk(tag: String, data: Array[Byte]): Unit = {
-      out.write(be(data.length))
-      val tagged = tag.getBytes("US-ASCII") ++ data
-      out.write(tagged)
-      val crc = new java.util.zip.CRC32()
-      crc.update(tagged)
-      out.write(be(crc.getValue.toInt))
-    }
-    out.write(Array(0x89, 'P', 'N', 'G', '\r', '\n', 0x1a, '\n').map(_.toByte))
-    chunk("IHDR", be(width) ++ be(height) ++
-      Array[Byte](16, colorType.toByte, 0, 0, if (interlaced) 1 else 0))
-    val passes =
-      if (interlaced)
-        Array((0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
-          (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2))
-      else Array((0, 0, 1, 1))
-    val raw = new java.io.ByteArrayOutputStream()
-    for ((x0, y0, dx, dy) <- passes) {
-      val pw = if (width > x0) (width - x0 + dx - 1) / dx else 0
-      val ph = if (height > y0) (height - y0 + dy - 1) / dy else 0
-      if (pw > 0 && ph > 0) {
-        for (py <- 0 until ph) {
-          val row = new Array[Int](pw * bpp)
-          for (pxi <- 0 until pw; c <- 0 until channels) {
-            val v = sample(x0 + pxi * dx, y0 + py * dy, c) & 0xffff
-            row(pxi * bpp + 2 * c) = v >> 8
-            row(pxi * bpp + 2 * c + 1) = v & 0xff
-          }
-          if (py % 2 == 0) {
-            raw.write(0)
-            row.foreach(raw.write)
-          } else {
-            raw.write(1) // Sub at BYTE level, left = bpp bytes back
-            for (i <- row.indices) {
-              val left = if (i >= bpp) row(i - bpp) else 0
-              raw.write((row(i) - left) & 0xff)
-            }
-          }
-        }
-      }
-    }
-    val deflater = new java.util.zip.Deflater()
-    deflater.setInput(raw.toByteArray); deflater.finish()
-    val zout = new java.io.ByteArrayOutputStream()
-    val buf = new Array[Byte](64 * 1024)
-    while (!deflater.finished()) zout.write(buf, 0, deflater.deflate(buf))
-    deflater.end()
-    chunk("IDAT", zout.toByteArray)
-    chunk("IEND", Array.empty)
-    out.toByteArray
+    writePngFixture(width, height, 16, colorType, 2 * channels, interlaced,
+      (x, y) => Array.tabulate(2 * channels) { i =>
+        val v = sample(x, y, i / 2) & 0xffff
+        if (i % 2 == 0) v >> 8 else v & 0xff
+      }, null, null)
   }
 
   /** Gray16 lane: (13+id%11) x (6+id%9), Adam7 on odd ids, sample

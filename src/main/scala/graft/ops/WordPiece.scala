@@ -31,33 +31,60 @@ import graft.expr.{WordPieceEncode, WordPieceModel}
   */
 object WordPiece {
 
-  /** Distributed word count → driver likelihood-gain merge loop. */
+  /** Per-word vocabulary symbols (initial codepoint plain, the rest
+    * ##-prefixed) — the coverage pass below explodes these.
+    */
+  private val wordSymbols = udf((w: String) =>
+    w.codePoints().toArray.zipWithIndex.map { case (cp, i) =>
+      val s = new String(Character.toChars(cp))
+      if (i == 0) s else "##" + s
+    })
+
+  /** Distributed word count → driver likelihood-gain merge loop. A
+    * second, alphabet-sized aggregation collects the DISTINCT symbols of
+    * EVERY corpus word — not just the top-maxWords table — so the base
+    * vocabulary covers all corpus codepoints in both positional forms
+    * and no token of the training corpus can fall to [UNK], no matter
+    * where the cap lands (the symbol set is bounded by the alphabet, so
+    * this pass is cheap at any scale; without it a codepoint appearing
+    * only in sub-cap-rare words would break the decode∘encode gate at
+    * exactly the vocabulary sizes the 10x scale rows exercise).
+    */
   def train(df: DataFrame, textCol: String, numMerges: Int,
             maxWords: Int = 100000): WordPieceModel = {
     import graft.core.Cols.{q => Q}
     require(numMerges >= 0, s"numMerges must be >= 0, got $numMerges")
-    val counts = df
+    val words = df
       .select(explode(T.tokens(T.normalized(Q(textCol)))).as("w"))
+    val counts = words
       .groupBy("w").agg(count(lit(1)).as("c"))
       .orderBy(col("c").desc, col("w").asc)
       .limit(maxWords)
       .collect().map(r => (r.getString(0), r.getLong(1)))
-    trainFromCounts(counts, numMerges)
+    val baseSyms = words
+      .select(explode(wordSymbols(col("w"))).as("s"))
+      .distinct().collect().map(_.getString(0)).toSeq
+    trainFromCounts(counts, numMerges, baseSyms)
   }
 
   /** The merge loop over a word-frequency table — driver-side by design,
     * mirroring [[Bpe.trainFromCounts]] with the WordPiece scoring rule.
+    * `extraSymbols` widens the base vocabulary beyond the capped table's
+    * own symbols (the [[train]] coverage pass).
     */
   def trainFromCounts(counts: Seq[(String, Long)],
-                      numMerges: Int): WordPieceModel = {
+                      numMerges: Int,
+                      extraSymbols: Seq[String] = Nil): WordPieceModel = {
     var words: Array[(Array[String], Long)] = counts.map { case (w, c) =>
       val cps = w.codePoints().toArray
         .map(cp => new String(Character.toChars(cp)))
       (cps.zipWithIndex.map { case (s, i) => if (i == 0) s else "##" + s },
         c)
     }.toArray
-    // base vocabulary: every symbol that occurs (initial + continuation)
+    // base vocabulary: every symbol that occurs (initial + continuation),
+    // plus the coverage pass's corpus-wide symbol set
     val vocab = collection.mutable.LinkedHashSet.empty[String]
+    extraSymbols.sorted.foreach(vocab.add)
     words.toSeq.sortBy { case (ps, _) => ps.mkString("\u0000") }
       .foreach { case (ps, _) => ps.foreach(vocab.add) }
 

@@ -68,6 +68,31 @@ class WordPieceSpec extends AnyFunSuite {
     assert(m2.vocab.toSeq == model.vocab.toSeq, "training not deterministic")
   }
 
+  test("codepoints beyond the word cap still encode (coverage pass)") {
+    val s = spark
+    import s.implicits._
+    // maxWords = 1 keeps only "aaa"; the z/e/t/a and q codepoints of the
+    // dropped words reach the vocabulary through the corpus-wide symbol
+    // pass, so NO token falls to [UNK] and reconstruction stays exact
+    val df = Seq((1L, "aaa aaa aaa zeta"), (2L, "aaa qqq")).toDF("doc_id", "text")
+    val m = WordPiece.train(df, "text", numMerges = 2, maxWords = 1)
+    val enc = WordPiece.encodeStats(df, "doc_id", "text", m)
+    assert(enc.where(col("decoded").contains("[UNK]")).count() == 0L,
+      "capped-out codepoints fell to [UNK]")
+    val mism = df.join(enc.select(col("doc_id"), col("decoded")), "doc_id")
+      .where(graft.functions.TextFunctions.normalized(col("text")) =!= col("decoded"))
+      .count()
+    assert(mism == 0L)
+  }
+
+  test("greedy bound covers word-initial pieces with a literal ## prefix") {
+    // vocab holds the 4-codepoint word-initial piece "##ab": the length
+    // bound must count its FULL length or greedy misses the whole-word
+    // match and splits it
+    val m = new WordPieceModel(Array("##ab", "#", "##=#", "a", "##a", "##b"))
+    assert(m.encodeWord("##ab").toSeq == Seq("##ab"))
+  }
+
   test("a word-initial literal ## survives decode (position-aware strip)") {
     val s = spark
     import s.implicits._
