@@ -54,16 +54,21 @@ object WordPiece {
             maxWords: Int = 100000): WordPieceModel = {
     import graft.core.Cols.{q => Q}
     require(numMerges >= 0, s"numMerges must be >= 0, got $numMerges")
-    val words = df
+    // ONE corpus-sized pass (the word-count shuffle); both the capped
+    // table and the coverage symbols derive from the DISTINCT-WORD
+    // aggregate, so the corpus text is never re-scanned
+    val wordCounts = df
       .select(explode(T.tokens(T.normalized(Q(textCol)))).as("w"))
-    val counts = words
       .groupBy("w").agg(count(lit(1)).as("c"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val counts = wordCounts
       .orderBy(col("c").desc, col("w").asc)
       .limit(maxWords)
       .collect().map(r => (r.getString(0), r.getLong(1)))
-    val baseSyms = words
+    val baseSyms = wordCounts
       .select(explode(wordSymbols(col("w"))).as("s"))
       .distinct().collect().map(_.getString(0)).toSeq
+    wordCounts.unpersist()
     trainFromCounts(counts, numMerges, baseSyms)
   }
 
