@@ -185,6 +185,15 @@ object ScaleCheck {
     // the full cold plan — the cost a fresh consumer actually sees.
     s.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
     s.catalog.clearCache()
+    // At the big scales, also DRAIN the memory freed above before the
+    // next cold pass: ContextCleaner reclaims broadcast/unpersisted
+    // blocks asynchronously (periodicGC defaults to 30 min), so a long
+    // x100 session otherwise accumulates dead pages until a mid-query
+    // UNABLE_TO_ACQUIRE_MEMORY — which killed the first r15 run in
+    // x100 pass 2. A synchronous GC between timed queries is outside
+    // every timing window and makes each pass start from the same
+    // clean-heap state the min-of-N protocol assumes.
+    if (mult >= 10) System.gc()
     // noop-sink materialization, not count() — see core/Materialize:
     // count() collapsed several plans (projection pruning, unique-key
     // left-join elimination), so pre-r12 slope rows for those queries
