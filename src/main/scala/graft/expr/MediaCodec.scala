@@ -19,19 +19,27 @@ import org.apache.spark.sql.types._
   *    3 (palette, expanded to RGB — or RGBA when tRNS supplies per-entry
   *    alpha), 4 (gray+alpha), 6 (RGBA) — sequential OR Adam7-interlaced,
   *    any of the five scanline filters (None/Sub/Up/Average/Paeth).
-  *    16-bit depth and color-key tRNS (types 0/2, which would require
-  *    synthesizing alpha from pixel matches) return null so a pipeline
-  *    routes them to its bad-blob side.
+  *    Color-key tRNS on types 0/2 synthesizes the alpha channel (gray →
+  *    gray+alpha, RGB → RGBA; alpha 0 exactly on key matches). 16-bit
+  *    depth decodes through [[png16Stats]] (full-precision statistics)
+  *    and [[png16ResizeNearest]] (16-bit raster in/out); the 8-bit
+  *    [[decodePng]] path returns null for it rather than fabricate a
+  *    truncated raster.
   *  - JPEG: baseline/extended-sequential Huffman (SOF0/SOF1) — single
   *    interleaved scan OR multi-scan (non-interleaved, one full-band scan
   *    per component subset) — and progressive (SOF2, spectral selection +
   *    successive approximation per T.81 Annex G). 8-bit, gray or YCbCr
   *    with sampling factors 1–2 (4:4:4/4:2:2/4:2:0), restart markers,
-  *    multi-table DQT/DHT. Arithmetic coding, 12-bit precision, and
-  *    lossless/hierarchical return null.
+  *    multi-table DQT/DHT; a stream with NO DHT before its first scan
+  *    decodes via the T.81 Annex K implied standard tables (the OpenDML
+  *    MJPEG convention — [[decodeJpegAuto]]). Arithmetic coding, 12-bit
+  *    precision, and lossless/hierarchical return null.
   *  - WAV: integer PCM at 8 (unsigned, reported center-zeroed), 16, 24
-  *    and 32 bits, located through the chunk walk (LIST/fact chunks
-  *    before `fmt ` are fine); float/ADPCM/extensible return null.
+  *    and 32 bits, G.711 µ-law/A-law, IEEE float32 (reported on the
+  *    16-bit integer lattice: floor(f·2^15), a power-of-two scale so the
+  *    mapping is exact), and WAVE_FORMAT_EXTENSIBLE wrapping any of
+  *    those — located through the chunk walk (LIST/fact chunks before
+  *    `fmt ` are fine); ADPCM/float64 return null.
   *
   * Everything here is per-value scan-side work wrapped in codegen'd
   * expressions (static call per value, same pattern as [[RecodeHelper]]),
@@ -73,10 +81,13 @@ object MediaCodecHelper {
     *
     * Palette images expand to RGB (or RGBA when a tRNS chunk supplies
     * per-entry alpha; entries beyond the tRNS array default to 255 per
-    * the spec). tRNS on color types 0/2 is single-color-KEY transparency
-    * — honoring it means synthesizing an alpha channel from pixel
-    * matches, which this decoder does not do, so those streams return
-    * null rather than a raster a compositing decoder would disagree with.
+    * the spec). tRNS on color types 0/2 is single-color-KEY transparency:
+    * the decoder synthesizes the alpha channel a compositing renderer
+    * would — gray expands to gray+alpha (bpp 2), RGB to RGBA (bpp 4),
+    * alpha 0 exactly where the sample(s) equal the key, 255 elsewhere.
+    * The key rides in 16-bit fields; for this 8-bit envelope a key above
+    * 255 simply never matches (fully opaque output), per the numeric
+    * comparison the spec defines.
     */
   def decodePng(bytes: Array[Byte]): Raster = {
     if (bytes == null || bytes.length < 33) return null
@@ -87,7 +98,9 @@ object MediaCodecHelper {
     var interlaced = false
     var plte: Array[Int] = null
     var trns: Array[Byte] = null
+    var keyR = -1; var keyG = -1; var keyB = -1 // color-key (types 0/2)
     var idat: java.io.ByteArrayOutputStream = null
+    var idatStarted = false // PLTE/tRNS must precede all image data
     while (off + 8 <= bytes.length) {
       val len = beInt(bytes, off)
       if (len < 0 || off + 12L + len > bytes.length) return null
@@ -106,14 +119,18 @@ object MediaCodecHelper {
             case _ => return null
           }
           // cap decoded size at 64 MiB so a forged header can't OOM an
-          // executor; palette may expand 1 -> 4 bytes, so cap on the
-          // worst-case output pixel size
-          val outBpp = if (color == 3) 4 else bpp
+          // executor; palette may expand 1 -> 4 bytes and color-key tRNS
+          // adds an alpha byte, so cap on the worst-case output pixel size
+          val outBpp = color match {
+            case 0 => 2; case 2 => 4; case 3 => 4; case _ => bpp
+          }
           if (w <= 0 || h <= 0 || w.toLong * h * outBpp > 64L * 1024 * 1024)
             return null
           idat = new java.io.ByteArrayOutputStream()
         case "PLTE" =>
-          if (idat == null || len % 3 != 0 || len == 0 || len > 768) return null
+          // spec §5.6 chunk ordering: PLTE before the first IDAT
+          if (idat == null || idatStarted ||
+              len % 3 != 0 || len == 0 || len > 768) return null
           val n = len / 3
           plte = new Array[Int](n)
           var p = 0
@@ -124,21 +141,61 @@ object MediaCodecHelper {
             p += 1
           }
         case "tRNS" =>
-          if (idat == null) return null
+          // same ordering rule as PLTE: before the first IDAT
+          if (idat == null || idatStarted) return null
           color match {
             case 3 =>
               if (plte == null || len > plte.length) return null
               trns = java.util.Arrays.copyOfRange(bytes, off + 8, off + 8 + len)
-            case _ => return null // color-key / invalid: out of envelope
+            case 0 => // color-key: one 16-bit gray sample
+              if (len != 2) return null
+              keyG = ((bytes(off + 8) & 0xff) << 8) | (bytes(off + 9) & 0xff)
+            case 2 => // color-key: three 16-bit samples (R, G, B)
+              if (len != 6) return null
+              keyR = ((bytes(off + 8) & 0xff) << 8) | (bytes(off + 9) & 0xff)
+              keyG = ((bytes(off + 10) & 0xff) << 8) | (bytes(off + 11) & 0xff)
+              keyB = ((bytes(off + 12) & 0xff) << 8) | (bytes(off + 13) & 0xff)
+            case _ => return null // tRNS on an alpha-bearing type: invalid
           }
         case "IDAT" =>
           if (idat == null) return null
+          idatStarted = true
           idat.write(bytes, off + 8, len)
         case "IEND" =>
           if (idat == null) return null
           if (color == 3 && plte == null) return null
           val pix = reconstruct(idat.toByteArray, w, h, bpp, interlaced)
           if (pix == null) return null
+          if (color == 0 && keyG >= 0) {
+            // gray + synthesized color-key alpha
+            val out = new Array[Byte](w * h * 2)
+            var p = 0
+            while (p < pix.length) {
+              val g = pix(p) & 0xff
+              out(p * 2) = pix(p)
+              out(p * 2 + 1) = if (g == keyG) 0 else -1
+              p += 1
+            }
+            return new Raster(w, h, 2, out)
+          }
+          if (color == 2 && keyG >= 0) {
+            // RGB + synthesized color-key alpha (all three must match)
+            val n = w * h
+            val out = new Array[Byte](n * 4)
+            var p = 0
+            while (p < n) {
+              val r = pix(p * 3) & 0xff
+              val g = pix(p * 3 + 1) & 0xff
+              val bl = pix(p * 3 + 2) & 0xff
+              out(p * 4) = pix(p * 3)
+              out(p * 4 + 1) = pix(p * 3 + 1)
+              out(p * 4 + 2) = pix(p * 3 + 2)
+              out(p * 4 + 3) =
+                if (r == keyR && g == keyG && bl == keyB) 0 else -1
+              p += 1
+            }
+            return new Raster(w, h, 4, out)
+          }
           if (color != 3) return new Raster(w, h, bpp, pix)
           // palette expansion: index -> RGB, or RGBA when tRNS is present
           val obpp = if (trns == null) 3 else 4
@@ -696,6 +753,52 @@ object MediaCodecHelper {
     if (bytes == null || bytes.length < 4) return null
     try decodeJpeg0(bytes, impliedStdTables)
     catch { case _: RuntimeException => null }
+  }
+
+  /** True when the marker walk finds no DHT segment before the first SOS
+    * — the precondition for the OpenDML implied-standard-tables
+    * convention. (DHT between later scans of a multi-scan frame is fine:
+    * in-stream tables override the implied ones scan by scan.) Bails
+    * false on any malformed walk so the caller never retries garbage.
+    */
+  private def jpegLacksDhtBeforeScan(b: Array[Byte]): Boolean = {
+    if (b == null || b.length < 4 ||
+        (b(0) & 0xff) != 0xff || (b(1) & 0xff) != 0xd8) return false
+    var off = 2
+    while (off + 1 < b.length) {
+      if ((b(off) & 0xff) != 0xff) return false
+      var m = b(off + 1) & 0xff
+      while (m == 0xff && off + 2 < b.length) { off += 1; m = b(off + 1) & 0xff }
+      off += 2
+      m match {
+        case 0xd8 | 0x01 => // standalone, no length
+        case x if x >= 0xd0 && x <= 0xd7 => // RSTn: standalone
+        case 0xc4 => return false // a DHT exists: nothing to imply
+        case 0xda => return true // reached the scan with no DHT seen
+        case 0xd9 => return false // EOI before any scan
+        case _ =>
+          if (off + 2 > b.length) return false
+          val len = ((b(off) & 0xff) << 8) | (b(off + 1) & 0xff)
+          if (len < 2 || off + len > b.length) return false
+          off += len
+      }
+    }
+    false
+  }
+
+  /** Strict decode first; when that fails AND the stream carries no DHT
+    * before its first scan, retry with the Annex K implied standard
+    * tables — so a frame extracted from a DHT-less MJPEG AVI (which
+    * [[AviCodecHelper.mjpegStats]] decodes via the same convention)
+    * composes with the still-image stats/resize path instead of nulling.
+    * A stream that HAS its own DHT never falls back: retrying it under
+    * different tables could "succeed" with garbage pixels.
+    */
+  def decodeJpegAuto(bytes: Array[Byte]): Raster = {
+    val r = decodeJpeg(bytes, false)
+    if (r != null) r
+    else if (jpegLacksDhtBeforeScan(bytes)) decodeJpeg(bytes, true)
+    else null
   }
 
   private def decodeJpeg0(b: Array[Byte], impliedStdTables: Boolean): Raster = {
@@ -1563,7 +1666,7 @@ object MediaCodecHelper {
     * the baseline envelope.
     */
   def jpegStats(bytes: Array[Byte]): InternalRow = {
-    val r = decodeJpeg(bytes)
+    val r = decodeJpegAuto(bytes)
     if (r == null) return null
     var sum = 0L; var mn = 255; var mx = 0
     var i = 0
@@ -1580,7 +1683,7 @@ object MediaCodecHelper {
     * stages replay byte-exactly). null when the JPEG is not decodable.
     */
   def jpegResizeToPng(bytes: Array[Byte], dstW: Int, dstH: Int): Array[Byte] = {
-    val r = decodeJpeg(bytes)
+    val r = decodeJpegAuto(bytes)
     if (r == null) return null
     val out = new Array[Byte](dstW * dstH * r.bpp)
     var y = 0
@@ -1671,9 +1774,22 @@ object MediaCodecHelper {
     (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8) |
       ((b(o + 2) & 0xff) << 16) | ((b(o + 3) & 0xff) << 24)
 
+  /** The fixed tail (bytes 2..15) of the WAVE_FORMAT_EXTENSIBLE SubFormat
+    * GUID {xxxxxxxx-0000-0010-8000-00AA00389B71}: the first two bytes are
+    * the wrapped base format tag, the rest must match exactly.
+    */
+  private val ExtGuidTail = Array(
+    0x00, 0x00, 0x00, 0x00, 0x10, 0x00, 0x80, 0x00,
+    0x00, 0xaa, 0x00, 0x38, 0x9b, 0x71).map(_.toByte)
+
   /** (dataOff0based, nSamples, sampleRate, channels, bits, codec) for
-    * integer-PCM (codec 1, 8/16/24/32-bit) and G.711 µ-law/A-law (codecs
-    * 7/6, 8-bit) WAVs via the bounded chunk walk; null otherwise.
+    * integer-PCM (codec 1, 8/16/24/32-bit), G.711 µ-law/A-law (codecs
+    * 7/6, 8-bit), IEEE float32 (codec 3), and WAVE_FORMAT_EXTENSIBLE
+    * (0xFFFE) wrapping any of those — the returned codec is the EFFECTIVE
+    * base format from the SubFormat GUID, so downstream sample access and
+    * the codec-preserving frame sampler treat an extensible clip exactly
+    * as its payload format. Null otherwise (ADPCM, float64, truncated
+    * fmt, an unknown GUID).
     */
   private def pcmLayout(bytes: Array[Byte]): Array[Int] = {
     if (bytes == null) return null
@@ -1683,12 +1799,25 @@ object MediaCodecHelper {
     val fo = fmtOff.toInt - 1 // helper returns 1-based for SQL substr
     val dOff = dataOff.toInt - 1
     if (fo + 16 > bytes.length || dOff > bytes.length) return null
-    val codec = leShort(bytes, fo)
+    var codec = leShort(bytes, fo)
     val channels = leShort(bytes, fo + 2)
     val rate = leInt(bytes, fo + 4)
     val bits = leShort(bytes, fo + 14)
+    if (codec == 0xFFFE || codec == -2) { // WAVE_FORMAT_EXTENSIBLE
+      // fmt must carry the 22-byte extension; SubFormat GUID at +24
+      val fmtLen = leInt(bytes, fo - 4)
+      if (fmtLen < 40 || fo + 40 > bytes.length) return null
+      if (leShort(bytes, fo + 16) < 22) return null // cbSize
+      var i = 0
+      while (i < 14) {
+        if (bytes(fo + 26 + i) != ExtGuidTail(i)) return null
+        i += 1
+      }
+      codec = leShort(bytes, fo + 24) // wrapped base format
+    }
     val ok = codec match {
       case 1     => bits == 8 || bits == 16 || bits == 24 || bits == 32
+      case 3     => bits == 32 // IEEE float: single precision only
       case 6 | 7 => bits == 8 // G.711 A-law / µ-law: one byte per sample
       case _     => false
     }
@@ -1729,12 +1858,24 @@ object MediaCodecHelper {
   /** Sample `i` (interleaved index) at the given depth/codec. 8-bit WAV
     * PCM is UNSIGNED; it is reported center-zeroed (u8 − 128), the value
     * the sample represents. 16/24/32-bit are signed little-endian;
-    * µ-law/A-law expand through the G.711 formulas.
+    * µ-law/A-law expand through the G.711 formulas. Float32 lands on the
+    * 16-bit integer lattice as floor(f·2^15) — a power-of-two scale, so
+    * float→double→product are all EXACT and an oracle replays the integer
+    * bit-for-bit; NaN reports 0 and ±Inf/huge values clamp to the int
+    * range (then trip the same overflow-null guard as hot 32-bit PCM).
     */
   private def pcmSample(b: Array[Byte], dOff: Int, bits: Int, codec: Int,
                         i: Int): Int =
     if (codec == 7) ulawToLinear(b(dOff + i) & 0xff)
     else if (codec == 6) alawToLinear(b(dOff + i) & 0xff)
+    else if (codec == 3) {
+      val f = java.lang.Float.intBitsToFloat(leInt(b, dOff + 4 * i))
+      val d = f.toDouble * 32768.0
+      if (d.isNaN) 0
+      else if (d >= Int.MaxValue.toDouble) Int.MaxValue
+      else if (d <= Int.MinValue.toDouble) Int.MinValue
+      else math.floor(d).toInt
+    }
     else bits match {
       case 8  => (b(dOff + i) & 0xff) - 128
       case 16 => leShort(b, dOff + 2 * i)
@@ -1749,10 +1890,11 @@ object MediaCodecHelper {
     * pcm_bits) over all PCM frames (all channels; zero crossings over
     * channel 0 only — the per-channel metric). Integer outputs for exact
     * oracle reproduction; RMS = sqrt(sqsum/n) downstream. Null for
-    * non-integer-PCM blobs, and for a 32-bit stream whose sum of squares
-    * exceeds int64 (honest "can't represent" rather than a silent wrap —
-    * only reachable at 32-bit: 24-bit squares can't overflow any
-    * plausible clip length).
+    * blobs outside the decode envelope (see [[pcmLayout]]), and for a
+    * 32-bit or hot-float stream whose sum of squares exceeds int64
+    * (honest "can't represent" rather than a silent wrap — only reachable
+    * at 32-bit-scale values: 24-bit squares can't overflow any plausible
+    * clip length).
     */
   def wavPcmStats(bytes: Array[Byte]): InternalRow = {
     val lay = pcmLayout(bytes)
@@ -1790,8 +1932,10 @@ object MediaCodecHelper {
 
   /** Keep every `step`-th PCM frame (frame 0, step, 2·step, …) — the audio
     * analogue of video frame-sampling — re-emitted as a canonical
-    * RIFF/fmt/data WAV at the original sample rate and depth. null for
-    * non-integer-PCM blobs.
+    * RIFF/fmt/data WAV at the original sample rate and depth. An
+    * extensible clip re-emits as its EFFECTIVE base format (values are
+    * raw-byte-identical; only the wrapper simplifies). null for blobs
+    * outside the audio envelope (ADPCM, float64).
     */
   def wavFrameSample(bytes: Array[Byte], step: Int): Array[Byte] = {
     if (step <= 0) return null
@@ -1907,8 +2051,9 @@ case class JpegMeta(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
-/** Integer-PCM (8/16/24/32-bit) WAV sample statistics through the
-  * bounded RIFF walk; null for non-integer-PCM blobs.
+/** WAV sample statistics (integer PCM 8/16/24/32-bit, G.711, float32,
+  * extensible wrappers) through the bounded RIFF walk; null for blobs
+  * outside the audio envelope (ADPCM, float64).
   */
 case class WavPcmStats(child: Expression) extends UnaryExpression {
   override def dataType: DataType = MediaCodecHelper.WavPcmStatsType
@@ -2033,7 +2178,7 @@ case class JpegResizeToPng(child: Expression, dstW: Int, dstH: Int)
 }
 
 /** Every-`step`-th-frame decimation of an integer-PCM WAV, re-encoded
-  * as a canonical WAV at the source depth; null for non-integer-PCM
+  * as a canonical WAV at the source depth; null for out-of-envelope audio
   * blobs.
   */
 case class WavFrameSample(child: Expression, step: Int) extends UnaryExpression {

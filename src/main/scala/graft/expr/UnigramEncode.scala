@@ -30,13 +30,21 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 final class UnigramModel(val pieces: Array[(String, Long)])
     extends Serializable {
-  @transient private lazy val score: java.util.HashMap[String, java.lang.Long] = {
-    val m = new java.util.HashMap[String, java.lang.Long](pieces.length * 2)
+  /** Piece trie — scores at terminal nodes. The DP walks it forward from
+    * each start position, so per-position cost is bounded by the longest
+    * vocabulary path the text actually follows (and stops at the first
+    * dead codepoint), not by the longest entry of a hostile persisted
+    * vocabulary.
+    */
+  @transient private lazy val trie: CpTrie = {
+    val t = new CpTrie
     var i = 0
-    while (i < pieces.length) { m.put(pieces(i)._1, pieces(i)._2); i += 1 }
-    m
+    while (i < pieces.length) { t.insert(pieces(i)._1, pieces(i)._2); i += 1 }
+    t
   }
-  /** Longest piece in codepoints — the DP's candidate-length bound. */
+  /** Longest piece in codepoints — the worst-case DP scan depth
+    * (diagnostic; the trie walk self-bounds and typically dies earlier).
+    */
   @transient lazy val maxLen: Int =
     if (pieces.isEmpty) 1
     else math.max(1,
@@ -59,41 +67,54 @@ final class UnigramModel(val pieces: Array[(String, Long)])
   def segmentWord(word: String): Array[String] = {
     val hit = cache.get(word)
     if (hit != null) return hit
-    val cps: Array[String] =
-      word.codePoints().toArray.map(cp => new String(Character.toChars(cp)))
+    val cps: Array[Int] = word.codePoints().toArray
     val n = cps.length
     if (n == 0) return Array.empty
     val dp = new Array[Long](n + 1)
     val back = new Array[Int](n + 1) // length of the best piece ending at i
     java.util.Arrays.fill(dp, Long.MinValue)
     dp(0) = 0L
-    var i = 1
-    while (i <= n) {
-      val maxL = math.min(maxLen, i)
-      var l = 1
-      val sb = new java.lang.StringBuilder
-      // build candidate substrings longest-last by prepending
-      while (l <= maxL) {
-        sb.insert(0, cps(i - l))
-        val s = sb.toString
-        val sc = score.get(s)
-        val pieceScore: java.lang.Long =
-          if (sc != null) sc
-          else if (l == 1) java.lang.Long.valueOf(unkScore)
-          else null
-        if (pieceScore != null && dp(i - l) != Long.MinValue) {
-          val cand = dp(i - l) + pieceScore.longValue()
-          if (cand > dp(i)) { dp(i) = cand; back(i) = l }
+    // Forward relaxation, one trie walk per start position. For a fixed
+    // END position the candidates arrive start-ascending = length-
+    // DESCENDING, so the >= replacement rule below keeps the original
+    // tie-break (shortest final piece wins equal scores): the last
+    // candidate to relax an end position is the shortest one, exactly the
+    // piece the old ascending-length strict-> loop would have kept.
+    var j = 0
+    while (j < n) {
+      if (dp(j) != Long.MinValue) {
+        var node = trie.root
+        var k = j
+        var sawL1 = false
+        var live = true
+        while (live && k < n) {
+          node = node.child(cps(k))
+          if (node == null) live = false
+          else {
+            k += 1
+            val l = k - j
+            if (l == 1) sawL1 = true
+            // at length 1 a non-vocabulary codepoint still relaxes (the
+            // single-codepoint UNK floor); beyond that only real pieces do
+            if (node.terminal || l == 1) {
+              val sc = if (node.terminal) node.score else unkScore
+              val cand = dp(j) + sc
+              if (cand >= dp(j + l)) { dp(j + l) = cand; back(j + l) = l }
+            }
+          }
         }
-        l += 1
+        if (!sawL1) { // trie died immediately: UNK single codepoint
+          val cand = dp(j) + unkScore
+          if (cand >= dp(j + 1)) { dp(j + 1) = cand; back(j + 1) = 1 }
+        }
       }
-      i += 1
+      j += 1
     }
     val out = collection.mutable.ArrayBuffer.empty[String]
     var p = n
     while (p > 0) {
       val l = back(p)
-      out += cps.slice(p - l, p).mkString
+      out += new String(cps, p - l, l)
       p -= l
     }
     val res = out.reverse.toArray

@@ -24,18 +24,28 @@ import org.apache.spark.unsafe.types.UTF8String
   * Per-word results memoize in the same bounded cache as [[BpeModel]].
   */
 final class WordPieceModel(val vocab: Array[String]) extends Serializable {
-  @transient private lazy val set: java.util.HashSet[String] = {
-    val s = new java.util.HashSet[String](vocab.length * 2)
-    vocab.foreach(s.add)
-    s
+  /** Word-initial matcher: every vocabulary piece verbatim — including
+    * pieces that literally start with `##` (hostile markdown-ish tokens
+    * can produce them), which at position 0 match as themselves.
+    */
+  @transient private lazy val initTrie: CpTrie = {
+    val t = new CpTrie
+    vocab.foreach(t.insert(_, 0L))
+    t
   }
-  /** Candidate-length bound for the greedy scan: the FULL codepoint
-    * length of the longest piece. Deliberately not body length — a
-    * word-initial piece may itself start with a literal `##` (hostile
-    * markdown-ish tokens), and stripping it here would under-bound the
-    * scan and make greedy miss the in-vocabulary full match. For
-    * continuation pieces this over-bounds by the two marker chars: a few
-    * wasted set probes, never a missed match.
+  /** Continuation matcher: the BODY (marker stripped) of every
+    * `##`-prefixed piece — a cursor past position 0 matches bodies and
+    * re-attaches the marker on emit.
+    */
+  @transient private lazy val contTrie: CpTrie = {
+    val t = new CpTrie
+    vocab.foreach { p =>
+      if (p.length > 2 && p.startsWith("##")) t.insert(p.substring(2), 0L)
+    }
+    t
+  }
+  /** Codepoint length of the longest piece — the worst-case scan depth
+    * (diagnostic; the trie walk self-bounds and typically dies earlier).
     */
   @transient lazy val maxLen: Int =
     if (vocab.isEmpty) 1
@@ -49,29 +59,38 @@ final class WordPieceModel(val vocab: Array[String]) extends Serializable {
   val Unk = "[UNK]"
 
   /** Greedy longest-match-first segmentation; Array(Unk) when some cursor
-    * position has no matching piece.
+    * position has no matching piece. One trie walk per cursor position —
+    * no candidate substrings are materialized, and the walk stops at the
+    * first codepoint no vocabulary piece extends past, so a hostile
+    * persisted vocabulary with one enormous entry cannot degrade the
+    * scan (it only deepens the one path that actually matches it).
     */
   def encodeWord(word: String): Array[String] = {
     val hit = cache.get(word)
     if (hit != null) return hit
-    val cps: Array[String] =
-      word.codePoints().toArray.map(cp => new String(Character.toChars(cp)))
+    val cps: Array[Int] = word.codePoints().toArray
     val n = cps.length
     if (n == 0) return Array.empty
     val out = collection.mutable.ArrayBuffer.empty[String]
     var i = 0
     var failed = false
     while (i < n && !failed) {
-      var l = math.min(maxLen, n - i)
-      var matched: String = null
-      while (l >= 1 && matched == null) {
-        val body = cps.slice(i, i + l).mkString
-        val cand = if (i == 0) body else "##" + body
-        if (set.contains(cand)) matched = cand
-        else l -= 1
+      var node = (if (i == 0) initTrie else contTrie).root
+      var k = i
+      var best = 0 // deepest terminal depth seen
+      while (node != null && k < n) {
+        node = node.child(cps(k))
+        if (node != null) {
+          k += 1
+          if (node.terminal) best = k - i
+        }
       }
-      if (matched == null) failed = true
-      else { out += matched; i += l }
+      if (best == 0) failed = true
+      else {
+        val body = new String(cps, i, best)
+        out += (if (i == 0) body else "##" + body)
+        i += best
+      }
     }
     val res = if (failed) Array(Unk) else out.toArray
     if (cache.size < CacheCap) cache.put(word, res)

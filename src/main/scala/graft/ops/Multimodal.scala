@@ -204,6 +204,105 @@ object Multimodal {
     wavG711Bytes(aLaw = true, 8000, 65 + (id % 25).toInt,
       i => ((i * 37 + id * 11) % 256).toInt)
 
+  /** IEEE-float32 WAV (codec 3), mono, spec-complete non-PCM header
+    * (cbSize=0 fmt extension + fact chunk). Sample i = num(i)/den with
+    * `den` a power of two and |num| ≤ 2^24, so the float is EXACT and
+    * the production decoder's floor(f·2^15) lands on num(i)·(2^15/den)
+    * with zero rounding anywhere — the property the oracle replays in
+    * integers.
+    */
+  def wavFloatBytes(sampleRate: Int, nSamples: Int, den: Int,
+                    num: Int => Int): Array[Byte] = {
+    require(den > 0 && (den & (den - 1)) == 0, s"den must be a power of 2: $den")
+    val out = new java.io.ByteArrayOutputStream()
+    def le(i: Int, n: Int): Array[Byte] =
+      (0 until n).map(b => ((i >> (8 * b)) & 0xff).toByte).toArray
+    val dataLen = nSamples * 4
+    out.write("RIFF".getBytes("US-ASCII"))
+    out.write(le(4 + (8 + 18) + (8 + 4) + (8 + dataLen), 4))
+    out.write("WAVE".getBytes("US-ASCII"))
+    out.write("fmt ".getBytes("US-ASCII")); out.write(le(18, 4))
+    out.write(le(3, 2)); out.write(le(1, 2))            // IEEE float, mono
+    out.write(le(sampleRate, 4)); out.write(le(sampleRate * 4, 4))
+    out.write(le(4, 2)); out.write(le(32, 2))           // block align, bits
+    out.write(le(0, 2))                                 // cbSize
+    out.write("fact".getBytes("US-ASCII")); out.write(le(4, 4))
+    out.write(le(nSamples, 4))
+    out.write("data".getBytes("US-ASCII")); out.write(le(dataLen, 4))
+    for (i <- 0 until nSamples)
+      out.write(le(java.lang.Float.floatToIntBits(num(i).toFloat / den), 4))
+    out.toByteArray
+  }
+
+  /** Float lane: 50+id%25 samples at 22050 Hz, sample
+    * ((i*419 + id*23) % 2049 − 1024) / 1024 ∈ [−1, 1] — decodes to
+    * exactly (num · 32) on the 16-bit lattice.
+    */
+  def wavFloatFixtureBytes(id: Long): Array[Byte] =
+    wavFloatBytes(22050, 50 + (id % 25).toInt, 1024,
+      i => ((i * 419 + id * 23) % 2049).toInt - 1024)
+
+  /** WAVE_FORMAT_EXTENSIBLE (0xFFFE) writer — the >2-channel/high-depth
+    * container every DAW exports: 40-byte fmt (cbSize 22, valid bits,
+    * channel mask, SubFormat GUID carrying the REAL format), fact chunk.
+    * `payload` emits the raw interleaved sample bytes.
+    */
+  def wavExtensibleBytes(baseCodec: Int, bits: Int, channels: Int,
+                         sampleRate: Int, nFrames: Int,
+                         payload: java.io.ByteArrayOutputStream => Unit): Array[Byte] = {
+    val bp = bits / 8
+    val out = new java.io.ByteArrayOutputStream()
+    def le(i: Int, n: Int): Array[Byte] =
+      (0 until n).map(b => ((i >> (8 * b)) & 0xff).toByte).toArray
+    val dataLen = nFrames * channels * bp
+    out.write("RIFF".getBytes("US-ASCII"))
+    out.write(le(4 + (8 + 40) + (8 + 4) + (8 + dataLen), 4))
+    out.write("WAVE".getBytes("US-ASCII"))
+    out.write("fmt ".getBytes("US-ASCII")); out.write(le(40, 4))
+    out.write(le(0xFFFE, 2)); out.write(le(channels, 2))
+    out.write(le(sampleRate, 4))
+    out.write(le(sampleRate * channels * bp, 4))
+    out.write(le(channels * bp, 2)); out.write(le(bits, 2))
+    out.write(le(22, 2))                                // cbSize
+    out.write(le(bits, 2))                              // valid bits
+    out.write(le((1 << channels) - 1, 4))               // channel mask
+    out.write(le(baseCodec, 2))                         // GUID: base format
+    // GUID tail 0000-0010-8000-00AA00389B71
+    out.write(Array[Int](0x00, 0x00, 0x00, 0x00, 0x10, 0x00, 0x80, 0x00,
+      0x00, 0xaa, 0x00, 0x38, 0x9b, 0x71).map(_.toByte))
+    out.write("fact".getBytes("US-ASCII")); out.write(le(4, 4))
+    out.write(le(nFrames, 4))
+    out.write("data".getBytes("US-ASCII")); out.write(le(dataLen, 4))
+    payload(out)
+    out.toByteArray
+  }
+
+  /** Extensible-PCM16 STEREO lane: 30+id%15 frames at 12000 Hz,
+    * interleaved sample j = (j*331 + id*7) % 65536 − 32768 (channel 0 =
+    * even j, the zero-crossing channel).
+    */
+  def wavExtPcmFixtureBytes(id: Long): Array[Byte] = {
+    val nf = 30 + (id % 15).toInt
+    wavExtensibleBytes(1, 16, 2, 12000, nf, out => {
+      def le(i: Int, n: Int): Unit =
+        (0 until n).foreach(b => out.write((i >> (8 * b)) & 0xff))
+      for (j <- 0 until nf * 2) le(((j * 331 + id * 7) % 65536).toInt - 32768, 2)
+    })
+  }
+
+  /** Extensible-FLOAT mono lane: 35+id%18 samples at 16000 Hz, sample
+    * ((i*257 + id*19) % 1025 − 512) / 512 — decodes to exactly (num·64).
+    */
+  def wavExtFloatFixtureBytes(id: Long): Array[Byte] = {
+    val n = 35 + (id % 18).toInt
+    wavExtensibleBytes(3, 32, 1, 16000, n, out => {
+      def le(i: Int, nb: Int): Unit =
+        (0 until nb).foreach(b => out.write((i >> (8 * b)) & 0xff))
+      for (i <- 0 until n) le(java.lang.Float.floatToIntBits(
+        (((i * 257 + id * 19) % 1025).toInt - 512).toFloat / 512), 4)
+    })
+  }
+
   /** Minimal valid RGB PNG (color type 2, filter 0) — written by its OWN
     * byte-level code, deliberately NOT via MediaCodecHelper.encodePng: the
     * oracle check on decoded RGB values only means something if fixture
@@ -1538,6 +1637,9 @@ object Multimodal {
   val makeWavAlaw = udf((id: Long) => wavAlawBytes(id))
   val makeWav24 = udf((id: Long) => wav24Bytes(id))
   val makeWav32 = udf((id: Long) => wav32Bytes(id))
+  val makeWavFloat = udf((id: Long) => wavFloatFixtureBytes(id))
+  val makeWavExtPcm = udf((id: Long) => wavExtPcmFixtureBytes(id))
+  val makeWavExtFloat = udf((id: Long) => wavExtFloatFixtureBytes(id))
 
   // ---- metadata extraction (codegen'd Column arithmetic, no UDFs) ----
 
@@ -1659,9 +1761,13 @@ object Multimodal {
   /** REAL baseline JPEG decode (Huffman + dequant + IDCT + 4:2:0/4:2:2
     * chroma upsample + integer YCbCr→RGB — ITU-T T.81, pure JVM):
     * struct(width, height, channels, px_sum, px_min, px_max), the same
-    * integer statistics shape as [[decodeImage]]. Null for
-    * progressive/arithmetic/12-bit streams (outside the baseline
-    * envelope).
+    * integer statistics shape as [[decodeImage]]. Covers baseline /
+    * extended-sequential (single- or multi-scan) AND progressive (SOF2)
+    * Huffman streams; a stream with NO DHT before its first scan decodes
+    * through the T.81 Annex K implied standard tables (the OpenDML
+    * MJPEG convention — so [[videoFrame]] output from a DHT-less AVI
+    * composes here). Null for arithmetic-coded / 12-bit / lossless
+    * streams.
     */
   def decodeJpeg(bin: Column): Column = bridge(graft.expr.JpegStats(ex(bin)))
 
@@ -1686,18 +1792,21 @@ object Multimodal {
     bridge(graft.expr.Png16Stats(ex(bin)))
 
   /** REAL JPEG → PNG transcode with nearest-neighbor resize: full
-    * baseline decode, integer-floor index map, lossless PNG re-encode
-    * (so downstream stages replay byte-exactly). Null when not a
-    * decodable baseline JPEG.
+    * decode ([[decodeJpeg]]'s envelope, DHT-less frames included via the
+    * implied Annex K tables), integer-floor index map, lossless PNG
+    * re-encode (so downstream stages replay byte-exactly). Null when not
+    * a decodable JPEG.
     */
   def jpegResizePng(bin: Column, w: Int, h: Int): Column =
     bridge(graft.expr.JpegResizeToPng(ex(bin), w, h))
 
-  /** REAL audio feature extraction (integer-PCM WAV at 8/16/24/32-bit,
-    * via the RIFF walk): struct(n_samples, sample_rate, pcm_sum,
-    * pcm_sqsum, pcm_peak, pcm_zc, pcm_bits) — RMS = sqrt(pcm_sqsum /
-    * n_samples) downstream, pcm_zc the channel-0 zero-crossing count.
-    * Null for non-integer-PCM blobs.
+  /** REAL audio feature extraction (integer PCM at 8/16/24/32-bit,
+    * G.711 µ-law/A-law, IEEE float32 on the exact floor(f·2^15) integer
+    * lattice, and WAVE_FORMAT_EXTENSIBLE wrapping any of those — via the
+    * RIFF walk): struct(n_samples, sample_rate, pcm_sum, pcm_sqsum,
+    * pcm_peak, pcm_zc, pcm_bits) — RMS = sqrt(pcm_sqsum / n_samples)
+    * downstream, pcm_zc the channel-0 zero-crossing count. Null for
+    * blobs outside the audio envelope (ADPCM, float64).
     */
   def audioFeatures(bin: Column): Column = bridge(graft.expr.WavPcmStats(ex(bin)))
 
@@ -1724,7 +1833,10 @@ object Multimodal {
 
   /** The `idx`-th video frame's raw bytes — for MJPEG, a self-contained
     * JPEG that composes with [[decodeJpeg]]/[[jpegResizePng]] (video →
-    * frame → resize → PNG, every stage a real decode).
+    * frame → resize → PNG, every stage a real decode). DHT-less frames
+    * compose too: the still-image path falls back to the implied Annex K
+    * tables exactly when the frame carries no DHT, the same convention
+    * [[videoFrameStats]] decodes under.
     */
   def videoFrame(bin: Column, idx: Int): Column =
     bridge(graft.expr.MjpegFrame(ex(bin), idx))

@@ -426,6 +426,60 @@ object MediaPack {
       fs.getField("pcm_sum").as("fs_sum"))
   }
 
+  /** Float + extensible WAV fixture: IEEE-float32 (codec 3), extensible
+    * PCM16 stereo, and extensible float32 — the three modern-tooling
+    * export shapes, memoized separately.
+    */
+  private def audioFloatBlobs(s: SparkSession, dir: String) = {
+    val (store, _) = Fixtures(s, dir, "fix_media_wav4") { st =>
+      st.write(Tables.documents(s, dir).select(col("doc_id"))
+        .withColumn("wf", Multimodal.makeWavFloat(col("doc_id")))
+        .withColumn("we", Multimodal.makeWavExtPcm(col("doc_id")))
+        .withColumn("wef", Multimodal.makeWavExtFloat(col("doc_id"))),
+        "mm_wav4", slices = 8)
+      Map("blobs" -> "mm_wav4")
+    }
+    store.readResolved("mm_wav4")
+  }
+
+  /** REAL float32 + WAVE_FORMAT_EXTENSIBLE decode — the default export
+    * of most modern audio tooling: IEEE-float samples reported on the
+    * exact floor(f·2^15) integer lattice (the fixture numerators are
+    * k/2^10 and k/2^9 rationals, so every step — float, double, the
+    * power-of-two scale — is exact and the oracle replays plain
+    * integers), the extensible wrapper resolved through its SubFormat
+    * GUID to PCM16-STEREO (interleaved channel handling + channel-0 zero
+    * crossings inside the gate) and to wrapped float32, plus an
+    * every-2nd-frame decimation of the float lane re-encoded AT codec 3
+    * and re-analyzed (the codec-preserving frame sampler extended to
+    * float). Codegen'd scan-side; no shuffle.
+    */
+  def audioFloat(s: SparkSession, dir: String): DataFrame = {
+    val media = audioFloatBlobs(s, dir)
+    val f = Multimodal.audioFeatures(col("wf"))
+    val e = Multimodal.audioFeatures(col("we"))
+    val ef = Multimodal.audioFeatures(col("wef"))
+    val fs = Multimodal.audioFeatures(Multimodal.audioFrameSample(col("wf"), 2))
+    media.select(col("doc_id"),
+      f.getField("n_samples").as("f_n"),
+      f.getField("pcm_bits").cast("long").as("f_bits"),
+      f.getField("pcm_sum").as("f_sum"),
+      f.getField("pcm_sqsum").as("f_sqsum"),
+      f.getField("pcm_peak").as("f_peak"),
+      f.getField("pcm_zc").as("f_zc"),
+      e.getField("n_samples").as("e_n"),
+      e.getField("pcm_sum").as("e_sum"),
+      e.getField("pcm_sqsum").as("e_sqsum"),
+      e.getField("pcm_peak").as("e_peak"),
+      e.getField("pcm_zc").as("e_zc"),
+      ef.getField("n_samples").as("ef_n"),
+      ef.getField("pcm_sum").as("ef_sum"),
+      ef.getField("pcm_sqsum").as("ef_sqsum"),
+      ef.getField("pcm_peak").as("ef_peak"),
+      fs.getField("n_samples").as("fs_n"),
+      fs.getField("pcm_sum").as("fs_sum"))
+  }
+
   /** DHT-less MJPEG fixture: frames coded against the Annex K typical
     * Huffman tables with NO DHT segment (the most common real-world MJPEG
     * flavor, per the OpenDML implied-standard-tables convention); 4:2:0
@@ -524,6 +578,7 @@ object MediaPack {
     "mm_video_nodht" -> videoNoDht _,
     "mm_audio_depth" -> audioDepth _,
     "mm_audio_g711" -> audioG711 _,
+    "mm_audio_float" -> audioFloat _,
     "mm_gif_anim" -> gifAnim _,
     "mm_png16" -> png16 _,
     "pl_mm_corpus" -> multimodalCorpus _,
@@ -1149,6 +1204,76 @@ object MediaPack {
          JOIN ua ON ua.doc_id = d.doc_id
          JOIN aa ON aa.doc_id = d.doc_id
          JOIN fs ON fs.doc_id = d.doc_id""",
+    // float/extensible replay: float lane value ((i*419+id*23)%2049 −
+    // 1024)·32 over 50+id%25 samples (the fixture writes k/2^10 floats;
+    // floor(f·2^15) = k·32 exactly); extensible-PCM16 stereo interleaved
+    // sample j = (j*331+id*7)%65536 − 32768 over 2·(30+id%15), n_samples
+    // counts FRAMES, zero crossings over channel 0 (even j) only;
+    // extensible-float ((i*257+id*19)%1025 − 512)·64 over 35+id%18; fs
+    // replays the every-2nd-frame decimation of the float lane.
+    "mm_audio_float" ->
+      """WITH fv AS (
+           SELECT d.doc_id, i.i AS i,
+                  ((i.i*419 + d.doc_id*23) % 2049 - 1024) * 32 AS v
+           FROM documents d
+           JOIN range(0, 75) i(i) ON i.i < 50 + d.doc_id % 25
+         ), fz AS (
+           SELECT doc_id, i, v,
+                  lag(v) OVER (PARTITION BY doc_id ORDER BY i) AS pv
+           FROM fv
+         ), fa AS (
+           SELECT doc_id, count(*) AS n, sum(v) AS s, sum(v*v) AS q,
+                  max(abs(v)) AS pk,
+                  sum(CASE WHEN pv IS NOT NULL AND ((v < 0) != (pv < 0))
+                      THEN 1 ELSE 0 END) AS zc
+           FROM fz GROUP BY doc_id
+         ), ffs AS (
+           SELECT doc_id, count(*) AS n, sum(v) AS s
+           FROM fv WHERE i % 2 = 0 GROUP BY doc_id
+         ), ev AS (
+           SELECT d.doc_id, j.j AS j,
+                  (j.j*331 + d.doc_id*7) % 65536 - 32768 AS v
+           FROM documents d
+           JOIN range(0, 90) j(j) ON j.j < 2 * (30 + d.doc_id % 15)
+         ), ez AS (
+           SELECT doc_id, j, v,
+                  lag(v) OVER (PARTITION BY doc_id ORDER BY j) AS pv0
+           FROM ev WHERE j % 2 = 0
+         ), ea AS (
+           SELECT e.doc_id, count(*) AS total, sum(e.v) AS s,
+                  sum(e.v*e.v) AS q, max(abs(e.v)) AS pk
+           FROM ev e GROUP BY e.doc_id
+         ), ezc AS (
+           SELECT doc_id,
+                  sum(CASE WHEN pv0 IS NOT NULL AND ((v < 0) != (pv0 < 0))
+                      THEN 1 ELSE 0 END) AS zc
+           FROM ez GROUP BY doc_id
+         ), xv AS (
+           SELECT d.doc_id, i.i AS i,
+                  ((i.i*257 + d.doc_id*19) % 1025 - 512) * 64 AS v
+           FROM documents d
+           JOIN range(0, 53) i(i) ON i.i < 35 + d.doc_id % 18
+         ), xa AS (
+           SELECT doc_id, count(*) AS n, sum(v) AS s, sum(v*v) AS q,
+                  max(abs(v)) AS pk
+           FROM xv GROUP BY doc_id
+         )
+         SELECT d.doc_id,
+         CAST(fa.n AS BIGINT) AS f_n, CAST(32 AS BIGINT) AS f_bits,
+         CAST(fa.s AS BIGINT) AS f_sum, CAST(fa.q AS BIGINT) AS f_sqsum,
+         CAST(fa.pk AS BIGINT) AS f_peak, CAST(fa.zc AS BIGINT) AS f_zc,
+         CAST(30 + d.doc_id % 15 AS BIGINT) AS e_n,
+         CAST(ea.s AS BIGINT) AS e_sum, CAST(ea.q AS BIGINT) AS e_sqsum,
+         CAST(ea.pk AS BIGINT) AS e_peak, CAST(ezc.zc AS BIGINT) AS e_zc,
+         CAST(xa.n AS BIGINT) AS ef_n, CAST(xa.s AS BIGINT) AS ef_sum,
+         CAST(xa.q AS BIGINT) AS ef_sqsum, CAST(xa.pk AS BIGINT) AS ef_peak,
+         CAST(ffs.n AS BIGINT) AS fs_n, CAST(ffs.s AS BIGINT) AS fs_sum
+         FROM documents d
+         JOIN fa ON fa.doc_id = d.doc_id
+         JOIN ffs ON ffs.doc_id = d.doc_id
+         JOIN ea ON ea.doc_id = d.doc_id
+         JOIN ezc ON ezc.doc_id = d.doc_id
+         JOIN xa ON xa.doc_id = d.doc_id""",
     // DHT-less MJPEG replay: (12+id%13)x(8+id%9) 4:2:0 color,
     // 2+id%4 frames at 15000+(id%4)*15000 us/frame, sampled every 2nd.
     // Frame f: Y block (bx,by) = (bx*17+by*23+id*9+f*11)%256, chroma per

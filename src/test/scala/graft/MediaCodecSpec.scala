@@ -340,10 +340,15 @@ class MediaCodecSpec extends AnyFunSuite {
     val shortPal = Multimodal.pngEnvelopeBytes(4, 4, 3, interlaced = false,
       (_, _) => Array(10), palette = Array.tabulate(4)(i => (i, i, i)))
     assert(MediaCodecHelper.decodePng(shortPal) == null)
-    // tRNS on color type 2 is color-KEY transparency: out of envelope
-    val keyed = Multimodal.pngEnvelopeBytes(4, 4, 2, interlaced = false,
-      (x, y) => Array(x, y, x + y), trns = Array(0, 0, 0, 0, 0, 0))
-    assert(MediaCodecHelper.decodePng(keyed) == null)
+    // tRNS on color type 2 is color-KEY transparency: the alpha channel
+    // is SYNTHESIZED — RGBA out, alpha 0 exactly where all three samples
+    // match the key
+    val keyed = MediaCodecHelper.decodePng(
+      Multimodal.pngEnvelopeBytes(4, 4, 2, interlaced = false,
+        (x, y) => Array(x, y, x + y), trns = Array(0, 0, 0, 0, 0, 0)))
+    assert(keyed != null && keyed.bpp == 4)
+    assert((keyed.pix(3) & 0xff) == 0, "pixel (0,0)=(0,0,0) matches the key")
+    assert((keyed.pix(7) & 0xff) == 255, "pixel (1,0)=(1,0,1) does not")
     // a tRNS shorter than the palette defaults the tail to opaque
     val tail = MediaCodecHelper.decodePng(Multimodal.pngEnvelopeBytes(
       4, 4, 3, interlaced = false, (x, y) => Array((x + y * 4) % 16),
@@ -870,5 +875,128 @@ class MediaCodecSpec extends AnyFunSuite {
     assert(java.util.Arrays.equals(plain.pix, lct.pix),
       "local table + extension skip must decode identically")
     assert((lct.pix(0) & 0xff) == 7, "decoy global table leaked through")
+  }
+
+  test("gray color-key tRNS synthesizes alpha (type 0 -> gray+alpha)") {
+    val r = MediaCodecHelper.decodePng(
+      Multimodal.pngEnvelopeBytes(6, 4, 0, interlaced = false,
+        (x, y) => Array((x * 5 + y * 3) % 256), trns = Array(0, 7)))
+    assert(r != null && r.bpp == 2)
+    for (y <- 0 until 4; x <- 0 until 6) {
+      val g = r.pix((y * 6 + x) * 2) & 0xff
+      val a = r.pix((y * 6 + x) * 2 + 1) & 0xff
+      assert(g == (x * 5 + y * 3) % 256)
+      assert(a == (if (g == 7) 0 else 255), s"alpha at ($x,$y)")
+    }
+    // a key above the 8-bit range can never match: fully opaque output
+    val hi = MediaCodecHelper.decodePng(
+      Multimodal.pngEnvelopeBytes(3, 3, 0, interlaced = false,
+        (x, y) => Array((x + y) % 256), trns = Array(1, 0)))
+    assert(hi != null && (0 until 9).forall(i => (hi.pix(2 * i + 1) & 0xff) == 255))
+  }
+
+  /** Cut one chunk (tag + payload + framing) out of a PNG byte stream and
+    * re-insert it immediately before IEND — chunk-order surgery for the
+    * ordering-rule tests below.
+    */
+  private def moveChunkToEnd(png: Array[Byte], tag: String): Array[Byte] = {
+    def findChunk(from: Int): Int = {
+      var off = 8
+      while (off + 8 <= png.length) {
+        val t = new String(png, off + 4, 4, "US-ASCII")
+        val len = java.nio.ByteBuffer.wrap(png, off, 4).getInt
+        if (t == tag && off >= from) return off
+        off += 12 + len
+      }
+      -1
+    }
+    val at = findChunk(0)
+    assert(at > 0, s"no $tag chunk to move")
+    val len = java.nio.ByteBuffer.wrap(png, at, 4).getInt
+    val chunk = png.slice(at, at + 12 + len)
+    val without = png.take(at) ++ png.drop(at + 12 + len)
+    val iend = {
+      var off = 8
+      var found = -1
+      while (off + 8 <= without.length && found < 0) {
+        if (new String(without, off + 4, 4, "US-ASCII") == "IEND") found = off
+        else off += 12 + java.nio.ByteBuffer.wrap(without, off, 4).getInt
+      }
+      found
+    }
+    assert(iend > 0)
+    without.take(iend) ++ chunk ++ without.drop(iend)
+  }
+
+  test("PLTE / tRNS arriving after IDAT data are rejected (spec ordering)") {
+    val pal = Multimodal.pngEnvelopeBytes(4, 4, 3, interlaced = false,
+      (x, y) => Array((x + y) % 4),
+      palette = Array.tabulate(4)(i => (i, 2 * i, 3 * i)))
+    assert(MediaCodecHelper.decodePng(pal) != null, "fixture sane")
+    assert(MediaCodecHelper.decodePng(moveChunkToEnd(pal, "PLTE")) == null,
+      "PLTE after IDAT must be rejected")
+    val keyed = Multimodal.pngEnvelopeBytes(4, 4, 0, interlaced = false,
+      (x, y) => Array((x + y) % 256), trns = Array(0, 1))
+    assert(MediaCodecHelper.decodePng(keyed) != null, "fixture sane")
+    assert(MediaCodecHelper.decodePng(moveChunkToEnd(keyed, "tRNS")) == null,
+      "tRNS after IDAT must be rejected")
+  }
+
+  test("float32 WAV decodes on the exact floor(f*2^15) lattice") {
+    val id = 5L
+    val row = MediaCodecHelper.wavPcmStats(Multimodal.wavFloatFixtureBytes(id))
+    val n = 50 + (id % 25).toInt
+    val vs = (0 until n).map(i => ((((i * 419 + id * 23) % 2049) - 1024) * 32).toLong)
+    assert(row != null)
+    assert(row.getLong(0) == n && row.getInt(1) == 22050)
+    assert(row.getLong(2) == vs.sum, "pcm_sum")
+    assert(row.getLong(3) == vs.map(v => v * v).sum, "pcm_sqsum")
+    assert(row.getLong(4) == vs.map(math.abs).max, "pcm_peak")
+    assert(row.getInt(6) == 32)
+  }
+
+  test("extensible WAV resolves its GUID; bad GUIDs and NaN/Inf are handled") {
+    val id = 7L
+    val ext = Multimodal.wavExtPcmFixtureBytes(id)
+    val row = MediaCodecHelper.wavPcmStats(ext)
+    val nf = 30 + (id % 15).toInt
+    val vs = (0 until 2 * nf).map(j => (((j * 331 + id * 7) % 65536) - 32768).toLong)
+    assert(row != null && row.getLong(0) == nf, "n_samples counts frames")
+    assert(row.getLong(2) == vs.sum)
+    // channel-0 zero crossings: even interleaved indices only
+    val ch0 = vs.indices.collect { case j if j % 2 == 0 => vs(j) < 0 }
+    assert(row.getLong(5) == ch0.sliding(2).count(p => p(0) != p(1)))
+    // corrupt one GUID tail byte -> unknown subformat -> null
+    val bad = ext.clone()
+    val gi = bad.indexOfSlice(Seq(0x38.toByte, 0x9b.toByte, 0x71.toByte))
+    assert(gi > 0); bad(gi) = 0x39.toByte
+    assert(MediaCodecHelper.wavPcmStats(bad) == null)
+    // NaN reports 0; small floats land exactly on the lattice
+    val weird = Multimodal.wavExtensibleBytes(3, 32, 1, 8000, 3, out => {
+      def le(i: Int): Unit = (0 until 4).foreach(b => out.write((i >> (8 * b)) & 0xff))
+      le(java.lang.Float.floatToIntBits(Float.NaN))
+      le(java.lang.Float.floatToIntBits(0.5f))
+      le(java.lang.Float.floatToIntBits(-0.25f))
+    })
+    val wr = MediaCodecHelper.wavPcmStats(weird)
+    assert(wr != null && wr.getLong(2) == 0L + 0 + 16384 - 8192)
+  }
+
+  test("DHT-less stills: stats/resize fall back to Annex K implied tables") {
+    val nodht = Multimodal.jpegNoDhtBytes(12, 8,
+      (bx, by) => (bx * 17 + by * 23) % 256,
+      (bx, by) => (bx * 13) % 256, (bx, by) => (by * 19) % 256)
+    // strict decode refuses (no tables), the auto path implies Annex K
+    assert(MediaCodecHelper.decodeJpeg(nodht) == null)
+    assert(MediaCodecHelper.jpegStats(nodht) != null,
+      "jpegStats must imply standard tables for a DHT-less stream")
+    assert(MediaCodecHelper.jpegResizeToPng(nodht, 6, 4) != null,
+      "resize path must imply standard tables too")
+    // a stream WITH its own DHT that fails must NOT be retried under
+    // different tables (that could 'succeed' with garbage)
+    val withDht = Multimodal.grayJpegBytes(3L)
+    assert(MediaCodecHelper.jpegStats(withDht) != null, "fixture sane")
+    val truncated = withDht.dropRight(withDht.length / 3)
+    assert(MediaCodecHelper.jpegStats(truncated) == null)
   }
 }
