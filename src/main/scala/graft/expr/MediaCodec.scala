@@ -5,6 +5,7 @@ import java.util.zip.{CRC32, Deflater, Inflater}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Expression, GenericInternalRow, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.types._
 
 /** Real (not stubbed) pure-JVM media decode for the multimodal column
@@ -40,6 +41,15 @@ import org.apache.spark.sql.types._
   *    mapping is exact), and WAVE_FORMAT_EXTENSIBLE wrapping any of
   *    those — located through the chunk walk (LIST/fact chunks before
   *    `fmt ` are fine); ADPCM/float64 return null.
+  *  - GIF: [[decodeGif]] is the STRICT single-image path — first frame
+  *    only, and since r15 it returns null when that frame sits at a
+  *    nonzero offset or is smaller than the logical screen (envelope
+  *    NARROWING vs earlier rounds: such frames previously decoded
+  *    image-local, which diverges from any compositing renderer — a
+  *    lower decode rate here is the honest-null policy working, not a
+  *    regression). Animation, sub-rect frames, transparency and GCE
+  *    disposal methods 0–3 are the [[gifAnimStats]] compositing path;
+  *    [[gifMeta]] counts frames without decoding.
   *
   * Everything here is per-value scan-side work wrapped in codegen'd
   * expressions (static call per value, same pattern as [[RecodeHelper]]),
@@ -355,9 +365,13 @@ object MediaCodecHelper {
   /** Encode a raster back to PNG (filter 0 rows, or a fixed filter for
     * tests exercising the unfilter paths). Shares no state with the
     * fixture generator in ops/Multimodal — this is the production path.
+    * `depth` 8 (bpp = channels, one byte per sample) or 16 (bpp =
+    * 2·channels, big-endian sample pairs — PNG filtering is byte-level
+    * regardless of depth, so the same filter loop serves both).
     */
-  def encodePng(r: Raster, filterType: Int = 0): Array[Byte] = {
+  def encodePng(r: Raster, filterType: Int = 0, depth: Int = 8): Array[Byte] = {
     require(filterType >= 0 && filterType <= 4, s"bad filter $filterType")
+    require(depth == 8 || depth == 16, s"bad depth $depth")
     val stride = r.width * r.bpp
     val raw = new Array[Byte](r.height * (stride + 1))
     var y = 0
@@ -399,11 +413,14 @@ object MediaCodecHelper {
       out.write(be(crc.getValue.toInt))
     }
     out.write(PngSig)
-    val color: Byte = r.bpp match {
+    val channels = if (depth == 16) r.bpp / 2 else r.bpp
+    if (depth == 16) require(r.bpp % 2 == 0, s"odd 16-bit bpp ${r.bpp}")
+    val color: Byte = channels match {
       case 1 => 0; case 2 => 4; case 3 => 2; case 4 => 6
       case b => throw new IllegalArgumentException(s"unencodable bpp $b")
     }
-    chunk("IHDR", be(r.width) ++ be(r.height) ++ Array[Byte](8, color, 0, 0, 0))
+    chunk("IHDR", be(r.width) ++ be(r.height) ++
+      Array[Byte](depth.toByte, color, 0, 0, 0))
     val def_ = new Deflater()
     def_.setInput(raw); def_.finish()
     val zout = new java.io.ByteArrayOutputStream()
@@ -427,6 +444,27 @@ object MediaCodecHelper {
     * what a gating/dedup pipeline consumes. Null outside the envelope.
     */
   def png16Stats(bytes: Array[Byte]): InternalRow = {
+    val r = decodePng16(bytes)
+    if (r == null) return null
+    val channels = r.bpp / 2
+    var sum = 0L; var mn = 65535; var mx = 0
+    var p = 0
+    while (p < r.pix.length) {
+      val v = ((r.pix(p) & 0xff) << 8) | (r.pix(p + 1) & 0xff)
+      sum += v; if (v < mn) mn = v; if (v > mx) mx = v
+      p += 2
+    }
+    new GenericInternalRow(
+      Array[Any](r.width, r.height, channels, sum, mn, mx))
+  }
+
+  /** Full 16-bit PNG raster decode: Raster with bpp = 2·channels where
+    * each sample is a big-endian byte pair at FULL precision — no 8-bit
+    * truncation. Same chunk walk and envelope as [[png16Stats]]
+    * (gray16/RGB16/gray+alpha16/RGBA16, sequential or Adam7, tRNS out of
+    * envelope); null outside it.
+    */
+  def decodePng16(bytes: Array[Byte]): Raster = {
     if (bytes == null || bytes.length < 33) return null
     var i = 0
     while (i < 8) { if (bytes(i) != PngSig(i)) return null; i += 1 }
@@ -462,20 +500,41 @@ object MediaCodecHelper {
           val pix = reconstruct(idat.toByteArray, w, h, 2 * channels,
             interlaced)
           if (pix == null) return null
-          var sum = 0L; var mn = 65535; var mx = 0
-          var p = 0
-          while (p < pix.length) {
-            val v = ((pix(p) & 0xff) << 8) | (pix(p + 1) & 0xff)
-            sum += v; if (v < mn) mn = v; if (v > mx) mx = v
-            p += 2
-          }
-          return new GenericInternalRow(
-            Array[Any](w, h, channels, sum, mn, mx))
+          return new Raster(w, h, 2 * channels, pix)
         case _ => // ancillary chunk — skip
       }
       off += 12 + len
     }
     null // no IEND
+  }
+
+  /** Nearest-neighbor resize of a 16-BIT PNG, re-encoded as 16-bit PNG —
+    * the raster path for scientific/depth images (`sx = x·srcW/dstW`
+    * integer floor, the same oracle-replayable index math as
+    * [[pngResizeNearest]]); samples are copied as whole big-endian byte
+    * pairs, so full precision survives the roundtrip. null when the
+    * input is outside the 16-bit envelope.
+    */
+  def png16ResizeNearest(bytes: Array[Byte], dstW: Int, dstH: Int): Array[Byte] = {
+    val r = decodePng16(bytes)
+    if (r == null) return null
+    val out = new Array[Byte](dstW * dstH * r.bpp)
+    var y = 0
+    while (y < dstH) {
+      val sy = y * r.height / dstH
+      var x = 0
+      while (x < dstW) {
+        val sx = x * r.width / dstW
+        var c = 0
+        while (c < r.bpp) {
+          out((y * dstW + x) * r.bpp + c) = r.pix((sy * r.width + sx) * r.bpp + c)
+          c += 1
+        }
+        x += 1
+      }
+      y += 1
+    }
+    encodePng(new Raster(dstW, dstH, r.bpp, out), 0, depth = 16)
   }
 
   /** struct(width, height, channels, px_sum, px_min, px_max) over all
@@ -1661,6 +1720,170 @@ object MediaCodecHelper {
     new GenericInternalRow(Array[Any](r.width, r.height, r.bpp, sum, mn, mx))
   }
 
+  /** Multi-frame GIF COMPOSITING decode — the animation-aware path that
+    * [[decodeGif]] (first-frame, full-screen-only) deliberately is not.
+    * Each image descriptor renders onto the logical screen at its
+    * (left, top) offset; the Graphic Control Extension preceding it
+    * supplies per-frame transparency (indices equal to the transparent
+    * index leave the underlying canvas pixel untouched) and the disposal
+    * method applied AFTER the frame is displayed: 0/1 leave the canvas,
+    * 2 restores the frame's rectangle to the background state —
+    * TRANSPARENT, the universal modern-renderer convention (filling with
+    * the header's background COLOR is a spec reading no browser follows)
+    * — and 3 restores the canvas to its pre-frame state. The canvas
+    * starts fully transparent. Result: struct(width, height,
+    * frames: array of struct(px_sum, opaque, px_min, px_max)) where
+    * frame k's row is measured after it renders and before its disposal
+    * applies — px_sum sums R+G+B over OPAQUE canvas pixels, opaque
+    * counts them, px_min/px_max range over their channel bytes (−1/−1
+    * when no pixel is opaque). Null on: non-GIF, malformed/truncated
+    * streams (trailer required), frames escaping the logical screen,
+    * reserved disposal methods 4–7, LZW/palette errors, screens over
+    * 16M pixels, or total composited work over 256M pixels (the
+    * frame-count × screen-area bound).
+    */
+  def gifAnimStats(bytes: Array[Byte]): InternalRow = {
+    if (bytes == null || bytes.length < 14) return null
+    try gifAnimStats0(bytes)
+    catch { case _: RuntimeException => null }
+  }
+
+  private def gifAnimStats0(b: Array[Byte]): InternalRow = {
+    def u8(i: Int): Int = { if (i < 0 || i >= b.length) throw JpegBail; b(i) & 0xff }
+    def u16(i: Int): Int = u8(i) | (u8(i + 1) << 8)
+    val sig = new String(b, 0, 6, "US-ASCII")
+    if (sig != "GIF87a" && sig != "GIF89a") return null
+    val sw = u16(6); val sh = u16(8)
+    if (sw <= 0 || sh <= 0 || sw.toLong * sh > 16L * 1024 * 1024) return null
+    def palette(off: Int, n: Int): Array[Int] = {
+      val p = new Array[Int](n)
+      var i = 0
+      while (i < n) {
+        p(i) = (u8(off + 3 * i) << 16) | (u8(off + 3 * i + 1) << 8) |
+          u8(off + 3 * i + 2)
+        i += 1
+      }
+      p
+    }
+    var off = 6
+    val gpacked = u8(off + 4)
+    off += 7
+    var gct: Array[Int] = null
+    if ((gpacked & 0x80) != 0) {
+      val n = 2 << (gpacked & 7)
+      gct = palette(off, n); off += 3 * n
+    }
+    val canvas = Array.fill(sw * sh)(-1) // -1 = transparent, else 0xRRGGBB
+    val frames = scala.collection.mutable.ArrayBuffer[InternalRow]()
+    var disposal = 0 // pending GCE state, consumed by the next image
+    var transIdx = -1
+    var done = false
+    while (!done) {
+      u8(off) match {
+        case 0x21 => // extension; 0xf9 = Graphic Control for the NEXT image
+          val label = u8(off + 1)
+          off += 2
+          if (label == 0xf9) {
+            if (u8(off) != 4) throw JpegBail
+            val packed = u8(off + 1)
+            disposal = (packed >> 2) & 7
+            if (disposal > 3) return null // reserved methods: out of envelope
+            transIdx = if ((packed & 1) != 0) u8(off + 4) else -1
+          }
+          var len = u8(off)
+          while (len != 0) { off += 1 + len; len = u8(off) }
+          off += 1
+        case 0x3b => done = true
+        case 0x2c =>
+          // bound TOTAL compositing work, not just the screen area
+          if ((frames.length + 1).toLong * sw * sh > 256L * 1024 * 1024)
+            return null
+          val ileft = u16(off + 1); val itop = u16(off + 3)
+          val iw = u16(off + 5); val ih = u16(off + 7)
+          val ip = u8(off + 9)
+          off += 10
+          if (iw <= 0 || ih <= 0 || ileft + iw > sw || itop + ih > sh)
+            return null
+          var pal = gct
+          if ((ip & 0x80) != 0) {
+            val n = 2 << (ip & 7)
+            pal = palette(off, n); off += 3 * n
+          }
+          if (pal == null) return null
+          val interlaced = (ip & 0x40) != 0
+          val mcs = u8(off); off += 1
+          if (mcs < 2 || mcs > 8) return null
+          val data = new java.io.ByteArrayOutputStream()
+          var len = u8(off)
+          while (len != 0) {
+            if (off + 1 + len > b.length) throw JpegBail
+            data.write(b, off + 1, len); off += 1 + len; len = u8(off)
+          }
+          off += 1 // past the 0 sub-block terminator
+          val indices = gifLzw(data.toByteArray, mcs, iw * ih)
+          val snap = if (disposal == 3) canvas.clone() else null
+          val rows =
+            if (!interlaced) 0 until ih
+            else (0 until ih by 8) ++ (4 until ih by 8) ++
+              (2 until ih by 4) ++ (1 until ih by 2)
+          var src = 0
+          rows.foreach { y =>
+            var x = 0
+            while (x < iw) {
+              val idx = indices(src) & 0xff; src += 1
+              if (idx >= pal.length) throw JpegBail
+              if (idx != transIdx)
+                canvas((itop + y) * sw + (ileft + x)) = pal(idx)
+              x += 1
+            }
+          }
+          var sum = 0L; var opaque = 0; var mn = 255; var mx = 0
+          var i = 0
+          while (i < canvas.length) {
+            val c = canvas(i)
+            if (c >= 0) {
+              opaque += 1
+              val r = (c >> 16) & 0xff; val g = (c >> 8) & 0xff
+              val bb = c & 0xff
+              sum += r + g + bb
+              if (r < mn) mn = r; if (g < mn) mn = g; if (bb < mn) mn = bb
+              if (r > mx) mx = r; if (g > mx) mx = g; if (bb > mx) mx = bb
+            }
+            i += 1
+          }
+          if (opaque == 0) { mn = -1; mx = -1 }
+          frames += new GenericInternalRow(Array[Any](sum, opaque, mn, mx))
+          if (disposal == 2) {
+            var y = 0
+            while (y < ih) {
+              var x = 0
+              while (x < iw) {
+                canvas((itop + y) * sw + (ileft + x)) = -1; x += 1
+              }
+              y += 1
+            }
+          } else if (disposal == 3) {
+            System.arraycopy(snap, 0, canvas, 0, canvas.length)
+          }
+          disposal = 0; transIdx = -1
+        case _ => return null
+      }
+    }
+    if (frames.isEmpty) return null
+    new GenericInternalRow(Array[Any](sw, sh,
+      new GenericArrayData(frames.toArray[Any])))
+  }
+
+  val GifAnimStatsType: StructType = StructType(Seq(
+    StructField("width", IntegerType, nullable = false),
+    StructField("height", IntegerType, nullable = false),
+    StructField("frames", ArrayType(StructType(Seq(
+      StructField("px_sum", LongType, nullable = false),
+      StructField("opaque", IntegerType, nullable = false),
+      StructField("px_min", IntegerType, nullable = false),
+      StructField("px_max", IntegerType, nullable = false))),
+      containsNull = false), nullable = false)))
+
   /** struct(width, height, channels, px_sum, px_min, px_max) over the
     * fully decoded JPEG raster (same shape as [[pngStats]]); null outside
     * the baseline envelope.
@@ -2113,6 +2336,50 @@ case class Png16Stats(child: Expression) extends UnaryExpression {
        """.stripMargin
     })
   override protected def withNewChildInternal(newChild: Expression): Png16Stats =
+    copy(child = newChild)
+}
+
+/** Nearest-neighbor resize of a 16-bit PNG re-encoded at depth 16 (whole
+  * big-endian sample pairs copied — full precision survives); null
+  * outside the 16-bit envelope.
+  */
+case class Png16ResizeNearest(child: Expression, dstW: Int, dstH: Int)
+    extends UnaryExpression {
+  require(dstW > 0 && dstH > 0, s"bad resize target ${dstW}x$dstH")
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_png16_resize"
+  override def nullSafeEval(input: Any): Any =
+    MediaCodecHelper.png16ResizeNearest(input.asInstanceOf[Array[Byte]], dstW, dstH)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      s"""
+         |${ev.value} = graft.expr.MediaCodecHelper.png16ResizeNearest($c, $dstW, $dstH);
+         |${ev.isNull} = (${ev.value} == null);
+       """.stripMargin
+    })
+  override protected def withNewChildInternal(newChild: Expression): Png16ResizeNearest =
+    copy(child = newChild)
+}
+
+/** Multi-frame GIF compositing decode: per-frame opaque-canvas statistics
+  * with GCE disposal methods 0–3 and transparency honored; null outside
+  * the animation envelope.
+  */
+case class GifAnimStats(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = MediaCodecHelper.GifAnimStatsType
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_gif_anim_stats"
+  override def nullSafeEval(input: Any): Any =
+    MediaCodecHelper.gifAnimStats(input.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      s"""
+         |${ev.value} = graft.expr.MediaCodecHelper.gifAnimStats($c);
+         |${ev.isNull} = (${ev.value} == null);
+       """.stripMargin
+    })
+  override protected def withNewChildInternal(newChild: Expression): GifAnimStats =
     copy(child = newChild)
 }
 

@@ -1279,6 +1279,109 @@ object Multimodal {
       i => ((i * 43 + 3) % 256, (i * 67 + 9) % 256, (i * 97 + 27) % 256),
       (x, y, f) => ((x * 3 + y * 7 + id + f * 5) % 16).toInt)
 
+  /** One frame of a COMPOSITING animated-GIF fixture: sub-rect placement,
+    * GCE disposal method, optional transparent index; `idx` takes GLOBAL
+    * screen coordinates so the oracle replays one formula per frame.
+    */
+  final case class GifFrameSpec(left: Int, top: Int, w: Int, h: Int,
+                                disposal: Int, transIdx: Int,
+                                idx: (Int, Int) => Int)
+
+  /** Animated-GIF fixture with per-frame sub-rects, transparency and
+    * disposal methods — the compositing-semantics generator (the plain
+    * [[gifAnimBytes]] writes full-screen opaque frames only). Same
+    * deliberately-different LZW emission as [[gifAnimBytes]]: every pixel
+    * a literal code with a CLEAR before the dictionary could outgrow
+    * width mcs+1. Zero shared code with the production compositor
+    * (graft.expr.MediaCodecHelper.gifAnimStats).
+    */
+  def gifComposeBytes(width: Int, height: Int,
+                      pal: Int => (Int, Int, Int),
+                      frames: Seq[GifFrameSpec]): Array[Byte] = {
+    require(width > 0 && height > 0 && frames.nonEmpty)
+    frames.foreach { f =>
+      require(f.left >= 0 && f.top >= 0 && f.w > 0 && f.h > 0 &&
+        f.left + f.w <= width && f.top + f.h <= height &&
+        f.disposal >= 0 && f.disposal <= 3, s"bad frame spec $f")
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    def b(vs: Int*): Unit = vs.foreach(v => out.write(v & 0xff))
+    def le16(v: Int): Unit = { out.write(v & 0xff); out.write((v >> 8) & 0xff) }
+    out.write("GIF89a".getBytes("US-ASCII"))
+    le16(width); le16(height)
+    b(0x80 | 3, 0, 0) // global table, 16 entries
+    for (i <- 0 until 16) { val (r, g, bb) = pal(i); b(r, g, bb) }
+    val mcs = 4
+    val clear = 1 << mcs
+    val codeW = mcs + 1
+    val runCap = (1 << codeW) - clear - 3
+    frames.foreach { fs =>
+      val gcePacked = (fs.disposal << 2) | (if (fs.transIdx >= 0) 1 else 0)
+      b(0x21, 0xf9, 4, gcePacked, 10, 0,
+        if (fs.transIdx >= 0) fs.transIdx else 0, 0)
+      b(0x2c); le16(fs.left); le16(fs.top); le16(fs.w); le16(fs.h); b(0)
+      b(mcs)
+      val data = new java.io.ByteArrayOutputStream()
+      var acc = 0; var nbits = 0
+      def putCode(c: Int): Unit = {
+        acc |= c << nbits; nbits += codeW
+        while (nbits >= 8) { data.write(acc & 0xff); acc >>= 8; nbits -= 8 }
+      }
+      putCode(clear)
+      var run = 0
+      for (y <- 0 until fs.h; x <- 0 until fs.w) {
+        if (run == runCap) { putCode(clear); run = 0 }
+        putCode(fs.idx(fs.left + x, fs.top + y) & 15)
+        run += 1
+      }
+      putCode(clear + 1) // EOI
+      if (nbits > 0) data.write(acc & 0xff)
+      val bytes = data.toByteArray
+      var o = 0
+      while (o < bytes.length) {
+        val n = math.min(255, bytes.length - o)
+        b(n); out.write(bytes, o, n); o += n
+      }
+      b(0)
+    }
+    b(0x3b)
+    out.toByteArray
+  }
+
+  /** Per-doc compositing fixture — four frames on a (11+id%13)×(7+id%7)
+    * screen, palette i → ((i*43+3)%256, (i*67+9)%256, (i*97+27)%256),
+    * frame f's pixel at GLOBAL (gx,gy) = (gx*3 + gy*7 + id + f*5) % 16,
+    * transparent index 15 where enabled:
+    *  f0 full-screen opaque, disposal 1 (leave);
+    *  f1 rect A = (1+id%3, 1+id%2, 5+id%4, 3+id%3), transparency on,
+    *     disposal 3 (restore to previous — canvas reverts to f0);
+    *  f2 rect B = (2+id%3, 0, 4+id%3, 5+id%2), opaque, disposal 2
+    *     (restore to background — B becomes transparent);
+    *  f3 rect C = (id%4, 1+id%3, 6+id%2, 3+id%2), transparency on,
+    *     disposal 0.
+    * Exercises all three disposal semantics, transparency punch-through,
+    * sub-rect placement, and the post-f2 hole in the opaque count.
+    */
+  def gifComposeFixtureBytes(id: Long): Array[Byte] = {
+    val w = 11 + (id % 13).toInt
+    val h = 7 + (id % 7).toInt
+    def idx(f: Int)(gx: Int, gy: Int): Int =
+      ((gx * 3 + gy * 7 + id + f * 5) % 16).toInt
+    gifComposeBytes(w, h,
+      i => ((i * 43 + 3) % 256, (i * 67 + 9) % 256, (i * 97 + 27) % 256),
+      Seq(
+        GifFrameSpec(0, 0, w, h, disposal = 1, transIdx = -1, idx(0)),
+        GifFrameSpec(1 + (id % 3).toInt, 1 + (id % 2).toInt,
+          5 + (id % 4).toInt, 3 + (id % 3).toInt,
+          disposal = 3, transIdx = 15, idx(1)),
+        GifFrameSpec(2 + (id % 3).toInt, 0,
+          4 + (id % 3).toInt, 5 + (id % 2).toInt,
+          disposal = 2, transIdx = -1, idx(2)),
+        GifFrameSpec((id % 4).toInt, 1 + (id % 3).toInt,
+          6 + (id % 2).toInt, 3 + (id % 2).toInt,
+          disposal = 0, transIdx = 15, idx(3))))
+  }
+
   def gifBytes(width: Int, height: Int, interlaced: Boolean, nColorBits: Int,
                pal: Int => (Int, Int, Int),
                pixIdx: (Int, Int) => Int,
@@ -1626,6 +1729,7 @@ object Multimodal {
   val makeSeqJpeg = udf((id: Long) => seqJpegBytes(id))
   val makeGif = udf((id: Long) => gifFixtureBytes(id))
   val makeGifAnim = udf((id: Long) => gifAnimFixtureBytes(id))
+  val makeGifCompose = udf((id: Long) => gifComposeFixtureBytes(id))
   val makeJpeg = udf((w: Int, h: Int, c: Int) => jpegBytes(w, h, c))
   val makeRgbPng = udf((w: Int, h: Int) => rgbPngBytes(w, h))
   val makeAviMjpeg = udf((id: Long) => aviMjpegBytes(id))
@@ -1790,6 +1894,27 @@ object Multimodal {
     */
   def decodeImage16(bin: Column): Column =
     bridge(graft.expr.Png16Stats(ex(bin)))
+
+  /** 16-bit PNG nearest-neighbor resize re-encoded AT DEPTH 16 — the
+    * scientific/depth-image raster path: whole big-endian sample pairs
+    * are copied (integer-floor index map, full precision preserved), so
+    * [[decodeImage16]] over the result replays exactly. Null outside the
+    * 16-bit envelope.
+    */
+  def png16Resize(bin: Column, w: Int, h: Int): Column =
+    bridge(graft.expr.Png16ResizeNearest(ex(bin), w, h))
+
+  /** Multi-frame GIF COMPOSITING statistics: struct(width, height,
+    * frames: array of struct(px_sum, opaque, px_min, px_max)) — each
+    * frame rendered onto the logical screen at its sub-rect offset with
+    * GCE transparency honored and disposal methods 0–3 applied between
+    * frames (2 = restore-to-background clears to TRANSPARENT, the
+    * modern-renderer convention; 3 = restore-to-previous). Stats are
+    * over opaque canvas pixels after each frame renders. Null outside
+    * the animation envelope ([[graft.expr.MediaCodecHelper.gifAnimStats]]).
+    */
+  def gifAnimStats(bin: Column): Column =
+    bridge(graft.expr.GifAnimStats(ex(bin)))
 
   /** REAL JPEG → PNG transcode with nearest-neighbor resize: full
     * decode ([[decodeJpeg]]'s envelope, DHT-less frames included via the

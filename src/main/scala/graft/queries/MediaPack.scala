@@ -333,6 +333,14 @@ object MediaPack {
     val media = png16Blobs(s, dir)
     val g = Multimodal.decodeImage16(col("g16"))
     val c = Multimodal.decodeImage16(col("c16"))
+    // 16-bit RASTER path: nearest resize of both lanes re-encoded at
+    // depth 16, then re-decoded — proves full-precision samples survive
+    // the decode → resize → encode roundtrip (gray16 → 7×5, RGB16 → 6×4;
+    // both strict downscales for every id class).
+    val r = Multimodal.decodeImage16(
+      Multimodal.png16Resize(col("g16"), 7, 5))
+    val r2 = Multimodal.decodeImage16(
+      Multimodal.png16Resize(col("c16"), 6, 4))
     media.select(col("doc_id"),
       g.getField("width").cast("long").as("g16_w"),
       g.getField("height").cast("long").as("g16_h"),
@@ -343,7 +351,15 @@ object MediaPack {
       c.getField("channels").cast("long").as("c16_ch"),
       c.getField("px_sum").as("c16_sum"),
       c.getField("px_min").cast("long").as("c16_min"),
-      c.getField("px_max").cast("long").as("c16_max"))
+      c.getField("px_max").cast("long").as("c16_max"),
+      r.getField("width").cast("long").as("r16_w"),
+      r.getField("height").cast("long").as("r16_h"),
+      r.getField("channels").cast("long").as("r16_ch"),
+      r.getField("px_sum").as("r16_sum"),
+      r.getField("px_min").cast("long").as("r16_min"),
+      r.getField("px_max").cast("long").as("r16_max"),
+      r2.getField("channels").cast("long").as("s16_ch"),
+      r2.getField("px_sum").as("s16_sum"))
   }
 
   /** Animated-GIF fixture: multi-frame GIFs from the independent
@@ -379,6 +395,44 @@ object MediaPack {
       g1.getField("px_sum").as("g1_sum"),
       g1.getField("px_min").cast("long").as("g1_min"),
       g1.getField("px_max").cast("long").as("g1_max"))
+  }
+
+  /** Compositing animated-GIF fixture: four frames with sub-rects,
+    * transparency and all three disposal semantics, memoized separately.
+    */
+  private def gifComposeBlobs(s: SparkSession, dir: String) = {
+    val (store, _) = Fixtures(s, dir, "fix_media_gif3") { st =>
+      st.write(Tables.documents(s, dir).select(col("doc_id"))
+        .withColumn("gc", Multimodal.makeGifCompose(col("doc_id"))),
+        "mm_gif3", slices = 8)
+      Map("blobs" -> "mm_gif3")
+    }
+    store.readResolved("mm_gif3")
+  }
+
+  /** REAL animated-GIF COMPOSITING decode: four frames per doc rendered
+    * onto the logical screen — full-screen base (disposal 1), a
+    * transparent-punched sub-rect restored-to-previous (disposal 3), an
+    * opaque sub-rect restored-to-background (disposal 2, leaving a
+    * transparent hole), then a final transparent-punched sub-rect over
+    * the holed canvas. Per-frame opaque-pixel sum/count/extrema; every
+    * value replays from the per-pixel CASE logic of the disposal rules
+    * in DuckDB. Codegen'd scan-side; no shuffle.
+    */
+  def gifCompose(s: SparkSession, dir: String): DataFrame = {
+    val media = gifComposeBlobs(s, dir)
+    val a = Multimodal.gifAnimStats(col("gc"))
+    def fr(k: Int) = element_at(a.getField("frames"), k + 1)
+    def lane(k: Int) = Seq(
+      fr(k).getField("px_sum").as(s"f${k}_sum"),
+      fr(k).getField("opaque").cast("long").as(s"f${k}_op"),
+      fr(k).getField("px_min").cast("long").as(s"f${k}_mn"),
+      fr(k).getField("px_max").cast("long").as(s"f${k}_mx"))
+    media.select(Seq(col("doc_id"),
+      a.getField("width").cast("long").as("gc_w"),
+      a.getField("height").cast("long").as("gc_h"),
+      size(a.getField("frames")).cast("long").as("gc_nf")) ++
+      (0 to 3).flatMap(lane): _*)
   }
 
   /** G.711 fixture: µ-law and A-law clips whose companded bytes sweep
@@ -580,6 +634,7 @@ object MediaPack {
     "mm_audio_g711" -> audioG711 _,
     "mm_audio_float" -> audioFloat _,
     "mm_gif_anim" -> gifAnim _,
+    "mm_gif_compose" -> gifCompose _,
     "mm_png16" -> png16 _,
     "pl_mm_corpus" -> multimodalCorpus _,
   )
@@ -1072,6 +1127,9 @@ object MediaPack {
     // 16-bit PNG replay: gray16 (13+id%11)x(6+id%9) sample
     // (x*2311+y*3571+id*97)%65536; RGB16 (8+id%9)x(5+id%8) channel c adds
     // c*7919. Interlace is a re-ordering; sums/extrema are order-free.
+    // Resize lanes replay the nearest-neighbor floor map: dst (x,y)
+    // samples src (x*srcW//dstW, y*srcH//dstH) — gray16 → 7x5, RGB16 →
+    // 6x4 — at the SOURCE formulas (full 16-bit precision preserved).
     "mm_png16" ->
       """WITH g AS (
            SELECT d.doc_id,
@@ -1092,6 +1150,28 @@ object MediaPack {
          ), c16 AS (
            SELECT doc_id, sum(v) AS s, min(v) AS mn, max(v) AS mx
            FROM cc GROUP BY doc_id
+         ), rg AS (
+           SELECT d.doc_id,
+                  ((x.x*(13 + d.doc_id % 11)//7)*2311 +
+                   (y.y*(6 + d.doc_id % 9)//5)*3571 +
+                   d.doc_id*97) % 65536 AS v
+           FROM documents d
+           CROSS JOIN range(0, 7) x(x)
+           CROSS JOIN range(0, 5) y(y)
+         ), r16 AS (
+           SELECT doc_id, sum(v) AS s, min(v) AS mn, max(v) AS mx
+           FROM rg GROUP BY doc_id
+         ), sg AS (
+           SELECT d.doc_id,
+                  ((x.x*(8 + d.doc_id % 9)//6)*2311 +
+                   (y.y*(5 + d.doc_id % 8)//4)*3571 +
+                   d.doc_id*97 + c.c*7919) % 65536 AS v
+           FROM documents d
+           CROSS JOIN range(0, 6) x(x)
+           CROSS JOIN range(0, 4) y(y)
+           CROSS JOIN range(0, 3) c(c)
+         ), s16 AS (
+           SELECT doc_id, sum(v) AS s FROM sg GROUP BY doc_id
          )
          SELECT d.doc_id,
          CAST(13 + d.doc_id % 11 AS BIGINT) AS g16_w,
@@ -1103,10 +1183,20 @@ object MediaPack {
          CAST(3 AS BIGINT) AS c16_ch,
          CAST(c16.s AS BIGINT) AS c16_sum,
          CAST(c16.mn AS BIGINT) AS c16_min,
-         CAST(c16.mx AS BIGINT) AS c16_max
+         CAST(c16.mx AS BIGINT) AS c16_max,
+         CAST(7 AS BIGINT) AS r16_w,
+         CAST(5 AS BIGINT) AS r16_h,
+         CAST(1 AS BIGINT) AS r16_ch,
+         CAST(r16.s AS BIGINT) AS r16_sum,
+         CAST(r16.mn AS BIGINT) AS r16_min,
+         CAST(r16.mx AS BIGINT) AS r16_max,
+         CAST(3 AS BIGINT) AS s16_ch,
+         CAST(s16.s AS BIGINT) AS s16_sum
          FROM documents d
          JOIN g ON g.doc_id = d.doc_id
-         JOIN c16 ON c16.doc_id = d.doc_id""",
+         JOIN c16 ON c16.doc_id = d.doc_id
+         JOIN r16 ON r16.doc_id = d.doc_id
+         JOIN s16 ON s16.doc_id = d.doc_id""",
     // animated GIF replay: (11+id%13) x (7+id%7), 2+id%5 frames; frame 0
     // pixel (x,y) -> palette((x*3 + y*7 + id) % 16) with palette
     // i -> ((i*43+3)%256, (i*67+9)%256, (i*97+27)%256)
@@ -1134,6 +1224,80 @@ object MediaPack {
          CAST(g1.mx AS BIGINT) AS g1_max
          FROM documents d
          JOIN g1 ON g1.doc_id = d.doc_id""",
+    // compositing replay: per-pixel CASE over the disposal rules. Frame
+    // f's index at global (x,y) is (x*3+y*7+id+f*5)%16, transparent
+    // index 15 on f1/f3; canvas state per displayed frame k:
+    //  k0 = i0 (full-screen base, disposal 1 leaves it)
+    //  k1 = i1 inside rect A where i1!=15, else i0 (f1 then restores-to-
+    //       previous, so its paint vanishes before f2)
+    //  k2 = i2 inside rect B, else i0 (f2 then restores-to-background,
+    //       punching B transparent)
+    //  k3 = i3 inside rect C where i3!=15; else transparent (-1) inside
+    //       the B hole; else i0
+    // Stats sum R+G+B over opaque pixels, extrema over channel bytes.
+    "mm_gif_compose" ->
+      """WITH px AS (
+           SELECT d.doc_id AS id, x.x AS x, y.y AS y,
+             (x.x >= 1 + d.doc_id % 3 AND
+              x.x < 1 + d.doc_id % 3 + 5 + d.doc_id % 4 AND
+              y.y >= 1 + d.doc_id % 2 AND
+              y.y < 1 + d.doc_id % 2 + 3 + d.doc_id % 3) AS in_a,
+             (x.x >= 2 + d.doc_id % 3 AND
+              x.x < 2 + d.doc_id % 3 + 4 + d.doc_id % 3 AND
+              y.y < 5 + d.doc_id % 2) AS in_b,
+             (x.x >= d.doc_id % 4 AND
+              x.x < d.doc_id % 4 + 6 + d.doc_id % 2 AND
+              y.y >= 1 + d.doc_id % 3 AND
+              y.y < 1 + d.doc_id % 3 + 3 + d.doc_id % 2) AS in_c,
+             (x.x*3 + y.y*7 + d.doc_id) % 16 AS i0,
+             (x.x*3 + y.y*7 + d.doc_id + 5) % 16 AS i1,
+             (x.x*3 + y.y*7 + d.doc_id + 10) % 16 AS i2,
+             (x.x*3 + y.y*7 + d.doc_id + 15) % 16 AS i3
+           FROM documents d
+           JOIN range(0, 24) x(x) ON x.x < 11 + d.doc_id % 13
+           JOIN range(0, 14) y(y) ON y.y < 7 + d.doc_id % 7
+         ), st AS (
+           SELECT id, i0 AS k0,
+             CASE WHEN in_a AND i1 != 15 THEN i1 ELSE i0 END AS k1,
+             CASE WHEN in_b THEN i2 ELSE i0 END AS k2,
+             CASE WHEN in_c AND i3 != 15 THEN i3
+                  WHEN in_b THEN -1 ELSE i0 END AS k3
+           FROM px
+         ), ch AS (
+           SELECT id, k3,
+             (k0*43+3)%256 AS r0, (k0*67+9)%256 AS g0, (k0*97+27)%256 AS b0,
+             (k1*43+3)%256 AS r1, (k1*67+9)%256 AS g1, (k1*97+27)%256 AS b1,
+             (k2*43+3)%256 AS r2, (k2*67+9)%256 AS g2, (k2*97+27)%256 AS b2,
+             (k3*43+3)%256 AS r3, (k3*67+9)%256 AS g3, (k3*97+27)%256 AS b3
+           FROM st
+         ), f AS (
+           SELECT id, count(*) AS np,
+             sum(r0+g0+b0) AS s0,
+             min(LEAST(r0,g0,b0)) AS mn0, max(GREATEST(r0,g0,b0)) AS mx0,
+             sum(r1+g1+b1) AS s1,
+             min(LEAST(r1,g1,b1)) AS mn1, max(GREATEST(r1,g1,b1)) AS mx1,
+             sum(r2+g2+b2) AS s2,
+             min(LEAST(r2,g2,b2)) AS mn2, max(GREATEST(r2,g2,b2)) AS mx2,
+             sum(CASE WHEN k3 >= 0 THEN r3+g3+b3 ELSE 0 END) AS s3,
+             sum(CASE WHEN k3 >= 0 THEN 1 ELSE 0 END) AS o3,
+             min(CASE WHEN k3 >= 0 THEN LEAST(r3,g3,b3) END) AS mn3,
+             max(CASE WHEN k3 >= 0 THEN GREATEST(r3,g3,b3) END) AS mx3
+           FROM ch GROUP BY id
+         )
+         SELECT d.doc_id,
+         CAST(11 + d.doc_id % 13 AS BIGINT) AS gc_w,
+         CAST(7 + d.doc_id % 7 AS BIGINT) AS gc_h,
+         CAST(4 AS BIGINT) AS gc_nf,
+         CAST(f.s0 AS BIGINT) AS f0_sum, CAST(f.np AS BIGINT) AS f0_op,
+         CAST(f.mn0 AS BIGINT) AS f0_mn, CAST(f.mx0 AS BIGINT) AS f0_mx,
+         CAST(f.s1 AS BIGINT) AS f1_sum, CAST(f.np AS BIGINT) AS f1_op,
+         CAST(f.mn1 AS BIGINT) AS f1_mn, CAST(f.mx1 AS BIGINT) AS f1_mx,
+         CAST(f.s2 AS BIGINT) AS f2_sum, CAST(f.np AS BIGINT) AS f2_op,
+         CAST(f.mn2 AS BIGINT) AS f2_mn, CAST(f.mx2 AS BIGINT) AS f2_mx,
+         CAST(f.s3 AS BIGINT) AS f3_sum, CAST(f.o3 AS BIGINT) AS f3_op,
+         CAST(f.mn3 AS BIGINT) AS f3_mn, CAST(f.mx3 AS BIGINT) AS f3_mx
+         FROM documents d
+         JOIN f ON f.id = d.doc_id""",
     // G.711 replay: µ-law byte b -> u = 255-b (the complement),
     // v = ±(((u&15)*8 + 132) * 2^((u&112)//16) - 132) signed by u&128;
     // A-law byte b -> a = b xor 0x55 (as (b|85)-(b&85)),

@@ -861,6 +861,145 @@ class MediaCodecSpec extends AnyFunSuite {
     assert(MediaCodecHelper.gifMeta(imageless) == null)
   }
 
+  test("GIF compositing: disposal 1/2/3, transparency, sub-rect frames") {
+    // mirror of the fixture's documented per-pixel CASE semantics —
+    // written from the spec, not from the decoder
+    def expected(id: Long): Seq[(Long, Int, Int, Int)] = {
+      val w = 11 + (id % 13).toInt; val h = 7 + (id % 7).toInt
+      def idx(f: Int)(x: Int, y: Int) = ((x * 3 + y * 7 + id + f * 5) % 16).toInt
+      def pal(i: Int) = ((i * 43 + 3) % 256, (i * 67 + 9) % 256, (i * 97 + 27) % 256)
+      val aL = 1 + (id % 3).toInt; val aT = 1 + (id % 2).toInt
+      val aW = 5 + (id % 4).toInt; val aH = 3 + (id % 3).toInt
+      val bL = 2 + (id % 3).toInt; val bW = 4 + (id % 3).toInt
+      val bH = 5 + (id % 2).toInt
+      val cL = (id % 4).toInt; val cT = 1 + (id % 3).toInt
+      val cW = 6 + (id % 2).toInt; val cH = 3 + (id % 2).toInt
+      def inA(x: Int, y: Int) = x >= aL && x < aL + aW && y >= aT && y < aT + aH
+      def inB(x: Int, y: Int) = x >= bL && x < bL + bW && y < bH
+      def inC(x: Int, y: Int) = x >= cL && x < cL + cW && y >= cT && y < cT + cH
+      def state(k: Int)(x: Int, y: Int): Int = k match {
+        case 0 => idx(0)(x, y)
+        case 1 => if (inA(x, y) && idx(1)(x, y) != 15) idx(1)(x, y) else idx(0)(x, y)
+        case 2 => if (inB(x, y)) idx(2)(x, y) else idx(0)(x, y)
+        case _ =>
+          if (inC(x, y) && idx(3)(x, y) != 15) idx(3)(x, y)
+          else if (inB(x, y)) -1 else idx(0)(x, y)
+      }
+      (0 to 3).map { k =>
+        val cells = for (y <- 0 until h; x <- 0 until w) yield state(k)(x, y)
+        val op = cells.filter(_ >= 0).map(pal)
+        val sum = op.map { case (r, g, b) => (r + g + b).toLong }.sum
+        val mn = if (op.isEmpty) -1 else op.map { case (r, g, b) => r min g min b }.min
+        val mx = if (op.isEmpty) -1 else op.map { case (r, g, b) => r max g max b }.max
+        (sum, op.size, mn, mx)
+      }
+    }
+    for (id <- 0L until 32L) {
+      val res = MediaCodecHelper.gifAnimStats(Multimodal.gifComposeFixtureBytes(id))
+      assert(res != null, s"id $id")
+      assert(res.getInt(0) == 11 + (id % 13).toInt &&
+        res.getInt(1) == 7 + (id % 7).toInt)
+      val fr = res.getArray(2)
+      assert(fr.numElements() == 4, s"id $id frames")
+      val exp = expected(id)
+      for (k <- 0 to 3) {
+        val f = fr.getStruct(k, 4)
+        assert(f.getLong(0) == exp(k)._1, s"id $id frame $k sum")
+        assert(f.getInt(1) == exp(k)._2, s"id $id frame $k opaque")
+        assert(f.getInt(2) == exp(k)._3, s"id $id frame $k min")
+        assert(f.getInt(3) == exp(k)._4, s"id $id frame $k max")
+      }
+    }
+    // frame 3 must actually have a transparent hole (disposal 2 punched B
+    // and C did not fully re-cover it) for at least one id, or the
+    // opaque-count lane proves nothing
+    assert((0L until 32L).exists { id =>
+      val e = expected(id)
+      e(3)._2 < e(0)._2
+    }, "no id exercises the post-disposal-2 hole")
+  }
+
+  test("GIF compositing edges: no-GCE, interlace, all-transparent, nulls") {
+    // single-image, no GCE, interlaced on odd ids: the anim path must
+    // agree with the strict single-frame decoder's statistics
+    for (id <- Seq(8L, 9L)) {
+      val blob = Multimodal.gifFixtureBytes(id)
+      val s1 = MediaCodecHelper.gifStats(blob)
+      val a1 = MediaCodecHelper.gifAnimStats(blob)
+      assert(s1 != null && a1 != null)
+      val f0 = a1.getArray(2).getStruct(0, 4)
+      assert(a1.getArray(2).numElements() == 1)
+      assert(f0.getLong(0) == s1.getLong(3), s"id $id sum parity")
+      assert(f0.getInt(1) == s1.getInt(0) * s1.getInt(1), s"id $id opaque")
+      assert(f0.getInt(2) == s1.getInt(4) && f0.getInt(3) == s1.getInt(5))
+    }
+    // a frame that is ENTIRELY its transparent index over the virgin
+    // canvas: zero opaque pixels, extrema report -1
+    val ghost = Multimodal.gifComposeBytes(6, 4,
+      i => (i, i, i), Seq(Multimodal.GifFrameSpec(0, 0, 6, 4,
+        disposal = 0, transIdx = 5, (_, _) => 5)))
+    val g = MediaCodecHelper.gifAnimStats(ghost)
+    assert(g != null)
+    val gf = g.getArray(2).getStruct(0, 4)
+    assert(gf.getLong(0) == 0L && gf.getInt(1) == 0)
+    assert(gf.getInt(2) == -1 && gf.getInt(3) == -1)
+    // byte surgery on a compose fixture: GCE packed byte at offset 64
+    // (6 sig + 7 LSD + 48 GCT + 3), image-descriptor left at 70
+    val base = Multimodal.gifComposeFixtureBytes(0L)
+    assert((base(61) & 0xff) == 0x21 && (base(62) & 0xff) == 0xf9,
+      "fixture layout drifted — GCE not at 61")
+    val reserved = base.clone(); reserved(64) = (4 << 2).toByte
+    assert(MediaCodecHelper.gifAnimStats(reserved) == null,
+      "reserved disposal 4 must be out of envelope")
+    assert((base(69) & 0xff) == 0x2c, "descriptor not at 69")
+    val escape = base.clone(); escape(70) = 200.toByte
+    assert(MediaCodecHelper.gifAnimStats(escape) == null,
+      "frame escaping the logical screen must null")
+    // truncation anywhere (including the lost trailer) -> null
+    assert(MediaCodecHelper.gifAnimStats(base.dropRight(1)) == null)
+    assert(MediaCodecHelper.gifAnimStats(
+      base.dropRight(base.length / 2)) == null)
+    // the strict single-frame decoder accepts the compose stream (its
+    // FIRST frame is full-screen) and agrees with the anim path on it
+    val strict = MediaCodecHelper.gifStats(base)
+    val anim0 = MediaCodecHelper.gifAnimStats(base).getArray(2).getStruct(0, 4)
+    assert(strict != null && strict.getLong(3) == anim0.getLong(0))
+  }
+
+  test("16-bit PNG raster path: nearest resize at depth 16, full precision") {
+    for (id <- 0L until 24L) {
+      val out = MediaCodecHelper.png16ResizeNearest(
+        Multimodal.gray16PngBytes(id), 7, 5)
+      assert(out != null, s"id $id")
+      assert((out(24) & 0xff) == 16, "IHDR depth byte must stay 16")
+      val st = MediaCodecHelper.png16Stats(out)
+      val (sw, sh) = (13 + (id % 11).toInt, 6 + (id % 9).toInt)
+      val vals = for (y <- 0 until 5; x <- 0 until 7) yield {
+        val sx = x * sw / 7; val sy = y * sh / 5
+        ((sx * 2311 + sy * 3571 + id * 97) % 65536).toInt
+      }
+      assert(st != null && st.getInt(0) == 7 && st.getInt(1) == 5 &&
+        st.getInt(2) == 1, s"id $id header")
+      assert(st.getLong(3) == vals.map(_.toLong).sum, s"id $id sum")
+      assert(st.getInt(4) == vals.min && st.getInt(5) == vals.max, s"id $id")
+    }
+    // RGBA16 through the generic writer, x-upscale + y-downscale mixed
+    def px(x: Int, y: Int, c: Int) = (x * 4099 + y * 257 + c * 31) % 65536
+    val up = MediaCodecHelper.png16ResizeNearest(
+      Multimodal.png16Bytes(5, 4, 6, interlaced = false, px), 10, 3)
+    val stUp = MediaCodecHelper.png16Stats(up)
+    val expect = for (y <- 0 until 3; x <- 0 until 10; c <- 0 until 4)
+      yield px(x * 5 / 10, y * 4 / 3, c)
+    assert(stUp != null && stUp.getInt(2) == 4)
+    assert(stUp.getLong(3) == expect.map(_.toLong).sum)
+    assert(stUp.getInt(4) == expect.min && stUp.getInt(5) == expect.max)
+    // envelope: 8-bit input has its own path, and the 16-bit output does
+    // not leak into the 8-bit decoder
+    assert(MediaCodecHelper.png16ResizeNearest(
+      Multimodal.pngBytes(6, 6), 3, 3) == null)
+    assert(MediaCodecHelper.decodePng(up) == null)
+  }
+
   test("GIF: local color table overrides a decoy global; extensions skipped") {
     def px(x: Int, y: Int) = (x * 3 + y * 5) % 16
     def pl(i: Int) = ((i * 31 + 7) % 256, (i * 43 + 13) % 256, (i * 53 + 17) % 256)
