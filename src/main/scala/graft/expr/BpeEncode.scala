@@ -22,8 +22,19 @@ import org.apache.spark.unsafe.types.UTF8String
   * cache); the cache is per-model, thread-safe, and capped so a
   * hostile-vocabulary corpus cannot OOM an executor.
   */
-final class BpeModel(val merges: Array[(String, String)])
+final class BpeModel(val merges: Array[(String, String)],
+                     val byteFallback: Boolean = false,
+                     val alphabet: Array[String] = Array.empty)
     extends Serializable {
+  /** Known single-codepoint symbols (byte-fallback mode): a final piece
+    * outside this set and outside the merge outputs decomposes to byte
+    * tokens, closing the vocabulary at alphabet ∪ merges ∪ byte tokens.
+    */
+  @transient private lazy val alphaSet: java.util.HashSet[String] = {
+    val s = new java.util.HashSet[String](alphabet.length * 2)
+    alphabet.foreach(s.add)
+    s
+  }
   @transient private lazy val rank: java.util.HashMap[String, Integer] = {
     val m = new java.util.HashMap[String, Integer](merges.length * 2)
     var i = 0
@@ -64,6 +75,30 @@ final class BpeModel(val merges: Array[(String, String)])
           pieces.length - bestAt - 2)
         pieces = merged
         done = pieces.length < 2
+      }
+    }
+    if (byteFallback) {
+      // closed-vocabulary pass: any remaining SINGLE-codepoint piece not
+      // in the training alphabet decomposes to byte tokens (multi-
+      // codepoint pieces are merge outputs, in vocabulary by
+      // construction). Runs after merging so in-alphabet text is
+      // untouched and existing gates see identical pieces.
+      var needs = false
+      var i = 0
+      while (i < pieces.length && !needs) {
+        val p = pieces(i)
+        if (p.codePointCount(0, p.length) == 1 && !alphaSet.contains(p))
+          needs = true
+        i += 1
+      }
+      if (needs) {
+        val out = collection.mutable.ArrayBuffer.empty[String]
+        pieces.foreach { p =>
+          if (p.codePointCount(0, p.length) == 1 && !alphaSet.contains(p))
+            out ++= ByteTokens.encodeCp(p.codePointAt(0))
+          else out += p
+        }
+        pieces = out.toArray
       }
     }
     if (cache.size < CacheCap) cache.put(word, pieces)

@@ -28,18 +28,25 @@ import org.apache.spark.unsafe.types.UTF8String
   * The per-word segmentation memoizes in a bounded cache (same trick and
   * cap as [[BpeModel]]); per-model, thread-safe, hostile-vocabulary safe.
   */
-final class UnigramModel(val pieces: Array[(String, Long)])
+final class UnigramModel(val pieces: Array[(String, Long)],
+                         val byteFallback: Boolean = false)
     extends Serializable {
   /** Piece trie — scores at terminal nodes. The DP walks it forward from
     * each start position, so per-position cost is bounded by the longest
     * vocabulary path the text actually follows (and stops at the first
     * dead codepoint), not by the longest entry of a hostile persisted
-    * vocabulary.
+    * vocabulary. Byte-fallback mode excludes byte tokens from the trie:
+    * they are emitted by the fallback path only, never text-matched, so
+    * literal `<0x41>` text cannot round-trip to `A`.
     */
   @transient private lazy val trie: CpTrie = {
     val t = new CpTrie
     var i = 0
-    while (i < pieces.length) { t.insert(pieces(i)._1, pieces(i)._2); i += 1 }
+    while (i < pieces.length) {
+      if (!(byteFallback && ByteTokens.isByteToken(pieces(i)._1)))
+        t.insert(pieces(i)._1, pieces(i)._2)
+      i += 1
+    }
     t
   }
   /** Longest piece in codepoints — the worst-case DP scan depth
@@ -72,6 +79,7 @@ final class UnigramModel(val pieces: Array[(String, Long)])
     if (n == 0) return Array.empty
     val dp = new Array[Long](n + 1)
     val back = new Array[Int](n + 1) // length of the best piece ending at i
+    val unkAt = new Array[Boolean](n + 1) // best piece ending at i is UNK
     java.util.Arrays.fill(dp, Long.MinValue)
     dp(0) = 0L
     // Forward relaxation, one trie walk per start position. For a fixed
@@ -99,13 +107,18 @@ final class UnigramModel(val pieces: Array[(String, Long)])
             if (node.terminal || l == 1) {
               val sc = if (node.terminal) node.score else unkScore
               val cand = dp(j) + sc
-              if (cand >= dp(j + l)) { dp(j + l) = cand; back(j + l) = l }
+              if (cand >= dp(j + l)) {
+                dp(j + l) = cand; back(j + l) = l
+                unkAt(j + l) = !node.terminal
+              }
             }
           }
         }
         if (!sawL1) { // trie died immediately: UNK single codepoint
           val cand = dp(j) + unkScore
-          if (cand >= dp(j + 1)) { dp(j + 1) = cand; back(j + 1) = 1 }
+          if (cand >= dp(j + 1)) {
+            dp(j + 1) = cand; back(j + 1) = 1; unkAt(j + 1) = true
+          }
         }
       }
       j += 1
@@ -114,7 +127,12 @@ final class UnigramModel(val pieces: Array[(String, Long)])
     var p = n
     while (p > 0) {
       val l = back(p)
-      out += new String(cps, p - l, l)
+      if (byteFallback && l == 1 && unkAt(p))
+        // byte-fallback: the uncovered codepoint decomposes to the byte
+        // tokens of its UTF-8 encoding (appended reversed — the whole
+        // buffer flips below)
+        ByteTokens.encodeCp(cps(p - 1)).reverseIterator.foreach(out += _)
+      else out += new String(cps, p - l, l)
       p -= l
     }
     val res = out.reverse.toArray

@@ -23,14 +23,21 @@ import org.apache.spark.unsafe.types.UTF8String
   *
   * Per-word results memoize in the same bounded cache as [[BpeModel]].
   */
-final class WordPieceModel(val vocab: Array[String]) extends Serializable {
+final class WordPieceModel(val vocab: Array[String],
+                           val byteFallback: Boolean = false)
+    extends Serializable {
   /** Word-initial matcher: every vocabulary piece verbatim — including
     * pieces that literally start with `##` (hostile markdown-ish tokens
     * can produce them), which at position 0 match as themselves.
+    * Byte-fallback mode excludes byte tokens: they are emitted by the
+    * fallback path only, never text-matched, so literal `<0x41>` text
+    * cannot round-trip to `A`.
     */
   @transient private lazy val initTrie: CpTrie = {
     val t = new CpTrie
-    vocab.foreach(t.insert(_, 0L))
+    vocab.foreach { p =>
+      if (!(byteFallback && ByteTokens.isByteToken(p))) t.insert(p, 0L)
+    }
     t
   }
   /** Continuation matcher: the BODY (marker stripped) of every
@@ -40,7 +47,9 @@ final class WordPieceModel(val vocab: Array[String]) extends Serializable {
   @transient private lazy val contTrie: CpTrie = {
     val t = new CpTrie
     vocab.foreach { p =>
-      if (p.length > 2 && p.startsWith("##")) t.insert(p.substring(2), 0L)
+      if (p.length > 2 && p.startsWith("##") &&
+          !(byteFallback && ByteTokens.isByteToken(p.substring(2))))
+        t.insert(p.substring(2), 0L)
     }
     t
   }
@@ -85,8 +94,15 @@ final class WordPieceModel(val vocab: Array[String]) extends Serializable {
           if (node.terminal) best = k - i
         }
       }
-      if (best == 0) failed = true
-      else {
+      if (best == 0) {
+        if (byteFallback) {
+          // the uncovered codepoint decomposes to byte tokens (emitted
+          // bare — never ##-prefixed — at any position) and the greedy
+          // scan continues: [UNK] is impossible in fallback mode
+          out ++= ByteTokens.encodeCp(cps(i))
+          i += 1
+        } else failed = true
+      } else {
         val body = new String(cps, i, best)
         out += (if (i == 0) body else "##" + body)
         i += best
@@ -146,5 +162,49 @@ case class WordPieceEncode(child: Expression, model: WordPieceModel)
   }
 
   override protected def withNewChildInternal(newChild: Expression): WordPieceEncode =
+    copy(child = newChild)
+}
+
+/** Positional vocabulary symbols of one word — `abc` → `a ##b ##c` —
+  * the trainer's coverage explode ([[graft.ops.WordPiece.train]]), as a
+  * codegen'd expression so main source keeps UDFs to test fixtures only.
+  * Runs over the distinct-word aggregate (never the corpus).
+  */
+case class WordPieceSymbols(child: Expression) extends UnaryExpression {
+  override def dataType: DataType =
+    ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "graft_wordpiece_symbols"
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case StringType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"graft_wordpiece_symbols needs string, got ${other.simpleString}")
+    }
+
+  def compute(w: UTF8String): ArrayData = {
+    val cps = w.toString.codePoints().toArray
+    val out = new Array[AnyRef](cps.length)
+    var i = 0
+    while (i < cps.length) {
+      val cs = new String(Character.toChars(cps(i)))
+      out(i) = UTF8String.fromString(if (i == 0) cs else "##" + cs)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("wordPieceSymbols", this,
+      classOf[WordPieceSymbols].getName)
+    nullSafeCodeGen(ctx, ev, x => s"${ev.value} = $ref.compute($x);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): WordPieceSymbols =
     copy(child = newChild)
 }

@@ -37,10 +37,15 @@ object Bpe {
 
   /** Distributed word count → driver merge loop. `numMerges` bounds the
     * learned vocabulary (merges + base characters); `maxWords` bounds
-    * driver memory against open-ended vocabularies.
+    * driver memory against open-ended vocabularies. With `byteFallback`
+    * the model closes its vocabulary at alphabet ∪ merges ∪ the 256
+    * [[graft.expr.ByteTokens]]: encode-time codepoints outside the
+    * training alphabet decompose to byte tokens (exact decode on ANY
+    * input, SentencePiece's byte_fallback convention), and no learned
+    * merge may collide with a byte token's spelling.
     */
   def train(df: DataFrame, textCol: String, numMerges: Int,
-            maxWords: Int = 100000): BpeModel = {
+            maxWords: Int = 100000, byteFallback: Boolean = false): BpeModel = {
     import graft.core.Cols.{q => Q}
     require(numMerges >= 0, s"numMerges must be >= 0, got $numMerges")
     require(maxWords > 0, s"maxWords must be positive, got $maxWords")
@@ -50,7 +55,7 @@ object Bpe {
       .orderBy(col("c").desc, col("w").asc)
       .limit(maxWords)
       .collect().map(r => (r.getString(0), r.getLong(1)))
-    trainFromCounts(counts, numMerges)
+    trainFromCounts(counts, numMerges, byteFallback)
   }
 
   /** The merge loop over a word-frequency table — driver-side by design
@@ -58,7 +63,8 @@ object Bpe {
     * and for callers that already maintain word counts incrementally.
     */
   def trainFromCounts(counts: Seq[(String, Long)],
-                      numMerges: Int): BpeModel = {
+                      numMerges: Int,
+                      byteFallback: Boolean = false): BpeModel = {
     var words: Array[(Array[String], Long)] = counts.map { case (w, c) =>
       (w.codePoints().toArray
         .map(cp => new String(Character.toChars(cp))), c)
@@ -76,6 +82,12 @@ object Bpe {
           i += 1
         }
       }
+      // fallback mode must never LEARN a piece spelled like a byte token
+      // (the literal text `<0x41>` in a corpus would otherwise round-trip
+      // to `A`); outside fallback mode nothing is filtered
+      if (byteFallback)
+        pc.filterInPlace { case ((l, r), _) =>
+          !graft.expr.ByteTokens.isByteToken(l + r) }
       if (pc.isEmpty) exhausted = true
       else {
         val best = pc.minBy { case ((l, r), c) => (-c, l, r) }._1
@@ -97,7 +109,11 @@ object Bpe {
         m += 1
       }
     }
-    new BpeModel(merges.result().toArray)
+    val alphabet =
+      if (!byteFallback) Array.empty[String]
+      else counts.iterator.flatMap(_._1.codePoints().toArray
+        .map(cp => new String(Character.toChars(cp)))).toArray.distinct.sorted
+    new BpeModel(merges.result().toArray, byteFallback, alphabet)
   }
 
   /** The model as a (merge_idx, left, right) DataFrame — the snapshot

@@ -45,10 +45,17 @@ import graft.expr.{Log2Fp, UnigramEncode, UnigramModel}
   */
 object Unigram {
 
-  /** Distributed word count → driver seed/EM/prune loop. */
+  /** Distributed word count → driver seed/EM/prune loop. With
+    * `byteFallback`, the 256 [[graft.expr.ByteTokens]] are seeded into
+    * the vocabulary at the UNK floor score, no learned piece may share a
+    * byte token's spelling, and encode-time uncovered codepoints
+    * decompose to byte tokens instead of literal UNK singles — the
+    * SentencePiece byte_fallback convention, making the vocabulary
+    * closed and decode exact on ANY input.
+    */
   def train(df: DataFrame, textCol: String, vocabSize: Int,
             maxWords: Int = 100000, maxPieceLen: Int = 8,
-            emIters: Int = 4): UnigramModel = {
+            emIters: Int = 4, byteFallback: Boolean = false): UnigramModel = {
     import graft.core.Cols.{q => Q}
     require(vocabSize > 0, s"vocabSize must be positive, got $vocabSize")
     val counts = df
@@ -57,7 +64,7 @@ object Unigram {
       .orderBy(col("c").desc, col("w").asc)
       .limit(maxWords)
       .collect().map(r => (r.getString(0), r.getLong(1)))
-    trainFromCounts(counts, vocabSize, maxPieceLen, emIters)
+    trainFromCounts(counts, vocabSize, maxPieceLen, emIters, byteFallback)
   }
 
   /** The seed + hard-EM + prune loop over a word-frequency table —
@@ -65,7 +72,8 @@ object Unigram {
     * and incremental-count callers, mirroring [[Bpe.trainFromCounts]].
     */
   def trainFromCounts(counts: Seq[(String, Long)], vocabSize: Int,
-                      maxPieceLen: Int = 8, emIters: Int = 4): UnigramModel = {
+                      maxPieceLen: Int = 8, emIters: Int = 4,
+                      byteFallback: Boolean = false): UnigramModel = {
     require(maxPieceLen >= 1 && emIters >= 1)
     val words: Array[(Array[String], Long)] = counts.map { case (w, c) =>
       (w.codePoints().toArray
@@ -89,11 +97,16 @@ object Unigram {
         i += 1
       }
     }
+    // fallback mode never LEARNS a piece spelled like a byte token — the
+    // literal corpus text `<0x41>` must not round-trip to `A`
+    def learnable(s: String): Boolean =
+      !(byteFallback && graft.expr.ByteTokens.isByteToken(s))
     val chars = subCount.keysIterator
       .filter(s => s.codePointCount(0, s.length) == 1).toArray.sorted
     val seedCap = math.max(vocabSize * 4, vocabSize + chars.length)
     val multis = subCount.iterator
-      .filter { case (s, _) => s.codePointCount(0, s.length) > 1 }
+      .filter { case (s, _) =>
+        s.codePointCount(0, s.length) > 1 && learnable(s) }
       .toArray.sortBy { case (s, c) => (-c, s) }
       .take(math.max(0, seedCap - chars.length)).map(_._1)
     var kept: Array[String] = chars ++ multis
@@ -122,14 +135,24 @@ object Unigram {
         }
       }
       val keepMultis = use.iterator
-        .filter { case (s, _) => s.codePointCount(0, s.length) > 1 }
+        .filter { case (s, _) =>
+          s.codePointCount(0, s.length) > 1 && learnable(s) }
         .toArray.sortBy { case (s, c) => (-c, s) }
         .take(math.max(0, vocabSize - chars.length)).map(_._1)
       kept = chars ++ keepMultis
-      model = new UnigramModel(rescore(use, kept))
+      model = new UnigramModel(rescore(use, kept), byteFallback)
       it += 1
     }
-    model
+    if (!byteFallback) model
+    else {
+      // seed the 256 byte tokens at the trained model's UNK floor: real
+      // vocabulary members (persisted, id-addressable) that the matcher
+      // never text-matches — the fallback path alone emits them
+      val floor = model.unkScore
+      val seeded = (model.pieces ++
+        graft.expr.ByteTokens.tokens.map((_, floor))).sortBy(_._1)
+      new UnigramModel(seeded, byteFallback = true)
+    }
   }
 
   /** The model as a (piece, score_fp) DataFrame — the snapshot shape for
@@ -143,10 +166,14 @@ object Unigram {
     model.pieces.toSeq.toDF("piece", "score_fp")
   }
 
-  /** Rebuild the model from its snapshot (vocabulary-sized collect). */
-  def modelFromDf(df: DataFrame): UnigramModel =
+  /** Rebuild the model from its snapshot (vocabulary-sized collect);
+    * `byteFallback` re-arms the fallback path for models trained with it
+    * (the flag is a training-time convention, not table data).
+    */
+  def modelFromDf(df: DataFrame, byteFallback: Boolean = false): UnigramModel =
     new UnigramModel(df.select(col("piece"), col("score_fp").cast("long"))
-      .collect().map(r => (r.getString(0), r.getLong(1))).sortBy(_._1))
+      .collect().map(r => (r.getString(0), r.getLong(1))).sortBy(_._1),
+      byteFallback)
 
   /** Per-token nested pieces column, aligned with the token array. */
   def pieces(textCol: Column, model: UnigramModel): Column =

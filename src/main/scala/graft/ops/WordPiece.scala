@@ -32,13 +32,13 @@ import graft.expr.{WordPieceEncode, WordPieceModel}
 object WordPiece {
 
   /** Per-word vocabulary symbols (initial codepoint plain, the rest
-    * ##-prefixed) — the coverage pass below explodes these.
+    * ##-prefixed) — the coverage pass below explodes these. Codegen'd
+    * ([[graft.expr.WordPieceSymbols]]): main source keeps interpreted
+    * UDFs to test fixtures only.
     */
-  private val wordSymbols = udf((w: String) =>
-    w.codePoints().toArray.zipWithIndex.map { case (cp, i) =>
-      val s = new String(Character.toChars(cp))
-      if (i == 0) s else "##" + s
-    })
+  private def wordSymbols(w: Column): Column =
+    GraftBridge.column(graft.expr.WordPieceSymbols(
+      GraftBridge.expression(w)))
 
   /** Distributed word count → driver likelihood-gain merge loop. A
     * second, alphabet-sized aggregation collects the DISTINCT symbols of
@@ -51,7 +51,8 @@ object WordPiece {
     * exactly the vocabulary sizes the 10x scale rows exercise).
     */
   def train(df: DataFrame, textCol: String, numMerges: Int,
-            maxWords: Int = 100000): WordPieceModel = {
+            maxWords: Int = 100000,
+            byteFallback: Boolean = false): WordPieceModel = {
     import graft.core.Cols.{q => Q}
     require(numMerges >= 0, s"numMerges must be >= 0, got $numMerges")
     // ONE corpus-sized pass (the word-count shuffle); both the capped
@@ -69,7 +70,7 @@ object WordPiece {
       .select(explode(wordSymbols(col("w"))).as("s"))
       .distinct().collect().map(_.getString(0)).toSeq
     wordCounts.unpersist()
-    trainFromCounts(counts, numMerges, baseSyms)
+    trainFromCounts(counts, numMerges, baseSyms, byteFallback)
   }
 
   /** The merge loop over a word-frequency table — driver-side by design,
@@ -79,7 +80,15 @@ object WordPiece {
     */
   def trainFromCounts(counts: Seq[(String, Long)],
                       numMerges: Int,
-                      extraSymbols: Seq[String] = Nil): WordPieceModel = {
+                      extraSymbols: Seq[String] = Nil,
+                      byteFallback: Boolean = false): WordPieceModel = {
+    // fallback mode never LEARNS a piece spelled like a byte token in
+    // either positional form — literal `<0x41>` corpus text must not
+    // round-trip to `A`
+    def learnable(s: String): Boolean =
+      !(byteFallback && (graft.expr.ByteTokens.isByteToken(s) ||
+        (s.startsWith("##") &&
+          graft.expr.ByteTokens.isByteToken(s.substring(2)))))
     var words: Array[(Array[String], Long)] = counts.map { case (w, c) =>
       val cps = w.codePoints().toArray
         .map(cp => new String(Character.toChars(cp)))
@@ -119,17 +128,22 @@ object WordPiece {
         var best: (String, String) = null
         var bestNum = BigInt(0); var bestDen = BigInt(1)
         pairC.foreach { case (k @ (l, r), cab) =>
-          val num = BigInt(cab)
-          val den = BigInt(symC(l)) * BigInt(symC(r))
-          val better =
-            if (best == null) true
-            else {
-              val c = (num * bestDen).compare(bestNum * den)
-              c > 0 || (c == 0 &&
-                (l < best._1 || (l == best._1 && r < best._2)))
-            }
-          if (better) { best = k; bestNum = num; bestDen = den }
+          if (learnable(l +
+              (if (r.startsWith("##")) r.substring(2) else r))) {
+            val num = BigInt(cab)
+            val den = BigInt(symC(l)) * BigInt(symC(r))
+            val better =
+              if (best == null) true
+              else {
+                val c = (num * bestDen).compare(bestNum * den)
+                c > 0 || (c == 0 &&
+                  (l < best._1 || (l == best._1 && r < best._2)))
+              }
+            if (better) { best = k; bestNum = num; bestDen = den }
+          }
         }
+        if (best == null) exhausted = true
+        else {
         val merged = best._1 +
           (if (best._2.startsWith("##")) best._2.substring(2) else best._2)
         vocab.add(merged)
@@ -148,9 +162,14 @@ object WordPiece {
           }
         }
         m += 1
+        }
       }
     }
-    new WordPieceModel(vocab.toArray.sorted)
+    if (byteFallback)
+      // seed the 256 byte tokens: real vocabulary members (persisted,
+      // id-addressable) the matcher never text-matches
+      graft.expr.ByteTokens.tokens.foreach(vocab.add)
+    new WordPieceModel(vocab.toArray.sorted, byteFallback)
   }
 
   /** The model as a (piece) DataFrame — the persisted-twin snapshot
@@ -163,10 +182,13 @@ object WordPiece {
     model.vocab.toSeq.toDF("piece")
   }
 
-  /** Rebuild from the snapshot (vocabulary-sized collect). */
-  def modelFromDf(df: DataFrame): WordPieceModel =
+  /** Rebuild from the snapshot (vocabulary-sized collect); `byteFallback`
+    * re-arms the fallback path for models trained with it.
+    */
+  def modelFromDf(df: DataFrame,
+                  byteFallback: Boolean = false): WordPieceModel =
     new WordPieceModel(df.select(col("piece"))
-      .collect().map(_.getString(0)).sorted)
+      .collect().map(_.getString(0)).sorted, byteFallback)
 
   /** Per-token nested pieces column (vocabulary form, `##` carried). */
   def pieces(textCol: Column, model: WordPieceModel): Column =

@@ -1214,7 +1214,60 @@ object TextPack {
       .select(col("doc_id"), col("n_tokens"), col("decoded"))
   }
 
+  /** Hostile suffixes for the byte-fallback gate: caseless symbols (no
+    * Spark-vs-DuckDB lower() hazard), 3-byte and 4-byte UTF-8 codepoints
+    * (astral alchemical symbols exercise surrogate-pair handling and
+    * multi-token byte runs), and the literal text `<0x41>` — the
+    * byte-token COLLISION probe: it must round-trip as those six
+    * characters, never as `A`.
+    */
+  private val BfHostile: Array[String] =
+    Array("☀☂", "⚡❄", "<0x41>",
+      new String(Character.toChars(0x1f701)),
+      new String(Character.toChars(0x1f773)),
+      "≠÷", "ᚠᚢᚦ", "☃")
+
+  /** BYTE-FALLBACK round-trip — the three tokenizers under the
+    * SentencePiece byte_fallback convention: models train on HALF the
+    * corpus (even doc_ids), every vocabulary seeds the 256
+    * [[graft.expr.ByteTokens]], and encoding then runs over EVERY
+    * document with a hostile suffix appended ([[BfHostile]]) so unseen
+    * codepoints are guaranteed at encode time. Uncovered codepoints
+    * decompose to the byte tokens of their UTF-8 bytes — `[UNK]` is
+    * impossible — and the scan-side [[graft.expr.PieceDecode]] inverts
+    * them, so decode∘encode == normalized text corpus-wide: the hash
+    * gate the plain round-trips could only claim for in-training
+    * alphabets now holds for arbitrary input.
+    */
+  def byteFallbackQ(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.GraftBridge
+    val d = Tables.documents(s, dir)
+    val half = d.filter(col("doc_id") % 2 === 0)
+    val bpe = Bpe.train(half, "text", numMerges = 120, byteFallback = true)
+    val uni = Unigram.train(half, "text", vocabSize = 200,
+      byteFallback = true)
+    val wp = WordPiece.train(half, "text", numMerges = 120,
+      byteFallback = true)
+    val hx = element_at(lit(BfHostile),
+      (col("doc_id") % BfHostile.length).cast("int") + 1)
+    def dec(pieces: org.apache.spark.sql.Column, wordPiece: Boolean) =
+      GraftBridge.column(graft.expr.PieceDecode(
+        GraftBridge.expression(pieces), wordPiece))
+    d.select(col("doc_id"),
+        concat(col("text"), lit(" "), hx).as("t"))
+      .select(col("doc_id"),
+        Bpe.pieces(col("t"), bpe).as("bp"),
+        Unigram.pieces(col("t"), uni).as("up"),
+        WordPiece.pieces(col("t"), wp).as("wpp"))
+      .select(col("doc_id"),
+        size(col("bp")).cast("long").as("n_tokens"),
+        dec(col("bp"), wordPiece = false).as("bpe_dec"),
+        dec(col("up"), wordPiece = false).as("uni_dec"),
+        dec(col("wpp"), wordPiece = true).as("wp_dec"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pl_byte_fallback" -> byteFallbackQ _,
     "pl_unigram_roundtrip" -> unigramRoundtripQ _,
     "pl_unigram_persisted" -> unigramPersistedQ _,
     "pl_wordpiece_roundtrip" -> wordPieceRoundtripQ _,
@@ -1996,5 +2049,23 @@ object TextPack {
            [t for t in string_split(lower(trim(regexp_replace(text,'\s+',' '))),' ') if t <> ''] ts
            FROM documents)
            SELECT doc_id, len(ts)::BIGINT n_tokens, array_to_string(ts, ' ') decoded FROM n""",
+    // byte-fallback: models trained on the even half must still
+    // reconstruct EVERY document exactly — including the appended
+    // hostile suffix (unseen codepoints, astral plane, and the literal
+    // '<0x41>' collision probe) — through the byte-token decomposition
+    "pl_byte_fallback" ->
+      raw"""WITH h AS (SELECT doc_id,
+           text || ' ' || list_extract(
+             ['☀☂','⚡❄','<0x41>','🜁','🝳','≠÷','ᚠᚢᚦ','☃'],
+             (doc_id % 8) + 1) AS t
+           FROM documents),
+           n AS (SELECT doc_id,
+           [t2 for t2 in string_split(lower(trim(regexp_replace(t,'\s+',' '))),' ') if t2 <> ''] ts
+           FROM h)
+           SELECT doc_id, len(ts)::BIGINT n_tokens,
+                  array_to_string(ts, ' ') AS bpe_dec,
+                  array_to_string(ts, ' ') AS uni_dec,
+                  array_to_string(ts, ' ') AS wp_dec
+           FROM n""",
   )
 }
