@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
 import graft.core.SnapshotStore
@@ -606,6 +606,46 @@ object Streams {
           val codes = graft.ops.Pq.encode(batch, idCol, vecCol, books,
             quantShift, fpShift)
           store.write(codes, s"$prefix.$batchId",
+            previous = tip.prevFor(batchId))
+          tip.advance(s"$prefix.$batchId")
+        }
+        ()
+      }
+      .start()
+  }
+
+  /** Streaming tokenizer encoding against a FROZEN model — the ingest
+    * path of a training-data tokenization pipeline, completing the
+    * persisted-model story end-to-end (train once, snapshot the model,
+    * encode every future batch from the loaded snapshot): each
+    * micro-batch encodes in one scan of the frozen model's codegen'd
+    * encoder — the caller passes the pieces-column builder, so one sink
+    * serves BPE, unigram and WordPiece alike — and lands
+    * (id, n_tokens, n_pieces, pieces_fp) as a chained snapshot, where
+    * `pieces_fp` is a 64-bit fingerprint of the exact nested piece
+    * sequence: encode identity is pinned per document without landing
+    * the corpus text in the chain. Stateless per row (model frozen, like
+    * [[nbScoreSink]]), so per-batch output is byte-identical to batch
+    * encoding and the crash-replay law holds.
+    */
+  def tokenizerEncodeSink(docs: DataFrame, idCol: String, textCol: String,
+                          pieces: Column => Column, store: SnapshotStore,
+                          prefix: String,
+                          checkpoint: String): StreamingQuery = {
+    val tip = new ChainTip(store, prefix)
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode(OutputMode.Append())
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          val enc = batch
+            .select(col(idCol), pieces(col(textCol)).as("ps"))
+            .select(col(idCol),
+              size(col("ps")).cast("long").as("n_tokens"),
+              size(flatten(col("ps"))).cast("long").as("n_pieces"),
+              xxhash64(to_json(col("ps"))).as("pieces_fp"))
+          store.write(enc, s"$prefix.$batchId",
             previous = tip.prevFor(batchId))
           tip.advance(s"$prefix.$batchId")
         }

@@ -1162,4 +1162,89 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed == batch,
       "searching the streamed chain store must equal batch encoding")
   }
+
+  private def tokRows(df: org.apache.spark.sql.DataFrame) =
+    df.select("doc_id", "n_tokens", "n_pieces", "pieces_fp").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1).toSeq
+
+  private def tokBatch(all: org.apache.spark.sql.DataFrame,
+                       pieces: org.apache.spark.sql.Column =>
+                         org.apache.spark.sql.Column) =
+    tokRows(all.select(col("doc_id"), pieces(col("text")).as("ps"))
+      .select(col("doc_id"),
+        size(col("ps")).cast("long").as("n_tokens"),
+        size(flatten(col("ps"))).cast("long").as("n_pieces"),
+        xxhash64(to_json(col("ps"))).as("pieces_fp")))
+
+  test("tokenizerEncodeSink: persisted frozen models, streamed == batch") {
+    val s = spark
+    val all = s.read.parquet(s"${TestSpark.sfDir}/documents.parquet")
+      .select("doc_id", "text")
+    // all three tokenizers ride the same sink; every model goes through
+    // its SNAPSHOT (modelToDf -> modelFromDf) first — the persisted-model
+    // story end-to-end
+    val wp = graft.ops.WordPiece.modelFromDf(graft.ops.WordPiece.modelToDf(
+      s, graft.ops.WordPiece.train(all, "text", numMerges = 60)))
+    val uni = graft.ops.Unigram.modelFromDf(graft.ops.Unigram.modelToDf(
+      s, graft.ops.Unigram.train(all, "text", vocabSize = 150)))
+    val bpe = graft.ops.Bpe.modelFromDf(graft.ops.Bpe.modelToDf(
+      s, graft.ops.Bpe.train(all, "text", numMerges = 60)))
+    val lanes = Seq[(String, org.apache.spark.sql.Column =>
+        org.apache.spark.sql.Column)](
+      "wp" -> (c => graft.ops.WordPiece.pieces(c, wp)),
+      "uni" -> (c => graft.ops.Unigram.pieces(c, uni)),
+      "bpe" -> (c => graft.ops.Bpe.pieces(c, bpe)))
+    for ((name, pieces) <- lanes) {
+      val dir = tmpDir(s"tok_${name}_src")
+      val store = new SnapshotStore(s, tmpDir(s"tok_${name}_store"))
+      all.filter(col("doc_id") < 250)
+        .coalesce(1).write.mode("append").parquet(dir)
+      all.filter(col("doc_id") >= 250)
+        .coalesce(1).write.mode("append").parquet(dir)
+      Streams.tokenizerEncodeSink(
+        Streams.eventStream(s, dir, maxFilesPerTrigger = 1),
+        "doc_id", "text", pieces, store, s"tok$name",
+        checkpoint = tmpDir(s"tok_${name}_ckpt"))
+        .awaitTermination(120000)
+      assert(store.get(s"tok$name.1").meta.previous
+        .contains(s"tok$name.0"), s"$name: chain link")
+      val streamed = tokRows(store.iterateChain(s"tok$name.1"))
+      assert(streamed.size == 500, s"$name: row count")
+      assert(streamed == tokBatch(all, pieces),
+        s"$name: streamed encode must equal batch encode")
+    }
+  }
+
+  test("tokenizerEncodeSink: crash between write and commit replays identically") {
+    val s = spark
+    val all = s.read.parquet(s"${TestSpark.sfDir}/documents.parquet")
+      .select("doc_id", "text")
+    val wp = graft.ops.WordPiece.train(all, "text", numMerges = 60)
+    val pieces = (c: org.apache.spark.sql.Column) =>
+      graft.ops.WordPiece.pieces(c, wp)
+    val dir = tmpDir("tokr_src")
+    all.filter(col("doc_id") < 250)
+      .coalesce(1).write.mode("append").parquet(dir)
+    all.filter(col("doc_id") >= 250)
+      .coalesce(1).write.mode("append").parquet(dir)
+    def runSink(store: SnapshotStore, ckpt: String): Unit =
+      Streams.tokenizerEncodeSink(Streams.eventStream(s, dir,
+        maxFilesPerTrigger = 1), "doc_id", "text", pieces, store, "tokr",
+        checkpoint = ckpt).awaitTermination(120000)
+    val storeA = new SnapshotStore(s, tmpDir("tokr_store_a"))
+    runSink(storeA, tmpDir("tokr_ckpt_a"))
+    val storeB = new SnapshotStore(s, tmpDir("tokr_store_b"))
+    val ckptB = tmpDir("tokr_ckpt_b")
+    runSink(storeB, ckptB)
+    dropCommit(ckptB, 1)
+    runSink(storeB, ckptB)
+    assert(storeB.list() == storeA.list(),
+      s"replay must re-land, not duplicate: ${storeB.list()}")
+    assert(storeB.get("tokr.1").meta.previous.contains("tokr.0"),
+      "replayed batch must chain to its true predecessor")
+    assert(tokRows(storeB.iterateChain("tokr.1")) ==
+      tokRows(storeA.iterateChain("tokr.1")),
+      "post-replay chain must encode identically")
+  }
 }
