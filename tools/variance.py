@@ -34,7 +34,12 @@ for q in common:
 ta, tb = runA["value"], runB["value"]
 tprev = sum(prev.values()) if prev else None
 out = {
-    "prev_note": f"prev = committed BENCH_FULL at {prev_ref}; r12 compares against r11's table, which was measured under the count() action — count() let Catalyst prune projections and eliminate unique-key left joins, so r12's noop-materialization numbers are a deliberate honest re-baseline and delta_vs_prev mixes that action change with code changes (see BENCH_ANALYSIS_r12.md for the attribution)",
+    "prev_note": f"prev = committed BENCH_FULL at {prev_ref} (the r15 sf0.1 "
+                 "table, 157 queries); quantiles re-measured at r16 HEAD over "
+                 "the current 160-query table per VERDICT r15 prescription 1 "
+                 "— the r12-era thresholds this file previously carried were "
+                 "three rounds and ~30 queries stale. delta_vs_prev for the "
+                 "three r16-new queries is absent (no prev row).",
     "protocol": "two back-to-back exclusive `runMain graft.Bench` runs of the "
                 "identical build, cpus=32, each min-of-3 after untimed warmup",
     "total_runA_sec": round(ta, 2),
