@@ -63,7 +63,14 @@ object ScaleCheck {
     // then driver EM over the capped table + a scan-side encode).
     "mm_png_envelope", "mm_video_nodht", "mm_audio_depth", "mm_audio_g711",
     "mm_gif_anim", "mm_png16", "pl_unigram_roundtrip",
-    "pl_wordpiece_roundtrip")
+    "pl_wordpiece_roundtrip",
+    // r16 additions: the compositing decode and float/extensible audio
+    // lanes (scan-side codegen'd decode like the other media rows —
+    // expected slope ~1.0 at zero shuffle) and the byte-fallback
+    // roundtrip (three word-count shuffles + three scan-side encodes;
+    // the hostile suffixes are per-doc constants, so the workload
+    // replicates linearly like the other tokenizer rows).
+    "mm_gif_compose", "mm_audio_float", "pl_byte_fallback")
   // gr_node2vec (r14): the second-order walk — one broadcast probe of
   // the cached neighbor index per step (the frontier's nodes and
   // predecessors share the scan), plus the walk-keyed cumulative-weight
@@ -329,7 +336,18 @@ object ScaleCheck {
     // — and the node2vec walk, whose 10x row predates the r14 two-probe
     // -> one-probe fusion. Extrapolated from their 10x ratios (~0.7 and
     // ~0.3 slope), both fit the sandbox at x100 comfortably.
-    "rt_hybrid_rrf", "gr_node2vec")
+    "rt_hybrid_rrf", "gr_node2vec",
+    // r16 (VERDICT r15 item 6): the parse family's two most expensive
+    // queries — the hostile-parse pass is the engine's hottest codegen
+    // surface — had only 10x evidence, and the triangle census had none.
+    // All three are replica-disjoint-linear by construction
+    // (op_type_fuzz's keys collapse through pmod(key, 1e9), the identity
+    // at every gated scale; co-purchase edges never cross the 1e9
+    // replica stride, so triangles stay within replicas), so the two-
+    // decade rows surface only constant-factor cliffs. At ~1.0 slope
+    // these are the most expensive x100 rows yet (~6/12 min per
+    // op_dataset_type2/op_type_fuzz pass) — the cost IS the coverage.
+    "op_type_fuzz", "op_dataset_type2", "gr_triangles")
 
   private var activeSpark: SparkSession = _
 
