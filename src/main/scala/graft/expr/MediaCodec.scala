@@ -1744,11 +1744,62 @@ object MediaCodecHelper {
     */
   def gifAnimStats(bytes: Array[Byte]): InternalRow = {
     if (bytes == null || bytes.length < 14) return null
-    try gifAnimStats0(bytes)
-    catch { case _: RuntimeException => null }
+    try {
+      val c = gifComposite(bytes, stopAt = -1, collectStats = true)
+      if (c == null) null
+      else new GenericInternalRow(Array[Any](c.width, c.height,
+        new GenericArrayData(c.stats.asInstanceOf[Array[Any]])))
+    } catch { case _: RuntimeException => null }
   }
 
-  private def gifAnimStats0(b: Array[Byte]): InternalRow = {
+  /** Extract composited frame `frame` of an animated GIF as an RGBA PNG
+    * (alpha 255 on opaque canvas pixels, 0 on transparent) — the GIF
+    * analogue of the MJPEG single-frame extract: the canvas state a
+    * viewer displays at that frame, disposal methods and transparency
+    * honored, re-encoded in the lossless landing format so downstream
+    * stages replay byte-exactly. Frames past `frame` are SKIPPED by
+    * their sub-block lengths (no LZW decode) but the walk still requires
+    * the trailer — a truncated stream is null, like every decoder here.
+    * Null outside [[gifAnimStats]]'s envelope or when the stream has
+    * fewer than `frame`+1 images.
+    */
+  def gifFramePng(bytes: Array[Byte], frame: Int): Array[Byte] = {
+    if (bytes == null || bytes.length < 14 || frame < 0) return null
+    try {
+      val c = gifComposite(bytes, stopAt = frame, collectStats = false)
+      if (c == null || c.canvas == null) return null
+      val pix = new Array[Byte](c.width * c.height * 4)
+      var i = 0
+      while (i < c.canvas.length) {
+        val v = c.canvas(i)
+        if (v >= 0) {
+          pix(4 * i) = ((v >> 16) & 0xff).toByte
+          pix(4 * i + 1) = ((v >> 8) & 0xff).toByte
+          pix(4 * i + 2) = (v & 0xff).toByte
+          pix(4 * i + 3) = 0xff.toByte
+        } // transparent stays (0,0,0,0)
+        i += 1
+      }
+      encodePng(new Raster(c.width, c.height, 4, pix))
+    } catch { case _: RuntimeException => null }
+  }
+
+  /** Result of the shared compositing walk: per-frame stats rows (when
+    * collected) and the canvas captured after frame `stopAt` rendered
+    * (before its disposal), or the final canvas for stopAt = −1.
+    */
+  private final class GifComposite(val width: Int, val height: Int,
+                                   val stats: Array[InternalRow],
+                                   val canvas: Array[Int])
+
+  /** The compositing walk both [[gifAnimStats]] (stopAt = −1, stats
+    * collected per frame) and [[gifFramePng]] (stop after `stopAt`,
+    * remaining image data skipped by length, structure still enforced
+    * through the trailer) share. Null outside the envelope; `canvas` is
+    * null when stopAt names a frame the stream does not have.
+    */
+  private def gifComposite(b: Array[Byte], stopAt: Int,
+                           collectStats: Boolean): GifComposite = {
     def u8(i: Int): Int = { if (i < 0 || i >= b.length) throw JpegBail; b(i) & 0xff }
     def u16(i: Int): Int = u8(i) | (u8(i + 1) << 8)
     val sig = new String(b, 0, 6, "US-ASCII")
@@ -1775,6 +1826,8 @@ object MediaCodecHelper {
     }
     val canvas = Array.fill(sw * sh)(-1) // -1 = transparent, else 0xRRGGBB
     val frames = scala.collection.mutable.ArrayBuffer[InternalRow]()
+    var captured: Array[Int] = null
+    var rendered = 0
     var disposal = 0 // pending GCE state, consumed by the next image
     var transIdx = -1
     var done = false
@@ -1795,8 +1848,10 @@ object MediaCodecHelper {
           off += 1
         case 0x3b => done = true
         case 0x2c =>
+          val pastStop = stopAt >= 0 && rendered > stopAt
           // bound TOTAL compositing work, not just the screen area
-          if ((frames.length + 1).toLong * sw * sh > 256L * 1024 * 1024)
+          if (!pastStop &&
+              (rendered + 1).toLong * sw * sh > 256L * 1024 * 1024)
             return null
           val ileft = u16(off + 1); val itop = u16(off + 3)
           val iw = u16(off + 5); val ih = u16(off + 7)
@@ -1807,71 +1862,79 @@ object MediaCodecHelper {
           var pal = gct
           if ((ip & 0x80) != 0) {
             val n = 2 << (ip & 7)
-            pal = palette(off, n); off += 3 * n
+            if (pastStop) off += 3 * n
+            else { pal = palette(off, n); off += 3 * n }
           }
-          if (pal == null) return null
+          if (!pastStop && pal == null) return null
           val interlaced = (ip & 0x40) != 0
           val mcs = u8(off); off += 1
           if (mcs < 2 || mcs > 8) return null
-          val data = new java.io.ByteArrayOutputStream()
+          val data = if (pastStop) null else new java.io.ByteArrayOutputStream()
           var len = u8(off)
           while (len != 0) {
             if (off + 1 + len > b.length) throw JpegBail
-            data.write(b, off + 1, len); off += 1 + len; len = u8(off)
+            if (!pastStop) data.write(b, off + 1, len)
+            off += 1 + len; len = u8(off)
           }
           off += 1 // past the 0 sub-block terminator
-          val indices = gifLzw(data.toByteArray, mcs, iw * ih)
-          val snap = if (disposal == 3) canvas.clone() else null
-          val rows =
-            if (!interlaced) 0 until ih
-            else (0 until ih by 8) ++ (4 until ih by 8) ++
-              (2 until ih by 4) ++ (1 until ih by 2)
-          var src = 0
-          rows.foreach { y =>
-            var x = 0
-            while (x < iw) {
-              val idx = indices(src) & 0xff; src += 1
-              if (idx >= pal.length) throw JpegBail
-              if (idx != transIdx)
-                canvas((itop + y) * sw + (ileft + x)) = pal(idx)
-              x += 1
-            }
-          }
-          var sum = 0L; var opaque = 0; var mn = 255; var mx = 0
-          var i = 0
-          while (i < canvas.length) {
-            val c = canvas(i)
-            if (c >= 0) {
-              opaque += 1
-              val r = (c >> 16) & 0xff; val g = (c >> 8) & 0xff
-              val bb = c & 0xff
-              sum += r + g + bb
-              if (r < mn) mn = r; if (g < mn) mn = g; if (bb < mn) mn = bb
-              if (r > mx) mx = r; if (g > mx) mx = g; if (bb > mx) mx = bb
-            }
-            i += 1
-          }
-          if (opaque == 0) { mn = -1; mx = -1 }
-          frames += new GenericInternalRow(Array[Any](sum, opaque, mn, mx))
-          if (disposal == 2) {
-            var y = 0
-            while (y < ih) {
+          if (!pastStop) {
+            val indices = gifLzw(data.toByteArray, mcs, iw * ih)
+            val snap = if (disposal == 3) canvas.clone() else null
+            val rows =
+              if (!interlaced) 0 until ih
+              else (0 until ih by 8) ++ (4 until ih by 8) ++
+                (2 until ih by 4) ++ (1 until ih by 2)
+            var src = 0
+            rows.foreach { y =>
               var x = 0
               while (x < iw) {
-                canvas((itop + y) * sw + (ileft + x)) = -1; x += 1
+                val idx = indices(src) & 0xff; src += 1
+                if (idx >= pal.length) throw JpegBail
+                if (idx != transIdx)
+                  canvas((itop + y) * sw + (ileft + x)) = pal(idx)
+                x += 1
               }
-              y += 1
             }
-          } else if (disposal == 3) {
-            System.arraycopy(snap, 0, canvas, 0, canvas.length)
+            if (collectStats) {
+              var sum = 0L; var opaque = 0; var mn = 255; var mx = 0
+              var i = 0
+              while (i < canvas.length) {
+                val c = canvas(i)
+                if (c >= 0) {
+                  opaque += 1
+                  val r = (c >> 16) & 0xff; val g = (c >> 8) & 0xff
+                  val bb = c & 0xff
+                  sum += r + g + bb
+                  if (r < mn) mn = r; if (g < mn) mn = g; if (bb < mn) mn = bb
+                  if (r > mx) mx = r; if (g > mx) mx = g; if (bb > mx) mx = bb
+                }
+                i += 1
+              }
+              if (opaque == 0) { mn = -1; mx = -1 }
+              frames += new GenericInternalRow(Array[Any](sum, opaque, mn, mx))
+            }
+            if (rendered == stopAt) captured = canvas.clone()
+            if (disposal == 2) {
+              var y = 0
+              while (y < ih) {
+                var x = 0
+                while (x < iw) {
+                  canvas((itop + y) * sw + (ileft + x)) = -1; x += 1
+                }
+                y += 1
+              }
+            } else if (disposal == 3) {
+              System.arraycopy(snap, 0, canvas, 0, canvas.length)
+            }
           }
+          rendered += 1
           disposal = 0; transIdx = -1
         case _ => return null
       }
     }
-    if (frames.isEmpty) return null
-    new GenericInternalRow(Array[Any](sw, sh,
-      new GenericArrayData(frames.toArray[Any])))
+    if (rendered == 0) return null
+    new GifComposite(sw, sh, frames.toArray,
+      if (stopAt < 0) canvas else captured)
   }
 
   val GifAnimStatsType: StructType = StructType(Seq(
@@ -2380,6 +2443,29 @@ case class GifAnimStats(child: Expression) extends UnaryExpression {
        """.stripMargin
     })
   override protected def withNewChildInternal(newChild: Expression): GifAnimStats =
+    copy(child = newChild)
+}
+
+/** Composited frame `frame` of an animated GIF as an RGBA PNG (alpha 0 on
+  * transparent canvas pixels) — the GIF single-frame extract; null
+  * outside the animation envelope or past the last frame.
+  */
+case class GifFramePng(child: Expression, frame: Int)
+    extends UnaryExpression {
+  require(frame >= 0, s"bad frame index $frame")
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_gif_frame_png"
+  override def nullSafeEval(input: Any): Any =
+    MediaCodecHelper.gifFramePng(input.asInstanceOf[Array[Byte]], frame)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      s"""
+         |${ev.value} = graft.expr.MediaCodecHelper.gifFramePng($c, $frame);
+         |${ev.isNull} = (${ev.value} == null);
+       """.stripMargin
+    })
+  override protected def withNewChildInternal(newChild: Expression): GifFramePng =
     copy(child = newChild)
 }
 

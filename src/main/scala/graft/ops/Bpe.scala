@@ -120,24 +120,38 @@ object Bpe {
     * shape for the persisted-model twin: merge ORDER is the model (BPE
     * encodes by applying merges in training order), so the index column
     * is data, not bookkeeping. Vocabulary-sized (= numMerges rows).
+    * Byte-fallback models additionally carry their training ALPHABET
+    * (merge_idx = −1 rows, one symbol each) and a single −2 marker row
+    * — construction-time state the merge rows alone cannot reconstruct;
+    * non-fallback snapshots are byte-identical to earlier rounds'.
     */
   def modelToDf(spark: org.apache.spark.sql.SparkSession,
                 model: BpeModel): DataFrame = {
     import spark.implicits._
-    model.merges.zipWithIndex
+    val merges = model.merges.zipWithIndex
       .map { case ((l, r), i) => (i.toLong, l, r) }.toSeq
-      .toDF("merge_idx", "left", "right")
+    val extra =
+      if (!model.byteFallback) Nil
+      else (-2L, "<byte_fallback>", "") ::
+        model.alphabet.toList.map(s => (-1L, s, ""))
+    (merges ++ extra).toDF("merge_idx", "left", "right")
   }
 
   /** Rebuild the model from its snapshot. The collect is merge-table
     * sized (numMerges rows — driver-side by design, like trainFromCounts'
-    * word table).
+    * word table). The −2 marker row re-arms byte-fallback; −1 rows
+    * rebuild the alphabet.
     */
-  def modelFromDf(df: DataFrame): BpeModel =
-    new BpeModel(df.select(col("merge_idx").cast("long"),
-        col("left"), col("right"))
-      .collect().sortBy(_.getLong(0))
-      .map(r => (r.getString(1), r.getString(2))))
+  def modelFromDf(df: DataFrame): BpeModel = {
+    val rows = df.select(col("merge_idx").cast("long"),
+      col("left"), col("right")).collect()
+    val merges = rows.filter(_.getLong(0) >= 0).sortBy(_.getLong(0))
+      .map(r => (r.getString(1), r.getString(2)))
+    val fallback = rows.exists(_.getLong(0) == -2L)
+    val alphabet = rows.filter(_.getLong(0) == -1L)
+      .map(_.getString(1)).sorted
+    new BpeModel(merges, fallback, alphabet)
+  }
 
   /** Per-token nested pieces column: `array<array<string>>` aligned with
     * the token array of `textCol`.

@@ -1916,6 +1916,15 @@ object Multimodal {
   def gifAnimStats(bin: Column): Column =
     bridge(graft.expr.GifAnimStats(ex(bin)))
 
+  /** Composited animation frame `frame` extracted as an RGBA PNG (alpha
+    * 0 where the canvas is transparent) — the GIF analogue of the MJPEG
+    * single-frame extract, landing in the lossless format so downstream
+    * stages ([[decodeImage]], resize, dedup) replay byte-exactly. Null
+    * outside the animation envelope or past the last frame.
+    */
+  def gifFramePng(bin: Column, frame: Int): Column =
+    bridge(graft.expr.GifFramePng(ex(bin), frame))
+
   /** REAL JPEG → PNG transcode with nearest-neighbor resize: full
     * decode ([[decodeJpeg]]'s envelope, DHT-less frames included via the
     * implied Annex K tables), integer-floor index map, lossless PNG

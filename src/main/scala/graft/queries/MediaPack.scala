@@ -428,11 +428,20 @@ object MediaPack {
       fr(k).getField("opaque").cast("long").as(s"f${k}_op"),
       fr(k).getField("px_min").cast("long").as(s"f${k}_mn"),
       fr(k).getField("px_max").cast("long").as(s"f${k}_mx"))
+    // frame-3 EXTRACT lane: the composited final frame re-encoded as an
+    // RGBA PNG (alpha 0 in the disposal-2 hole) and decoded AGAIN by the
+    // production PNG path — sum = RGB sum + 255·opaque, min 0 exactly
+    // when a hole exists, max 255 from any opaque alpha
+    val p3 = Multimodal.decodeImage(Multimodal.gifFramePng(col("gc"), 3))
     media.select(Seq(col("doc_id"),
       a.getField("width").cast("long").as("gc_w"),
       a.getField("height").cast("long").as("gc_h"),
       size(a.getField("frames")).cast("long").as("gc_nf")) ++
-      (0 to 3).flatMap(lane): _*)
+      (0 to 3).flatMap(lane) ++ Seq(
+      p3.getField("channels").cast("long").as("p3_ch"),
+      p3.getField("px_sum").as("p3_sum"),
+      p3.getField("px_min").cast("long").as("p3_mn"),
+      p3.getField("px_max").cast("long").as("p3_mx")): _*)
   }
 
   /** G.711 fixture: µ-law and A-law clips whose companded bytes sweep
@@ -1295,7 +1304,11 @@ object MediaPack {
          CAST(f.s2 AS BIGINT) AS f2_sum, CAST(f.np AS BIGINT) AS f2_op,
          CAST(f.mn2 AS BIGINT) AS f2_mn, CAST(f.mx2 AS BIGINT) AS f2_mx,
          CAST(f.s3 AS BIGINT) AS f3_sum, CAST(f.o3 AS BIGINT) AS f3_op,
-         CAST(f.mn3 AS BIGINT) AS f3_mn, CAST(f.mx3 AS BIGINT) AS f3_mx
+         CAST(f.mn3 AS BIGINT) AS f3_mn, CAST(f.mx3 AS BIGINT) AS f3_mx,
+         CAST(4 AS BIGINT) AS p3_ch,
+         CAST(f.s3 + 255 * f.o3 AS BIGINT) AS p3_sum,
+         CAST(CASE WHEN f.o3 < f.np THEN 0 ELSE f.mn3 END AS BIGINT) AS p3_mn,
+         CAST(CASE WHEN f.o3 > 0 THEN 255 ELSE 0 END AS BIGINT) AS p3_mx
          FROM documents d
          JOIN f ON f.id = d.doc_id""",
     // G.711 replay: µ-law byte b -> u = 255-b (the complement),

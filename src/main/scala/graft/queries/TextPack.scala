@@ -1266,8 +1266,54 @@ object TextPack {
         dec(col("wpp"), wordPiece = true).as("wp_dec"))
   }
 
+  /** Byte-fallback against PERSISTED models — the production shape: all
+    * three fallback vocabularies (byte tokens included — they are real
+    * vocabulary members) land as snapshots via the memoized job, models
+    * reload with the fallback flag re-armed, and the same hostile-suffix
+    * encode must reconstruct every document. Shares [[byteFallbackQ]]'s
+    * oracle: a byte token lost or re-spelled by the store would break
+    * some document's reconstruction hash.
+    */
+  def byteFallbackPersistedQ(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.GraftBridge
+    val d = Tables.documents(s, dir)
+    val (store, _) = Fixtures(s, dir, "job_bytefallback_models") { st =>
+      val half = d.filter(col("doc_id") % 2 === 0)
+      st.write(Bpe.modelToDf(s, Bpe.train(half, "text", numMerges = 120,
+        byteFallback = true)), "bf_bpe_merges", slices = 1)
+      st.write(Unigram.modelToDf(s, Unigram.train(half, "text",
+        vocabSize = 200, byteFallback = true)), "bf_uni_pieces", slices = 1)
+      st.write(WordPiece.modelToDf(s, WordPiece.train(half, "text",
+        numMerges = 120, byteFallback = true)), "bf_wp_vocab", slices = 1)
+      Map("bpe" -> "bf_bpe_merges", "uni" -> "bf_uni_pieces",
+        "wp" -> "bf_wp_vocab")
+    }
+    val bpe = Bpe.modelFromDf(store.readResolved("bf_bpe_merges"))
+    val uni = Unigram.modelFromDf(store.readResolved("bf_uni_pieces"),
+      byteFallback = true)
+    val wp = WordPiece.modelFromDf(store.readResolved("bf_wp_vocab"),
+      byteFallback = true)
+    val hx = element_at(lit(BfHostile),
+      (col("doc_id") % BfHostile.length).cast("int") + 1)
+    def dec(pieces: org.apache.spark.sql.Column, wordPiece: Boolean) =
+      GraftBridge.column(graft.expr.PieceDecode(
+        GraftBridge.expression(pieces), wordPiece))
+    d.select(col("doc_id"),
+        concat(col("text"), lit(" "), hx).as("t"))
+      .select(col("doc_id"),
+        Bpe.pieces(col("t"), bpe).as("bp"),
+        Unigram.pieces(col("t"), uni).as("up"),
+        WordPiece.pieces(col("t"), wp).as("wpp"))
+      .select(col("doc_id"),
+        size(col("bp")).cast("long").as("n_tokens"),
+        dec(col("bp"), wordPiece = false).as("bpe_dec"),
+        dec(col("up"), wordPiece = false).as("uni_dec"),
+        dec(col("wpp"), wordPiece = true).as("wp_dec"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "pl_byte_fallback" -> byteFallbackQ _,
+    "pl_byte_fallback_persisted" -> byteFallbackPersistedQ _,
     "pl_unigram_roundtrip" -> unigramRoundtripQ _,
     "pl_unigram_persisted" -> unigramPersistedQ _,
     "pl_wordpiece_roundtrip" -> wordPieceRoundtripQ _,
@@ -2054,6 +2100,23 @@ object TextPack {
     // hostile suffix (unseen codepoints, astral plane, and the literal
     // '<0x41>' collision probe) — through the byte-token decomposition
     "pl_byte_fallback" ->
+      raw"""WITH h AS (SELECT doc_id,
+           text || ' ' || list_extract(
+             ['☀☂','⚡❄','<0x41>','🜁','🝳','≠÷','ᚠᚢᚦ','☃'],
+             (doc_id % 8) + 1) AS t
+           FROM documents),
+           n AS (SELECT doc_id,
+           [t2 for t2 in string_split(lower(trim(regexp_replace(t,'\s+',' '))),' ') if t2 <> ''] ts
+           FROM h)
+           SELECT doc_id, len(ts)::BIGINT n_tokens,
+                  array_to_string(ts, ' ') AS bpe_dec,
+                  array_to_string(ts, ' ') AS uni_dec,
+                  array_to_string(ts, ' ') AS wp_dec
+           FROM n""",
+    // the persisted twin shares the oracle: the snapshot round-trip of
+    // all three fallback vocabularies (byte tokens, alphabet rows, the
+    // fallback marker) must be provably invisible
+    "pl_byte_fallback_persisted" ->
       raw"""WITH h AS (SELECT doc_id,
            text || ' ' || list_extract(
              ['☀☂','⚡❄','<0x41>','🜁','🝳','≠÷','ᚠᚢᚦ','☃'],

@@ -147,4 +147,24 @@ class ByteFallbackSpec extends AnyFunSuite {
     assert(decode(Seq(m.encodeWord("<0x41>").toSeq), wp = false) ==
       "<0x41>")
   }
+
+  test("BPE fallback snapshot: marker + alphabet rows round-trip") {
+    val s = TestSpark.spark
+    val m = Bpe.trainFromCounts(
+      Seq(("aab", 10L), ("ab", 5L)), numMerges = 2, byteFallback = true)
+    val back = Bpe.modelFromDf(Bpe.modelToDf(s, m)
+      .orderBy(org.apache.spark.sql.functions.rand(7))) // row order is storage noise
+    assert(back.byteFallback && back.alphabet.toSeq == m.alphabet.toSeq)
+    assert(back.merges.toSeq == m.merges.toSeq)
+    for (w <- Seq("aab", "aabz", "<0x41>", "ab" +
+        new String(Character.toChars(0x1f701))))
+      assert(back.encodeWord(w).toSeq == m.encodeWord(w).toSeq, w)
+    // a NON-fallback model's snapshot carries no marker/alphabet rows —
+    // byte-identical to earlier rounds' shape — and reloads non-fallback
+    val m0 = Bpe.trainFromCounts(Seq(("aab", 10L)), 1)
+    val df0 = Bpe.modelToDf(s, m0)
+    assert(df0.filter(org.apache.spark.sql.functions
+      .col("merge_idx") < 0).count() == 0L)
+    assert(!Bpe.modelFromDf(df0).byteFallback)
+  }
 }

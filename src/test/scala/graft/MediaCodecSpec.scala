@@ -966,6 +966,38 @@ class MediaCodecSpec extends AnyFunSuite {
     assert(strict != null && strict.getLong(3) == anim0.getLong(0))
   }
 
+  test("GIF frame extract: composited RGBA PNG agrees with anim stats") {
+    for (id <- Seq(0L, 3L, 7L, 13L); k <- 0 to 3) {
+      val blob = Multimodal.gifComposeFixtureBytes(id)
+      val anim = MediaCodecHelper.gifAnimStats(blob)
+      val f = anim.getArray(2).getStruct(k, 4)
+      val png = MediaCodecHelper.gifFramePng(blob, k)
+      assert(png != null, s"id $id frame $k")
+      val st = MediaCodecHelper.pngStats(png)
+      assert(st != null && st.getInt(2) == 4, s"id $id frame $k RGBA")
+      assert(st.getInt(0) == anim.getInt(0) && st.getInt(1) == anim.getInt(1))
+      // PNG channel sum = RGB sum + 255 per opaque pixel (alpha)
+      assert(st.getLong(3) == f.getLong(0) + 255L * f.getInt(1),
+        s"id $id frame $k sum")
+      val np = anim.getInt(0) * anim.getInt(1)
+      val expMn = if (f.getInt(1) < np) 0 else f.getInt(2)
+      assert(st.getInt(4) == expMn, s"id $id frame $k min")
+      assert(st.getInt(5) == (if (f.getInt(1) > 0) 255 else 0))
+    }
+    // past-the-end frame and negative index: null; truncated: null
+    val blob = Multimodal.gifComposeFixtureBytes(1L)
+    assert(MediaCodecHelper.gifFramePng(blob, 4) == null)
+    assert(MediaCodecHelper.gifFramePng(blob, -1) == null)
+    assert(MediaCodecHelper.gifFramePng(blob.dropRight(1), 0) == null,
+      "early stop must still require the trailer")
+    // a single-image plain GIF: frame 0 extract is the full opaque frame
+    val single = Multimodal.gifFixtureBytes(6L)
+    val p0 = MediaCodecHelper.pngStats(MediaCodecHelper.gifFramePng(single, 0))
+    val s0 = MediaCodecHelper.gifStats(single)
+    assert(p0 != null && p0.getLong(3) ==
+      s0.getLong(3) + 255L * s0.getInt(0) * s0.getInt(1))
+  }
+
   test("16-bit PNG raster path: nearest resize at depth 16, full precision") {
     for (id <- 0L until 24L) {
       val out = MediaCodecHelper.png16ResizeNearest(
