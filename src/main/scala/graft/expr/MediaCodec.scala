@@ -40,7 +40,8 @@ import org.apache.spark.sql.types._
   *    16-bit integer lattice: floor(f·2^15), a power-of-two scale so the
   *    mapping is exact), and WAVE_FORMAT_EXTENSIBLE wrapping any of
   *    those — located through the chunk walk (LIST/fact chunks before
-  *    `fmt ` are fine); ADPCM/float64 return null.
+  *    `fmt ` are fine); float64 rides the same exact lattice (scaling a
+  *    double by 2^15 only shifts the exponent); ADPCM returns null.
   *  - GIF: [[decodeGif]] is the STRICT single-image path — first frame
   *    only, and since r15 it returns null when that frame sits at a
   *    nonzero offset or is smaller than the logical screen (envelope
@@ -2070,11 +2071,11 @@ object MediaCodecHelper {
 
   /** (dataOff0based, nSamples, sampleRate, channels, bits, codec) for
     * integer-PCM (codec 1, 8/16/24/32-bit), G.711 µ-law/A-law (codecs
-    * 7/6, 8-bit), IEEE float32 (codec 3), and WAVE_FORMAT_EXTENSIBLE
+    * 7/6, 8-bit), IEEE float32/float64 (codec 3), and WAVE_FORMAT_EXTENSIBLE
     * (0xFFFE) wrapping any of those — the returned codec is the EFFECTIVE
     * base format from the SubFormat GUID, so downstream sample access and
     * the codec-preserving frame sampler treat an extensible clip exactly
-    * as its payload format. Null otherwise (ADPCM, float64, truncated
+    * as its payload format. Null otherwise (ADPCM, truncated
     * fmt, an unknown GUID).
     */
   private def pcmLayout(bytes: Array[Byte]): Array[Int] = {
@@ -2103,7 +2104,7 @@ object MediaCodecHelper {
     }
     val ok = codec match {
       case 1     => bits == 8 || bits == 16 || bits == 24 || bits == 32
-      case 3     => bits == 32 // IEEE float: single precision only
+      case 3     => bits == 32 || bits == 64 // IEEE float single/double
       case 6 | 7 => bits == 8 // G.711 A-law / µ-law: one byte per sample
       case _     => false
     }
@@ -2155,8 +2156,16 @@ object MediaCodecHelper {
     if (codec == 7) ulawToLinear(b(dOff + i) & 0xff)
     else if (codec == 6) alawToLinear(b(dOff + i) & 0xff)
     else if (codec == 3) {
-      val f = java.lang.Float.intBitsToFloat(leInt(b, dOff + 4 * i))
-      val d = f.toDouble * 32768.0
+      // float64 scales exactly too: multiplying any finite double by the
+      // power of two 2^15 only shifts the exponent, so floor(d·2^15) is
+      // the mathematically exact lattice value at either precision
+      val d0 =
+        if (bits == 64)
+          java.lang.Double.longBitsToDouble(
+            (leInt(b, dOff + 8 * i).toLong & 0xffffffffL) |
+              (leInt(b, dOff + 8 * i + 4).toLong << 32))
+        else java.lang.Float.intBitsToFloat(leInt(b, dOff + 4 * i)).toDouble
+      val d = d0 * 32768.0
       if (d.isNaN) 0
       else if (d >= Int.MaxValue.toDouble) Int.MaxValue
       else if (d <= Int.MinValue.toDouble) Int.MinValue
@@ -2221,7 +2230,7 @@ object MediaCodecHelper {
     * RIFF/fmt/data WAV at the original sample rate and depth. An
     * extensible clip re-emits as its EFFECTIVE base format (values are
     * raw-byte-identical; only the wrapper simplifies). null for blobs
-    * outside the audio envelope (ADPCM, float64).
+    * outside the audio envelope (ADPCM).
     */
   def wavFrameSample(bytes: Array[Byte], step: Int): Array[Byte] = {
     if (step <= 0) return null
@@ -2337,9 +2346,9 @@ case class JpegMeta(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
-/** WAV sample statistics (integer PCM 8/16/24/32-bit, G.711, float32,
-  * extensible wrappers) through the bounded RIFF walk; null for blobs
-  * outside the audio envelope (ADPCM, float64).
+/** WAV sample statistics (integer PCM 8/16/24/32-bit, G.711, float32/
+  * float64, extensible wrappers) through the bounded RIFF walk; null for
+  * blobs outside the audio envelope (ADPCM).
   */
 case class WavPcmStats(child: Expression) extends UnaryExpression {
   override def dataType: DataType = MediaCodecHelper.WavPcmStatsType

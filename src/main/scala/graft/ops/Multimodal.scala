@@ -242,6 +242,44 @@ object Multimodal {
     wavFloatBytes(22050, 50 + (id % 25).toInt, 1024,
       i => ((i * 419 + id * 23) % 2049).toInt - 1024)
 
+  /** IEEE-float64 WAV (codec 3, bits 64), mono, spec-complete non-PCM
+    * header — [[wavFloatBytes]] at the other precision: sample i =
+    * num(i)/den with `den` a power of two, exact in double, so the
+    * production decoder's floor(d·2^15) lands on num(i)·(2^15/den) with
+    * zero rounding anywhere.
+    */
+  def wavFloat64Bytes(sampleRate: Int, nSamples: Int, den: Int,
+                      num: Int => Int): Array[Byte] = {
+    require(den > 0 && (den & (den - 1)) == 0, s"den must be a power of 2: $den")
+    val out = new java.io.ByteArrayOutputStream()
+    def le(i: Long, n: Int): Array[Byte] =
+      (0 until n).map(b => ((i >> (8 * b)) & 0xff).toByte).toArray
+    val dataLen = nSamples * 8
+    out.write("RIFF".getBytes("US-ASCII"))
+    out.write(le(4 + (8 + 18) + (8 + 4) + (8 + dataLen), 4))
+    out.write("WAVE".getBytes("US-ASCII"))
+    out.write("fmt ".getBytes("US-ASCII")); out.write(le(18, 4))
+    out.write(le(3, 2)); out.write(le(1, 2))            // IEEE float, mono
+    out.write(le(sampleRate, 4)); out.write(le(sampleRate.toLong * 8, 4))
+    out.write(le(8, 2)); out.write(le(64, 2))           // block align, bits
+    out.write(le(0, 2))                                 // cbSize
+    out.write("fact".getBytes("US-ASCII")); out.write(le(4, 4))
+    out.write(le(nSamples, 4))
+    out.write("data".getBytes("US-ASCII")); out.write(le(dataLen, 4))
+    for (i <- 0 until nSamples)
+      out.write(le(java.lang.Double.doubleToLongBits(
+        num(i).toDouble / den), 8))
+    out.toByteArray
+  }
+
+  /** Float64 lane: 40+id%21 samples at 24000 Hz, sample
+    * ((i*523 + id*29) % 4097 − 2048) / 2048 — decodes to exactly
+    * (num · 16) on the 16-bit lattice.
+    */
+  def wavFloat64FixtureBytes(id: Long): Array[Byte] =
+    wavFloat64Bytes(24000, 40 + (id % 21).toInt, 2048,
+      i => ((i * 523 + id * 29) % 4097).toInt - 2048)
+
   /** WAVE_FORMAT_EXTENSIBLE (0xFFFE) writer — the >2-channel/high-depth
     * container every DAW exports: 40-byte fmt (cbSize 22, valid bits,
     * channel mask, SubFormat GUID carrying the REAL format), fact chunk.
@@ -1742,6 +1780,7 @@ object Multimodal {
   val makeWav24 = udf((id: Long) => wav24Bytes(id))
   val makeWav32 = udf((id: Long) => wav32Bytes(id))
   val makeWavFloat = udf((id: Long) => wavFloatFixtureBytes(id))
+  val makeWavFloat64 = udf((id: Long) => wavFloat64FixtureBytes(id))
   val makeWavExtPcm = udf((id: Long) => wavExtPcmFixtureBytes(id))
   val makeWavExtFloat = udf((id: Long) => wavExtFloatFixtureBytes(id))
 

@@ -515,14 +515,36 @@ object MediaPack {
     * crossings inside the gate) and to wrapped float32, plus an
     * every-2nd-frame decimation of the float lane re-encoded AT codec 3
     * and re-analyzed (the codec-preserving frame sampler extended to
-    * float). Codegen'd scan-side; no shuffle.
+    * float). The float64 lane (r16) rides the same exact lattice — a
+    * double scaled by 2^15 only shifts its exponent — with its own
+    * 8-byte-sample decimation round-trip. Codegen'd scan-side;
+    * the one exchange is the tiny blob-table join.
     */
+  /** Float64 lane blobs (its own memoized store — the wav4 fixture is
+    * immutable once built).
+    */
+  private def audioFloat64Blobs(s: SparkSession, dir: String) = {
+    val (store, _) = Fixtures(s, dir, "fix_media_wav5") { st =>
+      st.write(Tables.documents(s, dir).select(col("doc_id"))
+        .withColumn("wd", Multimodal.makeWavFloat64(col("doc_id"))),
+        "mm_wav5", slices = 8)
+      Map("blobs" -> "mm_wav5")
+    }
+    store.readResolved("mm_wav5")
+  }
+
   def audioFloat(s: SparkSession, dir: String): DataFrame = {
     val media = audioFloatBlobs(s, dir)
+      .join(audioFloat64Blobs(s, dir), "doc_id")
     val f = Multimodal.audioFeatures(col("wf"))
     val e = Multimodal.audioFeatures(col("we"))
     val ef = Multimodal.audioFeatures(col("wef"))
     val fs = Multimodal.audioFeatures(Multimodal.audioFrameSample(col("wf"), 2))
+    // float64 lane (r16): double-precision samples on the same exact
+    // lattice (scaling by 2^15 only shifts the exponent), plus the
+    // codec-preserving decimation at 8 bytes/sample
+    val d64 = Multimodal.audioFeatures(col("wd"))
+    val ds = Multimodal.audioFeatures(Multimodal.audioFrameSample(col("wd"), 2))
     media.select(col("doc_id"),
       f.getField("n_samples").as("f_n"),
       f.getField("pcm_bits").cast("long").as("f_bits"),
@@ -540,7 +562,15 @@ object MediaPack {
       ef.getField("pcm_sqsum").as("ef_sqsum"),
       ef.getField("pcm_peak").as("ef_peak"),
       fs.getField("n_samples").as("fs_n"),
-      fs.getField("pcm_sum").as("fs_sum"))
+      fs.getField("pcm_sum").as("fs_sum"),
+      d64.getField("n_samples").as("d_n"),
+      d64.getField("pcm_bits").cast("long").as("d_bits"),
+      d64.getField("pcm_sum").as("d_sum"),
+      d64.getField("pcm_sqsum").as("d_sqsum"),
+      d64.getField("pcm_peak").as("d_peak"),
+      d64.getField("pcm_zc").as("d_zc"),
+      ds.getField("n_samples").as("ds_n"),
+      ds.getField("pcm_sum").as("ds_sum"))
   }
 
   /** DHT-less MJPEG fixture: frames coded against the Annex K typical
@@ -1434,6 +1464,24 @@ object MediaPack {
            SELECT doc_id, count(*) AS n, sum(v) AS s, sum(v*v) AS q,
                   max(abs(v)) AS pk
            FROM xv GROUP BY doc_id
+         ), dv AS (
+           SELECT d.doc_id, i.i AS i,
+                  ((i.i*523 + d.doc_id*29) % 4097 - 2048) * 16 AS v
+           FROM documents d
+           JOIN range(0, 61) i(i) ON i.i < 40 + d.doc_id % 21
+         ), dz AS (
+           SELECT doc_id, i, v,
+                  lag(v) OVER (PARTITION BY doc_id ORDER BY i) AS pv
+           FROM dv
+         ), da AS (
+           SELECT doc_id, count(*) AS n, sum(v) AS s, sum(v*v) AS q,
+                  max(abs(v)) AS pk,
+                  sum(CASE WHEN pv IS NOT NULL AND ((v < 0) != (pv < 0))
+                      THEN 1 ELSE 0 END) AS zc
+           FROM dz GROUP BY doc_id
+         ), dfs AS (
+           SELECT doc_id, count(*) AS n, sum(v) AS s
+           FROM dv WHERE i % 2 = 0 GROUP BY doc_id
          )
          SELECT d.doc_id,
          CAST(fa.n AS BIGINT) AS f_n, CAST(32 AS BIGINT) AS f_bits,
@@ -1444,13 +1492,19 @@ object MediaPack {
          CAST(ea.pk AS BIGINT) AS e_peak, CAST(ezc.zc AS BIGINT) AS e_zc,
          CAST(xa.n AS BIGINT) AS ef_n, CAST(xa.s AS BIGINT) AS ef_sum,
          CAST(xa.q AS BIGINT) AS ef_sqsum, CAST(xa.pk AS BIGINT) AS ef_peak,
-         CAST(ffs.n AS BIGINT) AS fs_n, CAST(ffs.s AS BIGINT) AS fs_sum
+         CAST(ffs.n AS BIGINT) AS fs_n, CAST(ffs.s AS BIGINT) AS fs_sum,
+         CAST(da.n AS BIGINT) AS d_n, CAST(64 AS BIGINT) AS d_bits,
+         CAST(da.s AS BIGINT) AS d_sum, CAST(da.q AS BIGINT) AS d_sqsum,
+         CAST(da.pk AS BIGINT) AS d_peak, CAST(da.zc AS BIGINT) AS d_zc,
+         CAST(dfs.n AS BIGINT) AS ds_n, CAST(dfs.s AS BIGINT) AS ds_sum
          FROM documents d
          JOIN fa ON fa.doc_id = d.doc_id
          JOIN ffs ON ffs.doc_id = d.doc_id
          JOIN ea ON ea.doc_id = d.doc_id
          JOIN ezc ON ezc.doc_id = d.doc_id
-         JOIN xa ON xa.doc_id = d.doc_id""",
+         JOIN xa ON xa.doc_id = d.doc_id
+         JOIN da ON da.doc_id = d.doc_id
+         JOIN dfs ON dfs.doc_id = d.doc_id""",
     // DHT-less MJPEG replay: (12+id%13)x(8+id%9) 4:2:0 color,
     // 2+id%4 frames at 15000+(id%4)*15000 us/frame, sampled every 2nd.
     // Frame f: Y block (bx,by) = (bx*17+by*23+id*9+f*11)%256, chroma per

@@ -1153,6 +1153,48 @@ class MediaCodecSpec extends AnyFunSuite {
     assert(wr != null && wr.getLong(2) == 0L + 0 + 16384 - 8192)
   }
 
+  test("float64 WAV: exact lattice, decimation, NaN/Inf doubles") {
+    val id = 9L
+    val row = MediaCodecHelper.wavPcmStats(Multimodal.wavFloat64FixtureBytes(id))
+    val n = 40 + (id % 21).toInt
+    val vs = (0 until n).map(i => ((((i * 523 + id * 29) % 4097) - 2048) * 16).toLong)
+    assert(row != null)
+    assert(row.getLong(0) == n && row.getInt(1) == 24000)
+    assert(row.getLong(2) == vs.sum, "pcm_sum")
+    assert(row.getLong(3) == vs.map(v => v * v).sum, "pcm_sqsum")
+    assert(row.getLong(4) == vs.map(math.abs).max, "pcm_peak")
+    assert(row.getInt(6) == 64)
+    // the codec-preserving sampler keeps 8-byte samples verbatim
+    val dec = MediaCodecHelper.wavFrameSample(
+      Multimodal.wavFloat64FixtureBytes(id), 2)
+    val dr = MediaCodecHelper.wavPcmStats(dec)
+    val kept = vs.indices.collect { case i if i % 2 == 0 => vs(i) }
+    assert(dr != null && dr.getLong(0) == kept.size && dr.getInt(6) == 64)
+    assert(dr.getLong(2) == kept.sum, "decimated sum")
+    // hand-built doubles: a value float32 CANNOT represent exactly stays
+    // exact at 64-bit (2^-20 scales to 2^-5: floor lands at 0 vs the
+    // full-precision ±ulp world); NaN reports 0; ±Inf clamps then trips
+    // the overflow guard via sqsum
+    val tiny = Multimodal.wavFloat64Bytes(8000, 2, 1 << 20, i => 1 - 2 * i)
+    val tr = MediaCodecHelper.wavPcmStats(tiny)
+    // 1/2^20 * 2^15 = 1/32 -> floor 0; -1/2^20 -> floor -1
+    assert(tr != null && tr.getLong(2) == -1L && tr.getLong(4) == 1L)
+    val weird = {
+      val out = new java.io.ByteArrayOutputStream()
+      val base = Multimodal.wavFloat64Bytes(8000, 2, 1, i => 0)
+      val bs = base.clone()
+      val dOff = bs.length - 16
+      def putD(o: Int, d: Double): Unit = {
+        val bits = java.lang.Double.doubleToLongBits(d)
+        (0 until 8).foreach(b => bs(o + b) = ((bits >> (8 * b)) & 0xff).toByte)
+      }
+      putD(dOff, Double.NaN); putD(dOff + 8, 0.75)
+      out.write(bs); out.toByteArray
+    }
+    val wr = MediaCodecHelper.wavPcmStats(weird)
+    assert(wr != null && wr.getLong(2) == 24576L, "NaN->0, 0.75->24576")
+  }
+
   test("DHT-less stills: stats/resize fall back to Annex K implied tables") {
     val nodht = Multimodal.jpegNoDhtBytes(12, 8,
       (bx, by) => (bx * 17 + by * 23) % 256,
