@@ -41,7 +41,9 @@ import org.apache.spark.sql.types._
   *    mapping is exact), and WAVE_FORMAT_EXTENSIBLE wrapping any of
   *    those — located through the chunk walk (LIST/fact chunks before
   *    `fmt ` are fine); float64 rides the same exact lattice (scaling a
-  *    double by 2^15 only shifts the exponent); ADPCM returns null.
+  *    double by 2^15 only shifts the exponent). IMA/DVI ADPCM (codec
+  *    0x11) decodes through the sequential block recurrence (r17);
+  *    Microsoft ADPCM (0x02) and other compressed codecs return null.
   *  - GIF: [[decodeGif]] is the STRICT single-image path — first frame
   *    only, and since r15 it returns null when that frame sits at a
   *    nonzero offset or is smaller than the logical screen (envelope
@@ -2184,8 +2186,9 @@ object MediaCodecHelper {
   /** struct(n_samples, sample_rate, pcm_sum, pcm_sqsum, pcm_peak, pcm_zc,
     * pcm_bits) over all PCM frames (all channels; zero crossings over
     * channel 0 only — the per-channel metric). Integer outputs for exact
-    * oracle reproduction; RMS = sqrt(sqsum/n) downstream. Null for
-    * blobs outside the decode envelope (see [[pcmLayout]]), and for a
+    * oracle reproduction; RMS = sqrt(sqsum/n) downstream. IMA/DVI ADPCM
+    * routes through [[wavAdpcmStats]]. Null for blobs outside the decode
+    * envelope (see [[pcmLayout]] / [[adpcmLayout]]), and for a
     * 32-bit or hot-float stream whose sum of squares exceeds int64
     * (honest "can't represent" rather than a silent wrap — only reachable
     * at 32-bit-scale values: 24-bit squares can't overflow any plausible
@@ -2193,7 +2196,7 @@ object MediaCodecHelper {
     */
   def wavPcmStats(bytes: Array[Byte]): InternalRow = {
     val lay = pcmLayout(bytes)
-    if (lay == null) return null
+    if (lay == null) return wavAdpcmStats(bytes)
     val Array(dOff, n, rate, channels, bits, codec) = lay
     var sum = 0L; var sq = 0L; var peak = 0L; var zc = 0L
     var prevNeg = false
@@ -2214,6 +2217,153 @@ object MediaCodecHelper {
       }
     } catch { case _: ArithmeticException => return null }
     new GenericInternalRow(Array[Any](n.toLong, rate, sum, sq, peak, zc, bits))
+  }
+
+  /** IMA/DVI ADPCM step-size table (IMA Digital Audio Compression and
+    * Exchange recommendation, 1992 — the 89-entry table every IMA
+    * decoder ships verbatim; also RFC 3551 §4.5.1's DVI4 lineage).
+    */
+  private val ImaStep: Array[Int] = Array(
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31,
+    34, 37, 41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143,
+    157, 173, 190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494, 544,
+    598, 658, 724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552, 1707,
+    1878, 2066, 2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871,
+    5358, 5894, 6484, 7132, 7845, 8630, 9493, 10442, 11487, 12635, 13899,
+    15289, 16818, 18500, 20350, 22385, 24623, 27086, 29794, 32767)
+
+  /** Step-index adjustment per nibble magnitude (sign bit ignored). */
+  private val ImaIndexAdj: Array[Int] = Array(-1, -1, -1, -1, 2, 4, 6, 8)
+
+  /** (dOff, dataLen, rate, channels, blockAlign) for IMA/DVI ADPCM
+    * (WAVE codec 0x11, 4-bit nibbles). Block structure per the IMA WAV
+    * mapping: each `blockAlign`-byte block opens with one 4-byte header
+    * per channel (int16 predictor = the channel's first output sample,
+    * uint8 step index, reserved byte), then 4-byte nibble groups
+    * round-robined across channels (8 samples per group). Null unless
+    * the geometry is coherent — data a whole number of blocks, the
+    * nibble region a whole number of channel rounds, and any DECLARED
+    * wSamplesPerBlock (cbSize ≥ 2) equal to the computed
+    * `1 + 2·(blockAlign − 4·ch)/ch` (a lying header is an honest null,
+    * not a guess).
+    */
+  private def adpcmLayout(bytes: Array[Byte]): Array[Int] = {
+    if (bytes == null) return null
+    val fmtOff = RiffWalkHelper.chunkDataOffset(bytes, 'f', 'm', 't', ' ')
+    val dataOff = RiffWalkHelper.chunkDataOffset(bytes, 'd', 'a', 't', 'a')
+    if (fmtOff < 0 || dataOff < 0) return null
+    val fo = fmtOff.toInt - 1
+    val dOff = dataOff.toInt - 1
+    if (fo + 16 > bytes.length || dOff > bytes.length) return null
+    if (leShort(bytes, fo) != 0x11) return null
+    val channels = leShort(bytes, fo + 2)
+    val rate = leInt(bytes, fo + 4)
+    val blockAlign = leShort(bytes, fo + 12)
+    if (leShort(bytes, fo + 14) != 4) return null // 4-bit nibbles only
+    if (channels < 1) return null
+    val head = 4 * channels
+    if (blockAlign <= head || (blockAlign - head) % (4 * channels) != 0)
+      return null
+    val fmtLen = leInt(bytes, fo - 4)
+    if (fmtLen >= 20 && fo + 20 <= bytes.length &&
+        leShort(bytes, fo + 16) >= 2) {
+      val declared = leShort(bytes, fo + 18)
+      if (declared != 1 + 2 * (blockAlign - head) / channels) return null
+    }
+    val dataLen0 = leInt(bytes, dOff - 4)
+    val dataLen = math.min(dataLen0.toLong, (bytes.length - dOff).toLong).toInt
+    if (dataLen <= 0 || dataLen % blockAlign != 0) return null
+    Array(dOff, dataLen, rate, channels, blockAlign)
+  }
+
+  /** One nibble through the IMA predictor: bit-serial difference
+    * (`step>>3` plus the selected `step>>2`/`step>>1`/`step` terms — the
+    * IMA recommendation's integer form, NOT the `(2m+1)·step/8` exact
+    * product), int16 clamp, table-adjusted step index. Pure integer
+    * steps the DuckDB oracle replays with a recursive CTE. Returns the
+    * packed (pred << 8) | index so the caller threads both states.
+    */
+  private def imaStep(pred0: Int, idx0: Int, nib: Int): Int = {
+    val step = ImaStep(idx0)
+    var diff = step >> 3
+    if ((nib & 1) != 0) diff += step >> 2
+    if ((nib & 2) != 0) diff += step >> 1
+    if ((nib & 4) != 0) diff += step
+    var pred = if ((nib & 8) != 0) pred0 - diff else pred0 + diff
+    if (pred > 32767) pred = 32767 else if (pred < -32768) pred = -32768
+    var idx = idx0 + ImaIndexAdj(nib & 7)
+    if (idx < 0) idx = 0 else if (idx > 88) idx = 88
+    (pred << 8) | idx
+  }
+
+  /** [[wavPcmStats]] for IMA/DVI ADPCM (codec 0x11): sequential block
+    * decode — per block, each channel's header predictor IS its first
+    * output frame, then every nibble (low half-byte first) advances the
+    * channel's (predictor, step-index) recurrence one frame. n_samples
+    * counts FRAMES; sum/sqsum/peak span all channels; zero crossings
+    * chain over channel 0 across block boundaries (headers included),
+    * matching the PCM path's semantics. pcm_bits reports the STORAGE
+    * depth 4 (the fmt value), not the 16-bit decoded lattice.
+    */
+  def wavAdpcmStats(bytes: Array[Byte]): InternalRow = {
+    val lay = adpcmLayout(bytes)
+    if (lay == null) return null
+    val Array(dOff, dataLen, rate, channels, blockAlign) = lay
+    val groupsPerBlock = (blockAlign - 4 * channels) / (4 * channels)
+    var sum = 0L; var sq = 0L; var peak = 0L; var zc = 0L
+    var prevNeg = false; var c0Seen = false; var frames = 0L
+    val pred = new Array[Int](channels)
+    val idx = new Array[Int](channels)
+    def acc(v: Int, c: Int): Unit = {
+      sum += v
+      sq += v.toLong * v.toLong // |v| ≤ 2^15: no overflow before ~2^33 frames
+      val a = math.abs(v.toLong); if (a > peak) peak = a
+      if (c == 0) {
+        val neg = v < 0
+        if (c0Seen && neg != prevNeg) zc += 1
+        prevNeg = neg; c0Seen = true
+      }
+    }
+    var bo = dOff
+    while (bo < dOff + dataLen) {
+      var c = 0
+      while (c < channels) {
+        pred(c) = leShort(bytes, bo + 4 * c)
+        val si = bytes(bo + 4 * c + 2) & 0xff
+        if (si > 88) return null
+        idx(c) = si
+        // header predictor = the channel's first frame of this block
+        acc(pred(c), c)
+        c += 1
+      }
+      frames += 1
+      var g = 0
+      while (g < groupsPerBlock) {
+        c = 0
+        while (c < channels) {
+          val go = bo + 4 * channels + (g * channels + c) * 4
+          var bi = 0
+          while (bi < 4) {
+            val byt = bytes(go + bi) & 0xff
+            var half = 0
+            while (half < 2) {
+              val nib = if (half == 0) byt & 0x0f else byt >> 4
+              val packed = imaStep(pred(c), idx(c), nib)
+              pred(c) = packed >> 8
+              idx(c) = packed & 0xff
+              acc(pred(c), c)
+              half += 1
+            }
+            bi += 1
+          }
+          c += 1
+        }
+        frames += 8
+        g += 1
+      }
+      bo += blockAlign
+    }
+    new GenericInternalRow(Array[Any](frames, rate, sum, sq, peak, zc, 4))
   }
 
   val WavPcmStatsType: StructType = StructType(Seq(

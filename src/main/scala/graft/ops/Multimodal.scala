@@ -280,6 +280,73 @@ object Multimodal {
     wavFloat64Bytes(24000, 40 + (id % 21).toInt, 2048,
       i => ((i * 523 + id * 29) % 4097).toInt - 2048)
 
+  /** IMA/DVI ADPCM WAV writer (codec 0x11) — the independent nibble
+    * PACKER (it never decodes: block headers and nibbles come straight
+    * from the caller's closed-form functions, so it shares zero code
+    * with the production recurrence decoder). Spec-complete header:
+    * 20-byte fmt (cbSize 2 + wSamplesPerBlock) and a fact chunk. Block
+    * `b` opens with one 4-byte header per channel (int16 `pred(b, c)`,
+    * uint8 `stepIdx(b, c)`, reserved 0), then `groups` 4-byte nibble
+    * runs per channel, round-robined — channel c's nibble k of block b
+    * is `nib(b, c, k)` (low half-byte first within each byte).
+    */
+  def wavAdpcmBytes(sampleRate: Int, channels: Int, groups: Int,
+                    nBlocks: Int, pred: (Int, Int) => Int,
+                    stepIdx: (Int, Int) => Int,
+                    nib: (Int, Int, Int) => Int): Array[Byte] = {
+    val blockAlign = 4 * channels + groups * 4 * channels
+    val spb = 1 + 8 * groups // samples per block per channel
+    val dataLen = nBlocks * blockAlign
+    val out = new java.io.ByteArrayOutputStream()
+    def le(i: Int, n: Int): Array[Byte] =
+      (0 until n).map(b => ((i >> (8 * b)) & 0xff).toByte).toArray
+    out.write("RIFF".getBytes("US-ASCII"))
+    out.write(le(4 + (8 + 20) + (8 + 4) + (8 + dataLen), 4))
+    out.write("WAVE".getBytes("US-ASCII"))
+    out.write("fmt ".getBytes("US-ASCII")); out.write(le(20, 4))
+    out.write(le(0x11, 2)); out.write(le(channels, 2))
+    out.write(le(sampleRate, 4))
+    out.write(le(sampleRate * blockAlign / spb, 4))     // avg bytes/sec
+    out.write(le(blockAlign, 2)); out.write(le(4, 2))   // block align, bits
+    out.write(le(2, 2)); out.write(le(spb, 2))          // cbSize, spb
+    out.write("fact".getBytes("US-ASCII")); out.write(le(4, 4))
+    out.write(le(nBlocks * spb, 4))
+    out.write("data".getBytes("US-ASCII")); out.write(le(dataLen, 4))
+    for (b <- 0 until nBlocks) {
+      for (c <- 0 until channels) {
+        out.write(le(pred(b, c) & 0xffff, 2))
+        out.write(stepIdx(b, c) & 0xff); out.write(0)
+      }
+      for (g <- 0 until groups; c <- 0 until channels; bi <- 0 until 4) {
+        val k = 8 * g + 2 * bi
+        out.write((nib(b, c, k) & 0x0f) | ((nib(b, c, k + 1) & 0x0f) << 4))
+      }
+    }
+    out.toByteArray
+  }
+
+  /** ADPCM mono lane: 2+id%2 blocks of 41 samples (5 nibble groups) at
+    * 8000 Hz — block b seeds predictor (id·97 + b·411) % 1024 − 512 and
+    * step index (id + 17·b) % 89, nibble k = (k·7 + id·3 + b·11) % 16.
+    * Multi-block: proves the per-block predictor reset.
+    */
+  def wavAdpcmMonoBytes(id: Long): Array[Byte] =
+    wavAdpcmBytes(8000, 1, 5, 2 + (id % 2).toInt,
+      (b, _) => ((id * 97 + b * 411) % 1024).toInt - 512,
+      (b, _) => ((id + 17 * b) % 89).toInt,
+      (b, _, k) => ((k * 7 + id * 3 + b * 11) % 16).toInt)
+
+  /** ADPCM stereo lane: one block of 4+id%3 nibble groups per channel at
+    * 16000 Hz — channel c seeds predictor (id·97 + c·333) % 1024 − 512
+    * and step index (id + 31·c) % 89, nibble k = (k·7 + id·3 + c·5) % 16.
+    * Proves the 4-byte channel-round-robin group walk.
+    */
+  def wavAdpcmStereoBytes(id: Long): Array[Byte] =
+    wavAdpcmBytes(16000, 2, 4 + (id % 3).toInt, 1,
+      (_, c) => ((id * 97 + c * 333) % 1024).toInt - 512,
+      (_, c) => ((id + 31 * c) % 89).toInt,
+      (_, c, k) => ((k * 7 + id * 3 + c * 5) % 16).toInt)
+
   /** WAVE_FORMAT_EXTENSIBLE (0xFFFE) writer — the >2-channel/high-depth
     * container every DAW exports: 40-byte fmt (cbSize 22, valid bits,
     * channel mask, SubFormat GUID carrying the REAL format), fact chunk.
@@ -1782,6 +1849,8 @@ object Multimodal {
   val makeWavFloat = udf((id: Long) => wavFloatFixtureBytes(id))
   val makeWavFloat64 = udf((id: Long) => wavFloat64FixtureBytes(id))
   val makeWavExtPcm = udf((id: Long) => wavExtPcmFixtureBytes(id))
+  val makeWavAdpcmMono = udf((id: Long) => wavAdpcmMonoBytes(id))
+  val makeWavAdpcmStereo = udf((id: Long) => wavAdpcmStereoBytes(id))
   val makeWavExtFloat = udf((id: Long) => wavExtFloatFixtureBytes(id))
 
   // ---- metadata extraction (codegen'd Column arithmetic, no UDFs) ----
@@ -1974,12 +2043,15 @@ object Multimodal {
     bridge(graft.expr.JpegResizeToPng(ex(bin), w, h))
 
   /** REAL audio feature extraction (integer PCM at 8/16/24/32-bit,
-    * G.711 µ-law/A-law, IEEE float32 on the exact floor(f·2^15) integer
-    * lattice, and WAVE_FORMAT_EXTENSIBLE wrapping any of those — via the
+    * G.711 µ-law/A-law, IEEE float32 AND float64 on the exact
+    * floor(f·2^15) integer lattice — a power-of-two scale is exact at
+    * either precision — WAVE_FORMAT_EXTENSIBLE wrapping any of those,
+    * and IMA/DVI ADPCM via the sequential block recurrence — via the
     * RIFF walk): struct(n_samples, sample_rate, pcm_sum, pcm_sqsum,
     * pcm_peak, pcm_zc, pcm_bits) — RMS = sqrt(pcm_sqsum / n_samples)
     * downstream, pcm_zc the channel-0 zero-crossing count. Null for
-    * blobs outside the audio envelope (ADPCM, float64).
+    * blobs outside the audio envelope (Microsoft ADPCM 0x02 and other
+    * compressed codecs).
     */
   def audioFeatures(bin: Column): Column = bridge(graft.expr.WavPcmStats(ex(bin)))
 

@@ -155,25 +155,50 @@ object Unigram {
     }
   }
 
+  /** Marker row re-arming byte-fallback on reload (the BPE −2-row
+    * convention). Structurally collision-free twice over: pieces come
+    * from `split(text, "\\s+")` tokens so can never contain a space, and
+    * no trained Log2Fp score can reach Long.MinValue.
+    */
+  private[ops] val FallbackMarker: (String, Long) =
+    ("<byte fallback>", Long.MinValue)
+
   /** The model as a (piece, score_fp) DataFrame — the snapshot shape for
     * the persisted-model twin. The UNK floor and the DP length bound are
     * pure functions of the scored pieces ([[UnigramModel]] derives both),
-    * so this table IS the whole model.
+    * so this table IS the whole model. Byte-fallback models additionally
+    * carry the [[FallbackMarker]] row so the snapshot self-describes —
+    * reloading with the default flag cannot silently disarm the fallback
+    * path (the `<0x41>` collision discipline depends on it).
     */
   def modelToDf(spark: org.apache.spark.sql.SparkSession,
                 model: UnigramModel): DataFrame = {
     import spark.implicits._
-    model.pieces.toSeq.toDF("piece", "score_fp")
+    val rows = if (model.byteFallback) model.pieces.toSeq :+ FallbackMarker
+               else model.pieces.toSeq
+    rows.toDF("piece", "score_fp")
   }
 
-  /** Rebuild the model from its snapshot (vocabulary-sized collect);
-    * `byteFallback` re-arms the fallback path for models trained with it
-    * (the flag is a training-time convention, not table data).
+  /** Rebuild the model from its snapshot (vocabulary-sized collect). The
+    * [[FallbackMarker]] row re-arms byte-fallback regardless of the flag
+    * argument; passing `byteFallback = true` for a snapshot with neither
+    * the marker nor the 256 seeded byte tokens fails loudly instead of
+    * arming a model whose trie would text-match byte-token pieces.
     */
-  def modelFromDf(df: DataFrame, byteFallback: Boolean = false): UnigramModel =
-    new UnigramModel(df.select(col("piece"), col("score_fp").cast("long"))
-      .collect().map(r => (r.getString(0), r.getLong(1))).sortBy(_._1),
-      byteFallback)
+  def modelFromDf(df: DataFrame, byteFallback: Boolean = false): UnigramModel = {
+    val rows = df.select(col("piece"), col("score_fp").cast("long"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val marked = rows.contains(FallbackMarker)
+    val pieces = rows.filter(_ != FallbackMarker).sortBy(_._1)
+    if (byteFallback && !marked) {
+      val have = pieces.iterator.map(_._1).toSet
+      require(graft.expr.ByteTokens.tokens.forall(have),
+        "byteFallback=true but the snapshot carries neither the fallback " +
+          "marker row nor the 256 seeded byte tokens — it was not trained " +
+          "with byte_fallback; refusing to arm the fallback path")
+    }
+    new UnigramModel(pieces, marked || byteFallback)
+  }
 
   /** Per-token nested pieces column, aligned with the token array. */
   def pieces(textCol: Column, model: UnigramModel): Column =

@@ -172,23 +172,48 @@ object WordPiece {
     new WordPieceModel(vocab.toArray.sorted, byteFallback)
   }
 
+  /** Marker row re-arming byte-fallback on reload (the BPE −2-row
+    * convention). Structurally collision-free: vocabulary pieces come
+    * from `split(text, "\\s+")` tokens (plus `##` continuations of them)
+    * so no trained piece can ever contain a space.
+    */
+  private[ops] val FallbackMarker: String = "<byte fallback>"
+
   /** The model as a (piece) DataFrame — the persisted-twin snapshot
     * shape. Greedy longest-match has no scores or order: the piece SET
-    * is the whole model.
+    * is the whole model. Byte-fallback models additionally carry the
+    * [[FallbackMarker]] row so the snapshot self-describes — reloading
+    * with the default flag cannot silently regress encode to `[UNK]` or
+    * let the trie text-match the persisted byte-token pieces.
     */
   def modelToDf(spark: org.apache.spark.sql.SparkSession,
                 model: WordPieceModel): DataFrame = {
     import spark.implicits._
-    model.vocab.toSeq.toDF("piece")
+    val rows = if (model.byteFallback) model.vocab.toSeq :+ FallbackMarker
+               else model.vocab.toSeq
+    rows.toDF("piece")
   }
 
-  /** Rebuild from the snapshot (vocabulary-sized collect); `byteFallback`
-    * re-arms the fallback path for models trained with it.
+  /** Rebuild from the snapshot (vocabulary-sized collect). The
+    * [[FallbackMarker]] row re-arms byte-fallback regardless of the flag
+    * argument; passing `byteFallback = true` for a snapshot with neither
+    * the marker nor the 256 seeded byte tokens fails loudly instead of
+    * silently changing encode semantics.
     */
   def modelFromDf(df: DataFrame,
-                  byteFallback: Boolean = false): WordPieceModel =
-    new WordPieceModel(df.select(col("piece"))
-      .collect().map(_.getString(0)).sorted, byteFallback)
+                  byteFallback: Boolean = false): WordPieceModel = {
+    val rows = df.select(col("piece")).collect().map(_.getString(0))
+    val marked = rows.contains(FallbackMarker)
+    val vocab = rows.filter(_ != FallbackMarker).sorted
+    if (byteFallback && !marked) {
+      val have = vocab.toSet
+      require(graft.expr.ByteTokens.tokens.forall(have),
+        "byteFallback=true but the snapshot carries neither the fallback " +
+          "marker row nor the 256 seeded byte tokens — it was not trained " +
+          "with byte_fallback; refusing to arm the fallback path")
+    }
+    new WordPieceModel(vocab, marked || byteFallback)
+  }
 
   /** Per-token nested pieces column (vocabulary form, `##` carried). */
   def pieces(textCol: Column, model: WordPieceModel): Column =

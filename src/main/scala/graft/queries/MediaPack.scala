@@ -573,6 +573,49 @@ object MediaPack {
       ds.getField("pcm_sum").as("ds_sum"))
   }
 
+  /** IMA-ADPCM fixture: mono multi-block + stereo group-interleaved
+    * clips from the independent nibble packer, memoized separately.
+    */
+  private def audioAdpcmBlobs(s: SparkSession, dir: String) = {
+    val (store, _) = Fixtures(s, dir, "fix_media_wav6") { st =>
+      st.write(Tables.documents(s, dir).select(col("doc_id"))
+        .withColumn("am", Multimodal.makeWavAdpcmMono(col("doc_id")))
+        .withColumn("aw", Multimodal.makeWavAdpcmStereo(col("doc_id"))),
+        "mm_wav6", slices = 8)
+      Map("blobs" -> "mm_wav6")
+    }
+    store.readResolved("mm_wav6")
+  }
+
+  /** REAL IMA/DVI ADPCM decode (WAVE codec 0x11) — the last compressed
+    * WAV format inside the envelope: the sequential (predictor,
+    * step-index) recurrence over 4-bit nibbles, per the 1992 IMA
+    * recommendation's integer tables. The mono lane spans 2–3 blocks
+    * (per-block header reset inside the gate); the stereo lane walks the
+    * 4-byte channel-round-robin groups (channel-0-only zero crossings
+    * prove the de-interleave). Every step is pure integer arithmetic, so
+    * the DuckDB oracle replays the recurrence exactly with a recursive
+    * CTE joined to the 89-entry step table. Codegen'd scan-side; the one
+    * exchange is the tiny blob-table join.
+    */
+  def audioAdpcm(s: SparkSession, dir: String): DataFrame = {
+    val media = audioAdpcmBlobs(s, dir)
+    val m = Multimodal.audioFeatures(col("am"))
+    val w = Multimodal.audioFeatures(col("aw"))
+    media.select(col("doc_id"),
+      m.getField("n_samples").as("m_n"),
+      m.getField("pcm_bits").cast("long").as("m_bits"),
+      m.getField("pcm_sum").as("m_sum"),
+      m.getField("pcm_sqsum").as("m_sqsum"),
+      m.getField("pcm_peak").as("m_peak"),
+      m.getField("pcm_zc").as("m_zc"),
+      w.getField("n_samples").as("s_n"),
+      w.getField("pcm_sum").as("s_sum"),
+      w.getField("pcm_sqsum").as("s_sqsum"),
+      w.getField("pcm_peak").as("s_peak"),
+      w.getField("pcm_zc").as("s_zc"))
+  }
+
   /** DHT-less MJPEG fixture: frames coded against the Annex K typical
     * Huffman tables with NO DHT segment (the most common real-world MJPEG
     * flavor, per the OpenDML implied-standard-tables convention); 4:2:0
@@ -672,6 +715,7 @@ object MediaPack {
     "mm_audio_depth" -> audioDepth _,
     "mm_audio_g711" -> audioG711 _,
     "mm_audio_float" -> audioFloat _,
+    "mm_audio_adpcm" -> audioAdpcm _,
     "mm_gif_anim" -> gifAnim _,
     "mm_gif_compose" -> gifCompose _,
     "mm_png16" -> png16 _,
@@ -1505,6 +1549,112 @@ object MediaPack {
          JOIN xa ON xa.doc_id = d.doc_id
          JOIN da ON da.doc_id = d.doc_id
          JOIN dfs ON dfs.doc_id = d.doc_id""",
+    // IMA-ADPCM replay: the exact (predictor, step-index) recurrence as a
+    // recursive CTE joined to the 89-entry step table — mono lane blocks
+    // b<2+id%2 seed pred (id*97+b*411)%1024-512 / index (id+17*b)%89 and
+    // advance through nibble (i*7+id*3+b*11)%16 for 40 steps; stereo lane
+    // channels c in (0,1) seed (id*97+c*333)%1024-512 / (id+31*c)%89 and
+    // advance through (i*7+id*3+c*5)%16 for 8*(4+id%3) steps. n counts
+    // FRAMES; zero crossings chain over channel 0 / block order.
+    "mm_audio_adpcm" ->
+      """WITH RECURSIVE steps(si, st) AS (
+           SELECT * FROM (VALUES
+           (0,7),(1,8),(2,9),(3,10),(4,11),(5,12),(6,13),(7,14),(8,16),
+           (9,17),(10,19),(11,21),(12,23),(13,25),(14,28),(15,31),(16,34),
+           (17,37),(18,41),(19,45),(20,50),(21,55),(22,60),(23,66),(24,73),
+           (25,80),(26,88),(27,97),(28,107),(29,118),(30,130),(31,143),
+           (32,157),(33,173),(34,190),(35,209),(36,230),(37,253),(38,279),
+           (39,307),(40,337),(41,371),(42,408),(43,449),(44,494),(45,544),
+           (46,598),(47,658),(48,724),(49,796),(50,876),(51,963),(52,1060),
+           (53,1166),(54,1282),(55,1411),(56,1552),(57,1707),(58,1878),
+           (59,2066),(60,2272),(61,2499),(62,2749),(63,3024),(64,3327),
+           (65,3660),(66,4026),(67,4428),(68,4871),(69,5358),(70,5894),
+           (71,6484),(72,7132),(73,7845),(74,8630),(75,9493),(76,10442),
+           (77,11487),(78,12635),(79,13899),(80,15289),(81,16818),
+           (82,18500),(83,20350),(84,22385),(85,24623),(86,27086),
+           (87,29794),(88,32767)) t(si, st)
+         ), mono(doc_id, b, i, pred, idx) AS (
+           SELECT d.doc_id, b.b, 0,
+                  CAST((d.doc_id*97 + b.b*411) % 1024 - 512 AS INTEGER),
+                  CAST((d.doc_id + 17*b.b) % 89 AS INTEGER)
+           FROM documents d
+           JOIN (VALUES (0),(1),(2)) b(b) ON b.b < 2 + d.doc_id % 2
+           UNION ALL
+           SELECT m.doc_id, m.b, m.i + 1,
+             GREATEST(-32768, LEAST(32767, m.pred
+               + CASE WHEN (((m.i*7 + m.doc_id*3 + m.b*11) % 16) & 8) != 0
+                      THEN -1 ELSE 1 END
+               * (s.st // 8
+                  + CASE WHEN (((m.i*7 + m.doc_id*3 + m.b*11) % 16) & 1) != 0
+                         THEN s.st // 4 ELSE 0 END
+                  + CASE WHEN (((m.i*7 + m.doc_id*3 + m.b*11) % 16) & 2) != 0
+                         THEN s.st // 2 ELSE 0 END
+                  + CASE WHEN (((m.i*7 + m.doc_id*3 + m.b*11) % 16) & 4) != 0
+                         THEN s.st ELSE 0 END))),
+             GREATEST(0, LEAST(88, m.idx
+               + CASE WHEN (((m.i*7 + m.doc_id*3 + m.b*11) % 16) & 7) < 4
+                      THEN -1
+                      ELSE ((((m.i*7 + m.doc_id*3 + m.b*11) % 16) & 7) - 3)
+                           * 2 END))
+           FROM mono m JOIN steps s ON s.si = m.idx
+           WHERE m.i < 40
+         ), mz AS (
+           SELECT doc_id, pred,
+                  lag(pred) OVER (PARTITION BY doc_id ORDER BY b, i) AS pv
+           FROM mono
+         ), ma AS (
+           SELECT doc_id, count(*) AS n, sum(pred) AS s,
+                  sum(pred*pred) AS q, max(abs(pred)) AS pk,
+                  sum(CASE WHEN pv IS NOT NULL AND ((pred < 0) != (pv < 0))
+                      THEN 1 ELSE 0 END) AS zc
+           FROM mz GROUP BY doc_id
+         ), ster(doc_id, c, i, ns, pred, idx) AS (
+           SELECT d.doc_id, c.c, 0,
+                  8 * (4 + CAST(d.doc_id % 3 AS INTEGER)),
+                  CAST((d.doc_id*97 + c.c*333) % 1024 - 512 AS INTEGER),
+                  CAST((d.doc_id + 31*c.c) % 89 AS INTEGER)
+           FROM documents d JOIN (VALUES (0),(1)) c(c) ON true
+           UNION ALL
+           SELECT m.doc_id, m.c, m.i + 1, m.ns,
+             GREATEST(-32768, LEAST(32767, m.pred
+               + CASE WHEN (((m.i*7 + m.doc_id*3 + m.c*5) % 16) & 8) != 0
+                      THEN -1 ELSE 1 END
+               * (s.st // 8
+                  + CASE WHEN (((m.i*7 + m.doc_id*3 + m.c*5) % 16) & 1) != 0
+                         THEN s.st // 4 ELSE 0 END
+                  + CASE WHEN (((m.i*7 + m.doc_id*3 + m.c*5) % 16) & 2) != 0
+                         THEN s.st // 2 ELSE 0 END
+                  + CASE WHEN (((m.i*7 + m.doc_id*3 + m.c*5) % 16) & 4) != 0
+                         THEN s.st ELSE 0 END))),
+             GREATEST(0, LEAST(88, m.idx
+               + CASE WHEN (((m.i*7 + m.doc_id*3 + m.c*5) % 16) & 7) < 4
+                      THEN -1
+                      ELSE ((((m.i*7 + m.doc_id*3 + m.c*5) % 16) & 7) - 3)
+                           * 2 END))
+           FROM ster m JOIN steps s ON s.si = m.idx
+           WHERE m.i < m.ns
+         ), sz AS (
+           SELECT doc_id, c, pred,
+                  lag(pred) OVER (PARTITION BY doc_id, c ORDER BY i) AS pv
+           FROM ster
+         ), sa AS (
+           SELECT doc_id, count(*) // 2 AS n, sum(pred) AS s,
+                  sum(pred*pred) AS q, max(abs(pred)) AS pk,
+                  sum(CASE WHEN c = 0 AND pv IS NOT NULL
+                           AND ((pred < 0) != (pv < 0))
+                      THEN 1 ELSE 0 END) AS zc
+           FROM sz GROUP BY doc_id
+         )
+         SELECT d.doc_id,
+         CAST(ma.n AS BIGINT) AS m_n, CAST(4 AS BIGINT) AS m_bits,
+         CAST(ma.s AS BIGINT) AS m_sum, CAST(ma.q AS BIGINT) AS m_sqsum,
+         CAST(ma.pk AS BIGINT) AS m_peak, CAST(ma.zc AS BIGINT) AS m_zc,
+         CAST(sa.n AS BIGINT) AS s_n, CAST(sa.s AS BIGINT) AS s_sum,
+         CAST(sa.q AS BIGINT) AS s_sqsum, CAST(sa.pk AS BIGINT) AS s_peak,
+         CAST(sa.zc AS BIGINT) AS s_zc
+         FROM documents d
+         JOIN ma ON ma.doc_id = d.doc_id
+         JOIN sa ON sa.doc_id = d.doc_id""",
     // DHT-less MJPEG replay: (12+id%13)x(8+id%9) 4:2:0 color,
     // 2+id%4 frames at 15000+(id%4)*15000 us/frame, sampled every 2nd.
     // Frame f: Y block (bx,by) = (bx*17+by*23+id*9+f*11)%256, chroma per

@@ -167,4 +167,44 @@ class ByteFallbackSpec extends AnyFunSuite {
       .col("merge_idx") < 0).count() == 0L)
     assert(!Bpe.modelFromDf(df0).byteFallback)
   }
+
+  test("Unigram fallback snapshot: marker self-describes, mismatch fails") {
+    val s = TestSpark.spark
+    val m = Unigram.trainFromCounts(
+      Seq(("abab", 10L), ("ba", 4L)), vocabSize = 8, byteFallback = true)
+    // the DEFAULT-flag reload arms fallback from the marker row — the
+    // silent-corruption scenario (trie text-matching '<0x41>') is gone
+    val back = Unigram.modelFromDf(Unigram.modelToDf(s, m)
+      .orderBy(org.apache.spark.sql.functions.rand(7)))
+    assert(back.byteFallback)
+    assert(back.pieces.toSeq == m.pieces.toSeq, "marker row stripped")
+    for (w <- Seq("abab", "azb", "<0x41>"))
+      assert(back.segmentWord(w).toSeq == m.segmentWord(w).toSeq, w)
+    // non-fallback snapshot: no marker, reloads non-fallback; FORCING
+    // the flag against it fails loudly instead of re-arming silently
+    val m0 = Unigram.trainFromCounts(Seq(("abab", 10L)), vocabSize = 6)
+    val df0 = Unigram.modelToDf(s, m0)
+    assert(!Unigram.modelFromDf(df0).byteFallback)
+    intercept[IllegalArgumentException] {
+      Unigram.modelFromDf(df0, byteFallback = true)
+    }
+  }
+
+  test("WordPiece fallback snapshot: marker self-describes, mismatch fails") {
+    val s = TestSpark.spark
+    val m = WordPiece.trainFromCounts(
+      Seq(("abab", 10L), ("ba", 4L)), numMerges = 4, byteFallback = true)
+    val back = WordPiece.modelFromDf(WordPiece.modelToDf(s, m)
+      .orderBy(org.apache.spark.sql.functions.rand(7)))
+    assert(back.byteFallback)
+    assert(back.vocab.toSeq == m.vocab.toSeq, "marker row stripped")
+    for (w <- Seq("abab", "azb", "<0x41>"))
+      assert(back.encodeWord(w).toSeq == m.encodeWord(w).toSeq, w)
+    val m0 = WordPiece.trainFromCounts(Seq(("abab", 10L)), numMerges = 2)
+    val df0 = WordPiece.modelToDf(s, m0)
+    assert(!WordPiece.modelFromDf(df0).byteFallback)
+    intercept[IllegalArgumentException] {
+      WordPiece.modelFromDf(df0, byteFallback = true)
+    }
+  }
 }

@@ -129,6 +129,75 @@ class MediaCodecSpec extends AnyFunSuite {
     assert(MediaCodecHelper.wavPcmStats(hot) == null, "sqsum overflow -> null")
   }
 
+  test("IMA-ADPCM decodes the exact recurrence; envelope honest-nulls") {
+    // independent replay of the IMA recommendation's integer recurrence
+    // (table + bit-serial diff re-stated here, not shared with the
+    // production decoder)
+    val step = Array(7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25,
+      28, 31, 34, 37, 41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118,
+      130, 143, 157, 173, 190, 209, 230, 253, 279, 307, 337, 371, 408,
+      449, 494, 544, 598, 658, 724, 796, 876, 963, 1060, 1166, 1282,
+      1411, 1552, 1707, 1878, 2066, 2272, 2499, 2749, 3024, 3327, 3660,
+      4026, 4428, 4871, 5358, 5894, 6484, 7132, 7845, 8630, 9493, 10442,
+      11487, 12635, 13899, 15289, 16818, 18500, 20350, 22385, 24623,
+      27086, 29794, 32767)
+    val adj = Array(-1, -1, -1, -1, 2, 4, 6, 8)
+    def run(p0: Int, s0: Int, nibs: Seq[Int]): Seq[Int] = {
+      var p = p0; var s = s0
+      p0 +: nibs.map { n =>
+        val st = step(s)
+        var d = st >> 3
+        if ((n & 1) != 0) d += st >> 2
+        if ((n & 2) != 0) d += st >> 1
+        if ((n & 4) != 0) d += st
+        p = math.max(-32768, math.min(32767, if ((n & 8) != 0) p - d else p + d))
+        s = math.max(0, math.min(88, s + adj(n & 7)))
+        p
+      }
+    }
+    for (id <- 0L until 12L) {
+      val mono = MediaCodecHelper.wavPcmStats(Multimodal.wavAdpcmMonoBytes(id))
+      val ch0 = (0 until 2 + (id % 2).toInt).flatMap { b =>
+        run(((id * 97 + b * 411) % 1024).toInt - 512, ((id + 17 * b) % 89).toInt,
+          (0 until 40).map(k => ((k * 7 + id * 3 + b * 11) % 16).toInt))
+      }
+      assert(mono != null && mono.getInt(6) == 4, s"id $id")
+      assert(mono.getLong(0) == ch0.length.toLong)
+      assert(mono.getLong(2) == ch0.map(_.toLong).sum, s"id $id mono sum")
+      assert(mono.getLong(3) == ch0.map(v => v.toLong * v).sum)
+      assert(mono.getLong(4) == ch0.map(v => math.abs(v.toLong)).max)
+      assert(mono.getLong(5) ==
+        ch0.sliding(2).count(p => (p(0) < 0) != (p(1) < 0)).toLong)
+      val st2 = MediaCodecHelper.wavPcmStats(Multimodal.wavAdpcmStereoBytes(id))
+      val chans = (0 to 1).map { c =>
+        run(((id * 97 + c * 333) % 1024).toInt - 512, ((id + 31 * c) % 89).toInt,
+          (0 until 8 * (4 + (id % 3).toInt))
+            .map(k => ((k * 7 + id * 3 + c * 5) % 16).toInt))
+      }
+      assert(st2 != null && st2.getLong(0) == chans(0).length.toLong)
+      assert(st2.getLong(2) == chans.flatten.map(_.toLong).sum, s"id $id st sum")
+      assert(st2.getLong(5) ==
+        chans(0).sliding(2).count(p => (p(0) < 0) != (p(1) < 0)).toLong)
+    }
+    // honest nulls: lying wSamplesPerBlock, step index > 88, ragged data,
+    // and MS-ADPCM (codec 0x02) stay outside the envelope
+    val good = Multimodal.wavAdpcmMonoBytes(3L)
+    def patched(off: Int, v: Int): Array[Byte] = {
+      val b = good.clone(); b(off) = v.toByte; b
+    }
+    // fmt starts at byte 20 (RIFF 12 + "fmt "+len 8): spb low byte is
+    // fmt+18 = 38; codec low byte fmt+0 = 20
+    assert(MediaCodecHelper.wavPcmStats(patched(38, 99)) == null, "lying spb")
+    assert(MediaCodecHelper.wavPcmStats(patched(20, 0x02)) == null, "MS-ADPCM")
+    // block 0 header's step index forced past 88 (layout: RIFF 12 +
+    // fmt 8+20 + fact 8+4 + data tag 8 = byte 60; header idx at +2)
+    assert(MediaCodecHelper.wavPcmStats(patched(62, 120)) == null, "idx > 88")
+    val ragged = good.dropRight(1) // data no longer whole blocks
+    // dropRight truncates below the declared data length -> dataLen %
+    // blockAlign != 0 -> null
+    assert(MediaCodecHelper.wavPcmStats(ragged) == null, "ragged data")
+  }
+
   test("frame-sampling keeps every Nth frame and re-encodes a valid WAV") {
     val fs = MediaCodecHelper.wavFrameSample(Multimodal.wavBytes(8000, 100), 7)
     assert(fs != null)
