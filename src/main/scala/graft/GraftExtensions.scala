@@ -165,6 +165,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       args => expect(args, 1)
         graft.expr.WavPcmStats(args(0))
     }
+
+    inject("graft_piece_decode",
+      "graft_piece_decode(pieces, word_piece) - decode nested tokenizer pieces (array<array<string>>) back to text; <0xHH> byte tokens invert unconditionally (model-free by the byte-fallback convention), ## continuations strip at position > 0 when word_piece") {
+      args => expect(args, 2)
+        graft.expr.PieceDecode(args(0), litBool(args(1), "word_piece"))
+    }
   }
 }
 
@@ -204,5 +210,11 @@ private object GraftExtensions {
     case Literal(v: UTF8String, StringType) => v.toString
     case _ => throw new IllegalArgumentException(
       s"$what must be a literal string, got $e")
+  }
+
+  private def litBool(e: Expression, what: String): Boolean = e match {
+    case Literal(v: Boolean, org.apache.spark.sql.types.BooleanType) => v
+    case _ => throw new IllegalArgumentException(
+      s"$what must be a literal boolean, got $e")
   }
 }

@@ -464,17 +464,25 @@ object MediaCodecHelper {
   /** Full 16-bit PNG raster decode: Raster with bpp = 2·channels where
     * each sample is a big-endian byte pair at FULL precision — no 8-bit
     * truncation. Same chunk walk and envelope as [[png16Stats]]
-    * (gray16/RGB16/gray+alpha16/RGBA16, sequential or Adam7, tRNS out of
-    * envelope); null outside it.
+    * (gray16/RGB16/gray+alpha16/RGBA16, sequential or Adam7); null
+    * outside it. Color-key tRNS on types 0/2 (r17) synthesizes a 16-bit
+    * alpha channel exactly as the 8-bit path does — gray16 →
+    * gray+alpha16, RGB16 → RGBA16, alpha 0x0000 where the full-precision
+    * sample(s) equal the key, 0xFFFF elsewhere; at depth 16 every key
+    * value is reachable, so the comparison is the spec's plain 16-bit
+    * sample equality. tRNS on alpha-bearing types stays invalid, and the
+    * §5.6 ordering rule (tRNS before the first IDAT) holds.
     */
   def decodePng16(bytes: Array[Byte]): Raster = {
     if (bytes == null || bytes.length < 33) return null
     var i = 0
     while (i < 8) { if (bytes(i) != PngSig(i)) return null; i += 1 }
     var off = 8
-    var w = 0; var h = 0; var channels = 0
+    var w = 0; var h = 0; var channels = 0; var color = -1
     var interlaced = false
+    var keyR = -1; var keyG = -1; var keyB = -1 // color-key (types 0/2)
     var idat: java.io.ByteArrayOutputStream = null
+    var idatStarted = false // tRNS must precede all image data (§5.6)
     while (off + 8 <= bytes.length) {
       val len = beInt(bytes, off)
       if (len < 0 || off + 12L + len > bytes.length) return null
@@ -483,7 +491,7 @@ object MediaCodecHelper {
         case "IHDR" =>
           if (len != 13) return null
           w = beInt(bytes, off + 8); h = beInt(bytes, off + 12)
-          val depth = bytes(off + 16); val color = bytes(off + 17)
+          val depth = bytes(off + 16); color = bytes(off + 17)
           val interlace = bytes(off + 20)
           if (depth != 16 || interlace < 0 || interlace > 1) return null
           interlaced = interlace == 1
@@ -491,19 +499,54 @@ object MediaCodecHelper {
             case 0 => 1; case 2 => 3; case 4 => 2; case 6 => 4
             case _ => return null
           }
+          // cap on the worst-case OUTPUT size: color-key synthesis can
+          // add one 16-bit alpha channel on types 0/2
+          val outCh = color match {
+            case 0 => 2; case 2 => 4; case _ => channels
+          }
           if (w <= 0 || h <= 0 ||
-              w.toLong * h * 2 * channels > 64L * 1024 * 1024) return null
+              w.toLong * h * 2 * outCh > 64L * 1024 * 1024) return null
           idat = new java.io.ByteArrayOutputStream()
-        case "tRNS" => return null // color-key transparency: out of envelope
+        case "tRNS" =>
+          if (idat == null || idatStarted) return null
+          color match {
+            case 0 => // color-key: one 16-bit gray sample
+              if (len != 2) return null
+              keyG = ((bytes(off + 8) & 0xff) << 8) | (bytes(off + 9) & 0xff)
+            case 2 => // color-key: three 16-bit samples (R, G, B)
+              if (len != 6) return null
+              keyR = ((bytes(off + 8) & 0xff) << 8) | (bytes(off + 9) & 0xff)
+              keyG = ((bytes(off + 10) & 0xff) << 8) | (bytes(off + 11) & 0xff)
+              keyB = ((bytes(off + 12) & 0xff) << 8) | (bytes(off + 13) & 0xff)
+            case _ => return null // tRNS on an alpha-bearing type: invalid
+          }
         case "IDAT" =>
           if (idat == null) return null
+          idatStarted = true
           idat.write(bytes, off + 8, len)
         case "IEND" =>
           if (idat == null) return null
           val pix = reconstruct(idat.toByteArray, w, h, 2 * channels,
             interlaced)
           if (pix == null) return null
-          return new Raster(w, h, 2 * channels, pix)
+          if (keyG < 0) return new Raster(w, h, 2 * channels, pix)
+          def s16(o: Int): Int = ((pix(o) & 0xff) << 8) | (pix(o + 1) & 0xff)
+          val n = w * h
+          val inB = 2 * channels; val outB = inB + 2
+          val out = new Array[Byte](n * outB)
+          var p = 0
+          while (p < n) {
+            System.arraycopy(pix, p * inB, out, p * outB, inB)
+            val opaque =
+              if (color == 0) s16(p * inB) != keyG
+              else s16(p * inB) != keyR || s16(p * inB + 2) != keyG ||
+                s16(p * inB + 4) != keyB
+            val a: Byte = if (opaque) -1 else 0
+            out(p * outB + inB) = a
+            out(p * outB + inB + 1) = a
+            p += 1
+          }
+          return new Raster(w, h, outB, out)
         case _ => // ancillary chunk — skip
       }
       off += 12 + len

@@ -149,12 +149,33 @@ object Graphs {
           .otherwise(struct(col("b").as("lo"), col("a").as("hi")))
           .as("o"))
       .select(col("o.lo").as("x"), col("o.hi").as("y")).persist()
+    // The wedge-candidate exchange is the op's one super-linear byte
+    // stream (Σ d_out² rows — compact-forward bounds d_out by O(√m) but
+    // the count still grows faster than m on densifying graphs). When
+    // every vertex id fits in 31 bits — one cheap aggregate over the
+    // cached edge set decides — the (x, z) probe key packs into a SINGLE
+    // long, shrinking each exchanged wedge row from two join columns to
+    // one and the second join to a single-long key compare. Ids outside
+    // [0, 2^31) take the generic two-column path, same count.
+    val idRange = und.agg(min(least(col("a"), col("b"))).as("lo"),
+      max(greatest(col("a"), col("b"))).as("hi")).head
+    val packable = !idRange.isNullAt(0) && idRange.getLong(0) >= 0L &&
+      idRange.getLong(1) < (1L << 31)
     val e1 = ranked
     val e2 = ranked.select(col("x").as("y0"), col("y").as("z"))
-    val e3 = ranked.select(col("x").as("x1"), col("y").as("z1"))
-    val tri = e1.join(e2, col("y") === col("y0"))
-      .join(e3, col("x") === col("x1") && col("z") === col("z1"))
-      .agg(count(lit(1)).as("n_triangles"))
+    val tri = if (packable) {
+      val e3k = ranked.select(
+        (shiftleft(col("x"), 32).bitwiseOR(col("y"))).as("k1"))
+      e1.join(e2, col("y") === col("y0"))
+        .select(shiftleft(col("x"), 32).bitwiseOR(col("z")).as("k"))
+        .join(e3k, col("k") === col("k1"))
+        .agg(count(lit(1)).as("n_triangles"))
+    } else {
+      val e3 = ranked.select(col("x").as("x1"), col("y").as("z1"))
+      e1.join(e2, col("y") === col("y0"))
+        .join(e3, col("x") === col("x1") && col("z") === col("z1"))
+        .agg(count(lit(1)).as("n_triangles"))
+    }
     // The census is ONE row: materialize it, then release both internal
     // caches so repeated invocations leak nothing (ADVICE r11).
     val out = tri.crossJoin(wedges)

@@ -571,6 +571,37 @@ object Multimodal {
     png16Bytes(8 + (id % 9).toInt, 5 + (id % 8).toInt, 2, id % 3 == 0,
       (x, y, c) => ((x * 2311 + y * 3571 + id * 97 + c * 7919) % 65536).toInt)
 
+  /** Gray16 COLOR-KEY lane (r17): (9+id%7) x (5+id%6), Adam7 on even
+    * ids, sample (x,y) = (x*2311 + y*3571 + id*97) % 65536, tRNS key =
+    * the sample at (1,1) — so at least one pixel always matches and the
+    * decoder's synthesized 16-bit alpha (0x0000 on match, 0xFFFF
+    * elsewhere) is pinned at full precision.
+    */
+  def gray16KeyPngBytes(id: Long): Array[Byte] = {
+    def s(x: Int, y: Int): Int = ((x * 2311 + y * 3571 + id * 97) % 65536).toInt
+    val key = s(1, 1)
+    writePngFixture(9 + (id % 7).toInt, 5 + (id % 6).toInt, 16, 0, 2,
+      id % 2 == 0,
+      (x, y) => { val v = s(x, y); Array(v >> 8, v & 0xff) },
+      null, Array(key >> 8, key & 0xff))
+  }
+
+  /** RGB16 COLOR-KEY lane (r17): (7+id%6) x (4+id%5), Adam7 when
+    * id%5==0, channel c = (x*2311 + y*3571 + id*97 + c*7919) % 65536,
+    * tRNS key = the three samples at (2,1) — all three must match for
+    * alpha 0, per the spec's color-key rule.
+    */
+  def rgb16KeyPngBytes(id: Long): Array[Byte] = {
+    def s(x: Int, y: Int, c: Int): Int =
+      ((x * 2311 + y * 3571 + id * 97 + c * 7919) % 65536).toInt
+    val key = Array.tabulate(3)(c => s(2, 1, c))
+    writePngFixture(7 + (id % 6).toInt, 4 + (id % 5).toInt, 16, 2, 6,
+      id % 5 == 0,
+      (x, y) => Array.tabulate(6) { i =>
+        val v = s(x, y, i / 2); if (i % 2 == 0) v >> 8 else v & 0xff },
+      null, key.flatMap(v => Array(v >> 8, v & 0xff)))
+  }
+
   /** 16-entry fixture palette: i → ((i*41+7)%256,(i*61+13)%256,(i*89+29)%256). */
   private def fixPalette: Array[(Int, Int, Int)] =
     Array.tabulate(16)(i => ((i * 41 + 7) % 256, (i * 61 + 13) % 256,
@@ -1827,6 +1858,8 @@ object Multimodal {
   val makeRgbaPng = udf((id: Long) => rgbaPngBytes(id))
   val makeGray16Png = udf((id: Long) => gray16PngBytes(id))
   val makeRgb16Png = udf((id: Long) => rgb16PngBytes(id))
+  val makeGray16KeyPng = udf((id: Long) => gray16KeyPngBytes(id))
+  val makeRgb16KeyPng = udf((id: Long) => rgb16KeyPngBytes(id))
   val makeGrayJpeg = udf((id: Long) => grayJpegBytes(id))
   val makeColorJpeg = udf((id: Long) => colorJpegBytes(id))
   val makeGrayProgressiveJpeg = udf((id: Long) => grayProgressiveJpegBytes(id))

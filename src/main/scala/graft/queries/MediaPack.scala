@@ -322,15 +322,34 @@ object MediaPack {
     store.readResolved("mm_png3")
   }
 
+  /** 16-bit COLOR-KEY fixture (r17, its own memoized store — the png3
+    * snapshot stays byte-identical): gray16 + tRNS key and RGB16 + tRNS
+    * key from the independent writer.
+    */
+  private def png16KeyBlobs(s: SparkSession, dir: String) = {
+    val (store, _) = Fixtures(s, dir, "fix_media_png4") { st =>
+      st.write(Tables.documents(s, dir).select(col("doc_id"))
+        .withColumn("k16", Multimodal.makeGray16KeyPng(col("doc_id")))
+        .withColumn("ck16", Multimodal.makeRgb16KeyPng(col("doc_id"))),
+        "mm_png4", slices = 8)
+      Map("blobs" -> "mm_png4")
+    }
+    store.readResolved("mm_png4")
+  }
+
   /** 16-BIT PNG decode statistics — the scientific/depth-image layouts:
     * full-precision sums/extrema over the big-endian 16-bit samples
     * (PNG filters operate on BYTES, so the Sub rows here prove the
     * byte-level filter math holds when a sample spans two bytes), gray16
-    * and RGB16 lanes, Adam7 on deterministic id classes. Closed-form
-    * DuckDB replay; codegen'd scan-side; no shuffle.
+    * and RGB16 lanes, Adam7 on deterministic id classes. r17 adds the
+    * depth-16 COLOR-KEY lanes: tRNS on types 0/2 synthesizes a 16-bit
+    * alpha channel (0x0000 exactly where the full-precision samples
+    * equal the key), and the keyed gray lane additionally survives the
+    * resize → re-encode(type 4, depth 16) → second-decode raster path.
+    * Closed-form DuckDB replay; codegen'd scan-side; no shuffle.
     */
   def png16(s: SparkSession, dir: String): DataFrame = {
-    val media = png16Blobs(s, dir)
+    val media = png16Blobs(s, dir).join(png16KeyBlobs(s, dir), "doc_id")
     val g = Multimodal.decodeImage16(col("g16"))
     val c = Multimodal.decodeImage16(col("c16"))
     // 16-bit RASTER path: nearest resize of both lanes re-encoded at
@@ -341,6 +360,12 @@ object MediaPack {
       Multimodal.png16Resize(col("g16"), 7, 5))
     val r2 = Multimodal.decodeImage16(
       Multimodal.png16Resize(col("c16"), 6, 4))
+    // color-key lanes (r17): alpha synthesized at depth 16, then the
+    // keyed gray raster through resize → re-encode → second decode
+    val k = Multimodal.decodeImage16(col("k16"))
+    val ck = Multimodal.decodeImage16(col("ck16"))
+    val kr = Multimodal.decodeImage16(
+      Multimodal.png16Resize(col("k16"), 5, 4))
     media.select(col("doc_id"),
       g.getField("width").cast("long").as("g16_w"),
       g.getField("height").cast("long").as("g16_h"),
@@ -359,7 +384,17 @@ object MediaPack {
       r.getField("px_min").cast("long").as("r16_min"),
       r.getField("px_max").cast("long").as("r16_max"),
       r2.getField("channels").cast("long").as("s16_ch"),
-      r2.getField("px_sum").as("s16_sum"))
+      r2.getField("px_sum").as("s16_sum"),
+      k.getField("channels").cast("long").as("k16_ch"),
+      k.getField("px_sum").as("k16_sum"),
+      k.getField("px_min").cast("long").as("k16_min"),
+      k.getField("px_max").cast("long").as("k16_max"),
+      ck.getField("channels").cast("long").as("ck_ch"),
+      ck.getField("px_sum").as("ck_sum"),
+      ck.getField("px_min").cast("long").as("ck_min"),
+      ck.getField("px_max").cast("long").as("ck_max"),
+      kr.getField("channels").cast("long").as("kr_ch"),
+      kr.getField("px_sum").as("kr_sum"))
   }
 
   /** Animated-GIF fixture: multi-frame GIFs from the independent
@@ -1255,6 +1290,54 @@ object MediaPack {
            CROSS JOIN range(0, 3) c(c)
          ), s16 AS (
            SELECT doc_id, sum(v) AS s FROM sg GROUP BY doc_id
+         ), kg AS (
+           SELECT d.doc_id,
+                  (x.x*2311 + y.y*3571 + d.doc_id*97) % 65536 AS v,
+                  (2311 + 3571 + d.doc_id*97) % 65536 AS k
+           FROM documents d
+           JOIN range(0, 16) x(x) ON x.x < 9 + d.doc_id % 7
+           JOIN range(0, 11) y(y) ON y.y < 5 + d.doc_id % 6
+         ), k16 AS (
+           SELECT doc_id,
+                  sum(v + CASE WHEN v = k THEN 0 ELSE 65535 END) AS s,
+                  min(LEAST(v, CASE WHEN v = k THEN 0 ELSE 65535 END)) AS mn,
+                  max(GREATEST(v, CASE WHEN v = k THEN 0
+                               ELSE 65535 END)) AS mx
+           FROM kg GROUP BY doc_id
+         ), ckv AS (
+           SELECT d.doc_id,
+                  (x.x*2311 + y.y*3571 + d.doc_id*97) % 65536 AS r,
+                  (x.x*2311 + y.y*3571 + d.doc_id*97 + 7919) % 65536 AS g,
+                  (x.x*2311 + y.y*3571 + d.doc_id*97 + 15838) % 65536 AS b,
+                  (2*2311 + 1*3571 + d.doc_id*97) % 65536 AS k0,
+                  (2*2311 + 1*3571 + d.doc_id*97 + 7919) % 65536 AS k1,
+                  (2*2311 + 1*3571 + d.doc_id*97 + 15838) % 65536 AS k2
+           FROM documents d
+           JOIN range(0, 13) x(x) ON x.x < 7 + d.doc_id % 6
+           JOIN range(0, 9) y(y) ON y.y < 4 + d.doc_id % 5
+         ), ck AS (
+           SELECT doc_id,
+                  sum(r + g + b + CASE WHEN r = k0 AND g = k1 AND b = k2
+                      THEN 0 ELSE 65535 END) AS s,
+                  min(LEAST(r, g, b, CASE WHEN r = k0 AND g = k1 AND b = k2
+                      THEN 0 ELSE 65535 END)) AS mn,
+                  max(GREATEST(r, g, b,
+                      CASE WHEN r = k0 AND g = k1 AND b = k2
+                      THEN 0 ELSE 65535 END)) AS mx
+           FROM ckv GROUP BY doc_id
+         ), krg AS (
+           SELECT d.doc_id,
+                  ((x.x*(9 + d.doc_id % 7)//5)*2311 +
+                   (y.y*(5 + d.doc_id % 6)//4)*3571 +
+                   d.doc_id*97) % 65536 AS v,
+                  (2311 + 3571 + d.doc_id*97) % 65536 AS k
+           FROM documents d
+           CROSS JOIN range(0, 5) x(x)
+           CROSS JOIN range(0, 4) y(y)
+         ), kr AS (
+           SELECT doc_id,
+                  sum(v + CASE WHEN v = k THEN 0 ELSE 65535 END) AS s
+           FROM krg GROUP BY doc_id
          )
          SELECT d.doc_id,
          CAST(13 + d.doc_id % 11 AS BIGINT) AS g16_w,
@@ -1274,12 +1357,25 @@ object MediaPack {
          CAST(r16.mn AS BIGINT) AS r16_min,
          CAST(r16.mx AS BIGINT) AS r16_max,
          CAST(3 AS BIGINT) AS s16_ch,
-         CAST(s16.s AS BIGINT) AS s16_sum
+         CAST(s16.s AS BIGINT) AS s16_sum,
+         CAST(2 AS BIGINT) AS k16_ch,
+         CAST(k16.s AS BIGINT) AS k16_sum,
+         CAST(k16.mn AS BIGINT) AS k16_min,
+         CAST(k16.mx AS BIGINT) AS k16_max,
+         CAST(4 AS BIGINT) AS ck_ch,
+         CAST(ck.s AS BIGINT) AS ck_sum,
+         CAST(ck.mn AS BIGINT) AS ck_min,
+         CAST(ck.mx AS BIGINT) AS ck_max,
+         CAST(2 AS BIGINT) AS kr_ch,
+         CAST(kr.s AS BIGINT) AS kr_sum
          FROM documents d
          JOIN g ON g.doc_id = d.doc_id
          JOIN c16 ON c16.doc_id = d.doc_id
          JOIN r16 ON r16.doc_id = d.doc_id
-         JOIN s16 ON s16.doc_id = d.doc_id""",
+         JOIN s16 ON s16.doc_id = d.doc_id
+         JOIN k16 ON k16.doc_id = d.doc_id
+         JOIN ck ON ck.doc_id = d.doc_id
+         JOIN kr ON kr.doc_id = d.doc_id""",
     // animated GIF replay: (11+id%13) x (7+id%7), 2+id%5 frames; frame 0
     // pixel (x,y) -> palette((x*3 + y*7 + id) % 16) with palette
     // i -> ((i*43+3)%256, (i*67+9)%256, (i*97+27)%256)

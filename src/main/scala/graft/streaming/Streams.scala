@@ -505,8 +505,12 @@ object Streams {
     * [[qualityAnnotateSink]]: each micro-batch of (id, blob) rows is
     * annotated with its detected media type, REAL decode statistics
     * (PNG/baseline-JPEG images, MJPEG-AVI video via every-2nd-frame
-    * decode, PCM WAV audio — the same codegen'd expressions the batch
-    * scans use; null columns for the formats a blob isn't), and the
+    * decode, GIF animations via the full compositing walk — width/height,
+    * frame count and composited px_sum land through the shared columns —
+    * and WAV audio across the whole envelope: integer PCM, G.711,
+    * float32/float64, extensible, IMA-ADPCM, with pcm_bits landing the
+    * storage depth; the same codegen'd expressions the batch scans use,
+    * null columns for the formats a blob isn't), and the
     * full-md5 content-dedup key, then landed as a snapshot chained to the
     * previous batch. Everything is scan-side per-row work: the blobs
     * never shuffle, and the landed chain carries only ids + metadata —
@@ -535,17 +539,26 @@ object Streams {
           val vid = Multimodal.videoFrameStats(col(binCol), 2)
           val vm = Multimodal.videoMeta(col(binCol))
           val wav = Multimodal.audioFeatures(col(binCol))
+          val gs = Multimodal.gifAnimStats(col(binCol))
+          // composited GIF totals fold over the per-frame stats array —
+          // still scan-side column work, no UDF
+          val gifPx = aggregate(gs.getField("frames"), lit(0L),
+            (acc, f) => acc + f.getField("px_sum"))
           val annotated = batch.select(col(idCol),
             Multimodal.mediaType(col(binCol)).as("media_type"),
             coalesce(img.getField("width"), jpg.getField("width"),
-              vm.getField("width")).cast("long").as("width"),
+              vm.getField("width"), gs.getField("width"))
+              .cast("long").as("width"),
             coalesce(img.getField("height"), jpg.getField("height"),
-              vm.getField("height")).cast("long").as("height"),
+              vm.getField("height"), gs.getField("height"))
+              .cast("long").as("height"),
             coalesce(img.getField("px_sum"), jpg.getField("px_sum"),
-              vid.getField("px_sum")).as("px_sum"),
-            vm.getField("n_frames").cast("long").as("n_frames"),
+              vid.getField("px_sum"), gifPx).as("px_sum"),
+            coalesce(vm.getField("n_frames").cast("long"),
+              size(gs.getField("frames")).cast("long")).as("n_frames"),
             wav.getField("n_samples").as("n_samples"),
             wav.getField("pcm_sum").as("pcm_sum"),
+            wav.getField("pcm_bits").cast("long").as("pcm_bits"),
             md5(col(binCol)).as("content_md5"))
           store.write(annotated, s"$prefix.$batchId",
             previous = tip.prevFor(batchId))

@@ -180,4 +180,51 @@ class GraftExtensionsSpec extends AnyFunSuite {
       assert(viaSql == viaApi)
     }
   }
+
+  test("graft_piece_decode: byte tokens invert, ## strips, SQL == Scala") {
+    withExtSession { s =>
+      // model-free decode: byte runs reassemble (3-byte snowman), the
+      // literal '<0x41>' piece maps to its byte — the collision rule the
+      // fallback trainers uphold on the encode side
+      assert(s.sql(
+        """SELECT graft_piece_decode(array(
+             array('<0xE2>', '<0x98>', '<0x83>'), array('ab')), false)""")
+        .head.getString(0) == "☃ ab")
+      assert(s.sql(
+        "SELECT graft_piece_decode(array(array('<0x41>')), false)")
+        .head.getString(0) == "A")
+      // word_piece mode strips ## at position > 0 only
+      assert(s.sql(
+        """SELECT graft_piece_decode(array(
+             array('un', '##aff', '##able')), true)""")
+        .head.getString(0) == "unaffable")
+      assert(s.sql("SELECT graft_piece_decode(CAST(null AS " +
+        "array<array<string>>), false)").head.isNullAt(0))
+      // SQL == Scala API on a trained fallback model's real output
+      import s.implicits._
+      val m = graft.ops.Unigram.trainFromCounts(
+        Seq(("abab", 10L), ("ba", 4L)), vocabSize = 8, byteFallback = true)
+      val df = Seq("abab z☃", "<0x41> ba").toDF("t")
+      val pieces = df.select(
+        graft.ops.Unigram.pieces(org.apache.spark.sql.functions.col("t"), m)
+          .as("ps"))
+      pieces.createOrReplaceTempView("pieces_v")
+      val viaSql = s.sql(
+        "SELECT graft_piece_decode(ps, false) AS d FROM pieces_v")
+        .collect().map(_.getString(0)).toSeq
+      import org.apache.spark.sql.GraftBridge
+      val viaApi = pieces.select(GraftBridge.column(
+        graft.expr.PieceDecode(GraftBridge.expression(
+          org.apache.spark.sql.functions.col("ps")), wordPiece = false))
+        .as("d")).collect().map(_.getString(0)).toSeq
+      assert(viaSql == viaApi)
+      assert(viaSql == Seq("abab z☃", "<0x41> ba"),
+        "decode inverts the fallback encode exactly")
+      // word_piece must be a literal boolean
+      intercept[Exception] {
+        s.sql("SELECT graft_piece_decode(ps, ps IS NOT NULL) FROM pieces_v")
+          .collect()
+      }
+    }
+  }
 }

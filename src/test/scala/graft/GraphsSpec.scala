@@ -21,6 +21,14 @@ class GraphsSpec extends AnyFunSuite {
     // triangle + pendant: 1 triangle, wedges = 1+1+3 = 5, cc = 3/5
     val tp = Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L))
     assert(stats(tp) == (1L, 5L, 6000L))
+    // ids past 2^31 (and negative) force the generic two-column probe
+    // key — the packed-long fast path must not change any count
+    val big = 1L << 40
+    val wide = tp.map { case (a, b) => (a + big, b + big) } :+
+      (-7L, 1L + big)
+    // degrees 3,2,3,1,1 -> wedges 3+1+3 = 7; cc = 30000/7 = 4285
+    assert(stats(wide) == (1L, 7L, 4285L),
+      "unpackable ids must take the generic path with identical counts")
   }
 
   test("direction, duplicates and self-loops do not perturb the census") {

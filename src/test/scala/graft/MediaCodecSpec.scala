@@ -1168,6 +1168,34 @@ class MediaCodecSpec extends AnyFunSuite {
     without.take(iend) ++ chunk ++ without.drop(iend)
   }
 
+  test("16-bit color-key tRNS synthesizes full-precision alpha") {
+    val id = 3L // odd: sequential gray lane; id%5!=0: sequential RGB lane
+    val g = MediaCodecHelper.decodePng16(Multimodal.gray16KeyPngBytes(id))
+    val w = 9 + (id % 7).toInt; val h = 5 + (id % 6).toInt
+    def s(x: Int, y: Int): Int = ((x * 2311 + y * 3571 + id * 97) % 65536).toInt
+    assert(g != null && g.bpp == 4, "gray16 + synthesized alpha16")
+    def s16(r: graft.expr.MediaCodecHelper.Raster, o: Int): Int =
+      ((r.pix(o) & 0xff) << 8) | (r.pix(o + 1) & 0xff)
+    for (y <- 0 until h; x <- 0 until w) {
+      val o = (y * w + x) * 4
+      assert(s16(g, o) == s(x, y), s"sample ($x,$y)")
+      val expA = if (s(x, y) == s(1, 1)) 0 else 65535
+      assert(s16(g, o + 2) == expA, s"alpha ($x,$y)")
+    }
+    val c = MediaCodecHelper.decodePng16(Multimodal.rgb16KeyPngBytes(id))
+    assert(c != null && c.bpp == 8, "RGB16 + synthesized alpha16")
+    // keyed pixel (2,1) transparent; its gray-channel twin (different
+    // G/B) stays opaque — all three samples must match
+    val cw = 7 + (id % 6).toInt
+    assert(s16(c, ((1 * cw + 2) * 4 + 3) * 2) == 0, "key pixel alpha")
+    assert(s16(c, ((0 * cw + 0) * 4 + 3) * 2) == 65535)
+    // ordering + validity: tRNS after IDAT rejected; tRNS on an
+    // alpha-bearing 16-bit type rejected
+    assert(MediaCodecHelper.decodePng16(
+      moveChunkToEnd(Multimodal.gray16KeyPngBytes(id), "tRNS")) == null,
+      "tRNS after IDAT must be rejected at depth 16")
+  }
+
   test("PLTE / tRNS arriving after IDAT data are rejected (spec ordering)") {
     val pal = Multimodal.pngEnvelopeBytes(4, 4, 3, interlaced = false,
       (x, y) => Array((x + y) % 4),

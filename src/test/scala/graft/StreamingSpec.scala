@@ -906,16 +906,21 @@ class StreamingSpec extends AnyFunSuite {
     val dir = tmpDir("ma_src")
     val store = new SnapshotStore(s, tmpDir("ma_store"))
     val M = graft.ops.Multimodal
-    // five-way blob mix: PNG, gray baseline JPEG, MJPEG AVI, PCM WAV,
-    // and unstructured bytes (the bad-blob lane) — all four decoders plus
-    // the unknown branch exercised in one stream
+    // eight-way blob mix: PNG, gray baseline JPEG, MJPEG AVI, PCM WAV,
+    // composited GIF animation (r16 lane), float32 WAV (r16 lane),
+    // IMA-ADPCM WAV (r17 lane) and unstructured bytes (the bad-blob
+    // lane) — every decoder the batch scans carry, exercised in one
+    // stream
     val all = s.read.parquet(s"${TestSpark.sfDir}/documents.parquet")
       .select(col("doc_id"), col("text")).filter(col("doc_id") < 120)
       .withColumn("blob",
-        when(col("doc_id") % 5 === 0, M.makePng(lit(12), lit(7)))
-          .when(col("doc_id") % 5 === 1, M.makeGrayJpeg(col("doc_id")))
-          .when(col("doc_id") % 5 === 2, M.makeAviMjpeg(col("doc_id")))
-          .when(col("doc_id") % 5 === 3, M.makeWav(lit(8000), lit(50)))
+        when(col("doc_id") % 8 === 0, M.makePng(lit(12), lit(7)))
+          .when(col("doc_id") % 8 === 1, M.makeGrayJpeg(col("doc_id")))
+          .when(col("doc_id") % 8 === 2, M.makeAviMjpeg(col("doc_id")))
+          .when(col("doc_id") % 8 === 3, M.makeWav(lit(8000), lit(50)))
+          .when(col("doc_id") % 8 === 4, M.makeGifAnim(col("doc_id")))
+          .when(col("doc_id") % 8 === 5, M.makeWavFloat(col("doc_id")))
+          .when(col("doc_id") % 8 === 6, M.makeWavAdpcmMono(col("doc_id")))
           .otherwise(encode(col("text"), "utf-8")))
       .select("doc_id", "blob")
     all.filter(col("doc_id") < 60).coalesce(1).write.mode("append").parquet(dir)
@@ -925,7 +930,7 @@ class StreamingSpec extends AnyFunSuite {
       "doc_id", "blob", store, "ma", checkpoint = tmpDir("ma_ckpt"))
     q.awaitTermination(120000)
     val cols = Seq("doc_id", "media_type", "width", "height", "px_sum",
-      "n_frames", "n_samples", "pcm_sum", "content_md5")
+      "n_frames", "n_samples", "pcm_sum", "pcm_bits", "content_md5")
     def rows(df: org.apache.spark.sql.DataFrame) =
       df.select(cols.map(col): _*).collect()
         .map(r => cols.indices.map(i => String.valueOf(r.get(i))).mkString("|"))
@@ -934,25 +939,49 @@ class StreamingSpec extends AnyFunSuite {
     val img = M.decodeImage(col("blob")); val jpg = M.decodeJpeg(col("blob"))
     val vid = M.videoFrameStats(col("blob"), 2); val vm = M.videoMeta(col("blob"))
     val wav = M.audioFeatures(col("blob"))
+    val gs = M.gifAnimStats(col("blob"))
+    val gifPx = aggregate(gs.getField("frames"), lit(0L),
+      (acc, f) => acc + f.getField("px_sum"))
     val batch = rows(all.select(col("doc_id"),
       M.mediaType(col("blob")).as("media_type"),
       coalesce(img.getField("width"), jpg.getField("width"),
-        vm.getField("width")).cast("long").as("width"),
+        vm.getField("width"), gs.getField("width"))
+        .cast("long").as("width"),
       coalesce(img.getField("height"), jpg.getField("height"),
-        vm.getField("height")).cast("long").as("height"),
+        vm.getField("height"), gs.getField("height"))
+        .cast("long").as("height"),
       coalesce(img.getField("px_sum"), jpg.getField("px_sum"),
-        vid.getField("px_sum")).as("px_sum"),
-      vm.getField("n_frames").cast("long").as("n_frames"),
+        vid.getField("px_sum"), gifPx).as("px_sum"),
+      coalesce(vm.getField("n_frames").cast("long"),
+        size(gs.getField("frames")).cast("long")).as("n_frames"),
       wav.getField("n_samples").as("n_samples"),
       wav.getField("pcm_sum").as("pcm_sum"),
+      wav.getField("pcm_bits").cast("long").as("pcm_bits"),
       md5(col("blob")).as("content_md5")))
     assert(streamed.size == 120 && streamed == batch,
       "streamed media annotation must equal the batch scan")
-    // every lane genuinely hit: 24 docs per blob kind
+    // every lane genuinely hit: 15 docs per blob kind, and the new lanes
+    // genuinely LAND (GIF frame counts + composited sums, float / ADPCM
+    // sample counts + storage depths), not just type-tag
     def kinds(tag: String) = streamed.count(_.contains(tag))
-    assert(kinds("image/png") == 24 && kinds("image/jpeg") == 24 &&
-      kinds("video/avi") == 24 && kinds("audio/wav") == 24 &&
-      kinds("unknown") == 24)
+    assert(kinds("image/png") == 15 && kinds("image/jpeg") == 15 &&
+      kinds("video/avi") == 15 && kinds("audio/wav") == 45 &&
+      kinds("image/gif") == 15 && kinds("unknown") == 15)
+    val gifRows = store.iterateChain("ma.1")
+      .filter(col("media_type") === "image/gif")
+    assert(gifRows.filter(col("n_frames").isNull ||
+      col("px_sum").isNull || col("width").isNull).count() == 0,
+      "GIF compositing stats must land through the shared columns")
+    val byBits = store.iterateChain("ma.1")
+      .filter(col("media_type") === "audio/wav")
+      .groupBy(col("pcm_bits")).count()
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(byBits == Map(16L -> 15L, 32L -> 15L, 4L -> 15L),
+      s"PCM16 + float32 + ADPCM lanes must all land: $byBits")
+    assert(store.iterateChain("ma.1")
+      .filter(col("media_type") === "audio/wav" &&
+        (col("n_samples").isNull || col("pcm_sum").isNull))
+      .count() == 0, "every WAV lane decodes, none fall to null")
   }
 
   test("mediaAnnotateSink: 32-batch compaction-under-load keeps tip reads bounded") {
