@@ -70,7 +70,23 @@ object ScaleCheck {
     // roundtrip (three word-count shuffles + three scan-side encodes;
     // the hostile suffixes are per-doc constants, so the workload
     // replicates linearly like the other tokenizer rows).
-    "mm_gif_compose", "mm_audio_float", "pl_byte_fallback")
+    "mm_gif_compose", "mm_audio_float", "pl_byte_fallback",
+    // r17 (VERDICT r16 item 2): the expensive queries with no scale row
+    // at any decade. gr_ppr seeds grow with the part table (every 53rd
+    // part), so the teleport set scales WITH the graph — the realistic
+    // trust-set shape; gr_pagerank_resume's warm snapshot is built in
+    // warmup (the memoized Fixtures job), so the timed row isolates what
+    // a resume pays: 2 iterations from a loaded rank snapshot;
+    // gr_report is one per-node degree pass + a global agg + the
+    // reciprocity self-join; rt_eval_hybrid adds the O(|q|·k) metric fold
+    // on top of rt_hybrid_rrf's corpus passes (both its legs already have
+    // x10+x100 rows); pl_dsir is a broadcast 2048-bucket model + one
+    // per-doc scan + TakeOrdered top-k; ann_pq_recall runs BOTH retrieval
+    // legs — PQ train/encode/ADC search and the exact quantized-L2
+    // brute force over a 5-query broadcast — so its slope bounds the
+    // whole recall-evaluation harness.
+    "gr_ppr", "gr_pagerank_resume", "gr_report", "rt_eval_hybrid",
+    "pl_dsir", "ann_pq_recall")
   // gr_node2vec (r14): the second-order walk — one broadcast probe of
   // the cached neighbor index per step (the frontier's nodes and
   // predecessors share the scan), plus the walk-keyed cumulative-weight
@@ -176,10 +192,24 @@ object ScaleCheck {
         graft.ops.Pq.searchIvfPq(emb, emb.filter(col("vec_id") < 5),
           "vec_id", "embedding", dim = 64, m = 8, ksub = 16, iters = 2,
           nlist = 16 * mult, nprobe = 4 * mult, k = 10)
-      }))
+      }),
+      // r17: the kNN-labelprop agreement query. The GATED query's edge
+      // build is a DECLARED brute-force O(N²) oracle fixture (its doc:
+      // "at production scale the same edges come from the ANN index
+      // family"), so a slope row over it would measure the fixture's
+      // designed quadratic pair growth, not the engine. The scaled twin
+      // keeps the identical sub-graph / seeds / propagate / agreement
+      // output and swaps only the edge build for the production
+      // cluster-bucketed kNN under the family's k-with-N sizing
+      // (4·mult clusters over the vec_id-even half = constant ~250
+      // vectors per cluster, the same rule as dd_semantic).
+      "gr_knn_labelprop" -> ((s: SparkSession, dir: String, mult: Int) =>
+        graft.queries.GraphPack.knnLabelPropScaled(s, dir,
+          kClusters = 4 * mult)))
   }
   private val ScaledNames = Seq("dd_semantic", "dd_inc_semantic",
-    "pl_curation_e2e", "gr_cluster_labelprop", "ann_ivfpq")
+    "pl_curation_e2e", "gr_cluster_labelprop", "ann_ivfpq",
+    "gr_knn_labelprop")
 
   private def runTarget(s: SparkSession, name: String, dir: String,
                         mult: Int): Long = {
@@ -347,7 +377,19 @@ object ScaleCheck {
     // decade rows surface only constant-factor cliffs. At ~1.0 slope
     // these are the most expensive x100 rows yet (~6/12 min per
     // op_dataset_type2/op_type_fuzz pass) — the cost IS the coverage.
-    "op_type_fuzz", "op_dataset_type2", "gr_triangles")
+    "op_type_fuzz", "op_dataset_type2", "gr_triangles",
+    // r17 (VERDICT r16 item 1): the PQ retrieval family carries the
+    // flagship memory-bound-100 TB claim — two decades for both its
+    // deployment shapes. ann_ivfpq runs under the family's own sizing
+    // discipline (nlist = 16·100 holding inverted-list size constant,
+    // nprobe = 4·100 holding the probed fraction ~25%; the in-plan
+    // coarse training at k=1600 is the designed cost — the driver gate
+    // covers training, ann_pq_persisted isolates the query path);
+    // ann_pq_recall bounds the evaluation harness: PQ train + encode +
+    // ADC search PLUS the exact quantized-L2 brute force, whose one
+    // corpus-sized stage is a broadcast 5-query distance scan — linear
+    // in N by construction.
+    "ann_ivfpq", "ann_pq_recall")
 
   private var activeSpark: SparkSession = _
 
@@ -524,10 +566,12 @@ object ScaleCheck {
     }
     val triNote =
       f""""gr_triangles":"adjudication (r11 weak #1), MEASURED: wedges (sum d(d-1)/2 over the even-part co-purchase graph) grow ${wS}%d -> ${wB}%d at 10x (${wB.toDouble / wS}%.1fx) and the oriented two-hop candidates the census join actually materializes grow ${cS}%d -> ${cB}%d (${cB.toDouble / cS}%.1fx) - BOTH LINEAR (the replica-disjoint synthesis adds no densification; r11 hypothesized densification and the measurement refutes it); oriented edges ${eS}%d -> ${eB}%d, max oriented out-degree ${mS}%d -> ${mB}%d, far below sqrt(m), so the degree-ordered orientation admits exactly linear candidate volume. The superlinear shuffle-BYTES slope is therefore a PLAN TRANSITION, not candidate growth: at sf0.1 the oriented edge table is broadcast-sized and both census joins run as broadcast probes (~zero shuffle), at 10x it outgrows the broadcast threshold and the (linear) candidate stream pays SMJ shuffle bytes it paid nothing for at the base scale - the same broadcast->SMJ log-slope amplification documented in the dd_semantic caveat; wall slope stays sub-linear""""
+    val knnNote =
+      """"gr_knn_labelprop":"the GATED query builds its 5-NN edges by DELIBERATE brute-force O(N^2) quantized-L2 (its doc declares the swap: at production scale the same edges come from the ANN index family) so the oracle can replay every pair; a slope row over it would measure the fixture's designed quadratic pair growth. The scaled twin (GraphPack.knnLabelPropScaled) keeps the identical sub-graph, seed set, propagate iterations and agreement output and swaps only the edge build for the production cluster-bucketed kNN under the k-with-N sizing rule (4*mult clusters over the vec_id-even half, constant ~250 vectors per cluster) - the same scaled-twin discipline as dd_semantic and ann_ivfpq""""
     val pqNote =
       f""""ann_ivfpq":"sizing discipline: nlist scales with N (16 -> ${16 * reps}%d at 10x) holding inverted-list size constant, nprobe with nlist (4 -> ${4 * reps}%d) holding the probed fraction ~25 pct; MEASURED probe fraction of the code store per query: ${100 * pfS}%.1f pct at sf0.1 (avg ${pfScanS}%d of ${pfTotS}%d codes), ${100 * pfB}%.1f pct at 10x (avg ${pfScanB}%d of ${pfTotB}%d codes). The timed query retrains coarse+codebooks in-plan by design (the driver gate covers training); ann_pq_persisted is the deployment shape whose store build is memoized in warmup, so its row isolates the code-store scan + broadcast-ADC + bounded-heap search path""""
     val json =
-      s"""{"reps":$reps,"base":"$baseDir","protocol":"min-of-3 at sf0.1, min-of-2 at 10x, untimed warmup per scale, local[32] shuffle=32 at both scales; shuffle bytes sampled on pass 1; cache manager purged before every timed query (r11) so persist()-ing operators pay their build stage cold; timed action is a NOOP-SINK FULL MATERIALIZATION since r12, not count() - count() let Catalyst prune projections and eliminate unique-key left joins, so pre-r12 rows for plans with those shapes (gr_pagerank, labelprop, scoring left-joins, pure-projection tx rows) measured a collapsed plan; r12 numbers are the honest re-baseline and are NOT comparable to earlier files","notes":{"dd_simhash":"output-pair count is threshold-cliff sensitive (75% of pairs sit at hamming exactly 3), so each replica's independent token-hash draw moves borderline mass across the cutoff: measured per-replica pairs 11.6k-123k around replica 0's 15.2k. The elevated slope is TRUE near-dup volume in the synthesized data, not engine cost growth; the quadratic random-collision candidate term was separately measured and fixed (blocks=5 generalized Manku banding: 23.3M -> 7.7M candidates at 10x)","dd_semantic":"k scales with N (k=8 at sf0.1, k=80 at 10x) per the SemDeDup sizing rule k ~ N/1e4..1e5 (Abbas et al. 2023) - the same rule the operator's maxClusterSize gate enforces - holding per-cluster size constant so the slope measures engine cost, not the data's designed O(sum c^2) pair growth under a fixed k. dd_inc_semantic is the in-memory twin of the gated query (fit on history, frozen-centroid batch assignment, history+batch drop joins) without the snapshot-index round-trip. Shuffle-slope caveat for this family: absolute shuffle volumes are sub-MB at BOTH scales (the sf0.1 run broadcast-joins everything), so the log-slope numerically amplifies an AQE broadcast->SMJ plan transition; read the absolute MB columns, not the slope, when sf01 volume is ~0","op_type_fuzz":"width-stable since r15: the query derives its digit strings from pmod(l_orderkey, 1e9) - the identity at every gated scale (oracle untouched) - so the replica*1e9 key offset no longer widens the per-CHARACTER parse columns from 6 to 10 digits; the r14 adjudication traced the table's only >1 slope (1.02) to exactly that synthesis artifact. Expected and measured: ~linear, tracking op_dataset_type2 (same parse engine, width-stable fixture strings, slope ~0.98)",$triNote,$pqNote},"queries":{${entries.mkString(",")}},""" +
+      s"""{"reps":$reps,"base":"$baseDir","protocol":"min-of-3 at sf0.1, min-of-2 at 10x, untimed warmup per scale, local[32] shuffle=32 at both scales; shuffle bytes sampled on pass 1; cache manager purged before every timed query (r11) so persist()-ing operators pay their build stage cold; timed action is a NOOP-SINK FULL MATERIALIZATION since r12, not count() - count() let Catalyst prune projections and eliminate unique-key left joins, so pre-r12 rows for plans with those shapes (gr_pagerank, labelprop, scoring left-joins, pure-projection tx rows) measured a collapsed plan; r12 numbers are the honest re-baseline and are NOT comparable to earlier files","notes":{"dd_simhash":"output-pair count is threshold-cliff sensitive (75% of pairs sit at hamming exactly 3), so each replica's independent token-hash draw moves borderline mass across the cutoff: measured per-replica pairs 11.6k-123k around replica 0's 15.2k. The elevated slope is TRUE near-dup volume in the synthesized data, not engine cost growth; the quadratic random-collision candidate term was separately measured and fixed (blocks=5 generalized Manku banding: 23.3M -> 7.7M candidates at 10x)","dd_semantic":"k scales with N (k=8 at sf0.1, k=80 at 10x) per the SemDeDup sizing rule k ~ N/1e4..1e5 (Abbas et al. 2023) - the same rule the operator's maxClusterSize gate enforces - holding per-cluster size constant so the slope measures engine cost, not the data's designed O(sum c^2) pair growth under a fixed k. dd_inc_semantic is the in-memory twin of the gated query (fit on history, frozen-centroid batch assignment, history+batch drop joins) without the snapshot-index round-trip. Shuffle-slope caveat for this family: absolute shuffle volumes are sub-MB at BOTH scales (the sf0.1 run broadcast-joins everything), so the log-slope numerically amplifies an AQE broadcast->SMJ plan transition; read the absolute MB columns, not the slope, when sf01 volume is ~0","op_type_fuzz":"width-stable since r15: the query derives its digit strings from pmod(l_orderkey, 1e9) - the identity at every gated scale (oracle untouched) - so the replica*1e9 key offset no longer widens the per-CHARACTER parse columns from 6 to 10 digits; the r14 adjudication traced the table's only >1 slope (1.02) to exactly that synthesis artifact. Expected and measured: ~linear, tracking op_dataset_type2 (same parse engine, width-stable fixture strings, slope ~0.98)",$triNote,$pqNote,$knnNote},"queries":{${entries.mkString(",")}},""" +
       f""""total_sf01_sec":$totalS%.3f,"total_x10_sec":$totalB%.3f,"total_slope":${math.log(totalB / totalS) / math.log(reps.toDouble)}%.3f,""" +
       s""""x100":{"reps":$reps100,"protocol":"same session and purge discipline; untimed warmup at x100, then min-of-2; slopes are log(t_x100/t_sf01)/log(100) - two decades from sf0.1; gr_cluster_labelprop runs k=8*100=800 per the k-with-N sizing discipline","queries":{${x100Entries.mkString(",")}}}}"""
     println(json)

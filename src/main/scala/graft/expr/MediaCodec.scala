@@ -42,8 +42,10 @@ import org.apache.spark.sql.types._
   *    those — located through the chunk walk (LIST/fact chunks before
   *    `fmt ` are fine); float64 rides the same exact lattice (scaling a
   *    double by 2^15 only shifts the exponent). IMA/DVI ADPCM (codec
-  *    0x11) decodes through the sequential block recurrence (r17);
-  *    Microsoft ADPCM (0x02) and other compressed codecs return null.
+  *    0x11) decodes through the sequential block recurrence, and
+  *    Microsoft ADPCM (codec 0x02) through its coefficient-pair
+  *    predictor with the in-stream table (both r17); other compressed
+  *    codecs return null.
   *  - GIF: [[decodeGif]] is the STRICT single-image path — first frame
   *    only, and since r15 it returns null when that frame sits at a
   *    nonzero offset or is smaller than the logical screen (envelope
@@ -2230,8 +2232,10 @@ object MediaCodecHelper {
     * pcm_bits) over all PCM frames (all channels; zero crossings over
     * channel 0 only — the per-channel metric). Integer outputs for exact
     * oracle reproduction; RMS = sqrt(sqsum/n) downstream. IMA/DVI ADPCM
-    * routes through [[wavAdpcmStats]]. Null for blobs outside the decode
-    * envelope (see [[pcmLayout]] / [[adpcmLayout]]), and for a
+    * routes through [[wavAdpcmStats]], Microsoft ADPCM through
+    * [[wavMsAdpcmStats]]. Null for blobs outside the decode
+    * envelope (see [[pcmLayout]] / [[adpcmLayout]] /
+    * [[msAdpcmLayout]]), and for a
     * 32-bit or hot-float stream whose sum of squares exceeds int64
     * (honest "can't represent" rather than a silent wrap — only reachable
     * at 32-bit-scale values: 24-bit squares can't overflow any plausible
@@ -2239,7 +2243,10 @@ object MediaCodecHelper {
     */
   def wavPcmStats(bytes: Array[Byte]): InternalRow = {
     val lay = pcmLayout(bytes)
-    if (lay == null) return wavAdpcmStats(bytes)
+    if (lay == null) {
+      val ima = wavAdpcmStats(bytes)
+      return if (ima != null) ima else wavMsAdpcmStats(bytes)
+    }
     val Array(dOff, n, rate, channels, bits, codec) = lay
     var sum = 0L; var sq = 0L; var peak = 0L; var zc = 0L
     var prevNeg = false
@@ -2403,6 +2410,144 @@ object MediaCodecHelper {
         }
         frames += 8
         g += 1
+      }
+      bo += blockAlign
+    }
+    new GenericInternalRow(Array[Any](frames, rate, sum, sq, peak, zc, 4))
+  }
+
+  /** Microsoft ADPCM adaptation table (the WAVE spec's 16-entry delta
+    * scaler, indexed by the UNSIGNED nibble; public in every codec
+    * reference from the Win3.1 multimedia standards update onward).
+    */
+  private val MsAdapt: Array[Int] = Array(
+    230, 230, 230, 230, 307, 409, 512, 614,
+    768, 614, 512, 409, 307, 230, 230, 230)
+
+  /** Hostile-stream delta bound: the adaptation step multiplies delta by
+    * up to 3 per nibble, so a crafted stream can grow it without limit
+    * (the format never clamps it upward). No legitimate encoder exceeds
+    * a few times the int16 range — 2^24 is a documented fail-fast bound,
+    * the same honest-null discipline as the 32-bit PCM sqsum guard.
+    */
+  private val MsMaxDelta = 1L << 24
+
+  /** (dOff, dataLen, rate, channels, blockAlign, numCoef, coefOff) for
+    * Microsoft ADPCM (WAVE codec 0x02, 4-bit signed nibbles). fmt must
+    * carry the full extension — wSamplesPerBlock, wNumCoef and the
+    * wNumCoef (iCoef1, iCoef2) int16 pairs the bitstream's bPredictor
+    * indexes select (an in-stream table, like DHT: the standard 7 pairs
+    * are what encoders write, but the DECLARED table is what decodes).
+    * Geometry honest-nulls: channels beyond stereo (the nibble
+    * interleave is only defined for 1–2), a declared wSamplesPerBlock
+    * that disagrees with `2 + 2·(blockAlign − 7·ch)/ch`, ragged data,
+    * a truncated coefficient table.
+    */
+  private def msAdpcmLayout(bytes: Array[Byte]): Array[Int] = {
+    if (bytes == null) return null
+    val fmtOff = RiffWalkHelper.chunkDataOffset(bytes, 'f', 'm', 't', ' ')
+    val dataOff = RiffWalkHelper.chunkDataOffset(bytes, 'd', 'a', 't', 'a')
+    if (fmtOff < 0 || dataOff < 0) return null
+    val fo = fmtOff.toInt - 1
+    val dOff = dataOff.toInt - 1
+    if (fo + 16 > bytes.length || dOff > bytes.length) return null
+    if (leShort(bytes, fo) != 0x02) return null
+    val channels = leShort(bytes, fo + 2)
+    val rate = leInt(bytes, fo + 4)
+    val blockAlign = leShort(bytes, fo + 12)
+    if (leShort(bytes, fo + 14) != 4) return null // 4-bit nibbles only
+    if (channels < 1 || channels > 2) return null
+    val head = 7 * channels
+    if (blockAlign <= head) return null
+    val fmtLen = leInt(bytes, fo - 4)
+    // full extension required: cbSize, wSamplesPerBlock, wNumCoef, pairs
+    if (fmtLen < 22 || fo + 22 > bytes.length) return null
+    val cbSize = leShort(bytes, fo + 16)
+    if (cbSize < 4) return null
+    val declared = leShort(bytes, fo + 18)
+    if (declared != 2 + 2 * (blockAlign - head) / channels) return null
+    val numCoef = leShort(bytes, fo + 20)
+    if (numCoef < 1 || cbSize < 4 + 4 * numCoef ||
+        fo + 22 + 4 * numCoef > bytes.length) return null
+    val dataLen0 = leInt(bytes, dOff - 4)
+    val dataLen = math.min(dataLen0.toLong, (bytes.length - dOff).toLong).toInt
+    if (dataLen <= 0 || dataLen % blockAlign != 0) return null
+    Array(dOff, dataLen, rate, channels, blockAlign, numCoef, fo + 22)
+  }
+
+  /** [[wavPcmStats]] for Microsoft ADPCM (codec 0x02): per block, the
+    * 7-byte-per-channel header (bPredictor bytes, then iDelta, iSamp1,
+    * iSamp2 int16 runs, each field grouped across channels) emits iSamp2
+    * as frame 0 and iSamp1 as frame 1 — the OLDER sample first, the
+    * documented output order — then each SIGNED nibble advances the
+    * channel's (samp1, samp2, delta) recurrence:
+    * pred = trunc((samp1·c1 + samp2·c2)/256) + nib·delta, int16 clamp,
+    * delta = max(16, trunc(Adapt[u]·delta/256)). HIGH nibble first; for
+    * stereo each byte is one frame (high = channel 0). Every step is
+    * trunc-toward-zero integer arithmetic (Java `/` == DuckDB `//`), so
+    * the oracle replays the recurrence exactly. n_samples counts FRAMES;
+    * zero crossings chain over channel 0 across blocks; pcm_bits reports
+    * the storage depth 4, like the IMA path.
+    */
+  def wavMsAdpcmStats(bytes: Array[Byte]): InternalRow = {
+    val lay = msAdpcmLayout(bytes)
+    if (lay == null) return null
+    val Array(dOff, dataLen, rate, channels, blockAlign, numCoef, coefOff) = lay
+    var sum = 0L; var sq = 0L; var peak = 0L; var zc = 0L
+    var prevNeg = false; var c0Seen = false; var frames = 0L
+    val s1 = new Array[Int](channels)
+    val s2 = new Array[Int](channels)
+    val delta = new Array[Long](channels)
+    val c1 = new Array[Int](channels)
+    val c2 = new Array[Int](channels)
+    def acc(v: Int, c: Int): Unit = {
+      sum += v
+      sq += v.toLong * v.toLong // |v| ≤ 2^15: no overflow before ~2^33 frames
+      val a = math.abs(v.toLong); if (a > peak) peak = a
+      if (c == 0) {
+        val neg = v < 0
+        if (c0Seen && neg != prevNeg) zc += 1
+        prevNeg = neg; c0Seen = true
+      }
+    }
+    var bo = dOff
+    while (bo < dOff + dataLen) {
+      var c = 0
+      while (c < channels) {
+        val pi = bytes(bo + c) & 0xff
+        if (pi >= numCoef) return null
+        c1(c) = leShort(bytes, coefOff + 4 * pi)
+        c2(c) = leShort(bytes, coefOff + 4 * pi + 2)
+        delta(c) = leShort(bytes, bo + channels + 2 * c).toLong
+        s1(c) = leShort(bytes, bo + 3 * channels + 2 * c)
+        s2(c) = leShort(bytes, bo + 5 * channels + 2 * c)
+        c += 1
+      }
+      // header samples, older first: frame 0 = iSamp2, frame 1 = iSamp1
+      c = 0; while (c < channels) { acc(s2(c), c); c += 1 }
+      c = 0; while (c < channels) { acc(s1(c), c); c += 1 }
+      frames += 2
+      val nibBytes = blockAlign - 7 * channels
+      var j = 0
+      while (j < nibBytes) {
+        var half = 0
+        while (half < 2) {
+          val u = if (half == 0) (bytes(bo + 7 * channels + j) & 0xff) >> 4
+                  else bytes(bo + 7 * channels + j) & 0x0f
+          val ch = if (channels == 2) half else 0
+          val nib = if (u >= 8) u - 16 else u
+          val pred0 = (s1(ch).toLong * c1(ch) + s2(ch).toLong * c2(ch)) / 256 +
+            nib * delta(ch)
+          val pred = if (pred0 > 32767) 32767
+                     else if (pred0 < -32768) -32768 else pred0.toInt
+          s2(ch) = s1(ch); s1(ch) = pred
+          delta(ch) = math.max(16L, MsAdapt(u) * delta(ch) / 256)
+          if (delta(ch) > MsMaxDelta) return null
+          acc(pred, ch)
+          if (channels == 1 || half == 1) frames += 1
+          half += 1
+        }
+        j += 1
       }
       bo += blockAlign
     }

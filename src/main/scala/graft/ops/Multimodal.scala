@@ -347,6 +347,90 @@ object Multimodal {
       (_, c) => ((id + 31 * c) % 89).toInt,
       (_, c, k) => ((k * 7 + id * 3 + c * 5) % 16).toInt)
 
+  /** Microsoft ADPCM WAV writer (codec 0x02) — the independent block
+    * PACKER (never decodes: predictor indexes, deltas, header samples
+    * and nibbles come straight from the caller's closed-form functions).
+    * Spec-complete fmt: cbSize 32 with wSamplesPerBlock, wNumCoef = 7
+    * and the standard coefficient pairs, plus a fact chunk. Block `b`
+    * opens with the 7-byte-per-channel header grouped BY FIELD across
+    * channels (bPredictor bytes, then iDelta, iSamp1, iSamp2 int16
+    * runs), then `nibBytes` nibble bytes — HIGH half first; for stereo
+    * each byte is one frame (high = channel 0's nibble k, low = channel
+    * 1's), for mono byte j carries nibbles 2j (high) and 2j+1 (low).
+    */
+  def wavMsAdpcmBytes(sampleRate: Int, channels: Int, nibBytes: Int,
+                      nBlocks: Int, predIdx: (Int, Int) => Int,
+                      idelta: (Int, Int) => Int, samp1: (Int, Int) => Int,
+                      samp2: (Int, Int) => Int,
+                      nib: (Int, Int, Int) => Int): Array[Byte] = {
+    val blockAlign = 7 * channels + nibBytes
+    val spb = 2 + 2 * nibBytes / channels // samples per block per channel
+    val dataLen = nBlocks * blockAlign
+    val coefs = Array((256, 0), (512, -256), (0, 0), (192, 64), (240, 0),
+      (460, -208), (392, -232))
+    val out = new java.io.ByteArrayOutputStream()
+    def le(i: Int, n: Int): Array[Byte] =
+      (0 until n).map(b => ((i >> (8 * b)) & 0xff).toByte).toArray
+    out.write("RIFF".getBytes("US-ASCII"))
+    out.write(le(4 + (8 + 50) + (8 + 4) + (8 + dataLen), 4))
+    out.write("WAVE".getBytes("US-ASCII"))
+    out.write("fmt ".getBytes("US-ASCII")); out.write(le(50, 4))
+    out.write(le(0x02, 2)); out.write(le(channels, 2))
+    out.write(le(sampleRate, 4))
+    out.write(le(sampleRate * blockAlign / spb, 4))     // avg bytes/sec
+    out.write(le(blockAlign, 2)); out.write(le(4, 2))   // block align, bits
+    out.write(le(32, 2)); out.write(le(spb, 2))         // cbSize, spb
+    out.write(le(coefs.length, 2))                      // wNumCoef
+    coefs.foreach { case (a, b) =>
+      out.write(le(a & 0xffff, 2)); out.write(le(b & 0xffff, 2))
+    }
+    out.write("fact".getBytes("US-ASCII")); out.write(le(4, 4))
+    out.write(le(nBlocks * spb, 4))
+    out.write("data".getBytes("US-ASCII")); out.write(le(dataLen, 4))
+    for (b <- 0 until nBlocks) {
+      for (c <- 0 until channels) out.write(predIdx(b, c) & 0xff)
+      for (c <- 0 until channels) out.write(le(idelta(b, c) & 0xffff, 2))
+      for (c <- 0 until channels) out.write(le(samp1(b, c) & 0xffff, 2))
+      for (c <- 0 until channels) out.write(le(samp2(b, c) & 0xffff, 2))
+      for (j <- 0 until nibBytes) {
+        val (hi, lo) =
+          if (channels == 2) (nib(b, 0, j), nib(b, 1, j))
+          else (nib(b, 0, 2 * j), nib(b, 0, 2 * j + 1))
+        out.write(((hi & 0x0f) << 4) | (lo & 0x0f))
+      }
+    }
+    out.toByteArray
+  }
+
+  /** MS-ADPCM mono lane: 2+id%2 blocks of 10 nibble bytes (22 frames) at
+    * 8000 Hz — block b selects coefficient pair (b·3 + id) % 7, seeds
+    * delta 16 + (id·13 + b·7) % 500, samp1 (id·97 + b·411) % 1024 − 512,
+    * samp2 (id·53 + b·29) % 1024 − 512, nibble k = (k·7 + id·3 + b·11)
+    * % 16. Multi-block: proves the per-block header reset; the pair
+    * sweep hits every standard coefficient pair across ids.
+    */
+  def wavMsAdpcmMonoBytes(id: Long): Array[Byte] =
+    wavMsAdpcmBytes(8000, 1, 10, 2 + (id % 2).toInt,
+      (b, _) => ((b * 3 + id) % 7).toInt,
+      (b, _) => 16 + ((id * 13 + b * 7) % 500).toInt,
+      (b, _) => ((id * 97 + b * 411) % 1024).toInt - 512,
+      (b, _) => ((id * 53 + b * 29) % 1024).toInt - 512,
+      (b, _, k) => ((k * 7 + id * 3 + b * 11) % 16).toInt)
+
+  /** MS-ADPCM stereo lane: one block of 8 + 2·(id%3) nibble bytes (one
+    * frame per byte) at 16000 Hz — channel c selects pair (c + id) % 7,
+    * seeds delta 16 + (id·11 + c·5) % 300, samp1 (id·97 + c·333) % 1024
+    * − 512, samp2 (id·41 + c·77) % 1024 − 512, nibble k = (k·7 + id·3 +
+    * c·5) % 16. Proves the per-byte high/low channel de-interleave.
+    */
+  def wavMsAdpcmStereoBytes(id: Long): Array[Byte] =
+    wavMsAdpcmBytes(16000, 2, 8 + 2 * (id % 3).toInt, 1,
+      (_, c) => ((c + id) % 7).toInt,
+      (_, c) => 16 + ((id * 11 + c * 5) % 300).toInt,
+      (_, c) => ((id * 97 + c * 333) % 1024).toInt - 512,
+      (_, c) => ((id * 41 + c * 77) % 1024).toInt - 512,
+      (_, c, k) => ((k * 7 + id * 3 + c * 5) % 16).toInt)
+
   /** WAVE_FORMAT_EXTENSIBLE (0xFFFE) writer — the >2-channel/high-depth
     * container every DAW exports: 40-byte fmt (cbSize 22, valid bits,
     * channel mask, SubFormat GUID carrying the REAL format), fact chunk.
@@ -1884,6 +1968,8 @@ object Multimodal {
   val makeWavExtPcm = udf((id: Long) => wavExtPcmFixtureBytes(id))
   val makeWavAdpcmMono = udf((id: Long) => wavAdpcmMonoBytes(id))
   val makeWavAdpcmStereo = udf((id: Long) => wavAdpcmStereoBytes(id))
+  val makeWavMsAdpcmMono = udf((id: Long) => wavMsAdpcmMonoBytes(id))
+  val makeWavMsAdpcmStereo = udf((id: Long) => wavMsAdpcmStereoBytes(id))
   val makeWavExtFloat = udf((id: Long) => wavExtFloatFixtureBytes(id))
 
   // ---- metadata extraction (codegen'd Column arithmetic, no UDFs) ----
@@ -2079,12 +2165,13 @@ object Multimodal {
     * G.711 µ-law/A-law, IEEE float32 AND float64 on the exact
     * floor(f·2^15) integer lattice — a power-of-two scale is exact at
     * either precision — WAVE_FORMAT_EXTENSIBLE wrapping any of those,
-    * and IMA/DVI ADPCM via the sequential block recurrence — via the
-    * RIFF walk): struct(n_samples, sample_rate, pcm_sum, pcm_sqsum,
-    * pcm_peak, pcm_zc, pcm_bits) — RMS = sqrt(pcm_sqsum / n_samples)
-    * downstream, pcm_zc the channel-0 zero-crossing count. Null for
-    * blobs outside the audio envelope (Microsoft ADPCM 0x02 and other
-    * compressed codecs).
+    * IMA/DVI ADPCM via the sequential block recurrence, and Microsoft
+    * ADPCM via its coefficient-pair predictor with the in-stream table —
+    * via the RIFF walk): struct(n_samples, sample_rate, pcm_sum,
+    * pcm_sqsum, pcm_peak, pcm_zc, pcm_bits) — RMS =
+    * sqrt(pcm_sqsum / n_samples) downstream, pcm_zc the channel-0
+    * zero-crossing count. Null for blobs outside the audio envelope
+    * (compressed codecs beyond the two ADPCM families).
     */
   def audioFeatures(bin: Column): Column = bridge(graft.expr.WavPcmStats(ex(bin)))
 

@@ -206,6 +206,52 @@ object GraphPack {
           .as("correct"))
   }
 
+  /** ScaleCheck twin of [[knnLabelPropQ]]: identical sub-graph, seed set
+    * and agreement output, with the DELIBERATELY brute O(N²) edge build
+    * (kept in the gated query only so the DuckDB oracle can replay every
+    * pair) swapped for the production cluster-bucketed kNN — the swap the
+    * gated query's own doc declares ("at production scale the same edges
+    * come from the ANN index family"). kClusters scales with N per the
+    * SemDeDup sizing rule, holding per-cluster size constant, so the
+    * measured slope is engine cost — the bucketed pair join, bounded
+    * top-k, propagate iterations and agreement joins — not the fixture's
+    * designed quadratic pair growth.
+    */
+  def knnLabelPropScaled(s: SparkSession, dir: String,
+                         kClusters: Int): DataFrame = {
+    import graft.ops.{KMeans, LabelProp, TopKPerGroup}
+    val k = 5
+    val iters = 3
+    val emb = Tables.embeddings(s, dir)
+    val sub = emb.filter(col("vec_id") % 2 === 0)
+    val asg = KMeans.assigned(sub, "vec_id", "embedding", k = kClusters,
+      iters = 2)
+    val a = asg.select(col("vec_id").as("nid"), col("cluster").as("ca"),
+      col("q").as("qa"))
+    val b = asg.select(col("vec_id").as("qid"), col("cluster").as("cb"),
+      col("q").as("qb"))
+    val pairs = a.join(b, col("ca") === col("cb") && col("nid") =!= col("qid"))
+      .select(col("qid"), col("nid"),
+        org.apache.spark.sql.GraftBridge.column(graft.expr.SqDistLong(
+          org.apache.spark.sql.GraftBridge.expression(col("qa")),
+          org.apache.spark.sql.GraftBridge.expression(col("qb"))))
+          .as("dist"))
+    val knn = TopKPerGroup(pairs, Seq("qid"), "dist", k, Seq("nid"),
+      ascending = true)
+    val edges = knn.select(col("nid").as("src"), col("qid").as("dst"))
+    val nodes = sub.select(col("vec_id").as("v"),
+      when(col("vec_id") % 10 === 0, col("label")).as("seed_lbl"))
+    LabelProp.propagate(nodes, edges, iters)
+      .join(nodes, "v")
+      .join(emb.select(col("vec_id").as("v"), col("label").as("label_true")),
+        "v")
+      .select(col("v"),
+        when(col("seed_lbl").isNotNull, 1L).otherwise(0L).as("is_seed"),
+        col("label_true"), col("lbl").as("label_prop"),
+        when(col("lbl") === col("label_true"), 1L).otherwise(0L)
+          .as("correct"))
+  }
+
   /** The walk family's neighbor index (src, dst, idx, deg) as a memoized
     * snapshot — deterministic from the edge set, so it is an artifact
     * built once (one bounded row_number shuffle) and READ by every walk

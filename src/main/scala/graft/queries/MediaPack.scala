@@ -651,6 +651,52 @@ object MediaPack {
       w.getField("pcm_zc").as("s_zc"))
   }
 
+  /** MS-ADPCM fixture: mono multi-block + stereo per-byte-interleaved
+    * clips from the independent block packer, memoized separately.
+    */
+  private def audioMsAdpcmBlobs(s: SparkSession, dir: String) = {
+    val (store, _) = Fixtures(s, dir, "fix_media_wav7") { st =>
+      st.write(Tables.documents(s, dir).select(col("doc_id"))
+        .withColumn("am", Multimodal.makeWavMsAdpcmMono(col("doc_id")))
+        .withColumn("aw", Multimodal.makeWavMsAdpcmStereo(col("doc_id"))),
+        "mm_wav7", slices = 8)
+      Map("blobs" -> "mm_wav7")
+    }
+    store.readResolved("mm_wav7")
+  }
+
+  /** REAL Microsoft ADPCM decode (WAVE codec 0x02) — the OTHER compressed
+    * WAV family, closing the ADPCM envelope: the (samp1, samp2, delta)
+    * coefficient-pair recurrence over signed 4-bit nibbles, predictor
+    * pairs read from the IN-STREAM table the fmt extension declares (the
+    * DHT discipline applied to audio). The mono lane spans 2–3 blocks
+    * with a per-block coefficient-pair sweep (header reset AND every
+    * standard pair inside the gate); the stereo lane de-interleaves the
+    * per-byte high/low channel split (channel-0-only zero crossings
+    * prove it). Every step is trunc-toward-zero integer arithmetic
+    * (Java `/` == DuckDB `//`, both truncate), so the oracle replays
+    * the recurrence exactly with a recursive CTE joined to the
+    * coefficient and adaptation tables. Codegen'd scan-side; the one
+    * exchange is the tiny blob-table join.
+    */
+  def audioMsAdpcm(s: SparkSession, dir: String): DataFrame = {
+    val media = audioMsAdpcmBlobs(s, dir)
+    val m = Multimodal.audioFeatures(col("am"))
+    val w = Multimodal.audioFeatures(col("aw"))
+    media.select(col("doc_id"),
+      m.getField("n_samples").as("m_n"),
+      m.getField("pcm_bits").cast("long").as("m_bits"),
+      m.getField("pcm_sum").as("m_sum"),
+      m.getField("pcm_sqsum").as("m_sqsum"),
+      m.getField("pcm_peak").as("m_peak"),
+      m.getField("pcm_zc").as("m_zc"),
+      w.getField("n_samples").as("s_n"),
+      w.getField("pcm_sum").as("s_sum"),
+      w.getField("pcm_sqsum").as("s_sqsum"),
+      w.getField("pcm_peak").as("s_peak"),
+      w.getField("pcm_zc").as("s_zc"))
+  }
+
   /** DHT-less MJPEG fixture: frames coded against the Annex K typical
     * Huffman tables with NO DHT segment (the most common real-world MJPEG
     * flavor, per the OpenDML implied-standard-tables convention); 4:2:0
@@ -751,6 +797,7 @@ object MediaPack {
     "mm_audio_g711" -> audioG711 _,
     "mm_audio_float" -> audioFloat _,
     "mm_audio_adpcm" -> audioAdpcm _,
+    "mm_audio_msadpcm" -> audioMsAdpcm _,
     "mm_gif_anim" -> gifAnim _,
     "mm_gif_compose" -> gifCompose _,
     "mm_png16" -> png16 _,
@@ -1738,6 +1785,139 @@ object MediaPack {
                   sum(pred*pred) AS q, max(abs(pred)) AS pk,
                   sum(CASE WHEN c = 0 AND pv IS NOT NULL
                            AND ((pred < 0) != (pv < 0))
+                      THEN 1 ELSE 0 END) AS zc
+           FROM sz GROUP BY doc_id
+         )
+         SELECT d.doc_id,
+         CAST(ma.n AS BIGINT) AS m_n, CAST(4 AS BIGINT) AS m_bits,
+         CAST(ma.s AS BIGINT) AS m_sum, CAST(ma.q AS BIGINT) AS m_sqsum,
+         CAST(ma.pk AS BIGINT) AS m_peak, CAST(ma.zc AS BIGINT) AS m_zc,
+         CAST(sa.n AS BIGINT) AS s_n, CAST(sa.s AS BIGINT) AS s_sum,
+         CAST(sa.q AS BIGINT) AS s_sqsum, CAST(sa.pk AS BIGINT) AS s_peak,
+         CAST(sa.zc AS BIGINT) AS s_zc
+         FROM documents d
+         JOIN ma ON ma.doc_id = d.doc_id
+         JOIN sa ON sa.doc_id = d.doc_id""",
+    // MS-ADPCM replay: the (samp1, samp2, delta) coefficient-pair
+    // recurrence as a recursive CTE — frame 0 is iSamp2 (the OLDER
+    // header sample first), frame 1 iSamp1, then each signed nibble
+    // u(k) advances pred = trunc((s1*c1 + s2*c2)/256) + nib*delta with
+    // the int16 clamp and delta = max(16, trunc(Adapt[u]*delta/256)).
+    // DuckDB's // truncates toward zero like Java's /, so the replay is
+    // exact. Mono lane: blocks b<2+id%2, pair (b*3+id)%7, delta0
+    // 16+(id*13+b*7)%500, s1 (id*97+b*411)%1024-512, s2
+    // (id*53+b*29)%1024-512, nibble k = (k*7+id*3+b*11)%16, 20 nibbles.
+    // Stereo lane: channels c in (0,1), pair (c+id)%7, delta0
+    // 16+(id*11+c*5)%300, s1 (id*97+c*333)%1024-512, s2
+    // (id*41+c*77)%1024-512, nibble k = (k*7+id*3+c*5)%16 for
+    // 8+2*(id%3) nibbles per channel.
+    "mm_audio_msadpcm" ->
+      """WITH RECURSIVE mono(doc_id, b, i, s1, s2, delta, c1v, c2v) AS (
+           SELECT d.doc_id, b.b, 1,
+                  CAST((d.doc_id*97 + b.b*411) % 1024 - 512 AS BIGINT),
+                  CAST((d.doc_id*53 + b.b*29) % 1024 - 512 AS BIGINT),
+                  CAST(16 + (d.doc_id*13 + b.b*7) % 500 AS BIGINT),
+                  CAST(CASE (b.b*3 + d.doc_id) % 7 WHEN 0 THEN 256
+                       WHEN 1 THEN 512 WHEN 2 THEN 0 WHEN 3 THEN 192
+                       WHEN 4 THEN 240 WHEN 5 THEN 460 ELSE 392 END
+                       AS BIGINT),
+                  CAST(CASE (b.b*3 + d.doc_id) % 7 WHEN 1 THEN -256
+                       WHEN 3 THEN 64 WHEN 5 THEN -208 WHEN 6 THEN -232
+                       ELSE 0 END AS BIGINT)
+           FROM documents d
+           JOIN (VALUES (0),(1),(2)) b(b) ON b.b < 2 + d.doc_id % 2
+           UNION ALL
+           SELECT m.doc_id, m.b, m.i + 1,
+             GREATEST(-32768, LEAST(32767,
+               (m.s1*m.c1v + m.s2*m.c2v) // 256
+               + (CASE WHEN ((m.i-1)*7 + m.doc_id*3 + m.b*11) % 16 >= 8
+                       THEN ((m.i-1)*7 + m.doc_id*3 + m.b*11) % 16 - 16
+                       ELSE ((m.i-1)*7 + m.doc_id*3 + m.b*11) % 16 END)
+                 * m.delta)),
+             m.s1,
+             GREATEST(16,
+               (CASE WHEN ((m.i-1)*7 + m.doc_id*3 + m.b*11) % 16
+                          IN (4, 12) THEN 307
+                     WHEN ((m.i-1)*7 + m.doc_id*3 + m.b*11) % 16
+                          IN (5, 11) THEN 409
+                     WHEN ((m.i-1)*7 + m.doc_id*3 + m.b*11) % 16
+                          IN (6, 10) THEN 512
+                     WHEN ((m.i-1)*7 + m.doc_id*3 + m.b*11) % 16
+                          IN (7, 9) THEN 614
+                     WHEN ((m.i-1)*7 + m.doc_id*3 + m.b*11) % 16 = 8
+                          THEN 768
+                     ELSE 230 END * m.delta) // 256),
+             m.c1v, m.c2v
+           FROM mono m WHERE m.i < 21
+         ), memit AS (
+           SELECT d.doc_id, b.b, 0 AS i,
+                  CAST((d.doc_id*53 + b.b*29) % 1024 - 512 AS BIGINT) AS v
+           FROM documents d
+           JOIN (VALUES (0),(1),(2)) b(b) ON b.b < 2 + d.doc_id % 2
+           UNION ALL
+           SELECT doc_id, b, i, s1 FROM mono
+         ), mz AS (
+           SELECT doc_id, v,
+                  lag(v) OVER (PARTITION BY doc_id ORDER BY b, i) AS pv
+           FROM memit
+         ), ma AS (
+           SELECT doc_id, count(*) AS n, sum(v) AS s, sum(v*v) AS q,
+                  max(abs(v)) AS pk,
+                  sum(CASE WHEN pv IS NOT NULL AND ((v < 0) != (pv < 0))
+                      THEN 1 ELSE 0 END) AS zc
+           FROM mz GROUP BY doc_id
+         ), ster(doc_id, c, i, ns, s1, s2, delta, c1v, c2v) AS (
+           SELECT d.doc_id, c.c, 1,
+                  CAST(8 + 2 * (d.doc_id % 3) AS INTEGER),
+                  CAST((d.doc_id*97 + c.c*333) % 1024 - 512 AS BIGINT),
+                  CAST((d.doc_id*41 + c.c*77) % 1024 - 512 AS BIGINT),
+                  CAST(16 + (d.doc_id*11 + c.c*5) % 300 AS BIGINT),
+                  CAST(CASE (c.c + d.doc_id) % 7 WHEN 0 THEN 256
+                       WHEN 1 THEN 512 WHEN 2 THEN 0 WHEN 3 THEN 192
+                       WHEN 4 THEN 240 WHEN 5 THEN 460 ELSE 392 END
+                       AS BIGINT),
+                  CAST(CASE (c.c + d.doc_id) % 7 WHEN 1 THEN -256
+                       WHEN 3 THEN 64 WHEN 5 THEN -208 WHEN 6 THEN -232
+                       ELSE 0 END AS BIGINT)
+           FROM documents d JOIN (VALUES (0),(1)) c(c) ON true
+           UNION ALL
+           SELECT m.doc_id, m.c, m.i + 1, m.ns,
+             GREATEST(-32768, LEAST(32767,
+               (m.s1*m.c1v + m.s2*m.c2v) // 256
+               + (CASE WHEN ((m.i-1)*7 + m.doc_id*3 + m.c*5) % 16 >= 8
+                       THEN ((m.i-1)*7 + m.doc_id*3 + m.c*5) % 16 - 16
+                       ELSE ((m.i-1)*7 + m.doc_id*3 + m.c*5) % 16 END)
+                 * m.delta)),
+             m.s1,
+             GREATEST(16,
+               (CASE WHEN ((m.i-1)*7 + m.doc_id*3 + m.c*5) % 16
+                          IN (4, 12) THEN 307
+                     WHEN ((m.i-1)*7 + m.doc_id*3 + m.c*5) % 16
+                          IN (5, 11) THEN 409
+                     WHEN ((m.i-1)*7 + m.doc_id*3 + m.c*5) % 16
+                          IN (6, 10) THEN 512
+                     WHEN ((m.i-1)*7 + m.doc_id*3 + m.c*5) % 16
+                          IN (7, 9) THEN 614
+                     WHEN ((m.i-1)*7 + m.doc_id*3 + m.c*5) % 16 = 8
+                          THEN 768
+                     ELSE 230 END * m.delta) // 256),
+             m.c1v, m.c2v
+           FROM ster m WHERE m.i < m.ns + 1
+         ), semit AS (
+           SELECT d.doc_id, c.c, 0 AS i,
+                  CAST((d.doc_id*41 + c.c*77) % 1024 - 512 AS BIGINT) AS v
+           FROM documents d JOIN (VALUES (0),(1)) c(c) ON true
+           UNION ALL
+           SELECT doc_id, c, i, s1 FROM ster
+         ), sz AS (
+           SELECT doc_id, c, v,
+                  lag(v) OVER (PARTITION BY doc_id, c ORDER BY i) AS pv
+           FROM semit
+         ), sa AS (
+           SELECT doc_id, count(*) // 2 AS n, sum(v) AS s, sum(v*v) AS q,
+                  max(abs(v)) AS pk,
+                  sum(CASE WHEN c = 0 AND pv IS NOT NULL
+                           AND ((v < 0) != (pv < 0))
                       THEN 1 ELSE 0 END) AS zc
            FROM sz GROUP BY doc_id
          )

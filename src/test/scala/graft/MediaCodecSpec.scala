@@ -179,8 +179,10 @@ class MediaCodecSpec extends AnyFunSuite {
       assert(st2.getLong(5) ==
         chans(0).sliding(2).count(p => (p(0) < 0) != (p(1) < 0)).toLong)
     }
-    // honest nulls: lying wSamplesPerBlock, step index > 88, ragged data,
-    // and MS-ADPCM (codec 0x02) stay outside the envelope
+    // honest nulls: lying wSamplesPerBlock, step index > 88, ragged data;
+    // flipping the codec byte to 0x02 makes a STRUCTURALLY INVALID
+    // MS-ADPCM blob (20-byte fmt carries no coefficient table), so the
+    // r17 MS decoder nulls it too
     val good = Multimodal.wavAdpcmMonoBytes(3L)
     def patched(off: Int, v: Int): Array[Byte] = {
       val b = good.clone(); b(off) = v.toByte; b
@@ -188,7 +190,8 @@ class MediaCodecSpec extends AnyFunSuite {
     // fmt starts at byte 20 (RIFF 12 + "fmt "+len 8): spb low byte is
     // fmt+18 = 38; codec low byte fmt+0 = 20
     assert(MediaCodecHelper.wavPcmStats(patched(38, 99)) == null, "lying spb")
-    assert(MediaCodecHelper.wavPcmStats(patched(20, 0x02)) == null, "MS-ADPCM")
+    assert(MediaCodecHelper.wavPcmStats(patched(20, 0x02)) == null,
+      "codec 2 without a coefficient table")
     // block 0 header's step index forced past 88 (layout: RIFF 12 +
     // fmt 8+20 + fact 8+4 + data tag 8 = byte 60; header idx at +2)
     assert(MediaCodecHelper.wavPcmStats(patched(62, 120)) == null, "idx > 88")
@@ -196,6 +199,71 @@ class MediaCodecSpec extends AnyFunSuite {
     // dropRight truncates below the declared data length -> dataLen %
     // blockAlign != 0 -> null
     assert(MediaCodecHelper.wavPcmStats(ragged) == null, "ragged data")
+  }
+
+  test("MS-ADPCM decodes the coefficient-pair recurrence; envelope honest-nulls") {
+    // independent replay of the Microsoft recurrence (standard pairs +
+    // adaptation table re-stated here, not shared with the decoder)
+    val coef = Array((256, 0), (512, -256), (0, 0), (192, 64), (240, 0),
+      (460, -208), (392, -232))
+    val adapt = Array(230, 230, 230, 230, 307, 409, 512, 614, 768, 614,
+      512, 409, 307, 230, 230, 230)
+    def run(pi: Int, d0: Int, a1: Int, a2: Int, nibs: Seq[Int]): Seq[Int] = {
+      var s1 = a1; var s2 = a2; var dl = d0.toLong
+      Seq(a2, a1) ++ nibs.map { u =>
+        val sn = if (u >= 8) u - 16 else u
+        val p0 = (s1.toLong * coef(pi)._1 + s2.toLong * coef(pi)._2) / 256 +
+          sn * dl
+        val p = math.max(-32768L, math.min(32767L, p0)).toInt
+        s2 = s1; s1 = p
+        dl = math.max(16L, adapt(u) * dl / 256)
+        p
+      }
+    }
+    for (id <- 0L until 12L) {
+      val mono = MediaCodecHelper.wavPcmStats(Multimodal.wavMsAdpcmMonoBytes(id))
+      val ch0 = (0 until 2 + (id % 2).toInt).flatMap { b =>
+        run(((b * 3 + id) % 7).toInt, 16 + ((id * 13 + b * 7) % 500).toInt,
+          ((id * 97 + b * 411) % 1024).toInt - 512,
+          ((id * 53 + b * 29) % 1024).toInt - 512,
+          (0 until 20).map(k => ((k * 7 + id * 3 + b * 11) % 16).toInt))
+      }
+      assert(mono != null && mono.getInt(6) == 4, s"id $id")
+      assert(mono.getLong(0) == ch0.length.toLong)
+      assert(mono.getLong(2) == ch0.map(_.toLong).sum, s"id $id mono sum")
+      assert(mono.getLong(3) == ch0.map(v => v.toLong * v).sum)
+      assert(mono.getLong(4) == ch0.map(v => math.abs(v.toLong)).max)
+      assert(mono.getLong(5) ==
+        ch0.sliding(2).count(p => (p(0) < 0) != (p(1) < 0)).toLong)
+      val st2 = MediaCodecHelper.wavPcmStats(Multimodal.wavMsAdpcmStereoBytes(id))
+      val chans = (0 to 1).map { c =>
+        run(((c + id) % 7).toInt, 16 + ((id * 11 + c * 5) % 300).toInt,
+          ((id * 97 + c * 333) % 1024).toInt - 512,
+          ((id * 41 + c * 77) % 1024).toInt - 512,
+          (0 until 8 + 2 * (id % 3).toInt)
+            .map(k => ((k * 7 + id * 3 + c * 5) % 16).toInt))
+      }
+      assert(st2 != null && st2.getLong(0) == chans(0).length.toLong)
+      assert(st2.getLong(2) == chans.flatten.map(_.toLong).sum, s"id $id st sum")
+      assert(st2.getLong(4) == chans.flatten.map(v => math.abs(v.toLong)).max)
+      assert(st2.getLong(5) ==
+        chans(0).sliding(2).count(p => (p(0) < 0) != (p(1) < 0)).toLong)
+    }
+    // honest nulls. Layout of the fixture: fmt data at byte 20 (len 50),
+    // fact at 70, data tag at 82, first block at 90. spb low byte
+    // fmt+18 = 38, wNumCoef fmt+20 = 40, channels fmt+2 = 22; block 0's
+    // bPredictor is data byte 0 = 90.
+    val good = Multimodal.wavMsAdpcmMonoBytes(3L)
+    def patched(off: Int, v: Int): Array[Byte] = {
+      val b = good.clone(); b(off) = v.toByte; b
+    }
+    assert(MediaCodecHelper.wavPcmStats(patched(38, 99)) == null, "lying spb")
+    assert(MediaCodecHelper.wavPcmStats(patched(40, 0)) == null, "no coefs")
+    assert(MediaCodecHelper.wavPcmStats(patched(90, 9)) == null,
+      "bPredictor past the declared table")
+    assert(MediaCodecHelper.wavPcmStats(patched(22, 3)) == null,
+      "3-channel MS-ADPCM has no defined nibble interleave")
+    assert(MediaCodecHelper.wavPcmStats(good.dropRight(1)) == null, "ragged")
   }
 
   test("frame-sampling keeps every Nth frame and re-encodes a valid WAV") {
