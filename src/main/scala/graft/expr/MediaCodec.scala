@@ -33,8 +33,12 @@ import org.apache.spark.sql.types._
   *    with sampling factors 1–2 (4:4:4/4:2:2/4:2:0), restart markers,
   *    multi-table DQT/DHT; a stream with NO DHT before its first scan
   *    decodes via the T.81 Annex K implied standard tables (the OpenDML
-  *    MJPEG convention — [[decodeJpegAuto]]). Arithmetic coding, 12-bit
-  *    precision, and lossless/hierarchical return null.
+  *    MJPEG convention — [[decodeJpegAuto]]). LOSSLESS frames (SOF3,
+  *    Annex H — Huffman DPCM, 2–16 bit, predictors 1–7, point
+  *    transform) decode through [[jpegLosslessStats]] at full precision
+  *    (r17; like 16-bit PNG, no truncated raster is fabricated).
+  *    Arithmetic coding, 12-bit DCT precision, and hierarchical frames
+  *    return null.
   *  - WAV: integer PCM at 8 (unsigned, reported center-zeroed), 16, 24
   *    and 32 bits, G.711 µ-law/A-law, IEEE float32 (reported on the
   *    16-bit integer lattice: floor(f·2^15), a power-of-two scale so the
@@ -842,7 +846,9 @@ object MediaCodecHelper {
     * approximation, Huffman, per the Annex G machinery below). 8-bit
     * precision, 1 or 3 components, sampling factors 1 or 2, restart
     * markers, 8- or 16-bit quant tables. Null only for arithmetic
-    * coding, 12-bit precision, and lossless/hierarchical frames.
+    * coding, 12-bit precision, and lossless/hierarchical frames —
+    * lossless (SOF3) decodes at full precision through the dedicated
+    * [[jpegLosslessStats]] path, never through this 8-bit raster one.
     *
     * Output: gray raster (bpp=1) for 1 component; interleaved RGB (bpp=3)
     * for 3, converted with the fixed-point CCIR 601 constants
@@ -1514,6 +1520,224 @@ object MediaCodecHelper {
     }
     jAssemble(w, h, comps, hmax, vmax)
   }
+
+  // ---------------- lossless JPEG (SOF3) ----------------
+  //
+  // T.81 Annex H, Huffman procedures: a lossless frame codes each SAMPLE
+  // as a Huffman-coded DPCM difference from one of seven spatial
+  // predictors (Ss in the scan header selects it), with the same
+  // SSSS-category + magnitude-bits encoding as baseline DC coefficients
+  // (SSSS=16 is the special no-bits code for difference 32768), and
+  // reconstruction modulo 2^16 (H.1.2.1). Precision runs 2–16 bits —
+  // the DNG/raw-camera and medical-imaging layouts — so, exactly like
+  // [[png16Stats]], no 8-bit raster is fabricated: full-precision
+  // statistics are the decode surface.
+
+  /** Decoded lossless frame: interleaved full-precision samples. */
+  final class JLossless(val width: Int, val height: Int, val nc: Int,
+                        val precision: Int, val samples: Array[Int])
+
+  /** Lossless-JPEG (SOF3) sample statistics at FULL precision:
+    * struct(width, height, components, precision, px_sum, px_min,
+    * px_max) over every sample of every component. Null outside the
+    * envelope (see [[decodeJpegLossless]]) — honest partial decoder,
+    * never garbage.
+    */
+  def jpegLosslessStats(bytes: Array[Byte]): InternalRow = {
+    val r = decodeJpegLossless(bytes)
+    if (r == null) return null
+    var sum = 0L; var mn = Int.MaxValue; var mx = 0
+    var i = 0
+    while (i < r.samples.length) {
+      val v = r.samples(i)
+      sum += v; if (v < mn) mn = v; if (v > mx) mx = v
+      i += 1
+    }
+    new GenericInternalRow(
+      Array[Any](r.width, r.height, r.nc, r.precision, sum, mn, mx))
+  }
+
+  /** Full lossless-JPEG decode (ITU-T T.81 Annex H, Huffman).
+    *
+    * Envelope (null outside it): SOF3 frames, 2–16 bit precision, 1–4
+    * components all with 1×1 sampling factors, ONE interleaved scan
+    * covering every frame component in frame order, predictors 1–7,
+    * point transform 0 ≤ Pt < precision, no restart markers (a DRI in a
+    * lossless stream nulls: T.81 H.2.2 resets prediction state at
+    * restarts, and a partially-supported reset would decode garbage
+    * after the first interval rather than fail). Per H.1.2: the first
+    * sample predicts from 1<<(P−Pt−1), the rest of the first line from
+    * Ra (left), the first column of later lines from Rb (above);
+    * elsewhere the scan's predictor applies, with >>1 as the arithmetic
+    * shift (floor) on possibly-negative sums. Reconstruction is
+    * (prediction + diff) mod 2^16, and the inverse point transform
+    * (<< Pt) stays in the same mod-2^16 ring — every step is exact
+    * integer arithmetic an oracle replays as prefix sums.
+    */
+  def decodeJpegLossless(bytes: Array[Byte]): JLossless = {
+    if (bytes == null || bytes.length < 4) return null
+    try decodeJpegLossless0(bytes)
+    catch { case _: RuntimeException => null }
+  }
+
+  private def decodeJpegLossless0(b: Array[Byte]): JLossless = {
+    if ((b(0) & 0xff) != 0xff || (b(1) & 0xff) != 0xd8) return null
+    val dcT = new Array[JHuff](4)
+    var w = 0; var h = 0; var precision = 0
+    var comps: Array[JComp] = null
+    var off = 2
+    while (off + 1 < b.length) {
+      if ((b(off) & 0xff) != 0xff) return null
+      var m = b(off + 1) & 0xff
+      while (m == 0xff && off + 2 < b.length) { off += 1; m = b(off + 1) & 0xff }
+      off += 2
+      def segLen: Int = {
+        if (off + 2 > b.length) throw JpegBail
+        val len = ((b(off) & 0xff) << 8) | (b(off + 1) & 0xff)
+        if (len < 2 || off + len > b.length) throw JpegBail
+        len
+      }
+      m match {
+        case 0xd8 | 0x01 => // stray SOI / TEM: standalone
+        case 0xd9 => return null // EOI before any scan
+        case 0xc4 => // DHT: lossless uses the DC table class
+          val len = segLen
+          var p = off + 2; val stop = off + len
+          while (p < stop) {
+            val tc = (b(p) & 0xff) >> 4; val th = b(p) & 0x0f
+            if (tc > 1 || th > 3) throw JpegBail
+            p += 1
+            if (p + 16 > stop) throw JpegBail
+            val counts = Array.tabulate(16)(i => b(p + i) & 0xff)
+            p += 16
+            val n = counts.sum
+            if (n > 256 || p + n > stop) throw JpegBail
+            val vals = Array.tabulate(n)(i => b(p + i) & 0xff)
+            p += n
+            if (tc == 0) dcT(th) = new JHuff(counts, vals)
+          }
+          off += len
+        case 0xc3 => // SOF3: lossless sequential, Huffman
+          val len = segLen
+          if (len < 8) throw JpegBail
+          precision = b(off + 2) & 0xff
+          h = ((b(off + 3) & 0xff) << 8) | (b(off + 4) & 0xff)
+          w = ((b(off + 5) & 0xff) << 8) | (b(off + 6) & 0xff)
+          val nc = b(off + 7) & 0xff
+          if (precision < 2 || precision > 16 || w <= 0 || h <= 0 ||
+              nc < 1 || nc > 4) return null
+          if (len < 8 + 3 * nc) throw JpegBail
+          // 4-byte Int state per sample: same buffered-decode cap as the
+          // progressive path (forged dims can't OOM)
+          if (w.toLong * h * nc > 16L * 1024 * 1024) return null
+          comps = Array.tabulate(nc) { i =>
+            val c = new JComp
+            c.id = b(off + 8 + 3 * i) & 0xff
+            val hv = b(off + 9 + 3 * i) & 0xff
+            c.h = hv >> 4; c.v = hv & 0x0f
+            if (c.h != 1 || c.v != 1) return null // 1x1 sampling only
+            c
+          }
+          off += len
+        case x if (x >= 0xc0 && x <= 0xcf && x != 0xc3 && x != 0xc4) =>
+          return null // any other frame type: not a lossless stream
+        case 0xdd => return null // DRI: restart resets are out of envelope
+        case 0xda => // SOS: predictor in Ss, point transform in Al
+          val len = segLen
+          if (comps == null) return null
+          val ns = b(off + 2) & 0xff
+          if (ns != comps.length || len != 6 + 2 * ns) return null
+          var i = 0
+          while (i < ns) {
+            val cid = b(off + 3 + 2 * i) & 0xff
+            if (cid != comps(i).id) return null // scan order == frame order
+            val tdta = b(off + 4 + 2 * i) & 0xff
+            comps(i).td = tdta >> 4
+            if (comps(i).td > 3 || dcT(comps(i).td) == null) return null
+            i += 1
+          }
+          val sel = b(off + 3 + 2 * ns) & 0xff
+          val se = b(off + 4 + 2 * ns) & 0xff
+          val ahal = b(off + 5 + 2 * ns) & 0xff
+          val pt = ahal & 0x0f
+          if (sel < 1 || sel > 7 || se != 0 || (ahal >> 4) != 0 ||
+              pt >= precision) return null
+          return jLosslessScan(b, off + len, w, h, comps, dcT,
+            precision, sel, pt)
+        case x if x >= 0xd0 && x <= 0xd7 => return null // RSTn w/o DRI
+        case _ => off += segLen // APPn / COM / DQT(ignored) / other: skip
+      }
+    }
+    null // ran off the end without a scan
+  }
+
+  /** One interleaved lossless scan: for each sample in raster order
+    * (components interleaved per MCU — one sample each at 1×1 sampling),
+    * Huffman-decode the SSSS category from the component's DC-class
+    * table, EXTEND the magnitude bits (SSSS=16 → 32768, no bits), add to
+    * the prediction modulo 2^16, then apply the inverse point transform.
+    */
+  private def jLosslessScan(b: Array[Byte], scanOff: Int, w: Int, h: Int,
+                            comps: Array[JComp], dcT: Array[JHuff],
+                            p: Int, sel: Int, pt: Int): JLossless = {
+    val nc = comps.length
+    val r = new JBits(b, scanOff, b.length)
+    val out = new Array[Int](w * h * nc)
+    val init = 1 << (p - pt - 1)
+    val prev = Array.ofDim[Int](nc, w) // reconstructed row above (Rb/Rc)
+    val cur = Array.ofDim[Int](nc, w)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        var ci = 0
+        while (ci < nc) {
+          val t = jDecodeSym(r, dcT(comps(ci).td))
+          if (t > 16) throw JpegBail
+          val diff = if (t == 16) 32768 else jExtend(r.receive(t), t)
+          val pred =
+            if (y == 0 && x == 0) init
+            else if (y == 0) cur(ci)(x - 1) // first line: Ra
+            else if (x == 0) prev(ci)(0) // first column: Rb
+            else {
+              val ra = cur(ci)(x - 1)
+              val rb = prev(ci)(x)
+              val rc = prev(ci)(x - 1)
+              sel match {
+                case 1 => ra
+                case 2 => rb
+                case 3 => rc
+                case 4 => ra + rb - rc
+                case 5 => ra + ((rb - rc) >> 1)
+                case 6 => rb + ((ra - rc) >> 1)
+                case _ => (ra + rb) >> 1
+              }
+            }
+          val rx = (pred + diff) & 0xffff
+          cur(ci)(x) = rx
+          out((y * w + x) * nc + ci) = (rx << pt) & 0xffff
+          ci += 1
+        }
+        x += 1
+      }
+      var ci = 0
+      while (ci < nc) {
+        System.arraycopy(cur(ci), 0, prev(ci), 0, w)
+        ci += 1
+      }
+      y += 1
+    }
+    new JLossless(w, h, nc, p, out)
+  }
+
+  val JpegLosslessStatsType: StructType = StructType(Seq(
+    StructField("width", IntegerType, nullable = false),
+    StructField("height", IntegerType, nullable = false),
+    StructField("components", IntegerType, nullable = false),
+    StructField("precision", IntegerType, nullable = false),
+    StructField("px_sum", LongType, nullable = false),
+    StructField("px_min", IntegerType, nullable = false),
+    StructField("px_max", IntegerType, nullable = false)))
 
   // ---------------- GIF (87a / 89a) ----------------
 
@@ -2746,6 +2970,27 @@ case class Png16Stats(child: Expression) extends UnaryExpression {
        """.stripMargin
     })
   override protected def withNewChildInternal(newChild: Expression): Png16Stats =
+    copy(child = newChild)
+}
+
+/** Lossless-JPEG (SOF3, T.81 Annex H) sample statistics at full
+  * precision (2–16 bit) — like 16-bit PNG, no truncated raster is
+  * fabricated; null outside the envelope.
+  */
+case class JpegLosslessStats(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = MediaCodecHelper.JpegLosslessStatsType
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_jpeg_lossless_stats"
+  override def nullSafeEval(input: Any): Any =
+    MediaCodecHelper.jpegLosslessStats(input.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      s"""
+         |${ev.value} = graft.expr.MediaCodecHelper.jpegLosslessStats($c);
+         |${ev.isNull} = (${ev.value} == null);
+       """.stripMargin
+    })
+  override protected def withNewChildInternal(newChild: Expression): JpegLosslessStats =
     copy(child = newChild)
 }
 

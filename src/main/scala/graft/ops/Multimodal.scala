@@ -1003,6 +1003,105 @@ object Multimodal {
       crBlock = (_, my) => ((my * 19 + id * 3) % 256).toInt,
       acSeed = null, restartInterval = 0)
 
+  /** Lossless-JPEG (SOF3) fixture encoder — the independent bitstream
+    * WRITER (never decodes: the DIFFERENCES are the closed-form input
+    * and the predictor recurrence is never run here — the ADPCM fixture
+    * discipline applied to images, so a hash match proves the decoder's
+    * mod-2^16 DPCM reconstruction against the oracle's prefix-sum
+    * replay, not against shared code). One DHT (class 0, id 0): the 17
+    * category symbols 0–16 all at code length 5, so the canonical
+    * assignment gives symbol i the 5-bit code i. Samples interleave in
+    * raster order (one per component per MCU at 1×1 sampling); each
+    * difference d emits its SSSS category code then SSSS magnitude bits
+    * (T.81 F.1.2.1 mapping: d ≥ 0 → d, d < 0 → d − 1 + 2^SSSS; d =
+    * 32768 → SSSS=16, no bits). FF bytes in the entropy stream are
+    * 00-stuffed; the tail pads with 1-bits.
+    */
+  def jpegLosslessBytes(w: Int, h: Int, precision: Int, predictor: Int,
+                        pt: Int, nc: Int,
+                        diff: (Int, Int, Int) => Int): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    def b2(v: Int): Unit = { out.write((v >> 8) & 0xff); out.write(v & 0xff) }
+    out.write(0xff); out.write(0xd8) // SOI
+    out.write(0xff); out.write(0xc4) // DHT: class 0, id 0
+    b2(2 + 1 + 16 + 17)
+    out.write(0x00)
+    for (l <- 1 to 16) out.write(if (l == 5) 17 else 0)
+    for (s <- 0 to 16) out.write(s)
+    out.write(0xff); out.write(0xc3) // SOF3
+    b2(8 + 3 * nc)
+    out.write(precision); b2(h); b2(w); out.write(nc)
+    for (c <- 0 until nc) { out.write(1 + c); out.write(0x11); out.write(0) }
+    out.write(0xff); out.write(0xda) // SOS
+    b2(6 + 2 * nc)
+    out.write(nc)
+    for (c <- 0 until nc) { out.write(1 + c); out.write(0x00) }
+    out.write(predictor); out.write(0); out.write(pt)
+    var acc = 0; var nbits = 0
+    def putBits(v: Int, n: Int): Unit = {
+      var i = n - 1
+      while (i >= 0) {
+        acc = (acc << 1) | ((v >> i) & 1); nbits += 1
+        if (nbits == 8) {
+          out.write(acc)
+          if (acc == 0xff) out.write(0x00)
+          acc = 0; nbits = 0
+        }
+        i -= 1
+      }
+    }
+    for (y <- 0 until h; x <- 0 until w; c <- 0 until nc) {
+      val d = diff(c, x, y)
+      require(d == 32768 || (d > -32768 && d < 32768), s"diff $d unrepresentable")
+      if (d == 32768) putBits(16, 5)
+      else {
+        val mag = math.abs(d)
+        var t = 0
+        while ((1 << t) <= mag) t += 1 // SSSS: 2^(t-1) <= |d| < 2^t
+        putBits(t, 5)
+        if (t > 0) putBits(if (d >= 0) d else d - 1 + (1 << t), t)
+      }
+    }
+    if (nbits > 0) putBits((1 << (8 - nbits)) - 1, 8 - nbits)
+    out.write(0xff); out.write(0xd9) // EOI
+    out.toByteArray
+  }
+
+  /** Lossless gray 16-bit lane (predictor 1 — Ra): (6+id%5)×(5+id%4),
+    * pt 0. Diffs in scan order k = x + y·w: the exact-32768 SSSS=16
+    * special when k%23==7, a wide ±20k draw (categories to 15, forcing
+    * mod-2^16 wraps) when k%17==3, else a ±600 draw.
+    */
+  def jpegLosslessG16Bytes(id: Long): Array[Byte] = {
+    val w = 6 + (id % 5).toInt
+    jpegLosslessBytes(w, 5 + (id % 4).toInt, precision = 16, predictor = 1,
+      pt = 0, nc = 1,
+      (_, x, y) => {
+        val k = x + y * w
+        if (k % 23 == 7) 32768
+        else if (k % 17 == 3) ((id * 31 + x * 3 + y * 5) % 40000).toInt - 20000
+        else ((id * 7 + x * 13 + y * 29) % 1201).toInt - 600
+      })
+  }
+
+  /** Lossless gray 12-bit lane (predictor 2 — Rb) WITH a nonzero point
+    * transform (pt=2, so the initial prediction is 1<<9 and every output
+    * is the reconstruction << 2): (5+id%6)×(4+id%5), diffs ±200.
+    */
+  def jpegLosslessG12Bytes(id: Long): Array[Byte] =
+    jpegLosslessBytes(5 + (id % 6).toInt, 4 + (id % 5).toInt,
+      precision = 12, predictor = 2, pt = 2, nc = 1,
+      (_, x, y) => ((id * 11 + x * 7 + y * 3) % 401).toInt - 200)
+
+  /** Lossless 3-component 8-bit lane (predictor 4 — Ra+Rb−Rc, the
+    * integral-image predictor): (4+id%7)×(4+id%3), interleaved single
+    * scan, per-component diffs ±50.
+    */
+  def jpegLossless3cBytes(id: Long): Array[Byte] =
+    jpegLosslessBytes(4 + (id % 7).toInt, 4 + (id % 3).toInt,
+      precision = 8, predictor = 4, pt = 0, nc = 3,
+      (c, x, y) => ((id * 5 + c * 17 + x * 3 + y * 11) % 101).toInt - 50)
+
   /** PROGRESSIVE (SOF2) JPEG fixture encoder — spectral selection AND
     * successive approximation, written from T.81 Annex G with its own
     * scan scripts, EOB-run accumulator, correction-bit buffer and bit
@@ -1945,6 +2044,9 @@ object Multimodal {
   val makeGray16KeyPng = udf((id: Long) => gray16KeyPngBytes(id))
   val makeRgb16KeyPng = udf((id: Long) => rgb16KeyPngBytes(id))
   val makeGrayJpeg = udf((id: Long) => grayJpegBytes(id))
+  val makeJpegLosslessG16 = udf((id: Long) => jpegLosslessG16Bytes(id))
+  val makeJpegLosslessG12 = udf((id: Long) => jpegLosslessG12Bytes(id))
+  val makeJpegLossless3c = udf((id: Long) => jpegLossless3cBytes(id))
   val makeColorJpeg = udf((id: Long) => colorJpegBytes(id))
   val makeGrayProgressiveJpeg = udf((id: Long) => grayProgressiveJpegBytes(id))
   val makeColorProgressiveJpeg = udf((id: Long) => colorProgressiveJpegBytes(id))
@@ -2121,6 +2223,17 @@ object Multimodal {
     */
   def decodeImage16(bin: Column): Column =
     bridge(graft.expr.Png16Stats(ex(bin)))
+
+  /** Lossless-JPEG (SOF3, T.81 Annex H) sample statistics at FULL
+    * precision (2–16 bit — the DNG/raw-camera and medical-imaging
+    * layouts): struct(width, height, components, precision, px_sum,
+    * px_min, px_max) over every sample of every component — like
+    * [[decodeImage16]], no truncated 8-bit raster is fabricated. Null
+    * outside the envelope (Huffman, 1×1 sampling, one interleaved scan,
+    * predictors 1–7, point transform, no restarts).
+    */
+  def jpegLosslessFeatures(bin: Column): Column =
+    bridge(graft.expr.JpegLosslessStats(ex(bin)))
 
   /** 16-bit PNG nearest-neighbor resize re-encoded AT DEPTH 16 — the
     * scientific/depth-image raster path: whole big-endian sample pairs

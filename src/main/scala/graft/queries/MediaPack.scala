@@ -697,6 +697,60 @@ object MediaPack {
       w.getField("pcm_zc").as("s_zc"))
   }
 
+  /** Lossless-JPEG fixture: the three SOF3 lanes from the independent
+    * bitstream writer (closed-form DIFFERENCES — the recurrence is never
+    * run at encode time), memoized separately.
+    */
+  private def jpegLosslessBlobs(s: SparkSession, dir: String) = {
+    val (store, _) = Fixtures(s, dir, "fix_media_jls") { st =>
+      st.write(Tables.documents(s, dir).select(col("doc_id"))
+        .withColumn("jl16", Multimodal.makeJpegLosslessG16(col("doc_id")))
+        .withColumn("jl12", Multimodal.makeJpegLosslessG12(col("doc_id")))
+        .withColumn("jl3", Multimodal.makeJpegLossless3c(col("doc_id"))),
+        "mm_jls", slices = 8)
+      Map("blobs" -> "mm_jls")
+    }
+    store.readResolved("mm_jls")
+  }
+
+  /** REAL lossless-JPEG decode (SOF3, T.81 Annex H) — the DNG/raw-camera
+    * and medical-imaging JPEG flavor, closing the lossless envelope
+    * null: Huffman-coded DPCM differences reconstructed modulo 2^16
+    * against the seven spatial predictors, at full 2–16 bit precision
+    * (no truncated raster — the png16Stats discipline). Three lanes:
+    * gray 16-bit predictor 1 (with the SSSS=16 no-bits 32768 special
+    * AND ±20k diffs forcing mod-2^16 wraps), gray 12-bit predictor 2
+    * with a nonzero point transform (pt=2 — initial prediction 1<<9,
+    * outputs shifted left 2), and 3-component 8-bit predictor 4
+    * (Ra+Rb−Rc) in one interleaved scan. Because reconstruction for
+    * predictors 1/2/4 telescopes into prefix sums of the closed-form
+    * diffs (predictor 4 is the 2-D integral image), the DuckDB oracle
+    * replays the exact pixels with window SUMs — no recursion.
+    * Predictors 3/5/6/7 (shift-based, not prefix-summable) are
+    * spec-verified against an independent in-test recurrence instead.
+    * Codegen'd scan-side; the one exchange is the tiny blob-table join.
+    */
+  def jpegLossless(s: SparkSession, dir: String): DataFrame = {
+    val media = jpegLosslessBlobs(s, dir)
+    val a = Multimodal.jpegLosslessFeatures(col("jl16"))
+    val b = Multimodal.jpegLosslessFeatures(col("jl12"))
+    val c = Multimodal.jpegLosslessFeatures(col("jl3"))
+    media.select(col("doc_id"),
+      a.getField("width").cast("long").as("g16_w"),
+      a.getField("height").cast("long").as("g16_h"),
+      a.getField("precision").cast("long").as("g16_p"),
+      a.getField("px_sum").as("g16_sum"),
+      a.getField("px_min").cast("long").as("g16_min"),
+      a.getField("px_max").cast("long").as("g16_max"),
+      b.getField("px_sum").as("g12_sum"),
+      b.getField("px_min").cast("long").as("g12_min"),
+      b.getField("px_max").cast("long").as("g12_max"),
+      c.getField("components").cast("long").as("c3_nc"),
+      c.getField("px_sum").as("c3_sum"),
+      c.getField("px_min").cast("long").as("c3_min"),
+      c.getField("px_max").cast("long").as("c3_max"))
+  }
+
   /** DHT-less MJPEG fixture: frames coded against the Annex K typical
     * Huffman tables with NO DHT segment (the most common real-world MJPEG
     * flavor, per the OpenDML implied-standard-tables convention); 4:2:0
@@ -798,6 +852,7 @@ object MediaPack {
     "mm_audio_float" -> audioFloat _,
     "mm_audio_adpcm" -> audioAdpcm _,
     "mm_audio_msadpcm" -> audioMsAdpcm _,
+    "mm_jpeg_lossless" -> jpegLossless _,
     "mm_gif_anim" -> gifAnim _,
     "mm_gif_compose" -> gifCompose _,
     "mm_png16" -> png16 _,
@@ -1931,6 +1986,98 @@ object MediaPack {
          FROM documents d
          JOIN ma ON ma.doc_id = d.doc_id
          JOIN sa ON sa.doc_id = d.doc_id""",
+    // Lossless-JPEG replay: T.81 H.1.2 reconstruction TELESCOPES into
+    // prefix sums of the closed-form fixture diffs for predictors 1/2/4
+    // (mod 2^16 distributes over the cumulative sums), so the oracle is
+    // pure window SUMs — no recursion. g16 (predictor 1 = Ra, P=16,
+    // init 2^15): rx = init + cum(d(0,y')) + cum_{x'>=1}(d(x',y)); the
+    // diff stream is 32768 when k%23=7 (k = x + y*w), a wide +-20k draw
+    // when k%17=3, else +-600. g12 (predictor 2 = Rb, P=12, pt=2, init
+    // 1<<9): rx = init + cum(d(x',0)) + cum_{y'>=1}(d(x,y')), output
+    // (rx*4) mod 2^16. c3 (predictor 4 = Ra+Rb-Rc, P=8, init 128):
+    // the integral image — rx = init + 2D inclusive prefix sum.
+    "mm_jpeg_lossless" ->
+      """WITH g16d AS (
+           SELECT d.doc_id, x.x, y.y,
+                  CASE WHEN (x.x + y.y*(6 + d.doc_id % 5)) % 23 = 7
+                       THEN 32768
+                       WHEN (x.x + y.y*(6 + d.doc_id % 5)) % 17 = 3
+                       THEN (d.doc_id*31 + x.x*3 + y.y*5) % 40000 - 20000
+                       ELSE (d.doc_id*7 + x.x*13 + y.y*29) % 1201 - 600
+                  END AS dv
+           FROM documents d
+           JOIN range(0, 10) x(x) ON x.x < 6 + d.doc_id % 5
+           JOIN range(0, 8) y(y) ON y.y < 5 + d.doc_id % 4
+         ), g16c AS (
+           SELECT doc_id,
+                  SUM(CASE WHEN x = 0 THEN dv ELSE 0 END)
+                    OVER (PARTITION BY doc_id ORDER BY y, x) AS c0,
+                  SUM(CASE WHEN x > 0 THEN dv ELSE 0 END)
+                    OVER (PARTITION BY doc_id, y ORDER BY x) AS rc
+           FROM g16d
+         ), g16 AS (
+           SELECT doc_id, count(*) AS n, sum(v) AS s, min(v) AS mn,
+                  max(v) AS mx
+           FROM (SELECT doc_id,
+                        ((32768 + c0 + rc) % 65536 + 65536) % 65536 AS v
+                 FROM g16c) GROUP BY doc_id
+         ), g12d AS (
+           SELECT d.doc_id, x.x, y.y,
+                  (d.doc_id*11 + x.x*7 + y.y*3) % 401 - 200 AS dv
+           FROM documents d
+           JOIN range(0, 10) x(x) ON x.x < 5 + d.doc_id % 6
+           JOIN range(0, 8) y(y) ON y.y < 4 + d.doc_id % 5
+         ), g12c AS (
+           SELECT doc_id,
+                  SUM(CASE WHEN y = 0 THEN dv ELSE 0 END)
+                    OVER (PARTITION BY doc_id ORDER BY x, y) AS r0,
+                  SUM(CASE WHEN y > 0 THEN dv ELSE 0 END)
+                    OVER (PARTITION BY doc_id, x ORDER BY y) AS cc
+           FROM g12d
+         ), g12 AS (
+           SELECT doc_id, sum(v) AS s, min(v) AS mn, max(v) AS mx
+           FROM (SELECT doc_id,
+                        ((((512 + r0 + cc) % 65536 + 65536) % 65536) * 4)
+                          % 65536 AS v
+                 FROM g12c) GROUP BY doc_id
+         ), c3d AS (
+           SELECT d.doc_id, c.c, x.x, y.y,
+                  (d.doc_id*5 + c.c*17 + x.x*3 + y.y*11) % 101 - 50 AS dv
+           FROM documents d
+           JOIN range(0, 3) c(c) ON true
+           JOIN range(0, 10) x(x) ON x.x < 4 + d.doc_id % 7
+           JOIN range(0, 6) y(y) ON y.y < 4 + d.doc_id % 3
+         ), c3x AS (
+           SELECT doc_id, c, x, y,
+                  SUM(dv) OVER (PARTITION BY doc_id, c, y ORDER BY x) AS cx
+           FROM c3d
+         ), c3s AS (
+           SELECT doc_id,
+                  SUM(cx) OVER (PARTITION BY doc_id, c, x ORDER BY y) AS s2
+           FROM c3x
+         ), c3 AS (
+           SELECT doc_id, sum(v) AS s, min(v) AS mn, max(v) AS mx
+           FROM (SELECT doc_id, ((128 + s2) % 65536 + 65536) % 65536 AS v
+                 FROM c3s) GROUP BY doc_id
+         )
+         SELECT d.doc_id,
+         CAST(6 + d.doc_id % 5 AS BIGINT) AS g16_w,
+         CAST(5 + d.doc_id % 4 AS BIGINT) AS g16_h,
+         CAST(16 AS BIGINT) AS g16_p,
+         CAST(g16.s AS BIGINT) AS g16_sum,
+         CAST(g16.mn AS BIGINT) AS g16_min,
+         CAST(g16.mx AS BIGINT) AS g16_max,
+         CAST(g12.s AS BIGINT) AS g12_sum,
+         CAST(g12.mn AS BIGINT) AS g12_min,
+         CAST(g12.mx AS BIGINT) AS g12_max,
+         CAST(3 AS BIGINT) AS c3_nc,
+         CAST(c3.s AS BIGINT) AS c3_sum,
+         CAST(c3.mn AS BIGINT) AS c3_min,
+         CAST(c3.mx AS BIGINT) AS c3_max
+         FROM documents d
+         JOIN g16 ON g16.doc_id = d.doc_id
+         JOIN g12 ON g12.doc_id = d.doc_id
+         JOIN c3 ON c3.doc_id = d.doc_id""",
     // DHT-less MJPEG replay: (12+id%13)x(8+id%9) 4:2:0 color,
     // 2+id%4 frames at 15000+(id%4)*15000 us/frame, sampled every 2nd.
     // Frame f: Y block (bx,by) = (bx*17+by*23+id*9+f*11)%256, chroma per

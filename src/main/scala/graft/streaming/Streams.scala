@@ -504,12 +504,13 @@ object Streams {
   /** Multimodal ingest annotation — the media twin of
     * [[qualityAnnotateSink]]: each micro-batch of (id, blob) rows is
     * annotated with its detected media type, REAL decode statistics
-    * (PNG/baseline-JPEG images, MJPEG-AVI video via every-2nd-frame
-    * decode, GIF animations via the full compositing walk — width/height,
-    * frame count and composited px_sum land through the shared columns —
+    * (PNG/baseline-JPEG images, lossless SOF3 JPEG at full
+    * precision, MJPEG-AVI video via every-2nd-frame decode, GIF
+    * animations via the full compositing walk — width/height, frame
+    * count and composited px_sum land through the shared columns —
     * and WAV audio across the whole envelope: integer PCM, G.711,
-    * float32/float64, extensible, IMA-ADPCM, with pcm_bits landing the
-    * storage depth; the same codegen'd expressions the batch scans use,
+    * float32/float64, extensible, IMA- and Microsoft-ADPCM, with
+    * pcm_bits landing the storage depth; the same codegen'd expressions the batch scans use,
     * null columns for the formats a blob isn't), and the
     * full-md5 content-dedup key, then landed as a snapshot chained to the
     * previous batch. Everything is scan-side per-row work: the blobs
@@ -536,6 +537,7 @@ object Streams {
         if (!batch.isEmpty) {
           val img = Multimodal.decodeImage(col(binCol))
           val jpg = Multimodal.decodeJpeg(col(binCol))
+          val jls = Multimodal.jpegLosslessFeatures(col(binCol))
           val vid = Multimodal.videoFrameStats(col(binCol), 2)
           val vm = Multimodal.videoMeta(col(binCol))
           val wav = Multimodal.audioFeatures(col(binCol))
@@ -547,13 +549,14 @@ object Streams {
           val annotated = batch.select(col(idCol),
             Multimodal.mediaType(col(binCol)).as("media_type"),
             coalesce(img.getField("width"), jpg.getField("width"),
-              vm.getField("width"), gs.getField("width"))
-              .cast("long").as("width"),
+              jls.getField("width"), vm.getField("width"),
+              gs.getField("width")).cast("long").as("width"),
             coalesce(img.getField("height"), jpg.getField("height"),
-              vm.getField("height"), gs.getField("height"))
-              .cast("long").as("height"),
+              jls.getField("height"), vm.getField("height"),
+              gs.getField("height")).cast("long").as("height"),
             coalesce(img.getField("px_sum"), jpg.getField("px_sum"),
-              vid.getField("px_sum"), gifPx).as("px_sum"),
+              jls.getField("px_sum"), vid.getField("px_sum"), gifPx)
+              .as("px_sum"),
             coalesce(vm.getField("n_frames").cast("long"),
               size(gs.getField("frames")).cast("long")).as("n_frames"),
             wav.getField("n_samples").as("n_samples"),

@@ -266,6 +266,120 @@ class MediaCodecSpec extends AnyFunSuite {
     assert(MediaCodecHelper.wavPcmStats(good.dropRight(1)) == null, "ragged")
   }
 
+  test("lossless JPEG reconstructs the DPCM recurrence for all 7 predictors") {
+    // independent replay of T.81 H.1.2 (re-stated here, not shared with
+    // the decoder): first sample <- 1<<(P-pt-1), rest of first line <-
+    // Ra, first column <- Rb, else the scan predictor; mod 2^16; inverse
+    // point transform << pt.
+    def recon(w: Int, h: Int, p: Int, sel: Int, pt: Int, nc: Int,
+              diff: (Int, Int, Int) => Int): Seq[Int] = {
+      val rec = Array.ofDim[Int](nc, h, w)
+      val out = Seq.newBuilder[Int]
+      for (y <- 0 until h; x <- 0 until w; c <- 0 until nc) {
+        val pred =
+          if (y == 0 && x == 0) 1 << (p - pt - 1)
+          else if (y == 0) rec(c)(0)(x - 1)
+          else if (x == 0) rec(c)(y - 1)(0)
+          else {
+            val ra = rec(c)(y)(x - 1)
+            val rb = rec(c)(y - 1)(x)
+            val rcn = rec(c)(y - 1)(x - 1)
+            sel match {
+              case 1 => ra
+              case 2 => rb
+              case 3 => rcn
+              case 4 => ra + rb - rcn
+              case 5 => ra + ((rb - rcn) >> 1)
+              case 6 => rb + ((ra - rcn) >> 1)
+              case _ => (ra + rb) >> 1
+            }
+          }
+        val rx = (pred + diff(c, x, y)) & 0xffff
+        rec(c)(y)(x) = rx
+        out += ((rx << pt) & 0xffff)
+      }
+      out.result()
+    }
+    def check(bytes: Array[Byte], w: Int, h: Int, p: Int, sel: Int,
+              pt: Int, nc: Int, diff: (Int, Int, Int) => Int,
+              tag: String): Unit = {
+      val st = MediaCodecHelper.jpegLosslessStats(bytes)
+      assert(st != null, tag)
+      val pix = recon(w, h, p, sel, pt, nc, diff)
+      assert(st.getInt(0) == w && st.getInt(1) == h, tag)
+      assert(st.getInt(2) == nc && st.getInt(3) == p, tag)
+      assert(st.getLong(4) == pix.map(_.toLong).sum, s"$tag sum")
+      assert(st.getInt(5) == pix.min && st.getInt(6) == pix.max, tag)
+    }
+    // the three gated lanes (predictors 1, 2, 4)
+    for (id <- 0L until 12L) {
+      val w16 = 6 + (id % 5).toInt
+      check(Multimodal.jpegLosslessG16Bytes(id), w16, 5 + (id % 4).toInt,
+        16, 1, 0, 1, (_, x, y) => {
+          val k = x + y * w16
+          if (k % 23 == 7) 32768
+          else if (k % 17 == 3) ((id * 31 + x * 3 + y * 5) % 40000).toInt - 20000
+          else ((id * 7 + x * 13 + y * 29) % 1201).toInt - 600
+        }, s"g16 id $id")
+      check(Multimodal.jpegLosslessG12Bytes(id), 5 + (id % 6).toInt,
+        4 + (id % 5).toInt, 12, 2, 2, 1,
+        (_, x, y) => ((id * 11 + x * 7 + y * 3) % 401).toInt - 200,
+        s"g12 id $id")
+      check(Multimodal.jpegLossless3cBytes(id), 4 + (id % 7).toInt,
+        4 + (id % 3).toInt, 8, 4, 0, 3,
+        (c, x, y) => ((id * 5 + c * 17 + x * 3 + y * 11) % 101).toInt - 50,
+        s"c3 id $id")
+    }
+    // the shift-based predictors 3/5/6/7 (not prefix-summable, so no
+    // SQL oracle lane): negative-difference shifts exercise the
+    // arithmetic >> on both signs
+    for (sel <- Seq(3, 5, 6, 7); pt <- Seq(0, 1)) {
+      val d = (c: Int, x: Int, y: Int) => ((x * 37 + y * 53 + c * 7) % 501) - 250
+      val bytes = Multimodal.jpegLosslessBytes(7, 6, 14, sel, pt, 2, d)
+      check(bytes, 7, 6, 14, sel, pt, 2, d, s"sel $sel pt $pt")
+    }
+  }
+
+  test("lossless JPEG envelope honest-nulls") {
+    // fixture layout: SOI 2 + DHT 38 (marker 2, len 2 = 36, class 1,
+    // counts 16, vals 17) -> SOF3 marker at 40: precision byte 44, nc
+    // byte 49, comp hv byte 51; SOS marker at 53 (nc=1): Ss byte 60,
+    // AhAl byte 62; entropy from 63
+    val good = Multimodal.jpegLosslessG16Bytes(3L)
+    assert(MediaCodecHelper.jpegLosslessStats(good) != null)
+    // the 8-bit STILL decoder keeps nulling SOF3 (no fabricated raster)
+    assert(MediaCodecHelper.decodeJpeg(good) == null, "SOF3 stays out of decodeJpeg")
+    // and the lossless decoder nulls every OTHER frame type
+    assert(MediaCodecHelper.jpegLosslessStats(Multimodal.grayJpegBytes(3L)) == null,
+      "SOF0 is not lossless")
+    def patched(off: Int, v: Int): Array[Byte] = {
+      val b = good.clone(); b(off) = v.toByte; b
+    }
+    assert((good(40) & 0xff) == 0xff && (good(41) & 0xff) == 0xc3, "layout check")
+    assert(MediaCodecHelper.jpegLosslessStats(patched(44, 1)) == null, "precision 1")
+    assert(MediaCodecHelper.jpegLosslessStats(patched(44, 17)) == null, "precision 17")
+    assert(MediaCodecHelper.jpegLosslessStats(patched(51, 0x21)) == null,
+      "2x1 sampling")
+    assert(MediaCodecHelper.jpegLosslessStats(patched(60, 0)) == null, "Ss 0")
+    assert(MediaCodecHelper.jpegLosslessStats(patched(60, 8)) == null, "Ss 8")
+    assert(MediaCodecHelper.jpegLosslessStats(patched(62, 0x10)) == null, "Ah != 0")
+    // pt >= precision on the 12-bit lane
+    val g12 = Multimodal.jpegLosslessG12Bytes(3L)
+    assert(MediaCodecHelper.jpegLosslessStats(g12) != null)
+    def patched12(off: Int, v: Int): Array[Byte] = {
+      val b = g12.clone(); b(off) = v.toByte; b
+    }
+    assert(MediaCodecHelper.jpegLosslessStats(patched12(62, 12)) == null,
+      "pt >= precision")
+    // a DRI segment nulls: restart prediction resets are out of envelope
+    val withDri = good.take(53) ++
+      Array[Byte](0xff.toByte, 0xdd.toByte, 0, 4, 0, 5) ++ good.drop(53)
+    assert((good(53) & 0xff) == 0xff && (good(54) & 0xff) == 0xda, "SOS at 53")
+    assert(MediaCodecHelper.jpegLosslessStats(withDri) == null, "DRI")
+    // truncated entropy data bails
+    assert(MediaCodecHelper.jpegLosslessStats(good.dropRight(6)) == null, "ragged")
+  }
+
   test("frame-sampling keeps every Nth frame and re-encodes a valid WAV") {
     val fs = MediaCodecHelper.wavFrameSample(Multimodal.wavBytes(8000, 100), 7)
     assert(fs != null)
