@@ -36,9 +36,10 @@ import org.apache.spark.sql.types._
   *    MJPEG convention — [[decodeJpegAuto]]). LOSSLESS frames (SOF3,
   *    Annex H — Huffman DPCM, 2–16 bit, predictors 1–7, point
   *    transform) decode through [[jpegLosslessStats]] at full precision
-  *    (r17; like 16-bit PNG, no truncated raster is fabricated).
-  *    Arithmetic coding, 12-bit DCT precision, and hierarchical frames
-  *    return null.
+  *    (r17; like 16-bit PNG, no truncated raster is fabricated), and
+  *    12-BIT extended-sequential gray (SOF1 — the DICOM shape) through
+  *    [[jpeg12Stats]] with the 2^11 level shift and [0, 4095] clamp
+  *    (r17). Arithmetic coding and hierarchical frames return null.
   *  - WAV: integer PCM at 8 (unsigned, reported center-zeroed), 16, 24
   *    and 32 bits, G.711 µ-law/A-law, IEEE float32 (reported on the
   *    16-bit integer lattice: floor(f·2^15), a power-of-two scale so the
@@ -847,8 +848,9 @@ object MediaCodecHelper {
     * precision, 1 or 3 components, sampling factors 1 or 2, restart
     * markers, 8- or 16-bit quant tables. Null only for arithmetic
     * coding, 12-bit precision, and lossless/hierarchical frames —
-    * lossless (SOF3) decodes at full precision through the dedicated
-    * [[jpegLosslessStats]] path, never through this 8-bit raster one.
+    * lossless (SOF3) and 12-bit gray (SOF1) decode at full precision
+    * through the dedicated [[jpegLosslessStats]] / [[jpeg12Stats]]
+    * paths, never through this 8-bit raster one.
     *
     * Output: gray raster (bpp=1) for 1 component; interleaved RGB (bpp=3)
     * for 3, converted with the fixed-point CCIR 601 constants
@@ -1520,6 +1522,245 @@ object MediaCodecHelper {
     }
     jAssemble(w, h, comps, hmax, vmax)
   }
+
+  // ---------------- 12-bit extended-sequential JPEG (SOF1) ----------------
+  //
+  // T.81 extended sequential DCT at 12-bit sample precision — the
+  // DICOM/medical-imaging JPEG shape (SOF0 baseline is 8-bit BY
+  // DEFINITION; 12-bit rides SOF1). The entropy/dequant/IDCT machinery
+  // is the 8-bit path's with three changes: the level shift is 2^11, the
+  // clamp is [0, 4095], and DC difference categories run to 15 (Table
+  // F.1). Like the 16-bit-PNG and lossless-JPEG surfaces, no truncated
+  // 8-bit raster is fabricated — full-precision statistics are the
+  // decode surface.
+
+  /** Decoded 12-bit frame: gray samples at full precision. */
+  final class J12(val width: Int, val height: Int, val samples: Array[Int])
+
+  /** 12-bit JPEG sample statistics at FULL precision: struct(width,
+    * height, px_sum, px_min, px_max). Null outside the envelope (see
+    * [[decodeJpeg12]]).
+    */
+  def jpeg12Stats(bytes: Array[Byte]): InternalRow = {
+    val r = decodeJpeg12(bytes)
+    if (r == null) return null
+    var sum = 0L; var mn = Int.MaxValue; var mx = 0
+    var i = 0
+    while (i < r.samples.length) {
+      val v = r.samples(i)
+      sum += v; if (v < mn) mn = v; if (v > mx) mx = v
+      i += 1
+    }
+    new GenericInternalRow(Array[Any](r.width, r.height, sum, mn, mx))
+  }
+
+  /** 12-bit extended-sequential JPEG decode (T.81, SOF1, Huffman).
+    *
+    * Envelope (null outside it): SOF1 frames with precision 12, ONE
+    * gray component (the DICOM shape — 12-bit color would need a
+    * 12-bit chroma convention no ecosystem agrees on), single full-band
+    * scan, 8- or 16-bit quant tables, restart markers. The IDCT applies
+    * the 12-bit level shift with the same deterministic floor(x+2048.5)
+    * rounding the 8-bit path proves at floor(x+128.5), clamped to
+    * [0, 4095].
+    */
+  def decodeJpeg12(bytes: Array[Byte]): J12 = {
+    if (bytes == null || bytes.length < 4) return null
+    try decodeJpeg12_0(bytes)
+    catch { case _: RuntimeException => null }
+  }
+
+  private def decodeJpeg12_0(b: Array[Byte]): J12 = {
+    if ((b(0) & 0xff) != 0xff || (b(1) & 0xff) != 0xd8) return null
+    val qt = Array.ofDim[Int](4, 64)
+    val dcT = new Array[JHuff](4)
+    val acT = new Array[JHuff](4)
+    var w = 0; var h = 0
+    var haveFrame = false
+    var tq = 0; var td = 0; var ta = 0
+    var restartInt = 0
+    var off = 2
+    while (off + 1 < b.length) {
+      if ((b(off) & 0xff) != 0xff) return null
+      var m = b(off + 1) & 0xff
+      while (m == 0xff && off + 2 < b.length) { off += 1; m = b(off + 1) & 0xff }
+      off += 2
+      def segLen: Int = {
+        if (off + 2 > b.length) throw JpegBail
+        val len = ((b(off) & 0xff) << 8) | (b(off + 1) & 0xff)
+        if (len < 2 || off + len > b.length) throw JpegBail
+        len
+      }
+      m match {
+        case 0xd8 | 0x01 => // standalone
+        case 0xd9 => return null // EOI before the scan
+        case 0xdb => // DQT: 8- or 16-bit tables
+          val len = segLen
+          var p = off + 2; val stop = off + len
+          while (p < stop) {
+            val pq = (b(p) & 0xff) >> 4; val t = b(p) & 0x0f
+            if (pq > 1 || t > 3) throw JpegBail
+            p += 1
+            val step = if (pq == 0) 1 else 2
+            if (p + 64 * step > stop) throw JpegBail
+            var i = 0
+            while (i < 64) {
+              qt(t)(i) =
+                if (pq == 0) b(p + i) & 0xff
+                else ((b(p + 2 * i) & 0xff) << 8) | (b(p + 2 * i + 1) & 0xff)
+              if (qt(t)(i) == 0) throw JpegBail
+              i += 1
+            }
+            p += 64 * step
+          }
+          off += len
+        case 0xc4 => // DHT
+          val len = segLen
+          var p = off + 2; val stop = off + len
+          while (p < stop) {
+            val tc = (b(p) & 0xff) >> 4; val th = b(p) & 0x0f
+            if (tc > 1 || th > 3) throw JpegBail
+            p += 1
+            if (p + 16 > stop) throw JpegBail
+            val counts = Array.tabulate(16)(i => b(p + i) & 0xff)
+            p += 16
+            val n = counts.sum
+            if (n > 256 || p + n > stop) throw JpegBail
+            val vals = Array.tabulate(n)(i => b(p + i) & 0xff)
+            p += n
+            val t = new JHuff(counts, vals)
+            if (tc == 0) dcT(th) = t else acT(th) = t
+          }
+          off += len
+        case 0xc1 => // SOF1: extended sequential
+          val len = segLen
+          if (len < 11) throw JpegBail
+          val precision = b(off + 2) & 0xff
+          h = ((b(off + 3) & 0xff) << 8) | (b(off + 4) & 0xff)
+          w = ((b(off + 5) & 0xff) << 8) | (b(off + 6) & 0xff)
+          val nc = b(off + 7) & 0xff
+          if (precision != 12 || w <= 0 || h <= 0 || nc != 1) return null
+          if (w.toLong * h > 16L * 1024 * 1024) return null
+          val hv = b(off + 9) & 0xff
+          if (hv != 0x11) return null // 1x1 sampling
+          tq = b(off + 10) & 0xff
+          if (tq > 3) return null
+          haveFrame = true
+          off += len
+        case x if (x >= 0xc0 && x <= 0xcf && x != 0xc1 && x != 0xc4) =>
+          return null // 8-bit baseline / progressive / lossless: other paths
+        case 0xdd =>
+          val len = segLen
+          if (len != 4) throw JpegBail
+          restartInt = ((b(off + 2) & 0xff) << 8) | (b(off + 3) & 0xff)
+          off += len
+        case 0xda =>
+          val len = segLen
+          if (!haveFrame) return null
+          if ((b(off + 2) & 0xff) != 1 || len != 8) return null
+          val tdta = b(off + 4) & 0xff
+          td = tdta >> 4; ta = tdta & 0x0f
+          if (td > 3 || ta > 3) return null
+          val ss = b(off + 5) & 0xff
+          val se = b(off + 6) & 0xff
+          if (ss != 0 || se != 63 || (b(off + 7) & 0xff) != 0) return null
+          if (dcT(td) == null || acT(ta) == null) return null
+          return jScan12(b, off + len, w, h, qt(tq), dcT(td), acT(ta),
+            restartInt)
+        case x if x >= 0xd0 && x <= 0xd7 => // RSTn outside scan: ignore
+        case _ => off += segLen
+      }
+    }
+    null
+  }
+
+  /** The single-component 12-bit scan: per 8×8 block, DC diff (category
+    * ≤ 15 per Table F.1) + AC run/size, dequantize, IDCT with the
+    * 12-bit level shift floor(x+2048.5) clamped to [0, 4095], crop.
+    */
+  private def jScan12(b: Array[Byte], scanOff: Int, w: Int, h: Int,
+                      q: Array[Int], dc: JHuff, ac: JHuff,
+                      restartInt: Int): J12 = {
+    val bxN = (w + 7) / 8; val byN = (h + 7) / 8
+    val planeW = bxN * 8
+    val plane = new Array[Int](planeW * byN * 8)
+    val r = new JBits(b, scanOff, b.length)
+    val coef = new Array[Int](64)
+    val tmp = new Array[Double](64)
+    var pred = 0
+    var mcu = 0; var rstIdx = 0
+    var by = 0
+    while (by < byN) {
+      var bx = 0
+      while (bx < bxN) {
+        if (restartInt > 0 && mcu > 0 && mcu % restartInt == 0) {
+          r.restart(rstIdx); rstIdx = (rstIdx + 1) & 7
+          pred = 0
+        }
+        java.util.Arrays.fill(coef, 0)
+        val t = jDecodeSym(r, dc)
+        if (t > 15) throw JpegBail // 12-bit DC categories run 0..15
+        pred += jExtend(r.receive(t), t)
+        coef(0) = pred * q(0)
+        var k = 1
+        while (k < 64) {
+          val rs = jDecodeSym(r, ac)
+          val run = rs >> 4; val s = rs & 15
+          if (s == 0) {
+            if (run == 15) k += 16 else k = 64
+          } else {
+            k += run
+            if (k > 63) throw JpegBail
+            coef(JpegZigzag(k)) = jExtend(r.receive(s), s) * q(k)
+            k += 1
+          }
+        }
+        // IDCT with the 12-bit level shift and clamp
+        var x = 0
+        while (x < 8) {
+          var v = 0
+          while (v < 8) {
+            var acc = 0.0
+            var u = 0
+            while (u < 8) { acc += coef(v * 8 + u) * IdctCos(u)(x); u += 1 }
+            tmp(v * 8 + x) = acc
+            v += 1
+          }
+          x += 1
+        }
+        var y = 0
+        while (y < 8) {
+          var xx = 0
+          while (xx < 8) {
+            var f = 0.0
+            var v = 0
+            while (v < 8) { f += tmp(v * 8 + xx) * IdctCos(v)(y); v += 1 }
+            var p = StrictMath.floor(f + 2048.5).toInt
+            if (p < 0) p = 0 else if (p > 4095) p = 4095
+            plane((by * 8 + y) * planeW + bx * 8 + xx) = p
+            xx += 1
+          }
+          y += 1
+        }
+        mcu += 1; bx += 1
+      }
+      by += 1
+    }
+    val out = new Array[Int](w * h)
+    var y = 0
+    while (y < h) {
+      System.arraycopy(plane, y * planeW, out, y * w, w)
+      y += 1
+    }
+    new J12(w, h, out)
+  }
+
+  val Jpeg12StatsType: StructType = StructType(Seq(
+    StructField("width", IntegerType, nullable = false),
+    StructField("height", IntegerType, nullable = false),
+    StructField("px_sum", LongType, nullable = false),
+    StructField("px_min", IntegerType, nullable = false),
+    StructField("px_max", IntegerType, nullable = false)))
 
   // ---------------- lossless JPEG (SOF3) ----------------
   //
@@ -2970,6 +3211,26 @@ case class Png16Stats(child: Expression) extends UnaryExpression {
        """.stripMargin
     })
   override protected def withNewChildInternal(newChild: Expression): Png16Stats =
+    copy(child = newChild)
+}
+
+/** 12-bit extended-sequential JPEG (SOF1) sample statistics at full
+  * precision — the DICOM/medical gray shape; null outside the envelope.
+  */
+case class Jpeg12Stats(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = MediaCodecHelper.Jpeg12StatsType
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_jpeg12_stats"
+  override def nullSafeEval(input: Any): Any =
+    MediaCodecHelper.jpeg12Stats(input.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      s"""
+         |${ev.value} = graft.expr.MediaCodecHelper.jpeg12Stats($c);
+         |${ev.isNull} = (${ev.value} == null);
+       """.stripMargin
+    })
+  override protected def withNewChildInternal(newChild: Expression): Jpeg12Stats =
     copy(child = newChild)
 }
 

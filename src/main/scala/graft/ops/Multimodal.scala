@@ -1003,6 +1003,126 @@ object Multimodal {
       crBlock = (_, my) => ((my * 19 + id * 3) % 256).toInt,
       acSeed = null, restartInterval = 0)
 
+  /** 12-bit extended-sequential JPEG (SOF1) fixture encoder — the
+    * independent bitstream writer for the DICOM-shaped gray lane. One
+    * quant table (8- or 16-bit per `q16`), one DC table (the 16 category
+    * symbols 0–15 at code length 5 — canonical code i for symbol i) and
+    * one AC table (EOB=0x00, run-0 sizes 0x01–0x0A and ZRL=0xF0 at
+    * length 5, in that symbol order). Each 8×8 block carries a DC
+    * difference (the closed-form block VALUE differenced against the
+    * running predictor — pure arithmetic on the caller's values, the
+    * decoder's dequant/IDCT reconstruction is never run here) plus
+    * optional run-0 AC coefficients for block (0,0), then EOB. Restart
+    * markers every `restartInterval` MCUs (1-padded byte alignment,
+    * predictor reset).
+    */
+  def jpeg12Bytes(w: Int, h: Int, q0: Int, q16: Boolean,
+                  dcBlock: (Int, Int) => Int, ac00: Seq[Int],
+                  restartInterval: Int): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    def b2(v: Int): Unit = { out.write((v >> 8) & 0xff); out.write(v & 0xff) }
+    out.write(0xff); out.write(0xd8)
+    out.write(0xff); out.write(0xdb) // DQT: q0 then unit steps
+    if (q16) {
+      b2(2 + 1 + 128); out.write(0x10)
+      b2(q0); for (_ <- 1 until 64) b2(1)
+    } else {
+      b2(2 + 1 + 64); out.write(0x00)
+      out.write(q0); for (_ <- 1 until 64) out.write(1)
+    }
+    out.write(0xff); out.write(0xc4) // DHT: DC class 0 id 0
+    b2(2 + 1 + 16 + 16)
+    out.write(0x00)
+    for (l <- 1 to 16) out.write(if (l == 5) 16 else 0)
+    for (s <- 0 to 15) out.write(s)
+    out.write(0xff); out.write(0xc4) // DHT: AC class 1 id 0
+    b2(2 + 1 + 16 + 12)
+    out.write(0x10)
+    for (l <- 1 to 16) out.write(if (l == 5) 12 else 0)
+    out.write(0x00); for (s <- 1 to 10) out.write(s); out.write(0xf0)
+    val acSym: Map[Int, Int] =
+      (Seq(0x00) ++ (1 to 10).map(s => s) ++ Seq(0xf0)).zipWithIndex.toMap
+    out.write(0xff); out.write(0xc1) // SOF1: 12-bit gray
+    b2(11); out.write(12); b2(h); b2(w); out.write(1)
+    out.write(1); out.write(0x11); out.write(0)
+    if (restartInterval > 0) {
+      out.write(0xff); out.write(0xdd); b2(4); b2(restartInterval)
+    }
+    out.write(0xff); out.write(0xda) // SOS
+    b2(8); out.write(1); out.write(1); out.write(0x00)
+    out.write(0); out.write(63); out.write(0)
+    var acc = 0; var nbits = 0
+    def putBits(v: Int, n: Int): Unit = {
+      var i = n - 1
+      while (i >= 0) {
+        acc = (acc << 1) | ((v >> i) & 1); nbits += 1
+        if (nbits == 8) {
+          out.write(acc)
+          if (acc == 0xff) out.write(0x00)
+          acc = 0; nbits = 0
+        }
+        i -= 1
+      }
+    }
+    def putSigned(d: Int): Unit = {
+      val mag = math.abs(d)
+      var t = 0
+      while ((1 << t) <= mag) t += 1
+      putBits(t, 5) // DC category code = symbol index = category
+      if (t > 0) putBits(if (d >= 0) d else d - 1 + (1 << t), t)
+    }
+    val bxN = (w + 7) / 8; val byN = (h + 7) / 8
+    var pred = 0; var mcu = 0; var rstIdx = 0
+    for (by <- 0 until byN; bx <- 0 until bxN) {
+      if (restartInterval > 0 && mcu > 0 && mcu % restartInterval == 0) {
+        if (nbits > 0) putBits((1 << (8 - nbits)) - 1, 8 - nbits)
+        out.write(0xff); out.write(0xd0 + rstIdx)
+        rstIdx = (rstIdx + 1) & 7; pred = 0
+      }
+      val dc = dcBlock(bx, by)
+      putSigned(dc - pred); pred = dc
+      if (bx == 0 && by == 0 && ac00.nonEmpty) {
+        ac00.foreach { a => // run-0 coefficients at zigzag 1..n
+          val mag = math.abs(a)
+          var t = 0
+          while ((1 << t) <= mag) t += 1
+          require(t >= 1 && t <= 10, s"AC size $t out of the table")
+          putBits(acSym(t), 5)
+          putBits(if (a >= 0) a else a - 1 + (1 << t), t)
+        }
+      }
+      putBits(acSym(0x00), 5) // EOB
+      mcu += 1
+    }
+    if (nbits > 0) putBits((1 << (8 - nbits)) - 1, 8 - nbits)
+    out.write(0xff); out.write(0xd9)
+    out.toByteArray
+  }
+
+  /** 12-bit JPEG lane A: (10+id%15)×(9+id%8), q0=8 (8-bit DQT), restart
+    * every 3 MCUs. DC-only blocks with dequantized DC = 8·(p−2048), so
+    * the IDCT reproduces the closed-form block constant p = (bx·37 +
+    * by·59 + id·13) % 4096 EXACTLY (floor(x+2048.5) absorbs float dust)
+    * — the 12-bit twin of the 8-bit roundtrip gate's constant blocks,
+    * reaching both clamp edges across ids.
+    */
+  def jpeg12Bytes(id: Long): Array[Byte] =
+    jpeg12Bytes(10 + (id % 15).toInt, 9 + (id % 8).toInt, q0 = 8,
+      q16 = false,
+      (bx, by) => ((bx * 37 + by * 59 + id * 13) % 4096).toInt - 2048,
+      ac00 = Nil, restartInterval = 3)
+
+  /** 12-bit JPEG lane B: 16-BIT quant table (Pq=1, q0=800 — above the
+    * 8-bit ceiling, so the wide-table read path is inside the gate),
+    * no restarts. Quantized DC v in ±20 dequantizes to 800v; the IDCT's
+    * /8 gives exact pixels 2048 + 100·v.
+    */
+  def jpeg12WideQBytes(id: Long): Array[Byte] =
+    jpeg12Bytes(9 + (id % 11).toInt, 8 + (id % 9).toInt, q0 = 800,
+      q16 = true,
+      (bx, by) => ((bx * 7 + by * 11 + id * 3) % 41).toInt - 20,
+      ac00 = Nil, restartInterval = 0)
+
   /** Lossless-JPEG (SOF3) fixture encoder — the independent bitstream
     * WRITER (never decodes: the DIFFERENCES are the closed-form input
     * and the predictor recurrence is never run here — the ADPCM fixture
@@ -2044,6 +2164,8 @@ object Multimodal {
   val makeGray16KeyPng = udf((id: Long) => gray16KeyPngBytes(id))
   val makeRgb16KeyPng = udf((id: Long) => rgb16KeyPngBytes(id))
   val makeGrayJpeg = udf((id: Long) => grayJpegBytes(id))
+  val makeJpeg12 = udf((id: Long) => jpeg12Bytes(id))
+  val makeJpeg12WideQ = udf((id: Long) => jpeg12WideQBytes(id))
   val makeJpegLosslessG16 = udf((id: Long) => jpegLosslessG16Bytes(id))
   val makeJpegLosslessG12 = udf((id: Long) => jpegLosslessG12Bytes(id))
   val makeJpegLossless3c = udf((id: Long) => jpegLossless3cBytes(id))
@@ -2234,6 +2356,15 @@ object Multimodal {
     */
   def jpegLosslessFeatures(bin: Column): Column =
     bridge(graft.expr.JpegLosslessStats(ex(bin)))
+
+  /** 12-bit extended-sequential JPEG (SOF1) sample statistics at FULL
+    * precision — the DICOM/medical gray shape: struct(width, height,
+    * px_sum, px_min, px_max) with the 12-bit level shift and [0, 4095]
+    * clamp. Null outside the envelope (gray, single scan, Huffman,
+    * 8- or 16-bit quant tables, restart markers).
+    */
+  def jpeg12Features(bin: Column): Column =
+    bridge(graft.expr.Jpeg12Stats(ex(bin)))
 
   /** 16-bit PNG nearest-neighbor resize re-encoded AT DEPTH 16 — the
     * scientific/depth-image raster path: whole big-endian sample pairs

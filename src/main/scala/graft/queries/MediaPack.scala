@@ -697,6 +697,51 @@ object MediaPack {
       w.getField("pcm_zc").as("s_zc"))
   }
 
+  /** 12-bit JPEG fixture: the two SOF1 lanes from the independent
+    * bitstream writer, memoized separately.
+    */
+  private def jpeg12Blobs(s: SparkSession, dir: String) = {
+    val (store, _) = Fixtures(s, dir, "fix_media_j12") { st =>
+      st.write(Tables.documents(s, dir).select(col("doc_id"))
+        .withColumn("ja", Multimodal.makeJpeg12(col("doc_id")))
+        .withColumn("jb", Multimodal.makeJpeg12WideQ(col("doc_id"))),
+        "mm_j12", slices = 8)
+      Map("blobs" -> "mm_j12")
+    }
+    store.readResolved("mm_j12")
+  }
+
+  /** REAL 12-bit extended-sequential JPEG decode (SOF1) — the
+    * DICOM/medical-imaging gray shape, closing the 12-bit envelope
+    * null: the same Huffman/dequant/IDCT machinery as the gate-proven
+    * 8-bit path with the 12-bit level shift (floor(x+2048.5)) and
+    * [0, 4095] clamp, DC categories to 15, full-precision stats (no
+    * truncated raster). Lane A: DC-only blocks whose dequantized DC is
+    * 8·(p−2048), so the IDCT reproduces the closed-form constant p
+    * exactly, with restart markers every 3 MCUs and an 8-bit DQT; the
+    * block sweep reaches both clamp edges. Lane B: a 16-BIT quant table
+    * (q0=800, above the 8-bit ceiling) proving the wide-table read at
+    * 12-bit precision — pixels 2048 + 100·v. The AC path at 12 bits is
+    * the 8-bit path's code verbatim and is additionally spec-verified
+    * with a run-0 AC block against the independent direct-form IDCT.
+    * Codegen'd scan-side; the one exchange is the tiny blob-table join.
+    */
+  def jpeg12(s: SparkSession, dir: String): DataFrame = {
+    val media = jpeg12Blobs(s, dir)
+    val a = Multimodal.jpeg12Features(col("ja"))
+    val b = Multimodal.jpeg12Features(col("jb"))
+    media.select(col("doc_id"),
+      a.getField("width").cast("long").as("a_w"),
+      a.getField("height").cast("long").as("a_h"),
+      a.getField("px_sum").as("a_sum"),
+      a.getField("px_min").cast("long").as("a_min"),
+      a.getField("px_max").cast("long").as("a_max"),
+      b.getField("width").cast("long").as("b_w"),
+      b.getField("px_sum").as("b_sum"),
+      b.getField("px_min").cast("long").as("b_min"),
+      b.getField("px_max").cast("long").as("b_max"))
+  }
+
   /** Lossless-JPEG fixture: the three SOF3 lanes from the independent
     * bitstream writer (closed-form DIFFERENCES — the recurrence is never
     * run at encode time), memoized separately.
@@ -853,6 +898,7 @@ object MediaPack {
     "mm_audio_adpcm" -> audioAdpcm _,
     "mm_audio_msadpcm" -> audioMsAdpcm _,
     "mm_jpeg_lossless" -> jpegLossless _,
+    "mm_jpeg12" -> jpeg12 _,
     "mm_gif_anim" -> gifAnim _,
     "mm_gif_compose" -> gifCompose _,
     "mm_png16" -> png16 _,
@@ -1986,6 +2032,47 @@ object MediaPack {
          FROM documents d
          JOIN ma ON ma.doc_id = d.doc_id
          JOIN sa ON sa.doc_id = d.doc_id""",
+    // 12-bit JPEG replay: lane A's DC-only blocks dequantize to
+    // 8*(p-2048) and the IDCT's /8 + 2048 level shift lands the
+    // closed-form constant p = (bx*37 + by*59 + id*13) % 4096 exactly
+    // (floor(x+2048.5) absorbs float dust, the 8-bit gate's own law);
+    // lane B's 16-bit quant table (q0=800) lands 2048 + 100*v with
+    // v = (bx*7 + by*11 + id*3) % 41 - 20. Pixels replay per (x,y)
+    // with bx = x//8, by = y//8 over the cropped w*h grid.
+    "mm_jpeg12" ->
+      """WITH ja AS (
+           SELECT d.doc_id,
+                  ((x.x // 8)*37 + (y.y // 8)*59 + d.doc_id*13) % 4096 AS v
+           FROM documents d
+           JOIN range(0, 25) x(x) ON x.x < 10 + d.doc_id % 15
+           JOIN range(0, 17) y(y) ON y.y < 9 + d.doc_id % 8
+         ), jaa AS (
+           SELECT doc_id, sum(v) AS s, min(v) AS mn, max(v) AS mx
+           FROM ja GROUP BY doc_id
+         ), jb AS (
+           SELECT d.doc_id,
+                  2048 + 100*(((x.x // 8)*7 + (y.y // 8)*11 + d.doc_id*3)
+                              % 41 - 20) AS v
+           FROM documents d
+           JOIN range(0, 20) x(x) ON x.x < 9 + d.doc_id % 11
+           JOIN range(0, 17) y(y) ON y.y < 8 + d.doc_id % 9
+         ), jba AS (
+           SELECT doc_id, sum(v) AS s, min(v) AS mn, max(v) AS mx
+           FROM jb GROUP BY doc_id
+         )
+         SELECT d.doc_id,
+         CAST(10 + d.doc_id % 15 AS BIGINT) AS a_w,
+         CAST(9 + d.doc_id % 8 AS BIGINT) AS a_h,
+         CAST(jaa.s AS BIGINT) AS a_sum,
+         CAST(jaa.mn AS BIGINT) AS a_min,
+         CAST(jaa.mx AS BIGINT) AS a_max,
+         CAST(9 + d.doc_id % 11 AS BIGINT) AS b_w,
+         CAST(jba.s AS BIGINT) AS b_sum,
+         CAST(jba.mn AS BIGINT) AS b_min,
+         CAST(jba.mx AS BIGINT) AS b_max
+         FROM documents d
+         JOIN jaa ON jaa.doc_id = d.doc_id
+         JOIN jba ON jba.doc_id = d.doc_id""",
     // Lossless-JPEG replay: T.81 H.1.2 reconstruction TELESCOPES into
     // prefix sums of the closed-form fixture diffs for predictors 1/2/4
     // (mod 2^16 distributes over the cumulative sums), so the oracle is

@@ -266,6 +266,65 @@ class MediaCodecSpec extends AnyFunSuite {
     assert(MediaCodecHelper.wavPcmStats(good.dropRight(1)) == null, "ragged")
   }
 
+  test("12-bit JPEG decodes DC-exact constants, AC vs reference IDCT, nulls") {
+    // DC-only lanes: closed-form block constants land exactly
+    for (id <- 0L until 12L) {
+      val a = MediaCodecHelper.jpeg12Stats(Multimodal.jpeg12Bytes(id))
+      val wA = 10 + (id % 15).toInt; val hA = 9 + (id % 8).toInt
+      val pxA = for (y <- 0 until hA; x <- 0 until wA)
+        yield ((x / 8) * 37 + (y / 8) * 59 + id * 13).toInt % 4096
+      assert(a != null && a.getInt(0) == wA && a.getInt(1) == hA, s"id $id")
+      assert(a.getLong(2) == pxA.map(_.toLong).sum, s"id $id sum")
+      assert(a.getInt(3) == pxA.min && a.getInt(4) == pxA.max, s"id $id")
+      val b = MediaCodecHelper.jpeg12Stats(Multimodal.jpeg12WideQBytes(id))
+      val wB = 9 + (id % 11).toInt; val hB = 8 + (id % 9).toInt
+      val pxB = for (y <- 0 until hB; x <- 0 until wB)
+        yield 2048 + 100 * (((x / 8) * 7 + (y / 8) * 11 + id * 3).toInt % 41 - 20)
+      assert(b != null && b.getInt(0) == wB && b.getInt(1) == hB, s"id $id")
+      assert(b.getLong(2) == pxB.map(_.toLong).sum, s"id $id wideq sum")
+      assert(b.getInt(3) == pxB.min && b.getInt(4) == pxB.max, s"id $id")
+    }
+    // AC coefficients at 12 bits vs an independent direct-form IDCT
+    // (re-stated here): one 8x8 block, dc=160 (q0=8 -> dequant 1280),
+    // run-0 ACs at zigzag 1 -> natural (u=1,v=0) and zigzag 2 ->
+    // natural (u=0,v=1), unit quant steps
+    val acBytes = Multimodal.jpeg12Bytes(8, 8, q0 = 8, q16 = false,
+      (_, _) => 160, ac00 = Seq(300, -451), restartInterval = 0)
+    val st = MediaCodecHelper.jpeg12Stats(acBytes)
+    assert(st != null && st.getInt(0) == 8)
+    def cc(u: Int) = if (u == 0) 1.0 / math.sqrt(2) else 1.0
+    val ref = for (y <- 0 until 8; x <- 0 until 8) yield {
+      val s = 0.25 * (cc(0) * cc(0) * 1280.0 +
+        cc(1) * cc(0) * 300.0 * math.cos((2 * x + 1) * math.Pi / 16) +
+        cc(0) * cc(1) * (-451.0) * math.cos((2 * y + 1) * math.Pi / 16))
+      math.max(0, math.min(4095, math.floor(s + 2048.5).toInt))
+    }
+    assert(st.getLong(2) == ref.map(_.toLong).sum, "AC block sum")
+    assert(st.getInt(3) == ref.min && st.getInt(4) == ref.max, "AC block extrema")
+    // honest nulls
+    val good = Multimodal.jpeg12Bytes(3L)
+    def find(marker: Int): Int = {
+      val i = good.indices.dropRight(1).find(i =>
+        (good(i) & 0xff) == 0xff && (good(i + 1) & 0xff) == marker).get
+      i
+    }
+    val sof = find(0xc1)
+    def patched(off: Int, v: Int): Array[Byte] = {
+      val c = good.clone(); c(off) = v.toByte; c
+    }
+    assert(MediaCodecHelper.jpeg12Stats(patched(sof + 4, 8)) == null,
+      "precision 8 is the other path's")
+    assert(MediaCodecHelper.jpeg12Stats(patched(sof + 1, 0xc0)) == null,
+      "SOF0 cannot be 12-bit")
+    assert(MediaCodecHelper.jpeg12Stats(patched(sof + 11, 0x21)) == null,
+      "2x1 sampling")
+    assert(MediaCodecHelper.jpeg12Stats(Multimodal.grayJpegBytes(3L)) == null,
+      "8-bit SOF0 is not this path's")
+    assert(MediaCodecHelper.decodeJpeg(good) == null,
+      "the 8-bit raster decoder keeps nulling 12-bit frames")
+    assert(MediaCodecHelper.jpeg12Stats(good.dropRight(8)) == null, "ragged")
+  }
+
   test("lossless JPEG reconstructs the DPCM recurrence for all 7 predictors") {
     // independent replay of T.81 H.1.2 (re-stated here, not shared with
     // the decoder): first sample <- 1<<(P-pt-1), rest of first line <-
