@@ -161,9 +161,21 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     }
 
     inject("graft_wav_stats",
-      "graft_wav_stats(bin) - struct(n_samples, sample_rate, pcm_sum, pcm_sqsum, pcm_peak, pcm_zc, pcm_bits) of an integer-PCM WAV (8/16/24/32-bit)") {
+      "graft_wav_stats(bin) - struct(n_samples, sample_rate, pcm_sum, pcm_sqsum, pcm_peak, pcm_zc, pcm_bits) of a WAV across the whole envelope: integer PCM 8/16/24/32-bit, G.711 u/A-law, IEEE float32/float64, WAVE_FORMAT_EXTENSIBLE, IMA and Microsoft ADPCM") {
       args => expect(args, 1)
         graft.expr.WavPcmStats(args(0))
+    }
+
+    inject("graft_jpeg12_stats",
+      "graft_jpeg12_stats(bin) - struct(width, height, px_sum, px_min, px_max) of a 12-bit extended-sequential (SOF1) gray JPEG at full precision") {
+      args => expect(args, 1)
+        graft.expr.Jpeg12Stats(args(0))
+    }
+
+    inject("graft_jpeg_lossless_stats",
+      "graft_jpeg_lossless_stats(bin) - struct(width, height, components, precision, px_sum, px_min, px_max) of a lossless (SOF3) JPEG at full 2-16 bit precision") {
+      args => expect(args, 1)
+        graft.expr.JpegLosslessStats(args(0))
     }
 
     inject("graft_piece_decode",

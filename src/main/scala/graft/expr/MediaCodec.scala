@@ -18,7 +18,9 @@ import org.apache.spark.sql.types._
   * Scope (honest partial decoder, null on anything else — never garbage):
   *  - PNG: 8-bit depth, all five color types — 0 (grayscale), 2 (RGB),
   *    3 (palette, expanded to RGB — or RGBA when tRNS supplies per-entry
-  *    alpha), 4 (gray+alpha), 6 (RGBA) — sequential OR Adam7-interlaced,
+  *    alpha), 4 (gray+alpha), 6 (RGBA) — PLUS sub-byte depths 1/2/4 on
+  *    types 0 and 3 (r17: the icon/fax/tiny-palette layouts, gray
+  *    scaled by the exact 255/(2^d−1)); sequential OR Adam7-interlaced,
   *    any of the five scanline filters (None/Sub/Up/Average/Paeth).
   *    Color-key tRNS on types 0/2 synthesizes the alpha channel (gray →
   *    gray+alpha, RGB → RGBA; alpha 0 exactly on key matches). 16-bit
@@ -99,6 +101,14 @@ object MediaCodecHelper {
     * magic, unsupported layout, truncated/corrupt stream). Bounds-checked
     * chunk walk — adversarial lengths cannot read out of range.
     *
+    * Depth 8 on all five color types; SUB-BYTE depths 1/2/4 on gray
+    * (type 0) and palette (type 3) — exactly the spec's table 11.1
+    * envelope (r17; the icon/fax/tiny-palette layouts). Sub-byte rows
+    * unfilter at their bit-packed byte stride (the spec's byte-level
+    * bpp=1 filter rule), unpack MSB-first, then gray scales to 8-bit by
+    * 255/(2^d−1) — the exact factors 255/85/17 — while palette indices
+    * look up unscaled.
+    *
     * Palette images expand to RGB (or RGBA when a tRNS chunk supplies
     * per-entry alpha; entries beyond the tRNS array default to 255 per
     * the spec). tRNS on color types 0/2 is single-color-KEY transparency:
@@ -114,7 +124,7 @@ object MediaCodecHelper {
     var i = 0
     while (i < 8) { if (bytes(i) != PngSig(i)) return null; i += 1 }
     var off = 8
-    var w = 0; var h = 0; var bpp = 0; var color = -1
+    var w = 0; var h = 0; var bpp = 0; var color = -1; var d = 8
     var interlaced = false
     var plte: Array[Int] = null
     var trns: Array[Byte] = null
@@ -131,9 +141,17 @@ object MediaCodecHelper {
           w = beInt(bytes, off + 8); h = beInt(bytes, off + 12)
           val depth = bytes(off + 16); color = bytes(off + 17)
           val interlace = bytes(off + 20)
-          if (depth != 8 || interlace < 0 || interlace > 1) return null
+          // depth 8 on all types; sub-byte depths 1/2/4 exactly where
+          // the spec allows them (types 0 and 3 — table 11.1): the
+          // icon/fax/tiny-palette layouts
+          val subByte = (depth == 1 || depth == 2 || depth == 4) &&
+            (color == 0 || color == 3)
+          if ((depth != 8 && !subByte) || interlace < 0 || interlace > 1)
+            return null
+          d = depth
           interlaced = interlace == 1
-          // bytes per pixel IN THE CODED STREAM (palette = 1 index byte)
+          // bytes per pixel IN THE CODED STREAM (palette = 1 index byte;
+          // sub-byte samples unpack to 1 byte each after unfiltering)
           bpp = color match {
             case 0 => 1; case 2 => 3; case 3 => 1; case 4 => 2; case 6 => 4
             case _ => return null
@@ -184,8 +202,28 @@ object MediaCodecHelper {
         case "IEND" =>
           if (idat == null) return null
           if (color == 3 && plte == null) return null
-          val pix = reconstruct(idat.toByteArray, w, h, bpp, interlaced)
-          if (pix == null) return null
+          val pix0 = reconstruct(idat.toByteArray, w, h, bpp, interlaced, d)
+          if (pix0 == null) return null
+          // sub-byte gray scales to 8-bit by the spec's 255/(2^d−1)
+          // factor (255, 85, 17 — all exact); the color key compares in
+          // RAW sample space, so a valid key scales with the samples and
+          // an out-of-range key becomes unmatchable (256 > any byte)
+          // while still synthesizing the (fully opaque) alpha channel,
+          // exactly the 8-bit path's key>255 behavior. Palette indices
+          // are never scaled.
+          val pix =
+            if (d < 8 && color == 0) {
+              val scale = 255 / ((1 << d) - 1)
+              if (keyG >= 0)
+                keyG = if (keyG <= (1 << d) - 1) keyG * scale else 256
+              val sc = new Array[Byte](pix0.length)
+              var i = 0
+              while (i < pix0.length) {
+                sc(i) = ((pix0(i) & 0xff) * scale).toByte
+                i += 1
+              }
+              sc
+            } else pix0
           if (color == 0 && keyG >= 0) {
             // gray + synthesized color-key alpha
             val out = new Array[Byte](w * h * 2)
@@ -264,15 +302,17 @@ object MediaCodecHelper {
   }
 
   /** Undo the per-row filters of one (sub-)image whose filtered rows
-    * start at `raw(rawOff)`, returning the w·h·bpp pixel bytes. Works on
+    * start at `raw(rawOff)`, returning the h·stride pixel bytes. Works on
     * the whole image (non-interlaced) and on each Adam7 pass (each pass
     * is filtered as an independent image: "left" is bpp back within the
-    * pass row, "up" is the previous row of the same pass). null on an
-    * unknown filter type.
+    * pass row, "up" is the previous row of the same pass). `stride` is
+    * the CODED row length in bytes — w·bpp at depths ≥ 8, the
+    * bit-packed ceil(w·depth/8) below (where the spec fixes the filter
+    * bpp at 1: filtering is byte-level arithmetic regardless of how many
+    * sub-byte samples share a byte, §9). null on an unknown filter type.
     */
-  private def unfilterPass(raw: Array[Byte], rawOff: Int,
-                           w: Int, h: Int, bpp: Int): Array[Byte] = {
-    val stride = w * bpp
+  private def unfilterPass(raw: Array[Byte], rawOff: Int, stride: Int,
+                           h: Int, bpp: Int): Array[Byte] = {
     val pix = new Array[Byte](h * stride)
     var y = 0
     while (y < h) {
@@ -316,16 +356,48 @@ object MediaCodecHelper {
     pix
   }
 
+  /** Unpack a bit-packed sub-byte sample grid (depth 1/2/4, MSB-first
+    * within each byte, rows independently padded to whole bytes per
+    * spec §7.2) into one byte per RAW sample value (0..2^d−1, unscaled).
+    */
+  private def unpackSub(packed: Array[Byte], w: Int, h: Int, d: Int): Array[Byte] = {
+    val rowBytes = (w * d + 7) / 8
+    val out = new Array[Byte](w * h)
+    val mask = (1 << d) - 1
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val bit = x * d
+        val b = packed(y * rowBytes + (bit >> 3)) & 0xff
+        out(y * w + x) = ((b >> (8 - d - (bit & 7))) & mask).toByte
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
   /** Inflate + unfilter the coded pixel stream — sequential, or the seven
     * Adam7 passes scattered back to raster order. Returns interleaved
-    * channel bytes (bpp per pixel) or null.
+    * channel bytes (bpp per pixel) or null. At sub-byte depths (1/2/4,
+    * `bpp` must be 1) rows are bit-packed: each (sub-)image unfilters at
+    * its ceil(w·depth/8) byte stride with the spec's byte-level bpp=1
+    * filter rule, then unpacks to one RAW (unscaled) sample per byte —
+    * so Adam7 scatter and every downstream consumer see one byte per
+    * sample exactly as at depth 8.
     */
   private def reconstruct(z: Array[Byte], w: Int, h: Int, bpp: Int,
-                          interlaced: Boolean): Array[Byte] = {
+                          interlaced: Boolean, depth: Int = 8): Array[Byte] = {
+    def rowBytes(pw: Int): Int =
+      if (depth >= 8) pw * bpp else (pw * depth + 7) / 8
     if (!interlaced) {
-      val raw = inflateFully(z, h * (w * bpp + 1))
+      val stride = rowBytes(w)
+      val raw = inflateFully(z, h * (stride + 1))
       if (raw == null) return null
-      return unfilterPass(raw, 0, w, h, bpp)
+      val up = unfilterPass(raw, 0, stride, h, if (depth >= 8) bpp else 1)
+      if (up == null || depth >= 8) return up
+      return unpackSub(up, w, h, depth)
     }
     // pass sizes; the inflated stream is the concatenation of the seven
     // filtered sub-images, empty passes contributing nothing
@@ -336,20 +408,24 @@ object MediaCodecHelper {
       val (x0, y0, dx, dy) = Adam7(p)
       pw(p) = if (w > x0) (w - x0 + dx - 1) / dx else 0
       ph(p) = if (h > y0) (h - y0 + dy - 1) / dy else 0
-      if (pw(p) > 0 && ph(p) > 0) total += ph(p).toLong * (pw(p) * bpp + 1)
+      if (pw(p) > 0 && ph(p) > 0) total += ph(p).toLong * (rowBytes(pw(p)) + 1)
       p += 1
     }
     if (total > Int.MaxValue) return null
     val raw = inflateFully(z, total.toInt)
     if (raw == null) return null
-    val pix = new Array[Byte](w * h * bpp)
+    val outBpp = if (depth >= 8) bpp else 1
+    val pix = new Array[Byte](w * h * outBpp)
     var rawOff = 0
     p = 0
     while (p < 7) {
       if (pw(p) > 0 && ph(p) > 0) {
-        val pp = unfilterPass(raw, rawOff, pw(p), ph(p), bpp)
-        if (pp == null) return null
-        rawOff += ph(p) * (pw(p) * bpp + 1)
+        val stride = rowBytes(pw(p))
+        val up = unfilterPass(raw, rawOff, stride, ph(p),
+          if (depth >= 8) bpp else 1)
+        if (up == null) return null
+        val pp = if (depth >= 8) up else unpackSub(up, pw(p), ph(p), depth)
+        rawOff += ph(p) * (stride + 1)
         val (x0, y0, dx, dy) = Adam7(p)
         var py = 0
         while (py < ph(p)) {
@@ -358,8 +434,8 @@ object MediaCodecHelper {
           while (px < pw(p)) {
             val x = x0 + px * dx
             var c = 0
-            while (c < bpp) {
-              pix((y * w + x) * bpp + c) = pp((py * pw(p) + px) * bpp + c)
+            while (c < outBpp) {
+              pix((y * w + x) * outBpp + c) = pp((py * pw(p) + px) * outBpp + c)
               c += 1
             }
             px += 1

@@ -607,6 +607,124 @@ object Multimodal {
     out.toByteArray
   }
 
+  /** SUB-BYTE PNG fixture (depth 1/2/4, color types 0/3) — bit-packed
+    * rows MSB-first with per-row byte padding (spec §7.2), the same
+    * chunk/CRC emission and Adam7 geometry as [[writePngFixture]], and
+    * the same None/Sub row alternation with Sub applied at the BYTE
+    * level on the PACKED bytes (the spec's bpp=1 rule for sub-byte
+    * depths — the subtlety this fixture exists to prove). Own bit
+    * packer; shares no code with the decoder's unpack path.
+    */
+  def pngSubByteBytes(width: Int, height: Int, depth: Int, colorType: Int,
+                      interlaced: Boolean, sample: (Int, Int) => Int,
+                      palette: Array[(Int, Int, Int)] = null,
+                      trns: Array[Int] = null): Array[Byte] = {
+    require(depth == 1 || depth == 2 || depth == 4, s"bad depth $depth")
+    require(colorType == 0 || colorType == 3, s"bad sub-byte type $colorType")
+    val out = new java.io.ByteArrayOutputStream()
+    def be(i: Int): Array[Byte] =
+      Array(((i >> 24) & 0xff).toByte, ((i >> 16) & 0xff).toByte,
+            ((i >> 8) & 0xff).toByte, (i & 0xff).toByte)
+    def chunk(tag: String, data: Array[Byte]): Unit = {
+      out.write(be(data.length))
+      val tagged = tag.getBytes("US-ASCII") ++ data
+      out.write(tagged)
+      val crc = new java.util.zip.CRC32()
+      crc.update(tagged)
+      out.write(be(crc.getValue.toInt))
+    }
+    out.write(Array(0x89, 'P', 'N', 'G', '\r', '\n', 0x1a, '\n').map(_.toByte))
+    chunk("IHDR", be(width) ++ be(height) ++
+      Array[Byte](depth.toByte, colorType.toByte, 0, 0,
+        if (interlaced) 1 else 0))
+    if (palette != null)
+      chunk("PLTE", palette.flatMap { case (r, g, b) =>
+        Array(r.toByte, g.toByte, b.toByte) })
+    if (trns != null) chunk("tRNS", trns.map(_.toByte))
+    val passes =
+      if (interlaced)
+        Array((0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+          (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2))
+      else Array((0, 0, 1, 1))
+    val raw = new java.io.ByteArrayOutputStream()
+    val mask = (1 << depth) - 1
+    for ((x0, y0, dx, dy) <- passes) {
+      val pw = if (width > x0) (width - x0 + dx - 1) / dx else 0
+      val ph = if (height > y0) (height - y0 + dy - 1) / dy else 0
+      if (pw > 0 && ph > 0) {
+        val rowBytes = (pw * depth + 7) / 8
+        for (py <- 0 until ph) {
+          val row = new Array[Int](rowBytes)
+          for (pxi <- 0 until pw) {
+            val v = sample(x0 + pxi * dx, y0 + py * dy) & mask
+            val bit = pxi * depth
+            row(bit / 8) |= v << (8 - depth - bit % 8)
+          }
+          if (py % 2 == 0) {
+            raw.write(0) // None
+            row.foreach(raw.write)
+          } else {
+            raw.write(1) // Sub on the PACKED bytes, left = 1 byte back
+            for (i <- row.indices) {
+              val left = if (i >= 1) row(i - 1) else 0
+              raw.write((row(i) - left) & 0xff)
+            }
+          }
+        }
+      }
+    }
+    val deflater = new java.util.zip.Deflater()
+    deflater.setInput(raw.toByteArray); deflater.finish()
+    val zout = new java.io.ByteArrayOutputStream()
+    val buf = new Array[Byte](64 * 1024)
+    while (!deflater.finished()) zout.write(buf, 0, deflater.deflate(buf))
+    deflater.end()
+    chunk("IDAT", zout.toByteArray)
+    chunk("IEND", Array.empty)
+    out.toByteArray
+  }
+
+  /** Bi-level (depth 1) gray lane: (17+id%14)×(9+id%10) — wider than a
+    * byte so row padding is inside the gate — Adam7 on odd ids, pixel
+    * (x,y) = (x + y·3 + id) % 2; decodes to 0/255.
+    */
+  def png1GrayBytes(id: Long): Array[Byte] =
+    pngSubByteBytes(17 + (id % 14).toInt, 9 + (id % 10).toInt, 1, 0,
+      interlaced = id % 2 == 1,
+      (x, y) => ((x + y * 3 + id) % 2).toInt)
+
+  /** Depth-2 gray lane: (11+id%9)×(7+id%8), Adam7 when id%3==0, pixel
+    * (x,y) = (x·3 + y·5 + id) % 4; decodes to v·85.
+    */
+  def png2GrayBytes(id: Long): Array[Byte] =
+    pngSubByteBytes(11 + (id % 9).toInt, 7 + (id % 8).toInt, 2, 0,
+      interlaced = id % 3 == 0,
+      (x, y) => ((x * 3 + y * 5 + id) % 4).toInt)
+
+  /** Depth-4 gray COLOR-KEY lane: (9+id%8)×(6+id%7), sequential, pixel
+    * (x,y) = (x·7 + y·11 + id) % 16, tRNS key id%16 in RAW sample space
+    * — decodes to gray+alpha with v·17 gray and alpha 0 exactly where
+    * the raw sample equals the key.
+    */
+  def png4GrayKeyBytes(id: Long): Array[Byte] =
+    pngSubByteBytes(9 + (id % 8).toInt, 6 + (id % 7).toInt, 4, 0,
+      interlaced = false,
+      (x, y) => ((x * 7 + y * 11 + id) % 16).toInt,
+      trns = Array(0, (id % 16).toInt))
+
+  /** Depth-4 palette lane with per-entry tRNS alpha: (13+id%10)×(8+id%9),
+    * Adam7 on even ids, index (x,y) = (x·5 + y·7 + id) % 16 into a
+    * 16-entry palette (r,g,b) = (i·17, 255−i·17, (i·53)%256), alpha i·16
+    * for the first 8 entries and the spec-default 255 past the tRNS
+    * array.
+    */
+  def png4PaletteBytes(id: Long): Array[Byte] =
+    pngSubByteBytes(13 + (id % 10).toInt, 8 + (id % 9).toInt, 4, 3,
+      interlaced = id % 2 == 0,
+      (x, y) => ((x * 5 + y * 7 + id) % 16).toInt,
+      palette = Array.tabulate(16)(i => (i * 17, 255 - i * 17, (i * 53) % 256)),
+      trns = Array.tabulate(8)(i => i * 16))
+
   /** 8-bit envelope fixture (palette / alpha / Adam7): `px(x, y)` returns
     * the channel bytes of one pixel (for color type 3, the single palette
     * index). See [[writePngFixture]].
@@ -2164,6 +2282,10 @@ object Multimodal {
   val makeGray16KeyPng = udf((id: Long) => gray16KeyPngBytes(id))
   val makeRgb16KeyPng = udf((id: Long) => rgb16KeyPngBytes(id))
   val makeGrayJpeg = udf((id: Long) => grayJpegBytes(id))
+  val makePng1Gray = udf((id: Long) => png1GrayBytes(id))
+  val makePng2Gray = udf((id: Long) => png2GrayBytes(id))
+  val makePng4GrayKey = udf((id: Long) => png4GrayKeyBytes(id))
+  val makePng4Palette = udf((id: Long) => png4PaletteBytes(id))
   val makeJpeg12 = udf((id: Long) => jpeg12Bytes(id))
   val makeJpeg12WideQ = udf((id: Long) => jpeg12WideQBytes(id))
   val makeJpegLosslessG16 = udf((id: Long) => jpegLosslessG16Bytes(id))

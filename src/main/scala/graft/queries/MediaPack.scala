@@ -697,6 +697,61 @@ object MediaPack {
       w.getField("pcm_zc").as("s_zc"))
   }
 
+  /** Sub-byte PNG fixture: the four depth-1/2/4 lanes from the
+    * independent bit-packing writer, memoized separately.
+    */
+  private def pngSubByteBlobs(s: SparkSession, dir: String) = {
+    val (store, _) = Fixtures(s, dir, "fix_media_psub") { st =>
+      st.write(Tables.documents(s, dir).select(col("doc_id"))
+        .withColumn("g1", Multimodal.makePng1Gray(col("doc_id")))
+        .withColumn("g2", Multimodal.makePng2Gray(col("doc_id")))
+        .withColumn("k4", Multimodal.makePng4GrayKey(col("doc_id")))
+        .withColumn("p4", Multimodal.makePng4Palette(col("doc_id"))),
+        "mm_psub", slices = 8)
+      Map("blobs" -> "mm_psub")
+    }
+    store.readResolved("mm_psub")
+  }
+
+  /** REAL sub-byte PNG decode (depths 1/2/4 on color types 0/3 — the
+    * icon/fax/tiny-palette layouts, the spec's full table-11.1 envelope
+    * for those types): rows unfilter at their bit-packed byte stride
+    * with the spec's byte-level bpp=1 filter rule (the Sub filter
+    * subtracts the PACKED byte one back, mixing samples — the subtlety
+    * the fixture's independent packer proves), unpack MSB-first, gray
+    * scales by the exact 255/(2^d−1), palette looks up unscaled. Four
+    * lanes: bi-level gray (row padding inside the gate, Adam7 on odd
+    * ids), depth-2 gray, depth-4 gray with a COLOR-KEY tRNS compared in
+    * RAW sample space (alpha synthesis below depth 8), and a depth-4
+    * palette with per-entry tRNS alpha + the spec default-255 rule,
+    * Adam7 on even ids. Codegen'd scan-side; the one exchange is the
+    * tiny blob-table join.
+    */
+  def pngSubByte(s: SparkSession, dir: String): DataFrame = {
+    val media = pngSubByteBlobs(s, dir)
+    val a = Multimodal.decodeImage(col("g1"))
+    val b = Multimodal.decodeImage(col("g2"))
+    val k = Multimodal.decodeImage(col("k4"))
+    val p = Multimodal.decodeImage(col("p4"))
+    media.select(col("doc_id"),
+      a.getField("width").cast("long").as("g1_w"),
+      a.getField("height").cast("long").as("g1_h"),
+      a.getField("px_sum").as("g1_sum"),
+      a.getField("px_min").cast("long").as("g1_min"),
+      a.getField("px_max").cast("long").as("g1_max"),
+      b.getField("px_sum").as("g2_sum"),
+      b.getField("px_min").cast("long").as("g2_min"),
+      b.getField("px_max").cast("long").as("g2_max"),
+      k.getField("channels").cast("long").as("k4_ch"),
+      k.getField("px_sum").as("k4_sum"),
+      k.getField("px_min").cast("long").as("k4_min"),
+      k.getField("px_max").cast("long").as("k4_max"),
+      p.getField("channels").cast("long").as("p4_ch"),
+      p.getField("px_sum").as("p4_sum"),
+      p.getField("px_min").cast("long").as("p4_min"),
+      p.getField("px_max").cast("long").as("p4_max"))
+  }
+
   /** 12-bit JPEG fixture: the two SOF1 lanes from the independent
     * bitstream writer, memoized separately.
     */
@@ -899,6 +954,7 @@ object MediaPack {
     "mm_audio_msadpcm" -> audioMsAdpcm _,
     "mm_jpeg_lossless" -> jpegLossless _,
     "mm_jpeg12" -> jpeg12 _,
+    "mm_png_subbyte" -> pngSubByte _,
     "mm_gif_anim" -> gifAnim _,
     "mm_gif_compose" -> gifCompose _,
     "mm_png16" -> png16 _,
@@ -2032,6 +2088,81 @@ object MediaPack {
          FROM documents d
          JOIN ma ON ma.doc_id = d.doc_id
          JOIN sa ON sa.doc_id = d.doc_id""",
+    // Sub-byte PNG replay: raw samples are closed-form, so the decoded
+    // bytes replay directly — g1 pixels 255*((x+y*3+id)%2), g2 pixels
+    // 85*((x*3+y*5+id)%4), k4 per-pixel (gray, alpha) = (17*v, 0 when
+    // v = id%16 else 255) with v=(x*7+y*11+id)%16, p4 per-pixel RGBA
+    // from the 16-entry palette (i*17, 255-i*17, (i*53)%256) with tRNS
+    // alpha i*16 for i<8 and the spec-default 255 past the array.
+    "mm_png_subbyte" ->
+      """WITH g1 AS (
+           SELECT d.doc_id, sum(v) AS s, min(v) AS mn, max(v) AS mx
+           FROM (SELECT d.doc_id,
+                        255*((x.x + y.y*3 + d.doc_id) % 2) AS v
+                 FROM documents d
+                 JOIN range(0, 31) x(x) ON x.x < 17 + d.doc_id % 14
+                 JOIN range(0, 19) y(y) ON y.y < 9 + d.doc_id % 10) d
+           GROUP BY doc_id
+         ), g2 AS (
+           SELECT d.doc_id, sum(v) AS s, min(v) AS mn, max(v) AS mx
+           FROM (SELECT d.doc_id,
+                        85*((x.x*3 + y.y*5 + d.doc_id) % 4) AS v
+                 FROM documents d
+                 JOIN range(0, 20) x(x) ON x.x < 11 + d.doc_id % 9
+                 JOIN range(0, 15) y(y) ON y.y < 7 + d.doc_id % 8) d
+           GROUP BY doc_id
+         ), k4 AS (
+           SELECT d.doc_id, sum(v) AS s, min(v) AS mn, max(v) AS mx
+           FROM (SELECT d.doc_id,
+                        CASE WHEN c.c = 0
+                             THEN 17*((x.x*7 + y.y*11 + d.doc_id) % 16)
+                             WHEN (x.x*7 + y.y*11 + d.doc_id) % 16
+                                  = d.doc_id % 16 THEN 0
+                             ELSE 255 END AS v
+                 FROM documents d
+                 JOIN range(0, 17) x(x) ON x.x < 9 + d.doc_id % 8
+                 JOIN range(0, 13) y(y) ON y.y < 6 + d.doc_id % 7
+                 JOIN range(0, 2) c(c) ON true) d
+           GROUP BY doc_id
+         ), p4 AS (
+           SELECT d.doc_id, sum(v) AS s, min(v) AS mn, max(v) AS mx
+           FROM (SELECT d.doc_id,
+                        CASE c.c
+                          WHEN 0 THEN ((x.x*5 + y.y*7 + d.doc_id) % 16)*17
+                          WHEN 1 THEN 255 - ((x.x*5 + y.y*7 + d.doc_id) % 16)*17
+                          WHEN 2 THEN (((x.x*5 + y.y*7 + d.doc_id) % 16)*53) % 256
+                          ELSE CASE WHEN (x.x*5 + y.y*7 + d.doc_id) % 16 < 8
+                                    THEN ((x.x*5 + y.y*7 + d.doc_id) % 16)*16
+                                    ELSE 255 END
+                        END AS v
+                 FROM documents d
+                 JOIN range(0, 23) x(x) ON x.x < 13 + d.doc_id % 10
+                 JOIN range(0, 17) y(y) ON y.y < 8 + d.doc_id % 9
+                 JOIN range(0, 4) c(c) ON true) d
+           GROUP BY doc_id
+         )
+         SELECT d.doc_id,
+         CAST(17 + d.doc_id % 14 AS BIGINT) AS g1_w,
+         CAST(9 + d.doc_id % 10 AS BIGINT) AS g1_h,
+         CAST(g1.s AS BIGINT) AS g1_sum,
+         CAST(g1.mn AS BIGINT) AS g1_min,
+         CAST(g1.mx AS BIGINT) AS g1_max,
+         CAST(g2.s AS BIGINT) AS g2_sum,
+         CAST(g2.mn AS BIGINT) AS g2_min,
+         CAST(g2.mx AS BIGINT) AS g2_max,
+         CAST(2 AS BIGINT) AS k4_ch,
+         CAST(k4.s AS BIGINT) AS k4_sum,
+         CAST(k4.mn AS BIGINT) AS k4_min,
+         CAST(k4.mx AS BIGINT) AS k4_max,
+         CAST(4 AS BIGINT) AS p4_ch,
+         CAST(p4.s AS BIGINT) AS p4_sum,
+         CAST(p4.mn AS BIGINT) AS p4_min,
+         CAST(p4.mx AS BIGINT) AS p4_max
+         FROM documents d
+         JOIN g1 ON g1.doc_id = d.doc_id
+         JOIN g2 ON g2.doc_id = d.doc_id
+         JOIN k4 ON k4.doc_id = d.doc_id
+         JOIN p4 ON p4.doc_id = d.doc_id""",
     // 12-bit JPEG replay: lane A's DC-only blocks dequantize to
     // 8*(p-2048) and the IDCT's /8 + 2048 level shift lands the
     // closed-form constant p = (bx*37 + by*59 + id*13) % 4096 exactly

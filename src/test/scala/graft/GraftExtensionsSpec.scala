@@ -146,6 +146,30 @@ class GraftExtensionsSpec extends AnyFunSuite {
         s"SELECT w.n_samples, w.pcm_bits FROM (SELECT graft_wav_stats(" +
           s"unhex('$wavHex')) AS w)").head
       assert(wm.getLong(0) == 60 + 1 % 30 && wm.getInt(1) == 24)
+      // MS-ADPCM rides the same SQL function (decoder-internal dispatch)
+      val msHex = graft.ops.Multimodal.wavMsAdpcmMonoBytes(1L)
+        .map("%02X".format(_)).mkString
+      val ms = s.sql(
+        s"SELECT w.pcm_bits, w.n_samples FROM (SELECT graft_wav_stats(" +
+          s"unhex('$msHex')) AS w)").head
+      assert(ms.getInt(0) == 4 && ms.getLong(1) > 0)
+      // 12-bit SOF1 stats from SQL — full precision, [0, 4095] range
+      val j12Hex = graft.ops.Multimodal.jpeg12Bytes(100L)
+        .map("%02X".format(_)).mkString
+      val j12 = s.sql(
+        s"SELECT j.width, j.px_max FROM (SELECT graft_jpeg12_stats(" +
+          s"unhex('$j12Hex')) AS j)").head
+      // id 100's blocks land at 1300 + {0,37,59,96,...}: genuinely
+      // 12-bit values, past any 8-bit ceiling
+      assert(j12.getInt(0) == 10 + 100 % 15 && j12.getInt(1) <= 4095 &&
+        j12.getInt(1) > 255, "12-bit samples exceed the 8-bit ceiling")
+      // lossless SOF3 stats from SQL — 16-bit precision reported
+      val jlsHex = graft.ops.Multimodal.jpegLosslessG16Bytes(4L)
+        .map("%02X".format(_)).mkString
+      val jls = s.sql(
+        s"SELECT j.precision, j.components FROM (SELECT " +
+          s"graft_jpeg_lossless_stats(unhex('$jlsHex')) AS j)").head
+      assert(jls.getInt(0) == 16 && jls.getInt(1) == 1)
     }
   }
 

@@ -266,6 +266,71 @@ class MediaCodecSpec extends AnyFunSuite {
     assert(MediaCodecHelper.wavPcmStats(good.dropRight(1)) == null, "ragged")
   }
 
+  test("sub-byte PNG decodes depths 1/2/4 on types 0/3; envelope nulls") {
+    import MediaCodecHelper.decodePng
+    for (id <- 0L until 12L) {
+      // bi-level gray: 0/255, row padding + Adam7-on-odd inside the loop
+      val g1 = decodePng(Multimodal.png1GrayBytes(id))
+      val w1 = 17 + (id % 14).toInt; val h1 = 9 + (id % 10).toInt
+      assert(g1 != null && g1.width == w1 && g1.height == h1 && g1.bpp == 1)
+      for (y <- 0 until h1; x <- 0 until w1)
+        assert((g1.pix(y * w1 + x) & 0xff) == 255 * ((x + y * 3 + id) % 2),
+          s"g1 id $id ($x,$y)")
+      // depth-2 gray: v*85
+      val g2 = decodePng(Multimodal.png2GrayBytes(id))
+      val w2 = 11 + (id % 9).toInt; val h2 = 7 + (id % 8).toInt
+      assert(g2 != null && g2.width == w2 && g2.bpp == 1)
+      for (y <- 0 until h2; x <- 0 until w2)
+        assert((g2.pix(y * w2 + x) & 0xff) == 85 * ((x * 3 + y * 5 + id) % 4),
+          s"g2 id $id ($x,$y)")
+      // depth-4 gray + color key in RAW sample space -> gray+alpha
+      val k4 = decodePng(Multimodal.png4GrayKeyBytes(id))
+      val w4 = 9 + (id % 8).toInt; val h4 = 6 + (id % 7).toInt
+      assert(k4 != null && k4.bpp == 2, s"k4 id $id synthesizes alpha")
+      for (y <- 0 until h4; x <- 0 until w4) {
+        val v = ((x * 7 + y * 11 + id) % 16).toInt
+        assert((k4.pix((y * w4 + x) * 2) & 0xff) == 17 * v, s"k4 gray $id")
+        assert((k4.pix((y * w4 + x) * 2 + 1) & 0xff) ==
+          (if (v == (id % 16).toInt) 0 else 255), s"k4 alpha $id ($x,$y)")
+      }
+      // depth-4 palette + per-entry tRNS -> RGBA, default-255 past array
+      val p4 = decodePng(Multimodal.png4PaletteBytes(id))
+      val wp = 13 + (id % 10).toInt; val hp = 8 + (id % 9).toInt
+      assert(p4 != null && p4.bpp == 4, s"p4 id $id")
+      for (y <- 0 until hp; x <- 0 until wp) {
+        val i = ((x * 5 + y * 7 + id) % 16).toInt
+        val o = (y * wp + x) * 4
+        assert((p4.pix(o) & 0xff) == i * 17 &&
+          (p4.pix(o + 1) & 0xff) == 255 - i * 17 &&
+          (p4.pix(o + 2) & 0xff) == (i * 53) % 256 &&
+          (p4.pix(o + 3) & 0xff) == (if (i < 8) i * 16 else 255),
+          s"p4 id $id ($x,$y)")
+      }
+    }
+    // out-of-range color key at sub-byte depth: synthesized alpha stays
+    // fully opaque, never aliasing with a scaled sample (key 17 > max 15
+    // must NOT match scaled gray 17)
+    val kOut = decodePng(Multimodal.pngSubByteBytes(6, 5, 4, 0,
+      interlaced = false, (x, y) => (x + y) % 16, trns = Array(0, 17)))
+    assert(kOut != null && kOut.bpp == 2)
+    for (p <- 0 until 30)
+      assert((kOut.pix(p * 2 + 1) & 0xff) == 255, "out-of-range key is opaque")
+    // envelope nulls: sub-byte on RGB/alpha-bearing types, depth 3
+    val good = Multimodal.png1GrayBytes(2L)
+    def patched(off: Int, v: Int): Array[Byte] = {
+      val b = good.clone(); b(off) = v.toByte
+      // fix the IHDR CRC? no - a wrong IHDR field must null BEFORE any
+      // CRC concern (the decoder's chunk walk does not verify CRCs)
+      b
+    }
+    // IHDR data starts at byte 16: depth at 24, color type at 25
+    assert(MediaCodecHelper.decodePng(patched(25, 2)) == null, "1-bit RGB")
+    assert(MediaCodecHelper.decodePng(patched(25, 4)) == null, "1-bit gray+alpha")
+    assert(MediaCodecHelper.decodePng(patched(24, 3)) == null, "depth 3")
+    assert(MediaCodecHelper.decodePng(patched(24, 16)) == null,
+      "depth 16 stays the png16 path's")
+  }
+
   test("12-bit JPEG decodes DC-exact constants, AC vs reference IDCT, nulls") {
     // DC-only lanes: closed-form block constants land exactly
     for (id <- 0L until 12L) {
