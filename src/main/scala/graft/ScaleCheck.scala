@@ -565,7 +565,7 @@ object ScaleCheck {
         f""""shuffle_sf01_mb":${s1 / 1e6}%.1f,"shuffle_x100_mb":${s100 / 1e6}%.1f,"shuffle_slope":$bSlope%.3f}"""
     }
     val triNote =
-      f""""gr_triangles":"adjudication (r11 weak #1), MEASURED: wedges (sum d(d-1)/2 over the even-part co-purchase graph) grow ${wS}%d -> ${wB}%d at 10x (${wB.toDouble / wS}%.1fx) and the oriented two-hop candidates the census join actually materializes grow ${cS}%d -> ${cB}%d (${cB.toDouble / cS}%.1fx) - BOTH LINEAR (the replica-disjoint synthesis adds no densification; r11 hypothesized densification and the measurement refutes it); oriented edges ${eS}%d -> ${eB}%d, max oriented out-degree ${mS}%d -> ${mB}%d, far below sqrt(m), so the degree-ordered orientation admits exactly linear candidate volume. The superlinear shuffle-BYTES slope is therefore a PLAN TRANSITION, not candidate growth: at sf0.1 the oriented edge table is broadcast-sized and both census joins run as broadcast probes (~zero shuffle), at 10x it outgrows the broadcast threshold and the (linear) candidate stream pays SMJ shuffle bytes it paid nothing for at the base scale - the same broadcast->SMJ log-slope amplification documented in the dd_semantic caveat; wall slope stays sub-linear""""
+      f""""gr_triangles":"adjudication (r11 weak #1), MEASURED: wedges (sum d(d-1)/2 over the even-part co-purchase graph) grow ${wS}%d -> ${wB}%d at 10x (${wB.toDouble / wS}%.1fx) and the oriented two-hop candidates the census join actually materializes grow ${cS}%d -> ${cB}%d (${cB.toDouble / cS}%.1fx) - BOTH LINEAR (the replica-disjoint synthesis adds no densification; r11 hypothesized densification and the measurement refutes it); oriented edges ${eS}%d -> ${eB}%d, max oriented out-degree ${mS}%d -> ${mB}%d, far below sqrt(m), so the degree-ordered orientation admits exactly linear candidate volume. The superlinear shuffle-BYTES slope is therefore a PLAN TRANSITION, not candidate growth: at sf0.1 the oriented edge table is broadcast-sized and both census joins run as broadcast probes (~zero shuffle), at 10x it outgrows the broadcast threshold and the (linear) candidate stream pays SMJ shuffle bytes it paid nothing for at the base scale - the same broadcast->SMJ log-slope amplification documented in the dd_semantic caveat; wall slope stays sub-linear. DECADE-OVER-DECADE (r17): candidate exchange bytes grow 828.9 MB (x10) -> 8373.7 MB (x100) = 10.1x for 10x data - exactly linear once both scales sit past the transition, so the sf0.1-anchored slope overstates 1000x behavior. The r17 packed single-long probe key (Graphs.scala) engages when ids fit 31 bits - real-world graphs - but not here: the synthesis replica stride (1e9) pushes x10/x100 ids past 2^31 onto the generic two-column path, so these rows measure the unpacked worst case""""
     val knnNote =
       """"gr_knn_labelprop":"the GATED query builds its 5-NN edges by DELIBERATE brute-force O(N^2) quantized-L2 (its doc declares the swap: at production scale the same edges come from the ANN index family) so the oracle can replay every pair; a slope row over it would measure the fixture's designed quadratic pair growth. The scaled twin (GraphPack.knnLabelPropScaled) keeps the identical sub-graph, seed set, propagate iterations and agreement output and swaps only the edge build for the production cluster-bucketed kNN under the k-with-N sizing rule (4*mult clusters over the vec_id-even half, constant ~250 vectors per cluster) - the same scaled-twin discipline as dd_semantic and ann_ivfpq""""
     val pqNote =
