@@ -34,12 +34,13 @@ for q in common:
 ta, tb = runA["value"], runB["value"]
 tprev = sum(prev.values()) if prev else None
 out = {
-    "prev_note": f"prev = committed BENCH_FULL at {prev_ref} (the r15 sf0.1 "
-                 "table, 157 queries); quantiles re-measured at r16 HEAD over "
-                 "the current 160-query table per VERDICT r15 prescription 1 "
-                 "— the r12-era thresholds this file previously carried were "
-                 "three rounds and ~30 queries stale. delta_vs_prev for the "
-                 "three r16-new queries is absent (no prev row).",
+    "prev_note": f"prev = committed BENCH_FULL at {prev_ref}; quantiles "
+                 "re-measured at r17 HEAD over the 166-query table on THIS "
+                 "round's container (runA/runB = the two exclusive 32g runs "
+                 "behind BENCH_ANALYSIS_r17's adjudication). delta_vs_prev "
+                 "rows embed the ~1.167x median container-instance shift "
+                 "documented there — read spreads (same-container) for the "
+                 "noise band, not delta_vs_prev (cross-container).",
     "protocol": "two back-to-back exclusive `runMain graft.Bench` runs of the "
                 "identical build, cpus=32, each min-of-3 after untimed warmup",
     "total_runA_sec": round(ta, 2),
