@@ -504,7 +504,8 @@ object Streams {
   /** Multimodal ingest annotation — the media twin of
     * [[qualityAnnotateSink]]: each micro-batch of (id, blob) rows is
     * annotated with its detected media type, REAL decode statistics
-    * (PNG/baseline-JPEG images, lossless SOF3 JPEG at full
+    * (PNG at every depth incl.
+    * sub-byte, baseline/lossless-SOF3/12-bit-SOF1 JPEG at full
     * precision, MJPEG-AVI video via every-2nd-frame decode, GIF
     * animations via the full compositing walk — width/height, frame
     * count and composited px_sum land through the shared columns —
@@ -538,6 +539,7 @@ object Streams {
           val img = Multimodal.decodeImage(col(binCol))
           val jpg = Multimodal.decodeJpeg(col(binCol))
           val jls = Multimodal.jpegLosslessFeatures(col(binCol))
+          val j12 = Multimodal.jpeg12Features(col(binCol))
           val vid = Multimodal.videoFrameStats(col(binCol), 2)
           val vm = Multimodal.videoMeta(col(binCol))
           val wav = Multimodal.audioFeatures(col(binCol))
@@ -549,14 +551,16 @@ object Streams {
           val annotated = batch.select(col(idCol),
             Multimodal.mediaType(col(binCol)).as("media_type"),
             coalesce(img.getField("width"), jpg.getField("width"),
-              jls.getField("width"), vm.getField("width"),
-              gs.getField("width")).cast("long").as("width"),
+              jls.getField("width"), j12.getField("width"),
+              vm.getField("width"), gs.getField("width"))
+              .cast("long").as("width"),
             coalesce(img.getField("height"), jpg.getField("height"),
-              jls.getField("height"), vm.getField("height"),
-              gs.getField("height")).cast("long").as("height"),
+              jls.getField("height"), j12.getField("height"),
+              vm.getField("height"), gs.getField("height"))
+              .cast("long").as("height"),
             coalesce(img.getField("px_sum"), jpg.getField("px_sum"),
-              jls.getField("px_sum"), vid.getField("px_sum"), gifPx)
-              .as("px_sum"),
+              jls.getField("px_sum"), j12.getField("px_sum"),
+              vid.getField("px_sum"), gifPx).as("px_sum"),
             coalesce(vm.getField("n_frames").cast("long"),
               size(gs.getField("frames")).cast("long")).as("n_frames"),
             wav.getField("n_samples").as("n_samples"),

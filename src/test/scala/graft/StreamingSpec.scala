@@ -906,23 +906,26 @@ class StreamingSpec extends AnyFunSuite {
     val dir = tmpDir("ma_src")
     val store = new SnapshotStore(s, tmpDir("ma_store"))
     val M = graft.ops.Multimodal
-    // ten-way blob mix: PNG, gray baseline JPEG, MJPEG AVI, PCM WAV,
+    // twelve-way blob mix: PNG, gray baseline JPEG, MJPEG AVI, PCM WAV,
     // composited GIF animation (r16 lane), float32 WAV (r16 lane),
-    // IMA-ADPCM WAV, Microsoft ADPCM WAV, lossless SOF3 JPEG (r17
-    // lanes) and unstructured bytes (the bad-blob lane) — every decoder
-    // the batch scans carry, exercised in one stream
+    // IMA-ADPCM WAV, Microsoft ADPCM WAV, lossless SOF3 JPEG, sub-byte
+    // palette PNG, 12-bit SOF1 JPEG (r17 lanes) and unstructured bytes
+    // (the bad-blob lane) — every decoder the batch scans carry,
+    // exercised in one stream
     val all = s.read.parquet(s"${TestSpark.sfDir}/documents.parquet")
       .select(col("doc_id"), col("text")).filter(col("doc_id") < 120)
       .withColumn("blob",
-        when(col("doc_id") % 10 === 0, M.makePng(lit(12), lit(7)))
-          .when(col("doc_id") % 10 === 1, M.makeGrayJpeg(col("doc_id")))
-          .when(col("doc_id") % 10 === 2, M.makeAviMjpeg(col("doc_id")))
-          .when(col("doc_id") % 10 === 3, M.makeWav(lit(8000), lit(50)))
-          .when(col("doc_id") % 10 === 4, M.makeGifAnim(col("doc_id")))
-          .when(col("doc_id") % 10 === 5, M.makeWavFloat(col("doc_id")))
-          .when(col("doc_id") % 10 === 6, M.makeWavAdpcmMono(col("doc_id")))
-          .when(col("doc_id") % 10 === 7, M.makeWavMsAdpcmStereo(col("doc_id")))
-          .when(col("doc_id") % 10 === 8, M.makeJpegLosslessG16(col("doc_id")))
+        when(col("doc_id") % 12 === 0, M.makePng(lit(12), lit(7)))
+          .when(col("doc_id") % 12 === 1, M.makeGrayJpeg(col("doc_id")))
+          .when(col("doc_id") % 12 === 2, M.makeAviMjpeg(col("doc_id")))
+          .when(col("doc_id") % 12 === 3, M.makeWav(lit(8000), lit(50)))
+          .when(col("doc_id") % 12 === 4, M.makeGifAnim(col("doc_id")))
+          .when(col("doc_id") % 12 === 5, M.makeWavFloat(col("doc_id")))
+          .when(col("doc_id") % 12 === 6, M.makeWavAdpcmMono(col("doc_id")))
+          .when(col("doc_id") % 12 === 7, M.makeWavMsAdpcmStereo(col("doc_id")))
+          .when(col("doc_id") % 12 === 8, M.makeJpegLosslessG16(col("doc_id")))
+          .when(col("doc_id") % 12 === 9, M.makePng4Palette(col("doc_id")))
+          .when(col("doc_id") % 12 === 10, M.makeJpeg12(col("doc_id")))
           .otherwise(encode(col("text"), "utf-8")))
       .select("doc_id", "blob")
     all.filter(col("doc_id") < 60).coalesce(1).write.mode("append").parquet(dir)
@@ -940,6 +943,7 @@ class StreamingSpec extends AnyFunSuite {
     val streamed = rows(store.iterateChain("ma.1"))
     val img = M.decodeImage(col("blob")); val jpg = M.decodeJpeg(col("blob"))
     val jls = M.jpegLosslessFeatures(col("blob"))
+    val j12 = M.jpeg12Features(col("blob"))
     val vid = M.videoFrameStats(col("blob"), 2); val vm = M.videoMeta(col("blob"))
     val wav = M.audioFeatures(col("blob"))
     val gs = M.gifAnimStats(col("blob"))
@@ -948,14 +952,16 @@ class StreamingSpec extends AnyFunSuite {
     val batch = rows(all.select(col("doc_id"),
       M.mediaType(col("blob")).as("media_type"),
       coalesce(img.getField("width"), jpg.getField("width"),
-        jls.getField("width"), vm.getField("width"),
-        gs.getField("width")).cast("long").as("width"),
+        jls.getField("width"), j12.getField("width"),
+        vm.getField("width"), gs.getField("width"))
+        .cast("long").as("width"),
       coalesce(img.getField("height"), jpg.getField("height"),
-        jls.getField("height"), vm.getField("height"),
-        gs.getField("height")).cast("long").as("height"),
+        jls.getField("height"), j12.getField("height"),
+        vm.getField("height"), gs.getField("height"))
+        .cast("long").as("height"),
       coalesce(img.getField("px_sum"), jpg.getField("px_sum"),
-        jls.getField("px_sum"), vid.getField("px_sum"), gifPx)
-        .as("px_sum"),
+        jls.getField("px_sum"), j12.getField("px_sum"),
+        vid.getField("px_sum"), gifPx).as("px_sum"),
       coalesce(vm.getField("n_frames").cast("long"),
         size(gs.getField("frames")).cast("long")).as("n_frames"),
       wav.getField("n_samples").as("n_samples"),
@@ -964,14 +970,15 @@ class StreamingSpec extends AnyFunSuite {
       md5(col("blob")).as("content_md5")))
     assert(streamed.size == 120 && streamed == batch,
       "streamed media annotation must equal the batch scan")
-    // every lane genuinely hit: 12 docs per blob kind (120 ids mod 10),
+    // every lane genuinely hit: 10 docs per blob kind (120 ids mod 12),
     // and the new lanes genuinely LAND (GIF frame counts + composited
     // sums, float / IMA / MS-ADPCM sample counts + storage depths,
-    // lossless-JPEG full-precision stats), not just type-tag
+    // lossless / 12-bit JPEG full-precision stats, sub-byte palette
+    // rasters), not just type-tag
     def kinds(tag: String) = streamed.count(_.contains(tag))
-    assert(kinds("image/png") == 12 && kinds("image/jpeg") == 24 &&
-      kinds("video/avi") == 12 && kinds("audio/wav") == 48 &&
-      kinds("image/gif") == 12 && kinds("unknown") == 12)
+    assert(kinds("image/png") == 20 && kinds("image/jpeg") == 30 &&
+      kinds("video/avi") == 10 && kinds("audio/wav") == 40 &&
+      kinds("image/gif") == 10 && kinds("unknown") == 10)
     val gifRows = store.iterateChain("ma.1")
       .filter(col("media_type") === "image/gif")
     assert(gifRows.filter(col("n_frames").isNull ||
@@ -981,16 +988,18 @@ class StreamingSpec extends AnyFunSuite {
       .filter(col("media_type") === "audio/wav")
       .groupBy(col("pcm_bits")).count()
       .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
-    assert(byBits == Map(16L -> 12L, 32L -> 12L, 4L -> 24L),
+    assert(byBits == Map(16L -> 10L, 32L -> 10L, 4L -> 20L),
       s"PCM16 + float32 + IMA/MS-ADPCM lanes must all land: $byBits")
-    // the lossless-JPEG lane lands REAL full-precision stats through the
-    // shared image columns (width/height/px_sum), distinct from baseline
-    val jlsRows = store.iterateChain("ma.1")
-      .filter(col("media_type") === "image/jpeg" &&
-        col("doc_id") % 10 === 8)
-    assert(jlsRows.count() == 12 && jlsRows.filter(col("width").isNull ||
-      col("height").isNull || col("px_sum").isNull).count() == 0,
-      "lossless-JPEG stats must land through the shared columns")
+    // the full-precision JPEG lanes (lossless SOF3, 12-bit SOF1) and the
+    // sub-byte palette lane land REAL stats through the shared image
+    // columns (width/height/px_sum), distinct from baseline
+    for (lane <- Seq(8, 9, 10)) {
+      val rows = store.iterateChain("ma.1")
+        .filter(col("doc_id") % 12 === lane)
+      assert(rows.count() == 10 && rows.filter(col("width").isNull ||
+        col("height").isNull || col("px_sum").isNull).count() == 0,
+        s"lane $lane stats must land through the shared columns")
+    }
     assert(store.iterateChain("ma.1")
       .filter(col("media_type") === "audio/wav" &&
         (col("n_samples").isNull || col("pcm_sum").isNull))
