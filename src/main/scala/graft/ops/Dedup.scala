@@ -647,7 +647,8 @@ object Dedup {
     * (idCol, n_lines, n_lines_dropped, text_dedup).
     *
     * Scale: ownership is discovered on ids alone — those passes shuffle
-    * only (md5 hash, packed id·2^20+pos key) pairs; the min-owner agg
+    * only (16-byte binary md5, packed id·2^20+pos key) pairs; the
+    * min-owner agg
     * combines map-side; the occurrence↔owner hash join streams hot
     * boilerplate keys (owner side is one row per distinct line, so AQE's
     * skew split applies to the streamed side). Dropped positions fold to
@@ -674,7 +675,7 @@ object Dedup {
     val occ = df
       .select(Q(idCol), posexplode(lines).as(Seq("pos0", "line")))
       .filter(trim(col("line")) =!= "")
-      .select(md5(col("line")).as("h"), k.as("k"))
+      .select(unhex(md5(col("line"))).as("h"), k.as("k"))
     val owners = occ.groupBy("h").agg(min(col("k")).as("k0"))
     val dropped = occ.join(owners, Seq("h"))
       .filter(col("k") =!= col("k0"))
@@ -684,8 +685,10 @@ object Dedup {
   }
 
   /** The persistent line index [[incrementalLineDedup]] probes: one row
-    * per DISTINCT non-blank line, column `h` (md5 hex). 16 bytes/line
-    * regardless of line length — the all-time index a daily ingest keeps
+    * per DISTINCT non-blank line, column `h` (md5 as BINARY(16) —
+    * `unhex` of the hex digest, so literally 16 bytes/line regardless of
+    * line length; the hex-string form would double both the stored index
+    * and every probe exchange). The all-time index a daily ingest keeps
     * as a snapshot chain, so history text is hashed once at index-build
     * and never re-read.
     */
@@ -693,7 +696,7 @@ object Dedup {
     import graft.core.Cols.{q => Q}
     df.select(explode(split(Q(textCol), "\n", -1)).as("line"))
       .filter(trim(col("line")) =!= "")
-      .select(md5(col("line")).as("h"))
+      .select(unhex(md5(col("line"))).as("h"))
       .distinct()
   }
 
@@ -729,7 +732,7 @@ object Dedup {
     val occ = batch
       .select(Q(idCol), posexplode(lines).as(Seq("pos0", "line")))
       .filter(trim(col("line")) =!= "")
-      .select(md5(col("line")).as("h"), k.as("k"))
+      .select(unhex(md5(col("line"))).as("h"), k.as("k"))
     val histDropped = occ.join(index.select(col("h")), Seq("h"), "left_semi")
     val fresh = occ.join(index.select(col("h")), Seq("h"), "left_anti")
     val owners = fresh.groupBy("h").agg(min(col("k")).as("k0"))
