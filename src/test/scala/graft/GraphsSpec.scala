@@ -31,6 +31,22 @@ class GraphsSpec extends AnyFunSuite {
       "unpackable ids must take the generic path with identical counts")
   }
 
+  test("report: unpackable ids take the generic reciprocity path, same counts") {
+    // ids past 2^31 (and negative) must force the two-column reciprocity
+    // join — the packed-long fast path may not change any count
+    val big = 1L << 40
+    val e = Seq((1L, 2L), (1L, 3L), (2L, 1L), (3L, 4L))
+    val wide = e.map { case (a, b) => (a + big, b + big) } :+ (-7L, 1L + big)
+    val r = Graphs.report(wide.toDF("src", "dst"), "src", "dst")
+      .collect().head
+    assert(r.getAs[Long]("n_nodes") == 5L)
+    assert(r.getAs[Long]("n_edges") == 5L)
+    assert(r.getAs[Long]("n_dangling") == 1L)
+    assert(r.getAs[Long]("max_out_deg") == 2L)
+    assert(r.getAs[Long]("max_in_deg") == 2L)
+    assert(r.getAs[Long]("n_reciprocal") == 2L)
+  }
+
   test("direction, duplicates and self-loops do not perturb the census") {
     val base = Seq((1L, 2L), (2L, 3L), (3L, 1L))
     val noisy = base ++ base.map(_.swap) ++ Seq((1L, 2L), (2L, 2L))
