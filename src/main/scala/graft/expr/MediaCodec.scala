@@ -919,11 +919,14 @@ object MediaCodecHelper {
     * Envelope (null outside it — honest partial decoder, never garbage):
     * SOF0/SOF1 (baseline/extended sequential, Huffman) in a single
     * interleaved scan or split across multiple full-band non-interleaved
-    * scans, AND SOF2 progressive (spectral selection + successive
-    * approximation, Huffman, per the Annex G machinery below). 8-bit
-    * precision, 1 or 3 components, sampling factors 1 or 2, restart
-    * markers, 8- or 16-bit quant tables. Null only for arithmetic
-    * coding, 12-bit precision, and lossless/hierarchical frames —
+    * scans, SOF2 progressive (spectral selection + successive
+    * approximation, Huffman, per the Annex G machinery below), AND SOF9
+    * (extended sequential, ARITHMETIC coding — the T.81 Annex D QM-coder
+    * with the F.1.4.4 DC/AC statistical models and DAC conditioning, in
+    * a single interleaved scan). 8-bit precision, 1 or 3 components,
+    * sampling factors 1 or 2, restart markers, 8- or 16-bit quant
+    * tables. Null only for progressive-arithmetic (SOF10), arithmetic
+    * multi-scan, 12-bit precision, and lossless/hierarchical frames —
     * lossless (SOF3) and 12-bit gray (SOF1) decode at full precision
     * through the dedicated [[jpegLosslessStats]] / [[jpeg12Stats]]
     * paths, never through this 8-bit raster one.
@@ -995,6 +998,11 @@ object MediaCodecHelper {
   private def decodeJpeg0(b: Array[Byte], impliedStdTables: Boolean): Raster = {
     if ((b(0) & 0xff) != 0xff || (b(1) & 0xff) != 0xd8) return null
     val qt = Array.ofDim[Int](4, 64) // zigzag order
+    // a slot is usable only after a DQT populated it (mirrors the
+    // dcT/acT null checks): without this, a stream carrying DHT but no
+    // DQT dequantizes every coefficient against an all-zero table and
+    // fabricates a constant raster instead of the honest null
+    val qtDef = new Array[Boolean](4)
     val dcT = new Array[JHuff](4)
     val acT = new Array[JHuff](4)
     if (impliedStdTables) {
@@ -1005,6 +1013,11 @@ object MediaCodecHelper {
     var comps: Array[JComp] = null
     var restartInt = 0
     var progressive = false
+    var arith = false // SOF9: QM-coded extended sequential
+    // DAC conditioning (T.81 B.2.4.3), defaults per F.1.4.4.1.2/F.1.4.4.2
+    val dcCondL = Array.fill(4)(0)
+    val dcCondU = Array.fill(4)(1)
+    val acCondK = Array.fill(4)(5)
     var multiScan = false // sequential (SOF0/1) frame split across scans
     var seqSeen = Set.empty[Int] // component ids already scanned
     var anyScan = false
@@ -1049,6 +1062,7 @@ object MediaCodecHelper {
               if (qt(tq)(i) == 0) throw JpegBail
               i += 1
             }
+            qtDef(tq) = true
             p += 64 * step
           }
           off += len
@@ -1070,8 +1084,10 @@ object MediaCodecHelper {
             if (tc == 0) dcT(th) = t else acT(th) = t
           }
           off += len
-        case 0xc0 | 0xc1 | 0xc2 => // SOF0/SOF1 baseline, SOF2 progressive
+        case 0xc0 | 0xc1 | 0xc2 | 0xc9 => // SOF0/1 baseline, SOF2
+          // progressive, SOF9 arithmetic extended sequential
           progressive = m == 0xc2
+          arith = m == 0xc9
           val len = segLen
           if (len < 8) throw JpegBail
           val precision = b(off + 2) & 0xff
@@ -1098,8 +1114,28 @@ object MediaCodecHelper {
           // of declared sampling (T.81 A.2.2) — normalize to 1x1
           if (nc == 1) { comps(0).h = 1; comps(0).v = 1 }
           off += len
-        case x if x >= 0xc3 && x <= 0xcf && x != 0xc4 && x != 0xc8 && x != 0xcc =>
-          return null // arithmetic / lossless / hierarchical: out of envelope
+        case x if x >= 0xc3 && x <= 0xcf && x != 0xc4 && x != 0xc8 &&
+            x != 0xc9 && x != 0xcc =>
+          return null // progressive-arithmetic / lossless / hierarchical:
+          // out of envelope (SOF9 sequential-arithmetic decodes above)
+        case 0xcc => // DAC: arithmetic conditioning (T.81 B.2.4.3)
+          val len = segLen
+          var p = off + 2; val stop = off + len
+          while (p + 1 < stop) {
+            val tc = (b(p) & 0xff) >> 4; val tb = b(p) & 0x0f
+            val v = b(p + 1) & 0xff
+            if (tb > 3) throw JpegBail
+            if (tc == 0) {
+              val l = v & 0x0f; val u = v >> 4
+              if (l > u) throw JpegBail // B.2.4.3: 0 <= L <= U <= 15
+              dcCondL(tb) = l; dcCondU(tb) = u
+            } else if (tc == 1) {
+              if (v < 1 || v > 63) throw JpegBail
+              acCondK(tb) = v
+            } else throw JpegBail
+            p += 2
+          }
+          off += len
         case 0xdd => // DRI
           val len = segLen
           if (len != 4) throw JpegBail
@@ -1110,6 +1146,10 @@ object MediaCodecHelper {
           if (comps == null) return null
           val ns = b(off + 2) & 0xff
           if (ns < 1 || ns > comps.length || len < 6 + 2 * ns) return null
+          // arithmetic envelope: ONE interleaved full-band scan — the
+          // multi-scan layout would need per-scan statistics carry rules
+          // this decoder doesn't implement, so honest-null instead
+          if (arith && ns != comps.length) return null
           // a sequential frame whose first scan covers a strict subset
           // of the components is a MULTI-SCAN sequential stream (T.81
           // non-interleaved layout): decode through the coefficient
@@ -1138,11 +1178,17 @@ object MediaCodecHelper {
           // its blocks twice with interleaved MCU geometry — garbage
           // coefficient state, not a partial image. Reject.
           if (scanComps.map(_.id).distinct.length != ns) return null
+          // T.81 B.2.4.1: the quant table a scan dequantizes against
+          // must have been installed by a preceding DQT
+          if (scanComps.exists(c => !qtDef(c.tq))) return null
           val ss = b(off + 3 + 2 * ns) & 0xff
           val se = b(off + 4 + 2 * ns) & 0xff
           val ahal = b(off + 5 + 2 * ns) & 0xff
           if (!progressive && !multiScan) {
             if (ss != 0 || se != 63 || ahal != 0) return null
+            if (arith)
+              return jScanArith(b, off + len, w, h, comps, qt,
+                dcCondL, dcCondU, acCondK, restartInt)
             return jScan(b, off + len, w, h, comps, qt, dcT, acT, restartInt)
           }
           if (multiScan) {
@@ -1225,6 +1271,294 @@ object MediaCodecHelper {
                   k += run
                   if (k > 63) throw JpegBail
                   coef(JpegZigzag(k)) = jExtend(r.receive(s), s) * q(k)
+                  k += 1
+                }
+              }
+              jIdctBlock(coef, tmp, c.plane, c.planeW,
+                (mx * c.h + bx) * 8, (my * c.v + by) * 8)
+              bx += 1
+            }
+            by += 1
+          }
+          ci += 1
+        }
+        mcu += 1; mx += 1
+      }
+      my += 1
+    }
+    jAssemble(w, h, comps, hmax, vmax)
+  }
+
+  /** T.81 Table D.3 — the QM-coder probability estimation state machine
+    * (113 working states + the stationary index-113 entry the AC sign's
+    * non-adaptive "fixed" bin sits on). Columns: Qe value, next index
+    * after LPS, next index after MPS, MPS-switch flag. Public-spec
+    * constants (ITU-T T.81, 1992), verified byte-for-byte against the
+    * system libjpeg's exported `jpeg_aritab`.
+    */
+  private val QmQe: Array[Int] = Array(
+    0x5a1d, 0x2586, 0x1114, 0x080b, 0x03d8, 0x01da, 0x00e5, 0x006f,
+    0x0036, 0x001a, 0x000d, 0x0006, 0x0003, 0x0001, 0x5a7f, 0x3f25,
+    0x2cf2, 0x207c, 0x17b9, 0x1182, 0x0cef, 0x09a1, 0x072f, 0x055c,
+    0x0406, 0x0303, 0x0240, 0x01b1, 0x0144, 0x00f5, 0x00b7, 0x008a,
+    0x0068, 0x004e, 0x003b, 0x002c, 0x5ae1, 0x484c, 0x3a0d, 0x2ef1,
+    0x261f, 0x1f33, 0x19a8, 0x1518, 0x1177, 0x0e74, 0x0bfb, 0x09f8,
+    0x0861, 0x0706, 0x05cd, 0x04de, 0x040f, 0x0363, 0x02d4, 0x025c,
+    0x01f8, 0x01a4, 0x0160, 0x0125, 0x00f6, 0x00cb, 0x00ab, 0x008f,
+    0x5b12, 0x4d04, 0x412c, 0x37d8, 0x2fe8, 0x293c, 0x2379, 0x1edf,
+    0x1aa9, 0x174e, 0x1424, 0x119c, 0x0f6b, 0x0d51, 0x0bb6, 0x0a40,
+    0x5832, 0x4d1c, 0x438e, 0x3bdd, 0x34ee, 0x2eae, 0x299a, 0x2516,
+    0x5570, 0x4ca9, 0x44d9, 0x3e22, 0x3824, 0x32b4, 0x2e17, 0x56a8,
+    0x4f46, 0x47e5, 0x41cf, 0x3c3d, 0x375e, 0x5231, 0x4c0f, 0x4639,
+    0x415e, 0x5627, 0x50e7, 0x4b85, 0x5597, 0x504f, 0x5a10, 0x5522,
+    0x59eb, 0x5a1d)
+  private val QmNlps: Array[Int] = Array(
+    1, 14, 16, 18, 20, 23, 25, 28, 30, 33, 35, 9, 10, 12, 15, 36,
+    38, 39, 40, 42, 43, 45, 46, 48, 49, 51, 52, 54, 56, 57, 59, 60,
+    62, 63, 32, 33, 37, 64, 65, 67, 68, 69, 70, 72, 73, 74, 75, 77,
+    78, 79, 48, 50, 50, 51, 52, 53, 54, 55, 56, 57, 58, 59, 61, 61,
+    65, 80, 81, 82, 83, 84, 86, 87, 87, 72, 72, 74, 74, 75, 77, 77,
+    80, 88, 89, 90, 91, 92, 93, 86, 88, 95, 96, 97, 99, 99, 93, 95,
+    101, 102, 103, 104, 99, 105, 106, 107, 103, 105, 108, 109, 110, 111,
+    110, 112, 112, 113)
+  private val QmNmps: Array[Int] = Array(
+    1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12, 13, 13, 15, 16,
+    17, 18, 19, 20, 21, 22, 23, 24, 25, 26, 27, 28, 29, 30, 31, 32,
+    33, 34, 35, 9, 37, 38, 39, 40, 41, 42, 43, 44, 45, 46, 47, 48,
+    49, 50, 51, 52, 53, 54, 55, 56, 57, 58, 59, 60, 61, 62, 63, 32,
+    65, 66, 67, 68, 69, 70, 71, 72, 73, 74, 75, 76, 77, 78, 79, 48,
+    81, 82, 83, 84, 85, 86, 87, 71, 89, 90, 91, 92, 93, 94, 86, 96,
+    97, 98, 99, 100, 93, 102, 103, 104, 99, 106, 107, 103, 109, 107,
+    111, 109, 111, 113)
+  private val QmSwitch: Array[Boolean] = {
+    val s = Array(0, 14, 36, 64, 80, 88, 95, 105, 110, 112)
+    Array.tabulate(114)(i => s.contains(i))
+  }
+
+  /** The QM-coder DECODER register machine (T.81 §F.2.2): 32-bit C
+    * register whose high 16 bits race the interval register A, BYTEIN
+    * with the D.1.6 zero-BYTE-stuffing convention (a 0x00 following
+    * 0xFF is the stuff byte and is discarded — 0xFF is ordinary data;
+    * anything else after 0xFF is a marker, after which the decoder
+    * feeds zero bytes and leaves the marker unconsumed for the restart
+    * walk). The initial interval is the encoder's full 17-bit 0x10000;
+    * the first two data bytes land verbatim in C's high half (the
+    * interval's 2^16 carry is dropped symmetrically on both sides — the
+    * code offset is always < A <= 0xFFFF after the first subdivision).
+    * Context bins pack (state index << 1) | MPS into one byte.
+    */
+  private final class JQm(b: Array[Byte], end: Int) {
+    private var c = 0L
+    private var a = 0L
+    private var ct = 0
+    var bp = 0 // index of the byte most recently fed into C
+
+    // Past the PHYSICAL end there is no marker to stop at — a valid
+    // stream always terminates its entropy data with a marker (EOI or
+    // RSTn), whose zero-feed path never reads beyond it. Reading past
+    // the end therefore means a truncated stream: honest-null, never
+    // zero-padded garbage.
+    private def byteAt(i: Int): Int =
+      if (i >= 0 && i < end) b(i) & 0xff else throw JpegBail
+
+    def init(start: Int): Unit = {
+      c = 0L; bp = start - 1
+      byteIn(); c = (c << 8) & 0xffffffffL
+      byteIn(); c = (c << 8) & 0xffffffffL
+      ct = 0
+      a = 0x10000L
+    }
+
+    private def byteIn(): Unit = {
+      val nxt = bp + 1
+      if (byteAt(nxt) == 0xff) {
+        var j = nxt + 1
+        while (byteAt(j) == 0xff) j += 1 // 0xFF fill bytes before a marker
+        if (byteAt(j) == 0x00) { bp = j; c += 0xff00L } // stuffed zero
+        // else: marker — feed a zero byte, do not advance
+      } else { bp = nxt; c += byteAt(nxt).toLong << 8 }
+      ct = 8
+    }
+
+    /** Decode one binary decision against the context bin `st(si)`,
+      * updating the bin's adaptive state in place (Figures F.19–F.23:
+      * DECODE with MPS/LPS conditional exchange and renormalization).
+      */
+    def decode(st: Array[Byte], si: Int): Int = {
+      val s = st(si) & 0xff
+      val idx = s >> 1
+      var mps = s & 1
+      val qe = QmQe(idx)
+      a -= qe
+      var d = 0
+      if (((c >> 16) & 0xffffL) < a) {
+        if ((a & 0x8000L) != 0) return mps
+        // MPS_EXCHANGE + RENORM_D
+        if (a < qe) {
+          d = 1 - mps
+          if (QmSwitch(idx)) mps = 1 - mps
+          st(si) = ((QmNlps(idx) << 1) | mps).toByte
+        } else {
+          d = mps
+          st(si) = ((QmNmps(idx) << 1) | mps).toByte
+        }
+      } else {
+        // LPS_EXCHANGE + RENORM_D
+        c -= a << 16
+        if (a < qe) {
+          d = mps
+          st(si) = ((QmNmps(idx) << 1) | mps).toByte
+        } else {
+          d = 1 - mps
+          if (QmSwitch(idx)) mps = 1 - mps
+          st(si) = ((QmNlps(idx) << 1) | mps).toByte
+        }
+        a = qe
+      }
+      while ({
+        if (ct == 0) byteIn()
+        a <<= 1
+        c = (c << 1) & 0xffffffffL
+        ct -= 1
+        a < 0x8000L
+      }) ()
+      d
+    }
+
+    /** Byte-align at a restart boundary: the next marker in the stream
+      * must be the expected RSTn (within entropy data every 0xFF is
+      * followed by a stuffed byte < 0x80, so the first 0xFF followed by
+      * >= 0x90 IS the marker). Returns the offset just past it.
+      */
+    def seekRestart(idx: Int): Int = {
+      var i = bp
+      while (i + 1 < end && !((b(i) & 0xff) == 0xff && (b(i + 1) & 0xff) >= 0x90))
+        i += 1
+      if (i + 1 >= end || (b(i + 1) & 0xff) != 0xd0 + idx) throw JpegBail
+      i + 2
+    }
+  }
+
+  /** The interleaved SOF9 scan: per block, the T.81 F.1.4.4.1 DC model
+    * (sign/magnitude decision tree conditioned on the previous diff's
+    * classification against the DAC L/U bounds) and the F.1.4.4.2 AC
+    * model (per-position EOB/run decisions, the non-adaptive sign bin,
+    * Kx-split magnitude trees), decoded by the Annex-D QM-coder —
+    * then the same dequant + IDCT + assembly as the Huffman scan.
+    * Restart intervals re-initialize the coder AND zero every
+    * statistics bin (F.1.4.1.1), exactly like the encoder side.
+    */
+  private def jScanArith(b: Array[Byte], scanOff: Int, w: Int, h: Int,
+                         comps: Array[JComp], qt: Array[Array[Int]],
+                         dcCondL: Array[Int], dcCondU: Array[Int],
+                         acCondK: Array[Int], restartInt: Int): Raster = {
+    var hmax = 1; var vmax = 1
+    comps.foreach { c => if (c.h > hmax) hmax = c.h; if (c.v > vmax) vmax = c.v }
+    val mcusX = (w + 8 * hmax - 1) / (8 * hmax)
+    val mcusY = (h + 8 * vmax - 1) / (8 * vmax)
+    comps.foreach { c =>
+      c.planeW = mcusX * 8 * c.h
+      c.plane = new Array[Byte](c.planeW * mcusY * 8 * c.v)
+      c.pred = 0
+    }
+    val dcStats = Array.ofDim[Byte](4, 64)
+    val acStats = Array.ofDim[Byte](4, 256)
+    // non-adaptive AC sign bin: the stationary index-113 state
+    val fixedBin = Array[Byte]((113 << 1).toByte)
+    val dcContext = new Array[Int](comps.length)
+    val qm = new JQm(b, b.length)
+    qm.init(scanOff)
+    val coef = new Array[Int](64)
+    val tmp = new Array[Double](64)
+    var mcu = 0; var rstIdx = 0
+    var my = 0
+    while (my < mcusY) {
+      var mx = 0
+      while (mx < mcusX) {
+        if (restartInt > 0 && mcu > 0 && mcu % restartInt == 0) {
+          val next = qm.seekRestart(rstIdx)
+          rstIdx = (rstIdx + 1) & 7
+          var t = 0
+          while (t < 4) {
+            java.util.Arrays.fill(dcStats(t), 0.toByte)
+            java.util.Arrays.fill(acStats(t), 0.toByte)
+            t += 1
+          }
+          comps.foreach(_.pred = 0)
+          java.util.Arrays.fill(dcContext, 0)
+          qm.init(next)
+        }
+        var ci = 0
+        while (ci < comps.length) {
+          val c = comps(ci)
+          val q = qt(c.tq)
+          var by = 0
+          while (by < c.v) {
+            var bx = 0
+            while (bx < c.h) {
+              java.util.Arrays.fill(coef, 0)
+              // ---- DC: F.1.4.4.1 / F.2.4.1 ----
+              val dst = dcStats(c.td)
+              val ctx = dcContext(ci)
+              if (qm.decode(dst, ctx) == 0) {
+                dcContext(ci) = 0
+              } else {
+                val sign = qm.decode(dst, ctx + 1)
+                var m = 0
+                var si = ctx + 2 + sign
+                if (qm.decode(dst, si) != 0) {
+                  m = 1
+                  si = 20 // X1 bin (Table F.4 layout)
+                  while (qm.decode(dst, si) != 0) {
+                    m <<= 1
+                    if (m == 0x8000) throw JpegBail
+                    si += 1
+                  }
+                }
+                dcContext(ci) =
+                  if (m < ((1 << dcCondL(c.td)) >> 1)) 0
+                  else if (m > ((1 << dcCondU(c.td)) >> 1)) 12 + sign * 4
+                  else 4 + sign * 4
+                var v = m
+                si += 14 // the matching M (mantissa) bin
+                while ({ m >>= 1; m != 0 }) {
+                  if (qm.decode(dst, si) != 0) v |= m
+                }
+                v += 1
+                c.pred += (if (sign != 0) -v else v)
+              }
+              coef(0) = c.pred * q(0)
+              // ---- AC: F.1.4.4.2 / F.2.4.2 ----
+              val ast = acStats(c.ta)
+              var k = 1
+              var eob = false
+              while (!eob && k < 64) {
+                var si = 3 * (k - 1)
+                if (qm.decode(ast, si) != 0) eob = true
+                else {
+                  while (qm.decode(ast, si + 1) == 0) {
+                    si += 3; k += 1
+                    if (k > 63) throw JpegBail
+                  }
+                  val sign = qm.decode(fixedBin, 0)
+                  si += 2
+                  var m = qm.decode(ast, si)
+                  if (m != 0 && qm.decode(ast, si) != 0) {
+                    m <<= 1
+                    si = if (k <= acCondK(c.ta)) 189 else 217
+                    while (qm.decode(ast, si) != 0) {
+                      m <<= 1
+                      if (m == 0x8000) throw JpegBail
+                      si += 1
+                    }
+                  }
+                  var v = m
+                  si += 14
+                  while ({ m >>= 1; m != 0 }) {
+                    if (qm.decode(ast, si) != 0) v |= m
+                  }
+                  v += 1
+                  coef(JpegZigzag(k)) = (if (sign != 0) -v else v) * q(k)
                   k += 1
                 }
               }
@@ -1649,6 +1983,9 @@ object MediaCodecHelper {
   private def decodeJpeg12_0(b: Array[Byte]): J12 = {
     if ((b(0) & 0xff) != 0xff || (b(1) & 0xff) != 0xd8) return null
     val qt = Array.ofDim[Int](4, 64)
+    // DQT-populated flag per slot, same honest-null rationale as the
+    // 8-bit path: never dequantize against a never-installed table
+    val qtDef = new Array[Boolean](4)
     val dcT = new Array[JHuff](4)
     val acT = new Array[JHuff](4)
     var w = 0; var h = 0
@@ -1687,6 +2024,7 @@ object MediaCodecHelper {
               if (qt(t)(i) == 0) throw JpegBail
               i += 1
             }
+            qtDef(t) = true
             p += 64 * step
           }
           off += len
@@ -1741,6 +2079,7 @@ object MediaCodecHelper {
           val se = b(off + 6) & 0xff
           if (ss != 0 || se != 63 || (b(off + 7) & 0xff) != 0) return null
           if (dcT(td) == null || acT(ta) == null) return null
+          if (!qtDef(tq)) return null // DQT never installed this slot
           return jScan12(b, off + len, w, h, qt(tq), dcT(td), acT(ta),
             restartInt)
         case x if x >= 0xd0 && x <= 0xd7 => // RSTn outside scan: ignore
@@ -3007,8 +3346,15 @@ object MediaCodecHelper {
     if (cbSize < 4) return null
     val declared = leShort(bytes, fo + 18)
     if (declared != 2 + 2 * (blockAlign - head) / channels) return null
+    // the cbSize extension must FIT the fmt chunk (cbSize <= fmtLen-18)
+    // and the coefficient table must lie inside it — otherwise a crafted
+    // fmtLen/cbSize mismatch reads the next RIFF chunk's bytes as iCoef
+    // pairs: no out-of-range read, but a garbage decode instead of the
+    // honest null the table-truncation doc promises
+    if (cbSize > fmtLen - 18) return null
     val numCoef = leShort(bytes, fo + 20)
     if (numCoef < 1 || cbSize < 4 + 4 * numCoef ||
+        fmtLen < 22 + 4 * numCoef ||
         fo + 22 + 4 * numCoef > bytes.length) return null
     val dataLen0 = leInt(bytes, dOff - 4)
     val dataLen = math.min(dataLen0.toLong, (bytes.length - dOff).toLong).toInt

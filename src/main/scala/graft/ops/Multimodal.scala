@@ -1121,6 +1121,386 @@ object Multimodal {
       crBlock = (_, my) => ((my * 19 + id * 3) % 256).toInt,
       acSeed = null, restartInterval = 0)
 
+  /** T.81 Table D.3 constants for the ARITHMETIC fixture encoder —
+    * published-spec data (the same table the production decoder carries;
+    * restated here so the encoder shares no code with it, the zigzag
+    * discipline). Packed (qe, nlps, nmps, switch) per row.
+    */
+  private val ArithQe: Array[Int] = Array(
+    0x5a1d, 0x2586, 0x1114, 0x080b, 0x03d8, 0x01da, 0x00e5, 0x006f,
+    0x0036, 0x001a, 0x000d, 0x0006, 0x0003, 0x0001, 0x5a7f, 0x3f25,
+    0x2cf2, 0x207c, 0x17b9, 0x1182, 0x0cef, 0x09a1, 0x072f, 0x055c,
+    0x0406, 0x0303, 0x0240, 0x01b1, 0x0144, 0x00f5, 0x00b7, 0x008a,
+    0x0068, 0x004e, 0x003b, 0x002c, 0x5ae1, 0x484c, 0x3a0d, 0x2ef1,
+    0x261f, 0x1f33, 0x19a8, 0x1518, 0x1177, 0x0e74, 0x0bfb, 0x09f8,
+    0x0861, 0x0706, 0x05cd, 0x04de, 0x040f, 0x0363, 0x02d4, 0x025c,
+    0x01f8, 0x01a4, 0x0160, 0x0125, 0x00f6, 0x00cb, 0x00ab, 0x008f,
+    0x5b12, 0x4d04, 0x412c, 0x37d8, 0x2fe8, 0x293c, 0x2379, 0x1edf,
+    0x1aa9, 0x174e, 0x1424, 0x119c, 0x0f6b, 0x0d51, 0x0bb6, 0x0a40,
+    0x5832, 0x4d1c, 0x438e, 0x3bdd, 0x34ee, 0x2eae, 0x299a, 0x2516,
+    0x5570, 0x4ca9, 0x44d9, 0x3e22, 0x3824, 0x32b4, 0x2e17, 0x56a8,
+    0x4f46, 0x47e5, 0x41cf, 0x3c3d, 0x375e, 0x5231, 0x4c0f, 0x4639,
+    0x415e, 0x5627, 0x50e7, 0x4b85, 0x5597, 0x504f, 0x5a10, 0x5522,
+    0x59eb, 0x5a1d)
+  private val ArithNlps: Array[Int] = Array(
+    1, 14, 16, 18, 20, 23, 25, 28, 30, 33, 35, 9, 10, 12, 15, 36,
+    38, 39, 40, 42, 43, 45, 46, 48, 49, 51, 52, 54, 56, 57, 59, 60,
+    62, 63, 32, 33, 37, 64, 65, 67, 68, 69, 70, 72, 73, 74, 75, 77,
+    78, 79, 48, 50, 50, 51, 52, 53, 54, 55, 56, 57, 58, 59, 61, 61,
+    65, 80, 81, 82, 83, 84, 86, 87, 87, 72, 72, 74, 74, 75, 77, 77,
+    80, 88, 89, 90, 91, 92, 93, 86, 88, 95, 96, 97, 99, 99, 93, 95,
+    101, 102, 103, 104, 99, 105, 106, 107, 103, 105, 108, 109, 110, 111,
+    110, 112, 112, 113)
+  private val ArithNmps: Array[Int] = Array(
+    1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12, 13, 13, 15, 16,
+    17, 18, 19, 20, 21, 22, 23, 24, 25, 26, 27, 28, 29, 30, 31, 32,
+    33, 34, 35, 9, 37, 38, 39, 40, 41, 42, 43, 44, 45, 46, 47, 48,
+    49, 50, 51, 52, 53, 54, 55, 56, 57, 58, 59, 60, 61, 62, 63, 32,
+    65, 66, 67, 68, 69, 70, 71, 72, 73, 74, 75, 76, 77, 78, 79, 48,
+    81, 82, 83, 84, 85, 86, 87, 71, 89, 90, 91, 92, 93, 94, 86, 96,
+    97, 98, 99, 100, 93, 102, 103, 104, 99, 106, 107, 103, 109, 107,
+    111, 109, 111, 113)
+  private val ArithSwitch: Set[Int] =
+    Set(0, 14, 36, 64, 80, 88, 95, 105, 110, 112)
+
+  /** The QM-coder ENCODER (T.81 Annex D): CODELPS/CODEMPS with
+    * conditional MPS/LPS interval exchange, BYTEOUT from C bit 19 with
+    * the pending-0xFF stack and carry resolution, zero-byte stuffing
+    * after every emitted 0xFF, and the D.1.8 FLUSH that clears as many
+    * trailing code bits as the final interval allows. Verified
+    * byte-exact against the system libjpeg's arithmetic encoder on the
+    * conformance goldens (see MediaCodecSpec) — yet shares no code with
+    * the production DECODER in expr/MediaCodecHelper, whose register
+    * machine is the F.2.2 decoder, not this one.
+    */
+  private final class QmEnc(out: java.io.ByteArrayOutputStream) {
+    private var a = 0x10000L
+    private var c = 0L
+    private var ct = 11
+    private var buffer = -1
+    private var sc = 0L
+    private var zc = 0L
+
+    def reset(): Unit = {
+      a = 0x10000L; c = 0L; ct = 11; buffer = -1; sc = 0L; zc = 0L
+    }
+
+    private def byteOut(): Unit = {
+      val temp = (c >> 19).toInt
+      if (temp > 0xff) {
+        if (buffer >= 0) {
+          while (zc > 0) { out.write(0); zc -= 1 }
+          out.write(buffer + 1)
+          if (buffer + 1 == 0xff) out.write(0)
+        }
+        zc += sc; sc = 0
+        buffer = temp & 0xff
+      } else if (temp == 0xff) {
+        sc += 1
+      } else {
+        if (buffer == 0) zc += 1 // zero bytes stay pending: droppable
+        // at the stream tail, emitted before any later nonzero byte
+        else if (buffer >= 0) {
+          while (zc > 0) { out.write(0); zc -= 1 }
+          out.write(buffer)
+        }
+        if (sc > 0) {
+          while (zc > 0) { out.write(0); zc -= 1 }
+          while (sc > 0) { out.write(0xff); out.write(0); sc -= 1 }
+        }
+        buffer = temp
+      }
+      c &= 0x7ffffL
+      ct += 8
+    }
+
+    private def renorm(): Unit = {
+      while ({
+        a <<= 1; c <<= 1; ct -= 1
+        if (ct == 0) byteOut()
+        (a & 0x8000L) == 0
+      }) ()
+    }
+
+    /** Code decision `d` against bin `si` of `st`, adapting the bin. */
+    def code(st: Array[Int], si: Int, d: Int): Unit = {
+      val sv = st(si)
+      val idx = sv >> 1
+      var mps = sv & 1
+      val qe = ArithQe(idx)
+      a -= qe
+      if (d != mps) {
+        if (a >= qe) { c += a; a = qe }
+        if (ArithSwitch(idx)) mps = 1 - mps
+        st(si) = (ArithNlps(idx) << 1) | mps
+        renorm()
+      } else if ((a & 0x8000L) == 0) {
+        if (a < qe) { c += a; a = qe }
+        st(si) = (ArithNmps(idx) << 1) | mps
+        renorm()
+      } // fast MPS path: no renorm, no state change (D.1.5)
+    }
+
+    /** D.1.8 termination: clear low code bits, push out the remainder,
+      * dropping final zero bytes (the decoder's past-the-end zero feed
+      * reconstructs them).
+      */
+    def flush(): Unit = {
+      val t = (a - 1 + c) & 0xffff0000L
+      c = if (t < c) t + 0x8000L else t
+      c <<= ct
+      if ((c & 0xf8000000L) != 0) {
+        if (buffer >= 0) {
+          while (zc > 0) { out.write(0); zc -= 1 }
+          out.write(buffer + 1)
+          if (buffer + 1 == 0xff) out.write(0)
+        }
+        zc += sc; sc = 0
+      } else {
+        if (buffer == 0) zc += 1
+        else if (buffer >= 0) {
+          while (zc > 0) { out.write(0); zc -= 1 }
+          out.write(buffer)
+        }
+        if (sc > 0) {
+          while (zc > 0) { out.write(0); zc -= 1 }
+          while (sc > 0) { out.write(0xff); out.write(0); sc -= 1 }
+        }
+      }
+      if ((c & 0x7fff800L) != 0) {
+        // pending zero bytes precede the final code bytes (only truly
+        // TRAILING zeros are droppable — the r18 segment-flush fix the
+        // libjpeg cross-check caught)
+        while (zc > 0) { out.write(0); zc -= 1 }
+        out.write(((c >> 19) & 0xff).toInt)
+        if (((c >> 19) & 0xff) == 0xff) out.write(0)
+        if ((c & 0x7f800L) != 0) {
+          out.write(((c >> 11) & 0xff).toInt)
+          if (((c >> 11) & 0xff) == 0xff) out.write(0)
+        }
+      }
+    }
+  }
+
+  /** REAL arithmetic-coded JPEG encoder (fixture side): SOF9 extended
+    * sequential with the F.1.4.4.1 DC and F.1.4.4.2 AC statistical
+    * models over the [[QmEnc]] coder — constant-valued 8×8 blocks
+    * (DC-only, decoded values exactly the block constants), an optional
+    * quantized AC seed block at Y (0,0) with pre-verified integer
+    * outputs, 4:4:4 or 4:2:0 chroma, restart markers (flush + RSTn +
+    * full statistics reset), and DAC conditioning — `dacU`/`dacK` < 0
+    * writes NO DAC segment, exercising the decoder's T.81 defaults
+    * (L=0, U=1, Kx=5). Quant tables: luma DC=8/AC=16 (slot 0), chroma
+    * DC=4/AC=16 (slot 1), as the baseline fixture.
+    */
+  def jpegArithBytes(width: Int, height: Int, color: Boolean,
+                     sub420: Boolean,
+                     yBlock: (Int, Int) => Int,
+                     cbBlock: (Int, Int) => Int,
+                     crBlock: (Int, Int) => Int,
+                     acSeed: Array[Int],
+                     restartInterval: Int,
+                     dacU: Int, dacK: Int): Array[Byte] = {
+    require(width > 0 && height > 0)
+    val out = new java.io.ByteArrayOutputStream()
+    def b(vs: Int*): Unit = vs.foreach(v => out.write(v & 0xff))
+    def be16(v: Int): Unit = { out.write((v >> 8) & 0xff); out.write(v & 0xff) }
+    def seg(marker: Int, payload: Array[Byte]): Unit = {
+      b(0xff, marker); be16(payload.length + 2); out.write(payload)
+    }
+    val condL = 0
+    val condU = if (dacU >= 0) dacU else 1
+    val condK = if (dacK >= 0) dacK else 5
+    val q0 = Array.tabulate(64)(i => if (i == 0) 8 else 16)
+    val q1 = Array.tabulate(64)(i => if (i == 0) 4 else 16)
+    b(0xff, 0xd8) // SOI
+    seg(0xdb, (0x00.toByte +: q0.map(_.toByte)) ++
+      (if (color) 0x01.toByte +: q1.map(_.toByte) else Array.empty[Byte]))
+    val ncomp = if (color) 3 else 1
+    val sof = new java.io.ByteArrayOutputStream()
+    sof.write(8)
+    sof.write((height >> 8) & 0xff); sof.write(height & 0xff)
+    sof.write((width >> 8) & 0xff); sof.write(width & 0xff)
+    sof.write(ncomp)
+    if (color) {
+      sof.write(1); sof.write(if (sub420) 0x22 else 0x11); sof.write(0)
+      sof.write(2); sof.write(0x11); sof.write(1)
+      sof.write(3); sof.write(0x11); sof.write(1)
+    } else { sof.write(1); sof.write(0x11); sof.write(0) }
+    seg(0xc9, sof.toByteArray) // SOF9: arithmetic sequential
+    if (dacU >= 0 || dacK >= 0) {
+      // DAC: DC table 0 (U<<4|L) and AC table 0 (Kx); chroma slots use
+      // slot 0's values via Td/Ta below, so one pair suffices
+      seg(0xcc, Array(0x00.toByte, ((condU << 4) | condL).toByte,
+        0x10.toByte, condK.toByte))
+    }
+    if (restartInterval > 0)
+      seg(0xdd, Array(((restartInterval >> 8) & 0xff).toByte,
+        (restartInterval & 0xff).toByte))
+    val sos = new java.io.ByteArrayOutputStream()
+    sos.write(ncomp)
+    sos.write(1); sos.write(0x00)
+    if (color) { sos.write(2); sos.write(0x00); sos.write(3); sos.write(0x00) }
+    sos.write(0); sos.write(63); sos.write(0)
+    seg(0xda, sos.toByteArray)
+    // ---- entropy layer ----
+    val enc = new QmEnc(out)
+    val dcStats = Array.ofDim[Int](4, 64)
+    val acStats = Array.ofDim[Int](4, 256)
+    val fixedBin = Array(113 << 1)
+    val dcCtx = new Array[Int](ncomp)
+    val preds = new Array[Int](ncomp)
+    def resetStats(): Unit = {
+      var t = 0
+      while (t < 4) {
+        java.util.Arrays.fill(dcStats(t), 0)
+        java.util.Arrays.fill(acStats(t), 0)
+        t += 1
+      }
+      fixedBin(0) = 113 << 1
+      java.util.Arrays.fill(dcCtx, 0)
+      java.util.Arrays.fill(preds, 0)
+    }
+    /** Encode one quantized-coefficient block for component `ci`. */
+    def emitBlock(coefs: Array[Int], ci: Int): Unit = {
+      val dc = dcStats(0) // all components share conditioning slot 0
+      val ac = acStats(0)
+      val diff = coefs(0) - preds(ci)
+      preds(ci) = coefs(0)
+      val ctx = dcCtx(ci)
+      if (diff == 0) { enc.code(dc, ctx, 0); dcCtx(ci) = 0 }
+      else {
+        enc.code(dc, ctx, 1)
+        val sign = if (diff < 0) 1 else 0
+        enc.code(dc, ctx + 1, sign)
+        var v = math.abs(diff) - 1
+        var m = 0
+        var si = ctx + 2 + sign
+        if (v == 0) enc.code(dc, si, 0)
+        else {
+          enc.code(dc, si, 1)
+          m = 1; si = 20
+          while (v >= (m << 1)) { enc.code(dc, si, 1); m <<= 1; si += 1 }
+          enc.code(dc, si, 0)
+        }
+        dcCtx(ci) =
+          if (m < ((1 << condL) >> 1)) 0
+          else if (m > ((1 << condU) >> 1)) 12 + sign * 4
+          else 4 + sign * 4
+        si += 14
+        var mm = m >> 1
+        while (mm != 0) {
+          enc.code(dc, si, if ((v & mm) != 0) 1 else 0); mm >>= 1
+        }
+      }
+      var lastNz = 0
+      var i = 1
+      while (i < 64) { if (coefs(i) != 0) lastNz = i; i += 1 }
+      var k = 1
+      while (k <= lastNz) {
+        var si = 3 * (k - 1)
+        enc.code(ac, si, 0) // not EOB
+        while (coefs(k) == 0) { enc.code(ac, si + 1, 0); si += 3; k += 1 }
+        enc.code(ac, si + 1, 1)
+        val cv = coefs(k)
+        val sign = if (cv < 0) 1 else 0
+        enc.code(fixedBin, 0, sign)
+        var v = math.abs(cv) - 1
+        var m = 0
+        si += 2
+        if (v == 0) enc.code(ac, si, 0)
+        else {
+          enc.code(ac, si, 1)
+          if (v == 1) { enc.code(ac, si, 0); m = 1 }
+          else {
+            enc.code(ac, si, 1)
+            m = 2; si = if (k <= condK) 189 else 217
+            while (v >= (m << 1)) { enc.code(ac, si, 1); m <<= 1; si += 1 }
+            enc.code(ac, si, 0)
+          }
+        }
+        si += 14
+        var mm = m >> 1
+        while (mm != 0) {
+          enc.code(ac, si, if ((v & mm) != 0) 1 else 0); mm >>= 1
+        }
+        k += 1
+      }
+      if (lastNz < 63) enc.code(ac, 3 * (k - 1), 1) // EOB
+    }
+    val constBlock = new Array[Int](64)
+    def emitConst(value: Int, qdc: Int, ci: Int): Unit = {
+      constBlock(0) = (value - 128) * 8 / qdc // exact: qdc in {8, 4}
+      emitBlock(constBlock, ci)
+    }
+    val hmax = if (color && sub420) 2 else 1
+    val mcusX = (width + 8 * hmax - 1) / (8 * hmax)
+    val mcusY = (height + 8 * hmax - 1) / (8 * hmax)
+    var mcu = 0; var rstIdx = 0
+    for (my <- 0 until mcusY; mx <- 0 until mcusX) {
+      if (restartInterval > 0 && mcu > 0 && mcu % restartInterval == 0) {
+        enc.flush()
+        b(0xff, 0xd0 + rstIdx); rstIdx = (rstIdx + 1) & 7
+        enc.reset(); resetStats()
+      }
+      val yBlocks =
+        if (hmax == 2) Seq((2 * mx, 2 * my), (2 * mx + 1, 2 * my),
+          (2 * mx, 2 * my + 1), (2 * mx + 1, 2 * my + 1))
+        else Seq((mx, my))
+      for ((bx, by) <- yBlocks) {
+        if (acSeed != null && bx == 0 && by == 0) {
+          // acSeed is zigzag-ordered; this encoder codes positions in
+          // zigzag order directly, so pass through
+          val blk = acSeed.clone()
+          emitBlock(blk, 0)
+        } else emitConst(yBlock(bx, by), 8, 0)
+      }
+      if (color) {
+        emitConst(cbBlock(mx, my), 4, 1)
+        emitConst(crBlock(mx, my), 4, 2)
+      }
+      mcu += 1
+    }
+    enc.flush()
+    b(0xff, 0xd9) // EOI
+    out.toByteArray
+  }
+
+  /** Gray arithmetic JPEG fixture for doc `id`: (14+id%19)×(10+id%11),
+    * block (bx,by) constant (bx*31+by*47+id*13)%256 except the AC seed
+    * at (0,0), restart every 3 MCUs, NO DAC segment (decoder defaults).
+    */
+  def grayJpegArithBytes(id: Long): Array[Byte] =
+    jpegArithBytes(14 + (id % 19).toInt, 10 + (id % 11).toInt,
+      color = false, sub420 = false,
+      yBlock = (bx, by) => ((bx * 31 + by * 47 + id * 13) % 256).toInt,
+      cbBlock = null, crBlock = null,
+      acSeed = GrayAcSeed, restartInterval = 3, dacU = -1, dacK = -1)
+
+  /** Gray arithmetic fixture with NON-default DAC conditioning (U=3,
+    * Kx=16): same closed-form pixels, different bitstream contexts —
+    * proves the conditioning plumbing end to end.
+    */
+  def condJpegArithBytes(id: Long): Array[Byte] =
+    jpegArithBytes(12 + (id % 13).toInt, 9 + (id % 9).toInt,
+      color = false, sub420 = false,
+      yBlock = (bx, by) => ((bx * 53 + by * 19 + id * 29) % 256).toInt,
+      cbBlock = null, crBlock = null,
+      acSeed = GrayAcSeed, restartInterval = 0, dacU = 3, dacK = 16)
+
+  /** 4:2:0 color arithmetic fixture: Y block (bx,by) =
+    * (bx*37+by*13+id*17)%256, Cb = (mx*23+id*7)%256, Cr =
+    * (my*29+id*11)%256 per MCU, restart every 2 MCUs, default
+    * conditioning via an explicit DAC segment.
+    */
+  def colorJpegArithBytes(id: Long): Array[Byte] =
+    jpegArithBytes(11 + (id % 21).toInt, 8 + (id % 15).toInt,
+      color = true, sub420 = true,
+      yBlock = (bx, by) => ((bx * 37 + by * 13 + id * 17) % 256).toInt,
+      cbBlock = (mx, _) => ((mx * 23 + id * 7) % 256).toInt,
+      crBlock = (_, my) => ((my * 29 + id * 11) % 256).toInt,
+      acSeed = null, restartInterval = 2, dacU = 1, dacK = 5)
+
   /** 12-bit extended-sequential JPEG (SOF1) fixture encoder — the
     * independent bitstream writer for the DICOM-shaped gray lane. One
     * quant table (8- or 16-bit per `q16`), one DC table (the 16 category
@@ -2288,6 +2668,9 @@ object Multimodal {
   val makePng4Palette = udf((id: Long) => png4PaletteBytes(id))
   val makeJpeg12 = udf((id: Long) => jpeg12Bytes(id))
   val makeJpeg12WideQ = udf((id: Long) => jpeg12WideQBytes(id))
+  val makeJpegArithGray = udf((id: Long) => grayJpegArithBytes(id))
+  val makeJpegArithCond = udf((id: Long) => condJpegArithBytes(id))
+  val makeJpegArithColor = udf((id: Long) => colorJpegArithBytes(id))
   val makeJpegLosslessG16 = udf((id: Long) => jpegLosslessG16Bytes(id))
   val makeJpegLosslessG12 = udf((id: Long) => jpegLosslessG12Bytes(id))
   val makeJpegLossless3c = udf((id: Long) => jpegLossless3cBytes(id))

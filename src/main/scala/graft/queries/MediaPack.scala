@@ -797,6 +797,59 @@ object MediaPack {
       b.getField("px_max").cast("long").as("b_max"))
   }
 
+  /** Arithmetic-JPEG fixture: the three SOF9 lanes from the independent
+    * QmEnc bitstream writer (Annex D encoder flowcharts — byte-exact
+    * against the system libjpeg encoder on the conformance goldens,
+    * sharing no code with the production F.2.2 decoder), memoized
+    * separately.
+    */
+  private def jpegArithBlobs(s: SparkSession, dir: String) = {
+    val (store, _) = Fixtures(s, dir, "fix_media_jar") { st =>
+      st.write(Tables.documents(s, dir).select(col("doc_id"))
+        .withColumn("ja", Multimodal.makeJpegArithGray(col("doc_id")))
+        .withColumn("jb", Multimodal.makeJpegArithCond(col("doc_id")))
+        .withColumn("jc", Multimodal.makeJpegArithColor(col("doc_id"))),
+        "mm_jar", slices = 8)
+      Map("blobs" -> "mm_jar")
+    }
+    store.readResolved("mm_jar")
+  }
+
+  /** REAL arithmetic-coded JPEG decode (SOF9, T.81 Annex D QM-coder +
+    * the F.1.4.4 statistical models) — the `jpegtran -arithmetic`
+    * flavor, closing the last in-reach intra-frame envelope null (the
+    * stub seam is now inter-frame video + hierarchical frames only).
+    * Three lanes through the SAME [[Multimodal.decodeJpeg]] surface as
+    * the Huffman gates: gray with the pre-verified AC-seed block at
+    * (0,0), restarts every 3 MCUs and NO DAC segment (T.81 default
+    * conditioning), gray with non-default DAC conditioning (U=3,
+    * Kx=16), and 4:2:0 color with restarts through upsample +
+    * fixed-point YCbCr→RGB. The decoder is additionally conformance-
+    * proven against SYSTEM-libjpeg-encoded streams in MediaCodecSpec —
+    * two independent encoders, one decoder, one closed-form oracle.
+    * Codegen'd scan-side; the one exchange is the tiny blob-table join.
+    */
+  def jpegArith(s: SparkSession, dir: String): DataFrame = {
+    val media = jpegArithBlobs(s, dir)
+    val a = Multimodal.decodeJpeg(col("ja"))
+    val b = Multimodal.decodeJpeg(col("jb"))
+    val c = Multimodal.decodeJpeg(col("jc"))
+    media.select(col("doc_id"),
+      a.getField("width").cast("long").as("a_w"),
+      a.getField("height").cast("long").as("a_h"),
+      a.getField("px_sum").as("a_sum"),
+      a.getField("px_min").cast("long").as("a_min"),
+      a.getField("px_max").cast("long").as("a_max"),
+      b.getField("width").cast("long").as("b_w"),
+      b.getField("px_sum").as("b_sum"),
+      b.getField("px_min").cast("long").as("b_min"),
+      b.getField("px_max").cast("long").as("b_max"),
+      c.getField("channels").cast("long").as("c_ch"),
+      c.getField("px_sum").as("c_sum"),
+      c.getField("px_min").cast("long").as("c_min"),
+      c.getField("px_max").cast("long").as("c_max"))
+  }
+
   /** Lossless-JPEG fixture: the three SOF3 lanes from the independent
     * bitstream writer (closed-form DIFFERENCES — the recurrence is never
     * run at encode time), memoized separately.
@@ -954,6 +1007,7 @@ object MediaPack {
     "mm_audio_msadpcm" -> audioMsAdpcm _,
     "mm_jpeg_lossless" -> jpegLossless _,
     "mm_jpeg12" -> jpeg12 _,
+    "mm_jpeg_arith" -> jpegArith _,
     "mm_png_subbyte" -> pngSubByte _,
     "mm_gif_anim" -> gifAnim _,
     "mm_gif_compose" -> gifCompose _,
@@ -2170,6 +2224,79 @@ object MediaPack {
     // lane B's 16-bit quant table (q0=800) lands 2048 + 100*v with
     // v = (bx*7 + by*11 + id*3) % 41 - 20. Pixels replay per (x,y)
     // with bx = x//8, by = y//8 over the cropped w*h grid.
+    // Arithmetic-JPEG replay: the QM entropy layer is bit-level state
+    // machinery the decoder must invert EXACTLY or the closed forms
+    // below cannot come out — constant blocks decode to their constants,
+    // the AC-seed block to the independently-IDCT'd 64 pixels (sum 8383,
+    // min 103, max 187), color through the fixed-point CCIR 601 formula.
+    "mm_jpeg_arith" ->
+      """WITH ga AS (
+           SELECT d.doc_id,
+                  sum(CASE WHEN bx.b = 0 AND by.b = 0 THEN 8383
+                      ELSE ((bx.b*31 + by.b*47 + d.doc_id*13) % 256)
+                           * (LEAST(8, (14 + d.doc_id % 19) - bx.b*8)
+                            * LEAST(8, (10 + d.doc_id % 11) - by.b*8)) END) AS s,
+                  LEAST(103, min(CASE WHEN bx.b = 0 AND by.b = 0 THEN 255
+                      ELSE (bx.b*31 + by.b*47 + d.doc_id*13) % 256 END)) AS mn,
+                  GREATEST(187, max(CASE WHEN bx.b = 0 AND by.b = 0 THEN 0
+                      ELSE (bx.b*31 + by.b*47 + d.doc_id*13) % 256 END)) AS mx
+           FROM documents d
+           JOIN range(0, 5) bx(b) ON bx.b*8 < 14 + d.doc_id % 19
+           JOIN range(0, 3) by(b) ON by.b*8 < 10 + d.doc_id % 11
+           GROUP BY d.doc_id
+         ), gb AS (
+           SELECT d.doc_id,
+                  sum(CASE WHEN bx.b = 0 AND by.b = 0 THEN 8383
+                      ELSE ((bx.b*53 + by.b*19 + d.doc_id*29) % 256)
+                           * (LEAST(8, (12 + d.doc_id % 13) - bx.b*8)
+                            * LEAST(8, (9 + d.doc_id % 9) - by.b*8)) END) AS s,
+                  LEAST(103, min(CASE WHEN bx.b = 0 AND by.b = 0 THEN 255
+                      ELSE (bx.b*53 + by.b*19 + d.doc_id*29) % 256 END)) AS mn,
+                  GREATEST(187, max(CASE WHEN bx.b = 0 AND by.b = 0 THEN 0
+                      ELSE (bx.b*53 + by.b*19 + d.doc_id*29) % 256 END)) AS mx
+           FROM documents d
+           JOIN range(0, 3) bx(b) ON bx.b*8 < 12 + d.doc_id % 13
+           JOIN range(0, 3) by(b) ON by.b*8 < 9 + d.doc_id % 9
+           GROUP BY d.doc_id
+         ), cb0 AS (
+           SELECT d.doc_id,
+                  (bx.b*37 + by.b*13 + d.doc_id*17) % 256 AS yv,
+                  ((bx.b // 2)*23 + d.doc_id*7) % 256 - 128 AS cb,
+                  ((by.b // 2)*29 + d.doc_id*11) % 256 - 128 AS cr,
+                  LEAST(8, (11 + d.doc_id % 21) - bx.b*8)
+                    * LEAST(8, (8 + d.doc_id % 15) - by.b*8) AS vis
+           FROM documents d
+           JOIN range(0, 4) bx(b) ON bx.b*8 < 11 + d.doc_id % 21
+           JOIN range(0, 3) by(b) ON by.b*8 < 8 + d.doc_id % 15
+         ), cc0 AS (
+           SELECT doc_id, vis,
+             GREATEST(0, LEAST(255, yv + CAST(floor((91881*cr + 32768)/65536.0) AS BIGINT))) AS r,
+             GREATEST(0, LEAST(255, yv - CAST(floor((22554*cb + 46802*cr + 32768)/65536.0) AS BIGINT))) AS g,
+             GREATEST(0, LEAST(255, yv + CAST(floor((116130*cb + 32768)/65536.0) AS BIGINT))) AS b
+           FROM cb0
+         ), cagg AS (
+           SELECT doc_id, sum((r + g + b) * vis) AS s,
+                  min(LEAST(r, g, b)) AS mn, max(GREATEST(r, g, b)) AS mx
+           FROM cc0 GROUP BY doc_id
+         )
+         SELECT d.doc_id,
+         CAST(14 + d.doc_id % 19 AS BIGINT) AS a_w,
+         CAST(10 + d.doc_id % 11 AS BIGINT) AS a_h,
+         CAST(ga.s AS BIGINT) AS a_sum,
+         CAST(ga.mn AS BIGINT) AS a_min,
+         CAST(ga.mx AS BIGINT) AS a_max,
+         CAST(12 + d.doc_id % 13 AS BIGINT) AS b_w,
+         CAST(gb.s AS BIGINT) AS b_sum,
+         CAST(gb.mn AS BIGINT) AS b_min,
+         CAST(gb.mx AS BIGINT) AS b_max,
+         CAST(3 AS BIGINT) AS c_ch,
+         CAST(cagg.s AS BIGINT) AS c_sum,
+         CAST(cagg.mn AS BIGINT) AS c_min,
+         CAST(cagg.mx AS BIGINT) AS c_max
+         FROM documents d
+         JOIN ga ON ga.doc_id = d.doc_id
+         JOIN gb ON gb.doc_id = d.doc_id
+         JOIN cagg ON cagg.doc_id = d.doc_id""",
     "mm_jpeg12" ->
       """WITH ja AS (
            SELECT d.doc_id,

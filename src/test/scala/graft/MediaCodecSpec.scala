@@ -266,6 +266,247 @@ class MediaCodecSpec extends AnyFunSuite {
     assert(MediaCodecHelper.wavPcmStats(good.dropRight(1)) == null, "ragged")
   }
 
+  test("MS-ADPCM rejects a cbSize overrunning the fmt chunk (r17 advice)") {
+    // fmtLen 22 carries cbSize+spb+wNumCoef but ZERO coefficient pairs,
+    // while cbSize claims 4 + 4*7: without the fmtLen bound the decoder
+    // reads the following data chunk's bytes as iCoef pairs — a garbage
+    // decode, not the honest null the truncated-table doc promises
+    val out = new java.io.ByteArrayOutputStream()
+    def le(i: Int, n: Int): Unit =
+      (0 until n).foreach(b => out.write((i >> (8 * b)) & 0xff))
+    out.write("RIFF".getBytes("US-ASCII")); le(4 + (8 + 22) + (8 + 44), 4)
+    out.write("WAVE".getBytes("US-ASCII"))
+    out.write("fmt ".getBytes("US-ASCII")); le(22, 4)
+    le(2, 2); le(1, 2); le(8000, 4); le(4000, 4); le(11, 2); le(4, 2)
+    le(32, 2) // cbSize: claims 7 pairs, only 4 extension bytes exist
+    le(10, 2) // wSamplesPerBlock = 2 + 2*(11-7)/1: consistent
+    le(7, 2)  // wNumCoef
+    out.write("data".getBytes("US-ASCII")); le(44, 4)
+    (0 until 44).foreach(_ => out.write(0)) // 4 ragged-free blocks of 11
+    assert(MediaCodecHelper.wavPcmStats(out.toByteArray) == null,
+      "coefficient table past the fmt chunk end")
+  }
+
+  test("arithmetic JPEG (SOF9): conformance against libjpeg-encoded streams") {
+    // Golden fixtures produced by the SYSTEM libjpeg's QM-coder encoder
+    // (jpeg_write_coefficients with arith_code=TRUE, quant DC=8/AC=16
+    // [chroma DC=4], 16x16, 2x2 blocks) — a wholly independent second
+    // implementation of T.81 Annex D. Block (0,0) of the gray lanes is
+    // the house GrayAcSeed (so the expected pixels are the pre-verified
+    // GrayAcPixels), the rest are DC-only constants. Decoding these
+    // byte-exactly proves the production QM decoder + statistical model
+    // conform to the published spec, not merely to the repo's own
+    // fixture encoder.
+    def hx(s: String): Array[Byte] =
+      s.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+    val gray = hx(
+      "ffd8ffe000104a46494600010100000100010000ffdb004300081010101010101010" +
+      "10101010101010101010101010101010101010101010101010101010101010101010" +
+      "101010101010101010101010101010101010101010ffc9000b080010001001011100" +
+      "ffcc000600101005ffda0008010100003f00c892662d49751ad2ceaacd0a90f4ff00" +
+      "2effd9")
+    val grayRst = hx(
+      "ffd8ffe000104a46494600010100000100010000ffdb004300081010101010101010" +
+      "10101010101010101010101010101010101010101010101010101010101010101010" +
+      "101010101010101010101010101010101010101010ffc9000b080010001001011100" +
+      "ffcc000600101005ffdd00040001ffda0008010100003f00c892662d49751ad2d0ff" +
+      "d0d228ffd1ff009affd2d2aaffd9")
+    val grayCond = hx(
+      "ffd8ffe000104a46494600010100000100010000ffdb004300081010101010101010" +
+      "10101010101010101010101010101010101010101010101010101010101010101010" +
+      "101010101010101010101010101010101010101010ffc9000b080010001001011100" +
+      "ffcc000600201004ffda0008010100003f00c892662d49751ad2ceaacc490be9e9e8" +
+      "ffd9")
+    val color = hx(
+      "ffd8ffe000104a46494600010100000100010000ffdb004300081010101010101010" +
+      "10101010101010101010101010101010101010101010101010101010101010101010" +
+      "101010101010101010101010101010101010101010ffdb0043010410101010101010" +
+      "10101010101010101010101010101010101010101010101010101010101010101010" +
+      "10101010101010101010101010101010101010101010ffc900110800100010030111" +
+      "00021101031101ffcc000a0010100501101105ffda000c03010002110311003f00d2" +
+      "582d13b4594fa1373e8b7884fa54418514ffd9")
+    // gray expectation: AC-seed block at (0,0), DC constants elsewhere
+    def grayExp(x: Int, y: Int): Int =
+      if (x < 8 && y < 8) Multimodal.GrayAcPixels(y * 8 + x)
+      else if (y < 8) 158 // dc 30
+      else if (x < 8) 68  // dc -60
+      else 223            // dc 95
+    for ((bytes, tag) <- Seq((gray, "plain"), (grayRst, "rst1"),
+        (grayCond, "cond L0 U2 K4"))) {
+      val r = MediaCodecHelper.decodeJpeg(bytes)
+      assert(r != null && r.width == 16 && r.height == 16 && r.bpp == 1,
+        s"gray $tag decodes")
+      for (y <- 0 until 16; x <- 0 until 16)
+        assert((r.pix(y * 16 + x) & 0xff) == grayExp(x, y),
+          s"gray $tag ($x,$y)")
+    }
+    // large-coefficient lane: DC -120, ACs 900/-800/500/-3/2 (zigzag
+    // 1/2/10/30/63) — the deep magnitude trees and mantissa bins on both
+    // sides of the category split, with clamping. Expected pixels from
+    // an independent float64 IDCT at design time (worst rounding-
+    // boundary distance 7.2e-4 vs ~1e-12 double noise).
+    val grayBig = hx(
+      "ffd8ffe000104a46494600010100000100010000ffdb004300081010101010101010" +
+      "10101010101010101010101010101010101010101010101010101010101010101010" +
+      "101010101010101010101010101010101010101010ffc9000b080008000801011100" +
+      "ffcc000600101005ffda0008010100003f00ff00cbf90466e961186852547762b2e1" +
+      "60000420ffd9")
+    val bigExp = Array(
+      255, 255, 202, 0, 0, 0, 0, 0,
+      0, 0, 0, 0, 0, 0, 0, 0,
+      251, 0, 0, 0, 0, 0, 0, 0,
+      255, 255, 255, 255, 53, 0, 0, 0,
+      255, 255, 255, 255, 255, 27, 0, 0,
+      255, 255, 255, 255, 0, 0, 0, 0,
+      255, 255, 255, 255, 255, 0, 0, 0,
+      255, 255, 255, 255, 255, 255, 255, 255)
+    val rb = MediaCodecHelper.decodeJpeg(grayBig)
+    assert(rb != null && rb.width == 8 && rb.height == 8 && rb.bpp == 1)
+    for (i <- 0 until 64)
+      assert((rb.pix(i) & 0xff) == bigExp(i), s"gray_big pixel $i")
+    // color expectation: per-quadrant constant YCbCr through the fixed-
+    // point CCIR 601 conversion the decoder documents
+    val yq = Array(168, 88, 208, 48)       // 128 + {40,-40,80,-80}
+    val cbq = Array(5, -10, 15, -3)        // q=4: dc*4/8
+    val crq = Array(-8, 12, 3, -15)
+    val rc = MediaCodecHelper.decodeJpeg(color)
+    assert(rc != null && rc.width == 16 && rc.height == 16 && rc.bpp == 3)
+    for (y <- 0 until 16; x <- 0 until 16) {
+      val qd = (y / 8) * 2 + (x / 8)
+      val yv = yq(qd); val cb = cbq(qd); val cr = crq(qd)
+      def clamp(v: Int) = math.max(0, math.min(255, v))
+      val er = clamp(yv + ((91881 * cr + 32768) >> 16))
+      val eg = clamp(yv - ((22554 * cb + 46802 * cr + 32768) >> 16))
+      val eb = clamp(yv + ((116130 * cb + 32768) >> 16))
+      val o = (y * 16 + x) * 3
+      assert((rc.pix(o) & 0xff) == er && (rc.pix(o + 1) & 0xff) == eg &&
+        (rc.pix(o + 2) & 0xff) == eb, s"color ($x,$y)")
+    }
+  }
+
+  test("arithmetic JPEG fixtures decode to their closed forms; envelope nulls") {
+    for (id <- 0L until 14L) {
+      // gray lane a: restarts + default conditioning (no DAC)
+      val a = MediaCodecHelper.decodeJpeg(Multimodal.grayJpegArithBytes(id))
+      val (wa, ha) = (14 + (id % 19).toInt, 10 + (id % 11).toInt)
+      assert(a != null && a.width == wa && a.height == ha && a.bpp == 1,
+        s"a id $id")
+      for (y <- 0 until ha; x <- 0 until wa) {
+        val want =
+          if (x < 8 && y < 8) Multimodal.GrayAcPixels(y * 8 + x)
+          else (((x / 8) * 31 + (y / 8) * 47 + id * 13) % 256).toInt
+        assert((a.pix(y * wa + x) & 0xff) == want, s"a id $id ($x,$y)")
+      }
+      // gray lane b: non-default DAC conditioning U=3, Kx=16
+      val b = MediaCodecHelper.decodeJpeg(Multimodal.condJpegArithBytes(id))
+      val (wb, hb) = (12 + (id % 13).toInt, 9 + (id % 9).toInt)
+      assert(b != null && b.width == wb && b.height == hb, s"b id $id")
+      for (y <- 0 until hb; x <- 0 until wb) {
+        val want =
+          if (x < 8 && y < 8) Multimodal.GrayAcPixels(y * 8 + x)
+          else (((x / 8) * 53 + (y / 8) * 19 + id * 29) % 256).toInt
+        assert((b.pix(y * wb + x) & 0xff) == want, s"b id $id ($x,$y)")
+      }
+      // color lane: 4:2:0 + restarts through upsample + color convert
+      val c = MediaCodecHelper.decodeJpeg(Multimodal.colorJpegArithBytes(id))
+      val (wc, hc) = (11 + (id % 21).toInt, 8 + (id % 15).toInt)
+      assert(c != null && c.width == wc && c.height == hc && c.bpp == 3,
+        s"c id $id")
+      for (y <- 0 until hc; x <- 0 until wc) {
+        val yv = (((x / 8) * 37 + (y / 8) * 13 + id * 17) % 256).toInt
+        val cb = (((x / 16) * 23 + id * 7) % 256).toInt - 128
+        val cr = (((y / 16) * 29 + id * 11) % 256).toInt - 128
+        def clamp(v: Int) = math.max(0, math.min(255, v))
+        val o = (y * wc + x) * 3
+        assert((c.pix(o) & 0xff) == clamp(yv + ((91881 * cr + 32768) >> 16)),
+          s"c id $id ($x,$y) r")
+        assert((c.pix(o + 1) & 0xff) ==
+          clamp(yv - ((22554 * cb + 46802 * cr + 32768) >> 16)),
+          s"c id $id ($x,$y) g")
+        assert((c.pix(o + 2) & 0xff) ==
+          clamp(yv + ((116130 * cb + 32768) >> 16)), s"c id $id ($x,$y) b")
+      }
+    }
+    // honest nulls
+    val good = Multimodal.grayJpegArithBytes(3L)
+    assert(MediaCodecHelper.decodeJpeg(good.dropRight(6)) == null, "ragged")
+    def patched(off: Int, v: Int): Array[Byte] = {
+      val x = good.clone(); x(off) = v.toByte; x
+    }
+    val sof = {
+      var i = 2
+      while (!((good(i) & 0xff) == 0xff && (good(i + 1) & 0xff) == 0xc9)) i += 1
+      i
+    }
+    assert(MediaCodecHelper.decodeJpeg(patched(sof + 1, 0xca)) == null,
+      "SOF10 progressive-arithmetic stays out of envelope")
+  }
+
+  test("arithmetic vs Huffman entropy layers agree on identical coefficients") {
+    // the same quantized zigzag blocks through jpegBaselineBytes (Huffman)
+    // and jpegArithBytes (QM) must decode to IDENTICAL rasters: the
+    // entropy layer is the only difference, and both feed the same
+    // dequant + IDCT. Randomized seeds sweep runs, ZRL-range gaps, large
+    // magnitudes (both Kx splits) and both signs.
+    // seeds stay inside the Huffman fixture encoder's deliberately tiny
+    // symbol table (run-0 sizes to 5, the run-11 size-1 symbol): dense
+    // nonzero 1..8, an optional run-11 single at 20 — the arithmetic
+    // side has no such limit and its large-magnitude/long-run coverage
+    // comes from the libjpeg goldens and the fixture lanes
+    val rnd = new scala.util.Random(41)
+    for (trial <- 0 until 12) {
+      val seed = new Array[Int](64)
+      seed(0) = rnd.nextInt(200) - 100
+      for (k <- 1 to 8) {
+        val v = rnd.nextInt(62) - 31
+        seed(k) = if (v == 0) 7 else v
+      }
+      if (trial % 3 != 0) seed(20) = if (rnd.nextBoolean()) 1 else -1
+      val w = 24; val h = 16
+      val yb = (bx: Int, by: Int) => (bx * 19 + by * 77 + trial * 31) % 256
+      val hf = Multimodal.jpegBaselineBytes(w, h, color = false,
+        sub420 = false, yb, null, null, seed, restartInterval = 2)
+      val ar = Multimodal.jpegArithBytes(w, h, color = false,
+        sub420 = false, yb, null, null, seed, restartInterval = 2,
+        dacU = if (trial % 2 == 0) -1 else 4,
+        dacK = if (trial % 2 == 0) -1 else 1)
+      val rh = MediaCodecHelper.decodeJpeg(hf)
+      val ra = MediaCodecHelper.decodeJpeg(ar)
+      assert(rh != null && ra != null, s"trial $trial decodes")
+      assert(rh.width == ra.width && rh.height == ra.height)
+      assert(java.util.Arrays.equals(rh.pix, ra.pix),
+        s"trial $trial: entropy layers disagree")
+    }
+  }
+
+  test("JPEG streams with DHT but no DQT honest-null (r17 advice)") {
+    // without the qtDef gate the scan dequantizes against an all-zero
+    // table and fabricates a constant raster (128 / 2048) — never-
+    // installed quant slots must null like never-installed Huffman slots
+    def stripDqt(b: Array[Byte]): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream()
+      out.write(b(0)); out.write(b(1))
+      var off = 2; var done = false
+      while (!done && off + 1 < b.length) {
+        val m = b(off + 1) & 0xff
+        if (m == 0xda) { out.write(b, off, b.length - off); done = true }
+        else {
+          val len = ((b(off + 2) & 0xff) << 8) | (b(off + 3) & 0xff)
+          if (m != 0xdb) out.write(b, off, 2 + len)
+          off += 2 + len
+        }
+      }
+      out.toByteArray
+    }
+    assert(MediaCodecHelper.decodeJpeg(Multimodal.grayJpegBytes(3L)) != null)
+    assert(MediaCodecHelper.decodeJpeg(
+      stripDqt(Multimodal.grayJpegBytes(3L))) == null, "gray, no DQT")
+    assert(MediaCodecHelper.decodeJpeg(
+      stripDqt(Multimodal.colorJpegBytes(3L))) == null, "color, no DQT")
+    assert(MediaCodecHelper.jpeg12Stats(
+      stripDqt(Multimodal.jpeg12Bytes(3L))) == null, "12-bit, no DQT")
+  }
+
   test("sub-byte PNG decodes depths 1/2/4 on types 0/3; envelope nulls") {
     import MediaCodecHelper.decodePng
     for (id <- 0L until 12L) {

@@ -906,30 +906,32 @@ class StreamingSpec extends AnyFunSuite {
     val dir = tmpDir("ma_src")
     val store = new SnapshotStore(s, tmpDir("ma_store"))
     val M = graft.ops.Multimodal
-    // twelve-way blob mix: PNG, gray baseline JPEG, MJPEG AVI, PCM WAV,
+    // thirteen-way blob mix: PNG, gray baseline JPEG, MJPEG AVI, PCM WAV,
     // composited GIF animation (r16 lane), float32 WAV (r16 lane),
     // IMA-ADPCM WAV, Microsoft ADPCM WAV, lossless SOF3 JPEG, sub-byte
-    // palette PNG, 12-bit SOF1 JPEG (r17 lanes) and unstructured bytes
-    // (the bad-blob lane) — every decoder the batch scans carry,
-    // exercised in one stream
+    // palette PNG, 12-bit SOF1 JPEG (r17 lanes), arithmetic-coded SOF9
+    // color JPEG (r18 lane — the QM decoder through the SAME decodeJpeg
+    // surface) and unstructured bytes (the bad-blob lane) — every
+    // decoder the batch scans carry, exercised in one stream
     val all = s.read.parquet(s"${TestSpark.sfDir}/documents.parquet")
-      .select(col("doc_id"), col("text")).filter(col("doc_id") < 120)
+      .select(col("doc_id"), col("text")).filter(col("doc_id") < 130)
       .withColumn("blob",
-        when(col("doc_id") % 12 === 0, M.makePng(lit(12), lit(7)))
-          .when(col("doc_id") % 12 === 1, M.makeGrayJpeg(col("doc_id")))
-          .when(col("doc_id") % 12 === 2, M.makeAviMjpeg(col("doc_id")))
-          .when(col("doc_id") % 12 === 3, M.makeWav(lit(8000), lit(50)))
-          .when(col("doc_id") % 12 === 4, M.makeGifAnim(col("doc_id")))
-          .when(col("doc_id") % 12 === 5, M.makeWavFloat(col("doc_id")))
-          .when(col("doc_id") % 12 === 6, M.makeWavAdpcmMono(col("doc_id")))
-          .when(col("doc_id") % 12 === 7, M.makeWavMsAdpcmStereo(col("doc_id")))
-          .when(col("doc_id") % 12 === 8, M.makeJpegLosslessG16(col("doc_id")))
-          .when(col("doc_id") % 12 === 9, M.makePng4Palette(col("doc_id")))
-          .when(col("doc_id") % 12 === 10, M.makeJpeg12(col("doc_id")))
+        when(col("doc_id") % 13 === 0, M.makePng(lit(12), lit(7)))
+          .when(col("doc_id") % 13 === 1, M.makeGrayJpeg(col("doc_id")))
+          .when(col("doc_id") % 13 === 2, M.makeAviMjpeg(col("doc_id")))
+          .when(col("doc_id") % 13 === 3, M.makeWav(lit(8000), lit(50)))
+          .when(col("doc_id") % 13 === 4, M.makeGifAnim(col("doc_id")))
+          .when(col("doc_id") % 13 === 5, M.makeWavFloat(col("doc_id")))
+          .when(col("doc_id") % 13 === 6, M.makeWavAdpcmMono(col("doc_id")))
+          .when(col("doc_id") % 13 === 7, M.makeWavMsAdpcmStereo(col("doc_id")))
+          .when(col("doc_id") % 13 === 8, M.makeJpegLosslessG16(col("doc_id")))
+          .when(col("doc_id") % 13 === 9, M.makePng4Palette(col("doc_id")))
+          .when(col("doc_id") % 13 === 10, M.makeJpeg12(col("doc_id")))
+          .when(col("doc_id") % 13 === 11, M.makeJpegArithColor(col("doc_id")))
           .otherwise(encode(col("text"), "utf-8")))
       .select("doc_id", "blob")
-    all.filter(col("doc_id") < 60).coalesce(1).write.mode("append").parquet(dir)
-    all.filter(col("doc_id") >= 60).coalesce(1).write.mode("append").parquet(dir)
+    all.filter(col("doc_id") < 65).coalesce(1).write.mode("append").parquet(dir)
+    all.filter(col("doc_id") >= 65).coalesce(1).write.mode("append").parquet(dir)
     val q = Streams.mediaAnnotateSink(
       Streams.eventStream(s, dir, maxFilesPerTrigger = 1),
       "doc_id", "blob", store, "ma", checkpoint = tmpDir("ma_ckpt"))
@@ -968,15 +970,15 @@ class StreamingSpec extends AnyFunSuite {
       wav.getField("pcm_sum").as("pcm_sum"),
       wav.getField("pcm_bits").cast("long").as("pcm_bits"),
       md5(col("blob")).as("content_md5")))
-    assert(streamed.size == 120 && streamed == batch,
+    assert(streamed.size == 130 && streamed == batch,
       "streamed media annotation must equal the batch scan")
-    // every lane genuinely hit: 10 docs per blob kind (120 ids mod 12),
+    // every lane genuinely hit: 10 docs per blob kind (130 ids mod 13),
     // and the new lanes genuinely LAND (GIF frame counts + composited
     // sums, float / IMA / MS-ADPCM sample counts + storage depths,
-    // lossless / 12-bit JPEG full-precision stats, sub-byte palette
-    // rasters), not just type-tag
+    // lossless / 12-bit / arithmetic JPEG full-precision stats,
+    // sub-byte palette rasters), not just type-tag
     def kinds(tag: String) = streamed.count(_.contains(tag))
-    assert(kinds("image/png") == 20 && kinds("image/jpeg") == 30 &&
+    assert(kinds("image/png") == 20 && kinds("image/jpeg") == 40 &&
       kinds("video/avi") == 10 && kinds("audio/wav") == 40 &&
       kinds("image/gif") == 10 && kinds("unknown") == 10)
     val gifRows = store.iterateChain("ma.1")
@@ -990,12 +992,12 @@ class StreamingSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
     assert(byBits == Map(16L -> 10L, 32L -> 10L, 4L -> 20L),
       s"PCM16 + float32 + IMA/MS-ADPCM lanes must all land: $byBits")
-    // the full-precision JPEG lanes (lossless SOF3, 12-bit SOF1) and the
-    // sub-byte palette lane land REAL stats through the shared image
-    // columns (width/height/px_sum), distinct from baseline
-    for (lane <- Seq(8, 9, 10)) {
+    // the full-precision JPEG lanes (lossless SOF3, 12-bit SOF1,
+    // arithmetic SOF9) and the sub-byte palette lane land REAL stats
+    // through the shared image columns (width/height/px_sum)
+    for (lane <- Seq(8, 9, 10, 11)) {
       val rows = store.iterateChain("ma.1")
-        .filter(col("doc_id") % 12 === lane)
+        .filter(col("doc_id") % 13 === lane)
       assert(rows.count() == 10 && rows.filter(col("width").isNull ||
         col("height").isNull || col("px_sum").isNull).count() == 0,
         s"lane $lane stats must land through the shared columns")
