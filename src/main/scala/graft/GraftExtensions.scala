@@ -155,7 +155,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     }
 
     inject("graft_jpeg_stats",
-      "graft_jpeg_stats(bin) - struct(width, height, channels, px_sum, px_min, px_max) of a decoded JPEG (baseline/multi-scan/progressive)") {
+      "graft_jpeg_stats(bin) - struct(width, height, channels, px_sum, px_min, px_max) of a decoded JPEG (baseline/multi-scan/progressive/arithmetic)") {
       args => expect(args, 1)
         graft.expr.JpegStats(args(0))
     }

@@ -920,16 +920,18 @@ object MediaCodecHelper {
     * SOF0/SOF1 (baseline/extended sequential, Huffman) in a single
     * interleaved scan or split across multiple full-band non-interleaved
     * scans, SOF2 progressive (spectral selection + successive
-    * approximation, Huffman, per the Annex G machinery below), AND SOF9
-    * (extended sequential, ARITHMETIC coding — the T.81 Annex D QM-coder
-    * with the F.1.4.4 DC/AC statistical models and DAC conditioning, in
-    * a single interleaved scan). 8-bit precision, 1 or 3 components,
-    * sampling factors 1 or 2, restart markers, 8- or 16-bit quant
-    * tables. Null only for progressive-arithmetic (SOF10), arithmetic
-    * multi-scan, 12-bit precision, and lossless/hierarchical frames —
-    * lossless (SOF3) and 12-bit gray (SOF1) decode at full precision
-    * through the dedicated [[jpegLosslessStats]] / [[jpeg12Stats]]
-    * paths, never through this 8-bit raster one.
+    * approximation, Huffman, per the Annex G machinery below), AND the
+    * ARITHMETIC-coded frames SOF9 (extended sequential, single
+    * interleaved scan) and SOF10 (progressive: DC/AC first + refinement
+    * scans, per-scan statistics segments) — the T.81 Annex D QM-coder
+    * with the F.1.4.4/G.2 statistical models and DAC conditioning.
+    * 8-bit precision, 1 or 3 components, sampling factors 1 or 2,
+    * restart markers, 8- or 16-bit quant tables. Null only for
+    * sequential-arithmetic multi-scan, 12-bit precision, and
+    * lossless/hierarchical frames — lossless (SOF3) and 12-bit gray
+    * (SOF1) decode at full precision through the dedicated
+    * [[jpegLosslessStats]] / [[jpeg12Stats]] paths, never through this
+    * 8-bit raster one.
     *
     * Output: gray raster (bpp=1) for 1 component; interleaved RGB (bpp=3)
     * for 3, converted with the fixed-point CCIR 601 constants
@@ -1084,10 +1086,10 @@ object MediaCodecHelper {
             if (tc == 0) dcT(th) = t else acT(th) = t
           }
           off += len
-        case 0xc0 | 0xc1 | 0xc2 | 0xc9 => // SOF0/1 baseline, SOF2
-          // progressive, SOF9 arithmetic extended sequential
-          progressive = m == 0xc2
-          arith = m == 0xc9
+        case 0xc0 | 0xc1 | 0xc2 | 0xc9 | 0xca => // SOF0/1 baseline, SOF2
+          // progressive, SOF9/SOF10 arithmetic sequential/progressive
+          progressive = m == 0xc2 || m == 0xca
+          arith = m == 0xc9 || m == 0xca
           val len = segLen
           if (len < 8) throw JpegBail
           val precision = b(off + 2) & 0xff
@@ -1115,9 +1117,9 @@ object MediaCodecHelper {
           if (nc == 1) { comps(0).h = 1; comps(0).v = 1 }
           off += len
         case x if x >= 0xc3 && x <= 0xcf && x != 0xc4 && x != 0xc8 &&
-            x != 0xc9 && x != 0xcc =>
-          return null // progressive-arithmetic / lossless / hierarchical:
-          // out of envelope (SOF9 sequential-arithmetic decodes above)
+            x != 0xc9 && x != 0xca && x != 0xcc =>
+          return null // arithmetic-lossless / lossless / hierarchical:
+          // out of envelope (SOF9/SOF10 arithmetic decode above)
         case 0xcc => // DAC: arithmetic conditioning (T.81 B.2.4.3)
           val len = segLen
           var p = off + 2; val stop = off + len
@@ -1146,10 +1148,10 @@ object MediaCodecHelper {
           if (comps == null) return null
           val ns = b(off + 2) & 0xff
           if (ns < 1 || ns > comps.length || len < 6 + 2 * ns) return null
-          // arithmetic envelope: ONE interleaved full-band scan — the
-          // multi-scan layout would need per-scan statistics carry rules
-          // this decoder doesn't implement, so honest-null instead
-          if (arith && ns != comps.length) return null
+          // sequential-arithmetic envelope: ONE interleaved full-band
+          // scan — the non-interleaved multi-scan layout stays out
+          // (progressive-arithmetic scans go through the buffered path)
+          if (arith && !progressive && ns != comps.length) return null
           // a sequential frame whose first scan covers a strict subset
           // of the components is a MULTI-SCAN sequential stream (T.81
           // non-interleaved layout): decode through the coefficient
@@ -1208,9 +1210,15 @@ object MediaCodecHelper {
           if (multiScan && w.toLong * h * comps.length > 16L * 1024 * 1024)
             return null
           if (comps(0).coefs == null) jProgAlloc(w, h, comps)
-          off = jProgScan(b, off + len, comps, scanComps, ss, se,
-            ahal >> 4, ahal & 0x0f, dcT, acT, restartInt,
-            sequential = multiScan)
+          off =
+            if (arith)
+              jProgScanArith(b, off + len, comps, scanComps, ss, se,
+                ahal >> 4, ahal & 0x0f, dcCondL, dcCondU, acCondK,
+                restartInt)
+            else
+              jProgScan(b, off + len, comps, scanComps, ss, se,
+                ahal >> 4, ahal & 0x0f, dcT, acT, restartInt,
+                sequential = multiScan)
           anyScan = true
         case _ => off += segLen // APPn / COM / other: skip
       }
@@ -1575,6 +1583,226 @@ object MediaCodecHelper {
       my += 1
     }
     jAssemble(w, h, comps, hmax, vmax)
+  }
+
+  /** Decode one PROGRESSIVE arithmetic scan (SOF10) into the coefficient
+    * buffers; returns the byte offset of the next marker's 0xFF. The
+    * four T.81 §G.2 procedures over the QM coder, matching the Huffman
+    * progressive envelope: interleaved/single-component DC-first scans
+    * (the sequential DC diff model, values shifted left Al), DC
+    * refinement (one fixed-bin correction bit per block), AC-first
+    * scans over [Ss, Se] (the sequential AC model with per-position EOB
+    * decisions, values shifted left Al), and AC refinement (per-band
+    * EOB-extension decision beyond the previous pass's end-of-block
+    * index, st+2 correction bits on known coefficients, fixed-bin signs
+    * on new ones). Every scan is its own arithmetic segment: fresh
+    * statistics, fresh coder — as are restart intervals within a scan.
+    */
+  private def jProgScanArith(b: Array[Byte], dataOff: Int,
+                             comps: Array[JComp], scanComps: Array[JComp],
+                             ss: Int, se: Int, ah: Int, al: Int,
+                             dcCondL: Array[Int], dcCondU: Array[Int],
+                             acCondK: Array[Int], restartInt: Int): Int = {
+    if (al < 0 || al > 13) throw JpegBail
+    if (ah != 0 && ah != al + 1) throw JpegBail
+    val isDc = ss == 0
+    if (isDc && se != 0) throw JpegBail
+    if (!isDc && (scanComps.length != 1 || se < ss || se > 63)) throw JpegBail
+    val dcStats = Array.ofDim[Byte](4, 64)
+    val acStats = Array.ofDim[Byte](4, 256)
+    val fixedBin = Array[Byte]((113 << 1).toByte)
+    val dcContext = new Array[Int](comps.length)
+    val compIdx = scanComps.map(c => comps.indexOf(c))
+    val qm = new JQm(b, b.length)
+    qm.init(dataOff)
+    scanComps.foreach(_.pred = 0)
+    val p1 = 1 << al
+    val m1 = -1 << al
+
+    def decodeDcFirst(c: JComp, ci: Int, blkOff: Int): Unit = {
+      val dst = dcStats(c.td)
+      val ctx = dcContext(ci)
+      if (qm.decode(dst, ctx) == 0) dcContext(ci) = 0
+      else {
+        val sign = qm.decode(dst, ctx + 1)
+        var m = 0
+        var si = ctx + 2 + sign
+        if (qm.decode(dst, si) != 0) {
+          m = 1
+          si = 20
+          while (qm.decode(dst, si) != 0) {
+            m <<= 1
+            if (m == 0x8000) throw JpegBail
+            si += 1
+          }
+        }
+        dcContext(ci) =
+          if (m < ((1 << dcCondL(c.td)) >> 1)) 0
+          else if (m > ((1 << dcCondU(c.td)) >> 1)) 12 + sign * 4
+          else 4 + sign * 4
+        var v = m
+        si += 14
+        while ({ m >>= 1; m != 0 }) {
+          if (qm.decode(dst, si) != 0) v |= m
+        }
+        v += 1
+        c.pred += (if (sign != 0) -v else v)
+      }
+      c.coefs(blkOff) = c.pred << al
+    }
+
+    def decodeDcRefine(c: JComp, blkOff: Int): Unit =
+      if (qm.decode(fixedBin, 0) != 0) c.coefs(blkOff) |= p1
+
+    def decodeAcFirst(c: JComp, blkOff: Int): Unit = {
+      val ast = acStats(c.ta)
+      val cf = c.coefs
+      var k = ss
+      var eob = false
+      while (!eob && k <= se) {
+        var si = 3 * (k - 1)
+        if (qm.decode(ast, si) != 0) eob = true
+        else {
+          while (qm.decode(ast, si + 1) == 0) {
+            si += 3; k += 1
+            if (k > se) throw JpegBail
+          }
+          val sign = qm.decode(fixedBin, 0)
+          si += 2
+          var m = qm.decode(ast, si)
+          if (m != 0 && qm.decode(ast, si) != 0) {
+            m <<= 1
+            si = if (k <= acCondK(c.ta)) 189 else 217
+            while (qm.decode(ast, si) != 0) {
+              m <<= 1
+              if (m == 0x8000) throw JpegBail
+              si += 1
+            }
+          }
+          var v = m
+          si += 14
+          while ({ m >>= 1; m != 0 }) {
+            if (qm.decode(ast, si) != 0) v |= m
+          }
+          v += 1
+          cf(blkOff + k) = (if (sign != 0) -v else v) << al
+          k += 1
+        }
+      }
+    }
+
+    def decodeAcRefine(c: JComp, blkOff: Int): Unit = {
+      val ast = acStats(c.ta)
+      val cf = c.coefs
+      // previous pass's end-of-block index: the highest occupied position
+      var kex = se
+      while (kex > 0 && cf(blkOff + kex) == 0) kex -= 1
+      var k = ss
+      var eob = false
+      while (!eob && k <= se) {
+        var si = 3 * (k - 1)
+        if (k > kex && qm.decode(ast, si) != 0) eob = true
+        else {
+          var placed = false
+          while (!placed) {
+            val cur = cf(blkOff + k)
+            if (cur != 0) {
+              if (qm.decode(ast, si + 2) != 0)
+                cf(blkOff + k) = if (cur < 0) cur + m1 else cur + p1
+              placed = true
+            } else if (qm.decode(ast, si + 1) != 0) {
+              cf(blkOff + k) = if (qm.decode(fixedBin, 0) != 0) m1 else p1
+              placed = true
+            } else {
+              si += 3; k += 1
+              if (k > se) throw JpegBail
+            }
+          }
+          k += 1
+        }
+      }
+    }
+
+    def decodeBlock(c: JComp, ci: Int, blkOff: Int): Unit =
+      if (isDc) {
+        if (ah == 0) decodeDcFirst(c, ci, blkOff) else decodeDcRefine(c, blkOff)
+      } else {
+        if (ah == 0) decodeAcFirst(c, blkOff) else decodeAcRefine(c, blkOff)
+      }
+
+    var mcu = 0; var rstIdx = 0
+    def maybeRestart(): Unit =
+      if (restartInt > 0 && mcu > 0 && mcu % restartInt == 0) {
+        val next = qm.seekRestart(rstIdx)
+        rstIdx = (rstIdx + 1) & 7
+        var t = 0
+        while (t < 4) {
+          java.util.Arrays.fill(dcStats(t), 0.toByte)
+          java.util.Arrays.fill(acStats(t), 0.toByte)
+          t += 1
+        }
+        scanComps.foreach(_.pred = 0)
+        java.util.Arrays.fill(dcContext, 0)
+        qm.init(next)
+      }
+
+    if (scanComps.length == 1) {
+      // non-interleaved: one block per MCU over the REAL grid
+      val c = scanComps(0)
+      val ci = compIdx(0)
+      var by = 0
+      while (by < c.rh) {
+        var bx = 0
+        while (bx < c.rw) {
+          maybeRestart()
+          decodeBlock(c, ci, (by * c.bw + bx) * 64)
+          mcu += 1
+          bx += 1
+        }
+        by += 1
+      }
+    } else {
+      // interleaved DC scan: MCU order over the padded grid
+      val mcusX = comps.map(c => c.bw / c.h).max
+      val mcusY = comps.map(c => c.bh / c.v).max
+      var my = 0
+      while (my < mcusY) {
+        var mx = 0
+        while (mx < mcusX) {
+          maybeRestart()
+          var ci = 0
+          while (ci < scanComps.length) {
+            val c = scanComps(ci)
+            var v = 0
+            while (v < c.v) {
+              var hh = 0
+              while (hh < c.h) {
+                decodeBlock(c, compIdx(ci),
+                  ((my * c.v + v) * c.bw + (mx * c.h + hh)) * 64)
+                hh += 1
+              }
+              v += 1
+            }
+            ci += 1
+          }
+          mcu += 1
+          mx += 1
+        }
+        my += 1
+      }
+    }
+    // scan data ends where the coder stopped: the next marker at/after
+    // the last consumed byte (fill 0xFFs allowed; FF00 is data)
+    var i = qm.bp
+    while (i + 1 < b.length) {
+      if ((b(i) & 0xff) == 0xff) {
+        var j = i + 1
+        while (j < b.length && (b(j) & 0xff) == 0xff) j += 1
+        if (j < b.length && (b(j) & 0xff) >= 0x90) return j - 1
+        i = j + 1
+      } else i += 1
+    }
+    throw JpegBail // ran off the end without a terminating marker
   }
 
   /** Separable IDCT of one dequantized NATURAL-order coefficient block

@@ -1300,8 +1300,13 @@ object Multimodal {
                      crBlock: (Int, Int) => Int,
                      acSeed: Array[Int],
                      restartInterval: Int,
-                     dacU: Int, dacK: Int): Array[Byte] = {
+                     dacU: Int, dacK: Int,
+                     progressive: Boolean = false): Array[Byte] = {
     require(width > 0 && height > 0)
+    // the progressive lane is the GRAY spectral script (one DC scan +
+    // one 1..63 AC scan, Al=0); color/successive-approximation
+    // progressive conformance is covered by the libjpeg goldens in spec
+    require(!(progressive && color), "progressive fixture lane is gray")
     val out = new java.io.ByteArrayOutputStream()
     def b(vs: Int*): Unit = vs.foreach(v => out.write(v & 0xff))
     def be16(v: Int): Unit = { out.write((v >> 8) & 0xff); out.write(v & 0xff) }
@@ -1327,7 +1332,8 @@ object Multimodal {
       sof.write(2); sof.write(0x11); sof.write(1)
       sof.write(3); sof.write(0x11); sof.write(1)
     } else { sof.write(1); sof.write(0x11); sof.write(0) }
-    seg(0xc9, sof.toByteArray) // SOF9: arithmetic sequential
+    seg(if (progressive) 0xca else 0xc9,
+      sof.toByteArray) // SOF9 sequential / SOF10 progressive arithmetic
     if (dacU >= 0 || dacK >= 0) {
       // DAC: DC table 0 (U<<4|L) and AC table 0 (Kx); chroma slots use
       // slot 0's values via Td/Ta below, so one pair suffices
@@ -1337,12 +1343,14 @@ object Multimodal {
     if (restartInterval > 0)
       seg(0xdd, Array(((restartInterval >> 8) & 0xff).toByte,
         (restartInterval & 0xff).toByte))
-    val sos = new java.io.ByteArrayOutputStream()
-    sos.write(ncomp)
-    sos.write(1); sos.write(0x00)
-    if (color) { sos.write(2); sos.write(0x00); sos.write(3); sos.write(0x00) }
-    sos.write(0); sos.write(63); sos.write(0)
-    seg(0xda, sos.toByteArray)
+    if (!progressive) { // the single interleaved full-band scan header
+      val sos = new java.io.ByteArrayOutputStream()
+      sos.write(ncomp)
+      sos.write(1); sos.write(0x00)
+      if (color) { sos.write(2); sos.write(0x00); sos.write(3); sos.write(0x00) }
+      sos.write(0); sos.write(63); sos.write(0)
+      seg(0xda, sos.toByteArray)
+    }
     // ---- entropy layer ----
     val enc = new QmEnc(out)
     val dcStats = Array.ofDim[Int](4, 64)
@@ -1361,12 +1369,11 @@ object Multimodal {
       java.util.Arrays.fill(dcCtx, 0)
       java.util.Arrays.fill(preds, 0)
     }
-    /** Encode one quantized-coefficient block for component `ci`. */
-    def emitBlock(coefs: Array[Int], ci: Int): Unit = {
+    /** Encode a block's DC coefficient (the F.1.4.4.1 diff model). */
+    def emitDcPart(coef0: Int, ci: Int): Unit = {
       val dc = dcStats(0) // all components share conditioning slot 0
-      val ac = acStats(0)
-      val diff = coefs(0) - preds(ci)
-      preds(ci) = coefs(0)
+      val diff = coef0 - preds(ci)
+      preds(ci) = coef0
       val ctx = dcCtx(ci)
       if (diff == 0) { enc.code(dc, ctx, 0); dcCtx(ci) = 0 }
       else {
@@ -1393,6 +1400,10 @@ object Multimodal {
           enc.code(dc, si, if ((v & mm) != 0) 1 else 0); mm >>= 1
         }
       }
+    }
+    /** Encode a block's AC band 1..63 (the F.1.4.4.2 model). */
+    def emitAcPart(coefs: Array[Int]): Unit = {
+      val ac = acStats(0)
       var lastNz = 0
       var i = 1
       while (i < 64) { if (coefs(i) != 0) lastNz = i; i += 1 }
@@ -1428,10 +1439,46 @@ object Multimodal {
       }
       if (lastNz < 63) enc.code(ac, 3 * (k - 1), 1) // EOB
     }
+    def emitBlock(coefs: Array[Int], ci: Int): Unit = {
+      emitDcPart(coefs(0), ci)
+      emitAcPart(coefs)
+    }
     val constBlock = new Array[Int](64)
     def emitConst(value: Int, qdc: Int, ci: Int): Unit = {
       constBlock(0) = (value - 128) * 8 / qdc // exact: qdc in {8, 4}
       emitBlock(constBlock, ci)
+    }
+    if (progressive) {
+      // gray spectral script: SOS(DC, Ss=Se=0) then SOS(AC, 1..63),
+      // each its own arithmetic segment over the real block grid,
+      // restart markers inside both scans
+      val bxN = (width + 7) / 8; val byN = (height + 7) / 8
+      def coefsAt(bx: Int, by: Int): Array[Int] =
+        if (acSeed != null && bx == 0 && by == 0) acSeed
+        else { constBlock(0) = yBlock(bx, by) - 128; constBlock }
+      def scanWalk(emit: (Int, Int) => Unit): Unit = {
+        var mcu = 0; var rstIdx = 0
+        for (by <- 0 until byN; bx <- 0 until bxN) {
+          if (restartInterval > 0 && mcu > 0 && mcu % restartInterval == 0) {
+            enc.flush()
+            b(0xff, 0xd0 + rstIdx); rstIdx = (rstIdx + 1) & 7
+            enc.reset(); resetStats()
+          }
+          emit(bx, by)
+          mcu += 1
+        }
+        enc.flush()
+      }
+      def sos(ss: Int, se: Int): Unit =
+        seg(0xda, Array[Byte](1, 1, 0x00, ss.toByte, se.toByte, 0))
+      sos(0, 0)
+      enc.reset(); resetStats()
+      scanWalk((bx, by) => emitDcPart(coefsAt(bx, by)(0), 0))
+      sos(1, 63)
+      enc.reset(); resetStats()
+      scanWalk((bx, by) => emitAcPart(coefsAt(bx, by)))
+      b(0xff, 0xd9) // EOI
+      return out.toByteArray
     }
     val hmax = if (color && sub420) 2 else 1
     val mcusX = (width + 8 * hmax - 1) / (8 * hmax)
@@ -1487,6 +1534,20 @@ object Multimodal {
       yBlock = (bx, by) => ((bx * 53 + by * 19 + id * 29) % 256).toInt,
       cbBlock = null, crBlock = null,
       acSeed = GrayAcSeed, restartInterval = 0, dacU = 3, dacK = 16)
+
+  /** PROGRESSIVE (SOF10) gray arithmetic fixture: the spectral script —
+    * one DC scan + one 1..63 AC scan, each its own arithmetic segment,
+    * restart every 4 blocks inside BOTH scans. Same closed-form pixels
+    * as the sequential lanes: (13+id%17)×(9+id%10), block constant
+    * (bx*41+by*23+id*19)%256, AC seed at (0,0).
+    */
+  def grayJpegArithProgBytes(id: Long): Array[Byte] =
+    jpegArithBytes(13 + (id % 17).toInt, 9 + (id % 10).toInt,
+      color = false, sub420 = false,
+      yBlock = (bx, by) => ((bx * 41 + by * 23 + id * 19) % 256).toInt,
+      cbBlock = null, crBlock = null,
+      acSeed = GrayAcSeed, restartInterval = 4, dacU = 1, dacK = 5,
+      progressive = true)
 
   /** 4:2:0 color arithmetic fixture: Y block (bx,by) =
     * (bx*37+by*13+id*17)%256, Cb = (mx*23+id*7)%256, Cr =
@@ -2671,6 +2732,7 @@ object Multimodal {
   val makeJpegArithGray = udf((id: Long) => grayJpegArithBytes(id))
   val makeJpegArithCond = udf((id: Long) => condJpegArithBytes(id))
   val makeJpegArithColor = udf((id: Long) => colorJpegArithBytes(id))
+  val makeJpegArithProg = udf((id: Long) => grayJpegArithProgBytes(id))
   val makeJpegLosslessG16 = udf((id: Long) => jpegLosslessG16Bytes(id))
   val makeJpegLosslessG12 = udf((id: Long) => jpegLosslessG12Bytes(id))
   val makeJpegLossless3c = udf((id: Long) => jpegLossless3cBytes(id))

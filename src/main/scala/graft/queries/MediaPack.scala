@@ -808,7 +808,8 @@ object MediaPack {
       st.write(Tables.documents(s, dir).select(col("doc_id"))
         .withColumn("ja", Multimodal.makeJpegArithGray(col("doc_id")))
         .withColumn("jb", Multimodal.makeJpegArithCond(col("doc_id")))
-        .withColumn("jc", Multimodal.makeJpegArithColor(col("doc_id"))),
+        .withColumn("jc", Multimodal.makeJpegArithColor(col("doc_id")))
+        .withColumn("jp", Multimodal.makeJpegArithProg(col("doc_id"))),
         "mm_jar", slices = 8)
       Map("blobs" -> "mm_jar")
     }
@@ -819,14 +820,17 @@ object MediaPack {
     * the F.1.4.4 statistical models) — the `jpegtran -arithmetic`
     * flavor, closing the last in-reach intra-frame envelope null (the
     * stub seam is now inter-frame video + hierarchical frames only).
-    * Three lanes through the SAME [[Multimodal.decodeJpeg]] surface as
+    * Four lanes through the SAME [[Multimodal.decodeJpeg]] surface as
     * the Huffman gates: gray with the pre-verified AC-seed block at
     * (0,0), restarts every 3 MCUs and NO DAC segment (T.81 default
     * conditioning), gray with non-default DAC conditioning (U=3,
-    * Kx=16), and 4:2:0 color with restarts through upsample +
-    * fixed-point YCbCr→RGB. The decoder is additionally conformance-
-    * proven against SYSTEM-libjpeg-encoded streams in MediaCodecSpec —
-    * two independent encoders, one decoder, one closed-form oracle.
+    * Kx=16), 4:2:0 color with restarts through upsample + fixed-point
+    * YCbCr→RGB, and PROGRESSIVE (SOF10) gray — the spectral DC + 1..63
+    * AC script, per-scan arithmetic segments, restarts inside both
+    * scans. The decoder is additionally conformance-proven against
+    * SYSTEM-libjpeg-encoded streams in MediaCodecSpec (incl. the full
+    * 6-scan successive-approximation script) — two independent
+    * encoders, one decoder, one closed-form oracle.
     * Codegen'd scan-side; the one exchange is the tiny blob-table join.
     */
   def jpegArith(s: SparkSession, dir: String): DataFrame = {
@@ -834,6 +838,7 @@ object MediaPack {
     val a = Multimodal.decodeJpeg(col("ja"))
     val b = Multimodal.decodeJpeg(col("jb"))
     val c = Multimodal.decodeJpeg(col("jc"))
+    val p = Multimodal.decodeJpeg(col("jp"))
     media.select(col("doc_id"),
       a.getField("width").cast("long").as("a_w"),
       a.getField("height").cast("long").as("a_h"),
@@ -847,7 +852,12 @@ object MediaPack {
       c.getField("channels").cast("long").as("c_ch"),
       c.getField("px_sum").as("c_sum"),
       c.getField("px_min").cast("long").as("c_min"),
-      c.getField("px_max").cast("long").as("c_max"))
+      c.getField("px_max").cast("long").as("c_max"),
+      p.getField("width").cast("long").as("p_w"),
+      p.getField("height").cast("long").as("p_h"),
+      p.getField("px_sum").as("p_sum"),
+      p.getField("px_min").cast("long").as("p_min"),
+      p.getField("px_max").cast("long").as("p_max"))
   }
 
   /** Lossless-JPEG fixture: the three SOF3 lanes from the independent
@@ -2258,6 +2268,20 @@ object MediaPack {
            JOIN range(0, 3) bx(b) ON bx.b*8 < 12 + d.doc_id % 13
            JOIN range(0, 3) by(b) ON by.b*8 < 9 + d.doc_id % 9
            GROUP BY d.doc_id
+         ), gp AS (
+           SELECT d.doc_id,
+                  sum(CASE WHEN bx.b = 0 AND by.b = 0 THEN 8383
+                      ELSE ((bx.b*41 + by.b*23 + d.doc_id*19) % 256)
+                           * (LEAST(8, (13 + d.doc_id % 17) - bx.b*8)
+                            * LEAST(8, (9 + d.doc_id % 10) - by.b*8)) END) AS s,
+                  LEAST(103, min(CASE WHEN bx.b = 0 AND by.b = 0 THEN 255
+                      ELSE (bx.b*41 + by.b*23 + d.doc_id*19) % 256 END)) AS mn,
+                  GREATEST(187, max(CASE WHEN bx.b = 0 AND by.b = 0 THEN 0
+                      ELSE (bx.b*41 + by.b*23 + d.doc_id*19) % 256 END)) AS mx
+           FROM documents d
+           JOIN range(0, 4) bx(b) ON bx.b*8 < 13 + d.doc_id % 17
+           JOIN range(0, 3) by(b) ON by.b*8 < 9 + d.doc_id % 10
+           GROUP BY d.doc_id
          ), cb0 AS (
            SELECT d.doc_id,
                   (bx.b*37 + by.b*13 + d.doc_id*17) % 256 AS yv,
@@ -2292,11 +2316,17 @@ object MediaPack {
          CAST(3 AS BIGINT) AS c_ch,
          CAST(cagg.s AS BIGINT) AS c_sum,
          CAST(cagg.mn AS BIGINT) AS c_min,
-         CAST(cagg.mx AS BIGINT) AS c_max
+         CAST(cagg.mx AS BIGINT) AS c_max,
+         CAST(13 + d.doc_id % 17 AS BIGINT) AS p_w,
+         CAST(9 + d.doc_id % 10 AS BIGINT) AS p_h,
+         CAST(gp.s AS BIGINT) AS p_sum,
+         CAST(gp.mn AS BIGINT) AS p_min,
+         CAST(gp.mx AS BIGINT) AS p_max
          FROM documents d
          JOIN ga ON ga.doc_id = d.doc_id
          JOIN gb ON gb.doc_id = d.doc_id
-         JOIN cagg ON cagg.doc_id = d.doc_id""",
+         JOIN cagg ON cagg.doc_id = d.doc_id
+         JOIN gp ON gp.doc_id = d.doc_id""",
     "mm_jpeg12" ->
       """WITH ja AS (
            SELECT d.doc_id,

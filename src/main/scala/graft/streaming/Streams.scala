@@ -505,8 +505,8 @@ object Streams {
     * [[qualityAnnotateSink]]: each micro-batch of (id, blob) rows is
     * annotated with its detected media type, REAL decode statistics
     * (PNG at every depth incl.
-    * sub-byte, baseline/progressive/ARITHMETIC-SOF9/lossless-SOF3/
-    * 12-bit-SOF1 JPEG at full precision, MJPEG-AVI video via
+    * sub-byte, baseline/progressive/ARITHMETIC-SOF9+SOF10/lossless-
+    * SOF3/12-bit-SOF1 JPEG at full precision, MJPEG-AVI video via
     * every-2nd-frame decode, GIF
     * animations via the full compositing walk — width/height, frame
     * count and composited px_sum land through the shared columns —

@@ -139,6 +139,14 @@ class GraftExtensionsSpec extends AnyFunSuite {
         s"SELECT j.width, j.channels FROM (SELECT graft_jpeg_stats(" +
           s"unhex('$jpHex')) AS j)").head
       assert(jp.getInt(0) == 17 + 2 % 29 && jp.getInt(1) == 1)
+      // arithmetic-coded SOF9 rides the same SQL function (decoder-
+      // internal dispatch): gray lane, block (1,0) constant for id 2
+      val jaHex = graft.ops.Multimodal.grayJpegArithBytes(2L)
+        .map("%02X".format(_)).mkString
+      val ja = s.sql(
+        s"SELECT j.width, j.channels FROM (SELECT graft_jpeg_stats(" +
+          s"unhex('$jaHex')) AS j)").head
+      assert(ja.getInt(0) == 14 + 2 % 19 && ja.getInt(1) == 1)
       // WAV PCM stats from SQL — the 24-bit depth fixture
       val wavHex = graft.ops.Multimodal.wav24Bytes(1L)
         .map("%02X".format(_)).mkString

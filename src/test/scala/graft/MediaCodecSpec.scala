@@ -384,6 +384,91 @@ class MediaCodecSpec extends AnyFunSuite {
     }
   }
 
+  test("progressive-arithmetic JPEG (SOF10): conformance against libjpeg") {
+    // libjpeg's standard 6-scan successive-approximation script
+    // (jpeg_simple_progression + arith_code): DC first Al=1, AC bands
+    // first Al=2, AC refine 2->1, DC refine 1->0, AC refine 1->0 — the
+    // exact shape `jpegtran -progressive -arithmetic` emits. Same
+    // coefficients as the sequential goldens, so the same expected
+    // pixels. grayp_rst2 adds restart markers INSIDE every scan
+    // (per-segment statistics resets mid-scan); colorp runs the
+    // interleaved-DC + per-component-AC geometry with chroma statistics
+    // slot 1.
+    def hx(s: String): Array[Byte] =
+      s.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+    val grayp = hx(
+      "ffd8ffe000104a46494600010100000100010000ffdb004300081010101010101010" +
+      "10101010101010101010101010101010101010101010101010101010101010101010" +
+      "101010101010101010101010101010101010101010ffca000b080010001001011100" +
+      "ffcc00040010ffda0008010100000001b69b2b600f3cffcc00041005ffda00080101" +
+      "0001050230ffcc00041005ffda0008010100063f0230ffcc00041005ffda00080101" +
+      "00013f2117b87fa0000000000780ffda0008010100000010b8ffcc00041005ffda00" +
+      "08010100013f10d9a1a9d0e800000020ffd9")
+    val graypRst = hx(
+      "ffd8ffe000104a46494600010100000100010000ffdb004300081010101010101010" +
+      "10101010101010101010101010101010101010101010101010101010101010101010" +
+      "101010101010101010101010101010101010101010ffca000b080010001001011100" +
+      "ffcc00040010ffdd00040002ffda0008010100000001b69affd0ff003532e0ffcc00" +
+      "041005ffda000801010001050230ffd0c0ffcc00041005ffda0008010100063f0230" +
+      "ffd0c0ffcc00041005ffda0008010100013f2117b87fa00000000008ffd0c0ffda00" +
+      "08010100000010c0ffd0ffcc00041005ffda0008010100013f10d9a1a9d0e8000000" +
+      "20ffd0c0ffd9")
+    val colorp = hx(
+      "ffd8ffe000104a46494600010100000100010000ffdb004300081010101010101010" +
+      "10101010101010101010101010101010101010101010101010101010101010101010" +
+      "101010101010101010101010101010101010101010ffdb0043010410101010101010" +
+      "10101010101010101010101010101010101010101010101010101010101010101010" +
+      "10101010101010101010101010101010101010101010ffca00110800100010030111" +
+      "00021101031101ffcc000600100110ffda000c03010002100310000001d1c3863df8" +
+      "cc7fc0adf6df5b4245f640ffcc00041005ffda0008010100010502c0ffcc00041105" +
+      "ffda0008010301013f01c0ffcc00041105ffda0008010201013f01c0ffcc00041005" +
+      "ffda0008010100063f02c0ffcc00041005ffda0008010100013f21c0ffda000c0301" +
+      "00020003000000104bd0ffcc00041105ffda0008010301013f10c0ffcc00041105ff" +
+      "da0008010201013f10c0ffcc00041005ffda0008010100013f10c0ffd9")
+    // the progressive seed is GrayAcSeed PLUS coefficient 2 at zigzag 63
+    // (the band-end edge: a coefficient at the very last position of the
+    // Ss=6..63 scan, refined at kex=63) — expected pixels from the
+    // independent float64 IDCT (worst rounding-boundary distance 1.3e-3)
+    val progAcPix = Array(
+      152, 137, 128, 125, 136, 132, 121, 105,
+      142, 132, 115, 124, 124, 132, 114, 104,
+      142, 125, 123, 113, 136, 126, 125, 108,
+      141, 134, 111, 127, 122, 140, 121, 115,
+      148, 127, 124, 109, 134, 124, 126, 109,
+      161, 149, 123, 132, 125, 139, 121, 114,
+      182, 161, 146, 131, 143, 135, 130, 115,
+      187, 169, 144, 138, 136, 136, 122, 111)
+    def grayExp(x: Int, y: Int): Int =
+      if (x < 8 && y < 8) progAcPix(y * 8 + x)
+      else if (y < 8) 158
+      else if (x < 8) 68
+      else 223
+    for ((bytes, tag) <- Seq((grayp, "plain"), (graypRst, "rst2"))) {
+      val r = MediaCodecHelper.decodeJpeg(bytes)
+      assert(r != null && r.width == 16 && r.height == 16 && r.bpp == 1,
+        s"grayp $tag decodes")
+      for (y <- 0 until 16; x <- 0 until 16)
+        assert((r.pix(y * 16 + x) & 0xff) == grayExp(x, y),
+          s"grayp $tag ($x,$y)")
+    }
+    val yq = Array(168, 88, 208, 48)
+    val cbq = Array(5, -10, 15, -3)
+    val crq = Array(-8, 12, 3, -15)
+    val rc = MediaCodecHelper.decodeJpeg(colorp)
+    assert(rc != null && rc.width == 16 && rc.height == 16 && rc.bpp == 3)
+    for (y <- 0 until 16; x <- 0 until 16) {
+      val qd = (y / 8) * 2 + (x / 8)
+      val yv = yq(qd); val cb = cbq(qd); val cr = crq(qd)
+      def clamp(v: Int) = math.max(0, math.min(255, v))
+      val o = (y * 16 + x) * 3
+      assert((rc.pix(o) & 0xff) == clamp(yv + ((91881 * cr + 32768) >> 16)) &&
+        (rc.pix(o + 1) & 0xff) ==
+          clamp(yv - ((22554 * cb + 46802 * cr + 32768) >> 16)) &&
+        (rc.pix(o + 2) & 0xff) ==
+          clamp(yv + ((116130 * cb + 32768) >> 16)), s"colorp ($x,$y)")
+    }
+  }
+
   test("arithmetic JPEG fixtures decode to their closed forms; envelope nulls") {
     for (id <- 0L until 14L) {
       // gray lane a: restarts + default conditioning (no DAC)
@@ -406,6 +491,17 @@ class MediaCodecSpec extends AnyFunSuite {
           if (x < 8 && y < 8) Multimodal.GrayAcPixels(y * 8 + x)
           else (((x / 8) * 53 + (y / 8) * 19 + id * 29) % 256).toInt
         assert((b.pix(y * wb + x) & 0xff) == want, s"b id $id ($x,$y)")
+      }
+      // progressive lane: spectral DC + AC scans, restarts inside both
+      val pp = MediaCodecHelper.decodeJpeg(
+        Multimodal.grayJpegArithProgBytes(id))
+      val (wp, hp) = (13 + (id % 17).toInt, 9 + (id % 10).toInt)
+      assert(pp != null && pp.width == wp && pp.height == hp, s"p id $id")
+      for (y <- 0 until hp; x <- 0 until wp) {
+        val want =
+          if (x < 8 && y < 8) Multimodal.GrayAcPixels(y * 8 + x)
+          else (((x / 8) * 41 + (y / 8) * 23 + id * 19) % 256).toInt
+        assert((pp.pix(y * wp + x) & 0xff) == want, s"p id $id ($x,$y)")
       }
       // color lane: 4:2:0 + restarts through upsample + color convert
       val c = MediaCodecHelper.decodeJpeg(Multimodal.colorJpegArithBytes(id))
