@@ -86,7 +86,15 @@ object ScaleCheck {
     // brute force over a 5-query broadcast — so its slope bounds the
     // whole recall-evaluation harness.
     "gr_ppr", "gr_pagerank_resume", "gr_report", "rt_eval_hybrid",
-    "pl_dsir", "ann_pq_recall")
+    "pl_dsir", "ann_pq_recall",
+    // r18 (VERDICT r17 item 2): the five r17 codec gates were the only
+    // gated queries without a scale row at any decade — all scan-side
+    // codegen'd decode over doc_id-derived blobs (expected ~linear /
+    // ~zero shuffle, the mm_codec_roundtrip shape: ADPCM recurrences,
+    // 12-bit and lossless JPEG, sub-byte PNG) — plus the new r18
+    // arithmetic-JPEG gate (QM-coder decode, same shape).
+    "mm_audio_adpcm", "mm_audio_msadpcm", "mm_jpeg12", "mm_jpeg_lossless",
+    "mm_png_subbyte", "mm_jpeg_arith")
   // gr_node2vec (r14): the second-order walk — one broadcast probe of
   // the cached neighbor index per step (the frontier's nodes and
   // predecessors share the scan), plus the walk-keyed cumulative-weight
@@ -283,11 +291,13 @@ object ScaleCheck {
     out.drop("__rep").write.mode("overwrite").parquet(s"$outDir/$table.parquet")
   }
 
-  def synthesize(s: SparkSession, baseDir: String, outDir: String, reps: Int): Unit = {
+  def synthesize(s: SparkSession, baseDir: String, outDir: String, reps: Int,
+                 only: Option[Seq[String]] = None): Unit = {
     val marker = java.nio.file.Paths.get(outDir, "_SCALE_DONE")
     if (java.nio.file.Files.exists(marker)) return
-    FactKeys.keys.toSeq.sorted.foreach(replicateTable(s, baseDir, outDir, _, reps))
-    DimTables.foreach { t =>
+    FactKeys.keys.toSeq.sorted.filter(t => only.forall(_.contains(t)))
+      .foreach(replicateTable(s, baseDir, outDir, _, reps))
+    DimTables.filter(t => only.forall(_.contains(t))).foreach { t =>
       s.read.parquet(s"$baseDir/$t.parquet")
         .write.mode("overwrite").parquet(s"$outDir/$t.parquet")
     }
@@ -389,7 +399,12 @@ object ScaleCheck {
     // ADC search PLUS the exact quantized-L2 brute force, whose one
     // corpus-sized stage is a broadcast 5-query distance scan — linear
     // in N by construction.
-    "ann_ivfpq", "ann_pq_recall")
+    "ann_ivfpq", "ann_pq_recall",
+    // r18 (VERDICT r17 item 6): the two remaining >=3.5 s queries with
+    // only one-decade evidence — the weighted PageRank fold and the
+    // walk-step index probe get the same two-decade proof their
+    // unweighted/biased twins have (x10 slopes 0.225/0.233).
+    "gr_pagerank_w", "gr_walks")
 
   private var activeSpark: SparkSession = _
 
@@ -526,6 +541,25 @@ object ScaleCheck {
     val (huge, shufH) = timedPasses(out100, mult = reps100, passes = 2,
       meter, X100Targets)
 
+    // ---- x1000 probe (VERDICT r17 item 7): THREE decades for the
+    // cheapest flagship with a healthy x100 row. pl_dedup_corpus touches
+    // only the documents table (its drop list broadcasts; the corpus
+    // never shuffles), so the synthesis replicates documents alone —
+    // ~600 MB of parquet at x1000, 5M documents with replica-disjoint
+    // token spaces. Same purge + min-of-2 protocol as x100.
+    val out1000 = s"${sys.props("user.dir")}/target/scale1000"
+    val reps1000 = 1000
+    val x1000Name = "pl_dedup_corpus"
+    synthesize(spark, baseDir, out1000, reps1000, Some(Seq("documents")))
+    locally {
+      val t0 = System.nanoTime()
+      runTarget(spark, x1000Name, out1000, reps1000)
+      System.err.println(
+        f"[scale] warmup x1000 $x1000Name: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+    }
+    val (huge1000, shufK) = timedPasses(out1000, mult = reps1000, passes = 2,
+      meter, Seq(x1000Name))
+
     // dd_simhash's pair count sits on a threshold cliff (most pairs land at
     // hamming == maxHamming), so publish the full hamming distribution at
     // both scales — future runs can then separate a data-volume shift
@@ -573,7 +607,16 @@ object ScaleCheck {
     val json =
       s"""{"reps":$reps,"base":"$baseDir","protocol":"min-of-3 at sf0.1, min-of-2 at 10x, untimed warmup per scale, local[32] shuffle=32 at both scales; shuffle bytes sampled on pass 1; cache manager purged before every timed query (r11) so persist()-ing operators pay their build stage cold; timed action is a NOOP-SINK FULL MATERIALIZATION since r12, not count() - count() let Catalyst prune projections and eliminate unique-key left joins, so pre-r12 rows for plans with those shapes (gr_pagerank, labelprop, scoring left-joins, pure-projection tx rows) measured a collapsed plan; r12 numbers are the honest re-baseline and are NOT comparable to earlier files","notes":{"dd_simhash":"output-pair count is threshold-cliff sensitive (75% of pairs sit at hamming exactly 3), so each replica's independent token-hash draw moves borderline mass across the cutoff: measured per-replica pairs 11.6k-123k around replica 0's 15.2k. The elevated slope is TRUE near-dup volume in the synthesized data, not engine cost growth; the quadratic random-collision candidate term was separately measured and fixed (blocks=5 generalized Manku banding: 23.3M -> 7.7M candidates at 10x)","dd_semantic":"k scales with N (k=8 at sf0.1, k=80 at 10x) per the SemDeDup sizing rule k ~ N/1e4..1e5 (Abbas et al. 2023) - the same rule the operator's maxClusterSize gate enforces - holding per-cluster size constant so the slope measures engine cost, not the data's designed O(sum c^2) pair growth under a fixed k. dd_inc_semantic is the in-memory twin of the gated query (fit on history, frozen-centroid batch assignment, history+batch drop joins) without the snapshot-index round-trip. Shuffle-slope caveat for this family: absolute shuffle volumes are sub-MB at BOTH scales (the sf0.1 run broadcast-joins everything), so the log-slope numerically amplifies an AQE broadcast->SMJ plan transition; read the absolute MB columns, not the slope, when sf01 volume is ~0","op_type_fuzz":"width-stable since r15: the query derives its digit strings from pmod(l_orderkey, 1e9) - the identity at every gated scale (oracle untouched) - so the replica*1e9 key offset no longer widens the per-CHARACTER parse columns from 6 to 10 digits; the r14 adjudication traced the table's only >1 slope (1.02) to exactly that synthesis artifact. Expected and measured: ~linear, tracking op_dataset_type2 (same parse engine, width-stable fixture strings, slope ~0.98)",$triNote,$pqNote,$knnNote},"queries":{${entries.mkString(",")}},""" +
       f""""total_sf01_sec":$totalS%.3f,"total_x10_sec":$totalB%.3f,"total_slope":${math.log(totalB / totalS) / math.log(reps.toDouble)}%.3f,""" +
-      s""""x100":{"reps":$reps100,"protocol":"same session and purge discipline; untimed warmup at x100, then min-of-2; slopes are log(t_x100/t_sf01)/log(100) - two decades from sf0.1; gr_cluster_labelprop runs k=8*100=800 per the k-with-N sizing discipline","queries":{${x100Entries.mkString(",")}}}}"""
+      s""""x100":{"reps":$reps100,"protocol":"same session and purge discipline; untimed warmup at x100, then min-of-2; slopes are log(t_x100/t_sf01)/log(100) - two decades from sf0.1; gr_cluster_labelprop runs k=8*100=800 per the k-with-N sizing discipline","queries":{${x100Entries.mkString(",")}}},""" + {
+        val (t1, tk) = (small(x1000Name), huge1000(x1000Name))
+        val slope = math.log(tk / t1) / math.log(reps1000.toDouble)
+        val (s1, sk) = (shufS(x1000Name), shufK(x1000Name))
+        val bSlope =
+          if (s1 > 0 && sk > 0)
+            math.log(sk.toDouble / s1) / math.log(reps1000.toDouble)
+          else 0.0
+        f""""x1000":{"reps":$reps1000,"protocol":"documents-only synthesis (the one table the query touches), same purge + min-of-2; slope is log(t_x1000/t_sf01)/log(1000) - THREE decades from sf0.1","queries":{"$x1000Name":{"sf01_sec":$t1%.3f,"x1000_sec":$tk%.3f,"slope":$slope%.3f,"shuffle_sf01_mb":${s1 / 1e6}%.1f,"shuffle_x1000_mb":${sk / 1e6}%.1f,"shuffle_slope":$bSlope%.3f}}}}"""
+      }
     println(json)
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get(s"${sys.props("user.dir")}/SCALE_CHECK.json"), json + "\n")
