@@ -35,12 +35,15 @@ ta, tb = runA["value"], runB["value"]
 tprev = sum(prev.values()) if prev else None
 out = {
     "prev_note": f"prev = committed BENCH_FULL at {prev_ref}; quantiles "
-                 "re-measured at r17 HEAD over the 166-query table on THIS "
-                 "round's container (runA/runB = the two exclusive 32g runs "
-                 "behind BENCH_ANALYSIS_r17's adjudication). delta_vs_prev "
-                 "rows embed the ~1.167x median container-instance shift "
-                 "documented there — read spreads (same-container) for the "
-                 "noise band, not delta_vs_prev (cross-container).",
+                 "re-measured at r18 HEAD over the 167-query table on THIS "
+                 "round's container (runA/runB = back-to-back exclusive 32g "
+                 "runs late in the r18 session). NOTE the r18 container "
+                 "QUIETED through the session - earlier exclusive full runs "
+                 "measured 161.0 and 145.6 s vs runA's 139.8 - so same-day "
+                 "adjacent-run spreads (below) are the floor, and "
+                 "hours-apart drift on this instance class can reach ~15 "
+                 "pct uniformly. Read spreads (same-container, adjacent) "
+                 "for the noise band, not delta_vs_prev (cross-container).",
     "protocol": "two back-to-back exclusive `runMain graft.Bench` runs of the "
                 "identical build, cpus=32, each min-of-3 after untimed warmup",
     "total_runA_sec": round(ta, 2),
