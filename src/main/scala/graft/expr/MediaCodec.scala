@@ -921,17 +921,18 @@ object MediaCodecHelper {
     * interleaved scan or split across multiple full-band non-interleaved
     * scans, SOF2 progressive (spectral selection + successive
     * approximation, Huffman, per the Annex G machinery below), AND the
-    * ARITHMETIC-coded frames SOF9 (extended sequential, single
-    * interleaved scan) and SOF10 (progressive: DC/AC first + refinement
-    * scans, per-scan statistics segments) — the T.81 Annex D QM-coder
-    * with the F.1.4.4/G.2 statistical models and DAC conditioning.
-    * 8-bit precision, 1 or 3 components, sampling factors 1 or 2,
-    * restart markers, 8- or 16-bit quant tables. Null only for
-    * sequential-arithmetic multi-scan, 12-bit precision, and
-    * lossless/hierarchical frames — lossless (SOF3) and 12-bit gray
+    * ARITHMETIC-coded frames SOF9 (extended sequential — single
+    * interleaved scan OR the non-interleaved multi-scan layout) and
+    * SOF10 (progressive: DC/AC first + refinement scans, per-scan
+    * statistics segments) — the T.81 Annex D QM-coder with the
+    * F.1.4.4/G.2 statistical models and DAC conditioning. 8-bit
+    * precision, 1 or 3 components, sampling factors 1 or 2, restart
+    * markers, 8- or 16-bit quant tables. Null only for 12-bit precision
+    * and lossless/hierarchical frames — lossless (SOF3) and 12-bit gray
     * (SOF1) decode at full precision through the dedicated
     * [[jpegLosslessStats]] / [[jpeg12Stats]] paths, never through this
-    * 8-bit raster one.
+    * 8-bit raster one. Hierarchical frames (Annex J) stay null — the
+    * one T.81 coding process with no mainstream decoder support either.
     *
     * Output: gray raster (bpp=1) for 1 component; interleaved RGB (bpp=3)
     * for 3, converted with the fixed-point CCIR 601 constants
@@ -1148,10 +1149,6 @@ object MediaCodecHelper {
           if (comps == null) return null
           val ns = b(off + 2) & 0xff
           if (ns < 1 || ns > comps.length || len < 6 + 2 * ns) return null
-          // sequential-arithmetic envelope: ONE interleaved full-band
-          // scan — the non-interleaved multi-scan layout stays out
-          // (progressive-arithmetic scans go through the buffered path)
-          if (arith && !progressive && ns != comps.length) return null
           // a sequential frame whose first scan covers a strict subset
           // of the components is a MULTI-SCAN sequential stream (T.81
           // non-interleaved layout): decode through the coefficient
@@ -1214,7 +1211,7 @@ object MediaCodecHelper {
             if (arith)
               jProgScanArith(b, off + len, comps, scanComps, ss, se,
                 ahal >> 4, ahal & 0x0f, dcCondL, dcCondU, acCondK,
-                restartInt)
+                restartInt, sequential = multiScan)
             else
               jProgScan(b, off + len, comps, scanComps, ss, se,
                 ahal >> 4, ahal & 0x0f, dcT, acT, restartInt,
@@ -1602,12 +1599,16 @@ object MediaCodecHelper {
                              comps: Array[JComp], scanComps: Array[JComp],
                              ss: Int, se: Int, ah: Int, al: Int,
                              dcCondL: Array[Int], dcCondU: Array[Int],
-                             acCondK: Array[Int], restartInt: Int): Int = {
+                             acCondK: Array[Int], restartInt: Int,
+                             sequential: Boolean = false): Int = {
     if (al < 0 || al > 13) throw JpegBail
     if (ah != 0 && ah != al + 1) throw JpegBail
-    val isDc = ss == 0
-    if (isDc && se != 0) throw JpegBail
-    if (!isDc && (scanComps.length != 1 || se < ss || se > 63)) throw JpegBail
+    val isDc = ss == 0 && !sequential
+    if (!sequential) {
+      if (isDc && se != 0) throw JpegBail
+      if (!isDc && (scanComps.length != 1 || se < ss || se > 63))
+        throw JpegBail
+    }
     val dcStats = Array.ofDim[Byte](4, 64)
     val acStats = Array.ofDim[Byte](4, 256)
     val fixedBin = Array[Byte]((113 << 1).toByte)
@@ -1654,18 +1655,20 @@ object MediaCodecHelper {
     def decodeDcRefine(c: JComp, blkOff: Int): Unit =
       if (qm.decode(fixedBin, 0) != 0) c.coefs(blkOff) |= p1
 
+    val acFrom = if (sequential) 1 else ss
+    val acTo = if (sequential) 63 else se
     def decodeAcFirst(c: JComp, blkOff: Int): Unit = {
       val ast = acStats(c.ta)
       val cf = c.coefs
-      var k = ss
+      var k = acFrom
       var eob = false
-      while (!eob && k <= se) {
+      while (!eob && k <= acTo) {
         var si = 3 * (k - 1)
         if (qm.decode(ast, si) != 0) eob = true
         else {
           while (qm.decode(ast, si + 1) == 0) {
             si += 3; k += 1
-            if (k > se) throw JpegBail
+            if (k > acTo) throw JpegBail
           }
           val sign = qm.decode(fixedBin, 0)
           si += 2
@@ -1724,7 +1727,13 @@ object MediaCodecHelper {
     }
 
     def decodeBlock(c: JComp, ci: Int, blkOff: Int): Unit =
-      if (isDc) {
+      if (sequential) {
+        // full-band scan of a multi-scan SEQUENTIAL stream: the
+        // sequential DC diff model then the AC model over 1..63, raw
+        // coefficients into the buffer (dequant happens once at EOI)
+        decodeDcFirst(c, ci, blkOff)
+        decodeAcFirst(c, blkOff)
+      } else if (isDc) {
         if (ah == 0) decodeDcFirst(c, ci, blkOff) else decodeDcRefine(c, blkOff)
       } else {
         if (ah == 0) decodeAcFirst(c, blkOff) else decodeAcRefine(c, blkOff)

@@ -469,6 +469,45 @@ class MediaCodecSpec extends AnyFunSuite {
     }
   }
 
+  test("sequential-arithmetic MULTI-SCAN JPEG: conformance against libjpeg") {
+    // the T.81 non-interleaved sequential layout under arithmetic
+    // coding: a SOF9 frame split into a Y-only full-band scan and an
+    // interleaved Cb+Cr full-band scan (libjpeg custom scan_info,
+    // arith_code=TRUE) — each scan its own arithmetic segment through
+    // the buffered coefficient path. Y block (0,0) carries the house
+    // AC seed (decoding to GrayAcPixels as luma), the rest DC-only
+    // constants; the last JPEG null besides hierarchical frames.
+    def hx(s: String): Array[Byte] =
+      s.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+    val seqms = hx(
+      "ffd8ffe000104a46494600010100000100010000ffdb004300081010101010101010" +
+      "10101010101010101010101010101010101010101010101010101010101010101010" +
+      "101010101010101010101010101010101010101010ffdb0043010410101010101010" +
+      "10101010101010101010101010101010101010101010101010101010101010101010" +
+      "10101010101010101010101010101010101010101010ffc900110800100010030111" +
+      "00021101031101ffcc000600101005ffda0008010100003f00c892662d49751ad2d0" +
+      "13f221f88080ffcc000601101105ffda000a0202110311003f00d0945a9066e823f2" +
+      "442cd8ffd9")
+    val yq = Array(168, 88, 208, 48)
+    val cbq = Array(5, -10, 15, -3)
+    val crq = Array(-8, 12, 3, -15)
+    val r = MediaCodecHelper.decodeJpeg(seqms)
+    assert(r != null && r.width == 16 && r.height == 16 && r.bpp == 3)
+    for (y <- 0 until 16; x <- 0 until 16) {
+      val qd = (y / 8) * 2 + (x / 8)
+      val yv =
+        if (x < 8 && y < 8) Multimodal.GrayAcPixels(y * 8 + x) else yq(qd)
+      val cb = cbq(qd); val cr = crq(qd)
+      def clamp(v: Int) = math.max(0, math.min(255, v))
+      val o = (y * 16 + x) * 3
+      assert((r.pix(o) & 0xff) == clamp(yv + ((91881 * cr + 32768) >> 16)) &&
+        (r.pix(o + 1) & 0xff) ==
+          clamp(yv - ((22554 * cb + 46802 * cr + 32768) >> 16)) &&
+        (r.pix(o + 2) & 0xff) ==
+          clamp(yv + ((116130 * cb + 32768) >> 16)), s"seqms ($x,$y)")
+    }
+  }
+
   test("arithmetic JPEG fixtures decode to their closed forms; envelope nulls") {
     for (id <- 0L until 14L) {
       // gray lane a: restarts + default conditioning (no DAC)
