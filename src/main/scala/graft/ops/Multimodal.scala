@@ -1301,12 +1301,17 @@ object Multimodal {
                      acSeed: Array[Int],
                      restartInterval: Int,
                      dacU: Int, dacK: Int,
-                     progressive: Boolean = false): Array[Byte] = {
+                     progressive: Boolean = false,
+                     multiScan: Boolean = false): Array[Byte] = {
     require(width > 0 && height > 0)
     // the progressive lane is the GRAY spectral script (one DC scan +
     // one 1..63 AC scan, Al=0); color/successive-approximation
     // progressive conformance is covered by the libjpeg goldens in spec
     require(!(progressive && color), "progressive fixture lane is gray")
+    // the multi-scan lane is the 1x1-color non-interleaved layout
+    // (Y-only full-band scan + interleaved Cb+Cr scan)
+    require(!multiScan || (color && !sub420 && !progressive),
+      "multi-scan fixture lane is 1x1 color")
     val out = new java.io.ByteArrayOutputStream()
     def b(vs: Int*): Unit = vs.foreach(v => out.write(v & 0xff))
     def be16(v: Int): Unit = { out.write((v >> 8) & 0xff); out.write(v & 0xff) }
@@ -1343,7 +1348,7 @@ object Multimodal {
     if (restartInterval > 0)
       seg(0xdd, Array(((restartInterval >> 8) & 0xff).toByte,
         (restartInterval & 0xff).toByte))
-    if (!progressive) { // the single interleaved full-band scan header
+    if (!progressive && !multiScan) { // the single full-band scan header
       val sos = new java.io.ByteArrayOutputStream()
       sos.write(ncomp)
       sos.write(1); sos.write(0x00)
@@ -1480,6 +1485,46 @@ object Multimodal {
       b(0xff, 0xd9) // EOI
       return out.toByteArray
     }
+    if (multiScan) {
+      // T.81 non-interleaved sequential layout: scan 1 = Y full-band
+      // over the block grid, scan 2 = Cb+Cr interleaved; each scan its
+      // own arithmetic segment, restarts inside both
+      val bxN = (width + 7) / 8; val byN = (height + 7) / 8
+      def sos(ids: Seq[Int]): Unit = {
+        val pl = new java.io.ByteArrayOutputStream()
+        pl.write(ids.length)
+        ids.foreach { id => pl.write(id); pl.write(0x00) }
+        pl.write(0); pl.write(63); pl.write(0)
+        seg(0xda, pl.toByteArray)
+      }
+      def scanWalk(perPos: (Int, Int) => Unit): Unit = {
+        var mcu = 0; var rstIdx = 0
+        for (by <- 0 until byN; bx <- 0 until bxN) {
+          if (restartInterval > 0 && mcu > 0 && mcu % restartInterval == 0) {
+            enc.flush()
+            b(0xff, 0xd0 + rstIdx); rstIdx = (rstIdx + 1) & 7
+            enc.reset(); resetStats()
+          }
+          perPos(bx, by)
+          mcu += 1
+        }
+        enc.flush()
+      }
+      sos(Seq(1))
+      enc.reset(); resetStats()
+      scanWalk { (bx, by) =>
+        if (acSeed != null && bx == 0 && by == 0) emitBlock(acSeed, 0)
+        else emitConst(yBlock(bx, by), 8, 0)
+      }
+      sos(Seq(2, 3))
+      enc.reset(); resetStats()
+      scanWalk { (bx, by) =>
+        emitConst(cbBlock(bx, by), 4, 1)
+        emitConst(crBlock(bx, by), 4, 2)
+      }
+      b(0xff, 0xd9) // EOI
+      return out.toByteArray
+    }
     val hmax = if (color && sub420) 2 else 1
     val mcusX = (width + 8 * hmax - 1) / (8 * hmax)
     val mcusY = (height + 8 * hmax - 1) / (8 * hmax)
@@ -1548,6 +1593,21 @@ object Multimodal {
       cbBlock = null, crBlock = null,
       acSeed = GrayAcSeed, restartInterval = 4, dacU = 1, dacK = 5,
       progressive = true)
+
+  /** MULTI-SCAN sequential-arithmetic fixture: 1x1 color SOF9 split
+    * into a Y-only full-band scan (AC seed at (0,0)) and an interleaved
+    * Cb+Cr scan, restarts every 2 blocks in both. (10+id%19)×(8+id%13);
+    * Y const (bx*43+by*17+id*23)%256, Cb (bx*19+id*3)%256,
+    * Cr (by*37+id*29)%256 per block position.
+    */
+  def msJpegArithBytes(id: Long): Array[Byte] =
+    jpegArithBytes(10 + (id % 19).toInt, 8 + (id % 13).toInt,
+      color = true, sub420 = false,
+      yBlock = (bx, by) => ((bx * 43 + by * 17 + id * 23) % 256).toInt,
+      cbBlock = (bx, _) => ((bx * 19 + id * 3) % 256).toInt,
+      crBlock = (_, by) => ((by * 37 + id * 29) % 256).toInt,
+      acSeed = GrayAcSeed, restartInterval = 2, dacU = 1, dacK = 5,
+      multiScan = true)
 
   /** 4:2:0 color arithmetic fixture: Y block (bx,by) =
     * (bx*37+by*13+id*17)%256, Cb = (mx*23+id*7)%256, Cr =
@@ -2733,6 +2793,7 @@ object Multimodal {
   val makeJpegArithCond = udf((id: Long) => condJpegArithBytes(id))
   val makeJpegArithColor = udf((id: Long) => colorJpegArithBytes(id))
   val makeJpegArithProg = udf((id: Long) => grayJpegArithProgBytes(id))
+  val makeJpegArithMs = udf((id: Long) => msJpegArithBytes(id))
   val makeJpegLosslessG16 = udf((id: Long) => jpegLosslessG16Bytes(id))
   val makeJpegLosslessG12 = udf((id: Long) => jpegLosslessG12Bytes(id))
   val makeJpegLossless3c = udf((id: Long) => jpegLossless3cBytes(id))

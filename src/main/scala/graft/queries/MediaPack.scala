@@ -809,7 +809,8 @@ object MediaPack {
         .withColumn("ja", Multimodal.makeJpegArithGray(col("doc_id")))
         .withColumn("jb", Multimodal.makeJpegArithCond(col("doc_id")))
         .withColumn("jc", Multimodal.makeJpegArithColor(col("doc_id")))
-        .withColumn("jp", Multimodal.makeJpegArithProg(col("doc_id"))),
+        .withColumn("jp", Multimodal.makeJpegArithProg(col("doc_id")))
+        .withColumn("jm", Multimodal.makeJpegArithMs(col("doc_id"))),
         "mm_jar", slices = 8)
       Map("blobs" -> "mm_jar")
     }
@@ -820,14 +821,20 @@ object MediaPack {
     * the F.1.4.4 statistical models) — the `jpegtran -arithmetic`
     * flavor, closing the last in-reach intra-frame envelope null (the
     * stub seam is now inter-frame video + hierarchical frames only).
-    * Four lanes through the SAME [[Multimodal.decodeJpeg]] surface as
+    * Five lanes through the SAME [[Multimodal.decodeJpeg]] surface as
     * the Huffman gates: gray with the pre-verified AC-seed block at
     * (0,0), restarts every 3 MCUs and NO DAC segment (T.81 default
     * conditioning), gray with non-default DAC conditioning (U=3,
     * Kx=16), 4:2:0 color with restarts through upsample + fixed-point
     * YCbCr→RGB, and PROGRESSIVE (SOF10) gray — the spectral DC + 1..63
     * AC script, per-scan arithmetic segments, restarts inside both
-    * scans. The decoder is additionally conformance-proven against
+    * scans. The fifth lane is the non-interleaved sequential MULTI-SCAN
+    * layout (1x1 color, Y-only full-band scan with the AC seed +
+    * interleaved Cb+Cr scan, restarts in both) — the arithmetic twin
+    * of mm_codec_roundtrip's jsq lane, with a per-pixel oracle (the
+    * seed block's luma varies, so the color conversion replays per
+    * pixel against the embedded jac table). The decoder is
+    * additionally conformance-proven against
     * SYSTEM-libjpeg-encoded streams in MediaCodecSpec (incl. the full
     * 6-scan successive-approximation script) — two independent
     * encoders, one decoder, one closed-form oracle.
@@ -839,6 +846,7 @@ object MediaPack {
     val b = Multimodal.decodeJpeg(col("jb"))
     val c = Multimodal.decodeJpeg(col("jc"))
     val p = Multimodal.decodeJpeg(col("jp"))
+    val m = Multimodal.decodeJpeg(col("jm"))
     media.select(col("doc_id"),
       a.getField("width").cast("long").as("a_w"),
       a.getField("height").cast("long").as("a_h"),
@@ -857,7 +865,11 @@ object MediaPack {
       p.getField("height").cast("long").as("p_h"),
       p.getField("px_sum").as("p_sum"),
       p.getField("px_min").cast("long").as("p_min"),
-      p.getField("px_max").cast("long").as("p_max"))
+      p.getField("px_max").cast("long").as("p_max"),
+      m.getField("channels").cast("long").as("ms_ch"),
+      m.getField("px_sum").as("ms_sum"),
+      m.getField("px_min").cast("long").as("ms_min"),
+      m.getField("px_max").cast("long").as("ms_max"))
   }
 
   /** Lossless-JPEG fixture: the three SOF3 lanes from the independent
@@ -2282,6 +2294,36 @@ object MediaPack {
            JOIN range(0, 4) bx(b) ON bx.b*8 < 13 + d.doc_id % 17
            JOIN range(0, 3) by(b) ON by.b*8 < 9 + d.doc_id % 10
            GROUP BY d.doc_id
+         ), jac(i, v) AS (VALUES
+           (0,151),(1,138),(2,126),(3,127),(4,134),(5,133),(6,120),(7,106),
+           (8,143),(9,130),(10,118),(11,120),(12,128),(13,129),(14,117),(15,103),
+           (16,141),(17,128),(18,117),(19,119),(20,129),(21,132),(22,122),(23,109),
+           (24,143),(25,129),(26,117),(27,119),(28,130),(29,134),(30,125),(31,114),
+           (32,146),(33,131),(34,117),(35,117),(36,126),(37,130),(38,122),(39,111),
+           (40,162),(41,146),(42,129),(43,125),(44,132),(45,134),(46,124),(47,113),
+           (48,181),(49,163),(50,143),(51,136),(52,139),(53,138),(54,128),(55,116),
+           (56,187),(57,168),(58,146),(59,136),(60,137),(61,135),(62,123),(63,111))
+         , msb AS (
+           SELECT d.doc_id,
+                  CASE WHEN x.x < 8 AND y.y < 8 THEN a.v
+                       ELSE ((x.x//8)*43 + (y.y//8)*17 + d.doc_id*23) % 256
+                  END AS yv,
+                  ((x.x//8)*19 + d.doc_id*3) % 256 - 128 AS cb,
+                  ((y.y//8)*37 + d.doc_id*29) % 256 - 128 AS cr
+           FROM documents d
+           JOIN range(0, 29) x(x) ON x.x < 10 + d.doc_id % 19
+           JOIN range(0, 21) y(y) ON y.y < 8 + d.doc_id % 13
+           LEFT JOIN jac a ON x.x < 8 AND y.y < 8 AND a.i = y.y*8 + x.x
+         ), mscc AS (
+           SELECT doc_id,
+             GREATEST(0, LEAST(255, yv + CAST(floor((91881*cr + 32768)/65536.0) AS BIGINT))) AS r,
+             GREATEST(0, LEAST(255, yv - CAST(floor((22554*cb + 46802*cr + 32768)/65536.0) AS BIGINT))) AS g,
+             GREATEST(0, LEAST(255, yv + CAST(floor((116130*cb + 32768)/65536.0) AS BIGINT))) AS b
+           FROM msb
+         ), msagg AS (
+           SELECT doc_id, sum(r + g + b) AS s,
+                  min(LEAST(r, g, b)) AS mn, max(GREATEST(r, g, b)) AS mx
+           FROM mscc GROUP BY doc_id
          ), cb0 AS (
            SELECT d.doc_id,
                   (bx.b*37 + by.b*13 + d.doc_id*17) % 256 AS yv,
@@ -2321,12 +2363,17 @@ object MediaPack {
          CAST(9 + d.doc_id % 10 AS BIGINT) AS p_h,
          CAST(gp.s AS BIGINT) AS p_sum,
          CAST(gp.mn AS BIGINT) AS p_min,
-         CAST(gp.mx AS BIGINT) AS p_max
+         CAST(gp.mx AS BIGINT) AS p_max,
+         CAST(3 AS BIGINT) AS ms_ch,
+         CAST(msagg.s AS BIGINT) AS ms_sum,
+         CAST(msagg.mn AS BIGINT) AS ms_min,
+         CAST(msagg.mx AS BIGINT) AS ms_max
          FROM documents d
          JOIN ga ON ga.doc_id = d.doc_id
          JOIN gb ON gb.doc_id = d.doc_id
          JOIN cagg ON cagg.doc_id = d.doc_id
-         JOIN gp ON gp.doc_id = d.doc_id""",
+         JOIN gp ON gp.doc_id = d.doc_id
+         JOIN msagg ON msagg.doc_id = d.doc_id""",
     "mm_jpeg12" ->
       """WITH ja AS (
            SELECT d.doc_id,

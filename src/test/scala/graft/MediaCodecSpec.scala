@@ -542,6 +542,25 @@ class MediaCodecSpec extends AnyFunSuite {
           else (((x / 8) * 41 + (y / 8) * 23 + id * 19) % 256).toInt
         assert((pp.pix(y * wp + x) & 0xff) == want, s"p id $id ($x,$y)")
       }
+      // multi-scan lane: Y full-band scan (AC seed) + interleaved Cb+Cr
+      val ms = MediaCodecHelper.decodeJpeg(Multimodal.msJpegArithBytes(id))
+      val (wm, hm) = (10 + (id % 19).toInt, 8 + (id % 13).toInt)
+      assert(ms != null && ms.width == wm && ms.height == hm && ms.bpp == 3,
+        s"ms id $id")
+      for (y <- 0 until hm; x <- 0 until wm) {
+        val yv =
+          if (x < 8 && y < 8) Multimodal.GrayAcPixels(y * 8 + x)
+          else (((x / 8) * 43 + (y / 8) * 17 + id * 23) % 256).toInt
+        val cb = (((x / 8) * 19 + id * 3) % 256).toInt - 128
+        val cr = (((y / 8) * 37 + id * 29) % 256).toInt - 128
+        def clamp(v: Int) = math.max(0, math.min(255, v))
+        val o = (y * wm + x) * 3
+        assert((ms.pix(o) & 0xff) == clamp(yv + ((91881 * cr + 32768) >> 16))
+          && (ms.pix(o + 1) & 0xff) ==
+            clamp(yv - ((22554 * cb + 46802 * cr + 32768) >> 16))
+          && (ms.pix(o + 2) & 0xff) ==
+            clamp(yv + ((116130 * cb + 32768) >> 16)), s"ms id $id ($x,$y)")
+      }
       // color lane: 4:2:0 + restarts through upsample + color convert
       val c = MediaCodecHelper.decodeJpeg(Multimodal.colorJpegArithBytes(id))
       val (wc, hc) = (11 + (id % 21).toInt, 8 + (id % 15).toInt)
