@@ -415,7 +415,9 @@ object TrainingPipeline {
     * fit. Guarantees (per group of n token instances): every token with
     * frequency > n/(k+1) is reported, with a lower-bound count within
     * n/(k+1) of truth. Counts depend on partitioning (inherent to MG), so
-    * this is spec-verified by its guarantees, not oracle-hashed.
+    * the raw summary can't hash an oracle — [[heavyHittersChecked]] gates
+    * the guarantees instead; the property spec stays in
+    * TrainingPipelineSpec.
     */
   def heavyHitters(df: DataFrame, textCol: String, groupCol: String,
                    k: Int): DataFrame = {
@@ -429,6 +431,59 @@ object TrainingPipeline {
       .agg(mg.as("hh"))
       .select(col(groupCol), explode(col("hh")).as("e"))
       .select(col(groupCol), col("e.token").as("token"), col("e.est").as("est"))
+  }
+
+  /** Oracle-gated form of [[heavyHitters]]: MG counts depend on
+    * partitioning, but the GUARANTEES don't — they are exact integer set
+    * predicates over the exact token counts, which the oracle replays:
+    *   (1) est ≤ true_count (MG never over-counts),
+    *   (2) true_count − est ≤ n/(k+1)  ⇔  (true−est)·(k+1) ≤ n
+    *       (mergeable-summaries bound: error adds sub-linearly across
+    *       partition merges, staying ≤ n_total/(k+1) — Agarwal et al.,
+    *       PODS'12),
+    *   (3) every token with true_count·(k+1) > n is present (it cannot be
+    *       evicted: its residual count stays positive under bound 2),
+    *   (4) the summary holds ≤ k entries.
+    * Output per group: (group, n_tokens, over_violations, under_violations,
+    * missed_heavy, size_ok) — n_tokens exact and the checks uniformly
+    * 0/true, all DuckDB-replayable. A buggy MG (over-count, bound breach,
+    * dropped heavy token, oversized summary) flips a column and fails the
+    * hash gate.
+    *
+    * Scale: the exact token counts exist only to adjudicate the sketch —
+    * at 100 TB one runs [[heavyHitters]] alone; the check is the gate's
+    * cost, not the operator's. Both joins against the ≤k-row MG side
+    * broadcast.
+    */
+  def heavyHittersChecked(df: DataFrame, textCol: String, groupCol: String,
+                          k: Int): DataFrame = {
+    val mg = heavyHitters(df, textCol, groupCol, k)
+    val toks = df.select(col(groupCol),
+      explode(T.tokens(T.normalized(col(textCol)))).as("token"))
+    val exact = toks.groupBy(col(groupCol), col("token"))
+      .agg(count(lit(1)).as("tc"))
+    val tot = toks.groupBy(col(groupCol)).agg(count(lit(1)).as("n_tokens"))
+    val viol = mg.join(exact, Seq(groupCol, "token"), "left")
+      .withColumn("tc", coalesce(col("tc"), lit(0L)))
+      .join(tot, Seq(groupCol))
+      .groupBy(col(groupCol), col("n_tokens"))
+      .agg(
+        sum(when(col("est") > col("tc"), 1L).otherwise(0L))
+          .as("over_violations"),
+        sum(when((col("tc") - col("est")) * (k + 1) > col("n_tokens"), 1L)
+          .otherwise(0L)).as("under_violations"),
+        (count(lit(1)) <= k).as("size_ok"))
+    val missed = exact.join(tot, Seq(groupCol))
+      .filter(col("tc") * (k + 1) > col("n_tokens"))
+      .join(broadcast(mg.select(col(groupCol), col("token"),
+        lit(1).as("hit"))), Seq(groupCol, "token"), "left")
+      .groupBy(col(groupCol))
+      .agg(sum(when(col("hit").isNull, 1L).otherwise(0L)).as("missed_heavy"))
+    viol.join(missed, Seq(groupCol), "left")
+      .select(col(groupCol), col("n_tokens"), col("over_violations"),
+        col("under_violations"),
+        coalesce(col("missed_heavy"), lit(0L)).as("missed_heavy"),
+        col("size_ok"))
   }
 
   /** Merge two [[heavyHitters]] summaries (same group/token/est shape)

@@ -556,6 +556,68 @@ object Relational {
            min(dec(col("l_extendedprice"))).cast("double").as("min_price"))
   }
 
+  /** Oracle-gated form of [[approxPercentiles]]: GK's sketch values are
+    * engine-internal, but its GUARANTEE is an exact integer predicate —
+    * the returned element's rank interval must lie within ε·N
+    * (ε = 1/accuracy = 1/10000) of the target rank. The sketch runs
+    * unchanged; each returned value is then rank-checked against the raw
+    * column (one broadcast of ≤12 probe rows + one pass), and the gated
+    * output is (group, pct, n, rank_ok) — n exact, rank_ok uniformly true,
+    * both of which DuckDB replays exactly. A wrong sketch (rank drift
+    * beyond εN) flips rank_ok and fails the hash gate.
+    *
+    * All rank arithmetic is in longs scaled ×4 (pct ∈ {25,50,75} so
+    * 4·q·n = n·pct/25 is an exact integer); the +4 slop covers the ±1
+    * rank-definition ambiguity between "no more than" conventions.
+    */
+  def approxPercentilesChecked(s: SparkSession, dir: String): DataFrame = {
+    val sk = approxPercentiles(s, dir)
+    val probes = sk.select(col("l_returnflag"), col("n"),
+      explode(map(
+        lit(25), col("p25"),
+        lit(50), col("median"),
+        lit(75), col("p75"))).as(Seq("pct", "v")))
+    val li = Tables.lineitem(s, dir).select(col("l_returnflag"), col("l_quantity"))
+    val counted = li.join(broadcast(probes), Seq("l_returnflag"))
+      .groupBy(col("l_returnflag"), col("pct"), col("n"))
+      .agg(sum(when(col("l_quantity") < col("v"), 1L).otherwise(0L)).as("lt"),
+           sum(when(col("l_quantity") <= col("v"), 1L).otherwise(0L)).as("le"))
+    // rank interval [lt+1, le] must intersect [q·n − tol, q·n + tol],
+    // tol = ε·n + 1; everything ×4 to stay integer: tol4 = n/2500 + 4.
+    val target4 = col("n") * col("pct") / lit(25L)
+    val tol4 = col("n") / lit(2500L) + lit(4L)
+    counted.select(col("l_returnflag"), col("pct"), col("n"),
+      (lit(4L) * (col("lt") + lit(1L)) <= target4 + tol4 &&
+       lit(4L) * col("le") >= target4 - tol4).as("rank_ok"))
+  }
+
+  /** Oracle-gated form of [[approxDistinct]]: the HLL++ estimates are
+    * engine-internal, but the exact distinct counts they approximate are
+    * DuckDB-replayable, and the basis-point error between the two is a
+    * deterministic integer predicate (HLL++ is hash-based and
+    * order-independent, so the estimate is a pure function of the input
+    * set). The exact counts are computed WITHOUT the distinct-agg Expand
+    * (two-step distinct→count, one extra shuffle each — the check's cost,
+    * not the sketch's; the gated plan still contains the single-pass HLL
+    * subplan the spec asserts on). Bound: 500 bp = 5× the rsd, the same
+    * headroom RelationalSpec uses — estimate quality, not luck.
+    */
+  def approxDistinctChecked(s: SparkSession, dir: String): DataFrame = {
+    val est = approxDistinct(s, dir)
+    val li = Tables.lineitem(s, dir)
+    val ordersExact = li.select(col("l_returnflag"), col("l_orderkey")).distinct()
+      .groupBy(col("l_returnflag")).agg(count(lit(1)).as("orders_exact"))
+    val partsExact = li.select(col("l_returnflag"), col("l_partkey")).distinct()
+      .groupBy(col("l_returnflag")).agg(count(lit(1)).as("parts_exact"))
+    est.join(ordersExact, Seq("l_returnflag")).join(partsExact, Seq("l_returnflag"))
+      .select(col("l_returnflag"), col("orders_exact"), col("parts_exact"),
+        col("max_price"), col("min_price"),
+        (abs(col("n_orders") - col("orders_exact")) * lit(10000L) <=
+          col("orders_exact") * lit(500L)).as("orders_ok"),
+        (abs(col("n_parts") - col("parts_exact")) * lit(10000L) <=
+          col("parts_exact") * lit(500L)).as("parts_ok"))
+  }
+
   /** lineitem ⋈ orders through the skew-salted join (ops/SaltedJoin) —
     * salting must be INVISIBLE in results, so the oracle is the plain
     * join. The salt spreads any hot orderkey across 8 buckets before the
@@ -601,11 +663,13 @@ object Relational {
     "q_funnel" -> funnel _,
     "q_salted_join" -> saltedJoinVolume _,
     "q_topk_per_cust" -> topOrdersPerCustomer _,
-    // at-scale sketch variants — no oracle entry (sketch results are
-    // engine-internal; correctness is spec'd in RelationalSpec via plan
-    // shape + tolerance vs the exact forms)
-    "q_approx_percentiles" -> approxPercentiles _,
-    "q_approx_distinct" -> approxDistinct _,
+    // at-scale sketch variants, gated through their GUARANTEES: the sketch
+    // outputs are engine-internal, but the rank bound (GK) and bp error vs
+    // exact (HLL++) are exact integer predicates the oracle replays — a
+    // uniformly-true check column IS hash-gatable (plan-shape asserts on
+    // the raw sketch forms stay in RelationalSpec)
+    "q_approx_percentiles" -> approxPercentilesChecked _,
+    "q_approx_distinct" -> approxDistinctChecked _,
   )
 
   private val DISC = "(1.00::DECIMAL(18,2) - l_discount::DECIMAL(18,2))"
@@ -845,6 +909,21 @@ object Relational {
          CAST(max(l_extendedprice::DECIMAL(18,2)) AS DOUBLE) AS max_price,
          CAST(min(l_extendedprice::DECIMAL(18,2)) AS DOUBLE) AS min_price
          FROM lineitem GROUP BY l_returnflag""",
+    // sketch guarantees: the oracle replays the exact values (counts,
+    // max/min) and expects the check columns uniformly true — see
+    // approxPercentilesChecked / approxDistinctChecked
+    "q_approx_percentiles" ->
+      """WITH g AS (SELECT l_returnflag, count(*) AS n FROM lineitem GROUP BY 1)
+         SELECT l_returnflag, pct, n, true AS rank_ok
+         FROM g CROSS JOIN (VALUES (25), (50), (75)) AS t(pct)""",
+    "q_approx_distinct" ->
+      """SELECT l_returnflag,
+         count(DISTINCT l_orderkey) AS orders_exact,
+         count(DISTINCT l_partkey) AS parts_exact,
+         CAST(max(l_extendedprice::DECIMAL(18,2)) AS DOUBLE) AS max_price,
+         CAST(min(l_extendedprice::DECIMAL(18,2)) AS DOUBLE) AS min_price,
+         true AS orders_ok, true AS parts_ok
+         FROM lineitem GROUP BY 1""",
     // salting must be invisible: the oracle is the PLAIN join
     "q_salted_join" ->
       """SELECT o_orderpriority, count(*) AS n,

@@ -825,11 +825,14 @@ object TextPack {
 
   /** Top-32 tokens per language via the O(k) Misra–Gries summary — the
     * at-scale variant of pl_vocab (which aggregates the full vocabulary).
-    * Non-gated: MG counts are partitioning-dependent lower bounds; the
-    * guarantees are spec'd in TrainingPipelineSpec.
+    * Gated through the MG GUARANTEES (exact integer predicates over the
+    * exact token counts — over-count, n/(k+1) bound, missed-heavy,
+    * summary size), since the raw counts are partitioning-dependent lower
+    * bounds no oracle can replay; the property spec stays in
+    * TrainingPipelineSpec.
     */
   def pipelineHeavyHitters(s: SparkSession, dir: String): DataFrame =
-    TrainingPipeline.heavyHitters(
+    TrainingPipeline.heavyHittersChecked(
       Tables.documents(s, dir), "text", "lang", k = 32)
 
   /** Mixture-weighted draw of 400 docs: src0 weighted 4, src1 weighted 2,
@@ -1752,6 +1755,22 @@ object TextPack {
     // normalized-token CTE shared by the three corpus-statistics oracles:
     // identical to TextFunctions.tokens(normalized(text)) — split the
     // whitespace-collapsed lowercased text and drop empties
+    //
+    // MG guarantee gate: the oracle replays the exact per-lang token
+    // totals and expects zero guarantee violations (see
+    // TrainingPipeline.heavyHittersChecked — over-count, n/(k+1) bound,
+    // missed-heavy, summary size are exact integer predicates even though
+    // the MG counts themselves are partitioning-dependent)
+    "pl_heavy_hitters" ->
+      """WITH n AS (SELECT doc_id, lang,
+             [t for t in string_split(lower(trim(regexp_replace(text,'\s+',' '))),' ') if t <> ''] ts
+           FROM documents),
+         tok AS (SELECT lang, t FROM n, LATERAL unnest(ts) AS u(t)),
+         tot AS (SELECT lang, count(*) AS n_tokens FROM tok GROUP BY 1)
+         SELECT lang, n_tokens, 0::BIGINT AS over_violations,
+           0::BIGINT AS under_violations, 0::BIGINT AS missed_heavy,
+           true AS size_ok
+         FROM tot""",
     "pl_vocab" ->
       """WITH n AS (SELECT doc_id,
              [t for t in string_split(lower(trim(regexp_replace(text,'\s+',' '))),' ') if t <> ''] ts

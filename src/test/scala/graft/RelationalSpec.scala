@@ -264,6 +264,24 @@ class RelationalSpec extends AnyFunSuite {
     }
   }
 
+  test("approxPercentilesChecked: gated guarantee rows all clean") {
+    val rows = Relational.approxPercentilesChecked(spark, sfDir).collect()
+    assert(rows.length == 9, "3 flags x 3 percentiles")
+    rows.foreach { r =>
+      assert(r.getBoolean(3), s"rank bound violated: $r")
+      assert(r.getLong(2) > 0)
+    }
+  }
+
+  test("approxDistinctChecked: gated guarantee rows all clean") {
+    val rows = Relational.approxDistinctChecked(spark, sfDir).collect()
+    assert(rows.length == 3)
+    rows.foreach { r =>
+      assert(r.getBoolean(5) && r.getBoolean(6), s"bp bound violated: $r")
+      assert(r.getLong(1) > 0 && r.getLong(2) > 0)
+    }
+  }
+
   test("approxDistinct: HLL single pass (no Expand), estimates within rsd") {
     val plan = planOf(Relational.approxDistinct)
     assert(!plan.contains("Expand"),

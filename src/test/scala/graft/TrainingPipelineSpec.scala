@@ -244,6 +244,26 @@ class TrainingPipelineSpec extends AnyFunSuite {
       s"MG must partial-aggregate map-side:\n$plan")
   }
 
+  test("heavyHittersChecked: guarantee gate emits clean rows on hostile skew") {
+    val s = spark
+    import s.implicits._
+    val rows = for {
+      g <- Seq("g1", "g2"); i <- 1 to 60; _ <- 1 to (600 / i)
+    } yield (g, s"t$i")
+    val docs = scala.util.Random.shuffle(rows)
+      .toDF("grp", "text").repartition(13)
+    val got = TrainingPipeline.heavyHittersChecked(docs, "text", "grp", 16)
+      .collect()
+    assert(got.length == 2, "one row per group")
+    got.foreach { r =>
+      assert(r.getLong(1) > 0, "exact token total present")
+      assert(r.getLong(2) == 0L, s"over-count violations: $r")
+      assert(r.getLong(3) == 0L, s"n/(k+1) bound violations: $r")
+      assert(r.getLong(4) == 0L, s"missed heavy tokens: $r")
+      assert(r.getBoolean(5), s"summary exceeded k entries: $r")
+    }
+  }
+
   test("sampleWeighted: heavy docs dominate, deterministic, bounded-heap plan") {
     val s = spark
     import s.implicits._
