@@ -720,8 +720,21 @@ object Dedup {
   def incrementalLineDedup(batch: DataFrame, index: DataFrame,
                            idCol: String, textCol: String): DataFrame = {
     import graft.core.Cols.{q => Q}
+    import org.apache.spark.sql.types.{BinaryType, StringType}
     require(index.columns.toSeq == Seq("h"),
       s"index must be a lineIndex (single column h), got ${index.columns.toSeq}")
+    // Index format detection: current lineIndex stores BINARY(16) md5;
+    // indexes built before the binary switch stored the 32-char hex
+    // STRING. Probing a string index with binary hashes (or vice versa)
+    // would silently match ZERO history lines — duplicates would pass
+    // through undetected — so the probe side adapts to the stored type
+    // and anything else is rejected loudly.
+    val hType = index.schema("h").dataType
+    require(hType == BinaryType || hType == StringType,
+      s"lineIndex column h must be BINARY(16) (current format) or the " +
+        s"legacy hex STRING, got $hType — rebuild the index with lineIndex()")
+    def hashOf(c: org.apache.spark.sql.Column) =
+      if (hType == StringType) md5(c) else unhex(md5(c))
     val lines = split(Q(textCol), "\n", -1)
     val packed = (Q(idCol).cast("long") * lit(1L << 20)) +
       col("pos0").cast("long") + lit(1L)
@@ -732,7 +745,7 @@ object Dedup {
     val occ = batch
       .select(Q(idCol), posexplode(lines).as(Seq("pos0", "line")))
       .filter(trim(col("line")) =!= "")
-      .select(unhex(md5(col("line"))).as("h"), k.as("k"))
+      .select(hashOf(col("line")).as("h"), k.as("k"))
     val histDropped = occ.join(index.select(col("h")), Seq("h"), "left_semi")
     val fresh = occ.join(index.select(col("h")), Seq("h"), "left_anti")
     val owners = fresh.groupBy("h").agg(min(col("k")).as("k0"))

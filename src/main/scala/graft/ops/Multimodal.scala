@@ -1039,8 +1039,11 @@ object Multimodal {
       emitBlock(constBlock, pred)
     }
     val hmax = if (color && sub420) 2 else 1
+    val vmax = hmax // fixtures sample symmetrically (1x1 / 2x2); the MCU
+    // walk still counts rows by the VERTICAL factor so an asymmetric
+    // (2x1) lane added later cannot inherit a wrong block walk
     val mcusX = (width + 8 * hmax - 1) / (8 * hmax)
-    val mcusY = (height + 8 * hmax - 1) / (8 * hmax)
+    val mcusY = (height + 8 * vmax - 1) / (8 * vmax)
     var predY = 0; var predCb = 0; var predCr = 0
     var mcu = 0; var rstIdx = 0
     for (my <- 0 until mcusY; mx <- 0 until mcusX) {
@@ -1526,8 +1529,11 @@ object Multimodal {
       return out.toByteArray
     }
     val hmax = if (color && sub420) 2 else 1
+    val vmax = hmax // fixtures sample symmetrically (1x1 / 2x2); the MCU
+    // walk still counts rows by the VERTICAL factor so an asymmetric
+    // (2x1) lane added later cannot inherit a wrong block walk
     val mcusX = (width + 8 * hmax - 1) / (8 * hmax)
-    val mcusY = (height + 8 * hmax - 1) / (8 * hmax)
+    val mcusY = (height + 8 * vmax - 1) / (8 * vmax)
     var mcu = 0; var rstIdx = 0
     for (my <- 0 until mcusY; mx <- 0 until mcusX) {
       if (restartInterval > 0 && mcu > 0 && mcu % restartInterval == 0) {
@@ -1928,8 +1934,9 @@ object Multimodal {
 
     // ---- quantized coefficient grids (zigzag order per block) ----
     val hmax = if (color) 2 else 1
+    val vmax = hmax // symmetric fixture sampling; vertical count uses vmax
     val mcusX = (width + 8 * hmax - 1) / (8 * hmax)
-    val mcusY = (height + 8 * hmax - 1) / (8 * hmax)
+    val mcusY = (height + 8 * vmax - 1) / (8 * vmax)
     def constBlk(v: Int, qdc: Int): Array[Int] = {
       val a = new Array[Int](64); a(0) = (v - 128) * 8 / qdc; a
     }

@@ -860,6 +860,28 @@ class TrainingPipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("incrementalLineDedup: legacy hex-string index still matches history") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions.{col, explode, md5, split, trim}
+    val hist = Seq((100L, "old news\nweather")).toDF("id", "text")
+    // an index built before the BINARY(16) switch: hex STRING md5
+    val legacyIdx = hist.select(explode(split(col("text"), "\n", -1)).as("line"))
+      .filter(trim(col("line")) =!= "")
+      .select(md5(col("line")).as("h")).distinct()
+    val batch = Seq((1L, "old news\nfresh take")).toDF("id", "text")
+    val got = graft.ops.Dedup.incrementalLineDedup(batch, legacyIdx, "id", "text")
+      .collect().map(r => (r.getLong(2), r.getString(4)))
+    assert(got.toSeq == Seq((1L, "fresh take")),
+      "legacy string index must still drop historical lines, not silently match zero")
+    // anything that is neither BINARY nor STRING rejects loudly
+    val bogus = Seq(42L).toDF("h")
+    val e = intercept[IllegalArgumentException] {
+      graft.ops.Dedup.incrementalLineDedup(batch, bogus, "id", "text")
+    }
+    assert(e.getMessage.contains("rebuild the index"))
+  }
+
   test("incrementalLineDedup: empty index reduces to lineDedup") {
     val s = spark
     import s.implicits._
