@@ -928,8 +928,8 @@ object MediaCodecHelper {
     * F.1.4.4/G.2 statistical models and DAC conditioning. 8-bit
     * precision, 1 or 3 components, sampling factors 1 or 2, restart
     * markers, 8- or 16-bit quant tables. Null only for 12-bit precision
-    * and lossless/hierarchical frames — lossless (SOF3) and 12-bit gray
-    * (SOF1) decode at full precision through the dedicated
+    * and lossless/hierarchical frames — lossless (SOF3/SOF11) and 12-bit
+    * gray (SOF1) decode at full precision through the dedicated
     * [[jpegLosslessStats]] / [[jpeg12Stats]] paths, never through this
     * 8-bit raster one. Hierarchical frames (Annex J) stay null — the
     * one T.81 coding process with no mainstream decoder support either.
@@ -1119,8 +1119,9 @@ object MediaCodecHelper {
           off += len
         case x if x >= 0xc3 && x <= 0xcf && x != 0xc4 && x != 0xc8 &&
             x != 0xc9 && x != 0xca && x != 0xcc =>
-          return null // arithmetic-lossless / lossless / hierarchical:
-          // out of envelope (SOF9/SOF10 arithmetic decode above)
+          return null // lossless (SOF3/SOF11) / hierarchical: not an
+          // 8-bit raster — lossless flavors decode at full precision
+          // through decodeJpegLossless; hierarchical (Annex J) is null
         case 0xcc => // DAC: arithmetic conditioning (T.81 B.2.4.3)
           val len = segLen
           var p = off + 2; val stop = off + len
@@ -2414,9 +2415,9 @@ object MediaCodecHelper {
     StructField("px_min", IntegerType, nullable = false),
     StructField("px_max", IntegerType, nullable = false)))
 
-  // ---------------- lossless JPEG (SOF3) ----------------
+  // ---------------- lossless JPEG (SOF3 / SOF11) ----------------
   //
-  // T.81 Annex H, Huffman procedures: a lossless frame codes each SAMPLE
+  // T.81 Annex H: a lossless frame codes each SAMPLE
   // as a Huffman-coded DPCM difference from one of seven spatial
   // predictors (Ss in the scan header selects it), with the same
   // SSSS-category + magnitude-bits encoding as baseline DC coefficients
@@ -2450,10 +2451,12 @@ object MediaCodecHelper {
       Array[Any](r.width, r.height, r.nc, r.precision, sum, mn, mx))
   }
 
-  /** Full lossless-JPEG decode (ITU-T T.81 Annex H, Huffman).
+  /** Full lossless-JPEG decode (ITU-T T.81 Annex H): SOF3 Huffman and
+    * SOF11 arithmetic (QM-coded differences under the H.1.2.2 model,
+    * with DAC conditioning bounds honoured — see [[jLosslessScanArith]]).
     *
-    * Envelope (null outside it): SOF3 frames, 2–16 bit precision, 1–4
-    * components all with 1×1 sampling factors, ONE interleaved scan
+    * Envelope (null outside it): SOF3/SOF11 frames, 2–16 bit precision,
+    * 1–4 components all with 1×1 sampling factors, ONE interleaved scan
     * covering every frame component in frame order, predictors 1–7,
     * point transform 0 ≤ Pt < precision, no restart markers (a DRI in a
     * lossless stream nulls: T.81 H.2.2 resets prediction state at
@@ -2478,6 +2481,9 @@ object MediaCodecHelper {
     val dcT = new Array[JHuff](4)
     var w = 0; var h = 0; var precision = 0
     var comps: Array[JComp] = null
+    var arith = false // SOF11: QM-coded differences instead of Huffman
+    val condL = Array.fill(4)(0) // DAC DC-class conditioning bounds
+    val condU = Array.fill(4)(1) // (defaults per F.1.4.4.1.4: L=0, U=1)
     var off = 2
     while (off + 1 < b.length) {
       if ((b(off) & 0xff) != 0xff) return null
@@ -2510,7 +2516,8 @@ object MediaCodecHelper {
             if (tc == 0) dcT(th) = new JHuff(counts, vals)
           }
           off += len
-        case 0xc3 => // SOF3: lossless sequential, Huffman
+        case 0xc3 | 0xcb => // SOF3 (Huffman) / SOF11 (arithmetic) lossless
+          arith = m == 0xcb
           val len = segLen
           if (len < 8) throw JpegBail
           precision = b(off + 2) & 0xff
@@ -2532,7 +2539,23 @@ object MediaCodecHelper {
             c
           }
           off += len
-        case x if (x >= 0xc0 && x <= 0xcf && x != 0xc3 && x != 0xc4) =>
+        case 0xcc => // DAC: conditioning bounds for the arithmetic scan
+          val len = segLen
+          var p = off + 2; val stop = off + len
+          while (p + 1 < stop) {
+            val tc = (b(p) & 0xff) >> 4; val tb = b(p) & 0x0f
+            val v = b(p + 1) & 0xff
+            if (tc > 1 || tb > 3) throw JpegBail
+            if (tc == 0) { // DC class: (U << 4) | L, 0 <= L <= U <= 15
+              condL(tb) = v & 0x0f
+              condU(tb) = v >> 4
+              if (condL(tb) > condU(tb)) throw JpegBail
+            } // AC-class (Kx) tables are meaningless in a lossless frame
+            p += 2
+          }
+          off += len
+        case x if (x >= 0xc0 && x <= 0xcf && x != 0xc3 && x != 0xc4 &&
+            x != 0xcb && x != 0xcc) =>
           return null // any other frame type: not a lossless stream
         case 0xdd => return null // DRI: restart resets are out of envelope
         case 0xda => // SOS: predictor in Ss, point transform in Al
@@ -2546,7 +2569,8 @@ object MediaCodecHelper {
             if (cid != comps(i).id) return null // scan order == frame order
             val tdta = b(off + 4 + 2 * i) & 0xff
             comps(i).td = tdta >> 4
-            if (comps(i).td > 3 || dcT(comps(i).td) == null) return null
+            if (comps(i).td > 3) return null
+            if (!arith && dcT(comps(i).td) == null) return null
             i += 1
           }
           val sel = b(off + 3 + 2 * ns) & 0xff
@@ -2555,7 +2579,10 @@ object MediaCodecHelper {
           val pt = ahal & 0x0f
           if (sel < 1 || sel > 7 || se != 0 || (ahal >> 4) != 0 ||
               pt >= precision) return null
-          return jLosslessScan(b, off + len, w, h, comps, dcT,
+          return if (arith)
+            jLosslessScanArith(b, off + len, w, h, comps, condL, condU,
+              precision, sel, pt)
+          else jLosslessScan(b, off + len, w, h, comps, dcT,
             precision, sel, pt)
         case x if x >= 0xd0 && x <= 0xd7 => return null // RSTn w/o DRI
         case _ => off += segLen // APPn / COM / DQT(ignored) / other: skip
@@ -2588,6 +2615,115 @@ object MediaCodecHelper {
           val t = jDecodeSym(r, dcT(comps(ci).td))
           if (t > 16) throw JpegBail
           val diff = if (t == 16) 32768 else jExtend(r.receive(t), t)
+          val pred =
+            if (y == 0 && x == 0) init
+            else if (y == 0) cur(ci)(x - 1) // first line: Ra
+            else if (x == 0) prev(ci)(0) // first column: Rb
+            else {
+              val ra = cur(ci)(x - 1)
+              val rb = prev(ci)(x)
+              val rc = prev(ci)(x - 1)
+              sel match {
+                case 1 => ra
+                case 2 => rb
+                case 3 => rc
+                case 4 => ra + rb - rc
+                case 5 => ra + ((rb - rc) >> 1)
+                case 6 => rb + ((ra - rc) >> 1)
+                case _ => (ra + rb) >> 1
+              }
+            }
+          val rx = (pred + diff) & 0xffff
+          cur(ci)(x) = rx
+          out((y * w + x) * nc + ci) = (rx << pt) & 0xffff
+          ci += 1
+        }
+        x += 1
+      }
+      var ci = 0
+      while (ci < nc) {
+        System.arraycopy(cur(ci), 0, prev(ci), 0, w)
+        ci += 1
+      }
+      y += 1
+    }
+    new JLossless(w, h, nc, p, out)
+  }
+
+  /** One interleaved lossless ARITHMETIC scan (SOF11): the same raster
+    * walk, predictor rules, and mod-2^16 reconstruction as
+    * [[jLosslessScan]], but each difference is decoded by the Annex-D
+    * QM coder under the T.81 §H.1.2.2 statistical model — the DC
+    * difference decision tree of F.1.4.4.1, with the zero/sign/
+    * first-magnitude decisions conditioned on the 5×5 classification of
+    * the two neighbouring differences (Da: the diff decoded at the left
+    * sample of the current row; Db: the diff at the same column of the
+    * row above — both category 0 where the neighbour doesn't exist),
+    * each classified by the F.1.4.4.1.3 procedure against the DAC L/U
+    * bounds of the component's table, and TWO X/M magnitude-bin sets
+    * selected by whether Db classifies large (either sign). Statistics
+    * area: 25 contexts × 4 (S0/SS/SP/SN) + 2 × (X1–X15 + M2–M15) =
+    * 158 bins per table (the public bin count for the lossless
+    * arithmetic process; DC is 49, AC is 245). Magnitudes run to 32768,
+    * so X walks may reach X15 — the full 16-bit difference ring.
+    */
+  private def jLosslessScanArith(b: Array[Byte], scanOff: Int,
+                                 w: Int, h: Int, comps: Array[JComp],
+                                 condL: Array[Int], condU: Array[Int],
+                                 p: Int, sel: Int, pt: Int): JLossless = {
+    val nc = comps.length
+    val qm = new JQm(b, b.length)
+    qm.init(scanOff)
+    val stats = Array.ofDim[Byte](4, 158)
+    val out = new Array[Int](w * h * nc)
+    val init = 1 << (p - pt - 1)
+    val prev = Array.ofDim[Int](nc, w)
+    val cur = Array.ofDim[Int](nc, w)
+    // conditioning state: the CATEGORY (0 zero, 1 small+, 2 small−,
+    // 3 large+, 4 large−) of the diff decoded at each column of the row
+    // above (Db source, overwritten in place as the row advances) and at
+    // the left neighbour (Da)
+    val catUp = Array.ofDim[Int](nc, w)
+    val catLeft = new Array[Int](nc)
+    var y = 0
+    while (y < h) {
+      java.util.Arrays.fill(catLeft, 0)
+      var x = 0
+      while (x < w) {
+        var ci = 0
+        while (ci < nc) {
+          val c = comps(ci)
+          val st = stats(c.td)
+          val ctx = (catLeft(ci) * 5 + catUp(ci)(x)) * 4
+          var diff = 0
+          var cat = 0
+          if (qm.decode(st, ctx) != 0) {
+            val sign = qm.decode(st, ctx + 1)
+            var m = 0
+            var si = ctx + 2 + sign
+            if (qm.decode(st, si) != 0) {
+              m = 1
+              si = if (catUp(ci)(x) > 2) 129 else 100 // X set by Db large?
+              while (qm.decode(st, si) != 0) {
+                m <<= 1
+                if (m == 0x8000) throw JpegBail
+                si += 1
+              }
+            }
+            cat = // same classification the DC model applies to Da
+              if (m < ((1 << condL(c.td)) >> 1)) 0
+              else if (m > ((1 << condU(c.td)) >> 1)) 3 + sign
+              else 1 + sign
+            var v = m
+            si += 14
+            while ({ m >>= 1; m != 0 }) {
+              if (qm.decode(st, si) != 0) v |= m
+            }
+            v += 1
+            diff = if (sign != 0) -v else v
+          }
+          catLeft(ci) = cat
+          catUp(ci)(x) = cat
           val pred =
             if (y == 0 && x == 0) init
             else if (y == 0) cur(ci)(x - 1) // first line: Ra

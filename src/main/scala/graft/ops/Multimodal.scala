@@ -1847,6 +1847,125 @@ object Multimodal {
       precision = 8, predictor = 4, pt = 0, nc = 3,
       (c, x, y) => ((id * 5 + c * 17 + x * 3 + y * 11) % 101).toInt - 50)
 
+  /** Lossless-ARITHMETIC JPEG (SOF11) fixture encoder: the same
+    * closed-form-DIFFERENCES discipline as [[jpegLosslessBytes]] (the
+    * predictor recurrence is never run here), entropy-coded by the
+    * independent [[QmEnc]] Annex-D coder under the T.81 H.1.2.2
+    * statistical model — zero/sign/first-magnitude decisions on the 5×5
+    * (Da, Db) classification contexts (4 bins each = 100), two X/M
+    * magnitude-bin sets (29 each) selected by whether Db classifies
+    * large: 158 bins per table. `dacL`/`dacU` < 0 writes NO DAC segment
+    * (decoder must apply the L=0/U=1 defaults); otherwise a DAC with
+    * those bounds for table 0 is emitted. Samples interleave in raster
+    * order, one per component per MCU at 1×1 sampling, all components
+    * on stats table 0.
+    */
+  def jpegLosslessArithBytes(w: Int, h: Int, precision: Int, predictor: Int,
+                             pt: Int, nc: Int, dacL: Int, dacU: Int,
+                             diff: (Int, Int, Int) => Int): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    def b2(v: Int): Unit = { out.write((v >> 8) & 0xff); out.write(v & 0xff) }
+    val condL = if (dacL >= 0) dacL else 0
+    val condU = if (dacU >= 0) dacU else 1
+    out.write(0xff); out.write(0xd8) // SOI
+    if (dacL >= 0 || dacU >= 0) { // DAC: DC-class table 0, (U<<4)|L
+      out.write(0xff); out.write(0xcc)
+      b2(2 + 2)
+      out.write(0x00); out.write((condU << 4) | condL)
+    }
+    out.write(0xff); out.write(0xcb) // SOF11
+    b2(8 + 3 * nc)
+    out.write(precision); b2(h); b2(w); out.write(nc)
+    for (c <- 0 until nc) { out.write(1 + c); out.write(0x11); out.write(0) }
+    out.write(0xff); out.write(0xda) // SOS
+    b2(6 + 2 * nc)
+    out.write(nc)
+    for (c <- 0 until nc) { out.write(1 + c); out.write(0x00) }
+    out.write(predictor); out.write(0); out.write(pt)
+    val enc = new QmEnc(out)
+    val st = Array.ofDim[Int](158)
+    // category of the diff at each column of the row above / at the left
+    val catUp = Array.ofDim[Int](nc, w)
+    val catLeft = new Array[Int](nc)
+    for (y <- 0 until h) {
+      java.util.Arrays.fill(catLeft, 0)
+      for (x <- 0 until w; c <- 0 until nc) {
+        val d = diff(c, x, y)
+        require(d > -32769 && d <= 32768, s"diff $d unrepresentable")
+        val ctx = (catLeft(c) * 5 + catUp(c)(x)) * 4
+        var cat = 0
+        if (d == 0) enc.code(st, ctx, 0)
+        else {
+          enc.code(st, ctx, 1)
+          val sign = if (d < 0) 1 else 0
+          enc.code(st, ctx + 1, sign)
+          val v = math.abs(d) - 1
+          var m = 0
+          var si = ctx + 2 + sign
+          if (v == 0) enc.code(st, si, 0)
+          else {
+            enc.code(st, si, 1)
+            m = 1
+            si = if (catUp(c)(x) > 2) 129 else 100
+            while (v >= (m << 1)) { enc.code(st, si, 1); m <<= 1; si += 1 }
+            enc.code(st, si, 0)
+          }
+          cat =
+            if (m < ((1 << condL) >> 1)) 0
+            else if (m > ((1 << condU) >> 1)) 3 + sign
+            else 1 + sign
+          si += 14
+          var mm = m >> 1
+          while (mm != 0) {
+            enc.code(st, si, if ((v & mm) != 0) 1 else 0); mm >>= 1
+          }
+        }
+        catLeft(c) = cat
+        catUp(c)(x) = cat
+      }
+    }
+    enc.flush()
+    out.write(0xff); out.write(0xd9) // EOI
+    out.toByteArray
+  }
+
+  /** SOF11 gray 16-bit lane (predictor 1 — Ra), no DAC (decoder default
+    * L=0/U=1): diffs mix a ±25k wide draw (X walks to 15, mod-2^16
+    * wraps), the exact-32768 extreme, and a ±700 bulk.
+    */
+  def jpegLosslessArithG16Bytes(id: Long): Array[Byte] = {
+    val w = 5 + (id % 6).toInt
+    jpegLosslessArithBytes(w, 4 + (id % 5).toInt, precision = 16,
+      predictor = 1, pt = 0, nc = 1, dacL = -1, dacU = -1,
+      (_, x, y) => {
+        val k = x + y * w
+        if (k % 19 == 5) 32768
+        else if (k % 13 == 2) ((id * 37 + x * 5 + y * 7) % 50001).toInt - 25000
+        else ((id * 3 + x * 17 + y * 23) % 1401).toInt - 700
+      })
+  }
+
+  /** SOF11 gray 12-bit lane (predictor 2 — Rb) with pt=2 AND a DAC
+    * carrying non-default conditioning bounds (L=1, U=3), so the
+    * category classification's L/U arithmetic is inside the gate.
+    */
+  def jpegLosslessArithG12Bytes(id: Long): Array[Byte] =
+    jpegLosslessArithBytes(4 + (id % 7).toInt, 4 + (id % 4).toInt,
+      precision = 12, predictor = 2, pt = 2, nc = 1, dacL = 1, dacU = 3,
+      (_, x, y) => ((id * 13 + x * 11 + y * 5) % 501).toInt - 250)
+
+  /** SOF11 3-component 8-bit lane (predictor 4 — Ra+Rb−Rc, the
+    * integral-image predictor, prefix-summable so the oracle replays
+    * exact pixels), interleaved single scan, default conditioning.
+    * Predictors 3/5/6/7 (shift-based) are spec-verified against the
+    * SOF3 Huffman decode of the same diffs instead — two independent
+    * entropy coders, one pixel truth.
+    */
+  def jpegLosslessArith3cBytes(id: Long): Array[Byte] =
+    jpegLosslessArithBytes(4 + (id % 5).toInt, 3 + (id % 4).toInt,
+      precision = 8, predictor = 4, pt = 0, nc = 3, dacL = -1, dacU = -1,
+      (c, x, y) => ((id * 7 + c * 13 + x * 5 + y * 17) % 121).toInt - 60)
+
   /** PROGRESSIVE (SOF2) JPEG fixture encoder — spectral selection AND
     * successive approximation, written from T.81 Annex G with its own
     * scan scripts, EOB-run accumulator, correction-bit buffer and bit
@@ -2804,6 +2923,9 @@ object Multimodal {
   val makeJpegLosslessG16 = udf((id: Long) => jpegLosslessG16Bytes(id))
   val makeJpegLosslessG12 = udf((id: Long) => jpegLosslessG12Bytes(id))
   val makeJpegLossless3c = udf((id: Long) => jpegLossless3cBytes(id))
+  val makeJpegLosslessArithG16 = udf((id: Long) => jpegLosslessArithG16Bytes(id))
+  val makeJpegLosslessArithG12 = udf((id: Long) => jpegLosslessArithG12Bytes(id))
+  val makeJpegLosslessArith3c = udf((id: Long) => jpegLosslessArith3cBytes(id))
   val makeColorJpeg = udf((id: Long) => colorJpegBytes(id))
   val makeGrayProgressiveJpeg = udf((id: Long) => grayProgressiveJpegBytes(id))
   val makeColorProgressiveJpeg = udf((id: Long) => colorProgressiveJpegBytes(id))

@@ -926,6 +926,59 @@ object MediaPack {
       c.getField("px_max").cast("long").as("c3_max"))
   }
 
+  /** Lossless-ARITHMETIC JPEG fixture: the three SOF11 lanes from the
+    * independent QM-coder bitstream writer (closed-form DIFFERENCES, the
+    * recurrence never run at encode time), memoized separately.
+    */
+  private def jpegLosslessArithBlobs(s: SparkSession, dir: String) = {
+    val (store, _) = Fixtures(s, dir, "fix_media_jla") { st =>
+      st.write(Tables.documents(s, dir).select(col("doc_id"))
+        .withColumn("ja16", Multimodal.makeJpegLosslessArithG16(col("doc_id")))
+        .withColumn("ja12", Multimodal.makeJpegLosslessArithG12(col("doc_id")))
+        .withColumn("ja3", Multimodal.makeJpegLosslessArith3c(col("doc_id"))),
+        "mm_jla", slices = 8)
+      Map("blobs" -> "mm_jla")
+    }
+    store.readResolved("mm_jla")
+  }
+
+  /** REAL lossless-ARITHMETIC JPEG decode (SOF11, T.81 Annex H +
+    * §H.1.2.2) — the last intra-frame T.81 coding process: QM-coded DPCM
+    * differences under the 5×5 (Da, Db) conditioning model with two
+    * magnitude-bin sets, reconstructed modulo 2^16 against the spatial
+    * predictors at full precision. Three lanes: gray 16-bit predictor 1
+    * with ±25k wide diffs (X walks to X15) AND the exact-32768 extreme,
+    * no DAC (decoder defaults L=0/U=1); gray 12-bit predictor 2 with
+    * pt=2 and a DAC carrying NON-default bounds (L=1, U=3 — the
+    * classification arithmetic is inside the gate); 3-component 8-bit
+    * predictor 4 interleaved. Reconstruction telescopes into prefix
+    * sums of the closed-form diffs, so the DuckDB oracle replays exact
+    * pixels with window SUMs — the entropy layer (QM state machine, 158
+    * conditioning bins) is exactly what the hash gate proves, since a
+    * single mis-decoded decision derails every later difference.
+    * Codegen'd scan-side; the one exchange is the tiny blob-table join.
+    */
+  def jpegLosslessArith(s: SparkSession, dir: String): DataFrame = {
+    val media = jpegLosslessArithBlobs(s, dir)
+    val a = Multimodal.jpegLosslessFeatures(col("ja16"))
+    val b = Multimodal.jpegLosslessFeatures(col("ja12"))
+    val c = Multimodal.jpegLosslessFeatures(col("ja3"))
+    media.select(col("doc_id"),
+      a.getField("width").cast("long").as("a16_w"),
+      a.getField("height").cast("long").as("a16_h"),
+      a.getField("precision").cast("long").as("a16_p"),
+      a.getField("px_sum").as("a16_sum"),
+      a.getField("px_min").cast("long").as("a16_min"),
+      a.getField("px_max").cast("long").as("a16_max"),
+      b.getField("px_sum").as("a12_sum"),
+      b.getField("px_min").cast("long").as("a12_min"),
+      b.getField("px_max").cast("long").as("a12_max"),
+      c.getField("components").cast("long").as("a3_nc"),
+      c.getField("px_sum").as("a3_sum"),
+      c.getField("px_min").cast("long").as("a3_min"),
+      c.getField("px_max").cast("long").as("a3_max"))
+  }
+
   /** DHT-less MJPEG fixture: frames coded against the Annex K typical
     * Huffman tables with NO DHT segment (the most common real-world MJPEG
     * flavor, per the OpenDML implied-standard-tables convention); 4:2:0
@@ -1028,6 +1081,7 @@ object MediaPack {
     "mm_audio_adpcm" -> audioAdpcm _,
     "mm_audio_msadpcm" -> audioMsAdpcm _,
     "mm_jpeg_lossless" -> jpegLossless _,
+    "mm_jpeg_losslessarith" -> jpegLosslessArith _,
     "mm_jpeg12" -> jpeg12 _,
     "mm_jpeg_arith" -> jpegArith _,
     "mm_png_subbyte" -> pngSubByte _,
@@ -2496,6 +2550,93 @@ object MediaPack {
          CAST(c3.s AS BIGINT) AS c3_sum,
          CAST(c3.mn AS BIGINT) AS c3_min,
          CAST(c3.mx AS BIGINT) AS c3_max
+         FROM documents d
+         JOIN g16 ON g16.doc_id = d.doc_id
+         JOIN g12 ON g12.doc_id = d.doc_id
+         JOIN c3 ON c3.doc_id = d.doc_id""",
+    // SOF11 lossless-arithmetic replay: identical prefix-sum structure to
+    // mm_jpeg_lossless (the pixel math is predictor telescoping either
+    // way); what differs — and what the hash gate proves — is the QM
+    // entropy layer the Spark side must decode to reach these diffs.
+    // Lanes: g16 (5+id%6)x(4+id%5) pred 1; g12 (4+id%7)x(4+id%4) pred 2
+    // pt 2; c3 (4+id%5)x(3+id%4) pred 4, 3 components.
+    "mm_jpeg_losslessarith" ->
+      """WITH g16d AS (
+           SELECT d.doc_id, x.x, y.y,
+                  CASE WHEN (x.x + y.y*(5 + d.doc_id % 6)) % 19 = 5
+                       THEN 32768
+                       WHEN (x.x + y.y*(5 + d.doc_id % 6)) % 13 = 2
+                       THEN (d.doc_id*37 + x.x*5 + y.y*7) % 50001 - 25000
+                       ELSE (d.doc_id*3 + x.x*17 + y.y*23) % 1401 - 700
+                  END AS dv
+           FROM documents d
+           JOIN range(0, 10) x(x) ON x.x < 5 + d.doc_id % 6
+           JOIN range(0, 8) y(y) ON y.y < 4 + d.doc_id % 5
+         ), g16c AS (
+           SELECT doc_id,
+                  SUM(CASE WHEN x = 0 THEN dv ELSE 0 END)
+                    OVER (PARTITION BY doc_id ORDER BY y, x) AS c0,
+                  SUM(CASE WHEN x > 0 THEN dv ELSE 0 END)
+                    OVER (PARTITION BY doc_id, y ORDER BY x) AS rc
+           FROM g16d
+         ), g16 AS (
+           SELECT doc_id, sum(v) AS s, min(v) AS mn, max(v) AS mx
+           FROM (SELECT doc_id,
+                        ((32768 + c0 + rc) % 65536 + 65536) % 65536 AS v
+                 FROM g16c) GROUP BY doc_id
+         ), g12d AS (
+           SELECT d.doc_id, x.x, y.y,
+                  (d.doc_id*13 + x.x*11 + y.y*5) % 501 - 250 AS dv
+           FROM documents d
+           JOIN range(0, 10) x(x) ON x.x < 4 + d.doc_id % 7
+           JOIN range(0, 7) y(y) ON y.y < 4 + d.doc_id % 4
+         ), g12c AS (
+           SELECT doc_id,
+                  SUM(CASE WHEN y = 0 THEN dv ELSE 0 END)
+                    OVER (PARTITION BY doc_id ORDER BY x, y) AS r0,
+                  SUM(CASE WHEN y > 0 THEN dv ELSE 0 END)
+                    OVER (PARTITION BY doc_id, x ORDER BY y) AS cc
+           FROM g12d
+         ), g12 AS (
+           SELECT doc_id, sum(v) AS s, min(v) AS mn, max(v) AS mx
+           FROM (SELECT doc_id,
+                        ((((512 + r0 + cc) % 65536 + 65536) % 65536) * 4)
+                          % 65536 AS v
+                 FROM g12c) GROUP BY doc_id
+         ), c3d AS (
+           SELECT d.doc_id, c.c, x.x, y.y,
+                  (d.doc_id*7 + c.c*13 + x.x*5 + y.y*17) % 121 - 60 AS dv
+           FROM documents d
+           JOIN range(0, 3) c(c) ON true
+           JOIN range(0, 8) x(x) ON x.x < 4 + d.doc_id % 5
+           JOIN range(0, 6) y(y) ON y.y < 3 + d.doc_id % 4
+         ), c3x AS (
+           SELECT doc_id, c, x, y,
+                  SUM(dv) OVER (PARTITION BY doc_id, c, y ORDER BY x) AS cx
+           FROM c3d
+         ), c3s AS (
+           SELECT doc_id,
+                  SUM(cx) OVER (PARTITION BY doc_id, c, x ORDER BY y) AS s2
+           FROM c3x
+         ), c3 AS (
+           SELECT doc_id, sum(v) AS s, min(v) AS mn, max(v) AS mx
+           FROM (SELECT doc_id, ((128 + s2) % 65536 + 65536) % 65536 AS v
+                 FROM c3s) GROUP BY doc_id
+         )
+         SELECT d.doc_id,
+         CAST(5 + d.doc_id % 6 AS BIGINT) AS a16_w,
+         CAST(4 + d.doc_id % 5 AS BIGINT) AS a16_h,
+         CAST(16 AS BIGINT) AS a16_p,
+         CAST(g16.s AS BIGINT) AS a16_sum,
+         CAST(g16.mn AS BIGINT) AS a16_min,
+         CAST(g16.mx AS BIGINT) AS a16_max,
+         CAST(g12.s AS BIGINT) AS a12_sum,
+         CAST(g12.mn AS BIGINT) AS a12_min,
+         CAST(g12.mx AS BIGINT) AS a12_max,
+         CAST(3 AS BIGINT) AS a3_nc,
+         CAST(c3.s AS BIGINT) AS a3_sum,
+         CAST(c3.mn AS BIGINT) AS a3_min,
+         CAST(c3.mx AS BIGINT) AS a3_max
          FROM documents d
          JOIN g16 ON g16.doc_id = d.doc_id
          JOIN g12 ON g12.doc_id = d.doc_id

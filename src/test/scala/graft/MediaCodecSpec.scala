@@ -785,13 +785,13 @@ class MediaCodecSpec extends AnyFunSuite {
     assert(MediaCodecHelper.jpeg12Stats(good.dropRight(8)) == null, "ragged")
   }
 
-  test("lossless JPEG reconstructs the DPCM recurrence for all 7 predictors") {
-    // independent replay of T.81 H.1.2 (re-stated here, not shared with
-    // the decoder): first sample <- 1<<(P-pt-1), rest of first line <-
-    // Ra, first column <- Rb, else the scan predictor; mod 2^16; inverse
-    // point transform << pt.
-    def recon(w: Int, h: Int, p: Int, sel: Int, pt: Int, nc: Int,
-              diff: (Int, Int, Int) => Int): Seq[Int] = {
+  // independent replay of T.81 H.1.2 (re-stated here, not shared with
+  // the decoder): first sample <- 1<<(P-pt-1), rest of first line <-
+  // Ra, first column <- Rb, else the scan predictor; mod 2^16; inverse
+  // point transform << pt. Shared by the SOF3 and SOF11 tests.
+  private def losslessRecon(w: Int, h: Int, p: Int, sel: Int, pt: Int,
+                            nc: Int,
+                            diff: (Int, Int, Int) => Int): Seq[Int] = {
       val rec = Array.ofDim[Int](nc, h, w)
       val out = Seq.newBuilder[Int]
       for (y <- 0 until h; x <- 0 until w; c <- 0 until nc) {
@@ -818,18 +818,23 @@ class MediaCodecSpec extends AnyFunSuite {
         out += ((rx << pt) & 0xffff)
       }
       out.result()
-    }
-    def check(bytes: Array[Byte], w: Int, h: Int, p: Int, sel: Int,
-              pt: Int, nc: Int, diff: (Int, Int, Int) => Int,
-              tag: String): Unit = {
-      val st = MediaCodecHelper.jpegLosslessStats(bytes)
-      assert(st != null, tag)
-      val pix = recon(w, h, p, sel, pt, nc, diff)
-      assert(st.getInt(0) == w && st.getInt(1) == h, tag)
-      assert(st.getInt(2) == nc && st.getInt(3) == p, tag)
-      assert(st.getLong(4) == pix.map(_.toLong).sum, s"$tag sum")
-      assert(st.getInt(5) == pix.min && st.getInt(6) == pix.max, tag)
-    }
+  }
+
+  private def losslessCheck(bytes: Array[Byte], w: Int, h: Int, p: Int,
+                            sel: Int, pt: Int, nc: Int,
+                            diff: (Int, Int, Int) => Int,
+                            tag: String): Unit = {
+    val st = MediaCodecHelper.jpegLosslessStats(bytes)
+    assert(st != null, tag)
+    val pix = losslessRecon(w, h, p, sel, pt, nc, diff)
+    assert(st.getInt(0) == w && st.getInt(1) == h, tag)
+    assert(st.getInt(2) == nc && st.getInt(3) == p, tag)
+    assert(st.getLong(4) == pix.map(_.toLong).sum, s"$tag sum")
+    assert(st.getInt(5) == pix.min && st.getInt(6) == pix.max, tag)
+  }
+
+  test("lossless JPEG reconstructs the DPCM recurrence for all 7 predictors") {
+    val check = losslessCheck _
     // the three gated lanes (predictors 1, 2, 4)
     for (id <- 0L until 12L) {
       val w16 = 6 + (id % 5).toInt
@@ -897,6 +902,83 @@ class MediaCodecSpec extends AnyFunSuite {
     assert(MediaCodecHelper.jpegLosslessStats(withDri) == null, "DRI")
     // truncated entropy data bails
     assert(MediaCodecHelper.jpegLosslessStats(good.dropRight(6)) == null, "ragged")
+  }
+
+  test("SOF11 lossless-arithmetic JPEG: gated lanes match the DPCM recurrence") {
+    for (id <- 0L until 12L) {
+      val w16 = 5 + (id % 6).toInt
+      losslessCheck(Multimodal.jpegLosslessArithG16Bytes(id), w16,
+        4 + (id % 5).toInt, 16, 1, 0, 1, (_, x, y) => {
+          val k = x + y * w16
+          if (k % 19 == 5) 32768
+          else if (k % 13 == 2) ((id * 37 + x * 5 + y * 7) % 50001).toInt - 25000
+          else ((id * 3 + x * 17 + y * 23) % 1401).toInt - 700
+        }, s"arith g16 id $id")
+      losslessCheck(Multimodal.jpegLosslessArithG12Bytes(id),
+        4 + (id % 7).toInt, 4 + (id % 4).toInt, 12, 2, 2, 1,
+        (_, x, y) => ((id * 13 + x * 11 + y * 5) % 501).toInt - 250,
+        s"arith g12 id $id (non-default DAC L=1 U=3)")
+      losslessCheck(Multimodal.jpegLosslessArith3cBytes(id),
+        4 + (id % 5).toInt, 3 + (id % 4).toInt, 8, 4, 0, 3,
+        (c, x, y) => ((id * 7 + c * 13 + x * 5 + y * 17) % 121).toInt - 60,
+        s"arith c3 id $id")
+    }
+  }
+
+  test("SOF11 and SOF3 decode identical samples from identical diffs (all 7 predictors)") {
+    // two entirely different entropy coders (canonical Huffman vs the
+    // Annex-D QM coder under the H.1.2.2 model), one pixel truth — the
+    // cross-coder law that also covers the shift-based predictors
+    // 3/5/6/7 the SQL oracle can't replay
+    for (sel <- 1 to 7; pt <- Seq(0, 2)) {
+      val d = (c: Int, x: Int, y: Int) =>
+        ((x * 31 + y * 47 + c * 11 + sel * 5) % 801) - 400
+      val hf = Multimodal.jpegLosslessBytes(6, 5, 14, sel, pt, 2, d)
+      val af = Multimodal.jpegLosslessArithBytes(6, 5, 14, sel, pt, 2,
+        dacL = -1, dacU = -1, d)
+      val dh = MediaCodecHelper.decodeJpegLossless(hf)
+      val da = MediaCodecHelper.decodeJpegLossless(af)
+      assert(dh != null && da != null, s"sel $sel pt $pt")
+      assert(da.width == dh.width && da.height == dh.height &&
+        da.nc == dh.nc && da.precision == dh.precision, s"sel $sel pt $pt")
+      assert(da.samples.toSeq == dh.samples.toSeq,
+        s"sel $sel pt $pt: arithmetic and Huffman decodes diverge")
+    }
+    // wide diffs force X walks to X15 through BOTH magnitude-bin sets
+    val wide = (c: Int, x: Int, y: Int) =>
+      if ((x + y) % 3 == 0) ((x * 9001 + y * 7919 + c) % 65001) - 32500
+      else ((x * 13 + y * 29 + c) % 31) - 15
+    val hw = Multimodal.jpegLosslessBytes(8, 7, 16, 1, 0, 1, wide)
+    val aw = Multimodal.jpegLosslessArithBytes(8, 7, 16, 1, 0, 1,
+      dacL = -1, dacU = -1, wide)
+    assert(MediaCodecHelper.decodeJpegLossless(aw).samples.toSeq ==
+      MediaCodecHelper.decodeJpegLossless(hw).samples.toSeq, "wide diffs")
+  }
+
+  test("SOF11 envelope honest-nulls") {
+    val good = Multimodal.jpegLosslessArithG16Bytes(3L)
+    assert(MediaCodecHelper.jpegLosslessStats(good) != null)
+    // the 8-bit raster decoder keeps nulling lossless-arithmetic frames
+    assert(MediaCodecHelper.decodeJpeg(good) == null,
+      "SOF11 stays out of decodeJpeg")
+    // truncated entropy data bails (no zero-padded garbage)
+    assert(MediaCodecHelper.jpegLosslessStats(good.dropRight(4)) == null,
+      "ragged")
+    // a DRI segment nulls, exactly like the Huffman lossless path
+    // (layout: no DAC on this lane -> SOI 2, SOF11 at 2, len 11, SOS at
+    // 13 len 8 -> entropy at 23... compute SOS offset instead of pinning)
+    val sosAt = (0 until good.length - 1).find(i =>
+      (good(i) & 0xff) == 0xff && (good(i + 1) & 0xff) == 0xda).get
+    val withDri = good.take(sosAt) ++
+      Array[Byte](0xff.toByte, 0xdd.toByte, 0, 4, 0, 5) ++ good.drop(sosAt)
+    assert(MediaCodecHelper.jpegLosslessStats(withDri) == null, "DRI")
+    // a DAC with L > U is malformed
+    val g12 = Multimodal.jpegLosslessArithG12Bytes(3L)
+    assert(MediaCodecHelper.jpegLosslessStats(g12) != null)
+    assert((g12(2) & 0xff) == 0xff && (g12(3) & 0xff) == 0xcc, "DAC at 2")
+    val badDac = g12.clone()
+    badDac(7) = 0x14.toByte // U=1 < L=4
+    assert(MediaCodecHelper.jpegLosslessStats(badDac) == null, "L > U")
   }
 
   test("frame-sampling keeps every Nth frame and re-encodes a valid WAV") {
