@@ -22,6 +22,60 @@ import graft.core.Cols.{q => Q}
   */
 object Graphs {
 
+  /** Dense-id compaction: a bijection node-id → [0, n) as a (id, did)
+    * map, did assigned in ascending id order (a true dense rank). The
+    * single-long key packing in [[report]] / [[triangleStats]] engages
+    * only when every id fits 31 bits; arbitrary id domains (snapshot
+    * strides, hash-derived ids, federated key spaces) miss it even when
+    * the NODE COUNT is tiny. Compacting once per graph version — the
+    * memoized-job pattern, like the walk family's neighbor index — buys
+    * the packed exchange for every downstream census, since n < 2^31
+    * for any graph below ~2 billion nodes (and above that the packable
+    * gate falls back to two-column keys, same counts).
+    *
+    * Scale: runs over the NODE set (≪ edges). The global rank is a
+    * range-partitioned sort + per-partition offsets from one count pass
+    * (RDD zipWithIndex) — never a single-partition window. This is the
+    * one deliberate RDD use in the graph family: a distributed
+    * order-preserving index assignment has no DataFrame form that avoids
+    * a one-partition window.
+    */
+  def denseIdMap(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    val sp = edges.sparkSession
+    val ids = edges.select(Q(srcCol).cast("long").as("id"))
+      .unionAll(edges.select(Q(dstCol).cast("long").as("id")))
+      .where(col("id").isNotNull)
+      .distinct()
+    val ranked = ids.orderBy("id").rdd.zipWithIndex().map {
+      case (r, i) => Row(r.getLong(0), i)
+    }
+    sp.createDataFrame(ranked, StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("did", LongType, nullable = false))))
+  }
+
+  /** Rewrite `srcCol`/`dstCol` of `edges` through a [[denseIdMap]];
+    * every other column rides along. Two id-keyed joins of the edge set
+    * — the remap's one-time cost, paid at map-build time under the
+    * memoized-job pattern and amortized across every analysis that runs
+    * on the compacted snapshot. All census outputs (degree/count/
+    * triangle/reciprocity statistics) are invariant under any id
+    * bijection, so remapped results hash-match the raw-id oracle —
+    * the parity law GraphsSpec pins.
+    */
+  def remapDense(edges: DataFrame, idMap: DataFrame,
+                 srcCol: String, dstCol: String): DataFrame = {
+    val ms = idMap.select(col("id").as("__m_sid"), col("did").as("__m_sdid"))
+    val md = idMap.select(col("id").as("__m_did"), col("did").as("__m_ddid"))
+    edges.join(ms, Q(srcCol).cast("long") === col("__m_sid"))
+      .join(md, Q(dstCol).cast("long") === col("__m_did"))
+      .withColumn(srcCol, col("__m_sdid"))
+      .withColumn(dstCol, col("__m_ddid"))
+      .drop("__m_sid", "__m_sdid", "__m_did", "__m_ddid")
+  }
+
   /** One row: n_nodes, n_edges, n_dangling, max_out_deg, max_in_deg,
     * n_reciprocal — over the DISTINCT directed edge set.
     */

@@ -327,28 +327,63 @@ object GraphPack {
     graft.ops.RandomWalks.negativeDraws(walkPairsQ(s, dir), "gN",
       nDraws = 100)
 
+  /** The fulfillment graph's edges, dense-id-compacted and memoized
+    * (Graphs.denseIdMap + remapDense behind a Fixtures job): node ids
+    * land in [0, n), so the census ops' single-long key packing engages
+    * on ANY id domain — including the scale fixture's 1e9-strided
+    * replicas, which the raw custkey/suppkey space pushed past 2^31.
+    * Census outputs are id-bijection-invariant, so the raw-id DuckDB
+    * oracle still hash-matches (the parity law, also pinned in
+    * GraphsSpec).
+    */
+  private def fulfillDenseEdges(s: SparkSession, dir: String): DataFrame = {
+    val (store, _) = Fixtures(s, dir, "job_graph_dense") { st =>
+      val e = Tables.orders(s, dir)
+        .join(Tables.lineitem(s, dir),
+          col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_custkey").as("src"), col("l_suppkey").as("dst"))
+      val m = graft.ops.Graphs.denseIdMap(e, "src", "dst")
+      st.write(graft.ops.Graphs.remapDense(e, m, "src", "dst"),
+        "dense_edges", slices = 4)
+      Map("e" -> "dense_edges")
+    }
+    store.readResolved("dense_edges")
+  }
+
+  /** Like [[fulfillDenseEdges]] for the triangle census's even-part
+    * co-purchase subgraph: the wedge-candidate probe — the census's one
+    * super-linear exchange — ships packed single-long keys at any scale.
+    */
+  private def triangleDenseEdges(s: SparkSession, dir: String): DataFrame = {
+    val (store, _) = Fixtures(s, dir, "job_tri_dense") { st =>
+      val e = edgeStore(s, dir)
+        .where(col("src") % 2 === 0 && col("dst") % 2 === 0)
+      val m = graft.ops.Graphs.denseIdMap(e, "src", "dst")
+      st.write(graft.ops.Graphs.remapDense(e, m, "src", "dst"),
+        "tri_dense", slices = 4)
+      Map("e" -> "tri_dense")
+    }
+    store.readResolved("tri_dense")
+  }
+
   /** Report card for the DIRECTED customer→supplier fulfillment graph
     * (bipartite, so every supplier is dangling and reciprocity is 0 —
-    * the profile that tells you PageRank's leak set up front).
+    * the profile that tells you PageRank's leak set up front), over the
+    * dense-compacted memoized edge snapshot — the production shape:
+    * compact once, census many times, packed exchanges always on.
     */
-  def reportQ(s: SparkSession, dir: String): DataFrame = {
-    val e = Tables.orders(s, dir)
-      .join(Tables.lineitem(s, dir),
-        col("o_orderkey") === col("l_orderkey"))
-      .select(col("o_custkey").as("src"), col("l_suppkey").as("dst"))
-    graft.ops.Graphs.report(e, "src", "dst")
-  }
+  def reportQ(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Graphs.report(fulfillDenseEdges(s, dir), "src", "dst")
 
   /** Triangle census of the co-purchase graph (undirected support),
     * on the even-part-id subgraph: the census cost is Θ(wedges) =
     * Θ(Σd²) by nature, and halving the node set quarters the wedge
     * volume — the operator is identical, the fixture just needn't be
-    * maximal to gate it.
+    * maximal to gate it. Runs over the dense-compacted snapshot
+    * ([[triangleDenseEdges]]) so the wedge probe ships packed keys.
     */
   def trianglesQ(s: SparkSession, dir: String): DataFrame =
-    graft.ops.Graphs.triangleStats(
-      edgeStore(s, dir)
-        .where(col("src") % 2 === 0 && col("dst") % 2 === 0),
+    graft.ops.Graphs.triangleStats(triangleDenseEdges(s, dir),
       "src", "dst")
 
   /** The census adjudication diagnostic over gr_triangles' exact edge

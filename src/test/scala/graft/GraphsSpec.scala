@@ -47,6 +47,51 @@ class GraphsSpec extends AnyFunSuite {
     assert(r.getAs[Long]("n_reciprocal") == 2L)
   }
 
+  test("denseIdMap: bijection onto [0, n), ascending-id rank, remap parity") {
+    val big = 1L << 40
+    val e = Seq((1L + big, 2L + big), (1L + big, 3L + big),
+      (2L + big, 1L + big), (3L + big, 4L + big), (-7L, 1L + big))
+    val edges = e.toDF("src", "dst")
+    val m = Graphs.denseIdMap(edges, "src", "dst")
+      .as[(Long, Long)].collect().sortBy(_._1)
+    // domain = the 6 distinct node ids; range = exactly [0, 6) in id order
+    assert(m.map(_._1).toSeq ==
+      Seq(-7L, 1L + big, 2L + big, 3L + big, 4L + big).sorted)
+    assert(m.map(_._2).toSeq == (0L until m.length).toSeq,
+      s"dids must be the dense ascending rank, got ${m.toSeq}")
+    // the PARITY LAW: census results are invariant under the remap —
+    // and the remapped ids fit 31 bits, so the packed path engages
+    val dense = Graphs.remapDense(edges, Graphs.denseIdMap(edges, "src", "dst"),
+      "src", "dst")
+    val raw = Graphs.report(edges, "src", "dst").collect().head
+    val packed = Graphs.report(dense, "src", "dst").collect().head
+    Seq("n_nodes", "n_edges", "n_dangling", "max_out_deg", "max_in_deg",
+      "n_reciprocal").foreach { c =>
+      assert(raw.getAs[Long](c) == packed.getAs[Long](c),
+        s"$c diverged between raw (unpacked) and dense (packed) paths")
+    }
+    // triangle parity on a graph with actual triangles
+    val tri = Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L))
+      .map { case (a, b) => (a * 3 + big, b * 3 + big) }
+    val triDf = tri.toDF("src", "dst")
+    val triDense = Graphs.remapDense(triDf,
+      Graphs.denseIdMap(triDf, "src", "dst"), "src", "dst")
+    assert(
+      Graphs.triangleStats(triDf, "src", "dst")
+        .as[(Long, Long, Long)].collect().head ==
+      Graphs.triangleStats(triDense, "src", "dst")
+        .as[(Long, Long, Long)].collect().head,
+      "triangle census must be id-bijection-invariant")
+    // extra columns ride through the remap untouched
+    val withW = e.zipWithIndex.map { case ((a, b), i) => (a, b, i.toLong) }
+      .toDF("src", "dst", "w")
+    val rm = Graphs.remapDense(withW, Graphs.denseIdMap(withW, "src", "dst"),
+      "src", "dst")
+    assert(rm.columns.toSet == Set("src", "dst", "w"))
+    assert(rm.agg(org.apache.spark.sql.functions.sum("w")).as[Long]
+      .collect().head == e.indices.map(_.toLong).sum)
+  }
+
   test("direction, duplicates and self-loops do not perturb the census") {
     val base = Seq((1L, 2L), (2L, 3L), (3L, 1L))
     val noisy = base ++ base.map(_.swap) ++ Seq((1L, 2L), (2L, 2L))
