@@ -541,24 +541,29 @@ object ScaleCheck {
     val (huge, shufH) = timedPasses(out100, mult = reps100, passes = 2,
       meter, X100Targets)
 
-    // ---- x1000 probe (VERDICT r17 item 7): THREE decades for the
-    // cheapest flagship with a healthy x100 row. pl_dedup_corpus touches
-    // only the documents table (its drop list broadcasts; the corpus
-    // never shuffles), so the synthesis replicates documents alone —
-    // ~600 MB of parquet at x1000, 5M documents with replica-disjoint
-    // token spaces. Same purge + min-of-2 protocol as x100.
+    // ---- x1000 probes: THREE decades for documents-only flagships.
+    // pl_dedup_corpus (r18, VERDICT r17 item 7): its drop list
+    // broadcasts; the corpus never shuffles. dd_line_dedup (r19, VERDICT
+    // r18 items 3+5): the one operator with a documented super-linear
+    // x100 shuffle residual (1.139 — hot-line occurrence growth) and the
+    // first shuffle-BEARING three-decade row — whether the hot-key
+    // occurrence stream saturates or compounds is exactly what another
+    // decade answers. Both touch only the documents table, so the
+    // synthesis replicates documents alone — ~600 MB of parquet at
+    // x1000, 5M documents with replica-disjoint token spaces. Same
+    // purge + min-of-2 protocol as x100.
     val out1000 = s"${sys.props("user.dir")}/target/scale1000"
     val reps1000 = 1000
-    val x1000Name = "pl_dedup_corpus"
+    val x1000Targets = Seq("pl_dedup_corpus", "dd_line_dedup")
     synthesize(spark, baseDir, out1000, reps1000, Some(Seq("documents")))
-    locally {
+    x1000Targets.foreach { name =>
       val t0 = System.nanoTime()
-      runTarget(spark, x1000Name, out1000, reps1000)
+      runTarget(spark, name, out1000, reps1000)
       System.err.println(
-        f"[scale] warmup x1000 $x1000Name: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+        f"[scale] warmup x1000 $name: ${(System.nanoTime() - t0) / 1e9}%.2f s")
     }
     val (huge1000, shufK) = timedPasses(out1000, mult = reps1000, passes = 2,
-      meter, Seq(x1000Name))
+      meter, x1000Targets)
 
     // dd_simhash's pair count sits on a threshold cliff (most pairs land at
     // hamming == maxHamming), so publish the full hamming distribution at
@@ -599,7 +604,7 @@ object ScaleCheck {
         f""""shuffle_sf01_mb":${s1 / 1e6}%.1f,"shuffle_x100_mb":${s100 / 1e6}%.1f,"shuffle_slope":$bSlope%.3f}"""
     }
     val triNote =
-      f""""gr_triangles":"adjudication (r11 weak #1), MEASURED: wedges (sum d(d-1)/2 over the even-part co-purchase graph) grow ${wS}%d -> ${wB}%d at 10x (${wB.toDouble / wS}%.1fx) and the oriented two-hop candidates the census join actually materializes grow ${cS}%d -> ${cB}%d (${cB.toDouble / cS}%.1fx) - BOTH LINEAR (the replica-disjoint synthesis adds no densification; r11 hypothesized densification and the measurement refutes it); oriented edges ${eS}%d -> ${eB}%d, max oriented out-degree ${mS}%d -> ${mB}%d, far below sqrt(m), so the degree-ordered orientation admits exactly linear candidate volume. The superlinear shuffle-BYTES slope is therefore a PLAN TRANSITION, not candidate growth: at sf0.1 the oriented edge table is broadcast-sized and both census joins run as broadcast probes (~zero shuffle), at 10x it outgrows the broadcast threshold and the (linear) candidate stream pays SMJ shuffle bytes it paid nothing for at the base scale - the same broadcast->SMJ log-slope amplification documented in the dd_semantic caveat; wall slope stays sub-linear. DECADE-OVER-DECADE (r17): candidate exchange bytes grow 828.9 MB (x10) -> 8373.7 MB (x100) = 10.1x for 10x data - exactly linear once both scales sit past the transition, so the sf0.1-anchored slope overstates 1000x behavior. The r17 packed single-long probe key (Graphs.scala) engages when ids fit 31 bits - real-world graphs - but not here: the synthesis replica stride (1e9) pushes x10/x100 ids past 2^31 onto the generic two-column path, so these rows measure the unpacked worst case""""
+      f""""gr_triangles":"adjudication (r11 weak #1), MEASURED: wedges (sum d(d-1)/2 over the even-part co-purchase graph) grow ${wS}%d -> ${wB}%d at 10x (${wB.toDouble / wS}%.1fx) and the oriented two-hop candidates the census join actually materializes grow ${cS}%d -> ${cB}%d (${cB.toDouble / cS}%.1fx) - BOTH LINEAR (the replica-disjoint synthesis adds no densification; r11 hypothesized densification and the measurement refutes it); oriented edges ${eS}%d -> ${eB}%d, max oriented out-degree ${mS}%d -> ${mB}%d, far below sqrt(m), so the degree-ordered orientation admits exactly linear candidate volume. The superlinear shuffle-BYTES slope is therefore a PLAN TRANSITION, not candidate growth: at sf0.1 the oriented edge table is broadcast-sized and both census joins run as broadcast probes (~zero shuffle), at 10x it outgrows the broadcast threshold and the (linear) candidate stream pays SMJ shuffle bytes it paid nothing for at the base scale - the same broadcast->SMJ log-slope amplification documented in the dd_semantic caveat; wall slope stays sub-linear. DECADE-OVER-DECADE (r17): candidate exchange bytes measured linear once both scales sit past the transition (r17: 828.9 -> 8373.7 MB for 10x data), so the sf0.1-anchored slope overstates 1000x behavior. SINCE r19 these rows measure the PACKED single-long probe key on every decade: gr_report/gr_triangles run over memoized dense-id-compacted edge snapshots (Graphs.denseIdMap + remapDense), so the 1e9 replica stride no longer pushes ids past the 31-bit packing gate - the r17/r18 rows measured the unpacked worst case, r19 rows the production packed shape (id-bijection-invariant counts, parity law in GraphsSpec)""""
     val knnNote =
       """"gr_knn_labelprop":"the GATED query builds its 5-NN edges by DELIBERATE brute-force O(N^2) quantized-L2 (its doc declares the swap: at production scale the same edges come from the ANN index family) so the oracle can replay every pair; a slope row over it would measure the fixture's designed quadratic pair growth. The scaled twin (GraphPack.knnLabelPropScaled) keeps the identical sub-graph, seed set, propagate iterations and agreement output and swaps only the edge build for the production cluster-bucketed kNN under the k-with-N sizing rule (4*mult clusters over the vec_id-even half, constant ~250 vectors per cluster) - the same scaled-twin discipline as dd_semantic and ann_ivfpq""""
     val pqNote =
@@ -608,14 +613,17 @@ object ScaleCheck {
       s"""{"reps":$reps,"base":"$baseDir","protocol":"min-of-3 at sf0.1, min-of-2 at 10x, untimed warmup per scale, local[32] shuffle=32 at both scales; shuffle bytes sampled on pass 1; cache manager purged before every timed query (r11) so persist()-ing operators pay their build stage cold; timed action is a NOOP-SINK FULL MATERIALIZATION since r12, not count() - count() let Catalyst prune projections and eliminate unique-key left joins, so pre-r12 rows for plans with those shapes (gr_pagerank, labelprop, scoring left-joins, pure-projection tx rows) measured a collapsed plan; r12 numbers are the honest re-baseline and are NOT comparable to earlier files","notes":{"dd_simhash":"output-pair count is threshold-cliff sensitive (75% of pairs sit at hamming exactly 3), so each replica's independent token-hash draw moves borderline mass across the cutoff: measured per-replica pairs 11.6k-123k around replica 0's 15.2k. The elevated slope is TRUE near-dup volume in the synthesized data, not engine cost growth; the quadratic random-collision candidate term was separately measured and fixed (blocks=5 generalized Manku banding: 23.3M -> 7.7M candidates at 10x)","dd_semantic":"k scales with N (k=8 at sf0.1, k=80 at 10x) per the SemDeDup sizing rule k ~ N/1e4..1e5 (Abbas et al. 2023) - the same rule the operator's maxClusterSize gate enforces - holding per-cluster size constant so the slope measures engine cost, not the data's designed O(sum c^2) pair growth under a fixed k. dd_inc_semantic is the in-memory twin of the gated query (fit on history, frozen-centroid batch assignment, history+batch drop joins) without the snapshot-index round-trip. Shuffle-slope caveat for this family: absolute shuffle volumes are sub-MB at BOTH scales (the sf0.1 run broadcast-joins everything), so the log-slope numerically amplifies an AQE broadcast->SMJ plan transition; read the absolute MB columns, not the slope, when sf01 volume is ~0","op_type_fuzz":"width-stable since r15: the query derives its digit strings from pmod(l_orderkey, 1e9) - the identity at every gated scale (oracle untouched) - so the replica*1e9 key offset no longer widens the per-CHARACTER parse columns from 6 to 10 digits; the r14 adjudication traced the table's only >1 slope (1.02) to exactly that synthesis artifact. Expected and measured: ~linear, tracking op_dataset_type2 (same parse engine, width-stable fixture strings, slope ~0.98)",$triNote,$pqNote,$knnNote},"queries":{${entries.mkString(",")}},""" +
       f""""total_sf01_sec":$totalS%.3f,"total_x10_sec":$totalB%.3f,"total_slope":${math.log(totalB / totalS) / math.log(reps.toDouble)}%.3f,""" +
       s""""x100":{"reps":$reps100,"protocol":"same session and purge discipline; untimed warmup at x100, then min-of-2; slopes are log(t_x100/t_sf01)/log(100) - two decades from sf0.1; gr_cluster_labelprop runs k=8*100=800 per the k-with-N sizing discipline","queries":{${x100Entries.mkString(",")}}},""" + {
-        val (t1, tk) = (small(x1000Name), huge1000(x1000Name))
-        val slope = math.log(tk / t1) / math.log(reps1000.toDouble)
-        val (s1, sk) = (shufS(x1000Name), shufK(x1000Name))
-        val bSlope =
-          if (s1 > 0 && sk > 0)
-            math.log(sk.toDouble / s1) / math.log(reps1000.toDouble)
-          else 0.0
-        f""""x1000":{"reps":$reps1000,"protocol":"documents-only synthesis (the one table the query touches), same purge + min-of-2; slope is log(t_x1000/t_sf01)/log(1000) - THREE decades from sf0.1","queries":{"$x1000Name":{"sf01_sec":$t1%.3f,"x1000_sec":$tk%.3f,"slope":$slope%.3f,"shuffle_sf01_mb":${s1 / 1e6}%.1f,"shuffle_x1000_mb":${sk / 1e6}%.1f,"shuffle_slope":$bSlope%.3f}}}}"""
+        val x1000Entries = x1000Targets.map { name =>
+          val (t1, tk) = (small(name), huge1000(name))
+          val slope = math.log(tk / t1) / math.log(reps1000.toDouble)
+          val (s1, sk) = (shufS(name), shufK(name))
+          val bSlope =
+            if (s1 > 0 && sk > 0)
+              math.log(sk.toDouble / s1) / math.log(reps1000.toDouble)
+            else 0.0
+          f""""$name":{"sf01_sec":$t1%.3f,"x1000_sec":$tk%.3f,"slope":$slope%.3f,"shuffle_sf01_mb":${s1 / 1e6}%.1f,"shuffle_x1000_mb":${sk / 1e6}%.1f,"shuffle_slope":$bSlope%.3f}"""
+        }
+        s""""x1000":{"reps":$reps1000,"protocol":"documents-only synthesis (the one table these queries touch), same purge + min-of-2; slope is log(t_x1000/t_sf01)/log(1000) - THREE decades from sf0.1","queries":{${x1000Entries.mkString(",")}}}}"""
       }
     println(json)
     java.nio.file.Files.writeString(

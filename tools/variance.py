@@ -6,6 +6,52 @@ COMMITTED BENCH_FULL numbers (label: prev), to establish the noise band that
 makes round-over-round deltas interpretable."""
 import json, subprocess, sys
 
+def load_table(spec):
+    """Load a Bench queries table from a path or a git ref:path spec."""
+    if ":" in spec and not spec.endswith(".json"):
+        raw = subprocess.run(["git", "show", spec], capture_output=True,
+                             text=True)
+        return json.loads(raw.stdout)
+    if ":" in spec:
+        ref, path = spec.split(":", 1)
+        raw = subprocess.run(["git", "show", f"{ref}:{path}"],
+                             capture_output=True, text=True)
+        if raw.returncode == 0:
+            return json.loads(raw.stdout)
+    return json.load(open(spec))
+
+def quantile(xs, q):
+    s = sorted(xs)
+    return s[min(int(len(s) * q), len(s) - 1)]
+
+def driver_vs_exclusive(driver_spec, exclusive_spec):
+    """Paired per-query driver-session/exclusive-run ratios at the same
+    HEAD (VERDICT r18 item 6): the driver's in-session tail runs ~15-20%
+    above a same-build exclusive run, which is the main confound when
+    judging cross-round driver tails. These quantiles let future rounds
+    normalize: divide a driver-tail ratio by the paired median before
+    calling something a regression."""
+    drv = load_table(driver_spec)["queries"]
+    exc = load_table(exclusive_spec)["queries"]
+    common = sorted(set(drv) & set(exc))
+    ratios = {q: drv[q] / exc[q] for q in common if exc[q] > 0}
+    rs = list(ratios.values())
+    worst = sorted(common, key=lambda q: -ratios[q])[:6]
+    return {
+        "note": f"per-query ratio driver-session/exclusive of the SAME build "
+                f"(driver={driver_spec}, exclusive={exclusive_spec}); "
+                "normalize cross-round driver tails by the median before "
+                "adjudicating",
+        "n_common": len(rs),
+        "total_ratio": round(sum(drv[q] for q in common) /
+                             sum(exc[q] for q in common), 4),
+        "median_ratio": round(quantile(rs, 0.5), 4),
+        "p75_ratio": round(quantile(rs, 0.75), 4),
+        "p90_ratio": round(quantile(rs, 0.9), 4),
+        "p99_ratio": round(quantile(rs, 0.99), 4),
+        "worst": {q: round(ratios[q], 3) for q in worst},
+    }
+
 runA = json.load(open("target/BENCH_runA.json"))
 runB = json.load(open("target/BENCH_runB.json"))
 
@@ -56,6 +102,12 @@ out = {
        if tprev else {}),
     "queries": rows,
 }
+# --pair driver exclusive: paired same-build driver-session vs exclusive
+# quantiles (VERDICT r18 item 6); defaults to the r18 HEAD pair
+if "--pair" in sys.argv:
+    i = sys.argv.index("--pair")
+    out["driver_vs_exclusive"] = driver_vs_exclusive(
+        sys.argv[i + 1], sys.argv[i + 2])
 json.dump(out, open("VARIANCE.json", "w"), indent=1)
 print(json.dumps({k: v for k, v in out.items() if k != "queries"}, indent=1))
 worst = sorted(common, key=lambda q: -rows[q]["rel_spread"])[:8]
