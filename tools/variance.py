@@ -81,15 +81,16 @@ ta, tb = runA["value"], runB["value"]
 tprev = sum(prev.values()) if prev else None
 out = {
     "prev_note": f"prev = committed BENCH_FULL at {prev_ref}; quantiles "
-                 "re-measured at r18 HEAD over the 167-query table on THIS "
-                 "round's container (runA/runB = back-to-back exclusive 32g "
-                 "runs late in the r18 session). NOTE the r18 container "
-                 "QUIETED through the session - earlier exclusive full runs "
-                 "measured 161.0 and 145.6 s vs runA's 139.8 - so same-day "
-                 "adjacent-run spreads (below) are the floor, and "
-                 "hours-apart drift on this instance class can reach ~15 "
-                 "pct uniformly. Read spreads (same-container, adjacent) "
-                 "for the noise band, not delta_vs_prev (cross-container).",
+                 "re-measured at r19 HEAD over the 168-query table "
+                 "(runA/runB = back-to-back exclusive 32g runs late in the "
+                 "r19 session; adjacent TOTAL spread 0.4 pct - this "
+                 "container hour is stable - but the per-query tail stays "
+                 "fat). delta_vs_prev vs the r18 exclusive runs ~9-12 pct "
+                 "high uniformly (unchanged-query median 1.086): "
+                 "hours/days-apart drift on this instance class, the same "
+                 "~15 pct envelope r18 measured. Read spreads "
+                 "(same-container, adjacent) for the noise band, not "
+                 "delta_vs_prev (cross-container).",
     "protocol": "two back-to-back exclusive `runMain graft.Bench` runs of the "
                 "identical build, cpus=32, each min-of-3 after untimed warmup",
     "total_runA_sec": round(ta, 2),
