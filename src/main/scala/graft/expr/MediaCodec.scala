@@ -2458,10 +2458,14 @@ object MediaCodecHelper {
     * Envelope (null outside it): SOF3/SOF11 frames, 2–16 bit precision,
     * 1–4 components all with 1×1 sampling factors, ONE interleaved scan
     * covering every frame component in frame order, predictors 1–7,
-    * point transform 0 ≤ Pt < precision, no restart markers (a DRI in a
-    * lossless stream nulls: T.81 H.2.2 resets prediction state at
-    * restarts, and a partially-supported reset would decode garbage
-    * after the first interval rather than fail). Per H.1.2: the first
+    * point transform 0 ≤ Pt < precision, and ROW-aligned restart
+    * intervals (r19: a DRI whose MCU interval is a multiple of the
+    * samples-per-line decodes with the full T.81 H.2.2 reset — the
+    * restarted row predicts as a scan-start first line, and on the
+    * arithmetic path each interval is its own coder segment with zeroed
+    * statistics and conditioning; a MID-row interval still nulls, since
+    * the H.1.1 "first line of the restart interval" rules are only
+    * unambiguous on line boundaries). Per H.1.2: the first
     * sample predicts from 1<<(P−Pt−1), the rest of the first line from
     * Ra (left), the first column of later lines from Rb (above);
     * elsewhere the scan's predictor applies, with >>1 as the arithmetic
@@ -2484,6 +2488,7 @@ object MediaCodecHelper {
     var arith = false // SOF11: QM-coded differences instead of Huffman
     val condL = Array.fill(4)(0) // DAC DC-class conditioning bounds
     val condU = Array.fill(4)(1) // (defaults per F.1.4.4.1.4: L=0, U=1)
+    var restartInt = 0 // DRI interval in MCUs (row-aligned only; see SOS)
     var off = 2
     while (off + 1 < b.length) {
       if ((b(off) & 0xff) != 0xff) return null
@@ -2557,7 +2562,11 @@ object MediaCodecHelper {
         case x if (x >= 0xc0 && x <= 0xcf && x != 0xc3 && x != 0xc4 &&
             x != 0xcb && x != 0xcc) =>
           return null // any other frame type: not a lossless stream
-        case 0xdd => return null // DRI: restart resets are out of envelope
+        case 0xdd => // DRI: ROW-aligned restart intervals are in envelope
+          val len = segLen
+          if (len != 4) throw JpegBail
+          restartInt = ((b(off + 2) & 0xff) << 8) | (b(off + 3) & 0xff)
+          off += len
         case 0xda => // SOS: predictor in Ss, point transform in Al
           val len = segLen
           if (comps == null) return null
@@ -2579,11 +2588,21 @@ object MediaCodecHelper {
           val pt = ahal & 0x0f
           if (sel < 1 || sel > 7 || se != 0 || (ahal >> 4) != 0 ||
               pt >= precision) return null
+          // Restart envelope: intervals must land on row starts (at 1x1
+          // interleaved sampling a line is w MCUs). The H.1.1 reset rules
+          // name "the first line of the restart interval", which is only
+          // unambiguous when intervals ARE whole lines — mid-row restarts
+          // would need Rb/Rc references across the resynchronization
+          // point, defeating it; they stay honest-null.
+          val restartRows =
+            if (restartInt == 0) 0
+            else if (restartInt % w == 0) restartInt / w
+            else return null
           return if (arith)
             jLosslessScanArith(b, off + len, w, h, comps, condL, condU,
-              precision, sel, pt)
+              precision, sel, pt, restartRows)
           else jLosslessScan(b, off + len, w, h, comps, dcT,
-            precision, sel, pt)
+            precision, sel, pt, restartRows)
         case x if x >= 0xd0 && x <= 0xd7 => return null // RSTn w/o DRI
         case _ => off += segLen // APPn / COM / DQT(ignored) / other: skip
       }
@@ -2599,15 +2618,26 @@ object MediaCodecHelper {
     */
   private def jLosslessScan(b: Array[Byte], scanOff: Int, w: Int, h: Int,
                             comps: Array[JComp], dcT: Array[JHuff],
-                            p: Int, sel: Int, pt: Int): JLossless = {
+                            p: Int, sel: Int, pt: Int,
+                            restartRows: Int = 0): JLossless = {
     val nc = comps.length
     val r = new JBits(b, scanOff, b.length)
     val out = new Array[Int](w * h * nc)
     val init = 1 << (p - pt - 1)
     val prev = Array.ofDim[Int](nc, w) // reconstructed row above (Rb/Rc)
     val cur = Array.ofDim[Int](nc, w)
+    var rstIdx = 0
     var y = 0
     while (y < h) {
+      // H.2.2 row-aligned restart: byte-align onto the expected RSTn and
+      // treat this row as a scan-start first line (default prediction at
+      // x=0, Ra for the rest — the H.1.1 reset rules)
+      val restartRow = restartRows > 0 && y > 0 && y % restartRows == 0
+      if (restartRow) {
+        r.restart(rstIdx)
+        rstIdx = (rstIdx + 1) & 7
+      }
+      val firstLine = y == 0 || restartRow
       var x = 0
       while (x < w) {
         var ci = 0
@@ -2616,8 +2646,8 @@ object MediaCodecHelper {
           if (t > 16) throw JpegBail
           val diff = if (t == 16) 32768 else jExtend(r.receive(t), t)
           val pred =
-            if (y == 0 && x == 0) init
-            else if (y == 0) cur(ci)(x - 1) // first line: Ra
+            if (firstLine && x == 0) init
+            else if (firstLine) cur(ci)(x - 1) // first line: Ra
             else if (x == 0) prev(ci)(0) // first column: Rb
             else {
               val ra = cur(ci)(x - 1)
@@ -2670,7 +2700,8 @@ object MediaCodecHelper {
   private def jLosslessScanArith(b: Array[Byte], scanOff: Int,
                                  w: Int, h: Int, comps: Array[JComp],
                                  condL: Array[Int], condU: Array[Int],
-                                 p: Int, sel: Int, pt: Int): JLossless = {
+                                 p: Int, sel: Int, pt: Int,
+                                 restartRows: Int = 0): JLossless = {
     val nc = comps.length
     val qm = new JQm(b, b.length)
     qm.init(scanOff)
@@ -2685,8 +2716,28 @@ object MediaCodecHelper {
     // the left neighbour (Da)
     val catUp = Array.ofDim[Int](nc, w)
     val catLeft = new Array[Int](nc)
+    var rstIdx = 0
+    var firstLine = true
     var y = 0
     while (y < h) {
+      // H.2.2 row-aligned restart: each interval is its own arithmetic
+      // segment — coder re-initialized past the RSTn, every statistics
+      // bin AND the (Da, Db) conditioning state zeroed, and the restarted
+      // row predicts as a scan-start first line
+      val restartRow = restartRows > 0 && y > 0 && y % restartRows == 0
+      if (restartRow) {
+        val next = qm.seekRestart(rstIdx)
+        rstIdx = (rstIdx + 1) & 7
+        qm.init(next)
+        var t = 0
+        while (t < 4) { java.util.Arrays.fill(stats(t), 0.toByte); t += 1 }
+        var ci = 0
+        while (ci < nc) {
+          java.util.Arrays.fill(catUp(ci), 0)
+          ci += 1
+        }
+      }
+      firstLine = y == 0 || restartRow
       java.util.Arrays.fill(catLeft, 0)
       var x = 0
       while (x < w) {
@@ -2725,8 +2776,8 @@ object MediaCodecHelper {
           catLeft(ci) = cat
           catUp(ci)(x) = cat
           val pred =
-            if (y == 0 && x == 0) init
-            else if (y == 0) cur(ci)(x - 1) // first line: Ra
+            if (firstLine && x == 0) init
+            else if (firstLine) cur(ci)(x - 1) // first line: Ra
             else if (x == 0) prev(ci)(0) // first column: Rb
             else {
               val ra = cur(ci)(x - 1)

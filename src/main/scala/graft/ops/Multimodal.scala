@@ -1764,7 +1764,10 @@ object Multimodal {
     */
   def jpegLosslessBytes(w: Int, h: Int, precision: Int, predictor: Int,
                         pt: Int, nc: Int,
-                        diff: (Int, Int, Int) => Int): Array[Byte] = {
+                        diff: (Int, Int, Int) => Int,
+                        restartInterval: Int = 0): Array[Byte] = {
+    require(restartInterval == 0 || restartInterval % w == 0,
+      "fixture restart intervals are row-aligned (the decode envelope)")
     val out = new java.io.ByteArrayOutputStream()
     def b2(v: Int): Unit = { out.write((v >> 8) & 0xff); out.write(v & 0xff) }
     out.write(0xff); out.write(0xd8) // SOI
@@ -1777,6 +1780,9 @@ object Multimodal {
     b2(8 + 3 * nc)
     out.write(precision); b2(h); b2(w); out.write(nc)
     for (c <- 0 until nc) { out.write(1 + c); out.write(0x11); out.write(0) }
+    if (restartInterval > 0) {
+      out.write(0xff); out.write(0xdd); b2(4); b2(restartInterval)
+    }
     out.write(0xff); out.write(0xda) // SOS
     b2(6 + 2 * nc)
     out.write(nc)
@@ -1795,16 +1801,25 @@ object Multimodal {
         i -= 1
       }
     }
-    for (y <- 0 until h; x <- 0 until w; c <- 0 until nc) {
-      val d = diff(c, x, y)
-      require(d == 32768 || (d > -32768 && d < 32768), s"diff $d unrepresentable")
-      if (d == 32768) putBits(16, 5)
-      else {
-        val mag = math.abs(d)
-        var t = 0
-        while ((1 << t) <= mag) t += 1 // SSSS: 2^(t-1) <= |d| < 2^t
-        putBits(t, 5)
-        if (t > 0) putBits(if (d >= 0) d else d - 1 + (1 << t), t)
+    val restartRows = if (restartInterval > 0) restartInterval / w else 0
+    var rstIdx = 0
+    for (y <- 0 until h) {
+      if (restartRows > 0 && y > 0 && y % restartRows == 0) {
+        if (nbits > 0) putBits((1 << (8 - nbits)) - 1, 8 - nbits)
+        out.write(0xff); out.write(0xd0 + rstIdx)
+        rstIdx = (rstIdx + 1) & 7
+      }
+      for (x <- 0 until w; c <- 0 until nc) {
+        val d = diff(c, x, y)
+        require(d == 32768 || (d > -32768 && d < 32768), s"diff $d unrepresentable")
+        if (d == 32768) putBits(16, 5)
+        else {
+          val mag = math.abs(d)
+          var t = 0
+          while ((1 << t) <= mag) t += 1 // SSSS: 2^(t-1) <= |d| < 2^t
+          putBits(t, 5)
+          if (t > 0) putBits(if (d >= 0) d else d - 1 + (1 << t), t)
+        }
       }
     }
     if (nbits > 0) putBits((1 << (8 - nbits)) - 1, 8 - nbits)
@@ -1862,7 +1877,10 @@ object Multimodal {
     */
   def jpegLosslessArithBytes(w: Int, h: Int, precision: Int, predictor: Int,
                              pt: Int, nc: Int, dacL: Int, dacU: Int,
-                             diff: (Int, Int, Int) => Int): Array[Byte] = {
+                             diff: (Int, Int, Int) => Int,
+                             restartInterval: Int = 0): Array[Byte] = {
+    require(restartInterval == 0 || restartInterval % w == 0,
+      "fixture restart intervals are row-aligned (the decode envelope)")
     val out = new java.io.ByteArrayOutputStream()
     def b2(v: Int): Unit = { out.write((v >> 8) & 0xff); out.write(v & 0xff) }
     val condL = if (dacL >= 0) dacL else 0
@@ -1877,6 +1895,9 @@ object Multimodal {
     b2(8 + 3 * nc)
     out.write(precision); b2(h); b2(w); out.write(nc)
     for (c <- 0 until nc) { out.write(1 + c); out.write(0x11); out.write(0) }
+    if (restartInterval > 0) {
+      out.write(0xff); out.write(0xdd); b2(4); b2(restartInterval)
+    }
     out.write(0xff); out.write(0xda) // SOS
     b2(6 + 2 * nc)
     out.write(nc)
@@ -1887,7 +1908,19 @@ object Multimodal {
     // category of the diff at each column of the row above / at the left
     val catUp = Array.ofDim[Int](nc, w)
     val catLeft = new Array[Int](nc)
+    val restartRows = if (restartInterval > 0) restartInterval / w else 0
+    var rstIdx = 0
     for (y <- 0 until h) {
+      if (restartRows > 0 && y > 0 && y % restartRows == 0) {
+        // each interval is its own arithmetic segment: flush, marker,
+        // fresh coder, zeroed statistics AND conditioning state
+        enc.flush()
+        out.write(0xff); out.write(0xd0 + rstIdx)
+        rstIdx = (rstIdx + 1) & 7
+        enc.reset()
+        java.util.Arrays.fill(st, 0)
+        for (c <- 0 until nc) java.util.Arrays.fill(catUp(c), 0)
+      }
       java.util.Arrays.fill(catLeft, 0)
       for (x <- 0 until w; c <- 0 until nc) {
         val d = diff(c, x, y)
@@ -1953,6 +1986,34 @@ object Multimodal {
     jpegLosslessArithBytes(4 + (id % 7).toInt, 4 + (id % 4).toInt,
       precision = 12, predictor = 2, pt = 2, nc = 1, dacL = 1, dacU = 3,
       (_, x, y) => ((id * 13 + x * 11 + y * 5) % 501).toInt - 250)
+
+  /** Row-aligned-RESTART lossless lanes (r19): DRI = 2 rows of MCUs, so
+    * every other row re-predicts as a scan-start first line (H.2.2 +
+    * H.1.1). Huffman lane: gray 16-bit predictor 1 with wide draws —
+    * restart boundaries land mid-byte, so the byte-align + RSTn walk is
+    * inside the gate. Arithmetic lane: gray 12-bit predictor 2 — each
+    * interval is its own QM segment with zeroed statistics and (Da, Db)
+    * conditioning, so the coder re-initialization is inside the gate.
+    */
+  def jpegLosslessRstBytes(id: Long): Array[Byte] = {
+    val w = 5 + (id % 5).toInt
+    jpegLosslessBytes(w, 5 + (id % 4).toInt, precision = 16, predictor = 1,
+      pt = 0, nc = 1,
+      (_, x, y) => {
+        val k = x + y * w
+        if (k % 13 == 4) ((id * 19 + x * 7 + y * 3) % 40001).toInt - 20000
+        else ((id * 5 + x * 11 + y * 17) % 1201).toInt - 600
+      },
+      restartInterval = 2 * w)
+  }
+
+  def jpegLosslessArithRstBytes(id: Long): Array[Byte] = {
+    val w = 4 + (id % 6).toInt
+    jpegLosslessArithBytes(w, 4 + (id % 4).toInt, precision = 12,
+      predictor = 2, pt = 0, nc = 1, dacL = -1, dacU = -1,
+      (_, x, y) => ((id * 7 + x * 13 + y * 11) % 501).toInt - 250,
+      restartInterval = 2 * w)
+  }
 
   /** SOF11 3-component 8-bit lane (predictor 4 — Ra+Rb−Rc, the
     * integral-image predictor, prefix-summable so the oracle replays
@@ -2926,6 +2987,8 @@ object Multimodal {
   val makeJpegLosslessArithG16 = udf((id: Long) => jpegLosslessArithG16Bytes(id))
   val makeJpegLosslessArithG12 = udf((id: Long) => jpegLosslessArithG12Bytes(id))
   val makeJpegLosslessArith3c = udf((id: Long) => jpegLosslessArith3cBytes(id))
+  val makeJpegLosslessRst = udf((id: Long) => jpegLosslessRstBytes(id))
+  val makeJpegLosslessArithRst = udf((id: Long) => jpegLosslessArithRstBytes(id))
   val makeColorJpeg = udf((id: Long) => colorJpegBytes(id))
   val makeGrayProgressiveJpeg = udf((id: Long) => grayProgressiveJpegBytes(id))
   val makeColorProgressiveJpeg = udf((id: Long) => colorProgressiveJpegBytes(id))

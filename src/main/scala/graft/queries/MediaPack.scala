@@ -979,6 +979,49 @@ object MediaPack {
       c.getField("px_max").cast("long").as("a3_max"))
   }
 
+  /** Restart-interval lossless fixture: one Huffman (SOF3) and one
+    * arithmetic (SOF11) lane, both with DRI = 2 rows of MCUs.
+    */
+  private def jpegLosslessRstBlobs(s: SparkSession, dir: String) = {
+    val (store, _) = Fixtures(s, dir, "fix_media_jlr") { st =>
+      st.write(Tables.documents(s, dir).select(col("doc_id"))
+        .withColumn("jr16", Multimodal.makeJpegLosslessRst(col("doc_id")))
+        .withColumn("jr12", Multimodal.makeJpegLosslessArithRst(col("doc_id"))),
+        "mm_jlr", slices = 8)
+      Map("blobs" -> "mm_jlr")
+    }
+    store.readResolved("mm_jlr")
+  }
+
+  /** Lossless-JPEG RESTART intervals (r19, both entropy paths): DRI
+    * every 2 rows, so every other row re-predicts as a scan-start first
+    * line per T.81 H.2.2/H.1.1 (row-aligned intervals only — the
+    * envelope note in MediaCodec). Huffman lane (SOF3, gray 16, pred 1,
+    * wide diffs): restart boundaries land mid-byte, so the byte-align +
+    * cycling-RSTn walk is inside the gate. Arithmetic lane (SOF11, gray
+    * 12, pred 2): every interval is its own QM segment — coder re-init,
+    * zeroed statistics AND (Da, Db) conditioning — so a missed reset
+    * derails every post-restart difference and fails the hash.
+    * Reconstruction still telescopes into prefix sums PER INTERVAL
+    * BLOCK, so the oracle replays exact pixels with window SUMs
+    * partitioned by (doc, y/2). Codegen'd scan-side; the one exchange
+    * is the tiny blob-table join.
+    */
+  def jpegLosslessRst(s: SparkSession, dir: String): DataFrame = {
+    val media = jpegLosslessRstBlobs(s, dir)
+    val a = Multimodal.jpegLosslessFeatures(col("jr16"))
+    val b = Multimodal.jpegLosslessFeatures(col("jr12"))
+    media.select(col("doc_id"),
+      a.getField("width").cast("long").as("h16_w"),
+      a.getField("height").cast("long").as("h16_h"),
+      a.getField("px_sum").as("h16_sum"),
+      a.getField("px_min").cast("long").as("h16_min"),
+      a.getField("px_max").cast("long").as("h16_max"),
+      b.getField("px_sum").as("a12_sum"),
+      b.getField("px_min").cast("long").as("a12_min"),
+      b.getField("px_max").cast("long").as("a12_max"))
+  }
+
   /** DHT-less MJPEG fixture: frames coded against the Annex K typical
     * Huffman tables with NO DHT segment (the most common real-world MJPEG
     * flavor, per the OpenDML implied-standard-tables convention); 4:2:0
@@ -1082,6 +1125,7 @@ object MediaPack {
     "mm_audio_msadpcm" -> audioMsAdpcm _,
     "mm_jpeg_lossless" -> jpegLossless _,
     "mm_jpeg_losslessarith" -> jpegLosslessArith _,
+    "mm_jpeg_lossless_rst" -> jpegLosslessRst _,
     "mm_jpeg12" -> jpeg12 _,
     "mm_jpeg_arith" -> jpegArith _,
     "mm_png_subbyte" -> pngSubByte _,
@@ -2641,6 +2685,64 @@ object MediaPack {
          JOIN g16 ON g16.doc_id = d.doc_id
          JOIN g12 ON g12.doc_id = d.doc_id
          JOIN c3 ON c3.doc_id = d.doc_id""",
+    // restart-interval lossless replay: same prefix-sum telescoping as
+    // the other lossless oracles, PARTITIONED BY THE 2-ROW RESTART BLOCK
+    // (each interval re-predicts as a scan-start first line). Lanes:
+    // h16 (5+id%5)x(5+id%4) SOF3 pred 1 init 32768; a12
+    // (4+id%6)x(4+id%4) SOF11 pred 2 init 2048 (pt 0).
+    "mm_jpeg_lossless_rst" ->
+      """WITH h16d AS (
+           SELECT d.doc_id, x.x, y.y,
+                  CASE WHEN (x.x + y.y*(5 + d.doc_id % 5)) % 13 = 4
+                       THEN (d.doc_id*19 + x.x*7 + y.y*3) % 40001 - 20000
+                       ELSE (d.doc_id*5 + x.x*11 + y.y*17) % 1201 - 600
+                  END AS dv
+           FROM documents d
+           JOIN range(0, 9) x(x) ON x.x < 5 + d.doc_id % 5
+           JOIN range(0, 8) y(y) ON y.y < 5 + d.doc_id % 4
+         ), h16c AS (
+           SELECT doc_id,
+                  SUM(CASE WHEN x = 0 THEN dv ELSE 0 END)
+                    OVER (PARTITION BY doc_id, y // 2 ORDER BY y, x) AS c0,
+                  SUM(CASE WHEN x > 0 THEN dv ELSE 0 END)
+                    OVER (PARTITION BY doc_id, y ORDER BY x) AS rc
+           FROM h16d
+         ), h16 AS (
+           SELECT doc_id, sum(v) AS s, min(v) AS mn, max(v) AS mx
+           FROM (SELECT doc_id,
+                        ((32768 + c0 + rc) % 65536 + 65536) % 65536 AS v
+                 FROM h16c) GROUP BY doc_id
+         ), a12d AS (
+           SELECT d.doc_id, x.x, y.y,
+                  (d.doc_id*7 + x.x*13 + y.y*11) % 501 - 250 AS dv
+           FROM documents d
+           JOIN range(0, 10) x(x) ON x.x < 4 + d.doc_id % 6
+           JOIN range(0, 7) y(y) ON y.y < 4 + d.doc_id % 4
+         ), a12c AS (
+           SELECT doc_id,
+                  SUM(CASE WHEN y % 2 = 0 THEN dv ELSE 0 END)
+                    OVER (PARTITION BY doc_id, y // 2 ORDER BY x, y) AS r0,
+                  SUM(CASE WHEN y % 2 = 1 THEN dv ELSE 0 END)
+                    OVER (PARTITION BY doc_id, x, y // 2 ORDER BY y) AS cc
+           FROM a12d
+         ), a12 AS (
+           SELECT doc_id, sum(v) AS s, min(v) AS mn, max(v) AS mx
+           FROM (SELECT doc_id,
+                        ((2048 + r0 + cc) % 65536 + 65536) % 65536 AS v
+                 FROM a12c) GROUP BY doc_id
+         )
+         SELECT d.doc_id,
+         CAST(5 + d.doc_id % 5 AS BIGINT) AS h16_w,
+         CAST(5 + d.doc_id % 4 AS BIGINT) AS h16_h,
+         CAST(h16.s AS BIGINT) AS h16_sum,
+         CAST(h16.mn AS BIGINT) AS h16_min,
+         CAST(h16.mx AS BIGINT) AS h16_max,
+         CAST(a12.s AS BIGINT) AS a12_sum,
+         CAST(a12.mn AS BIGINT) AS a12_min,
+         CAST(a12.mx AS BIGINT) AS a12_max
+         FROM documents d
+         JOIN h16 ON h16.doc_id = d.doc_id
+         JOIN a12 ON a12.doc_id = d.doc_id""",
     // DHT-less MJPEG replay: (12+id%13)x(8+id%9) 4:2:0 color,
     // 2+id%4 frames at 15000+(id%4)*15000 us/frame, sampled every 2nd.
     // Frame f: Y block (bx,by) = (bx*17+by*23+id*9+f*11)%256, chroma per

@@ -791,13 +791,16 @@ class MediaCodecSpec extends AnyFunSuite {
   // point transform << pt. Shared by the SOF3 and SOF11 tests.
   private def losslessRecon(w: Int, h: Int, p: Int, sel: Int, pt: Int,
                             nc: Int,
-                            diff: (Int, Int, Int) => Int): Seq[Int] = {
+                            diff: (Int, Int, Int) => Int,
+                            restartRows: Int = 0): Seq[Int] = {
       val rec = Array.ofDim[Int](nc, h, w)
       val out = Seq.newBuilder[Int]
       for (y <- 0 until h; x <- 0 until w; c <- 0 until nc) {
+        // a row-aligned restart re-predicts its row as a first line
+        val fl = y == 0 || (restartRows > 0 && y % restartRows == 0)
         val pred =
-          if (y == 0 && x == 0) 1 << (p - pt - 1)
-          else if (y == 0) rec(c)(0)(x - 1)
+          if (fl && x == 0) 1 << (p - pt - 1)
+          else if (fl) rec(c)(y)(x - 1)
           else if (x == 0) rec(c)(y - 1)(0)
           else {
             val ra = rec(c)(y)(x - 1)
@@ -823,10 +826,10 @@ class MediaCodecSpec extends AnyFunSuite {
   private def losslessCheck(bytes: Array[Byte], w: Int, h: Int, p: Int,
                             sel: Int, pt: Int, nc: Int,
                             diff: (Int, Int, Int) => Int,
-                            tag: String): Unit = {
+                            tag: String, restartRows: Int = 0): Unit = {
     val st = MediaCodecHelper.jpegLosslessStats(bytes)
     assert(st != null, tag)
-    val pix = losslessRecon(w, h, p, sel, pt, nc, diff)
+    val pix = losslessRecon(w, h, p, sel, pt, nc, diff, restartRows)
     assert(st.getInt(0) == w && st.getInt(1) == h, tag)
     assert(st.getInt(2) == nc && st.getInt(3) == p, tag)
     assert(st.getLong(4) == pix.map(_.toLong).sum, s"$tag sum")
@@ -834,7 +837,9 @@ class MediaCodecSpec extends AnyFunSuite {
   }
 
   test("lossless JPEG reconstructs the DPCM recurrence for all 7 predictors") {
-    val check = losslessCheck _
+    def check(bytes: Array[Byte], w: Int, h: Int, p: Int, sel: Int, pt: Int,
+              nc: Int, diff: (Int, Int, Int) => Int, tag: String): Unit =
+      losslessCheck(bytes, w, h, p, sel, pt, nc, diff, tag)
     // the three gated lanes (predictors 1, 2, 4)
     for (id <- 0L until 12L) {
       val w16 = 6 + (id % 5).toInt
@@ -895,11 +900,12 @@ class MediaCodecSpec extends AnyFunSuite {
     }
     assert(MediaCodecHelper.jpegLosslessStats(patched12(62, 12)) == null,
       "pt >= precision")
-    // a DRI segment nulls: restart prediction resets are out of envelope
+    // a MID-row DRI (5 MCUs, w=9) nulls: only row-aligned intervals
+    // are in envelope (r19)
     val withDri = good.take(53) ++
       Array[Byte](0xff.toByte, 0xdd.toByte, 0, 4, 0, 5) ++ good.drop(53)
     assert((good(53) & 0xff) == 0xff && (good(54) & 0xff) == 0xda, "SOS at 53")
-    assert(MediaCodecHelper.jpegLosslessStats(withDri) == null, "DRI")
+    assert(MediaCodecHelper.jpegLosslessStats(withDri) == null, "mid-row DRI")
     // truncated entropy data bails
     assert(MediaCodecHelper.jpegLosslessStats(good.dropRight(6)) == null, "ragged")
   }
@@ -955,6 +961,56 @@ class MediaCodecSpec extends AnyFunSuite {
       MediaCodecHelper.decodeJpegLossless(hw).samples.toSeq, "wide diffs")
   }
 
+  test("row-aligned restart intervals decode on both lossless paths") {
+    // gated lanes vs the restart-aware recurrence
+    for (id <- 0L until 10L) {
+      val wr = 5 + (id % 5).toInt
+      losslessCheck(Multimodal.jpegLosslessRstBytes(id), wr,
+        5 + (id % 4).toInt, 16, 1, 0, 1, (_, x, y) => {
+          val k = x + y * wr
+          if (k % 13 == 4) ((id * 19 + x * 7 + y * 3) % 40001).toInt - 20000
+          else ((id * 5 + x * 11 + y * 17) % 1201).toInt - 600
+        }, s"huff rst id $id", restartRows = 2)
+      losslessCheck(Multimodal.jpegLosslessArithRstBytes(id),
+        4 + (id % 6).toInt, 4 + (id % 4).toInt, 12, 2, 0, 1,
+        (_, x, y) => ((id * 7 + x * 13 + y * 11) % 501).toInt - 250,
+        s"arith rst id $id", restartRows = 2)
+    }
+    // cross-coder law WITH restarts: same diffs + same DRI through both
+    // entropy coders decode to identical samples, all 7 predictors
+    for (sel <- 1 to 7) {
+      val d = (c: Int, x: Int, y: Int) =>
+        ((x * 29 + y * 41 + c * 13 + sel * 3) % 601) - 300
+      val hf = Multimodal.jpegLosslessBytes(6, 7, 14, sel, 0, 2, d,
+        restartInterval = 12) // 2 rows x 6 MCUs
+      val af = Multimodal.jpegLosslessArithBytes(6, 7, 14, sel, 0, 2,
+        dacL = -1, dacU = -1, d, restartInterval = 12)
+      val dh = MediaCodecHelper.decodeJpegLossless(hf)
+      val da = MediaCodecHelper.decodeJpegLossless(af)
+      assert(dh != null && da != null, s"rst sel $sel")
+      assert(da.samples.toSeq == dh.samples.toSeq,
+        s"rst sel $sel: coders diverge under restarts")
+    }
+    // restart semantics actually change pixels (the reset is not a no-op)
+    val d0 = (c: Int, x: Int, y: Int) => ((x * 3 + y * 7) % 101) - 50
+    val plain = MediaCodecHelper.decodeJpegLossless(
+      Multimodal.jpegLosslessBytes(5, 6, 12, 2, 0, 1, d0))
+    val rst = MediaCodecHelper.decodeJpegLossless(
+      Multimodal.jpegLosslessBytes(5, 6, 12, 2, 0, 1, d0,
+        restartInterval = 10))
+    assert(plain.samples.toSeq != rst.samples.toSeq,
+      "a restart must reset prediction, not just resync bytes")
+    // a MID-row interval stays honest-null
+    val g = Multimodal.jpegLosslessRstBytes(3L)
+    // DRI payload sits 4 bytes after the 0xFFDD marker: find and patch it
+    val driAt = (0 until g.length - 1).find(i =>
+      (g(i) & 0xff) == 0xff && (g(i + 1) & 0xff) == 0xdd).get
+    val badDri = g.clone()
+    badDri(driAt + 5) = (badDri(driAt + 5) + 1).toByte // no longer % w == 0
+    assert(MediaCodecHelper.jpegLosslessStats(badDri) == null,
+      "mid-row restart intervals stay out of envelope")
+  }
+
   test("SOF11 envelope honest-nulls") {
     val good = Multimodal.jpegLosslessArithG16Bytes(3L)
     assert(MediaCodecHelper.jpegLosslessStats(good) != null)
@@ -964,14 +1020,12 @@ class MediaCodecSpec extends AnyFunSuite {
     // truncated entropy data bails (no zero-padded garbage)
     assert(MediaCodecHelper.jpegLosslessStats(good.dropRight(4)) == null,
       "ragged")
-    // a DRI segment nulls, exactly like the Huffman lossless path
-    // (layout: no DAC on this lane -> SOI 2, SOF11 at 2, len 11, SOS at
-    // 13 len 8 -> entropy at 23... compute SOS offset instead of pinning)
+    // a MID-row DRI (5 MCUs, w=8) nulls, exactly like the Huffman path
     val sosAt = (0 until good.length - 1).find(i =>
       (good(i) & 0xff) == 0xff && (good(i + 1) & 0xff) == 0xda).get
     val withDri = good.take(sosAt) ++
       Array[Byte](0xff.toByte, 0xdd.toByte, 0, 4, 0, 5) ++ good.drop(sosAt)
-    assert(MediaCodecHelper.jpegLosslessStats(withDri) == null, "DRI")
+    assert(MediaCodecHelper.jpegLosslessStats(withDri) == null, "mid-row DRI")
     // a DAC with L > U is malformed
     val g12 = Multimodal.jpegLosslessArithG12Bytes(3L)
     assert(MediaCodecHelper.jpegLosslessStats(g12) != null)
