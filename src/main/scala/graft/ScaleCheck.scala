@@ -94,7 +94,11 @@ object ScaleCheck {
     // 12-bit and lossless JPEG, sub-byte PNG) — plus the new r18
     // arithmetic-JPEG gate (QM-coder decode, same shape).
     "mm_audio_adpcm", "mm_audio_msadpcm", "mm_jpeg12", "mm_jpeg_lossless",
-    "mm_png_subbyte", "mm_jpeg_arith")
+    "mm_png_subbyte", "mm_jpeg_arith",
+    // r19: the two new lossless gates (SOF11 QM decode; restart-interval
+    // decode on both entropy paths) — same scan-side shape as the other
+    // codec rows, expected ~linear / ~zero shuffle.
+    "mm_jpeg_losslessarith", "mm_jpeg_lossless_rst")
   // gr_node2vec (r14): the second-order walk — one broadcast probe of
   // the cached neighbor index per step (the frontier's nodes and
   // predecessors share the scan), plus the walk-keyed cumulative-weight
