@@ -223,8 +223,25 @@ object ScaleCheck {
     "pl_curation_e2e", "gr_cluster_labelprop", "ann_ivfpq",
     "gr_knn_labelprop")
 
+  /** Per-decade twins used ONLY by the X1000 mode (set in main): the
+    * scaled-twin discipline applied per-run — same function at both
+    * scales of the slope row, consulted before ScaledTargets.
+    */
+  private var x1000Twins: Map[String, (SparkSession, String) => DataFrame] =
+    Map.empty
+
   private def runTarget(s: SparkSession, name: String, dir: String,
                         mult: Int): Long = {
+    // three-decade runs operate near the sandbox's disk ceiling; fail
+    // loudly BEFORE a pass rather than let a mid-shuffle ENOSPC corrupt
+    // the session (the shuffle dirs live on the same filesystem)
+    if (mult >= 1000) {
+      val freeGb = new java.io.File(sys.props("user.dir"))
+        .getUsableSpace / 1e9
+      System.err.println(f"[scale] disk free: $freeGb%.1f GB")
+      require(freeGb > 6.0,
+        f"aborting x$mult pass: only $freeGb%.1f GB free on disk")
+    }
     // Bench's per-query purge, for the same reason: operators that
     // persist() intermediates (KMeans, SemDeDup, PageRank) register in
     // the cache manager keyed on the LOGICAL PLAN, so a later invocation
@@ -247,9 +264,13 @@ object ScaleCheck {
     // count() collapsed several plans (projection pruning, unique-key
     // left-join elimination), so pre-r12 slope rows for those queries
     // measured a fraction of the real work.
-    ScaledTargets.get(name) match {
-      case Some(f) => graft.core.Materialize.full(f(s, dir, mult)); 0L
-      case None    => graft.core.Materialize.full(SparkEntry.queries(name)(s, dir)); 0L
+    x1000Twins.get(name) match {
+      case Some(f) => graft.core.Materialize.full(f(s, dir)); 0L
+      case None => ScaledTargets.get(name) match {
+        case Some(f) => graft.core.Materialize.full(f(s, dir, mult)); 0L
+        case None =>
+          graft.core.Materialize.full(SparkEntry.queries(name)(s, dir)); 0L
+      }
     }
   }
 
@@ -274,7 +295,13 @@ object ScaleCheck {
 
   private def replicateTable(s: SparkSession, baseDir: String, outDir: String,
                              table: String, reps: Int): Unit = {
-    val df = s.read.parquet(s"$baseDir/$table.parquet")
+    val df0 = s.read.parquet(s"$baseDir/$table.parquet")
+    // at three decades the sf0.1 base is 1-2 parquet splits, so the
+    // expand-and-write would otherwise run on 1-2 tasks; splitting the
+    // (tiny) base BEFORE the broadcast expansion parallelizes both the
+    // row generation and the parquet encode without shuffling the
+    // expanded relation
+    val df = if (reps >= 100) df0.repartition(32) else df0
     val keys = FactKeys(table)
     val repd = df.crossJoin(broadcast(s.range(reps).toDF("__rep")))
     val shifted = repd.select(df.columns.map { c =>
@@ -298,14 +325,24 @@ object ScaleCheck {
   def synthesize(s: SparkSession, baseDir: String, outDir: String, reps: Int,
                  only: Option[Seq[String]] = None): Unit = {
     val marker = java.nio.file.Paths.get(outDir, "_SCALE_DONE")
-    if (java.nio.file.Files.exists(marker)) return
+    if (java.nio.file.Files.exists(marker) && only.isEmpty) return
+    // per-table completion = the parquet commit protocol's own _SUCCESS
+    // (written only at job completion), so a later run can ADD tables to
+    // an existing scale dir (r20: lineitem joins documents in scale1000)
+    // without re-synthesizing the ones already there, and a killed
+    // mid-write table is re-written rather than trusted
+    def done(t: String): Boolean = java.nio.file.Files.exists(
+      java.nio.file.Paths.get(outDir, s"$t.parquet", "_SUCCESS"))
     FactKeys.keys.toSeq.sorted.filter(t => only.forall(_.contains(t)))
+      .filterNot(done)
       .foreach(replicateTable(s, baseDir, outDir, _, reps))
-    DimTables.filter(t => only.forall(_.contains(t))).foreach { t =>
-      s.read.parquet(s"$baseDir/$t.parquet")
-        .write.mode("overwrite").parquet(s"$outDir/$t.parquet")
-    }
-    java.nio.file.Files.writeString(marker, s"reps=$reps base=$baseDir\n")
+    DimTables.filter(t => only.forall(_.contains(t))).filterNot(done)
+      .foreach { t =>
+        s.read.parquet(s"$baseDir/$t.parquet")
+          .write.mode("overwrite").parquet(s"$outDir/$t.parquet")
+      }
+    if (only.isEmpty)
+      java.nio.file.Files.writeString(marker, s"reps=$reps base=$baseDir\n")
   }
 
   /** Cumulative shuffle-volume listener: per-query shuffle WRITE bytes are
@@ -429,6 +466,77 @@ object ScaleCheck {
       (n: String) => ps.exists(n.startsWith)
     }
 
+  /** The X1000 mode body. Tables are synthesized per query (the
+    * documents-only trick generalized: each three-decade candidate
+    * touches exactly one fact table, so the synthesis cost and the disk
+    * footprint stay bounded by that table alone). Twins: gr_pagerank
+    * runs [[graft.queries.GraphPack.pagerankX1000Q]] at BOTH scales —
+    * fpShift 18 (the >4M-node overflow dial) + checkpointEvery 1
+    * (lineage truncation; without it the 5-iteration DAG's live shuffle
+    * footprint at x1000 exceeds this sandbox's disk) — see that method's
+    * Scaladoc for why both are engine features, not measurement
+    * shortcuts.
+    */
+  private def runX1000(spark: SparkSession, baseDir: String,
+                       spec: String): Unit = {
+    val names = spec.split(',').map(_.trim).filter(_.nonEmpty).toSeq
+    val tablesFor = Map(
+      "pl_dedup_corpus" -> Seq("documents"),
+      "dd_line_dedup" -> Seq("documents"),
+      "rt_bm25" -> Seq("documents"),
+      "gr_pagerank" -> Seq("lineitem"))
+    val unknown = names.filterNot(tablesFor.contains)
+    require(names.nonEmpty && unknown.isEmpty,
+      s"SPARK_GRAFT_SCALE_X1000: unknown/empty targets $unknown — " +
+        s"known: ${tablesFor.keys.toSeq.sorted.mkString(", ")}")
+    x1000Twins = Map(
+      "gr_pagerank" -> ((s: SparkSession, dir: String) =>
+        graft.queries.GraphPack.pagerankX1000Q(s, dir)))
+    val reps1000 = 1000
+    val out1000 = s"${sys.props("user.dir")}/target/scale1000"
+    val tables = names.flatMap(tablesFor).distinct
+    synthesize(spark, baseDir, out1000, reps1000, Some(tables))
+    tables.foreach { t =>
+      val nBase = spark.read.parquet(s"$baseDir/$t.parquet").count()
+      val nBig = spark.read.parquet(s"$out1000/$t.parquet").count()
+      require(nBig == reps1000 * nBase,
+        s"x1000 synthesis wrong for $t: $nBig != $reps1000*$nBase")
+    }
+    for ((dir, mult) <- Seq(baseDir -> 1, out1000 -> reps1000)) {
+      names.foreach { name =>
+        val t0 = System.nanoTime()
+        runTarget(spark, name, dir, mult)
+        System.err.println(f"[scale] x1000-mode warmup $dir $name: " +
+          f"${(System.nanoTime() - t0) / 1e9}%.2f s")
+      }
+    }
+    val meter = new ShuffleMeter
+    spark.sparkContext.addSparkListener(meter)
+    val (small, shufS) = timedPasses(baseDir, mult = 1, passes = 3, meter,
+      names)
+    val (big, shufK) = timedPasses(out1000, mult = reps1000, passes = 2,
+      meter, names)
+    val entries = names.map { name =>
+      val (t1, tk) = (small(name), big(name))
+      val slope = math.log(tk / t1) / math.log(reps1000.toDouble)
+      val (s1, sk) = (shufS(name), shufK(name))
+      val bSlope =
+        if (s1 > 0 && sk > 0)
+          math.log(sk.toDouble / s1) / math.log(reps1000.toDouble)
+        else 0.0
+      f""""$name":{"sf01_sec":$t1%.3f,"x1000_sec":$tk%.3f,"slope":$slope%.3f,""" +
+        f""""shuffle_sf01_mb":${s1 / 1e6}%.1f,"shuffle_x1000_mb":${sk / 1e6}%.1f,"shuffle_slope":$bSlope%.3f}"""
+    }
+    val twinNote = if (names.contains("gr_pagerank"))
+      ""","notes":{"gr_pagerank":"scaled twin pagerankX1000Q at BOTH decades: identical raw-tables pipeline with fpShift=18/maxNodes=2^25 (the documented >4M-node overflow dial; x1000 has ~20M part nodes) and checkpointEvery=1 (per-iteration lineage truncation - without it the unrolled DAG retains every iteration's shuffle files until the final action, ~100 GB live at x1000, beyond this sandbox's disk and the thing a production run would truncate too; bit-exactness law in PageRankSpec)"}"""
+    else ""
+    val json =
+      s"""{"x1000_only":true,"reps":$reps1000,"base":"$baseDir","protocol":"per-query table synthesis; same purge + noop-sink + min-of-3 sf0.1 / min-of-2 x1000 protocol as SCALE_CHECK x1000 rows; slope is log(t_x1000/t_sf01)/log(1000)"$twinNote,"queries":{${entries.mkString(",")}}}"""
+    println(json)
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(
+      s"${sys.props("user.dir")}/SCALE_CHECK_X1000.json"), json + "\n")
+  }
+
   def main(args: Array[String]): Unit = {
     val baseDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val outDir = args.headOption.getOrElse(
@@ -443,6 +551,21 @@ object ScaleCheck {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     activeSpark = spark
+
+    // ---- X1000 mode: three-decade rows only, separate artifact ----
+    // SPARK_GRAFT_SCALE_X1000=<names>: run ONLY the sf0.1 baseline
+    // (min-of-3) and the x1000 measurement (min-of-2) for the named
+    // queries, synthesizing just the tables each touches, and write
+    // SCALE_CHECK_X1000.json — the repro-mode discipline applied to the
+    // third decade, so adding an x1000 row never requires (or clobbers)
+    // a full multi-hour SCALE_CHECK run.
+    sys.env.get("SPARK_GRAFT_SCALE_X1000") match {
+      case Some(spec) =>
+        runX1000(spark, baseDir, spec)
+        spark.stop()
+        return
+      case None =>
+    }
 
     synthesize(spark, baseDir, outDir, reps)
     // sanity: the 10x documents table really is reps x the base

@@ -55,7 +55,16 @@ case class SnapshotMeta(
     dataDir: Option[String] = None,
     // DDL of the stored files' schema, kept for hashed snapshots so any
     // session can re-register the bucketed table (see SnapshotStore.write)
-    storedSchema: Option[String] = None)
+    storedSchema: Option[String] = None,
+    // Artifact FORMAT stamp (r20, VERDICT r19 item 3): operators that
+    // persist an index/model whose layout THEY own (line/minhash/semantic
+    // indexes, BM25 chains, PQ code stores, tokenizer models, graph/walk
+    // snapshots) record their format number here at write time and check
+    // it through SnapshotStore.readArtifact at load — the uniform defense
+    // against the r18 line-index failure class (an operator schema change
+    // silently zero-matching against an old on-disk artifact). None for
+    // ordinary data snapshots, whose schema IS their contract.
+    formatVersion: Option[Int] = None)
 
 final case class Snapshot(meta: SnapshotMeta, dir: String) {
   /** Raw read of THIS snapshot's stored columns (for parented snapshots
@@ -103,7 +112,8 @@ final class SnapshotStore(val spark: SparkSession, val root: String) {
       slices: Int = 0,
       refTypes: Map[String, String] = Map.empty,
       zoneMaps: Boolean = true,
-      caption: String = ""): Snapshot = {
+      caption: String = "",
+      formatVersion: Option[Int] = None): Snapshot = {
     val n = if (slices > 0) slices else spark.sparkContext.defaultParallelism
     val routed = hashlabel match {
       case Some(h) => df.repartition(n, Cols.q(h))
@@ -175,7 +185,8 @@ final class SnapshotStore(val spark: SparkSession, val root: String) {
         refTypes.getOrElse(f.name, f.dataType.simpleString), f.nullable, mn, mx)
     }.toSeq
     val meta = SnapshotMeta(name, cols, lines, n, hashlabel, previous, caption,
-      storedSchema = hashlabel.map(_ => routed.schema.toDDL))
+      storedSchema = hashlabel.map(_ => routed.schema.toDDL),
+      formatVersion = formatVersion)
     Files.writeString(Paths.get(dir, "meta.json"), MetaJson.render(meta))
     val snap = Snapshot(meta, dir)
     metaCache.put(name, snap)
@@ -288,6 +299,39 @@ final class SnapshotStore(val spark: SparkSession, val root: String) {
     */
   def readResolved(name: String): DataFrame = readResolved(name, Set.empty)
 
+  /** [[readResolved]] for OPERATOR-OWNED artifacts (persisted index/model
+    * stores: line & minhash indexes, semantic/IVF/PQ stores, BM25 chains,
+    * tokenizer models, graph/walk snapshots — see
+    * [[graft.core.ArtifactFormats]]): verifies the format stamp the
+    * writer recorded, on EVERY link of the `previous` chain — chains mix
+    * links persisted at different times, and ONE stale link is enough to
+    * zero-match a probe. A missing or mismatched stamp is the r18
+    * line-index failure class (an operator layout change silently
+    * misreading an old artifact), so it fails LOUDLY with a
+    * rebuild-required error instead of returning data the operator will
+    * misinterpret. (VERDICT r19 item 3.)
+    */
+  def readArtifact(name: String, expectedFormat: Int): DataFrame = {
+    requireArtifactFormat(name, expectedFormat)
+    readResolved(name)
+  }
+
+  /** The stamp check alone — for read paths that assemble the chain
+    * themselves (the streaming sinks' `iterateChain` history reads).
+    */
+  def requireArtifactFormat(name: String, expectedFormat: Int): Unit =
+    chain(name).foreach { s =>
+      val got = s.meta.formatVersion
+      if (!got.contains(expectedFormat)) throw new IllegalStateException(
+        s"artifact '$name' (chain link '${s.meta.name}'): format " +
+          got.map(_.toString).getOrElse("UNSTAMPED (written before format " +
+            "stamping, or by a plain data write)") +
+          s" does not match this engine's expected format $expectedFormat " +
+          "— REBUILD REQUIRED: the persisted artifact's layout belongs to " +
+          "a different engine version; delete the snapshot (or force_build " +
+          "the producing job) and re-run to regenerate it")
+    }
+
   /** Read a snapshot's stored files, recovering the hash partitioning for
     * hashed snapshots: the data was written as a bucketed datasource table
     * (see `write`), so reading through the catalog gives the scan
@@ -373,11 +417,21 @@ final class SnapshotStore(val spark: SparkSession, val root: String) {
     */
   def compactChain(tip: String, name: String, slices: Int = 0): Snapshot = {
     val t = get(tip)
+    // a compacted ARTIFACT chain must stay an artifact: inherit the
+    // format stamp when every link agrees (a mixed chain would already
+    // fail requireArtifactFormat, but compaction must not be the step
+    // that LAUNDERS stamps away — an unstamped compact of a stamped
+    // index would make every later load fail as legacy)
+    val stamps = chain(tip).map(_.meta.formatVersion).distinct
     write(iterateChain(tip), name,
       hashlabel = t.meta.hashlabel,
       previous = None,
       slices = if (slices > 0) slices else t.meta.slices,
-      caption = s"compact of ${t.meta.name}")
+      caption = s"compact of ${t.meta.name}",
+      formatVersion = stamps match {
+        case Seq(one) => one
+        case _        => None
+      })
   }
 
   /** Union a chain in chain order (oldest→newest), with optional projection
@@ -669,7 +723,9 @@ object MetaJson {
     s""""hashlabel":${opt(m.hashlabel)},"previous":${opt(m.previous)},""" +
     s""""caption":${q(m.caption)},"version":${m.version},""" +
     s""""parent":${opt(m.parent)},"dataDir":${opt(m.dataDir)},""" +
-    s""""storedSchema":${opt(m.storedSchema)},"columns":$cols}"""
+    s""""storedSchema":${opt(m.storedSchema)},""" +
+    s""""formatVersion":${m.formatVersion.map(_.toString).getOrElse("null")},""" +
+    s""""columns":$cols}"""
   }
 
   // Minimal recursive-descent JSON parser (objects/arrays/strings/numbers/
@@ -695,7 +751,8 @@ object MetaJson {
       v.getOrElse("caption", "").toString,
       asLong(v.getOrElse("version", 1L)).toInt,
       ostr(v.getOrElse("parent", null)), ostr(v.getOrElse("dataDir", null)),
-      ostr(v.getOrElse("storedSchema", null)))
+      ostr(v.getOrElse("storedSchema", null)),
+      Option(v.getOrElse("formatVersion", null)).map(x => asLong(x).toInt))
   }
 }
 

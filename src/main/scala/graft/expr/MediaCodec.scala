@@ -2473,6 +2473,25 @@ object MediaCodecHelper {
     * (prediction + diff) mod 2^16, and the inverse point transform
     * (<< Pt) stays in the same mod-2^16 ring — every step is exact
     * integer arithmetic an oracle replays as prefix sums.
+    *
+    * RESIDUAL CONFORMANCE RISK, SOF11 only (ADVICE r19, documented per
+    * its own prescription): the QM statistical-model layout — the
+    * 25-context (Da, Db) ordering, the Db-large X/M bin-set selection,
+    * the MSB-based magnitude classification of H.1.2.2/H.1.2.3 — is
+    * verified against (a) the in-tree QmEnc fixture encoder and (b) the
+    * cross-coder law that identical diffs through SOF3-Huffman and
+    * SOF11-QM decode to identical samples. No EXTERNAL SOF11 oracle
+    * exists in this container: libjpeg declines lossless-arithmetic
+    * (its arith support covers SOF9/SOF10 only) and the ITU reference
+    * software is not present, so a misreading of the H.1.2.2 context
+    * tables SHARED by QmEnc and this decoder would decode a third-party
+    * SOF11 stream to wrong pixels rather than null — unlike every other
+    * JPEG flavor here, whose entropy layer is pinned by the external
+    * libjpeg goldens in MediaCodecSpec. The QM coder CORE carries no such
+    * risk (it is byte-identical machinery to the SOF9/SOF10 path, which
+    * IS libjpeg-pinned); only the lossless context-selection layer does.
+    * Sourcing one third-party SOF11 golden closes this; until then,
+    * treat SOF11 decodes of externally-produced streams as unverified.
     */
   def decodeJpegLossless(bytes: Array[Byte]): JLossless = {
     if (bytes == null || bytes.length < 4) return null

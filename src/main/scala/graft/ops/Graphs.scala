@@ -64,6 +64,18 @@ object Graphs {
     * triangle/reciprocity statistics) are invariant under any id
     * bijection, so remapped results hash-match the raw-id oracle —
     * the parity law GraphsSpec pins.
+    *
+    * DROP CONTRACT (ADVICE r19): an edge whose src or dst is null or
+    * fails the long cast is DROPPED here — [[denseIdMap]] filters null
+    * ids, and the inner joins then eliminate the edge. This is the SAME
+    * rule every census consumer applies to raw edges ([[report]],
+    * [[triangles]] and PageRank.normalizedEdges all open with
+    * `isNotNull` filters on the cast columns), so remapped and raw-id
+    * census outputs agree BY CONSTRUCTION — the GraphsSpec parity law
+    * covers a null-bearing edge set. Callers feeding columns where a
+    * failed cast is a data error, not a filter, must validate upstream
+    * (the DatasetType filter_bad/rehash path); this operator will not
+    * silently keep such a row under either id domain.
     */
   def remapDense(edges: DataFrame, idMap: DataFrame,
                  srcCol: String, dstCol: String): DataFrame = {

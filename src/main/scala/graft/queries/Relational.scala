@@ -583,9 +583,13 @@ object Relational {
       .agg(sum(when(col("l_quantity") < col("v"), 1L).otherwise(0L)).as("lt"),
            sum(when(col("l_quantity") <= col("v"), 1L).otherwise(0L)).as("le"))
     // rank interval [lt+1, le] must intersect [q·n − tol, q·n + tol],
-    // tol = ε·n + 1; everything ×4 to stay integer: tol4 = n/2500 + 4.
-    val target4 = col("n") * col("pct") / lit(25L)
-    val tol4 = col("n") / lit(2500L) + lit(4L)
+    // tol = ε·n + 1; everything ×4 to stay integer: tol4 = n div 2500 + 4.
+    // `div`, not `/` — Column./ on longs is floating-point division
+    // (exact at these magnitudes but not the integer semantics this doc
+    // claims; ADVICE r19), and target4 = n·pct div 25 is exact because
+    // pct ∈ {25,50,75} makes n·pct a multiple of 25.
+    val target4 = expr("n * pct div 25L")
+    val tol4 = expr("n div 2500L") + lit(4L)
     counted.select(col("l_returnflag"), col("pct"), col("n"),
       (lit(4L) * (col("lt") + lit(1L)) <= target4 + tol4 &&
        lit(4L) * col("le") >= target4 - tol4).as("rank_ok"))

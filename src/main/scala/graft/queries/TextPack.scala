@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.core.Tables
+import graft.core.{ArtifactFormats, Tables}
 import graft.functions.{TextFunctions => T, SimilarityFunctions => S}
 import graft.ops.{Bm25, Bpe, Dedup, KMeans, ModelFilter, SemDeDup, SimilaritySearch, TrainingPipeline, Unigram, WordPiece}
 
@@ -217,18 +217,20 @@ object TextPack {
       st.write(mus.zipWithIndex
           .map { case (mu, c) => (c.toLong, mu.toSeq) }.toSeq
           .toDF("cluster", "mu"),
-        "km_cent", slices = 1)
+        "km_cent", slices = 1,
+        formatVersion = Some(ArtifactFormats.SemanticIndex))
       st.write(KMeans.assignTo(hist, "vec_id", "embedding", mus),
-        "km_hist", slices = 4)
+        "km_hist", slices = 4,
+        formatVersion = Some(ArtifactFormats.SemanticIndex))
       Map("cent" -> "km_cent", "hist" -> "km_hist")
     }
-    val mus = store.readResolved("km_cent").orderBy(col("cluster")).collect()
+    val mus = store.readArtifact("km_cent", ArtifactFormats.SemanticIndex).orderBy(col("cluster")).collect()
       .map(_.getSeq[Long](1).toArray)
     val batch = Tables.embeddings(s, dir).filter(col("vec_id") % 5 === 0)
     // tauSq=5000 ~ the 30th pct of batch rows' nearest-history distance
     // at this quantization: a third drop via history, the rest split on
     // batch-internal priority - both rules genuinely exercised
-    SemDeDup.incremental(batch, store.readResolved("km_hist"), mus,
+    SemDeDup.incremental(batch, store.readArtifact("km_hist", ArtifactFormats.SemanticIndex), mus,
       "vec_id", "embedding", tauSq = 5000L)
   }
 
@@ -294,13 +296,16 @@ object TextPack {
     val (store, _) = Fixtures(s, dir, "job_ivf_index") { st =>
       val (index, cents) = SimilaritySearch.ivfIndex(
         Tables.embeddings(s, dir), "vec_id", "embedding", nCentroids = 16)
-      st.write(index, "ivf_index", hashlabel = Some("cluster"), slices = 4)
-      st.write(cents, "ivf_cents", slices = 1)
+      st.write(index, "ivf_index", hashlabel = Some("cluster"), slices = 4,
+        formatVersion = Some(ArtifactFormats.IvfIndex))
+      st.write(cents, "ivf_cents", slices = 1,
+        formatVersion = Some(ArtifactFormats.IvfIndex))
       Map("index" -> "ivf_index", "cents" -> "ivf_cents")
     }
     val queries = Tables.embeddings(s, dir).filter(col("vec_id") < 5)
     SimilaritySearch.ivfSearchIndexed(
-      store.readResolved("ivf_index"), store.readResolved("ivf_cents"),
+      store.readArtifact("ivf_index", ArtifactFormats.IvfIndex),
+      store.readArtifact("ivf_cents", ArtifactFormats.IvfIndex),
       queries, "vec_id", "embedding", k = 10, nprobe = 4)
       .select(col("qid"), col("rank"), col("nid"), col("cosine"))
   }
@@ -330,17 +335,19 @@ object TextPack {
       st.write(books.zipWithIndex.flatMap { case (book, j) =>
           book.zipWithIndex.map { case (mu, c) => (j, c, mu.toSeq) }
         }.toSeq.toDF("subspace", "centroid", "mu"),
-        "pq_books", slices = 1)
+        "pq_books", slices = 1,
+        formatVersion = Some(ArtifactFormats.PqStore))
       st.write(graft.ops.Pq.encode(emb, "vec_id", "embedding", books),
-        "pq_codes", slices = 4)
+        "pq_codes", slices = 4,
+        formatVersion = Some(ArtifactFormats.PqStore))
       Map("books" -> "pq_books", "codes" -> "pq_codes")
     }
-    val books = store.readResolved("pq_books")
+    val books = store.readArtifact("pq_books", ArtifactFormats.PqStore)
       .orderBy(col("subspace"), col("centroid")).collect()
       .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Long](2).toArray))
       .groupBy(_._1).toSeq.sortBy(_._1)
       .map(_._2.sortBy(_._2).map(_._3).toArray).toArray
-    graft.ops.Pq.searchEncoded(store.readResolved("pq_codes"), books,
+    graft.ops.Pq.searchEncoded(store.readArtifact("pq_codes", ArtifactFormats.PqStore), books,
       Tables.embeddings(s, dir).filter(col("vec_id") < 5),
       "vec_id", "embedding", k = 10)
   }
@@ -425,12 +432,13 @@ object TextPack {
   def annQuantizedRerank(s: SparkSession, dir: String): DataFrame = {
     val (store, _) = Fixtures(s, dir, "job_quantized_index") { st =>
       st.write(SimilaritySearch.quantizedIndex(
-        Tables.embeddings(s, dir), "vec_id", "embedding"), "q_index", slices = 4)
+        Tables.embeddings(s, dir), "vec_id", "embedding"), "q_index",
+        slices = 4, formatVersion = Some(ArtifactFormats.PqStore))
       Map("index" -> "q_index")
     }
     val emb = Tables.embeddings(s, dir)
     SimilaritySearch.searchQuantized(
-      store.readResolved("q_index"), emb, emb.filter(col("vec_id") < 5),
+      store.readArtifact("q_index", ArtifactFormats.PqStore), emb, emb.filter(col("vec_id") < 5),
       "vec_id", "embedding", k = 10, rerank = 25)
       .select(col("qid"), col("rank"), col("nid"), col("cosine"))
   }
@@ -557,10 +565,11 @@ object TextPack {
     val (store, _) = Fixtures(s, dir, "job_minhash_index") { st =>
       val hist = Tables.documents(s, dir).filter(col("doc_id") % 5 =!= 0)
       st.write(Dedup.minhashIndex(hist, "doc_id", "text", n = 3, k = 16),
-        "mh_index", slices = 4)
+        "mh_index", slices = 4,
+        formatVersion = Some(ArtifactFormats.MinhashIndex))
       Map("index" -> "mh_index")
     }
-    val historyIdx = store.readResolved("mh_index")
+    val historyIdx = store.readArtifact("mh_index", ArtifactFormats.MinhashIndex)
       .select("id", "hs", "sig", "n", "k")
     val batchIdx = Dedup.minhashIndex(
       Tables.documents(s, dir).filter(col("doc_id") % 5 === 0),
@@ -585,13 +594,14 @@ object TextPack {
         st.write(
           Dedup.minhashIndex(hist.filter(col("doc_id") % 3 === i),
             "doc_id", "text", n = 3, k = 16),
-          s"mhc_index.$i", previous = prev, slices = 4)
+          s"mhc_index.$i", previous = prev, slices = 4,
+          formatVersion = Some(ArtifactFormats.MinhashIndex))
         prev = Some(s"mhc_index.$i")
       }
       st.compactChain("mhc_index.2", "mhc_index.c")
       Map("index" -> "mhc_index.c")
     }
-    val historyIdx = store.readResolved("mhc_index.c")
+    val historyIdx = store.readArtifact("mhc_index.c", ArtifactFormats.MinhashIndex)
       .select("id", "hs", "sig", "n", "k")
     val batchIdx = Dedup.minhashIndex(
       Tables.documents(s, dir).filter(col("doc_id") % 5 === 0),
@@ -967,14 +977,17 @@ object TextPack {
     val (store, _) = Fixtures(s, dir, "job_nb_model") { st =>
       val (cnt, classes) = ModelFilter.naiveBayesModel(
         Tables.documents(s, dir), "text", "lang", col("doc_id") % 2 === 0)
-      st.write(cnt, "nb_cnt", hashlabel = Some("h"), slices = 4)
-      st.write(classes, "nb_classes", slices = 1)
+      st.write(cnt, "nb_cnt", hashlabel = Some("h"), slices = 4,
+        formatVersion = Some(ArtifactFormats.NbModel))
+      st.write(classes, "nb_classes", slices = 1,
+        formatVersion = Some(ArtifactFormats.NbModel))
       Map("cnt" -> "nb_cnt", "classes" -> "nb_classes")
     }
     ModelFilter.naiveBayesScoreFrozen(
       Tables.documents(s, dir).filter(col("doc_id") % 2 =!= 0),
       "doc_id", "text", "lang",
-      store.readResolved("nb_cnt"), store.readResolved("nb_classes"))
+      store.readArtifact("nb_cnt", ArtifactFormats.NbModel),
+      store.readArtifact("nb_classes", ArtifactFormats.NbModel))
   }
 
   /** The BM25 family's shared literal query set — multi-term queries over
@@ -999,14 +1012,19 @@ object TextPack {
     val (store, _) = Fixtures(s, dir, "job_bm25_index") { st =>
       val (postings, dict, stats) = Bm25.index(
         Tables.documents(s, dir), "doc_id", "text")
-      st.write(postings, "bm25_post", hashlabel = Some("h"), slices = 4)
-      st.write(dict, "bm25_dict", hashlabel = Some("h"), slices = 4)
-      st.write(stats, "bm25_stats", slices = 1)
+      st.write(postings, "bm25_post", hashlabel = Some("h"), slices = 4,
+        formatVersion = Some(ArtifactFormats.Bm25Index))
+      st.write(dict, "bm25_dict", hashlabel = Some("h"), slices = 4,
+        formatVersion = Some(ArtifactFormats.Bm25Index))
+      st.write(stats, "bm25_stats", slices = 1,
+        formatVersion = Some(ArtifactFormats.Bm25Index))
       Map("post" -> "bm25_post", "dict" -> "bm25_dict",
         "stats" -> "bm25_stats")
     }
-    Bm25.scoreIndexed(store.readResolved("bm25_post"),
-      store.readResolved("bm25_dict"), store.readResolved("bm25_stats"),
+    Bm25.scoreIndexed(
+      store.readArtifact("bm25_post", ArtifactFormats.Bm25Index),
+      store.readArtifact("bm25_dict", ArtifactFormats.Bm25Index),
+      store.readArtifact("bm25_stats", ArtifactFormats.Bm25Index),
       Bm25Queries, k = 10)
   }
 
@@ -1021,9 +1039,12 @@ object TextPack {
       val (postings, dict, stats) = Bm25.index(
         Tables.documents(s, dir).filter(col("doc_id") % 2 === 0),
         "doc_id", "text")
-      st.write(postings, "bm25h_post", hashlabel = Some("h"), slices = 4)
-      st.write(dict, "bm25h_dict", hashlabel = Some("h"), slices = 4)
-      st.write(stats, "bm25h_stats", slices = 1)
+      st.write(postings, "bm25h_post", hashlabel = Some("h"), slices = 4,
+        formatVersion = Some(ArtifactFormats.Bm25Index))
+      st.write(dict, "bm25h_dict", hashlabel = Some("h"), slices = 4,
+        formatVersion = Some(ArtifactFormats.Bm25Index))
+      st.write(stats, "bm25h_stats", slices = 1,
+        formatVersion = Some(ArtifactFormats.Bm25Index))
       Map("post" -> "bm25h_post", "dict" -> "bm25h_dict",
         "stats" -> "bm25h_stats")
     }
@@ -1031,9 +1052,12 @@ object TextPack {
       Tables.documents(s, dir).filter(col("doc_id") % 2 =!= 0),
       "doc_id", "text")
     Bm25.scoreIndexed(
-      store.readResolved("bm25h_post").unionByName(bp),
-      store.readResolved("bm25h_dict").unionByName(bd),
-      store.readResolved("bm25h_stats").unionByName(bs),
+      store.readArtifact("bm25h_post", ArtifactFormats.Bm25Index)
+        .unionByName(bp),
+      store.readArtifact("bm25h_dict", ArtifactFormats.Bm25Index)
+        .unionByName(bd),
+      store.readArtifact("bm25h_stats", ArtifactFormats.Bm25Index)
+        .unionByName(bs),
       Bm25Queries, k = 10)
   }
 
@@ -1141,10 +1165,11 @@ object TextPack {
     val (store, _) = Fixtures(s, dir, "job_bpe_model") { st =>
       val model = Bpe.train(Tables.documents(s, dir), "text",
         numMerges = 200)
-      st.write(Bpe.modelToDf(s, model), "bpe_merges", slices = 1)
+      st.write(Bpe.modelToDf(s, model), "bpe_merges", slices = 1,
+        formatVersion = Some(ArtifactFormats.TokenizerModel))
       Map("merges" -> "bpe_merges")
     }
-    val model = Bpe.modelFromDf(store.readResolved("bpe_merges"))
+    val model = Bpe.modelFromDf(store.readArtifact("bpe_merges", ArtifactFormats.TokenizerModel))
     Bpe.encodeStats(Tables.documents(s, dir), "doc_id", "text", model)
       .select(col("doc_id"), col("n_tokens"), col("decoded"))
   }
@@ -1178,10 +1203,11 @@ object TextPack {
     val (store, _) = Fixtures(s, dir, "job_unigram_model") { st =>
       val model = Unigram.train(Tables.documents(s, dir), "text",
         vocabSize = 300)
-      st.write(Unigram.modelToDf(s, model), "unigram_pieces", slices = 1)
+      st.write(Unigram.modelToDf(s, model), "unigram_pieces", slices = 1,
+        formatVersion = Some(ArtifactFormats.TokenizerModel))
       Map("pieces" -> "unigram_pieces")
     }
-    val model = Unigram.modelFromDf(store.readResolved("unigram_pieces"))
+    val model = Unigram.modelFromDf(store.readArtifact("unigram_pieces", ArtifactFormats.TokenizerModel))
     Unigram.encodeStats(Tables.documents(s, dir), "doc_id", "text", model)
       .select(col("doc_id"), col("n_tokens"), col("decoded"))
   }
@@ -1209,10 +1235,11 @@ object TextPack {
     val (store, _) = Fixtures(s, dir, "job_wordpiece_model") { st =>
       val model = WordPiece.train(Tables.documents(s, dir), "text",
         numMerges = 200)
-      st.write(WordPiece.modelToDf(s, model), "wp_vocab", slices = 1)
+      st.write(WordPiece.modelToDf(s, model), "wp_vocab", slices = 1,
+        formatVersion = Some(ArtifactFormats.TokenizerModel))
       Map("vocab" -> "wp_vocab")
     }
-    val model = WordPiece.modelFromDf(store.readResolved("wp_vocab"))
+    val model = WordPiece.modelFromDf(store.readArtifact("wp_vocab", ArtifactFormats.TokenizerModel))
     WordPiece.encodeStats(Tables.documents(s, dir), "doc_id", "text", model)
       .select(col("doc_id"), col("n_tokens"), col("decoded"))
   }
@@ -1283,18 +1310,21 @@ object TextPack {
     val (store, _) = Fixtures(s, dir, "job_bytefallback_models") { st =>
       val half = d.filter(col("doc_id") % 2 === 0)
       st.write(Bpe.modelToDf(s, Bpe.train(half, "text", numMerges = 120,
-        byteFallback = true)), "bf_bpe_merges", slices = 1)
+        byteFallback = true)), "bf_bpe_merges", slices = 1,
+        formatVersion = Some(ArtifactFormats.TokenizerModel))
       st.write(Unigram.modelToDf(s, Unigram.train(half, "text",
-        vocabSize = 200, byteFallback = true)), "bf_uni_pieces", slices = 1)
+        vocabSize = 200, byteFallback = true)), "bf_uni_pieces",
+        slices = 1, formatVersion = Some(ArtifactFormats.TokenizerModel))
       st.write(WordPiece.modelToDf(s, WordPiece.train(half, "text",
-        numMerges = 120, byteFallback = true)), "bf_wp_vocab", slices = 1)
+        numMerges = 120, byteFallback = true)), "bf_wp_vocab", slices = 1,
+        formatVersion = Some(ArtifactFormats.TokenizerModel))
       Map("bpe" -> "bf_bpe_merges", "uni" -> "bf_uni_pieces",
         "wp" -> "bf_wp_vocab")
     }
-    val bpe = Bpe.modelFromDf(store.readResolved("bf_bpe_merges"))
-    val uni = Unigram.modelFromDf(store.readResolved("bf_uni_pieces"),
+    val bpe = Bpe.modelFromDf(store.readArtifact("bf_bpe_merges", ArtifactFormats.TokenizerModel))
+    val uni = Unigram.modelFromDf(store.readArtifact("bf_uni_pieces", ArtifactFormats.TokenizerModel),
       byteFallback = true)
-    val wp = WordPiece.modelFromDf(store.readResolved("bf_wp_vocab"),
+    val wp = WordPiece.modelFromDf(store.readArtifact("bf_wp_vocab", ArtifactFormats.TokenizerModel),
       byteFallback = true)
     val hx = element_at(lit(BfHostile),
       (col("doc_id") % BfHostile.length).cast("int") + 1)

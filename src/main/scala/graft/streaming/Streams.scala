@@ -3,7 +3,7 @@ package graft.streaming
 import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
-import graft.core.SnapshotStore
+import graft.core.{ArtifactFormats, SnapshotStore}
 import graft.jobs.Urd
 
 /** Structured Streaming surface.
@@ -126,12 +126,14 @@ object Streams {
           val prev = tip.prevFor(batchId)
           val merged = prev match {
             case Some(p) => graft.ops.TrainingPipeline.mergeHeavyHitters(
-              store.readResolved(p).select(col(groupCol), col("token"), col("est")),
+              store.readArtifact(p, ArtifactFormats.TokenSketch)
+                .select(col(groupCol), col("token"), col("est")),
               batchSummary, groupCol, k)
             case None => batchSummary
           }
           val name = s"$prefix.$batchId"
-          store.write(merged, name, previous = prev)
+          store.write(merged, name, previous = prev,
+            formatVersion = Some(ArtifactFormats.TokenSketch))
           tip.advance(name)
         }
         ()
@@ -284,6 +286,7 @@ object Streams {
           val prevIdx = idxTip.prevFor(batchId)
           val history = prevIdx match {
             case Some(tip) =>
+              store.requireArtifactFormat(tip, ArtifactFormats.MinhashIndex)
               val chain = store.iterateChain(tip)
               // keep the n/k parameter columns when the stored index has
               // them — incrementalMinhash cross-validates the banding
@@ -309,7 +312,8 @@ object Streams {
             dropWithin.unionByName(dropCross).distinct(), Seq(idCol), "left_anti")
           store.write(survivors, s"$outPrefix.$batchId",
             previous = outTip.prevFor(batchId))
-          store.write(batchIdx, s"$indexPrefix.$batchId", previous = prevIdx)
+          store.write(batchIdx, s"$indexPrefix.$batchId", previous = prevIdx,
+            formatVersion = Some(ArtifactFormats.MinhashIndex))
           outTip.advance(s"$outPrefix.$batchId")
           idxTip.advance(s"$indexPrefix.$batchId")
           batchIdx.unpersist()
@@ -360,7 +364,9 @@ object Streams {
         if (!batch.isEmpty) {
           val prevIdx = idxTip.prevFor(batchId)
           val history = prevIdx match {
-            case Some(tip) => store.iterateChain(tip).select(col("h"))
+            case Some(tip) =>
+              store.requireArtifactFormat(tip, ArtifactFormats.LineIndex)
+              store.iterateChain(tip).select(col("h"))
             case None => graft.ops.Dedup.lineIndex(batch.limit(0), textCol)
           }
           val cleaned = graft.ops.Dedup
@@ -372,7 +378,8 @@ object Streams {
             cleaned.select(col("text_dedup").as(textCol)), textCol)
           store.write(cleaned, s"$outPrefix.$batchId",
             previous = outTip.prevFor(batchId))
-          store.write(newIdx, s"$indexPrefix.$batchId", previous = prevIdx)
+          store.write(newIdx, s"$indexPrefix.$batchId", previous = prevIdx,
+            formatVersion = Some(ArtifactFormats.LineIndex))
           outTip.advance(s"$outPrefix.$batchId")
           idxTip.advance(s"$indexPrefix.$batchId")
           cleaned.unpersist()
@@ -426,6 +433,7 @@ object Streams {
             .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
           val history = prevIdx match {
             case Some(tip) =>
+              store.requireArtifactFormat(tip, ArtifactFormats.SemanticIndex)
               store.iterateChain(tip).select(col("cluster"), col("q"))
             case None => ab.select(col("cluster"), col("q")).limit(0)
           }
@@ -437,7 +445,8 @@ object Streams {
           val keptIdx = ab.join(keptIds, Seq(idCol), "left_semi")
           store.write(survivors, s"$outPrefix.$batchId",
             previous = outTip.prevFor(batchId))
-          store.write(keptIdx, s"$indexPrefix.$batchId", previous = prevIdx)
+          store.write(keptIdx, s"$indexPrefix.$batchId", previous = prevIdx,
+            formatVersion = Some(ArtifactFormats.SemanticIndex))
           outTip.advance(s"$outPrefix.$batchId")
           idxTip.advance(s"$indexPrefix.$batchId")
           ab.unpersist()

@@ -82,6 +82,26 @@ class GraphsSpec extends AnyFunSuite {
       Graphs.triangleStats(triDense, "src", "dst")
         .as[(Long, Long, Long)].collect().head,
       "triangle census must be id-bijection-invariant")
+    // DROP CONTRACT (ADVICE r19): a null-endpoint edge is dropped by the
+    // remap under the SAME rule the census applies to raw edges, so
+    // parity holds on a null-bearing edge set too — remapDense keeps
+    // exactly the rows every consumer would keep
+    val withNulls = (e.map { case (a, b) =>
+        (Option(a), Option(b))
+      } :+ ((None: Option[Long], Some(1L + big))) :+
+        ((Some(2L + big), None: Option[Long])))
+      .toDF("src", "dst")
+    val denseN = Graphs.remapDense(withNulls,
+      Graphs.denseIdMap(withNulls, "src", "dst"), "src", "dst")
+    assert(denseN.count() == e.length.toLong,
+      "null-endpoint edges must be dropped by the remap, nothing else")
+    val rawN = Graphs.report(withNulls, "src", "dst").collect().head
+    val packedN = Graphs.report(denseN, "src", "dst").collect().head
+    Seq("n_nodes", "n_edges", "n_dangling", "max_out_deg", "max_in_deg",
+      "n_reciprocal").foreach { c =>
+      assert(rawN.getAs[Long](c) == packedN.getAs[Long](c),
+        s"$c diverged on the null-bearing edge set")
+    }
     // extra columns ride through the remap untouched
     val withW = e.zipWithIndex.map { case ((a, b), i) => (a, b, i.toLong) }
       .toDF("src", "dst", "w")

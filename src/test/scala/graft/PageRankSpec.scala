@@ -107,6 +107,40 @@ class PageRankSpec extends AnyFunSuite {
     assert(uw == plain)
   }
 
+  test("lineage-truncation law: checkpointEvery never changes a rank bit") {
+    // checkpointEvery exists for disk footprint (the unrolled DAG retains
+    // every iteration's shuffle files until the final action); the ranks
+    // must be EXACTLY the no-checkpoint run's — the checkpoint stores the
+    // Long rank vector verbatim. Cover the off-cadence case (every=2 over
+    // 5 iterations) and the every-iteration case, plus seeds + weights
+    // (the paths that change what flows through the checkpointed vector).
+    val df = edges.toDF("src", "dst")
+    val base = PageRank.ranks(df, "src", "dst", iters = 5)
+      .as[(Long, Long)].collect().toMap
+    for (every <- Seq(1, 2)) {
+      val got = PageRank.ranks(df, "src", "dst", iters = 5,
+          checkpointEvery = every)
+        .as[(Long, Long)].collect().toMap
+      assert(got == base, s"checkpointEvery=$every diverged")
+    }
+    val seeds = Some(Set(5L, 7L).toSeq.toDF("v"))
+    val sBase = PageRank.ranks(df, "src", "dst", iters = 4, seeds = seeds)
+      .as[(Long, Long)].collect().toMap
+    val sCkpt = PageRank.ranks(df, "src", "dst", iters = 4, seeds = seeds,
+        checkpointEvery = 1)
+      .as[(Long, Long)].collect().toMap
+    assert(sCkpt == sBase, "seeded checkpoint run diverged")
+    val we = Seq((1L, 2L, 3L), (1L, 3L, 1L), (2L, 1L, 2L), (3L, 2L, 2L))
+      .toDF("src", "dst", "w")
+    val wBase = PageRank.ranks(we, "src", "dst", iters = 4,
+        weightCol = Some("w"))
+      .as[(Long, Long)].collect().toMap
+    val wCkpt = PageRank.ranks(we, "src", "dst", iters = 4,
+        weightCol = Some("w"), checkpointEvery = 2)
+      .as[(Long, Long)].collect().toMap
+    assert(wCkpt == wBase, "weighted checkpoint run diverged")
+  }
+
   test("resume law: a rank snapshot is a checkpoint, not an approximation") {
     val df = edges.toDF("src", "dst")
     val r2 = PageRank.ranks(df, "src", "dst", iters = 2)

@@ -157,6 +157,52 @@ class SnapshotSpec extends AnyFunSuite {
     assert(before == after, "compaction must preserve the dataset checksum")
   }
 
+  test("artifact format stamps: mismatch and legacy are rejected loudly, " +
+      "chains check every link, compaction inherits the stamp") {
+    val s = spark
+    import s.implicits._
+    val store = new SnapshotStore(s, tmpDir("snap_artifact"))
+    // current-version path: write stamped, read with the same stamp
+    store.write(Seq(1L, 2L).toDF("h"), "art_a", slices = 1,
+      formatVersion = Some(2))
+    assert(store.readArtifact("art_a", 2).count() == 2)
+    // survives the meta.json round-trip, not just the in-JVM cache
+    val store2 = new SnapshotStore(s, store.root)
+    assert(store2.get("art_a").meta.formatVersion.contains(2))
+    assert(store2.readArtifact("art_a", 2).count() == 2)
+    // a DIFFERENT expected format is the rebuild-required failure
+    val eMis = intercept[IllegalStateException] {
+      store.readArtifact("art_a", 3)
+    }
+    assert(eMis.getMessage.contains("REBUILD REQUIRED"), eMis.getMessage)
+    // an UNSTAMPED (legacy / plain-data) snapshot read as an artifact is
+    // the r18 line-index class: must fail loudly, never silently zero-match
+    store.write(Seq(9L).toDF("h"), "art_legacy", slices = 1)
+    val eLegacy = intercept[IllegalStateException] {
+      store.readArtifact("art_legacy", 2)
+    }
+    assert(eLegacy.getMessage.contains("UNSTAMPED"), eLegacy.getMessage)
+    assert(store.readResolved("art_legacy").count() == 1,
+      "plain reads of unstamped snapshots must be unaffected")
+    // chain check covers EVERY link: a stale link under a fresh tip fails
+    store.write(Seq(3L).toDF("h"), "art_b", previous = Some("art_legacy"),
+      slices = 1, formatVersion = Some(2))
+    val eChain = intercept[IllegalStateException] {
+      store.readArtifact("art_b", 2)
+    }
+    assert(eChain.getMessage.contains("art_legacy"), eChain.getMessage)
+    // compactChain inherits a uniform stamp (an unstamped compact of a
+    // stamped index would make every later load fail as legacy)...
+    store.write(Seq(4L).toDF("h"), "art_c", previous = Some("art_a"),
+      slices = 1, formatVersion = Some(2))
+    store.compactChain("art_c", "art_cc")
+    assert(store.get("art_cc").meta.formatVersion.contains(2))
+    assert(store.readArtifact("art_cc", 2).count() == 3)
+    // ...and refuses to invent one for a mixed chain
+    store.compactChain("art_b", "art_bc")
+    assert(store.get("art_bc").meta.formatVersion.isEmpty)
+  }
+
   test("parent column-append: zero-copy storage, resolved read") {
     val s = spark
     import s.implicits._

@@ -11,6 +11,10 @@ def load_table(spec):
     if ":" in spec and not spec.endswith(".json"):
         raw = subprocess.run(["git", "show", spec], capture_output=True,
                              text=True)
+        if raw.returncode != 0:
+            # ADVICE r19: surface the bad ref, not a JSONDecodeError on ''
+            sys.exit(f"load_table: git show {spec!r} failed: "
+                     f"{raw.stderr.strip()}")
         return json.loads(raw.stdout)
     if ":" in spec:
         ref, path = spec.split(":", 1)
@@ -18,6 +22,12 @@ def load_table(spec):
                              capture_output=True, text=True)
         if raw.returncode == 0:
             return json.loads(raw.stdout)
+        # fall through: maybe a plain file path that happens to contain
+        # a colon-free ref failed; report both candidates if neither works
+        import os
+        if not os.path.exists(spec):
+            sys.exit(f"load_table: {spec!r} is neither a readable git "
+                     f"ref:path (git show: {raw.stderr.strip()}) nor a file")
     return json.load(open(spec))
 
 def quantile(xs, q):
