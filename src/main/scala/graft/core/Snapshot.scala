@@ -113,11 +113,22 @@ final class SnapshotStore(val spark: SparkSession, val root: String) {
       refTypes: Map[String, String] = Map.empty,
       zoneMaps: Boolean = true,
       caption: String = "",
-      formatVersion: Option[Int] = None): Snapshot = {
+      formatVersion: Option[Int] = None,
+      preRouted: Boolean = false): Snapshot = {
     val n = if (slices > 0) slices else spark.sparkContext.defaultParallelism
+    // preRouted: the caller asserts df already arrives hash-clustered on
+    // the hashlabel (e.g. PageRank.normalizedEdges, whose one build
+    // exchange IS hashpartitioning(src)), so the routing repartition
+    // would be a redundant full shuffle of the relation — at an x1000
+    // edge snapshot, ~20 GB of disk held live purely to re-derive a
+    // placement the rows already have. Safe even if the caller is wrong:
+    // the bucketed writer computes each ROW's bucket id itself, so a
+    // mis-clustered input just writes more files per bucket (and an
+    // unbucketed write has no placement contract at all) — correctness
+    // never depends on the assertion, only file count does.
     val routed = hashlabel match {
-      case Some(h) => df.repartition(n, Cols.q(h))
-      case None    => df
+      case Some(h) if !preRouted => df.repartition(n, Cols.q(h))
+      case _                     => df
     }
     val dir = dirOf(name)
     val dataDir = s"$dir/data"

@@ -168,13 +168,25 @@ object PageRank {
     *   checkpoint stores exact Longs — law in PageRankSpec). Off by
     *   default: at snapshot scales the extra materialization jobs cost
     *   more than the disk they free.
+    * @param cacheEdges when true (default), the normalized edge relation
+    *   is persisted for the loop — right whenever it fits the cluster's
+    *   storage memory. When false, every iteration re-reads `norm` from
+    *   its source: THE 100 TB shape when `norm` is a src-bucketed edge
+    *   snapshot (SnapshotStore hashlabel="src"), whose scan arrives
+    *   already HashPartitioning(src) — the per-iteration join stays
+    *   exchange-free on the edge side with ZERO executor storage pinned
+    *   to the graph, and iteration cost is one bucketed scan + the one
+    *   (dst, Long) contribution shuffle. An edge set larger than cluster
+    *   memory (the 100 TB regime by definition) cannot take the cached
+    *   path at all; the bit-identical uncached path is the honest one.
     */
   def ranksIndexed(norm: DataFrame, iters: Int,
                    fpShift: Int = 20, dampNum: Int = 85, dampDen: Int = 100,
                    maxNodes: Long = 1L << 22,
                    seeds: Option[DataFrame] = None,
                    init: Option[DataFrame] = None,
-                   checkpointEvery: Int = 0): DataFrame = {
+                   checkpointEvery: Int = 0,
+                   cacheEdges: Boolean = true): DataFrame = {
     require(iters >= 1 && iters <= 64, s"iters out of range: $iters")
     require(fpShift >= 4 && fpShift <= 24, s"fpShift out of range: $fpShift")
     require(dampNum > 0 && dampDen > 0 && dampNum < dampDen,
@@ -205,9 +217,9 @@ object PageRank {
                 " (r*w would overflow Long)"))))
           .otherwise(col("w").cast("long")).as("w"),
         col("sw").cast("long").as("sw"))
-      .persist()
-    val nodes0 = eDeg.select(col("src").as("v"))
-      .union(eDeg.select(col("dst").as("v"))).distinct()
+    val eDegC = if (cacheEdges) eDeg.persist() else eDeg
+    val nodes0 = eDegC.select(col("src").as("v"))
+      .union(eDegC.select(col("dst").as("v"))).distinct()
     // teleport mass: everywhere 1 for plain PageRank, seed-indicator for
     // personalized. Broadcast-join the (small) seed set at the node scan.
     val nodes = (seeds match {
@@ -240,7 +252,7 @@ object PageRank {
     // keeps its single exchange per iteration (the groupBy(dst)).
     var r = r0
     for (i <- 1 to iters) {
-      val sums = r.hint("shuffle_hash").join(eDeg, r("v") === eDeg("src"))
+      val sums = r.hint("shuffle_hash").join(eDegC, r("v") === eDegC("src"))
         .select(col("dst"), expr("(r * w) div sw").as("c"))
         .groupBy("dst").agg(sum(col("c")).as("acc"))
       r = nodes.join(sums.hint("shuffle_hash"),
@@ -272,7 +284,7 @@ object PageRank {
     // accumulate unreachable cached RDDs (ADVICE r11).
     val out = r.select(col("v"), col("r").as("rank_fp")).persist()
     out.count()
-    eDeg.unpersist()
+    if (cacheEdges) eDegC.unpersist()
     nodes.unpersist()
     out
   }

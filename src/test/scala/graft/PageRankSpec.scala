@@ -139,6 +139,17 @@ class PageRankSpec extends AnyFunSuite {
         weightCol = Some("w"), checkpointEvery = 2)
       .as[(Long, Long)].collect().toMap
     assert(wCkpt == wBase, "weighted checkpoint run diverged")
+    // cacheEdges=false (the at-scale snapshot-scan shape) is equally
+    // invisible — alone and combined with checkpointing
+    val norm = PageRank.normalizedEdges(df, "src", "dst")
+    val uncached = PageRank.ranksIndexed(norm, iters = 5,
+        cacheEdges = false)
+      .as[(Long, Long)].collect().toMap
+    assert(uncached == base, "cacheEdges=false diverged")
+    val uncachedCkpt = PageRank.ranksIndexed(norm, iters = 5,
+        checkpointEvery = 1, cacheEdges = false)
+      .as[(Long, Long)].collect().toMap
+    assert(uncachedCkpt == base, "cacheEdges=false + checkpoint diverged")
   }
 
   test("resume law: a rank snapshot is a checkpoint, not an approximation") {
