@@ -531,7 +531,7 @@ object ScaleCheck {
       ""","notes":{"gr_pagerank":"scaled twin pagerankX1000Q at BOTH decades: identical raw-tables pipeline with fpShift=18/maxNodes=2^25 (the documented >4M-node overflow dial; x1000 has ~20M part nodes) and checkpointEvery=1 (per-iteration lineage truncation - without it the unrolled DAG retains every iteration's shuffle files until the final action, ~100 GB live at x1000, beyond this sandbox's disk and the thing a production run would truncate too; bit-exactness law in PageRankSpec)"}"""
     else ""
     val json =
-      s"""{"x1000_only":true,"reps":$reps1000,"base":"$baseDir","protocol":"per-query table synthesis; same purge + noop-sink + min-of-3 sf0.1 / min-of-2 x1000 protocol as SCALE_CHECK x1000 rows; slope is log(t_x1000/t_sf01)/log(1000)"$twinNote,"queries":{${entries.mkString(",")}}}"""
+      s"""{"x1000_only":true,"reps":$reps1000,"base":"$baseDir","protocol":"per-query table synthesis; same purge + noop-sink + min-of-3 sf0.1 / min-of-2 x1000 protocol as SCALE_CHECK x1000 rows; slope is log(t_x1000/t_sf01)/log(1000); SHUFFLE CODEC IS ZSTD for this whole session (one lz4 copy of the x1000 edge relation plus its parquet output exceeds the sandbox disk) - both scales of each row share the codec so shuffle_slope stays internally paired, but absolute shuffle MB are NOT comparable to the lz4 x10/x100 tables"$twinNote,"queries":{${entries.mkString(",")}}}"""
     println(json)
     java.nio.file.Files.writeString(java.nio.file.Paths.get(
       s"${sys.props("user.dir")}/SCALE_CHECK_X1000.json"), json + "\n")
@@ -542,13 +542,24 @@ object ScaleCheck {
     val outDir = args.headOption.getOrElse(
       s"${sys.props("user.dir")}/target/scale10")
     val reps = 10
-    val spark = graft.core.SessionTuning.tune(SparkSession.builder()
+    val builder0 = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", 32)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.ui.enabled", "false"))
-      .getOrCreate()
+      .config("spark.ui.enabled", "false")
+    // X1000 mode runs zstd shuffle compression: one lz4 copy of the
+    // x1000 edge relation in flight (~29 GB) plus its parquet output no
+    // longer fits this sandbox's disk beside the source table — measured
+    // ENOSPC in the first r20 attempt. Both scales of every X1000 row
+    // are timed in THIS session under the same codec, so slopes stay
+    // internally paired; absolute shuffle MB are not comparable to the
+    // lz4 x10/x100 tables (the artifact's protocol note records this).
+    val builder =
+      if (sys.env.contains("SPARK_GRAFT_SCALE_X1000"))
+        builder0.config("spark.io.compression.codec", "zstd")
+      else builder0
+    val spark = graft.core.SessionTuning.tune(builder).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     activeSpark = spark
 
