@@ -528,7 +528,7 @@ object ScaleCheck {
         f""""shuffle_sf01_mb":${s1 / 1e6}%.1f,"shuffle_x1000_mb":${sk / 1e6}%.1f,"shuffle_slope":$bSlope%.3f}"""
     }
     val twinNote = if (names.contains("gr_pagerank"))
-      ""","notes":{"gr_pagerank":"scaled twin pagerankX1000Q at BOTH decades: identical raw-tables pipeline with fpShift=18/maxNodes=2^25 (the documented >4M-node overflow dial; x1000 has ~20M part nodes) and checkpointEvery=1 (per-iteration lineage truncation - without it the unrolled DAG retains every iteration's shuffle files until the final action, ~100 GB live at x1000, beyond this sandbox's disk and the thing a production run would truncate too; bit-exactness law in PageRankSpec)"}"""
+      ""","notes":{"gr_pagerank":"scaled twin pagerankX1000Q at BOTH decades: the DEPLOYMENT shape - 5 iterations over a src-BUCKETED normalized-edge snapshot (memoized build, untimed warmup, like gr_ppr/gr_pagerank_w one decade down) with fpShift=18/maxNodes=2^25 (the documented >4M-node overflow dial; x1000 has ~20M part nodes), checkpointEvery=1 (per-iteration lineage truncation - without it the unrolled DAG retains every iteration's shuffle files until the final action; the raw-tables cached variant measured >60 GB live before one x1000 warmup pass finished, beyond this sandbox's disk), and cacheEdges=false (each iteration re-scans the bucketed snapshot whose read recovers HashPartitioning(src), so the per-iteration join is exchange-free on the edge side with zero executor storage pinned to the 2.4B-edge graph - the only shape an edge set larger than cluster memory can take). Bit-exactness of checkpoint + uncached paths: PageRankSpec laws"}"""
     else ""
     val json =
       s"""{"x1000_only":true,"reps":$reps1000,"base":"$baseDir","protocol":"per-query table synthesis; same purge + noop-sink + min-of-3 sf0.1 / min-of-2 x1000 protocol as SCALE_CHECK x1000 rows; slope is log(t_x1000/t_sf01)/log(1000); SHUFFLE CODEC IS ZSTD for this whole session (one lz4 copy of the x1000 edge relation plus its parquet output exceeds the sandbox disk) - both scales of each row share the codec so shuffle_slope stays internally paired, but absolute shuffle MB are NOT comparable to the lz4 x10/x100 tables"$twinNote,"queries":{${entries.mkString(",")}}}"""
