@@ -91,16 +91,14 @@ ta, tb = runA["value"], runB["value"]
 tprev = sum(prev.values()) if prev else None
 out = {
     "prev_note": f"prev = committed BENCH_FULL at {prev_ref}; quantiles "
-                 "re-measured at r19 HEAD over the 168-query table "
-                 "(runA/runB = back-to-back exclusive 32g runs late in the "
-                 "r19 session; adjacent TOTAL spread 0.4 pct - this "
-                 "container hour is stable - but the per-query tail stays "
-                 "fat). delta_vs_prev vs the r18 exclusive runs ~9-12 pct "
-                 "high uniformly (unchanged-query median 1.086): "
-                 "hours/days-apart drift on this instance class, the same "
-                 "~15 pct envelope r18 measured. Read spreads "
-                 "(same-container, adjacent) for the noise band, not "
-                 "delta_vs_prev (cross-container).",
+                 "re-measured at r20 HEAD over the 169-query table "
+                 "(runA/runB = back-to-back exclusive runs late in the "
+                 "r20 session). The r20 build is genuinely faster on the "
+                 "PageRank family (single-shuffle edge build + SHJ: "
+                 "gr_pagerank 8.78->7.2, gr_pagerank_w 6.18->4.5, gr_ppr "
+                 "5.67->3.8 exclusive); judge delta_vs_prev per query "
+                 "against the unchanged-query median first, per the "
+                 "standing container rule.",
     "protocol": "two back-to-back exclusive `runMain graft.Bench` runs of the "
                 "identical build, cpus=32, each min-of-3 after untimed warmup",
     "total_runA_sec": round(ta, 2),
