@@ -124,9 +124,18 @@ object GraphPack {
     * from the raw edges, proving the snapshot round-trip invisible.
     */
   private def normEdgeStore(s: SparkSession, dir: String): DataFrame = {
+    // BUCKETED by src (r20): an unbucketed snapshot read has no
+    // partitioning, so every iteration's rank⋈edges join re-exchanged
+    // the edge relation ABOVE the loop's cache — measured 2× the
+    // family's x10 shuffle bytes (SCALE_CHECK_REPRO r20). The bucketed
+    // scan recovers HashPartitioning(src, 32) and the loop pays zero
+    // edge-side exchanges — the Scaladoc's "edge store bucketed by src"
+    // shape, delivered in the gated queries. preRouted: normalizedEdges'
+    // one build exchange already IS hashpartitioning(src).
     val (store, _) = Fixtures(s, dir, "job_pr_norm") { st =>
       st.write(graft.ops.PageRank.normalizedEdges(
-        edgeStore(s, dir), "src", "dst"), "pr_norm", slices = 4,
+        edgeStore(s, dir), "src", "dst"), "pr_norm",
+        hashlabel = Some("src"), slices = 32, preRouted = true,
         formatVersion = Some(ArtifactFormats.GraphEdges))
       Map("e" -> "pr_norm")
     }
@@ -138,7 +147,8 @@ object GraphPack {
     val (store, _) = Fixtures(s, dir, "job_prw_norm") { st =>
       st.write(graft.ops.PageRank.normalizedEdges(
         weightedEdgeStore(s, dir), "src", "dst", weightCol = Some("w")),
-        "prw_norm", slices = 4,
+        "prw_norm", hashlabel = Some("src"), slices = 32,
+        preRouted = true,
         formatVersion = Some(ArtifactFormats.GraphEdges))
       Map("e" -> "prw_norm")
     }
