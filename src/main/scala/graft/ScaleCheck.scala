@@ -537,6 +537,76 @@ object ScaleCheck {
       s"${sys.props("user.dir")}/SCALE_CHECK_X1000.json"), json + "\n")
   }
 
+  /** SPARK_GRAFT_SCALE_X100=<names>: the targeted-decade discipline of
+    * [[runX1000]] applied to x100 — ONLY the sf0.1 baseline (min-of-3)
+    * and the x100 measurement (min-of-2) for the named queries, each
+    * synthesizing just the fact table it touches, written to
+    * SCALE_CHECK_X100.json (tools/merge_x100.py folds rows into the
+    * full artifact). Exists so a plan change can refresh its family's
+    * two-decade rows without the multi-hour full SCALE_CHECK run —
+    * first use: the r20 src-bucketed rank-family stores, whose x10
+    * repro showed 3-6x less shuffle than the pre-bucketing x100 table
+    * rows. Runs the DEFAULT (lz4) shuffle codec, so absolute shuffle MB
+    * stay comparable with the full x10/x100 tables (unlike x1000's
+    * zstd session).
+    */
+  private def runX100(spark: SparkSession, baseDir: String,
+                      spec: String): Unit = {
+    val names = spec.split(',').map(_.trim).filter(_.nonEmpty).toSeq
+    val tablesFor = Map(
+      "gr_pagerank" -> Seq("lineitem"),
+      "gr_pagerank_w" -> Seq("lineitem"),
+      "gr_ppr" -> Seq("lineitem"),
+      "gr_pagerank_resume" -> Seq("lineitem"),
+      "rt_bm25" -> Seq("documents"),
+      "dd_line_dedup" -> Seq("documents"),
+      "pl_dedup_corpus" -> Seq("documents"))
+    val unknown = names.filterNot(tablesFor.contains)
+    require(names.nonEmpty && unknown.isEmpty,
+      s"SPARK_GRAFT_SCALE_X100: unknown/empty targets $unknown — " +
+        s"known: ${tablesFor.keys.toSeq.sorted.mkString(", ")}")
+    val reps100 = 100
+    val out100 = s"${sys.props("user.dir")}/target/scale100"
+    val tables = names.flatMap(tablesFor).distinct
+    synthesize(spark, baseDir, out100, reps100, Some(tables))
+    tables.foreach { t =>
+      val nBase = spark.read.parquet(s"$baseDir/$t.parquet").count()
+      val nBig = spark.read.parquet(s"$out100/$t.parquet").count()
+      require(nBig == reps100 * nBase,
+        s"x100 synthesis wrong for $t: $nBig != $reps100*$nBase")
+    }
+    for ((dir, mult) <- Seq(baseDir -> 1, out100 -> reps100)) {
+      names.foreach { name =>
+        val t0 = System.nanoTime()
+        runTarget(spark, name, dir, mult)
+        System.err.println(f"[scale] x100-mode warmup $dir $name: " +
+          f"${(System.nanoTime() - t0) / 1e9}%.2f s")
+      }
+    }
+    val meter = new ShuffleMeter
+    spark.sparkContext.addSparkListener(meter)
+    val (small, shufS) = timedPasses(baseDir, mult = 1, passes = 3, meter,
+      names)
+    val (big, shufK) = timedPasses(out100, mult = reps100, passes = 2,
+      meter, names)
+    val entries = names.map { name =>
+      val (t1, tk) = (small(name), big(name))
+      val slope = math.log(tk / t1) / math.log(reps100.toDouble)
+      val (s1, sk) = (shufS(name), shufK(name))
+      val bSlope =
+        if (s1 > 0 && sk > 0)
+          math.log(sk.toDouble / s1) / math.log(reps100.toDouble)
+        else 0.0
+      f""""$name":{"sf01_sec":$t1%.3f,"x100_sec":$tk%.3f,"ratio":${tk / t1}%.2f,"slope":$slope%.3f,""" +
+        f""""shuffle_sf01_mb":${s1 / 1e6}%.1f,"shuffle_x100_mb":${sk / 1e6}%.1f,"shuffle_slope":$bSlope%.3f}"""
+    }
+    val json =
+      s"""{"x100_only":true,"reps":$reps100,"base":"$baseDir","protocol":"per-query table synthesis; same purge + noop-sink + min-of-3 sf0.1 / min-of-2 x100 protocol as SCALE_CHECK x100 rows; slope is log(t_x100/t_sf01)/log(100); default lz4 shuffle codec, shuffle MB comparable with the full x10/x100 tables","queries":{${entries.mkString(",")}}}"""
+    println(json)
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(
+      s"${sys.props("user.dir")}/SCALE_CHECK_X100.json"), json + "\n")
+  }
+
   def main(args: Array[String]): Unit = {
     val baseDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val outDir = args.headOption.getOrElse(
@@ -573,6 +643,14 @@ object ScaleCheck {
     sys.env.get("SPARK_GRAFT_SCALE_X1000") match {
       case Some(spec) =>
         runX1000(spark, baseDir, spec)
+        spark.stop()
+        return
+      case None =>
+    }
+    // ---- X100 mode: targeted two-decade refresh, separate artifact ----
+    sys.env.get("SPARK_GRAFT_SCALE_X100") match {
+      case Some(spec) =>
+        runX100(spark, baseDir, spec)
         spark.stop()
         return
       case None =>
