@@ -125,13 +125,16 @@ object GraphPack {
     */
   private def normEdgeStore(s: SparkSession, dir: String): DataFrame = {
     // BUCKETED by src (r20): an unbucketed snapshot read has no
-    // partitioning, so every iteration's rank⋈edges join re-exchanged
-    // the edge relation ABOVE the loop's cache — measured 2× the
-    // family's x10 shuffle bytes (SCALE_CHECK_REPRO r20). The bucketed
-    // scan recovers HashPartitioning(src, 32) and the loop pays zero
-    // edge-side exchanges — the Scaladoc's "edge store bucketed by src"
-    // shape, delivered in the gated queries. preRouted: normalizedEdges'
-    // one build exchange already IS hashpartitioning(src).
+    // partitioning, so the rank loop's edge side must first be exchanged
+    // onto hash(src) — an EDGE-SIZED shuffle (exchange reuse dedups the
+    // per-iteration copies into one, but that one is a full disk
+    // materialization of the graph, measured 2-3x the family's x10
+    // shuffle bytes, SCALE_CHECK_REPRO r20). The bucketed scan recovers
+    // HashPartitioning(src, 32) and the loop pays zero edge-side
+    // exchanges — the Scaladoc's "edge store bucketed by src" shape,
+    // delivered in the gated queries; the PageRankSpec layout law pins
+    // it. preRouted: normalizedEdges' one build exchange already IS
+    // hashpartitioning(src).
     val (store, _) = Fixtures(s, dir, "job_pr_norm") { st =>
       st.write(graft.ops.PageRank.normalizedEdges(
         edgeStore(s, dir), "src", "dst"), "pr_norm",

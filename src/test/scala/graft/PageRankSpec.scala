@@ -211,6 +211,72 @@ class PageRankSpec extends AnyFunSuite {
         s"s10=$s10) — the prefix chain is being recomputed per iteration")
   }
 
+  test("bucketed edge store: the run pays no edge-sized exchange") {
+    // The r20 layout law behind SCALE_CHECK_REPRO's 3-6x shuffle cut
+    // (gr_ppr/gr_pagerank_w/gr_pagerank_resume): a src-bucketed snapshot
+    // read recovers HashPartitioning(src), so the rank loop's edge side
+    // joins exchange-free; an UNBUCKETED read must exchange the whole
+    // edge relation onto hash(src) first. (Spark's exchange reuse dedups
+    // the per-iteration copies into ONE exchange — but that one is
+    // edge-sized: a full disk materialization of the graph that scales
+    // with |E|, while every shuffle the bucketed plan keeps is node- or
+    // contribution-sized. At 100 TB the eliminated exchange is the
+    // difference between shuffling the corpus once per analysis run and
+    // never.) Measured as runtime shuffle-write bytes (plan-text
+    // counting lies through the internal persist) on a graph whose edge
+    // set (20k rows) dwarfs its node set (200): the eliminated exchange
+    // must dwarf a contribution shuffle.
+    import graft.core.{ArtifactFormats, SnapshotStore}
+    val s = spark
+    val big = (0L until 200L).flatMap(u =>
+      (0L until 100L).map(v => (u, (u + 7 * v) % 200)))
+    val norm = PageRank.normalizedEdges(big.toDF("src", "dst"), "src", "dst")
+    val store = new SnapshotStore(s, TestSpark.tmpDir("pr_bucketed_law"))
+    store.write(norm, "b", hashlabel = Some("src"), slices = 4,
+      preRouted = true, formatVersion = Some(ArtifactFormats.GraphEdges))
+    store.write(norm, "u", slices = 4,
+      formatVersion = Some(ArtifactFormats.GraphEdges))
+    def shuffleBytes(name: String, iters: Int): Long = {
+      s.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
+      s.catalog.clearCache()
+      val n = new java.util.concurrent.atomic.AtomicLong
+      val l = new org.apache.spark.scheduler.SparkListener {
+        override def onStageCompleted(
+            ev: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit =
+          n.addAndGet(ev.stageInfo.taskMetrics.shuffleWriteMetrics.bytesWritten)
+      }
+      s.sparkContext.addSparkListener(l)
+      try {
+        PageRank.ranksIndexed(
+          store.readArtifact(name, ArtifactFormats.GraphEdges),
+          iters = iters).count()
+        val sc = s.sparkContext
+        val bus = sc.getClass.getMethod("listenerBus").invoke(sc)
+        bus.getClass.getMethods
+          .find(m => m.getName == "waitUntilEmpty" && m.getParameterCount == 0)
+          .foreach(_.invoke(bus))
+        n.get()
+      } finally s.sparkContext.removeSparkListener(l)
+    }
+    // two contribution shuffles' worth of bytes: the unit the eliminated
+    // edge exchange must exceed
+    val contrib2 = shuffleBytes("b", 4) - shuffleBytes("b", 2)
+    val tB = shuffleBytes("b", 3)
+    val tU = shuffleBytes("u", 3)
+    assert(tU - tB > contrib2,
+      s"unbucketed total ($tU B) minus bucketed ($tB B) should carry an " +
+        s"edge-sized exchange (>> 2 contribution shuffles = $contrib2 B) " +
+        "— if not, the bucketed scan isn't the thing saving the exchange")
+    // and the layout is value-invisible
+    val rb = PageRank.ranksIndexed(
+        store.readArtifact("b", ArtifactFormats.GraphEdges), iters = 3)
+      .as[(Long, Long)].collect().toMap
+    val ru = PageRank.ranksIndexed(
+        store.readArtifact("u", ArtifactFormats.GraphEdges), iters = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(rb == ru, "bucketed and unbucketed stores must rank identically")
+  }
+
   test("contract: overflow bound and parameter validation fail fast") {
     val df = edges.toDF("src", "dst")
     intercept[IllegalArgumentException] {
