@@ -91,14 +91,16 @@ ta, tb = runA["value"], runB["value"]
 tprev = sum(prev.values()) if prev else None
 out = {
     "prev_note": f"prev = committed BENCH_FULL at {prev_ref}; quantiles "
-                 "re-measured at r20 HEAD over the 169-query table "
-                 "(runA/runB = back-to-back exclusive runs late in the "
-                 "r20 session). The r20 build is genuinely faster on the "
-                 "PageRank family (single-shuffle edge build + SHJ: "
-                 "gr_pagerank 8.78->7.2, gr_pagerank_w 6.18->4.5, gr_ppr "
-                 "5.67->3.8 exclusive); judge delta_vs_prev per query "
-                 "against the unchanged-query median first, per the "
-                 "standing container rule.",
+                 "re-measured at final r20 HEAD over the 169-query table "
+                 "(runA/runB = back-to-back exclusive runs at the end of "
+                 "the r20 session; a comment-only recompile sits between "
+                 "them — plans identical). The r20 build is genuinely "
+                 "faster on the PageRank family (single-shuffle edge "
+                 "build + SHJ + src-bucketed stores: gr_pagerank "
+                 "8.78->7.0, gr_pagerank_w 6.18->5.1, gr_ppr 5.67->3.5 "
+                 "exclusive); judge delta_vs_prev per query against the "
+                 "unchanged-query median first, per the standing "
+                 "container rule.",
     "protocol": "two back-to-back exclusive `runMain graft.Bench` runs of the "
                 "identical build, cpus=32, each min-of-3 after untimed warmup",
     "total_runA_sec": round(ta, 2),
