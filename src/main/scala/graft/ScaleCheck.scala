@@ -45,7 +45,8 @@ object ScaleCheck {
     * genuinely hot ownership keys at 10x — the skew path).
     */
   private val Targets = Seq(
-    "dd_ngram_jaccard", "dd_simhash", "dd_minhash_lsh", "pl_corpus_e2e",
+    "dd_ngram_jaccard", "dd_simhash", "dd_simhash_wide", "pl_corpus_e2e",
+    "dd_minhash_lsh",
     "pl_dedup_corpus", "q_salted_join", "q5_local_supplier",
     "op_csvexport_zip", "op_sort_order", "tx_keywords", "op_type_fuzz",
     "dd_line_dedup", "pl_kmeans", "pl_nb_lang", "pl_lm_backoff", "rt_bm25",
@@ -484,7 +485,11 @@ object ScaleCheck {
       "pl_dedup_corpus" -> Seq("documents"),
       "dd_line_dedup" -> Seq("documents"),
       "rt_bm25" -> Seq("documents"),
-      "gr_pagerank" -> Seq("lineitem"))
+      "gr_pagerank" -> Seq("lineitem"),
+      // the bits=60 sketch at the third decade: at 5M docs the 40-bit
+      // birthday term is ~N²·10/2^16 ≈ 3.8B candidate pairs — the
+      // 24-bit keys keep it ~15M, which is the whole point of the dial
+      "dd_simhash_wide" -> Seq("documents"))
     val unknown = names.filterNot(tablesFor.contains)
     require(names.nonEmpty && unknown.isEmpty,
       s"SPARK_GRAFT_SCALE_X1000: unknown/empty targets $unknown — " +
@@ -560,7 +565,17 @@ object ScaleCheck {
       "gr_pagerank_resume" -> Seq("lineitem"),
       "rt_bm25" -> Seq("documents"),
       "dd_line_dedup" -> Seq("documents"),
-      "pl_dedup_corpus" -> Seq("documents"))
+      "pl_dedup_corpus" -> Seq("documents"),
+      // the two remaining super-linear x10 shuffle residuals (1.297 /
+      // 1.467): whether the posting-pair / pigeonhole-candidate growth
+      // saturates or compounds is exactly what a second decade answers
+      "dd_ngram_jaccard" -> Seq("documents"),
+      "dd_simhash" -> Seq("documents"),
+      // the bits=60 dial's proof-of-scale twin: same corpus, 24-bit band
+      // keys — the x100 row should show the random-collision shuffle
+      // term shrinking vs dd_simhash's (birthday arithmetic: 2^8 fewer
+      // random candidates at equal replication)
+      "dd_simhash_wide" -> Seq("documents"))
     val unknown = names.filterNot(tablesFor.contains)
     require(names.nonEmpty && unknown.isEmpty,
       s"SPARK_GRAFT_SCALE_X100: unknown/empty targets $unknown — " +

@@ -190,3 +190,36 @@ case class TokenHash40Array(child: Expression) extends UnaryExpression {
   override protected def withNewChildInternal(newChild: Expression): TokenHash40Array =
     copy(child = newChild)
 }
+
+/** Per-token 60-bit hashes (non-distinct) — the wide twin of
+  * [[TokenHash40Array]] (first 15 md5 hex digits, [[Md5Hash60]]), feeding
+  * the 60-bit SimHash whose 12-bit pieces give 24-bit band keys — the
+  * corpus-size dial for the banded join's birthday-collision residual.
+  */
+case class TokenHash60Array(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_token_hash60"
+
+  def compute(arr: ArrayData): ArrayData = {
+    val m = arr.numElements()
+    val out = new Array[Long](m)
+    var i = 0
+    while (i < m) {
+      val s = if (arr.isNullAt(i)) UTF8String.EMPTY_UTF8 else arr.getUTF8String(i)
+      out(i) = Md5Hash60.of(s.getBytes)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("hasher", this, classOf[TokenHash60Array].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $self.compute($c);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): TokenHash60Array =
+    copy(child = newChild)
+}

@@ -93,6 +93,22 @@ object SimilarityFunctions {
       GraftBridge.expression(tokenHashes40(toks)), 40))
   }
 
+  /** SimHash-60: the wide twin of [[simhash40]] (per-token hash = first
+    * 15 md5 hex digits, the Md5Hash60/fingerprint formulation, so the
+    * oracle's int64 arithmetic still replicates bit-for-bit). With the
+    * default 5-block pigeonhole this gives 12-bit pieces → 24-bit
+    * 2-block band keys: 2^8 more key space per table than the 40-bit
+    * sketch — the corpus-size dial for the banded self-join's random
+    * (birthday) candidate collisions, which grow ~N²/keyspace
+    * (measured compounding at fixed 40 bits: shuffle slope 1.467 at
+    * x10 → 1.596 at x100, SCALE_CHECK).
+    */
+  def simhash60(toks: Column): Column = {
+    import org.apache.spark.sql.GraftBridge
+    GraftBridge.column(graft.expr.SimHash(
+      graft.expr.TokenHash60Array(GraftBridge.expression(toks)), 60))
+  }
+
   /** Hamming distance between two 64-bit-or-narrower hashes. */
   def hamming64(a: Column, b: Column): Column =
     bit_count(a.bitwiseXOR(b)).cast("int")

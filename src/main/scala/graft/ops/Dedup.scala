@@ -323,13 +323,33 @@ object Dedup {
     *
     * Result set is banding-independent: the hamming filter decides
     * membership; `blocks` only tunes the candidate volume.
+    *
+    * `bits` (40 or 60, r20) is the SKETCH-width dial for the same
+    * residual: the x10→x100 scale rows measured the random-collision
+    * term COMPOUNDING at fixed 40 bits (shuffle slope 1.467 → 1.596,
+    * SCALE_CHECK), as the birthday arithmetic predicts. bits=60 keeps
+    * the default 10-table replication but keys on 2×12=24 bits — 2^8
+    * fewer random collisions than 40-bit at equal replication, and
+    * cheaper than blocks=8-on-40-bit (25-bit keys but 56 tables). The
+    * per-token hash is the md5-60 fingerprint formulation, so the
+    * DuckDB oracle replicates the wide sketch bit-for-bit too
+    * (dd_simhash_wide). A 60-bit hamming ball is also tighter in
+    * relative terms, so the wide pair set is not comparable to the
+    * 40-bit one — it is the sketch you'd deploy at corpus sizes where
+    * the 40-bit candidate volume dominates, chosen up front.
     */
   def simhash(df: DataFrame, idCol: String, textCol: String,
-              maxHamming: Int = 3, blocks: Int = 5): DataFrame = {
+              maxHamming: Int = 3, blocks: Int = 5,
+              bits: Int = 40): DataFrame = {
     require(blocks > maxHamming,
       s"simhash: need blocks > maxHamming for the pigeonhole guarantee " +
         s"(got blocks=$blocks, maxHamming=$maxHamming)")
-    val bits = 40
+    require(bits == 40 || bits == 60,
+      s"simhash: bits must be 40 or 60 (md5-prefix hash widths the " +
+        s"oracle replicates), got $bits")
+    // non-dividing blocks leave the top bits uncovered by any piece —
+    // still complete (an uncovered flip dirties no piece), just weaker
+    // keys, same as the pre-dial contract
     val width = bits / blocks
     require(width >= 1, s"simhash: $blocks blocks over $bits bits leaves empty pieces")
     def piece(b: Int): org.apache.spark.sql.Column =
@@ -337,8 +357,9 @@ object Dedup {
     // one table per clean-subset; key = the subset's pieces packed into a
     // long (keep the sketch column once — 8 bytes/row — for the hamming)
     val combos = (0 until blocks).combinations(blocks - maxHamming).toSeq
+    val sketch = if (bits == 60) S.simhash60 _ else S.simhash40 _
     val withH = df.select(col(idCol).as("id"),
-      S.simhash40(T.tokens(T.normalized(col(textCol)))).as("h"))
+      sketch(T.tokens(T.normalized(col(textCol)))).as("h"))
     val keyed = withH.select(col("id"), col("h"),
       explode(array(combos.zipWithIndex.map { case (subset, t) =>
         val packed = subset.zipWithIndex.map { case (b, i) =>

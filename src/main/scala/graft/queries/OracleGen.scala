@@ -102,8 +102,10 @@ object OracleGen {
   }
 
   /** SimHash-40 with Manku block candidates and Hamming verification. */
-  def simhash(maxHamming: Int): String = {
-    val bits = 40
+  def simhash(maxHamming: Int, bits: Int = 40): String = {
+    // bits/4 md5 hex digits = the engine's Md5Hash40/Md5Hash60 prefix
+    require(bits % 4 == 0 && bits <= 60, s"md5-prefix bits: $bits")
+    val hexDigits = bits / 4
     val blocks = maxHamming + 1
     val width = bits / blocks
     val mask = (1L << width) - 1
@@ -114,7 +116,7 @@ object OracleGen {
       s"((x.sh >> ${j * width}) & $mask) = ((y.sh >> ${j * width}) & $mask)"
     }.mkString(" OR ")
     raw"""WITH t AS (SELECT doc_id, string_split(lower(trim(regexp_replace(text,'\s+',' '))),' ') toks FROM documents),
-         hs AS (SELECT doc_id, list_transform(toks, x -> ('0x'||substr(md5(x),1,10))::BIGINT) h FROM t),
+         hs AS (SELECT doc_id, list_transform(toks, x -> ('0x'||substr(md5(x),1,$hexDigits))::BIGINT) h FROM t),
          simh AS (SELECT doc_id, ($shExpr)::BIGINT sh FROM hs)
          SELECT x.doc_id id_a, y.doc_id id_b, bit_count(xor(x.sh, y.sh))::INT AS hamming
          FROM simh x JOIN simh y ON x.doc_id < y.doc_id AND ($blockCond)

@@ -93,6 +93,17 @@ object TextPack {
   def dedupSimhash(s: SparkSession, dir: String): DataFrame =
     Dedup.simhash(Tables.documents(s, dir), "doc_id", "text", maxHamming = 3)
 
+  /** The 60-bit sketch twin of dd_simhash (r20): same 5-block pigeonhole,
+    * 24-bit band keys — the corpus-size dial for the banded join's
+    * random-collision term, which the x10→x100 rows measured compounding
+    * at fixed 40 bits (shuffle slope 1.467 → 1.596). Gated through its
+    * own DuckDB replay of the md5-60 sketch, so the dial is oracle-exact,
+    * not a tuning knob taken on faith.
+    */
+  def dedupSimhashWide(s: SparkSession, dir: String): DataFrame =
+    Dedup.simhash(Tables.documents(s, dir), "doc_id", "text",
+      maxHamming = 3, bits = 60)
+
   /** The hamming-distance histogram of the simhash pair set (0..maxHamming).
     * Observability companion to dd_simhash: its pair count sits on a
     * threshold cliff (SCALE_CHECK r10: 75% of pairs at hamming exactly 3),
@@ -1393,6 +1404,7 @@ object TextPack {
     "dd_ngram_jaccard" -> dedupNgram _,
     "dd_minhash_lsh" -> dedupMinhash _,
     "dd_simhash" -> dedupSimhash _,
+    "dd_simhash_wide" -> dedupSimhashWide _,
     "dd_simhash_hist" -> dedupSimhashHist _,
     "dd_embedding_cosine" -> dedupEmbedding _,
     "dd_clusters" -> dedupClusters _,
@@ -1979,6 +1991,7 @@ object TextPack {
              AND alpha >= 0.8 AND stops >= 2, false) AS passes
          FROM m""",
     "dd_simhash" -> OracleGen.simhash(3),
+    "dd_simhash_wide" -> OracleGen.simhash(3, bits = 60),
     "dd_simhash_hist" ->
       s"SELECT hamming, count(*) AS n_pairs FROM (${OracleGen.simhash(3)}) GROUP BY 1",
     "dd_embedding_cosine" ->

@@ -20,6 +20,9 @@ class SketchesSpec extends AnyFunSuite {
   private def h40(s: String): Long =
     java.lang.Long.parseLong(md5hex(s).substring(0, 10), 16)
 
+  private def h60(s: String): Long =
+    java.lang.Long.parseLong(md5hex(s).substring(0, 15), 16)
+
   test("tokenHash40 equals the md5-prefix model") {
     val s = spark
     import s.implicits._
@@ -131,6 +134,26 @@ class SketchesSpec extends AnyFunSuite {
         s"blocks=$blocks must find exactly the brute-force pairs " +
           s"(missing ${want -- got}, extra ${got -- want})")
     }
+    // the 60-bit sketch dial (r20): same law against ITS brute force —
+    // the wide hamming ball is a different pair set, but the banded join
+    // must still find exactly it
+    val hs60 = df.select(col("doc_id"),
+      S.simhash60(T.tokens(T.normalized(col("text")))).as("h"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    val want60 = (for {
+      (ia, ha) <- hs60; (ib, hb) <- hs60
+      if ia < ib && java.lang.Long.bitCount(ha ^ hb) <= 3
+    } yield (ia, ib)).toSet
+    assert(want60.nonEmpty, "fixture must contain 60-bit near-dup pairs")
+    for (blocks <- Seq(4, 5)) {
+      val got = graft.ops.Dedup.simhash(df, "doc_id", "text",
+        maxHamming = 3, blocks = blocks, bits = 60)
+        .select("id_a", "id_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == want60,
+        s"bits=60 blocks=$blocks must find exactly the brute-force pairs " +
+          s"(missing ${want60 -- got}, extra ${got -- want60})")
+    }
   }
 
   test("simhash blocks=5 candidate keying is exhaustively complete over all <=3-bit flips") {
@@ -175,6 +198,20 @@ class SketchesSpec extends AnyFunSuite {
       if (2 * hs.count(h => ((h >> i) & 1L) == 1L) > hs.size) 1L << i else 0L
     }.reduce(_ | _)
     assert(got == want)
+  }
+
+  test("simhash60 equals the majority-vote model over md5-60 token hashes") {
+    val s = spark
+    import s.implicits._
+    val toks = Seq("a", "b", "c", "a", "b", "a")
+    val got = Seq(toks).toDF("t").select(S.simhash60(col("t")))
+      .collect().head.getLong(0)
+    val hs = toks.map(h60)
+    val want = (0 until 60).map { i =>
+      if (2 * hs.count(h => ((h >> i) & 1L) == 1L) > hs.size) 1L << i else 0L
+    }.reduce(_ | _)
+    assert(got == want)
+    assert(got >> 60 == 0L, "only 60 bits used")
   }
 
   test("positionedShingleHashes equals the md5-prefix model, index-aligned") {
