@@ -54,12 +54,33 @@ object Pq {
             fpShift: Int = 10): Array[Array[Array[Long]]] = {
     require(m >= 1 && dim % m == 0, s"dim=$dim must divide into m=$m subspaces")
     val sub = dim / m
-    (0 until m).toArray.map { j =>
-      KMeans.fit(
-        df.select(Q(idCol),
-          slice(Q(vecCol), j * sub + 1, sub).as(vecCol)),
-        idCol, vecCol, ksub, iters, quantShift, fpShift)
-    }
+    // The m subspace fits are INDEPENDENT (each a pure function of its
+    // own vector slice: quantize → init draw → Lloyd chain), but each is
+    // a sequence of driver-synchronous jobs (the init collect and one
+    // centroid collect per iteration). Submitting them serially leaves
+    // the cluster idle during every driver round-trip — m·(iters+2)
+    // small jobs in single file. A small thread pool overlaps them
+    // (guide §2.6: Spark's scheduler runs concurrent jobs fine; actions
+    // are only sequential because the driver calls them sequentially),
+    // so one subspace's collect latency back-fills with another's scan.
+    // Results are bit-identical: the books array is assembled by
+    // subspace index, and no fit reads another's state.
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.min(m, 8))
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.fromExecutorService(pool)
+    try {
+      val fits = (0 until m).map { j =>
+        scala.concurrent.Future {
+          KMeans.fit(
+            df.select(Q(idCol),
+              slice(Q(vecCol), j * sub + 1, sub).as(vecCol)),
+            idCol, vecCol, ksub, iters, quantShift, fpShift)
+        }
+      }
+      fits.map(scala.concurrent.Await.result(
+        _, scala.concurrent.duration.Duration.Inf)).toArray
+    } finally pool.shutdown()
   }
 
   private def quant(c: Column, quantShift: Int): Column =
@@ -212,10 +233,16 @@ object Pq {
     require(nprobe >= 1 && nprobe <= nlist, s"need 1 <= nprobe=$nprobe <= nlist=$nlist")
     val s = corpus.sparkSession
     val fp = 1L << fpShift
-    val coarse = KMeans.fit(corpus, idCol, vecCol, nlist, iters,
-      quantShift, fpShift)
+    // The coarse quantizer and the m codebooks are independent fits over
+    // the same corpus — overlap them (guide §2.6, same reasoning as the
+    // thread pool inside [[train]]).
+    val coarseF = scala.concurrent.Future(KMeans.fit(corpus, idCol,
+      vecCol, nlist, iters, quantShift, fpShift))(
+      scala.concurrent.ExecutionContext.global)
     val books = train(corpus, idCol, vecCol, dim, m, ksub, iters,
       quantShift, fpShift)
+    val coarse = scala.concurrent.Await.result(coarseF,
+      scala.concurrent.duration.Duration.Inf)
     val store = encode(corpus, idCol, vecCol, books, quantShift, fpShift)
       .join(KMeans.assignTo(corpus, idCol, vecCol, coarse, quantShift, fpShift)
         .select(Q(idCol).as("nid"), col("cluster")), "nid")
