@@ -146,17 +146,35 @@ object Bench {
     val qs = results.map { case (k, v) => f""""$k":${v.sec}%.4f""" }
       .mkString("{", ",", "}")
     val total = results.map(_._2.sec).sum
-    // total LAST: whatever prefix the tail window cuts, the total (the one
-    // round-over-round comparable number) survives at the line's end.
+    // THE stdout contract line (VERDICT r20 item 1). The driver archives
+    // and parses only a ~2000-char stdout TAIL; at 170 queries the
+    // per-query line is ~4.3 KB, so its head was cut and the parse failed
+    // every round since ~r14 (BENCH_r14..r20.json all `parsed: null`,
+    // PERF per_query/geomean/scaling all empty). The contract line is
+    // therefore tail-sized: total + cpus + per-FAMILY subtotals (11
+    // families, ~300 chars — fits any tail with room to spare). The
+    // per-query min-of-3 table — same methodology, nothing dropped — is
+    // written every run to the cpus-stamped BENCH_FULL_c$cpus.json below
+    // (VERDICT r20 item 2: the driver's c8 re-run used to clobber the c32
+    // table when the artifact name had no core count in it).
+    // family = name up to the first '_' with trailing digits stripped, so
+    // q1/q3/q5/q6/q10/q_* all land in "q" (ann, dd, gr, job, mm, op, pl,
+    // q, rt, tx, urd).
+    def family(n: String): String =
+      n.takeWhile(_ != '_').reverse.dropWhile(_.isDigit).reverse
+    val famQs = results.groupBy { case (k, _) => family(k) }.toSeq
+      .sortBy(_._1)
+      .map { case (f, rs) => f""""$f":${rs.map(_._2.sec).sum}%.4f""" }
+      .mkString("{", ",", "}")
     val line =
-      f"""{"metric":"total","unit":"sec","sf":"$sfDir","queries":$qs,"value":$total%.4f}"""
+      f"""{"metric":"total","unit":"sec","sf":"$sfDir","cpus":$cpus,"n_queries":${results.size},"queries":$famQs,"value":$total%.4f}"""
     println(line)
-    // Complete, untruncatable copy for the judge (the stdout tail keeps
-    // only ~2000 chars; ~90 queries need more) — with per-query telemetry
-    // columns the short stdout line omits: gc_ms = GC time during the
-    // min-wall sample (the reported number's own GC cost), gc_ms_worst =
-    // max GC delta across the 3 passes (neighbor-debt / pressure signal),
-    // heap_mb = used heap right after the min-wall sample.
+    // Complete per-query table (the pre-r21 stdout line, now file-only +
+    // echoed to stderr for logs) — with per-query telemetry columns:
+    // gc_ms = GC time during the min-wall sample (the reported number's
+    // own GC cost), gc_ms_worst = max GC delta across the 3 passes
+    // (neighbor-debt / pressure signal), heap_mb = used heap right after
+    // the min-wall sample.
     val gcQs = results.map { case (k, v) => s""""$k":${v.gcMs}""" }
       .mkString("{", ",", "}")
     val gcWorstQs = ordered0.map { case (name, _) =>
@@ -165,14 +183,17 @@ object Bench {
     val heapQs = results.map { case (k, v) => s""""$k":${v.heapMb}""" }
       .mkString("{", ",", "}")
     val fullLine =
-      f"""{"metric":"total","unit":"sec","sf":"$sfDir","queries":$qs,"gc_ms":$gcQs,"gc_ms_worst":$gcWorstQs,"heap_mb":$heapQs,"value":$total%.4f}"""
-    // A filtered (SPARK_GRAFT_BENCH_ONLY) run writes to BENCH_PARTIAL
-    // .json so a single-query repro can never clobber the committed
-    // full-table artifact — the same never-clobber rule as ScaleCheck's
-    // SCALE_CHECK_REPRO.json.
+      f"""{"metric":"total","unit":"sec","sf":"$sfDir","cpus":$cpus,"queries":$qs,"gc_ms":$gcQs,"gc_ms_worst":$gcWorstQs,"heap_mb":$heapQs,"value":$total%.4f}"""
+    System.err.println(fullLine)
+    // A filtered (SPARK_GRAFT_BENCH_ONLY) run writes to BENCH_PARTIAL_*
+    // so a single-query repro can never clobber the committed full-table
+    // artifact — the same never-clobber rule as ScaleCheck's
+    // SCALE_CHECK_REPRO.json. Both artifacts carry the core count in the
+    // name so the driver's low-core scaling run coexists with the main
+    // run instead of overwriting it.
     val artifact =
-      if (sys.env.contains("SPARK_GRAFT_BENCH_ONLY")) "BENCH_PARTIAL.json"
-      else "BENCH_FULL.json"
+      if (sys.env.contains("SPARK_GRAFT_BENCH_ONLY")) s"BENCH_PARTIAL_c$cpus.json"
+      else s"BENCH_FULL_c$cpus.json"
     try java.nio.file.Files.write(java.nio.file.Paths.get(artifact),
       (fullLine + "\n").getBytes("UTF-8"))
     catch { case e: Throwable =>
