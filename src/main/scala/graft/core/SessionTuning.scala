@@ -29,22 +29,28 @@ object SessionTuning {
 
   def tune(b: SparkSession.Builder): SparkSession.Builder =
     b.config("spark.sql.codegen.hugeMethodLimit", HugeMethodLimit.toString)
-      // Prefer shuffled-hash over sort-merge when the planner's size
-      // conditions say a per-partition hash table fits (guide §3.1/§9):
-      // SMJ sorts BOTH sides; for the repo's id/metadata-sized joins the
-      // sort is pure overhead. Scale-safe by construction: the planner
-      // only picks SHJ under its canBuildLocalHashMap bound, and AQE's
-      // runtime conversion (threshold below) is per-partition-size gated
-      // — an over-threshold side falls back to SMJ exactly as before.
-      // (Experiment r20: SMJ sites surviving AQE at sf0.1 — dd_inc_lines,
-      // dd_line_dedup, pl_nb_*, rt_eval_* — measured at-or-faster under
-      // SHJ with identical results; 170/170 oracle green.)
-      .config("spark.sql.join.preferSortMergeJoin", "false")
+      // Shuffled-hash joins come from the AQE runtime rewrite ONLY (the
+      // threshold below), not from the static planner. r20 additionally
+      // set spark.sql.join.preferSortMergeJoin=false, which makes the
+      // STATIC planner pick SHJ from ESTIMATED plan stats; SHJ's
+      // HashedRelation build cannot spill and AQE never demotes a
+      // statically-chosen SHJ back to SMJ, so one bad post-filter
+      // cardinality estimate at production scale converts a spillable
+      // sort-merge join into an executor OOM (ADVICE r20, medium).
+      // Removed in r21: the AQE path below converts from MEASURED
+      // map-output sizes, which is the only scale-safe trigger. Measured
+      // at sf0.1 (r21 A/B over the 11-query r20 SHJ set): the runtime
+      // rewrite fires at every site the static flag converted — every
+      // post-AQE executed plan keeps its ShuffledHashJoin (committed
+      // plans/r21/*_aqe.txt dumps) and the set total is unchanged within
+      // noise.
+      //
       // AQE runtime SMJ→SHJ rewrite: convert when every post-shuffle
       // partition of the build side is under 64 MB (default 0 = off).
       // Local partitions are far smaller; at production partition sizing
       // (guide §2.2, 100 MB-1 GB advisory) this converts only genuinely
-      // hashable builds.
+      // hashable builds; an over-threshold build side stays SMJ and
+      // spills exactly as before.
       .config("spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",
         (64L * 1024 * 1024).toString)
 }
