@@ -24,10 +24,24 @@ object RankEval {
 
   /** @param ranking (qid, id, rank), rank 1-based dense per qid
     * @param labels (id, label) covering both query and item ids
+    * @param qidSuperset when given, any SUPERSET of the ranking's qid
+    *   values (e.g. the literal query universe the caller built the
+    *   ranking from). The ideal-DCG side then enumerates this tiny
+    *   literal relation instead of `ranking.select(qid).distinct()`,
+    *   which removes the SECOND evaluation of the whole ranking subtree
+    *   from the physical plan (guide §3.3 "duplicated subtrees" — for
+    *   the hybrid queries that subtree is the full BM25 index + ANN leg,
+    *   r21 measured: rt_eval_hybrid's plan went from 6 documents + 8
+    *   embeddings scans to 3 + 4). Result-identical by construction:
+    *   the final metrics join is INNER on qid against `agg`, whose qids
+    *   are a subset of the ranking's, so ideal-DCG rows fabricated for
+    *   superset-only qids are discarded — any superset yields the same
+    *   output (RankEvalSpec pins this law, superset and exact).
     * @return (qid, mrr_fp, dcg_fp, idcg_fp, ndcg_bp): MRR on the 2^20
     *   scale, DCG/IDCG as Σ 2^40 div log2fp(rank+1), nDCG basis points.
     */
-  def labelMetrics(ranking: DataFrame, labels: DataFrame, k: Int): DataFrame = {
+  def labelMetrics(ranking: DataFrame, labels: DataFrame, k: Int,
+                   qidSuperset: Option[Seq[Long]] = None): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     val fp = 1L << 20
     val fp2 = 1L << 40
@@ -48,7 +62,14 @@ object RankEval {
           lit(0L)).as("dcg_fp"))
     // ideal DCG: per-label relevant count (minus the query itself),
     // discount series over <= k rows per query — |queries| rows total.
-    val cnt = ranking.select(col("qid").cast("long").as("qid")).distinct()
+    val qids = qidSuperset match {
+      case Some(qs) =>
+        val s = ranking.sparkSession
+        import s.implicits._
+        qs.distinct.toDF("qid")
+      case None => ranking.select(col("qid").cast("long").as("qid")).distinct()
+    }
+    val cnt = qids
       .join(lab.select(col("lid").as("qid"), col("label")), "qid")
       .join(lab.groupBy("label").agg(count(lit(1)).as("n")), "label")
       .select(col("qid"), (col("n") - 1).as("c"))

@@ -1136,7 +1136,11 @@ object TextPack {
       ascending = true)
     graft.ops.RankEval.labelMetrics(
       ranked.select(col("qid"), col("nid").as("id"), col("rank")),
-      emb.select(col("vec_id"), col("label")), k)
+      emb.select(col("vec_id"), col("label")), k,
+      // the ranking's qids are exactly the nid < nq filter's values — a
+      // literal superset that spares the plan a second evaluation of the
+      // whole ranking subtree (see labelMetrics' qidSuperset note)
+      qidSuperset = Some(0L until nq.toLong))
   }
 
   /** The same metrics over the HYBRID ranking (rt_hybrid_rrf): the
@@ -1147,7 +1151,11 @@ object TextPack {
   def hybridEvalQ(s: SparkSession, dir: String): DataFrame =
     graft.ops.RankEval.labelMetrics(
       hybridRrfQ(s, dir).select(col("qid"), col("id"), col("rank")),
-      Tables.embeddings(s, dir).select(col("vec_id"), col("label")), k = 10)
+      Tables.embeddings(s, dir).select(col("vec_id"), col("label")), k = 10,
+      // hybridRrfQ's qids are doc_ids < 3 — the literal superset spares
+      // the plan a SECOND evaluation of the entire hybrid pipeline
+      // (BM25 index + semantic leg; see labelMetrics' qidSuperset note)
+      qidSuperset = Some(0L until 3L))
 
   /** Real BPE: train 200 merges on the corpus (distributed word count →
     * driver merge loop), encode scan-side, emit the exact reconstruction.

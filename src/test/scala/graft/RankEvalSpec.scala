@@ -35,6 +35,28 @@ class RankEvalSpec extends AnyFunSuite {
     assert(row.getAs[Long]("ndcg_bp") == (10000L * dcg) / idcg)
   }
 
+  test("qidSuperset law: any superset of the ranking's qids is invisible") {
+    // r21: passing the literal query universe spares the plan a second
+    // evaluation of the ranking subtree. Law: the output is identical
+    // for the derived qid set, the exact literal set, and a strict
+    // superset (extra qids — here 2L with rows in `labels` and 9L with
+    // none — must NOT fabricate metric rows; the inner join against the
+    // metrics side discards them).
+    val labels = Seq((1L, "a"), (10L, "a"), (11L, "a"), (12L, "b"),
+      (2L, "b")).toDF("id", "label")
+    val ranking = Seq((1L, 12L, 1L), (1L, 10L, 2L), (1L, 11L, 3L))
+      .toDF("qid", "id", "rank")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).sortBy(_.toString).toSeq
+    val derived = rows(RankEval.labelMetrics(ranking, labels, k = 3))
+    val exact = rows(RankEval.labelMetrics(ranking, labels, k = 3,
+      qidSuperset = Some(Seq(1L))))
+    val superset = rows(RankEval.labelMetrics(ranking, labels, k = 3,
+      qidSuperset = Some(Seq(1L, 2L, 9L))))
+    assert(exact == derived)
+    assert(superset == derived)
+  }
+
   test("a query whose label has no other member is dropped (c = 0)") {
     // q=2's label 'c' has no second member: the oracle's
     // range(1, least(c,k)+1) is empty, so its inner join drops qid 2.
