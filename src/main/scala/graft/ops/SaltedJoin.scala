@@ -84,9 +84,66 @@ object SaltedJoin {
         s"spreadCol '$c' is not a column of the skewed side " +
           s"(has ${skewed.columns.mkString(", ")})")
     }
-    val bucketed = skewed.withColumn("__salt", bucket(skewed, salt, spreadCol))
-    val replicated = other.withColumn("__salt",
-      explode(sequence(lit(0), lit(salt - 1))))
-    bucketed.join(replicated, keys :+ "__salt", joinType).drop("__salt")
+    // salt = 1 degenerates to the plain join (every row lands in bucket
+    // 0); skip the machinery so a measured no-skew verdict costs nothing:
+    // no row-hash projection, no explode, no extra join key (r21 —
+    // measuredSalt returns 1 on uniform keys).
+    if (salt == 1) skewed.join(other, keys, joinType)
+    else {
+      val bucketed = skewed.withColumn("__salt", bucket(skewed, salt, spreadCol))
+      val replicated = other.withColumn("__salt",
+        explode(sequence(lit(0), lit(salt - 1))))
+      bucketed.join(replicated, keys :+ "__salt", joinType).drop("__salt")
+    }
+  }
+
+  /** Size the salt from MEASURED key skew instead of a constant — the
+    * Scaladoc's own sizing rule ("hot-key rows / healthy-partition
+    * rows", guide §2.5) computed from the data: one narrow
+    * (keys-only, optionally sampled) pass over the skewed side gives the
+    * hottest key's row share; a healthy partition holds total/P rows, so
+    *
+    *   salt = ceil(maxKeyRows / (total / P)) = ceil(maxShare · P)
+    *
+    * clamped to [1, maxSalt]. Uniform keys → 1 (and [[apply]]'s salt = 1
+    * path is then the plain join — AQE's runtime skew splitting remains
+    * the safety net for residual skew a static decision can't see);
+    * one key owning the table → P (one bucket per reducer), never more
+    * than maxSalt (the replication factor is a real cost on the other
+    * side — §2.5's "usually 4-32").
+    *
+    * The measurement costs one pass over the key columns only (column
+    * pruning keeps the scan narrow; `sampleFraction` < 1 cuts it
+    * further — salt affects PERFORMANCE only, never results, so a
+    * sampling estimate is always safe). The driver sees one aggregated
+    * row. Deterministic for a fixed input/seed; and because every salt
+    * value yields the same join result, retry/replay concerns do not
+    * apply to the sizing at all.
+    */
+  def measuredSalt(skewed: DataFrame, keys: Seq[String],
+                   maxSalt: Int = 32,
+                   sampleFraction: Double = 1.0): Int = {
+    require(keys.nonEmpty, "need at least one join key")
+    require(maxSalt >= 1, s"maxSalt must be >= 1, got $maxSalt")
+    require(sampleFraction > 0 && sampleFraction <= 1.0,
+      s"sampleFraction must be in (0, 1], got $sampleFraction")
+    val ks = skewed.select(keys.map(col): _*)
+    val sampled =
+      if (sampleFraction < 1.0) ks.sample(withReplacement = false,
+        sampleFraction, seed = 9261L)
+      else ks
+    val row = sampled.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("n"))
+      .agg(max(col("n")).as("mx"), sum(col("n")).as("tot"))
+      .head()
+    if (row.isNullAt(0) || row.getLong(1) == 0L) 1
+    else {
+      val p = skewed.sparkSession.sessionState.conf.numShufflePartitions
+      val mx = row.getLong(0)
+      val tot = row.getLong(1)
+      // ceil(mx · P / tot) without floats
+      val s = ((mx * p + tot - 1) / tot).toInt
+      math.max(1, math.min(maxSalt, s))
+    }
   }
 }

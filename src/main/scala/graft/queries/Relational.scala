@@ -624,14 +624,25 @@ object Relational {
 
   /** lineitem ⋈ orders through the skew-salted join (ops/SaltedJoin) —
     * salting must be INVISIBLE in results, so the oracle is the plain
-    * join. The salt spreads any hot orderkey across 8 buckets before the
-    * shuffle; orders is the replicated (×8) side, as the smaller input.
+    * join (identical for EVERY salt value, which is what lets the salt
+    * be data-derived).
+    *
+    * r21 (VERDICT r20 item 4): the salt is now SIZED TO THE MEASURED
+    * SKEW (SaltedJoin.measuredSalt — guide §2.5's hot-key-rows /
+    * healthy-partition-rows rule) instead of the r20 constant 8. On this
+    * table the orderkey distribution is uniform (max 7 rows/key), the
+    * measurement returns salt = 1, and the join degenerates to the plain
+    * join — no ×8 explode of orders, no row-hash, one narrow keys-only
+    * sizing pass instead. A genuinely hot key (measured share > 1/P of
+    * the rows) brings the buckets back automatically, sized to the skew.
+    * AQE's runtime skew splitting stays on as the safety net either way.
     */
   def saltedJoinVolume(s: SparkSession, dir: String): DataFrame = {
     val li = Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_quantity"))
     val o = Tables.orders(s, dir)
       .select(col("o_orderkey").as("l_orderkey"), col("o_orderpriority"))
-    graft.ops.SaltedJoin(li, o, Seq("l_orderkey"), salt = 8)
+    val salt = graft.ops.SaltedJoin.measuredSalt(li, Seq("l_orderkey"))
+    graft.ops.SaltedJoin(li, o, Seq("l_orderkey"), salt)
       .groupBy(col("o_orderpriority"))
       .agg(count(lit(1)).as("n"),
            sum(dec(col("l_quantity"))).cast("double").as("sum_qty"))

@@ -193,6 +193,37 @@ class RelationalSpec extends AnyFunSuite {
     assert(miss.getMessage.contains("spreadCol"))
   }
 
+  test("saltedJoin: measuredSalt sizes to the skew; salt = 1 is the plain join") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions.col
+    val p = spark.sessionState.conf.numShufflePartitions
+    // uniform keys: every key ~same count → maxShare·P rounds to 1
+    val uniform = (1 to 2000).map(i => (i.toLong % 500, s"v$i")).toDF("k", "tag")
+    assert(graft.ops.SaltedJoin.measuredSalt(uniform, Seq("k")) == 1)
+    // one key owns ~90% of rows → salt ≈ 0.9·P, clamped to maxSalt
+    val skewed = ((1 to 1800).map(i => (1L, s"hot$i")) ++
+      (1 to 200).map(i => (i.toLong + 1, s"cold$i"))).toDF("k", "tag")
+    val m = graft.ops.SaltedJoin.measuredSalt(skewed, Seq("k"))
+    val expect = math.max(1, math.min(32, ((1800L * p + 1999L) / 2000L).toInt))
+    assert(m == expect, s"salt must follow ceil(maxShare·P): got $m want $expect")
+    assert(graft.ops.SaltedJoin.measuredSalt(skewed, Seq("k"), maxSalt = 4) ==
+      math.min(4, expect))
+    // the salt = 1 fast path IS the plain join: same rows, no salt plumbing
+    val dim = (1 to 500).map(i => (i.toLong % 500, s"d$i")).toDF("k", "name")
+      .dropDuplicates("k")
+    val fast = graft.ops.SaltedJoin(uniform, dim, Seq("k"), salt = 1)
+    assert(!fast.queryExecution.executedPlan.toString.contains("__salt"),
+      "salt = 1 must skip the bucket/explode machinery")
+    val got = fast.collect().map(_.toSeq).sortBy(_.toString).toSeq
+    val want = uniform.join(dim, "k").collect()
+      .map(_.toSeq).sortBy(_.toString).toSeq
+    assert(got == want)
+    // empty input: no rows to measure → 1, not a crash
+    assert(graft.ops.SaltedJoin.measuredSalt(
+      uniform.filter(col("k") < 0), Seq("k")) == 1)
+  }
+
   test("cube: gid distinguishes super-aggregate NULLs; counts reconcile") {
     val rows = Relational.cubeVolume(spark, sfDir).collect()
     val grand = rows.filter(_.getLong(2) == 3L)
