@@ -36,6 +36,24 @@ import graft.core.Cols.{q => Q}
   */
 object Pq {
 
+  /** Upper bound on concurrently-running subspace fits in [[train]].
+    *
+    * Memory envelope (guide §5): each in-flight [[KMeans.fit]] persists
+    * its own quantized slice frame (MEMORY_AND_DISK, id + dim/m longs per
+    * row) for the whole Lloyd loop, so peak storage is
+    * min(m, TrainPoolBound)/m of one full quantized corpus — at m = 8
+    * with the default bound that is the ENTIRE quantized corpus resident
+    * at once, where the serial loop held 1/m of it. That is safe wherever
+    * the slices may spill (MEMORY_AND_DISK never OOMs the heap by
+    * itself), but on a cluster where storage pressure would evict hot
+    * shuffle blocks, THIS is the dial: lower it toward 1 to trade
+    * overlap for footprint (the serial behaviour is TrainPoolBound = 1).
+    * 8 concurrent driver-synchronous job chains is also plenty to
+    * back-fill executor idle time (guide §2.6 — "2-3 jobs in flight is
+    * plenty"; 8 keeps m = 8's common case fully overlapped).
+    */
+  val TrainPoolBound = 8
+
   /** The m per-subspace codebooks: books(j) is a ksub × (dim/m) matrix of
     * fixed-point centroids — [[KMeans.fit]] run on the j-th vector slice.
     * One fit per subspace; each is the broadcast-Lloyd envelope documented
@@ -65,8 +83,10 @@ object Pq {
     // so one subspace's collect latency back-fills with another's scan.
     // Results are bit-identical: the books array is assembled by
     // subspace index, and no fit reads another's state.
+    // Pool size: see [[TrainPoolBound]] for the storage-footprint
+    // reasoning behind the cap.
     val pool = java.util.concurrent.Executors.newFixedThreadPool(
-      math.min(m, 8))
+      math.min(m, TrainPoolBound))
     implicit val ec: scala.concurrent.ExecutionContext =
       scala.concurrent.ExecutionContext.fromExecutorService(pool)
     try {
@@ -78,8 +98,16 @@ object Pq {
             idCol, vecCol, ksub, iters, quantShift, fpShift)
         }
       }
-      fits.map(scala.concurrent.Await.result(
-        _, scala.concurrent.duration.Duration.Inf)).toArray
+      // Await EVERY fit (as Try) before surfacing the first failure:
+      // pool.shutdown() does not cancel running tasks, so bailing on the
+      // first Await failure would leave in-flight fits running Spark
+      // jobs in the background with their exceptions dropped (ADVICE
+      // r20). Draining them first keeps the failure path quiet and
+      // deterministic.
+      val done = fits.map(f => scala.util.Try(scala.concurrent.Await.result(
+        f, scala.concurrent.duration.Duration.Inf)))
+      done.collectFirst { case scala.util.Failure(e) => throw e }
+      done.map(_.get).toArray
     } finally pool.shutdown()
   }
 
@@ -239,8 +267,16 @@ object Pq {
     val coarseF = scala.concurrent.Future(KMeans.fit(corpus, idCol,
       vecCol, nlist, iters, quantShift, fpShift))(
       scala.concurrent.ExecutionContext.global)
-    val books = train(corpus, idCol, vecCol, dim, m, ksub, iters,
-      quantShift, fpShift)
+    // The coarse future is awaited on EVERY path: if train(...) throws,
+    // the finally still drains coarseF (as a Try, so a secondary failure
+    // doesn't mask the primary one) instead of abandoning its in-flight
+    // Spark jobs with the exception silently dropped on
+    // ExecutionContext.global (ADVICE r20).
+    val books =
+      try train(corpus, idCol, vecCol, dim, m, ksub, iters,
+        quantShift, fpShift)
+      finally scala.util.Try(scala.concurrent.Await.result(coarseF,
+        scala.concurrent.duration.Duration.Inf))
     val coarse = scala.concurrent.Await.result(coarseF,
       scala.concurrent.duration.Duration.Inf)
     val store = encode(corpus, idCol, vecCol, books, quantShift, fpShift)
