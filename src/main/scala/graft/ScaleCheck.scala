@@ -489,7 +489,12 @@ object ScaleCheck {
       // the bits=60 sketch at the third decade: at 5M docs the 40-bit
       // birthday term is ~N²·10/2^16 ≈ 3.8B candidate pairs — the
       // 24-bit keys keep it ~15M, which is the whole point of the dial
-      "dd_simhash_wide" -> Seq("documents"))
+      "dd_simhash_wide" -> Seq("documents"),
+      // r21 (VERDICT r20 item 7): the tokenizer/model-filter family's
+      // first third-decade row. The replicas' disjoint token spaces grow
+      // the NB count table 1000× with the corpus — the regime where the
+      // positions×counts hash join must hold without broadcast
+      "pl_nb_lang" -> Seq("documents"))
     val unknown = names.filterNot(tablesFor.contains)
     require(names.nonEmpty && unknown.isEmpty,
       s"SPARK_GRAFT_SCALE_X1000: unknown/empty targets $unknown — " +
@@ -575,7 +580,12 @@ object ScaleCheck {
       // keys — the x100 row should show the random-collision shuffle
       // term shrinking vs dd_simhash's (birthday arithmetic: 2^8 fewer
       // random candidates at equal replication)
-      "dd_simhash_wide" -> Seq("documents"))
+      "dd_simhash_wide" -> Seq("documents"),
+      // r21: the one-corpus-pass dsirWeights restructure (persist +
+      // driver-finished B-row model) is plan-invisible at sf0.1 walls;
+      // the second decade is where the deduped tokenize passes and the
+      // halved shuffle must show up as wall
+      "pl_dsir" -> Seq("documents"))
     val unknown = names.filterNot(tablesFor.contains)
     require(names.nonEmpty && unknown.isEmpty,
       s"SPARK_GRAFT_SCALE_X100: unknown/empty targets $unknown — " +
